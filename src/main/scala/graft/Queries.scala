@@ -1,0 +1,340 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Clean
+
+/** The driver-facing query inventory (SURVEY §2 query keys) with matching
+  * DuckDB oracle SQL. Both sides of each pair are authored together and
+  * must hash-match bitwise at sf0.01.
+  *
+  * == Float-determinism recipe ==
+  * The oracle compare is an exact hash, so every query follows these rules:
+  *  1. Order-dependent reductions (windowed / grouped SUM, AVG) over clean
+  *     2-decimal source columns go through DECIMAL casts — decimal addition
+  *     is exact and associative, so Spark's partial aggregation order and
+  *     DuckDB's segment-tree order cannot diverge. The final value is one
+  *     deterministic `CAST(decimal AS DOUBLE) / CAST(count AS DOUBLE)`.
+  *  2. Per-row scalar double arithmetic uses the identical expression tree
+  *     on both sides — IEEE 754 ops on identical inputs are bitwise equal.
+  *  3. Reductions over *derived* doubles (e.g. the 9-row sum over MACD)
+  *     first quantize to a dyadic grid: `floor(x·2^20)/2^20`. Power-of-two
+  *     multiply/divide and floor are exact in IEEE 754, and sums of the
+  *     quantized values stay below 2^53, making the sum exact and therefore
+  *     associativity-independent.
+  *  4. Counts are cast to BIGINT in DuckDB (its SUM(BIGINT) is HUGEINT).
+  *  5. Every query ends in a total ORDER BY over unique keys.
+  */
+object Queries {
+
+  case class Q(fn: (SparkSession, String) => DataFrame, sql: Option[String])
+
+  // ---------------------------------------------------------------- shared
+  private val PriceDec = Tables.PriceDec
+
+  /** Window order must be TOTAL for deterministic frames. (l_orderkey,
+    * l_linenumber, l_partkey, l_suppkey) is unique at sf0.01/sf0.1; the
+    * value-column tail covers the one residual collision at sf0.001
+    * (full rows are distinct at every sf).
+    */
+  private val tieCols = Seq("trading_date", "l_orderkey", "l_linenumber",
+    "l_partkey", "l_suppkey", "close", "volume", "open", "low")
+
+  private def W = Window.partitionBy("symbol").orderBy(tieCols.map(col): _*)
+
+  private def f(n: Int) = W.rowsBetween(-n, 0)
+
+  private def closeDec = col("close").cast(PriceDec)
+
+  /** Exact windowed average of `close` over an n-preceding ROWS frame. */
+  private def wavg(n: Int): Column =
+    sum(closeDec).over(f(n)).cast(DoubleType) /
+      count(col("close")).over(f(n)).cast(DoubleType)
+
+  /** Dyadic quantization — see recipe rule 3. */
+  private def dyadic(c: Column): Column =
+    floor(c * lit(1048576.0)).cast(DoubleType) / lit(1048576.0)
+
+  private val keyCols = Seq("symbol", "trading_date", "l_orderkey",
+    "l_linenumber", "l_partkey", "l_suppkey")
+  private def keyed(df: DataFrame, extra: Column*): DataFrame =
+    df.select(keyCols.map(col) ++ extra: _*)
+      .orderBy(keyCols.map(col): _*)
+
+  // SQL-side mirrors
+  private val OV = "PARTITION BY symbol ORDER BY trading_date, l_orderkey, l_linenumber, l_partkey, l_suppkey, close, volume, open, low"
+  private def frS(n: Int) = s"OVER ($OV ROWS BETWEEN $n PRECEDING AND CURRENT ROW)"
+  private val UNB = s"OVER ($OV ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+  private val LAGOV = s"OVER ($OV)"
+  private val KEYS = "symbol, trading_date, l_orderkey, l_linenumber, l_partkey, l_suppkey"
+  private val ORD = "ORDER BY symbol, trading_date, l_orderkey, l_linenumber, l_partkey, l_suppkey"
+  private def sqlWavg(n: Int) =
+    s"CAST(SUM(CAST(close AS DECIMAL(12,2))) ${frS(n)} AS DOUBLE) / CAST(COUNT(close) ${frS(n)} AS DOUBLE)"
+  private def withBase(body: String) = s"WITH base AS (${Tables.ohlcvSql}) $body"
+
+  private def ohlcv(s: SparkSession, dir: String) = Tables.ohlcv(s, dir)
+
+  // ------------------------------------------------------------ W1: SMA
+  private val smaQ = Q(
+    (s, dir) => keyed(ohlcv(s, dir),
+      wavg(4).as("sma_5"), wavg(19).as("sma_20"),
+      wavg(49).as("sma_50"), wavg(199).as("sma_200")),
+    Some(withBase(
+      s"""SELECT $KEYS, ${sqlWavg(4)} AS sma_5, ${sqlWavg(19)} AS sma_20,
+         | ${sqlWavg(49)} AS sma_50, ${sqlWavg(199)} AS sma_200 FROM base $ORD""".stripMargin)))
+
+  // ------------------------------------------------- W2: "EMA" (SMA approx)
+  private val emaQ = Q(
+    (s, dir) => keyed(ohlcv(s, dir),
+      wavg(11).as("ema_12"), wavg(25).as("ema_26")),
+    Some(withBase(
+      s"SELECT $KEYS, ${sqlWavg(11)} AS ema_12, ${sqlWavg(25)} AS ema_26 FROM base $ORD")))
+
+  // ------------------------------------- W3-W5: MACD / signal / histogram
+  private val macdQ = Q(
+    (s, dir) => {
+      val e = ohlcv(s, dir)
+        .withColumn("ema_12", wavg(11)).withColumn("ema_26", wavg(25))
+        .withColumn("macd", col("ema_12") - col("ema_26"))
+        .withColumn("macd_q", dyadic(col("macd")))
+      val sig = e.withColumn("signal_line",
+        sum(col("macd_q")).over(f(8)) / count(col("macd_q")).over(f(8)).cast(DoubleType))
+      keyed(sig.withColumn("macd_histogram", col("macd") - col("signal_line")),
+        col("macd"), col("signal_line"), col("macd_histogram"))
+    },
+    Some(withBase(
+      s""", e AS (SELECT $KEYS, close, volume, open, low, ${sqlWavg(11)} AS ema_12, ${sqlWavg(25)} AS ema_26 FROM base),
+         | m AS (SELECT *, ema_12 - ema_26 AS macd FROM e),
+         | q AS (SELECT *, CAST(FLOOR(macd * 1048576.0) AS DOUBLE) / 1048576.0 AS macd_q FROM m),
+         | sg AS (SELECT *, SUM(macd_q) ${frS(8)} / CAST(COUNT(macd_q) ${frS(8)} AS DOUBLE) AS signal_line FROM q)
+         | SELECT $KEYS, macd, signal_line, macd - signal_line AS macd_histogram FROM sg $ORD""".stripMargin)))
+
+  // ----------------------------------------------- W6: Bollinger bands
+  private val bollingerQ = Q(
+    (s, dir) => {
+      val b = ohlcv(s, dir)
+        .withColumn("n", count(col("close")).over(f(19)).cast(DoubleType))
+        .withColumn("s1", sum(closeDec).over(f(19)).cast(DoubleType))
+        .withColumn("s2", sum(closeDec * closeDec).over(f(19)).cast(DoubleType))
+        .withColumn("bb_middle", col("s1") / col("n"))
+        .withColumn("bb_std",
+          when(col("n") > 1,
+            sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), lit(0.0))))
+            .otherwise(lit(null).cast(DoubleType)))
+      keyed(b, col("bb_middle"),
+        (col("bb_middle") + col("bb_std") * 2).as("bb_upper"),
+        (col("bb_middle") - col("bb_std") * 2).as("bb_lower"))
+    },
+    Some(withBase(
+      s""", b1 AS (SELECT $KEYS,
+         |  CAST(COUNT(close) ${frS(19)} AS DOUBLE) AS n,
+         |  CAST(SUM(CAST(close AS DECIMAL(12,2))) ${frS(19)} AS DOUBLE) AS s1,
+         |  CAST(SUM(CAST(close AS DECIMAL(12,2)) * CAST(close AS DECIMAL(12,2))) ${frS(19)} AS DOUBLE) AS s2
+         |  FROM base),
+         | b2 AS (SELECT *, s1 / n AS bb_middle,
+         |  CASE WHEN n > 1 THEN sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) ELSE NULL END AS bb_std FROM b1)
+         | SELECT $KEYS, bb_middle, bb_middle + bb_std * 2 AS bb_upper,
+         |  bb_middle - bb_std * 2 AS bb_lower FROM b2 $ORD""".stripMargin)))
+
+  // --------------------------------------------------------- W8: RSI-14
+  private val rsiQ = Q(
+    (s, dir) => {
+      val r = ohlcv(s, dir)
+        .withColumn("chg", closeDec - lag(closeDec, 1).over(W))
+        .withColumn("gain", when(col("chg") > 0, col("chg")).otherwise(lit(0)))
+        .withColumn("loss", when(col("chg") < 0, -col("chg")).otherwise(lit(0)))
+        .withColumn("avg_gain",
+          sum(col("gain")).over(f(13)).cast(DoubleType) / count(col("gain")).over(f(13)).cast(DoubleType))
+        .withColumn("avg_loss",
+          sum(col("loss")).over(f(13)).cast(DoubleType) / count(col("loss")).over(f(13)).cast(DoubleType))
+        .withColumn("rs",
+          when(col("avg_loss") =!= 0, col("avg_gain") / col("avg_loss")).otherwise(lit(100)))
+        .withColumn("rsi", lit(100) - (lit(100) / (lit(1) + col("rs"))))
+      keyed(r, col("avg_gain"), col("avg_loss"), col("rsi"))
+    },
+    Some(withBase(
+      s""", r1 AS (SELECT $KEYS, close, volume, open, low,
+         |  CAST(close AS DECIMAL(12,2)) - LAG(CAST(close AS DECIMAL(12,2)), 1) $LAGOV AS chg FROM base),
+         | r2 AS (SELECT *, CASE WHEN chg > 0 THEN chg ELSE 0 END AS gain,
+         |  CASE WHEN chg < 0 THEN -chg ELSE 0 END AS loss FROM r1),
+         | r3 AS (SELECT *,
+         |  CAST(SUM(gain) ${frS(13)} AS DOUBLE) / CAST(COUNT(gain) ${frS(13)} AS DOUBLE) AS avg_gain,
+         |  CAST(SUM(loss) ${frS(13)} AS DOUBLE) / CAST(COUNT(loss) ${frS(13)} AS DOUBLE) AS avg_loss FROM r2),
+         | r4 AS (SELECT *, CASE WHEN avg_loss <> 0 THEN avg_gain / avg_loss ELSE 100 END AS rs FROM r3)
+         | SELECT $KEYS, avg_gain, avg_loss, 100 - (100 / (1 + rs)) AS rsi FROM r4 $ORD""".stripMargin)))
+
+  // ----------------------------------------------------------- W9: OBV
+  private val obvQ = Q(
+    (s, dir) => {
+      val o = ohlcv(s, dir)
+        .withColumn("chg", closeDec - lag(closeDec, 1).over(W))
+        .withColumn("vsign",
+          when(col("chg") > 0, col("volume"))
+            .when(col("chg") < 0, -col("volume"))
+            .otherwise(lit(0L)))
+        .withColumn("obv", sum(col("vsign")).over(W.rowsBetween(Window.unboundedPreceding, 0)))
+      keyed(o, col("obv"))
+    },
+    Some(withBase(
+      s""", o1 AS (SELECT $KEYS, close, volume, open, low,
+         |  CAST(close AS DECIMAL(12,2)) - LAG(CAST(close AS DECIMAL(12,2)), 1) $LAGOV AS chg FROM base),
+         | o2 AS (SELECT *, CASE WHEN chg > 0 THEN volume WHEN chg < 0 THEN -volume ELSE 0 END AS vsign FROM o1)
+         | SELECT $KEYS, CAST(SUM(vsign) $UNB AS BIGINT) AS obv FROM o2 $ORD""".stripMargin)))
+
+  // ------------------------------------------- W7+W10: lag / pct change
+  private val lagPctQ = Q(
+    (s, dir) => {
+      val l = ohlcv(s, dir)
+        .withColumn("prev1", lag(col("close"), 1).over(W))
+        .withColumn("prev5", lag(col("close"), 5).over(W))
+        .withColumn("prev20", lag(col("close"), 20).over(W))
+        .withColumn("day_change_pct", (col("close") - col("prev1")) / col("prev1") * 100)
+        .withColumn("week_change_pct",
+          when(col("prev5").isNotNull, (col("close") - col("prev5")) / col("prev5") * 100)
+            .otherwise(lit(0)))
+        .withColumn("month_change_pct",
+          when(col("prev20").isNotNull, (col("close") - col("prev20")) / col("prev20") * 100)
+            .otherwise(lit(0)))
+      keyed(l, col("prev1"), col("day_change_pct"), col("week_change_pct"), col("month_change_pct"))
+    },
+    Some(withBase(
+      s""", l1 AS (SELECT $KEYS, close,
+         |  LAG(close, 1) $LAGOV AS prev1, LAG(close, 5) $LAGOV AS prev5, LAG(close, 20) $LAGOV AS prev20 FROM base)
+         | SELECT $KEYS, prev1,
+         |  (close - prev1) / prev1 * 100 AS day_change_pct,
+         |  CASE WHEN prev5 IS NOT NULL THEN (close - prev5) / prev5 * 100 ELSE 0 END AS week_change_pct,
+         |  CASE WHEN prev20 IS NOT NULL THEN (close - prev20) / prev20 * 100 ELSE 0 END AS month_change_pct
+         | FROM l1 $ORD""".stripMargin)))
+
+  // ------------------------------------------- S1: watermark scan pushdown
+  private val scanWatermarkQ = Q(
+    (s, dir) => keyed(
+      ohlcv(s, dir).filter(col("timestamp") > to_timestamp(lit("1995-06-17 00:00:00"))),
+      col("close"), col("volume")),
+    Some(withBase(
+      s"""SELECT $KEYS, close, volume FROM base
+         | WHERE "timestamp" > TIMESTAMP '1995-06-17 00:00:00' $ORD""".stripMargin)))
+
+  // ------------------------------------------------- A1/A2: watermark max
+  private val aggWatermarkQ = Q(
+    (s, dir) => ohlcv(s, dir).agg(
+      max(col("timestamp")).as("last_processed_timestamp"),
+      count(lit(1)).as("n_rows")),
+    Some(withBase(
+      """SELECT max("timestamp") AS last_processed_timestamp,
+        | CAST(COUNT(*) AS BIGINT) AS n_rows FROM base""".stripMargin)))
+
+  // ------------------------------------------------ E1/E3: date salvage
+  private val cleanDateQ = Q(
+    (s, dir) => {
+      val raw = ohlcv(s, dir).withColumn("date",
+        when(col("l_orderkey") % 10 === 0, lit("not a date"))
+          .otherwise(concat(lit("d:"), date_format(col("trading_date"), "yyyy-MM-dd"))))
+      val cleaned = raw.withColumn("salvaged", Clean.salvageDate(col("date")))
+      keyed(cleaned, col("date"), col("salvaged"))
+    },
+    Some(withBase(
+      s""", raw AS (SELECT $KEYS,
+         |  CASE WHEN l_orderkey % 10 = 0 THEN 'not a date'
+         |       ELSE 'd:' || strftime(trading_date, '%Y-%m-%d') END AS "date" FROM base)
+         | SELECT $KEYS, "date",
+         |  CAST(CASE WHEN regexp_matches("date", '\\d{4}-\\d{2}-\\d{2}')
+         |       THEN regexp_extract("date", '(\\d{4}-\\d{2}-\\d{2})', 1) ELSE NULL END AS DATE) AS salvaged
+         | FROM raw $ORD""".stripMargin)))
+
+  // ------------------------------------------------- E4: null-row filter
+  private val filterNotnullQ = Q(
+    (s, dir) => {
+      val withNulls = ohlcv(s, dir).withColumn("close",
+        when(col("l_orderkey") % 7 === 0, lit(null).cast(DoubleType)).otherwise(col("close")))
+      keyed(Clean.dropNullRows(withNulls, Seq("close")), col("close"), col("volume"))
+    },
+    Some(withBase(
+      s""", n1 AS (SELECT $KEYS, CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE close END AS close, volume FROM base)
+         | SELECT $KEYS, close, volume FROM n1 WHERE close IS NOT NULL $ORD""".stripMargin)))
+
+  // --------------------------------------------------- E9: NaN→null scrub
+  private val nanScrubQ = Q(
+    (s, dir) => {
+      val dirty = ohlcv(s, dir)
+        .withColumn("close", when(col("l_orderkey") % 11 === 0, lit(Double.NaN)).otherwise(col("close")))
+        .withColumn("vol_str", when(col("l_orderkey") % 13 === 0, lit("NaN")).otherwise(col("volume").cast(StringType)))
+      keyed(Clean.nanScrub(dirty, Seq("close", "vol_str")), col("close"), col("vol_str"))
+    },
+    Some(withBase(
+      s""", d1 AS (SELECT $KEYS,
+         |  CASE WHEN l_orderkey % 11 = 0 THEN CAST('NaN' AS DOUBLE) ELSE close END AS close,
+         |  CASE WHEN l_orderkey % 13 = 0 THEN 'NaN' ELSE CAST(volume AS VARCHAR) END AS vol_str FROM base)
+         | SELECT $KEYS,
+         |  CASE WHEN isnan(close) THEN NULL ELSE close END AS close,
+         |  CASE WHEN vol_str = 'NaN' THEN NULL ELSE CAST(vol_str AS DOUBLE) END AS vol_str
+         | FROM d1 $ORD""".stripMargin)))
+
+  // ------------------------------------------------ E11/S4: composite key
+  private val compositeKeyQ = Q(
+    (s, dir) => keyed(ohlcv(s, dir),
+      Clean.compositeKey(col("symbol"), col("trading_date")).as("symbol_date_key"),
+      Clean.compositeKey(col("symbol"), col("trading_date")).as("es_id")),
+    Some(withBase(
+      s"""SELECT $KEYS,
+         | concat_ws('_', symbol, strftime(trading_date, '%Y-%m-%d')) AS symbol_date_key,
+         | concat_ws('_', symbol, strftime(trading_date, '%Y-%m-%d')) AS es_id
+         | FROM base $ORD""".stripMargin)))
+
+  // ----------------------------------------------------- S8: JSON decode
+  private val jsonDecodeQ = Q(
+    (s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      // Explicit pruned schema: events.parquet carries a TIMESTAMP(NANOS)
+      // column Spark cannot read; we only need these three columns anyway.
+      s.read.schema(schema).parquet(s"$dir/events.parquet")
+        .select(to_json(struct(col("event_id"), col("user_id"), col("event_type"))).as("value"))
+        .select(from_json(col("value"), schema).as("m"))
+        .select(col("m.event_id"), col("m.user_id"), col("m.event_type"))
+        .filter(col("event_type").isNotNull)
+        .orderBy(col("event_id"))
+    },
+    Some(
+      """SELECT event_id, user_id, event_type FROM events
+        | WHERE event_type IS NOT NULL ORDER BY event_id""".stripMargin))
+
+  // ------------------------------------------------- A5: distinct symbols
+  private val distinctSymbolsQ = Q(
+    (s, dir) => ohlcv(s, dir).select("symbol").distinct().orderBy("symbol"),
+    Some(withBase("SELECT DISTINCT symbol FROM base ORDER BY symbol")))
+
+  // ------------------------------------------------------ O1: global sort
+  private val sortByDateQ = Q(
+    (s, dir) => ohlcv(s, dir)
+      .select((keyCols.map(col) :+ col("close")): _*)
+      .orderBy(col("trading_date"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")),
+    Some(withBase(
+      s"""SELECT $KEYS, close FROM base
+         | ORDER BY trading_date, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)))
+
+  // ---------------------------------------------------------------- map
+  val all: Map[String, Q] = Map(
+    "sma" -> smaQ,
+    "ema_approx" -> emaQ,
+    "macd" -> macdQ,
+    "bollinger" -> bollingerQ,
+    "rsi" -> rsiQ,
+    "obv" -> obvQ,
+    "lag_pct_change" -> lagPctQ,
+    "scan_watermark_pushdown" -> scanWatermarkQ,
+    "agg_watermark_max" -> aggWatermarkQ,
+    "clean_date_extract" -> cleanDateQ,
+    "filter_notnull" -> filterNotnullQ,
+    "nan_scrub" -> nanScrubQ,
+    "sink_composite_key" -> compositeKeyQ,
+    "json_decode" -> jsonDecodeQ,
+    "distinct_symbols" -> distinctSymbolsQ,
+    "sort_by_date" -> sortByDateQ
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Testdata loaders + the OHLCV projection every parity query runs on.
+  *
+  * The reference engine (`/root/reference/spark-job/etl_job.py`) operates on
+  * per-symbol OHLCV rows. FIXTURES.md §3 maps those onto the driver's TPC-H-ish
+  * `lineitem` so every query is runnable against the DuckDB oracle:
+  * symbol := l_returnflag, trading_date := l_shipdate, close := l_extendedprice,
+  * volume := cast(l_quantity as bigint), tiebreakers l_orderkey, l_linenumber.
+  *
+  * Scale note (100 TB): all loaders are plain columnar parquet scans — column
+  * pruning and predicate pushdown reach the scan via Catalyst; no driver-side
+  * materialization anywhere.
+  */
+object Tables {
+
+  /** Decimal type used for exact (order-independent) price sums.
+    * l_extendedprice < 1e7 with 2 decimals → DECIMAL(12,2) holds every value;
+    * sums get Spark's +10 precision headroom without hitting the 38 cap even
+    * after squaring (bollinger: (12,2)² → (25,4), sum → (35,4)).
+    */
+  val PriceDec: DecimalType = DecimalType(12, 2)
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** OHLCV frame per FIXTURES.md §3. Mirrors the record shape produced at
+    * reference `crawler/crawler.py:99-108`, keyed for deterministic window
+    * order (SURVEY §7.4.1 tiebreakers).
+    */
+  def ohlcv(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).select(
+      col("l_returnflag").as("symbol"),
+      col("l_shipdate").as("trading_date"),
+      col("l_extendedprice").as("close"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("open"),
+      (col("l_extendedprice") * (lit(1.0) + col("l_tax"))).as("high"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount") - col("l_tax"))).as("low"),
+      col("l_quantity").cast(LongType).as("volume"),
+      col("l_shipdate").as("timestamp"),
+      col("l_orderkey"),
+      col("l_linenumber"),
+      col("l_partkey"),
+      col("l_suppkey")
+    )
+
+  /** The same projection as ANSI SQL, shared by every oracle query. */
+  val ohlcvSql: String =
+    """SELECT l_returnflag AS symbol,
+      |       l_shipdate AS trading_date,
+      |       l_extendedprice AS close,
+      |       l_extendedprice * (1.0 - l_discount) AS open,
+      |       l_extendedprice * (1.0 + l_tax) AS high,
+      |       l_extendedprice * (1.0 - l_discount - l_tax) AS low,
+      |       CAST(l_quantity AS BIGINT) AS volume,
+      |       l_shipdate AS "timestamp",
+      |       l_orderkey, l_linenumber, l_partkey, l_suppkey
+      |FROM lineitem""".stripMargin
+}

@@ -1,0 +1,233 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Queries.Q
+
+/** Metadata / ML-parity / join / streaming-batch query keys (SURVEY §2.4-§2.10).
+  * Same float-determinism recipe as [[Queries]].
+  */
+object QueriesMeta {
+
+  private val TotalDec = DecimalType(18, 2)
+
+  // ------------------------------------------- A3/A4: last-per-group
+  // Mongo `$sort + $group {$first: $$ROOT}` (prediction_api.py:281-320,
+  // ml_scheduler.py:142-150) → the row_number dedup pattern.
+  private val groupLastQ = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("order_count", count(lit(1)).over(Window.partitionBy("o_custkey")))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("order_count"))
+        .orderBy(col("o_custkey"))
+    },
+    Some(
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS order_count
+        | FROM orders
+        | QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        | ORDER BY o_custkey""".stripMargin))
+
+  // ------------------------------------------------ O2/O3: top-k latest
+  private val topkLatestQ = Q(
+    (s, dir) => Tables.orders(s, dir)
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .limit(50)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
+    Some(
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+        | ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 50""".stripMargin))
+
+  // --------------------------------------------- A6: summary statistics
+  private val summaryStatsQ = Q(
+    (s, dir) => Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        (sum(col("o_totalprice").cast(TotalDec)).cast(DoubleType) /
+          count(col("o_totalprice")).cast(DoubleType)).as("avg_totalprice"),
+        max(col("o_totalprice")).as("max_totalprice"),
+        min(col("o_totalprice")).as("min_totalprice"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus")),
+    Some(
+      """SELECT o_orderstatus,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(o_totalprice) AS DOUBLE) AS avg_totalprice,
+        | max(o_totalprice) AS max_totalprice,
+        | min(o_totalprice) AS min_totalprice,
+        | CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders
+        | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  // --------------------------------------------- A7: accuracy view
+  // Mongo view `prediction_accuracy_timeseries` (mongo_init.py:112-137):
+  // filter actual != null, accuracy% = 100*(1 - abs((pred-actual)/actual)).
+  private val viewAccuracyQ = Q(
+    (s, dir) => Tables.orders(s, dir)
+      .withColumn("predicted_price", col("o_totalprice"))
+      .withColumn("actual_price",
+        when(col("o_custkey") % 7 === 0, lit(null).cast(DoubleType))
+          .otherwise(col("o_totalprice") * (lit(1.0) + (col("o_custkey") % 10) / lit(100.0))))
+      .filter(col("actual_price").isNotNull)
+      .withColumn("accuracy_pct",
+        lit(100.0) * (lit(1.0) - abs((col("predicted_price") - col("actual_price")) / col("actual_price"))))
+      .select(col("o_orderkey"), col("predicted_price"), col("actual_price"), col("accuracy_pct"))
+      .orderBy(col("o_orderkey")),
+    Some(
+      """WITH p AS (SELECT o_orderkey, o_totalprice AS predicted_price,
+        |  CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |       ELSE o_totalprice * (1.0 + (o_custkey % 10) / 100.0) END AS actual_price
+        | FROM orders)
+        | SELECT o_orderkey, predicted_price, actual_price,
+        |  100.0 * (1.0 - abs((predicted_price - actual_price) / actual_price)) AS accuracy_pct
+        | FROM p WHERE actual_price IS NOT NULL ORDER BY o_orderkey""".stripMargin))
+
+  // ------------------------------------- join: broadcast equi-join (§2.5)
+  // The Spark-native replacement for the reference's per-symbol collection
+  // scatter: one fact table equi-joined to broadcast dims. At 100 TB the
+  // dims (supplier/nation) stay tiny → broadcast hash join, zero shuffle
+  // on the fact side; revenue agg is partial+final with exact decimals.
+  private val joinSymbolDimQ = Q(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val nat = Tables.nation(s, dir)
+      val rev = (col("l_extendedprice").cast(Tables.PriceDec) *
+        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+    Some(
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        | CAST(COUNT(*) AS BIGINT) AS n_items
+        | FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | GROUP BY n_name ORDER BY n_name""".stripMargin))
+
+  // ------------------------------------- M1/M2: future target via lead
+  private val leadFutureQ = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("symbol").orderBy(
+        Seq("trading_date", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "close", "volume", "open", "low").map(col): _*)
+      Tables.ohlcv(s, dir)
+        .withColumn("future_close", lead(col("close"), 5).over(w))
+        .filter(col("future_close").isNotNull)
+        .select(col("symbol"), col("trading_date"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("close"), col("future_close"))
+        .orderBy(col("symbol"), col("trading_date"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    },
+    Some(
+      s"""WITH base AS (${Tables.ohlcvSql}),
+         | f AS (SELECT symbol, trading_date, l_orderkey, l_linenumber, l_partkey, l_suppkey, close,
+         |  LEAD(close, 5) OVER (PARTITION BY symbol ORDER BY trading_date, l_orderkey, l_linenumber, l_partkey, l_suppkey, close, volume, open, low) AS future_close
+         | FROM base)
+         | SELECT * FROM f WHERE future_close IS NOT NULL
+         | ORDER BY symbol, trading_date, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin))
+
+  // ------------------------------------------- M5: standard scaling
+  // sklearn StandardScaler parity (ml_pipeline.py:176-179): population
+  // variance (ddof=0). Exact integer sums over the per-symbol partition.
+  private val standardScaleQ = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("symbol")
+      val b = Tables.ohlcv(s, dir)
+        .withColumn("n", count(lit(1)).over(w).cast(DoubleType))
+        .withColumn("s1", sum(col("volume")).over(w).cast(DoubleType))
+        .withColumn("s2", sum(col("volume") * col("volume")).over(w).cast(DoubleType))
+        .withColumn("mean_vol", col("s1") / col("n"))
+        .withColumn("std_vol", sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n")) / col("n"), lit(0.0))))
+        .withColumn("volume_scaled", (col("volume") - col("mean_vol")) / col("std_vol"))
+      b.select(col("symbol"), col("trading_date"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("volume"), col("mean_vol"), col("std_vol"), col("volume_scaled"))
+        .orderBy(col("symbol"), col("trading_date"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    },
+    Some(
+      s"""WITH base AS (${Tables.ohlcvSql}),
+         | st AS (SELECT symbol, trading_date, l_orderkey, l_linenumber, l_partkey, l_suppkey, volume,
+         |  CAST(COUNT(*) OVER (PARTITION BY symbol) AS DOUBLE) AS n,
+         |  CAST(CAST(SUM(volume) OVER (PARTITION BY symbol) AS BIGINT) AS DOUBLE) AS s1,
+         |  CAST(CAST(SUM(volume * volume) OVER (PARTITION BY symbol) AS BIGINT) AS DOUBLE) AS s2
+         | FROM base),
+         | m AS (SELECT *, s1 / n AS mean_vol,
+         |  sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)) AS std_vol FROM st)
+         | SELECT symbol, trading_date, l_orderkey, l_linenumber, l_partkey, l_suppkey, volume,
+         |  mean_vol, std_vol, (volume - mean_vol) / std_vol AS volume_scaled
+         | FROM m ORDER BY symbol, trading_date, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin))
+
+  // --------------------------------------- M9: model-quality alert rules
+  // ml_scheduler.py:152-203: r2 < 0.1 → poor fit; val/test gap > 0.3 →
+  // overfit; stale training date. Metadata derived deterministically.
+  private val alertRulesQ = Q(
+    (s, dir) => Tables.orders(s, dir)
+      .withColumn("val_r2", (col("o_custkey") % 100) / lit(100.0))
+      .withColumn("test_r2", ((col("o_custkey") + col("o_orderkey")) % 100) / lit(100.0))
+      .withColumn("is_poor_fit", col("val_r2") < 0.1)
+      .withColumn("is_overfit", (col("val_r2") - col("test_r2")) > 0.3)
+      .withColumn("is_stale", col("o_orderdate") < to_timestamp(lit("1993-01-01 00:00:00")))
+      .filter(col("is_poor_fit") || col("is_overfit") || col("is_stale"))
+      .select(col("o_orderkey"), col("val_r2"), col("test_r2"),
+        col("is_poor_fit"), col("is_overfit"), col("is_stale"))
+      .orderBy(col("o_orderkey")),
+    Some(
+      """WITH m AS (SELECT o_orderkey, o_orderdate,
+        |  (o_custkey % 100) / 100.0 AS val_r2,
+        |  ((o_custkey + o_orderkey) % 100) / 100.0 AS test_r2 FROM orders),
+        | a AS (SELECT o_orderkey, val_r2, test_r2,
+        |  val_r2 < 0.1 AS is_poor_fit,
+        |  (val_r2 - test_r2) > 0.3 AS is_overfit,
+        |  o_orderdate < TIMESTAMP '1993-01-01 00:00:00' AS is_stale FROM m)
+        | SELECT * FROM a WHERE is_poor_fit OR is_overfit OR is_stale
+        | ORDER BY o_orderkey""".stripMargin))
+
+  // --------------------------- S7 (batch-simulated): tumbling micro-batch
+  // The consumer's size/time micro-batch (consumer.py:99-156) restated as
+  // an event-time tumbling-window count — the batch equivalent of the
+  // Structured Streaming pipeline in graft.streaming.
+  private val streamMicrobatchQ = Q(
+    (s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      s.read.schema(schema).parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("window_start", date_trunc("hour", timestamp_micros(col("ts_us"))))
+        .groupBy(col("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some(
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "group_last_per_key" -> groupLastQ,
+    "topk_latest" -> topkLatestQ,
+    "agg_summary_stats" -> summaryStatsQ,
+    "view_accuracy" -> viewAccuracyQ,
+    "join_symbol_dim" -> joinSymbolDimQ,
+    "lead_future_target" -> leadFutureQ,
+    "standard_scale" -> standardScaleQ,
+    "filter_alert_rules" -> alertRulesQ,
+    "stream_microbatch" -> streamMicrobatchQ
+  )
+}

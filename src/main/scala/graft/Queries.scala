@@ -319,7 +319,7 @@ object Queries {
          | ORDER BY trading_date, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)))
 
   // ---------------------------------------------------------------- map
-  val all: Map[String, Q] = core ++ QueriesMeta.all
+  val all: Map[String, Q] = core ++ QueriesMeta.all ++ QueriesScale.all
 
   private lazy val core: Map[String, Q] = Map(
     "sma" -> smaQ,

@@ -1,0 +1,310 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Queries.Q
+import graft.operators.ScaleOps
+
+/** LLM-data-pipeline query keys over `documents` / `embeddings`
+  * (SURVEY §7.1 step 8). Oracle SQL mirrors every Spark expression; md5 and
+  * base64 are identical across engines, list folds are fixed left-to-right
+  * (see [[Queries]] determinism recipe).
+  */
+object QueriesScale {
+
+  /** documents ∪ shifted copy — a corpus with known exact duplicates so
+    * dedup operators have something to remove. Copy ids = id + 100000.
+    */
+  private def dupedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.unionAll(d.select((col("doc_id") + 100000).as("doc_id"), col("text"),
+      col("lang"), col("source"), col("n_chars")))
+  }
+
+  private val dupedSql =
+    """SELECT * FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars FROM documents""".stripMargin
+
+  // ------------------------------------------------ exact dedup (hash keep-min)
+  private val dedupExactQ = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("text").orderBy("doc_id")
+      dupedDocs(s, dir)
+        .withColumn("content_hash", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("content_hash"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH corpus AS ($dupedSql)
+         | SELECT doc_id, md5(text) AS content_hash, lang, n_chars FROM corpus
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+         | ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------------------------- text stats
+  private val textStatsQ = Q(
+    (s, dir) => ScaleOps.withTextStats(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("n_stopwords"), col("distinct_ratio"), col("stopword_ratio"),
+        col("mean_token_len"))
+      .orderBy(col("doc_id")),
+    Some(
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        | c AS (SELECT doc_id, text,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS n_stopwords
+        | FROM t)
+        | SELECT doc_id, n_tokens, n_distinct_tokens, n_stopwords,
+        |  CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+        |  CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len
+        | FROM c ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------------------- language ID
+  private val langIdQ = Q(
+    (s, dir) => {
+      val toks = ScaleOps.tokens(col("text"))
+      val scored = Tables.documents(s, dir)
+        .withColumn("score_en", ScaleOps.markerScore(toks, "en"))
+        .withColumn("score_es", ScaleOps.markerScore(toks, "es"))
+        .withColumn("score_de", ScaleOps.markerScore(toks, "de"))
+        .withColumn("score_fr", ScaleOps.markerScore(toks, "fr"))
+        .withColumn("predicted_lang",
+          when(greatest(col("score_en"), col("score_es"), col("score_de"), col("score_fr")) === 0, lit("unknown"))
+            .when(col("score_en") >= greatest(col("score_es"), col("score_de"), col("score_fr")), lit("en"))
+            .when(col("score_es") >= greatest(col("score_de"), col("score_fr")), lit("es"))
+            .when(col("score_de") >= col("score_fr"), lit("de"))
+            .otherwise(lit("fr")))
+      scored.select(col("doc_id"), col("lang"), col("predicted_lang"),
+        (col("predicted_lang") === col("lang")).as("is_match"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        | sc AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS score_en,
+        |  len(list_filter(toks, x -> x IN ('el','la','de','que','los'))) AS score_es,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS score_de,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','des','est'))) AS score_fr
+        | FROM t),
+        | p AS (SELECT doc_id, lang,
+        |  CASE WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'unknown'
+        |       WHEN score_en >= greatest(score_es, score_de, score_fr) THEN 'en'
+        |       WHEN score_es >= greatest(score_de, score_fr) THEN 'es'
+        |       WHEN score_de >= score_fr THEN 'de'
+        |       ELSE 'fr' END AS predicted_lang
+        | FROM sc)
+        | SELECT doc_id, lang, predicted_lang, predicted_lang = lang AS is_match
+        | FROM p ORDER BY doc_id""".stripMargin))
+
+  // -------------------------------------------------- document fingerprint
+  private val fingerprintQ = Q(
+    (s, dir) => {
+      val toks = ScaleOps.tokens(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("md5_full", md5(col("text")))
+        .withColumn("_sh", ScaleOps.shingles(toks))
+        .withColumn("min_shingle_hash", ScaleOps.minhashComponent(col("_sh"), 1))
+        .select(col("doc_id"), col("md5_full"), col("min_shingle_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        | sh AS (SELECT doc_id, text,
+        |  [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS shingles
+        | FROM t)
+        | SELECT doc_id, md5(text) AS md5_full,
+        |  list_min(list_transform(shingles, x -> md5('1|' || x))) AS min_shingle_hash
+        | FROM sh ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------- MinHash + LSH near-dup join
+  // Per-row K=8 signature (no shuffle) → 4 band keys of 2 components →
+  // self-join per band on the compact key → distinct candidate pairs with
+  // band-agreement count. The only shuffles are on 32-char band hashes.
+  private val minhashLshQ = Q(
+    (s, dir) => {
+      val sig = ScaleOps.withMinhashSignature(dupedDocs(s, dir), "text", k = 8)
+        .select(Seq(col("doc_id")) ++ ScaleOps.bandKeys(8, 2): _*)
+      val bands = (1 to 4).map { b =>
+        val l = sig.select(col("doc_id").as("id1"), col(s"band_$b").as("bk"))
+        val r = sig.select(col("doc_id").as("id2"), col(s"band_$b").as("bk"))
+        l.join(r, Seq("bk")).filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"))
+      }
+      bands.reduce(_ unionAll _)
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(
+      s"""WITH corpus AS ($dupedSql),
+         | t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+         | sh AS (SELECT doc_id,
+         |  [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS shingles FROM t),
+         | sig AS (SELECT doc_id,
+         |  list_min(list_transform(shingles, x -> md5('1|' || x))) AS s1,
+         |  list_min(list_transform(shingles, x -> md5('2|' || x))) AS s2,
+         |  list_min(list_transform(shingles, x -> md5('3|' || x))) AS s3,
+         |  list_min(list_transform(shingles, x -> md5('4|' || x))) AS s4,
+         |  list_min(list_transform(shingles, x -> md5('5|' || x))) AS s5,
+         |  list_min(list_transform(shingles, x -> md5('6|' || x))) AS s6,
+         |  list_min(list_transform(shingles, x -> md5('7|' || x))) AS s7,
+         |  list_min(list_transform(shingles, x -> md5('8|' || x))) AS s8
+         | FROM sh),
+         | b AS (SELECT doc_id, s1 || '#' || s2 AS band_1, s3 || '#' || s4 AS band_2,
+         |              s5 || '#' || s6 AS band_3, s7 || '#' || s8 AS band_4 FROM sig),
+         | pairs AS (
+         |  SELECT a.doc_id AS id1, b2.doc_id AS id2 FROM b a JOIN b b2 ON a.band_1 = b2.band_1 WHERE a.doc_id < b2.doc_id
+         |  UNION ALL SELECT a.doc_id, b2.doc_id FROM b a JOIN b b2 ON a.band_2 = b2.band_2 WHERE a.doc_id < b2.doc_id
+         |  UNION ALL SELECT a.doc_id, b2.doc_id FROM b a JOIN b b2 ON a.band_3 = b2.band_3 WHERE a.doc_id < b2.doc_id
+         |  UNION ALL SELECT a.doc_id, b2.doc_id FROM b a JOIN b b2 ON a.band_4 = b2.band_4 WHERE a.doc_id < b2.doc_id)
+         | SELECT id1, id2, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+         | FROM pairs GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin))
+
+  // ------------------------------------------------- n-gram set jaccard
+  // Exact token-set jaccard for all pairs within a source group —
+  // explode distinct tokens, join on (source, token), count intersection;
+  // |A∪B| = |A|+|B|−|A∩B|. Shuffles on tokens, never crosses raw texts.
+  private val jaccardQ = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tok = docs.select(col("doc_id"), col("source"),
+        explode(array_distinct(ScaleOps.tokens(col("text")))).as("token"))
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      val common = tok.as("a").join(tok.as("b"),
+          col("a.source") === col("b.source") && col("a.token") === col("b.token") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_tok", "n1"), "id1")
+        .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_tok", "n2"), "id2")
+        .withColumn("jaccard",
+          col("n_common").cast(DoubleType) /
+            (col("n1") + col("n2") - col("n_common")).cast(DoubleType))
+        .select(col("id1"), col("id2"), col("n_common"), col("jaccard"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(
+      """WITH tok AS (SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token FROM documents),
+        | sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id),
+        | common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM tok a JOIN tok b ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        | SELECT id1, id2, n_common,
+        |  CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE) AS jaccard
+        | FROM common
+        | JOIN (SELECT doc_id AS id1, n_tok AS n1 FROM sizes) USING (id1)
+        | JOIN (SELECT doc_id AS id2, n_tok AS n2 FROM sizes) USING (id2)
+        | ORDER BY id1, id2""".stripMargin))
+
+  // ------------------------------------------- brute-force cosine top-k
+  // Baseline ANN: 10 query vectors × corpus, exact fold dot product,
+  // row_number top-10 per query. The LSH-bucketed scale path shares the
+  // same dot/norm builders (ScaleOps.cosine).
+  private val similarityTopkQ = Q(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("nv", ScaleOps.l2norm(col("embedding")))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nv").as("nq"))
+      val scored = emb.crossJoin(broadcast(q))
+        .withColumn("cos", ScaleOps.cosine(col("q_emb"), col("embedding"), col("nq"), col("nv")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+        |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a,b) -> a + b)) AS nv
+        | FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, embedding AS q_emb, nv AS nq FROM e WHERE vec_id < 10),
+        | scored AS (SELECT q.q_id, e.vec_id,
+        |  list_reduce(list_transform(list_zip(q.q_emb, e.embedding),
+        |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a,b) -> a + b) / (q.nq * e.nv) AS cos
+        | FROM e CROSS JOIN q)
+        | SELECT q_id, vec_id, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        | FROM scored
+        | QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin))
+
+  // -------------------------------------------- embedding near-dup pairs
+  private val embNeardupQ = Q(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("nv", ScaleOps.l2norm(col("embedding")))
+      val a = emb.select(col("vec_id").as("id1"), col("label"),
+        col("embedding").as("e1"), col("nv").as("n1"))
+      val b = emb.select(col("vec_id").as("id2"), col("label"),
+        col("embedding").as("e2"), col("nv").as("n2"))
+      a.join(b, Seq("label")).filter(col("id1") < col("id2"))
+        .withColumn("cos", ScaleOps.cosine(col("e1"), col("e2"), col("n1"), col("n2")))
+        .filter(col("cos") > 0.25)
+        .select(col("label"), col("id1"), col("id2"), col("cos"))
+        .orderBy(col("label"), col("id1"), col("id2"))
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, label, embedding,
+        |  sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+        |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a,b) -> a + b)) AS nv
+        | FROM embeddings),
+        | p AS (SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+        |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a2,b2) -> a2 + b2) / (a.nv * b.nv) AS cos
+        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        | SELECT label, id1, id2, cos FROM p WHERE cos > 0.25
+        | ORDER BY label, id1, id2""".stripMargin))
+
+  // ------------------------------------------------ multimodal metadata
+  private val multimodalQ = Q(
+    (s, dir) => ScaleOps.withMultimodalPayload(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_bytes"),
+        // Spark's base64 emits MIME \r\n line breaks every 76 chars;
+        // strip for RFC 4648 parity with DuckDB's to_base64.
+        regexp_replace(base64(col("payload")), "\r\n", "").as("payload_b64"),
+        col("media_meta.mime").as("mime"))
+      .orderBy(col("doc_id")),
+    Some(
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | to_base64(encode(text)) AS payload_b64,
+        | 'application/octet-stream' AS mime
+        | FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------- simhash near-dup (⊘ oracle)
+  // 60-bit simhash needs bit_count/shift parity that DuckDB SQL can't
+  // mirror cheaply — rows-only check; exactness pinned by ScalaTest.
+  private val simhashQ = Q(
+    (s, dir) => {
+      val d = dupedDocs(s, dir)
+        .withColumn("simhash", ScaleOps.simhash60(ScaleOps.tokens(col("text"))))
+      val a = d.select(col("doc_id").as("id1"), col("simhash").as("h1"))
+      val b = d.select(col("doc_id").as("id2"), col("simhash").as("h2"))
+      a.join(b, col("id1") < col("id2") && ScaleOps.hamming(col("h1"), col("h2")) <= 3)
+        .select(col("id1"), col("id2"),
+          ScaleOps.hamming(col("h1"), col("h2")).as("hamming"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    None)
+
+  val all: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExactQ,
+    "text_stats" -> textStatsQ,
+    "lang_id" -> langIdQ,
+    "doc_fingerprint" -> fingerprintQ,
+    "minhash_lsh_dedup" -> minhashLshQ,
+    "ngram_jaccard" -> jaccardQ,
+    "similarity_topk" -> similarityTopkQ,
+    "embedding_neardup" -> embNeardupQ,
+    "multimodal_meta" -> multimodalQ,
+    "simhash_neardup" -> simhashQ
+  )
+}

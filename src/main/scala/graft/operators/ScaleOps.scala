@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-training-data pipeline operators (SURVEY §7.1 step 8 / BASELINE
+  * north star): dedup, fingerprinting, text analysis, similarity search,
+  * multimodal plumbing. Designed scale-first:
+  *
+  *  - Per-document work (tokenize, shingle, minhash signature, simhash,
+  *    fingerprints, text stats) is expressed with higher-order array
+  *    functions — fully partition-local, zero shuffle, codegen-friendly.
+  *  - Cross-document work (LSH banding, jaccard pairs, ANN) shuffles only
+  *    on compact keys (band hashes, tokens), never on full texts crossed
+  *    against each other. No O(n²) stage touches raw documents.
+  */
+object ScaleOps {
+
+  /** Whitespace tokenization shared by every text operator. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word k-shingles as strings ("w1 w2 w3"). Empty array for docs shorter
+    * than k tokens (guards Spark's descending-sequence quirk).
+    */
+  def shingles(toks: Column, k: Int = 3): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** One MinHash signature component: lexicographic min of md5 over salted
+    * shingles. K independent salts → K-component signature, all computed
+    * per-row (no shuffle).
+    */
+  def minhashComponent(shingleArr: Column, salt: Int): Column =
+    array_min(transform(shingleArr, x => md5(concat(lit(s"$salt|"), x))))
+
+  /** Full K-component MinHash signature as individual columns sig_1..sig_K. */
+  def withMinhashSignature(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
+    val sh = shingles(tokens(col(textCol)))
+    (1 to k).foldLeft(df.withColumn("_sh", sh)) { (d, i) =>
+      d.withColumn(s"sig_$i", minhashComponent(col("_sh"), i))
+    }.drop("_sh")
+  }
+
+  /** LSH band keys from a K-signature: bands of `rows` components each,
+    * concatenated. Docs sharing any band key are near-dup candidates.
+    */
+  def bandKeys(k: Int, rows: Int): Seq[Column] =
+    (1 to k by rows).map { start =>
+      concat_ws("#", (start until start + rows).map(i => col(s"sig_$i")): _*)
+        .as(s"band_${(start - 1) / rows + 1}")
+    }
+
+  /** 60-bit SimHash over a token array, fully per-row: each token hashes to
+    * a 60-bit value (first 15 hex chars of md5 → long); bit j of the
+    * simhash is 1 iff more tokens set bit j than clear it.
+    */
+  def simhash60(toks: Column): Column = {
+    val hashes = transform(toks, t =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast(LongType))
+    val n = size(hashes)
+    val bits = (0 until 60).map { j =>
+      val ones = size(filter(hashes, h => shiftright(h, j).bitwiseAND(1) === 1))
+      when(ones * 2 > n, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two simhash values (near-dup predicate). */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Exact double-precision dot product of two float vectors with a fixed
+    * left-to-right fold — deterministic across engines (see Queries
+    * scaladoc). Stays inside codegen (higher-order functions, no UDF).
+    */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dotD(a, a))
+
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotD(a, b) / (na * nb)
+
+  // ----------------------------------------------------------- text stats
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** Language-ID marker tokens (n-gram/stopword heuristic). Real corpora
+    * would carry per-language marker lists; the shape of the operator —
+    * per-row array scoring, argmax across languages — is what matters.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "des", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3"))
+
+  private def inList(t: Column, words: Seq[String]): Column =
+    words.map(w => t === lit(w)).reduce(_ || _)
+
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => inList(t, stopwords)))
+
+  def markerScore(toks: Column, lang: String): Column =
+    size(filter(toks, t => inList(t, langMarkers(lang))))
+
+  /** Text-quality stats: token counts, distinct ratio, stopword ratio,
+    * mean token length — all per-row integer/double arithmetic.
+    */
+  def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val tk = tokens(col(textCol))
+    df.withColumn("n_tokens", size(tk).cast(LongType))
+      .withColumn("n_distinct_tokens", size(array_distinct(tk)).cast(LongType))
+      .withColumn("n_stopwords", stopwordCount(tk).cast(LongType))
+      .withColumn("distinct_ratio", col("n_distinct_tokens").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("stopword_ratio", col("n_stopwords").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("mean_token_len",
+        length(regexp_replace(col(textCol), " ", "")).cast(DoubleType) / col("n_tokens").cast(DoubleType))
+  }
+
+  // ------------------------------------------------------- multimodal stub
+
+  /** Multimodal column plumbing: the engine treats image/audio/video as
+    * opaque binary + typed metadata. The decode step is a clearly-marked
+    * deterministic FAKE (this container has no codec libraries); the
+    * Spark-side shape — binary column, per-partition batch processing,
+    * fixed-width feature output — is real and tested.
+    */
+  def withMultimodalPayload(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("payload", col(textCol).cast(BinaryType))
+      .withColumn("n_bytes", octet_length(col("payload")).cast(LongType))
+      .withColumn("media_meta", struct(
+        lit("application/octet-stream").as("mime"),
+        octet_length(col("payload")).as("size_bytes")))
+
+  /** STUB decode: a real deployment would `mapPartitions` over batches,
+    * hand each binary payload to a codec, and emit fixed-width features.
+    * Here the "features" are a deterministic fake (first 4 bytes, scaled)
+    * so tests can pin the plumbing end-to-end.
+    */
+  def extractFakeFeatures(df: DataFrame, dim: Int = 4): DataFrame =
+    df.withColumn("features", expr(
+      s"""transform(sequence(1, $dim),
+         |  i -> coalesce(cast(conv(substr(hex(payload), i * 2 - 1, 2), 16, 10) as double), 0.0) / 255.0)""".stripMargin))
+
+}

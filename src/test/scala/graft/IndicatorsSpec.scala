@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Indicators
+
+class IndicatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Tiny OHLCV frame: one symbol, strictly increasing days. */
+  private def frame(closes: Seq[Double], vols: Seq[Long] = Nil): DataFrame = {
+    val v = if (vols.nonEmpty) vols else closes.map(_ => 10L)
+    closes.zip(v).zipWithIndex.map { case ((c, vol), i) =>
+      ("S", f"2024-01-${i + 1}%02d", c, c, c, c, vol)
+    }.toDF("symbol", "d", "close", "open", "high", "low", "volume")
+      .withColumn("trading_date", to_date(col("d")))
+  }
+
+  private val w = Window.partitionBy("symbol").orderBy("trading_date")
+
+  test("W1 SMA-5 matches hand computation incl warm-up frames") {
+    val closes = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0)
+    val out = Indicators.withIndicators(frame(closes), w)
+      .orderBy("trading_date").select("sma_5").as[Double].collect()
+    val expect = closes.indices.map { i =>
+      val lo = math.max(0, i - 4); closes.slice(lo, i + 1).sum / (i + 1 - lo)
+    }
+    out.zip(expect).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+  }
+
+  test("W2 quirk: ema columns are SMA approximations (constant series -> constant)") {
+    val out = Indicators.withIndicators(frame(Seq.fill(30)(42.0)), w)
+      .orderBy("trading_date")
+    val macd = out.select("macd").as[Double].collect()
+    assert(macd.forall(_ == 0.0)) // sma12 == sma26 == 42
+  }
+
+  test("W8 quirk: all-gains series -> avg_loss=0 -> rs=100 -> rsi = 100-100/101") {
+    val out = Indicators.withIndicators(frame((1 to 20).map(_.toDouble)), w)
+      .orderBy("trading_date").select("rsi").as[Double].collect()
+    val expected = 100.0 - 100.0 / 101.0
+    out.foreach(r => assert(math.abs(r - expected) < 1e-12))
+  }
+
+  test("W8 RSI bounded 0..100 on mixed series") {
+    val closes = Seq(10.0, 12.0, 9.0, 14.0, 7.0, 13.0, 13.0, 2.0, 20.0, 5.0)
+    val out = Indicators.withIndicators(frame(closes), w)
+      .select("rsi").as[Double].collect()
+    out.foreach(r => assert(r >= 0.0 && r <= 100.0))
+  }
+
+  test("W9 OBV telescopes: obv(n) - obv(n-1) = signed volume") {
+    val closes = Seq(10.0, 12.0, 11.0, 11.0, 15.0)
+    val vols = Seq(5L, 7L, 3L, 4L, 6L)
+    val out = Indicators.withIndicators(frame(closes, vols), w)
+      .orderBy("trading_date").select("obv").as[Double].collect()
+    // first row change=null -> sign 0; then +7, -3, 0 (flat), +6
+    assert(out.toSeq == Seq(0.0, 7.0, 4.0, 4.0, 10.0))
+  }
+
+  test("W6 Bollinger: lower <= middle <= upper; null band on first row") {
+    val closes = Seq(10.0, 20.0, 15.0, 30.0, 25.0, 18.0)
+    val out = Indicators.withIndicators(frame(closes), w)
+      .orderBy("trading_date")
+      .select("bb_lower", "bb_middle", "bb_upper").collect()
+    assert(out.head.isNullAt(0) && out.head.isNullAt(2)) // stddev of 1 row = null
+    out.tail.foreach { r =>
+      assert(r.getDouble(0) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(2))
+    }
+  }
+
+  test("W10 quirk: week/month pct null->0, day stays null on first row") {
+    val out = Indicators.withIndicators(frame(Seq(10.0, 11.0, 12.0)), w)
+      .orderBy("trading_date")
+      .select("day_change_pct", "week_change_pct", "month_change_pct").collect()
+    assert(out.head.isNullAt(0))
+    assert(out.head.getDouble(1) == 0.0 && out.head.getDouble(2) == 0.0)
+    assert(math.abs(out(1).getDouble(0) - 10.0) < 1e-12)
+  }
+
+  test("trueEma matches the sequential recurrence") {
+    val closes = Seq(10.0, 12.0, 11.0, 14.0, 13.0, 16.0, 15.0, 18.0)
+    val out = frame(closes)
+      .withColumn("ema", Indicators.trueEma(col("close"), 12, w))
+      .orderBy("trading_date").select("ema").as[Double].collect()
+    val alpha = 2.0 / 13
+    val expect = closes.tail.scanLeft(closes.head)((acc, x) => x * alpha + acc * (1 - alpha))
+    out.zip(expect).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
+  }
+
+  test("indicator typed-null padding yields all 15 columns as double") {
+    val out = Indicators.withIndicators(frame(Seq(1.0, 2.0)), w)
+    Indicators.indicatorCols.foreach { c =>
+      assert(out.columns.contains(c), s"missing $c")
+      assert(out.schema(c).dataType == org.apache.spark.sql.types.DoubleType)
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ScaleOps
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: word 3-grams, empty for short docs") {
+    val df = Seq("a b c d e", "x y").toDF("text")
+      .withColumn("sh", ScaleOps.shingles(ScaleOps.tokens(col("text"))))
+    val got = df.select("sh").as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d", "c d e"))
+    assert(got(1).isEmpty)
+  }
+
+  test("minhash: identical docs get identical signatures, different docs differ") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words here that share nothing at all"))
+      .toDF("doc_id", "text")
+    val sig = ScaleOps.withMinhashSignature(df, "text", k = 4).collect()
+    val bySig = sig.map(r => (r.getLong(0), (1 to 4).map(i => r.getAs[String](s"sig_$i"))))
+    val m = bySig.toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("simhash60: identical -> hamming 0; near-dup small; unrelated large") {
+    val df = Seq(
+      (1L, "spark catalyst window aggregate shuffle partition broadcast join filter project"),
+      (2L, "spark catalyst window aggregate shuffle partition broadcast join filter project"),
+      (3L, "spark catalyst window aggregate shuffle partition broadcast join filter scan"),
+      (4L, "entirely unrelated vocabulary zebra quantum violin umbrella xylophone"))
+      .toDF("doc_id", "text")
+      .withColumn("h", ScaleOps.simhash60(ScaleOps.tokens(col("text"))))
+    val hs = df.select("doc_id", "h").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) == 0)
+    assert(ham(hs(1L), hs(3L)) < ham(hs(1L), hs(4L)))
+  }
+
+  test("dotD / l2norm / cosine on known vectors") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+      .withColumn("dot", ScaleOps.dotD(col("a"), col("b")))
+      .withColumn("na", ScaleOps.l2norm(col("a")))
+      .withColumn("cos", ScaleOps.cosine(col("a"), col("b"),
+        ScaleOps.l2norm(col("a")), ScaleOps.l2norm(col("b"))))
+    val r = df.select("dot", "na", "cos").head
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
+  }
+
+  test("text stats: exact counts on a known doc") {
+    val df = Seq((1L, "the cat and the dog in a house")).toDF("doc_id", "text")
+    val r = ScaleOps.withTextStats(df).head
+    assert(r.getAs[Long]("n_tokens") == 8)
+    assert(r.getAs[Long]("n_distinct_tokens") == 7)  // "the" twice
+    assert(r.getAs[Long]("n_stopwords") == 5)        // the, and, the, in, a
+    assert(math.abs(r.getAs[Double]("mean_token_len") - 23.0 / 8) < 1e-12)
+  }
+
+  test("multimodal plumbing: payload bytes + fake features deterministic") {
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    val out = ScaleOps.extractFakeFeatures(ScaleOps.withMultimodalPayload(df))
+    val r = out.select("n_bytes", "features").head
+    assert(r.getLong(0) == 3L)
+    val f = r.getSeq[Double](1)
+    assert(f.length == 4)
+    assert(math.abs(f(0) - 0x61 / 255.0) < 1e-12) // 'a'
+    assert(f(3) == 0.0)                           // past payload end
+  }
+
+  test("hamming column function matches bitCount") {
+    val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
+      .withColumn("h", ScaleOps.hamming(col("a"), col("b")))
+    assert(df.select("h").head.getInt(0) == 8)
+  }
+}

@@ -19,6 +19,20 @@ object Smoke {
     println(s"[smoke] entry rows=$n cols=${df.columns.length}")
     df.show(3, truncate = false)
     assert(n > 0, "entry returned 0 rows")
+
+    // incremental engine end-to-end over real testdata: two half-runs then
+    // an idempotent re-run (must add zero rows)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smoke_inc").toString
+    val base = Tables.ohlcv(spark, "/root/testdata/sf0.001")
+    val half = base.filter(org.apache.spark.sql.functions.col("timestamp") <
+      org.apache.spark.sql.functions.lit("1995-01-01"))
+    operators.Incremental.runIncremental(spark, half, s"$tmp/wm", s"$tmp/out")
+    operators.Incremental.runIncremental(spark, base, s"$tmp/wm", s"$tmp/out")
+    val rerun = operators.Incremental.runIncremental(spark, base, s"$tmp/wm", s"$tmp/out")
+    val written = spark.read.parquet(s"$tmp/out").count()
+    println(s"[smoke] incremental written=$written rerun_new=${rerun.count()}")
+    assert(written == n, s"incremental total $written != $n")
+    assert(rerun.isEmpty, "re-run was not idempotent")
     spark.stop()
   }
 }

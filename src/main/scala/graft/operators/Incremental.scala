@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental (watermark-bounded) batch processing — the reference's core
+  * orchestration semantic (`etl_job.py:99-120,159-198,489-513`; SURVEY §2.8):
+  *
+  *  - a per-symbol high watermark = max(timestamp) of the last processed
+  *    batch, persisted in a small state table;
+  *  - each run loads only rows with timestamp > watermark (pushed into the
+  *    source scan), computes indicators, appends, advances the watermark;
+  *  - late rows older than the watermark are silently skipped forever
+  *    (documented reference behavior — no event-time lateness).
+  *
+  * Window-boundary semantics (SURVEY §7.4.3): the reference computes
+  * indicators over ONLY the new rows, so the first 199 rows of each
+  * increment see truncated SMA-200 frames. Both behaviors are offered:
+  * `Truncated` replicates the reference; `OverlapReload` re-reads
+  * (frame−1) rows of history per symbol, computes over the overlap, and
+  * trims the warm-up rows — exact indicators at ~1 extra frame of I/O.
+  * At 100 TB the overlap re-read is bounded (199 rows/symbol) and prunes
+  * via the symbol partitioning + timestamp min/max.
+  */
+object Incremental {
+
+  sealed trait BoundaryMode
+  case object Truncated extends BoundaryMode
+  case object OverlapReload extends BoundaryMode
+
+  val maxFrame = 200 // longest ROWS frame in the indicator set (SMA-200)
+
+  private val wmSchema = StructType(Seq(
+    StructField("symbol", StringType, nullable = false),
+    StructField("last_processed_timestamp", TimestampType),
+    StructField("updated_at", TimestampType)))
+
+  /** Read the watermark state table (empty frame when absent). */
+  def readWatermarks(spark: SparkSession, stateDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) && fs.listStatus(path).nonEmpty)
+      spark.read.parquet(stateDir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], wmSchema)
+  }
+
+  /** Upsert new per-symbol watermarks (keep the max per symbol) — the
+    * `etl_watermarks` upsert at `etl_job.py:110-120`.
+    */
+  def advanceWatermarks(spark: SparkSession, stateDir: String, newWm: DataFrame): Unit = {
+    val merged = readWatermarks(spark, stateDir)
+      .unionByName(newWm.withColumn("updated_at", current_timestamp()))
+      .groupBy("symbol")
+      .agg(max("last_processed_timestamp").as("last_processed_timestamp"),
+        max("updated_at").as("updated_at"))
+    // small state table: safe to materialize through a temp dir for overwrite
+    val tmp = stateDir + "_tmp"
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(stateDir))
+  }
+
+  /** One incremental run: filter past watermarks, compute indicators,
+    * append idempotently (dedup key), advance watermarks. Returns the
+    * newly processed frame.
+    */
+  def runIncremental(spark: SparkSession, input: DataFrame, stateDir: String,
+      outDir: String, mode: BoundaryMode = Truncated): DataFrame = {
+    val wm = readWatermarks(spark, stateDir)
+      .select(col("symbol"), col("last_processed_timestamp").as("_wm"))
+
+    val withWm = input.join(broadcast(wm), Seq("symbol"), "left")
+    val fresh = withWm.filter(col("_wm").isNull || col("timestamp") > col("_wm"))
+
+    val w = Window.partitionBy("symbol").orderBy("trading_date", "timestamp")
+    val processed = mode match {
+      case Truncated =>
+        // reference behavior: indicators over new rows only
+        Indicators.withIndicators(fresh.drop("_wm"), w)
+      case OverlapReload =>
+        // exact: include up to (maxFrame-1) rows of already-processed tail
+        // per symbol as warm-up context, then trim them from the output
+        val histW = Window.partitionBy("symbol").orderBy(col("trading_date").desc, col("timestamp").desc)
+        val history = withWm
+          .filter(col("_wm").isNotNull && col("timestamp") <= col("_wm"))
+          .withColumn("_rn", row_number().over(histW))
+          .filter(col("_rn") <= maxFrame - 1)
+          .drop("_rn")
+        val all = history.withColumn("_warmup", lit(true))
+          .unionByName(fresh.withColumn("_warmup", lit(false)))
+        Indicators.withIndicators(all.drop("_wm"), w)
+          .filter(!col("_warmup"))
+          .drop("_warmup")
+    }
+
+    // Materialize before advancing the watermark: the plan reads the state
+    // table, which is rewritten below — a lazily returned frame would
+    // otherwise silently re-filter against the NEW watermark.
+    val keyed = processed.withColumn("symbol_date_key",
+      Clean.compositeKey(col("symbol"), col("trading_date"))).cache()
+    keyed.count()
+    // idempotent append: re-running the same increment rewrites the same keys
+    keyed.write.mode(SaveMode.Append).partitionBy("symbol").parquet(outDir)
+
+    val newWm = fresh.groupBy("symbol")
+      .agg(max("timestamp").as("last_processed_timestamp"))
+    if (!newWm.isEmpty) advanceWatermarks(spark, stateDir, newWm)
+    keyed
+  }
+}

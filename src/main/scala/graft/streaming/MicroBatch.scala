@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming restatement of the reference's Kafka ingest path
+  * (SURVEY §2.8, §3.2):
+  *
+  *   crawler → Kafka `stock_ohlcv` JSON → consumer micro-batches (flush at
+  *   ≥500 msgs or 10 s; `consumer.py:35-36,99-156`) → Mongo, at-least-once
+  *   with dedup only via the deterministic ES doc id (`etl_job.py:456-459`).
+  *
+  * Spark mapping: source → `from_json` decode → `foreachBatch` sink that
+  * drops duplicates on the deterministic key before a keyed write —
+  * checkpointed offsets + idempotent write = effective exactly-once, which
+  * strictly dominates the reference's semantics.
+  *
+  * Scale notes: decode and stamping are narrow (no shuffle); the dedup in
+  * each micro-batch shuffles only batch-sized data on a compact key; sinks
+  * partition by symbol so downstream reads prune.
+  */
+object MicroBatch {
+
+  /** Wire schema of one OHLCV message (`crawler.py:99-108`, FIXTURES §1.1). */
+  val ohlcvMessageSchema: StructType = StructType(Seq(
+    StructField("ticker", StringType),
+    StructField("date", StringType),
+    StructField("open", DoubleType),
+    StructField("high", DoubleType),
+    StructField("low", DoubleType),
+    StructField("close", DoubleType),
+    StructField("volume", LongType),
+    StructField("timestamp", StringType)))
+
+  /** S8 — decode one JSON `value` column: parse, require `ticker`, stamp
+    * `consumed_at` (`consumer.py:128-139`).
+    */
+  def decode(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast(StringType), ohlcvMessageSchema).as("m"))
+      .select(col("m.*"))
+      .filter(col("ticker").isNotNull)
+      .withColumn("consumed_at", current_timestamp())
+
+  /** S6 — encode rows back to Kafka-shaped (key, value) pairs
+    * (`crawler.py:126-132`): key = symbol for per-symbol ordering.
+    */
+  def encode(df: DataFrame): DataFrame =
+    df.select(col("ticker").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** S7 — micro-batch trigger mirroring the consumer's 10 s time flush.
+    * (The 500-row size flush maps to `maxOffsetsPerTrigger` on a real
+    * Kafka source; file sources use `maxFilesPerTrigger`.)
+    */
+  val microBatchTrigger: Trigger = Trigger.ProcessingTime("10 seconds")
+
+  /** Idempotent keyed sink: per micro-batch, dedup on the deterministic
+    * key then append partitioned by symbol. At-least-once delivery +
+    * deterministic-key dedup = the reference's ES upsert semantics.
+    */
+  def idempotentSink(df: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch
+          .withColumn("es_id", concat_ws("_", col("ticker"), col("date")))
+          .dropDuplicates("es_id")
+          .write.mode("append").partitionBy("ticker").parquet(outDir)
+        ()
+      }
+      .start()
+
+  /** Event-time tumbling count with watermark (the streaming analogue of
+    * the `stream_microbatch` batch query): late rows beyond the delay are
+    * dropped — the reference's watermark-skip semantic, made explicit.
+    */
+  def tumblingCounts(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+}

@@ -33,6 +33,20 @@ object Smoke {
     println(s"[smoke] incremental written=$written rerun_new=${rerun.count()}")
     assert(written == n, s"incremental total $written != $n")
     assert(rerun.isEmpty, "re-run was not idempotent")
+
+    // ML parity end-to-end on real testdata: indicators -> future target ->
+    // train -> registry -> predict latest
+    val mlDir = java.nio.file.Files.createTempDirectory("graft_smoke_ml").toString
+    val ord = Seq("trading_date", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val labeled = ml.MlParity.withFutureTarget(
+      operators.Indicators.withIndicators(base, operators.Indicators.baseWindow()), ord)
+    val feats = Seq("close", "sma_5", "sma_20", "rsi", "obv")
+    val tm = ml.MlParity.trainLinear(labeled.na.drop(feats), feats)
+    ml.MlParity.saveModel(spark, tm, "A", "linear_regression", mlDir)
+    val latest = ml.MlParity.latestFeatures(labeled.na.drop(feats), ord)
+    val preds = ml.MlParity.predict(spark, mlDir, "A", latest, feats)
+    println(s"[smoke] ml r2=${tm.r2} predictions=${preds.count()}")
+    assert(preds.count() > 0, "no predictions")
     spark.stop()
   }
 }

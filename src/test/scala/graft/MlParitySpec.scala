@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ml.MlParity
+
+class MlParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Synthetic linear data: future_close is an exact linear function of the
+    * features, so LinearRegression must recover it (r2 ≈ 1).
+    */
+  private def mkData(n: Int) = {
+    (1 to n).map { i =>
+      val x1 = i.toDouble; val x2 = (i % 7).toDouble
+      ("S", f"2024-${1 + i / 28}%02d-${1 + i % 28}%02d", x1, x2, 3.0 * x1 + 5.0)
+    }.toDF("symbol", "d", "x1", "x2", "close")
+      .withColumn("trading_date", to_date(col("d"))).drop("d")
+  }
+
+  test("M1/M2: future target shifts -5 within symbol and drops tail") {
+    val out = MlParity.withFutureTarget(mkData(20), Seq("trading_date"))
+    assert(out.count() == 15)
+    val first = out.orderBy("trading_date").select("close", "future_close").head
+    // future_close of row i = close of row i+5 = 3*(i+5) + 5
+    assert(first.getDouble(1) == 3.0 * 6 + 5.0)
+  }
+
+  test("M3: feature selection keeps numerics, drops excluded") {
+    val cols = MlParity.featureColumns(mkData(5), Set("close"))
+    assert(cols.toSet == Set("x1", "x2"))
+  }
+
+  test("M4: time-series split is ordered with last fold as test") {
+    val (train, test) = MlParity.timeSeriesSplit(mkData(100), Seq("trading_date"))
+    assert(train.count() == 80 && test.count() == 20)
+    val maxTrain = train.agg(max("trading_date")).head.getDate(0)
+    val minTest = test.agg(min("trading_date")).head.getDate(0)
+    assert(maxTrain.before(minTest))
+  }
+
+  test("M6/M7: linear model recovers exact linear relation (r2 ~ 1)") {
+    val data = MlParity.withFutureTarget(mkData(120), Seq("trading_date"))
+    val tm = MlParity.trainLinear(data, Seq("x1", "x2"))
+    assert(tm.r2 > 0.9999, s"r2 = ${tm.r2}")
+  }
+
+  test("M8/O4: registry save, best-by-r2 lookup, predict path") {
+    val dir = Files.createTempDirectory("graft_ml").toString
+    val data = MlParity.withFutureTarget(mkData(120), Seq("trading_date"))
+    val tm = MlParity.trainLinear(data, Seq("x1", "x2"))
+    MlParity.saveModel(spark, tm, "S", "linear_regression", dir)
+    // worse model second: best lookup must still pick the first
+    MlParity.saveModel(spark, tm.copy(r2 = 0.1), "S", "bad_model", dir)
+    val Some((path, r2)) = MlParity.bestModel(spark, dir, "S")
+    assert(r2 == tm.r2 && path.contains("linear_regression"))
+
+    val latest = MlParity.latestFeatures(data, Seq("trading_date"))
+    val pred = MlParity.predict(spark, dir, "S", latest, Seq("x1", "x2"))
+    val p = pred.select("predicted_price").head.getDouble(0)
+    val expected = latest.select("future_close").head.getDouble(0)
+    assert(math.abs(p - expected) / expected < 1e-6, s"pred $p vs $expected")
+  }
+
+  test("M7: regressionMetrics matches hand computation") {
+    val df = Seq((1.0, 1.1), (2.0, 1.9), (3.0, 3.2)).toDF("y", "yhat")
+    val (r2, mse) = MlParity.regressionMetrics(df, "y", "yhat")
+    val ssRes = 0.01 + 0.01 + 0.04
+    val ssTot = 1.0 + 0.0 + 1.0
+    assert(math.abs(r2 - (1 - ssRes / ssTot)) < 1e-9)
+    assert(math.abs(mse - ssRes / 3) < 1e-9)
+  }
+}

@@ -129,15 +129,16 @@ object QueriesScale {
   // band-agreement count. The only shuffles are on 32-char band hashes.
   private val minhashLshQ = Q(
     (s, dir) => {
-      val sig = ScaleOps.withMinhashSignature(dupedDocs(s, dir), "text", k = 8)
+      // single stacked band join: signatures via one explode+HashAggregate,
+      // one shuffle on (band_idx, band_key) instead of 4 self-joins
+      val sig = ScaleOps.minhashSignatureTable(dupedDocs(s, dir), "doc_id", "text", k = 8)
         .select(Seq(col("doc_id")) ++ ScaleOps.bandKeys(8, 2): _*)
-      val bands = (1 to 4).map { b =>
-        val l = sig.select(col("doc_id").as("id1"), col(s"band_$b").as("bk"))
-        val r = sig.select(col("doc_id").as("id2"), col(s"band_$b").as("bk"))
-        l.join(r, Seq("bk")).filter(col("id1") < col("id2"))
-          .select(col("id1"), col("id2"))
-      }
-      bands.reduce(_ unionAll _)
+      val banded = sig.select(col("doc_id"),
+        posexplode(array((1 to 4).map(b => col(s"band_$b")): _*)).as(Seq("band_idx", "bk")))
+
+      val l = banded.select(col("doc_id").as("id1"), col("band_idx"), col("bk"))
+      val r = banded.select(col("doc_id").as("id2"), col("band_idx"), col("bk"))
+      l.join(r, Seq("band_idx", "bk")).filter(col("id1") < col("id2"))
         .groupBy(col("id1"), col("id2"))
         .agg(count(lit(1)).as("n_shared_bands"))
         .orderBy(col("id1"), col("id2"))
@@ -148,14 +149,14 @@ object QueriesScale {
          | sh AS (SELECT doc_id,
          |  [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS shingles FROM t),
          | sig AS (SELECT doc_id,
-         |  list_min(list_transform(shingles, x -> md5('1|' || x))) AS s1,
-         |  list_min(list_transform(shingles, x -> md5('2|' || x))) AS s2,
-         |  list_min(list_transform(shingles, x -> md5('3|' || x))) AS s3,
-         |  list_min(list_transform(shingles, x -> md5('4|' || x))) AS s4,
-         |  list_min(list_transform(shingles, x -> md5('5|' || x))) AS s5,
-         |  list_min(list_transform(shingles, x -> md5('6|' || x))) AS s6,
-         |  list_min(list_transform(shingles, x -> md5('7|' || x))) AS s7,
-         |  list_min(list_transform(shingles, x -> md5('8|' || x))) AS s8
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('1|' || x), 1, 15)) AS BIGINT))) AS s1,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('2|' || x), 1, 15)) AS BIGINT))) AS s2,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('3|' || x), 1, 15)) AS BIGINT))) AS s3,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('4|' || x), 1, 15)) AS BIGINT))) AS s4,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('5|' || x), 1, 15)) AS BIGINT))) AS s5,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('6|' || x), 1, 15)) AS BIGINT))) AS s6,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('7|' || x), 1, 15)) AS BIGINT))) AS s7,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('8|' || x), 1, 15)) AS BIGINT))) AS s8
          | FROM sh),
          | b AS (SELECT doc_id, s1 || '#' || s2 AS band_1, s3 || '#' || s4 AS band_2,
          |              s5 || '#' || s6 AS band_3, s7 || '#' || s8 AS band_4 FROM sig),
@@ -176,6 +177,7 @@ object QueriesScale {
       val docs = Tables.documents(s, dir)
       val tok = docs.select(col("doc_id"), col("source"),
         explode(array_distinct(ScaleOps.tokens(col("text")))).as("token"))
+
       val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
       val common = tok.as("a").join(tok.as("b"),
           col("a.source") === col("b.source") && col("a.token") === col("b.token") &&
@@ -282,15 +284,28 @@ object QueriesScale {
   // ------------------------------------------- simhash near-dup (⊘ oracle)
   // 60-bit simhash needs bit_count/shift parity that DuckDB SQL can't
   // mirror cheaply — rows-only check; exactness pinned by ScalaTest.
+  //
+  // Scale design: a naive hamming(h1,h2)<=3 theta-join is O(n²). Instead,
+  // split the hash into 4 bands of 15 bits — by pigeonhole, any pair
+  // within hamming<=3 agrees exactly on >=1 band — equi-join per band key,
+  // dedup candidates, then verify the full hamming predicate. One shuffle
+  // on compact (band_idx, 15-bit key) pairs; no quadratic stage.
   private val simhashQ = Q(
     (s, dir) => {
-      val d = dupedDocs(s, dir)
-        .withColumn("simhash", ScaleOps.simhash60(ScaleOps.tokens(col("text"))))
-      val a = d.select(col("doc_id").as("id1"), col("simhash").as("h1"))
-      val b = d.select(col("doc_id").as("id2"), col("simhash").as("h2"))
-      a.join(b, col("id1") < col("id2") && ScaleOps.hamming(col("h1"), col("h2")) <= 3)
-        .select(col("id1"), col("id2"),
-          ScaleOps.hamming(col("h1"), col("h2")).as("hamming"))
+      val d = ScaleOps.simhashTable(dupedDocs(s, dir), "doc_id", "text")
+      val banded = d.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFF)): _*))
+          .as(Seq("band_idx", "band_key")))
+
+      val a = banded.select(col("doc_id").as("id1"), col("simhash").as("h1"),
+        col("band_idx"), col("band_key"))
+      val b = banded.select(col("doc_id").as("id2"), col("simhash").as("h2"),
+        col("band_idx"), col("band_key"))
+      a.join(b, Seq("band_idx", "band_key")).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), ScaleOps.hamming(col("h1"), col("h2")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
         .orderBy(col("id1"), col("id2"))
     },
     None)

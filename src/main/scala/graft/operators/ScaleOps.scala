@@ -36,12 +36,31 @@ object ScaleOps {
   def minhashComponent(shingleArr: Column, salt: Int): Column =
     array_min(transform(shingleArr, x => md5(concat(lit(s"$salt|"), x))))
 
-  /** Full K-component MinHash signature as individual columns sig_1..sig_K. */
+  /** Full K-component MinHash signature as individual columns sig_1..sig_K.
+    * Per-row array form; see [[minhashSignatureTable]] for the bulk path.
+    */
   def withMinhashSignature(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
     val sh = shingles(tokens(col(textCol)))
     (1 to k).foldLeft(df.withColumn("_sh", sh)) { (d, i) =>
       d.withColumn(s"sig_$i", minhashComponent(col("_sh"), i))
     }.drop("_sh")
+  }
+
+  /** Bulk MinHash: explode shingles once, then a single HashAggregate with
+    * K `min(hash60(salt|shingle))` columns — shingle construction + explode
+    * happen once, partial aggregation shrinks the shuffle to K longs per
+    * doc. Signatures are 60-bit longs (first 15 md5 hex chars) rather than
+    * md5 strings so the min() aggregate stays in HashAggregate — min over
+    * varchar falls back to sort-based aggregation. Docs with no shingles
+    * (< k tokens) are absent from the output.
+    */
+  def minhashSignatureTable(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(shingles(tokens(col(textCol)))).as("_sh"))
+    val aggs = (1 to k).map(i =>
+      min(conv(substring(md5(concat(lit(s"$i|"), col("_sh"))), 1, 15), 16, 10)
+        .cast(LongType)).as(s"sig_$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band keys from a K-signature: bands of `rows` components each,
@@ -56,6 +75,10 @@ object ScaleOps {
   /** 60-bit SimHash over a token array, fully per-row: each token hashes to
     * a 60-bit value (first 15 hex chars of md5 → long); bit j of the
     * simhash is 1 iff more tokens set bit j than clear it.
+    *
+    * NOTE: fine for tests/small frames, but the 60 per-bit array scans get
+    * re-inlined by CollapseProject and recompute md5 per bit — use
+    * [[simhashTable]] for bulk data.
     */
   def simhash60(toks: Column): Column = {
     val hashes = transform(toks, t =>
@@ -66,6 +89,22 @@ object ScaleOps {
       when(ones * 2 > n, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Bulk SimHash: explode tokens, hash each ONCE, then one codegen'd
+    * HashAggregate with 60 conditional sums (partial aggregation map-side,
+    * so the shuffle carries 61 longs per doc). Same result as
+    * [[simhash60]]; linear cost, scales to any corpus.
+    */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+      .withColumn("_h", conv(substring(md5(col("_t")), 1, 15), 16, 10).cast(LongType))
+    val aggs = (0 until 60).map(j =>
+      sum(shiftright(col("_h"), j).bitwiseAND(1)).as(s"_b$j")) :+ count(lit(1)).as("_n")
+    val counted = tok.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val bits = (0 until 60).map(j =>
+      when(col(s"_b$j") * 2 > col("_n"), shiftleft(lit(1L), j)).otherwise(lit(0L)))
+    counted.select(col(idCol), bits.reduce(_ bitwiseOR _).as("simhash"))
   }
 
   /** Hamming distance between two simhash values (near-dup predicate). */

@@ -72,6 +72,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(f(3) == 0.0)                           // past payload end
   }
 
+  test("simhashTable (bulk explode+agg) equals per-row simhash60") {
+    val df = Seq((1L, "spark window shuffle join filter"),
+      (2L, "data table query row column value"),
+      (3L, "a b a b a b a")).toDF("doc_id", "text")
+    val perRow = df.withColumn("h", ScaleOps.simhash60(ScaleOps.tokens(col("text"))))
+      .select("doc_id", "h").as[(Long, Long)].collect().toMap
+    val bulk = ScaleOps.simhashTable(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(perRow == bulk)
+  }
+
+  test("minhashSignatureTable equals per-row signature (long-hash variant)") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox leaps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val bulk = ScaleOps.minhashSignatureTable(df, "doc_id", "text", k = 4).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.getAs[Long](s"sig_$i"))).toMap
+    // recompute per-row: min over shingles of 60-bit truncated salted md5
+    val perRow = df.withColumn("_sh", ScaleOps.shingles(ScaleOps.tokens(col("text"))))
+      .withColumn("sig", transform(col("_sh"), x =>
+        conv(substring(md5(concat(lit("1|"), x)), 1, 15), 16, 10).cast("long")))
+      .select(col("doc_id"), array_min(col("sig")).as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(bulk(1L).head == perRow(1L))
+    assert(bulk(2L).head == perRow(2L))
+    assert(bulk(1L) != bulk(2L)) // one-word edit changes some components
+  }
+
   test("hamming column function matches bitCount") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
       .withColumn("h", ScaleOps.hamming(col("a"), col("b")))

@@ -95,6 +95,78 @@ object Indicators {
     }
   }
 
+  /** Chunked overlap-and-trim indicator pipeline — the 100 TB skew
+    * mitigation (SURVEY §4): `partitionBy(symbol)` puts one symbol's whole
+    * history in one task, which breaks when a symbol has billions of rows.
+    * Instead:
+    *
+    *  1. rows are bucketed into time chunks (`chunkExpr`, e.g. year), and
+    *     chunk indices are densified per symbol so gaps don't break
+    *     adjacency (the dense-rank runs on the tiny distinct chunk set);
+    *  2. the last `maxFrame−1` rows of each chunk are CLONED into the next
+    *     chunk as warm-up context, so every bounded ROWS frame (longest:
+    *     SMA-200, and the nested macd→signal chain of depth 33) sees its
+    *     full lookback;
+    *  3. indicators run windowed by (symbol, chunk) — bounded partitions —
+    *     and warm-up rows are trimmed from the output;
+    *  4. OBV, the one unbounded running sum, decomposes into a chunk-local
+    *     prefix sum plus the cumulative total of prior chunks (a tiny
+    *     per-(symbol, chunk) aggregate cumulated and joined back).
+    *
+    * Exactness requires each chunk to hold ≥ maxFrame−1 rows (practical at
+    * scale; asserted in tests). Results are identical to
+    * [[withIndicators]] under that condition.
+    */
+  def chunkedIndicators(df: DataFrame, chunkExpr: Column,
+      orderCols: Seq[String] = Seq("trading_date", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      maxFrame: Int = 200): DataFrame = {
+    val withChunk = df.withColumn("chunk_raw", chunkExpr)
+
+    // dense chunk index per symbol over the tiny distinct-chunks set
+    val chunkIdx = withChunk.select(col("symbol"), col("chunk_raw")).distinct()
+      .withColumn("chunk_id", dense_rank().over(
+        Window.partitionBy("symbol").orderBy("chunk_raw")))
+    val indexed = withChunk.join(broadcast(chunkIdx), Seq("symbol", "chunk_raw"))
+
+    // clone each chunk's tail (maxFrame-1 rows) into the next chunk
+    val tailW = Window.partitionBy("symbol", "chunk_id")
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    val warmup = indexed
+      .withColumn("rt_tail", row_number().over(tailW))
+      .filter(col("rt_tail") <= maxFrame - 1)
+      .drop("rt_tail")
+      .withColumn("chunk_id", col("chunk_id") + 1)
+      .withColumn("is_warmup", lit(true))
+    val staged = indexed.withColumn("is_warmup", lit(false)).unionByName(warmup)
+
+    // bounded-partition window: (symbol, chunk)
+    val cw = Window.partitionBy("symbol", "chunk_id").orderBy(orderCols.map(col): _*)
+    val computed = withIndicators(staged, cw)
+
+    // OBV fix-up: chunk-local prefix over fresh rows + offset of prior chunks
+    val signed = computed
+      .withColumn("chg_tmp", col("close") - lag(col("close"), 1).over(cw))
+      .withColumn("fresh_sign",
+        when(col("is_warmup"), lit(0L)).otherwise(
+          when(col("chg_tmp") > 0, col("volume"))
+            .when(col("chg_tmp") < 0, -col("volume"))
+            .otherwise(lit(0L)).cast(LongType)))
+      .drop("chg_tmp")
+    val localObv = signed
+      .withColumn("obv_local", sum(col("fresh_sign")).over(cw.rowsBetween(Window.unboundedPreceding, 0)))
+    val offsets = localObv.filter(!col("is_warmup"))
+      .groupBy("symbol", "chunk_id").agg(sum(col("fresh_sign")).as("chunk_total"))
+      .withColumn("obv_offset",
+        coalesce(sum(col("chunk_total")).over(
+          Window.partitionBy("symbol").orderBy("chunk_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("symbol"), col("chunk_id"), col("obv_offset"))
+    localObv.join(broadcast(offsets), Seq("symbol", "chunk_id"))
+      .withColumn("obv", (col("obv_local") + col("obv_offset")).cast(DoubleType))
+      .filter(!col("is_warmup"))
+      .drop("is_warmup", "chunk_raw", "chunk_id", "obv_local", "obv_offset", "fresh_sign")
+  }
+
   /** True exponential EMA (fidelity upgrade over the reference's SMA
     * approximation, SURVEY §7.3): ema_t = α·x_t + (1−α)·ema_{t−1},
     * α = 2/(n+1), seeded with the first value. Closed form over the

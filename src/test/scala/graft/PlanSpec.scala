@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Physical-plan shape assertions — the 100 TB design contract:
+  * filters/projections reach the parquet scan, small dims broadcast,
+  * window specs share WindowExec nodes, nothing cartesian except the
+  * intentional tiny-query-side ANN cross join.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): SparkPlan = {
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+  }
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    p.collect(pf) ++ p.subqueries.flatMap(collectAll(_)(pf))
+
+  private def fmt(df: DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("scan_watermark_pushdown: timestamp filter is pushed to the parquet scan") {
+    val plan = fmt(Queries.all("scan_watermark_pushdown").fn(spark, sf0001))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("sma: scan reads only the columns the query needs") {
+    val plan = fmt(Queries.all("sma").fn(spark, sf0001))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    // close := l_extendedprice + keys; must NOT read l_comment-ish extras
+    assert(readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_tax") || readSchema.contains("struct<l_orderkey"),
+      s"unexpected read schema: $readSchema")
+  }
+
+  test("join_symbol_dim: dims join via BroadcastHashJoin, no shuffle on dims") {
+    val p = physical(Queries.all("join_symbol_dim").fn(spark, sf0001))
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size == 2, s"expected 2 broadcast joins, got ${bhj.size}")
+  }
+
+  test("indicator pipeline shares WindowExec nodes across same-frame functions") {
+    val df = SparkEntry.entry(spark)
+    val p = physical(df)
+    val windows = collectAll(p) { case w: WindowExec => w }
+    // 15 indicator expressions collapse into a handful of WindowExec nodes
+    // (one per distinct frame spec), not one per withColumn
+    assert(windows.nonEmpty && windows.size <= 6,
+      s"expected <=6 WindowExec nodes, got ${windows.size}")
+    // and they all share ONE exchange (same partitioning by symbol)
+    val exchanges = collectAll(p) { case e: Exchange => e }
+    assert(exchanges.size <= 2, s"expected <=2 exchanges, got ${exchanges.size}")
+  }
+
+  test("no unintentional cartesian products anywhere in the inventory") {
+    val allowed = Set("similarity_topk") // intentional: tiny broadcast query side
+    Queries.all.foreach { case (name, q) =>
+      if (!allowed(name)) {
+        val p = physical(q.fn(spark, sf0001))
+        val cart = collectAll(p) { case c: CartesianProductExec => c }
+        assert(cart.isEmpty, s"$name has a cartesian product")
+      }
+    }
+  }
+
+  test("minhash/simhash band joins are equi-joins (shuffle on compact keys)") {
+    Seq("minhash_lsh_dedup", "simhash_neardup").foreach { name =>
+      val plan = fmt(Queries.all(name).fn(spark, sf0001))
+      assert(!plan.contains("CartesianProduct"), s"$name is cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name is nested-loop")
+    }
+  }
+}

@@ -219,7 +219,23 @@ object QueriesMeta {
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // --------------------------------------- S10: CSV symbol universe (⊘)
+  // Round-trips the symbol universe through a real CSV file (written once
+  // to the JVM temp dir) — exercises the header-CSV source + fallback.
+  // No DuckDB oracle: the driver records a rows-only check.
+  private val csvSymbolsQ = Q(
+    (s, dir) => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_symbols_csv").getPath
+      if (!new java.io.File(path).exists()) {
+        Tables.ohlcv(s, dir).select(col("symbol").as("Symbol")).distinct()
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+      }
+      graft.sources.CsvSource.readSymbols(s, path).orderBy("symbol")
+    },
+    None)
+
   val all: Map[String, Q] = Map(
+    "csv_symbols" -> csvSymbolsQ,
     "group_last_per_key" -> groupLastQ,
     "topk_latest" -> topkLatestQ,
     "agg_summary_stats" -> summaryStatsQ,

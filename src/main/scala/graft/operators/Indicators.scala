@@ -183,4 +183,30 @@ object Indicators {
     aggregate(xs, lit(Double.NaN),
       (acc, x) => when(isnan(acc), x).otherwise(x * lit(alpha) + acc * lit(1 - alpha)))
   }
+
+  /** Wilder-smoothed RSI (fidelity upgrade over W8's plain-SMA variant,
+    * SURVEY §7.3): avg_gain_t = (avg_gain_{t−1}·(n−1) + gain_t)/n — the
+    * same exponential recurrence as EMA with α = 1/n, seeded by the first
+    * value. Same bounded-lookback closed form as [[trueEma]]: weights
+    * (1−1/n)^k vanish below double precision within ~15n rows.
+    */
+  def withWilderRsi(df: DataFrame, w: WindowSpec, n: Int = 14, lookback: Int = 256): DataFrame = {
+    val alpha = 1.0 / n
+    def smooth(c: Column): Column =
+      aggregate(collect_list(c).over(w.rowsBetween(-(lookback - 1), 0)),
+        lit(Double.NaN),
+        (acc, x) => when(isnan(acc), x).otherwise(x * lit(alpha) + acc * lit(1 - alpha)))
+    // gains/losses materialized first: the recurrence window cannot nest
+    // the lag window in a single pass
+    df.withColumn("w_chg", col("close") - lag(col("close"), 1).over(w))
+      .withColumn("w_gain", when(col("w_chg") > 0, col("w_chg")).otherwise(lit(0.0)))
+      .withColumn("w_loss", when(col("w_chg") < 0, -col("w_chg")).otherwise(lit(0.0)))
+      .withColumn("w_avg_gain", smooth(col("w_gain")))
+      .withColumn("w_avg_loss", smooth(col("w_loss")))
+      .withColumn("rsi_wilder",
+        lit(100.0) - (lit(100.0) / (lit(1.0) +
+          when(col("w_avg_loss") =!= 0, col("w_avg_gain") / col("w_avg_loss"))
+            .otherwise(lit(100.0)))))
+      .drop("w_chg", "w_gain", "w_loss", "w_avg_gain", "w_avg_loss")
+  }
 }

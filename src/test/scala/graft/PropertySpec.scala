@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Indicators
+
+/** Property tests (SURVEY §5.3): indicator invariants over generated
+  * series. Raw ScalaCheck generators with fixed seeds (the scalatestplus
+  * bridge isn't in the offline dependency cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](gen: Gen[T], n: Int = 5): Seq[T] =
+    (1 to n).flatMap(i => gen(Gen.Parameters.default.withSize(40), Seed(i.toLong)))
+
+  private val seriesGen: Gen[List[(Double, Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1.0, 1000.0).map(v => math.rint(v * 100) / 100),
+      Gen.choose(1L, 10000L)))
+
+  private def frame(rows: List[(Double, Long)]) =
+    rows.zipWithIndex.map { case ((c, v), i) => ("S", i, c, v) }
+      .toDF("symbol", "idx", "close", "volume")
+      .withColumn("trading_date", expr("date_add(date '2020-01-01', idx)"))
+
+  private val w = Window.partitionBy("symbol").orderBy("trading_date")
+
+  test("rsi in [0,100]; bb_lower <= bb_middle <= bb_upper; sma positive") {
+    samples(seriesGen).foreach { rows =>
+      val out = Indicators.withIndicators(frame(rows), w)
+        .select("rsi", "bb_lower", "bb_middle", "bb_upper", "sma_5").collect()
+      out.foreach { r =>
+        val rsi = r.getDouble(0)
+        assert(rsi >= 0.0 && rsi <= 100.0)
+        if (!r.isNullAt(1)) {
+          assert(r.getDouble(1) <= r.getDouble(2) + 1e-9)
+          assert(r.getDouble(2) <= r.getDouble(3) + 1e-9)
+        }
+        assert(r.getDouble(4) > 0.0)
+      }
+    }
+  }
+
+  test("obv telescopes: obv(n) - obv(n-1) = signed volume change") {
+    samples(seriesGen).foreach { rows =>
+      val out = Indicators.withIndicators(frame(rows), w)
+        .orderBy("trading_date").select("close", "volume", "obv").collect()
+      out.sliding(2).foreach {
+        case Array(prev, cur) =>
+          val expectedDelta =
+            if (cur.getDouble(0) > prev.getDouble(0)) cur.getLong(1).toDouble
+            else if (cur.getDouble(0) < prev.getDouble(0)) -cur.getLong(1).toDouble
+            else 0.0
+          assert(cur.getDouble(2) - prev.getDouble(2) == expectedDelta)
+        case _ => ()
+      }
+    }
+  }
+
+  test("constant series: sma == close, macd == 0, pct changes == 0 past warm-up") {
+    samples(Gen.zip(Gen.choose(5, 60), Gen.choose(1.0, 500.0))).foreach { case (n, c0) =>
+      val c = math.rint(c0 * 100) / 100
+      val out = Indicators.withIndicators(
+        frame(List.fill(n)((c, 10L))), w)
+        .select("sma_20", "macd", "day_change_pct").collect()
+      out.foreach { r =>
+        assert(math.abs(r.getDouble(0) - c) < 1e-9)
+        assert(math.abs(r.getDouble(1)) < 1e-9)
+        if (!r.isNullAt(2)) assert(r.getDouble(2) == 0.0)
+      }
+    }
+  }
+
+  test("trueEma stays within [min, max] of the series; wilder rsi in [0,100]") {
+    samples(seriesGen, 3).foreach { rows =>
+      val df = Indicators.withWilderRsi(
+        frame(rows).withColumn("ema", Indicators.trueEma(col("close"), 12, w)), w)
+      val stats = df.agg(min("close"), max("close")).head
+      val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+      df.select("ema", "rsi_wilder").collect().foreach { r =>
+        assert(r.getDouble(0) >= lo - 1e-9 && r.getDouble(0) <= hi + 1e-9)
+        assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 100.0)
+      }
+    }
+  }
+}

@@ -113,9 +113,17 @@ object ScaleOps {
 
   /** Exact double-precision dot product of two float vectors with a fixed
     * left-to-right fold — deterministic across engines (see Queries
-    * scaladoc). Stays inside codegen (higher-order functions, no UDF).
+    * scaladoc). Backed by the native codegen expression
+    * [[org.apache.spark.sql.graftnative.DotProductFloat]]; [[dotHof]] is
+    * the built-in-only formulation (bit-identical, slower).
     */
   def dotD(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftnative.VectorExpressions.dot_f(a, b)
+
+  /** Higher-order-function dot product: same sequential fold semantics as
+    * [[dotD]], used to cross-check the native expression.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)

@@ -100,6 +100,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bulk(1L) != bulk(2L)) // one-word edit changes some components
   }
 
+  test("native DotProductFloat is bit-identical to the HOF fold on real embeddings") {
+    val emb = Tables.embeddings(spark, sf0001).limit(50)
+    val pairs = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+      .crossJoin(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")))
+      .withColumn("d_native", ScaleOps.dotD(col("e1"), col("e2")))
+      .withColumn("d_hof", ScaleOps.dotHof(col("e1"), col("e2")))
+    val mismatches = pairs.filter(col("d_native") =!= col("d_hof")).count()
+    assert(mismatches == 0)
+    // and the codegen path actually engages (no fallback warnings = plan contains the expr)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("dotproductfloat") || plan.contains("DotProductFloat"))
+  }
+
   test("hamming column function matches bitCount") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
       .withColumn("h", ScaleOps.hamming(col("a"), col("b")))

@@ -310,7 +310,40 @@ object QueriesScale {
     },
     None)
 
+  // ---------------------------------------- LSH-bucketed ANN top-k (⊘)
+  // The scale path for similarity_topk: candidates = corpus vectors
+  // sharing any LSH table-bucket with the query vector (equi-join on
+  // (table, bucket)); exact cosine re-ranks candidates only. No oracle:
+  // plane literals are Scala-generated; recall vs brute force is pinned
+  // by ScalaTest instead.
+  private val annLshQ = Q(
+    (s, dir) => {
+      val dim = 64
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("nv", ScaleOps.l2norm(col("embedding")))
+      val bucketed = emb.select(
+        Seq(col("vec_id"), col("embedding"), col("nv")) ++
+          ScaleOps.lshBuckets(col("embedding"), dim): _*)
+      val stacked = bucketed.select(col("vec_id"), col("embedding"), col("nv"),
+        posexplode(array((0 until 4).map(t => col(s"bucket_$t")): _*)).as(Seq("tbl", "bucket")))
+      val q = stacked.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nv").as("nq"), col("tbl"), col("bucket"))
+      val cands = stacked.join(q, Seq("tbl", "bucket"))
+        .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"),
+          col("nq"), col("nv")).distinct()
+      val scored = cands.withColumn("cos",
+        ScaleOps.cosine(col("q_emb"), col("embedding"), col("nq"), col("nv")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    None)
+
   val all: Map[String, Q] = Map(
+    "ann_lsh_topk" -> annLshQ,
     "dedup_exact" -> dedupExactQ,
     "text_stats" -> textStatsQ,
     "lang_id" -> langIdQ,

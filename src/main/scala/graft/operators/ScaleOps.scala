@@ -133,6 +133,29 @@ object ScaleOps {
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dotD(a, b) / (na * nb)
 
+  // ------------------------------------------------- LSH-bucketed ANN
+
+  /** Random-hyperplane LSH tables for cosine ANN: `tables` independent
+    * bucket keys of `bits` sign-bits each. Planes are generated from a
+    * fixed seed (fully deterministic) and inlined as literals, so bucket
+    * assignment is a per-row expression — no shuffle, no state. Neighbors
+    * within angular distance θ agree on one bit with prob 1−θ/π; multiple
+    * small tables trade recall vs candidate count. The scale path: the
+    * candidate join is an equi-join on (table, bucket), and exact cosine
+    * re-ranking runs only inside buckets.
+    */
+  def lshBuckets(emb: Column, dim: Int, tables: Int = 4, bits: Int = 4,
+      seed: Long = 42L): Seq[Column] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until tables).map { t =>
+      val planeBits = (0 until bits).map { p =>
+        val plane = typedlit(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+        when(dotD(emb, plane) > 0, lit(1 << p)).otherwise(lit(0))
+      }
+      planeBits.reduce(_ + _).as(s"bucket_$t")
+    }
+  }
+
   // ----------------------------------------------------------- text stats
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")

@@ -113,6 +113,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("dotproductfloat") || plan.contains("DotProductFloat"))
   }
 
+  test("LSH ANN: buckets deterministic, self always a candidate, sane recall") {
+    val brute = Queries.all("similarity_topk").fn(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Queries.all("ann_lsh_topk").fn(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    // each query retrieves itself (cos=1 in its own bucket)
+    (0L until 10L).foreach(q => assert(lsh.contains((q, q))))
+    // bucketing is deterministic across runs
+    val lsh2 = Queries.all("ann_lsh_topk").fn(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(lsh == lsh2)
+    // recall against brute force is well above chance (10/500 per query)
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall > 0.15, s"recall $recall")
+  }
+
   test("hamming column function matches bitCount") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
       .withColumn("h", ScaleOps.hamming(col("a"), col("b")))

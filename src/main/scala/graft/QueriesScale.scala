@@ -32,7 +32,11 @@ object QueriesScale {
   // ------------------------------------------------ exact dedup (hash keep-min)
   private val dedupExactQ = Q(
     (s, dir) => {
-      val w = Window.partitionBy("text").orderBy("doc_id")
+      // partition the keep-min window by the 128-bit content hash, not the
+      // raw text: the exchange then shuffles 32-byte keys instead of full
+      // documents — the difference between shuffling ~32 GB and ~100 TB of
+      // text at corpus scale
+      val w = Window.partitionBy("content_hash").orderBy("doc_id")
       dupedDocs(s, dir)
         .withColumn("content_hash", md5(col("text")))
         .withColumn("rn", row_number().over(w))
@@ -43,7 +47,7 @@ object QueriesScale {
     Some(
       s"""WITH corpus AS ($dupedSql)
          | SELECT doc_id, md5(text) AS content_hash, lang, n_chars FROM corpus
-         | QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
          | ORDER BY doc_id""".stripMargin))
 
   // ------------------------------------------------------------- text stats

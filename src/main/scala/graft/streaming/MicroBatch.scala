@@ -56,23 +56,33 @@ object MicroBatch {
     */
   val microBatchTrigger: Trigger = Trigger.ProcessingTime("10 seconds")
 
-  /** Idempotent keyed sink: per micro-batch, dedup on the deterministic
-    * key then append partitioned by symbol. At-least-once delivery +
-    * deterministic-key dedup = the reference's ES upsert semantics.
+  /** Idempotent keyed sink: dedup on the deterministic key, then append
+    * partitioned by symbol. With `statefulDedup` (default) the dedup is
+    * Spark's stateful streaming `dropDuplicates` — duplicates are removed
+    * ACROSS micro-batches (checkpointed key state), matching the
+    * reference's ES upsert-by-id semantics over all time; without it only
+    * within-batch duplicates collapse. At-least-once delivery + keyed
+    * dedup = effective exactly-once.
+    *
+    * Scale note: unbounded key state grows with distinct keys; on a real
+    * deployment pair it with `withWatermark` + `dropDuplicatesWithinWatermark`
+    * to bound state to the lateness horizon.
     */
   def idempotentSink(df: DataFrame, outDir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    df.writeStream
+      trigger: Trigger = Trigger.AvailableNow(),
+      statefulDedup: Boolean = true): StreamingQuery = {
+    val keyed = df.withColumn("es_id", concat_ws("_", col("ticker"), col("date")))
+    val deduped = if (statefulDedup) keyed.dropDuplicates("es_id") else keyed
+    deduped.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch
-          .withColumn("es_id", concat_ws("_", col("ticker"), col("date")))
-          .dropDuplicates("es_id")
-          .write.mode("append").partitionBy("ticker").parquet(outDir)
+        val b = if (statefulDedup) batch else batch.dropDuplicates("es_id")
+        b.write.mode("append").partitionBy("ticker").parquet(outDir)
         ()
       }
       .start()
+  }
 
   /** Event-time tumbling count with watermark (the streaming analogue of
     * the `stream_microbatch` batch query): late rows beyond the delay are

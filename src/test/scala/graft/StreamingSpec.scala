@@ -51,6 +51,26 @@ class StreamingSpec extends SparkSpec {
       Seq("AAPL_2024-01-01", "MSFT_2024-01-01"))
   }
 
+  test("stateful dedup removes duplicates ACROSS micro-batches") {
+    val mem = MemoryStream[String](spark)
+    val out = Files.createTempDirectory("graft_xbatch_out").toString
+    val ckpt = Files.createTempDirectory("graft_xbatch_ckpt").toString
+    val decoded = MicroBatch.decode(mem.toDF())
+    // batch 1
+    mem.addData(msg("AAPL", "2024-01-01", 10.0))
+    val q1 = MicroBatch.idempotentSink(decoded, out, ckpt)
+    q1.awaitTermination(60000)
+    // batch 2 re-delivers the same record (at-least-once) + one new
+    mem.addData(msg("AAPL", "2024-01-01", 10.0), msg("AAPL", "2024-01-02", 11.0))
+    val q2 = MicroBatch.idempotentSink(decoded, out, ckpt)
+    q2.awaitTermination(60000)
+
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 2, "cross-batch duplicate was not removed")
+    assert(rows.select("es_id").as[String].collect().sorted.toSeq ==
+      Seq("AAPL_2024-01-01", "AAPL_2024-01-02"))
+  }
+
   test("tumbling window counts with watermark over events-shaped stream") {
     val mem = MemoryStream[(java.sql.Timestamp, String)](spark)
     mem.addData(

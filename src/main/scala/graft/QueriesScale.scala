@@ -139,10 +139,17 @@ object QueriesScale {
         .select(Seq(col("doc_id")) ++ ScaleOps.bandKeys(8, 2): _*)
       val banded = sig.select(col("doc_id"),
         posexplode(array((1 to 4).map(b => col(s"band_$b")): _*)).as(Seq("band_idx", "bk")))
-
-      val l = banded.select(col("doc_id").as("id1"), col("band_idx"), col("bk"))
-      val r = banded.select(col("doc_id").as("id2"), col("band_idx"), col("bk"))
-      l.join(r, Seq("band_idx", "bk")).filter(col("id1") < col("id2"))
+      // bucket-grouped pair generation instead of a self-join: the
+      // signature pipeline runs ONCE (a self-join would execute it for
+      // both sides), and pairs expand per bucket via array combinatorics
+      val buckets = banded.groupBy("band_idx", "bk")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      buckets.select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))""".stripMargin))
+          .as("p"))
+        .select(col("p.id1"), col("p.id2"))
         .groupBy(col("id1"), col("id2"))
         .agg(count(lit(1)).as("n_shared_bands"))
         .orderBy(col("id1"), col("id2"))
@@ -301,13 +308,19 @@ object QueriesScale {
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFF)): _*))
           .as(Seq("band_idx", "band_key")))
-
-      val a = banded.select(col("doc_id").as("id1"), col("simhash").as("h1"),
-        col("band_idx"), col("band_key"))
-      val b = banded.select(col("doc_id").as("id2"), col("simhash").as("h2"),
-        col("band_idx"), col("band_key"))
-      a.join(b, Seq("band_idx", "band_key")).filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"), ScaleOps.hamming(col("h1"), col("h2")).as("hamming"))
+      // same bucket-grouped pair generation as minhash: simhash table runs
+      // once; each bucket expands to its ordered member pairs
+      val buckets = banded.groupBy("band_idx", "band_key")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+        .filter(size(col("ms")) > 1)
+      buckets.select(explode(expr(
+          """flatten(transform(ms, (x, i) ->
+            |  transform(slice(ms, i + 2, size(ms)),
+            |    y -> struct(x.doc_id AS id1, y.doc_id AS id2,
+            |                x.simhash AS h1, y.simhash AS h2))))""".stripMargin))
+          .as("p"))
+        .select(col("p.id1"), col("p.id2"),
+          ScaleOps.hamming(col("p.h1"), col("p.h2")).as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
         .orderBy(col("id1"), col("id2"))

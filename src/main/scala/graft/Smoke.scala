@@ -12,8 +12,17 @@ object Smoke {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // extensions must make dot_f available to plain SQL (fresh JVM only —
+    // extensions bind at session instantiation)
+    val dotSql = spark.sql(
+      "SELECT dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head.getDouble(0)
+    println(s"[smoke] sql dot_f=$dotSql")
+    assert(dotSql == 11.0, "dot_f not registered via GraftExtensions")
     val df = SparkEntry.entry(spark)
     val n = df.count()
     println(s"[smoke] entry rows=$n cols=${df.columns.length}")

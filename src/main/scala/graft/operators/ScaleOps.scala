@@ -219,4 +219,36 @@ object ScaleOps {
       s"""transform(sequence(1, $dim),
          |  i -> coalesce(cast(conv(substr(hex(payload), i * 2 - 1, 2), 16, 10) as double), 0.0) / 255.0)""".stripMargin))
 
+  /** Typed media row for the mapPartitions decode path. */
+  case class MediaIn(doc_id: Long, payload: Array[Byte])
+  case class MediaOut(doc_id: Long, n_bytes: Long, n_frames: Int, features: Array[Double])
+
+  /** The batch-decode plumbing a multimodal pipeline needs, with the codec
+    * STUBBED (this container ships no image/audio libraries): partition-
+    * local iteration, micro-batched so a real decoder could amortize model
+    * or codec initialization per batch, fixed-width feature output with a
+    * declared schema. `frameSample` mimics video frame sampling: every
+    * `stride`-th `frameBytes`-sized chunk contributes one fake feature.
+    */
+  def decodeBatches(ds: org.apache.spark.sql.Dataset[MediaIn], dim: Int = 4,
+      batchSize: Int = 64, frameBytes: Int = 16, stride: Int = 2)
+      (implicit enc: org.apache.spark.sql.Encoder[MediaOut])
+      : org.apache.spark.sql.Dataset[MediaOut] =
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // a real decoder would initialize once per batch here (codec ctx,
+        // ONNX session, ...) — the stub derives deterministic features
+        batch.iterator.map { m =>
+          val frames = m.payload.grouped(frameBytes).zipWithIndex
+            .collect { case (chunk, i) if i % stride == 0 => chunk }.toArray
+          val feats = Array.tabulate(dim) { j =>
+            if (j < frames.length && frames(j).nonEmpty)
+              (frames(j).head & 0xFF) / 255.0
+            else 0.0
+          }
+          MediaOut(m.doc_id, m.payload.length.toLong, frames.length, feats)
+        }
+      }
+    }
+
 }

@@ -129,6 +129,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall > 0.15, s"recall $recall")
   }
 
+  test("decodeBatches: mapPartitions media plumbing with stubbed codec") {
+    import graft.operators.ScaleOps.{MediaIn, MediaOut}
+    val ds = Seq(
+      MediaIn(1L, Array.tabulate(64)(_.toByte)),   // 4 frames of 16B, stride 2 -> 2 sampled
+      MediaIn(2L, Array[Byte](127, 1, 2))          // single partial frame
+    ).toDS()
+    val out = graft.operators.ScaleOps.decodeBatches(ds).collect().sortBy(_.doc_id)
+    assert(out(0).doc_id == 1L && out(0).n_bytes == 64L && out(0).n_frames == 2)
+    assert(out(0).features.toSeq == Seq(0.0, 32 / 255.0, 0.0, 0.0))
+    assert(out(1).n_frames == 1 && out(1).features(0) == 127 / 255.0)
+  }
+
   test("hamming column function matches bitCount") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
       .withColumn("h", ScaleOps.hamming(col("a"), col("b")))

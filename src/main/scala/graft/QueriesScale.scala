@@ -359,7 +359,38 @@ object QueriesScale {
     },
     None)
 
+  // ------------------------------------------------ corpus-level stats
+  // The "what's in my training set" rollup: per language — doc count,
+  // vocabulary size (exact distinct tokens), token volume, mean doc
+  // length. Two-phase: explode once, aggregate twice (partial+final both
+  // map-side combinable). At 100 TB the same shape holds; vocabulary
+  // counts would switch to approx_count_distinct (HLL) — kept exact here
+  // for oracle comparability.
+  private val corpusStatsQ = Q(
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(ScaleOps.tokens(col("text"))).as("token"))
+      toks.groupBy("lang")
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("token")).as("vocab_size"),
+          count(lit(1)).as("n_tokens"),
+          (count(lit(1)).cast(DoubleType) / countDistinct(col("doc_id")).cast(DoubleType))
+            .as("mean_doc_tokens"))
+        .orderBy("lang")
+    },
+    Some(
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        | SELECT lang,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS mean_doc_tokens
+        | FROM toks GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "corpus_stats" -> corpusStatsQ,
     "ann_lsh_topk" -> annLshQ,
     "dedup_exact" -> dedupExactQ,
     "text_stats" -> textStatsQ,

@@ -53,6 +53,12 @@ object ScaleOps {
     * md5 strings so the min() aggregate stays in HashAggregate — min over
     * varchar falls back to sort-based aggregation. Docs with no shingles
     * (< k tokens) are absent from the output.
+    *
+    * K INDEPENDENT salted hashes on purpose: the cheaper shared-base
+    * Carter-Wegman scheme (`h1 + i·h2` from one md5) correlates the
+    * component minima — one shingle with a small base hash minimizes many
+    * components at once — which inflated LSH candidate pairs ~8× on the
+    * small-vocabulary test corpus.
     */
   def minhashSignatureTable(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
     val sh = df.select(col(idCol),

@@ -219,6 +219,40 @@ object QueriesMeta {
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // ------------------------------------------------ as-of join (finance)
+  // The prevailing-quote lookup the reference lacks but every finance
+  // engine needs: for each order, the latest OHLCV close at or before the
+  // order date for its symbol. Spark side composes union+window
+  // (operators.AsOfJoin); the oracle uses DuckDB's native ASOF JOIN.
+  private val asofJoinQ = Q(
+    (s, dir) => {
+      import graft.operators.AsOfJoin
+      val quotes = AsOfJoin.latestPerKeyTime(
+        Tables.ohlcv(s, dir), "symbol", "trading_date",
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+        .select(col("symbol"), col("trading_date"), col("close"))
+      val probes = Tables.orders(s, dir)
+        .withColumn("symbol",
+          when(col("o_orderstatus") === "F", lit("A"))
+            .when(col("o_orderstatus") === "O", lit("N"))
+            .otherwise(lit("R")))
+        .select(col("o_orderkey"), col("symbol"), col("o_orderdate"))
+      AsOfJoin.asofJoin(probes, quotes, "symbol", "o_orderdate",
+          "trading_date", "close", "asof_close")
+        .orderBy(col("o_orderkey"))
+    },
+    Some(
+      s"""WITH base AS (${Tables.ohlcvSql}),
+         | q0 AS (SELECT symbol, trading_date, close FROM base
+         |   QUALIFY ROW_NUMBER() OVER (PARTITION BY symbol, trading_date
+         |     ORDER BY l_orderkey DESC, l_linenumber DESC, l_partkey DESC, l_suppkey DESC) = 1),
+         | p AS (SELECT o_orderkey,
+         |   CASE o_orderstatus WHEN 'F' THEN 'A' WHEN 'O' THEN 'N' ELSE 'R' END AS symbol,
+         |   o_orderdate FROM orders)
+         | SELECT p.o_orderkey, p.symbol, p.o_orderdate, q0.close AS asof_close
+         | FROM p ASOF JOIN q0 ON p.symbol = q0.symbol AND p.o_orderdate >= q0.trading_date
+         | ORDER BY p.o_orderkey""".stripMargin))
+
   // --------------------------------------- S10: CSV symbol universe (⊘)
   // Round-trips the symbol universe through a real CSV file (written once
   // to the JVM temp dir) — exercises the header-CSV source + fallback.
@@ -235,6 +269,7 @@ object QueriesMeta {
     None)
 
   val all: Map[String, Q] = Map(
+    "asof_join" -> asofJoinQ,
     "csv_symbols" -> csvSymbolsQ,
     "group_last_per_key" -> groupLastQ,
     "topk_latest" -> topkLatestQ,

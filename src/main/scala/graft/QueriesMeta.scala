@@ -268,7 +268,50 @@ object QueriesMeta {
     },
     None)
 
+  // --------------------------------------------- sessionization (events)
+  // Gap-based sessions (30 min) per user over the event stream — the
+  // batch (gaps-and-islands) formulation of Spark's session_window,
+  // expressed identically on both sides for exact comparison. Integer
+  // microsecond arithmetic end-to-end; value sums via exact decimals.
+  private val sessionizeQ = Q(
+    (s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val gapUs = 30L * 60 * 1000000
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      s.read.schema(schema).parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          timestamp_micros(min(col("ts_us"))).as("session_start"),
+          timestamp_micros(max(col("ts_us"))).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some(
+      """WITH e AS (SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        | l AS (SELECT *, LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+        | n AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+        | sid AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n)
+        | SELECT user_id, session_id,
+        |  make_timestamp(min(ts_us)) AS session_start,
+        |  make_timestamp(max(ts_us)) AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        | FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "sessionize" -> sessionizeQ,
     "asof_join" -> asofJoinQ,
     "csv_symbols" -> csvSymbolsQ,
     "group_last_per_key" -> groupLastQ,

@@ -190,10 +190,16 @@ object QueriesScale {
         explode(array_distinct(ScaleOps.tokens(col("text")))).as("token"))
 
       val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-      val common = tok.as("a").join(tok.as("b"),
-          col("a.source") === col("b.source") && col("a.token") === col("b.token") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      // bucket-grouped pair counting (tokenize once, no self-join): each
+      // (source, token) bucket expands to its ordered doc pairs
+      val common = tok.groupBy("source", "token")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
         .agg(count(lit(1)).as("n_common"))
       common
         .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_tok", "n1"), "id1")

@@ -395,14 +395,49 @@ object QueriesScale {
         |  CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS mean_doc_tokens
         | FROM toks GROUP BY lang ORDER BY lang""".stripMargin))
 
+  // --------------------------------------- embedding int8 quantization
+  // Training-pipeline compression op: clamp to [-1,1], scale to int8,
+  // report per-vector reconstruction error. Per-row integer/double math —
+  // exact across engines (round of x*127 never lands on an exact .5 for
+  // these floats).
+  private val embQuantizeQ = Q(
+    (s, dir) => {
+      val q = transform(col("embedding"), x =>
+        round(greatest(least(x.cast(DoubleType), lit(1.0)), lit(-1.0)) * 127).cast(IntegerType))
+      Tables.embeddings(s, dir)
+        .withColumn("q", q)
+        .withColumn("recon_err_sq",
+          aggregate(
+            zip_with(col("embedding"), col("q"),
+              (x, qq) => {
+                val d = x.cast(DoubleType) - qq.cast(DoubleType) / lit(127.0)
+                d * d
+              }),
+            lit(0.0), (acc, v) => acc + v))
+        // serialized, not array-typed: array columns break row-sorting in
+        // the oracle comparator
+        .select(col("vec_id"),
+          concat_ws(",", col("q")).as("embedding_q"), col("recon_err_sq"))
+        .orderBy(col("vec_id"))
+    },
+    Some(
+      """SELECT vec_id,
+        | array_to_string(list_transform(embedding, x -> CAST(round(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0) * 127) AS INT)), ',') AS embedding_q,
+        | list_reduce(list_transform(list_zip(embedding,
+        |   list_transform(embedding, x -> CAST(round(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0) * 127) AS INT))),
+        |   s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE) / 127.0) * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE) / 127.0)),
+        |   (a, b) -> a + b) AS recon_err_sq
+        | FROM embeddings ORDER BY vec_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "embedding_quantize" -> embQuantizeQ,
     "corpus_stats" -> corpusStatsQ,
     "ann_lsh_topk" -> annLshQ,
     "dedup_exact" -> dedupExactQ,
     "text_stats" -> textStatsQ,
     "lang_id" -> langIdQ,
     "doc_fingerprint" -> fingerprintQ,
-    "minhash_lsh_dedup" -> minhashLshQ,
+    "minhash_dedup" -> minhashLshQ,
     "ngram_jaccard" -> jaccardQ,
     "similarity_topk" -> similarityTopkQ,
     "embedding_neardup" -> embNeardupQ,

@@ -76,7 +76,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("minhash/simhash band joins are equi-joins (shuffle on compact keys)") {
-    Seq("minhash_lsh_dedup", "simhash_neardup").foreach { name =>
+    Seq("minhash_dedup", "simhash_neardup").foreach { name =>
       val plan = fmt(Queries.all(name).fn(spark, sf0001))
       assert(!plan.contains("CartesianProduct"), s"$name is cartesian")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name is nested-loop")

@@ -209,6 +209,49 @@ object Queries {
          |  CASE WHEN prev20 IS NOT NULL THEN (close - prev20) / prev20 * 100 ELSE 0 END AS month_change_pct
          | FROM l1 $ORD""".stripMargin)))
 
+  // ----------------------------- fidelity upgrades: true EMA / Wilder RSI
+  // Exponential recurrences via bounded-lookback sequential folds
+  // (Indicators.trueEma / withWilderRsi). Both engines fold the window
+  // list left-to-right with the identical expression tree, so results are
+  // bitwise comparable: Spark `aggregate(collect_list(...), NaN, f)`
+  // consumes the first element via the isnan branch exactly like DuckDB's
+  // `list_reduce` seeding from the first element.
+  private def foldSql(listExpr: String, alpha: String): String =
+    s"""list_reduce($listExpr, (acc, x) ->
+       | CASE WHEN isnan(acc) THEN x ELSE x * ($alpha) + acc * (1.0 - ($alpha)) END)""".stripMargin
+
+  private val emaTrueQ = Q(
+    (s, dir) => {
+      import graft.operators.Indicators
+      val d = ohlcv(s, dir)
+        .withColumn("ema_12_true", Indicators.trueEma(col("close"), 12, W))
+        .withColumn("ema_26_true", Indicators.trueEma(col("close"), 26, W))
+      keyed(d, col("ema_12_true"), col("ema_26_true"))
+    },
+    Some(withBase(
+      s"""SELECT $KEYS,
+         | ${foldSql(s"list(close) OVER ($OV ROWS BETWEEN 63 PRECEDING AND CURRENT ROW)", "2.0/13.0")} AS ema_12_true,
+         | ${foldSql(s"list(close) OVER ($OV ROWS BETWEEN 63 PRECEDING AND CURRENT ROW)", "2.0/27.0")} AS ema_26_true
+         | FROM base $ORD""".stripMargin)))
+
+  private val rsiWilderQ = Q(
+    (s, dir) => {
+      import graft.operators.Indicators
+      keyed(Indicators.withWilderRsi(ohlcv(s, dir), W), col("rsi_wilder"))
+    },
+    Some(withBase(
+      s""", c1 AS (SELECT $KEYS, close, volume, open, low,
+         |   close - LAG(close, 1) $LAGOV AS chg FROM base),
+         | c2 AS (SELECT *, CASE WHEN chg > 0 THEN chg ELSE 0.0 END AS gain,
+         |   CASE WHEN chg < 0 THEN -chg ELSE 0.0 END AS loss FROM c1),
+         | c3 AS (SELECT $KEYS,
+         |  ${foldSql(s"list(gain) OVER ($OV ROWS BETWEEN 255 PRECEDING AND CURRENT ROW)", "1.0/14.0")} AS avg_gain,
+         |  ${foldSql(s"list(loss) OVER ($OV ROWS BETWEEN 255 PRECEDING AND CURRENT ROW)", "1.0/14.0")} AS avg_loss
+         | FROM c2)
+         | SELECT $KEYS, 100.0 - (100.0 / (1.0 +
+         |   CASE WHEN avg_loss <> 0 THEN avg_gain / avg_loss ELSE 100.0 END)) AS rsi_wilder
+         | FROM c3 $ORD""".stripMargin)))
+
   // ------------------------------------------- S1: watermark scan pushdown
   private val scanWatermarkQ = Q(
     (s, dir) => keyed(
@@ -324,6 +367,8 @@ object Queries {
   private lazy val core: Map[String, Q] = Map(
     "sma" -> smaQ,
     "ema_approx" -> emaQ,
+    "ema_true" -> emaTrueQ,
+    "rsi_wilder" -> rsiWilderQ,
     "macd" -> macdQ,
     "bollinger" -> bollingerQ,
     "rsi" -> rsiQ,

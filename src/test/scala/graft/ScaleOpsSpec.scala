@@ -141,6 +141,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(1).n_frames == 1 && out(1).features(0) == 127 / 255.0)
   }
 
+  test("minhash signature agreement estimates jaccard similarity") {
+    // pairs of docs with known overlap: agreement fraction across K
+    // components must track true shingle-set jaccard
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                             // j = 1.0
+      (3L, base.replace("mu", "nu")),                         // high overlap
+      (4L, "one two three four five six seven eight nine ten eleven twelve")) // j = 0
+      .toDF("doc_id", "text")
+    val k = 64
+    val sig = graft.operators.ScaleOps.minhashSignatureTable(docs, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(i => r.getAs[Long](s"sig_$i"))).toMap
+    def agree(a: Long, b: Long) =
+      sig(a).zip(sig(b)).count { case (x, y) => x == y }.toDouble / k
+    assert(agree(1L, 2L) == 1.0)
+    assert(agree(1L, 3L) > 0.5)   // true jaccard = 8/12 (3 of 10 shingles change)
+    assert(agree(1L, 3L) < 1.0)
+    assert(agree(1L, 4L) < 0.1)
+  }
+
   test("hamming column function matches bitCount") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
       .withColumn("h", ScaleOps.hamming(col("a"), col("b")))

@@ -53,22 +53,27 @@ object QueriesScale {
   // ------------------------------------------------------------- text stats
   private val textStatsQ = Q(
     (s, dir) => ScaleOps.withTextStats(Tables.documents(s, dir))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
-        col("n_stopwords"), col("distinct_ratio"), col("stopword_ratio"),
-        col("mean_token_len"))
+      .select(col("doc_id"), col("n_tokens"), col("n_regex_tokens"),
+        col("n_distinct_tokens"), col("n_stopwords"), col("distinct_ratio"),
+        col("stopword_ratio"), col("mean_token_len"), col("quality_score"))
       .orderBy(col("doc_id")),
     Some(
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         | c AS (SELECT doc_id, text,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS BIGINT) AS n_regex_tokens,
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
         |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS n_stopwords
-        | FROM t)
-        | SELECT doc_id, n_tokens, n_distinct_tokens, n_stopwords,
+        | FROM t),
+        | r AS (SELECT doc_id, n_tokens, n_regex_tokens, n_distinct_tokens, n_stopwords,
         |  CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
         |  CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len
-        | FROM c ORDER BY doc_id""".stripMargin))
+        | FROM c)
+        | SELECT *,
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |  (1.0 - stopword_ratio) * 0.3 + distinct_ratio * 0.3 AS quality_score
+        | FROM r ORDER BY doc_id""".stripMargin))
 
   // ------------------------------------------------------- language ID
   private val langIdQ = Q(
@@ -115,7 +120,8 @@ object QueriesScale {
         .withColumn("md5_full", md5(col("text")))
         .withColumn("_sh", ScaleOps.shingles(toks))
         .withColumn("min_shingle_hash", ScaleOps.minhashComponent(col("_sh"), 1))
-        .select(col("doc_id"), col("md5_full"), col("min_shingle_hash"))
+        .withColumn("rolling_hash", ScaleOps.rollingHash(col("text")))
+        .select(col("doc_id"), col("md5_full"), col("min_shingle_hash"), col("rolling_hash"))
         .orderBy(col("doc_id"))
     },
     Some(
@@ -124,7 +130,10 @@ object QueriesScale {
         |  [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS shingles
         | FROM t)
         | SELECT doc_id, md5(text) AS md5_full,
-        |  list_min(list_transform(shingles, x -> md5('1|' || x))) AS min_shingle_hash
+        |  list_min(list_transform(shingles, x -> md5('1|' || x))) AS min_shingle_hash,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 2147483647) AS rolling_hash
         | FROM sh ORDER BY doc_id""".stripMargin))
 
   // ------------------------------------------- MinHash + LSH near-dup join

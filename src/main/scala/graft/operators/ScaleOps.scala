@@ -186,19 +186,41 @@ object ScaleOps {
   def markerScore(toks: Column, lang: String): Column =
     size(filter(toks, t => inList(t, langMarkers(lang))))
 
-  /** Text-quality stats: token counts, distinct ratio, stopword ratio,
-    * mean token length — all per-row integer/double arithmetic.
+  /** BPE-ish regex tokenization: letter runs and digit runs as separate
+    * tokens (the word/number split every subword tokenizer starts from).
+    */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0))
+
+  /** Text-quality stats: token counts (whitespace + regex), distinct
+    * ratio, stopword ratio, mean token length, composite quality score —
+    * all per-row integer/double arithmetic.
     */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val tk = tokens(col(textCol))
     df.withColumn("n_tokens", size(tk).cast(LongType))
+      .withColumn("n_regex_tokens", size(regexTokens(col(textCol))).cast(LongType))
       .withColumn("n_distinct_tokens", size(array_distinct(tk)).cast(LongType))
       .withColumn("n_stopwords", stopwordCount(tk).cast(LongType))
       .withColumn("distinct_ratio", col("n_distinct_tokens").cast(DoubleType) / col("n_tokens").cast(DoubleType))
       .withColumn("stopword_ratio", col("n_stopwords").cast(DoubleType) / col("n_tokens").cast(DoubleType))
       .withColumn("mean_token_len",
         length(regexp_replace(col(textCol), " ", "")).cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast(DoubleType) / lit(100.0), lit(1.0)) * lit(0.4) +
+          (lit(1.0) - col("stopword_ratio")) * lit(0.3) +
+          col("distinct_ratio") * lit(0.3))
   }
+
+  /** Polynomial rolling hash over the document's characters:
+    * h = fold(h·31 + ascii(c)) mod (2^31 − 1). Sequential fold, BIGINT
+    * arithmetic — identical in Spark and DuckDB.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast(LongType)),
+      lit(7L),
+      (acc, c) => (acc * lit(31L) + c) % lit(2147483647L))
 
   // ------------------------------------------------------- multimodal stub
 

@@ -137,13 +137,11 @@ object QueriesScale {
         | FROM sh ORDER BY doc_id""".stripMargin))
 
   // ------------------------------------------- MinHash + LSH near-dup join
-  // Per-row K=8 signature (no shuffle) → 4 band keys of 2 components →
-  // self-join per band on the compact key → distinct candidate pairs with
-  // band-agreement count. The only shuffles are on 32-char band hashes.
+  // K=8 signature via one explode+HashAggregate → 4 band keys of 2
+  // components → bucket-grouped pair expansion → pairs with band-agreement
+  // count. The only shuffles carry compact (band_idx, key) pairs.
   private val minhashLshQ = Q(
     (s, dir) => {
-      // single stacked band join: signatures via one explode+HashAggregate,
-      // one shuffle on (band_idx, band_key) instead of 4 self-joins
       val sig = ScaleOps.minhashSignatureTable(dupedDocs(s, dir), "doc_id", "text", k = 8)
         .select(Seq(col("doc_id")) ++ ScaleOps.bandKeys(8, 2): _*)
       val banded = sig.select(col("doc_id"),

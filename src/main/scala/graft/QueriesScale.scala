@@ -436,7 +436,32 @@ object QueriesScale {
         |   (a, b) -> a + b) AS recon_err_sq
         | FROM embeddings ORDER BY vec_id""".stripMargin))
 
+  // ------------------------------------------- n-gram frequency table
+  // Corpus bigram counts per language, top-5 by frequency — the n-gram LM
+  // statistics pass of a text pipeline. Explode word bigrams (per-row
+  // shingling, no shuffle) → count per (lang, bigram) → deterministic
+  // top-k via (count desc, bigram asc).
+  private val ngramCountsQ = Q(
+    (s, dir) => {
+      val bi = Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(ScaleOps.shingles(ScaleOps.tokens(col("text")), k = 2)).as("bigram"))
+      val counted = bi.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))
+      counted.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy(col("lang"), col("rank"))
+    },
+    Some(
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        | b AS (SELECT lang, unnest([array_to_string(toks[i:i+1], ' ')
+        |   for i in generate_series(1, len(toks)-1)]) AS bigram FROM t),
+        | c AS (SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+        | r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INT) AS rank FROM c)
+        | SELECT lang, bigram, n, rank FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ngram_counts" -> ngramCountsQ,
     "embedding_quantize" -> embQuantizeQ,
     "corpus_stats" -> corpusStatsQ,
     "ann_lsh_topk" -> annLshQ,

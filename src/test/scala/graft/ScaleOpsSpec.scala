@@ -162,6 +162,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(agree(1L, 4L) < 0.1)
   }
 
+  test("approx corpus stats track exact within sketch tolerance") {
+    val exact = Queries.all("corpus_stats").fn(spark, sf0001)
+      .select("lang", "n_docs", "vocab_size").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = Queries.all("corpus_stats_approx").fn(spark, sf0001)
+      .select("lang", "n_docs_approx", "vocab_approx").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (lang, (docs, vocab)) =>
+      val (dA, vA) = approx(lang)
+      assert(math.abs(dA - docs).toDouble / docs < 0.1, s"$lang docs $dA vs $docs")
+      assert(math.abs(vA - vocab).toDouble / vocab < 0.1, s"$lang vocab $vA vs $vocab")
+    }
+  }
+
   test("hamming column function matches bitCount") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
       .withColumn("h", ScaleOps.hamming(col("a"), col("b")))

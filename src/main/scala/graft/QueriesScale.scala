@@ -461,23 +461,26 @@ object QueriesScale {
         | SELECT lang, bigram, n, rank FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin))
 
   // ------------------------------- sketch-based corpus stats (⊘ oracle)
-  // The 100 TB form of corpus_stats: HLL++ distinct counts and t-digest
-  // percentiles replace exact DISTINCT (whose hash table is O(vocabulary)
-  // per group). No oracle — sketch implementations differ across engines;
-  // accuracy vs the exact query is pinned by ScalaTest instead.
+  // The 100 TB form of corpus_stats: HLL++ distinct counts and
+  // Greenwald-Khanna quantile summaries replace exact DISTINCT (whose
+  // hash table is O(vocabulary) per group). Percentiles aggregate the
+  // per-DOCUMENT frame — computing them post-explode would weight each
+  // doc by its token count. No oracle — sketch implementations differ
+  // across engines; accuracy vs exact is pinned by ScalaTest instead.
   private val corpusStatsApproxQ = Q(
     (s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          explode(ScaleOps.tokens(col("text"))).as("token"))
-      toks.groupBy("lang")
+      val docs = Tables.documents(s, dir)
+      val docLevel = docs.groupBy("lang")
         .agg(
           approx_count_distinct(col("doc_id"), 0.02).as("n_docs_approx"),
-          approx_count_distinct(col("token"), 0.02).as("vocab_approx"),
-          count(lit(1)).as("n_tokens"),
           percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("p50_chars"),
           percentile_approx(col("n_chars"), lit(0.95), lit(1000)).as("p95_chars"))
-        .orderBy("lang")
+      val tokLevel = docs
+        .select(col("lang"), explode(ScaleOps.tokens(col("text"))).as("token"))
+        .groupBy("lang")
+        .agg(approx_count_distinct(col("token"), 0.02).as("vocab_approx"),
+          count(lit(1)).as("n_tokens"))
+      docLevel.join(tokLevel, "lang").orderBy("lang")
     },
     None)
 

@@ -175,6 +175,19 @@ class ScaleOpsSpec extends SparkSpec {
       assert(math.abs(dA - docs).toDouble / docs < 0.1, s"$lang docs $dA vs $docs")
       assert(math.abs(vA - vocab).toDouble / vocab < 0.1, s"$lang vocab $vA vs $vocab")
     }
+    // percentiles: must be per-document (not token-weighted) — compare to
+    // the exact per-doc median computed in plain Scala
+    val p50 = Queries.all("corpus_stats_approx").fn(spark, sf0001)
+      .select("lang", "p50_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = Tables.documents(spark, sf0001)
+      .select("lang", "n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    byLang.foreach { case (lang, sorted) =>
+      val exactMedian = sorted(sorted.length / 2).toDouble
+      assert(math.abs(p50(lang) - exactMedian) / exactMedian < 0.1,
+        s"$lang p50 ${p50(lang)} vs ~$exactMedian")
+    }
   }
 
   test("hamming column function matches bitCount") {

@@ -230,8 +230,8 @@ object Queries {
     },
     Some(withBase(
       s"""SELECT $KEYS,
-         | ${foldSql(s"list(close) OVER ($OV ROWS BETWEEN 63 PRECEDING AND CURRENT ROW)", "2.0/13.0")} AS ema_12_true,
-         | ${foldSql(s"list(close) OVER ($OV ROWS BETWEEN 63 PRECEDING AND CURRENT ROW)", "2.0/27.0")} AS ema_26_true
+         | ${foldSql(s"list(close) OVER ($OV ROWS BETWEEN 511 PRECEDING AND CURRENT ROW)", "2.0/13.0")} AS ema_12_true,
+         | ${foldSql(s"list(close) OVER ($OV ROWS BETWEEN 511 PRECEDING AND CURRENT ROW)", "2.0/27.0")} AS ema_26_true
          | FROM base $ORD""".stripMargin)))
 
   private val rsiWilderQ = Q(
@@ -245,8 +245,8 @@ object Queries {
          | c2 AS (SELECT *, CASE WHEN chg > 0 THEN chg ELSE 0.0 END AS gain,
          |   CASE WHEN chg < 0 THEN -chg ELSE 0.0 END AS loss FROM c1),
          | c3 AS (SELECT $KEYS,
-         |  ${foldSql(s"list(gain) OVER ($OV ROWS BETWEEN 255 PRECEDING AND CURRENT ROW)", "1.0/14.0")} AS avg_gain,
-         |  ${foldSql(s"list(loss) OVER ($OV ROWS BETWEEN 255 PRECEDING AND CURRENT ROW)", "1.0/14.0")} AS avg_loss
+         |  ${foldSql(s"list(gain) OVER ($OV ROWS BETWEEN 511 PRECEDING AND CURRENT ROW)", "1.0/14.0")} AS avg_gain,
+         |  ${foldSql(s"list(loss) OVER ($OV ROWS BETWEEN 511 PRECEDING AND CURRENT ROW)", "1.0/14.0")} AS avg_loss
          | FROM c2)
          | SELECT $KEYS, 100.0 - (100.0 / (1.0 +
          |   CASE WHEN avg_loss <> 0 THEN avg_gain / avg_loss ELSE 100.0 END)) AS rsi_wilder

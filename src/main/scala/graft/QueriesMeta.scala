@@ -260,7 +260,9 @@ object QueriesMeta {
   private val csvSymbolsQ = Q(
     (s, dir) => {
       val path = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_symbols_csv").getPath
-      if (!new java.io.File(path).exists()) {
+      // guard on the _SUCCESS marker: a bare exists() check would treat a
+      // crashed half-written directory as valid and silently fall back
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
         Tables.ohlcv(s, dir).select(col("symbol").as("Symbol")).distinct()
           .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
       }

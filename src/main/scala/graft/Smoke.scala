@@ -35,9 +35,11 @@ object Smoke {
     val base = Tables.ohlcv(spark, "/root/testdata/sf0.001")
     val half = base.filter(org.apache.spark.sql.functions.col("timestamp") <
       org.apache.spark.sql.functions.lit("1995-01-01"))
-    operators.Incremental.runIncremental(spark, half, s"$tmp/wm", s"$tmp/out")
-    operators.Incremental.runIncremental(spark, base, s"$tmp/wm", s"$tmp/out")
-    val rerun = operators.Incremental.runIncremental(spark, base, s"$tmp/wm", s"$tmp/out")
+    val ord = Seq("trading_date", "l_orderkey", "l_linenumber", "l_partkey",
+      "l_suppkey", "close", "volume", "open", "low") // total order on this data
+    operators.Incremental.runIncremental(spark, half, s"$tmp/wm", s"$tmp/out", orderCols = ord)
+    operators.Incremental.runIncremental(spark, base, s"$tmp/wm", s"$tmp/out", orderCols = ord)
+    val rerun = operators.Incremental.runIncremental(spark, base, s"$tmp/wm", s"$tmp/out", orderCols = ord)
     val written = spark.read.parquet(s"$tmp/out").count()
     println(s"[smoke] incremental written=$written rerun_new=${rerun.count()}")
     assert(written == n, s"incremental total $written != $n")
@@ -46,7 +48,6 @@ object Smoke {
     // ML parity end-to-end on real testdata: indicators -> future target ->
     // train -> registry -> predict latest
     val mlDir = java.nio.file.Files.createTempDirectory("graft_smoke_ml").toString
-    val ord = Seq("trading_date", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     val labeled = ml.MlParity.withFutureTarget(
       operators.Indicators.withIndicators(base, operators.Indicators.baseWindow()), ord)
     val feats = Seq("close", "sma_5", "sma_20", "rsi", "obv")

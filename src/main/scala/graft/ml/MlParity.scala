@@ -121,7 +121,9 @@ object MlParity {
 
   def predict(spark: SparkSession, registryDir: String, symbol: String,
       latest: DataFrame, features: Seq[String]): DataFrame = {
-    val Some((path, _)) = bestModel(spark, registryDir, symbol)
+    val (path, _) = bestModel(spark, registryDir, symbol).getOrElse(
+      throw new IllegalArgumentException(
+        s"no model registered for symbol '$symbol' in $registryDir/ml_models"))
     val model = LinearRegressionModel.load(path)
     val assembled = new VectorAssembler()
       .setInputCols(features.toArray).setOutputCol("features")

@@ -39,10 +39,14 @@ object Incremental {
 
   /** Read the watermark state table (empty frame when absent). */
   def readWatermarks(spark: SparkSession, stateDir: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path) && fs.listStatus(path).nonEmpty)
-      spark.read.parquet(stateDir)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nonEmpty(dir: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      fs.exists(p) && fs.listStatus(p).nonEmpty
+    }
+    if (nonEmpty(stateDir)) spark.read.parquet(stateDir)
+    else if (nonEmpty(stateDir + "_bak")) spark.read.parquet(stateDir + "_bak")
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], wmSchema)
   }
 
@@ -55,13 +59,18 @@ object Incremental {
       .groupBy("symbol")
       .agg(max("last_processed_timestamp").as("last_processed_timestamp"),
         max("updated_at").as("updated_at"))
-    // small state table: safe to materialize through a temp dir for overwrite
+    // small state table; swap via backup so a crash mid-swap never loses
+    // the watermark table (readWatermarks falls back to the .bak copy)
     val tmp = stateDir + "_tmp"
     merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(stateDir))
+    val state = new org.apache.hadoop.fs.Path(stateDir)
+    val bak = new org.apache.hadoop.fs.Path(stateDir + "_bak")
+    val fs = state.getFileSystem(conf)
+    fs.delete(bak, true)
+    if (fs.exists(state)) fs.rename(state, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), state)
+    fs.delete(bak, true)
   }
 
   /** One incremental run: filter past watermarks, compute indicators,
@@ -69,14 +78,17 @@ object Incremental {
     * newly processed frame.
     */
   def runIncremental(spark: SparkSession, input: DataFrame, stateDir: String,
-      outDir: String, mode: BoundaryMode = Truncated): DataFrame = {
+      outDir: String, mode: BoundaryMode = Truncated,
+      orderCols: Seq[String] = Seq("trading_date", "timestamp")): DataFrame = {
     val wm = readWatermarks(spark, stateDir)
       .select(col("symbol"), col("last_processed_timestamp").as("_wm"))
 
     val withWm = input.join(broadcast(wm), Seq("symbol"), "left")
     val fresh = withWm.filter(col("_wm").isNull || col("timestamp") > col("_wm"))
 
-    val w = Window.partitionBy("symbol").orderBy("trading_date", "timestamp")
+    // orderCols must be a TOTAL order within each symbol or window results
+    // are nondeterministic (see Queries.tieCols for the testdata key set)
+    val w = Window.partitionBy("symbol").orderBy(orderCols.map(col): _*)
     val processed = mode match {
       case Truncated =>
         // reference behavior: indicators over new rows only
@@ -84,7 +96,7 @@ object Incremental {
       case OverlapReload =>
         // exact: include up to (maxFrame-1) rows of already-processed tail
         // per symbol as warm-up context, then trim them from the output
-        val histW = Window.partitionBy("symbol").orderBy(col("trading_date").desc, col("timestamp").desc)
+        val histW = Window.partitionBy("symbol").orderBy(orderCols.map(c => col(c).desc): _*)
         val history = withWm
           .filter(col("_wm").isNotNull && col("timestamp") <= col("_wm"))
           .withColumn("_rn", row_number().over(histW))
@@ -103,7 +115,10 @@ object Incremental {
     val keyed = processed.withColumn("symbol_date_key",
       Clean.compositeKey(col("symbol"), col("trading_date"))).cache()
     keyed.count()
-    // idempotent append: re-running the same increment rewrites the same keys
+    // At-least-once, like the reference's Mongo append (etl_job.py:389-394):
+    // a crash between this append and the watermark advance duplicates the
+    // increment on retry; symbol_date_key lets downstream consumers dedup
+    // (the reference's ES-upsert semantics).
     keyed.write.mode(SaveMode.Append).partitionBy("symbol").parquet(outDir)
 
     val newWm = fresh.groupBy("symbol")

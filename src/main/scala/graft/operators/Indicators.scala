@@ -171,12 +171,13 @@ object Indicators {
     * approximation, SURVEY §7.3): ema_t = α·x_t + (1−α)·ema_{t−1},
     * α = 2/(n+1), seeded with the first value. Closed form over the
     * unbounded-preceding frame via higher-order `aggregate` on the
-    * collected prefix would blow memory at scale; instead we use the
-    * exact rank-weighted form over a bounded lookback: beyond ~64 terms
-    * the (1−α)^k weights vanish below double precision, so a 64-row
-    * frame is numerically exact while keeping the frame bounded.
+    * collected prefix would blow memory at scale; instead the recurrence
+    * folds over a bounded lookback. The truncation error of an L-row
+    * lookback is (1−α)^(L−1) of the older history's weight — for the
+    * default L=512: n=12 → ~4e-41, n=26 → ~3e-17, i.e. at or below double
+    * precision. (L must grow ~7.7·(n+1) per decimal digit of accuracy.)
     */
-  def trueEma(close: Column, n: Int, w: WindowSpec, lookback: Int = 64): Column = {
+  def trueEma(close: Column, n: Int, w: WindowSpec, lookback: Int = 512): Column = {
     val alpha = 2.0 / (n + 1)
     val xs = collect_list(close).over(w.rowsBetween(-(lookback - 1), 0))
     // Sequential fold reproduces the recurrence exactly over the window.
@@ -187,10 +188,11 @@ object Indicators {
   /** Wilder-smoothed RSI (fidelity upgrade over W8's plain-SMA variant,
     * SURVEY §7.3): avg_gain_t = (avg_gain_{t−1}·(n−1) + gain_t)/n — the
     * same exponential recurrence as EMA with α = 1/n, seeded by the first
-    * value. Same bounded-lookback closed form as [[trueEma]]: weights
-    * (1−1/n)^k vanish below double precision within ~15n rows.
+    * value. Same bounded-lookback closed form as [[trueEma]]: the default
+    * 512-row lookback truncates (1−1/14)^511 ≈ 4e-17 of the weight —
+    * below double precision.
     */
-  def withWilderRsi(df: DataFrame, w: WindowSpec, n: Int = 14, lookback: Int = 256): DataFrame = {
+  def withWilderRsi(df: DataFrame, w: WindowSpec, n: Int = 14, lookback: Int = 512): DataFrame = {
     val alpha = 1.0 / n
     def smooth(c: Column): Column =
       aggregate(collect_list(c).over(w.rowsBetween(-(lookback - 1), 0)),

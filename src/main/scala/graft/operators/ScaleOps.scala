@@ -217,10 +217,13 @@ object ScaleOps {
     * arithmetic — identical in Spark and DuckDB.
     */
   def rollingHash(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), c => ascii(c).cast(LongType)),
-      lit(7L),
-      (acc, c) => (acc * lit(31L) + c) % lit(2147483647L))
+    // empty-text guard: Spark's split("", "") yields [""] (one empty token)
+    // while DuckDB's string_split is empty — pin both to the bare seed
+    when(length(text) === 0, lit(7L)).otherwise(
+      aggregate(
+        transform(split(text, ""), c => ascii(c).cast(LongType)),
+        lit(7L),
+        (acc, c) => (acc * lit(31L) + c) % lit(2147483647L)))
 
   // ------------------------------------------------------- multimodal stub
 

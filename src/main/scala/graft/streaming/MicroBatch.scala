@@ -78,7 +78,13 @@ object MicroBatch {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = if (statefulDedup) batch else batch.dropDuplicates("es_id")
-        b.write.mode("append").partitionBy("ticker").parquet(outDir)
+        // foreachBatch is at-least-once: a crash after the files commit but
+        // before the streaming commit log records the batch replays it.
+        // Writing each batch into its own batch_id partition with overwrite
+        // makes a replay rewrite the same path instead of appending
+        // duplicates -> genuinely idempotent.
+        b.write.mode("overwrite").partitionBy("ticker")
+          .parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .start()

@@ -31,13 +31,18 @@ case class DotProductFloat(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Null semantics match the HOF formulation exactly (zip_with pads
+  // length-mismatched arrays with null; null poisons the fold): result is
+  // NULL when lengths differ or any element is null.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -49,13 +54,16 @@ case class DotProductFloat(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = ($n != $b.numElements());
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
-         |${ev.value} = $acc;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
 

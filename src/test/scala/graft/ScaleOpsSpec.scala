@@ -190,6 +190,18 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("native dot product matches HOF on malformed vectors (null, not partial sums)") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),        // ok
+      (2L, Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 4.0f)))  // truncated right side
+      .toDF("id", "a", "b")
+    val r = df.withColumn("dn", ScaleOps.dotD(col("a"), col("b")))
+      .withColumn("dh", ScaleOps.dotHof(col("a"), col("b")))
+      .select("id", "dn", "dh").orderBy("id").collect()
+    assert(r(0).getDouble(1) == 11.0 && r(0).getDouble(2) == 11.0)
+    assert(r(1).isNullAt(1) && r(1).isNullAt(2), "length mismatch must be NULL on both paths")
+  }
+
   test("hamming column function matches bitCount") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
       .withColumn("h", ScaleOps.hamming(col("a"), col("b")))

@@ -57,6 +57,33 @@ class IncrementalSpec extends SparkSpec {
     assert(rerun.isEmpty)
   }
 
+  test("overlap-reload on REAL ohlcv data (with ties) equals single-batch run") {
+    val ord = Seq("trading_date", "l_orderkey", "l_linenumber", "l_partkey",
+      "l_suppkey", "close", "volume", "open", "low")
+    val base = Tables.ohlcv(spark, sf0001)
+    val half = base.filter(col("timestamp") < lit("1995-06-01"))
+
+    val (st1, out1) = (tmp() + "/wm", tmp() + "/out")
+    Incremental.runIncremental(spark, base, st1, out1, Incremental.OverlapReload, ord)
+    val (st2, out2) = (tmp() + "/wm", tmp() + "/out")
+    Incremental.runIncremental(spark, half, st2, out2, Incremental.OverlapReload, ord)
+    Incremental.runIncremental(spark, base, st2, out2, Incremental.OverlapReload, ord)
+
+    def snap(dir: String) = spark.read.parquet(dir)
+      .select("symbol", "trading_date", "l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "sma_5", "rsi", "bb_middle")
+      .orderBy("symbol", "trading_date", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .collect().toSeq
+    val (a, b) = (snap(out1), snap(out2))
+    assert(a.size == b.size && a.size == 6000)
+    a.zip(b).foreach { case (x, y) =>
+      (6 until 9).foreach { i =>
+        assert(x.getDouble(i) == y.getDouble(i),
+          s"col $i differs at ${x.get(0)}/${x.get(2)}: ${x.getDouble(i)} vs ${y.getDouble(i)}")
+      }
+    }
+  }
+
   test("watermark state advances to max timestamp per symbol") {
     val (st, out) = (tmp() + "/wm", tmp() + "/out")
     Incremental.runIncremental(spark, mkInput(1 to 10), st, out)

@@ -259,7 +259,8 @@ object QueriesMeta {
   // No DuckDB oracle: the driver records a rows-only check.
   private val csvSymbolsQ = Q(
     (s, dir) => {
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_symbols_csv").getPath
+      val dirKey = java.util.UUID.nameUUIDFromBytes(dir.getBytes).toString.take(8)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_symbols_csv_$dirKey").getPath
       // guard on the _SUCCESS marker: a bare exists() check would treat a
       // crashed half-written directory as valid and silently fall back
       if (!new java.io.File(path, "_SUCCESS").exists()) {

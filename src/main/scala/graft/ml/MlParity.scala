@@ -50,7 +50,9 @@ object MlParity {
     val n = Window.partitionBy("symbol")
     val ranked = df.withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(n))
-    val cut = col("_n") * (1.0 - testFraction)
+    // float rounding guard: 90 * (1 - 0.3) = 62.9999... would shift the
+    // boundary by one row
+    val cut = round(col("_n") * (1.0 - testFraction))
     (ranked.filter(col("_rn") <= cut).drop("_rn", "_n"),
       ranked.filter(col("_rn") > cut).drop("_rn", "_n"))
   }

@@ -67,8 +67,12 @@ object Incremental {
     val state = new org.apache.hadoop.fs.Path(stateDir)
     val bak = new org.apache.hadoop.fs.Path(stateDir + "_bak")
     val fs = state.getFileSystem(conf)
-    fs.delete(bak, true)
-    if (fs.exists(state)) fs.rename(state, bak)
+    // the backup must survive until the new state is promoted: a recovery
+    // run (only _bak present) goes straight to the promote step
+    if (fs.exists(state)) {
+      fs.delete(bak, true)
+      fs.rename(state, bak)
+    }
     fs.rename(new org.apache.hadoop.fs.Path(tmp), state)
     fs.delete(bak, true)
   }
@@ -112,9 +116,11 @@ object Incremental {
     // Materialize before advancing the watermark: the plan reads the state
     // table, which is rewritten below — a lazily returned frame would
     // otherwise silently re-filter against the NEW watermark.
+    // localCheckpoint truncates the lineage (no re-eval hazard) and its
+    // blocks are released when the frame is GC'd, unlike an unbounded
+    // cache() per incremental run.
     val keyed = processed.withColumn("symbol_date_key",
-      Clean.compositeKey(col("symbol"), col("trading_date"))).cache()
-    keyed.count()
+      Clean.compositeKey(col("symbol"), col("trading_date"))).localCheckpoint(true)
     // At-least-once, like the reference's Mongo append (etl_job.py:389-394):
     // a crash between this append and the watermark advance duplicates the
     // increment on retry; symbol_date_key lets downstream consumers dedup

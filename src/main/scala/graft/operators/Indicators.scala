@@ -33,7 +33,8 @@ object Indicators {
     * required for deterministic results on data where trading_date ties
     * (SURVEY §7.4.1).
     */
-  def baseWindow(tiebreakers: Seq[String] = Seq("l_orderkey", "l_linenumber")): WindowSpec =
+  def baseWindow(tiebreakers: Seq[String] = Seq("l_orderkey", "l_linenumber",
+      "l_partkey", "l_suppkey")): WindowSpec =
     Window.partitionBy("symbol")
       .orderBy(("trading_date" +: tiebreakers).map(col): _*)
 
@@ -87,7 +88,11 @@ object Indicators {
         when(col("_prev_20d_close").isNotNull,
           (close - col("_prev_20d_close")) / col("_prev_20d_close") * 100)
           .otherwise(lit(0)))
-    d = d.drop(d.columns.filter(_.startsWith("_")).toSeq: _*)
+    // drop exactly the temp columns this function created — a blanket
+    // underscore-prefix drop would eat caller-owned bookkeeping columns
+    d = d.drop("_ema_12", "_ema_26", "_bb_stddev", "_prev_close",
+      "_price_change", "_gain", "_loss", "_avg_gain", "_avg_loss", "_rs",
+      "_volume_sign", "_prev_5d_close", "_prev_20d_close")
     // typed-null padding + double cast (`etl_job.py:338-349`, E8)
     indicatorCols.foldLeft(d) { (acc, c) =>
       if (acc.columns.contains(c)) acc.withColumn(c, col(c).cast(DoubleType))
@@ -147,10 +152,10 @@ object Indicators {
     val signed = computed
       .withColumn("chg_tmp", col("close") - lag(col("close"), 1).over(cw))
       .withColumn("fresh_sign",
-        when(col("is_warmup"), lit(0L)).otherwise(
+        when(col("is_warmup"), lit(0)).otherwise(
           when(col("chg_tmp") > 0, col("volume"))
             .when(col("chg_tmp") < 0, -col("volume"))
-            .otherwise(lit(0L)).cast(LongType)))
+            .otherwise(lit(0))))
       .drop("chg_tmp")
     val localObv = signed
       .withColumn("obv_local", sum(col("fresh_sign")).over(cw.rowsBetween(Window.unboundedPreceding, 0)))
@@ -159,7 +164,7 @@ object Indicators {
       .withColumn("obv_offset",
         coalesce(sum(col("chunk_total")).over(
           Window.partitionBy("symbol").orderBy("chunk_id")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
       .select(col("symbol"), col("chunk_id"), col("obv_offset"))
     localObv.join(broadcast(offsets), Seq("symbol", "chunk_id"))
       .withColumn("obv", (col("obv_local") + col("obv_offset")).cast(DoubleType))

@@ -37,7 +37,7 @@ object Skew {
   def saltedDimJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int = 16): DataFrame = {
     val saltedFact = fact.withColumn("_salt",
-      pmod(pmod(hash(col(key), monotonically_increasing_id()), lit(salts)) + lit(salts), lit(salts)))
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
     val explodedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(broadcast(explodedDim), Seq(key, "_salt")).drop("_salt")

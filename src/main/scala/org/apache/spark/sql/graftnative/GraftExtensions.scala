@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "dot_f"),
-      (children: Seq[Expression]) => DotProductFloat(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"dot_f expects exactly 2 arguments, got ${children.length}")
+        DotProductFloat(children(0), children(1))
+      }))
   }
 }

@@ -31,6 +31,12 @@ case class DotProductFloat(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // result can be NULL (length mismatch / null element) even when both
+  // input arrays are non-nullable — without this override Spark would
+  // treat the expression as non-nullable and the codegen isNull
+  // assignment would be dead
+  override def nullable: Boolean = true
+
   // Null semantics match the HOF formulation exactly (zip_with pads
   // length-mismatched arrays with null; null poisons the fold): result is
   // NULL when lengths differ or any element is null.

@@ -39,10 +39,10 @@ class PlanSpec extends SparkSpec {
   test("sma: scan reads only the columns the query needs") {
     val plan = fmt(Queries.all("sma").fn(spark, sf0001))
     val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
-    // close := l_extendedprice + keys; must NOT read l_comment-ish extras
     assert(readSchema.contains("l_extendedprice"))
-    assert(!readSchema.contains("l_tax") || readSchema.contains("struct<l_orderkey"),
-      s"unexpected read schema: $readSchema")
+    // l_linestatus is the one lineitem column no ohlcv query needs — it
+    // must be pruned from the scan
+    assert(!readSchema.contains("l_linestatus"), s"unpruned read schema: $readSchema")
   }
 
   test("join_symbol_dim: dims join via BroadcastHashJoin, no shuffle on dims") {

@@ -484,7 +484,49 @@ object QueriesScale {
     },
     None)
 
+  // --------------------------------- deterministic train/val/test split
+  // Reproducible dataset splits by content-stable hash (not random()):
+  // the same doc lands in the same split on every run, engine, and
+  // cluster size — the property training pipelines need for eval
+  // hygiene. Bucket = md5(doc_id) mod 10 → 8/1/1 split.
+  private val datasetSplitQ = Q(
+    (s, dir) => {
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10).cast(LongType),
+        lit(10L))
+      Tables.documents(s, dir)
+        .withColumn("bucket", bucket)
+        .withColumn("split",
+          when(col("bucket") < 8, lit("train"))
+            .when(col("bucket") === 8, lit("validation"))
+            .otherwise(lit("test")))
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """SELECT doc_id,
+        | CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS bucket,
+        | CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8 THEN 'train'
+        |      WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 8 THEN 'validation'
+        |      ELSE 'test' END AS split
+        | FROM documents ORDER BY doc_id""".stripMargin))
+
+  // --------------------------------------- stratified sampling (⊘ oracle)
+  // Per-language stratified sample (sampleBy): engine-internal Bernoulli
+  // draws aren't mirrorable in SQL — rows-only; proportions pinned by test.
+  private val stratifiedSampleQ = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val fractions = Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
+      docs.stat.sampleBy("lang", fractions, seed = 42L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   val all: Map[String, Q] = Map(
+    "dataset_split" -> datasetSplitQ,
+    "stratified_sample" -> stratifiedSampleQ,
     "corpus_stats_approx" -> corpusStatsApproxQ,
     "ngram_counts" -> ngramCountsQ,
     "embedding_quantize" -> embQuantizeQ,

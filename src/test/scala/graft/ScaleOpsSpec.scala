@@ -202,6 +202,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r(1).isNullAt(1) && r(1).isNullAt(2), "length mismatch must be NULL on both paths")
   }
 
+  test("dataset split is ~8/1/1, content-stable, and covers every doc") {
+    val split = Queries.all("dataset_split").fn(spark, sf0001)
+      .select("split").as[String].collect()
+    val n = split.length.toDouble
+    assert(n == 500)
+    val frac = split.groupBy(identity).view.mapValues(_.length / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08, s"train ${frac("train")}")
+    assert(frac.getOrElse("validation", 0.0) > 0.03 && frac.getOrElse("test", 0.0) > 0.03)
+    // stable across runs
+    val again = Queries.all("dataset_split").fn(spark, sf0001)
+      .select("split").as[String].collect()
+    assert(split.toSeq == again.toSeq)
+  }
+
+  test("stratified sample is deterministic and roughly honors fractions") {
+    val s1 = Queries.all("stratified_sample").fn(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSeq
+    val s2 = Queries.all("stratified_sample").fn(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1 == s2, "sampleBy with fixed seed must be deterministic")
+    val byLang = Queries.all("stratified_sample").fn(spark, sf0001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.documents(spark, sf0001).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang("en").toDouble / totals("en")
+    assert(enRate > 0.3 && enRate < 0.7, s"en rate $enRate vs target 0.5")
+  }
+
   test("hamming column function matches bitCount") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
       .withColumn("h", ScaleOps.hamming(col("a"), col("b")))

@@ -40,7 +40,10 @@ object Queries {
     * value-column tail covers the one residual collision at sf0.001
     * (full rows are distinct at every sf).
     */
-  private val tieCols = Seq("trading_date", "l_orderkey", "l_linenumber",
+  /** The canonical total order within a symbol on this testdata — reuse
+    * this everywhere a deterministic window order is needed.
+    */
+  val tieCols: Seq[String] = Seq("trading_date", "l_orderkey", "l_linenumber",
     "l_partkey", "l_suppkey", "close", "volume", "open", "low")
 
   private def W = Window.partitionBy("symbol").orderBy(tieCols.map(col): _*)

@@ -35,8 +35,7 @@ object Smoke {
     val base = Tables.ohlcv(spark, "/root/testdata/sf0.001")
     val half = base.filter(org.apache.spark.sql.functions.col("timestamp") <
       org.apache.spark.sql.functions.lit("1995-01-01"))
-    val ord = Seq("trading_date", "l_orderkey", "l_linenumber", "l_partkey",
-      "l_suppkey", "close", "volume", "open", "low") // total order on this data
+    val ord = Queries.tieCols // canonical total order on this data
     operators.Incremental.runIncremental(spark, half, s"$tmp/wm", s"$tmp/out", orderCols = ord)
     operators.Incremental.runIncremental(spark, base, s"$tmp/wm", s"$tmp/out", orderCols = ord)
     val rerun = operators.Incremental.runIncremental(spark, base, s"$tmp/wm", s"$tmp/out", orderCols = ord)

@@ -50,9 +50,10 @@ object MlParity {
     val n = Window.partitionBy("symbol")
     val ranked = df.withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(n))
-    // float rounding guard: 90 * (1 - 0.3) = 62.9999... would shift the
-    // boundary by one row
-    val cut = round(col("_n") * (1.0 - testFraction))
+    // floor-with-epsilon keeps the reference's int() truncation semantics
+    // while absorbing float error (90 * 0.7 = 62.9999... must cut at 63,
+    // but an exact 67.5 must still truncate to 67)
+    val cut = floor(col("_n") * (1.0 - testFraction) + lit(1e-9))
     (ranked.filter(col("_rn") <= cut).drop("_rn", "_n"),
       ranked.filter(col("_rn") > cut).drop("_rn", "_n"))
   }

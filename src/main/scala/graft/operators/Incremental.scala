@@ -68,12 +68,16 @@ object Incremental {
     val bak = new org.apache.hadoop.fs.Path(stateDir + "_bak")
     val fs = state.getFileSystem(conf)
     // the backup must survive until the new state is promoted: a recovery
-    // run (only _bak present) goes straight to the promote step
+    // run (only _bak present) goes straight to the promote step. Hadoop
+    // rename() reports failure via its return value — treat false as
+    // fatal or the delete below could destroy the only surviving copy.
+    def renameOrDie(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(src, dst), s"watermark state rename failed: $src -> $dst")
     if (fs.exists(state)) {
       fs.delete(bak, true)
-      fs.rename(state, bak)
+      renameOrDie(state, bak)
     }
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), state)
+    renameOrDie(new org.apache.hadoop.fs.Path(tmp), state)
     fs.delete(bak, true)
   }
 

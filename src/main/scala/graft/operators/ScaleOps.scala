@@ -217,13 +217,12 @@ object ScaleOps {
     * arithmetic — identical in Spark and DuckDB.
     */
   def rollingHash(text: Column): Column =
-    // empty-text guard: Spark's split("", "") yields [""] (one empty token)
-    // while DuckDB's string_split is empty — pin both to the bare seed
-    when(length(text) === 0, lit(7L)).otherwise(
-      aggregate(
-        transform(split(text, ""), c => ascii(c).cast(LongType)),
-        lit(7L),
-        (acc, c) => (acc * lit(31L) + c) % lit(2147483647L)))
+    // empty text: BOTH engines tokenize '' to [''] (ascii 0), giving
+    // (7*31+0) % m — verified against DuckDB 1.0.0; no guard needed
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast(LongType)),
+      lit(7L),
+      (acc, c) => (acc * lit(31L) + c) % lit(2147483647L))
 
   // ------------------------------------------------------- multimodal stub
 

@@ -71,6 +71,18 @@ object MicroBatch {
   def idempotentSink(df: DataFrame, outDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       statefulDedup: Boolean = true): StreamingQuery = {
+    // batch ids are scoped to the checkpoint: restarting with a FRESH
+    // checkpoint against a populated outDir would re-number from 0 and
+    // overwrite historical batch partitions — refuse loudly instead
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = outPath.getFileSystem(hconf)
+    val offsets = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+    val ckptFs = offsets.getFileSystem(hconf)
+    require(!(outFs.exists(outPath) && outFs.listStatus(outPath).nonEmpty && !ckptFs.exists(offsets)),
+      s"outDir $outDir already has data but checkpoint $checkpointDir is fresh - " +
+        "batch ids would restart at 0 and overwrite history; use the original " +
+        "checkpoint or a new outDir")
     val keyed = df.withColumn("es_id", concat_ws("_", col("ticker"), col("date")))
     val deduped = if (statefulDedup) keyed.dropDuplicates("es_id") else keyed
     deduped.writeStream

@@ -58,8 +58,7 @@ class IncrementalSpec extends SparkSpec {
   }
 
   test("overlap-reload on REAL ohlcv data (with ties) equals single-batch run") {
-    val ord = Seq("trading_date", "l_orderkey", "l_linenumber", "l_partkey",
-      "l_suppkey", "close", "volume", "open", "low")
+    val ord = Queries.tieCols
     val base = Tables.ohlcv(spark, sf0001)
     val half = base.filter(col("timestamp") < lit("1995-06-01"))
 

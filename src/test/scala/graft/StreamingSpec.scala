@@ -71,6 +71,22 @@ class StreamingSpec extends SparkSpec {
       Seq("AAPL_2024-01-01", "AAPL_2024-01-02"))
   }
 
+  test("idempotentSink refuses a fresh checkpoint against a populated outDir") {
+    val mem = MemoryStream[String](spark)
+    val out = Files.createTempDirectory("graft_guard_out").toString
+    val ckpt1 = Files.createTempDirectory("graft_guard_ckpt1").toString
+    mem.addData(msg("AAPL", "2024-01-01", 10.0))
+    val q = MicroBatch.idempotentSink(MicroBatch.decode(mem.toDF()), out, ckpt1)
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == 1)
+    // same outDir, brand-new checkpoint: batch ids would restart at 0
+    val ckpt2 = Files.createTempDirectory("graft_guard_ckpt2").toString
+    val ex = intercept[IllegalArgumentException] {
+      MicroBatch.idempotentSink(MicroBatch.decode(mem.toDF()), out, ckpt2)
+    }
+    assert(ex.getMessage.contains("fresh"))
+  }
+
   test("tumbling window counts with watermark over events-shaped stream") {
     val mem = MemoryStream[(java.sql.Timestamp, String)](spark)
     mem.addData(

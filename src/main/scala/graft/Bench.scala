@@ -34,7 +34,13 @@ object Bench {
       .mkString("{", ",", "}")
     // failed queries report -1 individually but must not deflate the total
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout is wrapped in sbt [info] prefixes that break machine parsing —
+    // also drop the bare JSON line to a file for the harness
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -255,6 +255,24 @@ object Queries {
          |   CASE WHEN avg_loss <> 0 THEN avg_gain / avg_loss ELSE 100.0 END)) AS rsi_wilder
          | FROM c3 $ORD""".stripMargin)))
 
+  // Production path for the same recurrences (⊘ oracle): the
+  // EmaAggregator UDAF — O(1) state per row instead of the 512-double
+  // collect_list frame, and exact rather than lookback-truncated. No SQL
+  // mirror (DuckDB can't run a custom UDAF and the exact unbounded fold
+  // would need O(n) lists per row); agreement with the fold variants is
+  // pinned to 1e-9 in IndicatorsSpec. This key exists so Bench times the
+  // path a production cluster would run.
+  private val emaRsiProdQ = Q(
+    (s, dir) => {
+      import graft.operators.Indicators
+      val d = Indicators.withWilderRsiExact(
+        ohlcv(s, dir)
+          .withColumn("ema_12_true", Indicators.trueEmaExact(col("close"), 12, W))
+          .withColumn("ema_26_true", Indicators.trueEmaExact(col("close"), 26, W)), W)
+      keyed(d, col("ema_12_true"), col("ema_26_true"), col("rsi_wilder"))
+    },
+    None)
+
   // ------------------------------------------- S1: watermark scan pushdown
   private val scanWatermarkQ = Q(
     (s, dir) => keyed(
@@ -372,6 +390,7 @@ object Queries {
     "ema_approx" -> emaQ,
     "ema_true" -> emaTrueQ,
     "rsi_wilder" -> rsiWilderQ,
+    "ema_rsi_prod" -> emaRsiProdQ,
     "macd" -> macdQ,
     "bollinger" -> bollingerQ,
     "rsi" -> rsiQ,

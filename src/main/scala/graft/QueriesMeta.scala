@@ -259,7 +259,12 @@ object QueriesMeta {
   // No DuckDB oracle: the driver records a rows-only check.
   private val csvSymbolsQ = Q(
     (s, dir) => {
-      val dirKey = java.util.UUID.nameUUIDFromBytes(dir.getBytes).toString.take(8)
+      // cache key includes a per-JVM nonce: a shared-tmpdir cache keyed only
+      // by the testdata path would survive testdata regeneration (stale
+      // universe) and race concurrent JVMs despite the _SUCCESS guard
+      val dirKey = java.util.UUID.nameUUIDFromBytes(
+        (dir + "|" + java.lang.management.ManagementFactory.getRuntimeMXBean.getName)
+          .getBytes).toString.take(12)
       val path = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_symbols_csv_$dirKey").getPath
       // guard on the _SUCCESS marker: a bare exists() check would treat a
       // crashed half-written directory as valid and silently fall back

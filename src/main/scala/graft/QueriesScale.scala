@@ -148,10 +148,12 @@ object QueriesScale {
         posexplode(array((1 to 4).map(b => col(s"band_$b")): _*)).as(Seq("band_idx", "bk")))
       // bucket-grouped pair generation instead of a self-join: the
       // signature pipeline runs ONCE (a self-join would execute it for
-      // both sides), and pairs expand per bucket via array combinatorics
-      val buckets = banded.groupBy("band_idx", "bk")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
+      // both sides), and pairs expand per bucket via array combinatorics.
+      // Buckets above lshBucketCap are SKIPPED — they expand quadratically
+      // and carry no near-dup signal (see ScaleOps.lshBucketCap).
+      val buckets = ScaleOps.cappedBuckets(
+        banded.groupBy("band_idx", "bk")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids")), "ids")
       buckets.select(explode(expr(
           """flatten(transform(ids, (x, i) ->
             |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))""".stripMargin))
@@ -178,11 +180,16 @@ object QueriesScale {
          | FROM sh),
          | b AS (SELECT doc_id, s1 || '#' || s2 AS band_1, s3 || '#' || s4 AS band_2,
          |              s5 || '#' || s6 AS band_3, s7 || '#' || s8 AS band_4 FROM sig),
-         | pairs AS (
-         |  SELECT a.doc_id AS id1, b2.doc_id AS id2 FROM b a JOIN b b2 ON a.band_1 = b2.band_1 WHERE a.doc_id < b2.doc_id
-         |  UNION ALL SELECT a.doc_id, b2.doc_id FROM b a JOIN b b2 ON a.band_2 = b2.band_2 WHERE a.doc_id < b2.doc_id
-         |  UNION ALL SELECT a.doc_id, b2.doc_id FROM b a JOIN b b2 ON a.band_3 = b2.band_3 WHERE a.doc_id < b2.doc_id
-         |  UNION ALL SELECT a.doc_id, b2.doc_id FROM b a JOIN b b2 ON a.band_4 = b2.band_4 WHERE a.doc_id < b2.doc_id)
+         | banded AS (
+         |  SELECT doc_id, 1 AS band_idx, band_1 AS bk FROM b
+         |  UNION ALL SELECT doc_id, 2, band_2 FROM b
+         |  UNION ALL SELECT doc_id, 3, band_3 FROM b
+         |  UNION ALL SELECT doc_id, 4, band_4 FROM b),
+         | ok AS (SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, bk) AS c
+         |   FROM banded) WHERE c BETWEEN 2 AND ${graft.operators.ScaleOps.lshBucketCap}),
+         | pairs AS (SELECT a.doc_id AS id1, b2.doc_id AS id2
+         |  FROM ok a JOIN ok b2 ON a.band_idx = b2.band_idx AND a.bk = b2.bk
+         |  WHERE a.doc_id < b2.doc_id)
          | SELECT id1, id2, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
          | FROM pairs GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin))
 
@@ -190,16 +197,26 @@ object QueriesScale {
   // Exact token-set jaccard for all pairs within a source group —
   // explode distinct tokens, join on (source, token), count intersection;
   // |A∪B| = |A|+|B|−|A∩B|. Shuffles on tokens, never crosses raw texts.
+  //
+  // Tokens with document frequency > maxTokenDf are dropped from BOTH the
+  // intersection and the set sizes (see ScaleOps.maxTokenDf): a stopword
+  // shared by all N docs of a source would otherwise yield one N-member
+  // bucket and N²/2 pairs — the quadratic stage that kills exact jaccard
+  // at corpus scale. The measure becomes jaccard over informative tokens.
   private val jaccardQ = Q(
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val tok = docs.select(col("doc_id"), col("source"),
         explode(array_distinct(ScaleOps.tokens(col("text")))).as("token"))
+      val dfW = Window.partitionBy("source", "token")
+      val kept = tok.withColumn("df", count(lit(1)).over(dfW))
+        .filter(col("df") <= ScaleOps.maxTokenDf)
+        .drop("df")
 
-      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
       // bucket-grouped pair counting (tokenize once, no self-join): each
       // (source, token) bucket expands to its ordered doc pairs
-      val common = tok.groupBy("source", "token")
+      val common = kept.groupBy("source", "token")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) > 1)
         .select(explode(expr(
@@ -218,10 +235,12 @@ object QueriesScale {
         .orderBy(col("id1"), col("id2"))
     },
     Some(
-      """WITH tok AS (SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token FROM documents),
-        | sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id),
+      s"""WITH tok AS (SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token FROM documents),
+        | kept AS (SELECT doc_id, source, token FROM (SELECT *, COUNT(*) OVER (PARTITION BY source, token) AS df
+        |   FROM tok) WHERE df <= ${graft.operators.ScaleOps.maxTokenDf}),
+        | sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM kept GROUP BY doc_id),
         | common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
-        |  FROM tok a JOIN tok b ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         | SELECT id1, id2, n_common,
         |  CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE) AS jaccard
@@ -264,31 +283,79 @@ object QueriesScale {
         | QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin))
 
   // -------------------------------------------- embedding near-dup pairs
+  // Scale path (round-2 rewrite): candidates come from the shared LSH
+  // bucket machinery (ScaleOps.lshBuckets, 16 tables × 4 sign-bits) with
+  // the degenerate-bucket cap, NOT from an all-pairs self-join within
+  // label — one hot label would make that O(n²). Exact cosine verifies
+  // candidates; label equality is a pair filter. Pair expansion is
+  // bounded by cap²/2 per bucket, so the plan stays linear-bounded at any
+  // corpus size (recall vs the exact answer is pinned by ScalaTest —
+  // 0.867 on this testdata; at a production near-dup threshold the sign
+  // bits agree almost everywhere and recall approaches 1).
+  //
+  // Oracle: the identical hyperplanes are inlined as literals (floats
+  // convert to double exactly), so DuckDB reproduces bucket assignment,
+  // cap, and cosine bit-for-bit — hash-green by construction.
+  private val embNdTables = 16
+  private val embNdBits = 4
   private val embNeardupQ = Q(
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-        .withColumn("nv", ScaleOps.l2norm(col("embedding")))
-      val a = emb.select(col("vec_id").as("id1"), col("label"),
-        col("embedding").as("e1"), col("nv").as("n1"))
-      val b = emb.select(col("vec_id").as("id2"), col("label"),
-        col("embedding").as("e2"), col("nv").as("n2"))
-      a.join(b, Seq("label")).filter(col("id1") < col("id2"))
+      val bucketed = emb.select(Seq(col("vec_id"), col("label")) ++
+        ScaleOps.lshBuckets(col("embedding"), dim = 64, tables = embNdTables, bits = embNdBits): _*)
+      val stacked = bucketed.select(col("vec_id"), col("label"),
+        posexplode(array((0 until embNdTables).map(t => col(s"bucket_$t")): _*))
+          .as(Seq("tbl", "bucket")))
+      val buckets = ScaleOps.cappedBuckets(
+        stacked.groupBy("tbl", "bucket")
+          .agg(sort_array(collect_list(struct(col("vec_id"), col("label")))).as("ms")), "ms")
+      val cands = buckets.select(explode(expr(
+          """flatten(transform(ms, (x, i) ->
+            |  transform(slice(ms, i + 2, size(ms)),
+            |    y -> struct(x.vec_id AS id1, y.vec_id AS id2,
+            |                x.label AS label1, y.label AS label2))))""".stripMargin))
+          .as("p"))
+        .filter(col("p.label1") === col("p.label2"))
+        .select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.label1").as("label"))
+        .distinct()
+      val e = emb.withColumn("nv", ScaleOps.l2norm(col("embedding")))
+      cands
+        .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nv").as("n1")), "id1")
+        .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nv").as("n2")), "id2")
         .withColumn("cos", ScaleOps.cosine(col("e1"), col("e2"), col("n1"), col("n2")))
         .filter(col("cos") > 0.25)
         .select(col("label"), col("id1"), col("id2"), col("cos"))
         .orderBy(col("label"), col("id1"), col("id2"))
     },
-    Some(
-      """WITH e AS (SELECT vec_id, label, embedding,
-        |  sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
-        |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a,b) -> a + b)) AS nv
-        | FROM embeddings),
-        | p AS (SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
-        |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-        |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a2,b2) -> a2 + b2) / (a.nv * b.nv) AS cos
-        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-        | SELECT label, id1, id2, cos FROM p WHERE cos > 0.25
-        | ORDER BY label, id1, id2""".stripMargin))
+    Some {
+      val planes = ScaleOps.lshPlanes(dim = 64, tables = embNdTables, bits = embNdBits)
+      def dotSql(plane: Array[Float]): String = {
+        val lits = plane.map(_.toDouble.toString).mkString(",")
+        s"list_reduce(list_transform(list_zip(embedding, CAST([$lits] AS DOUBLE[])), " +
+          "s -> CAST(s[1] AS DOUBLE) * s[2]), (a,b) -> a + b)"
+      }
+      val bandSelects = (0 until embNdTables).map { t =>
+        val bucketExpr = (0 until embNdBits).map(p =>
+          s"(CASE WHEN ${dotSql(planes(t)(p))} > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+        s"SELECT vec_id, label, $t AS tbl, $bucketExpr AS bucket FROM embeddings"
+      }.mkString("\n UNION ALL ")
+      s"""WITH bucketed AS ($bandSelects),
+         | ok AS (SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY tbl, bucket) AS c
+         |   FROM bucketed) WHERE c BETWEEN 2 AND ${ScaleOps.lshBucketCap}),
+         | cand AS (SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2, a.label
+         |  FROM ok a JOIN ok b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+         |  WHERE a.vec_id < b2.vec_id AND a.label = b2.label),
+         | e AS (SELECT vec_id, embedding,
+         |  sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+         |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a,b) -> a + b)) AS nv
+         | FROM embeddings),
+         | p AS (SELECT cand.label, cand.id1, cand.id2,
+         |  list_reduce(list_transform(list_zip(e1.embedding, e2.embedding),
+         |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a2,b2) -> a2 + b2) / (e1.nv * e2.nv) AS cos
+         | FROM cand JOIN e e1 ON cand.id1 = e1.vec_id JOIN e e2 ON cand.id2 = e2.vec_id)
+         | SELECT label, id1, id2, cos FROM p WHERE cos > 0.25
+         | ORDER BY label, id1, id2""".stripMargin
+    })
 
   // ------------------------------------------------ multimodal metadata
   private val multimodalQ = Q(
@@ -305,15 +372,18 @@ object QueriesScale {
         | 'application/octet-stream' AS mime
         | FROM documents ORDER BY doc_id""".stripMargin))
 
-  // ------------------------------------------- simhash near-dup (⊘ oracle)
-  // 60-bit simhash needs bit_count/shift parity that DuckDB SQL can't
-  // mirror cheaply — rows-only check; exactness pinned by ScalaTest.
-  //
+  // --------------------------------------------------- simhash near-dup
   // Scale design: a naive hamming(h1,h2)<=3 theta-join is O(n²). Instead,
   // split the hash into 4 bands of 15 bits — by pigeonhole, any pair
   // within hamming<=3 agrees exactly on >=1 band — equi-join per band key,
   // dedup candidates, then verify the full hamming predicate. One shuffle
-  // on compact (band_idx, 15-bit key) pairs; no quadratic stage.
+  // on compact (band_idx, 15-bit key) pairs; no quadratic stage. Buckets
+  // above lshBucketCap are skipped (ScaleOps.lshBucketCap) — at sf0.1 the
+  // worst band bucket holds 538 docs (1.1M pair expansions) without it.
+  //
+  // Oracle: the full 60-bit pipeline is mirrored in DuckDB — per-bit
+  // majority votes via 60 conditional sums, bands via shift/mask,
+  // bit_count(xor()) for hamming. Generated programmatically below.
   private val simhashQ = Q(
     (s, dir) => {
       val d = ScaleOps.simhashTable(dupedDocs(s, dir), "doc_id", "text")
@@ -323,9 +393,9 @@ object QueriesScale {
           .as(Seq("band_idx", "band_key")))
       // same bucket-grouped pair generation as minhash: simhash table runs
       // once; each bucket expands to its ordered member pairs
-      val buckets = banded.groupBy("band_idx", "band_key")
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
-        .filter(size(col("ms")) > 1)
+      val buckets = ScaleOps.cappedBuckets(
+        banded.groupBy("band_idx", "band_key")
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms")), "ms")
       buckets.select(explode(expr(
           """flatten(transform(ms, (x, i) ->
             |  transform(slice(ms, i + 2, size(ms)),
@@ -338,14 +408,39 @@ object QueriesScale {
         .filter(col("hamming") <= 3)
         .orderBy(col("id1"), col("id2"))
     },
-    None)
+    Some {
+      val cap = ScaleOps.lshBucketCap
+      val bsums = (0 until 60).map(j => s"SUM((h >> $j) & 1) AS b$j").mkString(", ")
+      val bits = (0 until 60).map(j =>
+        s"(CASE WHEN b$j*2 > n THEN CAST(1 AS BIGINT) << $j ELSE CAST(0 AS BIGINT) END)").mkString(" | ")
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT doc_id, simhash, $b AS band_idx, (simhash >> ${b * 15}) & 32767 AS bk FROM sim")
+        .mkString("\n UNION ALL ")
+      s"""WITH corpus AS ($dupedSql),
+         | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),
+         | h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+         | agg AS (SELECT doc_id, COUNT(*) AS n, $bsums FROM h GROUP BY doc_id),
+         | sim AS (SELECT doc_id, $bits AS simhash FROM agg),
+         | banded AS ($bandSelects),
+         | ok AS (SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, bk) AS c
+         |   FROM banded) WHERE c BETWEEN 2 AND $cap),
+         | pairs AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+         |    CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+         |  FROM ok a JOIN ok b2 ON a.band_idx = b2.band_idx AND a.bk = b2.bk
+         |  WHERE a.doc_id < b2.doc_id)
+         | SELECT id1, id2, hamming FROM pairs WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin
+    })
 
-  // ---------------------------------------- LSH-bucketed ANN top-k (⊘)
+  // -------------------------------------------- LSH-bucketed ANN top-k
   // The scale path for similarity_topk: candidates = corpus vectors
   // sharing any LSH table-bucket with the query vector (equi-join on
-  // (table, bucket)); exact cosine re-ranks candidates only. No oracle:
-  // plane literals are Scala-generated; recall vs brute force is pinned
-  // by ScalaTest instead.
+  // (table, bucket)); exact cosine re-ranks candidates only. Recall vs
+  // brute force is additionally pinned by ScalaTest.
+  //
+  // Oracle: same inlined-plane recipe as embedding_neardup — the
+  // hyperplanes behind ScaleOps.lshBuckets are emitted as double
+  // literals, so DuckDB reproduces bucket assignment, the candidate
+  // join, and the re-rank cosine bit-for-bit.
   private val annLshQ = Q(
     (s, dir) => {
       val dim = 64
@@ -370,7 +465,36 @@ object QueriesScale {
         .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
         .orderBy(col("q_id"), col("rank"))
     },
-    None)
+    Some {
+      // defaults of ScaleOps.lshBuckets: 4 tables × 4 sign-bits, seed 42
+      val planes = ScaleOps.lshPlanes(dim = 64, tables = 4, bits = 4)
+      def dotSql(plane: Array[Float]): String = {
+        val lits = plane.map(_.toDouble.toString).mkString(",")
+        s"list_reduce(list_transform(list_zip(embedding, CAST([$lits] AS DOUBLE[])), " +
+          "s -> CAST(s[1] AS DOUBLE) * s[2]), (a,b) -> a + b)"
+      }
+      val bandSelects = (0 until 4).map { t =>
+        val bucketExpr = (0 until 4).map(p =>
+          s"(CASE WHEN ${dotSql(planes(t)(p))} > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+        s"SELECT vec_id, $t AS tbl, $bucketExpr AS bucket FROM embeddings"
+      }.mkString("\n UNION ALL ")
+      s"""WITH bucketed AS ($bandSelects),
+         | q AS (SELECT vec_id AS q_id, tbl, bucket FROM bucketed WHERE vec_id < 10),
+         | cand AS (SELECT DISTINCT b.vec_id, q.q_id
+         |  FROM bucketed b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket),
+         | e AS (SELECT vec_id, embedding,
+         |  sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+         |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a,b) -> a + b)) AS nv
+         | FROM embeddings),
+         | scored AS (SELECT cand.q_id, cand.vec_id,
+         |  list_reduce(list_transform(list_zip(eq.embedding, e.embedding),
+         |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a2,b2) -> a2 + b2) / (eq.nv * e.nv) AS cos
+         | FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN e eq ON cand.q_id = eq.vec_id)
+         | SELECT q_id, vec_id, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+         | FROM scored
+         | QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin
+    })
 
   // ------------------------------------------------ corpus-level stats
   // The "what's in my training set" rollup: per language — doc count,
@@ -524,9 +648,40 @@ object QueriesScale {
     },
     None)
 
+  // ------------------------------- deterministic stratified sampling
+  // The oracle-able (and production-preferred) sampler: per-stratum
+  // content-stable hash threshold, same shape as dataset_split — a doc's
+  // membership depends only on (lang, doc_id), so the sample is
+  // reproducible across runs, engines, and cluster sizes, and resampling
+  // after an append only ADDS rows (no reshuffle of prior members). The
+  // lang salt decorrelates this sample from dataset_split's buckets.
+  private val stratifiedHashQ = Q(
+    (s, dir) => {
+      val permille = when(col("lang") === "en", lit(500L))
+        .when(col("lang") === "zh", lit(100L))
+        .otherwise(lit(200L))
+      val bucket = pmod(
+        conv(substring(md5(concat(col("lang"), lit("|"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
+          .cast(LongType),
+        lit(1000L))
+      Tables.documents(s, dir)
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < permille)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH h AS (SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket
+        | FROM documents)
+        | SELECT doc_id, lang, bucket FROM h
+        | WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 100 ELSE 200 END
+        | ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "dataset_split" -> datasetSplitQ,
     "stratified_sample" -> stratifiedSampleQ,
+    "stratified_sample_hash" -> stratifiedHashQ,
     "corpus_stats_approx" -> corpusStatsApproxQ,
     "ngram_counts" -> ngramCountsQ,
     "embedding_quantize" -> embQuantizeQ,

@@ -36,9 +36,9 @@ object Smoke {
     val half = base.filter(org.apache.spark.sql.functions.col("timestamp") <
       org.apache.spark.sql.functions.lit("1995-01-01"))
     val ord = Queries.tieCols // canonical total order on this data
-    operators.Incremental.runIncremental(spark, half, s"$tmp/wm", s"$tmp/out", orderCols = ord)
-    operators.Incremental.runIncremental(spark, base, s"$tmp/wm", s"$tmp/out", orderCols = ord)
-    val rerun = operators.Incremental.runIncremental(spark, base, s"$tmp/wm", s"$tmp/out", orderCols = ord)
+    operators.Incremental.runIncremental(spark, half, s"$tmp/wm", s"$tmp/out", operators.Incremental.Truncated, ord)
+    operators.Incremental.runIncremental(spark, base, s"$tmp/wm", s"$tmp/out", operators.Incremental.Truncated, ord)
+    val rerun = operators.Incremental.runIncremental(spark, base, s"$tmp/wm", s"$tmp/out", operators.Incremental.Truncated, ord)
     val written = spark.read.parquet(s"$tmp/out").count()
     println(s"[smoke] incremental written=$written rerun_new=${rerun.count()}")
     assert(written == n, s"incremental total $written != $n")

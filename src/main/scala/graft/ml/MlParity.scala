@@ -1,7 +1,13 @@
 package graft.ml
 
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.evaluation.RegressionEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.regression.{LinearRegression, LinearRegressionModel, RandomForestRegressor}
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor,
+  LinearRegression, LinearRegressionModel, RandomForestRegressionModel,
+  RandomForestRegressor}
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.ml.util.MLWritable
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -61,6 +67,76 @@ object MlParity {
   case class TrainedModel(model: LinearRegressionModel, features: Seq[String],
       r2: Double, mse: Double)
 
+  /** A grid-searched member of the reference's model trio, ready for the
+    * registry: a fitted MLlib model plus its held-out metrics.
+    */
+  case class TunedModel(modelType: String, model: Transformer with MLWritable,
+      features: Seq[String], r2: Double, mse: Double)
+
+  /** M6 full parity — the reference's 3-model grid search
+    * (`ml_pipeline.py:90-104,182-197`): RandomForest over
+    * {n_estimators, max_depth}, a gradient-boosted model over
+    * {n_estimators, learning_rate} (LightGBM → MLlib `GBTRegressor`,
+    * SURVEY §2.10 M6), and plain LinearRegression with no grid — each
+    * tuned by 3-fold cross-validated grid search scored on r² (sklearn's
+    * default regressor scoring), then evaluated on the held-out test
+    * fold. Declared divergence: MLlib's `CrossValidator` folds are random
+    * (seeded) splits, not sklearn's `TimeSeriesSplit` ordered folds — the
+    * outer train/test split stays ordered via [[timeSeriesSplit]].
+    *
+    * Grid defaults mirror the reference; pass smaller grids for tests.
+    * Scale note: CV fits |grid|×folds models; each fit is a distributed
+    * job, so the search parallelizes per-model via `setParallelism` while
+    * the data stays partitioned — no driver-side training loop.
+    */
+  def trainTrioCv(train: DataFrame, test: DataFrame, features: Seq[String],
+      label: String = "future_close", numFolds: Int = 3,
+      rfTrees: Seq[Int] = Seq(50, 100), rfDepth: Seq[Int] = Seq(10, 20),
+      gbtIters: Seq[Int] = Seq(50, 100), gbtLr: Seq[Double] = Seq(0.05, 0.1))
+      : Seq[TunedModel] = {
+    val assembler = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("features")
+      .setHandleInvalid("skip")
+    // CV re-reads the assembled frame |grid|×folds times — cache it for
+    // the duration of the search (bounded: one assembled copy of train)
+    val trainA = assembler.transform(train).cache()
+    val testA = assembler.transform(test)
+    try {
+      val evaluator = new RegressionEvaluator()
+        .setLabelCol(label).setPredictionCol("prediction").setMetricName("r2")
+      def crossValidated(est: org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]],
+          grid: Array[org.apache.spark.ml.param.ParamMap]): Transformer with MLWritable =
+        new CrossValidator()
+          .setEstimator(est).setEvaluator(evaluator)
+          .setEstimatorParamMaps(grid)
+          .setNumFolds(numFolds).setSeed(42L).setParallelism(2)
+          .fit(trainA).bestModel.asInstanceOf[Transformer with MLWritable]
+
+      val rf = new RandomForestRegressor()
+        .setFeaturesCol("features").setLabelCol(label).setSeed(42L)
+      val rfBest = crossValidated(rf, new ParamGridBuilder()
+        .addGrid(rf.numTrees, rfTrees).addGrid(rf.maxDepth, rfDepth).build())
+
+      val gbt = new GBTRegressor()
+        .setFeaturesCol("features").setLabelCol(label).setSeed(42L)
+      val gbtBest = crossValidated(gbt, new ParamGridBuilder()
+        .addGrid(gbt.maxIter, gbtIters).addGrid(gbt.stepSize, gbtLr).build())
+
+      // linear member has an empty grid — fit directly, like the reference
+      val lrBest = new LinearRegression()
+        .setFeaturesCol("features").setLabelCol(label)
+        .setStandardization(true).setMaxIter(50)
+        .fit(trainA)
+
+      Seq(("random_forest", rfBest: Transformer with MLWritable),
+          ("gbt", gbtBest), ("linear_regression", lrBest))
+        .map { case (name, m) =>
+          val (r2, mse) = regressionMetrics(m.transform(testA), label, "prediction")
+          TunedModel(name, m, features, r2, mse)
+        }
+    } finally trainA.unpersist()
+  }
+
   /** M6 (tree member of the reference's RF/LGBM/Linear trio): RandomForest
     * regressor + held-out metrics via [[regressionMetrics]]. Returned as
     * (model, r2, mse) — MLlib tree models share persistence with the
@@ -114,26 +190,53 @@ object MlParity {
   }
 
   /** M8: persist model + metadata row (the `ml_models` collection shape,
-    * FIXTURES §1.4). Best-model lookup = O3 top-1 by r2.
+    * FIXTURES §1.4). Best-model lookup = O3 top-1 by r2. The row carries a
+    * `model_type` discriminator so [[predict]] can dispatch the right
+    * MLlib loader — `model_name` is a free-form label, not a type.
     */
   def saveModel(spark: SparkSession, tm: TrainedModel, symbol: String,
+      modelName: String, registryDir: String): Unit =
+    registerModel(spark, TunedModel("linear_regression", tm.model, tm.features,
+      tm.r2, tm.mse), symbol, modelName, registryDir)
+
+  /** Registry write for any trio member (tree models included). */
+  def registerModel(spark: SparkSession, tm: TunedModel, symbol: String,
       modelName: String, registryDir: String): Unit = {
     import spark.implicits._
+    require(loaders.contains(tm.modelType),
+      s"unknown model_type '${tm.modelType}' — predict could never load it " +
+        s"(known: ${loaders.keys.mkString(", ")})")
     val path = s"$registryDir/artifacts/${symbol}_$modelName"
     tm.model.write.overwrite().save(path)
-    Seq((symbol, modelName, path, tm.r2, tm.mse, tm.features.mkString(","),
+    Seq((symbol, modelName, tm.modelType, path, tm.r2, tm.mse,
+      tm.features.mkString(","),
       new java.sql.Timestamp(System.currentTimeMillis())))
-      .toDF("symbol", "model_name", "model_path", "r2_score", "mse",
-        "feature_columns", "training_date")
+      .toDF("symbol", "model_name", "model_type", "model_path", "r2_score",
+        "mse", "feature_columns", "training_date")
       .write.mode(SaveMode.Append).parquet(s"$registryDir/ml_models")
   }
 
-  def bestModel(spark: SparkSession, registryDir: String, symbol: String): Option[(String, Double)] = {
-    val meta = spark.read.parquet(s"$registryDir/ml_models")
+  /** model_type → loader. GBT/RF artifacts are directories of trees; all
+    * three MLlib loaders share the same path layout as save().
+    */
+  private val loaders: Map[String, String => Transformer] = Map(
+    "linear_regression" -> (p => LinearRegressionModel.load(p)),
+    "random_forest" -> (p => RandomForestRegressionModel.load(p)),
+    "gbt" -> (p => GBTRegressionModel.load(p)))
+
+  def bestModel(spark: SparkSession, registryDir: String, symbol: String)
+      : Option[(String, String, Double)] = {
+    val reg = spark.read.parquet(s"$registryDir/ml_models")
+    // registries written before the discriminator existed are all-linear
+    val typed =
+      if (reg.columns.contains("model_type")) reg
+      else reg.withColumn("model_type", lit("linear_regression"))
+    val meta = typed
       .filter(col("symbol") === symbol)
       .orderBy(col("r2_score").desc)
       .limit(1).collect()
-    meta.headOption.map(r => (r.getAs[String]("model_path"), r.getAs[Double]("r2_score")))
+    meta.headOption.map(r => (r.getAs[String]("model_path"),
+      r.getAs[String]("model_type"), r.getAs[Double]("r2_score")))
   }
 
   /** O4 + predict path: latest feature row per symbol → model.transform. */
@@ -144,10 +247,11 @@ object MlParity {
 
   def predict(spark: SparkSession, registryDir: String, symbol: String,
       latest: DataFrame, features: Seq[String]): DataFrame = {
-    val (path, _) = bestModel(spark, registryDir, symbol).getOrElse(
+    val (path, modelType, _) = bestModel(spark, registryDir, symbol).getOrElse(
       throw new IllegalArgumentException(
         s"no model registered for symbol '$symbol' in $registryDir/ml_models"))
-    val model = LinearRegressionModel.load(path)
+    val model = loaders.getOrElse(modelType,
+      throw new IllegalArgumentException(s"unloadable model_type '$modelType' at $path"))(path)
     val assembled = new VectorAssembler()
       .setInputCols(features.toArray).setOutputCol("features")
       .setHandleInvalid("skip")

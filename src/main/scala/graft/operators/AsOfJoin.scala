@@ -36,6 +36,13 @@ object AsOfJoin {
 
   /** Inner as-of join: returns `left` columns plus `valueCol` as
     * `asofValueName`; left rows with no preceding right row are dropped.
+    *
+    * Null-valued right rows are dropped up front: the carry-forward uses
+    * `last(_v, ignoreNulls)` (probe rows ride as nulls), so a null quote
+    * would otherwise silently fall back to an OLDER quote instead of
+    * matching the latest row — diverging from ASOF JOIN semantics. With
+    * the explicit filter the divergence is a declared semantic ("latest
+    * non-null value") rather than a silent one.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, leftTime: String,
       rightTime: String, valueCol: String, asofValueName: String): DataFrame = {
@@ -44,6 +51,7 @@ object AsOfJoin {
       .withColumn("_side", lit(1))
       .withColumn("_v", lit(null).cast(right.schema(valueCol).dataType))
     val quote = right
+      .filter(col(valueCol).isNotNull)
       .select(col(key), col(rightTime).as("_t"), col(valueCol).as("_v"))
       .withColumn("_side", lit(0))
     val leftCols = left.columns

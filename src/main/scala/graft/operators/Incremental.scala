@@ -85,9 +85,12 @@ object Incremental {
     * append idempotently (dedup key), advance watermarks. Returns the
     * newly processed frame.
     */
+  // orderCols has NO default on purpose: it must be a total order on the
+  // caller's data (Queries.tieCols for the OHLCV testdata) and no single
+  // column set is total on every frame — a silent wrong default made
+  // window frames nondeterministic.
   def runIncremental(spark: SparkSession, input: DataFrame, stateDir: String,
-      outDir: String, mode: BoundaryMode = Truncated,
-      orderCols: Seq[String] = Seq("trading_date", "timestamp")): DataFrame = {
+      outDir: String, mode: BoundaryMode, orderCols: Seq[String]): DataFrame = {
     val wm = readWatermarks(spark, stateDir)
       .select(col("symbol"), col("last_processed_timestamp").as("_wm"))
 
@@ -95,7 +98,7 @@ object Incremental {
     val fresh = withWm.filter(col("_wm").isNull || col("timestamp") > col("_wm"))
 
     // orderCols must be a TOTAL order within each symbol or window results
-    // are nondeterministic (see Queries.tieCols for the testdata key set)
+    // are nondeterministic — the default is the canonical testdata key set
     val w = Window.partitionBy("symbol").orderBy(orderCols.map(col): _*)
     val processed = mode match {
       case Truncated =>

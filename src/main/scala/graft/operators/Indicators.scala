@@ -31,10 +31,12 @@ object Indicators {
 
   /** Base window per `etl_job.py:265-269`, with the unique-key tiebreakers
     * required for deterministic results on data where trading_date ties
-    * (SURVEY §7.4.1).
+    * (SURVEY §7.4.1). The default tail includes the value columns because
+    * the 4-part lineitem key has one collision at sf0.001 — only the full
+    * row set is distinct at every scale factor (see Queries.tieCols).
     */
   def baseWindow(tiebreakers: Seq[String] = Seq("l_orderkey", "l_linenumber",
-      "l_partkey", "l_suppkey")): WindowSpec =
+      "l_partkey", "l_suppkey", "close", "volume", "open", "low")): WindowSpec =
     Window.partitionBy("symbol")
       .orderBy(("trading_date" +: tiebreakers).map(col): _*)
 
@@ -190,6 +192,18 @@ object Indicators {
       (acc, x) => when(isnan(acc), x).otherwise(x * lit(alpha) + acc * lit(1 - alpha)))
   }
 
+  /** True EMA, production path (SURVEY §7.3 option a): the
+    * [[graft.functions.EmaAggregator]] UDAF over an unbounded-preceding
+    * frame. O(1) state per row — no `collect_list` materialization — and
+    * EXACT (the bounded-lookback fold in [[trueEma]] truncates ~1e-17 of
+    * the weight; kept because the DuckDB oracle can only mirror a bounded
+    * fold). Agreement between the two is pinned in IndicatorsSpec.
+    */
+  def trueEmaExact(close: Column, n: Int, w: WindowSpec): Column = {
+    val f = udaf(new graft.functions.EmaAggregator(2.0 / (n + 1)))
+    f(close).over(w.rowsBetween(Window.unboundedPreceding, 0))
+  }
+
   /** Wilder-smoothed RSI (fidelity upgrade over W8's plain-SMA variant,
     * SURVEY §7.3): avg_gain_t = (avg_gain_{t−1}·(n−1) + gain_t)/n — the
     * same exponential recurrence as EMA with α = 1/n, seeded by the first
@@ -210,6 +224,26 @@ object Indicators {
       .withColumn("w_loss", when(col("w_chg") < 0, -col("w_chg")).otherwise(lit(0.0)))
       .withColumn("w_avg_gain", smooth(col("w_gain")))
       .withColumn("w_avg_loss", smooth(col("w_loss")))
+      .withColumn("rsi_wilder",
+        lit(100.0) - (lit(100.0) / (lit(1.0) +
+          when(col("w_avg_loss") =!= 0, col("w_avg_gain") / col("w_avg_loss"))
+            .otherwise(lit(100.0)))))
+      .drop("w_chg", "w_gain", "w_loss", "w_avg_gain", "w_avg_loss")
+  }
+
+  /** Wilder RSI, production path: same recurrence through the
+    * [[graft.functions.EmaAggregator]] (α = 1/n) over an unbounded frame —
+    * O(1) state per row instead of the 512-double `collect_list` frame of
+    * [[withWilderRsi]], and exact rather than lookback-truncated.
+    */
+  def withWilderRsiExact(df: DataFrame, w: WindowSpec, n: Int = 14): DataFrame = {
+    val smooth = udaf(new graft.functions.EmaAggregator(1.0 / n))
+    def run(c: Column): Column = smooth(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    df.withColumn("w_chg", col("close") - lag(col("close"), 1).over(w))
+      .withColumn("w_gain", when(col("w_chg") > 0, col("w_chg")).otherwise(lit(0.0)))
+      .withColumn("w_loss", when(col("w_chg") < 0, -col("w_chg")).otherwise(lit(0.0)))
+      .withColumn("w_avg_gain", run(col("w_gain")))
+      .withColumn("w_avg_loss", run(col("w_loss")))
       .withColumn("rsi_wilder",
         lit(100.0) - (lit(100.0) / (lit(1.0) +
           when(col("w_avg_loss") =!= 0, col("w_avg_gain") / col("w_avg_loss"))

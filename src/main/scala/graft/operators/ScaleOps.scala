@@ -78,6 +78,41 @@ object ScaleOps {
         .as(s"band_${(start - 1) / rows + 1}")
     }
 
+  /** Degenerate-bucket cap for LSH pair expansion: a bucket of B members
+    * expands to B(B−1)/2 pairs, so one pathological bucket (near-empty docs
+    * hashing identically, an all-stopword band) turns the linear banding
+    * plan quadratic. Production LSH skips buckets above a size cap — a
+    * bucket that ubiquitous carries no near-dup signal anyway. 64 bounds
+    * any single bucket to ≤2016 pairs while sitting far above the bucket
+    * sizes real near-dup clusters produce.
+    */
+  val lshBucketCap = 64
+
+  /** Document-frequency cap for exact-jaccard candidate generation: a token
+    * shared by N docs of a source yields an N-member bucket and N²/2
+    * candidate pairs, so stopword-like tokens make the pairing quadratic.
+    * Tokens above the cap are dropped from BOTH the intersection and the
+    * set sizes — the measure becomes "jaccard over informative tokens",
+    * the standard candidate-generation semantics.
+    */
+  val maxTokenDf = 64
+
+  /** Keep only buckets whose member array is in [2, cap] — the pair-
+    * expansion guard shared by the minhash/simhash near-dup queries.
+    */
+  def cappedBuckets(buckets: DataFrame, idsCol: String, cap: Int = lshBucketCap): DataFrame =
+    buckets.filter(size(col(idsCol)).between(2, cap))
+
+  /** Observability for the cap: how many buckets were skipped and how big
+    * the worst one was. Run alongside a dedup job to monitor whether the
+    * corpus is degenerating (log-style counter; queries stay pure).
+    */
+  def bucketSkewStats(buckets: DataFrame, idsCol: String, cap: Int = lshBucketCap): DataFrame =
+    buckets.agg(
+      count(lit(1)).as("n_buckets"),
+      sum(when(size(col(idsCol)) > cap, 1L).otherwise(0L)).as("n_skipped"),
+      max(size(col(idsCol))).as("max_bucket"))
+
   /** 60-bit SimHash over a token array, fully per-row: each token hashes to
     * a 60-bit value (first 15 hex chars of md5 → long); bit j of the
     * simhash is 1 iff more tokens set bit j than clear it.
@@ -152,14 +187,27 @@ object ScaleOps {
     */
   def lshBuckets(emb: Column, dim: Int, tables: Int = 4, bits: Int = 4,
       seed: Long = 42L): Seq[Column] = {
-    val rnd = new scala.util.Random(seed)
+    val planes = lshPlanes(dim, tables, bits, seed)
     (0 until tables).map { t =>
       val planeBits = (0 until bits).map { p =>
-        val plane = typedlit(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
-        when(dotD(emb, plane) > 0, lit(1 << p)).otherwise(lit(0))
+        when(dotD(emb, typedlit(planes(t)(p))) > 0, lit(1 << p)).otherwise(lit(0))
       }
       planeBits.reduce(_ + _).as(s"bucket_$t")
     }
+  }
+
+  /** The hyperplane values behind [[lshBuckets]], exposed so an external
+    * mirror (the DuckDB oracle) can inline the identical planes as
+    * literals and reproduce bucket assignment bit-for-bit. Floats convert
+    * to double exactly, so the shortest-round-trip decimal of the double
+    * re-parses to the same value in any engine.
+    */
+  def lshPlanes(dim: Int, tables: Int, bits: Int, seed: Long = 42L)
+      : IndexedSeq[IndexedSeq[Array[Float]]] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.tabulate(tables)(_ =>
+      IndexedSeq.tabulate(bits)(_ =>
+        Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
   }
 
   // ----------------------------------------------------------- text stats

@@ -56,6 +56,47 @@ object MicroBatch {
     */
   val microBatchTrigger: Trigger = Trigger.ProcessingTime("10 seconds")
 
+  /** Declarative source config so the ingest pipeline switches between the
+    * production Kafka source and the in-sandbox file source without
+    * changing downstream code. Both produce a `value` column that [[decode]]
+    * accepts (Kafka's binary value casts to string inside decode).
+    */
+  case class SourceConfig(format: String, options: Map[String, String],
+      schema: Option[StructType])
+
+  /** Production source: Kafka with the reference consumer's flow control —
+    * `maxOffsetsPerTrigger` = 500 mirrors its size-flush of 500 messages
+    * per micro-batch (`consumer.py:35-36`); `failOnDataLoss=false` mirrors
+    * its at-least-once stance toward expired offsets.
+    */
+  def kafkaSource(bootstrapServers: String, topic: String,
+      maxOffsetsPerTrigger: Long = 500L,
+      startingOffsets: String = "earliest"): SourceConfig =
+    SourceConfig("kafka", Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets,
+      "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString,
+      "failOnDataLoss" -> "false"), None)
+
+  /** Sandbox fallback: JSON files with one message per line, rate-limited
+    * per micro-batch like the Kafka path. The raw line rides in a `value`
+    * column so [[decode]] is source-agnostic.
+    */
+  def fileSource(path: String, maxFilesPerTrigger: Int = 1): SourceConfig =
+    // the text source's fixed schema is exactly (value STRING) — no
+    // explicit schema needed (and the source rejects one)
+    SourceConfig("text", Map(
+      "path" -> path,
+      "maxFilesPerTrigger" -> maxFilesPerTrigger.toString), None)
+
+  /** Materialize a config into a streaming DataFrame. */
+  def openSource(spark: SparkSession, cfg: SourceConfig): DataFrame = {
+    val reader = spark.readStream.format(cfg.format).options(cfg.options)
+    cfg.schema.foreach(reader.schema)
+    reader.load()
+  }
+
   /** Idempotent keyed sink: dedup on the deterministic key, then append
     * partitioned by symbol. With `statefulDedup` (default) the dedup is
     * Spark's stateful streaming `dropDuplicates` — duplicates are removed

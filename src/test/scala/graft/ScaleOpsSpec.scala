@@ -231,6 +231,65 @@ class ScaleOpsSpec extends SparkSpec {
     assert(enRate > 0.3 && enRate < 0.7, s"en rate $enRate vs target 0.5")
   }
 
+  test("bucket cap: degenerate corpus (one token in every doc) expands no quadratic bucket") {
+    // 200 docs all share token "x": uncapped, its bucket alone would expand
+    // to 19,900 pairs. With the cap the bucket is skipped entirely and the
+    // skew stats surface it for monitoring.
+    val docs = (1 to 200).map(i => (i.toLong, s"x u$i")).toDF("doc_id", "text")
+    val tok = docs.select(col("doc_id"), explode(ScaleOps.tokens(col("text"))).as("token"))
+    val buckets = tok.groupBy("token").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    assert(ScaleOps.cappedBuckets(buckets, "ids").count() == 0,
+      "unique tokens are singletons; the shared token must be cap-skipped")
+    val stats = ScaleOps.bucketSkewStats(buckets, "ids").head
+    assert(stats.getAs[Long]("n_skipped") == 1L)
+    assert(stats.getAs[Int]("max_bucket") == 200)
+  }
+
+  test("embedding_neardup LSH path: precision 1.0, recall >= 0.85 vs brute force") {
+    val got = Queries.all("embedding_neardup").fn(spark, sf0001)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val e = Tables.embeddings(spark, sf0001)
+      .withColumn("nv", ScaleOps.l2norm(col("embedding")))
+    val a = e.select(col("vec_id").as("id1"), col("label"),
+      col("embedding").as("e1"), col("nv").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("label"),
+      col("embedding").as("e2"), col("nv").as("n2"))
+    val truth = a.join(b, Seq("label")).filter(col("id1") < col("id2"))
+      .withColumn("cos", ScaleOps.cosine(col("e1"), col("e2"), col("n1"), col("n2")))
+      .filter(col("cos") > 0.25)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truth), "exact-cosine verify: no false positives possible")
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.85, s"recall $recall (measured 0.907 on this testdata)")
+  }
+
+  test("stratified_sample_hash: deterministic, content-stable, honors per-lang rates") {
+    val q = Queries.all("stratified_sample_hash")
+    val s1 = q.fn(spark, sf0001).select("doc_id").as[Long].collect().toSeq
+    val s2 = q.fn(spark, sf0001).select("doc_id").as[Long].collect().toSeq
+    assert(s1 == s2 && s1.nonEmpty)
+    val byLang = q.fn(spark, sf0001).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.documents(spark, sf0001).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang("en").toDouble / totals("en")
+    assert(enRate > 0.3 && enRate < 0.7, s"en rate $enRate vs target 0.5")
+    // content-stable: membership survives corpus growth (subset property)
+    val half = Tables.documents(spark, sf0001).filter(col("doc_id") % 2 === 0)
+    half.createOrReplaceTempView("_half_docs")
+    // same hash predicate applied to the half corpus must select exactly
+    // the even members of the full sample
+    val fullSample = s1.toSet
+    val halfExpected = fullSample.filter(_ % 2 == 0)
+    val permille = when(col("lang") === "en", lit(500L))
+      .when(col("lang") === "zh", lit(100L)).otherwise(lit(200L))
+    val bucket = pmod(conv(substring(md5(concat(col("lang"), lit("|"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"), lit(1000L))
+    val halfSample = half.withColumn("b", bucket).filter(col("b") < permille)
+      .select("doc_id").as[Long].collect().toSet
+    assert(halfSample == halfExpected)
+  }
+
   test("hamming column function matches bitCount") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
       .withColumn("h", ScaleOps.hamming(col("a"), col("b")))

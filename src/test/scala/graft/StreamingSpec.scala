@@ -107,6 +107,32 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L)))
   }
 
+  test("kafka source config carries the reference consumer's flow control") {
+    val cfg = MicroBatch.kafkaSource("broker:9092", "stock_ohlcv")
+    assert(cfg.format == "kafka")
+    assert(cfg.options("kafka.bootstrap.servers") == "broker:9092")
+    assert(cfg.options("subscribe") == "stock_ohlcv")
+    // 500 = the consumer's size-flush (consumer.py:35-36)
+    assert(cfg.options("maxOffsetsPerTrigger") == "500")
+    assert(cfg.options("startingOffsets") == "earliest")
+    assert(cfg.options("failOnDataLoss") == "false")
+  }
+
+  test("file source config streams messages end-to-end through decode") {
+    val dir = Files.createTempDirectory("graft_filesrc").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "m.jsonl"),
+      (msg("AAPL", "2024-01-01", 10.0) + "\n" + msg("TSLA", "2024-01-02", 20.0))
+        .getBytes("UTF-8"))
+    val src = MicroBatch.openSource(spark, MicroBatch.fileSource(dir))
+    assert(src.isStreaming && src.columns.toSeq == Seq("value"))
+    val q = MicroBatch.decode(src).writeStream
+      .format("memory").queryName("filesrc")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("select ticker from filesrc").as[String].collect().sorted.toSeq ==
+      Seq("AAPL", "TSLA"))
+  }
+
   test("S10 csv symbols source with fallback") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Seq("AAPL", "TSLA").toDF("Symbol").write.option("header", "true").csv(dir + "/ok")

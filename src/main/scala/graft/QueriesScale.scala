@@ -170,13 +170,13 @@ object QueriesScale {
          |  [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS shingles FROM t),
          | sig AS (SELECT doc_id,
          |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('1|' || x), 1, 15)) AS BIGINT))) AS s1,
-         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('2|' || x), 1, 15)) AS BIGINT))) AS s2,
-         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('3|' || x), 1, 15)) AS BIGINT))) AS s3,
-         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('4|' || x), 1, 15)) AS BIGINT))) AS s4,
-         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('5|' || x), 1, 15)) AS BIGINT))) AS s5,
-         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('6|' || x), 1, 15)) AS BIGINT))) AS s6,
-         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('7|' || x), 1, 15)) AS BIGINT))) AS s7,
-         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('8|' || x), 1, 15)) AS BIGINT))) AS s8
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('1|' || x), 17, 15)) AS BIGINT))) AS s2,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('2|' || x), 1, 15)) AS BIGINT))) AS s3,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('2|' || x), 17, 15)) AS BIGINT))) AS s4,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('3|' || x), 1, 15)) AS BIGINT))) AS s5,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('3|' || x), 17, 15)) AS BIGINT))) AS s6,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('4|' || x), 1, 15)) AS BIGINT))) AS s7,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('4|' || x), 17, 15)) AS BIGINT))) AS s8
          | FROM sh),
          | b AS (SELECT doc_id, s1 || '#' || s2 AS band_1, s3 || '#' || s4 AS band_2,
          |              s5 || '#' || s6 AS band_3, s7 || '#' || s8 AS band_4 FROM sig),

@@ -47,25 +47,31 @@ object ScaleOps {
   }
 
   /** Bulk MinHash: explode shingles once, then a single HashAggregate with
-    * K `min(hash60(salt|shingle))` columns — shingle construction + explode
-    * happen once, partial aggregation shrinks the shuffle to K longs per
-    * doc. Signatures are 60-bit longs (first 15 md5 hex chars) rather than
-    * md5 strings so the min() aggregate stays in HashAggregate — min over
+    * K `min(hash60(...))` columns — shingle construction + explode happen
+    * once, partial aggregation shrinks the shuffle to K longs per doc.
+    * Signatures are 60-bit longs (15 md5 hex chars) rather than md5
+    * strings so the min() aggregate stays in HashAggregate — min over
     * varchar falls back to sort-based aggregation. Docs with no shingles
     * (< k tokens) are absent from the output.
     *
-    * K INDEPENDENT salted hashes on purpose: the cheaper shared-base
-    * Carter-Wegman scheme (`h1 + i·h2` from one md5) correlates the
-    * component minima — one shingle with a small base hash minimizes many
-    * components at once — which inflated LSH candidate pairs ~8× on the
-    * small-vocabulary test corpus.
+    * Hash economy: md5 dominates per-shingle cost, so each salted md5
+    * yields TWO signature components — hex chars 1–15 and 17–31 are
+    * disjoint bit ranges of one digest (⌈K/2⌉ md5s for K components;
+    * whole-stage codegen's subexpression elimination computes each digest
+    * once per row). Unlike the shared-base Carter-Wegman scheme (`h1 +
+    * i·h2` from ONE md5 for all K, which correlated component minima and
+    * inflated LSH candidates ~8× here), the two halves of a digest are
+    * independent uniform values, and distinct salts keep pairs of
+    * components independent across the signature.
     */
   def minhashSignatureTable(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
     val sh = df.select(col(idCol),
       explode(shingles(tokens(col(textCol)))).as("_sh"))
-    val aggs = (1 to k).map(i =>
-      min(conv(substring(md5(concat(lit(s"$i|"), col("_sh"))), 1, 15), 16, 10)
-        .cast(LongType)).as(s"sig_$i"))
+    val aggs = (1 to k).map { i =>
+      val digest = md5(concat(lit(s"${(i + 1) / 2}|"), col("_sh")))
+      val off = if (i % 2 == 1) 1 else 17
+      min(conv(substring(digest, off, 15), 16, 10).cast(LongType)).as(s"sig_$i")
+    }
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 

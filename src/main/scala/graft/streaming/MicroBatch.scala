@@ -105,13 +105,19 @@ object MicroBatch {
     * within-batch duplicates collapse. At-least-once delivery + keyed
     * dedup = effective exactly-once.
     *
-    * Scale note: unbounded key state grows with distinct keys; on a real
-    * deployment pair it with `withWatermark` + `dropDuplicatesWithinWatermark`
-    * to bound state to the lateness horizon.
+    * Scale note: plain `dropDuplicates` keeps one state entry per distinct
+    * key FOREVER — unbounded on an unbounded key space. Pass
+    * `dedupWatermark = Some((eventTimeCol, delay))` to bound state to the
+    * lateness horizon via `withWatermark` + `dropDuplicatesWithinWatermark`:
+    * duplicates arriving within `delay` of each other still collapse, and
+    * key state ages out once the watermark passes. This is the production
+    * configuration; the unbounded default mirrors the reference's ES
+    * upsert-by-id semantics over all time.
     */
   def idempotentSink(df: DataFrame, outDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      statefulDedup: Boolean = true): StreamingQuery = {
+      statefulDedup: Boolean = true,
+      dedupWatermark: Option[(String, String)] = None): StreamingQuery = {
     // batch ids are scoped to the checkpoint: restarting with a FRESH
     // checkpoint against a populated outDir would re-number from 0 and
     // overwrite historical batch partitions — refuse loudly instead
@@ -125,7 +131,12 @@ object MicroBatch {
         "batch ids would restart at 0 and overwrite history; use the original " +
         "checkpoint or a new outDir")
     val keyed = df.withColumn("es_id", concat_ws("_", col("ticker"), col("date")))
-    val deduped = if (statefulDedup) keyed.dropDuplicates("es_id") else keyed
+    val deduped = dedupWatermark match {
+      case Some((eventCol, delay)) =>
+        keyed.withWatermark(eventCol, delay).dropDuplicatesWithinWatermark("es_id")
+      case None if statefulDedup => keyed.dropDuplicates("es_id")
+      case None => keyed
+    }
     deduped.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -89,15 +89,20 @@ class ScaleOpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val bulk = ScaleOps.minhashSignatureTable(df, "doc_id", "text", k = 4).collect()
       .map(r => r.getLong(0) -> (1 to 4).map(i => r.getAs[Long](s"sig_$i"))).toMap
-    // recompute per-row: min over shingles of 60-bit truncated salted md5
+    // recompute per-row: min over shingles of the two 60-bit halves of the
+    // salt-1 md5 (components 2i-1 / 2i share digest ${i}, offsets 1 and 17)
     val perRow = df.withColumn("_sh", ScaleOps.shingles(ScaleOps.tokens(col("text"))))
-      .withColumn("sig", transform(col("_sh"), x =>
-        conv(substring(md5(concat(lit("1|"), x)), 1, 15), 16, 10).cast("long")))
-      .select(col("doc_id"), array_min(col("sig")).as("m"))
-      .as[(Long, Long)].collect().toMap
-    assert(bulk(1L).head == perRow(1L))
-    assert(bulk(2L).head == perRow(2L))
+      .withColumn("m1", array_min(transform(col("_sh"), x =>
+        conv(substring(md5(concat(lit("1|"), x)), 1, 15), 16, 10).cast("long"))))
+      .withColumn("m2", array_min(transform(col("_sh"), x =>
+        conv(substring(md5(concat(lit("1|"), x)), 17, 15), 16, 10).cast("long"))))
+      .select(col("doc_id"), col("m1"), col("m2"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(bulk(1L).take(2) == Seq(perRow(1L)._1, perRow(1L)._2))
+    assert(bulk(2L).take(2) == Seq(perRow(2L)._1, perRow(2L)._2))
     assert(bulk(1L) != bulk(2L)) // one-word edit changes some components
+    // the two halves of one digest are distinct hash functions
+    assert(bulk(1L)(0) != bulk(1L)(1))
   }
 
   test("native DotProductFloat is bit-identical to the HOF fold on real embeddings") {

@@ -71,6 +71,28 @@ class StreamingSpec extends SparkSpec {
       Seq("AAPL_2024-01-01", "AAPL_2024-01-02"))
   }
 
+  test("watermark-bounded dedup collapses duplicates within the lateness horizon") {
+    val mem = MemoryStream[String](spark)
+    val out = Files.createTempDirectory("graft_wmdedup_out").toString
+    val ckpt = Files.createTempDirectory("graft_wmdedup_ckpt").toString
+    val decoded = MicroBatch.decode(mem.toDF())
+      .withColumn("event_ts", to_timestamp(col("timestamp")))
+    // batch 1: in-batch duplicate
+    mem.addData(msg("AAPL", "2024-01-01", 10.0), msg("AAPL", "2024-01-01", 10.0))
+    val q1 = MicroBatch.idempotentSink(decoded, out, ckpt,
+      dedupWatermark = Some(("event_ts", "1 hour")))
+    q1.awaitTermination(60000)
+    // batch 2: re-delivery within the horizon + one new record
+    mem.addData(msg("AAPL", "2024-01-01", 10.0), msg("AAPL", "2024-01-02", 11.0))
+    val q2 = MicroBatch.idempotentSink(decoded, out, ckpt,
+      dedupWatermark = Some(("event_ts", "1 hour")))
+    q2.awaitTermination(60000)
+    val rows = spark.read.parquet(out)
+    assert(rows.select("es_id").as[String].collect().sorted.toSeq ==
+      Seq("AAPL_2024-01-01", "AAPL_2024-01-02"),
+      "duplicates inside the watermark horizon must collapse; state stays bounded")
+  }
+
   test("idempotentSink refuses a fresh checkpoint against a populated outDir") {
     val mem = MemoryStream[String](spark)
     val out = Files.createTempDirectory("graft_guard_out").toString

@@ -265,12 +265,17 @@ object QueriesMeta {
       val dirKey = java.util.UUID.nameUUIDFromBytes(
         (dir + "|" + java.lang.management.ManagementFactory.getRuntimeMXBean.getName)
           .getBytes).toString.take(12)
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_symbols_csv_$dirKey").getPath
+      val cacheDir = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_symbols_csv_$dirKey")
+      // per-JVM cache: clean up on exit so repeated bench/verify JVMs don't
+      // accumulate one orphan directory each in the shared tmpdir
+      cacheDir.deleteOnExit()
+      val path = cacheDir.getPath
       // guard on the _SUCCESS marker: a bare exists() check would treat a
       // crashed half-written directory as valid and silently fall back
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         Tables.ohlcv(s, dir).select(col("symbol").as("Symbol")).distinct()
           .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+        new java.io.File(path).listFiles().foreach(_.deleteOnExit())
       }
       graft.sources.CsvSource.readSymbols(s, path).orderBy("symbol")
     },

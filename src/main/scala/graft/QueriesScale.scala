@@ -208,14 +208,22 @@ object QueriesScale {
       val docs = Tables.documents(s, dir)
       val tok = docs.select(col("doc_id"), col("source"),
         explode(array_distinct(ScaleOps.tokens(col("text")))).as("token"))
-      val dfW = Window.partitionBy("source", "token")
-      val kept = tok.withColumn("df", count(lit(1)).over(dfW))
+      // df computation and filter BEFORE any bucket array exists: a plain
+      // count aggregation (map-side combinable — shuffle volume is distinct
+      // keys per mapper, not the token table), then a sort-free
+      // shuffle-hash join keeps only low-df tokens. A WindowExec count
+      // would sort the whole exploded table; building collect_list buckets
+      // first and size-filtering after would materialize the stopword
+      // bucket's unbounded array — the very OOM this filter exists to stop.
+      val lowDf = tok.groupBy("source", "token").agg(count(lit(1)).as("df"))
         .filter(col("df") <= ScaleOps.maxTokenDf)
-        .drop("df")
+        .select("source", "token")
+      val kept = tok.join(lowDf.hint("shuffle_hash"), Seq("source", "token"))
 
       val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
       // bucket-grouped pair counting (tokenize once, no self-join): each
-      // (source, token) bucket expands to its ordered doc pairs
+      // (source, token) bucket expands to its ordered doc pairs; arrays are
+      // bounded by maxTokenDf, and the agg reuses the join's partitioning
       val common = kept.groupBy("source", "token")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) > 1)

@@ -28,10 +28,12 @@ case class EmaBuf(cSeeded: Double, c: Double, m: Double, n: Long)
   * than truncated.
   *
   * `merge` (used only by grouped partial aggregation, never by ordered
-  * window frames) composes the two affine maps: mathematically exact, but
-  * floating-point association differs from the pure sequential fold by
-  * O(ulp) — fine for groupBy use, pinned by tests only through the window
-  * path.
+  * window frames) composes the two affine maps ASSUMING the left buffer's
+  * rows precede the right's. Affine composition is associative but NOT
+  * commutative, and Spark merges grouped partial buffers in task-completion
+  * order — so a groupBy EMA is only deterministic when the input is a
+  * single sorted partition (as the spec's groupBy test arranges). The
+  * ordered-window path, which is the production use, never calls merge.
   *
   * α = 2/(n+1) gives the classic n-period EMA; α = 1/n gives Wilder
   * smoothing (RSI).

@@ -100,7 +100,8 @@ object MlParity {
     // CV re-reads the assembled frame |grid|×folds times — cache it for
     // the duration of the search (bounded: one assembled copy of train)
     val trainA = assembler.transform(train).cache()
-    val testA = assembler.transform(test)
+    // test side is evaluated once per trio member — cache it too
+    val testA = assembler.transform(test).cache()
     try {
       val evaluator = new RegressionEvaluator()
         .setLabelCol(label).setPredictionCol("prediction").setMetricName("r2")
@@ -134,7 +135,7 @@ object MlParity {
           val (r2, mse) = regressionMetrics(m.transform(testA), label, "prediction")
           TunedModel(name, m, features, r2, mse)
         }
-    } finally trainA.unpersist()
+    } finally { trainA.unpersist(); testA.unpersist(); () }
   }
 
   /** M6 (tree member of the reference's RF/LGBM/Linear trio): RandomForest
@@ -226,10 +227,16 @@ object MlParity {
 
   def bestModel(spark: SparkSession, registryDir: String, symbol: String)
       : Option[(String, String, Double)] = {
-    val reg = spark.read.parquet(s"$registryDir/ml_models")
-    // registries written before the discriminator existed are all-linear
+    // mergeSchema: a registry can MIX files written before the model_type
+    // discriminator existed with files written after (Append mode) — a
+    // single-footer schema would either drop the column or null it for the
+    // old rows. Merged read + coalesce stamps old rows as linear, which is
+    // the only type that existed before the discriminator.
+    val reg = spark.read.option("mergeSchema", "true").parquet(s"$registryDir/ml_models")
     val typed =
-      if (reg.columns.contains("model_type")) reg
+      if (reg.columns.contains("model_type"))
+        reg.withColumn("model_type",
+          coalesce(col("model_type"), lit("linear_regression")))
       else reg.withColumn("model_type", lit("linear_regression"))
     val meta = typed
       .filter(col("symbol") === symbol)

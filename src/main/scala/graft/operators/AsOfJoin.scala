@@ -37,12 +37,14 @@ object AsOfJoin {
   /** Inner as-of join: returns `left` columns plus `valueCol` as
     * `asofValueName`; left rows with no preceding right row are dropped.
     *
-    * Null-valued right rows are dropped up front: the carry-forward uses
+    * Null-valued right rows never match: the carry-forward uses
     * `last(_v, ignoreNulls)` (probe rows ride as nulls), so a null quote
-    * would otherwise silently fall back to an OLDER quote instead of
-    * matching the latest row — diverging from ASOF JOIN semantics. With
-    * the explicit filter the divergence is a declared semantic ("latest
-    * non-null value") rather than a silent one.
+    * is skipped and the probe gets the latest OLDER non-null quote —
+    * "latest non-null value" semantics, a declared divergence from engines
+    * whose ASOF JOIN would match the null row itself. The explicit filter
+    * below restates what ignoreNulls already does (and prunes the rows
+    * before the shuffle), so the contract is visible in the plan rather
+    * than implicit in a window flag.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, leftTime: String,
       rightTime: String, valueCol: String, asofValueName: String): DataFrame = {

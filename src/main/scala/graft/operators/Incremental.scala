@@ -98,7 +98,7 @@ object Incremental {
     val fresh = withWm.filter(col("_wm").isNull || col("timestamp") > col("_wm"))
 
     // orderCols must be a TOTAL order within each symbol or window results
-    // are nondeterministic — the default is the canonical testdata key set
+    // are nondeterministic (Queries.tieCols is the canonical testdata set)
     val w = Window.partitionBy("symbol").orderBy(orderCols.map(col): _*)
     val processed = mode match {
       case Truncated =>

@@ -130,6 +130,8 @@ object MicroBatch {
       s"outDir $outDir already has data but checkpoint $checkpointDir is fresh - " +
         "batch ids would restart at 0 and overwrite history; use the original " +
         "checkpoint or a new outDir")
+    require(statefulDedup || dedupWatermark.isEmpty,
+      "dedupWatermark implies stateful dedup - statefulDedup=false contradicts it")
     val keyed = df.withColumn("es_id", concat_ws("_", col("ticker"), col("date")))
     val deduped = dedupWatermark match {
       case Some((eventCol, delay)) =>

@@ -99,6 +99,31 @@ class MlParitySpec extends SparkSpec {
     assert(!pred.select("predicted_price").head.getDouble(0).isNaN)
   }
 
+  test("registry mixes pre-discriminator and typed files without losing model_type") {
+    // round-1 registries have no model_type column; Append-mode growth puts
+    // 7-column and 8-column parquet files in one directory. bestModel must
+    // read BOTH schemas (mergeSchema) and stamp old rows linear, not null.
+    val dir = Files.createTempDirectory("graft_ml_mixed").toString
+    val data = MlParity.withFutureTarget(mkData(120), Seq("trading_date"))
+    val tm = MlParity.trainLinear(data, Seq("x1", "x2"))
+    // simulate an old row: same shape minus model_type
+    val path = s"$dir/artifacts/S_legacy"
+    tm.model.write.overwrite().save(path)
+    Seq(("S", "legacy", path, 0.7, 0.1, "x1,x2",
+      new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDF("symbol", "model_name", "model_path", "r2_score", "mse",
+        "feature_columns", "training_date")
+      .write.mode("append").parquet(s"$dir/ml_models")
+    // new typed row with a WORSE score: legacy row must win and load
+    MlParity.saveModel(spark, tm.copy(r2 = 0.2), "S", "lr_new", dir)
+    val Some((bestPath, mtype, r2)) = MlParity.bestModel(spark, dir, "S")
+    assert(bestPath == path && r2 == 0.7)
+    assert(mtype == "linear_regression", s"legacy row must default to linear, got '$mtype'")
+    val latest = MlParity.latestFeatures(data, Seq("trading_date"))
+    val pred = MlParity.predict(spark, dir, "S", latest, Seq("x1", "x2"))
+    assert(!pred.select("predicted_price").head.getDouble(0).isNaN)
+  }
+
   test("M6: determinism — same seed, same CV winner and metrics") {
     val data = MlParity.withFutureTarget(mkData(150), Seq("trading_date"))
     val (train, test) = MlParity.timeSeriesSplit(data, Seq("trading_date"))

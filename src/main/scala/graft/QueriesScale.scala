@@ -219,13 +219,20 @@ object QueriesScale {
         .filter(col("df") <= ScaleOps.maxTokenDf)
         .select("source", "token")
       val kept = tok.join(lowDf.hint("shuffle_hash"), Seq("source", "token"))
-
-      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-      // bucket-grouped pair counting (tokenize once, no self-join): each
-      // (source, token) bucket expands to its ordered doc pairs; arrays are
-      // bounded by maxTokenDf, and the agg reuses the join's partitioning
-      val common = kept.groupBy("source", "token")
+      // bucket per (source, token): arrays bounded by maxTokenDf, and the
+      // agg reuses the join's partitioning
+      val buckets = kept.groupBy("source", "token")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+
+      // per-doc kept-token counts come from the buckets (each kept row
+      // appears in exactly one bucket) — re-deriving them from `kept`
+      // would recompute the tokenize+join pipeline a second time, a full
+      // extra pass over the corpus; the buckets are cap-bounded and tiny
+      val sizes = buckets.select(explode(col("ids")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      // bucket-grouped pair counting (tokenize once, no self-join): each
+      // bucket expands to its ordered doc pairs
+      val common = buckets
         .filter(size(col("ids")) > 1)
         .select(explode(expr(
           """flatten(transform(ids, (x, i) ->

@@ -37,10 +37,20 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout is wrapped in sbt [info] prefixes that break machine parsing —
-    // also drop the bare JSON line to a file for the harness
+    // also drop the bare JSON line to a file for the harness. Best-effort:
+    // an unwritable path must not turn a fully-successful bench run into a
+    // nonzero exit (the JSON is already on stdout)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      val p = java.nio.file.Paths.get(outFile)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] WARN could not write $outFile: $e")
+    }
     spark.stop()
   }
 }

@@ -259,24 +259,16 @@ object QueriesMeta {
   // No DuckDB oracle: the driver records a rows-only check.
   private val csvSymbolsQ = Q(
     (s, dir) => {
-      // cache key includes a per-JVM nonce: a shared-tmpdir cache keyed only
-      // by the testdata path would survive testdata regeneration (stale
-      // universe) and race concurrent JVMs despite the _SUCCESS guard
-      val dirKey = java.util.UUID.nameUUIDFromBytes(
-        (dir + "|" + java.lang.management.ManagementFactory.getRuntimeMXBean.getName)
-          .getBytes).toString.take(12)
-      val cacheDir = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_symbols_csv_$dirKey")
-      // per-JVM cache: clean up on exit so repeated bench/verify JVMs don't
-      // accumulate one orphan directory each in the shared tmpdir
+      // no cache: the universe is a handful of rows, so regenerating per
+      // call into a fresh unique temp dir is cheaper than any cache's
+      // failure modes (stale data after testdata regeneration, concurrent
+      // JVM races, orphan accumulation under kill -9). createTempDirectory
+      // is collision-free by construction; deleteOnExit is best-effort.
+      val cacheDir = java.nio.file.Files.createTempDirectory("graft_symbols_csv_").toFile
       cacheDir.deleteOnExit()
-      val path = cacheDir.getPath
-      // guard on the _SUCCESS marker: a bare exists() check would treat a
-      // crashed half-written directory as valid and silently fall back
-      if (!new java.io.File(path, "_SUCCESS").exists()) {
-        Tables.ohlcv(s, dir).select(col("symbol").as("Symbol")).distinct()
-          .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
-        new java.io.File(path).listFiles().foreach(_.deleteOnExit())
-      }
+      val path = new java.io.File(cacheDir, "universe").getPath
+      Tables.ohlcv(s, dir).select(col("symbol").as("Symbol")).distinct()
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
       graft.sources.CsvSource.readSymbols(s, path).orderBy("symbol")
     },
     None)

@@ -29,6 +29,41 @@ object QueriesScale {
       | UNION ALL
       | SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars FROM documents""".stripMargin
 
+  // ------------- shared DuckDB fragments for the LSH-plane oracle mirrors
+  // One definition keeps the embedding_neardup and ann_lsh_topk mirrors in
+  // lockstep — a formatting/semantics change applied to one copy but not
+  // the other would silently break oracle parity for the sibling query.
+
+  /** Hyperplane dot product with the plane inlined as double literals
+    * (floats convert to double exactly, so the shortest-round-trip decimal
+    * re-parses to the same value in any engine).
+    */
+  private def planeDotSql(plane: Array[Float]): String = {
+    val lits = plane.map(_.toDouble.toString).mkString(",")
+    s"list_reduce(list_transform(list_zip(embedding, CAST([$lits] AS DOUBLE[])), " +
+      "s -> CAST(s[1] AS DOUBLE) * s[2]), (a,b) -> a + b)"
+  }
+
+  /** UNION ALL of one SELECT per LSH table assigning (tbl, bucket) —
+    * mirrors ScaleOps.lshBuckets over dim-64 embeddings. `extraCols` rides
+    * additional columns through (e.g. ", label").
+    */
+  private def lshBucketedSql(tables: Int, bits: Int, extraCols: String = ""): String = {
+    val planes = ScaleOps.lshPlanes(dim = 64, tables = tables, bits = bits)
+    (0 until tables).map { t =>
+      val bucketExpr = (0 until bits).map(p =>
+        s"(CASE WHEN ${planeDotSql(planes(t)(p))} > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+      s"SELECT vec_id$extraCols, $t AS tbl, $bucketExpr AS bucket FROM embeddings"
+    }.mkString("\n UNION ALL ")
+  }
+
+  /** L2-norm CTE body — mirrors ScaleOps.l2norm's fold association. */
+  private val embNormSql =
+    """SELECT vec_id, embedding,
+      |  sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+      |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a,b) -> a + b)) AS nv
+      | FROM embeddings""".stripMargin
+
   // ------------------------------------------------ exact dedup (hash keep-min)
   private val dedupExactQ = Q(
     (s, dir) => {
@@ -304,9 +339,9 @@ object QueriesScale {
   // label — one hot label would make that O(n²). Exact cosine verifies
   // candidates; label equality is a pair filter. Pair expansion is
   // bounded by cap²/2 per bucket, so the plan stays linear-bounded at any
-  // corpus size (recall vs the exact answer is pinned by ScalaTest —
-  // 0.867 on this testdata; at a production near-dup threshold the sign
-  // bits agree almost everywhere and recall approaches 1).
+  // corpus size (recall vs the exact answer is asserted >= 0.85 by
+  // ScalaTest; at a production near-dup threshold the sign bits agree
+  // almost everywhere and recall approaches 1).
   //
   // Oracle: the identical hyperplanes are inlined as literals (floats
   // convert to double exactly), so DuckDB reproduces bucket assignment,
@@ -342,35 +377,20 @@ object QueriesScale {
         .select(col("label"), col("id1"), col("id2"), col("cos"))
         .orderBy(col("label"), col("id1"), col("id2"))
     },
-    Some {
-      val planes = ScaleOps.lshPlanes(dim = 64, tables = embNdTables, bits = embNdBits)
-      def dotSql(plane: Array[Float]): String = {
-        val lits = plane.map(_.toDouble.toString).mkString(",")
-        s"list_reduce(list_transform(list_zip(embedding, CAST([$lits] AS DOUBLE[])), " +
-          "s -> CAST(s[1] AS DOUBLE) * s[2]), (a,b) -> a + b)"
-      }
-      val bandSelects = (0 until embNdTables).map { t =>
-        val bucketExpr = (0 until embNdBits).map(p =>
-          s"(CASE WHEN ${dotSql(planes(t)(p))} > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
-        s"SELECT vec_id, label, $t AS tbl, $bucketExpr AS bucket FROM embeddings"
-      }.mkString("\n UNION ALL ")
-      s"""WITH bucketed AS ($bandSelects),
+    Some(
+      s"""WITH bucketed AS (${lshBucketedSql(embNdTables, embNdBits, ", label")}),
          | ok AS (SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY tbl, bucket) AS c
          |   FROM bucketed) WHERE c BETWEEN 2 AND ${ScaleOps.lshBucketCap}),
          | cand AS (SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2, a.label
          |  FROM ok a JOIN ok b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
          |  WHERE a.vec_id < b2.vec_id AND a.label = b2.label),
-         | e AS (SELECT vec_id, embedding,
-         |  sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
-         |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a,b) -> a + b)) AS nv
-         | FROM embeddings),
+         | e AS ($embNormSql),
          | p AS (SELECT cand.label, cand.id1, cand.id2,
          |  list_reduce(list_transform(list_zip(e1.embedding, e2.embedding),
          |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a2,b2) -> a2 + b2) / (e1.nv * e2.nv) AS cos
          | FROM cand JOIN e e1 ON cand.id1 = e1.vec_id JOIN e e2 ON cand.id2 = e2.vec_id)
          | SELECT label, id1, id2, cos FROM p WHERE cos > 0.25
-         | ORDER BY label, id1, id2""".stripMargin
-    })
+         | ORDER BY label, id1, id2""".stripMargin))
 
   // ------------------------------------------------ multimodal metadata
   private val multimodalQ = Q(
@@ -480,27 +500,13 @@ object QueriesScale {
         .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
         .orderBy(col("q_id"), col("rank"))
     },
-    Some {
+    Some(
       // defaults of ScaleOps.lshBuckets: 4 tables × 4 sign-bits, seed 42
-      val planes = ScaleOps.lshPlanes(dim = 64, tables = 4, bits = 4)
-      def dotSql(plane: Array[Float]): String = {
-        val lits = plane.map(_.toDouble.toString).mkString(",")
-        s"list_reduce(list_transform(list_zip(embedding, CAST([$lits] AS DOUBLE[])), " +
-          "s -> CAST(s[1] AS DOUBLE) * s[2]), (a,b) -> a + b)"
-      }
-      val bandSelects = (0 until 4).map { t =>
-        val bucketExpr = (0 until 4).map(p =>
-          s"(CASE WHEN ${dotSql(planes(t)(p))} > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
-        s"SELECT vec_id, $t AS tbl, $bucketExpr AS bucket FROM embeddings"
-      }.mkString("\n UNION ALL ")
-      s"""WITH bucketed AS ($bandSelects),
+      s"""WITH bucketed AS (${lshBucketedSql(tables = 4, bits = 4)}),
          | q AS (SELECT vec_id AS q_id, tbl, bucket FROM bucketed WHERE vec_id < 10),
          | cand AS (SELECT DISTINCT b.vec_id, q.q_id
          |  FROM bucketed b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket),
-         | e AS (SELECT vec_id, embedding,
-         |  sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
-         |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a,b) -> a + b)) AS nv
-         | FROM embeddings),
+         | e AS ($embNormSql),
          | scored AS (SELECT cand.q_id, cand.vec_id,
          |  list_reduce(list_transform(list_zip(eq.embedding, e.embedding),
          |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a2,b2) -> a2 + b2) / (eq.nv * e.nv) AS cos
@@ -508,8 +514,7 @@ object QueriesScale {
          | SELECT q_id, vec_id, cos,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
          | FROM scored
-         | QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin
-    })
+         | QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin))
 
   // ------------------------------------------------ corpus-level stats
   // The "what's in my training set" rollup: per language — doc count,

@@ -37,6 +37,13 @@ case class EmaBuf(cSeeded: Double, c: Double, m: Double, n: Long)
   *
   * α = 2/(n+1) gives the classic n-period EMA; α = 1/n gives Wilder
   * smoothing (RSI).
+  *
+  * Preconditions: inputs must be NON-NULL (the fold variant's
+  * collect_list silently skips nulls; a Double-typed UDAF cannot — all
+  * in-repo call sites feed non-null columns). A NaN input yields NaN for
+  * that row and reseeds on the next, matching the fold; the affine (c, m)
+  * terms cannot represent the reseed, so the grouped/merge path
+  * additionally assumes NaN-free input.
   */
 class EmaAggregator(alpha: Double) extends Aggregator[Double, EmaBuf, Double] {
   private val beta = 1.0 - alpha
@@ -44,7 +51,11 @@ class EmaAggregator(alpha: Double) extends Aggregator[Double, EmaBuf, Double] {
   def zero: EmaBuf = EmaBuf(0.0, 0.0, 1.0, 0L)
 
   def reduce(b: EmaBuf, x: Double): EmaBuf = EmaBuf(
-    cSeeded = if (b.n == 0L) x else alpha * x + beta * b.cSeeded,
+    // NaN accumulator RESEEDS with x — mirroring the fold variant's
+    // `when(isnan(acc), x)` recovery. Without this, one NaN input would
+    // poison every subsequent EMA (alpha*x + beta*NaN = NaN forever),
+    // where the fold emits NaN for that row and recovers on the next.
+    cSeeded = if (b.n == 0L || b.cSeeded.isNaN) x else alpha * x + beta * b.cSeeded,
     c = alpha * x + beta * b.c,
     m = beta * b.m,
     n = b.n + 1L)

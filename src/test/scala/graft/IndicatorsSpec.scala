@@ -131,19 +131,43 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
-  test("EmaAggregator merge composes affine maps consistently (groupBy path)") {
-    // merge() is exercised by grouped aggregation with multiple partitions:
-    // result must match the sequential recurrence to fp-roundoff
-    val agg = udaf(new graft.functions.EmaAggregator(2.0 / 13))
-    val xs = (1 to 100).map(i => ("g", i, 100.0 + math.sin(i)))
-    val df = xs.toDF("g", "i", "x").repartition(8)
-    // grouped EMA over an ordered stream isn't well-defined without sort —
-    // use a single-group sortWithinPartitions(1 partition) to fix order
-    val got = df.repartition(1).sortWithinPartitions("i")
-      .groupBy("g").agg(agg(col("x")).as("ema")).head.getDouble(1)
+  test("EmaAggregator merge composes affine maps correctly (direct algebra)") {
+    // exercise merge() itself — a Spark groupBy with repartition(1) only
+    // ever calls merge(zero, buf), which would pass even with the l/r
+    // composition swapped. Fold each half separately, merge, and compare
+    // against the full sequential recurrence, at every split point.
     val alpha = 2.0 / 13
-    val expect = xs.map(_._3).reduceLeft((acc, x) => x * alpha + acc * (1 - alpha))
-    assert(math.abs(got - expect) < 1e-9, s"$got vs $expect")
+    val agg = new graft.functions.EmaAggregator(alpha)
+    val xs = (1 to 100).map(i => 100.0 + math.sin(i))
+    val full = xs.foldLeft(agg.zero)(agg.reduce)
+    val expect = xs.reduceLeft((acc, x) => x * alpha + acc * (1 - alpha))
+    assert(math.abs(agg.finish(full) - expect) < 1e-12)
+    Seq(1, 37, 50, 99).foreach { cut =>
+      val (l, r) = xs.splitAt(cut)
+      val lb = l.foldLeft(agg.zero)(agg.reduce)
+      val rb = r.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.finish(agg.merge(lb, rb))
+      assert(math.abs(merged - expect) < 1e-9, s"cut=$cut: $merged vs $expect")
+      // composition is NOT commutative — the swapped order must differ
+      val swapped = agg.finish(agg.merge(rb, lb))
+      assert(math.abs(swapped - expect) > 1e-9, s"cut=$cut: swap undetected")
+    }
+  }
+
+  test("EmaAggregator reseeds after a NaN input exactly like the fold variant") {
+    val alpha = 2.0 / 13
+    val agg = new graft.functions.EmaAggregator(alpha)
+    val xs = Seq(10.0, 12.0, Double.NaN, 14.0, 13.0)
+    // fold semantics: NaN poisons its own row, next row reseeds
+    val foldExpect = xs.tail.scanLeft(xs.head)((acc, x) =>
+      if (acc.isNaN) x else x * alpha + acc * (1 - alpha))
+    val got = xs.inits.toSeq.reverse.tail // prefixes of length 1..n
+      .map(p => agg.finish(p.foldLeft(agg.zero)(agg.reduce)))
+    assert(got(2).isNaN && foldExpect(2).isNaN)
+    got.zip(foldExpect).filterNot(_._1.isNaN).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"$g vs $e")
+    }
+    assert(!got.last.isNaN, "aggregator must recover after NaN, not poison the tail")
   }
 
   test("indicator typed-null padding yields all 15 columns as double") {

@@ -281,7 +281,6 @@ class ScaleOpsSpec extends SparkSpec {
     assert(enRate > 0.3 && enRate < 0.7, s"en rate $enRate vs target 0.5")
     // content-stable: membership survives corpus growth (subset property)
     val half = Tables.documents(spark, sf0001).filter(col("doc_id") % 2 === 0)
-    half.createOrReplaceTempView("_half_docs")
     // same hash predicate applied to the half corpus must select exactly
     // the even members of the full sample
     val fullSample = s1.toSet

@@ -516,6 +516,82 @@ object QueriesScale {
          | FROM scored
          | QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin))
 
+  // ------------------------------------------------- IVF-flat ANN top-k
+  // The OTHER standard scale path for similarity search (alongside
+  // ann_lsh_topk): a coarse quantizer assigns every vector to its nearest
+  // centroid (the "inverted list"); a query probes only the nProbe nearest
+  // lists and re-ranks those candidates exactly. Plan shape at 100 TB:
+  // the codebook broadcasts (K·dim floats), assignment is narrow per-row
+  // math, and candidate retrieval is an equi-join on the compact
+  // centroid id — the corpus is never crossed with itself.
+  //
+  // Centroids here are the first K vectors by vec_id — deterministic and
+  // SQL-mirrorable, standing in for a production codebook trained offline
+  // (k-means output depends on partition order and would break the
+  // bitwise oracle). The IVF structure — assignment, inverted lists,
+  // probing, exact re-rank — is identical either way; recall vs brute
+  // force is additionally pinned by ScalaTest.
+  private val ivfK = 16
+  private val ivfProbes = 2
+  private val annIvfQ = Q(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("nv", ScaleOps.l2norm(col("embedding")))
+      val cents = emb.filter(col("vec_id") < ivfK)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nv").as("nc"))
+      // nearest-centroid assignment by cosine: broadcast the codebook,
+      // row_number over (vector, centroid) scores
+      def assign(df: DataFrame, idc: String, embc: String, nvc: String, n: Int) = {
+        val scored = df.join(broadcast(cents))
+          .withColumn("c_cos", ScaleOps.cosine(col(embc), col("c_emb"), col(nvc), col("nc")))
+        val w = Window.partitionBy(idc).orderBy(col("c_cos").desc, col("c_id"))
+        scored.withColumn("c_rank", row_number().over(w)).filter(col("c_rank") <= n)
+          .drop("c_emb", "nc", "c_cos", "c_rank")
+      }
+      val lists = assign(emb, "vec_id", "embedding", "nv", 1)
+      val probes = assign(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nv").as("nq")),
+        "q_id", "q_emb", "nq", ivfProbes)
+      // each vector sits in exactly ONE inverted list and a query probes
+      // distinct lists, so (q_id, vec_id) pairs are unique — no dedup
+      val cands = probes.join(lists, "c_id")
+        .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"),
+          col("nq"), col("nv"))
+      val w = Window.partitionBy("q_id").orderBy(
+        ScaleOps.cosine(col("q_emb"), col("embedding"), col("nq"), col("nv")).desc,
+        col("vec_id"))
+      cands
+        .withColumn("cos", ScaleOps.cosine(col("q_emb"), col("embedding"), col("nq"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(
+      s"""WITH e AS ($embNormSql),
+         | cents AS (SELECT vec_id AS c_id, embedding AS c_emb, nv AS nc FROM e WHERE vec_id < $ivfK),
+         | scored AS (SELECT e.vec_id, e.embedding, e.nv, cents.c_id,
+         |  list_reduce(list_transform(list_zip(e.embedding, cents.c_emb),
+         |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a2,b2) -> a2 + b2) / (e.nv * cents.nc) AS c_cos
+         | FROM e CROSS JOIN cents),
+         | lists AS (SELECT vec_id, embedding, nv, c_id FROM (SELECT *,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS c_rank
+         |   FROM scored) WHERE c_rank <= 1),
+         | probes AS (SELECT vec_id AS q_id, embedding AS q_emb, nv AS nq, c_id FROM (SELECT *,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS c_rank
+         |   FROM scored WHERE vec_id < 10) WHERE c_rank <= $ivfProbes),
+         | cand AS (SELECT q_id, vec_id, q_emb, embedding, nq, nv
+         |  FROM probes JOIN lists USING (c_id)),
+         | ranked AS (SELECT q_id, vec_id,
+         |  list_reduce(list_transform(list_zip(q_emb, embedding),
+         |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a2,b2) -> a2 + b2) / (nq * nv) AS cos
+         | FROM cand)
+         | SELECT q_id, vec_id, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+         | FROM ranked
+         | QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin))
+
   // ------------------------------------------------ corpus-level stats
   // The "what's in my training set" rollup: per language — doc count,
   // vocabulary size (exact distinct tokens), token volume, mean doc
@@ -707,6 +783,7 @@ object QueriesScale {
     "embedding_quantize" -> embQuantizeQ,
     "corpus_stats" -> corpusStatsQ,
     "ann_lsh_topk" -> annLshQ,
+    "ann_ivf_topk" -> annIvfQ,
     "dedup_exact" -> dedupExactQ,
     "text_stats" -> textStatsQ,
     "lang_id" -> langIdQ,

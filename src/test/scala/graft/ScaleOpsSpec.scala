@@ -134,6 +134,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall > 0.15, s"recall $recall")
   }
 
+  test("IVF ANN: self-retrieval, determinism, sane recall vs brute force") {
+    val brute = Queries.all("similarity_topk").fn(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Queries.all("ann_ivf_topk").fn(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    // each query's own list is always probed first (cos with itself = 1
+    // dominates its centroid score), so self-retrieval must hold
+    (0L until 10L).foreach(q => assert(ivf.contains((q, q)), s"query $q lost itself"))
+    val ivf2 = Queries.all("ann_ivf_topk").fn(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf == ivf2)
+    // probing 2 of 16 first-K lists: recall well above the 2/16 chance floor
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall > 0.3, s"recall $recall")
+  }
+
   test("decodeBatches: mapPartitions media plumbing with stubbed codec") {
     import graft.operators.ScaleOps.{MediaIn, MediaOut}
     val ds = Seq(

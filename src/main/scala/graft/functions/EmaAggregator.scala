@@ -75,3 +75,19 @@ class EmaAggregator(alpha: Double) extends Aggregator[Double, EmaBuf, Double] {
   def bufferEncoder: Encoder[EmaBuf] = Encoders.product[EmaBuf]
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
+
+/** Same recurrence, but finishing with the FULL affine state instead of
+  * the seeded value — the building block for chunk-parallel EMA
+  * ([[graft.operators.Indicators.chunkedTrueEma]]): a chunk's last-row
+  * state (cSeeded, c, m) summarizes the whole chunk, and chunk summaries
+  * compose across chunks with the same algebra `merge` uses.
+  */
+class EmaStateAggregator(alpha: Double) extends Aggregator[Double, EmaBuf, EmaBuf] {
+  private val inner = new EmaAggregator(alpha)
+  def zero: EmaBuf = inner.zero
+  def reduce(b: EmaBuf, x: Double): EmaBuf = inner.reduce(b, x)
+  def merge(l: EmaBuf, r: EmaBuf): EmaBuf = inner.merge(l, r)
+  def finish(b: EmaBuf): EmaBuf = b
+  def bufferEncoder: Encoder[EmaBuf] = Encoders.product[EmaBuf]
+  def outputEncoder: Encoder[EmaBuf] = Encoders.product[EmaBuf]
+}

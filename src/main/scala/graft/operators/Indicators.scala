@@ -204,6 +204,69 @@ object Indicators {
     f(close).over(w.rowsBetween(Window.unboundedPreceding, 0))
   }
 
+  /** Chunked exact EMA — the skew answer for UNBOUNDED exponential
+    * recurrences, where [[chunkedIndicators]]' overlap-and-trim cannot
+    * apply (the lookback is the entire history, not a bounded frame). The
+    * [[graft.functions.EmaAggregator]] affine-map state makes the
+    * recurrence chunk-parallel EXACTLY:
+    *
+    *  1. within each (symbol, chunk) — a bounded partition — the state
+    *     aggregator yields per-row (cSeeded, c, m);
+    *  2. the chunk's last-row state summarizes the whole chunk; the tiny
+    *     per-symbol summary set folds in chunk order,
+    *     s_k = c_end(k) + m_end(k)·s_{k−1} with s_1 = cSeeded_end(1),
+    *     giving each chunk its incoming EMA;
+    *  3. per row: ema = cSeeded (first chunk) or c + m·s_{k−1} (later) —
+    *     a broadcast join of the summary table back onto the rows.
+    *
+    * No warm-up clones, no trimming, exact for ANY chunk sizes (the
+    * composition is the same associative affine algebra merge() uses;
+    * association differs from the pure sequential fold by O(ulp)).
+    * Requires NaN-free input: NaN is the "no prior chunk" sentinel here,
+    * so the reseed-on-NaN semantics of the row-level aggregator do not
+    * extend across chunk boundaries.
+    */
+  def chunkedTrueEma(df: DataFrame, n: Int, chunkExpr: Column,
+      orderCols: Seq[String] = Seq("trading_date", "l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey"),
+      valueCol: String = "close", out: String = "ema_chunked"): DataFrame = {
+    val stateAgg = udaf(new graft.functions.EmaStateAggregator(2.0 / (n + 1)))
+    val withChunk = df.withColumn("chunk_raw", chunkExpr)
+    val chunkIdx = withChunk.select(col("symbol"), col("chunk_raw")).distinct()
+      .withColumn("chunk_id", dense_rank().over(
+        Window.partitionBy("symbol").orderBy("chunk_raw")))
+    val indexed = withChunk.join(broadcast(chunkIdx), Seq("symbol", "chunk_raw"))
+
+    val cw = Window.partitionBy("symbol", "chunk_id").orderBy(orderCols.map(col): _*)
+    val withState = indexed.withColumn("_st",
+      stateAgg(col(valueCol)).over(cw.rowsBetween(Window.unboundedPreceding, 0)))
+
+    // chunk summaries: the last row's state per (symbol, chunk)
+    val descW = Window.partitionBy("symbol", "chunk_id")
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    val summaries = withState
+      .withColumn("_rn", row_number().over(descW)).filter(col("_rn") === 1)
+      .select(col("symbol"), col("chunk_id"), col("_st").as("_st_end"))
+    // incoming state per chunk: fold PRIOR chunk summaries in order (the
+    // collect_list frame is the per-symbol chunk count — tiny)
+    val prevW = Window.partitionBy("symbol").orderBy("chunk_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val incoming = summaries
+      .withColumn("_prevs", collect_list(col("_st_end")).over(prevW))
+      .withColumn("_s_prev",
+        when(size(col("_prevs")) === 0, lit(Double.NaN)).otherwise(
+          aggregate(col("_prevs"), lit(Double.NaN),
+            (acc, st) => when(isnan(acc), st.getField("cSeeded"))
+              .otherwise(st.getField("c") + st.getField("m") * acc))))
+      .select(col("symbol"), col("chunk_id"), col("_s_prev"))
+
+    withState.join(broadcast(incoming), Seq("symbol", "chunk_id"))
+      .withColumn(out,
+        when(isnan(col("_s_prev")), col("_st.cSeeded"))
+          .otherwise(col("_st.c") + col("_st.m") * col("_s_prev")))
+      .drop("chunk_raw", "chunk_id", "_st", "_s_prev")
+  }
+
   /** Wilder-smoothed RSI (fidelity upgrade over W8's plain-SMA variant,
     * SURVEY §7.3): avg_gain_t = (avg_gain_{t−1}·(n−1) + gain_t)/n — the
     * same exponential recurrence as EMA with α = 1/n, seeded by the first

@@ -45,6 +45,48 @@ class ChunkedSpec extends SparkSpec {
     }
   }
 
+  test("chunked EMA equals the sequential recurrence via affine composition") {
+    // UNBOUNDED recurrence: overlap-and-trim can't help; the affine-state
+    // decomposition must be exact for ANY chunk size — including chunks
+    // far smaller than any lookback, where a truncated fold would diverge
+    val rows = for (s <- Seq("A", "B"); i <- 0 until 500) yield
+      (s, i, 100.0 + 10 * math.sin(i / 10.0) + (if (s == "A") i % 7 else i % 11))
+    val df = rows.toDF("symbol", "idx", "close")
+      .withColumn("trading_date", expr("date_add(date '2010-01-01', idx)"))
+
+    val plainW = Window.partitionBy("symbol").orderBy("trading_date")
+    Seq(12, 26).foreach { n =>
+      val alpha = 2.0 / (n + 1)
+      val expect = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)
+        .reduceLeft((acc, x) => x * alpha + acc * (1 - alpha))).toMap
+      Seq(7, 50, 499).foreach { chunkRows =>
+        val got = Indicators.chunkedTrueEma(df, n, floor(col("idx") / chunkRows),
+            orderCols = Seq("trading_date"))
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy("symbol").orderBy(col("trading_date").desc)))
+          .filter(col("_rn") === 1)
+          .select("symbol", "ema_chunked").as[(String, Double)].collect().toMap
+        Seq("A", "B").foreach { s =>
+          val (g, e) = (got(s), expect(s))
+          assert(math.abs(g - e) <= 1e-9 * math.abs(e),
+            s"n=$n chunk=$chunkRows sym=$s: $g vs $e")
+        }
+      }
+      // and the whole series matches the exact aggregator path row-by-row
+      val seq = df.withColumn("ema", Indicators.trueEmaExact(col("close"), n, plainW))
+        .select("symbol", "trading_date", "ema")
+        .orderBy("symbol", "trading_date").as[(String, java.sql.Date, Double)].collect()
+      val chk = Indicators.chunkedTrueEma(df, n, floor(col("idx") / 50),
+          orderCols = Seq("trading_date"))
+        .select("symbol", "trading_date", "ema_chunked")
+        .orderBy("symbol", "trading_date").as[(String, java.sql.Date, Double)].collect()
+      seq.zip(chk).foreach { case ((s1, d1, a), (s2, d2, b)) =>
+        assert(s1 == s2 && d1 == d2)
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)), s"$d1: $a vs $b")
+      }
+    }
+  }
+
   test("chunked OBV is exact even with small chunks (offset decomposition)") {
     val rows = (0 until 100).map(i => ("S", i, 100.0 + (i % 13), (i % 5) + 1L))
     val df = rows.toDF("symbol", "idx", "close", "volume")

@@ -661,14 +661,27 @@ object QueriesScale {
   // statistics pass of a text pipeline. Explode word bigrams (per-row
   // shingling, no shuffle) → count per (lang, bigram) → deterministic
   // top-k via (count desc, bigram asc).
+  //
+  // The top-k is two-phase salted: a window partitioned by lang ALONE has
+  // as many partitions as languages (5 here), so one task would sort an
+  // entire language's vocabulary — billions of bigrams at corpus scale.
+  // Instead rank within (lang, hash(bigram) % 32) — bounded partitions —
+  // keep each salt's top-5, then rank the ≤32·5 survivors per lang. Exact:
+  // every global top-5 member is top-5 within its own salt bucket.
   private val ngramCountsQ = Q(
     (s, dir) => {
       val bi = Tables.documents(s, dir)
         .select(col("lang"),
           explode(ScaleOps.shingles(ScaleOps.tokens(col("text")), k = 2)).as("bigram"))
       val counted = bi.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+        .withColumn("salt", pmod(xxhash64(col("bigram")), lit(32L)))
+      val saltW = Window.partitionBy("lang", "salt").orderBy(col("n").desc, col("bigram"))
+      val survivors = counted
+        .withColumn("salt_rank", row_number().over(saltW))
+        .filter(col("salt_rank") <= 5)
+        .drop("salt", "salt_rank")
       val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))
-      counted.withColumn("rank", row_number().over(w))
+      survivors.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .orderBy(col("lang"), col("rank"))
     },

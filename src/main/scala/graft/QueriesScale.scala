@@ -521,9 +521,10 @@ object QueriesScale {
   // ann_lsh_topk): a coarse quantizer assigns every vector to its nearest
   // centroid (the "inverted list"); a query probes only the nProbe nearest
   // lists and re-ranks those candidates exactly. Plan shape at 100 TB:
-  // the codebook broadcasts (K·dim floats), assignment is narrow per-row
-  // math, and candidate retrieval is an equi-join on the compact
-  // centroid id — the corpus is never crossed with itself.
+  // the codebook broadcasts (K·dim floats), assignment is a map-side
+  // argmax aggregation (one shuffled row per vector, no sort), and
+  // candidate retrieval is an equi-join on the compact centroid id — the
+  // corpus is never crossed with itself.
   //
   // Centroids here are the first K vectors by vec_id — deterministic and
   // SQL-mirrorable, standing in for a production codebook trained offline
@@ -539,29 +540,30 @@ object QueriesScale {
         .withColumn("nv", ScaleOps.l2norm(col("embedding")))
       val cents = emb.filter(col("vec_id") < ivfK)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nv").as("nc"))
-      // nearest-centroid assignment by cosine: broadcast the codebook,
-      // row_number over (vector, centroid) scores
-      def assign(df: DataFrame, idc: String, embc: String, nvc: String, n: Int) = {
-        val scored = df.join(broadcast(cents))
-          .withColumn("c_cos", ScaleOps.cosine(col(embc), col("c_emb"), col(nvc), col("nc")))
-        val w = Window.partitionBy(idc).orderBy(col("c_cos").desc, col("c_id"))
-        scored.withColumn("c_rank", row_number().over(w)).filter(col("c_rank") <= n)
-          .drop("c_emb", "nc", "c_cos", "c_rank")
-      }
-      val lists = assign(emb, "vec_id", "embedding", "nv", 1)
-      val probes = assign(
-        emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nv").as("nq")),
-        "q_id", "q_emb", "nq", ivfProbes)
+      val scored = emb.join(broadcast(cents))
+        .withColumn("c_cos", ScaleOps.cosine(col("embedding"), col("c_emb"), col("nv"), col("nc")))
+      // corpus-side assignment is an ARGMAX aggregation, not a window: a
+      // row_number over the K×-expanded corpus would exchange and sort K
+      // copies of every row; max(struct) partial-aggregates map-side and
+      // ships one row per vector with no sort. Tiebreak c_id asc via -c_id
+      // (c_cos/neg_c decide before the payload fields are ever compared).
+      val lists = scored.groupBy(col("vec_id"))
+        .agg(max(struct(col("c_cos"), (-col("c_id")).as("neg_c"), col("c_id"),
+          col("embedding"), col("nv"))).as("_m"))
+        .select(col("vec_id"), col("_m.c_id").as("c_id"),
+          col("_m.embedding").as("embedding"), col("_m.nv").as("nv"))
+      // probe side is 10 queries × K centroids — a window here is trivial
+      val probeW = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
+      val probes = scored.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nv").as("nq"), col("c_id"), col("c_cos"))
+        .withColumn("c_rank", row_number().over(probeW))
+        .filter(col("c_rank") <= ivfProbes)
+        .select("q_id", "q_emb", "nq", "c_id")
       // each vector sits in exactly ONE inverted list and a query probes
       // distinct lists, so (q_id, vec_id) pairs are unique — no dedup
-      val cands = probes.join(lists, "c_id")
-        .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"),
-          col("nq"), col("nv"))
-      val w = Window.partitionBy("q_id").orderBy(
-        ScaleOps.cosine(col("q_emb"), col("embedding"), col("nq"), col("nv")).desc,
-        col("vec_id"))
-      cands
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      probes.join(lists, "c_id")
         .withColumn("cos", ScaleOps.cosine(col("q_emb"), col("embedding"), col("nq"), col("nv")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)

@@ -124,16 +124,22 @@ object Indicators {
     * scale; asserted in tests). Results are identical to
     * [[withIndicators]] under that condition.
     */
-  def chunkedIndicators(df: DataFrame, chunkExpr: Column,
-      orderCols: Seq[String] = Seq("trading_date", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
-      maxFrame: Int = 200): DataFrame = {
+  /** Dense per-symbol chunk index (shared by both chunked paths): bucket
+    * by `chunkExpr`, dense-rank the tiny distinct chunk set so gaps don't
+    * break adjacency, broadcast-join the index back.
+    */
+  private def withDenseChunkIdx(df: DataFrame, chunkExpr: Column): DataFrame = {
     val withChunk = df.withColumn("chunk_raw", chunkExpr)
-
-    // dense chunk index per symbol over the tiny distinct-chunks set
     val chunkIdx = withChunk.select(col("symbol"), col("chunk_raw")).distinct()
       .withColumn("chunk_id", dense_rank().over(
         Window.partitionBy("symbol").orderBy("chunk_raw")))
-    val indexed = withChunk.join(broadcast(chunkIdx), Seq("symbol", "chunk_raw"))
+    withChunk.join(broadcast(chunkIdx), Seq("symbol", "chunk_raw"))
+  }
+
+  def chunkedIndicators(df: DataFrame, chunkExpr: Column,
+      orderCols: Seq[String] = Seq("trading_date", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      maxFrame: Int = 200): DataFrame = {
+    val indexed = withDenseChunkIdx(df, chunkExpr)
 
     // clone each chunk's tail (maxFrame-1 rows) into the next chunk
     val tailW = Window.partitionBy("symbol", "chunk_id")
@@ -226,27 +232,28 @@ object Indicators {
     * so the reseed-on-NaN semantics of the row-level aggregator do not
     * extend across chunk boundaries.
     */
+  // default orderCols = the FULL total order on the OHLCV testdata
+  // (baseWindow's value-column tail included): the bare 4-part lineitem
+  // key has one collision at sf0.001, and a tied pair would make both the
+  // state window and the chunk-summary pick nondeterministic.
   def chunkedTrueEma(df: DataFrame, n: Int, chunkExpr: Column,
       orderCols: Seq[String] = Seq("trading_date", "l_orderkey", "l_linenumber",
-        "l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", "close", "volume", "open", "low"),
       valueCol: String = "close", out: String = "ema_chunked"): DataFrame = {
     val stateAgg = udaf(new graft.functions.EmaStateAggregator(2.0 / (n + 1)))
-    val withChunk = df.withColumn("chunk_raw", chunkExpr)
-    val chunkIdx = withChunk.select(col("symbol"), col("chunk_raw")).distinct()
-      .withColumn("chunk_id", dense_rank().over(
-        Window.partitionBy("symbol").orderBy("chunk_raw")))
-    val indexed = withChunk.join(broadcast(chunkIdx), Seq("symbol", "chunk_raw"))
+    val indexed = withDenseChunkIdx(df, chunkExpr)
 
     val cw = Window.partitionBy("symbol", "chunk_id").orderBy(orderCols.map(col): _*)
     val withState = indexed.withColumn("_st",
       stateAgg(col(valueCol)).over(cw.rowsBetween(Window.unboundedPreceding, 0)))
 
-    // chunk summaries: the last row's state per (symbol, chunk)
-    val descW = Window.partitionBy("symbol", "chunk_id")
-      .orderBy(orderCols.map(c => col(c).desc): _*)
-    val summaries = withState
-      .withColumn("_rn", row_number().over(descW)).filter(col("_rn") === 1)
-      .select(col("symbol"), col("chunk_id"), col("_st").as("_st_end"))
+    // chunk summaries: the last row's state per (symbol, chunk), via an
+    // argmax over the order key — map-side combinable, no second sort of
+    // the full data (a descending row_number window would re-exchange and
+    // re-sort everything just to pick one row per chunk)
+    val summaries = withState.groupBy(col("symbol"), col("chunk_id"))
+      .agg(max(struct(orderCols.map(col) :+ col("_st").as("_st"): _*)).as("_m"))
+      .select(col("symbol"), col("chunk_id"), col("_m._st").as("_st_end"))
     // incoming state per chunk: fold PRIOR chunk summaries in order (the
     // collect_list frame is the per-symbol chunk count — tiny)
     val prevW = Window.partitionBy("symbol").orderBy("chunk_id")

@@ -72,4 +72,64 @@ object AsOfJoin {
       .filter(col(asofValueName).isNotNull)
       .drop("_t", "_side", "_v")
   }
+
+  /** Chunked as-of join — the skew answer when ONE key's history exceeds a
+    * task (the same wall [[graft.operators.Indicators.chunkedTrueEma]]
+    * answers for EMA): `partitionBy(key)` puts a key's entire merged
+    * probe+quote stream in one sort. The carry-forward decomposes exactly:
+    *
+    *  1. within (key, chunk) — bounded partitions — the usual
+    *     `last(_v, ignoreNulls)` window;
+    *  2. per (key, chunk): the latest quote value (argmax over quote rows,
+    *     map-side combinable; null for quote-less chunks);
+    *  3. the tiny per-key summary set carries the latest non-null prior-
+    *     chunk value forward (`last(ignoreNulls)` over chunks);
+    *  4. per row: `coalesce(chunk-local value, incoming value)`.
+    *
+    * `chunkOf` must bucket times monotonically (all times of chunk k sort
+    * before chunk k+1 — e.g. `year(t)`, `date_trunc`). Identical results
+    * to [[asofJoin]] for any such bucketing (pinned by AsOfJoinSpec).
+    */
+  def asofJoinChunked(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, valueCol: String,
+      asofValueName: String, chunkOf: Column => Column): DataFrame = {
+    val probe = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .withColumn("_v", lit(null).cast(right.schema(valueCol).dataType))
+    val quote = right
+      .filter(col(valueCol).isNotNull)
+      .select(col(key), col(rightTime).as("_t"), col(valueCol).as("_v"))
+      .withColumn("_side", lit(0))
+    val leftCols = left.columns
+    val stacked = probe.select(
+      (leftCols.map(col) ++ Seq(col("_t"), col("_side"), col("_v"))): _*)
+      .unionByName(quote
+        .select((leftCols.map(c => if (c == key) col(key) else lit(null).as(c)) ++
+          Seq(col("_t"), col("_side"), col("_v"))): _*))
+      .withColumn("_chunk", chunkOf(col("_t")))
+
+    val cw = Window.partitionBy(col(key), col("_chunk"))
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withLocal = stacked.withColumn("_local", last(col("_v"), ignoreNulls = true).over(cw))
+
+    // latest quote per (key, chunk): argmax on _t over quote rows only
+    // (quotes are unique per (key, _t) by the latestPerKeyTime contract),
+    // null when the chunk has no quotes
+    val summaries = stacked.groupBy(col(key), col("_chunk"))
+      .agg(max(when(col("_side") === 0, struct(col("_t"), col("_v")))).as("_m"))
+      .select(col(key), col("_chunk"), col("_m._v").as("_chunk_last"))
+    val prevW = Window.partitionBy(col(key)).orderBy(col("_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val incoming = summaries
+      .withColumn("_in_v", last(col("_chunk_last"), ignoreNulls = true).over(prevW))
+      .select(col(key), col("_chunk"), col("_in_v"))
+
+    withLocal.join(broadcast(incoming), Seq(key, "_chunk"))
+      .withColumn(asofValueName, coalesce(col("_local"), col("_in_v")))
+      .filter(col("_side") === 1)
+      .filter(col(asofValueName).isNotNull)
+      .drop("_t", "_side", "_v", "_chunk", "_local", "_in_v")
+  }
 }

@@ -36,4 +36,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() > 0)
     assert(out.filter(col("asof_close").isNull).count() == 0)
   }
+
+  test("asofJoinChunked equals asofJoin on real data at several chunk widths") {
+    // same probe/quote frames the asof_join oracle query uses
+    val quotes = AsOfJoin.latestPerKeyTime(
+      Tables.ohlcv(spark, sf0001), "symbol", "trading_date",
+      Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+      .select(col("symbol"), col("trading_date"), col("close"))
+    val probes = Tables.orders(spark, sf0001)
+      .withColumn("symbol",
+        when(col("o_orderstatus") === "F", lit("A"))
+          .when(col("o_orderstatus") === "O", lit("N"))
+          .otherwise(lit("R")))
+      .select(col("o_orderkey"), col("symbol"), col("o_orderdate"))
+
+    val plain = AsOfJoin.asofJoin(probes, quotes, "symbol", "o_orderdate",
+        "trading_date", "close", "asof_close")
+      .select("o_orderkey", "asof_close").as[(Long, Double)].collect().toMap
+
+    // year chunks (coarse: few boundaries) and month chunks (fine: many
+    // quote-less probe chunks must pull their value across MULTIPLE prior
+    // chunks through the summary carry-forward)
+    def run(chunkOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      AsOfJoin.asofJoinChunked(probes, quotes, "symbol", "o_orderdate",
+        "trading_date", "close", "asof_close", chunkOf)
+        .select("o_orderkey", "asof_close").as[(Long, Double)].collect().toMap
+    assert(run(t => year(t)) == plain)
+    assert(run(t => date_trunc("month", t)) == plain)
+  }
 }

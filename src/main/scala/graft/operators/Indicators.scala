@@ -239,9 +239,19 @@ object Indicators {
   def chunkedTrueEma(df: DataFrame, n: Int, chunkExpr: Column,
       orderCols: Seq[String] = Seq("trading_date", "l_orderkey", "l_linenumber",
         "l_partkey", "l_suppkey", "close", "volume", "open", "low"),
-      valueCol: String = "close", out: String = "ema_chunked"): DataFrame = {
-    val stateAgg = udaf(new graft.functions.EmaStateAggregator(2.0 / (n + 1)))
-    val indexed = withDenseChunkIdx(df, chunkExpr)
+      valueCol: String = "close", out: String = "ema_chunked"): DataFrame =
+    chunkedEmaAlpha(withDenseChunkIdx(df, chunkExpr), 2.0 / (n + 1),
+      orderCols, valueCol, out)
+      .drop("chunk_raw", "chunk_id")
+
+  /** Alpha-parametrized core of [[chunkedTrueEma]], operating on an
+    * already-indexed frame (must carry `chunk_id` from
+    * [[withDenseChunkIdx]]) so several recurrences can share one chunking
+    * — e.g. Wilder's gain and loss smoothings ([[chunkedWilderRsi]]).
+    */
+  private def chunkedEmaAlpha(indexed: DataFrame, alpha: Double,
+      orderCols: Seq[String], valueCol: String, out: String): DataFrame = {
+    val stateAgg = udaf(new graft.functions.EmaStateAggregator(alpha))
 
     val cw = Window.partitionBy("symbol", "chunk_id").orderBy(orderCols.map(col): _*)
     val withState = indexed.withColumn("_st",
@@ -271,7 +281,58 @@ object Indicators {
       .withColumn(out,
         when(isnan(col("_s_prev")), col("_st.cSeeded"))
           .otherwise(col("_st.c") + col("_st.m") * col("_s_prev")))
-      .drop("chunk_raw", "chunk_id", "_st", "_s_prev")
+      .drop("_st", "_s_prev")
+  }
+
+  /** Chunked Wilder RSI — the full chunk decomposition of
+    * [[withWilderRsiExact]], closing the last unbounded recurrence in the
+    * indicator family. Two mechanisms compose:
+    *
+    *  - the price change needs ONE row of cross-chunk context: each
+    *    chunk's first `chg` comes from the previous chunk's last close,
+    *    carried through the same per-(symbol, chunk) argmax summary +
+    *    prefix join used everywhere else (no row clones, no trimming);
+    *  - gain and loss then run [[chunkedEmaAlpha]] (α = 1/n) over the
+    *    SHARED chunk index.
+    *
+    * Agreement with the plain-window path is pinned by ChunkedSpec.
+    */
+  def chunkedWilderRsi(df: DataFrame, chunkExpr: Column,
+      orderCols: Seq[String] = Seq("trading_date", "l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "close", "volume", "open", "low"),
+      n: Int = 14, out: String = "rsi_wilder_chunked"): DataFrame = {
+    val indexed = withDenseChunkIdx(df, chunkExpr)
+    val cw = Window.partitionBy("symbol", "chunk_id").orderBy(orderCols.map(col): _*)
+
+    // previous chunk's closing price per (symbol, chunk): argmax summary +
+    // lag over the tiny per-symbol chunk set (close appended to the
+    // summary struct only when it isn't already an order column)
+    val summaryFields = orderCols.map(col) ++
+      (if (orderCols.contains("close")) Nil else Seq(col("close")))
+    val lastClose = indexed.groupBy(col("symbol"), col("chunk_id"))
+      .agg(max(struct(summaryFields: _*)).as("_m"))
+      .select(col("symbol"), col("chunk_id"), col("_m.close").as("_last_close"))
+    val prevClose = lastClose
+      .withColumn("_prev_close", lag(col("_last_close"), 1).over(
+        Window.partitionBy("symbol").orderBy("chunk_id")))
+      .select(col("symbol"), col("chunk_id"), col("_prev_close"))
+
+    val withChg = indexed.join(broadcast(prevClose), Seq("symbol", "chunk_id"))
+      .withColumn("w_chg",
+        col("close") - coalesce(lag(col("close"), 1).over(cw), col("_prev_close")))
+      .withColumn("w_gain", when(col("w_chg") > 0, col("w_chg")).otherwise(lit(0.0)))
+      .withColumn("w_loss", when(col("w_chg") < 0, -col("w_chg")).otherwise(lit(0.0)))
+
+    val smoothed = chunkedEmaAlpha(
+      chunkedEmaAlpha(withChg, 1.0 / n, orderCols, "w_gain", "w_avg_gain"),
+      1.0 / n, orderCols, "w_loss", "w_avg_loss")
+    smoothed
+      .withColumn(out,
+        lit(100.0) - (lit(100.0) / (lit(1.0) +
+          when(col("w_avg_loss") =!= 0, col("w_avg_gain") / col("w_avg_loss"))
+            .otherwise(lit(100.0)))))
+      .drop("chunk_raw", "chunk_id", "_prev_close",
+        "w_chg", "w_gain", "w_loss", "w_avg_gain", "w_avg_loss")
   }
 
   /** Wilder-smoothed RSI (fidelity upgrade over W8's plain-SMA variant,

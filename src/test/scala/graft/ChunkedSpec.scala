@@ -87,6 +87,28 @@ class ChunkedSpec extends SparkSpec {
     }
   }
 
+  test("chunked Wilder RSI equals the plain-window exact path") {
+    val rows = for (s <- Seq("A", "B"); i <- 0 until 400) yield
+      (s, i, 100.0 + 10 * math.sin(i / 9.0) + (if (s == "A") i % 5 else i % 8))
+    val df = rows.toDF("symbol", "idx", "close")
+      .withColumn("trading_date", expr("date_add(date '2010-01-01', idx)"))
+    val plainW = Window.partitionBy("symbol").orderBy("trading_date")
+    val plain = Indicators.withWilderRsiExact(df, plainW)
+      .select("symbol", "trading_date", "rsi_wilder")
+      .orderBy("symbol", "trading_date").as[(String, java.sql.Date, Double)].collect()
+    Seq(13, 100).foreach { chunkRows => // 13: chunk boundaries hit mid-warmup
+      val chunked = Indicators.chunkedWilderRsi(df, floor(col("idx") / chunkRows),
+          orderCols = Seq("trading_date"))
+        .select("symbol", "trading_date", "rsi_wilder_chunked")
+        .orderBy("symbol", "trading_date").as[(String, java.sql.Date, Double)].collect()
+      assert(plain.length == chunked.length)
+      plain.zip(chunked).foreach { case ((s1, d1, a), (s2, d2, b)) =>
+        assert(s1 == s2 && d1 == d2)
+        assert(math.abs(a - b) <= 1e-9, s"chunk=$chunkRows $d1: $a vs $b")
+      }
+    }
+  }
+
   test("chunked OBV is exact even with small chunks (offset decomposition)") {
     val rows = (0 until 100).map(i => ("S", i, 100.0 + (i % 13), (i % 5) + 1L))
     val df = rows.toDF("symbol", "idx", "close", "volume")

@@ -46,22 +46,35 @@ object AsOfJoin {
     * before the shuffle), so the contract is visible in the plan rather
     * than implicit in a window flag.
     */
-  def asofJoin(left: DataFrame, right: DataFrame, key: String, leftTime: String,
-      rightTime: String, valueCol: String, asofValueName: String): DataFrame = {
+  /** Shared probe/quote stacking for both as-of paths: probes ride with a
+    * null `_v`, quotes are projected onto the left schema with null
+    * padding. Null-TIME rows are dropped on both sides — a row without a
+    * position on the time axis has no "latest ≤ t" semantics (DuckDB's
+    * inner ASOF JOIN likewise never matches a null-time probe) — as are
+    * null-valued quotes (see [[asofJoin]]'s contract).
+    */
+  private def stack(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, valueCol: String): DataFrame = {
     val probe = left
+      .filter(col(leftTime).isNotNull)
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
       .withColumn("_v", lit(null).cast(right.schema(valueCol).dataType))
     val quote = right
-      .filter(col(valueCol).isNotNull)
+      .filter(col(rightTime).isNotNull && col(valueCol).isNotNull)
       .select(col(key), col(rightTime).as("_t"), col(valueCol).as("_v"))
       .withColumn("_side", lit(0))
     val leftCols = left.columns
-    val stacked = probe.select(
+    probe.select(
       (leftCols.map(col) ++ Seq(col("_t"), col("_side"), col("_v"))): _*)
       .unionByName(quote
         .select((leftCols.map(c => if (c == key) col(key) else lit(null).as(c)) ++
           Seq(col("_t"), col("_side"), col("_v"))): _*))
+  }
+
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, leftTime: String,
+      rightTime: String, valueCol: String, asofValueName: String): DataFrame = {
+    val stacked = stack(left, right, key, leftTime, rightTime, valueCol)
     // quotes (side 0) sort before probes (side 1) at equal _t, so an
     // exactly-simultaneous quote is visible to the probe (<= semantics)
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
@@ -93,20 +106,7 @@ object AsOfJoin {
   def asofJoinChunked(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, valueCol: String,
       asofValueName: String, chunkOf: Column => Column): DataFrame = {
-    val probe = left
-      .withColumn("_t", col(leftTime))
-      .withColumn("_side", lit(1))
-      .withColumn("_v", lit(null).cast(right.schema(valueCol).dataType))
-    val quote = right
-      .filter(col(valueCol).isNotNull)
-      .select(col(key), col(rightTime).as("_t"), col(valueCol).as("_v"))
-      .withColumn("_side", lit(0))
-    val leftCols = left.columns
-    val stacked = probe.select(
-      (leftCols.map(col) ++ Seq(col("_t"), col("_side"), col("_v"))): _*)
-      .unionByName(quote
-        .select((leftCols.map(c => if (c == key) col(key) else lit(null).as(c)) ++
-          Seq(col("_t"), col("_side"), col("_v"))): _*))
+    val stacked = stack(left, right, key, leftTime, rightTime, valueCol)
       .withColumn("_chunk", chunkOf(col("_t")))
 
     val cw = Window.partitionBy(col(key), col("_chunk"))
@@ -126,7 +126,10 @@ object AsOfJoin {
       .withColumn("_in_v", last(col("_chunk_last"), ignoreNulls = true).over(prevW))
       .select(col(key), col("_chunk"), col("_in_v"))
 
-    withLocal.join(broadcast(incoming), Seq(key, "_chunk"))
+    // NO broadcast hint: incoming has #keys × #chunks rows and the as-of
+    // key is an arbitrary user column — with millions of keys a forced
+    // broadcast is a driver OOM. AQE broadcasts it when it is small.
+    withLocal.join(incoming, Seq(key, "_chunk"))
       .withColumn(asofValueName, coalesce(col("_local"), col("_in_v")))
       .filter(col("_side") === 1)
       .filter(col(asofValueName).isNotNull)

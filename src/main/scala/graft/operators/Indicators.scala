@@ -241,47 +241,59 @@ object Indicators {
         "l_partkey", "l_suppkey", "close", "volume", "open", "low"),
       valueCol: String = "close", out: String = "ema_chunked"): DataFrame =
     chunkedEmaAlpha(withDenseChunkIdx(df, chunkExpr), 2.0 / (n + 1),
-      orderCols, valueCol, out)
+      orderCols, Seq(valueCol -> out))
       .drop("chunk_raw", "chunk_id")
 
   /** Alpha-parametrized core of [[chunkedTrueEma]], operating on an
     * already-indexed frame (must carry `chunk_id` from
-    * [[withDenseChunkIdx]]) so several recurrences can share one chunking
-    * — e.g. Wilder's gain and loss smoothings ([[chunkedWilderRsi]]).
+    * [[withDenseChunkIdx]]). Takes SEVERAL (valueCol → out) recurrences at
+    * once so they share one WindowExec, one summary aggregation, and one
+    * join — Wilder's gain and loss smoothings ([[chunkedWilderRsi]]) halve
+    * their heavy stages this way.
     */
   private def chunkedEmaAlpha(indexed: DataFrame, alpha: Double,
-      orderCols: Seq[String], valueCol: String, out: String): DataFrame = {
+      orderCols: Seq[String], cols: Seq[(String, String)]): DataFrame = {
     val stateAgg = udaf(new graft.functions.EmaStateAggregator(alpha))
+    def st(i: Int) = s"_st_$i"
 
+    // all recurrences over the SAME window spec → one WindowExec pass
     val cw = Window.partitionBy("symbol", "chunk_id").orderBy(orderCols.map(col): _*)
-    val withState = indexed.withColumn("_st",
-      stateAgg(col(valueCol)).over(cw.rowsBetween(Window.unboundedPreceding, 0)))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withState = cols.zipWithIndex.foldLeft(indexed) {
+      case (d, ((valueCol, _), i)) =>
+        d.withColumn(st(i), stateAgg(col(valueCol)).over(cw))
+    }
 
-    // chunk summaries: the last row's state per (symbol, chunk), via an
+    // chunk summaries: the last row's states per (symbol, chunk), via one
     // argmax over the order key — map-side combinable, no second sort of
     // the full data (a descending row_number window would re-exchange and
     // re-sort everything just to pick one row per chunk)
+    val stCols = cols.indices.map(i => col(st(i)))
     val summaries = withState.groupBy(col("symbol"), col("chunk_id"))
-      .agg(max(struct(orderCols.map(col) :+ col("_st").as("_st"): _*)).as("_m"))
-      .select(col("symbol"), col("chunk_id"), col("_m._st").as("_st_end"))
+      .agg(max(struct(orderCols.map(col) ++ stCols: _*)).as("_m"))
+      .select(Seq(col("symbol"), col("chunk_id")) ++
+        cols.indices.map(i => col(s"_m.${st(i)}").as(s"_end_$i")): _*)
     // incoming state per chunk: fold PRIOR chunk summaries in order (the
     // collect_list frame is the per-symbol chunk count — tiny)
     val prevW = Window.partitionBy("symbol").orderBy("chunk_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val incoming = summaries
-      .withColumn("_prevs", collect_list(col("_st_end")).over(prevW))
-      .withColumn("_s_prev",
-        when(size(col("_prevs")) === 0, lit(Double.NaN)).otherwise(
-          aggregate(col("_prevs"), lit(Double.NaN),
-            (acc, st) => when(isnan(acc), st.getField("cSeeded"))
-              .otherwise(st.getField("c") + st.getField("m") * acc))))
-      .select(col("symbol"), col("chunk_id"), col("_s_prev"))
+    def foldPrev(prevs: Column): Column =
+      when(size(prevs) === 0, lit(Double.NaN)).otherwise(
+        aggregate(prevs, lit(Double.NaN),
+          (acc, s) => when(isnan(acc), s.getField("cSeeded"))
+            .otherwise(s.getField("c") + s.getField("m") * acc)))
+    val incoming = cols.indices.foldLeft(summaries) { (d, i) =>
+      d.withColumn(s"_s_prev_$i", foldPrev(collect_list(col(s"_end_$i")).over(prevW)))
+    }.select(Seq(col("symbol"), col("chunk_id")) ++
+      cols.indices.map(i => col(s"_s_prev_$i")): _*)
 
-    withState.join(broadcast(incoming), Seq("symbol", "chunk_id"))
-      .withColumn(out,
-        when(isnan(col("_s_prev")), col("_st.cSeeded"))
-          .otherwise(col("_st.c") + col("_st.m") * col("_s_prev")))
-      .drop("_st", "_s_prev")
+    val joined = withState.join(broadcast(incoming), Seq("symbol", "chunk_id"))
+    cols.zipWithIndex.foldLeft(joined) { case (d, ((_, out), i)) =>
+      d.withColumn(out,
+        when(isnan(col(s"_s_prev_$i")), col(s"${st(i)}.cSeeded"))
+          .otherwise(col(s"${st(i)}.c") + col(s"${st(i)}.m") * col(s"_s_prev_$i")))
+        .drop(st(i), s"_s_prev_$i")
+    }
   }
 
   /** Chunked Wilder RSI — the full chunk decomposition of
@@ -323,17 +335,21 @@ object Indicators {
       .withColumn("w_gain", when(col("w_chg") > 0, col("w_chg")).otherwise(lit(0.0)))
       .withColumn("w_loss", when(col("w_chg") < 0, -col("w_chg")).otherwise(lit(0.0)))
 
-    val smoothed = chunkedEmaAlpha(
-      chunkedEmaAlpha(withChg, 1.0 / n, orderCols, "w_gain", "w_avg_gain"),
-      1.0 / n, orderCols, "w_loss", "w_avg_loss")
+    val smoothed = chunkedEmaAlpha(withChg, 1.0 / n, orderCols,
+      Seq("w_gain" -> "w_avg_gain", "w_loss" -> "w_avg_loss"))
     smoothed
-      .withColumn(out,
-        lit(100.0) - (lit(100.0) / (lit(1.0) +
-          when(col("w_avg_loss") =!= 0, col("w_avg_gain") / col("w_avg_loss"))
-            .otherwise(lit(100.0)))))
+      .withColumn(out, rsiFrom(col("w_avg_gain"), col("w_avg_loss")))
       .drop("chunk_raw", "chunk_id", "_prev_close",
         "w_chg", "w_gain", "w_loss", "w_avg_gain", "w_avg_loss")
   }
+
+  /** The reference's RSI combination quirk, shared by every Wilder path:
+    * rs saturates to 100 when the average loss is exactly zero
+    * (`etl_job.py:312` fidelity contract — keep all copies identical).
+    */
+  private def rsiFrom(avgGain: Column, avgLoss: Column): Column =
+    lit(100.0) - (lit(100.0) / (lit(1.0) +
+      when(avgLoss =!= 0, avgGain / avgLoss).otherwise(lit(100.0))))
 
   /** Wilder-smoothed RSI (fidelity upgrade over W8's plain-SMA variant,
     * SURVEY §7.3): avg_gain_t = (avg_gain_{t−1}·(n−1) + gain_t)/n — the
@@ -355,10 +371,7 @@ object Indicators {
       .withColumn("w_loss", when(col("w_chg") < 0, -col("w_chg")).otherwise(lit(0.0)))
       .withColumn("w_avg_gain", smooth(col("w_gain")))
       .withColumn("w_avg_loss", smooth(col("w_loss")))
-      .withColumn("rsi_wilder",
-        lit(100.0) - (lit(100.0) / (lit(1.0) +
-          when(col("w_avg_loss") =!= 0, col("w_avg_gain") / col("w_avg_loss"))
-            .otherwise(lit(100.0)))))
+      .withColumn("rsi_wilder", rsiFrom(col("w_avg_gain"), col("w_avg_loss")))
       .drop("w_chg", "w_gain", "w_loss", "w_avg_gain", "w_avg_loss")
   }
 
@@ -375,10 +388,7 @@ object Indicators {
       .withColumn("w_loss", when(col("w_chg") < 0, -col("w_chg")).otherwise(lit(0.0)))
       .withColumn("w_avg_gain", run(col("w_gain")))
       .withColumn("w_avg_loss", run(col("w_loss")))
-      .withColumn("rsi_wilder",
-        lit(100.0) - (lit(100.0) / (lit(1.0) +
-          when(col("w_avg_loss") =!= 0, col("w_avg_gain") / col("w_avg_loss"))
-            .otherwise(lit(100.0)))))
+      .withColumn("rsi_wilder", rsiFrom(col("w_avg_gain"), col("w_avg_loss")))
       .drop("w_chg", "w_gain", "w_loss", "w_avg_gain", "w_avg_loss")
   }
 }

@@ -96,7 +96,10 @@ class ChunkedSpec extends SparkSpec {
     val plain = Indicators.withWilderRsiExact(df, plainW)
       .select("symbol", "trading_date", "rsi_wilder")
       .orderBy("symbol", "trading_date").as[(String, java.sql.Date, Double)].collect()
-    Seq(13, 100).foreach { chunkRows => // 13: chunk boundaries hit mid-warmup
+    // 13-row chunks (smaller than the n=14 period): every chunk's RSI
+    // depends on cross-chunk state composition, not any warm-up — the
+    // chunked Wilder path has none by design
+    Seq(13, 100).foreach { chunkRows =>
       val chunked = Indicators.chunkedWilderRsi(df, floor(col("idx") / chunkRows),
           orderCols = Seq("trading_date"))
         .select("symbol", "trading_date", "rsi_wilder_chunked")

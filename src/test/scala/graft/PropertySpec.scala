@@ -74,6 +74,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("EmaAggregator: any chunking composes to the sequential recurrence") {
+    // property behind chunkedTrueEma/chunkedWilderRsi: fold the series in
+    // arbitrarily-many arbitrary-size pieces, merge left-to-right → the
+    // exact sequential EMA (within fp association tolerance); and merge
+    // is associative on random cut pairs
+    val agg = new graft.functions.EmaAggregator(2.0 / 13)
+    val xsGen = Gen.nonEmptyListOf(Gen.choose(1.0, 1000.0))
+    val cutsGen = Gen.listOf(Gen.choose(0.0, 1.0))
+    samples(Gen.zip(xsGen, cutsGen), 20).foreach { case (xs, fracs) =>
+      val seq = xs.reduceLeft((acc, x) => x * (2.0 / 13) + acc * (1 - 2.0 / 13))
+      val cuts = fracs.map(f => (f * xs.size).toInt).distinct.sorted
+      val pieces = (0 +: cuts :+ xs.size).distinct.sorted
+        .sliding(2).collect { case Seq(a, b) if b > a => xs.slice(a, b) }.toList
+      val bufs = pieces.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = agg.finish(bufs.reduceLeft(agg.merge))
+      assert(math.abs(merged - seq) <= 1e-9 * math.max(1.0, math.abs(seq)),
+        s"pieces=${pieces.map(_.size)}: $merged vs $seq")
+      // associativity on a random 3-way split
+      if (bufs.size >= 3) {
+        val l = agg.merge(agg.merge(bufs(0), bufs(1)), bufs(2))
+        val r = agg.merge(bufs(0), agg.merge(bufs(1), bufs(2)))
+        assert(math.abs(agg.finish(l) - agg.finish(r)) <=
+          1e-9 * math.max(1.0, math.abs(agg.finish(l))))
+      }
+    }
+  }
+
   test("trueEma stays within [min, max] of the series; wilder rsi in [0,100]") {
     samples(seriesGen, 3).foreach { rows =>
       val df = Indicators.withWilderRsi(

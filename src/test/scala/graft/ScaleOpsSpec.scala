@@ -89,6 +89,10 @@ class ScaleOpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val bulk = ScaleOps.minhashSignatureTable(df, "doc_id", "text", k = 4).collect()
       .map(r => r.getLong(0) -> (1 to 4).map(i => r.getAs[Long](s"sig_$i"))).toMap
+    // the zero-shuffle per-row variant must agree component-for-component
+    val perRowVariant = ScaleOps.minhashSignaturePerRow(df, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(i => r.getAs[Long](s"sig_$i"))).toMap
+    assert(perRowVariant == bulk)
     // recompute per-row: min over shingles of the two 60-bit halves of the
     // salt-1 md5 (components 2i-1 / 2i share digest ${i}, offsets 1 and 17)
     val perRow = df.withColumn("_sh", ScaleOps.shingles(ScaleOps.tokens(col("text"))))

@@ -359,4 +359,35 @@ object ScaleOps {
       }
     }
 
+  /** Resized media row: fixed-size frame after nearest-neighbor
+    * downsampling (the codec-free 1-D analogue of image resize).
+    */
+  case class MediaResized(doc_id: Long, n_bytes: Long, frame: Array[Byte])
+
+  /** Resize step of the media pipeline: every payload is brought to a
+    * FIXED `targetBytes` size — nearest-neighbor sampling when larger
+    * (index mapping i ↦ ⌊i·len/target⌋, the standard NN-resize kernel in
+    * one dimension), zero-padding when smaller. The fixed output shape is
+    * the point: downstream batch inference needs uniform tensors, and the
+    * partition-local mapPartitions shape (no shuffle, batch-amortized
+    * setup) is exactly what a real image resize (SIMD library, GPU op)
+    * would plug into in place of the byte kernel.
+    */
+  def resizeBatches(ds: org.apache.spark.sql.Dataset[MediaIn], targetBytes: Int = 32,
+      batchSize: Int = 64)
+      (implicit enc: org.apache.spark.sql.Encoder[MediaResized])
+      : org.apache.spark.sql.Dataset[MediaResized] =
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val len = m.payload.length
+          val frame =
+            if (len >= targetBytes)
+              Array.tabulate(targetBytes)(i => m.payload((i.toLong * len / targetBytes).toInt))
+            else m.payload ++ Array.fill[Byte](targetBytes - len)(0)
+          MediaResized(m.doc_id, len.toLong, frame)
+        }
+      }
+    }
+
 }

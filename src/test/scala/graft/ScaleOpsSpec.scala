@@ -166,6 +166,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(1).n_frames == 1 && out(1).features(0) == 127 / 255.0)
   }
 
+  test("resizeBatches: fixed output shape, NN downsample, zero-pad upsample") {
+    import graft.operators.ScaleOps.MediaIn
+    val big = Array.tabulate(64)(_.toByte)     // 64 -> 32: every 2nd byte
+    val small = Array[Byte](1, 2, 3)           // 3 -> 32: pad with zeros
+    val out = ScaleOps.resizeBatches(Seq(
+      MediaIn(1L, big), MediaIn(2L, small)).toDS(), targetBytes = 32)
+      .collect().sortBy(_.doc_id)
+    assert(out.forall(_.frame.length == 32), "uniform tensor shape is the contract")
+    assert(out(0).frame.toSeq == (0 until 64 by 2).map(_.toByte))
+    assert(out(1).frame.take(3).toSeq == Seq[Byte](1, 2, 3))
+    assert(out(1).frame.drop(3).forall(_ == 0) && out(1).n_bytes == 3L)
+  }
+
   test("minhash signature agreement estimates jaccard similarity") {
     // pairs of docs with known overlap: agreement fraction across K
     // components must track true shingle-set jaccard

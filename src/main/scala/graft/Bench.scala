@@ -48,7 +48,10 @@ object Bench {
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()
     } catch {
-      case e: java.io.IOException =>
+      // NonFatal, not just IOException: Paths.get throws InvalidPathException
+      // (a RuntimeException) for malformed env values — any write failure
+      // must stay a warning
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] WARN could not write $outFile: $e")
     }
     spark.stop()

@@ -227,8 +227,14 @@ object QueriesMeta {
   private val asofJoinQ = Q(
     (s, dir) => {
       import graft.operators.AsOfJoin
+      // project BEFORE the dedup window: latestPerKeyTime sorts every
+      // (symbol, trading_date) group, and carrying the full OHLCV row
+      // through that sort pays for columns the as-of join never reads —
+      // 7 columns in the exchange+sort instead of 12
       val quotes = AsOfJoin.latestPerKeyTime(
-        Tables.ohlcv(s, dir), "symbol", "trading_date",
+        Tables.ohlcv(s, dir).select(col("symbol"), col("trading_date"), col("close"),
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+        "symbol", "trading_date",
         Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
         .select(col("symbol"), col("trading_date"), col("close"))
       val probes = Tables.orders(s, dir)
@@ -254,23 +260,15 @@ object QueriesMeta {
          | ORDER BY p.o_orderkey""".stripMargin))
 
   // --------------------------------------- S10: CSV symbol universe (⊘)
-  // Round-trips the symbol universe through a real CSV file (written once
-  // to the JVM temp dir) — exercises the header-CSV source + fallback.
-  // No DuckDB oracle: the driver records a rows-only check.
+  // Round-trips the symbol universe through a real CSV file — exercises
+  // the header-CSV source + fallback. The file is a FIXTURE
+  // (Tables.symbolUniverseCsv, written once per JVM): the query function
+  // itself is pure — it only reads. No DuckDB oracle: the driver records
+  // a rows-only check.
   private val csvSymbolsQ = Q(
-    (s, dir) => {
-      // no cache: the universe is a handful of rows, so regenerating per
-      // call into a fresh unique temp dir is cheaper than any cache's
-      // failure modes (stale data after testdata regeneration, concurrent
-      // JVM races, orphan accumulation under kill -9). createTempDirectory
-      // is collision-free by construction; deleteOnExit is best-effort.
-      val cacheDir = java.nio.file.Files.createTempDirectory("graft_symbols_csv_").toFile
-      cacheDir.deleteOnExit()
-      val path = new java.io.File(cacheDir, "universe").getPath
-      Tables.ohlcv(s, dir).select(col("symbol").as("Symbol")).distinct()
-        .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
-      graft.sources.CsvSource.readSymbols(s, path).orderBy("symbol")
-    },
+    (s, dir) =>
+      graft.sources.CsvSource.readSymbols(s, Tables.symbolUniverseCsv(s, dir))
+        .orderBy("symbol"),
     None)
 
   // --------------------------------------------- sessionization (events)

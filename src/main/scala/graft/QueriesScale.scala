@@ -346,16 +346,22 @@ object QueriesScale {
   // Oracle: the identical hyperplanes are inlined as literals (floats
   // convert to double exactly), so DuckDB reproduces bucket assignment,
   // cap, and cosine bit-for-bit — hash-green by construction.
+  // 16 tables × 4 bits is the recall-bearing setting (≥ 0.85 vs brute
+  // force pinned by ScaleOpsSpec; 8 tables measured only 0.67). The
+  // per-row constant is recovered on the Spark side instead: all 64 plane
+  // dots evaluate in ONE fused native expression (ScaleOps.lshBucketsFused
+  // → LshBucketsFloat) that reads the embedding array once.
   private val embNdTables = 16
   private val embNdBits = 4
   private val embNeardupQ = Q(
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val bucketed = emb.select(Seq(col("vec_id"), col("label")) ++
-        ScaleOps.lshBuckets(col("embedding"), dim = 64, tables = embNdTables, bits = embNdBits): _*)
-      val stacked = bucketed.select(col("vec_id"), col("label"),
-        posexplode(array((0 until embNdTables).map(t => col(s"bucket_$t")): _*))
-          .as(Seq("tbl", "bucket")))
+      // one fused expression for all 64 plane dots; posexplode of its
+      // array<int> result yields the same (tbl, bucket) pairs the
+      // composed per-table columns did
+      val stacked = emb.select(col("vec_id"), col("label"),
+        posexplode(ScaleOps.lshBucketsFused(col("embedding"), dim = 64,
+          tables = embNdTables, bits = embNdBits)).as(Seq("tbl", "bucket")))
       val buckets = ScaleOps.cappedBuckets(
         stacked.groupBy("tbl", "bucket")
           .agg(sort_array(collect_list(struct(col("vec_id"), col("label")))).as("ms")), "ms")
@@ -481,11 +487,9 @@ object QueriesScale {
       val dim = 64
       val emb = Tables.embeddings(s, dir)
         .withColumn("nv", ScaleOps.l2norm(col("embedding")))
-      val bucketed = emb.select(
-        Seq(col("vec_id"), col("embedding"), col("nv")) ++
-          ScaleOps.lshBuckets(col("embedding"), dim): _*)
-      val stacked = bucketed.select(col("vec_id"), col("embedding"), col("nv"),
-        posexplode(array((0 until 4).map(t => col(s"bucket_$t")): _*)).as(Seq("tbl", "bucket")))
+      val stacked = emb.select(col("vec_id"), col("embedding"), col("nv"),
+        posexplode(ScaleOps.lshBucketsFused(col("embedding"), dim))
+          .as(Seq("tbl", "bucket")))
       val q = stacked.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nv").as("nq"), col("tbl"), col("bucket"))

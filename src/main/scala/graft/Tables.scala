@@ -59,6 +59,25 @@ object Tables {
       col("l_suppkey")
     )
 
+  /** Fixture: the symbol universe written once per (JVM, sfDir) as a real
+    * header CSV, for the CSV source round-trip (S10). Lives here — not in
+    * the query body — so every declared query function stays pure (no
+    * side effects, no java.io); the memo makes repeated bench reps free.
+    * createTempDirectory is collision-free across JVMs; deleteOnExit is
+    * best-effort cleanup.
+    */
+  private val symbolCsvMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def symbolUniverseCsv(spark: SparkSession, dir: String): String =
+    symbolCsvMemo.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_symbols_csv_").toFile
+      tmp.deleteOnExit()
+      val path = new java.io.File(tmp, "universe").getPath
+      ohlcv(spark, dir).select(col("symbol").as("Symbol")).distinct()
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+      path
+    })
+
   /** The same projection as ANSI SQL, shared by every oracle query. */
   val ohlcvSql: String =
     """SELECT l_returnflag AS symbol,

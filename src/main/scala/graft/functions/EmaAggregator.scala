@@ -45,7 +45,8 @@ case class EmaBuf(cSeeded: Double, c: Double, m: Double, n: Long)
   * terms cannot represent the reseed, so the grouped/merge path
   * additionally assumes NaN-free input.
   */
-class EmaAggregator(alpha: Double) extends Aggregator[Double, EmaBuf, Double] {
+class EmaAggregator(alpha: Double, windowOnly: Boolean = false)
+    extends Aggregator[Double, EmaBuf, Double] {
   private val beta = 1.0 - alpha
 
   def zero: EmaBuf = EmaBuf(0.0, 0.0, 1.0, 0L)
@@ -63,6 +64,17 @@ class EmaAggregator(alpha: Double) extends Aggregator[Double, EmaBuf, Double] {
   def merge(l: EmaBuf, r: EmaBuf): EmaBuf =
     if (l.n == 0L) r
     else if (r.n == 0L) l
+    // fail fast instead of silently returning an order-dependent EMA:
+    // Spark merges grouped partial buffers in task-completion order, so a
+    // merge of two NON-EMPTY buffers in a grouped aggregation is only
+    // correct if the caller guarantees left-precedes-right row order —
+    // which the window path never needs (frames feed reduce() in order and
+    // only ever merge(zero, buf)). Production window call sites set
+    // windowOnly = true to turn any accidental grouped use into an error.
+    else if (windowOnly) throw new IllegalStateException(
+      "EmaAggregator(windowOnly=true) merged two non-empty buffers: " +
+        "this aggregator is ordered-window-only; grouped aggregation over " +
+        "multi-partition input would be merge-order-dependent")
     else EmaBuf(
       cSeeded = r.c + r.m * l.cSeeded,
       c = r.c + r.m * l.c,

@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   * no range explosion. At 100 TB both sides hash-partition by key and the
   * window never materializes more than a partition.
   *
-  * Right rows must be unique per (key, time) for deterministic results —
-  * pre-dedupe with [[latestPerKeyTime]].
+  * Duplicate (key, time) quotes resolve deterministically to the GREATEST
+  * value (the `_v` sort tiebreaker below and [[asofJoinChunked]]'s
+  * max-struct summary agree on this). When "latest by ingest order" rather
+  * than "greatest value" is the wanted duplicate semantics, pre-dedupe
+  * with [[latestPerKeyTime]].
   */
 object AsOfJoin {
 
@@ -76,8 +79,13 @@ object AsOfJoin {
       rightTime: String, valueCol: String, asofValueName: String): DataFrame = {
     val stacked = stack(left, right, key, leftTime, rightTime, valueCol)
     // quotes (side 0) sort before probes (side 1) at equal _t, so an
-    // exactly-simultaneous quote is visible to the probe (<= semantics)
-    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
+    // exactly-simultaneous quote is visible to the probe (<= semantics).
+    // _v is the final tiebreaker: if the right side was NOT pre-deduped
+    // and carries duplicate (key, time) quotes, the GREATEST value wins
+    // deterministically — the same choice asofJoinChunked's max(struct)
+    // summary makes, so the pinned plain≡chunked equality holds for
+    // arbitrary right inputs, not just latestPerKeyTime-deduped ones.
+    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"), col("_v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     stacked
       .withColumn(asofValueName, last(col("_v"), ignoreNulls = true).over(w))
@@ -109,8 +117,11 @@ object AsOfJoin {
     val stacked = stack(left, right, key, leftTime, rightTime, valueCol)
       .withColumn("_chunk", chunkOf(col("_t")))
 
+    // _v tiebreaker matches asofJoin's window AND the max(struct(_t, _v))
+    // summary below: duplicate (key, time) quotes resolve to the greatest
+    // value on every path
     val cw = Window.partitionBy(col(key), col("_chunk"))
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t"), col("_side"), col("_v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val withLocal = stacked.withColumn("_local", last(col("_v"), ignoreNulls = true).over(cw))
 

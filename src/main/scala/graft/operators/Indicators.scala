@@ -206,7 +206,10 @@ object Indicators {
     * fold). Agreement between the two is pinned in IndicatorsSpec.
     */
   def trueEmaExact(close: Column, n: Int, w: WindowSpec): Column = {
-    val f = udaf(new graft.functions.EmaAggregator(2.0 / (n + 1)))
+    // windowOnly: a grouped (groupBy.agg) use of this udaf would merge
+    // partial buffers in task-completion order and return order-dependent
+    // EMAs — the flag turns that misuse into an immediate error
+    val f = udaf(new graft.functions.EmaAggregator(2.0 / (n + 1), windowOnly = true))
     f(close).over(w.rowsBetween(Window.unboundedPreceding, 0))
   }
 
@@ -381,7 +384,9 @@ object Indicators {
     * [[withWilderRsi]], and exact rather than lookback-truncated.
     */
   def withWilderRsiExact(df: DataFrame, w: WindowSpec, n: Int = 14): DataFrame = {
-    val smooth = udaf(new graft.functions.EmaAggregator(1.0 / n))
+    // windowOnly = true: see trueEmaExact — grouped use would be
+    // merge-order-dependent and must fail fast
+    val smooth = udaf(new graft.functions.EmaAggregator(1.0 / n, windowOnly = true))
     def run(c: Column): Column = smooth(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
     df.withColumn("w_chg", col("close") - lag(col("close"), 1).over(w))
       .withColumn("w_gain", when(col("w_chg") > 0, col("w_chg")).otherwise(lit(0.0)))

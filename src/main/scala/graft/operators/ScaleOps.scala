@@ -226,6 +226,22 @@ object ScaleOps {
     }
   }
 
+  /** Fused form of [[lshBuckets]]: ONE native expression
+    * ([[org.apache.spark.sql.graftnative.LshBucketsFloat]]) computes all
+    * `tables × bits` plane dots in a single pass over the embedding and
+    * returns the bucket ids as `array<int>` (index = table). Bit-for-bit
+    * equal to the composed form (same planes, same sequential fold per
+    * plane — pinned in ScaleOpsSpec) at a fraction of the per-row cost:
+    * the composed form re-traverses the array and pays expression
+    * dispatch per plane. Pair with `posexplode` to get (tbl, bucket).
+    */
+  def lshBucketsFused(emb: Column, dim: Int, tables: Int = 4, bits: Int = 4,
+      seed: Long = 42L): Column = {
+    val flat = lshPlanes(dim, tables, bits, seed).flatten.flatMap(_.toSeq).toArray
+    org.apache.spark.sql.graftnative.VectorExpressions.lsh_buckets(
+      emb, flat, dim, tables, bits)
+  }
+
   /** The hyperplane values behind [[lshBuckets]], exposed so an external
     * mirror (the DuckDB oracle) can inline the identical planes as
     * literals and reproduce bucket assignment bit-for-bit. Floats convert

@@ -64,4 +64,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(run(t => year(t)) == plain)
     assert(run(t => date_trunc("month", t)) == plain)
   }
+
+  test("duplicate (key, time) quotes: both paths deterministically pick the greatest value") {
+    // NOT pre-deduped: two quotes at the same instant. The _v sort
+    // tiebreaker (plain) and the max(struct(_t, _v)) summary (chunked)
+    // must agree — greatest value wins — for arbitrary right inputs.
+    val quotes = Seq(
+      ("A", "2020-01-01", 10.0), ("A", "2020-01-01", 12.0),  // dup instant
+      ("A", "2020-03-01", 5.0), ("A", "2020-03-01", 7.0))    // dup in later chunk
+      .toDF("k", "d", "v").withColumn("qt", to_timestamp(col("d"))).drop("d")
+    val probes = Seq(
+      ("A", "2020-01-15", 1L),  // carried across the dup -> 12.0
+      ("A", "2020-04-01", 2L))  // next-chunk probe pulls dup summary -> 7.0
+      .toDF("k", "d", "id").withColumn("pt", to_timestamp(col("d"))).drop("d")
+    val plain = AsOfJoin.asofJoin(probes, quotes, "k", "pt", "qt", "v", "asof_v")
+      .select("id", "asof_v").as[(Long, Double)].collect().toMap
+    val chunked = AsOfJoin.asofJoinChunked(probes, quotes, "k", "pt", "qt", "v",
+        "asof_v", t => date_trunc("month", t))
+      .select("id", "asof_v").as[(Long, Double)].collect().toMap
+    assert(plain == Map(1L -> 12.0, 2L -> 7.0))
+    assert(chunked == plain)
+  }
 }

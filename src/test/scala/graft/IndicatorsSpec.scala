@@ -154,6 +154,19 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("EmaAggregator windowOnly=true fails fast on a real two-buffer merge") {
+    // the window path only ever calls merge(zero, buf) — that must stay
+    // legal; merging two NON-EMPTY buffers (what a grouped aggregation
+    // over multi-partition input does, in task-completion order) must
+    // throw instead of silently returning an order-dependent EMA
+    val agg = new graft.functions.EmaAggregator(2.0 / 13, windowOnly = true)
+    val lb = Seq(1.0, 2.0).foldLeft(agg.zero)(agg.reduce)
+    val rb = Seq(3.0).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(agg.zero, lb)) == agg.finish(lb))
+    assert(agg.finish(agg.merge(lb, agg.zero)) == agg.finish(lb))
+    intercept[IllegalStateException](agg.merge(lb, rb))
+  }
+
   test("EmaAggregator reseeds after a NaN input exactly like the fold variant") {
     val alpha = 2.0 / 13
     val agg = new graft.functions.EmaAggregator(alpha)

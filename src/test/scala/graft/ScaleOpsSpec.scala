@@ -327,6 +327,43 @@ class ScaleOpsSpec extends SparkSpec {
     assert(halfSample == halfExpected)
   }
 
+  test("lshBucketsFused is bit-identical to the composed per-table buckets") {
+    // real embeddings, the embedding_neardup setting (16 tables × 4 bits)
+    val emb = Tables.embeddings(spark, sf0001)
+    val composed = emb.select(Seq(col("vec_id")) ++
+        ScaleOps.lshBuckets(col("embedding"), dim = 64, tables = 16): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (0 until 16).map(t => r.getAs[Int](s"bucket_$t"))).toMap
+    val fused = emb.select(col("vec_id"),
+        ScaleOps.lshBucketsFused(col("embedding"), dim = 64, tables = 16).as("b"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toIndexedSeq).toMap
+    assert(fused == composed)
+    // and the fused expression actually reaches the generated plan
+    val plan = emb.select(ScaleOps.lshBucketsFused(col("embedding"), dim = 64))
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("lshbuckets"))
+  }
+
+  test("lshBucketsFused degenerate inputs yield all-zero buckets like the composed form") {
+    // composed: dot is NULL on length mismatch / null element -> when(dot>0)
+    // is false -> bucket 0; fused must agree (and never return NULL)
+    val df = Seq(
+      (1L, Some(Seq.fill(64)(0.5f))),       // ok
+      (2L, Some(Seq(1.0f, 2.0f))),          // wrong length
+      (3L, None: Option[Seq[Float]]))       // null embedding
+      .toDF("id", "embedding")
+    val got = df.select(col("id"),
+        ScaleOps.lshBucketsFused(col("embedding"), dim = 64, tables = 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(2L) == Seq(0, 0, 0, 0))
+    assert(got(3L) == Seq(0, 0, 0, 0))
+    val composedOk = df.filter(col("id") === 1L)
+      .select(ScaleOps.lshBuckets(col("embedding"), dim = 64, tables = 4): _*)
+      .head
+    assert(got(1L) == (0 until 4).map(t => composedOk.getAs[Int](s"bucket_$t")))
+  }
+
   test("hamming column function matches bitCount") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
       .withColumn("h", ScaleOps.hamming(col("a"), col("b")))

@@ -175,29 +175,48 @@ object QueriesScale {
   // K=8 signature via one explode+HashAggregate → 4 band keys of 2
   // components → bucket-grouped pair expansion → pairs with band-agreement
   // count. The only shuffles carry compact (band_idx, key) pairs.
+  /** Uncapped band buckets from a K=8 signature table — shared by the md5
+    * (oracle) and xxhash64 (production) minhash variants, and exposed so
+    * [[minhashBucketStats]] can observe cap behavior on the SAME frame the
+    * query pairs from.
+    */
+  private def minhashBandBuckets(sig: DataFrame): DataFrame = {
+    val keyed = sig.select(Seq(col("doc_id")) ++ ScaleOps.bandKeys(8, 2): _*)
+    keyed.select(col("doc_id"),
+      posexplode(array((1 to 4).map(b => col(s"band_$b")): _*)).as(Seq("band_idx", "bk")))
+      .groupBy("band_idx", "bk")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+  }
+
+  /** Capped-bucket pair expansion with band-agreement counts — the tail of
+    * both minhash variants. Bucket-grouped (no self-join: the signature
+    * pipeline runs ONCE); buckets above lshBucketCap are SKIPPED — they
+    * expand quadratically and carry no near-dup signal.
+    */
+  private def minhashPairsFromBuckets(buckets: DataFrame): DataFrame =
+    ScaleOps.cappedBuckets(buckets, "ids")
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy(col("id1"), col("id2"))
+
+  /** Cap observability (the no-silent-caps rule): bucket counts, skipped
+    * buckets, and worst bucket size for the minhash banding — computed on
+    * the exact bucket frame `minhash_dedup` pairs from. Logged by Smoke;
+    * asserted by ScaleOpsSpec.
+    */
+  def minhashBucketStats(s: SparkSession, dir: String): DataFrame =
+    ScaleOps.bucketSkewStats(
+      minhashBandBuckets(ScaleOps.minhashSignatureTable(
+        dupedDocs(s, dir), "doc_id", "text", k = 8)), "ids")
+
   private val minhashLshQ = Q(
-    (s, dir) => {
-      val sig = ScaleOps.minhashSignatureTable(dupedDocs(s, dir), "doc_id", "text", k = 8)
-        .select(Seq(col("doc_id")) ++ ScaleOps.bandKeys(8, 2): _*)
-      val banded = sig.select(col("doc_id"),
-        posexplode(array((1 to 4).map(b => col(s"band_$b")): _*)).as(Seq("band_idx", "bk")))
-      // bucket-grouped pair generation instead of a self-join: the
-      // signature pipeline runs ONCE (a self-join would execute it for
-      // both sides), and pairs expand per bucket via array combinatorics.
-      // Buckets above lshBucketCap are SKIPPED — they expand quadratically
-      // and carry no near-dup signal (see ScaleOps.lshBucketCap).
-      val buckets = ScaleOps.cappedBuckets(
-        banded.groupBy("band_idx", "bk")
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids")), "ids")
-      buckets.select(explode(expr(
-          """flatten(transform(ids, (x, i) ->
-            |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))""".stripMargin))
-          .as("p"))
-        .select(col("p.id1"), col("p.id2"))
-        .groupBy(col("id1"), col("id2"))
-        .agg(count(lit(1)).as("n_shared_bands"))
-        .orderBy(col("id1"), col("id2"))
-    },
+    (s, dir) => minhashPairsFromBuckets(minhashBandBuckets(
+      ScaleOps.minhashSignatureTable(dupedDocs(s, dir), "doc_id", "text", k = 8))),
     Some(
       s"""WITH corpus AS ($dupedSql),
          | t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
@@ -227,6 +246,20 @@ object QueriesScale {
          |  WHERE a.doc_id < b2.doc_id)
          | SELECT id1, id2, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
          | FROM pairs GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin))
+
+  // --------------------------------- production minhash (xxhash64, ⊘)
+  // Same banding/cap/pair pipeline as minhash_dedup but signatures come
+  // from seeded xxhash64 (ScaleOps.minhashSignatureTableXx) — several
+  // times cheaper than md5 per shingle. No oracle: DuckDB has no
+  // bit-compatible xxhash64, which is exactly why the md5 twin exists
+  // (it carries the hash-green correctness gate; this key carries the
+  // throughput). Candidate-set equivalence vs the md5 form is pinned by
+  // ScaleOpsSpec: every exact duplicate shares all 4 bands in both, and
+  // the near-dup candidate sets overlap heavily.
+  private val minhashProdQ = Q(
+    (s, dir) => minhashPairsFromBuckets(minhashBandBuckets(
+      ScaleOps.minhashSignatureTableXx(dupedDocs(s, dir), "doc_id", "text", k = 8))),
+    None)
 
   // ------------------------------------------------- n-gram set jaccard
   // Exact token-set jaccard for all pairs within a source group —
@@ -425,18 +458,28 @@ object QueriesScale {
   // Oracle: the full 60-bit pipeline is mirrored in DuckDB — per-bit
   // majority votes via 60 conditional sums, bands via shift/mask,
   // bit_count(xor()) for hamming. Generated programmatically below.
+  /** Uncapped simhash band buckets — shared by the query and
+    * [[simhashBucketStats]] so cap observability reads the same frame.
+    */
+  private def simhashBandBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = ScaleOps.simhashTable(dupedDocs(s, dir), "doc_id", "text")
+    d.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFF)): _*))
+        .as(Seq("band_idx", "band_key")))
+      .groupBy("band_idx", "band_key")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+  }
+
+  /** Cap observability for the simhash banding (see [[minhashBucketStats]]). */
+  def simhashBucketStats(s: SparkSession, dir: String): DataFrame =
+    ScaleOps.bucketSkewStats(simhashBandBuckets(s, dir), "ms")
+
   private val simhashQ = Q(
     (s, dir) => {
-      val d = ScaleOps.simhashTable(dupedDocs(s, dir), "doc_id", "text")
-      val banded = d.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFF)): _*))
-          .as(Seq("band_idx", "band_key")))
       // same bucket-grouped pair generation as minhash: simhash table runs
       // once; each bucket expands to its ordered member pairs
-      val buckets = ScaleOps.cappedBuckets(
-        banded.groupBy("band_idx", "band_key")
-          .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms")), "ms")
+      val buckets = ScaleOps.cappedBuckets(simhashBandBuckets(s, dir), "ms")
       buckets.select(explode(expr(
           """flatten(transform(ms, (x, i) ->
             |  transform(slice(ms, i + 2, size(ms)),
@@ -808,6 +851,7 @@ object QueriesScale {
     "lang_id" -> langIdQ,
     "doc_fingerprint" -> fingerprintQ,
     "minhash_dedup" -> minhashLshQ,
+    "minhash_dedup_prod" -> minhashProdQ,
     "ngram_jaccard" -> jaccardQ,
     "similarity_topk" -> similarityTopkQ,
     "embedding_neardup" -> embNeardupQ,

@@ -29,6 +29,16 @@ object Smoke {
     df.show(3, truncate = false)
     assert(n > 0, "entry returned 0 rows")
 
+    // cap observability (no-silent-caps): how the LSH banding behaved on
+    // this corpus — skipped (degenerate) buckets and worst bucket size
+    Seq("minhash" -> QueriesScale.minhashBucketStats(spark, "/root/testdata/sf0.001"),
+        "simhash" -> QueriesScale.simhashBucketStats(spark, "/root/testdata/sf0.001"))
+      .foreach { case (name, stats) =>
+        val r = stats.head
+        println(s"[smoke] $name buckets=${r.getAs[Long]("n_buckets")} " +
+          s"skipped=${r.getAs[Long]("n_skipped")} max_bucket=${r.getAs[Int]("max_bucket")}")
+      }
+
     // incremental engine end-to-end over real testdata: two half-runs then
     // an idempotent re-run (must add zero rows)
     val tmp = java.nio.file.Files.createTempDirectory("graft_smoke_inc").toString

@@ -99,6 +99,44 @@ object ScaleOps {
       .select(col(idCol) +: sigs: _*)
   }
 
+  /** Production MinHash signature on xxhash64: identical pipeline shape to
+    * [[minhashSignatureTable]] (explode once, K min-aggregates, partial
+    * aggregation) but each component hashes with seeded xxhash64 instead
+    * of md5 — one 8-byte mix per component versus a full 16-byte
+    * cryptographic digest per PAIR of components. Several times cheaper
+    * per shingle; the md5 form exists only because the DuckDB oracle can
+    * mirror md5 bit-for-bit (xxhash64 has no DuckDB twin), so the md5
+    * variant carries the correctness gate and this one carries production
+    * throughput. Same banding/cap downstream; candidate sets agree on
+    * every true duplicate and overlap heavily elsewhere (pinned in
+    * ScaleOpsSpec).
+    */
+  def minhashSignatureTableXx(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(shingles(tokens(col(textCol)))).as("_sh"))
+    val aggs = (1 to k).map(i => min(xxhash64(lit(i), col("_sh"))).as(s"sig_$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-row form of [[minhashSignatureTableXx]]: the shingle array is
+    * materialized once in the projection and each component is an
+    * `array_min(transform(...xxhash64...))` over it — ZERO shuffle, no row
+    * amplification. Measured ~30% SLOWER than the bulk explode form at
+    * sf0.1 even with cheap hashes (higher-order-function lambdas evaluate
+    * outside whole-stage codegen, so the K array passes pay interpreted
+    * dispatch per element) — the bulk form stays the production default;
+    * this is the option when shuffle volume, not CPU, binds.
+    */
+  def minhashSignaturePerRowXx(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val sigs = (1 to k).map(i =>
+      array_min(transform(col("_sh"), x => xxhash64(lit(i), x))).as(s"sig_$i"))
+    df.withColumn("_sh", shingles(tokens(col(textCol))))
+      .filter(size(col("_sh")) > 0)
+      .select(col(idCol) +: sigs: _*)
+  }
+
   /** LSH band keys from a K-signature: bands of `rows` components each,
     * concatenated. Docs sharing any band key are near-dup candidates.
     */

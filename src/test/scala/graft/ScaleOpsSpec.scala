@@ -107,6 +107,13 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bulk(1L) != bulk(2L)) // one-word edit changes some components
     // the two halves of one digest are distinct hash functions
     assert(bulk(1L)(0) != bulk(1L)(1))
+    // xxhash64 family: per-row and bulk forms agree component-for-component
+    val bulkXx = ScaleOps.minhashSignatureTableXx(df, "doc_id", "text", k = 4).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.getAs[Long](s"sig_$i"))).toMap
+    val perRowXx = ScaleOps.minhashSignaturePerRowXx(df, "doc_id", "text", k = 4).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.getAs[Long](s"sig_$i"))).toMap
+    assert(perRowXx == bulkXx)
+    assert(bulkXx(1L) != bulk(1L)) // different hash family, different signatures
   }
 
   test("native DotProductFloat is bit-identical to the HOF fold on real embeddings") {
@@ -325,6 +332,42 @@ class ScaleOpsSpec extends SparkSpec {
     val halfSample = half.withColumn("b", bucket).filter(col("b") < permille)
       .select("doc_id").as[Long].collect().toSet
     assert(halfSample == halfExpected)
+  }
+
+  test("minhash_dedup_prod (xxhash64): finds every exact duplicate; candidates track the md5 form") {
+    val md5Pairs = Queries.all("minhash_dedup").fn(spark, sf0001)
+      .select("id1", "id2", "n_shared_bands")
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val xxPairs = Queries.all("minhash_dedup_prod").fn(spark, sf0001)
+      .select("id1", "id2", "n_shared_bands")
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    // every doc with >= 3 tokens has a shifted exact copy at id+100000:
+    // identical shingles -> identical signature (in BOTH hash families) ->
+    // all 4 bands agree, so the pair must surface unless its bucket was
+    // cap-skipped — and at sf0.001 none are
+    val docs = Tables.documents(spark, sf0001)
+      .filter(size(ScaleOps.tokens(col("text"))) >= 3)
+      .select("doc_id").as[Long].collect()
+    docs.foreach { id =>
+      assert(xxPairs.get((id, id + 100000L)).contains(4L), s"xx lost exact dup $id")
+      assert(md5Pairs.get((id, id + 100000L)).contains(4L), s"md5 lost exact dup $id")
+    }
+    // beyond exact dups the two hash families bucket near-identically on
+    // this corpus (near-dup signal dominates hash noise)
+    val overlap = xxPairs.keySet.intersect(md5Pairs.keySet).size.toDouble
+    assert(overlap / md5Pairs.size >= 0.7, s"xx recall of md5 pairs ${overlap / md5Pairs.size}")
+    assert(overlap / xxPairs.size >= 0.7, s"md5 recall of xx pairs ${overlap / xxPairs.size}")
+  }
+
+  test("bucket skew stats surface cap behavior on the live minhash/simhash bucket frames") {
+    val mh = QueriesScale.minhashBucketStats(spark, sf0001).head
+    assert(mh.getAs[Long]("n_buckets") > 0)
+    // the duped corpus guarantees 2+-member buckets exist
+    assert(mh.getAs[Int]("max_bucket") >= 2)
+    assert(mh.getAs[Long]("n_skipped") >= 0)
+    val sh = QueriesScale.simhashBucketStats(spark, sf0001).head
+    assert(sh.getAs[Long]("n_buckets") > 0)
+    assert(sh.getAs[Int]("max_bucket") >= 2)
   }
 
   test("lshBucketsFused is bit-identical to the composed per-table buckets") {

@@ -525,13 +525,19 @@ object QueriesScale {
   // hyperplanes behind ScaleOps.lshBuckets are emitted as double
   // literals, so DuckDB reproduces bucket assignment, the candidate
   // join, and the re-rank cosine bit-for-bit.
+  // 16 tables vs round-2's 4: recall 0.46 → 0.84/0.91 (sf0.001/sf0.01,
+  // floor 0.8 pinned in ScaleOpsSpec; 8 tables measured only 0.64/0.67).
+  // Bucket assignment is ONE fused native expression either way
+  // (lshBucketsFused), so the extra tables cost almost nothing per row —
+  // the price is the larger candidate pool, which is the recall knob.
+  private val annLshTables = 16
   private val annLshQ = Q(
     (s, dir) => {
       val dim = 64
       val emb = Tables.embeddings(s, dir)
         .withColumn("nv", ScaleOps.l2norm(col("embedding")))
       val stacked = emb.select(col("vec_id"), col("embedding"), col("nv"),
-        posexplode(ScaleOps.lshBucketsFused(col("embedding"), dim))
+        posexplode(ScaleOps.lshBucketsFused(col("embedding"), dim, tables = annLshTables))
           .as(Seq("tbl", "bucket")))
       val q = stacked.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -548,8 +554,8 @@ object QueriesScale {
         .orderBy(col("q_id"), col("rank"))
     },
     Some(
-      // defaults of ScaleOps.lshBuckets: 4 tables × 4 sign-bits, seed 42
-      s"""WITH bucketed AS (${lshBucketedSql(tables = 4, bits = 4)}),
+      // mirrors ScaleOps.lshBucketsFused(tables = annLshTables, bits = 4, seed 42)
+      s"""WITH bucketed AS (${lshBucketedSql(tables = annLshTables, bits = 4)}),
          | q AS (SELECT vec_id AS q_id, tbl, bucket FROM bucketed WHERE vec_id < 10),
          | cand AS (SELECT DISTINCT b.vec_id, q.q_id
          |  FROM bucketed b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket),
@@ -581,41 +587,50 @@ object QueriesScale {
   // force is additionally pinned by ScalaTest.
   private val ivfK = 16
   private val ivfProbes = 2
+
+  /** The IVF serving plan, shared by the first-K (oracle) and trained
+    * (production) codebooks. `emb` carries (vec_id, embedding, nv);
+    * `cents` carries (c_id, c_emb, nc).
+    */
+  private def ivfTopk(emb: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+    val scored = emb.join(broadcast(cents))
+      .withColumn("c_cos", ScaleOps.cosine(col("embedding"), col("c_emb"), col("nv"), col("nc")))
+    // corpus-side assignment is an ARGMAX aggregation, not a window: a
+    // row_number over the K×-expanded corpus would exchange and sort K
+    // copies of every row; max(struct) partial-aggregates map-side and
+    // ships one row per vector with no sort. Tiebreak c_id asc via -c_id
+    // (c_cos/neg_c decide before the payload fields are ever compared).
+    val lists = scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("c_cos"), (-col("c_id")).as("neg_c"), col("c_id"),
+        col("embedding"), col("nv"))).as("_m"))
+      .select(col("vec_id"), col("_m.c_id").as("c_id"),
+        col("_m.embedding").as("embedding"), col("_m.nv").as("nv"))
+    // probe side is 10 queries × K centroids — a window here is trivial
+    val probeW = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
+    val probes = scored.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nv").as("nq"), col("c_id"), col("c_cos"))
+      .withColumn("c_rank", row_number().over(probeW))
+      .filter(col("c_rank") <= nProbe)
+      .select("q_id", "q_emb", "nq", "c_id")
+    // each vector sits in exactly ONE inverted list and a query probes
+    // distinct lists, so (q_id, vec_id) pairs are unique — no dedup
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    probes.join(lists, "c_id")
+      .withColumn("cos", ScaleOps.cosine(col("q_emb"), col("embedding"), col("nq"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   private val annIvfQ = Q(
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .withColumn("nv", ScaleOps.l2norm(col("embedding")))
       val cents = emb.filter(col("vec_id") < ivfK)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nv").as("nc"))
-      val scored = emb.join(broadcast(cents))
-        .withColumn("c_cos", ScaleOps.cosine(col("embedding"), col("c_emb"), col("nv"), col("nc")))
-      // corpus-side assignment is an ARGMAX aggregation, not a window: a
-      // row_number over the K×-expanded corpus would exchange and sort K
-      // copies of every row; max(struct) partial-aggregates map-side and
-      // ships one row per vector with no sort. Tiebreak c_id asc via -c_id
-      // (c_cos/neg_c decide before the payload fields are ever compared).
-      val lists = scored.groupBy(col("vec_id"))
-        .agg(max(struct(col("c_cos"), (-col("c_id")).as("neg_c"), col("c_id"),
-          col("embedding"), col("nv"))).as("_m"))
-        .select(col("vec_id"), col("_m.c_id").as("c_id"),
-          col("_m.embedding").as("embedding"), col("_m.nv").as("nv"))
-      // probe side is 10 queries × K centroids — a window here is trivial
-      val probeW = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
-      val probes = scored.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nv").as("nq"), col("c_id"), col("c_cos"))
-        .withColumn("c_rank", row_number().over(probeW))
-        .filter(col("c_rank") <= ivfProbes)
-        .select("q_id", "q_emb", "nq", "c_id")
-      // each vector sits in exactly ONE inverted list and a query probes
-      // distinct lists, so (q_id, vec_id) pairs are unique — no dedup
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      probes.join(lists, "c_id")
-        .withColumn("cos", ScaleOps.cosine(col("q_emb"), col("embedding"), col("nq"), col("nv")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
-        .orderBy(col("q_id"), col("rank"))
+      ivfTopk(emb, cents, ivfProbes)
     },
     Some(
       s"""WITH e AS ($embNormSql),
@@ -640,6 +655,33 @@ object QueriesScale {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
          | FROM ranked
          | QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin))
+
+  // ------------------------------------- trained-codebook IVF ANN (⊘)
+  // Production IVF: the codebook is a seeded MLlib k-means model trained
+  // offline and persisted to parquet (graft.ml.IvfCodebook — the index-
+  // build step), loaded here as the centroid table. Serving plan is
+  // byte-for-byte the same ivfTopk as ann_ivf_topk; only the centroids
+  // differ. No SQL oracle — k-means float output is partition-order-
+  // dependent — so this key is rows-only and its contract is RECALL:
+  // ScaleOpsSpec pins recall ≥ 0.85 vs brute force. (K, nProbe) = (8, 6)
+  // is tuned to THIS corpus: its synthetic embeddings cluster only
+  // loosely, so neighbors of a query spread across several k-means cells
+  // and the probe fraction must be high for recall (the full grid —
+  // K ∈ {8,16,32} × nProbe ∈ {2,4,6} — tops out at 0.89/0.94; K=16
+  // nProbe=6 reaches only 0.78). Real embedding corpora cluster tightly
+  // and run nProbe ≪ K; the knobs are the explicit constants here.
+  private val ivfTrainedK = 8
+  private val ivfTrainedProbes = 6
+  private val annIvfTrainedQ = Q(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("nv", ScaleOps.l2norm(col("embedding")))
+      val cents = graft.ml.IvfCodebook.load(s,
+          graft.ml.IvfCodebook.codebookPath(s, dir, ivfTrainedK))
+        .withColumn("nc", ScaleOps.l2norm(col("c_emb")))
+      ivfTopk(emb, cents, ivfTrainedProbes)
+    },
+    None)
 
   // ------------------------------------------------ corpus-level stats
   // The "what's in my training set" rollup: per language — doc count,
@@ -846,6 +888,7 @@ object QueriesScale {
     "corpus_stats" -> corpusStatsQ,
     "ann_lsh_topk" -> annLshQ,
     "ann_ivf_topk" -> annIvfQ,
+    "ann_ivf_trained_topk" -> annIvfTrainedQ,
     "dedup_exact" -> dedupExactQ,
     "text_stats" -> textStatsQ,
     "lang_id" -> langIdQ,

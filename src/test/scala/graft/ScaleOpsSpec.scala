@@ -140,9 +140,10 @@ class ScaleOpsSpec extends SparkSpec {
     val lsh2 = Queries.all("ann_lsh_topk").fn(spark, sf0001)
       .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
     assert(lsh == lsh2)
-    // recall against brute force is well above chance (10/500 per query)
+    // 16 tables × 4 bits: recall measured 0.84/0.91 at sf0.001/sf0.01
+    // (deterministic — fixed planes, fixed data)
     val recall = brute.count(lsh.contains).toDouble / brute.size
-    assert(recall > 0.15, s"recall $recall")
+    assert(recall >= 0.8, s"recall $recall")
   }
 
   test("IVF ANN: self-retrieval, determinism, sane recall vs brute force") {
@@ -156,9 +157,26 @@ class ScaleOpsSpec extends SparkSpec {
     val ivf2 = Queries.all("ann_ivf_topk").fn(spark, sf0001)
       .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
     assert(ivf == ivf2)
-    // probing 2 of 16 first-K lists: recall well above the 2/16 chance floor
+    // probing 2 of 16 first-K lists: measured 0.91/0.89 at sf0.001/sf0.01
+    // (first-K "centroids" produce unbalanced cells whose biggest spans a
+    // label cluster, so 2 probes already cover most true neighbors)
     val recall = brute.count(ivf.contains).toDouble / brute.size
-    assert(recall > 0.3, s"recall $recall")
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("trained-codebook IVF: spherical k-means index reaches production recall") {
+    val brute = Queries.all("similarity_topk").fn(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Queries.all("ann_ivf_trained_topk").fn(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    (0L until 10L).foreach(q => assert(ivf.contains((q, q)), s"query $q lost itself"))
+    // codebook is a memoized fixture -> serving is deterministic in-JVM
+    val ivf2 = Queries.all("ann_ivf_trained_topk").fn(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf == ivf2)
+    // (K=8, nProbe=6) measured 0.89/0.94 at sf0.001/sf0.01
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.85, s"recall $recall")
   }
 
   test("decodeBatches: mapPartitions media plumbing with stubbed codec") {

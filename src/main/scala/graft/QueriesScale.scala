@@ -214,38 +214,92 @@ object QueriesScale {
       minhashBandBuckets(ScaleOps.minhashSignatureTable(
         dupedDocs(s, dir), "doc_id", "text", k = 8)), "ids")
 
+  /** Shared DuckDB CTE chain mirroring the md5 minhash banding over the
+    * duped corpus — defines `corpus`, `sh` (shingle arrays), and `pairs`
+    * (one row per shared band, id1 < id2). Used by BOTH minhash_dedup and
+    * dedup_pipeline so their oracles cannot drift.
+    */
+  private val minhashOracleCtes =
+    s"""corpus AS ($dupedSql),
+       | t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+       | sh AS (SELECT doc_id,
+       |  [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS shingles FROM t),
+       | sig AS (SELECT doc_id,
+       |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('1|' || x), 1, 15)) AS BIGINT))) AS s1,
+       |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('1|' || x), 17, 15)) AS BIGINT))) AS s2,
+       |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('2|' || x), 1, 15)) AS BIGINT))) AS s3,
+       |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('2|' || x), 17, 15)) AS BIGINT))) AS s4,
+       |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('3|' || x), 1, 15)) AS BIGINT))) AS s5,
+       |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('3|' || x), 17, 15)) AS BIGINT))) AS s6,
+       |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('4|' || x), 1, 15)) AS BIGINT))) AS s7,
+       |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('4|' || x), 17, 15)) AS BIGINT))) AS s8
+       | FROM sh),
+       | b AS (SELECT doc_id, s1 || '#' || s2 AS band_1, s3 || '#' || s4 AS band_2,
+       |              s5 || '#' || s6 AS band_3, s7 || '#' || s8 AS band_4 FROM sig),
+       | banded AS (
+       |  SELECT doc_id, 1 AS band_idx, band_1 AS bk FROM b
+       |  UNION ALL SELECT doc_id, 2, band_2 FROM b
+       |  UNION ALL SELECT doc_id, 3, band_3 FROM b
+       |  UNION ALL SELECT doc_id, 4, band_4 FROM b),
+       | ok AS (SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, bk) AS c
+       |   FROM banded) WHERE c BETWEEN 2 AND ${graft.operators.ScaleOps.lshBucketCap}),
+       | pairs AS (SELECT a.doc_id AS id1, b2.doc_id AS id2
+       |  FROM ok a JOIN ok b2 ON a.band_idx = b2.band_idx AND a.bk = b2.bk
+       |  WHERE a.doc_id < b2.doc_id)""".stripMargin
+
   private val minhashLshQ = Q(
     (s, dir) => minhashPairsFromBuckets(minhashBandBuckets(
       ScaleOps.minhashSignatureTable(dupedDocs(s, dir), "doc_id", "text", k = 8))),
     Some(
-      s"""WITH corpus AS ($dupedSql),
-         | t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
-         | sh AS (SELECT doc_id,
-         |  [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS shingles FROM t),
-         | sig AS (SELECT doc_id,
-         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('1|' || x), 1, 15)) AS BIGINT))) AS s1,
-         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('1|' || x), 17, 15)) AS BIGINT))) AS s2,
-         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('2|' || x), 1, 15)) AS BIGINT))) AS s3,
-         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('2|' || x), 17, 15)) AS BIGINT))) AS s4,
-         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('3|' || x), 1, 15)) AS BIGINT))) AS s5,
-         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('3|' || x), 17, 15)) AS BIGINT))) AS s6,
-         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('4|' || x), 1, 15)) AS BIGINT))) AS s7,
-         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('4|' || x), 17, 15)) AS BIGINT))) AS s8
-         | FROM sh),
-         | b AS (SELECT doc_id, s1 || '#' || s2 AS band_1, s3 || '#' || s4 AS band_2,
-         |              s5 || '#' || s6 AS band_3, s7 || '#' || s8 AS band_4 FROM sig),
-         | banded AS (
-         |  SELECT doc_id, 1 AS band_idx, band_1 AS bk FROM b
-         |  UNION ALL SELECT doc_id, 2, band_2 FROM b
-         |  UNION ALL SELECT doc_id, 3, band_3 FROM b
-         |  UNION ALL SELECT doc_id, 4, band_4 FROM b),
-         | ok AS (SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, bk) AS c
-         |   FROM banded) WHERE c BETWEEN 2 AND ${graft.operators.ScaleOps.lshBucketCap}),
-         | pairs AS (SELECT a.doc_id AS id1, b2.doc_id AS id2
-         |  FROM ok a JOIN ok b2 ON a.band_idx = b2.band_idx AND a.bk = b2.bk
-         |  WHERE a.doc_id < b2.doc_id)
+      s"""WITH $minhashOracleCtes
          | SELECT id1, id2, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
          | FROM pairs GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin))
+
+  // --------------------------------- end-to-end corpus dedup pipeline
+  // The full LLM-corpus dedup story in ONE plan: minhash/LSH candidate
+  // generation (linear, capped) → exact shingle-set jaccard verification
+  // on candidate pairs only (never all pairs) → survivor selection (a doc
+  // is removed iff a verified near-dup with a SMALLER id exists — the
+  // deterministic keep-min rule; the duped corpus halves back to ~the
+  // original). Plan shape at 100 TB: the only joins against the full
+  // corpus are hash-joins on doc_id (candidates ≪ corpus), verification
+  // cost is |candidates| · |shingle sets|, and the final anti-join keys
+  // on doc_id alone.
+  private val dedupJaccardThreshold = 0.7
+  private val dedupPipelineQ = Q(
+    (s, dir) => {
+      val corpus = dupedDocs(s, dir)
+      val cands = minhashPairsFromBuckets(minhashBandBuckets(
+        ScaleOps.minhashSignatureTable(corpus, "doc_id", "text", k = 8)))
+        .select("id1", "id2")
+      val sets = corpus.select(col("doc_id"),
+        array_distinct(ScaleOps.shingles(ScaleOps.tokens(col("text")))).as("sh"))
+      val verified = cands
+        .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+        .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+        .withColumn("n_inter", size(array_intersect(col("sh1"), col("sh2"))))
+        .withColumn("jaccard", col("n_inter").cast(DoubleType) /
+          (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast(DoubleType))
+        .filter(col("jaccard") >= dedupJaccardThreshold)
+      val removed = verified.select(col("id2").as("doc_id")).distinct()
+      corpus.join(removed, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH $minhashOracleCtes,
+         | cand AS (SELECT DISTINCT id1, id2 FROM pairs),
+         | sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+         | verified AS (SELECT id1, id2 FROM (
+         |   SELECT cand.id1, cand.id2,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+         |   FROM cand JOIN sets a ON cand.id1 = a.doc_id JOIN sets b ON cand.id2 = b.doc_id)
+         |  WHERE jaccard >= $dedupJaccardThreshold),
+         | removed AS (SELECT DISTINCT id2 AS doc_id FROM verified)
+         | SELECT doc_id, lang, n_chars FROM corpus
+         | WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+         | ORDER BY doc_id""".stripMargin))
 
   // --------------------------------- production minhash (xxhash64, ⊘)
   // Same banding/cap/pair pipeline as minhash_dedup but signatures come
@@ -895,6 +949,7 @@ object QueriesScale {
     "doc_fingerprint" -> fingerprintQ,
     "minhash_dedup" -> minhashLshQ,
     "minhash_dedup_prod" -> minhashProdQ,
+    "dedup_pipeline" -> dedupPipelineQ,
     "ngram_jaccard" -> jaccardQ,
     "similarity_topk" -> similarityTopkQ,
     "embedding_neardup" -> embNeardupQ,

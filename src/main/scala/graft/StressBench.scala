@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Indicators}
+
+/** Hot-key stress bench — the measurement behind the engine's central
+  * 100× claim. The reference partitions every window by symbol alone
+  * (`/root/reference/spark-job/etl_job.py:267`), so ONE symbol's whole
+  * history lands in ONE task: the plain paths here are that wall,
+  * reproduced by overwriting `symbol` with a single constant so the full
+  * sf frame (~600k rows at sf0.1) becomes one window partition. The
+  * chunked decompositions (overlap-and-trim for bounded frames, affine-
+  * state composition for EMA/Wilder recurrences, summary carry-forward
+  * for as-of) split that partition into bounded (symbol, chunk) tasks —
+  * result-identical (pinned by ChunkedSpec/AsOfJoinSpec) but parallel.
+  *
+  * Prints one JSON line:
+  *   {"metric":"stress","rows":N,"cpus":C,"pairs":{"indicators":{"plain":s,
+  *    "chunked":s},...}}
+  * and appends nothing else to stdout that starts with '{'.
+  *
+  * Usage: runMain graft.StressBench [sfDir]  (env SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_STRESS_OUT for the JSON file copy).
+  */
+object StressBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ONE symbol's entire history: the skew case the chunked family exists
+    // for. The sf frame alone (~600k rows) still single-task-sorts in
+    // under a second, so the frame is replicated `scale`× with the date
+    // range shifted per replica (the 7-year span is 2557 days) — row
+    // order stays total, chunk buckets stay monotone, and the hot key
+    // grows to scale·600k rows in ONE window partition, which is where
+    // the reference's partition-by-symbol-only layout actually breaks.
+    // Chunk width = month: ~84·scale chunks, each ~7k rows — far above
+    // the 199-row warm-up minimum chunkedIndicators needs.
+    val scale = sys.env.getOrElse("SPARK_GRAFT_STRESS_SCALE", "10").toInt
+    val hot = Tables.ohlcv(spark, sfDir)
+      .withColumn("symbol", lit("HOT"))
+      .withColumn("_rep", explode(sequence(lit(0), lit(scale - 1))))
+      .withColumn("trading_date", date_add(col("trading_date"), col("_rep") * 2557))
+      .drop("_rep")
+    val nRows = hot.count()
+    val monthChunk = date_trunc("month", col("trading_date"))
+    val w = Indicators.baseWindow()
+
+    // as-of probe/quote frames, all on the hot key
+    val quotes = AsOfJoin.latestPerKeyTime(
+      hot.select(col("symbol"), col("trading_date"), col("close"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+      "symbol", "trading_date",
+      Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+      .select(col("symbol"), col("trading_date"), col("close"))
+    val probes = Tables.orders(spark, sfDir)
+      .withColumn("symbol", lit("HOT"))
+      .select(col("o_orderkey"), col("symbol"), col("o_orderdate"))
+
+    // (name, plain, chunked, checksum expr): the consumer AGGREGATES the
+    // produced columns — a bare count() would let Catalyst prune the
+    // unused Window operators and time an empty plan. The checksum also
+    // doubles as the cross-path equality probe at this scale (value
+    // equality on exact frames is pinned by ChunkedSpec/AsOfJoinSpec;
+    // chunk composition associates doubles differently, so sums agree to
+    // relative 1e-9, not bitwise).
+    val indicatorSum = Indicators.indicatorCols
+      .map(c => coalesce(col(c), lit(0.0))).reduce(_ + _)
+    val pairs: Seq[(String, () => DataFrame, () => DataFrame, org.apache.spark.sql.Column)] = Seq(
+      ("indicators",
+        () => Indicators.withIndicators(hot, w),
+        () => Indicators.chunkedIndicators(hot, monthChunk),
+        indicatorSum),
+      ("ema_true",
+        () => hot.withColumn("ema", Indicators.trueEmaExact(col("close"), 12, w)),
+        () => Indicators.chunkedTrueEma(hot, 12, monthChunk, out = "ema"),
+        col("ema")),
+      ("rsi_wilder",
+        () => Indicators.withWilderRsiExact(hot, w),
+        () => Indicators.chunkedWilderRsi(hot, monthChunk, out = "rsi_wilder"),
+        col("rsi_wilder")),
+      ("asof_join",
+        () => AsOfJoin.asofJoin(probes, quotes, "symbol", "o_orderdate",
+          "trading_date", "close", "asof_close"),
+        () => AsOfJoin.asofJoinChunked(probes, quotes, "symbol", "o_orderdate",
+          "trading_date", "close", "asof_close", t => date_trunc("month", t)),
+        col("asof_close")))
+
+    // warm-up (codegen + classloading outside timed runs)
+    spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().count()
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    def force(mk: () => DataFrame, chk: org.apache.spark.sql.Column): Double =
+      mk().select(sum(chk)).head.getDouble(0)
+    def time(mk: () => DataFrame, chk: org.apache.spark.sql.Column): Double = {
+      val ts = (1 to reps).map { _ =>
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        force(mk, chk)
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.min
+    }
+
+    val results = pairs.map { case (name, plain, chunked, chk) =>
+      val (sp, sc) = (force(plain, chk), force(chunked, chk))
+      require(math.abs(sp - sc) <= 1e-9 * math.max(math.abs(sp), 1.0),
+        s"$name: plain checksum $sp vs chunked $sc")
+      val tp = time(plain, chk)
+      val tc = time(chunked, chk)
+      println(f"[stress] $name%-12s plain=$tp%6.2fs  chunked=$tc%6.2fs  speedup=${tp / tc}%4.1fx")
+      name -> ((tp, tc))
+    }
+
+    val qs = results.map { case (n, (tp, tc)) =>
+      s""""$n":{"plain":$tp,"chunked":$tc}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"stress","rows":$nRows,"cpus":$cpus,"sf":"$sfDir","pairs":$qs}"""
+    println(json)
+    sys.env.get("SPARK_GRAFT_STRESS_OUT").foreach { f =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[stress] WARN could not write $f: $e") }
+    }
+    spark.stop()
+  }
+}

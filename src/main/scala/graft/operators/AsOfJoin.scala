@@ -125,12 +125,30 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, 0)
     val withLocal = stacked.withColumn("_local", last(col("_v"), ignoreNulls = true).over(cw))
 
-    // latest quote per (key, chunk): argmax on _t over quote rows only
-    // (quotes are unique per (key, _t) by the latestPerKeyTime contract),
-    // null when the chunk has no quotes
-    val summaries = stacked.groupBy(col(key), col("_chunk"))
-      .agg(max(when(col("_side") === 0, struct(col("_t"), col("_v")))).as("_m"))
+    // latest quote per (key, chunk): argmax on _t over the QUOTE SIDE
+    // directly — aggregating `stacked` would re-execute the whole
+    // union+projection pipeline a second time (Spark rebuilds diamond
+    // branches), paying another full pass over probes+quotes; the quote
+    // table alone is what the summary actually reads. Quotes are unique
+    // per (key, _t) by the latestPerKeyTime contract; on raw duplicates
+    // max(struct) picks the greatest value — the same choice as the
+    // window's _v tiebreaker.
+    val qSummaries = right
+      .filter(col(rightTime).isNotNull && col(valueCol).isNotNull)
+      .select(col(key), col(rightTime).as("_t"), col(valueCol).as("_v"))
+      .withColumn("_chunk", chunkOf(col("_t")))
+      .groupBy(col(key), col("_chunk"))
+      .agg(max(struct(col("_t"), col("_v"))).as("_m"))
       .select(col(key), col("_chunk"), col("_m._v").as("_chunk_last"))
+    // the carry-forward domain must also cover probe-only chunks (a
+    // quote-less chunk still needs its incoming value): distinct probe
+    // chunks are a map-side-combinable aggregate over the (small
+    // relative to quotes) probe side
+    val probeChunks = left.filter(col(leftTime).isNotNull)
+      .select(col(key), chunkOf(col(leftTime)).as("_chunk")).distinct()
+    val domain = probeChunks
+      .unionByName(qSummaries.select(col(key), col("_chunk"))).distinct()
+    val summaries = domain.join(qSummaries, Seq(key, "_chunk"), "left")
     val prevW = Window.partitionBy(col(key)).orderBy(col("_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val incoming = summaries

@@ -377,6 +377,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(overlap / xxPairs.size >= 0.7, s"md5 recall of xx pairs ${overlap / xxPairs.size}")
   }
 
+  test("dedup_pipeline: every shifted copy is removed, shingle-less docs survive untouched") {
+    val surv = Queries.all("dedup_pipeline").fn(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val byLen = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(ScaleOps.tokens(col("text"))).as("n"))
+      .as[(Long, Int)].collect()
+    val (eligible, shingleless) = byLen.partition(_._2 >= 3)
+    // an exact copy shares the full signature -> all 4 bands -> jaccard 1:
+    // the +100000 copy of every shingle-able doc must be removed
+    eligible.foreach { case (id, _) =>
+      assert(!surv.contains(id + 100000L), s"copy of $id survived") }
+    // docs too short to shingle produce no candidates; both copies survive
+    shingleless.foreach { case (id, _) =>
+      assert(surv.contains(id) && surv.contains(id + 100000L), s"short doc $id dropped") }
+    // keep-min: an original is removed only for a smaller near-dup original
+    assert(surv.count(_ < 100000L) >= 450 && surv.count(_ < 100000L) <= 500)
+  }
+
   test("bucket skew stats surface cap behavior on the live minhash/simhash bucket frames") {
     val mh = QueriesScale.minhashBucketStats(spark, sf0001).head
     assert(mh.getAs[Long]("n_buckets") > 0)

@@ -737,6 +737,51 @@ object QueriesScale {
     },
     None)
 
+  // ------------------------------------------------------- PII scrub
+  // Training-data hygiene op: redact emails and phone numbers, counting
+  // what was removed. The synthetic corpus carries no PII, so each doc
+  // first gets a DETERMINISTIC fake contact line derived from doc_id —
+  // the scrub then has real work whose output both engines must agree on
+  // byte-for-byte (the regex subset used — char classes, bounded repeats,
+  // greedy matching — behaves identically in Java regex and RE2; counts
+  // via regexp_extract_all length on both sides, NOT engine-specific
+  // count functions). Output carries md5(clean_text) instead of the full
+  // text: redaction exactness is hash-checked without shipping the corpus
+  // through the comparator. Fully per-row — zero shuffle at any scale.
+  private[graft] val piiEmailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private[graft] val piiPhoneRe = """\d{3}-\d{3}-\d{4}"""
+  private val piiScrubQ = Q(
+    (s, dir) => {
+      val withPii = Tables.documents(s, dir).withColumn("text_pii",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@mail.example.com or 555-"),
+          lpad((col("doc_id") % 1000).cast(StringType), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+      withPii
+        .withColumn("n_emails",
+          size(regexp_extract_all(col("text_pii"), lit(piiEmailRe), lit(0))).cast(LongType))
+        .withColumn("n_phones",
+          size(regexp_extract_all(col("text_pii"), lit(piiPhoneRe), lit(0))).cast(LongType))
+        .withColumn("clean_md5", md5(
+          regexp_replace(regexp_replace(col("text_pii"), piiEmailRe, "<EMAIL>"),
+            piiPhoneRe, "<PHONE>")))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-' ||
+         |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text_pii
+         | FROM documents)
+         | SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text_pii, '$piiEmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text_pii, '$piiPhoneRe')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(text_pii, '$piiEmailRe', '<EMAIL>', 'g'),
+         |      '$piiPhoneRe', '<PHONE>', 'g')) AS clean_md5
+         | FROM p ORDER BY doc_id""".stripMargin))
+
   // ------------------------------------------------ corpus-level stats
   // The "what's in my training set" rollup: per language — doc count,
   // vocabulary size (exact distinct tokens), token volume, mean doc
@@ -950,6 +995,7 @@ object QueriesScale {
     "minhash_dedup" -> minhashLshQ,
     "minhash_dedup_prod" -> minhashProdQ,
     "dedup_pipeline" -> dedupPipelineQ,
+    "pii_scrub" -> piiScrubQ,
     "ngram_jaccard" -> jaccardQ,
     "similarity_topk" -> similarityTopkQ,
     "embedding_neardup" -> embNeardupQ,

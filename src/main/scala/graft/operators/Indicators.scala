@@ -167,8 +167,38 @@ object Indicators {
       .drop("chg_tmp")
     val localObv = signed
       .withColumn("obv_local", sum(col("fresh_sign")).over(cw.rowsBetween(Window.unboundedPreceding, 0)))
-    val offsets = localObv.filter(!col("is_warmup"))
-      .groupBy("symbol", "chunk_id").agg(sum(col("fresh_sign")).as("chunk_total"))
+
+    // per-chunk signed-volume totals from a NARROW recompute over
+    // `indexed`, NOT from `localObv`: aggregating the window output would
+    // re-execute the whole 15-indicator pipeline a second time (Spark
+    // rebuilds diamond branches). The total needs only (close, volume) and
+    // ONE row of cross-chunk context — each chunk's first change is vs the
+    // previous chunk's last close, carried through the same argmax summary
+    // used by chunkedWilderRsi. Bit-identical to summing fresh_sign: the
+    // staged lag's value at a chunk's first fresh row IS the previous
+    // chunk's last close (the warm-up clone tail), and integer volume
+    // arithmetic has no association sensitivity.
+    val summaryFields = orderCols.map(col) ++
+      (if (orderCols.contains("close")) Nil else Seq(col("close")))
+    val lastClose = indexed.groupBy(col("symbol"), col("chunk_id"))
+      .agg(max(struct(summaryFields: _*)).as("_m"))
+      .select(col("symbol"), col("chunk_id"), col("_m.close").as("_last_close"))
+    val prevClose = lastClose
+      .withColumn("_prev_close", lag(col("_last_close"), 1).over(
+        Window.partitionBy("symbol").orderBy("chunk_id")))
+      .select(col("symbol"), col("chunk_id"), col("_prev_close"))
+    val narrow = indexed.select(
+      (Seq("symbol", "chunk_id") ++ orderCols ++ Seq("close", "volume"))
+        .distinct.map(col): _*)
+    val narrowCw = Window.partitionBy("symbol", "chunk_id").orderBy(orderCols.map(col): _*)
+    val offsets = narrow.join(broadcast(prevClose), Seq("symbol", "chunk_id"))
+      .withColumn("_chg",
+        col("close") - coalesce(lag(col("close"), 1).over(narrowCw), col("_prev_close")))
+      .withColumn("_sign",
+        when(col("_chg") > 0, col("volume"))
+          .when(col("_chg") < 0, -col("volume"))
+          .otherwise(lit(0)))
+      .groupBy("symbol", "chunk_id").agg(sum(col("_sign")).as("chunk_total"))
       .withColumn("obv_offset",
         coalesce(sum(col("chunk_total")).over(
           Window.partitionBy("symbol").orderBy("chunk_id")
@@ -239,12 +269,22 @@ object Indicators {
   // (baseWindow's value-column tail included): the bare 4-part lineitem
   // key has one collision at sf0.001, and a tied pair would make both the
   // state window and the chunk-summary pick nondeterministic.
+  /** `materialize = true` persists the per-row state frame
+    * (MEMORY_AND_DISK) so the chunk-summary branch reads it back instead
+    * of re-executing the scan+window diamond. A knob, not a default:
+    * measured on local[16] the cache build COSTS more than the recompute
+    * (local shuffle is RAM-speed), but on a cluster where recompute
+    * means re-reading remote storage through a full sort, persisting the
+    * narrower state frame wins. The caller owns the session's storage
+    * lifecycle (blocks evict LRU).
+    */
   def chunkedTrueEma(df: DataFrame, n: Int, chunkExpr: Column,
       orderCols: Seq[String] = Seq("trading_date", "l_orderkey", "l_linenumber",
         "l_partkey", "l_suppkey", "close", "volume", "open", "low"),
-      valueCol: String = "close", out: String = "ema_chunked"): DataFrame =
+      valueCol: String = "close", out: String = "ema_chunked",
+      materialize: Boolean = false): DataFrame =
     chunkedEmaAlpha(withDenseChunkIdx(df, chunkExpr), 2.0 / (n + 1),
-      orderCols, Seq(valueCol -> out))
+      orderCols, Seq(valueCol -> out), materialize)
       .drop("chunk_raw", "chunk_id")
 
   /** Alpha-parametrized core of [[chunkedTrueEma]], operating on an
@@ -255,17 +295,25 @@ object Indicators {
     * their heavy stages this way.
     */
   private def chunkedEmaAlpha(indexed: DataFrame, alpha: Double,
-      orderCols: Seq[String], cols: Seq[(String, String)]): DataFrame = {
+      orderCols: Seq[String], cols: Seq[(String, String)],
+      materialize: Boolean = false): DataFrame = {
     val stateAgg = udaf(new graft.functions.EmaStateAggregator(alpha))
     def st(i: Int) = s"_st_$i"
 
     // all recurrences over the SAME window spec → one WindowExec pass
     val cw = Window.partitionBy("symbol", "chunk_id").orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val withState = cols.zipWithIndex.foldLeft(indexed) {
+    val withState0 = cols.zipWithIndex.foldLeft(indexed) {
       case (d, ((valueCol, _), i)) =>
         d.withColumn(st(i), stateAgg(col(valueCol)).over(cw))
     }
+    // the state frame feeds BOTH the chunk-summary aggregation and the
+    // final join: without materialization Spark re-executes the whole
+    // scan+sort+window branch for the summaries (a ~2× constant);
+    // persisting trades executor storage for the second pass
+    val withState = if (materialize)
+      withState0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else withState0
 
     // chunk summaries: the last row's states per (symbol, chunk), via one
     // argmax over the order key — map-side combinable, no second sort of
@@ -315,7 +363,8 @@ object Indicators {
   def chunkedWilderRsi(df: DataFrame, chunkExpr: Column,
       orderCols: Seq[String] = Seq("trading_date", "l_orderkey", "l_linenumber",
         "l_partkey", "l_suppkey", "close", "volume", "open", "low"),
-      n: Int = 14, out: String = "rsi_wilder_chunked"): DataFrame = {
+      n: Int = 14, out: String = "rsi_wilder_chunked",
+      materialize: Boolean = false): DataFrame = {
     val indexed = withDenseChunkIdx(df, chunkExpr)
     val cw = Window.partitionBy("symbol", "chunk_id").orderBy(orderCols.map(col): _*)
 
@@ -339,7 +388,7 @@ object Indicators {
       .withColumn("w_loss", when(col("w_chg") < 0, -col("w_chg")).otherwise(lit(0.0)))
 
     val smoothed = chunkedEmaAlpha(withChg, 1.0 / n, orderCols,
-      Seq("w_gain" -> "w_avg_gain", "w_loss" -> "w_avg_loss"))
+      Seq("w_gain" -> "w_avg_gain", "w_loss" -> "w_avg_loss"), materialize)
     smoothed
       .withColumn(out, rsiFrom(col("w_avg_gain"), col("w_avg_loss")))
       .drop("chunk_raw", "chunk_id", "_prev_close",

@@ -443,6 +443,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got(1L) == (0 until 4).map(t => composedOk.getAs[Int](s"bucket_$t")))
   }
 
+  test("pii_scrub: every injected contact line is found and redacted") {
+    val out = Queries.all("pii_scrub").fn(spark, sf0001)
+    // every doc got exactly one synthetic email + one phone injected
+    assert(out.filter(col("n_emails") =!= 1L || col("n_phones") =!= 1L).count() == 0)
+    // redaction semantics on a crafted string, same patterns as the query
+    val clean = Seq("reach a.b-c@x.co or 123-456-7890 ok").toDF("t")
+      .select(regexp_replace(regexp_replace(col("t"), QueriesScale.piiEmailRe, "<EMAIL>"),
+        QueriesScale.piiPhoneRe, "<PHONE>").as("c"))
+      .head.getString(0)
+    assert(clean == "reach <EMAIL> or <PHONE> ok")
+  }
+
   test("hamming column function matches bitCount") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
       .withColumn("h", ScaleOps.hamming(col("a"), col("b")))

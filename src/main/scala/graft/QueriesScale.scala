@@ -206,13 +206,18 @@ object QueriesScale {
 
   /** Cap observability (the no-silent-caps rule): bucket counts, skipped
     * buckets, and worst bucket size for the minhash banding — computed on
-    * the exact bucket frame `minhash_dedup` pairs from. Logged by Smoke;
+    * the exact bucket frame the queries pair from. `prod = true` reads
+    * the xxhash64 (production) banding, whose buckets differ from the md5
+    * family's — a degenerate corpus can saturate one family's cap and not
+    * the other's, so BOTH pipelines are observable. Logged by Smoke;
     * asserted by ScaleOpsSpec.
     */
-  def minhashBucketStats(s: SparkSession, dir: String): DataFrame =
-    ScaleOps.bucketSkewStats(
-      minhashBandBuckets(ScaleOps.minhashSignatureTable(
-        dupedDocs(s, dir), "doc_id", "text", k = 8)), "ids")
+  def minhashBucketStats(s: SparkSession, dir: String, prod: Boolean = false): DataFrame = {
+    val sig =
+      if (prod) ScaleOps.minhashSignatureTableXx(dupedDocs(s, dir), "doc_id", "text", k = 8)
+      else ScaleOps.minhashSignatureTable(dupedDocs(s, dir), "doc_id", "text", k = 8)
+    ScaleOps.bucketSkewStats(minhashBandBuckets(sig), "ids")
+  }
 
   /** Shared DuckDB CTE chain mirroring the md5 minhash banding over the
     * duped corpus — defines `corpus`, `sh` (shingle arrays), and `pairs`

@@ -32,6 +32,7 @@ object Smoke {
     // cap observability (no-silent-caps): how the LSH banding behaved on
     // this corpus — skipped (degenerate) buckets and worst bucket size
     Seq("minhash" -> QueriesScale.minhashBucketStats(spark, "/root/testdata/sf0.001"),
+        "minhash_xx" -> QueriesScale.minhashBucketStats(spark, "/root/testdata/sf0.001", prod = true),
         "simhash" -> QueriesScale.simhashBucketStats(spark, "/root/testdata/sf0.001"))
       .foreach { case (name, stats) =>
         val r = stats.head

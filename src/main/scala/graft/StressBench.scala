@@ -57,7 +57,9 @@ object StressBench {
     val monthChunk = date_trunc("month", col("trading_date"))
     val w = Indicators.baseWindow()
 
-    // as-of probe/quote frames, all on the hot key
+    // as-of probe/quote frames, all on the hot key — same dedup recipe as
+    // QueriesMeta's asof_join key (kept in step manually: the bench must
+    // measure the shipped plan shape)
     val quotes = AsOfJoin.latestPerKeyTime(
       hot.select(col("symbol"), col("trading_date"), col("close"),
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
@@ -121,7 +123,11 @@ object StressBench {
 
     val results = pairs.map { case (name, plain, chunked, chk) =>
       val (sp, sc) = (force(plain, chk), force(chunked, chk))
-      require(math.abs(sp - sc) <= 1e-9 * math.max(math.abs(sp), 1.0),
+      // 1e-6 relative: two differently-associated parallel sums of ~10^7
+      // doubles legitimately differ by ~n·eps ≈ 1e-9 relative (more under
+      // cancellation) — a tolerance at that boundary would abort honest
+      // runs at higher SPARK_GRAFT_STRESS_SCALE
+      require(math.abs(sp - sc) <= 1e-6 * math.max(math.abs(sp), 1.0),
         s"$name: plain checksum $sp vs chunked $sc")
       val tp = time(plain, chk)
       val tc = time(chunked, chk)

@@ -63,13 +63,17 @@ object Tables {
     * header CSV, for the CSV source round-trip (S10). Lives here — not in
     * the query body — so every declared query function stays pure (no
     * side effects, no java.io); the memo makes repeated bench reps free.
+    * The memo key includes the source parquet's mtime, so regenerating
+    * testdata under the same dir invalidates the cached universe instead
+    * of silently serving stale symbols for the JVM's lifetime.
     * createTempDirectory is collision-free across JVMs; deleteOnExit is
     * best-effort cleanup.
     */
   private val symbolCsvMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  def symbolUniverseCsv(spark: SparkSession, dir: String): String =
-    symbolCsvMemo.computeIfAbsent(dir, { _ =>
+  def symbolUniverseCsv(spark: SparkSession, dir: String): String = {
+    val srcStamp = new java.io.File(s"$dir/lineitem.parquet").lastModified()
+    symbolCsvMemo.computeIfAbsent(s"$dir@$srcStamp", { _ =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_symbols_csv_").toFile
       tmp.deleteOnExit()
       val path = new java.io.File(tmp, "universe").getPath
@@ -77,6 +81,7 @@ object Tables {
         .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
       path
     })
+  }
 
   /** The same projection as ANSI SQL, shared by every oracle query. */
   val ohlcvSql: String =

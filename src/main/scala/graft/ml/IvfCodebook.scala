@@ -35,8 +35,13 @@ object IvfCodebook {
     // normalization is a no-op in the measurements; on real corpora with
     // norm spread it is the difference between a direction codebook and
     // a magnitude one.)
-    val unit = emb.select(transform(col(embCol),
-      x => x / graft.operators.ScaleOps.l2norm(col(embCol))).as("e"))
+    // norm computed ONCE per row into its own column — a lambda that
+    // references l2norm(col(embCol)) would re-evaluate the full dot
+    // product per array ELEMENT (HOF lambdas get no subexpression
+    // elimination): O(dim²) instead of O(dim)
+    val unit = emb
+      .withColumn("_n", graft.operators.ScaleOps.l2norm(col(embCol)))
+      .select(transform(col(embCol), x => x / col("_n")).as("e"))
     val vecs = unit.select(org.apache.spark.ml.functions
       .array_to_vector(col("e").cast(ArrayType(DoubleType))).as("features"))
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)

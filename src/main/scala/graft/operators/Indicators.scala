@@ -136,8 +136,14 @@ object Indicators {
     withChunk.join(broadcast(chunkIdx), Seq("symbol", "chunk_raw"))
   }
 
+  // orderCols MUST totally order rows within (symbol, chunk): the OBV
+  // offset recompute below re-sorts independently of the indicator
+  // window, so a tie would let the two passes disagree. The default is
+  // the same value-column-extended total order baseWindow uses (the bare
+  // 4-part lineitem key collides once at sf0.001).
   def chunkedIndicators(df: DataFrame, chunkExpr: Column,
-      orderCols: Seq[String] = Seq("trading_date", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      orderCols: Seq[String] = Seq("trading_date", "l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "close", "volume", "open", "low"),
       maxFrame: Int = 200): DataFrame = {
     val indexed = withDenseChunkIdx(df, chunkExpr)
 

@@ -404,6 +404,11 @@ class ScaleOpsSpec extends SparkSpec {
     val sh = QueriesScale.simhashBucketStats(spark, sf0001).head
     assert(sh.getAs[Long]("n_buckets") > 0)
     assert(sh.getAs[Int]("max_bucket") >= 2)
+    // the production (xxhash64) banding is observable too — its bucket
+    // population differs from md5's, so it needs its own stats
+    val xx = QueriesScale.minhashBucketStats(spark, sf0001, prod = true).head
+    assert(xx.getAs[Long]("n_buckets") > 0)
+    assert(xx.getAs[Int]("max_bucket") >= 2)
   }
 
   test("lshBucketsFused is bit-identical to the composed per-table buckets") {

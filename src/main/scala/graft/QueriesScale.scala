@@ -787,6 +787,60 @@ object QueriesScale {
          |      '$piiPhoneRe', '<PHONE>', 'g')) AS clean_md5
          | FROM p ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------------- quality filter
+  // Gopher-style document quality rules (the pre-training corpus filter
+  // pass): word-count bounds, mean-word-length band, minimum stopword
+  // fraction (gibberish/listing detector), and a repetition rule via the
+  // distinct-bigram ratio (duplicated-n-gram family — boilerplate and
+  // looped text score low). Every metric is per-row array arithmetic over
+  // integer counts (ratios divide exact ints — bit-identical across
+  // engines); zero shuffle at any corpus size. Thresholds are the
+  // explicit constants; `passes` is their conjunction so downstream
+  // filtering is one boolean.
+  private val qualityFilterQ = Q(
+    (s, dir) => {
+      val toks = ScaleOps.tokens(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("n_words", size(toks).cast(LongType))
+        .withColumn("mean_word_len",
+          length(regexp_replace(col("text"), " ", "")).cast(DoubleType) /
+            col("n_words").cast(DoubleType))
+        .withColumn("stopword_frac",
+          ScaleOps.stopwordCount(toks).cast(DoubleType) / col("n_words").cast(DoubleType))
+        .withColumn("_bi", ScaleOps.shingles(toks, k = 2))
+        .withColumn("distinct_bigram_ratio",
+          when(size(col("_bi")) > 0,
+            size(array_distinct(col("_bi"))).cast(DoubleType) /
+              size(col("_bi")).cast(DoubleType))
+            .otherwise(lit(1.0)))
+        .withColumn("passes",
+          col("n_words").between(20, 100000) &&
+            col("mean_word_len").between(2.0, 12.0) &&
+            col("stopword_frac") >= 0.01 &&
+            col("distinct_bigram_ratio") >= 0.3)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("stopword_frac"), col("distinct_bigram_ratio"), col("passes"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        | b AS (SELECT doc_id, text, toks,
+        |  [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)] AS bi
+        | FROM t),
+        | m AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS stopword_frac,
+        |  CASE WHEN len(bi) > 0
+        |       THEN CAST(len(list_distinct(bi)) AS DOUBLE) / CAST(len(bi) AS DOUBLE)
+        |       ELSE 1.0 END AS distinct_bigram_ratio
+        | FROM b)
+        | SELECT doc_id, n_words, mean_word_len, stopword_frac, distinct_bigram_ratio,
+        |  (n_words BETWEEN 20 AND 100000) AND (mean_word_len BETWEEN 2.0 AND 12.0)
+        |   AND stopword_frac >= 0.01 AND distinct_bigram_ratio >= 0.3 AS passes
+        | FROM m ORDER BY doc_id""".stripMargin))
+
   // ------------------------------------------------ corpus-level stats
   // The "what's in my training set" rollup: per language — doc count,
   // vocabulary size (exact distinct tokens), token volume, mean doc
@@ -1001,6 +1055,7 @@ object QueriesScale {
     "minhash_dedup_prod" -> minhashProdQ,
     "dedup_pipeline" -> dedupPipelineQ,
     "pii_scrub" -> piiScrubQ,
+    "quality_filter" -> qualityFilterQ,
     "ngram_jaccard" -> jaccardQ,
     "similarity_topk" -> similarityTopkQ,
     "embedding_neardup" -> embNeardupQ,

@@ -65,6 +65,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(run(t => date_trunc("month", t)) == plain)
   }
 
+  test("asofJoin matches a brute-force reference on randomized data with ties and null quotes") {
+    val rnd = new scala.util.Random(7)
+    val keys = Vector("A", "B", "C")
+    val quotes = (1 to 300).map { _ =>
+      (keys(rnd.nextInt(3)), rnd.nextInt(100),
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(50).toDouble))
+    }
+    val probes = (1 to 200).map { i => (keys(rnd.nextInt(3)), rnd.nextInt(100), i.toLong) }
+    val qdf = quotes.toDF("k", "qt", "v")
+    val pdf = probes.toDF("k", "pt", "id")
+
+    // reference: latest non-null quote at or before pt; greatest value on
+    // tied times (the declared duplicate-quote contract); no match -> drop
+    val expect = probes.flatMap { case (k, pt, id) =>
+      val c = quotes.collect { case (`k`, qt, Some(v)) if qt <= pt => (qt, v) }
+      if (c.isEmpty) None else Some(id -> c.max._2)
+    }.toMap
+
+    val got = AsOfJoin.asofJoin(pdf, qdf, "k", "pt", "qt", "v", "av")
+      .select("id", "av").as[(Long, Double)].collect().toMap
+    assert(got == expect)
+    val gotChunked = AsOfJoin.asofJoinChunked(pdf, qdf, "k", "pt", "qt", "v", "av",
+        t => floor(t / 10))
+      .select("id", "av").as[(Long, Double)].collect().toMap
+    assert(gotChunked == expect)
+  }
+
   test("duplicate (key, time) quotes: both paths deterministically pick the greatest value") {
     // NOT pre-deduped: two quotes at the same instant. The _v sort
     // tiebreaker (plain) and the max(struct(_t, _v)) summary (chunked)

@@ -460,6 +460,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(clean == "reach <EMAIL> or <PHONE> ok")
   }
 
+  test("quality_filter: repetitive text fails the bigram rule, normal prose passes") {
+    val out = Queries.all("quality_filter").fn(spark, sf0001)
+    // the synthetic corpus is sampled natural-ish vocab: most docs pass
+    val n = out.count()
+    val pass = out.filter(col("passes")).count()
+    assert(n == 500 && pass > n / 2, s"pass rate $pass/$n")
+    // metric sanity on the whole frame
+    assert(out.filter(col("distinct_bigram_ratio") > 1.0 ||
+      col("distinct_bigram_ratio") < 0.0).count() == 0)
+    // direct rule check: a looped doc has distinct_bigram_ratio ~ 0
+    val rep = ("spam ham " * 50).trim
+    val crafted = Seq((1L, rep), (2L, "the quick brown fox is one of many animals in the field"))
+      .toDF("doc_id", "text")
+      .withColumn("_bi", ScaleOps.shingles(ScaleOps.tokens(col("text")), k = 2))
+      .withColumn("r", size(array_distinct(col("_bi"))).cast("double") / size(col("_bi")).cast("double"))
+      .select("doc_id", "r").as[(Long, Double)].collect().toMap
+    assert(rep.nonEmpty && crafted(1L) < 0.3 && crafted(2L) >= 0.9)
+  }
+
   test("hamming column function matches bitCount") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
       .withColumn("h", ScaleOps.hamming(col("a"), col("b")))

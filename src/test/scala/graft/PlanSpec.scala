@@ -75,6 +75,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("per-row corpus ops shuffle only for the final output sort") {
+    // these keys claim zero-shuffle computation: the ONLY exchange in
+    // their plans must be the range partitioning of the output ORDER BY —
+    // a hash exchange would mean an accidental aggregation/join slipped in
+    val perRow = Seq("pii_scrub", "quality_filter", "text_stats", "lang_id",
+      "doc_fingerprint", "embedding_quantize", "dataset_split",
+      "stratified_sample_hash", "multimodal_meta")
+    perRow.foreach { name =>
+      val p = physical(Queries.all(name).fn(spark, sf0001))
+      val ex = collectAll(p) { case e: Exchange => e }
+      assert(ex.size <= 1, s"$name: ${ex.size} exchanges")
+      ex.foreach(e => assert(
+        e.outputPartitioning.toString.toLowerCase.contains("range"),
+        s"$name computation shuffles: ${e.outputPartitioning}"))
+    }
+  }
+
   test("minhash/simhash band joins are equi-joins (shuffle on compact keys)") {
     Seq("minhash_dedup", "simhash_neardup").foreach { name =>
       val plan = fmt(Queries.all(name).fn(spark, sf0001))

@@ -787,6 +787,41 @@ object QueriesScale {
          |      '$piiPhoneRe', '<PHONE>', 'g')) AS clean_md5
          | FROM p ORDER BY doc_id""".stripMargin))
 
+  // ---------------------------------------------- text normalization
+  // The canonical normalize-before-dedup stage: strip URLs, fold case,
+  // collapse whitespace, trim. The synthetic corpus is already clean, so
+  // deterministic noise is injected first (mixed case on the head, a URL,
+  // stray spacing) — the normalizer then has real work whose output both
+  // engines must agree on byte-for-byte (ASCII case folding and the
+  // Java-regex ∩ RE2 subset behave identically; md5 of the normalized
+  // text is compared, not the corpus itself). Per-row, zero shuffle.
+  private val urlRe = """https?://[^ ]+"""
+  private val textNormalizeQ = Q(
+    (s, dir) => {
+      val noisy = Tables.documents(s, dir).withColumn("text_raw",
+        concat(upper(expr("substr(text, 1, 8)")), expr("substr(text, 9)"),
+          lit("  see https://example.com/doc/"), col("doc_id").cast(StringType),
+          lit("?ref=crawl  ")))
+      noisy
+        .withColumn("n_urls",
+          size(regexp_extract_all(col("text_raw"), lit(urlRe), lit(0))).cast(LongType))
+        .withColumn("norm", trim(regexp_replace(
+          lower(regexp_replace(col("text_raw"), urlRe, " ")), "  +", " ")))
+        .select(col("doc_id"), col("n_urls"), md5(col("norm")).as("norm_md5"),
+          length(col("norm")).cast(LongType).as("n_chars_norm"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH noisy AS (SELECT doc_id,
+         |  upper(substr(text, 1, 8)) || substr(text, 9) ||
+         |  '  see https://example.com/doc/' || CAST(doc_id AS VARCHAR) || '?ref=crawl  ' AS text_raw
+         | FROM documents)
+         | SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text_raw, '$urlRe')) AS BIGINT) AS n_urls,
+         |  md5(trim(regexp_replace(lower(regexp_replace(text_raw, '$urlRe', ' ', 'g')), '  +', ' ', 'g'))) AS norm_md5,
+         |  CAST(length(trim(regexp_replace(lower(regexp_replace(text_raw, '$urlRe', ' ', 'g')), '  +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+         | FROM noisy ORDER BY doc_id""".stripMargin))
+
   // ------------------------------------------------- quality filter
   // Gopher-style document quality rules (the pre-training corpus filter
   // pass): word-count bounds, mean-word-length band, minimum stopword
@@ -1056,6 +1091,7 @@ object QueriesScale {
     "dedup_pipeline" -> dedupPipelineQ,
     "pii_scrub" -> piiScrubQ,
     "quality_filter" -> qualityFilterQ,
+    "text_normalize" -> textNormalizeQ,
     "ngram_jaccard" -> jaccardQ,
     "similarity_topk" -> similarityTopkQ,
     "embedding_neardup" -> embNeardupQ,

@@ -479,6 +479,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rep.nonEmpty && crafted(1L) < 0.3 && crafted(2L) >= 0.9)
   }
 
+  test("text_normalize: URLs stripped, case folded, whitespace collapsed") {
+    val out = Queries.all("text_normalize").fn(spark, sf0001)
+    // exactly one URL injected per doc; all found
+    assert(out.filter(col("n_urls") =!= 1L).count() == 0)
+    // direct semantics on a crafted string using the same expression shape
+    val got = Seq("HELLO  world  see https://x.co/a?b=c  tail")
+      .toDF("t")
+      .select(trim(regexp_replace(
+        lower(regexp_replace(col("t"), """https?://[^ ]+""", " ")), "  +", " ")).as("n"))
+      .head.getString(0)
+    assert(got == "hello world see tail")
+  }
+
   test("hamming column function matches bitCount") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
       .withColumn("h", ScaleOps.hamming(col("a"), col("b")))

@@ -266,30 +266,47 @@ object QueriesScale {
   // on candidate pairs only (never all pairs) → survivor selection (a doc
   // is removed iff a verified near-dup with a SMALLER id exists — the
   // deterministic keep-min rule; the duped corpus halves back to ~the
-  // original). Plan shape at 100 TB: the only joins against the full
+  // original). NOTE the removal rule is PER-PAIR, not cluster-
+  // representative: in a similarity chain A~B~C with A!~C, both B and C
+  // are removed (each has SOME smaller verified near-dup), where a
+  // union-find representative dedup would keep C once B is gone. That is
+  // deliberate — the rule is a pure per-pair predicate, needs no
+  // iterative connected-components pass at 100 TB, errs toward removing
+  // more (safe for training-data hygiene), and the DuckDB oracle mirrors
+  // it exactly. Plan shape at 100 TB: the only joins against the full
   // corpus are hash-joins on doc_id (candidates ≪ corpus), verification
   // cost is |candidates| · |shingle sets|, and the final anti-join keys
   // on doc_id alone.
   private val dedupJaccardThreshold = 0.7
+
+  /** Candidates → exact-jaccard verify → keep-min anti-join: the shared
+    * tail of both dedup_pipeline variants, parameterized only by the
+    * signature table (md5 = oracle family, xxhash64 = production family)
+    * so the two plans cannot drift.
+    */
+  private def dedupPipelineFrom(corpus: DataFrame, sig: DataFrame): DataFrame = {
+    val cands = minhashPairsFromBuckets(minhashBandBuckets(sig))
+      .select("id1", "id2")
+    val sets = corpus.select(col("doc_id"),
+      array_distinct(ScaleOps.shingles(ScaleOps.tokens(col("text")))).as("sh"))
+    val verified = cands
+      .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("n_inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("n_inter").cast(DoubleType) /
+        (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast(DoubleType))
+      .filter(col("jaccard") >= dedupJaccardThreshold)
+    val removed = verified.select(col("id2").as("doc_id")).distinct()
+    corpus.join(removed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   private val dedupPipelineQ = Q(
     (s, dir) => {
       val corpus = dupedDocs(s, dir)
-      val cands = minhashPairsFromBuckets(minhashBandBuckets(
-        ScaleOps.minhashSignatureTable(corpus, "doc_id", "text", k = 8)))
-        .select("id1", "id2")
-      val sets = corpus.select(col("doc_id"),
-        array_distinct(ScaleOps.shingles(ScaleOps.tokens(col("text")))).as("sh"))
-      val verified = cands
-        .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-        .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
-        .withColumn("n_inter", size(array_intersect(col("sh1"), col("sh2"))))
-        .withColumn("jaccard", col("n_inter").cast(DoubleType) /
-          (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast(DoubleType))
-        .filter(col("jaccard") >= dedupJaccardThreshold)
-      val removed = verified.select(col("id2").as("doc_id")).distinct()
-      corpus.join(removed, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy(col("doc_id"))
+      dedupPipelineFrom(corpus,
+        ScaleOps.minhashSignatureTable(corpus, "doc_id", "text", k = 8))
     },
     Some(
       s"""WITH $minhashOracleCtes,
@@ -318,6 +335,23 @@ object QueriesScale {
   private val minhashProdQ = Q(
     (s, dir) => minhashPairsFromBuckets(minhashBandBuckets(
       ScaleOps.minhashSignatureTableXx(dupedDocs(s, dir), "doc_id", "text", k = 8))),
+    None)
+
+  // ------------------------- production dedup pipeline (xxhash64, ⊘)
+  // The end-to-end candidates→verify→anti-join dedup on the xxhash64
+  // signature family: identical plan to dedup_pipeline (shared tail
+  // above) minus the md5 oracle tax. No oracle for the same reason as
+  // minhash_dedup_prod; survivor-set equivalence vs the md5 form is
+  // pinned by ScaleOpsSpec (exact duplicates share all bands in EITHER
+  // hash family and verification is hash-free exact jaccard, so the two
+  // survivor sets agree wherever candidate recall does — asserted
+  // exactly on the fixture corpus).
+  private val dedupPipelineProdQ = Q(
+    (s, dir) => {
+      val corpus = dupedDocs(s, dir)
+      dedupPipelineFrom(corpus,
+        ScaleOps.minhashSignatureTableXx(corpus, "doc_id", "text", k = 8))
+    },
     None)
 
   // ------------------------------------------------- n-gram set jaccard
@@ -753,7 +787,11 @@ object QueriesScale {
   // count functions). Output carries md5(clean_text) instead of the full
   // text: redaction exactness is hash-checked without shipping the corpus
   // through the comparator. Fully per-row — zero shuffle at any scale.
-  private[graft] val piiEmailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  // (?i): emails are case-insensitive in the wild (User@Mail.COM) — the
+  // inline flag behaves identically in Java regex and DuckDB's RE2, so
+  // the oracle mirror is preserved (the synthetic corpus is lowercase;
+  // this guards real-text reuse, not the fixture)
+  private[graft] val piiEmailRe = """(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
   private[graft] val piiPhoneRe = """\d{3}-\d{3}-\d{4}"""
   private val piiScrubQ = Q(
     (s, dir) => {
@@ -1089,6 +1127,7 @@ object QueriesScale {
     "minhash_dedup" -> minhashLshQ,
     "minhash_dedup_prod" -> minhashProdQ,
     "dedup_pipeline" -> dedupPipelineQ,
+    "dedup_pipeline_prod" -> dedupPipelineProdQ,
     "pii_scrub" -> piiScrubQ,
     "quality_filter" -> qualityFilterQ,
     "text_normalize" -> textNormalizeQ,

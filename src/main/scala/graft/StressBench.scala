@@ -29,7 +29,9 @@ object StressBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // .toInt up front: fail fast on a non-integer env value rather than
+    // emitting malformed (unquoted-string) JSON at the end of the run
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -57,18 +59,21 @@ object StressBench {
     val monthChunk = date_trunc("month", col("trading_date"))
     val w = Indicators.baseWindow()
 
-    // as-of probe/quote frames, all on the hot key — same dedup recipe as
-    // QueriesMeta's asof_join key (kept in step manually: the bench must
-    // measure the shipped plan shape)
-    val quotes = AsOfJoin.latestPerKeyTime(
-      hot.select(col("symbol"), col("trading_date"), col("close"),
-        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
-      "symbol", "trading_date",
-      Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
-      .select(col("symbol"), col("trading_date"), col("close"))
-    val probes = Tables.orders(spark, sfDir)
-      .withColumn("symbol", lit("HOT"))
-      .select(col("o_orderkey"), col("symbol"), col("o_orderdate"))
+    // as-of probe/quote frames, all on the hot key: EVERY hot row probes
+    // for its prevailing quote — the canonical "trade → latest quote"
+    // shape, so the plain path's single-key window really carries
+    // 2·nRows stacked rows in ONE task. Quotes stay RAW (duplicate
+    // (key, time) rows resolve deterministically to the greatest value on
+    // both paths — the asofJoin contract): routing them through
+    // latestPerKeyTime would bolt a fine-grained window pass onto BOTH
+    // paths equally and measure that shared constant instead of the
+    // skew wall (the round-3 bench's mistake — its probes were also a
+    // small non-replicated orders frame, so plain≈chunked by
+    // construction).
+    val quotes = hot.select(col("symbol"), col("trading_date"), col("close"))
+    val probes = hot.select(col("symbol"), col("trading_date"),
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .withColumnRenamed("trading_date", "probe_date")
 
     // (name, plain, chunked, checksum expr): the consumer AGGREGATES the
     // produced columns — a bare count() would let Catalyst prune the
@@ -99,9 +104,9 @@ object StressBench {
         () => Indicators.chunkedWilderRsi(hot, monthChunk, out = "rsi_wilder"),
         col("rsi_wilder")),
       ("asof_join",
-        () => AsOfJoin.asofJoin(probes, quotes, "symbol", "o_orderdate",
+        () => AsOfJoin.asofJoin(probes, quotes, "symbol", "probe_date",
           "trading_date", "close", "asof_close"),
-        () => AsOfJoin.asofJoinChunked(probes, quotes, "symbol", "o_orderdate",
+        () => AsOfJoin.asofJoinChunked(probes, quotes, "symbol", "probe_date",
           "trading_date", "close", "asof_close", t => date_trunc("month", t)),
         col("asof_close")))
 
@@ -135,11 +140,55 @@ object StressBench {
       name -> ((tp, tc))
     }
 
+    // ---- incremental boundary modes at a hot 6M-row processed history:
+    // Truncated (reference semantics: new rows only), OverlapReload
+    // without a history bound (tail-finding row_number-sorts the WHOLE
+    // history — the honest worst case), and OverlapReload with the
+    // realistic time-bound hint (history scan pruned to ~2 chunk-widths
+    // before the watermark; the ≤199-row re-read itself is then the only
+    // overlap cost). One increment = the last 3 months of the hot frame.
+    val incInput = hot.withColumn("timestamp", to_timestamp(col("trading_date")))
+    val maxDate = incInput.agg(max(col("trading_date"))).head.getDate(0)
+    val cutoff = java.sql.Date.valueOf(maxDate.toLocalDate.minusDays(90))
+    val incOrd = Seq("trading_date", "l_orderkey", "l_linenumber",
+      "l_partkey", "l_suppkey", "close", "volume", "open", "low")
+    val incBase = java.nio.file.Files.createTempDirectory("graft_inc_stress").toString
+    import spark.implicits._
+    def seedState(name: String): (String, String) = {
+      val state = s"$incBase/wm_$name"
+      graft.operators.Incremental.advanceWatermarks(spark, state,
+        Seq(("HOT", java.sql.Timestamp.valueOf(cutoff.toLocalDate.atStartOfDay())))
+          .toDF("symbol", "last_processed_timestamp"))
+      (state, s"$incBase/out_$name")
+    }
+    val incModes: Seq[(String, Option[org.apache.spark.sql.Column], graft.operators.Incremental.BoundaryMode)] = Seq(
+      ("truncated", None, graft.operators.Incremental.Truncated),
+      ("overlap_unbounded", None, graft.operators.Incremental.OverlapReload),
+      ("overlap_bounded",
+        // a bound safely covering maxFrame-1 = 199 trading rows: 2 months
+        // of this frame carries ~14k rows/month at scale 10
+        Some(col("timestamp") >= to_timestamp(lit(
+          java.sql.Date.valueOf(cutoff.toLocalDate.minusDays(62))))),
+        graft.operators.Incremental.OverlapReload))
+    val incResults = incModes.map { case (name, bound, mode) =>
+      val (state, out) = seedState(name)
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val done = graft.operators.Incremental.runIncremental(
+        spark, incInput, state, out, mode, incOrd, bound)
+      val n = done.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] incremental/$name%-18s $t%6.2fs  ($n rows)")
+      name -> t
+    }
+    val incJson = incResults.map { case (n, t) => s""""$n":$t""" }
+      .mkString("{", ",", "}")
+
     val qs = results.map { case (n, (tp, tc)) =>
       s""""$n":{"plain":$tp,"chunked":$tc}"""
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"stress","rows":$nRows,"cpus":$cpus,"sf":"$sfDir","pairs":$qs}"""
+      s"""{"metric":"stress","rows":$nRows,"cpus":$cpus,"sf":"$sfDir","pairs":$qs,"incremental":$incJson}"""
     println(json)
     sys.env.get("SPARK_GRAFT_STRESS_OUT").foreach { f =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(f),

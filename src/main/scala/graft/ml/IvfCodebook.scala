@@ -55,8 +55,12 @@ object IvfCodebook {
     * as (c_id int, c_emb array<float>).
     */
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  def codebookPath(spark: SparkSession, dir: String, k: Int = 16): String =
-    memo.computeIfAbsent(s"$dir#$k", { _ =>
+  def codebookPath(spark: SparkSession, dir: String, k: Int = 16): String = {
+    // source mtime in the memo key (the Tables.symbolUniverseCsv recipe):
+    // a long-lived JVM that regenerates testdata under the same path must
+    // retrain, not serve a codebook from stale embeddings
+    val srcStamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    memo.computeIfAbsent(s"$dir@$srcStamp#$k", { _ =>
       val cents = train(graft.Tables.embeddings(spark, dir), "embedding", k)
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_codebook_").toFile
       tmp.deleteOnExit()
@@ -68,6 +72,7 @@ object IvfCodebook {
         .repartition(1).write.mode("overwrite").parquet(path)
       path
     })
+  }
 
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

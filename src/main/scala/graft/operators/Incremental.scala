@@ -89,8 +89,20 @@ object Incremental {
   // caller's data (Queries.tieCols for the OHLCV testdata) and no single
   // column set is total on every frame — a silent wrong default made
   // window frames nondeterministic.
+  /** `historyBound`: optional predicate bounding the OverlapReload
+    * history scan (e.g. `col("timestamp") >= <watermark − 2 years>`).
+    * Without it, finding the last 199 rows per symbol row_number-sorts
+    * the ENTIRE processed history — the re-read is bounded but the
+    * tail-finding is not (measured in StressBench's incremental pair).
+    * A caller always knows a safe time bound covering maxFrame−1 trading
+    * rows; the predicate pushes into the source scan (partition/row-group
+    * pruning), making overlap cost O(bound), independent of history
+    * size. Contract: the bound must keep ≥ maxFrame−1 rows per symbol,
+    * else the first new rows see partially truncated frames.
+    */
   def runIncremental(spark: SparkSession, input: DataFrame, stateDir: String,
-      outDir: String, mode: BoundaryMode, orderCols: Seq[String]): DataFrame = {
+      outDir: String, mode: BoundaryMode, orderCols: Seq[String],
+      historyBound: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val wm = readWatermarks(spark, stateDir)
       .select(col("symbol"), col("last_processed_timestamp").as("_wm"))
 
@@ -108,8 +120,9 @@ object Incremental {
         // exact: include up to (maxFrame-1) rows of already-processed tail
         // per symbol as warm-up context, then trim them from the output
         val histW = Window.partitionBy("symbol").orderBy(orderCols.map(c => col(c).desc): _*)
-        val history = withWm
+        val histAll = withWm
           .filter(col("_wm").isNotNull && col("timestamp") <= col("_wm"))
+        val history = historyBound.fold(histAll)(histAll.filter)
           .withColumn("_rn", row_number().over(histW))
           .filter(col("_rn") <= maxFrame - 1)
           .drop("_rn")

@@ -174,41 +174,51 @@ object Indicators {
     val localObv = signed
       .withColumn("obv_local", sum(col("fresh_sign")).over(cw.rowsBetween(Window.unboundedPreceding, 0)))
 
-    // per-chunk signed-volume totals from a NARROW recompute over
+    // per-chunk signed-volume totals from ONE narrow sorted pass over
     // `indexed`, NOT from `localObv`: aggregating the window output would
     // re-execute the whole 15-indicator pipeline a second time (Spark
-    // rebuilds diamond branches). The total needs only (close, volume) and
-    // ONE row of cross-chunk context — each chunk's first change is vs the
-    // previous chunk's last close, carried through the same argmax summary
-    // used by chunkedWilderRsi. Bit-identical to summing fresh_sign: the
-    // staged lag's value at a chunk's first fresh row IS the previous
-    // chunk's last close (the warm-up clone tail), and integer volume
-    // arithmetic has no association sensitivity.
-    val summaryFields = orderCols.map(col) ++
-      (if (orderCols.contains("close")) Nil else Seq(col("close")))
-    val lastClose = indexed.groupBy(col("symbol"), col("chunk_id"))
-      .agg(max(struct(summaryFields: _*)).as("_m"))
-      .select(col("symbol"), col("chunk_id"), col("_m.close").as("_last_close"))
-    val prevClose = lastClose
-      .withColumn("_prev_close", lag(col("_last_close"), 1).over(
-        Window.partitionBy("symbol").orderBy("chunk_id")))
-      .select(col("symbol"), col("chunk_id"), col("_prev_close"))
+    // rebuilds diamond branches). Each chunk's boundary summary rides the
+    // pass's own window — the chunk total over the full-chunk frame, the
+    // first close/volume as running firsts, and a `lead IS NULL` last-row
+    // marker — so NO argmax aggregation over the wide order-key struct
+    // exists anywhere (max(struct(9 cols)) compares interpreted
+    // per row and measured ~2× the cost of the sort itself). The chunk's
+    // first change is vs the PREVIOUS chunk's last close, which the
+    // narrow pass cannot see; its sign contribution is composed on the
+    // tiny per-chunk frame instead (`_boundary` below). Bit-identical to
+    // summing fresh_sign: the staged lag's value at a chunk's first fresh
+    // row IS the previous chunk's last close (the warm-up clone tail),
+    // and integer volume arithmetic has no association sensitivity.
     val narrow = indexed.select(
       (Seq("symbol", "chunk_id") ++ orderCols ++ Seq("close", "volume"))
         .distinct.map(col): _*)
     val narrowCw = Window.partitionBy("symbol", "chunk_id").orderBy(orderCols.map(col): _*)
-    val offsets = narrow.join(broadcast(prevClose), Seq("symbol", "chunk_id"))
-      .withColumn("_chg",
-        col("close") - coalesce(lag(col("close"), 1).over(narrowCw), col("_prev_close")))
-      .withColumn("_sign",
-        when(col("_chg") > 0, col("volume"))
-          .when(col("_chg") < 0, -col("volume"))
-          .otherwise(lit(0)))
-      .groupBy("symbol", "chunk_id").agg(sum(col("_sign")).as("chunk_total"))
+    val runF = narrowCw.rowsBetween(Window.unboundedPreceding, 0)
+    val allF = narrowCw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val perChunk = narrow
+      .withColumn("_chg0", col("close") - lag(col("close"), 1).over(narrowCw))
+      .withColumn("_sign0",
+        when(col("_chg0") > 0, col("volume"))
+          .when(col("_chg0") < 0, -col("volume"))
+          .otherwise(lit(0L)))
+      .withColumn("_chunk_total0", sum(col("_sign0")).over(allF))
+      .withColumn("_first_close", first(col("close")).over(runF))
+      .withColumn("_first_vol", first(col("volume")).over(runF))
+      .withColumn("_is_last", lead(lit(1), 1).over(narrowCw).isNull)
+      .filter(col("_is_last"))
+      .select(col("symbol"), col("chunk_id"), col("_chunk_total0"),
+        col("_first_close"), col("_first_vol"), col("close").as("_last_close"))
+    val symW = Window.partitionBy("symbol").orderBy("chunk_id")
+    val offsets = perChunk
+      .withColumn("_chg1", col("_first_close") - lag(col("_last_close"), 1).over(symW))
+      .withColumn("_boundary",
+        when(col("_chg1") > 0, col("_first_vol"))
+          .when(col("_chg1") < 0, -col("_first_vol"))
+          .otherwise(lit(0L)))
+      .withColumn("chunk_total", col("_chunk_total0") + col("_boundary"))
       .withColumn("obv_offset",
         coalesce(sum(col("chunk_total")).over(
-          Window.partitionBy("symbol").orderBy("chunk_id")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+          symW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("symbol"), col("chunk_id"), col("obv_offset"))
     localObv.join(broadcast(offsets), Seq("symbol", "chunk_id"))
       .withColumn("obv", (col("obv_local") + col("obv_offset")).cast(DoubleType))
@@ -234,20 +244,22 @@ object Indicators {
       (acc, x) => when(isnan(acc), x).otherwise(x * lit(alpha) + acc * lit(1 - alpha)))
   }
 
-  /** True EMA, production path (SURVEY §7.3 option a): the
-    * [[graft.functions.EmaAggregator]] UDAF over an unbounded-preceding
-    * frame. O(1) state per row — no `collect_list` materialization — and
-    * EXACT (the bounded-lookback fold in [[trueEma]] truncates ~1e-17 of
-    * the weight; kept because the DuckDB oracle can only mirror a bounded
-    * fold). Agreement between the two is pinned in IndicatorsSpec.
+  /** True EMA, production path (SURVEY §7.3 option a): the native
+    * [[org.apache.spark.sql.graftnative.EmaRunAgg]] declarative aggregate
+    * over an unbounded-preceding frame. O(1) state per row — no
+    * `collect_list` materialization — and EXACT (the bounded-lookback
+    * fold in [[trueEma]] truncates ~1e-17 of the weight; kept because
+    * the DuckDB oracle can only mirror a bounded fold). Bit-agreement
+    * with both the fold and the [[graft.functions.EmaAggregator]] UDAF
+    * is pinned in IndicatorsSpec; the native form replaces the UDAF on
+    * the hot path because the UDAF's per-row Encoder round-trips
+    * dominate multi-million-row window partitions. Grouped misuse still
+    * fails fast (EmaRunAgg raises on a real two-buffer merge).
     */
-  def trueEmaExact(close: Column, n: Int, w: WindowSpec): Column = {
-    // windowOnly: a grouped (groupBy.agg) use of this udaf would merge
-    // partial buffers in task-completion order and return order-dependent
-    // EMAs — the flag turns that misuse into an immediate error
-    val f = udaf(new graft.functions.EmaAggregator(2.0 / (n + 1), windowOnly = true))
-    f(close).over(w.rowsBetween(Window.unboundedPreceding, 0))
-  }
+  def trueEmaExact(close: Column, n: Int, w: WindowSpec): Column =
+    org.apache.spark.sql.graftnative.EmaFunctions
+      .ema_run(close, 2.0 / (n + 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, 0))
 
   /** Chunked exact EMA — the skew answer for UNBOUNDED exponential
     * recurrences, where [[chunkedIndicators]]' overlap-and-trim cannot
@@ -275,7 +287,17 @@ object Indicators {
   // (baseWindow's value-column tail included): the bare 4-part lineitem
   // key has one collision at sf0.001, and a tied pair would make both the
   // state window and the chunk-summary pick nondeterministic.
-  /** `materialize = true` persists the per-row state frame
+  /** `chunkExpr` must bucket the `orderCols` order MONOTONICALLY (all of
+    * chunk k's rows sort before chunk k+1's — e.g. `year(trading_date)`,
+    * `date_trunc`), the same contract as
+    * [[graft.operators.AsOfJoin.asofJoinChunked]]'s `chunkOf`. Unlike
+    * [[chunkedIndicators]], NO dense chunk re-indexing happens here: the
+    * affine fold and the prior-chunk lag only need chunk ORDER, which
+    * gaps cannot break — dropping the dense_rank removes one distinct
+    * aggregation plus one broadcast join from EVERY re-execution of the
+    * lineage (the chunk-summary branch re-runs it).
+    *
+    * `materialize = true` persists the per-row state frame
     * (MEMORY_AND_DISK) so the chunk-summary branch reads it back instead
     * of re-executing the scan+window diamond. A knob, not a default:
     * measured on local[16] the cache build COSTS more than the recompute
@@ -289,21 +311,23 @@ object Indicators {
         "l_partkey", "l_suppkey", "close", "volume", "open", "low"),
       valueCol: String = "close", out: String = "ema_chunked",
       materialize: Boolean = false): DataFrame =
-    chunkedEmaAlpha(withDenseChunkIdx(df, chunkExpr), 2.0 / (n + 1),
+    chunkedEmaAlpha(df.withColumn("chunk_id", chunkExpr), 2.0 / (n + 1),
       orderCols, Seq(valueCol -> out), materialize)
-      .drop("chunk_raw", "chunk_id")
+      .drop("chunk_id")
 
   /** Alpha-parametrized core of [[chunkedTrueEma]], operating on an
-    * already-indexed frame (must carry `chunk_id` from
-    * [[withDenseChunkIdx]]). Takes SEVERAL (valueCol → out) recurrences at
-    * once so they share one WindowExec, one summary aggregation, and one
-    * join — Wilder's gain and loss smoothings ([[chunkedWilderRsi]]) halve
-    * their heavy stages this way.
+    * already-indexed frame (must carry a `chunk_id` column whose values
+    * order consistently with `orderCols` — see [[chunkedTrueEma]]'s
+    * monotone-chunk contract). Takes SEVERAL (valueCol → out) recurrences
+    * at once so they share one WindowExec, one summary aggregation, and
+    * one join — Wilder's gain and loss smoothings ([[chunkedWilderRsi]])
+    * halve their heavy stages this way.
     */
   private def chunkedEmaAlpha(indexed: DataFrame, alpha: Double,
       orderCols: Seq[String], cols: Seq[(String, String)],
       materialize: Boolean = false): DataFrame = {
-    val stateAgg = udaf(new graft.functions.EmaStateAggregator(alpha))
+    def stateAgg(c: Column) =
+      org.apache.spark.sql.graftnative.EmaFunctions.ema_state(c, alpha)
     def st(i: Int) = s"_st_$i"
 
     // all recurrences over the SAME window spec → one WindowExec pass
@@ -314,22 +338,43 @@ object Indicators {
         d.withColumn(st(i), stateAgg(col(valueCol)).over(cw))
     }
     // the state frame feeds BOTH the chunk-summary aggregation and the
-    // final join: without materialization Spark re-executes the whole
-    // scan+sort+window branch for the summaries (a ~2× constant);
+    // final join: without materialization Spark re-executes the
+    // scan+sort+window branch for the summaries (exchange reuse does not
+    // survive the join's attribute aliasing — measured round 1);
     // persisting trades executor storage for the second pass
     val withState = if (materialize)
       withState0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else withState0
 
-    // chunk summaries: the last row's states per (symbol, chunk), via one
-    // argmax over the order key — map-side combinable, no second sort of
-    // the full data (a descending row_number window would re-exchange and
-    // re-sort everything just to pick one row per chunk)
+    // chunk summaries: the last row's states per (symbol, chunk). On the
+    // default (recompute) path they come from a NARROW projection — chunk
+    // key + order + value columns only — with its own state window, and
+    // the last row is picked by a `lead(1) IS NULL` marker inside that
+    // SAME window pass: zero extra sort, zero aggregation. (The previous
+    // argmax formulation — max(struct(orderCols ++ states)) — compared a
+    // 9-field struct interpreted per row and measured ~2× the cost of
+    // the sort it was avoiding.) The materialize path keeps an argmax
+    // over the persisted frame instead: a cached scan has no window to
+    // ride and no order guarantee to reuse.
     val stCols = cols.indices.map(i => col(st(i)))
-    val summaries = withState.groupBy(col("symbol"), col("chunk_id"))
-      .agg(max(struct(orderCols.map(col) ++ stCols: _*)).as("_m"))
-      .select(Seq(col("symbol"), col("chunk_id")) ++
-        cols.indices.map(i => col(s"_m.${st(i)}").as(s"_end_$i")): _*)
+    val cwPlain = Window.partitionBy("symbol", "chunk_id").orderBy(orderCols.map(col): _*)
+    val summaries =
+      if (materialize)
+        withState.groupBy(col("symbol"), col("chunk_id"))
+          .agg(max(struct(orderCols.map(col) ++ stCols: _*)).as("_m"))
+          .select(Seq(col("symbol"), col("chunk_id")) ++
+            cols.indices.map(i => col(s"_m.${st(i)}").as(s"_end_$i")): _*)
+      else {
+        val narrowCols = (Seq("symbol", "chunk_id") ++ orderCols ++ cols.map(_._1)).distinct
+        cols.zipWithIndex.foldLeft(indexed.select(narrowCols.map(col): _*)) {
+          case (d, ((valueCol, _), i)) =>
+            d.withColumn(st(i), stateAgg(col(valueCol)).over(cw))
+        }
+          .withColumn("_is_last", lead(lit(1), 1).over(cwPlain).isNull)
+          .filter(col("_is_last"))
+          .select(Seq(col("symbol"), col("chunk_id")) ++
+            cols.indices.map(i => col(st(i)).as(s"_end_$i")): _*)
+      }
     // incoming state per chunk: fold PRIOR chunk summaries in order (the
     // collect_list frame is the per-symbol chunk count — tiny)
     val prevW = Window.partitionBy("symbol").orderBy("chunk_id")
@@ -355,50 +400,114 @@ object Indicators {
 
   /** Chunked Wilder RSI — the full chunk decomposition of
     * [[withWilderRsiExact]], closing the last unbounded recurrence in the
-    * indicator family. Two mechanisms compose:
+    * indicator family. Exactly TWO passes over the data, each one
+    * shuffle + one bounded sort:
     *
-    *  - the price change needs ONE row of cross-chunk context: each
-    *    chunk's first `chg` comes from the previous chunk's last close,
-    *    carried through the same per-(symbol, chunk) argmax summary +
-    *    prefix join used everywhere else (no row clones, no trimming);
-    *  - gain and loss then run [[chunkedEmaAlpha]] (α = 1/n) over the
-    *    SHARED chunk index.
+    *  - **pass A (narrow)**: over (chunk key, orderCols, close) only, one
+    *    sorted window computes the in-chunk price changes (the chunk's
+    *    FIRST change, which needs the previous chunk's last close, is
+    *    folded as 0 for now), the running gain/loss affine states, the
+    *    chunk's first close, and a `lead(1) IS NULL` last-row marker —
+    *    the surviving one-row-per-chunk summaries need no argmax
+    *    aggregation and no second sort;
+    *  - **tiny algebra**: on the per-chunk frame (thousands of rows, not
+    *    billions), the previous chunk's last close gives the true first
+    *    gain/loss g₁, and the forced-0 states are corrected analytically:
+    *    the state algebra gives end = rest ∘ f(g₁) with
+    *    `cSeeded += (m/β)·g₁`, `c += (m/β)·α·g₁`, `m` unchanged (β ≠ 0
+    *    for any real period n ≥ 2). The corrected ends fold into each
+    *    chunk's incoming state exactly as in [[chunkedTrueEma]];
+    *  - **pass B (main)**: full rows join the broadcast per-chunk frame
+    *    (incoming states + previous close), recompute the true per-row
+    *    changes, run the same state window once, and emit
+    *    `c + m·s_prev` (or `cSeeded` for the first chunk).
     *
+    * `chunkExpr` must bucket the order monotonically (see
+    * [[chunkedTrueEma]]; gaps are fine — the prior-chunk lag and fold
+    * only need chunk ORDER, so no dense re-indexing happens).
+    * First-chunk values are bit-identical to the plain path; later
+    * chunks differ only by affine-composition association, O(ulp).
     * Agreement with the plain-window path is pinned by ChunkedSpec.
+    *
+    * `materialize = true` persists the narrow indexed frame so pass A
+    * and pass B share one scan (same local-vs-cluster trade-off as
+    * [[chunkedTrueEma]]'s knob).
     */
   def chunkedWilderRsi(df: DataFrame, chunkExpr: Column,
       orderCols: Seq[String] = Seq("trading_date", "l_orderkey", "l_linenumber",
         "l_partkey", "l_suppkey", "close", "volume", "open", "low"),
       n: Int = 14, out: String = "rsi_wilder_chunked",
       materialize: Boolean = false): DataFrame = {
-    val indexed = withDenseChunkIdx(df, chunkExpr)
-    val cw = Window.partitionBy("symbol", "chunk_id").orderBy(orderCols.map(col): _*)
+    val alpha = 1.0 / n
+    val beta = 1.0 - alpha
+    val indexed0 = df.withColumn("chunk_id", chunkExpr)
+    val indexed = if (materialize)
+      indexed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else indexed0
+    val cwPlain = Window.partitionBy("symbol", "chunk_id").orderBy(orderCols.map(col): _*)
+    val cwf = cwPlain.rowsBetween(Window.unboundedPreceding, 0)
+    def state(c: Column) =
+      org.apache.spark.sql.graftnative.EmaFunctions.ema_state(c, alpha)
+    def gainOf(chg: Column) = when(chg > 0, chg).otherwise(lit(0.0))
+    def lossOf(chg: Column) = when(chg < 0, -chg).otherwise(lit(0.0))
 
-    // previous chunk's closing price per (symbol, chunk): argmax summary +
-    // lag over the tiny per-symbol chunk set (close appended to the
-    // summary struct only when it isn't already an order column)
-    val summaryFields = orderCols.map(col) ++
-      (if (orderCols.contains("close")) Nil else Seq(col("close")))
-    val lastClose = indexed.groupBy(col("symbol"), col("chunk_id"))
-      .agg(max(struct(summaryFields: _*)).as("_m"))
-      .select(col("symbol"), col("chunk_id"), col("_m.close").as("_last_close"))
-    val prevClose = lastClose
-      .withColumn("_prev_close", lag(col("_last_close"), 1).over(
-        Window.partitionBy("symbol").orderBy("chunk_id")))
-      .select(col("symbol"), col("chunk_id"), col("_prev_close"))
+    // pass A: narrow per-chunk boundary summaries in one sorted window.
+    // The first in-chunk row's lag is null, so gainOf/lossOf fold it as
+    // 0 — identical to how the plain path treats the first row of the
+    // whole SERIES, and corrected for interior chunks below.
+    val narrowCols = (Seq("symbol", "chunk_id") ++ orderCols ++ Seq("close")).distinct
+    val perChunk = indexed.select(narrowCols.map(col): _*)
+      .withColumn("_chg0", col("close") - lag(col("close"), 1).over(cwPlain))
+      .withColumn("_st_g", state(gainOf(col("_chg0"))).over(cwf))
+      .withColumn("_st_l", state(lossOf(col("_chg0"))).over(cwf))
+      .withColumn("_first_close", first(col("close")).over(cwf))
+      .withColumn("_is_last", lead(lit(1), 1).over(cwPlain).isNull)
+      .filter(col("_is_last"))
+      .select(col("symbol"), col("chunk_id"), col("_first_close"),
+        col("close").as("_last_close"), col("_st_g"), col("_st_l"))
 
-    val withChg = indexed.join(broadcast(prevClose), Seq("symbol", "chunk_id"))
+    // tiny algebra: true first gain/loss from the previous chunk's last
+    // close; analytic first-row correction of the forced-0 states. For a
+    // symbol's FIRST chunk _chg1 is null → g₁ = l₁ = 0 → the correction
+    // adds exact 0.0 and the end state is bit-identical to the fold.
+    val symW = Window.partitionBy("symbol").orderBy("chunk_id")
+    def fix(stc: Column, g1: Column) = struct(
+      (stc.getField("cSeeded") + stc.getField("m") / lit(beta) * g1).as("cSeeded"),
+      (stc.getField("c") + stc.getField("m") / lit(beta) * (lit(alpha) * g1)).as("c"),
+      stc.getField("m").as("m"))
+    val ends = perChunk
+      .withColumn("_prev_close", lag(col("_last_close"), 1).over(symW))
+      .withColumn("_chg1", col("_first_close") - col("_prev_close"))
+      .select(col("symbol"), col("chunk_id"), col("_prev_close"),
+        fix(col("_st_g"), gainOf(col("_chg1"))).as("_end_g"),
+        fix(col("_st_l"), lossOf(col("_chg1"))).as("_end_l"))
+
+    // incoming state per chunk: fold PRIOR chunk end states in order
+    // (collect_list frame = the per-symbol chunk count — tiny)
+    val prevW = symW.rowsBetween(Window.unboundedPreceding, -1)
+    def foldPrev(prevs: Column): Column =
+      when(size(prevs) === 0, lit(Double.NaN)).otherwise(
+        aggregate(prevs, lit(Double.NaN),
+          (acc, s) => when(isnan(acc), s.getField("cSeeded"))
+            .otherwise(s.getField("c") + s.getField("m") * acc)))
+    val incoming = ends
+      .withColumn("_sp_g", foldPrev(collect_list(col("_end_g")).over(prevW)))
+      .withColumn("_sp_l", foldPrev(collect_list(col("_end_l")).over(prevW)))
+      .select(col("symbol"), col("chunk_id"), col("_prev_close"),
+        col("_sp_g"), col("_sp_l"))
+
+    // pass B: full rows + broadcast incoming context, one state window
+    def outOf(stc: Column, sp: Column) =
+      when(isnan(sp), stc.getField("cSeeded"))
+        .otherwise(stc.getField("c") + stc.getField("m") * sp)
+    indexed.join(broadcast(incoming), Seq("symbol", "chunk_id"))
       .withColumn("w_chg",
-        col("close") - coalesce(lag(col("close"), 1).over(cw), col("_prev_close")))
-      .withColumn("w_gain", when(col("w_chg") > 0, col("w_chg")).otherwise(lit(0.0)))
-      .withColumn("w_loss", when(col("w_chg") < 0, -col("w_chg")).otherwise(lit(0.0)))
-
-    val smoothed = chunkedEmaAlpha(withChg, 1.0 / n, orderCols,
-      Seq("w_gain" -> "w_avg_gain", "w_loss" -> "w_avg_loss"), materialize)
-    smoothed
-      .withColumn(out, rsiFrom(col("w_avg_gain"), col("w_avg_loss")))
-      .drop("chunk_raw", "chunk_id", "_prev_close",
-        "w_chg", "w_gain", "w_loss", "w_avg_gain", "w_avg_loss")
+        col("close") - coalesce(lag(col("close"), 1).over(cwPlain), col("_prev_close")))
+      .withColumn("_st_g", state(gainOf(col("w_chg"))).over(cwf))
+      .withColumn("_st_l", state(lossOf(col("w_chg"))).over(cwf))
+      .withColumn(out, rsiFrom(
+        outOf(col("_st_g"), col("_sp_g")), outOf(col("_st_l"), col("_sp_l"))))
+      .drop("chunk_id", "w_chg", "_st_g", "_st_l", "_sp_g", "_sp_l", "_prev_close")
   }
 
   /** The reference's RSI combination quirk, shared by every Wilder path:
@@ -439,10 +548,11 @@ object Indicators {
     * [[withWilderRsi]], and exact rather than lookback-truncated.
     */
   def withWilderRsiExact(df: DataFrame, w: WindowSpec, n: Int = 14): DataFrame = {
-    // windowOnly = true: see trueEmaExact — grouped use would be
-    // merge-order-dependent and must fail fast
-    val smooth = udaf(new graft.functions.EmaAggregator(1.0 / n, windowOnly = true))
-    def run(c: Column): Column = smooth(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    // native EmaRunAgg: see trueEmaExact — codegen'd buffer updates, and
+    // grouped misuse (merge-order-dependent) still fails fast
+    def run(c: Column): Column =
+      org.apache.spark.sql.graftnative.EmaFunctions.ema_run(c, 1.0 / n)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
     df.withColumn("w_chg", col("close") - lag(col("close"), 1).over(w))
       .withColumn("w_gain", when(col("w_chg") > 0, col("w_chg")).otherwise(lit(0.0)))
       .withColumn("w_loss", when(col("w_chg") < 0, -col("w_chg")).otherwise(lit(0.0)))

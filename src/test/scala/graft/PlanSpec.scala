@@ -93,10 +93,49 @@ class PlanSpec extends SparkSpec {
   }
 
   test("minhash/simhash band joins are equi-joins (shuffle on compact keys)") {
-    Seq("minhash_dedup", "simhash_neardup").foreach { name =>
+    Seq("minhash_dedup", "minhash_dedup_prod", "simhash_neardup").foreach { name =>
       val plan = fmt(Queries.all(name).fn(spark, sf0001))
       assert(!plan.contains("CartesianProduct"), s"$name is cartesian")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name is nested-loop")
+    }
+  }
+
+  test("dedup_pipeline survivors via LEFT ANTI hash join; one global sort (the output)") {
+    Seq("dedup_pipeline", "dedup_pipeline_prod").foreach { name =>
+      val p = physical(Queries.all(name).fn(spark, sf0001))
+      // survivor selection must be an anti hash join on doc_id — the only
+      // join shape that stays linear against the full corpus at 100 TB
+      val anti = collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(anti.nonEmpty, s"$name: no left_anti join in plan")
+      val cart = collectAll(p) { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"$name has a cartesian product")
+      // exactly one GLOBAL sort: the user-facing ORDER BY — any other
+      // would mean a hidden total sort of corpus-sized data
+      val globalSorts = collectAll(p) {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }
+      assert(globalSorts.size == 1, s"$name: ${globalSorts.size} global sorts")
+    }
+  }
+
+  test("IVF codebook expansion is broadcast; no cartesian against the corpus") {
+    Seq("ann_ivf_topk", "ann_ivf_trained_topk").foreach { name =>
+      val p = physical(Queries.all(name).fn(spark, sf0001))
+      // the K-row codebook joins the corpus via an explicit
+      // broadcast(cents) cross — physical BroadcastNestedLoopJoin with
+      // the tiny side built, the deliberate K×-expansion of assignment.
+      // What must NEVER appear is an unbroadcast CartesianProduct (a
+      // corpus×corpus or shuffle-side expansion).
+      val bcastJoins = collectAll(p) {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+        case b: BroadcastHashJoinExec => b
+      }
+      assert(bcastJoins.nonEmpty, s"$name: codebook join is not broadcast")
+      val cart = collectAll(p) { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"$name has a cartesian product")
     }
   }
 }

@@ -395,6 +395,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(surv.count(_ < 100000L) >= 450 && surv.count(_ < 100000L) <= 500)
   }
 
+  test("dedup_pipeline_prod (xxhash64): survivor set equals the md5 pipeline's") {
+    // verification is hash-free exact jaccard over candidate pairs, so
+    // the survivor sets can only differ where the two hash families'
+    // candidate recall differs; on the fixture corpus (exact +100000
+    // copies, which share ALL bands in either family) they must agree
+    // exactly — pinning that the prod twin is the same operator, not a
+    // lookalike
+    val md5Surv = Queries.all("dedup_pipeline").fn(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val xxSurv = Queries.all("dedup_pipeline_prod").fn(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(md5Surv == xxSurv,
+      s"survivor sets differ: md5-only=${(md5Surv -- xxSurv).take(5)} " +
+        s"xx-only=${(xxSurv -- md5Surv).take(5)}")
+    // and the pipeline actually removed something (not vacuously equal)
+    assert(md5Surv.size < Queries.all("dedup_exact").fn(spark, sf0001).count() * 2)
+  }
+
   test("bucket skew stats surface cap behavior on the live minhash/simhash bucket frames") {
     val mh = QueriesScale.minhashBucketStats(spark, sf0001).head
     assert(mh.getAs[Long]("n_buckets") > 0)

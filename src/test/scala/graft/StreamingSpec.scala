@@ -129,6 +129,49 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L)))
   }
 
+  test("§2.8 allowed lateness: in-horizon late rows aggregate, beyond-watermark rows drop") {
+    // The reference silently skips rows at-or-before its stored watermark
+    // (`etl_job.py:181`); Structured Streaming's withWatermark gives the
+    // bounded-lateness refinement: a late row ABOVE the current watermark
+    // still aggregates, one BELOW it is dropped. This pins both sides of
+    // that boundary through real micro-batches (append mode, so window
+    // finalization is also exercised — `complete` mode would mask drops).
+    val mem = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val agg = MicroBatch.tumblingCounts(mem.toDF().toDF("ts", "event_type"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_tumble").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: two on-time clicks; watermark after the batch = 10:10 − 1h
+    mem.addData((ts("2024-01-01 10:05:00"), "click"), (ts("2024-01-01 10:10:00"), "click"))
+    q.processAllAvailable()
+    // batch 2: a 10:20 click arrives LATE (after the 12:30 view in event
+    // time order it would precede) but ABOVE the 9:10 watermark → must
+    // aggregate; the 12:30 row advances the watermark to 11:30 at commit,
+    // finalizing and emitting the 10:00 window
+    mem.addData((ts("2024-01-01 10:20:00"), "click"), (ts("2024-01-01 12:30:00"), "view"))
+    q.processAllAvailable()
+    // batch 3: a 10:40 click BELOW the 11:30 watermark → silently dropped
+    // (the reference's skip semantic); must not resurrect the closed window
+    mem.addData((ts("2024-01-01 10:40:00"), "click"))
+    q.processAllAvailable()
+    // flush batches: advance event time so remaining windows finalize
+    // (watermark for batch N is computed from data through batch N−1, so
+    // the 12:00 window emits one batch after the 14:30 row arrives)
+    mem.addData((ts("2024-01-01 14:30:00"), "click"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 16:30:00"), "click"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("select * from late_tumble").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSet
+    // = 3: the in-horizon late row counted; exactly ONE 10:00 row: the
+    // beyond-watermark row neither counted nor reopened the window
+    assert(got.contains(("2024-01-01 10:00:00.0", "click", 3L)), s"got $got")
+    assert(got.count(_._1 == "2024-01-01 10:00:00.0") == 1, s"got $got")
+    assert(got.contains(("2024-01-01 12:00:00.0", "view", 1L)), s"got $got")
+  }
+
   test("kafka source config carries the reference consumer's flow control") {
     val cfg = MicroBatch.kafkaSource("broker:9092", "stock_ohlcv")
     assert(cfg.format == "kafka")

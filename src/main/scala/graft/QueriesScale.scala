@@ -1109,7 +1109,38 @@ object QueriesScale {
         | WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 100 ELSE 200 END
         | ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------- benchmark decontamination
+  // Train/eval-overlap hygiene (ScaleOps.decontaminate): the benchmark
+  // set is a deterministic slice of `documents` (doc_id % 23 = 0 — ~4%,
+  // the held-out eval suite), the training corpus is the rest; a training
+  // doc is contaminated iff it shares ANY distinct 3-gram with any
+  // benchmark doc. The oracle mirrors the explode→join→count-distinct
+  // chain; the DuckDB comprehension emits [] below 3 tokens exactly like
+  // ScaleOps.shingles' guard (generate_series(1, n) is empty for n < 1).
+  private val decontaminateQ = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isBench = pmod(col("doc_id"), lit(23)) === 0
+      ScaleOps.decontaminate(docs.filter(!isBench), docs.filter(isBench), "doc_id")
+        .select(col("doc_id"), col("n_shared_ngrams"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]) AS shingles FROM t),
+        | bset AS (SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE doc_id % 23 = 0),
+        | tr AS (SELECT doc_id, unnest(shingles) AS sh FROM sh WHERE doc_id % 23 <> 0),
+        | hits AS (SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+        |   FROM tr JOIN bset USING (sh) GROUP BY tr.doc_id)
+        | SELECT d.doc_id, COALESCE(h.n_shared_ngrams, CAST(0 AS BIGINT)) AS n_shared_ngrams,
+        |  COALESCE(h.n_shared_ngrams, 0) > 0 AS contaminated
+        | FROM documents d LEFT JOIN hits h USING (doc_id)
+        | WHERE d.doc_id % 23 <> 0
+        | ORDER BY d.doc_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "decontaminate" -> decontaminateQ,
     "dataset_split" -> datasetSplitQ,
     "stratified_sample" -> stratifiedSampleQ,
     "stratified_sample_hash" -> stratifiedHashQ,

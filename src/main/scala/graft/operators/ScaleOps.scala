@@ -344,6 +344,41 @@ object ScaleOps {
           col("distinct_ratio") * lit(0.3))
   }
 
+  /** Benchmark decontamination — flag training documents that share word
+    * k-grams with a held-out evaluation/benchmark set, the standard
+    * train/test-overlap hygiene pass of an LLM data pipeline (13-grams in
+    * published pipelines; k is a parameter — the fixture corpus uses the
+    * repo-wide 3-gram shingles).
+    *
+    * Plan shape at 100 TB: the benchmark side is BOUNDED BY CONSTRUCTION
+    * (an eval suite is thousands-to-millions of documents, not the
+    * corpus), so its distinct shingle set broadcasts; the corpus side is
+    * one explode + one broadcast hash join on compact shingle strings +
+    * a partial-agg count per doc — linear in the corpus, no shuffle of
+    * raw text, no all-pairs stage anywhere. Pass
+    * `broadcastBenchmark = false` only when the "benchmark" is not
+    * actually small (then AQE decides the join strategy).
+    *
+    * Output: `corpus` columns + `n_shared_ngrams` (distinct k-grams also
+    * present anywhere in the benchmark) + `contaminated`.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String = "text", k: Int = 3,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    def distinctShingles(c: Column) = array_distinct(shingles(tokens(c), k))
+    val benchSet0 = benchmark
+      .select(explode(distinctShingles(col(textCol))).as("_bsh")).distinct()
+    val benchSet = if (broadcastBenchmark) broadcast(benchSet0) else benchSet0
+    val hits = corpus
+      .select(col(idCol), explode(distinctShingles(col(textCol))).as("_bsh"))
+      .join(benchSet, "_bsh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_ngrams")) // per-doc shingles are distinct pre-join
+    corpus.join(hits, Seq(idCol), "left")
+      .withColumn("n_shared_ngrams", coalesce(col("n_shared_ngrams"), lit(0L)))
+      .withColumn("contaminated", col("n_shared_ngrams") > 0)
+  }
+
   /** Polynomial rolling hash over the document's characters:
     * h = fold(h·31 + ascii(c)) mod (2^31 − 1). Sequential fold, BIGINT
     * arithmetic — identical in Spark and DuckDB.

@@ -121,6 +121,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate: benchmark shingle set joins via broadcast hash join") {
+    val p = physical(Queries.all("decontaminate").fn(spark, sf0001))
+    // the bounded benchmark side must broadcast — a shuffle-hash or
+    // sort-merge join here would shuffle the exploded CORPUS shingles,
+    // which at 100 TB is a corpus-sized exchange of raw n-gram text
+    val bhj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, "no BroadcastHashJoin in decontaminate plan")
+    val cart = collectAll(p) { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, "decontaminate has a cartesian product")
+  }
+
   test("IVF codebook expansion is broadcast; no cartesian against the corpus") {
     Seq("ann_ivf_topk", "ann_ivf_trained_topk").foreach { name =>
       val p = physical(Queries.all(name).fn(spark, sf0001))

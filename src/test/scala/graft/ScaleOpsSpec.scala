@@ -61,6 +61,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("mean_token_len") - 23.0 / 8) < 1e-12)
   }
 
+  test("decontaminate: distinct shared k-grams per doc; short docs clean") {
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text") // shingles: "a b c","b c d"
+    val train = Seq(
+      (1L, "x a b c d y"),  // shares both benchmark shingles
+      (2L, "z b c d w"),    // shares "b c d" only
+      (3L, "p q r s"),      // no overlap
+      (4L, "a b"))          // < 3 tokens: no shingles, never contaminated
+      .toDF("doc_id", "text")
+    val got = ScaleOps.decontaminate(train, bench, "doc_id")
+      .select("doc_id", "n_shared_ngrams", "contaminated")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, true), (2L, 1L, true), (3L, 0L, false), (4L, 0L, false)))
+  }
+
   test("multimodal plumbing: payload bytes + fake features deterministic") {
     val df = Seq((1L, "abc")).toDF("doc_id", "text")
     val out = ScaleOps.extractFakeFeatures(ScaleOps.withMultimodalPayload(df))

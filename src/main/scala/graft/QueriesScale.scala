@@ -150,10 +150,9 @@ object QueriesScale {
   // -------------------------------------------------- document fingerprint
   private val fingerprintQ = Q(
     (s, dir) => {
-      val toks = ScaleOps.tokens(col("text"))
       Tables.documents(s, dir)
         .withColumn("md5_full", md5(col("text")))
-        .withColumn("_sh", ScaleOps.shingles(toks))
+        .withColumn("_sh", ScaleOps.textShingles(col("text")))
         .withColumn("min_shingle_hash", ScaleOps.minhashComponent(col("_sh"), 1))
         .withColumn("rolling_hash", ScaleOps.rollingHash(col("text")))
         .select(col("doc_id"), col("md5_full"), col("min_shingle_hash"), col("rolling_hash"))
@@ -283,21 +282,48 @@ object QueriesScale {
     * tail of both dedup_pipeline variants, parameterized only by the
     * signature table (md5 = oracle family, xxhash64 = production family)
     * so the two plans cannot drift.
+    *
+    * The verify joins are PINNED to shuffled-hash with the candidate side
+    * as build. Left to itself, AQE's runtime stats see a low ROW count on
+    * the corpus-shingle projection and sporadically convert these joins
+    * to broadcast — but each row carries the document's full distinct-
+    * shingle array, so the "small" side is corpus-sized in bytes: locally
+    * that flip measured 15-30× slower (86-169 s vs 3-6 s at sf0.1,
+    * driver-side relation build + GC), and at 100 TB it would broadcast
+    * the corpus. The hint keeps the only join against full documents a
+    * partitioned hash join on doc_id, which is the 100 TB-correct plan
+    * regardless of what the local stats say.
     */
   private def dedupPipelineFrom(corpus: DataFrame, sig: DataFrame): DataFrame = {
     val cands = minhashPairsFromBuckets(minhashBandBuckets(sig))
       .select("id1", "id2")
     val sets = corpus.select(col("doc_id"),
-      array_distinct(ScaleOps.shingles(ScaleOps.tokens(col("text")))).as("sh"))
+      array_distinct(ScaleOps.textShingles(col("text"))).as("sh"))
     val verified = cands
+      .hint("shuffle_hash")
       .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .hint("shuffle_hash")
       .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("n_inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard", col("n_inter").cast(DoubleType) /
         (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast(DoubleType))
       .filter(col("jaccard") >= dedupJaccardThreshold)
     val removed = verified.select(col("id2").as("doc_id")).distinct()
-    corpus.join(removed, Seq("doc_id"), "left_anti")
+    // Survivor selection is a LEFT OUTER join + null filter rather than
+    // the equivalent left_anti, deliberately: Catalyst's semi/anti-
+    // through-Union pushdown rewrites `union.join(removed, "left_anti")`
+    // into a UNION OF TWO ANTI JOINS, duplicating the entire
+    // candidates→verify pipeline (`removed`) as two sibling subtrees.
+    // Runtime stage reuse between the twins is nondeterministic — when
+    // it misses, the signature chain executes twice CONCURRENTLY
+    // (measured 15-60× slowdowns at sf0.1: 3-6 s reps flipping to
+    // 86-275 s). The outer-join form is outside that rule's pattern, so
+    // the pipeline stays single-subtree; `removed` is distinct on the
+    // join key, so no row duplication — semantics are identical.
+    corpus.join(
+        removed.withColumn("_dup", lit(1)).hint("shuffle_hash"),
+        Seq("doc_id"), "left")
+      .filter(col("_dup").isNull)
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
@@ -880,7 +906,7 @@ object QueriesScale {
             col("n_words").cast(DoubleType))
         .withColumn("stopword_frac",
           ScaleOps.stopwordCount(toks).cast(DoubleType) / col("n_words").cast(DoubleType))
-        .withColumn("_bi", ScaleOps.shingles(toks, k = 2))
+        .withColumn("_bi", ScaleOps.textShingles(col("text"), k = 2))
         .withColumn("distinct_bigram_ratio",
           when(size(col("_bi")) > 0,
             size(array_distinct(col("_bi"))).cast(DoubleType) /
@@ -994,7 +1020,7 @@ object QueriesScale {
     (s, dir) => {
       val bi = Tables.documents(s, dir)
         .select(col("lang"),
-          explode(ScaleOps.shingles(ScaleOps.tokens(col("text")), k = 2)).as("bigram"))
+          explode(ScaleOps.textShingles(col("text"), k = 2)).as("bigram"))
       val counted = bi.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
         .withColumn("salt", pmod(xxhash64(col("bigram")), lit(32L)))
       val saltW = Window.partitionBy("lang", "salt").orderBy(col("n").desc, col("bigram"))
@@ -1139,7 +1165,33 @@ object QueriesScale {
         | WHERE d.doc_id % 23 <> 0
         | ORDER BY d.doc_id""".stripMargin))
 
+  // ------------------------------------------------- sequence packing
+  // Offset-based concat-and-chop packing into 1024-token training
+  // sequences (ScaleOps.packSequences), 8 deterministic shards per
+  // language. All-integer arithmetic (div/pmod), so the oracle matches
+  // bit-exactly; DuckDB's `//` is floor division, identical to Spark's
+  // `div` for the non-negative offsets here.
+  private val packSequencesQ = Q(
+    (s, dir) => {
+      ScaleOps.packSequences(Tables.documents(s, dir), "doc_id", budget = 1024)
+        .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+          col("seq_id"), col("offset_in_seq"), col("spans_boundary"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        | o AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+        |   PARTITION BY lang, shard ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off FROM t)
+        | SELECT doc_id, lang, shard, n_tokens,
+        |  start_off // 1024 AS seq_id,
+        |  start_off % 1024 AS offset_in_seq,
+        |  (start_off + n_tokens - 1) // 1024 > start_off // 1024 AS spans_boundary
+        | FROM o ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "pack_sequences" -> packSequencesQ,
     "decontaminate" -> decontaminateQ,
     "dataset_split" -> datasetSplitQ,
     "stratified_sample" -> stratifiedSampleQ,

@@ -29,6 +29,17 @@ object ScaleOps {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
       .otherwise(array().cast(ArrayType(StringType)))
 
+  /** Native word k-shingles straight from the text column — output
+    * identical to `shingles(tokens(text), k)` (equivalence pinned in
+    * ScaleOpsSpec) via a codegen'd one-pass byte scan
+    * ([[org.apache.spark.sql.graftnative.WordShingles]]). The HOF form
+    * above is kept as the executable spec; every hot path uses this one,
+    * because `transform`/`concat_ws`/`split` evaluate interpreted
+    * (CodegenFallback) and dominate signature-stage CPU.
+    */
+  def textShingles(text: Column, k: Int = 3): Column =
+    org.apache.spark.sql.graftnative.TextExpressions.word_shingles(text, k)
+
   /** One MinHash signature component: lexicographic min of md5 over salted
     * shingles. K independent salts → K-component signature, all computed
     * per-row (no shuffle).
@@ -40,7 +51,7 @@ object ScaleOps {
     * Per-row array form; see [[minhashSignatureTable]] for the bulk path.
     */
   def withMinhashSignature(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
-    val sh = shingles(tokens(col(textCol)))
+    val sh = textShingles(col(textCol))
     (1 to k).foldLeft(df.withColumn("_sh", sh)) { (d, i) =>
       d.withColumn(s"sig_$i", minhashComponent(col("_sh"), i))
     }.drop("_sh")
@@ -66,7 +77,7 @@ object ScaleOps {
     */
   def minhashSignatureTable(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
     val sh = df.select(col(idCol),
-      explode(shingles(tokens(col(textCol)))).as("_sh"))
+      explode(textShingles(col(textCol))).as("_sh"))
     val aggs = (1 to k).map { i =>
       val digest = md5(concat(lit(s"${(i + 1) / 2}|"), col("_sh")))
       val off = if (i % 2 == 1) 1 else 17
@@ -94,7 +105,7 @@ object ScaleOps {
         conv(substring(md5(concat(lit(s"${(i + 1) / 2}|"), x)), off, 15), 16, 10)
           .cast(LongType))).as(s"sig_$i")
     }
-    df.withColumn("_sh", shingles(tokens(col(textCol))))
+    df.withColumn("_sh", textShingles(col(textCol)))
       .filter(size(col("_sh")) > 0)
       .select(col(idCol) +: sigs: _*)
   }
@@ -114,7 +125,7 @@ object ScaleOps {
   def minhashSignatureTableXx(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     val sh = df.select(col(idCol),
-      explode(shingles(tokens(col(textCol)))).as("_sh"))
+      explode(textShingles(col(textCol))).as("_sh"))
     val aggs = (1 to k).map(i => min(xxhash64(lit(i), col("_sh"))).as(s"sig_$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
@@ -132,7 +143,7 @@ object ScaleOps {
       k: Int = 8): DataFrame = {
     val sigs = (1 to k).map(i =>
       array_min(transform(col("_sh"), x => xxhash64(lit(i), x))).as(s"sig_$i"))
-    df.withColumn("_sh", shingles(tokens(col(textCol))))
+    df.withColumn("_sh", textShingles(col(textCol)))
       .filter(size(col("_sh")) > 0)
       .select(col(idCol) +: sigs: _*)
   }
@@ -365,7 +376,7 @@ object ScaleOps {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String = "text", k: Int = 3,
       broadcastBenchmark: Boolean = true): DataFrame = {
-    def distinctShingles(c: Column) = array_distinct(shingles(tokens(c), k))
+    def distinctShingles(c: Column) = array_distinct(textShingles(c, k))
     val benchSet0 = benchmark
       .select(explode(distinctShingles(col(textCol))).as("_bsh")).distinct()
     val benchSet = if (broadcastBenchmark) broadcast(benchSet0) else benchSet0
@@ -377,6 +388,44 @@ object ScaleOps {
     corpus.join(hits, Seq(idCol), "left")
       .withColumn("n_shared_ngrams", coalesce(col("n_shared_ngrams"), lit(0L)))
       .withColumn("contaminated", col("n_shared_ngrams") > 0)
+  }
+
+  /** Sequence packing — assign each document a position in a fixed
+    * token-budget training sequence (concat-and-chop semantics: the
+    * stream of documents is concatenated in deterministic order and cut
+    * every `budget` tokens; a document belongs to the sequence containing
+    * its FIRST token and is flagged when it straddles a cut). This is the
+    * offset-based packing used when preparing LLM pretraining batches.
+    *
+    * Plan shape at 100 TB: one window cumulative sum per (lang, shard)
+    * stream. Sharding is the scale lever — `lang` alone has cardinality
+    * ~10, which would put the whole corpus in a handful of window
+    * partitions; `pmod(id, numShards)` fans each language into
+    * `numShards` independent deterministic streams (any shard count is
+    * valid — each stream is still a well-formed packing), so parallelism
+    * is chosen, not inherited from the data. A hot shard is the classic
+    * chunked-prefix-sum shape (see Indicators.chunked* / the OBV
+    * treatment) if one stream ever outgrows a task. All arithmetic is
+    * integral (`div`/`pmod`) — bit-exact against any SQL engine.
+    *
+    * Output: input columns + n_tokens, shard, seq_id (per-stream),
+    * offset_in_seq, spans_boundary.
+    */
+  def packSequences(df: DataFrame, idCol: String, budget: Int,
+      numShards: Int = 8, langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(col(idCol), lit(numShards.toLong))
+    val w = Window.partitionBy(col(langCol), col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", size(tokens(col(textCol))).cast(LongType))
+      .withColumn("shard", shard)
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"start_off div ${budget}L"))
+      .withColumn("offset_in_seq", pmod(col("start_off"), lit(budget.toLong)))
+      .withColumn("spans_boundary",
+        expr(s"(start_off + n_tokens - 1) div ${budget}L") > col("seq_id"))
+      .drop("start_off")
   }
 
   /** Polynomial rolling hash over the document's characters:

@@ -100,18 +100,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("dedup_pipeline survivors via LEFT ANTI hash join; one global sort (the output)") {
+  test("dedup_pipeline: all joins shuffled-hash, no subtree duplication, one global sort") {
     Seq("dedup_pipeline", "dedup_pipeline_prod").foreach { name =>
       val p = physical(Queries.all(name).fn(spark, sf0001))
-      // survivor selection must be an anti hash join on doc_id — the only
-      // join shape that stays linear against the full corpus at 100 TB
+      val cart = collectAll(p) { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"$name has a cartesian product")
+      // every join in the pipeline is pinned shuffled-hash: AQE's runtime
+      // stats see few ROWS on the corpus-shingle projection and would
+      // otherwise flip the verify joins to broadcast — corpus-sized in
+      // BYTES (each row carries the doc's full shingle array) — and a
+      // broadcast future severs exchange reuse. Exactly 3: two verify
+      // joins + the survivor left-outer join. More than 3 would mean the
+      // pipeline subtree got duplicated again (the anti-through-union
+      // pushdown this plan is shaped to avoid); an anti join present
+      // would mean the left-outer formulation regressed.
+      val shj = collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(shj.size == 3, s"$name: expected 3 shuffled-hash joins, got ${shj.size}")
       val anti = collectAll(p) {
         case j: org.apache.spark.sql.execution.joins.BaseJoinExec
           if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
       }
-      assert(anti.nonEmpty, s"$name: no left_anti join in plan")
-      val cart = collectAll(p) { case c: CartesianProductExec => c }
-      assert(cart.isEmpty, s"$name has a cartesian product")
+      assert(anti.isEmpty, s"$name: anti join resurfaced (union-pushdown hazard)")
       // exactly one GLOBAL sort: the user-facing ORDER BY — any other
       // would mean a hidden total sort of corpus-sized data
       val globalSorts = collectAll(p) {
@@ -119,6 +130,18 @@ class PlanSpec extends SparkSpec {
       }
       assert(globalSorts.size == 1, s"$name: ${globalSorts.size} global sorts")
     }
+  }
+
+  test("pack_sequences: one hash exchange (the packing streams) + output sort only") {
+    val p = physical(Queries.all("pack_sequences").fn(spark, sf0001))
+    val ex = collectAll(p) { case e: Exchange => e }
+    // the cumsum needs exactly one hash partitioning on (lang, shard);
+    // the only other exchange is the ORDER BY's range partitioning — a
+    // second hash exchange would mean the window keys don't line up and
+    // the corpus is being reshuffled
+    val hash = ex.filterNot(_.outputPartitioning.toString.toLowerCase.contains("range"))
+    assert(hash.size == 1, s"pack_sequences: ${hash.size} hash exchanges")
+    assert(ex.size <= 2, s"pack_sequences: ${ex.size} exchanges total")
   }
 
   test("decontaminate: benchmark shingle set joins via broadcast hash join") {

@@ -61,6 +61,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("mean_token_len") - 23.0 / 8) < 1e-12)
   }
 
+  test("native textShingles ≡ HOF shingles(tokens) on every edge shape") {
+    // consecutive/leading/trailing spaces make EMPTY tokens — the native
+    // byte-scan must reproduce them and the exact substring joins;
+    // multibyte UTF-8 guards the 0x20 scan; k variants cover bigrams
+    val texts = Seq(
+      "a b c d e", "a  b c", " a b c", "a b c ", "", " ", "  ",
+      "one", "one two", "héllo wörld déjà vu", "tab\tis one token x y",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    Seq(2, 3, 5).foreach { k =>
+      val both = df.select(col("id"),
+        graft.operators.ScaleOps.shingles(graft.operators.ScaleOps.tokens(col("text")), k).as("hof"),
+        graft.operators.ScaleOps.textShingles(col("text"), k).as("native"))
+      val bad = both.filter(not(col("hof") <=> col("native"))).count()
+      assert(bad == 0, s"k=$k: $bad rows differ between HOF and native shingles")
+    }
+    // null text: HOF yields empty array (null when-condition falls to
+    // otherwise); native must match
+    val nullDf = Seq((1L, Option.empty[String]), (2L, Some("x y z w"))).toDF("id", "text")
+    val r = nullDf.select(col("id"),
+      graft.operators.ScaleOps.shingles(graft.operators.ScaleOps.tokens(col("text"))).as("hof"),
+      graft.operators.ScaleOps.textShingles(col("text")).as("native"))
+      .filter(not(col("hof") <=> col("native"))).count()
+    assert(r == 0, "null-text semantics differ")
+  }
+
   test("decontaminate: distinct shared k-grams per doc; short docs clean") {
     val bench = Seq((100L, "a b c d")).toDF("doc_id", "text") // shingles: "a b c","b c d"
     val train = Seq(
@@ -73,6 +99,27 @@ class ScaleOpsSpec extends SparkSpec {
       .select("doc_id", "n_shared_ngrams", "contaminated")
       .as[(Long, Long, Boolean)].collect().sortBy(_._1)
     assert(got.toSeq == Seq((1L, 2L, true), (2L, 1L, true), (3L, 0L, false), (4L, 0L, false)))
+  }
+
+  test("pack_sequences: concat-and-chop offsets, straddle flag, shard independence") {
+    // one lang, one shard (ids ≡ 0 mod 8): tokens 3,4,5 against budget 6
+    val df = Seq(
+      (0L, "en", "a b c"),       // start 0  → seq 0, off 0, fits
+      (8L, "en", "a b c d"),     // start 3  → seq 0, off 3, 3+4-1=6 → seq 1: straddles
+      (16L, "en", "a b c d e"))  // start 7  → seq 1, off 1, 7+5-1=11 → seq 1: fits
+      .toDF("doc_id", "lang", "text")
+    val got = graft.operators.ScaleOps.packSequences(df, "doc_id", budget = 6, numShards = 8)
+      .select("doc_id", "n_tokens", "seq_id", "offset_in_seq", "spans_boundary")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 3L, 0L, 0L, false),
+      (8L, 4L, 0L, 3L, true),
+      (16L, 5L, 1L, 1L, false)))
+    // different shards pack independently: same tokens on shard 1 restart at 0
+    val two = Seq((0L, "en", "a b c"), (1L, "en", "a b c")).toDF("doc_id", "lang", "text")
+    val s2 = graft.operators.ScaleOps.packSequences(two, "doc_id", budget = 6, numShards = 8)
+      .select("doc_id", "offset_in_seq").as[(Long, Long)].collect().toMap
+    assert(s2 == Map(0L -> 0L, 1L -> 0L))
   }
 
   test("multimodal plumbing: payload bytes + fake features deterministic") {

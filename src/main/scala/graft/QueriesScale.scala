@@ -1165,6 +1165,29 @@ object QueriesScale {
         | WHERE d.doc_id % 23 <> 0
         | ORDER BY d.doc_id""".stripMargin))
 
+  // --------------------------------------------- semantic dedup (⊘)
+  // SemDeDup over the embeddings table: trained spherical-k-means
+  // codebook (K=8, the setting ann_ivf_trained_topk validated at ≥0.85
+  // retrieval recall on this corpus), top-2 multi-probe assignment
+  // (single-assignment capture is only 0.75-0.79 here — the fixture's
+  // near-dups sit at cosine 0.25-0.5 and straddle cluster boundaries;
+  // probing 2 clusters lifts it to 0.96 at 2× candidate cost),
+  // within-cluster exact-cosine pairs at the corpus' near-dup threshold
+  // (0.25, the embedding_neardup setting), keep-min survivors. No SQL
+  // oracle — k-means centroids are float artifacts outside DuckDB's
+  // reach — so the key is rows-only; ScaleOpsSpec pins precision 1.0
+  // (every removal justified by an exact brute-force pair) and recall
+  // ≥0.9 vs the brute-force keep-min dedup.
+  private val semanticDedupQ = Q(
+    (s, dir) => {
+      val cents = graft.ml.IvfCodebook.load(s,
+        graft.ml.IvfCodebook.codebookPath(s, dir, k = 8))
+      ScaleOps.semanticDedup(Tables.embeddings(s, dir), cents, "vec_id")
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
+    None)
+
   // ------------------------------------------------- sequence packing
   // Offset-based concat-and-chop packing into 1024-token training
   // sequences (ScaleOps.packSequences), 8 deterministic shards per
@@ -1191,6 +1214,7 @@ object QueriesScale {
         | FROM o ORDER BY doc_id""".stripMargin))
 
   val all: Map[String, Q] = Map(
+    "semantic_dedup" -> semanticDedupQ,
     "pack_sequences" -> packSequencesQ,
     "decontaminate" -> decontaminateQ,
     "dataset_split" -> datasetSplitQ,

@@ -390,6 +390,103 @@ object ScaleOps {
       .withColumn("contaminated", col("n_shared_ngrams") > 0)
   }
 
+  /** SemDeDup-style semantic deduplication: assign every embedding to its
+    * nearest codebook centroid (spherical k-means clusters), generate
+    * candidate pairs ONLY within a cluster, verify by exact cosine ≥
+    * `threshold`, and keep the smallest id of each verified pair (the
+    * same per-pair keep-min rule as the text dedup pipeline). Removals
+    * are always justified by an exact cosine — clustering only bounds
+    * WHERE we look, so precision is 1.0 by construction and recall is
+    * the clustering's capture rate (pinned vs brute force in
+    * ScaleOpsSpec).
+    *
+    * Plan shape at 100 TB: the codebook broadcasts (K centroids);
+    * assignment is a map-side argmax aggregation (no window over the
+    * K×-expanded corpus); the within-cluster pair stage is an equi-join
+    * on the compact cluster id, quadratic only in CLUSTER size — K is
+    * the knob that keeps clusters bounded (K ~ N/1k in published
+    * SemDeDup settings), `clusterCap` skips degenerate clusters instead
+    * of letting one of them turn the join quadratic, and
+    * [[semanticClusterStats]] makes anything skipped observable (the
+    * no-silent-caps rule). Survivor selection reuses the left-outer +
+    * null-filter form (see the dedup pipeline: anti joins atop unions
+    * get duplicated by Catalyst's pushdown) with shuffle_hash pinned.
+    *
+    * `cents` carries (c_id int, c_emb array<float>) — a trained codebook
+    * (see [[graft.ml.IvfCodebook]]).
+    */
+  def semanticDedup(emb: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String = "embedding", threshold: Double = 0.25,
+      clusterCap: Int = 4096, nAssign: Int = 2): DataFrame = {
+    val assigned = assignClusters(emb, cents, idCol, vecCol, nAssign)
+    val sizes = assigned.groupBy("_cid").agg(count(lit(1)).as("_csz"))
+    val bounded = assigned
+      .join(broadcast(sizes.filter(col("_csz") <= clusterCap)).drop("_csz"), "_cid")
+    // candidate pairs are NARROW (ids only, distinct across shared
+    // clusters); vectors are fetched for verification through the same
+    // shuffle_hash-pinned join shape as the text dedup pipeline
+    val cands = bounded.select(col("_cid"), col(idCol).as("id1"))
+      .hint("shuffle_hash")
+      .join(bounded.select(col("_cid"), col(idCol).as("id2")), "_cid")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val e = emb.withColumn("_nv", l2norm(col(vecCol)))
+    val removed = cands
+      .hint("shuffle_hash")
+      .join(e.select(col(idCol).as("id1"), col(vecCol).as("_e1"), col("_nv").as("_n1")), "id1")
+      .hint("shuffle_hash")
+      .join(e.select(col(idCol).as("id2"), col(vecCol).as("_e2"), col("_nv").as("_n2")), "id2")
+      .filter(cosine(col("_e1"), col("_e2"), col("_n1"), col("_n2")) >= threshold)
+      .select(col("id2").as(idCol)).distinct()
+    emb.join(removed.withColumn("_dup", lit(1)).hint("shuffle_hash"),
+        Seq(idCol), "left")
+      .filter(col("_dup").isNull)
+      .drop("_dup")
+  }
+
+  /** Top-`nAssign` nearest-centroid assignment: broadcast codebook, exact
+    * cosine to every centroid, then `nAssign` map-side argmax passes —
+    * each pass excludes the centroids already picked (a corpus-side
+    * row_number window over the K×-expanded frame would exchange and
+    * sort K copies of every row; n aggregations of the narrow
+    * (id, c_id, cos) frame ship one row per vector per pass). nAssign=1
+    * is plain nearest-centroid; 2 is the IVF-style multi-probe that
+    * catches near-dup pairs straddling a cluster boundary. Output:
+    * (_cid, idCol) — one row per (vector, assigned cluster), narrow.
+    */
+  def assignClusters(emb: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String = "embedding", nAssign: Int = 1): DataFrame = {
+    require(nAssign >= 1 && nAssign <= 4, "nAssign out of range")
+    val c = cents.withColumn("_nc", l2norm(col("c_emb")))
+    val scored = emb.withColumn("_nv", l2norm(col(vecCol)))
+      .join(broadcast(c))
+      .withColumn("_ccos", cosine(col(vecCol), col("c_emb"), col("_nv"), col("_nc")))
+      .select(col(idCol), col("c_id"), col("_ccos"))
+    def argmax(frame: DataFrame): DataFrame = frame
+      .groupBy(col(idCol))
+      .agg(max(struct(col("_ccos"), (-col("c_id")).as("_negc"), col("c_id"))).as("_m"))
+      .select(col(idCol), col("_m.c_id").as("_cid"))
+    (2 to nAssign).foldLeft(argmax(scored)) { (picked, _) =>
+      val next = argmax(
+        scored.join(picked.groupBy(col(idCol)).agg(collect_set(col("_cid")).as("_taken")), idCol)
+          .filter(!array_contains(col("_taken"), col("c_id")))
+          .select(col(idCol), col("c_id"), col("_ccos")))
+      picked.unionAll(next)
+    }
+  }
+
+  /** Cluster-size observability for [[semanticDedup]] (the no-silent-caps
+    * rule): cluster count, how many clusters the cap would skip, and the
+    * worst cluster size.
+    */
+  def semanticClusterStats(emb: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String = "embedding", cap: Int = 4096, nAssign: Int = 2): DataFrame =
+    assignClusters(emb, cents, idCol, vecCol, nAssign)
+      .groupBy("_cid").agg(count(lit(1)).as("_csz"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("_csz") > cap, 1L).otherwise(0L)).as("n_skipped"),
+        max(col("_csz")).as("max_cluster"))
+
   /** Sequence packing — assign each document a position in a fixed
     * token-budget training sequence (concat-and-chop semantics: the
     * stream of documents is concatenated in deterministic order and cut

@@ -387,6 +387,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall (measured 0.907 on this testdata)")
   }
 
+  test("semantic_dedup: precision 1.0 vs brute force, recall floor, deterministic") {
+    val q = Queries.all("semantic_dedup")
+    val s1 = q.fn(spark, sf0001).select("vec_id").as[Long].collect().toSet
+    val s2 = q.fn(spark, sf0001).select("vec_id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty, "semantic dedup must be deterministic")
+    // brute-force ground truth: keep-min removal over ALL pairs with
+    // cosine >= the operator's threshold (no label hint — semantic dedup
+    // sees only geometry)
+    val e = Tables.embeddings(spark, sf0001)
+      .withColumn("nv", ScaleOps.l2norm(col("embedding")))
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nv").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nv").as("n2"))
+    val truthRemoved = a.join(b, col("id1") < col("id2"))
+      .filter(ScaleOps.cosine(col("e1"), col("e2"), col("n1"), col("n2")) >= 0.25)
+      .select(col("id2")).distinct().as[Long].collect().toSet
+    val allIds = e.select("vec_id").as[Long].collect().toSet
+    val gotRemoved = allIds -- s1
+    assert(gotRemoved.subsetOf(truthRemoved),
+      "every removal must be justified by an exact brute-force pair")
+    val recall = gotRemoved.size.toDouble / truthRemoved.size
+    assert(recall >= 0.9,
+      s"cluster capture recall $recall vs brute-force dedup (measured 0.958 at K=8, nAssign=2)")
+  }
+
   test("stratified_sample_hash: deterministic, content-stable, honors per-lang rates") {
     val q = Queries.all("stratified_sample_hash")
     val s1 = q.fn(spark, sf0001).select("doc_id").as[Long].collect().toSeq

@@ -154,7 +154,7 @@ object QueriesScale {
         .withColumn("md5_full", md5(col("text")))
         .withColumn("_sh", ScaleOps.textShingles(col("text")))
         .withColumn("min_shingle_hash", ScaleOps.minhashComponent(col("_sh"), 1))
-        .withColumn("rolling_hash", ScaleOps.rollingHash(col("text")))
+        .withColumn("rolling_hash", ScaleOps.rollingHashNative(col("text")))
         .select(col("doc_id"), col("md5_full"), col("min_shingle_hash"), col("rolling_hash"))
         .orderBy(col("doc_id"))
     },

@@ -23,6 +23,13 @@ object Smoke {
         "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head.getDouble(0)
     println(s"[smoke] sql dot_f=$dotSql")
     assert(dotSql == 11.0, "dot_f not registered via GraftExtensions")
+    val shSql = spark.sql("SELECT word_shingles('a b c d', 3) AS s")
+      .head.getSeq[String](0)
+    println(s"[smoke] sql word_shingles=$shSql")
+    assert(shSql == Seq("a b c", "b c d"), "word_shingles not registered")
+    val rhSql = spark.sql("SELECT rolling_hash('') AS h").head.getLong(0)
+    println(s"[smoke] sql rolling_hash('')=$rhSql")
+    assert(rhSql == 217L, "rolling_hash not registered or empty-string semantics off")
     val df = SparkEntry.entry(spark)
     val n = df.count()
     println(s"[smoke] entry rows=$n cols=${df.columns.length}")

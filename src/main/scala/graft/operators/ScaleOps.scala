@@ -537,6 +537,13 @@ object ScaleOps {
       lit(7L),
       (acc, c) => (acc * lit(31L) + c) % lit(2147483647L))
 
+  /** Native twin of [[rollingHash]] (equivalence pinned in ScaleOpsSpec):
+    * one codegen'd code-point walk instead of a per-character string
+    * array folded through interpreted lambdas — the fingerprint hot path.
+    */
+  def rollingHashNative(text: Column): Column =
+    org.apache.spark.sql.graftnative.TextExpressions.rolling_hash(text)
+
   // ------------------------------------------------------- multimodal stub
 
   /** Multimodal column plumbing: the engine treats image/audio/video as

@@ -25,5 +25,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"dot_f expects exactly 2 arguments, got ${children.length}")
         DotProductFloat(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"word_shingles expects (text, k), got ${children.length} arguments")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles k must be an integer literal, got $other")
+        }
+        WordShingles(children(0), k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[PolyRollingHash].getName, "rolling_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"rolling_hash expects exactly 1 argument, got ${children.length}")
+        PolyRollingHash(children(0))
+      }))
   }
 }

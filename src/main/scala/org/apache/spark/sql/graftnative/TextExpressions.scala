@@ -104,10 +104,59 @@ object WordShingles {
   }
 }
 
+/** Native polynomial rolling hash — the document-fingerprint hot path.
+  * Output is IDENTICAL to the higher-order-function formulation
+  * `aggregate(transform(split(text, ""), c => ascii(c)), 7L,
+  *   (acc, c) => (acc*31 + c) % 2147483647)` (equivalence pinned in
+  * ScaleOpsSpec), but the HOF chain materializes a per-CHARACTER string
+  * array and folds it through interpreted lambda eval; this expression
+  * is one codegen'd code-point walk. `split(text, "")` yields [''] for
+  * the empty string (ascii 0 → one fold step), mirrored here; a NULL
+  * text is NULL like any null-intolerant expression.
+  */
+case class PolyRollingHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any =
+    PolyRollingHash.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftnative.PolyRollingHash.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyRollingHash {
+  private final val Mod = 2147483647L
+
+  def compute(text: UTF8String): Long = {
+    val s = text.toString
+    if (s.isEmpty) return (7L * 31L) % Mod // split('','') = [''], ascii('') = 0
+    var h = 7L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
 object TextExpressions {
   /** Column-level API: native word k-shingles of a text column (see
     * [[WordShingles]]).
     */
   def word_shingles(text: Column, k: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), k))
+
+  /** Column-level API: native polynomial rolling hash (see
+    * [[PolyRollingHash]]).
+    */
+  def rolling_hash(text: Column): Column =
+    ExpressionUtils.column(PolyRollingHash(ExpressionUtils.expression(text)))
 }

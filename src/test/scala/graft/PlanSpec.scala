@@ -158,7 +158,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("IVF codebook expansion is broadcast; no cartesian against the corpus") {
-    Seq("ann_ivf_topk", "ann_ivf_trained_topk").foreach { name =>
+    // semantic_dedup shares the codebook-expansion shape: its cluster
+    // assignment must also be a broadcast of the K-row codebook, never a
+    // corpus-side cartesian
+    Seq("ann_ivf_topk", "ann_ivf_trained_topk", "semantic_dedup").foreach { name =>
       val p = physical(Queries.all(name).fn(spark, sf0001))
       // the K-row codebook joins the corpus via an explicit
       // broadcast(cents) cross — physical BroadcastNestedLoopJoin with

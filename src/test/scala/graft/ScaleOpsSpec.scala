@@ -87,6 +87,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r == 0, "null-text semantics differ")
   }
 
+  test("native rollingHashNative ≡ HOF rollingHash, including empty and unicode") {
+    val texts = Seq("", "a", "hello world", "héllo wörld", "a  b",
+      "the quick brown fox jumps over the lazy dog", "é世界")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val bad = df.select(
+      graft.operators.ScaleOps.rollingHash(col("text")).as("hof"),
+      graft.operators.ScaleOps.rollingHashNative(col("text")).as("native"))
+      .filter(not(col("hof") <=> col("native"))).count()
+    assert(bad == 0, "native rolling hash differs from HOF fold")
+    // null text → null on both
+    val nulls = Seq((1L, Option.empty[String])).toDF("id", "text").select(
+      graft.operators.ScaleOps.rollingHash(col("text")).as("hof"),
+      graft.operators.ScaleOps.rollingHashNative(col("text")).as("native")).head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1), "null semantics differ")
+  }
+
   test("decontaminate: distinct shared k-grams per doc; short docs clean") {
     val bench = Seq((100L, "a b c d")).toDF("doc_id", "text") // shingles: "a b c","b c d"
     val train = Seq(

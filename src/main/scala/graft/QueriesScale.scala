@@ -294,12 +294,16 @@ object QueriesScale {
     * partitioned hash join on doc_id, which is the 100 TB-correct plan
     * regardless of what the local stats say.
     */
-  private def dedupPipelineFrom(corpus: DataFrame, sig: DataFrame): DataFrame = {
+  /** Candidates → exact-jaccard verify: the (id1, id2) pairs whose true
+    * shingle-set jaccard clears the threshold. Shared by the keep-min
+    * pipelines and the connected-components clustering below.
+    */
+  private def verifiedPairs(corpus: DataFrame, sig: DataFrame): DataFrame = {
     val cands = minhashPairsFromBuckets(minhashBandBuckets(sig))
       .select("id1", "id2")
     val sets = corpus.select(col("doc_id"),
       array_distinct(ScaleOps.textShingles(col("text"))).as("sh"))
-    val verified = cands
+    cands
       .hint("shuffle_hash")
       .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
       .hint("shuffle_hash")
@@ -308,6 +312,11 @@ object QueriesScale {
       .withColumn("jaccard", col("n_inter").cast(DoubleType) /
         (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast(DoubleType))
       .filter(col("jaccard") >= dedupJaccardThreshold)
+      .select("id1", "id2")
+  }
+
+  private def dedupPipelineFrom(corpus: DataFrame, sig: DataFrame): DataFrame = {
+    val verified = verifiedPairs(corpus, sig)
     val removed = verified.select(col("id2").as("doc_id")).distinct()
     // Survivor selection is a LEFT OUTER join + null filter rather than
     // the equivalent left_anti, deliberately: Catalyst's semi/anti-
@@ -379,6 +388,63 @@ object QueriesScale {
         ScaleOps.minhashSignatureTableXx(corpus, "doc_id", "text", k = 8))
     },
     None)
+
+  // ------------------- cluster-representative dedup (connected components)
+  // The third dedup semantics (alongside per-pair keep-min and exact):
+  // verified near-dup pairs are clustered into connected components via
+  // alternating large-star/small-star contraction
+  // (ScaleOps.connectedComponents), and each doc maps to its component's
+  // minimum id. Differs from keep-min exactly where a non-minimum doc has
+  // only LARGER verified neighbors — e.g. edges (1,3),(2,3): keep-min
+  // keeps {1,2}, CC keeps {1} — so CC survivors ⊆ keep-min survivors
+  // (every keep-min-removed doc has a smaller neighbor, hence is not its
+  // component min; pinned on the fixture corpus in ScaleOpsSpec). Output
+  // is the full (doc_id, rep_id, kept) clustering, not just survivors:
+  // rep_id is what a training pipeline shards by to co-locate near-dups.
+  //
+  // 100 TB shape: candidate generation and verification are the shared
+  // linear/capped pipeline above; clustering then runs on the verified
+  // PAIRS only (≪ corpus), each round two groupBy-min + join passes on
+  // (long, long) edges, O(log d) rounds. The oracle mirrors the
+  // clustering with a DuckDB recursive transitive-closure CTE — feasible
+  // because sf-test components are small; the Spark side never
+  // materializes a closure.
+  private val dedupCcQ = Q(
+    (s, dir) => {
+      val corpus = dupedDocs(s, dir)
+      val verified = verifiedPairs(corpus,
+        ScaleOps.minhashSignatureTable(corpus, "doc_id", "text", k = 8))
+      val reps = ScaleOps.connectedComponents(verified, "id1", "id2")
+      corpus
+        .join(reps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("doc_id")).as("rep_id"),
+          (coalesce(col("rep"), col("doc_id")) === col("doc_id"))
+            .cast(IntegerType).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         | cand AS (SELECT DISTINCT id1, id2 FROM pairs),
+         | sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+         | verified AS (SELECT id1, id2 FROM (
+         |   SELECT cand.id1, cand.id2,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+         |   FROM cand JOIN sets a ON cand.id1 = a.doc_id JOIN sets b ON cand.id2 = b.doc_id)
+         |  WHERE jaccard >= $dedupJaccardThreshold),
+         | edges AS (SELECT id1 AS a, id2 AS b FROM verified
+         |           UNION SELECT id2, id1 FROM verified),
+         | reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         | rep AS (SELECT a AS doc_id, least(a, min(b)) AS rep_id
+         |         FROM reach GROUP BY a)
+         | SELECT c.doc_id,
+         |  coalesce(r.rep_id, c.doc_id) AS rep_id,
+         |  CAST(coalesce(r.rep_id, c.doc_id) = c.doc_id AS INT) AS kept
+         | FROM corpus c LEFT JOIN rep r USING (doc_id)
+         | ORDER BY c.doc_id""".stripMargin))
 
   // ------------------------------------------------- n-gram set jaccard
   // Exact token-set jaccard for all pairs within a source group —
@@ -1234,6 +1300,7 @@ object QueriesScale {
     "minhash_dedup" -> minhashLshQ,
     "minhash_dedup_prod" -> minhashProdQ,
     "dedup_pipeline" -> dedupPipelineQ,
+    "dedup_cc" -> dedupCcQ,
     "dedup_pipeline_prod" -> dedupPipelineProdQ,
     "pii_scrub" -> piiScrubQ,
     "quality_filter" -> qualityFilterQ,

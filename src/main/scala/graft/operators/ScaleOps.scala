@@ -632,4 +632,92 @@ object ScaleOps {
       }
     }
 
+  // ------------------------------------------------------------------
+  // Connected components (alternating large-star / small-star)
+  // ------------------------------------------------------------------
+
+  /** Connected components over an undirected edge list, returning the
+    * (node, rep) mapping where rep = the component's minimum node id.
+    * Nodes that appear in no edge are absent from the output (they are
+    * their own singleton representative).
+    *
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — each round is two groupBy-min + equi-join passes over
+    * COMPACT (long, long) pairs, and the edge set converges to a star
+    * forest in O(log d) rounds for diameter-d components, so a
+    * pathological million-doc near-dup chain still finishes in ~20
+    * rounds. This is the 100 TB-correct shape for clustering dedup
+    * pairs: no component is ever collected to the driver, no task ever
+    * sees more than one neighborhood group, and each iteration's
+    * shuffle volume is bounded by the (shrinking) edge count.
+    *
+    * Per-iteration driver-side work is one action computing
+    * (count, sum(xxhash64(u, v))) as a convergence checksum; the edge
+    * set is `localCheckpoint`ed each round to truncate lineage (an
+    * iterative plan would otherwise re-execute every prior round — and
+    * the upstream candidate-generation pipeline — per action).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxIter: Int = 25): DataFrame = {
+    def canonical(e: DataFrame): DataFrame =
+      e.select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+    // large-star: for each node u, every strictly-larger neighbor v is
+    // re-pointed at m = min(N(u) ∪ {u}); covers every edge because the
+    // adjacency view lists each edge under both endpoints.
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      canonical(adj.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v")))
+    }
+
+    // small-star: group edges by their LARGER endpoint u; every smaller
+    // neighbor (and u itself) is re-pointed at m = min of the group.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e // already canonical: u < v, so group by v
+      val mins = dir.groupBy("v").agg(min(col("u")).as("m"))
+      val selfEdges = mins.select(col("m").as("u"), col("v"))
+      val reEdges = dir.join(mins, "v").filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+      canonical(selfEdges.unionAll(reEdges))
+    }
+
+    // (count, xor-of-hashes): set-equality fingerprint that is order-
+    // independent and cannot overflow (sum would, and ANSI mode throws).
+    // Valid because the edge set is distinct; collision odds ~2^-64, and
+    // a false "converged" at worst stops one round early on a set the
+    // stars were still reshaping — caught by the result being non-star
+    // only with that same negligible probability.
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var e = canonical(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v")))
+      .localCheckpoint(true)
+    var sum = checksum(e)
+    var it = 0
+    var converged = e.isEmpty
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSum = checksum(next)
+      converged = nextSum == sum // star forest ⇔ both stars are no-ops
+      e = next
+      sum = nextSum
+      it += 1
+    }
+    if (!converged && it == maxIter)
+      throw new IllegalStateException(
+        s"connectedComponents: no convergence after $maxIter rounds")
+    e.select(col("v").as("node"), col("u").as("rep"))
+  }
+
 }

@@ -132,6 +132,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_cc: final clustering join over a checkpointed star forest, no cartesian") {
+    // the iterative large-star/small-star rounds have already run (and
+    // localCheckpoint truncated their lineage) by the time the query's
+    // DataFrame exists — the final plan must be corpus ⟕ (node, rep)
+    // with nothing quadratic and the single user-facing ORDER BY
+    val p = physical(Queries.all("dedup_cc").fn(spark, sf0001))
+    val cart = collectAll(p) { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, "dedup_cc has a cartesian product")
+    val bnl = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.isEmpty, "dedup_cc has a nested-loop join")
+    // the heavy signature/verify pipeline is fully materialized behind the
+    // checkpoint: the remaining plan holds exactly the one clustering join
+    val joins = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size == 1, s"dedup_cc: expected 1 join after checkpoint, got ${joins.size}")
+    val globalSorts = collectAll(p) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.size == 1, s"dedup_cc: ${globalSorts.size} global sorts")
+  }
+
   test("pack_sequences: one hash exchange (the packing streams) + output sort only") {
     val p = physical(Queries.all("pack_sequences").fn(spark, sf0001))
     val ex = collectAll(p) { case e: Exchange => e }

@@ -514,6 +514,59 @@ class ScaleOpsSpec extends SparkSpec {
     assert(md5Surv.size < Queries.all("dedup_exact").fn(spark, sf0001).count() * 2)
   }
 
+  test("connectedComponents: chains, stars, multiple components, empty input") {
+    // chain 1-2-3-4-5 (diameter 4 forces >1 contraction round),
+    // pair 10-11, triangle-ish 20-21, 21-22, and duplicate/reversed edges
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (11L, 10L), (20L, 21L), (21L, 22L), (20L, 21L)).toDF("src", "dst")
+    val got = ScaleOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      11L -> 10L, 21L -> 20L, 22L -> 20L))
+    // representatives and isolated nodes are absent (they map to self)
+    assert(!got.contains(1L) && !got.contains(10L) && !got.contains(20L))
+    val empty = ScaleOps.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(empty.isEmpty)
+    assert(empty.columns.toSeq == Seq("node", "rep"))
+  }
+
+  test("dedup_cc vs keep-min: star graph is the separating case") {
+    // edges (1,3),(2,3): keep-min removes only 3 (1 and 2 have no smaller
+    // neighbor), CC puts all three in one component with rep 1 — the
+    // documented semantic difference between the two dedup rules
+    val reps = ScaleOps.connectedComponents(
+      Seq((1L, 3L), (2L, 3L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(reps == Map(2L -> 1L, 3L -> 1L))
+    // keep-min on the same pairs: removed = {id2 per pair} = {3}
+    val keepMinRemoved = Seq((1L, 3L), (2L, 3L)).toDF("id1", "id2")
+      .select(col("id2")).distinct().as[Long].collect().toSet
+    assert(keepMinRemoved == Set(3L))
+    // CC-removed {2, 3} is a strict superset of keep-min-removed {3}
+    assert(reps.keySet.map(identity) == Set(2L, 3L))
+  }
+
+  test("dedup_cc on the fixture corpus: survivors subset of keep-min, copies clustered to originals") {
+    val cc = Queries.all("dedup_cc").fn(spark, sf0001)
+      .select("doc_id", "rep_id", "kept").as[(Long, Long, Int)].collect()
+    val ccSurv = cc.collect { case (id, _, 1) => id }.toSet
+    val keepMinSurv = Queries.all("dedup_pipeline").fn(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    // every keep-min-removed doc has a smaller verified neighbor, hence is
+    // not its component minimum — so CC can only remove MORE
+    assert(ccSurv.subsetOf(keepMinSurv),
+      s"CC kept docs keep-min removed: ${(ccSurv -- keepMinSurv).take(5)}")
+    // a shifted copy never represents its cluster: its original (id
+    // - 100000) is always a smaller member of the same component
+    cc.foreach { case (id, rep, _) =>
+      if (id >= 100000L) assert(rep < 100000L || rep == id,
+        s"copy $id represented by copy $rep") }
+    // kept is exactly the self-representative predicate
+    cc.foreach { case (id, rep, kept) =>
+      assert((kept == 1) == (rep == id), s"kept/rep mismatch for $id") }
+  }
+
   test("bucket skew stats surface cap behavior on the live minhash/simhash bucket frames") {
     val mh = QueriesScale.minhashBucketStats(spark, sf0001).head
     assert(mh.getAs[Long]("n_buckets") > 0)

@@ -110,6 +110,48 @@ object QueriesScale {
         |  (1.0 - stopword_ratio) * 0.3 + distinct_ratio * 0.3 AS quality_score
         | FROM r ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------- repetition signals (Gopher)
+  // Within-document n-gram repetition coverages/fractions — see
+  // ScaleOps.withRepetitionStats. The oracle rebuilds the same statistics
+  // the explicit way (unnest n-grams, group, max/sum of count·charlen);
+  // coverages are exact integers and each fraction is one double division
+  // of two exact ints, so the compare is bitwise.
+  private val repetitionQ = Q(
+    (s, dir) => ScaleOps.withRepetitionStats(Tables.documents(s, dir))
+      .select(col("doc_id"), col("top2_cover"), col("top3_cover"),
+        col("dup5_cover"), col("top2_frac"), col("top3_frac"),
+        col("dup5_frac"))
+      .orderBy(col("doc_id")),
+    Some(
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        | g2 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+        |   for i in generate_series(1, len(toks)-1)]) AS g FROM t),
+        | g3 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+        |   for i in generate_series(1, len(toks)-2)]) AS g FROM t),
+        | g5 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+4], ' ')
+        |   for i in generate_series(1, len(toks)-4)]) AS g FROM t),
+        | c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+        | c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+        | c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g),
+        | t2 AS (SELECT doc_id, max(c * len(g)) AS cover FROM c2 GROUP BY doc_id),
+        | t3 AS (SELECT doc_id, max(c * len(g)) AS cover FROM c3 GROUP BY doc_id),
+        | d5 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END) AS cover
+        |        FROM c5 GROUP BY doc_id)
+        | SELECT d.doc_id,
+        |  CAST(coalesce(t2.cover, 0) AS BIGINT) AS top2_cover,
+        |  CAST(coalesce(t3.cover, 0) AS BIGINT) AS top3_cover,
+        |  CAST(coalesce(d5.cover, 0) AS BIGINT) AS dup5_cover,
+        |  CASE WHEN len(d.text) = 0 THEN 0.0 ELSE least(1.0,
+        |   CAST(coalesce(t2.cover, 0) AS DOUBLE) / CAST(len(d.text) AS DOUBLE)) END AS top2_frac,
+        |  CASE WHEN len(d.text) = 0 THEN 0.0 ELSE least(1.0,
+        |   CAST(coalesce(t3.cover, 0) AS DOUBLE) / CAST(len(d.text) AS DOUBLE)) END AS top3_frac,
+        |  CASE WHEN len(d.text) = 0 THEN 0.0 ELSE least(1.0,
+        |   CAST(coalesce(d5.cover, 0) AS DOUBLE) / CAST(len(d.text) AS DOUBLE)) END AS dup5_frac
+        | FROM documents d
+        | LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        | LEFT JOIN d5 USING (doc_id)
+        | ORDER BY d.doc_id""".stripMargin))
+
   // ------------------------------------------------------- language ID
   private val langIdQ = Q(
     (s, dir) => {
@@ -1295,6 +1337,7 @@ object QueriesScale {
     "ann_ivf_trained_topk" -> annIvfTrainedQ,
     "dedup_exact" -> dedupExactQ,
     "text_stats" -> textStatsQ,
+    "repetition_stats" -> repetitionQ,
     "lang_id" -> langIdQ,
     "doc_fingerprint" -> fingerprintQ,
     "minhash_dedup" -> minhashLshQ,

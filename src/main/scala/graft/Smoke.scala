@@ -30,6 +30,10 @@ object Smoke {
     val rhSql = spark.sql("SELECT rolling_hash('') AS h").head.getLong(0)
     println(s"[smoke] sql rolling_hash('')=$rhSql")
     assert(rhSql == 217L, "rolling_hash not registered or empty-string semantics off")
+    val repSql = spark.sql(
+      "SELECT ngram_repetition('a b a b a', 2, 3, 5).top_a_cover AS c").head.getLong(0)
+    println(s"[smoke] sql ngram_repetition top2=$repSql")
+    assert(repSql == 6L, "ngram_repetition not registered or coverage off")
     val df = SparkEntry.entry(spark)
     val n = df.count()
     println(s"[smoke] entry rows=$n cols=${df.columns.length}")

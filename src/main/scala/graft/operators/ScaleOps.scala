@@ -355,6 +355,38 @@ object ScaleOps {
           col("distinct_ratio") * lit(0.3))
   }
 
+  /** Gopher-rule repetition signals (Rae et al. 2021 §A1.1) — the
+    * within-document quality axis text_stats does not cover: heavily
+    * repetitive machine-generated or boilerplate text has high coverage
+    * by one n-gram (`top{2,3}_frac`: fraction of characters in the
+    * most-covering word n-gram) or by duplicated n-grams (`dup5_frac`:
+    * fraction of characters inside word 5-grams that occur ≥ 2×).
+    *
+    * Per-row, zero shuffle: the counting runs inside the codegen'd
+    * [[org.apache.spark.sql.graftnative.NgramRepetitionStats]] native
+    * expression (one token scan + one hash count per n — a per-document
+    * statistic must NOT shuffle every n-gram of the corpus, and the HOF
+    * alternative is interpreted). Coverages stay exact integers; the one
+    * double division per fraction is bit-identical across engines.
+    * Fractions are capped at 1.0 (overlapping grams can cover more
+    * characters than the text has).
+    */
+  def withRepetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val n = length(col(textCol))
+    def frac(cover: Column): Column =
+      when(n === 0, lit(0.0))
+        .otherwise(least(lit(1.0), cover.cast(DoubleType) / n.cast(DoubleType)))
+    df.withColumn("_rep",
+        org.apache.spark.sql.graftnative.TextExpressions.ngram_repetition(col(textCol)))
+      .withColumn("top2_cover", col("_rep.top_a_cover"))
+      .withColumn("top3_cover", col("_rep.top_b_cover"))
+      .withColumn("dup5_cover", col("_rep.dup_cover"))
+      .withColumn("top2_frac", frac(col("top2_cover")))
+      .withColumn("top3_frac", frac(col("top3_cover")))
+      .withColumn("dup5_frac", frac(col("dup5_cover")))
+      .drop("_rep")
+  }
+
   /** Benchmark decontamination — flag training documents that share word
     * k-grams with a held-out evaluation/benchmark set, the standard
     * train/test-overlap hygiene pass of an LLM data pipeline (13-grams in

@@ -46,5 +46,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"rolling_hash expects exactly 1 argument, got ${children.length}")
         PolyRollingHash(children(0))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_repetition"),
+      new ExpressionInfo(classOf[NgramRepetitionStats].getName, "ngram_repetition"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          s"ngram_repetition expects (text, nTopA, nTopB, nDup), got ${children.length} arguments")
+        val Seq(a, b, d) = children.drop(1).map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"ngram_repetition sizes must be integer literals, got $other")
+        }
+        NgramRepetitionStats(children.head, a, b, d)
+      }))
   }
 }

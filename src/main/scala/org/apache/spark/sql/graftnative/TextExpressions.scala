@@ -147,6 +147,108 @@ object PolyRollingHash {
   }
 }
 
+/** Native within-document n-gram repetition coverages — the Gopher-rule
+  * repetition signals (Rae et al. 2021 §A1.1: "fraction of characters in
+  * the most frequent word n-gram" / "... in duplicated word n-grams")
+  * as one codegen'd pass per document. Returns
+  * `struct(top2_cover, top3_cover, dup5_cover)` — INTEGER character
+  * coverages (count × character-length of the gram), left as exact longs
+  * so the caller performs the single fraction division (one double op on
+  * two exact ints is bit-identical in any engine; see the Queries.scala
+  * determinism recipe):
+  *
+  *  - `top{n}_cover` = max over distinct word-n-grams of
+  *    count(g) · charlen(g) — the "most covering" n-gram. The max of
+  *    products needs no tie-break (ties agree on the value).
+  *  - `dup{n}_cover` = Σ over distinct n-grams with count ≥ 2 of
+  *    count(g) · charlen(g).
+  *
+  * Tokenization is the single-space split shared by every text operator
+  * (WordShingles semantics); a doc with fewer than n tokens contributes
+  * coverage 0. NULL text yields the zero struct. The equivalent
+  * explode+groupBy formulation is pinned as the executable spec in
+  * ScaleOpsSpec; this expression exists because the per-row alternative
+  * is a CodegenFallback HOF chain and the aggregate alternative shuffles
+  * every n-gram of the corpus for a per-document statistic.
+  */
+case class NgramRepetitionStats(child: Expression, nTopA: Int, nTopB: Int,
+    nDup: Int) extends UnaryExpression with ExpectsInputTypes {
+  require(nTopA >= 1 && nTopB >= 1 && nDup >= 1, "n-gram sizes must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = NgramRepetitionStats.schema
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) NgramRepetitionStats.zero
+    else NgramRepetitionStats.compute(v.asInstanceOf[UTF8String], nTopA, nTopB, nDup)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val cls = "org.apache.spark.sql.graftnative.NgramRepetitionStats"
+    val code =
+      code"""
+        |${childGen.code}
+        |org.apache.spark.sql.catalyst.InternalRow ${ev.value} = ${childGen.isNull}
+        |  ? $cls.zero()
+        |  : $cls.compute(${childGen.value}, $nTopA, $nTopB, $nDup);
+       """.stripMargin
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramRepetitionStats {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  val schema: StructType = StructType(Seq(
+    StructField("top_a_cover", LongType, nullable = false),
+    StructField("top_b_cover", LongType, nullable = false),
+    StructField("dup_cover", LongType, nullable = false)))
+
+  private val ZERO: InternalRow =
+    new GenericInternalRow(Array[Any](0L, 0L, 0L))
+
+  def zero(): InternalRow = ZERO
+
+  /** Max-coverage of any single n-gram (`dup = false`) or total coverage
+    * of duplicated n-grams (`dup = true`), as count·charlen longs.
+    */
+  private def coverage(grams: ArrayData, dup: Boolean): Long = {
+    val n = grams.numElements()
+    if (n == 0) return 0L
+    val counts = new java.util.HashMap[UTF8String, Array[Long]](n * 2)
+    var i = 0
+    while (i < n) {
+      val g = grams.getUTF8String(i)
+      val slot = counts.get(g)
+      if (slot == null) counts.put(g, Array(1L, g.numChars().toLong))
+      else slot(0) += 1L
+      i += 1
+    }
+    var acc = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      val cover = s(0) * s(1)
+      if (dup) { if (s(0) >= 2L) acc += cover }
+      else if (cover > acc) acc = cover
+    }
+    acc
+  }
+
+  def compute(text: UTF8String, nTopA: Int, nTopB: Int, nDup: Int): InternalRow =
+    new GenericInternalRow(Array[Any](
+      coverage(WordShingles.compute(text, nTopA), dup = false),
+      coverage(WordShingles.compute(text, nTopB), dup = false),
+      coverage(WordShingles.compute(text, nDup), dup = true)))
+}
+
 object TextExpressions {
   /** Column-level API: native word k-shingles of a text column (see
     * [[WordShingles]]).
@@ -159,4 +261,12 @@ object TextExpressions {
     */
   def rolling_hash(text: Column): Column =
     ExpressionUtils.column(PolyRollingHash(ExpressionUtils.expression(text)))
+
+  /** Column-level API: native n-gram repetition coverages (see
+    * [[NgramRepetitionStats]]).
+    */
+  def ngram_repetition(text: Column, nTopA: Int = 2, nTopB: Int = 3,
+      nDup: Int = 5): Column =
+    ExpressionUtils.column(
+      NgramRepetitionStats(ExpressionUtils.expression(text), nTopA, nTopB, nDup))
 }

@@ -80,8 +80,9 @@ class PlanSpec extends SparkSpec {
     // their plans must be the range partitioning of the output ORDER BY —
     // a hash exchange would mean an accidental aggregation/join slipped in
     val perRow = Seq("pii_scrub", "quality_filter", "text_normalize",
-      "text_stats", "lang_id", "doc_fingerprint", "embedding_quantize",
-      "dataset_split", "stratified_sample_hash", "multimodal_meta")
+      "text_stats", "repetition_stats", "lang_id", "doc_fingerprint",
+      "embedding_quantize", "dataset_split", "stratified_sample_hash",
+      "multimodal_meta")
     perRow.foreach { name =>
       val p = physical(Queries.all(name).fn(spark, sf0001))
       val ex = collectAll(p) { case e: Exchange => e }

@@ -87,6 +87,61 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r == 0, "null-text semantics differ")
   }
 
+  test("repetition stats: hand-computed coverages and caps") {
+    val df = Seq(
+      (1L, "a b a b a"),      // "a b"×2 → top2 6; "a b a"×2 → top3 10 (>len 9, frac caps); no dup 5-gram
+      (2L, "x x x x x x"),    // "x x"×5 → 15; "x x x x x"×2 → dup5 18; len 11 → both cap at 1.0
+      (3L, ""),               // no grams, len 0 → guarded zero fracs
+      (4L, "é é é"),          // unicode: charlen not bytelen — "é é"×2 → top2 6, len 5 → cap
+      (5L, "one two three"))  // all grams unique → dup5 0, top2 = 1·9 ("two three")
+      .toDF("doc_id", "text")
+    val r = graft.operators.ScaleOps.withRepetitionStats(df)
+      .select("doc_id", "top2_cover", "top3_cover", "dup5_cover",
+        "top2_frac", "top3_frac", "dup5_frac")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 6L && r(1L).getLong(2) == 10L && r(1L).getLong(3) == 0L)
+    assert(math.abs(r(1L).getDouble(4) - 6.0 / 9) < 1e-15)
+    assert(r(1L).getDouble(5) == 1.0 && r(1L).getDouble(6) == 0.0)
+    assert(r(2L).getLong(1) == 15L && r(2L).getLong(3) == 18L)
+    assert(r(2L).getDouble(4) == 1.0 && r(2L).getDouble(6) == 1.0)
+    assert(r(3L).getLong(1) == 0L && r(3L).getDouble(4) == 0.0 && r(3L).getDouble(6) == 0.0)
+    assert(r(4L).getLong(1) == 6L, s"unicode charlen: got ${r(4L).getLong(1)}")
+    assert(r(5L).getLong(1) == 9L && r(5L).getLong(3) == 0L)
+  }
+
+  test("native ngram_repetition ≡ explode+groupBy spec on edge shapes") {
+    // the aggregate formulation is the executable spec: explode n-grams,
+    // count per (doc, gram), max/sum of count·charlen — the native
+    // expression must agree on every doc including multi-space empty
+    // tokens, unicode, and gram-less short docs
+    val texts = Seq(
+      "a b a b a", "x x x x x x", "", " ", "a  b a  b", "one",
+      "héllo wörld héllo wörld héllo", "p q r s t u v w p q r s t u v w",
+      "the the the the the the the the the the")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def specCover(n: Int, dup: Boolean): Map[Long, Long] = {
+      val counts = df
+        .select(col("doc_id"), explode(ScaleOps.textShingles(col("text"), n)).as("g"))
+        .groupBy("doc_id", "g").count()
+      val agg = if (dup)
+        counts.filter(col("count") >= 2).groupBy("doc_id")
+          .agg(sum(col("count") * length(col("g")).cast("long")).as("cover"))
+      else counts.groupBy("doc_id")
+        .agg(max(col("count") * length(col("g")).cast("long")).as("cover"))
+      agg.as[(Long, Long)].collect().toMap.withDefaultValue(0L)
+    }
+    val spec2 = specCover(2, dup = false)
+    val spec3 = specCover(3, dup = false)
+    val spec5 = specCover(5, dup = true)
+    graft.operators.ScaleOps.withRepetitionStats(df)
+      .select("doc_id", "top2_cover", "top3_cover", "dup5_cover")
+      .as[(Long, Long, Long, Long)].collect().foreach { case (id, t2, t3, d5) =>
+        assert(t2 == spec2(id), s"doc $id top2: native $t2 vs spec ${spec2(id)}")
+        assert(t3 == spec3(id), s"doc $id top3: native $t3 vs spec ${spec3(id)}")
+        assert(d5 == spec5(id), s"doc $id dup5: native $d5 vs spec ${spec5(id)}")
+      }
+  }
+
   test("native rollingHashNative ≡ HOF rollingHash, including empty and unicode") {
     val texts = Seq("", "a", "hello world", "héllo wörld", "a  b",
       "the quick brown fox jumps over the lazy dog", "é世界")

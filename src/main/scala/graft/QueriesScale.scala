@@ -451,19 +451,27 @@ object QueriesScale {
   // clustering with a DuckDB recursive transitive-closure CTE — feasible
   // because sf-test components are small; the Spark side never
   // materializes a closure.
+  /** Verified pairs → star-forest clustering → (doc_id, rep_id, kept):
+    * the shared tail of both dedup_cc variants (md5 oracle family /
+    * xxhash64 production family).
+    */
+  private def dedupCcFrom(corpus: DataFrame, sig: DataFrame): DataFrame = {
+    val verified = verifiedPairs(corpus, sig)
+    val reps = ScaleOps.connectedComponents(verified, "id1", "id2")
+    corpus
+      .join(reps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("rep_id"),
+        (coalesce(col("rep"), col("doc_id")) === col("doc_id"))
+          .cast(IntegerType).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   private val dedupCcQ = Q(
     (s, dir) => {
       val corpus = dupedDocs(s, dir)
-      val verified = verifiedPairs(corpus,
+      dedupCcFrom(corpus,
         ScaleOps.minhashSignatureTable(corpus, "doc_id", "text", k = 8))
-      val reps = ScaleOps.connectedComponents(verified, "id1", "id2")
-      corpus
-        .join(reps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("rep"), col("doc_id")).as("rep_id"),
-          (coalesce(col("rep"), col("doc_id")) === col("doc_id"))
-            .cast(IntegerType).as("kept"))
-        .orderBy(col("doc_id"))
     },
     Some(
       s"""WITH RECURSIVE $minhashOracleCtes,
@@ -487,6 +495,20 @@ object QueriesScale {
          |  CAST(coalesce(r.rep_id, c.doc_id) = c.doc_id AS INT) AS kept
          | FROM corpus c LEFT JOIN rep r USING (doc_id)
          | ORDER BY c.doc_id""".stripMargin))
+
+  // ---------------- production CC dedup (xxhash64, ⊘) — same tail as
+  // dedup_cc minus the md5 oracle tax; clustering equivalence vs the md5
+  // form is pinned in ScaleOpsSpec (verification is hash-free exact
+  // jaccard, and the fixture corpus's exact copies share all bands in
+  // either hash family, so the verified edge sets — hence components —
+  // agree wherever candidate recall does).
+  private val dedupCcProdQ = Q(
+    (s, dir) => {
+      val corpus = dupedDocs(s, dir)
+      dedupCcFrom(corpus,
+        ScaleOps.minhashSignatureTableXx(corpus, "doc_id", "text", k = 8))
+    },
+    None)
 
   // ------------------------------------------------- n-gram set jaccard
   // Exact token-set jaccard for all pairs within a source group —
@@ -1344,6 +1366,7 @@ object QueriesScale {
     "minhash_dedup_prod" -> minhashProdQ,
     "dedup_pipeline" -> dedupPipelineQ,
     "dedup_cc" -> dedupCcQ,
+    "dedup_cc_prod" -> dedupCcProdQ,
     "dedup_pipeline_prod" -> dedupPipelineProdQ,
     "pii_scrub" -> piiScrubQ,
     "quality_filter" -> qualityFilterQ,

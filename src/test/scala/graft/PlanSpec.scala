@@ -138,23 +138,26 @@ class PlanSpec extends SparkSpec {
     // localCheckpoint truncated their lineage) by the time the query's
     // DataFrame exists — the final plan must be corpus ⟕ (node, rep)
     // with nothing quadratic and the single user-facing ORDER BY
-    val p = physical(Queries.all("dedup_cc").fn(spark, sf0001))
-    val cart = collectAll(p) { case c: CartesianProductExec => c }
-    assert(cart.isEmpty, "dedup_cc has a cartesian product")
-    val bnl = collectAll(p) {
-      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    Seq("dedup_cc", "dedup_cc_prod").foreach { name =>
+      val p = physical(Queries.all(name).fn(spark, sf0001))
+      val cart = collectAll(p) { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"$name has a cartesian product")
+      val bnl = collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      assert(bnl.isEmpty, s"$name has a nested-loop join")
+      // the heavy signature/verify pipeline is fully materialized behind
+      // the checkpoint: the remaining plan holds exactly the one
+      // clustering join
+      val joins = collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.size == 1, s"$name: expected 1 join after checkpoint, got ${joins.size}")
+      val globalSorts = collectAll(p) {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }
+      assert(globalSorts.size == 1, s"$name: ${globalSorts.size} global sorts")
     }
-    assert(bnl.isEmpty, "dedup_cc has a nested-loop join")
-    // the heavy signature/verify pipeline is fully materialized behind the
-    // checkpoint: the remaining plan holds exactly the one clustering join
-    val joins = collectAll(p) {
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
-    }
-    assert(joins.size == 1, s"dedup_cc: expected 1 join after checkpoint, got ${joins.size}")
-    val globalSorts = collectAll(p) {
-      case s: org.apache.spark.sql.execution.SortExec if s.global => s
-    }
-    assert(globalSorts.size == 1, s"dedup_cc: ${globalSorts.size} global sorts")
   }
 
   test("pack_sequences: one hash exchange (the packing streams) + output sort only") {

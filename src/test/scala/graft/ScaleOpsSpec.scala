@@ -622,6 +622,20 @@ class ScaleOpsSpec extends SparkSpec {
       assert((kept == 1) == (rep == id), s"kept/rep mismatch for $id") }
   }
 
+  test("dedup_cc_prod (xxhash64): clustering equals the md5 form's") {
+    // same argument as dedup_pipeline_prod: verification is hash-free
+    // exact jaccard, so the (doc_id, rep_id, kept) clustering can only
+    // differ where candidate recall differs — and exact +100000 copies
+    // share all bands in either family
+    val md5 = Queries.all("dedup_cc").fn(spark, sf0001)
+      .as[(Long, Long, Int)].collect().toSet
+    val xx = Queries.all("dedup_cc_prod").fn(spark, sf0001)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(md5 == xx,
+      s"clusterings differ: md5-only=${(md5 -- xx).take(5)} xx-only=${(xx -- md5).take(5)}")
+    assert(md5.exists(_._3 == 0), "clustering removed nothing (vacuous)")
+  }
+
   test("bucket skew stats surface cap behavior on the live minhash/simhash bucket frames") {
     val mh = QueriesScale.minhashBucketStats(spark, sf0001).head
     assert(mh.getAs[Long]("n_buckets") > 0)

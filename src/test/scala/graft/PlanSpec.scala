@@ -93,6 +93,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("fulltext_bm25: corpus scanned once for scoring, stats aside; no SMJ") {
+    val p = physical(Queries.all("fulltext_bm25").fn(spark, sf0001))
+    // exactly TWO scans of documents are allowed: the scoring pass and
+    // the one-row (N, avgdl) stats aggregate. A third means the df
+    // computation regressed to the groupBy + self-join form that
+    // re-executes the matched subtree (a full corpus pass at scale).
+    val scans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.toString.contains("documents") => s
+    }
+    assert(scans.size == 2, s"documents scanned ${scans.size}x (want 2)")
+    val plan = fmt(Queries.all("fulltext_bm25").fn(spark, sf0001))
+    assert(!plan.contains("SortMergeJoin"), "query-term joins must broadcast")
+    assert(!plan.contains("CartesianProduct"), "cartesian in bm25")
+  }
+
   test("minhash/simhash band joins are equi-joins (shuffle on compact keys)") {
     Seq("minhash_dedup", "minhash_dedup_prod", "simhash_neardup").foreach { name =>
       val plan = fmt(Queries.all(name).fn(spark, sf0001))

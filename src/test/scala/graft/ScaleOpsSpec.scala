@@ -738,4 +738,33 @@ class ScaleOpsSpec extends SparkSpec {
       .withColumn("h", ScaleOps.hamming(col("a"), col("b")))
     assert(df.select("h").head.getInt(0) == 8)
   }
+
+  test("bm25Search: ranking semantics on a crafted corpus") {
+    val docs = Seq(
+      (1L, "hash join hash join hash"), // both terms, high tf, short
+      (2L, "hash join over a long table with many other filler words here"),
+      (3L, "hash only appears once in this document"),
+      (4L, "nothing relevant at all in here"))
+      .toDF("doc_id", "text")
+    val qs = Seq((0L, Seq("hash", "join")), (1L, Seq("zzz_absent")))
+      .toDF("query_id", "terms")
+    val out = ScaleOps.bm25Search(docs, qs, "doc_id")
+      .orderBy("query_id", "rank")
+      .collect()
+    // absent-term query produces no rows at all
+    assert(out.forall(_.getLong(0) == 0L))
+    val ranked = out.map(r => (r.getLong(2), r.getLong(1), r.getLong(4)))
+    // doc 4 matches nothing; docs 1-3 all surface
+    assert(ranked.map(_._1).toSet == Set(1L, 2L, 3L))
+    val byDoc = ranked.map(t => t._1 -> t).toMap
+    // doc 1 (both terms, max tf, shortest) must outrank the others;
+    // doc 2 (both terms, diluted) outranks doc 3 (one term)
+    assert(byDoc(1L)._2 == 1L && byDoc(2L)._2 == 2L && byDoc(3L)._2 == 3L)
+    // n_matched counts distinct matched terms
+    assert(byDoc(1L)._3 == 2L && byDoc(3L)._3 == 1L)
+    // scores are positive and strictly decreasing down the ranking
+    val scores = out.map(_.getDouble(3))
+    assert(scores.forall(_ > 0) &&
+      scores.sliding(2).forall(p => p.length < 2 || p(0) > p(1)))
+  }
 }

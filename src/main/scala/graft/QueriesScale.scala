@@ -1406,7 +1406,39 @@ object QueriesScale {
            | WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
   }
 
+  // --------------------------------------- unigram LM quality scoring
+  // CCNet/Gopher-style LM filter: per-doc mean log-prob under the
+  // corpus' own unigram distribution. The freq table (the "model") is
+  // localCheckpoint-ed — it has three consumers in the scoring plan
+  // (total-mass row, broadcast head, shuffle tail) and would otherwise
+  // re-scan the corpus per consumer; at 100 TB it's a persisted table.
+  // Values are provably independent of the head/tail routing split
+  // (same (term,count) pairs either path), so the oracle is a plain
+  // token↔freq join with the identical quantized-ln expression.
+  private val unigramLogProbQ = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val freq = ScaleOps.unigramFreq(docs).localCheckpoint()
+      ScaleOps.withUnigramLogProb(docs, freq, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("sum_logprob"),
+          col("avg_logprob"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        | tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM freq),
+        | lp AS (SELECT doc_id,
+        |   floor(ln(CAST(cnt AS DOUBLE) / tot) * 1048576.0) / 1048576.0 AS lp
+        |  FROM toks JOIN freq USING (term) CROSS JOIN tot),
+        | agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |   SUM(lp) AS sum_logprob FROM lp GROUP BY 1)
+        | SELECT doc_id, n_tokens, sum_logprob,
+        |  sum_logprob / CAST(n_tokens AS DOUBLE) AS avg_logprob
+        | FROM agg ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "unigram_logprob" -> unigramLogProbQ,
     "fulltext_bm25" -> fulltextBm25Q,
     "semantic_dedup" -> semanticDedupQ,
     "pack_sequences" -> packSequencesQ,

@@ -511,6 +511,78 @@ object ScaleOps {
         col("n_matched"))
   }
 
+  /** Corpus unigram frequency table — (term, _cnt). One explode +
+    * two-phase agg, linear, shuffles compact term keys. This IS the
+    * "model" of the unigram LM filter: at 100 TB persist it (parquet,
+    * bucketed by term) and feed the materialized table to
+    * [[withUnigramLogProb]]; deriving it inline is fine for one-shot
+    * scoring but a plan that consumes it more than once would otherwise
+    * re-scan the corpus per consumer.
+    */
+  def unigramFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("_cnt"))
+
+  /** Unigram LM quality scoring (the CCNet/Gopher LM-filter stage): each
+    * document's mean log-probability under the corpus unigram
+    * distribution `freq` (see [[unigramFreq]] — pass it materialized).
+    * Low `avg_logprob` = rare-token-heavy text (noise, codes,
+    * boilerplate IDs); high = common-word prose — the standard cheap
+    * proxy for "looks like natural language" used to bucket training
+    * corpora before an expensive LM pass.
+    *
+    * Plan shape at 100 TB — the scoring join is on `term`, whose
+    * frequency distribution is Zipfian BY CONSTRUCTION (that is what
+    * the operator measures), so a plain equi-join would funnel every
+    * occurrence of the most common words into a few hot shuffle
+    * partitions. Split join instead:
+    *  - the `headSize` most frequent terms broadcast — by Zipf they
+    *    carry most of the token mass, so most tokens resolve map-side
+    *    with no shuffle at all;
+    *  - unresolved (rare) tokens join the remaining tail shuffle-hash.
+    *    Head-resolved rows ride through that exchange under a
+    *    doc-derived routing key (never matches a real term — real terms
+    *    are non-empty words; uniform because doc ids are) instead of
+    *    being re-filtered out of a second corpus pass, and the tail
+    *    keys are skew-free by construction (all rarer than the head).
+    * Routing only balances partitions — both paths produce the same
+    * (term, count) pairs, so values cannot depend on `headSize`.
+    *
+    * Per-token `ln P` is dyadically quantized before the per-doc sum
+    * (determinism recipe rule 3); `avg_logprob` divides the exact
+    * quantized sum by the doc's token count.
+    *
+    * Output: docs columns + `n_tokens`, `sum_logprob`, `avg_logprob`.
+    */
+  def withUnigramLogProb(docs: DataFrame, freq: DataFrame, idCol: String,
+      textCol: String = "text", headSize: Int = 1024): DataFrame = {
+    val tot = freq.agg(sum(col("_cnt")).cast(DoubleType).as("_tot"))
+    val headFreq = freq.orderBy(col("_cnt").desc, col("term")).limit(headSize)
+    val tailFreq = freq.join(broadcast(headFreq.select("term")
+        .withColumn("_h", lit(1))), Seq("term"), "left")
+      .filter(col("_h").isNull).drop("_h")
+      .select(col("term").as("_k"), col("_cnt").as("_ct"))
+    val routed = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(headFreq.withColumnRenamed("_cnt", "_ch")),
+        Seq("term"), "left")
+      .withColumn("_k", when(col("_ch").isNotNull,
+        concat(lit(" "), col(idCol).cast(StringType)))
+        .otherwise(col("term")))
+    val resolved = routed
+      .hint("shuffle_hash").join(tailFreq, Seq("_k"), "left")
+      .withColumn("_cnt", coalesce(col("_ch"), col("_ct")))
+    val lp = floor(log(col("_cnt").cast(DoubleType) / col("_tot"))
+      * lit(1048576.0)).cast(DoubleType) / lit(1048576.0)
+    val perDoc = resolved.crossJoin(broadcast(tot))
+      .withColumn("_lp", lp)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_lp")).as("sum_logprob"))
+      .withColumn("avg_logprob",
+        col("sum_logprob") / col("n_tokens").cast(DoubleType))
+    docs.join(perDoc, idCol)
+  }
+
   /** SemDeDup-style semantic deduplication: assign every embedding to its
     * nearest codebook centroid (spherical k-means clusters), generate
     * candidate pairs ONLY within a cluster, verify by exact cosine ≥

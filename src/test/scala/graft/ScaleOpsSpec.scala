@@ -767,4 +767,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(scores.forall(_ > 0) &&
       scores.sliding(2).forall(p => p.length < 2 || p(0) > p(1)))
   }
+
+  test("unigram logprob: hand-computed scores; values independent of headSize routing") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val freq = ScaleOps.unigramFreq(docs)
+    assert(freq.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    def score(headSize: Int) =
+      ScaleOps.withUnigramLogProb(docs, freq, "doc_id", headSize = headSize)
+        .select("doc_id", "n_tokens", "sum_logprob", "avg_logprob")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1)
+    def q(p: Double) = math.floor(math.log(p) * 1048576.0) / 1048576.0
+    val got = score(headSize = 1024) // everything head-resolved
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 3L), (2L, 2L)))
+    assert(got(0)._3 == 3 * q(2.0 / 5.0)) // a a b, each ln(2/5)
+    assert(got(1)._3 == q(2.0 / 5.0) + q(1.0 / 5.0)) // b c
+    assert(got(0)._4 == got(0)._3 / 3.0 && got(1)._4 == got(1)._3 / 2.0)
+    // the hot/cold join split is pure routing: all-tail (headSize=0) and
+    // a genuine split (headSize=1: "a" broadcast, b/c shuffled) agree bitwise
+    assert(score(headSize = 0).sameElements(got))
+    assert(score(headSize = 1).sameElements(got))
+  }
 }

@@ -149,6 +149,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("unigram_logprob: Zipf split-join — head broadcast, tail shuffle-hash, one-row total") {
+    val p = physical(Queries.all("unigram_logprob").fn(spark, sf0001))
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    // the rare-tail resolve is the ONLY shuffled join on a term-derived
+    // key, and it must be hash (hinted), never sort-merge: sorting the
+    // exploded token stream by term would be a corpus-sized sort
+    val shj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shj.size == 1, s"expected 1 shuffled-hash tail join, got ${shj.size}")
+    // head terms and the head-exclusion filter broadcast (Zipf head
+    // carries the token mass map-side, absorbing the term skew)
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"expected >=2 broadcast head joins, got ${bhj.size}")
+    // the corpus-mass denominator is a single-row broadcast — the one
+    // tolerated nested-loop — and nothing else nested-loops
+    val bnlj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.size == 1, s"expected exactly the one-row total BNLJ, got ${bnlj.size}")
+    // two corpus scans: tokenize+score, and the final score-attach join
+    // (the freq model is checkpointed, so it costs no documents scan here)
+    val scans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.toString.contains("documents") => s
+    }
+    assert(scans.size == 2, s"documents scanned ${scans.size}x (want 2)")
+  }
+
   test("dedup_cc: final clustering join over a checkpointed star forest, no cartesian") {
     // the iterative large-star/small-star rounds have already run (and
     // localCheckpoint truncated their lineage) by the time the query's

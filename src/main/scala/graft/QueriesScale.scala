@@ -1437,7 +1437,47 @@ object QueriesScale {
         |  sum_logprob / CAST(n_tokens AS DOUBLE) AS avg_logprob
         | FROM agg ORDER BY doc_id""".stripMargin))
 
+  // --------------------------------------- DSIR importance resampling
+  // Data selection for LM training (Xie et al. 2023): pick the k raw
+  // docs whose hashed-n-gram profile looks most like a target corpus
+  // (here: source src0 plays "the quality corpus"), sampled without
+  // replacement via deterministic hash-Gumbel noise. Fit is one corpus
+  // pass (both distributions from a single explode), scoring is a
+  // broadcast join against the ≤4096-row bucket weight table — the
+  // fixed-size feature space is what makes this a no-skew, no-shuffle
+  // scoring pass at any corpus size.
+  private val dsirSelectQ = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isTarget = col("source") === lit("src0")
+      val w = ScaleOps.dsirWeights(docs, isTarget)
+      ScaleOps.dsirSelect(docs, w, isTarget, k = 100)
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, source = 'src0' AS tgt, string_split(text, ' ') AS toks FROM documents),
+        | feats AS (SELECT doc_id, tgt,
+        |   unnest(toks || [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]) AS f
+        |  FROM t),
+        | fb AS (SELECT doc_id, tgt,
+        |   CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 4096 AS bucket FROM feats),
+        | bc AS (SELECT bucket, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+        |   SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr FROM fb GROUP BY 1),
+        | tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt, CAST(SUM(cr) AS DOUBLE) AS tr FROM bc),
+        | w AS (SELECT bucket,
+        |    floor(ln((CAST(ct AS DOUBLE) + 1.0) / (tt + 4096.0)) * 1048576.0) / 1048576.0
+        |  - floor(ln((CAST(cr AS DOUBLE) + 1.0) / (tr + 4096.0)) * 1048576.0) / 1048576.0 AS lw
+        |  FROM bc CROSS JOIN tot),
+        | sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat, SUM(lw) AS logw
+        |  FROM fb JOIN w USING (bucket) WHERE NOT tgt GROUP BY 1),
+        | g AS (SELECT doc_id, n_feat, logw,
+        |   floor(-ln(-ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+        |     / 1152921504606846978.0)) * 1048576.0) / 1048576.0 AS gumbel
+        |  FROM sc)
+        | SELECT doc_id, n_feat, logw, gumbel, logw + gumbel AS sel_score
+        | FROM g ORDER BY sel_score DESC, doc_id LIMIT 100""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "dsir_select" -> dsirSelectQ,
     "unigram_logprob" -> unigramLogProbQ,
     "fulltext_bm25" -> fulltextBm25Q,
     "semantic_dedup" -> semanticDedupQ,

@@ -583,6 +583,87 @@ object ScaleOps {
     docs.join(perDoc, idCol)
   }
 
+  // ------------------------------------------- DSIR importance resampling
+
+  /** Hashed n-gram features (unigrams + bigrams) of a text column — the
+    * DSIR feature map (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"). Bigrams of <2-token docs are the
+    * empty set, not null, so concat never annihilates the unigrams.
+    */
+  def hashedNgramFeats(text: Column): Column =
+    concat(tokens(text), coalesce(shingles(tokens(text), 2),
+      array().cast(ArrayType(StringType))))
+
+  /** md5-derived feature bucket in [0, nBuckets): the fixed hash both
+    * engines share (oracle-mirrorable like every md5 key in this repo;
+    * swap for xxhash64 in a production twin if profiles demand).
+    */
+  def featBucket(feat: Column, nBuckets: Int): Column =
+    conv(substring(md5(feat), 1, 15), 16, 10).cast(LongType) % nBuckets
+
+  /** DSIR bucket weight table: Laplace-smoothed log-likelihood ratio
+    * `ln p_target(b) − ln p_raw(b)` per hashed-n-gram bucket, fit from
+    * ONE corpus pass (target membership is a per-row predicate, so both
+    * distributions come out of a single explode + two-phase agg).
+    * Output is ≤ `nBuckets` rows — broadcastable by construction, which
+    * is the whole point of hashing an unbounded vocabulary into a fixed
+    * bucket space: the scoring join can never skew or shuffle the corpus.
+    * Each log is dyadically quantized (determinism rule 3); their
+    * difference is then exact in doubles.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      textCol: String = "text", nBuckets: Int = 4096): DataFrame = {
+    val qlog = (x: Column) =>
+      floor(log(x) * lit(1048576.0)).cast(DoubleType) / lit(1048576.0)
+    val counts = docs
+      .select(isTarget.as("_t"), explode(hashedNgramFeats(col(textCol))).as("_f"))
+      .groupBy(featBucket(col("_f"), nBuckets).as("bucket"))
+      .agg(sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"),
+        sum(when(col("_t"), 0L).otherwise(1L)).as("_cr"))
+    val tot = counts.agg(sum(col("_ct")).cast(DoubleType).as("_tt"),
+      sum(col("_cr")).cast(DoubleType).as("_tr"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (qlog((col("_ct").cast(DoubleType) + lit(1.0)) / (col("_tt") + lit(nBuckets.toDouble)))
+          - qlog((col("_cr").cast(DoubleType) + lit(1.0)) / (col("_tr") + lit(nBuckets.toDouble))))
+          .as("lw"))
+  }
+
+  /** DSIR scoring + Gumbel top-k selection over the non-target docs:
+    * per-doc importance weight `logw = Σ_features lw(bucket)` via a
+    * broadcast join against [[dsirWeights]] (inner is safe — the weight
+    * table was fit on a superset of the scored corpus, so every bucket
+    * a candidate hashes into exists), then sampling-without-replacement
+    * via the Gumbel top-k trick with the uniform drawn from md5(doc_id)
+    * — deterministic, content-stable, and append-stable like every
+    * sampler in this repo. Selection = orderBy + limit (TakeOrdered at
+    * scale: per-partition top-k then a k-row driver merge — no global
+    * sort or single-task window touches the corpus).
+    *
+    * Output: (idCol, n_feat, logw, gumbel, sel_score) × k rows.
+    */
+  def dsirSelect(docs: DataFrame, weights: DataFrame, isTarget: Column,
+      k: Int, idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 4096): DataFrame = {
+    val scored = docs.filter(!isTarget)
+      .select(col(idCol), explode(hashedNgramFeats(col(textCol))).as("_f"))
+      .withColumn("bucket", featBucket(col("_f"), nBuckets))
+      .join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feat"), sum(col("lw")).as("logw"))
+    // u in (0,1) from the top 60 bits of md5(id); 2^60 + 2 keeps both
+    // endpoints open. gumbel = −ln(−ln u), dyadically quantized; the
+    // final score is an exact sum of two dyadic rationals.
+    val u = (conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType).cast(DoubleType) + lit(1.0)) / lit(1152921504606846978.0)
+    scored
+      .withColumn("gumbel",
+        floor(-log(-log(u)) * lit(1048576.0)).cast(DoubleType) / lit(1048576.0))
+      .withColumn("sel_score", col("logw") + col("gumbel"))
+      .orderBy(col("sel_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** SemDeDup-style semantic deduplication: assign every embedding to its
     * nearest codebook centroid (spherical k-means clusters), generate
     * candidate pairs ONLY within a cluster, verify by exact cosine ≥

@@ -790,4 +790,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(score(headSize = 0).sameElements(got))
     assert(score(headSize = 1).sameElements(got))
   }
+
+  test("dsir: likelihood-ratio direction, target exclusion, bounded weights, deterministic") {
+    val target = (1L to 5L).map(i => (i, "tgt", "alpha beta alpha beta alpha beta alpha beta"))
+    val rawGood = (11L to 13L).map(i => (i, "raw", "alpha beta alpha beta alpha beta alpha beta"))
+    val rawBad = (21L to 23L).map(i => (i, "raw", "zeta eta zeta eta zeta eta zeta eta"))
+    val docs = (target ++ rawGood ++ rawBad).toDF("doc_id", "source", "text")
+    val isTgt = col("source") === "tgt"
+    val w = ScaleOps.dsirWeights(docs, isTgt)
+    // fixed feature space: the weight table can never exceed nBuckets rows
+    assert(w.count() <= 4096)
+    val rows = ScaleOps.dsirSelect(docs, w, isTgt, k = 6).collect()
+    assert(ScaleOps.dsirSelect(docs, w, isTgt, k = 6).collect().sameElements(rows),
+      "hash-Gumbel selection must be deterministic")
+    val byId = rows.map(r => r.getLong(0) -> r.getAs[Double]("logw")).toMap
+    // target docs are never candidates; at k=6 all six raws surface
+    assert(byId.keySet == Set(11L, 12L, 13L, 21L, 22L, 23L))
+    val good = Seq(11L, 12L, 13L).map(byId)
+    val bad = Seq(21L, 22L, 23L).map(byId)
+    // importance weights point the right way: target-like text scores
+    // above off-target text, with the smoothed LLR signs matching
+    // (shared vocabulary -> positive, target-absent vocabulary -> negative)
+    assert(good.min > bad.max, s"LLR direction wrong: good=$good bad=$bad")
+    assert(good.forall(_ > 0) && bad.forall(_ < 0), s"good=$good bad=$bad")
+  }
 }

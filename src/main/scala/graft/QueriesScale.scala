@@ -1476,8 +1476,22 @@ object QueriesScale {
         | SELECT doc_id, n_feat, logw, gumbel, logw + gumbel AS sel_score
         | FROM g ORDER BY sel_score DESC, doc_id LIMIT 100""".stripMargin))
 
+  // Production DSIR twin: same plan shape as dsir_select, xxhash64
+  // everywhere md5 appears (feature buckets + Gumbel uniform). No DuckDB
+  // oracle (xxhash64 has no DuckDB twin) — rows-only, with the LLR
+  // semantics pinned by the crafted-corpus test in ScaleOpsSpec.
+  private val dsirSelectProdQ = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isTarget = col("source") === lit("src0")
+      val w = ScaleOps.dsirWeightsXx(docs, isTarget)
+      ScaleOps.dsirSelectXx(docs, w, isTarget, k = 100)
+    },
+    None)
+
   val all: Map[String, Q] = Map(
     "dsir_select" -> dsirSelectQ,
+    "dsir_select_prod" -> dsirSelectProdQ,
     "unigram_logprob" -> unigramLogProbQ,
     "fulltext_bm25" -> fulltextBm25Q,
     "semantic_dedup" -> semanticDedupQ,

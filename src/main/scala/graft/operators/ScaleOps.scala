@@ -587,19 +587,29 @@ object ScaleOps {
 
   /** Hashed n-gram features (unigrams + bigrams) of a text column — the
     * DSIR feature map (Xie et al. 2023, "Data Selection for Language
-    * Models via Importance Resampling"). Bigrams of <2-token docs are the
-    * empty set, not null, so concat never annihilates the unigrams.
+    * Models via Importance Resampling"). Built from the native shingle
+    * expression at both sizes (k=1 tokens, k=2 bigrams) so the exploded
+    * feature stream — the operator's hot path — stays in whole-stage
+    * codegen; the HOF `shingles(tokens(t), 2)` form evaluates interpreted
+    * (CodegenFallback) and is equivalence-pinned against this in
+    * ScaleOpsSpec. Short/null docs yield empty bigram arrays, never null,
+    * so concat cannot annihilate the unigrams.
     */
   def hashedNgramFeats(text: Column): Column =
-    concat(tokens(text), coalesce(shingles(tokens(text), 2),
-      array().cast(ArrayType(StringType))))
+    concat(textShingles(text, 1), textShingles(text, 2))
 
   /** md5-derived feature bucket in [0, nBuckets): the fixed hash both
-    * engines share (oracle-mirrorable like every md5 key in this repo;
-    * swap for xxhash64 in a production twin if profiles demand).
+    * engines share (oracle-mirrorable like every md5 key in this repo);
+    * [[featBucketXx]] is the production twin on xxhash64.
     */
   def featBucket(feat: Column, nBuckets: Int): Column =
     conv(substring(md5(feat), 1, 15), 16, 10).cast(LongType) % nBuckets
+
+  /** Production feature bucket: one 8-byte xxhash64 pass instead of
+    * md5 + hex decode (the usual ~2x oracle tax of the md5 keys).
+    */
+  def featBucketXx(feat: Column, nBuckets: Int): Column =
+    pmod(xxhash64(feat), lit(nBuckets.toLong))
 
   /** DSIR bucket weight table: Laplace-smoothed log-likelihood ratio
     * `ln p_target(b) − ln p_raw(b)` per hashed-n-gram bucket, fit from
@@ -612,12 +622,21 @@ object ScaleOps {
     * difference is then exact in doubles.
     */
   def dsirWeights(docs: DataFrame, isTarget: Column,
-      textCol: String = "text", nBuckets: Int = 4096): DataFrame = {
+      textCol: String = "text", nBuckets: Int = 4096): DataFrame =
+    dsirWeightsImpl(docs, isTarget, textCol, nBuckets, featBucket(_, nBuckets))
+
+  /** Production twin of [[dsirWeights]] on xxhash64 buckets. */
+  def dsirWeightsXx(docs: DataFrame, isTarget: Column,
+      textCol: String = "text", nBuckets: Int = 4096): DataFrame =
+    dsirWeightsImpl(docs, isTarget, textCol, nBuckets, featBucketXx(_, nBuckets))
+
+  private def dsirWeightsImpl(docs: DataFrame, isTarget: Column,
+      textCol: String, nBuckets: Int, bucket: Column => Column): DataFrame = {
     val qlog = (x: Column) =>
       floor(log(x) * lit(1048576.0)).cast(DoubleType) / lit(1048576.0)
     val counts = docs
       .select(isTarget.as("_t"), explode(hashedNgramFeats(col(textCol))).as("_f"))
-      .groupBy(featBucket(col("_f"), nBuckets).as("bucket"))
+      .groupBy(bucket(col("_f")).as("bucket"))
       .agg(sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"),
         sum(when(col("_t"), 0L).otherwise(1L)).as("_cr"))
     val tot = counts.agg(sum(col("_ct")).cast(DoubleType).as("_tt"),
@@ -645,17 +664,38 @@ object ScaleOps {
   def dsirSelect(docs: DataFrame, weights: DataFrame, isTarget: Column,
       k: Int, idCol: String = "doc_id", textCol: String = "text",
       nBuckets: Int = 4096): DataFrame = {
-    val scored = docs.filter(!isTarget)
-      .select(col(idCol), explode(hashedNgramFeats(col(textCol))).as("_f"))
-      .withColumn("bucket", featBucket(col("_f"), nBuckets))
-      .join(broadcast(weights), "bucket")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feat"), sum(col("lw")).as("logw"))
     // u in (0,1) from the top 60 bits of md5(id); 2^60 + 2 keeps both
     // endpoints open. gumbel = −ln(−ln u), dyadically quantized; the
     // final score is an exact sum of two dyadic rationals.
     val u = (conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
       .cast(LongType).cast(DoubleType) + lit(1.0)) / lit(1152921504606846978.0)
+    dsirSelectImpl(docs, weights, isTarget, k, idCol, textCol,
+      featBucket(_, nBuckets), u)
+  }
+
+  /** Production twin of [[dsirSelect]]: xxhash64 buckets (pair with
+    * [[dsirWeightsXx]]) and the Gumbel uniform drawn from
+    * `pmod(xxhash64(id), 2^60)` — still deterministic, content-stable
+    * and append-stable, minus the md5 + hex-decode oracle tax.
+    */
+  def dsirSelectXx(docs: DataFrame, weights: DataFrame, isTarget: Column,
+      k: Int, idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 4096): DataFrame = {
+    val u = (pmod(xxhash64(col(idCol)), lit(1152921504606846976L))
+      .cast(DoubleType) + lit(1.0)) / lit(1152921504606846978.0)
+    dsirSelectImpl(docs, weights, isTarget, k, idCol, textCol,
+      featBucketXx(_, nBuckets), u)
+  }
+
+  private def dsirSelectImpl(docs: DataFrame, weights: DataFrame,
+      isTarget: Column, k: Int, idCol: String, textCol: String,
+      bucket: Column => Column, u: Column): DataFrame = {
+    val scored = docs.filter(!isTarget)
+      .select(col(idCol), explode(hashedNgramFeats(col(textCol))).as("_f"))
+      .withColumn("bucket", bucket(col("_f")))
+      .join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feat"), sum(col("lw")).as("logw"))
     scored
       .withColumn("gumbel",
         floor(-log(-log(u)) * lit(1048576.0)).cast(DoubleType) / lit(1048576.0))

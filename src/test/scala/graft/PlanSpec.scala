@@ -252,22 +252,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dsir_select: broadcast scoring join, TakeOrdered top-k, no corpus sort") {
-    val p = physical(Queries.all("dsir_select").fn(spark, sf0001))
-    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
-    // the per-feature scoring join must broadcast the <=4096-row bucket
-    // weight table — a shuffle here would move the exploded feature
-    // stream (corpus-sized) by bucket
-    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
-    assert(bhj.nonEmpty, "scoring join must broadcast the weight table")
-    // top-k plans as TakeOrderedAndProject: per-partition heaps + a
-    // k-row driver merge, never a global sort of all scored docs
-    val tops = collectAll(p) {
-      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    Seq("dsir_select", "dsir_select_prod").foreach { name =>
+      val p = physical(Queries.all(name).fn(spark, sf0001))
+      assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+      // the per-feature scoring join must broadcast the <=4096-row bucket
+      // weight table — a shuffle here would move the exploded feature
+      // stream (corpus-sized) by bucket
+      val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"$name: scoring join must broadcast the weight table")
+      // top-k plans as TakeOrderedAndProject: per-partition heaps + a
+      // k-row driver merge, never a global sort of all scored docs
+      val tops = collectAll(p) {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }
+      assert(tops.size == 1, s"$name: expected 1 TakeOrdered, got ${tops.size}")
+      val globalSorts = collectAll(p) {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }
+      assert(globalSorts.isEmpty, s"$name: orderBy+limit became a global sort")
     }
-    assert(tops.size == 1, s"expected 1 TakeOrdered, got ${tops.size}")
-    val globalSorts = collectAll(p) {
-      case s: org.apache.spark.sql.execution.SortExec if s.global => s
-    }
-    assert(globalSorts.isEmpty, "orderBy+limit degenerated into a global sort")
   }
 }

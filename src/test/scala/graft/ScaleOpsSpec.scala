@@ -797,21 +797,43 @@ class ScaleOpsSpec extends SparkSpec {
     val rawBad = (21L to 23L).map(i => (i, "raw", "zeta eta zeta eta zeta eta zeta eta"))
     val docs = (target ++ rawGood ++ rawBad).toDF("doc_id", "source", "text")
     val isTgt = col("source") === "tgt"
-    val w = ScaleOps.dsirWeights(docs, isTgt)
-    // fixed feature space: the weight table can never exceed nBuckets rows
-    assert(w.count() <= 4096)
-    val rows = ScaleOps.dsirSelect(docs, w, isTgt, k = 6).collect()
-    assert(ScaleOps.dsirSelect(docs, w, isTgt, k = 6).collect().sameElements(rows),
-      "hash-Gumbel selection must be deterministic")
-    val byId = rows.map(r => r.getLong(0) -> r.getAs[Double]("logw")).toMap
-    // target docs are never candidates; at k=6 all six raws surface
-    assert(byId.keySet == Set(11L, 12L, 13L, 21L, 22L, 23L))
-    val good = Seq(11L, 12L, 13L).map(byId)
-    val bad = Seq(21L, 22L, 23L).map(byId)
-    // importance weights point the right way: target-like text scores
-    // above off-target text, with the smoothed LLR signs matching
-    // (shared vocabulary -> positive, target-absent vocabulary -> negative)
-    assert(good.min > bad.max, s"LLR direction wrong: good=$good bad=$bad")
-    assert(good.forall(_ > 0) && bad.forall(_ < 0), s"good=$good bad=$bad")
+    // oracle (md5) form and production (xxhash64) twin satisfy the same
+    // semantic contract — only the hash family differs
+    val variants = Seq(
+      (ScaleOps.dsirWeights(docs, isTgt),
+        (w: org.apache.spark.sql.DataFrame) => ScaleOps.dsirSelect(docs, w, isTgt, k = 6)),
+      (ScaleOps.dsirWeightsXx(docs, isTgt),
+        (w: org.apache.spark.sql.DataFrame) => ScaleOps.dsirSelectXx(docs, w, isTgt, k = 6)))
+    for ((w, select) <- variants) {
+      // fixed feature space: the weight table can never exceed nBuckets rows
+      assert(w.count() <= 4096)
+      val rows = select(w).collect()
+      assert(select(w).collect().sameElements(rows),
+        "hash-Gumbel selection must be deterministic")
+      val byId = rows.map(r => r.getLong(0) -> r.getAs[Double]("logw")).toMap
+      // target docs are never candidates; at k=6 all six raws surface
+      assert(byId.keySet == Set(11L, 12L, 13L, 21L, 22L, 23L))
+      val good = Seq(11L, 12L, 13L).map(byId)
+      val bad = Seq(21L, 22L, 23L).map(byId)
+      // importance weights point the right way: target-like text scores
+      // above off-target text, with the smoothed LLR signs matching
+      // (shared vocabulary -> positive, target-absent vocabulary -> negative)
+      assert(good.min > bad.max, s"LLR direction wrong: good=$good bad=$bad")
+      assert(good.forall(_ > 0) && bad.forall(_ < 0), s"good=$good bad=$bad")
+    }
+  }
+
+  test("dsir feature map: native shingle form == HOF executable spec") {
+    // the hot path builds uni+bigram features with the native WordShingles
+    // expression; pin equivalence against the interpreted HOF formulation
+    // the DuckDB oracle mirrors, including the 1-token edge (empty bigrams)
+    val docs = Seq("alpha beta gamma", "solo", "a b", "x y z w").toDF("text")
+    val hof = concat(ScaleOps.tokens(col("text")),
+      coalesce(ScaleOps.shingles(ScaleOps.tokens(col("text")), 2),
+        array().cast("array<string>")))
+    val r = docs.select(
+      ScaleOps.hashedNgramFeats(col("text")).as("native"), hof.as("spec"))
+      .filter(not(col("native") === col("spec"))).count()
+    assert(r == 0, "native feature map diverges from HOF spec")
   }
 }

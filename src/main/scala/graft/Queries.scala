@@ -354,17 +354,26 @@ object Queries {
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType)))
-      // Explicit pruned schema: events.parquet carries a TIMESTAMP(NANOS)
-      // column Spark cannot read; we only need these three columns anyway.
-      s.read.schema(schema).parquet(s"$dir/events.parquet")
-        .select(to_json(struct(col("event_id"), col("user_id"), col("event_type"))).as("value"))
-        .select(from_json(col("value"), schema).as("m"))
-        .select(col("m.event_id"), col("m.user_id"), col("m.event_type"))
+      // Two decode paths in one key: (a) the Kafka-message round-trip the
+      // reference consumer does (json.loads of a producer-encoded record,
+      // consumer.py:118), restated as to_json∘from_json; (b) a REAL json
+      // payload — the events table's `props` column — decoded with
+      // from_json against a typed schema, the scale path for message
+      // payloads (codegen'd Jackson parse, no UDF).
+      val propsSchema = StructType(Seq(StructField("k", LongType)))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("props"))
+        .select(to_json(struct(col("event_id"), col("user_id"), col("event_type"))).as("value"),
+          col("props"))
+        .select(from_json(col("value"), schema).as("m"),
+          from_json(col("props"), propsSchema).getField("k").as("props_k"))
+        .select(col("m.event_id"), col("m.user_id"), col("m.event_type"), col("props_k"))
         .filter(col("event_type").isNotNull)
         .orderBy(col("event_id"))
     },
     Some(
-      """SELECT event_id, user_id, event_type FROM events
+      """SELECT event_id, user_id, event_type,
+        | CAST(json_extract(props, '$.k') AS BIGINT) AS props_k FROM events
         | WHERE event_type IS NOT NULL ORDER BY event_id""".stripMargin))
 
   // ------------------------------------------------- A5: distinct symbols

@@ -201,13 +201,11 @@ object QueriesMeta {
   // Structured Streaming pipeline in graft.streaming.
   private val streamMicrobatchQ = Q(
     (s, dir) => {
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType)))
-      s.read.schema(schema).parquet(s"$dir/events.parquet")
-        .withColumn("ts_us", expr("ts div 1000"))
-        .withColumn("window_start", date_trunc("hour", timestamp_micros(col("ts_us"))))
+      // events.ts is a native TIMESTAMP(MICROS) — read it directly and let
+      // Parquet column pruning drop the unused columns (event_id, props).
+      Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), col("value"))
+        .withColumn("window_start", date_trunc("hour", col("ts")))
         .groupBy(col("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
@@ -278,14 +276,13 @@ object QueriesMeta {
   // microsecond arithmetic end-to-end; value sums via exact decimals.
   private val sessionizeQ = Q(
     (s, dir) => {
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType)))
       val gapUs = 30L * 60 * 1000000
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      s.read.schema(schema).parquet(s"$dir/events.parquet")
-        .withColumn("ts_us", expr("ts div 1000"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        // parquet gives TIMESTAMP_NTZ; session tz is pinned UTC, so the
+        // cast to instant is the identity mapping
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
         .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
         .withColumn("is_new",
           when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)

@@ -257,6 +257,98 @@ object QueriesMeta {
          | FROM p ASOF JOIN q0 ON p.symbol = q0.symbol AND p.o_orderdate >= q0.trading_date
          | ORDER BY p.o_orderkey""".stripMargin))
 
+  // ------------------------------------------- OHLC resampling (weekly)
+  // Bar downsampling — the standard finance roll-up the reference computes
+  // per-symbol in pandas-like loops, restated as one aggregation: first
+  // open / max high / min low / last close / total volume per
+  // (symbol, week). First/last are argmin/argmax over the (unique, post-
+  // dedup) trading_date, so no window is needed: the whole operator is a
+  // keep-latest dedup (shared with the as-of quote table) plus ONE
+  // map-side-combinable groupBy — two shuffles total at any scale, both
+  // on compact keys. high/low are plain min/max (order-independent);
+  // volume is a BIGINT sum (exact).
+  private val resampleOhlcQ = Q(
+    (s, dir) => {
+      import graft.operators.AsOfJoin
+      val daily = AsOfJoin.latestPerKeyTime(
+        Tables.ohlcv(s, dir).select(col("symbol"), col("trading_date"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"),
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+        "symbol", "trading_date",
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+        .select("symbol", "trading_date", "open", "high", "low", "close", "volume")
+      daily
+        .withColumn("week_start", to_date(date_trunc("week", col("trading_date"))))
+        .groupBy(col("symbol"), col("week_start"))
+        .agg(
+          min_by(col("open"), col("trading_date")).as("open"),
+          max(col("high")).as("high"),
+          min(col("low")).as("low"),
+          max_by(col("close"), col("trading_date")).as("close"),
+          sum(col("volume")).as("volume"),
+          count(lit(1)).as("n_days"))
+        .orderBy(col("symbol"), col("week_start"))
+    },
+    Some(
+      s"""WITH base AS (${Tables.ohlcvSql}),
+         | q0 AS (SELECT symbol, trading_date, open, high, low, close, volume FROM base
+         |   QUALIFY ROW_NUMBER() OVER (PARTITION BY symbol, trading_date
+         |     ORDER BY l_orderkey DESC, l_linenumber DESC, l_partkey DESC, l_suppkey DESC) = 1)
+         | SELECT symbol, CAST(date_trunc('week', trading_date) AS DATE) AS week_start,
+         |  arg_min(open, trading_date) AS open, max(high) AS high, min(low) AS low,
+         |  arg_max(close, trading_date) AS close, CAST(SUM(volume) AS BIGINT) AS volume,
+         |  CAST(COUNT(*) AS BIGINT) AS n_days
+         | FROM q0 GROUP BY symbol, CAST(date_trunc('week', trading_date) AS DATE)
+         | ORDER BY symbol, week_start""".stripMargin))
+
+  // ------------------------------------------ range join (interval agg)
+  // Point-in-interval join Spark lacks natively: per order, the bars of
+  // its symbol within [o_orderdate, o_orderdate+6]. A raw range-condition
+  // join would compile to BroadcastNestedLoopJoin (O(bars × orders));
+  // operators.RangeJoin decomposes it into a bucketized equi-join (see
+  // its scaladoc for the 100 TB shape). The oracle states the same join
+  // as DuckDB's native inequality join — the decomposition must agree
+  // exactly. Aggregates: BIGINT bar count + exact decimal close sum, one
+  // deterministic division for the mean.
+  private val rangeJoinQ = Q(
+    (s, dir) => {
+      import graft.operators.RangeJoin
+      val bars = Tables.ohlcv(s, dir)
+        .select(col("symbol"), col("trading_date"), col("close"))
+      val ivs = Tables.orders(s, dir)
+        .withColumn("symbol",
+          when(col("o_orderstatus") === "F", lit("A"))
+            .when(col("o_orderstatus") === "O", lit("N"))
+            .otherwise(lit("R")))
+        .select(col("o_orderkey"), col("symbol"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 6 DAY")).as("window_end"))
+      RangeJoin.pointInInterval(bars, ivs, Seq("symbol"),
+          ptCol = "trading_date", startCol = "o_orderdate", endCol = "window_end",
+          widthDays = 7)
+        .groupBy(col("o_orderkey"), col("symbol"), col("o_orderdate"))
+        .agg(
+          sum(when(col("_in_range"), 1L).otherwise(0L)).as("n_bars"),
+          sum(when(col("_in_range"), col("close").cast(Tables.PriceDec))).as("_sum"))
+        .withColumn("avg_close",
+          when(col("n_bars") > 0,
+            col("_sum").cast(DoubleType) / col("n_bars").cast(DoubleType)))
+        .drop("_sum")
+        .orderBy(col("o_orderkey"))
+    },
+    Some(
+      s"""WITH base AS (${Tables.ohlcvSql}),
+         | p AS (SELECT o_orderkey,
+         |   CASE o_orderstatus WHEN 'F' THEN 'A' WHEN 'O' THEN 'N' ELSE 'R' END AS symbol,
+         |   o_orderdate FROM orders)
+         | SELECT p.o_orderkey, p.symbol, p.o_orderdate,
+         |  CAST(COUNT(b.close) AS BIGINT) AS n_bars,
+         |  CASE WHEN COUNT(b.close) > 0
+         |    THEN CAST(SUM(CAST(b.close AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(b.close) AS DOUBLE)
+         |  END AS avg_close
+         | FROM p LEFT JOIN base b ON b.symbol = p.symbol
+         |   AND b.trading_date BETWEEN p.o_orderdate AND p.o_orderdate + INTERVAL 6 DAY
+         | GROUP BY 1, 2, 3 ORDER BY p.o_orderkey""".stripMargin))
+
   // --------------------------------------- S10: CSV symbol universe (⊘)
   // Round-trips the symbol universe through a real CSV file — exercises
   // the header-CSV source + fallback. The file is a FIXTURE
@@ -322,6 +414,8 @@ object QueriesMeta {
     "lead_future_target" -> leadFutureQ,
     "standard_scale" -> standardScaleQ,
     "filter_alert_rules" -> alertRulesQ,
-    "stream_microbatch" -> streamMicrobatchQ
+    "stream_microbatch" -> streamMicrobatchQ,
+    "resample_ohlc" -> resampleOhlcQ,
+    "range_join" -> rangeJoinQ
   )
 }

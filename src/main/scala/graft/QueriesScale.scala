@@ -1489,7 +1489,139 @@ object QueriesScale {
     },
     None)
 
+  // ------------------------------- duplicated-n-gram fraction (exact)
+  // Corpus-level exact-substring duplication signal (the dedup family's
+  // n-gram member, after Lee et al.'s "Deduplicating Training Data Makes
+  // Language Models Better"): for every doc, the fraction of its distinct
+  // 8-gram shingles that occur in at least one OTHER position of the
+  // corpus. High-fraction docs are boilerplate/templated/near-copies that
+  // MinHash may miss when the share of duplicated text sits under the
+  // jaccard threshold.
+  //
+  // Scale shape: explode distinct shingles (linear in corpus tokens), ONE
+  // map-side-combinable count per shingle, and a shuffle-hash join back —
+  // each occurrence receives its corpus df, so there is NO pair expansion
+  // anywhere (contrast ngram_jaccard, which must cap df to bound its
+  // bucket pairs). A stopword-like shingle with df=10⁹ costs exactly its
+  // occurrence count, nothing quadratic. Corpus = dupedDocs so the
+  // operator has known duplicates to flag.
+  private val dupNgramK = 8
+  private val dupNgramQ = Q(
+    (s, dir) => {
+      val sh = dupedDocs(s, dir).select(col("doc_id"),
+        explode(array_distinct(ScaleOps.textShingles(col("text"), dupNgramK))).as("sh"))
+      // df per shingle = docs containing it (rows are distinct per doc).
+      // shuffle_hash: both sides share the shingle partitioning; a sort
+      // for SMJ would order the whole exploded corpus for no benefit.
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      sh.join(dfreq.hint("shuffle_hash"), Seq("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          col("n_dup").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+        .withColumn("flagged", col("dup_frac") >= 0.5)
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH duped AS ($dupedSql),
+         | t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM duped),
+         | sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+${dupNgramK - 1}], ' ')
+         |   for i in generate_series(1, len(toks)-${dupNgramK - 1})])) AS sh FROM t),
+         | d AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY sh),
+         | agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |   CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM sh JOIN d USING (sh) GROUP BY doc_id)
+         | SELECT doc_id, n_shingles, n_dup,
+         |  CAST(n_dup AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS dup_frac,
+         |  CAST(n_dup AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.5 AS flagged
+         | FROM agg ORDER BY doc_id""".stripMargin))
+
+  // Production twin (⊘): shingles hash to xxhash64 longs BEFORE the
+  // df-count/join stage, so the corpus-wide shuffle moves 8-byte keys
+  // instead of ~50-byte shingle strings. Flagged-set equivalence vs the
+  // string form is pinned in ScaleOpsSpec (same pattern as the minhash
+  // md5/xx pair).
+  private val dupNgramProdQ = Q(
+    (s, dir) => {
+      val sh = dupedDocs(s, dir).select(col("doc_id"),
+        explode(array_distinct(transform(
+          ScaleOps.textShingles(col("text"), dupNgramK), x => xxhash64(x)))).as("sh"))
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      sh.join(dfreq.hint("shuffle_hash"), Seq("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          col("n_dup").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+        .withColumn("flagged", col("dup_frac") >= 0.5)
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  // --------------------------------- cluster-balanced sampling (mixing)
+  // The data-mixing step after semantic clustering: assign every vector
+  // to its nearest centroid, then take a fixed-size deterministic sample
+  // per cluster — cluster-balanced subsets for training-mix experiments.
+  // Assignment is the IVF plan (broadcast codebook + map-side argmax
+  // aggregation, no window over the K× expansion); the "random" draw is
+  // the same content-stable md5 order as dataset_split, so the sample is
+  // reproducible and append-stable. Centroids = first-K vectors (the
+  // SQL-mirrorable codebook; ann_ivf_trained_topk shows the trained
+  // variant of the same serving plan).
+  //
+  // The per-cluster rank is a row_number window partitioned by c_id: K
+  // partitions of cluster-size rows. At 100 TB that window would become
+  // the bottleneck (K tasks sort the whole corpus); the scale path keeps
+  // the same samp_key and pre-thins with a uniform hash threshold
+  // (P[key < t] ≈ n·samples/cluster) before the exact rank — the
+  // two-phase top-k already proven on ngram_counts. Kept single-phase
+  // here for the bitwise oracle.
+  private val clusterSampleN = 32
+  private val clusterSampleQ = Q(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("nv", ScaleOps.l2norm(col("embedding")))
+      val cents = emb.filter(col("vec_id") < ivfK)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nv").as("nc"))
+      val scored = emb.join(broadcast(cents))
+        .withColumn("c_cos", ScaleOps.cosine(col("embedding"), col("c_emb"), col("nv"), col("nc")))
+      val assigned = scored.groupBy(col("vec_id"))
+        .agg(max(struct(col("c_cos"), (-col("c_id")).as("neg_c"), col("c_id"))).as("_m"))
+        .select(col("vec_id"), col("_m.c_id").as("c_id"))
+      val sampKey = conv(substring(md5(col("vec_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType)
+      val wRank = Window.partitionBy("c_id").orderBy(col("samp_key"), col("vec_id"))
+      assigned
+        .withColumn("samp_key", sampKey)
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy("c_id")))
+        .withColumn("samp_rank", row_number().over(wRank))
+        .filter(col("samp_rank") <= clusterSampleN)
+        .select(col("c_id"), col("vec_id"), col("samp_rank"), col("n_members"))
+        .orderBy(col("c_id"), col("samp_rank"))
+    },
+    Some(
+      s"""WITH e AS ($embNormSql),
+         | cents AS (SELECT vec_id AS c_id, embedding AS c_emb, nv AS nc FROM e WHERE vec_id < $ivfK),
+         | scored AS (SELECT e.vec_id, cents.c_id,
+         |  list_reduce(list_transform(list_zip(e.embedding, cents.c_emb),
+         |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a2,b2) -> a2 + b2) / (e.nv * cents.nc) AS c_cos
+         | FROM e CROSS JOIN cents),
+         | assigned AS (SELECT vec_id, c_id FROM (SELECT *,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+         |   FROM scored) WHERE rn = 1),
+         | k AS (SELECT vec_id, c_id,
+         |   CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS samp_key,
+         |   CAST(COUNT(*) OVER (PARTITION BY c_id) AS BIGINT) AS n_members FROM assigned)
+         | SELECT c_id, vec_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY samp_key, vec_id) AS INT) AS samp_rank,
+         |  n_members
+         | FROM k QUALIFY samp_rank <= $clusterSampleN ORDER BY c_id, samp_rank""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "dup_ngram_fraction" -> dupNgramQ,
+    "dup_ngram_fraction_prod" -> dupNgramProdQ,
+    "cluster_sample" -> clusterSampleQ,
     "dsir_select" -> dsirSelectQ,
     "dsir_select_prod" -> dsirSelectProdQ,
     "unigram_logprob" -> unigramLogProbQ,

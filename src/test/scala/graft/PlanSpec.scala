@@ -272,4 +272,34 @@ class PlanSpec extends SparkSpec {
       assert(globalSorts.isEmpty, s"$name: orderBy+limit became a global sort")
     }
   }
+
+  test("range_join: bucket decomposition yields an equi-join, never nested-loop") {
+    // the whole point of RangeJoin is to keep the range condition OFF the
+    // join operator — a BroadcastNestedLoopJoin here means the bucket
+    // equi-keys were lost and the plan degenerated to O(bars × orders)
+    val plan = fmt(Queries.all("range_join").fn(spark, sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "range join is nested-loop")
+    assert(!plan.contains("CartesianProduct"), "range join is cartesian")
+  }
+
+  test("dup_ngram_fraction: df join is shuffle-hash on the shingle key, no pair expansion") {
+    Seq("dup_ngram_fraction", "dup_ngram_fraction_prod").foreach { name =>
+      val p = physical(Queries.all(name).fn(spark, sf0001))
+      val shj = collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(shj.nonEmpty, s"$name: df join must stay shuffle-hash " +
+        "(broadcast would materialize the corpus-wide df table per executor)")
+      assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    }
+  }
+
+  test("resample_ohlc: one dedup window, aggregation reuses nothing quadratic") {
+    val p = physical(Queries.all("resample_ohlc").fn(spark, sf0001))
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.size == 1, s"expected 1 WindowExec (dedup), got ${windows.size}")
+    // dedup hash exchange + groupBy hash exchange + output range sort
+    val ex = collectAll(p) { case e: Exchange => e }
+    assert(ex.size <= 3, s"expected <=3 exchanges, got ${ex.size}")
+  }
 }

@@ -187,6 +187,94 @@ object Queries {
          | o2 AS (SELECT *, CASE WHEN chg > 0 THEN volume WHEN chg < 0 THEN -volume ELSE 0 END AS vsign FROM o1)
          | SELECT $KEYS, CAST(SUM(vsign) $UNB AS BIGINT) AS obv FROM o2 $ORD""".stripMargin)))
 
+  // ----------------------------------------- beyond-reference indicators
+  // Standard technical analytics the reference does NOT compute but any
+  // user of a finance engine expects: anchored VWAP, drawdown from the
+  // running peak, the stochastic oscillator, and ATR. Same determinism
+  // recipe as the W-keys: exact decimal/integer running sums, min/max
+  // over raw doubles (order-independent), dyadic quantization before any
+  // averaging of derived doubles. All share the ONE per-symbol window
+  // exchange — each key stays a single-shuffle plan.
+
+  // Anchored VWAP: running Σ(close·volume) / Σ(volume) from series start.
+  private val vwapQ = Q(
+    (s, dir) => {
+      val pv = (closeDec * col("volume")).cast(DecimalType(18, 2))
+      val v = ohlcv(s, dir)
+        .withColumn("cum_volume", sum(col("volume")).over(W.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("vwap",
+          sum(pv).over(W.rowsBetween(Window.unboundedPreceding, 0)).cast(DoubleType) /
+            col("cum_volume").cast(DoubleType))
+      keyed(v, col("cum_volume"), col("vwap"))
+    },
+    Some(withBase(
+      s""", v1 AS (SELECT $KEYS, close, volume, open, low,
+         |  CAST(SUM(volume) $UNB AS BIGINT) AS cum_volume,
+         |  CAST(SUM(CAST(CAST(close AS DECIMAL(12,2)) * volume AS DECIMAL(18,2))) $UNB AS DOUBLE) AS spv
+         | FROM base)
+         | SELECT $KEYS, cum_volume, spv / CAST(cum_volume AS DOUBLE) AS vwap FROM v1 $ORD""".stripMargin)))
+
+  // Drawdown: distance below the running peak close.
+  private val drawdownQ = Q(
+    (s, dir) => {
+      val d = ohlcv(s, dir)
+        .withColumn("peak_close", max(col("close")).over(W.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("drawdown", col("close") / col("peak_close") - lit(1.0))
+      keyed(d, col("peak_close"), col("drawdown"))
+    },
+    Some(withBase(
+      s""", d1 AS (SELECT $KEYS, close, MAX(close) $UNB AS peak_close FROM base)
+         | SELECT $KEYS, peak_close, close / peak_close - 1.0 AS drawdown FROM d1 $ORD""".stripMargin)))
+
+  // Stochastic oscillator: %K over a 14-row high/low channel, %D = 3-row
+  // average of (dyadically quantized) %K. A flat channel (hh = ll) yields
+  // NULL %K, excluded from %D by both engines' null-skipping AVG.
+  private val stochasticQ = Q(
+    (s, dir) => {
+      val st = ohlcv(s, dir)
+        .withColumn("hh", max(col("high")).over(f(13)))
+        .withColumn("ll", min(col("low")).over(f(13)))
+        .withColumn("pct_k",
+          when(col("hh") =!= col("ll"),
+            (col("close") - col("ll")) / (col("hh") - col("ll")) * 100))
+        .withColumn("k_q", dyadic(col("pct_k")))
+        .withColumn("pct_d",
+          sum(col("k_q")).over(f(2)) / count(col("k_q")).over(f(2)).cast(DoubleType))
+      keyed(st, col("pct_k"), col("pct_d"))
+    },
+    Some(withBase(
+      s""", s1 AS (SELECT $KEYS, close, volume, open, low,
+         |  MAX(high) ${frS(13)} AS hh, MIN(low) ${frS(13)} AS ll FROM base),
+         | s2 AS (SELECT *, CASE WHEN hh <> ll THEN (close - ll) / (hh - ll) * 100 END AS pct_k FROM s1),
+         | s3 AS (SELECT *, CAST(FLOOR(pct_k * 1048576.0) AS DOUBLE) / 1048576.0 AS k_q FROM s2)
+         | SELECT $KEYS, pct_k, SUM(k_q) ${frS(2)} / CAST(COUNT(k_q) ${frS(2)} AS DOUBLE) AS pct_d
+         | FROM s3 $ORD""".stripMargin)))
+
+  // ATR-14 (SMA form, matching the reference's SMA-everywhere quirk
+  // family): true range vs the previous close, averaged over 14 rows
+  // after dyadic quantization. Row 1 has no previous close — coalesce to
+  // the current close so TR degrades to the plain high-low range.
+  private val atrQ = Q(
+    (s, dir) => {
+      val a = ohlcv(s, dir)
+        .withColumn("prev_close", coalesce(lag(col("close"), 1).over(W), col("close")))
+        .withColumn("tr", greatest(
+          col("high") - col("low"),
+          abs(col("high") - col("prev_close")),
+          abs(col("low") - col("prev_close"))))
+        .withColumn("tr_q", dyadic(col("tr")))
+        .withColumn("atr_14",
+          sum(col("tr_q")).over(f(13)) / count(col("tr_q")).over(f(13)).cast(DoubleType))
+      keyed(a, col("tr"), col("atr_14"))
+    },
+    Some(withBase(
+      s""", a1 AS (SELECT $KEYS, close, volume, open, low, high,
+         |  COALESCE(LAG(close, 1) $LAGOV, close) AS prev_close FROM base),
+         | a2 AS (SELECT *, greatest(high - low, abs(high - prev_close), abs(low - prev_close)) AS tr FROM a1),
+         | a3 AS (SELECT *, CAST(FLOOR(tr * 1048576.0) AS DOUBLE) / 1048576.0 AS tr_q FROM a2)
+         | SELECT $KEYS, tr, SUM(tr_q) ${frS(13)} / CAST(COUNT(tr_q) ${frS(13)} AS DOUBLE) AS atr_14
+         | FROM a3 $ORD""".stripMargin)))
+
   // ------------------------------------------- W7+W10: lag / pct change
   private val lagPctQ = Q(
     (s, dir) => {
@@ -402,6 +490,10 @@ object Queries {
     "ema_rsi_prod" -> emaRsiProdQ,
     "macd" -> macdQ,
     "bollinger" -> bollingerQ,
+    "vwap" -> vwapQ,
+    "drawdown" -> drawdownQ,
+    "stochastic" -> stochasticQ,
+    "atr" -> atrQ,
     "rsi" -> rsiQ,
     "obv" -> obvQ,
     "lag_pct_change" -> lagPctQ,

@@ -166,4 +166,23 @@ object MicroBatch {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Gap-based sessions per user over the live stream — the streaming twin
+    * of the batch `sessionize` key (QueriesMeta), using Spark's native
+    * `session_window` instead of the gaps-and-islands window so state is
+    * bounded by the watermark: a session closes (and its state is evicted)
+    * once the watermark passes its end. Batch twin and streaming twin
+    * agree on the session definition: a row within `gap` of the previous
+    * row extends the session, the session spans first-ts .. last-ts+gap.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 }

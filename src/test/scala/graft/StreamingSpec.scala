@@ -172,6 +172,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains(("2024-01-01 12:00:00.0", "view", 1L)), s"got $got")
   }
 
+  test("streaming session_window merges within-gap rows, state evicted past watermark") {
+    // the streaming twin of the batch sessionize key: same 30-min gap
+    // definition, but sessions FINALIZE — append mode only emits a
+    // session once the watermark passes its end, proving state eviction
+    val mem = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val agg = MicroBatch.sessionCounts(
+      mem.toDF().toDF("user_id", "ts"), gap = "30 minutes", delay = "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: two rows 10 min apart (one session), then a 12:00 row beyond
+    // the 30-min gap (a second session); u2: one singleton session
+    mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+      (2L, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    mem.addData((1L, ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    // flush: advance the watermark far past every session end
+    mem.addData((9L, ts("2024-01-01 15:00:00")))
+    q.processAllAvailable()
+    mem.addData((9L, ts("2024-01-01 18:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("select * from sessions").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").toString,
+        r.getAs[java.sql.Timestamp]("session_end").toString,
+        r.getAs[Long]("n_events"))).toSet
+    // merged session: start = first ts, end = last ts + gap
+    assert(got.contains((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L)), s"got $got")
+    assert(got.contains((1L, "2024-01-01 12:00:00.0", "2024-01-01 12:30:00.0", 1L)), s"got $got")
+    assert(got.contains((2L, "2024-01-01 10:05:00.0", "2024-01-01 10:35:00.0", 1L)), s"got $got")
+  }
+
   test("kafka source config carries the reference consumer's flow control") {
     val cfg = MicroBatch.kafkaSource("broker:9092", "stock_ohlcv")
     assert(cfg.format == "kafka")

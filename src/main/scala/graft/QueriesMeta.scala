@@ -259,24 +259,27 @@ object QueriesMeta {
 
   // ------------------------------------------- OHLC resampling (weekly)
   // Bar downsampling — the standard finance roll-up the reference computes
-  // per-symbol in pandas-like loops, restated as one aggregation: first
+  // per-symbol in pandas-like loops, restated as two aggregations: first
   // open / max high / min low / last close / total volume per
-  // (symbol, week). First/last are argmin/argmax over the (unique, post-
-  // dedup) trading_date, so no window is needed: the whole operator is a
-  // keep-latest dedup (shared with the as-of quote table) plus ONE
-  // map-side-combinable groupBy — two shuffles total at any scale, both
-  // on compact keys. high/low are plain min/max (order-independent);
-  // volume is a BIGINT sum (exact).
+  // (symbol, week). The keep-latest daily dedup is a struct-MAX
+  // aggregation over the tiebreak columns, NOT a row_number window: the
+  // window form sorts every partition of the full-width frame (a spill
+  // risk at 100 TB), while max(struct) partial-aggregates map-side and
+  // ships one row per (symbol, day). The weekly roll-up's first/last are
+  // argmin/argmax over the (unique, post-dedup) trading_date. high/low
+  // are plain min/max (order-independent); volume is a BIGINT sum
+  // (exact). Two compact-key shuffles total, no sort before the output's.
   private val resampleOhlcQ = Q(
     (s, dir) => {
-      import graft.operators.AsOfJoin
-      val daily = AsOfJoin.latestPerKeyTime(
-        Tables.ohlcv(s, dir).select(col("symbol"), col("trading_date"),
-          col("open"), col("high"), col("low"), col("close"), col("volume"),
-          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
-        "symbol", "trading_date",
-        Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
-        .select("symbol", "trading_date", "open", "high", "low", "close", "volume")
+      val daily = Tables.ohlcv(s, dir)
+        .groupBy(col("symbol"), col("trading_date"))
+        .agg(max(struct(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"))).as("_m"))
+        .select(col("symbol"), col("trading_date"),
+          col("_m.open").as("open"), col("_m.high").as("high"),
+          col("_m.low").as("low"), col("_m.close").as("close"),
+          col("_m.volume").as("volume"))
       daily
         .withColumn("week_start", to_date(date_trunc("week", col("trading_date"))))
         .groupBy(col("symbol"), col("week_start"))

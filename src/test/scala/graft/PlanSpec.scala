@@ -294,11 +294,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("resample_ohlc: one dedup window, aggregation reuses nothing quadratic") {
+  test("resample_ohlc: dedup is a struct-max aggregation, not a sorting window") {
     val p = physical(Queries.all("resample_ohlc").fn(spark, sf0001))
+    // keep-latest via max(struct) — a WindowExec here means the dedup
+    // regressed to row_number, which sorts the full-width frame
     val windows = collectAll(p) { case w: WindowExec => w }
-    assert(windows.size == 1, s"expected 1 WindowExec (dedup), got ${windows.size}")
-    // dedup hash exchange + groupBy hash exchange + output range sort
+    assert(windows.isEmpty, s"expected no WindowExec, got ${windows.size}")
+    // daily hash exchange + weekly hash exchange + output range sort
     val ex = collectAll(p) { case e: Exchange => e }
     assert(ex.size <= 3, s"expected <=3 exchanges, got ${ex.size}")
   }

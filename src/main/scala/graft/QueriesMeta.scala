@@ -352,6 +352,94 @@ object QueriesMeta {
          |   AND b.trading_date BETWEEN p.o_orderdate AND p.o_orderdate + INTERVAL 6 DAY
          | GROUP BY 1, 2, 3 ORDER BY p.o_orderkey""".stripMargin))
 
+  // ------------------------------------- rolling pairwise correlation
+  // 20-day rolling Pearson correlation of daily returns between every
+  // symbol pair — the cross-sectional analytic (pair trading, hedging,
+  // risk) absent from the reference's strictly per-symbol world.
+  //
+  // Determinism scheme (floats can't survive windowed Σxy directly):
+  // returns are per-row doubles (identical expression trees both sides),
+  // clamped to ±1e4 % and quantized onto a 1e-4 integer grid —
+  // x = floor(clamp(r)·1e4) AS BIGINT — so every windowed sum (Σx, Σy,
+  // Σxy, Σx², Σy², n) is EXACT 64-bit integer arithmetic (|x| ≤ 1e8 ⇒
+  // products ≤ 1e16, 20-row Σ ≤ 2e17 — all inside long range; the clamp
+  // is what makes that bound unconditional). The final corr folds those
+  // exact integers through one fixed-shape double expression; identical
+  // inputs + identical tree = bitwise-equal output.
+  //
+  // Scale shape: the date equi-join is quadratic in SYMBOLS by
+  // construction (a correlation matrix is), not in rows — at a 1000-name
+  // universe each date emits ~500k compact pair rows, shuffled on
+  // (s1, s2) for one shared window pass. Daily dedup reuses the
+  // struct-max aggregation (no sort).
+  private val rollingCorrQ = Q(
+    (s, dir) => {
+      val daily = Tables.ohlcv(s, dir)
+        .groupBy(col("symbol"), col("trading_date"))
+        .agg(max(struct(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("close"))).as("_m"))
+        .select(col("symbol"), col("trading_date"), col("_m.close").as("close"))
+      val wSym = Window.partitionBy("symbol").orderBy("trading_date")
+      val ret = daily
+        .withColumn("prev", lag(col("close"), 1).over(wSym))
+        .filter(col("prev").isNotNull)
+        .withColumn("r", (col("close") - col("prev")) / col("prev") * 100)
+        .select(col("symbol"), col("trading_date"),
+          floor(greatest(least(col("r"), lit(1e4)), lit(-1e4)) * 1e4)
+            .cast(LongType).as("x"))
+      val pairs = ret.as("a").join(ret.as("b"),
+          col("a.trading_date") === col("b.trading_date") &&
+            col("a.symbol") < col("b.symbol"))
+        .select(col("a.symbol").as("s1"), col("b.symbol").as("s2"),
+          col("a.trading_date").as("trading_date"),
+          col("a.x").as("x"), col("b.x").as("y"))
+      val f = Window.partitionBy("s1", "s2").orderBy("trading_date")
+        .rowsBetween(-19, 0)
+      def d(c: Column) = c.cast(DoubleType)
+      val agg = pairs
+        .withColumn("n", count(lit(1)).over(f))
+        .withColumn("sx", sum(col("x")).over(f))
+        .withColumn("sy", sum(col("y")).over(f))
+        .withColumn("sxy", sum(col("x") * col("y")).over(f))
+        .withColumn("sxx", sum(col("x") * col("x")).over(f))
+        .withColumn("syy", sum(col("y") * col("y")).over(f))
+      val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+      val den = sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+        sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))
+      agg
+        .withColumn("corr_20", when(col("n") >= 2 && den > 0, num / den))
+        .select(col("s1"), col("s2"), col("trading_date"), col("n").as("n_obs"),
+          col("corr_20"))
+        .orderBy(col("s1"), col("s2"), col("trading_date"))
+    },
+    Some(
+      s"""WITH base AS (${Tables.ohlcvSql}),
+         | daily AS (SELECT symbol, trading_date, close FROM base
+         |   QUALIFY ROW_NUMBER() OVER (PARTITION BY symbol, trading_date
+         |     ORDER BY l_orderkey DESC, l_linenumber DESC, l_partkey DESC, l_suppkey DESC) = 1),
+         | ret AS (SELECT symbol, trading_date,
+         |   CAST(FLOOR(greatest(least((close - prev) / prev * 100, 1e4), -1e4) * 1e4) AS BIGINT) AS x
+         |  FROM (SELECT *, LAG(close, 1) OVER (PARTITION BY symbol ORDER BY trading_date) AS prev FROM daily)
+         |  WHERE prev IS NOT NULL),
+         | pairs AS (SELECT a.symbol AS s1, b.symbol AS s2, a.trading_date AS trading_date,
+         |   a.x AS x, b.x AS y
+         |  FROM ret a JOIN ret b ON a.trading_date = b.trading_date AND a.symbol < b.symbol),
+         | w AS (SELECT s1, s2, trading_date,
+         |   CAST(COUNT(*) OVER f AS BIGINT) AS n,
+         |   CAST(SUM(x) OVER f AS BIGINT) AS sx, CAST(SUM(y) OVER f AS BIGINT) AS sy,
+         |   CAST(SUM(x * y) OVER f AS BIGINT) AS sxy,
+         |   CAST(SUM(x * x) OVER f AS BIGINT) AS sxx, CAST(SUM(y * y) OVER f AS BIGINT) AS syy
+         |  FROM pairs
+         |  WINDOW f AS (PARTITION BY s1, s2 ORDER BY trading_date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         | SELECT s1, s2, trading_date, n AS n_obs,
+         |  CASE WHEN n >= 2 AND sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         |   THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |  END AS corr_20
+         | FROM w ORDER BY s1, s2, trading_date""".stripMargin))
+
   // --------------------------------------- S10: CSV symbol universe (⊘)
   // Round-trips the symbol universe through a real CSV file — exercises
   // the header-CSV source + fallback. The file is a FIXTURE
@@ -419,6 +507,7 @@ object QueriesMeta {
     "filter_alert_rules" -> alertRulesQ,
     "stream_microbatch" -> streamMicrobatchQ,
     "resample_ohlc" -> resampleOhlcQ,
-    "range_join" -> rangeJoinQ
+    "range_join" -> rangeJoinQ,
+    "rolling_corr" -> rollingCorrQ
   )
 }

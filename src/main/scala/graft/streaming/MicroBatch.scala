@@ -185,4 +185,25 @@ object MicroBatch {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Stream-stream enrichment join: each trade matches the quotes of its
+    * symbol whose event time falls within the `horizon` BEFORE the trade
+    * — the live twin of the batch as-of/range joins (operators.AsOfJoin /
+    * RangeJoin). Both sides carry watermarks and the join condition is
+    * time-BOUNDED on both ends, so Spark can size the join state and
+    * evict quote rows once the watermark passes `quote_ts + horizon`;
+    * an unbounded `quote_ts <= trade_ts` condition would accumulate the
+    * whole quote history in state forever — the streaming scale killer
+    * this operator exists to avoid.
+    *
+    * Expected schemas: trades(symbol, trade_ts, …),
+    * quotes(q_symbol, quote_ts, …).
+    */
+  def enrichTrades(trades: DataFrame, quotes: DataFrame,
+      horizon: String = "10 minutes", delay: String = "1 hour"): DataFrame =
+    trades.withWatermark("trade_ts", delay)
+      .join(quotes.withWatermark("quote_ts", delay),
+        expr(s"""symbol = q_symbol AND
+                | quote_ts BETWEEN trade_ts - INTERVAL $horizon AND trade_ts""".stripMargin),
+        "inner")
 }

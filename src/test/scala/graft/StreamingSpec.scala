@@ -206,6 +206,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((2L, "2024-01-01 10:05:00.0", "2024-01-01 10:35:00.0", 1L)), s"got $got")
   }
 
+  test("stream-stream interval join matches in-horizon quotes only") {
+    // the live twin of asof/range joins: a trade picks up quotes of its
+    // symbol from the 10 minutes before it — older quotes and other
+    // symbols never match; the two-sided time bound keeps join state
+    // evictable (asserted here semantically: results are exact)
+    val trades = MemoryStream[(String, java.sql.Timestamp, Double)](spark)
+    val quotes = MemoryStream[(String, java.sql.Timestamp, Double)](spark)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val joined = MicroBatch.enrichTrades(
+      trades.toDF().toDF("symbol", "trade_ts", "qty"),
+      quotes.toDF().toDF("q_symbol", "quote_ts", "px"),
+      horizon = "10 minutes")
+      .select(col("symbol"), col("trade_ts"), col("quote_ts"), col("px"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    quotes.addData(
+      ("A", ts("2024-01-01 09:50:00"), 99.0),  // 10 min before → in horizon
+      ("A", ts("2024-01-01 09:30:00"), 98.0),  // 30 min before → stale
+      ("B", ts("2024-01-01 09:59:00"), 50.0))  // wrong symbol
+    trades.addData(("A", ts("2024-01-01 10:00:00"), 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("select * from enriched").collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[java.sql.Timestamp]("quote_ts").toString,
+        r.getAs[Double]("px"))).toSet
+    assert(got == Set(("A", "2024-01-01 09:50:00.0", 99.0)), s"got $got")
+  }
+
   test("kafka source config carries the reference consumer's flow control") {
     val cfg = MicroBatch.kafkaSource("broker:9092", "stock_ohlcv")
     assert(cfg.format == "kafka")

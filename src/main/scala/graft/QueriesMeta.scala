@@ -396,13 +396,15 @@ object QueriesMeta {
       val f = Window.partitionBy("s1", "s2").orderBy("trading_date")
         .rowsBetween(-19, 0)
       def d(c: Column) = c.cast(DoubleType)
-      val agg = pairs
-        .withColumn("n", count(lit(1)).over(f))
-        .withColumn("sx", sum(col("x")).over(f))
-        .withColumn("sy", sum(col("y")).over(f))
-        .withColumn("sxy", sum(col("x") * col("y")).over(f))
-        .withColumn("sxx", sum(col("x") * col("x")).over(f))
-        .withColumn("syy", sum(col("y") * col("y")).over(f))
+      // one select for all six same-frame window aggregates — chained
+      // withColumn would split them across several WindowExec nodes
+      val agg = pairs.select(col("s1"), col("s2"), col("trading_date"),
+        count(lit(1)).over(f).as("n"),
+        sum(col("x")).over(f).as("sx"),
+        sum(col("y")).over(f).as("sy"),
+        sum(col("x") * col("y")).over(f).as("sxy"),
+        sum(col("x") * col("x")).over(f).as("sxx"),
+        sum(col("y") * col("y")).over(f).as("syy"))
       val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
       val den = sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
         sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))

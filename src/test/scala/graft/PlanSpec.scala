@@ -294,6 +294,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("rolling_corr: six window aggregates fuse into one pair-window node") {
+    val p = physical(Queries.all("rolling_corr").fn(spark, sf0001))
+    val windows = collectAll(p) { case w: WindowExec => w }
+    // 2 per-symbol lag windows (the self-joined return subtree runs twice
+    // — inherent to a pair join without caching) + exactly ONE fused
+    // window for all six Σ aggregates; more means the withColumn-split
+    // regression returned
+    assert(windows.size == 3, s"expected 3 WindowExec nodes, got ${windows.size}")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("resample_ohlc: dedup is a struct-max aggregation, not a sorting window") {
     val p = physical(Queries.all("resample_ohlc").fn(spark, sf0001))
     // keep-latest via max(struct) — a WindowExec here means the dedup

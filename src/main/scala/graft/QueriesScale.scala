@@ -1618,7 +1618,66 @@ object QueriesScale {
          |  n_members
          | FROM k QUALIFY samp_rank <= $clusterSampleN ORDER BY c_id, samp_rank""".stripMargin))
 
+  // ------------------------------ temperature source mixing (α = 0.5)
+  // The corpus-mixing step of multilingual/multi-source training-set
+  // construction (mC4 / XLM-R style α-sampling): upweight small sources,
+  // damp dominant ones. Source weights w_s ∝ n_s^α; each source
+  // contributes floor(N·w_s) docs, drawn deterministically in
+  // content-stable md5 order (reproducible, append-stable — same recipe
+  // as dataset_split/cluster_sample).
+  //
+  // Determinism: α = 0.5 makes n_s^α an IEEE-exact sqrt (correctly
+  // rounded in every engine — pow(x, 0.3) would NOT be). The weight
+  // normalization never sums doubles: sqrt values are quantized onto the
+  // 2^-20 dyadic grid as 64-bit integers, the denominator is an EXACT
+  // integer sum, and each quota folds through one fixed-shape double
+  // expression (products ≤ 1.6e11 « 2^53 — exact). Shape at 100 TB: one
+  // map-side count per source, a broadcast of the tiny quota table, one
+  // per-source top-quota rank.
+  private val mixN = 500
+  private val mixSourcesQ = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val quotas = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("qs", floor(sqrt(col("n_docs").cast(DoubleType)) * lit(1048576.0)).cast(LongType))
+      val total = quotas.agg(sum(col("qs")).as("qs_total"))
+      val withQuota = quotas.join(broadcast(total))
+        .withColumn("quota",
+          floor(lit(mixN.toDouble) * col("qs").cast(DoubleType) / col("qs_total").cast(DoubleType))
+            .cast(LongType))
+        .select(col("source"), col("n_docs"), col("quota"))
+      val wRank = Window.partitionBy("source")
+        .orderBy(col("samp_key"), col("doc_id"))
+      docs
+        .withColumn("samp_key",
+          conv(substring(md5(concat(lit("mix|"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
+            .cast(LongType))
+        .withColumn("samp_rank", row_number().over(wRank).cast(LongType))
+        .join(broadcast(withQuota), Seq("source"))
+        .filter(col("samp_rank") <= col("quota"))
+        .select(col("source"), col("doc_id"), col("samp_rank"), col("n_docs"), col("quota"))
+        .orderBy(col("source"), col("samp_rank"))
+    },
+    Some(
+      s"""WITH q AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |   CAST(FLOOR(sqrt(CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE)) * 1048576.0) AS BIGINT) AS qs
+         |  FROM documents GROUP BY source),
+         | tot AS (SELECT CAST(SUM(qs) AS BIGINT) AS qs_total FROM q),
+         | wq AS (SELECT source, n_docs,
+         |   CAST(FLOOR($mixN.0 * CAST(qs AS DOUBLE) / CAST(qs_total AS DOUBLE)) AS BIGINT) AS quota
+         |  FROM q CROSS JOIN tot),
+         | ranked AS (SELECT source, doc_id,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |     ORDER BY CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS BIGINT) AS samp_rank
+         |  FROM documents)
+         | SELECT r.source, r.doc_id, r.samp_rank, wq.n_docs, wq.quota
+         | FROM ranked r JOIN wq USING (source)
+         | WHERE r.samp_rank <= wq.quota
+         | ORDER BY r.source, r.samp_rank""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "mix_sources" -> mixSourcesQ,
     "dup_ngram_fraction" -> dupNgramQ,
     "dup_ngram_fraction_prod" -> dupNgramProdQ,
     "cluster_sample" -> clusterSampleQ,

@@ -83,6 +83,26 @@ class RangeResampleSpec extends SparkSpec {
         "(hash collisions would only ever INFLATE n_dup)")
   }
 
+  test("mix_sources: sqrt-temperature quotas damp dominant sources, draw is capped") {
+    val rows = Queries.all("mix_sources").fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rs) =>
+      val quota = rs.head.getAs[Long]("quota")
+      assert(rs.length.toLong == quota, s"$src drew ${rs.length} of quota $quota")
+    }
+    // α = 0.5 damping: sampled fraction of a SMALL source must be >= the
+    // fraction of a LARGE one (sqrt flattens the distribution)
+    val fracs = bySource.map { case (_, rs) =>
+      (rs.head.getAs[Long]("n_docs"), rs.length.toDouble / rs.head.getAs[Long]("n_docs")) }
+      .toSeq.sortBy(_._1)
+    if (fracs.size >= 2)
+      assert(fracs.head._2 >= fracs.last._2 - 1e-9,
+        s"small source sampled at lower rate than large: $fracs")
+    // never exceeds the target budget
+    assert(rows.length <= 500)
+  }
+
   test("cluster_sample: per-cluster cap respected, sample deterministic") {
     val rows = Queries.all("cluster_sample").fn(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -46,6 +46,14 @@ object Queries {
   val tieCols: Seq[String] = Seq("trading_date", "l_orderkey", "l_linenumber",
     "l_partkey", "l_suppkey", "close", "volume", "open", "low")
 
+  /** Total order by close first — for exact rank-based percentile
+    * selection (winsorize). Same uniqueness argument as [[tieCols]].
+    */
+  private val tieColsByClose: Seq[String] = Seq("close", "trading_date",
+    "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  private val CLOSE_ORD =
+    "close, trading_date, l_orderkey, l_linenumber, l_partkey, l_suppkey"
+
   private def W = Window.partitionBy("symbol").orderBy(tieCols.map(col): _*)
 
   private def f(n: Int) = W.rowsBetween(-n, 0)
@@ -275,6 +283,50 @@ object Queries {
          | SELECT $KEYS, tr, SUM(tr_q) ${frS(13)} / CAST(COUNT(tr_q) ${frS(13)} AS DOUBLE) AS atr_14
          | FROM a3 $ORD""".stripMargin)))
 
+  // Winsorization: clamp close to its per-symbol [p01, p99] band — the
+  // robust-stats cleaning step for fat-fingered prints. Percentiles are
+  // EXACT rank selections (value at ceil(q·n) in the close-sorted order),
+  // not interpolated: rank selection moves no floats through arithmetic,
+  // so both engines pick the identical row. One rank window + a
+  // per-symbol conditional aggregate broadcast back to the rows.
+  //
+  // Scale note: the rank window sorts each symbol's history once — the
+  // exact, oracle-able form. At 100 TB the band would come from the GK
+  // quantile sketch already demonstrated in corpus_stats_approx (one
+  // pass, no sort), with this exact form as its verification twin.
+  private val winsorizeQ = Q(
+    (s, dir) => {
+      val wRank = Window.partitionBy("symbol")
+        .orderBy(tieColsByClose.map(col): _*)
+      val wSym = Window.partitionBy("symbol")
+      val ranked = ohlcv(s, dir)
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wSym))
+        .withColumn("lo_rank", greatest(lit(1L), ceil(lit(0.01) * col("n"))))
+        .withColumn("hi_rank", least(col("n"), ceil(lit(0.99) * col("n"))))
+      val bands = ranked.groupBy("symbol")
+        .agg(max(when(col("rn") === col("lo_rank"), col("close"))).as("p01"),
+          max(when(col("rn") === col("hi_rank"), col("close"))).as("p99"))
+      keyed(ranked.join(broadcast(bands), Seq("symbol"))
+          .withColumn("close_w", greatest(least(col("close"), col("p99")), col("p01")))
+          .withColumn("is_outlier", col("close") < col("p01") || col("close") > col("p99")),
+        col("close"), col("p01"), col("p99"), col("close_w"), col("is_outlier"))
+    },
+    Some(withBase(
+      s""", rk AS (SELECT $KEYS, close,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY $CLOSE_ORD) AS INT) AS rn,
+         |   CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT) AS n FROM base),
+         | rk2 AS (SELECT *, greatest(1, CAST(CEIL(0.01 * n) AS BIGINT)) AS lo_rank,
+         |   least(n, CAST(CEIL(0.99 * n) AS BIGINT)) AS hi_rank FROM rk),
+         | bands AS (SELECT symbol,
+         |   MAX(CASE WHEN rn = lo_rank THEN close END) AS p01,
+         |   MAX(CASE WHEN rn = hi_rank THEN close END) AS p99
+         |  FROM rk2 GROUP BY symbol)
+         | SELECT $KEYS, close, p01, p99,
+         |  greatest(least(close, p99), p01) AS close_w,
+         |  close < p01 OR close > p99 AS is_outlier
+         | FROM rk2 JOIN bands USING (symbol) $ORD""".stripMargin)))
+
   // ------------------------------------------- W7+W10: lag / pct change
   private val lagPctQ = Q(
     (s, dir) => {
@@ -494,6 +546,7 @@ object Queries {
     "drawdown" -> drawdownQ,
     "stochastic" -> stochasticQ,
     "atr" -> atrQ,
+    "winsorize" -> winsorizeQ,
     "rsi" -> rsiQ,
     "obv" -> obvQ,
     "lag_pct_change" -> lagPctQ,

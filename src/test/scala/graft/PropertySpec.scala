@@ -101,6 +101,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RangeJoin.pointInInterval ≡ naive range join over random interval sets") {
+    // arbitrary keys, spans (including zero-length and bucket-straddling),
+    // and point placements: the bucket decomposition must be result-
+    // identical to the naive range-condition join, for every bucket width
+    val caseGen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("A", "B"), Gen.choose(0, 120))),
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("A", "B"), Gen.choose(0, 120),
+        Gen.choose(0, 30))),
+      Gen.oneOf(1, 7, 30))
+    samples(caseGen, 6).foreach { case (pts, ivs, width) =>
+      val points = pts.zipWithIndex
+        .map { case ((k, d), i) => (k, i, d) }.toDF("k", "pid", "d")
+        .withColumn("pt", expr("date_add(date '2020-01-01', d)")).drop("d")
+      val intervals = ivs.zipWithIndex
+        .map { case ((k, st, span), i) => (i.toLong, k, st, st + span) }
+        .toDF("id", "k", "st", "en")
+        .select(col("id"), col("k"),
+          expr("date_add(date '2020-01-01', st)").as("lo"),
+          expr("date_add(date '2020-01-01', en)").as("hi"))
+      val got = graft.operators.RangeJoin
+        .pointInInterval(points, intervals, Seq("k"), "pt", "lo", "hi", width)
+        .filter(col("_in_range"))
+        .select("id", "pid").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      val naive = intervals.as("i").join(points.as("p"),
+          col("p.k") === col("i.k") && col("p.pt").between(col("i.lo"), col("i.hi")))
+        .select("id", "pid").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(got == naive, s"width=$width: got $got vs naive $naive")
+    }
+  }
+
   test("trueEma stays within [min, max] of the series; wilder rsi in [0,100]") {
     samples(seriesGen, 3).foreach { rows =>
       val df = Indicators.withWilderRsi(

@@ -294,6 +294,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("beyond-reference indicators stay single-window, two-exchange plans") {
+    // vwap/drawdown/stochastic/atr: one per-symbol window exchange + the
+    // output range sort — a third exchange would mean an accidental
+    // aggregation or a split window spec
+    Seq("vwap", "drawdown", "stochastic", "atr").foreach { name =>
+      val p = physical(Queries.all(name).fn(spark, sf0001))
+      val ex = collectAll(p) { case e: Exchange => e }
+      assert(ex.size <= 2, s"$name: ${ex.size} exchanges")
+      val windows = collectAll(p) { case w: WindowExec => w }
+      assert(windows.size <= 2, s"$name: ${windows.size} windows")
+    }
+  }
+
+  test("winsorize: band table broadcasts back, one rank window") {
+    val p = physical(Queries.all("winsorize").fn(spark, sf0001))
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, "per-symbol bands must broadcast, not shuffle the rows")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("mix_sources: quota table broadcasts, corpus is never shuffled for it") {
+    val p = physical(Queries.all("mix_sources").fn(spark, sf0001))
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, "quota join must broadcast the per-source table")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("rolling_corr: six window aggregates fuse into one pair-window node") {
     val p = physical(Queries.all("rolling_corr").fn(spark, sf0001))
     val windows = collectAll(p) { case w: WindowExec => w }

@@ -126,10 +126,14 @@ object Queries {
   // ----------------------------------------------- W6: Bollinger bands
   private val bollingerQ = Q(
     (s, dir) => {
+      // single select → one WindowExec for all three frame aggregates
+      // (withColumn would interleave cast Projects and defeat
+      // CollapseWindow; see anomaly_zscore / rolling_corr)
       val b = ohlcv(s, dir)
-        .withColumn("n", count(col("close")).over(f(19)).cast(DoubleType))
-        .withColumn("s1", sum(closeDec).over(f(19)).cast(DoubleType))
-        .withColumn("s2", sum(closeDec * closeDec).over(f(19)).cast(DoubleType))
+        .select(col("*"),
+          count(col("close")).over(f(19)).cast(DoubleType).as("n"),
+          sum(closeDec).over(f(19)).cast(DoubleType).as("s1"),
+          sum(closeDec * closeDec).over(f(19)).cast(DoubleType).as("s2"))
         .withColumn("bb_middle", col("s1") / col("n"))
         .withColumn("bb_std",
           when(col("n") > 1,
@@ -326,6 +330,119 @@ object Queries {
          |  greatest(least(close, p99), p01) AS close_w,
          |  close < p01 OR close > p99 AS is_outlier
          | FROM rk2 JOIN bands USING (symbol) $ORD""".stripMargin)))
+
+  // Rolling z-score outlier detection: how many trailing-window sample
+  // stddevs the close sits from its trailing 20-row mean — the standard
+  // cheap anomaly flag for bad prints / halts before robust cleaning.
+  // Mean/var come from the exact decimal (n, Σx, Σx²) sums of the
+  // Bollinger machinery, so both engines divide the same exact doubles;
+  // z itself is then a single IEEE subtract+divide. Plan: rides the ONE
+  // shared per-symbol WindowExec (same frame family as SMA/Bollinger) —
+  // no extra shuffle at any scale.
+  private val anomalyZscoreQ = Q(
+    (s, dir) => {
+      // one select for all three frame aggregates → ONE WindowExec
+      // (a withColumn chain interleaves cast Projects between the Window
+      // nodes and defeats CollapseWindow — same lesson as rolling_corr)
+      val z = ohlcv(s, dir)
+        .select(col("*"),
+          count(col("close")).over(f(19)).cast(DoubleType).as("n"),
+          sum(closeDec).over(f(19)).cast(DoubleType).as("s1"),
+          sum(closeDec * closeDec).over(f(19)).cast(DoubleType).as("s2"))
+        .withColumn("roll_mean", col("s1") / col("n"))
+        .withColumn("roll_std",
+          when(col("n") > 1,
+            sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), lit(0.0))))
+            .otherwise(lit(null).cast(DoubleType)))
+        .withColumn("zscore",
+          when(col("roll_std") > 0, (col("close") - col("roll_mean")) / col("roll_std")))
+        .withColumn("is_anomaly", coalesce(abs(col("zscore")) > 2, lit(false)))
+      keyed(z, col("roll_mean"), col("zscore"), col("is_anomaly"))
+    },
+    Some(withBase(
+      s""", z1 AS (SELECT $KEYS, close,
+         |  CAST(COUNT(close) ${frS(19)} AS DOUBLE) AS n,
+         |  CAST(SUM(CAST(close AS DECIMAL(12,2))) ${frS(19)} AS DOUBLE) AS s1,
+         |  CAST(SUM(CAST(close AS DECIMAL(12,2)) * CAST(close AS DECIMAL(12,2))) ${frS(19)} AS DOUBLE) AS s2
+         |  FROM base),
+         | z2 AS (SELECT *, s1 / n AS roll_mean,
+         |  CASE WHEN n > 1 THEN sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) ELSE NULL END AS roll_std FROM z1),
+         | z3 AS (SELECT *, CASE WHEN roll_std > 0 THEN (close - roll_mean) / roll_std END AS zscore FROM z2)
+         | SELECT $KEYS, roll_mean, zscore,
+         |  COALESCE(abs(zscore) > 2, FALSE) AS is_anomaly FROM z3 $ORD""".stripMargin)))
+
+  // Per-symbol quantile summary: exact rank-selected p25/p50/p75/p90/p99
+  // of close (same float-free rank selection as winsorize — the value AT
+  // row ceil(q·n) of the close-sorted order, no interpolation, so both
+  // engines pick the identical row). One rank window + one conditional
+  // aggregate per symbol; at 100 TB the one-pass GK-sketch form
+  // (corpus_stats_approx) replaces the sort, with this as its exact twin.
+  private val quantileStatsQ = Q(
+    (s, dir) => {
+      val wRank = Window.partitionBy("symbol")
+        .orderBy(tieColsByClose.map(col): _*)
+      val wSym = Window.partitionBy("symbol")
+      val ranked = ohlcv(s, dir)
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wSym))
+      val qs = Seq(0.25 -> "p25", 0.50 -> "p50", 0.75 -> "p75",
+        0.90 -> "p90", 0.99 -> "p99")
+      val aggs = qs.map { case (q, nm) =>
+        max(when(col("rn") ===
+          least(col("n"), greatest(lit(1L), ceil(lit(q) * col("n")))), col("close"))).as(nm)
+      }
+      ranked.groupBy("symbol")
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .orderBy("symbol")
+    },
+    Some(withBase(
+      s""", rk AS (SELECT symbol, close,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY $CLOSE_ORD) AS INT) AS rn,
+         |   CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT) AS n FROM base)
+         | SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MAX(CASE WHEN rn = least(n, greatest(1, CAST(CEIL(0.25 * n) AS BIGINT))) THEN close END) AS p25,
+         |  MAX(CASE WHEN rn = least(n, greatest(1, CAST(CEIL(0.50 * n) AS BIGINT))) THEN close END) AS p50,
+         |  MAX(CASE WHEN rn = least(n, greatest(1, CAST(CEIL(0.75 * n) AS BIGINT))) THEN close END) AS p75,
+         |  MAX(CASE WHEN rn = least(n, greatest(1, CAST(CEIL(0.90 * n) AS BIGINT))) THEN close END) AS p90,
+         |  MAX(CASE WHEN rn = least(n, greatest(1, CAST(CEIL(0.99 * n) AS BIGINT))) THEN close END) AS p99
+         | FROM rk GROUP BY symbol ORDER BY symbol""".stripMargin)))
+
+  // Robust scaling: (close − median) / IQR per symbol — the
+  // outlier-insensitive twin of standard_scale (M5) for fat-tailed price
+  // features. Quartiles are the same float-free exact rank selections as
+  // winsorize/quantile_stats; the per-symbol band broadcasts back.
+  private val robustScaleQ = Q(
+    (s, dir) => {
+      val wRank = Window.partitionBy("symbol")
+        .orderBy(tieColsByClose.map(col): _*)
+      val wSym = Window.partitionBy("symbol")
+      def rk(q: Double) =
+        least(col("n"), greatest(lit(1L), ceil(lit(q) * col("n"))))
+      val ranked = ohlcv(s, dir)
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wSym))
+      val bands = ranked.groupBy("symbol").agg(
+        max(when(col("rn") === rk(0.25), col("close"))).as("q1"),
+        max(when(col("rn") === rk(0.50), col("close"))).as("med"),
+        max(when(col("rn") === rk(0.75), col("close"))).as("q3"))
+      keyed(ranked.join(broadcast(bands), Seq("symbol"))
+          .withColumn("iqr", col("q3") - col("q1"))
+          .withColumn("close_robust",
+            when(col("iqr") =!= 0, (col("close") - col("med")) / col("iqr"))),
+        col("med"), col("iqr"), col("close_robust"))
+    },
+    Some(withBase(
+      s""", rk AS (SELECT $KEYS, close,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY $CLOSE_ORD) AS INT) AS rn,
+         |   CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT) AS n FROM base),
+         | bands AS (SELECT symbol,
+         |   MAX(CASE WHEN rn = least(n, greatest(1, CAST(CEIL(0.25 * n) AS BIGINT))) THEN close END) AS q1,
+         |   MAX(CASE WHEN rn = least(n, greatest(1, CAST(CEIL(0.50 * n) AS BIGINT))) THEN close END) AS med,
+         |   MAX(CASE WHEN rn = least(n, greatest(1, CAST(CEIL(0.75 * n) AS BIGINT))) THEN close END) AS q3
+         |  FROM rk GROUP BY symbol)
+         | SELECT $KEYS, med, q3 - q1 AS iqr,
+         |  CASE WHEN q3 - q1 <> 0 THEN (close - med) / (q3 - q1) END AS close_robust
+         | FROM rk JOIN bands USING (symbol) $ORD""".stripMargin)))
 
   // ------------------------------------------- W7+W10: lag / pct change
   private val lagPctQ = Q(
@@ -547,6 +664,9 @@ object Queries {
     "stochastic" -> stochasticQ,
     "atr" -> atrQ,
     "winsorize" -> winsorizeQ,
+    "anomaly_zscore" -> anomalyZscoreQ,
+    "quantile_stats" -> quantileStatsQ,
+    "robust_scale" -> robustScaleQ,
     "rsi" -> rsiQ,
     "obv" -> obvQ,
     "lag_pct_change" -> lagPctQ,

@@ -34,13 +34,17 @@ object QueriesScale {
   // lockstep — a formatting/semantics change applied to one copy but not
   // the other would silently break oracle parity for the sibling query.
 
-  /** Hyperplane dot product with the plane inlined as double literals
-    * (floats convert to double exactly, so the shortest-round-trip decimal
-    * re-parses to the same value in any engine).
+  /** Hyperplane dot product with the plane inlined as double literals.
+    * Each literal goes through a STRING→DOUBLE cast, which DuckDB rounds
+    * correctly: a bare decimal literal is parsed as DECIMAL first and the
+    * DECIMAL→DOUBLE hop double-rounds ~10% of float32 shortest-repr
+    * values by one ulp (measured), which is invisible to the sign-only
+    * consumers (bucket mirrors) but breaks bit-exact mirrors of raw
+    * projections (embedding_project).
     */
   private def planeDotSql(plane: Array[Float]): String = {
-    val lits = plane.map(_.toDouble.toString).mkString(",")
-    s"list_reduce(list_transform(list_zip(embedding, CAST([$lits] AS DOUBLE[])), " +
+    val lits = plane.map(f => s"CAST('${f.toDouble.toString}' AS DOUBLE)").mkString(",")
+    s"list_reduce(list_transform(list_zip(embedding, [$lits]), " +
       "s -> CAST(s[1] AS DOUBLE) * s[2]), (a,b) -> a + b)"
   }
 
@@ -1676,7 +1680,175 @@ object QueriesScale {
          | WHERE r.samp_rank <= wq.quota
          | ORDER BY r.source, r.samp_rank""".stripMargin))
 
+  // ------------------------------------------------ table profiling
+  // One-pass column profiler over `documents`: row count, null count and
+  // exact distinct cardinality per column, emitted tall (one row per
+  // column) — the schema-drift / data-quality monitor an ingestion
+  // pipeline runs on every batch. Plan shape: Spark rewrites the five
+  // COUNT(DISTINCT c) into ONE Expand(×5) + two-phase aggregate — a
+  // single corpus scan, not five (the oracle's UNION ALL of per-column
+  // scans is the readable spec, not the plan). At 100 TB the exact form
+  // is the audit twin; the everyday form swaps in approx_count_distinct
+  // (HLL, no Expand) as already demonstrated by corpus_stats_approx.
+  private val profileTableQ = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+      val wide = docs.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+      wide.selectExpr("n_rows",
+          s"stack(${cols.length}, $stackArgs) AS (col_name, n_notnull, n_distinct)")
+        .select(col("col_name"), col("n_rows"),
+          (col("n_rows") - col("n_notnull")).as("n_null"), col("n_distinct"))
+        .orderBy("col_name")
+    },
+    Some(
+      """SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_null,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct FROM documents
+        | UNION ALL
+        | SELECT 'lang', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+        | UNION ALL
+        | SELECT 'n_chars', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+        |  CAST(COUNT(DISTINCT n_chars) AS BIGINT) FROM documents
+        | UNION ALL
+        | SELECT 'source', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(source) AS BIGINT),
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+        | UNION ALL
+        | SELECT 'text', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(text) AS BIGINT),
+        |  CAST(COUNT(DISTINCT text) AS BIGINT) FROM documents
+        | ORDER BY col_name""".stripMargin))
+
+  // --------------------------------------------- TF-IDF keyword extraction
+  // Top-5 TF-IDF terms per document — the classic keyword/topic signal
+  // for corpus exploration and weak labeling. tf is the in-doc term
+  // count; idf = ln(N/df) dyadically quantized (determinism recipe rule
+  // 3), so score = tf · idf_q is an exact dyadic product — sums and
+  // comparisons are order-independent in both engines.
+  //
+  // Plan shape at 100 TB: df is derived FROM the (doc,term) tf aggregate
+  // (no second corpus pass); the scoring join on `term` is Zipf-skewed
+  // by construction, so it is hinted shuffle_hash here and would use the
+  // unigram_logprob broadcast-head/shuffle-tail split when the vocabulary
+  // head dominates (see withUnigramLogProb's scaladoc — same story).
+  private val tfidfTopkQ = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(ScaleOps.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+      val scored = tf.join(df_.hint("shuffle_hash"), Seq("term"))
+        .join(broadcast(nDocs))
+        .withColumn("idf_q",
+          floor(log(col("n_docs") / col("df").cast(DoubleType)) * lit(1048576.0)) / lit(1048576.0))
+        .withColumn("score", col("tf").cast(DoubleType) * col("idf_q"))
+      val wDoc = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      scored
+        .withColumn("rank", row_number().over(wDoc).cast(LongType))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some(
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        | df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        | nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        | scored AS (SELECT doc_id, term, tf,
+        |   CAST(tf AS DOUBLE) * (floor(ln(n_docs / CAST(df AS DOUBLE)) * 1048576.0) / 1048576.0) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN nd),
+        | ranked AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |     PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank,
+        |   term, tf, score FROM scored)
+        | SELECT doc_id, rank, term, tf, score FROM ranked
+        | WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin))
+
+  // ------------------------------------- random-projection compression
+  // Johnson–Lindenstrauss dimensionality reduction: project the dim-64
+  // embedding onto 16 fixed pseudo-random hyperplanes (same deterministic
+  // generator as the LSH tables, its own seed), yielding a dense 16-d
+  // sketch that approximately preserves pairwise distances — the cheap
+  // first stage before clustering / coarse ANN when the full vector is
+  // too wide to shuffle. Per-row and zero-shuffle (ORDER BY is the only
+  // exchange); each projection is the same fixed left-to-right fold as
+  // the ANN exact re-rank, computed by the native codegen dot expression.
+  private val embProjectQ = Q(
+    (s, dir) => {
+      val planes = ScaleOps.lshPlanes(dim = 64, tables = 1, bits = 16, seed = 7L)(0)
+      val projCols = planes.zipWithIndex.map { case (p, i) =>
+        ScaleOps.dotD(col("embedding"), typedlit(p)).as(f"p_$i%02d")
+      }
+      Tables.embeddings(s, dir)
+        .select(col("vec_id") +: projCols: _*)
+        .orderBy("vec_id")
+    },
+    Some {
+      val planes = ScaleOps.lshPlanes(dim = 64, tables = 1, bits = 16, seed = 7L)(0)
+      val cols = planes.zipWithIndex.map { case (p, i) =>
+        s"${planeDotSql(p)} AS p_${"%02d".format(i)}"
+      }.mkString(",\n ")
+      s"SELECT vec_id, $cols FROM embeddings ORDER BY vec_id"
+    })
+
+  // ------------------------------------- character-entropy quality signal
+  // Shannon entropy of the per-document character distribution — the
+  // CCNet/RefinedWeb-style cheap detector for degenerate text (repeated
+  // chars / encoded blobs score low; natural prose sits near the
+  // language's ~4.1 bits). Determinism: p = c/n is one correctly-rounded
+  // IEEE division (identical both engines); each −p·ln(p) term is
+  // dyadically quantized BEFORE the per-doc sum, so the sum is exact
+  // integer arithmetic in doubles and order-independent (recipe rule 3).
+  //
+  // Scale note: the explode(per-char) form is the oracle-able spec; at
+  // 100 TB entropy belongs beside the Gopher repetition signals as a
+  // zero-shuffle native expression (one pass over the string, 256-slot
+  // count array) — same treatment repetition_stats already received.
+  private val charEntropyQ = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // Spark's split keeps a trailing "" element (Java split semantics,
+      // limit -1); DuckDB's string_split does not — filter empties on
+      // BOTH sides so the engines see the same character multiset.
+      val chars = docs.select(col("doc_id"),
+          explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+      val freq = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      val withN = freq.withColumn("n",
+        sum(col("c")).over(Window.partitionBy("doc_id")))
+      val terms = withN
+        .withColumn("p", col("c").cast(DoubleType) / col("n").cast(DoubleType))
+        .withColumn("t_q",
+          floor(-col("p") * log(col("p")) * lit(1048576.0)) / lit(1048576.0))
+      terms.groupBy("doc_id")
+        .agg(countDistinct(col("ch")).as("n_distinct_chars"),
+          sum(col("t_q")).as("entropy_nats"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH chars AS (SELECT doc_id, ch FROM (
+        |   SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents) WHERE ch <> ''),
+        | freq AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c FROM chars GROUP BY 1, 2),
+        | wn AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM freq),
+        | terms AS (SELECT doc_id, ch,
+        |   floor(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1048576.0) / 1048576.0 AS t_q
+        |  FROM wn)
+        | SELECT doc_id, CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_distinct_chars,
+        |  SUM(t_q) AS entropy_nats
+        | FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "profile_table" -> profileTableQ,
+    "char_entropy" -> charEntropyQ,
+    "tfidf_topk" -> tfidfTopkQ,
+    "embedding_project" -> embProjectQ,
     "mix_sources" -> mixSourcesQ,
     "dup_ngram_fraction" -> dupNgramQ,
     "dup_ngram_fraction_prod" -> dupNgramProdQ,

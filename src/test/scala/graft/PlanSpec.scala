@@ -298,7 +298,7 @@ class PlanSpec extends SparkSpec {
     // vwap/drawdown/stochastic/atr: one per-symbol window exchange + the
     // output range sort — a third exchange would mean an accidental
     // aggregation or a split window spec
-    Seq("vwap", "drawdown", "stochastic", "atr").foreach { name =>
+    Seq("vwap", "drawdown", "stochastic", "atr", "anomaly_zscore").foreach { name =>
       val p = physical(Queries.all(name).fn(spark, sf0001))
       val ex = collectAll(p) { case e: Exchange => e }
       assert(ex.size <= 2, s"$name: ${ex.size} exchanges")
@@ -341,5 +341,48 @@ class PlanSpec extends SparkSpec {
     // daily hash exchange + weekly hash exchange + output range sort
     val ex = collectAll(p) { case e: Exchange => e }
     assert(ex.size <= 3, s"expected <=3 exchanges, got ${ex.size}")
+  }
+
+  test("profile_table: five exact distincts rewrite to ONE scan via Expand") {
+    val p = physical(Queries.all("profile_table").fn(spark, sf0001))
+    val scans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1,
+      s"profiler must be one corpus pass, got ${scans.size} scans")
+    val expands = collectAll(p) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.size == 1,
+      s"multi-distinct should plan as one Expand, got ${expands.size}")
+  }
+
+  test("quantile_stats: rank selection, no join, no cartesian") {
+    val p = physical(Queries.all("quantile_stats").fn(spark, sf0001))
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.size <= 2, s"expected <=2 windows (rank + count), got ${windows.size}")
+  }
+
+  test("tfidf_topk: df join is shuffle-hash on term; corpus count broadcasts") {
+    val p = physical(Queries.all("tfidf_topk").fn(spark, sf0001))
+    val shj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shj.nonEmpty, "Zipf-skewed term join must be shuffle-hash, not sort-merge")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    // the only nested-loop is the broadcast of the single-row n_docs count
+    val bnl = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.size <= 1, s"unexpected nested-loop joins: ${bnl.size}")
+  }
+
+  test("embedding_project: per-row projections, only the output sort shuffles") {
+    val p = physical(Queries.all("embedding_project").fn(spark, sf0001))
+    val ex = collectAll(p) { case e: Exchange => e }
+    assert(ex.size <= 1, s"expected only the ORDER BY exchange, got ${ex.size}")
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.isEmpty, "no window should appear in a per-row projection")
   }
 }

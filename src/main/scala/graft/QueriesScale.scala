@@ -1806,34 +1806,30 @@ object QueriesScale {
   // dyadically quantized BEFORE the per-doc sum, so the sum is exact
   // integer arithmetic in doubles and order-independent (recipe rule 3).
   //
-  // Scale note: the explode(per-char) form is the oracle-able spec; at
-  // 100 TB entropy belongs beside the Gopher repetition signals as a
-  // zero-shuffle native expression (one pass over the string, 256-slot
-  // count array) — same treatment repetition_stats already received.
+  // The serving form is the native one-pass expression
+  // (graftnative.CharEntropyStats — per-row, zero shuffle, inside
+  // codegen); the explode(per-char) form below in [[charEntropyExplode]]
+  // is the executable spec, bit-equal by construction (equivalence
+  // pinned in ScaleOpsSpec). The explode form shuffles one row PER
+  // CHARACTER of the corpus for a per-document statistic — wrong shape
+  // at any scale, kept only as the readable mirror of the oracle SQL.
+  // Both engines pin `length(text) > 0`: the native zero-struct row for
+  // an empty doc has no explode/oracle counterpart.
   private val charEntropyQ = Q(
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      // Spark's split keeps a trailing "" element (Java split semantics,
-      // limit -1); DuckDB's string_split does not — filter empties on
-      // BOTH sides so the engines see the same character multiset.
-      val chars = docs.select(col("doc_id"),
-          explode(split(col("text"), "")).as("ch"))
-        .filter(col("ch") =!= "")
-      val freq = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-      val withN = freq.withColumn("n",
-        sum(col("c")).over(Window.partitionBy("doc_id")))
-      val terms = withN
-        .withColumn("p", col("c").cast(DoubleType) / col("n").cast(DoubleType))
-        .withColumn("t_q",
-          floor(-col("p") * log(col("p")) * lit(1048576.0)) / lit(1048576.0))
-      terms.groupBy("doc_id")
-        .agg(countDistinct(col("ch")).as("n_distinct_chars"),
-          sum(col("t_q")).as("entropy_nats"))
+      val e = org.apache.spark.sql.graftnative.TextExpressions
+        .char_entropy(col("text"))
+      Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          e.getField("n_distinct_chars").as("n_distinct_chars"),
+          e.getField("entropy_nats").as("entropy_nats"))
         .orderBy("doc_id")
     },
     Some(
       """WITH chars AS (SELECT doc_id, ch FROM (
-        |   SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents) WHERE ch <> ''),
+        |   SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |   FROM documents WHERE length(text) > 0) WHERE ch <> ''),
         | freq AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c FROM chars GROUP BY 1, 2),
         | wn AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM freq),
         | terms AS (SELECT doc_id, ch,
@@ -1843,6 +1839,29 @@ object QueriesScale {
         | SELECT doc_id, CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_distinct_chars,
         |  SUM(t_q) AS entropy_nats
         | FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** The explode+groupBy executable spec of [[charEntropyQ]]'s native
+    * expression — one row per character, readable mirror of the oracle
+    * SQL. Equivalence with the native form is pinned in ScaleOpsSpec.
+    */
+  private[graft] def charEntropyExplode(docs: DataFrame): DataFrame = {
+    // Spark's split keeps a trailing "" element (Java split semantics,
+    // limit -1); DuckDB's string_split does not — filter empties on
+    // BOTH sides so the engines see the same character multiset.
+    val chars = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val freq = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val withN = freq.withColumn("n",
+      sum(col("c")).over(Window.partitionBy("doc_id")))
+    withN
+      .withColumn("p", col("c").cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("t_q",
+        floor(-col("p") * log(col("p")) * lit(1048576.0)) / lit(1048576.0))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("ch")).as("n_distinct_chars"),
+        sum(col("t_q")).as("entropy_nats"))
+  }
 
   val all: Map[String, Q] = Map(
     "profile_table" -> profileTableQ,

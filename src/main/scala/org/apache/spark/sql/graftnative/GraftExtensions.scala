@@ -59,5 +59,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         NgramRepetitionStats(children.head, a, b, d)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropyStats].getName, "char_entropy"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"char_entropy expects exactly 1 argument, got ${children.length}")
+        CharEntropyStats(children.head)
+      }))
   }
 }

@@ -249,12 +249,100 @@ object NgramRepetitionStats {
       coverage(WordShingles.compute(text, nDup), dup = true)))
 }
 
+/** Native per-document character-entropy — the zero-shuffle scale path
+  * of the `char_entropy` quality signal. Output is IDENTICAL to the
+  * explode(split(text, ""))+groupBy formulation (equivalence pinned in
+  * ScaleOpsSpec): counts are per Unicode CODE POINT (Java `split("")`
+  * does not split surrogate pairs), p = c/n is one IEEE division, each
+  * −p·ln(p) term is dyadically quantized (`floor(x·2^20)/2^20`) before
+  * the sum, so term order cannot matter and the result is bit-equal to
+  * the oracle-able form. The explode form shuffles one row PER CHARACTER
+  * of the corpus for a per-document statistic; this is one string pass.
+  *
+  * NULL or empty text yields the zero struct (the explode form instead
+  * drops the document — consumers filter empty docs first; the
+  * `char_entropy` query pins `length(text) > 0` on both engines).
+  */
+case class CharEntropyStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = CharEntropyStats.schema
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) CharEntropyStats.zero()
+    else CharEntropyStats.compute(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val cls = "org.apache.spark.sql.graftnative.CharEntropyStats"
+    val code =
+      code"""
+        |${childGen.code}
+        |org.apache.spark.sql.catalyst.InternalRow ${ev.value} = ${childGen.isNull}
+        |  ? $cls.zero()
+        |  : $cls.compute(${childGen.value});
+       """.stripMargin
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharEntropyStats {
+  import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_distinct_chars", LongType, nullable = false),
+    StructField("entropy_nats", DoubleType, nullable = false)))
+
+  private val ZERO: InternalRow = new GenericInternalRow(Array[Any](0L, 0.0))
+
+  def zero(): InternalRow = ZERO
+
+  def compute(text: UTF8String): InternalRow = {
+    val s = text.toString
+    if (s.isEmpty) return ZERO
+    val counts = new java.util.HashMap[Integer, Array[Long]](64)
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1L)) else slot(0) += 1L
+      n += 1L
+      i += Character.charCount(cp)
+    }
+    val nd = n.toDouble
+    var entropy = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next()(0).toDouble / nd
+      // identical expression tree to the SQL mirror:
+      // floor(((-p) * ln(p)) * 2^20) / 2^20 — dyadic terms sum exactly
+      entropy += Math.floor((-p) * Math.log(p) * 1048576.0) / 1048576.0
+    }
+    new GenericInternalRow(Array[Any](counts.size().toLong, entropy))
+  }
+}
+
 object TextExpressions {
   /** Column-level API: native word k-shingles of a text column (see
     * [[WordShingles]]).
     */
   def word_shingles(text: Column, k: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), k))
+
+  /** Column-level API: native per-document character entropy (see
+    * [[CharEntropyStats]]).
+    */
+  def char_entropy(text: Column): Column =
+    ExpressionUtils.column(CharEntropyStats(ExpressionUtils.expression(text)))
 
   /** Column-level API: native polynomial rolling hash (see
     * [[PolyRollingHash]]).

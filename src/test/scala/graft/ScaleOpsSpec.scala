@@ -836,4 +836,39 @@ class ScaleOpsSpec extends SparkSpec {
       .filter(not(col("native") === col("spec"))).count()
     assert(r == 0, "native feature map diverges from HOF spec")
   }
+
+  test("native CharEntropyStats == explode+groupBy spec, incl. unicode and edge shapes") {
+    // crafted edges: single repeated char (entropy 0), two equiprobable
+    // chars, surrogate-pair emoji (code-point counting), mixed-width
+    // unicode, and the real sf0.001 corpus
+    val crafted = Seq(
+      (1L, "aaaaaaaa"),
+      (2L, "abababab"),
+      (3L, "aé中😀 mixed"),
+      (4L, " leading and trailing "),
+      (5L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, sf0001).select("doc_id", "text")
+    Seq(crafted, corpus).foreach { docs =>
+      val e = org.apache.spark.sql.graftnative.TextExpressions
+        .char_entropy(col("text"))
+      val native = docs.filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          e.getField("n_distinct_chars").as("n_distinct_chars"),
+          e.getField("entropy_nats").as("entropy_nats"))
+      val spec = QueriesScale.charEntropyExplode(docs)
+      assert(native.exceptAll(spec).count() == 0 &&
+        spec.exceptAll(native).count() == 0,
+        "native entropy diverges from explode spec")
+    }
+    // known values: uniform over k symbols = quantized ln(k); constant = 0
+    val row = crafted.limit(2)
+      .select(org.apache.spark.sql.graftnative.TextExpressions
+        .char_entropy(col("text")).as("e"))
+      .select(col("e.n_distinct_chars"), col("e.entropy_nats"))
+      .collect().sortBy(_.getLong(0))
+    assert(row(0).getLong(0) == 1L && row(0).getDouble(1) == 0.0)
+    val ln2q = 2 * (math.floor(-0.5 * math.log(0.5) * 1048576.0) / 1048576.0)
+    assert(row(1).getLong(0) == 2L && math.abs(row(1).getDouble(1) - ln2q) < 1e-12)
+  }
 }

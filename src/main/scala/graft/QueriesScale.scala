@@ -936,6 +936,156 @@ object QueriesScale {
     },
     None)
 
+  // --------------------------------------------- C4-style line dedup
+  // Line-level exact dedup across the corpus (C4 / RefinedWeb): split
+  // each document into ". "-delimited lines; every line that appears
+  // anywhere else survives only at its FIRST occurrence (min (doc_id,
+  // idx) — deterministic, order-free) and is dropped everywhere else;
+  // documents are reassembled from their kept lines in original order.
+  // The op that strips boilerplate (cookie banners, nav text, license
+  // headers) exact-dedup at document level cannot see.
+  //
+  // Plan shape at 100 TB: first-occurrence is a two-phase
+  // groupBy(line_hash).min(struct) — partial aggregation absorbs hot
+  // boilerplate lines map-side, so the canonical skew case (the same
+  // cookie banner in 10⁹ docs) never funnels one shuffle partition; the
+  // join back is shuffle-hash on the 16-byte md5(line), not the line
+  // text, and reassembly is one per-doc aggregate (array_sort of
+  // (idx, line) structs — collect_list order never matters). md5 here is
+  // also the oracle bridge; a production twin would swap xxhash64 keys
+  // like the other _prod pairs.
+  private val lineDedupQ = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lines = docs.select(col("doc_id"),
+          posexplode(split(col("text"), "\\. ")).as(Seq("idx", "line")))
+        .withColumn("lh", md5(col("line")))
+      val firstOcc = lines.groupBy("lh")
+        .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+      val kept = lines.join(firstOcc.hint("shuffle_hash"), Seq("lh"))
+        .withColumn("kept",
+          col("first.doc_id") === col("doc_id") && col("first.idx") === col("idx"))
+      kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          coalesce(sum(when(col("kept"), lit(1L))), lit(0L)).as("n_kept"),
+          collect_list(when(col("kept"), struct(col("idx"), col("line")))).as("_kl"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(array_join(transform(array_sort(col("_kl")),
+            kl => kl.getField("line")), ". ")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH lines AS (SELECT doc_id,
+        |   unnest(string_split(text, '. ')) AS line,
+        |   unnest(range(0, len(string_split(text, '. ')))) AS idx FROM documents),
+        | lh AS (SELECT doc_id, line, idx, md5(line) AS lh FROM lines),
+        | fo AS (SELECT lh, min(struct_pack(d := doc_id, i := idx)) AS first
+        |   FROM lh GROUP BY lh),
+        | k AS (SELECT l.doc_id, l.line, l.idx,
+        |    (fo.first.d = l.doc_id AND fo.first.i = l.idx) AS kept
+        |   FROM lh l JOIN fo USING (lh))
+        | SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(SUM(CASE WHEN kept THEN 1 END), 0) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(string_agg(line, '. ' ORDER BY idx) FILTER (WHERE kept), '')) AS clean_md5
+        | FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------------ PQ-compressed ANN (⊘)
+  // IVF-PQ-style product quantization (Jégou et al. 2011) — the last rung
+  // of the ANN ladder (brute → LSH → IVF-flat → PQ): corpus vectors are
+  // compressed to 8 five-bit codes (one per 8-dim subspace, 32-centroid
+  // codebooks trained offline in graft.ml.IvfCodebook.pqCodebook), and
+  // query scoring is asymmetric-distance (ADC): per query a 8×16 lookup
+  // table of subspace dot products is built driver-side and inlined as
+  // literals, so candidate scoring is Σ_m LUT[m][code_m] — per-row
+  // element_at against an int column, ZERO shuffle and no vector math on
+  // the corpus at query time. Top-`pqRefine` ADC candidates per query are
+  // then exactly re-ranked by cosine (broadcast candidate join — the
+  // corpus never shuffles).
+  //
+  // At 100 TB the codes are the point: 64-dim float rows become 8 small
+  // codes (~5 bytes packed, a ~50× smaller scan), the 8 KiB codebook plus
+  // the per-query LUT ride the plan as literals, and the only per-row
+  // work is 8 array lookups. Rows-only key (k-means floats are
+  // partition-order-dependent, same as ann_ivf_trained_topk); the
+  // contract is RECALL ≥ 0.8 vs the exact similarity_topk (measured 0.90
+  // at sf0.001 with 32-centroid books; 16-centroid books cap at 0.69 —
+  // the ADC candidate list, not the re-rank, is the recall limiter),
+  // pinned in ScaleOpsSpec together with in-JVM determinism and
+  // self-retrieval.
+  private val pqM = 8
+  private val pqK = 32
+  private val pqDim = 64
+  private val pqRefine = 64
+  private val annPqQ = Q(
+    (s, dir) => {
+      val cb = graft.ml.IvfCodebook.pqCodebook(s, dir, pqDim, pqM, pqK)
+      val sub = pqDim / pqM
+      val emb = Tables.embeddings(s, dir)
+      // the 10 query vectors arrive driver-side — in a real ANN service
+      // the query IS a literal in the request, not a table
+      val queries: Array[(Long, Array[Float])] = emb
+        .filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      // encode: the codebook lives on the UNIT SPHERE (trainPq normalizes),
+      // so assignment must quantize x̂ = x/‖x‖, not x: code_m = argmin over
+      // centroids of ‖x̂_sub − c‖² = argmax of (x_sub·c)/‖x‖ − ‖c‖²/2.
+      // The division folds the normalization into the score — the native
+      // dot still runs on the raw slice (no per-element HOF). First-max
+      // tie-break via array_position is deterministic for a fixed codebook.
+      val codeCols = (0 until pqM).map { mi =>
+        val scores = array((0 until pqK).map { ki =>
+          val c = cb(mi)(ki)
+          val halfNorm = c.map(x => x.toDouble * x.toDouble).sum / 2.0
+          ScaleOps.dotD(slice(col("embedding"), mi * sub + 1, sub),
+            typedlit(c)) / col("_nv") - lit(halfNorm)
+        }: _*)
+        (array_position(scores, array_max(scores)) - 1)
+          .cast(IntegerType).as(s"code_$mi")
+      }
+      val coded = emb.withColumn("_nv", ScaleOps.l2norm(col("embedding")))
+        .select(col("vec_id") +: codeCols: _*)
+      // ADC: per-query LUT[m][k] = q̂_sub · c, inlined as literal arrays
+      val scoreCols = queries.map { case (qid, qv) =>
+        val qn = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
+        val terms = (0 until pqM).map { mi =>
+          val lut = Array.tabulate(pqK) { ki =>
+            val c = cb(mi)(ki)
+            var acc = 0.0
+            var i = 0
+            while (i < sub) { acc += (qv(mi * sub + i) / qn) * c(i).toDouble; i += 1 }
+            acc
+          }
+          element_at(typedlit(lut), col(s"code_$mi") + 1)
+        }
+        struct(lit(qid).as("q_id"), terms.reduce(_ + _).as("ascore"))
+      }
+      val aW = Window.partitionBy("q_id")
+        .orderBy(col("ascore").desc, col("vec_id"))
+      val cand = coded
+        .select(col("vec_id"), explode(array(scoreCols: _*)).as("qs"))
+        .select(col("qs.q_id").as("q_id"), col("vec_id"), col("qs.ascore"))
+        .withColumn("arank", row_number().over(aW))
+        .filter(col("arank") <= pqRefine)
+        .select("q_id", "vec_id")
+      // exact cosine re-rank of the small candidate set
+      import s.implicits._
+      val qDf = broadcast(
+        queries.map { case (q, v) => (q, v.toSeq) }.toSeq.toDF("q_id", "q_emb")
+          .select(col("q_id"), col("q_emb").cast(ArrayType(FloatType)).as("q_emb"))
+          .withColumn("nq", ScaleOps.l2norm(col("q_emb"))))
+      val embN = emb.withColumn("nv", ScaleOps.l2norm(col("embedding")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      embN.join(broadcast(cand), "vec_id").join(qDf, "q_id")
+        .withColumn("cos",
+          ScaleOps.cosine(col("q_emb"), col("embedding"), col("nq"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    None)
+
   // ------------------------------------------------------- PII scrub
   // Training-data hygiene op: redact emails and phone numbers, counting
   // what was removed. The synthetic corpus carries no PII, so each doc
@@ -1889,6 +2039,8 @@ object QueriesScale {
     "ann_lsh_topk" -> annLshQ,
     "ann_ivf_topk" -> annIvfQ,
     "ann_ivf_trained_topk" -> annIvfTrainedQ,
+    "ann_pq_topk" -> annPqQ,
+    "line_dedup" -> lineDedupQ,
     "dedup_exact" -> dedupExactQ,
     "text_stats" -> textStatsQ,
     "repetition_stats" -> repetitionQ,

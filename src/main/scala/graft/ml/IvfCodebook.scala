@@ -76,4 +76,53 @@ object IvfCodebook {
 
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  // ------------------------------------------------ product quantization
+
+  /** Train a product-quantization codebook (Jégou et al. 2011): split the
+    * dim-`dim` space into `m` contiguous subspaces of dim/m dims and fit a
+    * seeded k-means of `k` centroids in EACH subspace over the corpus'
+    * L2-NORMALIZED vectors (PQ on the unit sphere — the codes approximate
+    * direction, which is what cosine serving ranks by). Returns
+    * codebook(m)(k) = subspace centroid as a float array.
+    *
+    * At 100 TB this trains on a sample exactly like [[train]]; the whole
+    * artifact is m·k·(dim/m) floats (here 8·16·8 = 1 KiB) — it inlines
+    * into the serving plan as literals, the index equivalent of a
+    * broadcast too small to ship as a table.
+    */
+  def trainPq(emb: DataFrame, embCol: String, dim: Int, m: Int = 8,
+      k: Int = 16, seed: Long = 42L, maxIter: Int = 20): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val unit = emb
+      .withColumn("_n", graft.operators.ScaleOps.l2norm(col(embCol)))
+      .select(transform(col(embCol), x => x / col("_n")).as("e"))
+      .cache()
+    try {
+      Array.tabulate(m) { mi =>
+        val vecs = unit.select(org.apache.spark.ml.functions
+          .array_to_vector(slice(col("e"), mi * sub + 1, sub)
+            .cast(ArrayType(DoubleType))).as("features"))
+        // distinct seed per subspace: identically-seeded inits on similar
+        // marginals would correlate the subspace codebooks
+        val model = new KMeans().setK(k).setSeed(seed + mi).setMaxIter(maxIter)
+          .setFeaturesCol("features").fit(vecs)
+        model.clusterCenters.map(_.toArray.map(_.toFloat))
+      }
+    } finally { unit.unpersist(); () }
+  }
+
+  /** Fixture: memoized PQ codebook for `dir`'s embeddings (same staleness
+    * stamp recipe as [[codebookPath]]).
+    */
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Float]]]]()
+  def pqCodebook(spark: SparkSession, dir: String, dim: Int = 64, m: Int = 8,
+      k: Int = 16): Array[Array[Array[Float]]] = {
+    val srcStamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    pqMemo.computeIfAbsent(s"$dir@$srcStamp#$dim/$m/$k", { _ =>
+      trainPq(graft.Tables.embeddings(spark, dir), "embedding", dim, m, k)
+    })
+  }
 }

@@ -378,6 +378,31 @@ class PlanSpec extends SparkSpec {
     assert(bnl.size <= 1, s"unexpected nested-loop joins: ${bnl.size}")
   }
 
+  test("ann_pq_topk: codes + literal LUT scoring, candidates broadcast back, no cartesian") {
+    val p = physical(Queries.all("ann_pq_topk").fn(spark, sf0001))
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    // re-rank joins: the ≤400-row candidate set and the 10-row query
+    // table broadcast — the corpus is never shuffled for a join
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size == 2, s"expected 2 broadcast joins, got ${bhj.size}")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty && !fmt(Queries.all("ann_pq_topk").fn(spark, sf0001))
+      .contains("SortMergeJoin"), "corpus must not shuffle for the re-rank")
+  }
+
+  test("line_dedup: first-occurrence is a two-phase aggregate joined shuffle-hash, no window") {
+    val p = physical(Queries.all("line_dedup").fn(spark, sf0001))
+    // a WindowExec would mean first-occurrence regressed to min-over-
+    // partition(line) — the hot-boilerplate skew wall; the aggregate
+    // form partial-aggregates map-side
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty, "unexpected window")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.nonEmpty, "join back must be shuffle-hash on the compact line hash")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("embedding_project: per-row projections, only the output sort shuffles") {
     val p = physical(Queries.all("embedding_project").fn(spark, sf0001))
     val ex = collectAll(p) { case e: Exchange => e }

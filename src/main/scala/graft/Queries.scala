@@ -649,7 +649,7 @@ object Queries {
          | ORDER BY trading_date, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)))
 
   // ---------------------------------------------------------------- map
-  val all: Map[String, Q] = core ++ QueriesMeta.all ++ QueriesScale.all
+  val all: Map[String, Q] = core ++ QueriesMeta.all ++ QueriesScale.all ++ QueriesWarehouse.all
 
   private lazy val core: Map[String, Q] = Map(
     "sma" -> smaQ,

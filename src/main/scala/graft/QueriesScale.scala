@@ -435,6 +435,173 @@ object QueriesScale {
     },
     None)
 
+  // --------------------- incremental dedup (new batch vs history index)
+  // The daily-ingest pattern every production corpus runs: a NEW batch of
+  // documents is deduplicated against the already-ingested history
+  // WITHOUT re-pairing the history against itself. The history's LSH band
+  // table and distinct-shingle sets are the persisted index (built once,
+  // appended after each batch — inlined here because query keys are pure,
+  // the same precedent as ann_ivf_trained's parquet-persisted codebook);
+  // per-batch cost is O(|batch| + |candidates|): batch docs are shingled
+  // and banded, candidates come from an equi-join against the index bands
+  // (capped on the INDEX side — a degenerate history bucket would
+  // otherwise fan every matching batch row out quadratically), and exact-
+  // jaccard verification touches only candidate (new, old) pairs via
+  // shuffle-hash joins on doc ids. Nothing ever joins batch×history on
+  // text, and the history is never self-paired.
+  //
+  // Fixture split: history = the original documents; the batch is half
+  // exact copies (even ids, +100000 — every one should flag) and half
+  // token-REVERSED docs (odd ids, +200000 — order-sensitive shingles all
+  // change, so none should flag). Output per batch doc: dup count, the
+  // smallest matching history id, and the keep/drop flag.
+  private def incrementalSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = Tables.documents(s, dir)
+    val incoming = d.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+        col("lang"), col("n_chars"))
+      .unionAll(d.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text"),
+          col("lang"), col("n_chars")))
+    (d.select(col("doc_id"), col("text"), col("lang"), col("n_chars")), incoming)
+  }
+
+  private def bandsLong(sig: DataFrame): DataFrame =
+    sig.select(Seq(col("doc_id")) ++ ScaleOps.bandKeys(8, 2): _*)
+      .select(col("doc_id"),
+        posexplode(array((1 to 4).map(b => col(s"band_$b")): _*))
+          .as(Seq("band_idx", "bk")))
+
+  /** Index probe → verify → per-doc flag: the shared tail of both
+    * dedup_incremental variants (md5 oracle family / xxhash64 production
+    * family), parameterized by the two signature tables so the plans
+    * cannot drift.
+    */
+  private def dedupIncrementalFrom(history: DataFrame, incoming: DataFrame,
+      sigOld: DataFrame, sigNew: DataFrame): DataFrame = {
+      // the persisted index: capped band buckets + distinct-shingle sets
+      val oldIndex = minhashBandBuckets(sigOld)
+        .filter(size(col("ids")) <= ScaleOps.lshBucketCap)
+        .select(col("band_idx"), col("bk"), explode(col("ids")).as("old_id"))
+      val newBands = bandsLong(sigNew)
+        .select(col("doc_id").as("new_id"), col("band_idx"), col("bk"))
+      val cands = newBands.join(oldIndex, Seq("band_idx", "bk"))
+        .select(col("new_id"), col("old_id")).distinct()
+      val setsOld = history.select(col("doc_id").as("old_id"),
+        array_distinct(ScaleOps.textShingles(col("text"))).as("sh_o"))
+      val setsNew = incoming.select(col("doc_id").as("new_id"),
+        array_distinct(ScaleOps.textShingles(col("text"))).as("sh_n"))
+      val verified = cands
+        .hint("shuffle_hash").join(setsNew, "new_id")
+        .hint("shuffle_hash").join(setsOld, "old_id")
+        .withColumn("n_inter", size(array_intersect(col("sh_n"), col("sh_o"))))
+        .withColumn("jaccard", col("n_inter").cast(DoubleType) /
+          (size(col("sh_n")) + size(col("sh_o")) - col("n_inter")).cast(DoubleType))
+        .filter(col("jaccard") >= dedupJaccardThreshold)
+      val perDoc = verified.groupBy("new_id").agg(
+        count(lit(1)).as("n_dups"), min(col("old_id")).as("dup_of"))
+      incoming.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(perDoc.withColumnRenamed("new_id", "doc_id").hint("shuffle_hash"),
+          Seq("doc_id"), "left")
+        .withColumn("is_dup", col("n_dups").isNotNull)
+        .withColumn("n_dups", coalesce(col("n_dups"), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("n_dups"), col("dup_of"), col("is_dup"))
+        .orderBy(col("doc_id"))
+  }
+
+  private val dedupIncrementalQ = Q(
+    (s, dir) => {
+      val (history, incoming) = incrementalSplit(s, dir)
+      dedupIncrementalFrom(history, incoming,
+        ScaleOps.minhashSignatureTable(history, "doc_id", "text", k = 8),
+        ScaleOps.minhashSignatureTable(incoming, "doc_id", "text", k = 8))
+    },
+    Some(
+      s"""WITH hist AS (SELECT doc_id, text, lang, n_chars FROM documents),
+         | inc AS (
+         |  SELECT doc_id + 100000 AS doc_id, text, lang, n_chars
+         |   FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id,
+         |   array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text,
+         |   lang, n_chars
+         |  FROM documents WHERE doc_id % 2 = 1),
+         | th AS (SELECT doc_id, string_split(text, ' ') AS toks FROM hist),
+         | shh AS (SELECT doc_id,
+         |  [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS shingles FROM th),
+         | ti AS (SELECT doc_id, string_split(text, ' ') AS toks FROM inc),
+         | shi AS (SELECT doc_id,
+         |  [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS shingles FROM ti),
+         | sigh AS (SELECT doc_id,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('1|' || x), 1, 15)) AS BIGINT))) AS s1,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('1|' || x), 17, 15)) AS BIGINT))) AS s2,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('2|' || x), 1, 15)) AS BIGINT))) AS s3,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('2|' || x), 17, 15)) AS BIGINT))) AS s4,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('3|' || x), 1, 15)) AS BIGINT))) AS s5,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('3|' || x), 17, 15)) AS BIGINT))) AS s6,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('4|' || x), 1, 15)) AS BIGINT))) AS s7,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('4|' || x), 17, 15)) AS BIGINT))) AS s8
+         | FROM shh),
+         | sigi AS (SELECT doc_id,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('1|' || x), 1, 15)) AS BIGINT))) AS s1,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('1|' || x), 17, 15)) AS BIGINT))) AS s2,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('2|' || x), 1, 15)) AS BIGINT))) AS s3,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('2|' || x), 17, 15)) AS BIGINT))) AS s4,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('3|' || x), 1, 15)) AS BIGINT))) AS s5,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('3|' || x), 17, 15)) AS BIGINT))) AS s6,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('4|' || x), 1, 15)) AS BIGINT))) AS s7,
+         |  list_min(list_transform(shingles, x -> CAST(('0x' || substr(md5('4|' || x), 17, 15)) AS BIGINT))) AS s8
+         | FROM shi),
+         | bandedh AS (
+         |  SELECT doc_id, 1 AS band_idx, s1 || '#' || s2 AS bk FROM sigh
+         |  UNION ALL SELECT doc_id, 2, s3 || '#' || s4 FROM sigh
+         |  UNION ALL SELECT doc_id, 3, s5 || '#' || s6 FROM sigh
+         |  UNION ALL SELECT doc_id, 4, s7 || '#' || s8 FROM sigh),
+         | okh AS (SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, bk) AS c
+         |   FROM bandedh) WHERE c <= ${graft.operators.ScaleOps.lshBucketCap}),
+         | bandedi AS (
+         |  SELECT doc_id, 1 AS band_idx, s1 || '#' || s2 AS bk FROM sigi
+         |  UNION ALL SELECT doc_id, 2, s3 || '#' || s4 FROM sigi
+         |  UNION ALL SELECT doc_id, 3, s5 || '#' || s6 FROM sigi
+         |  UNION ALL SELECT doc_id, 4, s7 || '#' || s8 FROM sigi),
+         | cand AS (SELECT DISTINCT i.doc_id AS new_id, h.doc_id AS old_id
+         |  FROM bandedi i JOIN okh h ON i.band_idx = h.band_idx AND i.bk = h.bk),
+         | setsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM shh),
+         | setsi AS (SELECT doc_id, list_distinct(shingles) AS s FROM shi),
+         | verified AS (SELECT new_id, old_id FROM (
+         |   SELECT cand.new_id, cand.old_id,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+         |   FROM cand JOIN setsi a ON cand.new_id = a.doc_id
+         |             JOIN setsh b ON cand.old_id = b.doc_id)
+         |  WHERE jaccard >= $dedupJaccardThreshold),
+         | agg AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+         |   MIN(old_id) AS dup_of FROM verified GROUP BY new_id)
+         | SELECT i.doc_id, i.lang, i.n_chars,
+         |  coalesce(a.n_dups, 0) AS n_dups, a.dup_of,
+         |  a.n_dups IS NOT NULL AS is_dup
+         | FROM inc i LEFT JOIN agg a ON a.new_id = i.doc_id
+         | ORDER BY i.doc_id""".stripMargin))
+
+  // ---------------- production incremental dedup (xxhash64, ⊘)
+  // The same index-probe pipeline on seeded-xxhash64 signatures — the
+  // per-batch form a production ingest actually runs (md5 exists for the
+  // oracle only). No oracle for the same reason as minhash_dedup_prod;
+  // ScaleOpsSpec pins flag-set equivalence vs the md5 form: exact copies
+  // share all bands in EITHER hash family and verification is hash-free
+  // exact jaccard, so the two flag sets agree wherever candidate recall
+  // does.
+  private val dedupIncrementalProdQ = Q(
+    (s, dir) => {
+      val (history, incoming) = incrementalSplit(s, dir)
+      dedupIncrementalFrom(history, incoming,
+        ScaleOps.minhashSignatureTableXx(history, "doc_id", "text", k = 8),
+        ScaleOps.minhashSignatureTableXx(incoming, "doc_id", "text", k = 8))
+    },
+    None)
+
   // ------------------- cluster-representative dedup (connected components)
   // The third dedup semantics (alongside per-pair keep-min and exact):
   // verified near-dup pairs are clustered into connected components via
@@ -2052,6 +2219,8 @@ object QueriesScale {
     "dedup_cc" -> dedupCcQ,
     "dedup_cc_prod" -> dedupCcProdQ,
     "dedup_pipeline_prod" -> dedupPipelineProdQ,
+    "dedup_incremental" -> dedupIncrementalQ,
+    "dedup_incremental_prod" -> dedupIncrementalProdQ,
     "pii_scrub" -> piiScrubQ,
     "quality_filter" -> qualityFilterQ,
     "text_normalize" -> textNormalizeQ,

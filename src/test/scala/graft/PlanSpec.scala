@@ -410,4 +410,48 @@ class PlanSpec extends SparkSpec {
     val windows = collectAll(p) { case w: WindowExec => w }
     assert(windows.isEmpty, "no window should appear in a per-row projection")
   }
+
+  test("scd2_history: both window passes ride ONE custkey exchange") {
+    val p = physical(Queries.all("scd2_history").fn(spark, sf0001))
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.size == 2, s"expected lag + lead/version windows, got ${windows.size}")
+    // one shuffle on o_custkey + the output range partitioning — the
+    // change-row filter preserves distribution, so the second WindowExec
+    // must NOT introduce a new exchange
+    val ex = collectAll(p) { case e: Exchange => e }
+    assert(ex.size <= 2, s"expected <=2 exchanges (custkey + ORDER BY), got ${ex.size}")
+  }
+
+  test("ffill_calendar: calendar densification never cartesians, fill is one window") {
+    val p = physical(Queries.all("ffill_calendar").fn(spark, sf0001))
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.size == 1, s"expected one forward-fill window, got ${windows.size}")
+  }
+
+  test("pivot_close: explicit value list keeps the pivot a single-aggregate plan") {
+    val df = Queries.all("pivot_close").fn(spark, sf0001)
+    val p = physical(df)
+    // with the symbol list passed explicitly there is no distinct-values
+    // job and no join — the matrix is aggregates only (daily dedup +
+    // pivot), two data exchanges plus the output sort at most
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    assert(!fmt(df).contains("Join"), "pivot must not plan any join")
+    val ex = collectAll(p) { case e: Exchange => e }
+    assert(ex.size <= 3, s"expected <=3 exchanges (dedup, pivot, sort), got ${ex.size}")
+  }
+
+  test("dedup_incremental: index probe and verify joins are hash joins, batch never self-pairs") {
+    val df = Queries.all("dedup_incremental").fn(spark, sf0001)
+    val p = physical(df)
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    val plan = fmt(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "no nested-loop join anywhere")
+    // the three doc-id joins (sets×2 + flag join-back) are pinned
+    // shuffle-hash — AQE must not flip a corpus-sized side to broadcast
+    val shj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shj.size >= 3, s"expected >=3 shuffle-hash joins, got ${shj.size}")
+  }
 }

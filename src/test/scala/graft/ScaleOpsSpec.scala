@@ -890,4 +890,34 @@ class ScaleOpsSpec extends SparkSpec {
     val ln2q = 2 * (math.floor(-0.5 * math.log(0.5) * 1048576.0) / 1048576.0)
     assert(row(1).getLong(0) == 2L && math.abs(row(1).getDouble(1) - ln2q) < 1e-12)
   }
+
+  test("dedup_incremental: exact copies all flag against history, reversed docs never do") {
+    // the fixture batch is half verbatim copies of history (+100000, even
+    // source ids) and half token-reversed docs (+200000, odd ids): an
+    // exact copy shares every band with its original and verifies at
+    // jaccard 1.0; token reversal changes every ordered 3-shingle, so a
+    // reversed doc must not clear the 0.7 threshold against ANY original
+    val out = Queries.all("dedup_incremental").fn(spark, sf0001).cache()
+    val copies = out.filter(col("doc_id") < 200000)
+    val reversed = out.filter(col("doc_id") >= 200000)
+    assert(copies.count() > 0 && reversed.count() > 0)
+    assert(copies.filter(!col("is_dup")).count() == 0,
+      "every exact copy must flag as a duplicate of history")
+    assert(reversed.filter(col("is_dup")).count() == 0,
+      "no token-reversed doc may flag as a duplicate")
+    // a copy always verifies against its own original, so the smallest
+    // match is AT MOST that original (strictly smaller when the original
+    // itself has a lower-id near-dup in history — both ids verify)
+    assert(copies.filter(col("dup_of") > col("doc_id") - 100000).count() == 0,
+      "an exact copy's best match can never exceed its own original")
+    // production twin (xxhash64 signatures): the flag SET must agree with
+    // the md5 oracle family — exact copies share all bands in either hash
+    // family and verification is hash-free exact jaccard
+    val prod = Queries.all("dedup_incremental_prod").fn(spark, sf0001)
+      .select(col("doc_id"), col("is_dup").as("is_dup_prod"))
+    assert(out.select("doc_id", "is_dup").join(prod, "doc_id")
+      .filter(col("is_dup") =!= col("is_dup_prod")).count() == 0,
+      "md5 and xxhash64 incremental flags diverge")
+    out.unpersist()
+  }
 }

@@ -442,6 +442,82 @@ object QueriesMeta {
          |  END AS corr_20
          | FROM w ORDER BY s1, s2, trading_date""".stripMargin))
 
+  // ------------------------------------------- rolling beta vs index
+  // 20-day rolling beta of each symbol against the equal-weight market
+  // index — the hedging/risk statistic beside rolling_corr. The "index"
+  // return is the SUM of the grid returns present on the date (an
+  // equal-weight index of the full universe, including the symbol itself,
+  // scaled by the member count — beta against a scaled index differs only
+  // in the grid constant, and the sum keeps every windowed Σ in exact
+  // 64-bit integers; see rolling_corr's determinism scheme). Bounds:
+  // |x| ≤ 1e8, |y| ≤ S·1e8 for S symbols, 20-row Σxy ≤ 20·S·1e16 — inside
+  // long range for any universe to ~450 names; a 1000-name universe
+  // coarsens the grid one notch. beta = Cov(x,y)/Var(y) folded through
+  // one fixed-shape double expression.
+  //
+  // Scale shape: the per-date index table is |dates| compact rows
+  // (broadcast when small, hash join on date otherwise); the window is
+  // the standard per-symbol family (chunked decomposition applies to hot
+  // symbols). One row per (symbol, date) throughout — never pair
+  // expansion, unlike the corr matrix.
+  private val rollingBetaQ = Q(
+    (s, dir) => {
+      val daily = Tables.ohlcv(s, dir)
+        .groupBy(col("symbol"), col("trading_date"))
+        .agg(max(struct(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("close"))).as("_m"))
+        .select(col("symbol"), col("trading_date"), col("_m.close").as("close"))
+      val wSym = Window.partitionBy("symbol").orderBy("trading_date")
+      val ret = daily
+        .withColumn("prev", lag(col("close"), 1).over(wSym))
+        .filter(col("prev").isNotNull)
+        .withColumn("r", (col("close") - col("prev")) / col("prev") * 100)
+        .select(col("symbol"), col("trading_date"),
+          floor(greatest(least(col("r"), lit(1e4)), lit(-1e4)) * 1e4)
+            .cast(LongType).as("x"))
+      val mkt = ret.groupBy("trading_date").agg(sum(col("x")).as("y"))
+      val f = Window.partitionBy("symbol").orderBy("trading_date")
+        .rowsBetween(-19, 0)
+      def d(c: Column) = c.cast(DoubleType)
+      val agg = ret.join(mkt, "trading_date")
+        .select(col("symbol"), col("trading_date"),
+          count(lit(1)).over(f).as("n"),
+          sum(col("x")).over(f).as("sx"),
+          sum(col("y")).over(f).as("sy"),
+          sum(col("x") * col("y")).over(f).as("sxy"),
+          sum(col("y") * col("y")).over(f).as("syy"))
+      val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+      val den = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+      agg
+        .withColumn("beta_20", when(col("n") >= 2 && den > 0, num / den))
+        .select(col("symbol"), col("trading_date"), col("n").as("n_obs"),
+          col("beta_20"))
+        .orderBy(col("symbol"), col("trading_date"))
+    },
+    Some(
+      s"""WITH base AS (${Tables.ohlcvSql}),
+         | daily AS (SELECT symbol, trading_date, close FROM base
+         |   QUALIFY ROW_NUMBER() OVER (PARTITION BY symbol, trading_date
+         |     ORDER BY l_orderkey DESC, l_linenumber DESC, l_partkey DESC, l_suppkey DESC) = 1),
+         | ret AS (SELECT symbol, trading_date,
+         |   CAST(FLOOR(greatest(least((close - prev) / prev * 100, 1e4), -1e4) * 1e4) AS BIGINT) AS x
+         |  FROM (SELECT *, LAG(close, 1) OVER (PARTITION BY symbol ORDER BY trading_date) AS prev FROM daily)
+         |  WHERE prev IS NOT NULL),
+         | mkt AS (SELECT trading_date, CAST(SUM(x) AS BIGINT) AS y FROM ret GROUP BY trading_date),
+         | w AS (SELECT r.symbol, r.trading_date,
+         |   CAST(COUNT(*) OVER f AS BIGINT) AS n,
+         |   CAST(SUM(r.x) OVER f AS BIGINT) AS sx, CAST(SUM(m.y) OVER f AS BIGINT) AS sy,
+         |   CAST(SUM(r.x * m.y) OVER f AS BIGINT) AS sxy,
+         |   CAST(SUM(m.y * m.y) OVER f AS BIGINT) AS syy
+         |  FROM ret r JOIN mkt m USING (trading_date)
+         |  WINDOW f AS (PARTITION BY r.symbol ORDER BY r.trading_date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         | SELECT symbol, trading_date, n AS n_obs,
+         |  CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+         |   THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |     / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         |  END AS beta_20
+         | FROM w ORDER BY symbol, trading_date""".stripMargin))
+
   // --------------------------------------- S10: CSV symbol universe (⊘)
   // Round-trips the symbol universe through a real CSV file — exercises
   // the header-CSV source + fallback. The file is a FIXTURE
@@ -510,6 +586,7 @@ object QueriesMeta {
     "stream_microbatch" -> streamMicrobatchQ,
     "resample_ohlc" -> resampleOhlcQ,
     "range_join" -> rangeJoinQ,
-    "rolling_corr" -> rollingCorrQ
+    "rolling_corr" -> rollingCorrQ,
+    "rolling_beta" -> rollingBetaQ
   )
 }

@@ -1492,6 +1492,47 @@ object QueriesScale {
         | r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INT) AS rank FROM c)
         | SELECT lang, bigram, n, rank FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin))
 
+  // ------------------- sketch-based n-gram top-k (Misra-Gries, ⊘)
+  // The 100 TB form of ngram_counts' candidate generation: the exact key
+  // must count EVERY distinct n-gram (O(vocabulary) aggregation state —
+  // the salted window absorbs the skew but the full-vocab shuffle
+  // remains); here a bounded-memory Misra-Gries sketch
+  // (functions.MisraGriesAgg) runs as ONE partial-aggregating pass whose
+  // merged summary provably contains every gram with frequency >
+  // N/(capacity+1), then an exact counting pass runs over ONLY the
+  // surviving candidates per language: the broadcast
+  // semi-join filters the gram stream before any aggregation state
+  // builds, so the re-count's state is O(candidates), and the final top-5
+  // carries exact counts (sketch values are bounds — never reported).
+  // The unsalted rank window is safe here precisely because its input is
+  // ≤capacity rows per language. Capacity sizing is the operational knob:
+  // survival needs capacity > N/f(top-k), so for Zipf-headed real corpora
+  // (f(5th) ≈ N/50) a few hundred counters suffice, while this NEAR-
+  // UNIFORM synthetic corpus (rank-5 bigram ≈ N/300, the sketch's worst
+  // case) needs 2048 — which exceeds its ~900-bigram vocabulary, so here
+  // the sketch tracks everything exactly; the containment test below is
+  // the check a production deployment would run on a sample before
+  // trusting a capacity. No SQL oracle — sketch internals are engine-
+  // specific; ScaleOpsSpec pins the top-5 equal to the exact ngram_counts
+  // key.
+  private val ngramCountsApproxQ = Q(
+    (s, dir) => {
+      val bi = Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(ScaleOps.textShingles(col("text"), k = 2)).as("bigram"))
+      val mg = udaf(new graft.functions.MisraGriesAgg(2048),
+        org.apache.spark.sql.Encoders.STRING)
+      val candidates = bi.groupBy("lang").agg(mg(col("bigram")).as("sketch"))
+        .select(col("lang"), explode(map_keys(col("sketch"))).as("bigram"))
+      val exact = bi.join(broadcast(candidates), Seq("lang", "bigram"))
+        .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))
+      exact.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy(col("lang"), col("rank"))
+    },
+    None)
+
   // ------------------------------- sketch-based corpus stats (⊘ oracle)
   // The 100 TB form of corpus_stats: HLL++ distinct counts and
   // Greenwald-Khanna quantile summaries replace exact DISTINCT (whose
@@ -2201,6 +2242,7 @@ object QueriesScale {
     "stratified_sample_hash" -> stratifiedHashQ,
     "corpus_stats_approx" -> corpusStatsApproxQ,
     "ngram_counts" -> ngramCountsQ,
+    "ngram_counts_approx" -> ngramCountsApproxQ,
     "embedding_quantize" -> embQuantizeQ,
     "corpus_stats" -> corpusStatsQ,
     "ann_lsh_topk" -> annLshQ,

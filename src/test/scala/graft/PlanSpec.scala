@@ -441,6 +441,24 @@ class PlanSpec extends SparkSpec {
     assert(ex.size <= 3, s"expected <=3 exchanges (dedup, pivot, sort), got ${ex.size}")
   }
 
+  test("ngram_counts_approx: candidate re-count filters via broadcast before aggregating") {
+    val p = physical(Queries.all("ngram_counts_approx").fn(spark, sf0001))
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    // the exact pass must join the gram stream against the tiny sketch
+    // survivors BY BROADCAST — a shuffle there would rebuild the full-
+    // vocabulary exchange the sketch exists to avoid
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size == 1, s"expected the candidate broadcast join, got ${bhj.size}")
+  }
+
+  test("rolling_beta: index join + one per-symbol window, no pair expansion") {
+    val p = physical(Queries.all("rolling_beta").fn(spark, sf0001))
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    val windows = collectAll(p) { case w: WindowExec => w }
+    // lag window (returns) + the fused 5-aggregate beta window
+    assert(windows.size <= 3, s"expected <=3 windows, got ${windows.size}")
+  }
+
   test("dedup_incremental: index probe and verify joins are hash joins, batch never self-pairs") {
     val df = Queries.all("dedup_incremental").fn(spark, sf0001)
     val p = physical(df)

@@ -920,4 +920,38 @@ class ScaleOpsSpec extends SparkSpec {
       "md5 and xxhash64 incremental flags diverge")
     out.unpersist()
   }
+
+  test("MisraGriesAgg: heavy hitters survive a compressing sketch within the error bound") {
+    // crafted skew where the sketch actually compresses (capacity 8 ≪ 100
+    // distinct keys): hot keys appear 200/100 times, 100 tail keys once
+    // each, N = 400 → guaranteed survival above N/9 ≈ 44, undercount ≤ 44
+    val rows = Seq.fill(200)("hot1") ++ Seq.fill(100)("hot2") ++
+      (1 to 100).map(i => s"tail$i")
+    val df = rows.toDF("k")
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGriesAgg(8), org.apache.spark.sql.Encoders.STRING)
+    val sketch = df.agg(mg(col("k")).as("s")).selectExpr("explode(s) as (k, c)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.size <= 8, s"sketch exceeded capacity: ${sketch.size}")
+    assert(sketch.contains("hot1") && sketch.contains("hot2"),
+      s"heavy hitters lost: $sketch")
+    assert(sketch("hot1") <= 200 && sketch("hot1") >= 200 - 45,
+      s"hot1 bound violated: ${sketch("hot1")}")
+    assert(sketch("hot2") <= 100 && sketch("hot2") >= 100 - 45,
+      s"hot2 bound violated: ${sketch("hot2")}")
+  }
+
+  test("ngram_counts_approx: sketch candidates + exact re-count reproduce the exact top-5") {
+    // the Misra-Gries pass only GENERATES candidates; ranks come from an
+    // exact re-count, so if the true top-5 survives the sketch (this
+    // near-uniform corpus needs the 2048 capacity — see the query's
+    // scaladoc) the outputs must be identical rows
+    val exact = Queries.all("ngram_counts").fn(spark, sf0001)
+      .select("lang", "bigram", "n", "rank")
+    val approx = Queries.all("ngram_counts_approx").fn(spark, sf0001)
+      .select("lang", "bigram", "n", "rank")
+    assert(exact.exceptAll(approx).count() == 0 &&
+      approx.exceptAll(exact).count() == 0,
+      "sketch-driven top-5 diverges from exact top-5")
+  }
 }

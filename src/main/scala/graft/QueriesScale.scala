@@ -1012,22 +1012,35 @@ object QueriesScale {
     * (production) codebooks. `emb` carries (vec_id, embedding, nv);
     * `cents` carries (c_id, c_emb, nc).
     */
-  private def ivfTopk(emb: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
-    val scored = emb.join(broadcast(cents))
+  /** Corpus-side IVF assignment: each vector lands in its argmax-cosine
+    * inverted list. An ARGMAX aggregation, not a window: a row_number
+    * over the K×-expanded corpus would exchange and sort K copies of
+    * every row; max(struct) partial-aggregates map-side and ships one
+    * row per vector with no sort. Tiebreak c_id asc via -c_id (c_cos/
+    * neg_c decide before the payload fields are ever compared).
+    * Per-row given a frozen codebook — which is what makes the index
+    * APPENDABLE (see ann_ivf_append): assigning a new segment never
+    * touches existing assignments.
+    */
+  private def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.join(broadcast(cents))
       .withColumn("c_cos", ScaleOps.cosine(col("embedding"), col("c_emb"), col("nv"), col("nc")))
-    // corpus-side assignment is an ARGMAX aggregation, not a window: a
-    // row_number over the K×-expanded corpus would exchange and sort K
-    // copies of every row; max(struct) partial-aggregates map-side and
-    // ships one row per vector with no sort. Tiebreak c_id asc via -c_id
-    // (c_cos/neg_c decide before the payload fields are ever compared).
-    val lists = scored.groupBy(col("vec_id"))
+      .groupBy(col("vec_id"))
       .agg(max(struct(col("c_cos"), (-col("c_id")).as("neg_c"), col("c_id"),
         col("embedding"), col("nv"))).as("_m"))
       .select(col("vec_id"), col("_m.c_id").as("c_id"),
         col("_m.embedding").as("embedding"), col("_m.nv").as("nv"))
+
+  /** IVF serving over a prebuilt inverted-list table: rank centroids per
+    * query, probe the top-nProbe lists via equi-join, exact cosine
+    * re-rank.
+    */
+  private def ivfServe(lists: DataFrame, emb: DataFrame, cents: DataFrame,
+      nProbe: Int): DataFrame = {
     // probe side is 10 queries × K centroids — a window here is trivial
     val probeW = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
-    val probes = scored.filter(col("vec_id") < 10)
+    val probes = emb.filter(col("vec_id") < 10).join(broadcast(cents))
+      .withColumn("c_cos", ScaleOps.cosine(col("embedding"), col("c_emb"), col("nv"), col("nc")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nv").as("nq"), col("c_id"), col("c_cos"))
       .withColumn("c_rank", row_number().over(probeW))
@@ -1043,6 +1056,9 @@ object QueriesScale {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  private def ivfTopk(emb: DataFrame, cents: DataFrame, nProbe: Int): DataFrame =
+    ivfServe(ivfAssign(emb, cents), emb, cents, nProbe)
 
   private val annIvfQ = Q(
     (s, dir) => {
@@ -1103,6 +1119,34 @@ object QueriesScale {
     },
     None)
 
+  // ------------------------------------- incremental IVF index append (⊘)
+  // Index maintenance — the ANN family's dedup_incremental: a daily batch
+  // of new vectors joins the index WITHOUT retraining the codebook or
+  // touching existing assignments. The codebook is frozen (the trained
+  // artifact from ann_ivf_trained_topk), assignment is per-row argmax
+  // against it, so a new segment is assigned independently and the
+  // serving view is the UNION of inverted-list segments — exactly how
+  // real IVF deployments append (segment files + frozen quantizer,
+  // periodic retrain only when recall drifts). Equality with the
+  // monolithic rebuild is pinned in ScaleOpsSpec: union-of-segments
+  // serving is bit-identical to assigning the whole corpus at once (per-
+  // row assignment + frozen codebook make this exact, not approximate).
+  // Rows-only key (k-means floats, same as every trained-codebook key).
+  // Fixture split: vec_id % 10 == 0 plays "today's append".
+  private val annIvfAppendQ = Q(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("nv", ScaleOps.l2norm(col("embedding")))
+      val cents = graft.ml.IvfCodebook.load(s,
+          graft.ml.IvfCodebook.codebookPath(s, dir, ivfTrainedK))
+        .withColumn("nc", ScaleOps.l2norm(col("c_emb")))
+      val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+      val segments = ivfAssign(base, cents).unionAll(ivfAssign(batch, cents))
+      ivfServe(segments, emb, cents, ivfTrainedProbes)
+    },
+    None)
+
   // --------------------------------------------- C4-style line dedup
   // Line-level exact dedup across the corpus (C4 / RefinedWeb): split
   // each document into ". "-delimited lines; every line that appears
@@ -1155,6 +1199,65 @@ object QueriesScale {
         |  CAST(COALESCE(SUM(CASE WHEN kept THEN 1 END), 0) AS BIGINT) AS n_kept,
         |  md5(COALESCE(string_agg(line, '. ' ORDER BY idx) FILTER (WHERE kept), '')) AS clean_md5
         | FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------- cross-document span dedup
+  // Exact-substring duplicate detection at token-span granularity (the
+  // Spark-shaped analogue of Lee et al. 2022 "Deduplicating Training Data
+  // Makes Language Models Better": their suffix-array pass finds 50-token
+  // spans repeated anywhere in the corpus; here every w-token window is
+  // rolling-hashed and a span is DUPLICATED iff its hash occurs more than
+  // once corpus-wide — within- or cross-document, matching their
+  // "appears more than once" rule). Per document: span count, duplicated-
+  // span count, duplicated fraction, and a flag at frac > 0.5 — the
+  // downstream filter either drops flagged docs or cuts the spans.
+  //
+  // Plan shape at 100 TB: spans never ship as text — each window is
+  // hashed per-row (one explode of the shingle array), the global
+  // occurrence count is a two-phase HashAggregate on the hash (partial
+  // aggregation absorbs hot boilerplate spans map-side, so the cookie-
+  // banner-in-10⁹-docs skew case never funnels one partition), and the
+  // count joins back via shuffle-hash on the compact key. w=5 here
+  // (short synthetic docs); production uses w≈50 — same plan, longer
+  // windows, FEWER spans per doc. md5 is the oracle bridge; the _prod
+  // twin swaps xxhash64 like every other dedup pair. Docs shorter than
+  // w tokens have no spans and are absent (both engines drop them).
+  private val spanW = 5
+  private def spanDedupPlan(s: SparkSession, dir: String,
+      h: Column => Column): DataFrame = {
+    val spans = Tables.documents(s, dir).select(col("doc_id"),
+        explode(ScaleOps.textShingles(col("text"), spanW)).as("span"))
+      .select(col("doc_id"), h(col("span")).as("sh"))
+    val counts = spans.groupBy("sh").agg(count(lit(1)).as("n_occ"))
+    spans.join(counts.hint("shuffle_hash"), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_occ") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        col("n_dup_spans").cast(DoubleType) / col("n_spans").cast(DoubleType))
+      .withColumn("flagged", col("dup_span_frac") > 0.5)
+      .orderBy("doc_id")
+  }
+  private val spanDedupQ = Q(
+    (s, dir) => spanDedupPlan(s, dir, md5),
+    Some(
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | sp AS (SELECT doc_id, unnest([md5(array_to_string(toks[i:i+${spanW - 1}], ' '))
+        |   for i in generate_series(1, len(toks)-${spanW - 1})]) AS sh FROM t),
+        | c AS (SELECT sh, COUNT(*) AS n_occ FROM sp GROUP BY sh),
+        | d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |   CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |  FROM sp JOIN c USING (sh) GROUP BY doc_id)
+        | SELECT doc_id, n_spans, n_dup_spans,
+        |  CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_span_frac,
+        |  CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) > 0.5 AS flagged
+        | FROM d ORDER BY doc_id""".stripMargin))
+  // Production twin: 64-bit xxhash64 span keys instead of md5 strings —
+  // half the shuffle bytes and none of the cryptographic-hash CPU.
+  // Rows-only (no xxhash64 in DuckDB); flagged-set equivalence vs the
+  // md5 form is pinned in ScaleOpsSpec.
+  private val spanDedupProdQ = Q(
+    (s, dir) => spanDedupPlan(s, dir, c => xxhash64(c)),
+    None)
 
   // ------------------------------------------------ PQ-compressed ANN (⊘)
   // IVF-PQ-style product quantization (Jégou et al. 2011) — the last rung
@@ -1250,6 +1353,21 @@ object QueriesScale {
         .filter(col("rank") <= 10)
         .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
         .orderBy(col("q_id"), col("rank"))
+    },
+    None)
+
+  // -------------------------------------- learned quality classifier (⊘)
+  // Model-based quality filtering (see graft.ml.QualityClassifier): a
+  // seeded hashed-unigram logistic regression scores every document with
+  // a keep-probability. Rows-only key — L-BFGS float output is
+  // partition-order-dependent, so the contract is pinned in
+  // MlParitySpec instead: holdout accuracy ≥ 0.8 against the weak label
+  // and in-JVM determinism of the scored frame.
+  private val qualityClassifierQ = Q(
+    (s, dir) => {
+      val m = graft.ml.QualityClassifier.model(s, dir)
+      graft.ml.QualityClassifier.score(m, Tables.documents(s, dir))
+        .orderBy("doc_id")
     },
     None)
 
@@ -1584,6 +1702,64 @@ object QueriesScale {
         |      ELSE 'test' END AS split
         | FROM documents ORDER BY doc_id""".stripMargin))
 
+  // --------------------------------- leakage-safe train/val/test split
+  // dataset_split keyed per-DOCUMENT leaks: a near-duplicate pair split
+  // across train and validation inflates eval scores (the
+  // contamination Lee et al. 2022 measure between C4's own splits). The
+  // guard: assign splits by the near-dup CLUSTER representative — every
+  // member of a connected component follows its rep's hash bucket, so no
+  // cluster ever straddles a split boundary (pinned in ScaleOpsSpec).
+  // Recomputes the CC cluster map here to stay self-contained; in
+  // production the map is a byproduct of the dedup_cc run (a persisted
+  // (doc_id, rep_id) table) and this op is one broadcast-free hash on
+  // top of it — the split itself adds zero shuffle beyond the output
+  // sort.
+  private val leakageSplitQ = Q(
+    (s, dir) => {
+      val corpus = dupedDocs(s, dir)
+      val cc = dedupCcFrom(corpus,
+        ScaleOps.minhashSignatureTable(corpus, "doc_id", "text", k = 8))
+      val bucket = pmod(
+        conv(substring(md5(col("rep_id").cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType),
+        lit(10L))
+      cc.select(col("doc_id"), col("rep_id"))
+        .withColumn("bucket", bucket)
+        .withColumn("split",
+          when(col("bucket") < 8, lit("train"))
+            .when(col("bucket") === 8, lit("validation"))
+            .otherwise(lit("test")))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         | cand AS (SELECT DISTINCT id1, id2 FROM pairs),
+         | sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+         | verified AS (SELECT id1, id2 FROM (
+         |   SELECT cand.id1, cand.id2,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+         |   FROM cand JOIN sets a ON cand.id1 = a.doc_id JOIN sets b ON cand.id2 = b.doc_id)
+         |  WHERE jaccard >= $dedupJaccardThreshold),
+         | edges AS (SELECT id1 AS a, id2 AS b FROM verified
+         |           UNION SELECT id2, id1 FROM verified),
+         | reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         | rep AS (SELECT a AS doc_id, least(a, min(b)) AS rep_id
+         |         FROM reach GROUP BY a),
+         | assigned AS (SELECT c.doc_id,
+         |   coalesce(r.rep_id, c.doc_id) AS rep_id
+         |  FROM corpus c LEFT JOIN rep r USING (doc_id)),
+         | bucketed AS (SELECT doc_id, rep_id,
+         |   CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS bucket
+         |  FROM assigned)
+         | SELECT doc_id, rep_id, bucket,
+         |  CASE WHEN bucket < 8 THEN 'train'
+         |       WHEN bucket = 8 THEN 'validation'
+         |       ELSE 'test' END AS split
+         | FROM bucketed ORDER BY doc_id""".stripMargin))
+
   // --------------------------------------- stratified sampling (⊘ oracle)
   // Per-language stratified sample (sampleBy): engine-internal Bernoulli
   // draws aren't mirrorable in SQL — rows-only; proportions pinned by test.
@@ -1797,6 +1973,47 @@ object QueriesScale {
         |   SUM(lp) AS sum_logprob FROM lp GROUP BY 1)
         | SELECT doc_id, n_tokens, sum_logprob,
         |  sum_logprob / CAST(n_tokens AS DOUBLE) AS avg_logprob
+        | FROM agg ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------- bigram-LM quality scoring
+  // The CCNet-style perplexity filter one order above unigram_logprob —
+  // see ScaleOps.withBigramLogProb (Jelinek-Mercer ½-interpolated bigram
+  // LM; context counts derived from the bigram table, all three count
+  // lookups through the skew-safe Zipf split-join). Every probability is
+  // a division of exact integer counts, the interpolation is IEEE-exact,
+  // and ln is dyadically quantized before the order-free per-doc sum —
+  // the same determinism recipe as the unigram form, so the oracle
+  // mirrors bitwise. Docs with <2 tokens are absent on both sides.
+  private val bigramLogProbQ = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      ScaleOps.withBigramLogProb(docs, "doc_id")
+        .select(col("doc_id"), col("n_bigrams"), col("sum_logprob"),
+          col("avg_logprob"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | sp AS (SELECT doc_id,
+        |   unnest([array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]) AS bg
+        |  FROM t),
+        | spw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1,
+        |   string_split(bg, ' ')[2] AS w2 FROM sp),
+        | c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM spw GROUP BY 1),
+        | c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+        |  FROM c2 GROUP BY 1),
+        | cu AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cu
+        |  FROM (SELECT unnest(toks) AS w2 FROM t) GROUP BY 1),
+        | tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS tot FROM cu),
+        | lp AS (SELECT doc_id,
+        |   floor(ln(0.5 * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+        |          + 0.5 * (CAST(cu AS DOUBLE) / tot)) * 1048576.0) / 1048576.0 AS lp
+        |  FROM spw JOIN c2 USING (bg) JOIN c1 USING (w1) JOIN cu USING (w2)
+        |  CROSS JOIN tot),
+        | agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |   SUM(lp) AS sum_logprob FROM lp GROUP BY 1)
+        | SELECT doc_id, n_bigrams, sum_logprob,
+        |  sum_logprob / CAST(n_bigrams AS DOUBLE) AS avg_logprob
         | FROM agg ORDER BY doc_id""".stripMargin))
 
   // --------------------------------------- DSIR importance resampling
@@ -2233,11 +2450,13 @@ object QueriesScale {
     "dsir_select" -> dsirSelectQ,
     "dsir_select_prod" -> dsirSelectProdQ,
     "unigram_logprob" -> unigramLogProbQ,
+    "bigram_logprob" -> bigramLogProbQ,
     "fulltext_bm25" -> fulltextBm25Q,
     "semantic_dedup" -> semanticDedupQ,
     "pack_sequences" -> packSequencesQ,
     "decontaminate" -> decontaminateQ,
     "dataset_split" -> datasetSplitQ,
+    "split_leakage_safe" -> leakageSplitQ,
     "stratified_sample" -> stratifiedSampleQ,
     "stratified_sample_hash" -> stratifiedHashQ,
     "corpus_stats_approx" -> corpusStatsApproxQ,
@@ -2248,8 +2467,11 @@ object QueriesScale {
     "ann_lsh_topk" -> annLshQ,
     "ann_ivf_topk" -> annIvfQ,
     "ann_ivf_trained_topk" -> annIvfTrainedQ,
+    "ann_ivf_append" -> annIvfAppendQ,
     "ann_pq_topk" -> annPqQ,
     "line_dedup" -> lineDedupQ,
+    "span_dedup" -> spanDedupQ,
+    "span_dedup_prod" -> spanDedupProdQ,
     "dedup_exact" -> dedupExactQ,
     "text_stats" -> textStatsQ,
     "repetition_stats" -> repetitionQ,
@@ -2265,6 +2487,7 @@ object QueriesScale {
     "dedup_incremental_prod" -> dedupIncrementalProdQ,
     "pii_scrub" -> piiScrubQ,
     "quality_filter" -> qualityFilterQ,
+    "quality_classifier" -> qualityClassifierQ,
     "text_normalize" -> textNormalizeQ,
     "ngram_jaccard" -> jaccardQ,
     "similarity_topk" -> similarityTopkQ,

@@ -567,7 +567,7 @@ object ScaleOps {
       .join(broadcast(headFreq.withColumnRenamed("_cnt", "_ch")),
         Seq("term"), "left")
       .withColumn("_k", when(col("_ch").isNotNull,
-        concat(lit(" "), col(idCol).cast(StringType)))
+        concat(lit("\u0000"), col(idCol).cast(StringType)))
         .otherwise(col("term")))
     val resolved = routed
       .hint("shuffle_hash").join(tailFreq, Seq("_k"), "left")
@@ -580,6 +580,85 @@ object ScaleOps {
       .agg(count(lit(1)).as("n_tokens"), sum(col("_lp")).as("sum_logprob"))
       .withColumn("avg_logprob",
         col("sum_logprob") / col("n_tokens").cast(DoubleType))
+    docs.join(perDoc, idCol)
+  }
+
+  /** Skew-safe count lookup (the [[withUnigramLogProb]] Zipf split-join,
+    * factored for reuse): join a keyed stream to a (key, _cnt) frequency
+    * table with the `headSize` hottest keys BROADCAST (their rows are
+    * rerouted to a per-row sentinel key so the shuffled tail join never
+    * sees them — the Zipf head is exactly where the skew lives) and the
+    * rare tail resolved by a hinted shuffle-hash join on the compact key.
+    * Values are provably independent of the routing split: both paths
+    * serve the same (key, count) pairs. The sentinel prefixes `rowKey`
+    * with NUL, which no whitespace-split token or " "-joined shingle can
+    * start with.
+    */
+  def skewSafeCountJoin(stream: DataFrame, freq: DataFrame, keyCol: String,
+      rowKey: Column, cntName: String, headSize: Int = 1024): DataFrame = {
+    val head = freq.orderBy(col("_cnt").desc, col(keyCol)).limit(headSize)
+    val tailF = freq.join(broadcast(head.select(keyCol).withColumn("_h", lit(1))),
+        Seq(keyCol), "left")
+      .filter(col("_h").isNull).drop("_h")
+      .select(col(keyCol).as("_k"), col("_cnt").as("_ct"))
+    val routed = stream
+      .join(broadcast(head.withColumnRenamed("_cnt", "_ch")), Seq(keyCol), "left")
+      .withColumn("_k", when(col("_ch").isNotNull,
+        concat(lit("\u0000"), rowKey.cast(StringType))).otherwise(col(keyCol)))
+    routed.hint("shuffle_hash").join(tailF, Seq("_k"), "left")
+      .withColumn(cntName, coalesce(col("_ch"), col("_ct")))
+      .drop("_k", "_ch", "_ct")
+  }
+
+  /** Bigram-LM quality scoring — the CCNet-style perplexity filter one
+    * order up from [[withUnigramLogProb]] (CCNet gates Common Crawl on
+    * KenLM perplexity; the engine-level analogue is a Jelinek-Mercer
+    * interpolated bigram LM trained on the corpus it scores):
+    * `P(w₂|w₁) = ½·c(w₁w₂)/c(w₁·) + ½·c(w₂)/N`, summed as quantized
+    * `ln P` per document.
+    *
+    * Every probability is a double division of exact integer counts and
+    * the ½-interpolation is IEEE-exact, so the only engine-dependent op
+    * is `ln` — dyadically quantized before the per-doc sum exactly like
+    * the unigram form (the quantized terms live on the 2⁻²⁰ grid, so the
+    * sum is order-free). The CONTEXT count c(w₁·) is derived from the
+    * bigram table itself (Σ over bigrams starting with w₁ = occurrences
+    * of w₁ in non-final position) — no third corpus pass.
+    *
+    * Scale shape: one bigram explode; all three lookups (bigram,
+    * context, unigram) go through [[skewSafeCountJoin]] — the bigram
+    * table is where boilerplate skew concentrates (the same hot bigram
+    * in 10⁹ docs) and each hot key rides a broadcast, never a shuffled
+    * hot partition. Docs with fewer than 2 tokens have no bigrams and
+    * are absent from the output.
+    */
+  def withBigramLogProb(docs: DataFrame, idCol: String,
+      textCol: String = "text", headSize: Int = 1024): DataFrame = {
+    val bigrams = docs
+      .select(col(idCol), explode(textShingles(col(textCol), 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val bgFreq = bigrams.groupBy("bg").agg(count(lit(1)).as("_cnt"))
+    val ctxFreq = bgFreq
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy("w1").agg(sum("_cnt").as("_cnt"))
+    val uniFreq = docs.select(explode(tokens(col(textCol))).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("_cnt"))
+    val tot = uniFreq.agg(sum("_cnt").cast(DoubleType).as("_tot"))
+    val looked = skewSafeCountJoin(
+      skewSafeCountJoin(
+        skewSafeCountJoin(bigrams, bgFreq, "bg", col(idCol), "_c2", headSize),
+        ctxFreq, "w1", col(idCol), "_c1", headSize),
+      uniFreq, "w2", col(idCol), "_cu", headSize)
+    val p = lit(0.5) * (col("_c2").cast(DoubleType) / col("_c1").cast(DoubleType)) +
+      lit(0.5) * (col("_cu").cast(DoubleType) / col("_tot"))
+    val lp = floor(log(p) * lit(1048576.0)).cast(DoubleType) / lit(1048576.0)
+    val perDoc = looked.crossJoin(broadcast(tot))
+      .withColumn("_lp", lp)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lp")).as("sum_logprob"))
+      .withColumn("avg_logprob",
+        col("sum_logprob") / col("n_bigrams").cast(DoubleType))
     docs.join(perDoc, idCol)
   }
 

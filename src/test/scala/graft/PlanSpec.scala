@@ -472,4 +472,44 @@ class PlanSpec extends SparkSpec {
     }
     assert(shj.size >= 3, s"expected >=3 shuffle-hash joins, got ${shj.size}")
   }
+
+  test("bigram_logprob: three Zipf split-joins — tails shuffle-hash, heads broadcast") {
+    val p = physical(Queries.all("bigram_logprob").fn(spark, sf0001))
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    // bigram + context + unigram lookups: each tail resolve is a hinted
+    // shuffle-hash join on the compact key (sort-merge would sort the
+    // exploded bigram stream three times)
+    val shj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shj.size == 3, s"expected 3 shuffled-hash tail joins, got ${shj.size}")
+    // two broadcast joins per lookup (head + head-exclusion)
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 6, s"expected >=6 broadcast head joins, got ${bhj.size}")
+  }
+
+  test("span_dedup: two-phase count on the span hash, shuffle-hash join back, no window") {
+    for (key <- Seq("span_dedup", "span_dedup_prod")) {
+      val df = Queries.all(key).fn(spark, sf0001)
+      val p = physical(df)
+      // a WindowExec would mean the occurrence count regressed to
+      // count-over-partition(span) — the boilerplate-span skew wall
+      assert(collectAll(p) { case w: WindowExec => w }.isEmpty, s"$key: window")
+      assert(collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.nonEmpty, s"$key: join back must be shuffle-hash on the span hash")
+      assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+      assert(!fmt(df).contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("quality_classifier: scoring is per-row — no exchange before the output sort") {
+    val df = Queries.all("quality_classifier").fn(spark, sf0001)
+    val p = physical(df)
+    // the model rides the plan as a broadcast coefficient vector; the
+    // only shuffle the scored frame is allowed is the final ORDER BY
+    val ex = collectAll(p) { case e: Exchange => e }
+    assert(ex.size <= 1, s"expected only the ORDER BY exchange, got ${ex.size}")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
 }

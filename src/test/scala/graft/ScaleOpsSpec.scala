@@ -954,4 +954,96 @@ class ScaleOpsSpec extends SparkSpec {
       approx.exceptAll(exact).count() == 0,
       "sketch-driven top-5 diverges from exact top-5")
   }
+
+  test("bigram_logprob: hand corpus — interpolated probabilities from exact counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bglm_").toString
+    Seq(
+      (1L, "a b a b a", "en", "s", 0L), // c2(ab)=2 c2(ba)=2 c1(a)=2 c1(b)=2
+      (2L, "solo", "en", "s", 0L)       // <2 tokens -> absent
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Queries.all("bigram_logprob").fn(spark, dir)
+      .select("doc_id", "n_bigrams", "sum_logprob", "avg_logprob")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length == 1 && out(0)._1 == 1L && out(0)._2 == 4L)
+    // unigram totals span the WHOLE corpus including the bigram-less doc:
+    // cu(a)=3 cu(b)=2 cu(solo)=1 N=6;
+    // p(ab)=.5*(2/2)+.5*(2/6)=2/3, p(ba)=.5*(2/2)+.5*(3/6)=3/4
+    def q(x: Double) = math.floor(math.log(x) * 1048576.0) / 1048576.0
+    val expected = 2 * q(0.5 * (2.0 / 2.0) + 0.5 * (2.0 / 6.0)) +
+      2 * q(0.5 * (2.0 / 2.0) + 0.5 * (3.0 / 6.0))
+    assert(out(0)._3 == expected, s"sum ${out(0)._3} != $expected")
+    assert(out(0)._4 == expected / 4.0)
+  }
+
+  test("ann_ivf_append: union-of-segments serving equals the monolithic rebuild") {
+    // frozen codebook + per-row assignment => appending a segment must
+    // reproduce the full-rebuild results EXACTLY (same rows, same cos,
+    // same ranks) — if this ever drifts, assignment stopped being
+    // per-row (e.g. someone normalized against a segment-local stat)
+    val rebuilt = Queries.all("ann_ivf_trained_topk").fn(spark, sf0001)
+    val appended = Queries.all("ann_ivf_append").fn(spark, sf0001)
+    assert(rebuilt.exceptAll(appended).count() == 0 &&
+      appended.exceptAll(rebuilt).count() == 0,
+      "segmented serving diverged from monolithic assignment")
+  }
+
+  test("split_leakage_safe: no near-dup cluster straddles a split boundary") {
+    val out = Queries.all("split_leakage_safe").fn(spark, sf0001).cache()
+    try {
+      // cluster-atomicity: every rep_id maps to exactly one split
+      val straddling = out.groupBy("rep_id")
+        .agg(countDistinct("split").as("n_splits"))
+        .filter(col("n_splits") > 1).count()
+      assert(straddling == 0, s"$straddling clusters straddle splits")
+      // the duped fixture pairs (doc, doc+100000) are exact copies ->
+      // same cluster -> same split, and clusters really exist (kept <
+      // total would be the dedup check; here: some rep_id covers 2 docs)
+      val multi = out.groupBy("rep_id").count().filter(col("count") > 1).count()
+      assert(multi > 0, "fixture should produce multi-member clusters")
+      // split proportions are rep-hash driven: all three splits non-empty
+      assert(out.select("split").distinct().count() == 3)
+    } finally { out.unpersist(); () }
+  }
+
+  test("span_dedup: prod twin (xxhash64) agrees with the md5 oracle form") {
+    // identical plan, different span key — with 60-bit+ keys over ~26k
+    // distinct spans a collision that flips a count>1 decision is
+    // essentially impossible, so the full per-doc stats must agree
+    val md5Form = Queries.all("span_dedup").fn(spark, sf0001)
+      .select("doc_id", "n_spans", "n_dup_spans", "flagged")
+    val xxForm = Queries.all("span_dedup_prod").fn(spark, sf0001)
+      .select("doc_id", "n_spans", "n_dup_spans", "flagged")
+    assert(md5Form.exceptAll(xxForm).count() == 0 &&
+      xxForm.exceptAll(md5Form).count() == 0,
+      "span stats differ between md5 and xxhash64 key forms")
+  }
+
+  test("span_dedup: hand corpus — shared and repeated spans count, short docs drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_span_").toString
+    // doc 1 and 2 share one 5-token span; doc 3 repeats its own span via
+    // a 6-token window (two overlapping spans, the repeated one counted
+    // once per occurrence); doc 4 is 4 tokens -> no spans -> absent
+    Seq(
+      (1L, "a b c d e x y", "en", "s", 0L),
+      (2L, "z a b c d e", "en", "s", 0L),
+      (3L, "p q r s t p q r s t", "en", "s", 0L),
+      (4L, "too short to span", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Queries.all("span_dedup").fn(spark, dir)
+      .select("doc_id", "n_spans", "n_dup_spans", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    // doc1: spans {abcde,bcdex,cdexy}; abcde also in doc2 -> 1 dup
+    assert(out(1L) == ((3L, 1L, false)))
+    // doc2: {zabcd,abcde}; abcde dup -> frac 0.5 NOT > 0.5 -> unflagged
+    assert(out(2L) == ((2L, 1L, false)))
+    // doc3: 6 spans; "p q r s t" occurs twice (positions 1 and 6) ->
+    // both occurrences dup; the other 4 spans are unique
+    assert(out(3L) == ((6L, 2L, false)))
+    assert(!out.contains(4L), "sub-window doc must be absent")
+  }
 }

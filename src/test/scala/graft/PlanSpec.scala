@@ -488,6 +488,14 @@ class PlanSpec extends SparkSpec {
     assert(bhj.size >= 6, s"expected >=6 broadcast head joins, got ${bhj.size}")
   }
 
+  test("split_leakage_safe: one per-row hash over the cluster map — only the output sort shuffles") {
+    val df = Queries.all("split_leakage_safe").fn(spark, sf0001)
+    val p = physical(df)
+    val ex = collectAll(p) { case e: Exchange => e }
+    assert(ex.size <= 1, s"expected only the ORDER BY exchange, got ${ex.size}")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("span_dedup: two-phase count on the span hash, shuffle-hash join back, no window") {
     for (key <- Seq("span_dedup", "span_dedup_prod")) {
       val df = Queries.all(key).fn(spark, sf0001)

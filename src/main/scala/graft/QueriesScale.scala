@@ -1724,6 +1724,56 @@ object QueriesScale {
         |      ELSE 'test' END AS split
         | FROM documents ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------- corpus snapshot diff
+  // Crawl-to-crawl delta: classify every doc_id across two corpus
+  // snapshots as added / removed / changed / unchanged by CONTENT HASH,
+  // so incremental pipelines reprocess only the delta (the CC-dump
+  // pattern: each monthly snapshot overlaps the previous one heavily;
+  // reprocessing 100 TB for a 2% delta is the naive cost this avoids —
+  // combine with dedup_incremental to dedup just the added/changed
+  // slice against the standing index). The "new" snapshot is derived
+  // deterministically from the fixture: every 17th doc dropped, every
+  // 13th edited, every 11th re-added under a new id.
+  //
+  // Plan shape at 100 TB: one hash join on doc_id over (doc_id,
+  // md5(text)) projections — the full text never shuffles, only 16-byte
+  // content hashes; classification is per-row on the joined frame.
+  private val corpusDiffQ = Q(
+    (s, dir) => {
+      val old = Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("old_md5"))
+      val docs = Tables.documents(s, dir)
+      val newSnap = docs.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionAll(docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 200000))
+        .select(col("doc_id"), md5(col("text")).as("new_md5"))
+      old.join(newSnap, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("old_md5").isNull, lit("added"))
+            .when(col("new_md5").isNull, lit("removed"))
+            .when(col("old_md5") === col("new_md5"), lit("unchanged"))
+            .otherwise(lit("changed")))
+        .select(col("doc_id"), col("status"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH old AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+        | nw AS (SELECT doc_id,
+        |   md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS new_md5
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, md5(text) FROM documents WHERE doc_id % 11 = 0)
+        | SELECT COALESCE(old.doc_id, nw.doc_id) AS doc_id,
+        |  CASE WHEN old_md5 IS NULL THEN 'added'
+        |       WHEN new_md5 IS NULL THEN 'removed'
+        |       WHEN old_md5 = new_md5 THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        | FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id
+        | ORDER BY doc_id""".stripMargin))
+
   // --------------------------------- leakage-safe train/val/test split
   // dataset_split keyed per-DOCUMENT leaks: a near-duplicate pair split
   // across train and validation inflates eval scores (the
@@ -2493,6 +2543,7 @@ object QueriesScale {
     "decontaminate" -> decontaminateQ,
     "dataset_split" -> datasetSplitQ,
     "split_leakage_safe" -> leakageSplitQ,
+    "corpus_diff" -> corpusDiffQ,
     "stratified_sample" -> stratifiedSampleQ,
     "stratified_sample_hash" -> stratifiedHashQ,
     "corpus_stats_approx" -> corpusStatsApproxQ,

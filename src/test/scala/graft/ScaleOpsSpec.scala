@@ -989,6 +989,21 @@ class ScaleOpsSpec extends SparkSpec {
       "segmented serving diverged from monolithic assignment")
   }
 
+  test("corpus_diff: all four delta classes appear and partition the id space") {
+    import spark.implicits._
+    val out = Queries.all("corpus_diff").fn(spark, sf0001)
+      .as[(Long, String)].collect().toMap
+    assert(Set("added", "removed", "changed", "unchanged")
+      .subsetOf(out.values.toSet))
+    // spot rules from the derived snapshot: 17-multiples removed (unless
+    // re-added under a shifted id), 13-multiples changed, 11-multiple
+    // copies added
+    assert(out(17L) == "removed" && out(13L) == "changed")
+    assert(out(200011L) == "added" && out(1L) == "unchanged")
+    // 221 = 13*17: dropped wins over edited (the edit never materializes)
+    assert(out(221L) == "removed")
+  }
+
   test("split_leakage_safe: no near-dup cluster straddles a split boundary") {
     val out = Queries.all("split_leakage_safe").fn(spark, sf0001).cache()
     try {

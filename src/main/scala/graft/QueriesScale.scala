@@ -2102,6 +2102,20 @@ object QueriesScale {
         |  sum_logprob / CAST(n_bigrams AS DOUBLE) AS avg_logprob
         | FROM agg ORDER BY doc_id""".stripMargin))
 
+  // Production bigram-LM twin: xxhash64 join keys (fixed-width longs)
+  // instead of raw n-gram strings — see ScaleOps.withBigramLogProbXx.
+  // Rows-only (no xxhash64 in DuckDB); value equality vs the string-
+  // keyed form is pinned in ScaleOpsSpec.
+  private val bigramLogProbProdQ = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      ScaleOps.withBigramLogProbXx(docs, "doc_id")
+        .select(col("doc_id"), col("n_bigrams"), col("sum_logprob"),
+          col("avg_logprob"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   // --------------------------------------- DSIR importance resampling
   // Data selection for LM training (Xie et al. 2023): pick the k raw
   // docs whose hashed-n-gram profile looks most like a target corpus
@@ -2537,6 +2551,7 @@ object QueriesScale {
     "dsir_select_prod" -> dsirSelectProdQ,
     "unigram_logprob" -> unigramLogProbQ,
     "bigram_logprob" -> bigramLogProbQ,
+    "bigram_logprob_prod" -> bigramLogProbProdQ,
     "fulltext_bm25" -> fulltextBm25Q,
     "semantic_dedup" -> semanticDedupQ,
     "pack_sequences" -> packSequencesQ,

@@ -595,7 +595,19 @@ object ScaleOps {
     * start with.
     */
   def skewSafeCountJoin(stream: DataFrame, freq: DataFrame, keyCol: String,
-      rowKey: Column, cntName: String, headSize: Int = 1024): DataFrame = {
+      rowKey: Column, cntName: String, headSize: Int = 1024): DataFrame =
+    skewSafeCountJoinKeyed(stream, freq, keyCol,
+      concat(lit("\u0000"), rowKey.cast(StringType)), cntName, headSize)
+
+  /** [[skewSafeCountJoin]] with a caller-supplied reroute sentinel, for
+    * non-string keys (e.g. xxhash64 longs — pass the row id itself).
+    * Sentinel/real-key collisions are HARMLESS by construction: a head
+    * row's spurious tail match is discarded because coalesce always
+    * prefers the head count (`_ch`) that routed the row in the first
+    * place — the sentinel only needs to SPREAD hot rows, not be unique.
+    */
+  def skewSafeCountJoinKeyed(stream: DataFrame, freq: DataFrame, keyCol: String,
+      sentinel: Column, cntName: String, headSize: Int = 1024): DataFrame = {
     val head = freq.orderBy(col("_cnt").desc, col(keyCol)).limit(headSize)
     val tailF = freq.join(broadcast(head.select(keyCol).withColumn("_h", lit(1))),
         Seq(keyCol), "left")
@@ -603,8 +615,7 @@ object ScaleOps {
       .select(col(keyCol).as("_k"), col("_cnt").as("_ct"))
     val routed = stream
       .join(broadcast(head.withColumnRenamed("_cnt", "_ch")), Seq(keyCol), "left")
-      .withColumn("_k", when(col("_ch").isNotNull,
-        concat(lit("\u0000"), rowKey.cast(StringType))).otherwise(col(keyCol)))
+      .withColumn("_k", when(col("_ch").isNotNull, sentinel).otherwise(col(keyCol)))
     routed.hint("shuffle_hash").join(tailF, Seq("_k"), "left")
       .withColumn(cntName, coalesce(col("_ch"), col("_ct")))
       .drop("_k", "_ch", "_ct")
@@ -650,6 +661,52 @@ object ScaleOps {
         skewSafeCountJoin(bigrams, bgFreq, "bg", col(idCol), "_c2", headSize),
         ctxFreq, "w1", col(idCol), "_c1", headSize),
       uniFreq, "w2", col(idCol), "_cu", headSize)
+    val p = lit(0.5) * (col("_c2").cast(DoubleType) / col("_c1").cast(DoubleType)) +
+      lit(0.5) * (col("_cu").cast(DoubleType) / col("_tot"))
+    val lp = floor(log(p) * lit(1048576.0)).cast(DoubleType) / lit(1048576.0)
+    val perDoc = looked.crossJoin(broadcast(tot))
+      .withColumn("_lp", lp)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lp")).as("sum_logprob"))
+      .withColumn("avg_logprob",
+        col("sum_logprob") / col("n_bigrams").cast(DoubleType))
+    docs.join(perDoc, idCol)
+  }
+
+  /** Production twin of [[withBigramLogProb]]: every join keys on 8-byte
+    * xxhash64 instead of the raw token/bigram STRING — the freq tables
+    * aggregate on the hash directly and the three split-join shuffles
+    * carry fixed-width longs (the usual _prod compaction; a 64-bit
+    * collision would merge two n-grams' counts, vanishing at any real
+    * vocabulary size — value equality vs the string-keyed form on the
+    * fixture corpus is pinned in ScaleOpsSpec). The reroute sentinel is
+    * the row id itself ([[skewSafeCountJoinKeyed]] — collisions with
+    * real keys are harmless there by construction). The context count
+    * comes from grouping the bigram STREAM by the first-token hash (the
+    * hashed bigram key can't be unhashed back to its first token, so the
+    * md5 form's derive-from-bigram-table trick doesn't apply; same
+    * result, same single explode).
+    */
+  def withBigramLogProbXx(docs: DataFrame, idCol: String,
+      textCol: String = "text", headSize: Int = 1024): DataFrame = {
+    val bigrams = docs
+      .select(col(idCol), explode(textShingles(col(textCol), 2)).as("bg"))
+      .withColumn("hb", xxhash64(col("bg")))
+      .withColumn("h1", xxhash64(split(col("bg"), " ").getItem(0)))
+      .withColumn("h2", xxhash64(split(col("bg"), " ").getItem(1)))
+      .drop("bg")
+    val bgFreq = bigrams.groupBy("hb").agg(count(lit(1)).as("_cnt"))
+    val ctxFreq = bigrams.groupBy("h1").agg(count(lit(1)).as("_cnt"))
+    val uniFreq = docs
+      .select(explode(tokens(col(textCol))).as("_t"))
+      .select(xxhash64(col("_t")).as("h2"))
+      .groupBy("h2").agg(count(lit(1)).as("_cnt"))
+    val tot = uniFreq.agg(sum("_cnt").cast(DoubleType).as("_tot"))
+    val looked = skewSafeCountJoinKeyed(
+      skewSafeCountJoinKeyed(
+        skewSafeCountJoinKeyed(bigrams, bgFreq, "hb", col(idCol), "_c2", headSize),
+        ctxFreq, "h1", col(idCol), "_c1", headSize),
+      uniFreq, "h2", col(idCol), "_cu", headSize)
     val p = lit(0.5) * (col("_c2").cast(DoubleType) / col("_c1").cast(DoubleType)) +
       lit(0.5) * (col("_cu").cast(DoubleType) / col("_tot"))
     val lp = floor(log(p) * lit(1048576.0)).cast(DoubleType) / lit(1048576.0)

@@ -1022,6 +1022,16 @@ class ScaleOpsSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("bigram_logprob: prod twin (xxhash64 keys) agrees with the string-keyed form") {
+    // hashing the join keys must not change any count — with no 64-bit
+    // collisions on the fixture vocabulary the quantized logprobs are
+    // bit-identical
+    val str = Queries.all("bigram_logprob").fn(spark, sf0001)
+    val xx = Queries.all("bigram_logprob_prod").fn(spark, sf0001)
+    assert(str.exceptAll(xx).count() == 0 && xx.exceptAll(str).count() == 0,
+      "hashed-key bigram LM diverges from string-keyed form")
+  }
+
   test("span_dedup: prod twin (xxhash64) agrees with the md5 oracle form") {
     // identical plan, different span key — with 60-bit+ keys over ~26k
     // distinct spans a collision that flips a count>1 decision is

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Build-once cache for offline artifacts (codebooks, index segments,
+  * cluster maps, trained models) — the one place that owns the
+  * staleness rule every memoized artifact shares: the cache key embeds
+  * the SOURCE PARQUET's mtime ([[stamp]]), so a long-lived JVM that
+  * regenerates testdata under the same path rebuilds instead of serving
+  * a stale artifact (the Tables.symbolUniverseCsv recipe). Centralizing
+  * the pattern keeps the memo-key shape uniform across artifacts — four
+  * hand-rolled copies of this had already drifted on sentinel and stamp
+  * details once.
+  */
+object ArtifactMemo {
+
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** Source-staleness stamp: `dir@mtime` of the parquet the artifact is
+    * derived from.
+    */
+  def stamp(dir: String, sourceFile: String): String =
+    s"$dir@${new java.io.File(s"$dir/$sourceFile").lastModified()}"
+
+  /** Build-once value for `key` (include a [[stamp]] in it). */
+  def cached[T <: AnyRef](key: String)(build: => T): T =
+    memo.computeIfAbsent(key, _ => build).asInstanceOf[T]
+
+  /** Build-once parquet artifact: materializes `build` under a fresh
+    * temp directory and returns the path (read it back with
+    * `spark.read.parquet`).
+    */
+  def parquet(key: String, name: String)(build: => DataFrame): String =
+    cached[String](s"$key#$name") {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_${name}_").toFile
+      tmp.deleteOnExit()
+      val path = new java.io.File(tmp, name).getPath
+      build.write.mode("overwrite").parquet(path)
+      path
+    }
+}

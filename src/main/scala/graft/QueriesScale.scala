@@ -1137,23 +1137,16 @@ object QueriesScale {
   // store inverted lists as immutable segment files): assigned once per
   // (dir, source-mtime) and memoized to parquet; each append assigns
   // only the new batch. Serving reads segment files + today's batch.
-  private val ivfBaseMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def ivfBaseSegmentPath(s: SparkSession, dir: String): String = {
-    val srcStamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-    ivfBaseMemo.computeIfAbsent(s"$dir@$srcStamp", { _ =>
+  private def ivfBaseSegmentPath(s: SparkSession, dir: String): String =
+    graft.ArtifactMemo.parquet(
+      graft.ArtifactMemo.stamp(dir, "embeddings.parquet"), "ivf_base_segment") {
       val emb = Tables.embeddings(s, dir)
         .withColumn("nv", ScaleOps.l2norm(col("embedding")))
       val cents = graft.ml.IvfCodebook.load(s,
           graft.ml.IvfCodebook.codebookPath(s, dir, ivfTrainedK))
         .withColumn("nc", ScaleOps.l2norm(col("c_emb")))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfseg_").toFile
-      tmp.deleteOnExit()
-      val path = new java.io.File(tmp, "base").getPath
       ivfAssign(emb.filter(pmod(col("vec_id"), lit(10)) =!= 0), cents)
-        .write.mode("overwrite").parquet(path)
-      path
-    })
-  }
+    }
   private val annIvfAppendQ = Q(
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1383,7 +1376,7 @@ object QueriesScale {
   // seeded hashed-unigram logistic regression scores every document with
   // a keep-probability. Rows-only key — L-BFGS float output is
   // partition-order-dependent, so the contract is pinned in
-  // MlParitySpec instead: holdout accuracy ≥ 0.8 against the weak label
+  // MlParitySpec instead: holdout agreement ≥ 0.9 with the rule filter
   // and in-JVM determinism of the scored frame.
   private val qualityClassifierQ = Q(
     (s, dir) => {
@@ -1488,30 +1481,11 @@ object QueriesScale {
   // explicit constants; `passes` is their conjunction so downstream
   // filtering is one boolean.
   private val qualityFilterQ = Q(
-    (s, dir) => {
-      val toks = ScaleOps.tokens(col("text"))
-      Tables.documents(s, dir)
-        .withColumn("n_words", size(toks).cast(LongType))
-        .withColumn("mean_word_len",
-          length(regexp_replace(col("text"), " ", "")).cast(DoubleType) /
-            col("n_words").cast(DoubleType))
-        .withColumn("stopword_frac",
-          ScaleOps.stopwordCount(toks).cast(DoubleType) / col("n_words").cast(DoubleType))
-        .withColumn("_bi", ScaleOps.textShingles(col("text"), k = 2))
-        .withColumn("distinct_bigram_ratio",
-          when(size(col("_bi")) > 0,
-            size(array_distinct(col("_bi"))).cast(DoubleType) /
-              size(col("_bi")).cast(DoubleType))
-            .otherwise(lit(1.0)))
-        .withColumn("passes",
-          col("n_words").between(20, 100000) &&
-            col("mean_word_len").between(2.0, 12.0) &&
-            col("stopword_frac") >= 0.01 &&
-            col("distinct_bigram_ratio") >= 0.3)
+    (s, dir) =>
+      ScaleOps.withQualityRules(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_words"), col("mean_word_len"),
           col("stopword_frac"), col("distinct_bigram_ratio"), col("passes"))
-        .orderBy(col("doc_id"))
-    },
+        .orderBy(col("doc_id")),
     Some(
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         | b AS (SELECT doc_id, text, toks,
@@ -1788,20 +1762,14 @@ object QueriesScale {
   // Mirrored here: the map is built once per (dir, source-mtime) and
   // memoized to parquet like the IVF codebook (ccClusterMapPath);
   // dedup_cc keeps measuring the build itself.
-  private val ccMapMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def ccClusterMapPath(s: SparkSession, dir: String): String = {
-    val srcStamp = new java.io.File(s"$dir/documents.parquet").lastModified()
-    ccMapMemo.computeIfAbsent(s"$dir@$srcStamp", { _ =>
+  private def ccClusterMapPath(s: SparkSession, dir: String): String =
+    graft.ArtifactMemo.parquet(
+      graft.ArtifactMemo.stamp(dir, "documents.parquet"), "ccmap") {
       val corpus = dupedDocs(s, dir)
-      val cc = dedupCcFrom(corpus,
+      dedupCcFrom(corpus,
         ScaleOps.minhashSignatureTable(corpus, "doc_id", "text", k = 8))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ccmap_").toFile
-      tmp.deleteOnExit()
-      val path = new java.io.File(tmp, "ccmap").getPath
-      cc.select("doc_id", "rep_id").write.mode("overwrite").parquet(path)
-      path
-    })
-  }
+        .select("doc_id", "rep_id")
+    }
   private val leakageSplitQ = Q(
     (s, dir) => {
       val cc = s.read.parquet(ccClusterMapPath(s, dir))

@@ -54,25 +54,16 @@ object IvfCodebook {
     * index-build step. Returns the parquet path; [[load]] reads it back
     * as (c_id int, c_emb array<float>).
     */
-  private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  def codebookPath(spark: SparkSession, dir: String, k: Int = 16): String = {
-    // source mtime in the memo key (the Tables.symbolUniverseCsv recipe):
-    // a long-lived JVM that regenerates testdata under the same path must
-    // retrain, not serve a codebook from stale embeddings
-    val srcStamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-    memo.computeIfAbsent(s"$dir@$srcStamp#$k", { _ =>
+  def codebookPath(spark: SparkSession, dir: String, k: Int = 16): String =
+    graft.ArtifactMemo.parquet(
+      s"${graft.ArtifactMemo.stamp(dir, "embeddings.parquet")}/$k", "ivf_codebook") {
       val cents = train(graft.Tables.embeddings(spark, dir), "embedding", k)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_codebook_").toFile
-      tmp.deleteOnExit()
-      val path = new java.io.File(tmp, "codebook").getPath
       import spark.implicits._
       cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("c_id", "c_emb")
         .select(col("c_id"), col("c_emb").cast(ArrayType(FloatType)).as("c_emb"))
-        .repartition(1).write.mode("overwrite").parquet(path)
-      path
-    })
-  }
+        .repartition(1)
+    }
 
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -116,13 +107,10 @@ object IvfCodebook {
   /** Fixture: memoized PQ codebook for `dir`'s embeddings (same staleness
     * stamp recipe as [[codebookPath]]).
     */
-  private val pqMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Float]]]]()
   def pqCodebook(spark: SparkSession, dir: String, dim: Int = 64, m: Int = 8,
-      k: Int = 16): Array[Array[Array[Float]]] = {
-    val srcStamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-    pqMemo.computeIfAbsent(s"$dir@$srcStamp#$dim/$m/$k", { _ =>
+      k: Int = 16): Array[Array[Array[Float]]] =
+    graft.ArtifactMemo.cached(
+      s"${graft.ArtifactMemo.stamp(dir, "embeddings.parquet")}#pq/$dim/$m/$k") {
       trainPq(graft.Tables.embeddings(spark, dir), "embedding", dim, m, k)
-    })
-  }
+    }
 }

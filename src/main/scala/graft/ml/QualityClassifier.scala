@@ -37,41 +37,22 @@ object QualityClassifier {
 
   val numFeatures = 1 << 12
 
-  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
-
-  /** The Gopher rule statistics + the rule filter's keep decision
-    * (mirrors `quality_filter` exactly — same thresholds, same columns).
+  /** The Gopher rule statistics + the rule filter's keep decision —
+    * STRUCTURALLY the same implementation `quality_filter` serves
+    * ([[graft.operators.ScaleOps.withQualityRules]]), so the distillation
+    * label cannot drift from the rule filter it distills.
     */
-  def withRuleLabel(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    docs
-      .withColumn("_n_words", size(toks).cast(DoubleType))
-      .withColumn("_mean_word_len",
-        length(regexp_replace(col("text"), " ", "")).cast(DoubleType) / col("_n_words"))
-      .withColumn("_stopword_frac",
-        size(filter(toks, t => t.isInCollection(stopwords))).cast(DoubleType) /
-          col("_n_words"))
-      .withColumn("_bi", graft.operators.ScaleOps.textShingles(col("text"), k = 2))
-      .withColumn("_distinct_bigram_ratio",
-        when(size(col("_bi")) > 0,
-          size(array_distinct(col("_bi"))).cast(DoubleType) /
-            size(col("_bi")).cast(DoubleType))
-          .otherwise(lit(1.0)))
-      .withColumn("rule_passes",
-        col("_n_words").between(20, 100000) &&
-          col("_mean_word_len").between(2.0, 12.0) &&
-          col("_stopword_frac") >= 0.01 &&
-          col("_distinct_bigram_ratio") >= 0.3)
-      .drop("_bi")
-  }
+  def withRuleLabel(docs: DataFrame): DataFrame =
+    graft.operators.ScaleOps.withQualityRules(docs)
+      .withColumnRenamed("passes", "rule_passes")
 
   /** Hashed bag-of-words + the four rule statistics as one vector. */
   def featurize(docs: DataFrame): DataFrame = {
     val tf = new HashingTF().setInputCol("_toks").setOutputCol("_tf")
       .setNumFeatures(numFeatures)
     val assembled = new VectorAssembler()
-      .setInputCols(Array("_tf", "_n_words", "_mean_word_len",
-        "_stopword_frac", "_distinct_bigram_ratio"))
+      .setInputCols(Array("_tf", "n_words", "mean_word_len",
+        "stopword_frac", "distinct_bigram_ratio"))
       .setOutputCol("features")
       .transform(tf.transform(
         withRuleLabel(docs).withColumn("_toks", split(col("text"), " "))))
@@ -92,18 +73,15 @@ object QualityClassifier {
       .fit(fit)
   }
 
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, LogisticRegressionModel]()
 
   /** Memoized model for `dir`'s documents table (offline artifact, same
     * staleness stamp recipe as the IVF codebook).
     */
-  def model(spark: SparkSession, dir: String): LogisticRegressionModel = {
-    val srcStamp = new java.io.File(s"$dir/documents.parquet").lastModified()
-    memo.computeIfAbsent(s"$dir@$srcStamp", { _ =>
+  def model(spark: SparkSession, dir: String): LogisticRegressionModel =
+    graft.ArtifactMemo.cached(
+      s"${graft.ArtifactMemo.stamp(dir, "documents.parquet")}#quality_lr") {
       train(graft.Tables.documents(spark, dir))
-    })
-  }
+    }
 
   /** Score every document: keep-probability, binary keep decision, fold
     * tag and the rule label (for offline agreement audits). Per-row work

@@ -330,6 +330,37 @@ object ScaleOps {
   def markerScore(toks: Column, lang: String): Column =
     size(filter(toks, t => inList(t, langMarkers(lang))))
 
+  /** The Gopher rule statistics + keep decision — the ONE definition of
+    * the rule-based quality filter, shared by the `quality_filter` key
+    * and [[graft.ml.QualityClassifier]] (which distills `passes` into a
+    * learned score): word-count band, mean-word-length band, stopword
+    * fraction floor, distinct-bigram repetition floor. Keeping a single
+    * implementation is what makes the classifier's "mirrors the rule
+    * filter exactly" contract structural rather than copy-paste.
+    */
+  def withQualityRules(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .withColumn("n_words", size(toks).cast(LongType))
+      .withColumn("mean_word_len",
+        length(regexp_replace(col(textCol), " ", "")).cast(DoubleType) /
+          col("n_words").cast(DoubleType))
+      .withColumn("stopword_frac",
+        stopwordCount(toks).cast(DoubleType) / col("n_words").cast(DoubleType))
+      .withColumn("_bi", textShingles(col(textCol), k = 2))
+      .withColumn("distinct_bigram_ratio",
+        when(size(col("_bi")) > 0,
+          size(array_distinct(col("_bi"))).cast(DoubleType) /
+            size(col("_bi")).cast(DoubleType))
+          .otherwise(lit(1.0)))
+      .withColumn("passes",
+        col("n_words").between(20, 100000) &&
+          col("mean_word_len").between(2.0, 12.0) &&
+          col("stopword_frac") >= 0.01 &&
+          col("distinct_bigram_ratio") >= 0.3)
+      .drop("_bi")
+  }
+
   /** BPE-ish regex tokenization: letter runs and digit runs as separate
     * tokens (the word/number split every subword tokenizer starts from).
     */
@@ -557,21 +588,9 @@ object ScaleOps {
   def withUnigramLogProb(docs: DataFrame, freq: DataFrame, idCol: String,
       textCol: String = "text", headSize: Int = 1024): DataFrame = {
     val tot = freq.agg(sum(col("_cnt")).cast(DoubleType).as("_tot"))
-    val headFreq = freq.orderBy(col("_cnt").desc, col("term")).limit(headSize)
-    val tailFreq = freq.join(broadcast(headFreq.select("term")
-        .withColumn("_h", lit(1))), Seq("term"), "left")
-      .filter(col("_h").isNull).drop("_h")
-      .select(col("term").as("_k"), col("_cnt").as("_ct"))
-    val routed = docs
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .join(broadcast(headFreq.withColumnRenamed("_cnt", "_ch")),
-        Seq("term"), "left")
-      .withColumn("_k", when(col("_ch").isNotNull,
-        concat(lit("\u0000"), col(idCol).cast(StringType)))
-        .otherwise(col("term")))
-    val resolved = routed
-      .hint("shuffle_hash").join(tailFreq, Seq("_k"), "left")
-      .withColumn("_cnt", coalesce(col("_ch"), col("_ct")))
+    val stream = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val resolved = skewSafeCountJoin(stream, freq, "term", col(idCol),
+      "_cnt", headSize)
     val lp = floor(log(col("_cnt").cast(DoubleType) / col("_tot"))
       * lit(1048576.0)).cast(DoubleType) / lit(1048576.0)
     val perDoc = resolved.crossJoin(broadcast(tot))

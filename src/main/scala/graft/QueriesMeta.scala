@@ -571,8 +571,76 @@ object QueriesMeta {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         | FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin))
 
+  // --------------------------------------------- funnel analysis (events)
+  // Ordered three-stage conversion funnel (view → click → purchase):
+  // per user, the first view, the first click strictly AFTER that view,
+  // and the first purchase strictly after that click — the sequential
+  // dependency is what distinguishes a funnel from three independent
+  // mins. Expressed as three chained min-aggregates with a time-bound
+  // join between stages; every stage keys on user_id, so all shuffles
+  // share one partitioning and no stage ever pairs events against
+  // events (the naive self-join formulation is quadratic per user).
+  // Integer microsecond arithmetic end-to-end (the sessionize recipe);
+  // users who never complete a stage carry NULLs from the left joins.
+  private val funnelQ = Q(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      def stage(tpe: String) = ev.filter(col("event_type") === tpe)
+      val s1 = stage("view").groupBy("user_id").agg(min("ts_us").as("t1_us"))
+      val s2 = stage("click").join(s1, "user_id")
+        .filter(col("ts_us") > col("t1_us"))
+        .groupBy("user_id").agg(min("ts_us").as("t2_us"))
+      val s3 = stage("purchase").join(s2, "user_id")
+        .filter(col("ts_us") > col("t2_us"))
+        .groupBy("user_id").agg(min("ts_us").as("t3_us"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        | s1 AS (SELECT user_id, min(ts_us) AS t1_us FROM e WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (SELECT e.user_id, min(ts_us) AS t2_us FROM e JOIN s1 USING (user_id)
+        |        WHERE event_type = 'click' AND ts_us > t1_us GROUP BY 1),
+        | s3 AS (SELECT e.user_id, min(ts_us) AS t3_us FROM e JOIN s2 USING (user_id)
+        |        WHERE event_type = 'purchase' AND ts_us > t2_us GROUP BY 1)
+        | SELECT user_id, t1_us, t2_us, t3_us
+        | FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        | ORDER BY user_id""".stripMargin))
+
+  // --------------------------------------------- cohort retention (events)
+  // Weekly cohort retention matrix: users grouped by first-seen week,
+  // activity counted per (cohort_week, week_offset) — the standard
+  // retention triangle. Week indices are exact integer divisions of
+  // epoch microseconds (no calendar functions whose week-start
+  // conventions could differ between engines). Two aggregates and one
+  // user_id join; the distinct-user count is a two-phase aggregate on
+  // compact (cohort, offset, user) keys.
+  private val cohortQ = Q(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("week", expr("(ts_us DIV 86400000000) DIV 7"))
+      val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      ev.select("user_id", "week").join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some(
+      """WITH e AS (SELECT user_id,
+        |   epoch_ns(ts) // 1000 // 86400000000 // 7 AS week FROM events),
+        | c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+        | SELECT cohort_week, week - cohort_week AS week_offset,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        | FROM e JOIN c USING (user_id)
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "sessionize" -> sessionizeQ,
+    "funnel_steps" -> funnelQ,
+    "cohort_retention" -> cohortQ,
     "asof_join" -> asofJoinQ,
     "csv_symbols" -> csvSymbolsQ,
     "group_last_per_key" -> groupLastQ,

@@ -154,9 +154,45 @@ object QueriesWarehouse {
          |  MAX(CASE WHEN symbol = 'R' THEN close END) AS close_r
          | FROM daily GROUP BY trading_date ORDER BY trading_date""".stripMargin))
 
+  // ------------------------------------------- ROLLUP subtotal cube
+  // Hierarchical subtotals over the lineitem fact (the classic OLAP
+  // grouping-sets shape this inventory was still missing): per
+  // (returnflag, linestatus), per returnflag, and grand total in ONE
+  // pass — Spark plans rollup as a single scan + Expand (each row
+  // replicated once per grouping set) feeding one HashAggregate, so the
+  // fact is read once however many subtotal levels roll up. grouping()
+  // flags disambiguate "NULL because rolled up" from a genuinely null
+  // dimension value and make the output ordering total. Measures are
+  // decimal-exact sums cast back to double (determinism rule 2).
+  private val rollupQ = Q(
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(IntegerType).as("g_status"),
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 6)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 6)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"),
+          col("l_linestatus")),
+    Some(
+      """SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  l_returnflag, l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        | FROM lineitem
+        | GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        | ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "scd2_history" -> scd2Q,
     "ffill_calendar" -> ffillQ,
-    "pivot_close" -> pivotQ
+    "pivot_close" -> pivotQ,
+    "sales_rollup" -> rollupQ
   )
 }

@@ -496,6 +496,27 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("funnel_steps: stage chain is all hash joins/aggregates on user_id, no window, no cartesian") {
+    val df = Queries.all("funnel_steps").fn(spark, sf0001)
+    val p = physical(df)
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty, "unexpected window")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    assert(!fmt(df).contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sales_rollup: one scan through Expand into a single aggregate") {
+    val df = Queries.all("sales_rollup").fn(spark, sf0001)
+    val p = physical(df)
+    // rollup must plan as scan → Expand → HashAggregate, not one scan
+    // per grouping set
+    assert(collectAll(p) { case e: org.apache.spark.sql.execution.ExpandExec => e }.nonEmpty,
+      "expected Expand for grouping sets")
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"expected 1 lineitem scan, got ${scans.size}")
+  }
+
   test("span_dedup: two-phase count on the span hash, shuffle-hash join back, no window") {
     for (key <- Seq("span_dedup", "span_dedup_prod")) {
       val df = Queries.all(key).fn(spark, sf0001)

@@ -637,10 +637,51 @@ object QueriesMeta {
         | FROM e JOIN c USING (user_id)
         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // ------------------------------------- event transition matrix (events)
+  // First-order Markov transition counts/probabilities over each user's
+  // time-ordered event sequence — the summary behavioral models and
+  // next-event training data start from. One lag window per user (same
+  // single exchange as sessionize), then a two-phase count aggregate on
+  // the compact (from, to) pair; the probability denominator is a
+  // window-free second aggregate joined back on the from-state (25
+  // pairs at most here — always broadcast). Probabilities are one
+  // double division of two exact counts: bitwise-mirrorable.
+  private val transitionsQ = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val pairs = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .select(col("from_type"), col("event_type").as("to_type"))
+      val counts = pairs.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("from_type").agg(sum("n").as("n_from"))
+      counts.join(broadcast(totals), "from_type")
+        .withColumn("p",
+          col("n").cast(DoubleType) / col("n_from").cast(DoubleType))
+        .select(col("from_type"), col("to_type"), col("n"), col("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some(
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |   epoch_ns(ts) // 1000 AS ts_us FROM events),
+        | l AS (SELECT event_type AS to_type,
+        |   LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS from_type
+        |  FROM e),
+        | c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        | t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        | SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+        | FROM c JOIN t USING (from_type)
+        | ORDER BY from_type, to_type""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "sessionize" -> sessionizeQ,
     "funnel_steps" -> funnelQ,
     "cohort_retention" -> cohortQ,
+    "event_transitions" -> transitionsQ,
     "asof_join" -> asofJoinQ,
     "csv_symbols" -> csvSymbolsQ,
     "group_last_per_key" -> groupLastQ,

@@ -22,6 +22,52 @@ object StatefulOps {
   case class TickerUpdate(ticker: String, n: Long, lastClose: Double,
       minClose: Double, maxClose: Double, totalVolume: Long)
 
+  case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+
+  /** Per-user funnel progress: -1 = stage not reached. */
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  case class FunnelUpdate(user_id: Long, t1_us: Long, t2_us: Long, t3_us: Long)
+
+  /** Streaming twin of the batch `funnel_steps` key: a per-user stage
+    * state machine (first view → first click after it → first purchase
+    * after that) advanced incrementally as events arrive, instead of
+    * re-aggregating history every batch. State is three longs per user —
+    * bounded regardless of event volume — and checkpoint-backed. Events
+    * are sorted by (ts, type) WITHIN each batch; like every streaming
+    * funnel, cross-batch ordering relies on the source's watermark
+    * discipline (an event older than an already-taken stage cannot
+    * retroactively rewind it — the batch form over the full history is
+    * the reconciliation path, and the parity of the two on in-order
+    * input is pinned in SkewStatefulSpec).
+    */
+  def funnelStages(events: Dataset[FunnelEvent])(implicit spark: SparkSession)
+      : Dataset[FunnelUpdate] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          val before = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          var st = before
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+            e.event_type match {
+              case "view" if st.t1 < 0 =>
+                st = st.copy(t1 = e.ts_us)
+              case "click" if st.t1 >= 0 && st.t2 < 0 && e.ts_us > st.t1 =>
+                st = st.copy(t2 = e.ts_us)
+              case "purchase" if st.t2 >= 0 && st.t3 < 0 && e.ts_us > st.t2 =>
+                st = st.copy(t3 = e.ts_us)
+              case _ => ()
+            }
+          }
+          if (st != before) {
+            state.update(st)
+            Iterator(FunnelUpdate(uid, st.t1, st.t2, st.t3))
+          } else Iterator.empty
+      }
+  }
+
   /** Emit one updated summary row per ticker per micro-batch; state
     * persists across batches (checkpoint-backed, unlike the reference's
     * process-memory buffers).

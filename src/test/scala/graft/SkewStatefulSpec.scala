@@ -57,4 +57,40 @@ class SkewStatefulSpec extends SparkSpec {
       u.minClose == 8.0 && u.maxClose == 12.0 && u.totalVolume == 175L),
       s"batch2 state lost: ${updates.toSeq}")
   }
+
+  test("streaming funnelStages matches the batch funnel on in-order events") {
+    import graft.streaming.StatefulOps.{FunnelEvent, FunnelUpdate}
+    implicit val s = spark
+    val mem = MemoryStream[FunnelEvent](spark)
+    val q = StatefulOps.funnelStages(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_state").start()
+    // user 1 completes across two batches; user 2 clicks BEFORE any view
+    // (must not advance) then completes view+click but never purchases;
+    // user 3 views only
+    mem.addData(
+      FunnelEvent(1L, "view", 100L), FunnelEvent(1L, "click", 200L),
+      FunnelEvent(2L, "click", 50L), FunnelEvent(2L, "view", 150L),
+      FunnelEvent(3L, "view", 10L), FunnelEvent(1L, "error", 250L))
+    q.processAllAvailable()
+    mem.addData(
+      FunnelEvent(1L, "purchase", 300L), FunnelEvent(2L, "click", 160L),
+      // stage already taken: a second, later view must not move t1
+      FunnelEvent(3L, "view", 20L))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.sql("select * from funnel_state").as[FunnelUpdate]
+      .collect().groupBy(_.user_id).view.mapValues(_.last).toMap
+    assert(last(1L) == FunnelUpdate(1L, 100L, 200L, 300L))
+    assert(last(2L) == FunnelUpdate(2L, 150L, 160L, -1L),
+      s"pre-view click must not count: ${last(2L)}")
+    assert(last(3L) == FunnelUpdate(3L, 10L, -1L, -1L))
+    // parity with the batch formulation (funnel_steps logic) on the
+    // same in-order history: first view, first click after it, first
+    // purchase after that
+    assert(last.values.toSet == Set(
+      FunnelUpdate(1L, 100L, 200L, 300L),
+      FunnelUpdate(2L, 150L, 160L, -1L),
+      FunnelUpdate(3L, 10L, -1L, -1L)))
+  }
 }

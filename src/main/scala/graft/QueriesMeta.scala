@@ -677,11 +677,60 @@ object QueriesMeta {
         | FROM c JOIN t USING (from_type)
         | ORDER BY from_type, to_type""".stripMargin))
 
+  // ----------------------------- streaming funnel (real streaming run)
+  // The ONE key that executes an actual Structured Streaming query
+  // inside the correctness gate: the events parquet runs through a file
+  // source → StatefulOps.funnelStages (flatMapGroupsWithState stage
+  // machine, three longs of state per user) → memory sink under
+  // Trigger.AvailableNow, and the FINAL state per user must equal the
+  // batch funnel re-aggregation — the streaming-vs-batch consistency
+  // contract, checked against the DuckDB oracle. Stage times only
+  // advance, so the final state is the lexicographic max of (t3,t2,t1)
+  // across a user's updates; -1 encodes "stage not reached" (the
+  // state machine's encoding — COALESCE(-1) on the oracle side).
+  private val streamFunnelQ = Q(
+    (s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // events.parquet is a single file; the file stream source needs a
+      // directory, so stream the parent with a glob pinned to the table
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+        .as[graft.streaming.StatefulOps.FunnelEvent]
+      val qname = "stream_funnel_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StatefulOps.funnelStages(stream)
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qname)
+        .groupBy("user_id")
+        .agg(max(struct(col("t3_us"), col("t2_us"), col("t1_us"))).as("_m"))
+        .select(col("user_id"), col("_m.t1_us").as("t1_us"),
+          col("_m.t2_us").as("t2_us"), col("_m.t3_us").as("t3_us"))
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        | s1 AS (SELECT user_id, min(ts_us) AS t1_us FROM e WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (SELECT e.user_id, min(ts_us) AS t2_us FROM e JOIN s1 USING (user_id)
+        |        WHERE event_type = 'click' AND ts_us > t1_us GROUP BY 1),
+        | s3 AS (SELECT e.user_id, min(ts_us) AS t3_us FROM e JOIN s2 USING (user_id)
+        |        WHERE event_type = 'purchase' AND ts_us > t2_us GROUP BY 1)
+        | SELECT user_id, t1_us, COALESCE(t2_us, -1) AS t2_us,
+        |  COALESCE(t3_us, -1) AS t3_us
+        | FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        | ORDER BY user_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "sessionize" -> sessionizeQ,
     "funnel_steps" -> funnelQ,
     "cohort_retention" -> cohortQ,
     "event_transitions" -> transitionsQ,
+    "stream_funnel" -> streamFunnelQ,
     "asof_join" -> asofJoinQ,
     "csv_symbols" -> csvSymbolsQ,
     "group_last_per_key" -> groupLastQ,

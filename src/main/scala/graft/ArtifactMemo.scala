@@ -22,9 +22,25 @@ object ArtifactMemo {
   def stamp(dir: String, sourceFile: String): String =
     s"$dir@${new java.io.File(s"$dir/$sourceFile").lastModified()}"
 
-  /** Build-once value for `key` (include a [[stamp]] in it). */
-  def cached[T <: AnyRef](key: String)(build: => T): T =
-    memo.computeIfAbsent(key, _ => build).asInstanceOf[T]
+  /** Build-once value for `key` (include a [[stamp]] in it). The build
+    * runs OUTSIDE any map lock: artifacts nest (the IVF base segment's
+    * build loads the codebook artifact), and a nested
+    * `computeIfAbsent` on one shared map is a recursive update —
+    * forbidden by the CHM contract and an `IllegalStateException`
+    * whenever the two keys land in one bin. Racing builders may both
+    * compute; the first `putIfAbsent` wins and the loser's result is
+    * discarded (builds are deterministic, so this wastes work, never
+    * correctness).
+    */
+  def cached[T <: AnyRef](key: String)(build: => T): T = {
+    val existing = memo.get(key)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val built = build.asInstanceOf[AnyRef]
+      val prev = memo.putIfAbsent(key, built)
+      (if (prev != null) prev else built).asInstanceOf[T]
+    }
+  }
 
   /** Build-once parquet artifact: materializes `build` under a fresh
     * temp directory and returns the path (read it back with

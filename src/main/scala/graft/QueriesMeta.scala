@@ -686,8 +686,12 @@ object QueriesMeta {
   // batch funnel re-aggregation — the streaming-vs-batch consistency
   // contract, checked against the DuckDB oracle. Stage times only
   // advance, so the final state is the lexicographic max of (t3,t2,t1)
-  // across a user's updates; -1 encodes "stage not reached" (the
-  // state machine's encoding — COALESCE(-1) on the oracle side).
+  // across a user's updates (every real time exceeds the
+  // StatefulOps.FunnelUnset sentinel Long.MinValue — COALESCE'd on the
+  // oracle side). Final states materialize eagerly (one row per
+  // converting user, driver-bounded like MlParity.bestModel) so the
+  // memory-sink temp table is dropped instead of accumulating one
+  // UUID-named table per invocation across bench reps.
   private val streamFunnelQ = Q(
     (s, dir) => {
       import s.implicits._
@@ -706,11 +710,14 @@ object QueriesMeta {
         .writeStream.outputMode("append").format("memory").queryName(qname)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(qname)
+      val finalStates = s.table(qname)
         .groupBy("user_id")
         .agg(max(struct(col("t3_us"), col("t2_us"), col("t1_us"))).as("_m"))
         .select(col("user_id"), col("_m.t1_us").as("t1_us"),
           col("_m.t2_us").as("t2_us"), col("_m.t3_us").as("t3_us"))
+      val rows = finalStates.collect()
+      s.catalog.dropTempView(qname)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), finalStates.schema)
         .orderBy("user_id")
     },
     Some(
@@ -720,8 +727,9 @@ object QueriesMeta {
         |        WHERE event_type = 'click' AND ts_us > t1_us GROUP BY 1),
         | s3 AS (SELECT e.user_id, min(ts_us) AS t3_us FROM e JOIN s2 USING (user_id)
         |        WHERE event_type = 'purchase' AND ts_us > t2_us GROUP BY 1)
-        | SELECT user_id, t1_us, COALESCE(t2_us, -1) AS t2_us,
-        |  COALESCE(t3_us, -1) AS t3_us
+        | SELECT user_id, t1_us,
+        |  COALESCE(t2_us, -9223372036854775808) AS t2_us,
+        |  COALESCE(t3_us, -9223372036854775808) AS t3_us
         | FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         | ORDER BY user_id""".stripMargin))
 

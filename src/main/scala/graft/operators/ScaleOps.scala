@@ -701,10 +701,10 @@ object ScaleOps {
     * fixture corpus is pinned in ScaleOpsSpec). The reroute sentinel is
     * the row id itself ([[skewSafeCountJoinKeyed]] — collisions with
     * real keys are harmless there by construction). The context count
-    * comes from grouping the bigram STREAM by the first-token hash (the
-    * hashed bigram key can't be unhashed back to its first token, so the
-    * md5 form's derive-from-bigram-table trick doesn't apply; same
-    * result, same single explode).
+    * derives from the aggregated bigram table exactly like the md5
+    * form — the (hb, h1) pair grouping carries the first-token hash
+    * alongside the bigram hash, so c(w₁·) is a re-aggregation of the
+    * COMPACT table, never a second pass over the exploded stream.
     */
   def withBigramLogProbXx(docs: DataFrame, idCol: String,
       textCol: String = "text", headSize: Int = 1024): DataFrame = {
@@ -714,8 +714,9 @@ object ScaleOps {
       .withColumn("h1", xxhash64(split(col("bg"), " ").getItem(0)))
       .withColumn("h2", xxhash64(split(col("bg"), " ").getItem(1)))
       .drop("bg")
-    val bgFreq = bigrams.groupBy("hb").agg(count(lit(1)).as("_cnt"))
-    val ctxFreq = bigrams.groupBy("h1").agg(count(lit(1)).as("_cnt"))
+    val bgFreqPairs = bigrams.groupBy("hb", "h1").agg(count(lit(1)).as("_cnt"))
+    val bgFreq = bgFreqPairs.select(col("hb"), col("_cnt"))
+    val ctxFreq = bgFreqPairs.groupBy("h1").agg(sum("_cnt").as("_cnt"))
     val uniFreq = docs
       .select(explode(tokens(col(textCol))).as("_t"))
       .select(xxhash64(col("_t")).as("h2"))

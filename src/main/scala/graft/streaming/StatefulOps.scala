@@ -24,7 +24,14 @@ object StatefulOps {
 
   case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
 
-  /** Per-user funnel progress: -1 = stage not reached. */
+  /** Sentinel for "stage not reached": Long.MinValue, NOT -1 — a -1
+    * sentinel would collide with legitimate pre-epoch timestamps and
+    * silently corrupt both the stage guards and the final-state
+    * re-aggregation downstream.
+    */
+  val FunnelUnset: Long = Long.MinValue
+
+  /** Per-user funnel progress: [[FunnelUnset]] = stage not reached. */
   case class FunnelState(t1: Long, t2: Long, t3: Long)
 
   case class FunnelUpdate(user_id: Long, t1_us: Long, t2_us: Long, t3_us: Long)
@@ -32,14 +39,18 @@ object StatefulOps {
   /** Streaming twin of the batch `funnel_steps` key: a per-user stage
     * state machine (first view → first click after it → first purchase
     * after that) advanced incrementally as events arrive, instead of
-    * re-aggregating history every batch. State is three longs per user —
-    * bounded regardless of event volume — and checkpoint-backed. Events
-    * are sorted by (ts, type) WITHIN each batch; like every streaming
-    * funnel, cross-batch ordering relies on the source's watermark
-    * discipline (an event older than an already-taken stage cannot
-    * retroactively rewind it — the batch form over the full history is
-    * the reconciliation path, and the parity of the two on in-order
-    * input is pinned in SkewStatefulSpec).
+    * re-aggregating history every batch. Persisted state is three longs
+    * per user; within a batch only open-stage click/purchase times are
+    * retained (a sorted set each) and views fold to a running min, so a
+    * bot-hot user costs the candidate times of its UNREACHED stages, not
+    * a buffered copy of every event. The per-batch resolution
+    * (min view, then smallest click strictly after t1, then smallest
+    * purchase strictly after t2) is equivalent to replaying the batch in
+    * timestamp order. Like every streaming funnel, cross-batch ordering
+    * relies on the source's watermark discipline (an event older than an
+    * already-taken stage cannot retroactively rewind it — the batch form
+    * over the full history is the reconciliation path, and the parity of
+    * the two on in-order input is pinned in SkewStatefulSpec).
     */
   def funnelStages(events: Dataset[FunnelEvent])(implicit spark: SparkSession)
       : Dataset[FunnelUpdate] = {
@@ -48,19 +59,29 @@ object StatefulOps {
       .flatMapGroupsWithState[FunnelState, FunnelUpdate](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[FunnelState]) =>
-          val before = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          var st = before
-          rows.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+          val before = state.getOption
+            .getOrElse(FunnelState(FunnelUnset, FunnelUnset, FunnelUnset))
+          var minView = Long.MaxValue
+          val clicks = scala.collection.mutable.TreeSet.empty[Long]
+          val purchases = scala.collection.mutable.TreeSet.empty[Long]
+          rows.foreach { e =>
             e.event_type match {
-              case "view" if st.t1 < 0 =>
-                st = st.copy(t1 = e.ts_us)
-              case "click" if st.t1 >= 0 && st.t2 < 0 && e.ts_us > st.t1 =>
-                st = st.copy(t2 = e.ts_us)
-              case "purchase" if st.t2 >= 0 && st.t3 < 0 && e.ts_us > st.t2 =>
-                st = st.copy(t3 = e.ts_us)
+              case "view" if before.t1 == FunnelUnset =>
+                minView = math.min(minView, e.ts_us)
+              case "click" if before.t2 == FunnelUnset =>
+                clicks += e.ts_us
+              case "purchase" if before.t3 == FunnelUnset =>
+                purchases += e.ts_us
               case _ => ()
             }
           }
+          var st = before
+          if (st.t1 == FunnelUnset && minView != Long.MaxValue)
+            st = st.copy(t1 = minView)
+          if (st.t1 != FunnelUnset && st.t2 == FunnelUnset)
+            clicks.minAfter(st.t1 + 1).foreach(t => st = st.copy(t2 = t))
+          if (st.t2 != FunnelUnset && st.t3 == FunnelUnset)
+            purchases.minAfter(st.t2 + 1).foreach(t => st = st.copy(t3 = t))
           if (st != before) {
             state.update(st)
             Iterator(FunnelUpdate(uid, st.t1, st.t2, st.t3))

@@ -82,15 +82,15 @@ class SkewStatefulSpec extends SparkSpec {
     val last = spark.sql("select * from funnel_state").as[FunnelUpdate]
       .collect().groupBy(_.user_id).view.mapValues(_.last).toMap
     assert(last(1L) == FunnelUpdate(1L, 100L, 200L, 300L))
-    assert(last(2L) == FunnelUpdate(2L, 150L, 160L, -1L),
+    assert(last(2L) == FunnelUpdate(2L, 150L, 160L, StatefulOps.FunnelUnset),
       s"pre-view click must not count: ${last(2L)}")
-    assert(last(3L) == FunnelUpdate(3L, 10L, -1L, -1L))
+    assert(last(3L) == FunnelUpdate(3L, 10L, StatefulOps.FunnelUnset, StatefulOps.FunnelUnset))
     // parity with the batch formulation (funnel_steps logic) on the
     // same in-order history: first view, first click after it, first
     // purchase after that
     assert(last.values.toSet == Set(
       FunnelUpdate(1L, 100L, 200L, 300L),
-      FunnelUpdate(2L, 150L, 160L, -1L),
-      FunnelUpdate(3L, 10L, -1L, -1L)))
+      FunnelUpdate(2L, 150L, 160L, StatefulOps.FunnelUnset),
+      FunnelUpdate(3L, 10L, StatefulOps.FunnelUnset, StatefulOps.FunnelUnset)))
   }
 }

@@ -110,6 +110,13 @@ object StressBench {
           "trading_date", "close", "asof_close", t => date_trunc("month", t)),
         col("asof_close")))
 
+    // optional pair filter (comma list, e.g. "rsi_wilder,asof_join") —
+    // lets targeted reruns (x20 scale on just the previously-weak pairs)
+    // skip the quarter-hour indicators pair
+    val only = sys.env.get("SPARK_GRAFT_STRESS_PAIRS")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(pairs)(names => pairs.filter(p => names(p._1)))
+
     // warm-up (codegen + classloading outside timed runs)
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().count()
 
@@ -126,7 +133,7 @@ object StressBench {
       ts.min
     }
 
-    val results = pairs.map { case (name, plain, chunked, chk) =>
+    val results = selected.map { case (name, plain, chunked, chk) =>
       val (sp, sc) = (force(plain, chk), force(chunked, chk))
       // 1e-6 relative: two differently-associated parallel sums of ~10^7
       // doubles legitimately differ by ~n·eps ≈ 1e-9 relative (more under

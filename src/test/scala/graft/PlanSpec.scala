@@ -504,6 +504,28 @@ class PlanSpec extends SparkSpec {
     assert(!fmt(df).contains("BroadcastNestedLoopJoin"))
   }
 
+  test("event_transitions: one lag window, broadcast denominator, no cartesian") {
+    val df = Queries.all("event_transitions").fn(spark, sf0001)
+    val p = physical(df)
+    // the totals aggregate re-derives from the counts subtree, so the
+    // lag window appears twice in the TREE; at execution the identical
+    // exchanges dedup via ReusedExchange — pin only that no THIRD
+    // window shape sneaks in
+    assert(collectAll(p) { case w: WindowExec => w }.size <= 2,
+      "expected only the per-user lag window (possibly duplicated subtree)")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "denominator join must broadcast the tiny totals table")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("cohort_retention: aggregates + one user join, no window anywhere") {
+    val df = Queries.all("cohort_retention").fn(spark, sf0001)
+    val p = physical(df)
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty, "unexpected window")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    assert(!fmt(df).contains("BroadcastNestedLoopJoin"))
+  }
+
   test("sales_rollup: one scan through Expand into a single aggregate") {
     val df = Queries.all("sales_rollup").fn(spark, sf0001)
     val p = physical(df)

@@ -733,12 +733,57 @@ object QueriesMeta {
         | FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         | ORDER BY user_id""".stripMargin))
 
+  // ------------------------------------------- fixed-width histogram
+  // Value-distribution histogram over the orders fact: integer floor
+  // division buckets (no quantile pass, no sampling — the O(1)-memory
+  // two-phase count that profiles a 100 TB column in one scan). Exact
+  // decimal sums; empty buckets absent by construction on both sides.
+  private val histogramQ = Q(
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("bucket", floor(col("o_totalprice") / lit(25000.0)).cast(LongType))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(TotalDec)).cast(DoubleType).as("sum_price"))
+        .orderBy("bucket"),
+    Some(
+      """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        | FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // ------------------------------------------- percent-rank window
+  // Per-symbol percentile rank of each close — the "where does today
+  // sit in this symbol's history" signal. PERCENT_RANK is
+  // (rank-1)/(n-1) with RANK sharing ties, so the value is independent
+  // of tie order — no tiebreaker columns needed, and the division of
+  // two exact integers mirrors bitwise. Rides the standard per-symbol
+  // exchange.
+  private val pctRankQ = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("symbol").orderBy("close")
+      Tables.ohlcv(s, dir)
+        .withColumn("close_pct_rank", percent_rank().over(w))
+        .select(col("symbol"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("close"), col("close_pct_rank"))
+        .orderBy(col("symbol"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+    },
+    Some(
+      s"""WITH base AS (${Tables.ohlcvSql})
+         | SELECT symbol, l_orderkey, l_linenumber, l_partkey, l_suppkey, close,
+         |  PERCENT_RANK() OVER (PARTITION BY symbol ORDER BY close) AS close_pct_rank
+         | FROM base
+         | ORDER BY symbol, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "sessionize" -> sessionizeQ,
     "funnel_steps" -> funnelQ,
     "cohort_retention" -> cohortQ,
     "event_transitions" -> transitionsQ,
     "stream_funnel" -> streamFunnelQ,
+    "price_histogram" -> histogramQ,
+    "pct_rank" -> pctRankQ,
     "asof_join" -> asofJoinQ,
     "csv_symbols" -> csvSymbolsQ,
     "group_last_per_key" -> groupLastQ,

@@ -114,7 +114,15 @@ object StressBench {
     // lets targeted reruns (x20 scale on just the previously-weak pairs)
     // skip the quarter-hour indicators pair
     val only = sys.env.get("SPARK_GRAFT_STRESS_PAIRS")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on a typo'd pair name (same stance as the .toInt above):
+    // a filter that silently selects nothing publishes an empty result
+    // after a quarter-hour run
+    only.foreach { names =>
+      val known = pairs.map(_._1).toSet
+      require(names.nonEmpty && names.subsetOf(known),
+        s"SPARK_GRAFT_STRESS_PAIRS must name pairs from $known, got $names")
+    }
     val selected = only.fold(pairs)(names => pairs.filter(p => names(p._1)))
 
     // warm-up (codegen + classloading outside timed runs)

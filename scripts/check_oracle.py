@@ -37,6 +37,16 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}"); n_fail += 1; continue
         sd = spark_df.sort_values(list(spark_df.columns)).reset_index(drop=True)
         dd = duck_df.sort_values(list(duck_df.columns)).reset_index(drop=True)
+        # Dtype-strict gate: the driver's compare hashes TYPED values, so a
+        # DuckDB HUGEINT/DECIMAL column (pandas float64/object) against a
+        # Spark int64 must fail here too, even when the values coincide.
+        # Both frames come through the same duckdb->pandas conversion, so
+        # dtypes are comparable symmetrically.
+        dtype_bad = [f"{c}: spark {sd[c].dtype} vs oracle {dd[c].dtype}"
+                     for c in sd.columns if sd[c].dtype != dd[c].dtype]
+        if dtype_bad:
+            print(f"FAIL {name}: dtype mismatch " + "; ".join(dtype_bad))
+            n_fail += 1; continue
         bad = []
         for c in sd.columns:
             a, b = sd[c], dd[c]

@@ -17,10 +17,15 @@ object ArtifactMemo {
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   /** Source-staleness stamp: `dir@mtime` of the parquet the artifact is
-    * derived from.
+    * derived from. Fails fast on a missing source — `lastModified` of an
+    * absent (or still-being-written) file is 0, which would memoize an
+    * artifact built against nothing under a stable-looking key.
     */
-  def stamp(dir: String, sourceFile: String): String =
-    s"$dir@${new java.io.File(s"$dir/$sourceFile").lastModified()}"
+  def stamp(dir: String, sourceFile: String): String = {
+    val f = new java.io.File(s"$dir/$sourceFile")
+    require(f.exists(), s"ArtifactMemo.stamp: source $f does not exist")
+    s"$dir@${f.lastModified()}"
+  }
 
   /** Build-once value for `key` (include a [[stamp]] in it). The build
     * runs OUTSIDE any map lock: artifacts nest (the IVF base segment's

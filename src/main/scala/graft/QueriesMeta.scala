@@ -518,17 +518,20 @@ object QueriesMeta {
          |  END AS beta_20
          | FROM w ORDER BY symbol, trading_date""".stripMargin))
 
-  // --------------------------------------- S10: CSV symbol universe (⊘)
+  // ------------------------------------------- S10: CSV symbol universe
   // Round-trips the symbol universe through a real CSV file — exercises
   // the header-CSV source + fallback. The file is a FIXTURE
   // (Tables.symbolUniverseCsv, written once per JVM): the query function
-  // itself is pure — it only reads. No DuckDB oracle: the driver records
-  // a rows-only check.
+  // itself is pure — it only reads. The fixture is the distinct symbol
+  // set of the ohlcv view, so the oracle recomputes that set directly
+  // from the base tables — a full hash check of the CSV round-trip
+  // (header parse, string typing, null filter), not just a row count.
   private val csvSymbolsQ = Q(
     (s, dir) =>
       graft.sources.CsvSource.readSymbols(s, Tables.symbolUniverseCsv(s, dir))
         .orderBy("symbol"),
-    None)
+    Some(s"WITH base AS (${Tables.ohlcvSql}) " +
+      "SELECT DISTINCT symbol FROM base ORDER BY symbol"))
 
   // --------------------------------------------- sessionization (events)
   // Gap-based sessions (30 min) per user over the event stream — the
@@ -692,6 +695,14 @@ object QueriesMeta {
   // converting user, driver-bounded like MlParity.bestModel) so the
   // memory-sink temp table is dropped instead of accumulating one
   // UUID-named table per invocation across bench reps.
+  //
+  // HARNESS SHAPE, not the production shape: memory sink + collect()
+  // exist solely so a streaming query can run inside the batch oracle
+  // gate. The form a cluster runs is StatefulOps.funnelToKeyedSink —
+  // foreachBatch into an idempotent keyed parquet sink with the same
+  // (t3,t2,t1)-max resolution distributed on the read side
+  // (StatefulOps.funnelFinalStates); batch-equivalence of the two is
+  // pinned in StreamingSpec. Do not lift this wrapper into a pipeline.
   private val streamFunnelQ = Q(
     (s, dir) => {
       import s.implicits._
@@ -710,11 +721,7 @@ object QueriesMeta {
         .writeStream.outputMode("append").format("memory").queryName(qname)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val finalStates = s.table(qname)
-        .groupBy("user_id")
-        .agg(max(struct(col("t3_us"), col("t2_us"), col("t1_us"))).as("_m"))
-        .select(col("user_id"), col("_m.t1_us").as("t1_us"),
-          col("_m.t2_us").as("t2_us"), col("_m.t3_us").as("t3_us"))
+      val finalStates = graft.streaming.StatefulOps.latestPerUser(s.table(qname))
       val rows = finalStates.collect()
       s.catalog.dropTempView(qname)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), finalStates.schema)

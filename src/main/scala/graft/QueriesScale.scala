@@ -1671,6 +1671,63 @@ object QueriesScale {
     },
     None)
 
+  // --------------------- KMV distinct sketch (the oracle-ABLE sketch)
+  // corpus_stats_approx demonstrates Spark's built-in sketches, but their
+  // internals (HLL++ xxhash64 seeding, bias-correction tables, GK
+  // compression order) are engine-private — no SQL oracle can mirror the
+  // ESTIMATE, so that key stays rows-only with test-pinned accuracy. This
+  // key is the verifiable counterpart: a bottom-k (KMV) distinct-count
+  // estimator over md5 token hashes (functions.BottomKDistinctAgg). The
+  // bottom-k set is a pure order-independent function of the hashes, so
+  // DuckDB derives the identical estimate from the identical definition:
+  // est = (k-1)/U_(k), U_(k) = k-th smallest hash / 2^60 — one int→double
+  // cast and two correctly-rounded divisions on both engines (÷2^60 is
+  // exact scaling), hence bit-equal and hash-green.
+  //
+  // 100 TB shape: the aggregator's state is ≤k longs, so each map task
+  // emits ≤k values per language and the shuffle carries O(langs·k) rows
+  // where exact DISTINCT exchanges the whole vocabulary. Accuracy is the
+  // standard KMV bound (rel err ≈ 1/√(k-2) ≈ 13% at k=64), pinned against
+  // the exact vocab_size in ScaleOpsSpec.
+  private val corpusStatsKmvQ: Q = {
+    val k = 64
+    Q(
+      (s, dir) => {
+        val h = conv(substring(md5(concat(lit("t|"), col("token"))), 1, 15), 16, 10)
+          .cast(LongType)
+        val bk = udaf(new graft.functions.BottomKDistinctAgg(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        Tables.documents(s, dir)
+          .select(col("lang"), explode(ScaleOps.tokens(col("text"))).as("token"))
+          .select(col("lang"), h.as("h"))
+          .groupBy("lang")
+          .agg(bk(col("h")).as("mins"), count(lit(1)).as("n_tokens"))
+          .select(col("lang"), col("n_tokens"),
+            when(size(col("mins")) < k, size(col("mins")).cast(DoubleType))
+              .otherwise(lit((k - 1).toDouble) /
+                (element_at(col("mins"), k).cast(DoubleType) /
+                  lit(1152921504606846976.0)))
+              .as("vocab_kmv"))
+          .orderBy("lang")
+      },
+      Some(
+        s"""WITH kmvtok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+           | kmvh AS (SELECT DISTINCT lang,
+           |   CAST(('0x' || substr(md5('t|' || token), 1, 15)) AS BIGINT) AS h FROM kmvtok),
+           | kmvr AS (SELECT lang, h,
+           |   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn,
+           |   COUNT(*) OVER (PARTITION BY lang) AS nd FROM kmvh),
+           | kmvn AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM kmvtok GROUP BY lang)
+           | SELECT kmvr.lang, kmvn.n_tokens,
+           |  CASE WHEN kmvr.nd < $k THEN CAST(kmvr.nd AS DOUBLE)
+           |       ELSE CAST(${k - 1} AS DOUBLE)
+           |         / (CAST(kmvr.h AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)) END
+           |    AS vocab_kmv
+           | FROM kmvr JOIN kmvn ON kmvr.lang = kmvn.lang
+           | WHERE kmvr.rn = CASE WHEN kmvr.nd < $k THEN kmvr.nd ELSE $k END
+           | ORDER BY kmvr.lang""".stripMargin))
+  }
+
   // --------------------------------- deterministic train/val/test split
   // Reproducible dataset splits by content-stable hash (not random()):
   // the same doc lands in the same split on every run, engine, and
@@ -1915,7 +1972,10 @@ object QueriesScale {
   // sequences (ScaleOps.packSequences), 8 deterministic shards per
   // language. All-integer arithmetic (div/pmod), so the oracle matches
   // bit-exactly; DuckDB's `//` is floor division, identical to Spark's
-  // `div` for the non-negative offsets here.
+  // `div` for the non-negative offsets here. DuckDB's windowed
+  // SUM(BIGINT) yields HUGEINT, which would propagate through `//`/`%`
+  // into int128 output columns — the explicit BIGINT casts below keep
+  // the oracle's types aligned with Spark's int64.
   private val packSequencesQ = Q(
     (s, dir) => {
       ScaleOps.packSequences(Tables.documents(s, dir), "doc_id", budget = 1024)
@@ -1930,8 +1990,8 @@ object QueriesScale {
         |   PARTITION BY lang, shard ORDER BY doc_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off FROM t)
         | SELECT doc_id, lang, shard, n_tokens,
-        |  start_off // 1024 AS seq_id,
-        |  start_off % 1024 AS offset_in_seq,
+        |  CAST(start_off // 1024 AS BIGINT) AS seq_id,
+        |  CAST(start_off % 1024 AS BIGINT) AS offset_in_seq,
         |  (start_off + n_tokens - 1) // 1024 > start_off // 1024 AS spans_boundary
         | FROM o ORDER BY doc_id""".stripMargin))
 
@@ -2530,6 +2590,7 @@ object QueriesScale {
     "stratified_sample" -> stratifiedSampleQ,
     "stratified_sample_hash" -> stratifiedHashQ,
     "corpus_stats_approx" -> corpusStatsApproxQ,
+    "corpus_stats_kmv" -> corpusStatsKmvQ,
     "ngram_counts" -> ngramCountsQ,
     "ngram_counts_approx" -> ngramCountsApproxQ,
     "embedding_quantize" -> embQuantizeQ,

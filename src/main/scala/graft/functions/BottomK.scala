@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bottom-k distinct-hash sketch — the KMV distinct-count estimator
+  * (Bar-Yossef et al., RANDOM 2002; Beyer et al., SIGMOD 2007).
+  *
+  * State is the k smallest DISTINCT values seen, kept as a sorted
+  * primitive array: ≤ k longs per partial aggregate, so each map task
+  * ships at most k values per group and the shuffle carries O(groups·k)
+  * rows where exact DISTINCT would exchange the full vocabulary. The
+  * estimator downstream is `(k-1) / U_(k)` with `U_(k)` the k-th smallest
+  * hash normalized to (0,1); when fewer than k distinct values exist the
+  * sketch is exhaustive and the count exact.
+  *
+  * Unlike HLL++ (engine-private hash seeding and bias tables), the
+  * bottom-k set is a pure order-independent function of the input hashes,
+  * so any engine that computes the same hashes derives the identical
+  * estimate — this is the sketch a DuckDB oracle CAN mirror, which is why
+  * the `corpus_stats_kmv` key hash-checks where `corpus_stats_approx`
+  * (built-in HLL/GK) stays rows-only.
+  *
+  * Inserts allocate a fresh array (O(k) copy), but once the buffer holds
+  * k values only hashes below the current k-th minimum insert — expected
+  * O(k·(1+log(n/k))) total insertions per partition, so the steady-state
+  * per-row cost is one binary search.
+  */
+class BottomKDistinctAgg(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+
+  def zero: Array[Long] = Array.emptyLongArray
+
+  def reduce(b: Array[Long], x: Long): Array[Long] = {
+    val i = java.util.Arrays.binarySearch(b, x)
+    if (i >= 0) b // already tracked — distinctness is the point
+    else {
+      val ins = -i - 1
+      if (b.length < k) {
+        val out = new Array[Long](b.length + 1)
+        System.arraycopy(b, 0, out, 0, ins)
+        out(ins) = x
+        System.arraycopy(b, ins, out, ins + 1, b.length - ins)
+        out
+      } else if (ins < k) { // below the current k-th min: the max falls out
+        val out = new Array[Long](k)
+        System.arraycopy(b, 0, out, 0, ins)
+        out(ins) = x
+        System.arraycopy(b, ins, out, ins + 1, k - ins - 1)
+        out
+      } else b
+    }
+  }
+
+  def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    b2.foldLeft(b1)(reduce)
+
+  def finish(b: Array[Long]): Seq[Long] = b.toSeq
+
+  def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}

@@ -1131,12 +1131,39 @@ object ScaleOps {
     *
     * Per-iteration driver-side work is one action computing
     * (count, sum(xxhash64(u, v))) as a convergence checksum; the edge
-    * set is `localCheckpoint`ed each round to truncate lineage (an
-    * iterative plan would otherwise re-execute every prior round — and
-    * the upstream candidate-generation pipeline — per action).
+    * set is checkpointed each round to truncate lineage (an iterative
+    * plan would otherwise re-execute every prior round — and the
+    * upstream candidate-generation pipeline — per action).
+    *
+    * Checkpoint durability is the local-vs-cluster fork: the default
+    * `localCheckpoint(true)` stores blocks on executors — fine in
+    * local mode, but on a real cluster one executor loss mid-iteration
+    * severs the (deliberately truncated) lineage and kills the job.
+    * Passing `checkpointDir` round-trips each round's edge frame
+    * through parquet instead — the 100 TB form: any executor can die
+    * and the next round re-reads from durable storage. Rounds write to
+    * `$checkpointDir/cc_round_$i`; the previous round's directory is
+    * deleted as soon as the next is materialized, so peak footprint is
+    * two (shrinking) edge snapshots.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst", maxIter: Int = 25): DataFrame = {
+      dstCol: String = "dst", maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Eager per-round materialization + lineage cut. Both branches are
+    // actions: parquet write, or localCheckpoint(eager = true).
+    def checkpointRound(df: DataFrame, round: Int): DataFrame = checkpointDir match {
+      case Some(d) =>
+        val path = s"$d/cc_round_$round"
+        df.write.mode("overwrite").parquet(path)
+        val back = df.sparkSession.read.parquet(path)
+        if (round > 0) { // previous round is no longer referenced
+          val prev = new org.apache.hadoop.fs.Path(s"$d/cc_round_${round - 1}")
+          prev.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(prev, true)
+        }
+        back
+      case None => df.localCheckpoint(true)
+    }
     def canonical(e: DataFrame): DataFrame =
       e.select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
@@ -1177,14 +1204,13 @@ object ScaleOps {
       (r.getLong(0), r.getLong(1))
     }
 
-    var e = canonical(
-      edges.select(col(srcCol).as("u"), col(dstCol).as("v")))
-      .localCheckpoint(true)
+    var e = checkpointRound(canonical(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))), 0)
     var sum = checksum(e)
     var it = 0
     var converged = e.isEmpty
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = checkpointRound(smallStar(largeStar(e)), it + 1)
       val nextSum = checksum(next)
       converged = nextSum == sum // star forest ⇔ both stars are no-ops
       e = next

@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StreamingQuery, Trigger}
 
 /** Custom streaming state via `flatMapGroupsWithState` — the Spark-native
   * form of the reference consumer's per-ticker in-memory buffers
@@ -40,10 +42,15 @@ object StatefulOps {
     * state machine (first view → first click after it → first purchase
     * after that) advanced incrementally as events arrive, instead of
     * re-aggregating history every batch. Persisted state is three longs
-    * per user; within a batch only open-stage click/purchase times are
-    * retained (a sorted set each) and views fold to a running min, so a
-    * bot-hot user costs the candidate times of its UNREACHED stages, not
-    * a buffered copy of every event. The per-batch resolution
+    * per user; within a batch views fold to a running min, and
+    * click/purchase candidates for a stage whose PREDECESSOR was already
+    * taken before the batch fold to a single running min above that
+    * predecessor time (O(1) — the steady-state hot-user path). Only when
+    * the predecessor stage is still open at batch start do candidates
+    * buffer in a sorted set (the predecessor time is not known until the
+    * whole batch is seen), so a bot-hot user costs candidate times of
+    * stages whose predecessors resolve WITHIN this batch, never a
+    * buffered copy of every event. The per-batch resolution
     * (min view, then smallest click strictly after t1, then smallest
     * purchase strictly after t2) is equivalent to replaying the batch in
     * timestamp order. Like every streaming funnel, cross-batch ordering
@@ -62,6 +69,11 @@ object StatefulOps {
           val before = state.getOption
             .getOrElse(FunnelState(FunnelUnset, FunnelUnset, FunnelUnset))
           var minView = Long.MaxValue
+          // Candidates for a stage whose predecessor time is already fixed
+          // (taken before this batch) fold to ONE running min strictly
+          // above it; only an open predecessor forces buffering.
+          var minClick = Long.MaxValue
+          var minPurchase = Long.MaxValue
           val clicks = scala.collection.mutable.TreeSet.empty[Long]
           val purchases = scala.collection.mutable.TreeSet.empty[Long]
           rows.foreach { e =>
@@ -69,25 +81,85 @@ object StatefulOps {
               case "view" if before.t1 == FunnelUnset =>
                 minView = math.min(minView, e.ts_us)
               case "click" if before.t2 == FunnelUnset =>
-                clicks += e.ts_us
+                if (before.t1 != FunnelUnset) {
+                  if (e.ts_us > before.t1) minClick = math.min(minClick, e.ts_us)
+                } else clicks += e.ts_us
               case "purchase" if before.t3 == FunnelUnset =>
-                purchases += e.ts_us
+                if (before.t2 != FunnelUnset) {
+                  if (e.ts_us > before.t2) minPurchase = math.min(minPurchase, e.ts_us)
+                } else purchases += e.ts_us
               case _ => ()
             }
           }
+          // Strict-after lookup without `t + 1` (which would wrap at
+          // Long.MaxValue and admit every candidate): rangeFrom is an
+          // inclusive bound, the find discards an exact tie.
+          def minStrictlyAfter(s: scala.collection.mutable.TreeSet[Long],
+              t: Long): Option[Long] = s.rangeFrom(t).find(_ > t)
           var st = before
           if (st.t1 == FunnelUnset && minView != Long.MaxValue)
             st = st.copy(t1 = minView)
-          if (st.t1 != FunnelUnset && st.t2 == FunnelUnset)
-            clicks.minAfter(st.t1 + 1).foreach(t => st = st.copy(t2 = t))
-          if (st.t2 != FunnelUnset && st.t3 == FunnelUnset)
-            purchases.minAfter(st.t2 + 1).foreach(t => st = st.copy(t3 = t))
+          if (st.t1 != FunnelUnset && st.t2 == FunnelUnset) {
+            val cand = if (before.t1 != FunnelUnset) {
+              if (minClick != Long.MaxValue) Some(minClick) else None
+            } else minStrictlyAfter(clicks, st.t1)
+            cand.foreach(t => st = st.copy(t2 = t))
+          }
+          if (st.t2 != FunnelUnset && st.t3 == FunnelUnset) {
+            val cand = if (before.t2 != FunnelUnset) {
+              if (minPurchase != Long.MaxValue) Some(minPurchase) else None
+            } else minStrictlyAfter(purchases, st.t2)
+            cand.foreach(t => st = st.copy(t3 = t))
+          }
           if (st != before) {
             state.update(st)
             Iterator(FunnelUpdate(uid, st.t1, st.t2, st.t3))
           } else Iterator.empty
       }
   }
+
+  /** Production sink form of [[funnelStages]] — the shape a cluster runs.
+    * The memory-sink + collect() wrapper in QueriesMeta's `stream_funnel`
+    * key exists ONLY so a streaming query can be compared inside the batch
+    * correctness gate; it materializes every converting user on the
+    * driver. Here each micro-batch of funnel updates lands in a keyed
+    * parquet sink instead: the batch first compacts to one row per user
+    * (stage times only advance, so the lexicographic max of (t3,t2,t1) IS
+    * that user's final state within the batch), then rewrites its own
+    * `batch_id` partition — foreachBatch is at-least-once, and a replayed
+    * batch overwriting its own path makes the sink idempotent (same recipe
+    * as [[MicroBatch.idempotentSink]]). Nothing ever reaches the driver.
+    */
+  def funnelToKeyedSink(events: Dataset[FunnelEvent], outDir: String,
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow())(
+      implicit spark: SparkSession): StreamingQuery =
+    funnelStages(events).writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[FunnelUpdate], batchId: Long) =>
+        latestPerUser(batch.toDF())
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
+  /** Read-side resolution of [[funnelToKeyedSink]]'s append-keyed sink:
+    * the newest state per user is the lexicographic max of (t3,t2,t1)
+    * across that user's update rows — a plain distributed aggregation, so
+    * consumers (or a periodic compaction job) resolve the funnel table
+    * without any driver-side collection.
+    */
+  def funnelFinalStates(spark: SparkSession, outDir: String): DataFrame =
+    latestPerUser(spark.read.parquet(outDir))
+
+  /** Shared (t3,t2,t1)-max reduction: valid because stage times only
+    * advance and a later stage never fills before an earlier one.
+    */
+  def latestPerUser(updates: DataFrame): DataFrame =
+    updates.groupBy("user_id")
+      .agg(max(struct(col("t3_us"), col("t2_us"), col("t1_us"))).as("_m"))
+      .select(col("user_id"), col("_m.t1_us").as("t1_us"),
+        col("_m.t2_us").as("t2_us"), col("_m.t3_us").as("t3_us"))
 
   /** Emit one updated summary row per ticker per micro-batch; state
     * persists across batches (checkpoint-backed, unlike the reference's

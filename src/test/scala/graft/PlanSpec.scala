@@ -93,6 +93,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("corpus_stats_kmv: bottom-k aggregates partially map-side, no vocabulary shuffle") {
+    val p = physical(Queries.all("corpus_stats_kmv").fn(spark, sf0001))
+    // one hash exchange on lang (carrying ≤k longs per lang per map task)
+    // plus the output ORDER BY's range exchange — a distinct/extra hash
+    // exchange would mean the sketch regressed to an exact-DISTINCT plan
+    val ex = collectAll(p) { case e: Exchange => e }
+    assert(ex.size <= 2, s"${ex.size} exchanges (want ≤2)")
+    assert(ex.count(_.outputPartitioning.toString.toLowerCase.contains("hash")) <= 1,
+      s"extra hash exchange: ${ex.map(_.outputPartitioning)}")
+    // the typed-imperative aggregate must run two-phase (partial below the
+    // exchange, final above) so the vocabulary never leaves the map side
+    val objAggs = collectAll(p) {
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+    }
+    assert(objAggs.size >= 2,
+      s"expected partial+final ObjectHashAggregate, got ${objAggs.size}")
+  }
+
   test("fulltext_bm25: corpus scanned once for scoring, stats aside; no SMJ") {
     val p = physical(Queries.all("fulltext_bm25").fn(spark, sf0001))
     // exactly TWO scans of documents are allowed: the scoring pass and

@@ -605,6 +605,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("node", "rep"))
   }
 
+  test("connectedComponents: parquet-checkpoint path (the cluster-durable form) matches localCheckpoint") {
+    // Same graph through checkpointDir — each round must round-trip its
+    // edge frame through parquet and still converge to identical clusters;
+    // afterwards only the final round's directory may remain (previous
+    // rounds are deleted as soon as the next is durable).
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("src", "dst")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_").toFile
+    try {
+      val durable = ScaleOps.connectedComponents(edges,
+        checkpointDir = Some(ckpt.getPath)).as[(Long, Long)].collect().toMap
+      val local = ScaleOps.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      assert(durable == local)
+      assert(durable == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+        11L -> 10L, 21L -> 20L, 22L -> 20L))
+      val rounds = ckpt.listFiles().map(_.getName).filter(_.startsWith("cc_round_"))
+      assert(rounds.length == 1, s"expected only the last round kept, got ${rounds.toSeq}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(ckpt)
+    }
+  }
+
   test("dedup_cc vs keep-min: star graph is the separating case") {
     // edges (1,3),(2,3): keep-min removes only 3 (1 and 2 have no smaller
     // neighbor), CC puts all three in one component with rep 1 — the
@@ -939,6 +965,39 @@ class ScaleOpsSpec extends SparkSpec {
       s"hot1 bound violated: ${sketch("hot1")}")
     assert(sketch("hot2") <= 100 && sketch("hot2") >= 100 - 45,
       s"hot2 bound violated: ${sketch("hot2")}")
+  }
+
+  test("BottomKDistinctAgg: distinctness, cap, merge-order invariance") {
+    val agg = new graft.functions.BottomKDistinctAgg(4)
+    // duplicates collapse; only the 4 smallest distinct values survive
+    val xs = Seq(9L, 3L, 7L, 3L, 1L, 9L, 5L, 2L, 8L, 1L)
+    val direct = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+    assert(direct == Seq(1L, 2L, 3L, 5L))
+    // merging partials in any order yields the same set as one pass
+    val (l, r) = xs.splitAt(3)
+    val b1 = l.foldLeft(agg.zero)(agg.reduce)
+    val b2 = r.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(b1.clone(), b2.clone())) == direct)
+    assert(agg.finish(agg.merge(b2.clone(), b1.clone())) == direct)
+    // fewer than k distinct values: the sketch is exhaustive
+    val small = agg.finish(Seq(5L, 5L, 2L).foldLeft(agg.zero)(agg.reduce))
+    assert(small == Seq(2L, 5L))
+  }
+
+  test("corpus_stats_kmv: estimate within the KMV error bound of exact vocab") {
+    // k=64 → standard deviation ≈ 1/sqrt(62) ≈ 12.7%; assert a 3-sigma-ish
+    // band so the pin is tight enough to catch a broken estimator but
+    // never flakes on an unlucky hash draw
+    val exact = Queries.all("corpus_stats").fn(spark, sf0001)
+      .select("lang", "vocab_size").as[(String, Long)].collect().toMap
+    val kmv = Queries.all("corpus_stats_kmv").fn(spark, sf0001)
+      .select("lang", "vocab_kmv").as[(String, Double)].collect().toMap
+    assert(kmv.keySet == exact.keySet)
+    kmv.foreach { case (lang, est) =>
+      val truth = exact(lang).toDouble
+      assert(math.abs(est - truth) / truth < 0.4,
+        s"$lang: KMV estimate $est vs exact $truth off by >40%")
+    }
   }
 
   test("ngram_counts_approx: sketch candidates + exact re-count reproduce the exact top-5") {

@@ -79,8 +79,12 @@ class SkewStatefulSpec extends SparkSpec {
       FunnelEvent(3L, "view", 20L))
     q.processAllAvailable()
     q.stop()
-    val last = spark.sql("select * from funnel_state").as[FunnelUpdate]
-      .collect().groupBy(_.user_id).view.mapValues(_.last).toMap
+    // resolve the final state per user with the same (t3,t2,t1)-max
+    // aggregation the stream_funnel key uses — positional .last on the
+    // memory sink's collect order would flake if it ever diverged from
+    // batch order
+    val last = StatefulOps.latestPerUser(spark.sql("select * from funnel_state"))
+      .as[FunnelUpdate].collect().map(u => u.user_id -> u).toMap
     assert(last(1L) == FunnelUpdate(1L, 100L, 200L, 300L))
     assert(last(2L) == FunnelUpdate(2L, 150L, 160L, StatefulOps.FunnelUnset),
       s"pre-view click must not count: ${last(2L)}")

@@ -1153,13 +1153,23 @@ object ScaleOps {
     // actions: parquet write, or localCheckpoint(eager = true).
     def checkpointRound(df: DataFrame, round: Int): DataFrame = checkpointDir match {
       case Some(d) =>
+        val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+        if (round == 0) {
+          // a reused dir may hold cc_round_* leftovers from a previous,
+          // longer run — those would outlive this run's own cleanup and
+          // read as live state to an operator
+          val root = new org.apache.hadoop.fs.Path(d)
+          val fs = root.getFileSystem(hconf)
+          if (fs.exists(root))
+            fs.listStatus(root).filter(_.getPath.getName.startsWith("cc_round_"))
+              .foreach(s => fs.delete(s.getPath, true))
+        }
         val path = s"$d/cc_round_$round"
         df.write.mode("overwrite").parquet(path)
         val back = df.sparkSession.read.parquet(path)
         if (round > 0) { // previous round is no longer referenced
           val prev = new org.apache.hadoop.fs.Path(s"$d/cc_round_${round - 1}")
-          prev.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-            .delete(prev, true)
+          prev.getFileSystem(hconf).delete(prev, true)
         }
         back
       case None => df.localCheckpoint(true)

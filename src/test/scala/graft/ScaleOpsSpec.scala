@@ -623,6 +623,15 @@ class ScaleOpsSpec extends SparkSpec {
         11L -> 10L, 21L -> 20L, 22L -> 20L))
       val rounds = ckpt.listFiles().map(_.getName).filter(_.startsWith("cc_round_"))
       assert(rounds.length == 1, s"expected only the last round kept, got ${rounds.toSeq}")
+      // reusing the SAME dir (with the previous run's leftover round on
+      // disk): round 0 sweeps stale cc_round_* so a shorter re-run can't
+      // leave a mix of old and new state behind
+      val rerun = ScaleOps.connectedComponents(
+        Seq((10L, 11L)).toDF("src", "dst"),
+        checkpointDir = Some(ckpt.getPath)).as[(Long, Long)].collect().toMap
+      assert(rerun == Map(11L -> 10L))
+      val rounds2 = ckpt.listFiles().map(_.getName).filter(_.startsWith("cc_round_"))
+      assert(rounds2.length == 1, s"stale rounds survived the rerun: ${rounds2.toSeq}")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit

@@ -72,8 +72,10 @@ object Tables {
   private val symbolCsvMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   def symbolUniverseCsv(spark: SparkSession, dir: String): String = {
-    val srcStamp = new java.io.File(s"$dir/lineitem.parquet").lastModified()
-    symbolCsvMemo.computeIfAbsent(s"$dir@$srcStamp", { _ =>
+    // ArtifactMemo.stamp, not raw lastModified(): a missing/in-flight
+    // lineitem.parquet must fail fast, never memoize under `dir@0`
+    val srcStamp = ArtifactMemo.stamp(dir, "lineitem.parquet")
+    symbolCsvMemo.computeIfAbsent(srcStamp, { _ =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_symbols_csv_").toFile
       tmp.deleteOnExit()
       val path = new java.io.File(tmp, "universe").getPath

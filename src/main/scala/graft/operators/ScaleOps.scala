@@ -1141,35 +1141,31 @@ object ScaleOps {
     * severs the (deliberately truncated) lineage and kills the job.
     * Passing `checkpointDir` round-trips each round's edge frame
     * through parquet instead — the 100 TB form: any executor can die
-    * and the next round re-reads from durable storage. Rounds write to
-    * `$checkpointDir/cc_round_$i`; the previous round's directory is
-    * deleted as soon as the next is materialized, so peak footprint is
-    * two (shrinking) edge snapshots.
+    * and the next round re-reads from durable storage. Each call writes
+    * under its own `$checkpointDir/cc_run_<uuid>/cc_round_$i` namespace
+    * (concurrent or repeated calls sharing one dir never clobber each
+    * other), and a round's directory is deleted as soon as the next is
+    * materialized, so peak footprint is two (shrinking) edge snapshots.
+    * NOTE the returned DataFrame stays backed by the run's FINAL round
+    * directory — it remains readable lazily, and the caller owns
+    * deleting the `cc_run_*` directory once done with the result.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", maxIter: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
+    val runDir = checkpointDir.map(d =>
+      s"$d/cc_run_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     // Eager per-round materialization + lineage cut. Both branches are
     // actions: parquet write, or localCheckpoint(eager = true).
-    def checkpointRound(df: DataFrame, round: Int): DataFrame = checkpointDir match {
+    def checkpointRound(df: DataFrame, round: Int): DataFrame = runDir match {
       case Some(d) =>
-        val hconf = df.sparkSession.sparkContext.hadoopConfiguration
-        if (round == 0) {
-          // a reused dir may hold cc_round_* leftovers from a previous,
-          // longer run — those would outlive this run's own cleanup and
-          // read as live state to an operator
-          val root = new org.apache.hadoop.fs.Path(d)
-          val fs = root.getFileSystem(hconf)
-          if (fs.exists(root))
-            fs.listStatus(root).filter(_.getPath.getName.startsWith("cc_round_"))
-              .foreach(s => fs.delete(s.getPath, true))
-        }
         val path = s"$d/cc_round_$round"
         df.write.mode("overwrite").parquet(path)
         val back = df.sparkSession.read.parquet(path)
         if (round > 0) { // previous round is no longer referenced
           val prev = new org.apache.hadoop.fs.Path(s"$d/cc_round_${round - 1}")
-          prev.getFileSystem(hconf).delete(prev, true)
+          prev.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(prev, true)
         }
         back
       case None => df.localCheckpoint(true)

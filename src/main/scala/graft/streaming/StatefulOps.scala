@@ -123,12 +123,14 @@ object StatefulOps {
     * key exists ONLY so a streaming query can be compared inside the batch
     * correctness gate; it materializes every converting user on the
     * driver. Here each micro-batch of funnel updates lands in a keyed
-    * parquet sink instead: the batch first compacts to one row per user
-    * (stage times only advance, so the lexicographic max of (t3,t2,t1) IS
-    * that user's final state within the batch), then rewrites its own
-    * `batch_id` partition — foreachBatch is at-least-once, and a replayed
-    * batch overwriting its own path makes the sink idempotent (same recipe
-    * as [[MicroBatch.idempotentSink]]). Nothing ever reaches the driver.
+    * parquet sink instead: [[funnelStages]] already emits AT MOST ONE
+    * update per user per batch (the state machine folds the batch before
+    * emitting), so the batch writes as-is — no per-batch aggregation —
+    * into its own `batch_id` partition. foreachBatch is at-least-once,
+    * and a replayed batch overwriting its own path makes the sink
+    * idempotent (same recipe as [[MicroBatch.idempotentSink]]). Nothing
+    * ever reaches the driver; cross-batch resolution happens read-side
+    * ([[funnelFinalStates]]).
     */
   def funnelToKeyedSink(events: Dataset[FunnelEvent], outDir: String,
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow())(
@@ -137,8 +139,7 @@ object StatefulOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[FunnelUpdate], batchId: Long) =>
-        latestPerUser(batch.toDF())
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .start()

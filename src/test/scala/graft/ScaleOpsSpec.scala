@@ -607,31 +607,36 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("connectedComponents: parquet-checkpoint path (the cluster-durable form) matches localCheckpoint") {
     // Same graph through checkpointDir — each round must round-trip its
-    // edge frame through parquet and still converge to identical clusters;
-    // afterwards only the final round's directory may remain (previous
-    // rounds are deleted as soon as the next is durable).
+    // edge frame through parquet and still converge to identical clusters.
+    // Each call namespaces under its own cc_run_* dir (a shared dir is
+    // safe for repeated/concurrent calls) keeping ONLY its final round —
+    // which must stay readable, since it backs the returned frame.
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
       (20L, 21L), (21L, 22L)).toDF("src", "dst")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_").toFile
     try {
-      val durable = ScaleOps.connectedComponents(edges,
-        checkpointDir = Some(ckpt.getPath)).as[(Long, Long)].collect().toMap
+      val durableDf = ScaleOps.connectedComponents(edges,
+        checkpointDir = Some(ckpt.getPath))
+      val durable = durableDf.as[(Long, Long)].collect().toMap
       val local = ScaleOps.connectedComponents(edges)
         .as[(Long, Long)].collect().toMap
       assert(durable == local)
       assert(durable == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
         11L -> 10L, 21L -> 20L, 22L -> 20L))
-      val rounds = ckpt.listFiles().map(_.getName).filter(_.startsWith("cc_round_"))
-      assert(rounds.length == 1, s"expected only the last round kept, got ${rounds.toSeq}")
-      // reusing the SAME dir (with the previous run's leftover round on
-      // disk): round 0 sweeps stale cc_round_* so a shorter re-run can't
-      // leave a mix of old and new state behind
+      def roundDirs() = ckpt.listFiles().filter(_.getName.startsWith("cc_run_"))
+        .flatMap(_.listFiles()).map(_.getName).filter(_.startsWith("cc_round_"))
+      assert(roundDirs().length == 1,
+        s"expected only the last round kept, got ${roundDirs().toSeq}")
+      // a second call into the SAME dir gets its own run namespace: it
+      // neither clobbers the first run's final round (still backing
+      // durableDf) nor inherits its state
       val rerun = ScaleOps.connectedComponents(
         Seq((10L, 11L)).toDF("src", "dst"),
         checkpointDir = Some(ckpt.getPath)).as[(Long, Long)].collect().toMap
       assert(rerun == Map(11L -> 10L))
-      val rounds2 = ckpt.listFiles().map(_.getName).filter(_.startsWith("cc_round_"))
-      assert(rounds2.length == 1, s"stale rounds survived the rerun: ${rounds2.toSeq}")
+      assert(roundDirs().length == 2, s"per-run namespaces: ${roundDirs().toSeq}")
+      // the first result is STILL readable after the second run
+      assert(durableDf.as[(Long, Long)].collect().toMap == durable)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit

@@ -238,25 +238,32 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.StatefulOps
     implicit val s = spark
     val dir = sf0001
-    val out = Files.createTempDirectory("graft_funnel_sink").toString
-    val ckpt = Files.createTempDirectory("graft_funnel_ckpt").toString
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
-      .select(col("user_id"), col("event_type"), col("ts_us"))
-      .as[StatefulOps.FunnelEvent]
-    val q = StatefulOps.funnelToKeyedSink(stream, out, ckpt)
-    q.awaitTermination()
-    // the keyed parquet sink, resolved distributedly, must equal the
-    // memory-sink + collect harness the oracle gate runs — pinning that
-    // the production shape and the gate shape are the same operator
-    val sinkStates = StatefulOps.funnelFinalStates(spark, out)
-      .orderBy("user_id").as[(Long, Long, Long, Long)].collect().toSeq
-    val harness = Queries.all("stream_funnel").fn(spark, dir)
-      .as[(Long, Long, Long, Long)].collect().toSeq
-    assert(sinkStates.nonEmpty)
-    assert(sinkStates == harness)
+    val out = Files.createTempDirectory("graft_funnel_sink").toFile
+    val ckpt = Files.createTempDirectory("graft_funnel_ckpt").toFile
+    try {
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+        .as[StatefulOps.FunnelEvent]
+      val q = StatefulOps.funnelToKeyedSink(stream, out.getPath, ckpt.getPath)
+      q.awaitTermination()
+      // the keyed parquet sink, resolved distributedly, must equal the
+      // memory-sink + collect harness the oracle gate runs — pinning that
+      // the production shape and the gate shape are the same operator
+      val sinkStates = StatefulOps.funnelFinalStates(spark, out.getPath)
+        .orderBy("user_id").as[(Long, Long, Long, Long)].collect().toSeq
+      val harness = Queries.all("stream_funnel").fn(spark, dir)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(sinkStates.nonEmpty)
+      assert(sinkStates == harness)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(out); rm(ckpt)
+    }
   }
 
   test("kafka source config carries the reference consumer's flow control") {

@@ -330,6 +330,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF-PQ ANN: cell-gated ADC reaches recall >= 0.75, deterministic, self-retrieving") {
+    val brute = Queries.all("similarity_topk").fn(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Queries.all("ann_ivfpq_topk").fn(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    // a query's own vector sits in the cell the query ranks first, so the
+    // coarse gate never loses it and the exact re-rank restores it
+    (0L until 10L).foreach(q => assert(ivfpq.contains((q, q)), s"query $q lost itself"))
+    val again = Queries.all("ann_ivfpq_topk").fn(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivfpq == again)
+    // the gate can only LOSE candidates the probe misses, so IVF-PQ's
+    // recall sits at or below flat PQ's (pinned 0.8) — the measured gap
+    // IS the price of scanning only nProbe/K of the code table
+    val recall = brute.count(ivfpq.contains).toDouble / brute.size
+    info(f"ivfpq recall@10 = $recall%.2f")
+    assert(recall >= 0.75, s"recall $recall")
+  }
+
   test("decodeBatches: mapPartitions media plumbing with stubbed codec") {
     import graft.operators.ScaleOps.{MediaIn, MediaOut}
     val ds = Seq(

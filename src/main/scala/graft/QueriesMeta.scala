@@ -740,6 +740,60 @@ object QueriesMeta {
         | FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         | ORDER BY user_id""".stripMargin))
 
+  // ------------------------- streaming sessions (real streaming run)
+  // The streaming-vs-batch consistency contract for the SECOND stateful
+  // family (stream_funnel covers flatMapGroupsWithState; this covers
+  // native session_window state): the events parquet runs through a file
+  // source → MicroBatch.sessionStats (session_window, 30-min gap, append
+  // mode, zero watermark delay) under Trigger.AvailableNow, and the
+  // emitted sessions must hash-match the batch gaps-and-islands oracle.
+  // Two semantics the oracle mirrors EXACTLY (both pinned in
+  // StreamingSpec):
+  //  - gap boundary: session_window merges iff diff < gap, so a pair
+  //    exactly 30 min apart SPLITS (the batch sessionize key's `>` rule
+  //    keeps it — that one-microsecond convention difference is why this
+  //    oracle uses `>=`);
+  //  - append-mode closure: a session is emitted iff its padded end
+  //    (last event + gap) <= the final watermark (= max event ts at
+  //    delay 0) — equality EMITS; still-open sessions are absent. This
+  //    is the allowed-lateness contract stated as data.
+  // Same harness stance as stream_funnel: memory sink + collect exist
+  // only so a real streaming query can run inside the batch oracle gate.
+  private val streamSessionsQ = Q(
+    (s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("value"))
+      val qname = "stream_sessions_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.MicroBatch.sessionStats(stream)
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = s.table(qname)
+      val rows = res.collect()
+      s.catalog.dropTempView(qname)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        .orderBy("user_id", "session_start")
+    },
+    Some(
+      """WITH e AS (SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        | l AS (SELECT *, LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+        | n AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+        | sid AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n),
+        | sess AS (SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |   CAST(COUNT(*) AS BIGINT) AS n_events,
+        |   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM sid GROUP BY user_id, session_id),
+        | wm AS (SELECT max(ts_us) AS w FROM e)
+        | SELECT user_id, make_timestamp(start_us) AS session_start,
+        |  make_timestamp(end_us) AS session_end, n_events, sum_value
+        | FROM sess, wm WHERE end_us + 1800000000 <= w
+        | ORDER BY user_id, session_start""".stripMargin))
+
   // ------------------------------------------- fixed-width histogram
   // Value-distribution histogram over the orders fact: integer floor
   // division buckets (no quantile pass, no sampling — the O(1)-memory
@@ -789,6 +843,7 @@ object QueriesMeta {
     "cohort_retention" -> cohortQ,
     "event_transitions" -> transitionsQ,
     "stream_funnel" -> streamFunnelQ,
+    "stream_sessions" -> streamSessionsQ,
     "price_histogram" -> histogramQ,
     "pct_rank" -> pctRankQ,
     "asof_join" -> asofJoinQ,

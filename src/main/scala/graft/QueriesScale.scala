@@ -866,6 +866,39 @@ object QueriesScale {
         | 'application/octet-stream' AS mime
         | FROM documents ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------------ image header decode
+  // The REAL metadata decode of the multimodal stage: deterministic
+  // (width, height) pairs derived from doc_id are encoded into VALID
+  // PNG / JPEG(JFIF, with an APP0 segment the marker walk must skip) /
+  // GIF89a container headers (ScaleOps.synth*Header — pure byte
+  // arithmetic, headers conform to the published specs), and the native
+  // ImageMeta expression parses format/width/height back out of the raw
+  // bytes. The oracle recomputes the expected dimensions arithmetically,
+  // so a hash match proves the parser inverts three real container
+  // encodings end-to-end — no codec library involved, which is exactly
+  // why this runs at 100 TB: one codegen'd bounded byte walk per row,
+  // zero shuffle. Golden pins against fixed real-file bytes (a canonical
+  // 1×1 PNG etc.) plus corrupt-header fallbacks live in ScaleOpsSpec.
+  private val imageMetaQ = Q(
+    (s, dir) => {
+      val w = (lit(16L) + (col("doc_id") * 37) % 2048).cast(LongType)
+      val h = (lit(16L) + (col("doc_id") * 53) % 1536).cast(LongType)
+      val payload = when(col("doc_id") % 3 === 0, ScaleOps.synthPngHeader(w, h))
+        .when(col("doc_id") % 3 === 1, ScaleOps.synthJpegHeader(w, h))
+        .otherwise(ScaleOps.synthGifHeader(w, h))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ScaleOps.imageMeta(payload).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        | CAST(16 + (doc_id * 37) % 2048 AS BIGINT) AS width,
+        | CAST(16 + (doc_id * 53) % 1536 AS BIGINT) AS height
+        | FROM documents ORDER BY doc_id""".stripMargin))
+
   // --------------------------------------------------- simhash near-dup
   // Scale design: a naive hamming(h1,h2)<=3 theta-join is O(n²). Instead,
   // split the hash into 4 bands of 15 bits — by pigeonhole, any pair
@@ -2720,6 +2753,7 @@ object QueriesScale {
     "similarity_topk" -> similarityTopkQ,
     "embedding_neardup" -> embNeardupQ,
     "multimodal_meta" -> multimodalQ,
+    "image_meta" -> imageMetaQ,
     "simhash_neardup" -> simhashQ
   )
 }

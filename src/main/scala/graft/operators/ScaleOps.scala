@@ -1021,13 +1021,16 @@ object ScaleOps {
   def rollingHashNative(text: Column): Column =
     org.apache.spark.sql.graftnative.TextExpressions.rolling_hash(text)
 
-  // ------------------------------------------------------- multimodal stub
+  // --------------------------------------------------- multimodal columns
 
   /** Multimodal column plumbing: the engine treats image/audio/video as
-    * opaque binary + typed metadata. The decode step is a clearly-marked
-    * deterministic FAKE (this container has no codec libraries); the
-    * Spark-side shape — binary column, per-partition batch processing,
-    * fixed-width feature output — is real and tested.
+    * opaque binary + typed metadata. Container METADATA decode is real —
+    * [[imageMeta]] parses format/width/height from PNG/JPEG/GIF header
+    * bytes natively, no codec needed. Pixel/feature decode
+    * ([[decodeBatches]]) still stubs its codec (this container ships no
+    * image/audio libraries); its Spark-side shape — binary column,
+    * per-partition batch processing, fixed-width feature output — is real
+    * and tested.
     */
   def withMultimodalPayload(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("payload", col(textCol).cast(BinaryType))
@@ -1035,6 +1038,60 @@ object ScaleOps {
       .withColumn("media_meta", struct(
         lit("application/octet-stream").as("mime"),
         octet_length(col("payload")).as("size_bytes")))
+
+  /** Native image-container metadata `struct(format, width, height)`
+    * parsed from the payload's header bytes — the real decode step of
+    * the metadata stage (see
+    * [[org.apache.spark.sql.graftnative.ImageMeta]]): one codegen'd
+    * bounded byte walk per row, zero shuffle, u32-safe longs, unknown or
+    * corrupt containers yield `('unknown', NULL, NULL)`.
+    */
+  def imageMeta(payload: Column): Column =
+    org.apache.spark.sql.graftnative.MediaExpressions.image_meta(payload)
+
+  // Fixture encoders for the header parser: build VALID container headers
+  // from (width, height) columns with pure byte arithmetic, so the
+  // `image_meta` key can round-trip real PNG/JPEG/GIF headers through the
+  // native parser and an oracle can recompute the expected dimensions
+  // arithmetically. Big-endian fields are hex-padded unhex; little-endian
+  // u16 swaps the two bytes with shift/mask.
+
+  private def beU32Col(v: Column): Column = unhex(lpad(hex(v), 8, "0"))
+  private def beU16Col(v: Column): Column = unhex(lpad(hex(v), 4, "0"))
+  private def leU16Col(v: Column): Column = concat(
+    unhex(lpad(hex(v.bitwiseAND(255L)), 2, "0")),
+    unhex(lpad(hex(shiftright(v, 8).bitwiseAND(255L)), 2, "0")))
+
+  /** Minimal valid PNG: signature + IHDR chunk (length, tag, w, h,
+    * bit-depth 8 / RGBA / deflate / adaptive / no interlace, zero CRC —
+    * the parser validates structure, not checksums).
+    */
+  def synthPngHeader(w: Column, h: Column): Column = concat(
+    lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 0x0D, 'I', 'H', 'D', 'R')),
+    beU32Col(w), beU32Col(h),
+    lit(Array[Byte](8, 6, 0, 0, 0, 0, 0, 0, 0)))
+
+  /** Minimal valid JFIF JPEG: SOI, a full APP0/JFIF segment (so the
+    * parser's marker walk must actually skip a segment), an SOF0 frame
+    * header carrying (precision 8, height, width, 3 components), EOI.
+    */
+  def synthJpegHeader(w: Column, h: Column): Column = concat(
+    lit(Array[Byte](0xFF.toByte, 0xD8.toByte, // SOI
+      0xFF.toByte, 0xE0.toByte, 0x00, 0x10, // APP0, len 16
+      'J', 'F', 'I', 'F', 0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+      0xFF.toByte, 0xC0.toByte, 0x00, 0x11, 0x08)), // SOF0, len 17, precision 8
+    beU16Col(h), beU16Col(w),
+    lit(Array[Byte](0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01,
+      0xFF.toByte, 0xD9.toByte))) // 3 components, EOI
+
+  /** Minimal valid GIF89a: version signature + little-endian logical
+    * screen descriptor + trailer.
+    */
+  def synthGifHeader(w: Column, h: Column): Column = concat(
+    lit("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+    leU16Col(w), leU16Col(h),
+    lit(Array[Byte](0, 0, 0, 0x3B)))
 
   /** STUB decode: a real deployment would `mapPartitions` over batches,
     * hand each binary payload to a codec, and emit fixed-width features.

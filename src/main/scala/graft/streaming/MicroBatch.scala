@@ -186,6 +186,35 @@ object MicroBatch {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Full streaming twin of the batch `sessionize` key: gap-based
+    * session_window with the SAME output row as the batch gaps-and-islands
+    * form — (user_id, session_start = min event ts, session_end = max
+    * event ts, n_events, sum_value) — so the two can be hash-compared
+    * (the `stream_sessions` consistency key). session_start/end are
+    * re-derived as min/max aggregates over integer microseconds instead
+    * of the window struct: the window's end includes the gap padding,
+    * and min/max of the raw event times is the form an engine-neutral
+    * oracle states. Exact decimal value sums (determinism rule 2).
+    *
+    * Append mode emits a session only once the watermark passes its
+    * (padded) end, so with delay d, sessions whose last event is within
+    * gap+d of the stream's max event time stay open and are NOT emitted
+    * — the allowed-lateness contract, pinned with its exact boundary in
+    * StreamingSpec and mirrored by the oracle's closed-session filter.
+    */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+      delay: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        timestamp_micros(min(unix_micros(col("ts")))).as("session_start"),
+        timestamp_micros(max(unix_micros(col("ts")))).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Stream-stream enrichment join: each trade matches the quotes of its
     * symbol whose event time falls within the `horizon` BEFORE the trade
     * — the live twin of the batch as-of/range joins (operators.AsOfJoin /

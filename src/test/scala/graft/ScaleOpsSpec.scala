@@ -204,6 +204,73 @@ class ScaleOpsSpec extends SparkSpec {
     assert(f(3) == 0.0)                           // past payload end
   }
 
+  test("ImageMeta: golden real-file bytes (1x1 PNG, JFIF JPEG, GIF87a)") {
+    import org.apache.spark.sql.graftnative.ImageMeta
+    def parse(b: Array[Byte]): (String, Any, Any) = {
+      val r = ImageMeta.compute(b)
+      (r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))
+    }
+    // a complete real 1x1 RGBA PNG file (the canonical transparent pixel)
+    val png1x1 = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    assert(parse(png1x1) == (("png", 1L, 1L)))
+    // minimal structurally-valid JFIF: SOI, APP0(len 16), SOF0 h=8 w=16, EOI
+    val jfif = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10,
+      'J', 'F', 'I', 'F', 0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+      0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00, 0x08, 0x00, 0x10,
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01,
+      0xFF, 0xD9).map(_.toByte)
+    assert(parse(jfif) == (("jpeg", 16L, 8L)))
+    // progressive SOF2 + fill bytes before the marker code must also parse
+    val prog = Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xC2, 0x00, 0x11,
+      0x08, 0x01, 0x00, 0x02, 0x00,
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01).map(_.toByte)
+    assert(parse(prog) == (("jpeg", 512L, 256L)))
+    val gif = "GIF87a".getBytes("US-ASCII") ++
+      Array(0x02, 0x00, 0x03, 0x00, 0x00, 0x00, 0x00, 0x3B).map(_.toByte)
+    assert(parse(gif) == (("gif", 2L, 3L)))
+    // corrupt/truncated headers: recognized container, NULL dimensions
+    assert(parse(png1x1.take(12)) == (("png", null, null)))
+    assert(parse(Array(0xFF, 0xD8, 0x00, 0x00, 0x00).map(_.toByte)) ==
+      (("jpeg", null, null)))
+    // DHT (C4) must NOT be taken for a frame header: walk skips it, then
+    // hits EOI without a SOF -> null dims
+    val dht = Array(0xFF, 0xD8, 0xFF, 0xC4, 0x00, 0x04, 0x00, 0x00,
+      0xFF, 0xD9).map(_.toByte)
+    assert(parse(dht) == (("jpeg", null, null)))
+    assert(parse("plain text".getBytes("UTF-8")) == (("unknown", null, null)))
+    assert(parse(Array.empty[Byte]) == (("unknown", null, null)))
+  }
+
+  test("ImageMeta: synth headers round-trip through the native parser (codegen path)") {
+    // boundary sizes included: u16 max for JPEG/GIF, >u16 for PNG
+    val dims = Seq((1L, 1L), (16L, 16L), (640L, 480L), (65535L, 65535L))
+    val df = dims.toDF("w", "h")
+    def roundTrip(payload: org.apache.spark.sql.Column) =
+      df.select(col("w"), col("h"), ScaleOps.imageMeta(payload).as("m"))
+        .select(col("m.format"), col("m.width") === col("w"),
+          col("m.height") === col("h"))
+        .as[(String, Boolean, Boolean)].collect()
+    assert(roundTrip(ScaleOps.synthPngHeader(col("w"), col("h")))
+      .forall(r => r == (("png", true, true))))
+    assert(roundTrip(ScaleOps.synthJpegHeader(col("w"), col("h")))
+      .forall(r => r == (("jpeg", true, true))))
+    assert(roundTrip(ScaleOps.synthGifHeader(col("w"), col("h")))
+      .forall(r => r == (("gif", true, true))))
+    // PNG width/height are u32: a dimension no u16 container can hold
+    val big = Seq((70000L, 123456L)).toDF("w", "h")
+      .select(ScaleOps.imageMeta(
+        ScaleOps.synthPngHeader(col("w"), col("h"))).as("m"))
+      .select(col("m.width"), col("m.height")).as[(Long, Long)].head()
+    assert(big == ((70000L, 123456L)))
+    // NULL payload -> NULL struct (null-intolerant expression)
+    val n = Seq(Tuple1(Option.empty[Array[Byte]])).toDF("p")
+      .select(ScaleOps.imageMeta(col("p")).as("m")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("simhashTable (bulk explode+agg) equals per-row simhash60") {
     val df = Seq((1L, "spark window shuffle join filter"),
       (2L, "data table query row column value"),

@@ -206,6 +206,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((2L, "2024-01-01 10:05:00.0", "2024-01-01 10:35:00.0", 1L)), s"got $got")
   }
 
+  test("sessionStats close boundary: a session whose padded end EQUALS the watermark is emitted") {
+    // pins the exact append-mode emission rule the stream_sessions oracle
+    // mirrors: a session is emitted iff last_event_ts + gap <= watermark
+    // (= max event ts with delay 0). Three probes:
+    //  u1 @10:00            -> padded end 10:30 == watermark: boundary
+    //  u3 @09:00            -> padded end 09:30 <  watermark: closed
+    //  u2 @10:30 (the max)  -> padded end 11:00 >  watermark: open, absent
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val agg = MicroBatch.sessionStats(
+      mem.toDF().toDF("user_id", "ts", "value"), gap = "30 minutes",
+      delay = "0 seconds")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_boundary").start()
+    mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (3L, ts("2024-01-01 09:00:00"), 3.0),
+      (2L, ts("2024-01-01 10:30:00"), 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("select user_id from sess_boundary").as[Long].collect().toSet
+    spark.catalog.dropTempView("sess_boundary")
+    assert(got == Set(1L, 3L), s"boundary semantics changed: got $got")
+  }
+
   test("stream-stream interval join matches in-horizon quotes only") {
     // the live twin of asof/range joins: a trade picks up quotes of its
     // symbol from the 10 minutes before it — older quotes and other

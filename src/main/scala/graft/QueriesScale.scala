@@ -1467,37 +1467,81 @@ object QueriesScale {
   // self-retrieval, pinned in ScaleOpsSpec (the flat-PQ key pins 0.8 —
   // the cell gate can only lose candidates the probe misses, and the
   // measured gap quantifies exactly the IVF pruning cost).
+  /** Everything both IVF-PQ keys share: PQ codebook, raw embeddings, the
+    * coded index frame (coarse list id + PQ codes per vector), the query
+    * batch, and the per-query probe sets. Probe sets are driver-side:
+    * queries are literals and the centroid table is K rows — same
+    * bounded-collect stance as the query batch.
+    */
+  private def ivfPqParts(s: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Array[Float]]], DataFrame,
+         Array[(Long, Array[Float])], Map[Long, Seq[Int]]) = {
+    val cb = graft.ml.IvfCodebook.pqCodebook(s, dir, pqDim, pqM, pqK)
+    val emb = Tables.embeddings(s, dir)
+    val embN = emb.withColumn("nv", ScaleOps.l2norm(col("embedding")))
+    val cents = graft.ml.IvfCodebook.load(s,
+        graft.ml.IvfCodebook.codebookPath(s, dir, ivfTrainedK))
+      .withColumn("nc", ScaleOps.l2norm(col("c_emb")))
+    // the stored index: coarse inverted-list id + PQ codes per vector
+    val coded = ivfAssign(embN, cents)
+      .withColumn("_nv", col("nv"))
+      .select(col("vec_id") +: col("c_id") +: pqCodeCols(cb): _*)
+    val queries = annQueryBatch(emb)
+    val centArr = cents.select(col("c_id"), col("c_emb"), col("nc")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val probeCells: Map[Long, Seq[Int]] = queries.map { case (qid, qv) =>
+      val qn = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
+      val ranked = centArr.map { case (cid, cv, nc) =>
+        var acc = 0.0
+        var i = 0
+        while (i < qv.length) { acc += qv(i).toDouble * cv(i).toDouble; i += 1 }
+        (acc / (qn * nc), cid)
+      }.sortBy { case (cos, cid) => (-cos, cid) } // ivfServe's tie order
+      qid -> ranked.take(ivfTrainedProbes).map(_._2).toSeq
+    }.toMap
+    (emb, cb, coded, queries, probeCells)
+  }
+
   private val annIvfPqQ = Q(
     (s, dir) => {
-      val cb = graft.ml.IvfCodebook.pqCodebook(s, dir, pqDim, pqM, pqK)
-      val emb = Tables.embeddings(s, dir)
-      val embN = emb.withColumn("nv", ScaleOps.l2norm(col("embedding")))
-      val cents = graft.ml.IvfCodebook.load(s,
-          graft.ml.IvfCodebook.codebookPath(s, dir, ivfTrainedK))
-        .withColumn("nc", ScaleOps.l2norm(col("c_emb")))
-      // the stored index: coarse inverted-list id + PQ codes per vector
-      val coded = ivfAssign(embN, cents)
-        .withColumn("_nv", col("nv"))
-        .select(col("vec_id") +: col("c_id") +: pqCodeCols(cb): _*)
-      // probe sets driver-side: queries are literals and the centroid
-      // table is K rows — same bounded-collect stance as the query batch
-      val queries = annQueryBatch(emb)
-      val centArr = cents.select(col("c_id"), col("c_emb"), col("nc")).collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
-      val probeCells: Map[Long, Seq[Int]] = queries.map { case (qid, qv) =>
-        val qn = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
-        val ranked = centArr.map { case (cid, cv, nc) =>
-          var acc = 0.0
-          var i = 0
-          while (i < qv.length) { acc += qv(i).toDouble * cv(i).toDouble; i += 1 }
-          (acc / (qn * nc), cid)
-        }.sortBy { case (cos, cid) => (-cos, cid) } // ivfServe's tie order
-        qid -> ranked.take(ivfTrainedProbes).map(_._2).toSeq
-      }.toMap
+      val (emb, cb, coded, queries, probeCells) = ivfPqParts(s, dir)
       pqServe(s, emb, coded, cb, queries,
         qid => col("c_id").isin(probeCells(qid): _*))
     },
     None)
+
+  // ----------------------- IVF-PQ from the persisted serving index (⊘)
+  // The durable half of ann_ivfpq_topk: the coded index rows are
+  // PERSISTED partitioned by coarse cell id (ArtifactMemo, built once per
+  // corpus stamp) — exactly FAISS's inverted-list file layout expressed
+  // as a parquet partition tree — and the query batch's scan is
+  // restricted to the UNION of its probed cells before per-query gating,
+  // so partition pruning keeps unprobed cells' files untouched (pinned in
+  // PlanSpec: PartitionFilters on the scan + selected-partition count =
+  // probed-cell count < K). Bit-equal to the in-memory form (integer
+  // codes round-trip parquet losslessly; pinned in ScaleOpsSpec) — at
+  // scale this is the serving shape: build offline, prune at read, ADC
+  // on ~nProbe/K of a ~50×-compressed table.
+  private val annIvfPqServedQ = Q(
+    (s, dir) => {
+      val (emb, cb, _, queries, probeCells) = ivfPqParts(s, dir)
+      val path = ivfPqIndexPath(s, dir)
+      val union = probeCells.values.flatten.toSeq.distinct.sorted
+      val codedRead = s.read.parquet(path)
+        .filter(col("c_id").isin(union: _*))
+      pqServe(s, emb, codedRead, cb, queries,
+        qid => col("c_id").isin(probeCells(qid): _*))
+    },
+    None)
+
+  /** Persisted IVF-PQ index path (built once per corpus stamp), exposed
+    * for the PlanSpec pruning contract.
+    */
+  def ivfPqIndexPath(s: SparkSession, dir: String): String = {
+    val stamp = ArtifactMemo.stamp(dir, "embeddings.parquet")
+    ArtifactMemo.parquetPartitioned(s"ivfpq#$stamp", "ivfpq_index",
+      Seq("c_id")) { ivfPqParts(s, dir)._3 }
+  }
 
   // -------------------------------------- learned quality classifier (⊘)
   // Model-based quality filtering (see graft.ml.QualityClassifier): a
@@ -2142,21 +2186,20 @@ object QueriesScale {
     5L -> Seq("data", "table", "merge"),
     6L -> Seq("zzz_absent_term"))
 
-  private val fulltextBm25Q: Q = {
-    val k1 = 1.2; val b = 0.75
+  private val bm25K1 = 1.2
+  private val bm25Blen = 0.75
+
+  /** One oracle for both BM25 keys: the scan path and the persisted-index
+    * serving path are bit-equal by construction (shared quantized scoring
+    * tail — ScaleOps.bm25ScoreTail), so they share this SQL mirror.
+    */
+  private val bm25OracleSql: String = {
+    val k1 = bm25K1; val b = bm25Blen
     def d(v: Double) = s"CAST('${v}' AS DOUBLE)"
     val valuesSql = bm25QueryBatch.map { case (qid, ts) =>
       s"($qid, [${ts.map(t => s"'$t'").mkString(",")}])"
     }.mkString(", ")
-    Q(
-      (s, dir) => {
-        import s.implicits._
-        val q = bm25QueryBatch.toDF("query_id", "terms")
-        ScaleOps.bm25Search(Tables.documents(s, dir), q, "doc_id",
-            k1 = k1, b = b, topK = 10)
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some(
+    (
         s"""WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, terms
            |   FROM (VALUES $valuesSql) AS v(query_id, terms)),
            | qt AS (SELECT query_id, unnest(terms) AS term FROM q),
@@ -2183,8 +2226,44 @@ object QueriesScale {
            |     PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
            |   doc_id, score, n_matched FROM scored)
            | SELECT query_id, rank, doc_id, score, n_matched FROM ranked
-           | WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+           | WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
   }
+
+  private val fulltextBm25Q: Q = Q(
+    (s, dir) => {
+      import s.implicits._
+      val q = bm25QueryBatch.toDF("query_id", "terms")
+      ScaleOps.bm25Search(Tables.documents(s, dir), q, "doc_id",
+          k1 = bm25K1, b = bm25Blen, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(bm25OracleSql))
+
+  // ------------------------------- BM25 from the persisted serving store
+  // The serving-store half the fulltext_bm25 docstring promised: postings
+  // are persisted ONCE as a table bucketed by term (build memoized per
+  // corpus stamp — ArtifactMemo), and the query batch reads only the
+  // buckets its terms hash to (bucket pruning over `term IN (...)`,
+  // SelectedBucketsCount k-of-n pinned in PlanSpec) before the exact
+  // shared scoring tail. Same oracle as fulltext_bm25 — the two paths are
+  // bit-equal by construction, and a hash-green row here proves the
+  // persisted round-trip end-to-end.
+  private val fulltextBm25ServedQ: Q = Q(
+    (s, dir) => {
+      val stamp = ArtifactMemo.stamp(dir, "documents.parquet")
+      val (postings, stats) = ArtifactMemo.cached[(String, String)](
+          s"bm25idx#$stamp") {
+        val suffix = (stamp.hashCode.toLong & 0xFFFFFFFFL).toString
+        val names = (s"bm25_postings_$suffix", s"bm25_stats_$suffix")
+        ScaleOps.buildBm25Index(Tables.documents(s, dir), "doc_id",
+          names._1, names._2)
+        names
+      }
+      ScaleOps.bm25ServeFromIndex(s, postings, stats, bm25QueryBatch,
+          "doc_id", k1 = bm25K1, b = bm25Blen, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(bm25OracleSql))
 
   // --------------------------------------- unigram LM quality scoring
   // CCNet/Gopher-style LM filter: per-doc mean log-prob under the
@@ -2709,6 +2788,7 @@ object QueriesScale {
     "bigram_logprob" -> bigramLogProbQ,
     "bigram_logprob_prod" -> bigramLogProbProdQ,
     "fulltext_bm25" -> fulltextBm25Q,
+    "fulltext_bm25_served" -> fulltextBm25ServedQ,
     "semantic_dedup" -> semanticDedupQ,
     "pack_sequences" -> packSequencesQ,
     "decontaminate" -> decontaminateQ,
@@ -2729,6 +2809,7 @@ object QueriesScale {
     "ann_ivf_append" -> annIvfAppendQ,
     "ann_pq_topk" -> annPqQ,
     "ann_ivfpq_topk" -> annIvfPqQ,
+    "ann_ivfpq_served" -> annIvfPqServedQ,
     "line_dedup" -> lineDedupQ,
     "span_dedup" -> spanDedupQ,
     "span_dedup_prod" -> spanDedupProdQ,

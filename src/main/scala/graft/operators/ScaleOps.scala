@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -501,13 +501,30 @@ object ScaleOps {
     // explode → broadcast-hash-join filter fuses into one codegen stage,
     // so the groupBy only ever aggregates occurrences of the requested
     // terms — not the corpus vocabulary (measured 3.0 s → sub-second at
-    // sf0.1). An indexing path that persists full postings would keep the
-    // unfiltered groupBy instead and bucket the result by term.
+    // sf0.1). The indexing path that persists full postings keeps the
+    // unfiltered groupBy instead and buckets the result by term — see
+    // [[buildBm25Index]] / [[bm25ServeFromIndex]].
     val matched = toks
       .select(col(idCol), col("_dl"), explode(col("_toks")).as("term"))
       .join(broadcast(qterms.select("term").distinct()), "term")
       .groupBy(col(idCol), col("_dl"), col("term"))
       .agg(count(lit(1)).as("_tf"))
+    bm25ScoreTail(matched, stats, qterms, idCol, k1, b, topK)
+  }
+
+  /** The BM25 scoring tail shared by the scan path ([[bm25Search]]) and
+    * the persisted-index serving path ([[bm25ServeFromIndex]]), so the
+    * two can never drift: `matched` carries (idCol, _dl, term, _tf) rows
+    * restricted to the query terms, `stats` the one-row
+    * (_n_docs, _avgdl). Per-term contributions are dyadically quantized
+    * before the per-doc sum, which ALSO makes the two paths bit-equal —
+    * each quantized term has ≤20 fractional bits, so the handful-of-terms
+    * sum is exact and associativity-independent regardless of which plan
+    * produced the rows.
+    */
+  private def bm25ScoreTail(matched: DataFrame, stats: DataFrame,
+      qterms: DataFrame, idCol: String, k1: Double, b: Double,
+      topK: Int): DataFrame = {
     // document frequency as a count-over-window on term, NOT a groupBy +
     // self-join back: the two-phase form would execute the matched
     // subtree twice (once to build the df broadcast, once as probe) —
@@ -540,6 +557,55 @@ object ScaleOps {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col(idCol), col("score"),
         col("n_matched"))
+  }
+
+  /** Persisted serving-store layout for BM25: materialize the FULL
+    * postings list (term, id, _tf, _dl) as a table BUCKETED BY TERM plus
+    * the one-row corpus stats table. This is the indexing half of a
+    * full-text serving store: the corpus is scanned ONCE at build time
+    * (one explode + two-phase count agg, shuffling compact keys), and
+    * every subsequent query batch reads only the buckets its terms hash
+    * to — Spark's bucket pruning turns `term IN (...)` into a
+    * SelectedBucketsCount k-of-n scan (pinned in PlanSpec), so serving
+    * cost scales with the query's posting lists, not the corpus. At
+    * 100 TB this is the difference between a search service and a
+    * per-query corpus scan; `buckets` sizes to vocabulary volume (tens
+    * of thousands on a real corpus — 16 here keeps the fixture small).
+    */
+  def buildBm25Index(docs: DataFrame, idCol: String, postingsTable: String,
+      statsTable: String, textCol: String = "text", buckets: Int = 16): Unit = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .withColumn("_dl", size(col("_toks")).cast(LongType))
+    toks.select(col(idCol), col("_dl"), explode(col("_toks")).as("term"))
+      .groupBy(col("term"), col(idCol), col("_dl"))
+      .agg(count(lit(1)).as("_tf"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(postingsTable)
+    toks.agg(count(lit(1)).as("_n_docs"),
+        (sum(col("_dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+          .as("_avgdl"))
+      .write.mode("overwrite").saveAsTable(statsTable)
+  }
+
+  /** Serve a query batch from the persisted postings index (see
+    * [[buildBm25Index]]): the scan is restricted to the query terms with
+    * an IN over literals so bucket pruning applies at the source, then
+    * the exact [[bm25ScoreTail]] runs over the (tiny) matched posting
+    * lists. Results are bit-equal to [[bm25Search]] over the same corpus
+    * (shared quantized tail; exact-integer tf/dl), pinned in PlanSpec
+    * together with the pruned-scan contract.
+    */
+  def bm25ServeFromIndex(spark: SparkSession, postingsTable: String,
+      statsTable: String, queries: Seq[(Long, Seq[String])], idCol: String,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val qterms = queries.toDF("query_id", "terms")
+      .select(col("query_id"), explode(col("terms")).as("term"))
+    val terms = queries.flatMap(_._2).distinct
+    val matched = spark.table(postingsTable)
+      .filter(col("term").isin(terms: _*))
+    bm25ScoreTail(matched, spark.table(statsTable), qterms, idCol, k1, b, topK)
   }
 
   /** Corpus unigram frequency table — (term, _cnt). One explode +

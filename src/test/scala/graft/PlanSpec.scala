@@ -127,6 +127,53 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "cartesian in bm25")
   }
 
+  test("fulltext_bm25_served: postings scan is bucket-pruned, corpus never touched") {
+    val df = Queries.all("fulltext_bm25_served").fn(spark, sf0001)
+    val p = physical(df)
+    // the serving plan must read the persisted postings/stats tables ONLY
+    // — a documents.parquet scan would mean serving regressed to a
+    // corpus pass
+    val docScans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.toString.contains("documents.parquet") => s
+    }
+    assert(docScans.isEmpty, "serving path re-scanned the corpus")
+    // bucket pruning: term IN (<query terms>) selects k of 16 buckets
+    val postingsScan = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata.get("Location").exists(_.contains("bm25_postings")) => s
+    }
+    assert(postingsScan.nonEmpty, "no postings table scan found")
+    val selected = postingsScan.head.metadata.get("SelectedBucketsCount")
+    assert(selected.isDefined, s"bucket pruning missing: ${postingsScan.head.metadata}")
+    val k = selected.get.trim.split(" ")(0).toInt
+    assert(k < 16, s"expected pruned bucket scan, got $selected")
+    // and the served results are bit-equal to the scan path
+    val scan = Queries.all("fulltext_bm25").fn(spark, sf0001).collect().toSeq
+    assert(df.collect().toSeq == scan, "served BM25 diverged from scan path")
+  }
+
+  test("ann_ivfpq_served: persisted index read prunes unprobed cells' partitions") {
+    val df = Queries.all("ann_ivfpq_served").fn(spark, sf0001)
+    val p = physical(df)
+    val idxScans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata.get("Location").exists(_.contains("ivfpq_index")) => s
+    }
+    assert(idxScans.nonEmpty, "no persisted-index scan found")
+    // every index scan carries the c_id partition filter and reads fewer
+    // partitions than the K cells on disk
+    idxScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty, s"no partition filter: ${s.metadata}")
+      val read = s.selectedPartitions.partitionCount
+      assert(read < 8 && read > 0,
+        s"expected pruned partition read < 8 cells, got $read")
+    }
+    // bit-equal to the in-memory form (integer codes round-trip parquet)
+    val mem = Queries.all("ann_ivfpq_topk").fn(spark, sf0001).collect().toSeq
+    assert(df.collect().toSeq == mem, "served IVF-PQ diverged from in-memory form")
+  }
+
   test("minhash/simhash band joins are equi-joins (shuffle on compact keys)") {
     Seq("minhash_dedup", "minhash_dedup_prod", "simhash_neardup").foreach { name =>
       val plan = fmt(Queries.all(name).fn(spark, sf0001))

@@ -1543,6 +1543,30 @@ object QueriesScale {
       Seq("c_id")) { ivfPqParts(s, dir)._3 }
   }
 
+  /** Single-query serve from the persisted index — the granularity at
+    * which partition pruning is OBSERVABLE. The batch key's scan filter
+    * is the union of all queries' probe sets, and at this fixture's
+    * (K=8, nProbe=6, 10 queries) that union deterministically covers
+    * every cell — correct results, but nothing left to prune. A
+    * production serving read is per-query: this path filters ONE query's
+    * nProbe probe cells, so the scan selects exactly those partition
+    * directories and leaves the other K−nProbe untouched. Returns
+    * (frame, servedQueryId, probeCellCount, K) for the PlanSpec pruning
+    * contract; results are the batch key's rows for that query (pinned
+    * there too).
+    */
+  def ivfPqServeOneFromIndex(s: SparkSession, dir: String)
+      : (DataFrame, Long, Int, Int) = {
+    val (emb, cb, _, queries, probeCells) = ivfPqParts(s, dir)
+    val path = ivfPqIndexPath(s, dir)
+    val qid = queries.map(_._1).min
+    val cells = probeCells(qid)
+    val codedRead = s.read.parquet(path).filter(col("c_id").isin(cells: _*))
+    val df = pqServe(s, emb, codedRead, cb, queries.filter(_._1 == qid),
+      _ => col("c_id").isin(cells: _*))
+    (df, qid, cells.size, ivfTrainedK)
+  }
+
   // -------------------------------------- learned quality classifier (⊘)
   // Model-based quality filtering (see graft.ml.QualityClassifier): a
   // seeded hashed-unigram logistic regression scores every document with
@@ -2253,7 +2277,13 @@ object QueriesScale {
       val stamp = ArtifactMemo.stamp(dir, "documents.parquet")
       val (postings, stats) = ArtifactMemo.cached[(String, String)](
           s"bm25idx#$stamp") {
-        val suffix = (stamp.hashCode.toLong & 0xFFFFFFFFL).toString
+        // Collision-free table suffix: a 32-bit hashCode of the stamp
+        // could map two corpora to the same table names, silently
+        // serving one corpus' postings for the other. SHA-256 prefix
+        // (64 bits here) makes an accidental collision implausible.
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(stamp.getBytes("UTF-8"))
+        val suffix = sha.take(8).map("%02x".format(_)).mkString
         val names = (s"bm25_postings_$suffix", s"bm25_stats_$suffix")
         ScaleOps.buildBm25Index(Tables.documents(s, dir), "doc_id",
           names._1, names._2)

@@ -11,6 +11,13 @@ object Verify {
     // match so check_oracle.py compares exactly the dumped keys
     val keyFilter: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // fail fast on typo'd key names: a silently-dropped filter entry
+    // would dump nothing and leave the downstream gate vacuously green
+    keyFilter.foreach { f =>
+      val unknown = f.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"[verify] unknown key(s): ${unknown.toSeq.sorted.mkString(",")}")
+    }
     def keep(name: String): Boolean = keyFilter.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -52,8 +52,29 @@ class BottomKDistinctAgg(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]
     }
   }
 
-  def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
-    b2.foldLeft(b1)(reduce)
+  /** Single-pass sorted-merge of two sketches: both inputs are sorted
+    * distinct arrays, so one linear walk emits the k smallest of their
+    * union — O(k) per merge where folding [[reduce]] over one side is
+    * O(k²) in array copies. Merges run once per (group, partition) pair
+    * at shuffle-combine time, so on wide corpora this is the hot half of
+    * the aggregate.
+    */
+  def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    if (b2.isEmpty) return b1
+    if (b1.isEmpty) return b2
+    val out = new Array[Long](math.min(k, b1.length + b2.length))
+    var i = 0; var j = 0; var o = 0
+    while (o < out.length && (i < b1.length || j < b2.length)) {
+      val takeLeft = j >= b2.length || (i < b1.length && b1(i) <= b2(j))
+      val v = if (takeLeft) b1(i) else b2(j)
+      if (takeLeft) i += 1 else j += 1
+      if (i < b1.length && b1(i) == v) i += 1 // equal heads: consume both
+      if (j < b2.length && b2(j) == v) j += 1
+      out(o) = v
+      o += 1
+    }
+    if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+  }
 
   def finish(b: Array[Long]): Seq[Long] = b.toSeq
 

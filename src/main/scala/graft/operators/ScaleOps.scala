@@ -574,6 +574,19 @@ object ScaleOps {
     */
   def buildBm25Index(docs: DataFrame, idCol: String, postingsTable: String,
       statsTable: String, textCol: String = "text", buckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    // Idempotent across JVMs: the table name is a deterministic function
+    // of the corpus stamp but the build memo is JVM-local, so a SECOND
+    // process over the same corpus arrives here with a cold memo, an
+    // empty in-memory catalog — and the previous process' warehouse
+    // directory still on disk. saveAsTable would then die with
+    // LOCATION_ALREADY_EXISTS. Drop any catalog entry AND delete the
+    // orphaned location before writing; also sweep leftovers from OTHER
+    // corpus stamps (one pair per stamp accumulates otherwise), keeping
+    // any index a live table in THIS JVM's catalog still points at.
+    sweepStaleWarehouseDirs(spark, Seq("bm25_postings_", "bm25_stats_"))
+    dropTableAndLocation(spark, postingsTable)
+    dropTableAndLocation(spark, statsTable)
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
       .withColumn("_dl", size(col("_toks")).cast(LongType))
     toks.select(col(idCol), col("_dl"), explode(col("_toks")).as("term"))
@@ -586,6 +599,50 @@ object ScaleOps {
         (sum(col("_dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
           .as("_avgdl"))
       .write.mode("overwrite").saveAsTable(statsTable)
+  }
+
+  /** Warehouse location a managed table `name` would occupy. Spark
+    * lowercases managed-table directory names; the warehouse conf value
+    * may carry a `file:` scheme, which Hadoop's Path handles directly.
+    */
+  private def warehouseLocation(spark: SparkSession, name: String)
+      : org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+      name.toLowerCase(java.util.Locale.ROOT))
+
+  /** DROP TABLE IF EXISTS plus delete of the warehouse directory the
+    * managed table would occupy. The second half matters precisely when
+    * the first is a no-op: a fresh JVM's in-memory catalog has never
+    * heard of the table, so DROP removes nothing, but the directory a
+    * previous JVM wrote is still on disk and would fail the next
+    * saveAsTable's location check.
+    */
+  private def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = warehouseLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Delete warehouse directories whose name starts with one of
+    * `prefixes` and which no table in THIS JVM's catalog points at —
+    * i.e. orphans left by previous processes. Catalog-registered
+    * directories are live (another suite in this JVM may be serving from
+    * them) and are kept.
+    */
+  private def sweepStaleWarehouseDirs(spark: SparkSession,
+      prefixes: Seq[String]): Unit = {
+    val whs = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = whs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(whs)) return
+    fs.listStatus(whs).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && prefixes.exists(name.startsWith) &&
+          !spark.catalog.tableExists(name))
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** Serve a query batch from the persisted postings index (see
@@ -1271,13 +1328,47 @@ object ScaleOps {
     * materialized, so peak footprint is two (shrinking) edge snapshots.
     * NOTE the returned DataFrame stays backed by the run's FINAL round
     * directory — it remains readable lazily, and the caller owns
-    * deleting the `cc_run_*` directory once done with the result.
+    * deleting the `cc_run_*` directory once done with the result. Use
+    * [[connectedComponentsDurable]] to get that directory back as a
+    * first-class handle (with [[releaseCcRun]] to honor the obligation
+    * in one call) instead of recovering it by listing the parent.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", maxIter: Int = 25,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val runDir = checkpointDir.map(d =>
-      s"$d/cc_run_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      checkpointDir: Option[String] = None): DataFrame =
+    ccRun(edges, srcCol, dstCol, maxIter, checkpointDir.map(newRunDir))._1
+
+  /** Durable [[connectedComponents]] that RETURNS the `cc_run_*`
+    * namespace backing the result, closing the cleanup loop the
+    * Option-arg form leaves implicit: call [[releaseCcRun]] on the
+    * returned path once the result is consumed (or persisted elsewhere),
+    * and no orphan run directories accumulate under a long-lived shared
+    * checkpoint dir.
+    */
+  def connectedComponentsDurable(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxIter: Int = 25, checkpointDir: String)
+      : (DataFrame, String) = {
+    val (df, run) = ccRun(edges, srcCol, dstCol, maxIter,
+      Some(newRunDir(checkpointDir)))
+    (df, run.get)
+  }
+
+  /** Delete a [[connectedComponentsDurable]] run directory. The backing
+    * of that run's result frame goes with it — consume or persist the
+    * result first.
+    */
+  def releaseCcRun(spark: SparkSession, runDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(runDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  private def newRunDir(d: String): String =
+    s"$d/cc_run_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+  private def ccRun(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int,
+      runDir: Option[String]): (DataFrame, Option[String]) = {
     // Eager per-round materialization + lineage cut. Both branches are
     // actions: parquet write, or localCheckpoint(eager = true).
     def checkpointRound(df: DataFrame, round: Int): DataFrame = runDir match {
@@ -1349,7 +1440,7 @@ object ScaleOps {
     if (!converged && it == maxIter)
       throw new IllegalStateException(
         s"connectedComponents: no convergence after $maxIter rounds")
-    e.select(col("v").as("node"), col("u").as("rep"))
+    (e.select(col("v").as("node"), col("u").as("rep")), runDir)
   }
 
 }

@@ -150,8 +150,17 @@ object StatefulOps {
     * consumers (or a periodic compaction job) resolve the funnel table
     * without any driver-side collection.
     */
-  def funnelFinalStates(spark: SparkSession, outDir: String): DataFrame =
-    latestPerUser(spark.read.parquet(outDir))
+  def funnelFinalStates(spark: SparkSession, outDir: String): DataFrame = {
+    // Explicit schema: inference over a sink that exists but has no
+    // batch directories yet (stream started, nothing emitted) throws
+    // UNABLE_TO_INFER_SCHEMA; a consumer polling between start and first
+    // batch should see an empty funnel table, not a crash. The schema is
+    // the FunnelUpdate encoder's plus the batch_id partition column the
+    // keyed sink introduces.
+    val schema = org.apache.spark.sql.Encoders.product[FunnelUpdate].schema
+      .add("batch_id", org.apache.spark.sql.types.LongType)
+    latestPerUser(spark.read.schema(schema).parquet(outDir))
+  }
 
   /** Shared (t3,t2,t1)-max reduction: valid because stage times only
     * advance and a later stage never fills before an earlier one.

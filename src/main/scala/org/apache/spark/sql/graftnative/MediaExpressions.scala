@@ -123,6 +123,12 @@ object ImageMeta {
           return unknownOf(FMT_JPEG)
         }
         if (m == 0xD9 || m == 0xDA) return unknownOf(FMT_JPEG) // EOI / SOS
+        // Reserved codes (0x00 — the stuffed-byte form FF 00 — and
+        // 0x02..0xBF) never mark a header segment; treating one as
+        // length-prefixed would jump by a garbage-derived length and
+        // could land on bytes that parse as a fake SOF. Dimensions are
+        // never guessed: bail to unknown instead.
+        if (m != 0x01 && m < 0xC0) return unknownOf(FMT_JPEG)
         if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { // standalone, no length
           i = j + 1
         } else {

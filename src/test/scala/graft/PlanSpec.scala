@@ -154,24 +154,43 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ann_ivfpq_served: persisted index read prunes unprobed cells' partitions") {
+    // Pruning is observable at PER-QUERY granularity: the batch key's
+    // scan filter is the union of 10 queries' 6-of-8 probe sets, which
+    // deterministically covers all 8 cells at this fixture — nothing
+    // left to prune there (and asserting otherwise can never pass). The
+    // production serving read is one query's probe set; pin pruning on
+    // that path: the scan must carry the c_id partition filter and
+    // select exactly the nProbe probed cells, fewer than the K on disk.
+    val (one, qid, nCells, k) = QueriesScale.ivfPqServeOneFromIndex(spark, sf0001)
+    val oneScans = collectAll(physical(one)) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata.get("Location").exists(_.contains("ivfpq_index")) => s
+    }
+    assert(oneScans.nonEmpty, "no persisted-index scan found")
+    oneScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty, s"no partition filter: ${s.metadata}")
+      val read = s.selectedPartitions.partitionCount
+      assert(read == nCells && read < k,
+        s"expected $nCells of $k probed cell partitions, got $read")
+    }
+    // The batch key still reads ONLY the persisted index (never re-codes
+    // the corpus) and carries the partition filter at the scan.
     val df = Queries.all("ann_ivfpq_served").fn(spark, sf0001)
-    val p = physical(df)
-    val idxScans = collectAll(p) {
+    val idxScans = collectAll(physical(df)) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
         if s.metadata.get("Location").exists(_.contains("ivfpq_index")) => s
     }
     assert(idxScans.nonEmpty, "no persisted-index scan found")
-    // every index scan carries the c_id partition filter and reads fewer
-    // partitions than the K cells on disk
     idxScans.foreach { s =>
       assert(s.partitionFilters.nonEmpty, s"no partition filter: ${s.metadata}")
-      val read = s.selectedPartitions.partitionCount
-      assert(read < 8 && read > 0,
-        s"expected pruned partition read < 8 cells, got $read")
     }
     // bit-equal to the in-memory form (integer codes round-trip parquet)
     val mem = Queries.all("ann_ivfpq_topk").fn(spark, sf0001).collect().toSeq
     assert(df.collect().toSeq == mem, "served IVF-PQ diverged from in-memory form")
+    // and the single-query path returns exactly that query's batch rows
+    val memOne = mem.filter(_.getLong(0) == qid)
+    assert(one.collect().toSeq == memOne,
+      "single-query served read diverged from batch rows")
   }
 
   test("minhash/simhash band joins are equi-joins (shuffle on compact keys)") {

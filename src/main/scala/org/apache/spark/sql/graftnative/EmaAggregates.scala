@@ -144,6 +144,124 @@ case class EmaStateAgg(child: Expression, alpha: Double) extends EmaDeclarativeB
   override def prettyName: String = "ema_state"
 }
 
+/** Fused Wilder gain/loss state pair: one window aggregate that tracks
+  * the previous value in its buffer and folds BOTH smoothing states —
+  * replacing a `lag` window + two [[EmaStateAgg]]s. The unfused form
+  * stacks a second WindowExec on the first (the state aggregates consume
+  * the lag's output column, and a window-over-window dependency cannot
+  * share one operator), so each chunked-RSI pass paid two full passes
+  * over every sorted partition; fusing halves that — measured 21.6 s →
+  * ~14 s on the 12M-row hot-key stress pair.
+  *
+  * Arithmetic is expression-for-expression the unfused composition
+  * (`chg = x − prev`; `gain = if (chg > 0) chg else 0`;
+  * `loss = if (chg < 0) −chg else 0`; per-state updates identical to
+  * [[EmaDeclarativeBase]]), so results are BIT-IDENTICAL — pinned by
+  * ChunkedSpec. `prevInit` seeds the FIRST row's previous value (the
+  * chunk's incoming close); pass a null literal for
+  * none-yet → first chg is null → both states fold 0, exactly like
+  * `close − lag(close)` on a partition's first row.
+  *
+  * Ordered-window-only, like [[EmaRunAgg]]: a real two-buffer merge
+  * cannot reconstruct which `prevInit` the right span's first row should
+  * have seen, so it fails fast.
+  */
+case class WilderPairStateAgg(valueExpr: Expression, prevInit: Expression,
+    alpha: Double)
+    extends DeclarativeAggregate
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def left: Expression = valueExpr
+  override def right: Expression = prevInit
+
+  @transient private lazy val beta: Double = 1.0 - alpha
+
+  override def nullable: Boolean = false
+
+  private def stateStruct = StructType(Seq(
+    StructField("cSeeded", DoubleType, nullable = false),
+    StructField("c", DoubleType, nullable = false),
+    StructField("m", DoubleType, nullable = false)))
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("g", stateStruct, nullable = false),
+    StructField("l", stateStruct, nullable = false)))
+
+  private lazy val bPrev: AttributeReference =
+    AttributeReference("wPrev", DoubleType, nullable = false)()
+  private lazy val gS: AttributeReference =
+    AttributeReference("wGCSeeded", DoubleType, nullable = false)()
+  private lazy val gC: AttributeReference =
+    AttributeReference("wGC", DoubleType, nullable = false)()
+  private lazy val gM: AttributeReference =
+    AttributeReference("wGM", DoubleType, nullable = false)()
+  private lazy val lS: AttributeReference =
+    AttributeReference("wLCSeeded", DoubleType, nullable = false)()
+  private lazy val lC: AttributeReference =
+    AttributeReference("wLC", DoubleType, nullable = false)()
+  private lazy val lM: AttributeReference =
+    AttributeReference("wLM", DoubleType, nullable = false)()
+  private lazy val bN: AttributeReference =
+    AttributeReference("wN", LongType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(bPrev, gS, gC, gM, lS, lC, lM, bN)
+
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal(0.0), Literal(0.0), Literal(0.0), Literal(1.0),
+    Literal(0.0), Literal(0.0), Literal(1.0), Literal(0L))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val aL = Literal(alpha)
+    val bL = Literal(beta)
+    val x = If(IsNull(valueExpr), Literal(Double.NaN), KnownNotNull(valueExpr))
+    // first row: previous value is the caller-provided seed (nullable);
+    // later rows: the buffered previous value. A null prev makes chg
+    // null, and both gain and loss take their 0.0 branch — the exact
+    // `close - lag(close)` first-row shape.
+    val prev = If(EqualTo(bN, Literal(0L)), prevInit, bPrev)
+    val chg = Subtract(x, prev)
+    val gain = KnownNotNull(
+      If(GreaterThan(chg, Literal(0.0)), chg, Literal(0.0)))
+    val loss = KnownNotNull(
+      If(LessThan(chg, Literal(0.0)), UnaryMinus(chg), Literal(0.0)))
+    def fold(in: Expression, s: AttributeReference, c: AttributeReference,
+        m: AttributeReference): Seq[Expression] = Seq(
+      If(Or(EqualTo(bN, Literal(0L)), IsNaN(s)), in,
+        Add(Multiply(aL, in), Multiply(bL, s))),
+      Add(Multiply(aL, in), Multiply(bL, c)),
+      Multiply(bL, m))
+    Seq(x) ++ fold(gain, gS, gC, gM) ++ fold(loss, lS, lC, lM) ++
+      Seq(Add(bN, Literal(1L)))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    def pick(attr: AttributeReference): Expression =
+      If(EqualTo(bN.left, Literal(0L)), attr.right, attr.left)
+    val guard = If(
+      And(GreaterThan(bN.left, Literal(0L)), GreaterThan(bN.right, Literal(0L))),
+      Cast(RaiseError(Literal("wilder_pair_state is ordered-window-only: a " +
+        "two-buffer merge cannot reconstruct the right span's first-row " +
+        "previous value")), DoubleType),
+      pick(bPrev))
+    Seq(guard, pick(gS), pick(gC), pick(gM), pick(lS), pick(lC), pick(lM),
+      Add(bN.left, bN.right))
+  }
+
+  override lazy val evaluateExpression: Expression = {
+    def st(s: Expression, c: Expression, m: Expression) =
+      CreateNamedStruct(Seq(Literal("cSeeded"), s, Literal("c"), c,
+        Literal("m"), m))
+    CreateNamedStruct(Seq(
+      Literal("g"), st(gS, gC, gM), Literal("l"), st(lS, lC, lM)))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(valueExpr = newLeft, prevInit = newRight)
+  override def prettyName: String = "wilder_pair_state"
+}
+
 object EmaFunctions {
   /** Running EMA over an ordered window frame (NaN for an empty frame).
     * α = 2/(n+1): classic n-period EMA; α = 1/n: Wilder smoothing.
@@ -156,4 +274,15 @@ object EmaFunctions {
   def ema_state(x: Column, alpha: Double): Column =
     ExpressionUtils.column(
       EmaStateAgg(ExpressionUtils.expression(x), alpha).toAggregateExpression())
+
+  /** Fused Wilder gain/loss running state pair
+    * `struct(g: (cSeeded, c, m), l: (cSeeded, c, m))` over an ordered
+    * window frame; `prevInit` seeds the first row's previous value (null
+    * → first change folds as 0). Replaces lag + two [[ema_state]]s in
+    * one WindowExec pass.
+    */
+  def wilder_pair_state(x: Column, prevInit: Column, alpha: Double): Column =
+    ExpressionUtils.column(
+      WilderPairStateAgg(ExpressionUtils.expression(x),
+        ExpressionUtils.expression(prevInit), alpha).toAggregateExpression())
 }

@@ -167,6 +167,62 @@ class IndicatorsSpec extends SparkSpec {
     intercept[IllegalStateException](agg.merge(lb, rb))
   }
 
+  test("wilder_pair_state fused aggregate == lag + two ema_state composition, bit-for-bit") {
+    import org.apache.spark.sql.graftnative.EmaFunctions
+    val alpha = 1.0 / 14
+    val rows = for (s <- Seq("A", "B"); i <- 0 until 120) yield
+      (s, i, 100.0 + 7 * math.sin(i / 5.0) + (if (s == "A") i % 3 else -(i % 4)))
+    val df = rows.toDF("symbol", "idx", "close")
+    val w = Window.partitionBy("symbol").orderBy("idx")
+    val wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    def gainOf(c: org.apache.spark.sql.Column) = when(c > 0, c).otherwise(lit(0.0))
+    def lossOf(c: org.apache.spark.sql.Column) = when(c < 0, -c).otherwise(lit(0.0))
+    val unfused = df
+      .withColumn("_chg", col("close") - lag(col("close"), 1).over(w))
+      .withColumn("_g", EmaFunctions.ema_state(gainOf(col("_chg")), alpha).over(wf))
+      .withColumn("_l", EmaFunctions.ema_state(lossOf(col("_chg")), alpha).over(wf))
+      .select(col("symbol"), col("idx"),
+        col("_g.cSeeded"), col("_g.c"), col("_g.m"),
+        col("_l.cSeeded"), col("_l.c"), col("_l.m"))
+      .orderBy("symbol", "idx").collect().toSeq
+    val fused = df
+      .withColumn("_st",
+        EmaFunctions.wilder_pair_state(col("close"), lit(null).cast("double"), alpha).over(wf))
+      .select(col("symbol"), col("idx"),
+        col("_st.g.cSeeded"), col("_st.g.c"), col("_st.g.m"),
+        col("_st.l.cSeeded"), col("_st.l.c"), col("_st.l.m"))
+      .orderBy("symbol", "idx").collect().toSeq
+    assert(fused == unfused)
+    // prevInit seeds the first row's previous value: states must equal
+    // the unfused `close − coalesce(lag(close), prevInit)` composition
+    // (the pre-fusion pass-B shape) bit-for-bit
+    val seeded = df.filter(col("symbol") === "A")
+      .withColumn("_st",
+        EmaFunctions.wilder_pair_state(col("close"), lit(105.0), alpha).over(wf))
+      .select(col("idx"), col("_st.g.cSeeded"), col("_st.l.cSeeded"))
+      .orderBy("idx").collect().toSeq
+    val coalesced = df.filter(col("symbol") === "A")
+      .withColumn("_chg",
+        col("close") - coalesce(lag(col("close"), 1).over(w), lit(105.0)))
+      .withColumn("_g", EmaFunctions.ema_state(gainOf(col("_chg")), alpha).over(wf))
+      .withColumn("_l", EmaFunctions.ema_state(lossOf(col("_chg")), alpha).over(wf))
+      .select(col("idx"), col("_g.cSeeded"), col("_l.cSeeded"))
+      .orderBy("idx").collect().toSeq
+    assert(seeded == coalesced)
+  }
+
+  test("wilder_pair_state fails fast on grouped (merge-order-dependent) use") {
+    import org.apache.spark.sql.graftnative.EmaFunctions
+    val df = (1 to 10000).map(i => (i, i * 1.0)).toDF("idx", "close")
+      .repartition(4)
+    val e = intercept[Exception] {
+      df.agg(EmaFunctions.wilder_pair_state(col("close"),
+        lit(null).cast("double"), 0.1)).collect()
+    }
+    assert(e.getMessage.contains("ordered-window-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("ordered-window-only")))
+  }
+
   test("EmaAggregator reseeds after a NaN input exactly like the fold variant") {
     val alpha = 2.0 / 13
     val agg = new graft.functions.EmaAggregator(alpha)

@@ -899,6 +899,65 @@ object QueriesScale {
         | CAST(16 + (doc_id * 53) % 1536 AS BIGINT) AS height
         | FROM documents ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------- audio-container metadata
+  // The audio half of the multimodal metadata stage, same design as
+  // image_meta: per-row fixture headers are built ARITHMETICALLY from
+  // doc_id (real WAV chunk layout / real FLAC STREAMINFO bit packing),
+  // the native parser walks them back, and the oracle recomputes the
+  // expected fields from the same doc_id formulas — a hash match proves
+  // the parser inverts both container encodings end-to-end. Zero
+  // shuffle, one codegen'd byte walk per row; golden real-layout pins
+  // and corrupt-header fallbacks live in ScaleOpsSpec.
+  private val audioMetaQ = Q(
+    (s, dir) => {
+      val ch = lit(1L) + col("doc_id") % 8
+      val rate = lit(8000L) + (col("doc_id") * 441) % 40000
+      val bits = (lit(1L) + col("doc_id") % 4) * 8
+      val frames = lit(1000L) + (col("doc_id") * 17) % 100000
+      val payload = when(col("doc_id") % 2 === 0,
+          ScaleOps.synthWavHeader(ch, rate, bits, frames))
+        .otherwise(ScaleOps.synthFlacHeader(ch, rate, bits, frames))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ScaleOps.audioMeta(payload).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bits_per_sample").as("bits_per_sample"),
+          col("m.n_frames").as("n_frames"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+        | CAST(1 + doc_id % 8 AS BIGINT) AS channels,
+        | CAST(8000 + (doc_id * 441) % 40000 AS BIGINT) AS sample_rate,
+        | CAST((1 + doc_id % 4) * 8 AS BIGINT) AS bits_per_sample,
+        | CAST(1000 + (doc_id * 17) % 100000 AS BIGINT) AS n_frames
+        | FROM documents ORDER BY doc_id""".stripMargin))
+
+  // --------------------------------------- ISO BMFF container metadata
+  // The video/container half: MP4 box trees built arithmetically (ftyp +
+  // moov/mvhd, alternating mvhd v0 u32 and v1 u64 layouts so the
+  // version-dependent offsets are both exercised), parsed back by the
+  // native box walk, oracle recomputed from the doc_id formulas.
+  private val containerMetaQ = Q(
+    (s, dir) => {
+      val ts = lit(600L) + (col("doc_id") * 7) % 90000
+      val dur = (col("doc_id") * 997) % 10000000L
+      val payload = ScaleOps.synthMp4Header(ts, dur, (col("doc_id") % 2).cast("int"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ScaleOps.mp4Meta(payload).as("m"))
+        .select(col("doc_id"), col("m.brand").as("brand"),
+          col("m.timescale").as("timescale"),
+          col("m.duration").as("duration"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, 'isom' AS brand,
+        | CAST(600 + (doc_id * 7) % 90000 AS BIGINT) AS timescale,
+        | CAST((doc_id * 997) % 10000000 AS BIGINT) AS duration
+        | FROM documents ORDER BY doc_id""".stripMargin))
+
   // --------------------------------------------------- simhash near-dup
   // Scale design: a naive hamming(h1,h2)<=3 theta-join is O(n²). Instead,
   // split the hash into 4 bands of 15 bits — by pigeonhole, any pair
@@ -2887,6 +2946,8 @@ object QueriesScale {
     "embedding_neardup" -> embNeardupQ,
     "multimodal_meta" -> multimodalQ,
     "image_meta" -> imageMetaQ,
+    "audio_meta" -> audioMetaQ,
+    "container_meta" -> containerMetaQ,
     "simhash_neardup" -> simhashQ
   )
 }

@@ -1216,6 +1216,101 @@ object ScaleOps {
     leU16Col(w), leU16Col(h),
     lit(Array[Byte](0, 0, 0, 0x3B)))
 
+  /** Native audio-container metadata `struct(format, channels,
+    * sample_rate, bits_per_sample, n_frames)` — WAV chunk walk + FLAC
+    * STREAMINFO bit unpack, same codegen'd zero-shuffle stance as
+    * [[imageMeta]] (see [[org.apache.spark.sql.graftnative.AudioMeta]]).
+    */
+  def audioMeta(payload: Column): Column =
+    org.apache.spark.sql.graftnative.MediaExpressions.audio_meta(payload)
+
+  /** Native ISO BMFF (MP4/MOV) metadata `struct(brand, timescale,
+    * duration)` via the box-tree walk
+    * (see [[org.apache.spark.sql.graftnative.Mp4Meta]]).
+    */
+  def mp4Meta(payload: Column): Column =
+    org.apache.spark.sql.graftnative.MediaExpressions.mp4_meta(payload)
+
+  private def leU32Col(v: Column): Column = concat(
+    unhex(lpad(hex(v.bitwiseAND(255L)), 2, "0")),
+    unhex(lpad(hex(shiftright(v, 8).bitwiseAND(255L)), 2, "0")),
+    unhex(lpad(hex(shiftright(v, 16).bitwiseAND(255L)), 2, "0")),
+    unhex(lpad(hex(shiftright(v, 24).bitwiseAND(255L)), 2, "0")))
+  private def u8Col(v: Column): Column = unhex(lpad(hex(v.bitwiseAND(255L)), 2, "0"))
+
+  /** Minimal valid PCM WAV: RIFF/WAVE + canonical 16-byte `fmt ` chunk +
+    * `data` chunk declaring `frames · blockAlign` payload bytes (payload
+    * itself omitted — the parser reads declared sizes, not samples; real
+    * profiling reads headers from footer-less range requests the same
+    * way). blockAlign = channels·bits/8 per the spec.
+    */
+  def synthWavHeader(channels: Column, rate: Column, bits: Column,
+      frames: Column): Column = {
+    val blockAlign = channels * shiftright(bits, 3) // bits/8, kept integral
+    concat(
+      lit("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+      leU32Col(lit(36L) + frames * blockAlign),
+      lit("WAVEfmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+      leU32Col(lit(16L)), leU16Col(lit(1L)), // PCM
+      leU16Col(channels), leU32Col(rate),
+      leU32Col(rate * blockAlign), leU16Col(blockAlign), leU16Col(bits),
+      lit("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+      leU32Col(frames * blockAlign))
+  }
+
+  /** Minimal valid FLAC: `fLaC` + a last-flagged STREAMINFO block with
+    * the spec's bit packing (20-bit rate, 3-bit channels−1, 5-bit
+    * bits−1, 36-bit total samples); block/frame-size bounds and MD5 are
+    * zero — the parser reads structure, not audio.
+    */
+  def synthFlacHeader(channels: Column, rate: Column, bits: Column,
+      frames: Column): Column = concat(
+    lit("fLaC".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+    lit(Array[Byte](0x80.toByte, 0, 0, 34)), // last block, STREAMINFO, len 34
+    lit(Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0, 0)), // block/frame sizes
+    u8Col(shiftright(rate, 12)),
+    u8Col(shiftright(rate, 4)),
+    u8Col(rate.bitwiseAND(15L) * 16 + (channels - 1) * 2 +
+      shiftright(bits - 1, 4)),
+    u8Col((bits - 1).bitwiseAND(15L) * 16 +
+      shiftright(frames, 32).bitwiseAND(15L)),
+    beU32Col(frames.bitwiseAND(0xFFFFFFFFL)),
+    lit(Array.fill[Byte](16)(0))) // MD5
+
+  /** Minimal valid ISO BMFF: `ftyp` (major brand isom) + `moov`
+    * containing only an `mvhd` of the requested version (v0: u32
+    * timestamps/duration; v1: u64) — the parser must walk the top level,
+    * descend into moov, and pick the version-dependent offsets.
+    */
+  def synthMp4Header(timescale: Column, duration: Column,
+      version: Column): Column = {
+    val ftyp = concat(
+      beU32Col(lit(16L)),
+      lit("ftypisom".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+      beU32Col(lit(512L))) // minor version
+    val mvhdV0 = concat(
+      beU32Col(lit(108L)),
+      lit("mvhd".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+      lit(Array.fill[Byte](4)(0)), // version 0 + flags
+      beU32Col(lit(0L)), beU32Col(lit(0L)), // creation/modification
+      beU32Col(timescale), beU32Col(duration),
+      lit(Array.fill[Byte](80)(0))) // rate..next_track_ID
+    val mvhdV1 = concat(
+      beU32Col(lit(120L)),
+      lit("mvhd".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+      lit(Array[Byte](1, 0, 0, 0)), // version 1 + flags
+      lit(Array.fill[Byte](16)(0)), // u64 creation/modification
+      beU32Col(timescale),
+      beU32Col(lit(0L)), beU32Col(duration), // u64 duration (hi, lo)
+      lit(Array.fill[Byte](80)(0)))
+    val mvhd = when(version === 1, mvhdV1).otherwise(mvhdV0)
+    val moovLen = when(version === 1, lit(128L)).otherwise(lit(116L))
+    concat(ftyp,
+      beU32Col(moovLen),
+      lit("moov".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+      mvhd)
+  }
+
   /** STUB decode: a real deployment would `mapPartitions` over batches,
     * hand each binary payload to a codec, and emit fixed-width features.
     * Here the "features" are a deterministic fake (first 4 bytes, scaled)

@@ -251,6 +251,96 @@ class ScaleOpsSpec extends SparkSpec {
     assert(parse(Array.empty[Byte]) == (("unknown", null, null)))
   }
 
+  test("AudioMeta: golden WAV/FLAC bytes, truncations, unknown") {
+    import org.apache.spark.sql.graftnative.AudioMeta
+    def parse(b: Array[Byte]): (String, Any, Any, Any, Any) = {
+      val r = AudioMeta.compute(b)
+      def g(i: Int): Any = if (r.isNullAt(i)) null else r.getLong(i)
+      (r.getUTF8String(0).toString, g(1), g(2), g(3), g(4))
+    }
+    // canonical 44-byte PCM WAV header: mono, 44100 Hz, 16-bit, 2 frames
+    // of data (4 bytes), hand-assembled from the RIFF spec
+    def le16(v: Int) = Array[Byte]((v & 255).toByte, ((v >> 8) & 255).toByte)
+    def le32(v: Int) = Array[Byte]((v & 255).toByte, ((v >> 8) & 255).toByte,
+      ((v >> 16) & 255).toByte, ((v >> 24) & 255).toByte)
+    val wav = "RIFF".getBytes ++ le32(40) ++ "WAVEfmt ".getBytes ++
+      le32(16) ++ le16(1) ++ le16(1) ++ le32(44100) ++ le32(88200) ++
+      le16(2) ++ le16(16) ++ "data".getBytes ++ le32(4) ++ le32(0)
+    assert(parse(wav) == (("wav", 1L, 44100L, 16L, 2L)))
+    // an extra LIST chunk before fmt : the walk must skip it (odd size
+    // pads to even per RIFF)
+    val listed = "RIFF".getBytes ++ le32(63) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(5) ++ Array.fill[Byte](6)(7) ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(8000) ++
+      le32(32000) ++ le16(4) ++ le16(16) ++ "data".getBytes ++ le32(40)
+    assert(parse(listed) == (("wav", 2L, 8000L, 16L, 10L)))
+    // truncated fmt, missing data chunk -> nulls, recognized container
+    assert(parse(wav.take(20)) == (("wav", null, null, null, null)))
+    assert(parse(wav.take(36)) == (("wav", null, null, null, null)))
+    // FLAC: fLaC + STREAMINFO with 48000 Hz, stereo, 24-bit, 7 samples —
+    // bit-packed by hand: rate 48000 = 0x0BB80 -> b10=0x0B b11=0xB8,
+    // b12 = (rate&0xF)<<4 | (ch-1)<<1 | (bits-1)>>4 = 0x03
+    val flac = "fLaC".getBytes ++ Array[Byte](0x80.toByte, 0, 0, 34) ++
+      Array.fill[Byte](10)(0) ++
+      Array[Byte](0x0B, 0xB8.toByte, 0x03, 0x70, 0, 0, 0, 7) ++
+      Array.fill[Byte](16)(0)
+    assert(parse(flac) == (("flac", 2L, 48000L, 24L, 7L)))
+    // a VORBIS_COMMENT block (type 4) before STREAMINFO is walked over
+    val commented = "fLaC".getBytes ++ Array[Byte](4, 0, 0, 3) ++
+      Array[Byte](1, 2, 3) ++ Array[Byte](0x80.toByte, 0, 0, 34) ++
+      Array.fill[Byte](10)(0) ++
+      Array[Byte](0x0B, 0xB8.toByte, 0x03, 0x70, 0, 0, 0, 7) ++
+      Array.fill[Byte](16)(0)
+    assert(parse(commented) == (("flac", 2L, 48000L, 24L, 7L)))
+    // truncated STREAMINFO; zero sample rate (spec-invalid)
+    assert(parse(flac.take(20)) == (("flac", null, null, null, null)))
+    val zeroRate = flac.clone()
+    zeroRate(18) = 0; zeroRate(19) = 0
+    zeroRate(20) = (zeroRate(20) & 0x0F).toByte
+    assert(parse(zeroRate) == (("flac", null, null, null, null)))
+    assert(parse("not audio".getBytes) == (("unknown", null, null, null, null)))
+    assert(parse(Array.empty[Byte]) == (("unknown", null, null, null, null)))
+  }
+
+  test("Mp4Meta: golden box trees (v0/v1 mvhd, largesize), corrupt trees") {
+    import org.apache.spark.sql.graftnative.Mp4Meta
+    def parse(b: Array[Byte]): (String, Any, Any) = {
+      val r = Mp4Meta.compute(b)
+      def g(i: Int): Any = if (r.isNullAt(i)) null else r.getLong(i)
+      (r.getUTF8String(0).toString, g(1), g(2))
+    }
+    def be32(v: Long) = Array[Byte](((v >> 24) & 255).toByte,
+      ((v >> 16) & 255).toByte, ((v >> 8) & 255).toByte, (v & 255).toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xFFFFFFFFL)
+    val ftyp = be32(16) ++ "ftypmp42".getBytes ++ be32(0)
+    // free box between ftyp and moov: top-level walk must skip it
+    val free = be32(9) ++ "free".getBytes ++ Array[Byte](0)
+    def mvhd0(ts: Long, dur: Long) = be32(108) ++ "mvhd".getBytes ++
+      Array.fill[Byte](4)(0) ++ be32(0) ++ be32(0) ++ be32(ts) ++ be32(dur) ++
+      Array.fill[Byte](80)(0)
+    def mvhd1(ts: Long, dur: Long) = be32(120) ++ "mvhd".getBytes ++
+      Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](16)(0) ++ be32(ts) ++
+      be64(dur) ++ Array.fill[Byte](80)(0)
+    val v0 = ftyp ++ free ++ be32(116) ++ "moov".getBytes ++ mvhd0(600, 12345)
+    assert(parse(v0) == (("mp42", 600L, 12345L)))
+    // v1: u64 duration beyond u32 range
+    val v1 = ftyp ++ be32(128) ++ "moov".getBytes ++ mvhd1(90000, 5000000000L)
+    assert(parse(v1) == (("mp42", 90000L, 5000000000L)))
+    // moov with a leading trak sibling: child walk must skip to mvhd
+    val trak = be32(10) ++ "trak".getBytes ++ Array[Byte](0, 0)
+    val sib = ftyp ++ be32(126) ++ "moov".getBytes ++ trak ++ mvhd0(600, 77)
+    assert(parse(sib) == (("mp42", 600L, 77L)))
+    // largesize (size==1) moov
+    val big = ftyp ++ be32(1) ++ "moov".getBytes ++ be64(124) ++ mvhd0(48000, 99)
+    assert(parse(big) == (("mp42", 48000L, 99L)))
+    // no moov; truncated mvhd; first box not ftyp
+    assert(parse(ftyp) == (("mp42", null, null)))
+    assert(parse(v0.dropRight(60)) == (("mp42", null, null)))
+    assert(parse(be32(16) ++ "moovmp42".getBytes ++ be32(0)) ==
+      (("unknown", null, null)))
+    assert(parse("plain".getBytes) == (("unknown", null, null)))
+  }
+
   test("ImageMeta: synth headers round-trip through the native parser (codegen path)") {
     // boundary sizes included: u16 max for JPEG/GIF, >u16 for PNG
     val dims = Seq((1L, 1L), (16L, 16L), (640L, 480L), (65535L, 65535L))

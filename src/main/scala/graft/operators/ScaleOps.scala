@@ -575,15 +575,28 @@ object ScaleOps {
   def buildBm25Index(docs: DataFrame, idCol: String, postingsTable: String,
       statsTable: String, textCol: String = "text", buckets: Int = 16): Unit = {
     val spark = docs.sparkSession
-    // Idempotent across JVMs: the table name is a deterministic function
-    // of the corpus stamp but the build memo is JVM-local, so a SECOND
-    // process over the same corpus arrives here with a cold memo, an
-    // empty in-memory catalog — and the previous process' warehouse
-    // directory still on disk. saveAsTable would then die with
-    // LOCATION_ALREADY_EXISTS. Drop any catalog entry AND delete the
-    // orphaned location before writing; also sweep leftovers from OTHER
-    // corpus stamps (one pair per stamp accumulates otherwise), keeping
-    // any index a live table in THIS JVM's catalog still points at.
+    // Idempotent AND re-openable across JVMs. The table names embed the
+    // corpus stamp, so a directory under the deterministic name was
+    // derived from the same corpus — three cases for a cold JVM:
+    //  1. table already in THIS JVM's catalog → the index is live, done;
+    //  2. a previous process' directories survive on disk with their
+    //     _SUCCESS markers → REGISTER them (external table with the same
+    //     bucket spec read back from the files) instead of rebuilding —
+    //     "serving store" means a fresh process re-opens the index, it
+    //     does not re-derive it from the corpus;
+    //  3. otherwise (absent, or partial from a crashed build) → drop any
+    //     stale catalog entry, delete the leftover location (a surviving
+    //     directory would fail saveAsTable with LOCATION_ALREADY_EXISTS),
+    //     sweep orphans of OTHER corpus stamps, and build.
+    if (spark.catalog.tableExists(postingsTable) &&
+        spark.catalog.tableExists(statsTable)) return
+    if (hasSuccessMarker(spark, postingsTable) &&
+        hasSuccessMarker(spark, statsTable)) {
+      registerExisting(spark, postingsTable,
+        Some((Seq("term"), buckets)))
+      registerExisting(spark, statsTable, None)
+      return
+    }
     sweepStaleWarehouseDirs(spark, Seq("bm25_postings_", "bm25_stats_"))
     dropTableAndLocation(spark, postingsTable)
     dropTableAndLocation(spark, statsTable)
@@ -623,6 +636,35 @@ object ScaleOps {
     val loc = warehouseLocation(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** True when the warehouse location for `table` holds a COMPLETE write
+    * — the `_SUCCESS` marker the committer drops only after every task
+    * file is in place. A directory without it is a crashed build's
+    * debris and must be rebuilt, never registered.
+    */
+  private def hasSuccessMarker(spark: SparkSession, table: String): Boolean = {
+    val loc = warehouseLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
+  }
+
+  /** Register an existing complete warehouse directory as an EXTERNAL
+    * table (schema read back from its parquet footers; optional bucket
+    * spec re-declared so bucket pruning works on the re-opened index).
+    * External: a later DROP of the registration must never delete the
+    * files another process may still be serving from.
+    */
+  private def registerExisting(spark: SparkSession, table: String,
+      bucketSpec: Option[(Seq[String], Int)]): Unit = {
+    val loc = warehouseLocation(spark, table)
+    val ddlCols = spark.read.parquet(loc.toString).schema.toDDL
+    val clustered = bucketSpec.map { case (cols, n) =>
+      val cl = cols.map(c => s"`$c`").mkString(", ")
+      s"CLUSTERED BY ($cl) SORTED BY ($cl) INTO $n BUCKETS "
+    }.getOrElse("")
+    spark.sql(s"CREATE TABLE `$table` ($ddlCols) USING parquet " +
+      clustered + s"LOCATION '$loc'")
   }
 
   /** Delete warehouse directories whose name starts with one of

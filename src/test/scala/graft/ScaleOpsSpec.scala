@@ -1016,6 +1016,83 @@ class ScaleOpsSpec extends SparkSpec {
       scores.sliding(2).forall(p => p.length < 2 || p(0) > p(1)))
   }
 
+  test("bm25 index: a cold process RE-OPENS a complete on-disk index instead of rebuilding") {
+    // Simulate the fresh-JVM-over-surviving-warehouse state: build, copy
+    // the committed directories aside, DROP the managed tables (which
+    // deletes their locations), restore the copies — on-disk index
+    // present, catalog empty, exactly what a second process sees.
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"),
+      (3L, "delta alone here")).toDF("doc_id", "text")
+    val pt = "bm25_postings_testreopen"
+    val st = "bm25_stats_testreopen"
+    val wh = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    def whDir(t: String) = new java.io.File(wh, t.toLowerCase)
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) { dst.mkdirs(); src.listFiles().foreach(f =>
+        copyTree(f, new java.io.File(dst, f.getName))) }
+      else java.nio.file.Files.copy(src.toPath, dst.toPath): Unit
+    }
+    val stash = java.nio.file.Files.createTempDirectory("graft_bm25_stash_").toFile
+    try {
+      ScaleOps.buildBm25Index(docs, "doc_id", pt, st)
+      val served1 = ScaleOps.bm25ServeFromIndex(spark, pt, st,
+        Seq((0L, Seq("alpha", "beta"))), "doc_id").collect().toSeq
+      assert(served1.nonEmpty)
+      copyTree(whDir(pt), new java.io.File(stash, pt))
+      copyTree(whDir(st), new java.io.File(stash, st))
+      spark.sql(s"DROP TABLE `$pt`"); spark.sql(s"DROP TABLE `$st`")
+      assert(!whDir(pt).exists(), "managed drop should delete the location")
+      copyTree(new java.io.File(stash, pt), whDir(pt))
+      copyTree(new java.io.File(stash, st), whDir(st))
+      // a rebuild from THIS corpus would produce different postings —
+      // serving the original rows proves the build re-opened, not re-ran
+      val poison = Seq((9L, "zzz")).toDF("doc_id", "text")
+      ScaleOps.buildBm25Index(poison, "doc_id", pt, st)
+      val served2 = ScaleOps.bm25ServeFromIndex(spark, pt, st,
+        Seq((0L, Seq("alpha", "beta"))), "doc_id").collect().toSeq
+      assert(served2 == served1, "cold re-open must serve the ORIGINAL index")
+      // and the re-opened registration still bucket-prunes
+      val plan = ScaleOps.bm25ServeFromIndex(spark, pt, st,
+          Seq((0L, Seq("alpha"))), "doc_id")
+        .queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.initialPlan
+          case p => p
+        }
+      val scan = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains(pt)) => s
+      }
+      assert(scan.nonEmpty)
+      val sel = scan.head.metadata.get("SelectedBucketsCount")
+      assert(sel.isDefined && sel.get.trim.split(" ")(0).toInt < 16,
+        s"re-opened index lost bucket pruning: ${scan.head.metadata}")
+      // incomplete directory (no _SUCCESS) is debris -> rebuilt, not reused
+      // (the re-opened tables are EXTERNAL: drop keeps the files, so
+      // clear them before restoring fresh copies)
+      spark.sql(s"DROP TABLE `$pt`"); spark.sql(s"DROP TABLE `$st`")
+      def rmDir(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmDir)); f.delete(): Unit
+      }
+      rmDir(whDir(pt)); rmDir(whDir(st))
+      copyTree(new java.io.File(stash, pt), whDir(pt))
+      copyTree(new java.io.File(stash, st), whDir(st))
+      assert(new java.io.File(whDir(pt), "_SUCCESS").delete())
+      ScaleOps.buildBm25Index(poison, "doc_id", pt, st)
+      assert(ScaleOps.bm25ServeFromIndex(spark, pt, st,
+        Seq((0L, Seq("alpha"))), "doc_id").collect().isEmpty,
+        "partial directory must trigger a rebuild from the new corpus")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$pt`")
+      spark.sql(s"DROP TABLE IF EXISTS `$st`")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(stash); rm(whDir(pt)); rm(whDir(st))
+    }
+  }
+
   test("unigram logprob: hand-computed scores; values independent of headSize routing") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val freq = ScaleOps.unigramFreq(docs)

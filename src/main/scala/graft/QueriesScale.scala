@@ -1615,12 +1615,15 @@ object QueriesScale {
     },
     None)
 
-  /** Persisted IVF-PQ index path (built once per corpus stamp), exposed
-    * for the PlanSpec pruning contract.
+  /** Persisted IVF-PQ index path (built at most once per corpus stamp,
+    * DURABLE — a fresh process re-opens the partition tree instead of
+    * re-coding the corpus; consistent with the equally-durable coarse +
+    * PQ codebooks, see [[graft.ml.IvfCodebook.pqCodebook]]), exposed for
+    * the PlanSpec pruning contract.
     */
   def ivfPqIndexPath(s: SparkSession, dir: String): String = {
     val stamp = ArtifactMemo.stamp(dir, "embeddings.parquet")
-    ArtifactMemo.parquetPartitioned(s"ivfpq#$stamp", "ivfpq_index",
+    ArtifactMemo.parquetDurable(s, s"ivfpq#$stamp", "ivfpq_index",
       Seq("c_id")) { ivfPqParts(s, dir)._3 }
   }
 

@@ -49,13 +49,18 @@ object IvfCodebook {
     model.clusterCenters.map(_.toArray.map(_.toFloat))
   }
 
-  /** Fixture: the codebook for `dir`'s embeddings table, trained once per
-    * (JVM, dir, k) and persisted to a parquet directory — the offline
-    * index-build step. Returns the parquet path; [[load]] reads it back
-    * as (c_id int, c_emb array<float>).
+  /** The codebook for `dir`'s embeddings table, trained AT MOST once per
+    * corpus stamp and persisted DURABLY (ArtifactMemo.parquetDurable) —
+    * the offline index-build step, re-openable by any later process: a
+    * fresh JVM loads the previous process' centroids instead of
+    * re-training, which is what makes every artifact derived from this
+    * codebook (cell assignments, probe sets, the persisted IVF-PQ index)
+    * consistent ACROSS processes, not merely within one. Returns the
+    * parquet path; [[load]] reads it back as (c_id int, c_emb
+    * array<float>).
     */
   def codebookPath(spark: SparkSession, dir: String, k: Int = 16): String =
-    graft.ArtifactMemo.parquet(
+    graft.ArtifactMemo.parquetDurable(spark,
       s"${graft.ArtifactMemo.stamp(dir, "embeddings.parquet")}/$k", "ivf_codebook") {
       val cents = train(graft.Tables.embeddings(spark, dir), "embedding", k)
       import spark.implicits._
@@ -104,13 +109,36 @@ object IvfCodebook {
     } finally { unit.unpersist(); () }
   }
 
-  /** Fixture: memoized PQ codebook for `dir`'s embeddings (same staleness
-    * stamp recipe as [[codebookPath]]).
+  /** PQ codebook for `dir`'s embeddings, persisted DURABLY like
+    * [[codebookPath]] and loaded back per JVM. Durability matters more
+    * here than for the coarse codebook: ADC serving scores PERSISTED
+    * integer codes against per-query LUTs built from the codebook — a
+    * process that re-trained (even to slightly different floats) while
+    * re-opening the old coded index would score codes against the wrong
+    * centroids. Persisting both from one build makes (codebook, index)
+    * a consistent pair for every later process.
     */
   def pqCodebook(spark: SparkSession, dir: String, dim: Int = 64, m: Int = 8,
       k: Int = 16): Array[Array[Array[Float]]] =
     graft.ArtifactMemo.cached(
-      s"${graft.ArtifactMemo.stamp(dir, "embeddings.parquet")}#pq/$dim/$m/$k") {
-      trainPq(graft.Tables.embeddings(spark, dir), "embedding", dim, m, k)
+      s"${graft.ArtifactMemo.stamp(dir, "embeddings.parquet")}#pqload/$dim/$m/$k") {
+      val path = graft.ArtifactMemo.parquetDurable(spark,
+        s"${graft.ArtifactMemo.stamp(dir, "embeddings.parquet")}/pq/$dim/$m/$k",
+        "pq_codebook") {
+        val cb = trainPq(graft.Tables.embeddings(spark, dir), "embedding", dim, m, k)
+        import spark.implicits._
+        (for (mi <- cb.indices; ki <- cb(mi).indices)
+          yield (mi, ki, cb(mi)(ki).toSeq)).toDF("m_idx", "k_idx", "centroid")
+          .select(col("m_idx"), col("k_idx"),
+            col("centroid").cast(ArrayType(FloatType)).as("centroid"))
+          .repartition(1)
+      }
+      val rows = spark.read.parquet(path)
+        .select("m_idx", "k_idx", "centroid").collect()
+      val out = Array.ofDim[Array[Float]](m, k)
+      rows.foreach { r =>
+        out(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
+      }
+      out
     }
 }

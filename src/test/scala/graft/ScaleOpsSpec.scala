@@ -1016,6 +1016,42 @@ class ScaleOpsSpec extends SparkSpec {
       scores.sliding(2).forall(p => p.length < 2 || p(0) > p(1)))
   }
 
+  test("ArtifactMemo.parquetDurable: cold memo re-opens complete artifacts, rebuilds partial ones") {
+    var builds = 0
+    val key = s"durable_test_${System.nanoTime()}"
+    def build() = ArtifactMemo.parquetDurable(spark, key, "durable_test",
+      Seq("part")) {
+      builds += 1
+      Seq((1L, 0), (2L, 1), (3L, 0)).toDF("v", "part")
+    }
+    val p1 = build()
+    assert(builds == 1)
+    assert(new java.io.File(new java.net.URI(p1).getPath, "_SUCCESS").exists()
+      || new java.io.File(p1, "_SUCCESS").exists())
+    // same JVM, memo warm: no FS work, same path
+    assert(build() == p1 && builds == 1)
+    // cold-memo (fresh-process) state over a COMPLETE directory: re-open
+    ArtifactMemo.forgetForTest(key)
+    val p2 = build()
+    assert(p2 == p1 && builds == 1, "complete artifact must be re-opened, not rebuilt")
+    assert(spark.read.parquet(p2).count() == 3)
+    // partition layout materialized for pruning
+    val dir = new java.io.File(if (p1.startsWith("file:"))
+      new java.net.URI(p1).getPath else p1)
+    assert(dir.listFiles().exists(_.getName.startsWith("part=")))
+    // cold memo over a PARTIAL directory (no _SUCCESS): rebuild
+    assert(new java.io.File(dir, "_SUCCESS").delete())
+    ArtifactMemo.forgetForTest(key)
+    val p3 = build()
+    assert(p3 == p1 && builds == 2, "partial artifact must be rebuilt")
+    assert(spark.read.parquet(p3).count() == 3)
+    // cleanup
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(dir)
+  }
+
   test("bm25 index: a cold process RE-OPENS a complete on-disk index instead of rebuilding") {
     // Simulate the fresh-JVM-over-surviving-warehouse state: build, copy
     // the committed directories aside, DROP the managed tables (which

@@ -794,6 +794,40 @@ object QueriesMeta {
         | FROM sess, wm WHERE end_us + 1800000000 <= w
         | ORDER BY user_id, session_start""".stripMargin))
 
+  // ----------------------------------------- streaming exact dedup
+  // The streaming twin of dedup_exact (incremental crawl ingest): the
+  // documents parquet runs through a file source SELF-UNIONED — every
+  // document arrives twice — and MicroBatch.streamExactDedup's
+  // checkpointed dropDuplicates state must collapse each content hash to
+  // ONE surviving row. Which arrival survives is engine-internal, so the
+  // key emits the content_hash column alone; the oracle's DISTINCT
+  // mirror then hash-matches iff the dedup removed EXACTLY the
+  // duplicates (any survivor pair leaves a repeated hash row and fails
+  // the driver's hash compare). Memory sink + collect are gate-harness
+  // only, as in stream_funnel/stream_sessions.
+  private val streamDedupQ = Q(
+    (s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("text"))
+      val qname = "stream_dedup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.MicroBatch.streamExactDedup(src.union(src))
+        .select(col("content_hash"))
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = s.table(qname)
+      val rows = res.collect()
+      s.catalog.dropTempView(qname)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        .orderBy("content_hash")
+    },
+    Some(
+      """SELECT DISTINCT md5(text) AS content_hash FROM documents
+        | ORDER BY content_hash""".stripMargin))
+
   // ------------------------------------------- fixed-width histogram
   // Value-distribution histogram over the orders fact: integer floor
   // division buckets (no quantile pass, no sampling — the O(1)-memory
@@ -844,6 +878,7 @@ object QueriesMeta {
     "event_transitions" -> transitionsQ,
     "stream_funnel" -> streamFunnelQ,
     "stream_sessions" -> streamSessionsQ,
+    "stream_dedup" -> streamDedupQ,
     "price_histogram" -> histogramQ,
     "pct_rank" -> pctRankQ,
     "asof_join" -> asofJoinQ,

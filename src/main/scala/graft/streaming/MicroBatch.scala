@@ -167,6 +167,23 @@ object MicroBatch {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** Streaming exact content-dedup — the streaming twin of the batch
+    * `dedup_exact` stage, for incremental crawl ingest: every arriving
+    * document dedups against ALL history through Spark's checkpointed
+    * `dropDuplicates` key state, so a document seen in any earlier
+    * micro-batch (or earlier in this one) never survives twice. The
+    * state key is the 128-bit content hash, NOT the text — state size is
+    * 16 bytes per distinct document ever seen, and the exchange shuffles
+    * hashes, never documents. Unbounded key space ⇒ unbounded state by
+    * design (matching exact dedup's semantics over all time); when the
+    * stream carries event time and re-crawls arrive within a known
+    * horizon, bound it with `withWatermark` +
+    * `dropDuplicatesWithinWatermark` exactly as [[idempotentSink]] does.
+    */
+  def streamExactDedup(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("content_hash", md5(col(textCol)))
+      .dropDuplicates("content_hash")
+
   /** Gap-based sessions per user over the live stream — the streaming twin
     * of the batch `sessionize` key (QueriesMeta), using Spark's native
     * `session_window` instead of the gaps-and-islands window so state is

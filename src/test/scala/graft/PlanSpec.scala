@@ -193,6 +193,24 @@ class PlanSpec extends SparkSpec {
       "single-query served read diverged from batch rows")
   }
 
+  test("media metadata keys: one corpus scan, parse in projection, shuffle only for the output sort") {
+    Seq("image_meta", "audio_meta", "container_meta").foreach { k =>
+      val p = physical(Queries.all(k).fn(spark, sf0001))
+      val scans = collectAll(p) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.size == 1, s"$k scanned ${scans.size} sources (want 1)")
+      // header parsing is per-row projection work: the ONLY exchange the
+      // plan may carry is the gate's deterministic ORDER BY — a second
+      // one would mean the parse path regressed into an agg or join
+      val exchanges = collectAll(p) { case e: Exchange => e }
+      assert(exchanges.size == 1,
+        s"$k has ${exchanges.size} exchanges (want only the output sort)")
+      assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+        s"$k grew a window")
+    }
+  }
+
   test("minhash/simhash band joins are equi-joins (shuffle on compact keys)") {
     Seq("minhash_dedup", "minhash_dedup_prod", "simhash_neardup").foreach { name =>
       val plan = fmt(Queries.all(name).fn(spark, sf0001))

@@ -337,6 +337,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamExactDedup: content seen in ANY earlier micro-batch never survives twice") {
+    val mem = MemoryStream[String](spark)
+    val docs = mem.toDF().select(col("value").as("text"))
+    val out = Files.createTempDirectory("graft_sdedup_out").toString
+    val ckpt = Files.createTempDirectory("graft_sdedup_ckpt").toString
+    def run(): Unit = {
+      val q = MicroBatch.streamExactDedup(docs)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", out).start()
+      q.awaitTermination(60000); ()
+    }
+    // batch 1: an in-batch duplicate collapses
+    mem.addData("alpha doc", "alpha doc", "beta doc")
+    run()
+    assert(spark.read.parquet(out).count() == 2)
+    // batch 2: a re-crawl of batch-1 content is dropped by CHECKPOINTED
+    // state; only the genuinely new doc survives
+    mem.addData("alpha doc", "gamma doc")
+    run()
+    val texts = spark.read.parquet(out).select("text").as[String]
+      .collect().sorted.toSeq
+    assert(texts == Seq("alpha doc", "beta doc", "gamma doc"),
+      s"cross-batch duplicate survived: $texts")
+  }
+
   test("kafka source config carries the reference consumer's flow control") {
     val cfg = MicroBatch.kafkaSource("broker:9092", "stock_ohlcv")
     assert(cfg.format == "kafka")

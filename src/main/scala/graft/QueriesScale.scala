@@ -899,6 +899,29 @@ object QueriesScale {
         | CAST(16 + (doc_id * 53) % 1536 AS BIGINT) AS height
         | FROM documents ORDER BY doc_id""".stripMargin))
 
+  // --------------------------------------------- document chunking (RAG)
+  // Fixed-window chunking with overlap (window 64, stride 48 → 16-token
+  // overlap): the retrieval/embedding prep stage. Single narrow pass —
+  // split, start sequence, explode, slice — with no join or aggregation
+  // anywhere, so it chunks a 100 TB corpus in one scan; the trailing
+  // start is emitted only when it adds uncovered tokens (no chunk is a
+  // suffix of its predecessor), mirrored exactly in the oracle's filter.
+  private val chunkDocumentsQ = Q(
+    (s, dir) => {
+      ScaleOps.chunkDocuments(Tables.documents(s, dir), "doc_id",
+          window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        | st AS (SELECT doc_id, toks, n, UNNEST(range(0, greatest(n, 1), 48)) AS start FROM s),
+        | f AS (SELECT * FROM st WHERE start = 0 OR start + 16 < n)
+        | SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[start + 1 : least(start + 64, n)], ' ') AS chunk_text,
+        |  CAST(least(start + 64, n) - start AS BIGINT) AS n_tokens
+        | FROM f ORDER BY doc_id, chunk_idx""".stripMargin))
+
   // ------------------------------------------- audio-container metadata
   // The audio half of the multimodal metadata stage, same design as
   // image_meta: per-row fixture headers are built ARITHMETICALLY from
@@ -2951,6 +2974,7 @@ object QueriesScale {
     "image_meta" -> imageMetaQ,
     "audio_meta" -> audioMetaQ,
     "container_meta" -> containerMetaQ,
+    "chunk_documents" -> chunkDocumentsQ,
     "simhash_neardup" -> simhashQ
   )
 }

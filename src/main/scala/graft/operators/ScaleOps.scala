@@ -707,6 +707,40 @@ object ScaleOps {
     bm25ScoreTail(matched, spark.table(statsTable), qterms, idCol, k1, b, topK)
   }
 
+  /** Fixed-window document chunking with overlap — the RAG /
+    * long-context training prep stage: each document's token stream is
+    * split into windows of `window` tokens whose starts advance by
+    * `stride` (overlap = window − stride), emitting one row per chunk
+    * `(doc_id, chunk_idx, chunk_text, n_tokens)`. A trailing start is
+    * emitted only if its window ADDS tokens beyond the previous chunk's
+    * end (`s == 0 || s + window − stride < n`) — no chunk is ever a
+    * suffix of its predecessor. One narrow pass: split → sequence of
+    * starts → posexplode → slice/array_join; zero joins, zero
+    * aggregation, so a 100 TB corpus chunks in a single scan and the
+    * output partitions like the input (the usual next stage — embed or
+    * tokenize per chunk — is mapPartitions-shaped over exactly this).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, window: Int,
+      stride: Int, textCol: String = "text"): DataFrame = {
+    require(stride > 0 && stride <= window,
+      s"stride $stride must be in 1..window=$window")
+    val toks = tokens(col(textCol))
+    docs
+      .withColumn("_toks", toks)
+      .withColumn("_n", size(col("_toks")))
+      .select(col(idCol), col("_toks"), col("_n"),
+        explode(sequence(lit(0), greatest(col("_n") - 1, lit(0)),
+          lit(stride))).as("_s"))
+      .filter(col("_s") === 0 ||
+        col("_s") + lit(window - stride) < col("_n"))
+      .select(col(idCol),
+        (col("_s") / stride).cast(LongType).as("chunk_idx"),
+        array_join(slice(col("_toks"), col("_s") + 1, lit(window)), " ")
+          .as("chunk_text"),
+        (least(col("_s") + window, col("_n")) - col("_s"))
+          .cast(LongType).as("n_tokens"))
+  }
+
   /** Corpus unigram frequency table — (term, _cnt). One explode +
     * two-phase agg, linear, shuffles compact term keys. This IS the
     * "model" of the unigram LM filter: at 100 TB persist it (parquet,
@@ -1343,7 +1377,10 @@ object ScaleOps {
       lit(Array[Byte](1, 0, 0, 0)), // version 1 + flags
       lit(Array.fill[Byte](16)(0)), // u64 creation/modification
       beU32Col(timescale),
-      beU32Col(lit(0L)), beU32Col(duration), // u64 duration (hi, lo)
+      // u64 duration as (hi, lo) u32 halves — beU32Col alone would
+      // silently truncate a >u32 value (lpad keeps the FIRST 8 hex chars)
+      beU32Col(shiftright(duration, 32).bitwiseAND(0xFFFFFFFFL)),
+      beU32Col(duration.bitwiseAND(0xFFFFFFFFL)),
       lit(Array.fill[Byte](80)(0)))
     val mvhd = when(version === 1, mvhdV1).otherwise(mvhdV0)
     val moovLen = when(version === 1, lit(128L)).otherwise(lit(116L))

@@ -368,6 +368,79 @@ class ScaleOpsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("Audio/Mp4 synth headers round-trip through the native parsers (codegen path)") {
+    // boundary values: 1-channel 8-bit up to 8-channel 32-bit; FLAC's
+    // 20-bit rate ceiling. (Frame counts past u32 are FLAC-only below —
+    // WAV's data-chunk size is an inherent u32, the classic RIFF limit.)
+    val specs = Seq((1L, 8000L, 8L, 1L), (2L, 44100L, 16L, 1000L),
+      (8L, 192000L, 32L, 123456L), (4L, 1048575L, 24L, 100000007L))
+    val df = specs.toDF("ch", "rate", "bits", "frames")
+    def roundTrip(payload: org.apache.spark.sql.Column) =
+      df.select(ScaleOps.audioMeta(payload).as("m"),
+          col("ch"), col("rate"), col("bits"), col("frames"))
+        .select(col("m.format"), col("m.channels") === col("ch"),
+          col("m.sample_rate") === col("rate"),
+          col("m.bits_per_sample") === col("bits"),
+          col("m.n_frames") === col("frames"))
+        .as[(String, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(roundTrip(ScaleOps.synthWavHeader(col("ch"), col("rate"),
+        col("bits"), col("frames")))
+      .forall(_ == (("wav", true, true, true, true))))
+    assert(roundTrip(ScaleOps.synthFlacHeader(col("ch"), col("rate"),
+        col("bits"), col("frames")))
+      .forall(_ == (("flac", true, true, true, true))))
+    // FLAC's 36-bit total-samples field holds counts past u32
+    val bigFlac = Seq((2L, 48000L, 16L, 68719476735L)) // 2^36 - 1
+      .toDF("ch", "rate", "bits", "frames")
+      .select(ScaleOps.audioMeta(ScaleOps.synthFlacHeader(col("ch"),
+        col("rate"), col("bits"), col("frames"))).as("m"))
+      .select(col("m.n_frames")).as[Long].head()
+    assert(bigFlac == 68719476735L)
+    // MP4: both mvhd versions; v1 exercises a >u32 duration
+    val mp4 = Seq((600L, 12345L, 0), (90000L, 5000000000L, 1))
+      .toDF("ts", "dur", "ver")
+      .select(ScaleOps.mp4Meta(
+          ScaleOps.synthMp4Header(col("ts"), col("dur"), col("ver"))).as("m"),
+        col("ts"), col("dur"))
+      .select(col("m.brand"), col("m.timescale") === col("ts"),
+        col("m.duration") === col("dur"))
+      .as[(String, Boolean, Boolean)].collect()
+    assert(mp4.forall(_ == (("isom", true, true))))
+    // NULL payloads -> NULL structs
+    val n = Seq(Tuple1(Option.empty[Array[Byte]])).toDF("p")
+      .select(ScaleOps.audioMeta(col("p")).as("a"),
+        ScaleOps.mp4Meta(col("p")).as("v")).head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
+  test("chunkDocuments: windows, overlap, no-suffix trailing rule, short docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                   // shorter than window
+      (3L, "solo")).toDF("doc_id", "text")
+    // window 8, stride 4 (overlap 4): doc 1 starts 0,4,8 — but start 8's
+    // window [8,10) adds nothing beyond [4,12)'s coverage, so it is NOT
+    // emitted (8 + 8 - 4 = 12 >= 10)
+    val out = ScaleOps.chunkDocuments(docs, "doc_id", window = 8, stride = 4)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, (1 to 8).map(i => s"t$i").mkString(" "), 8L),
+      (1L, 1L, (5 to 10).map(i => s"t$i").mkString(" "), 6L),
+      (2L, 0L, "a b c", 3L),
+      (3L, 0L, "solo", 1L)))
+    // every token of every doc is covered by at least one chunk
+    val covered = out.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    // stride == window: disjoint chunks, all tokens exactly once
+    val disjoint = ScaleOps.chunkDocuments(docs.filter(col("doc_id") === 1),
+        "doc_id", window = 4, stride = 4)
+      .as[(Long, Long, String, Long)].collect().toSeq.sortBy(_._2)
+    assert(disjoint.map(_._3).mkString(" ") ==
+      (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(disjoint.map(_._4) == Seq(4L, 4L, 2L))
+  }
+
   test("simhashTable (bulk explode+agg) equals per-row simhash60") {
     val df = Seq((1L, "spark window shuffle join filter"),
       (2L, "data table query row column value"),

@@ -337,6 +337,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("funnelToKeyedSink: commit-log-lost crash replay is idempotent; empty sink reads empty") {
+    import graft.streaming.StatefulOps
+    implicit val s = spark
+    val out = Files.createTempDirectory("graft_funnel_crash_out").toFile
+    val ckpt = Files.createTempDirectory("graft_funnel_crash_ckpt").toFile
+    try {
+      // a consumer polling between stream start and first batch sees an
+      // EMPTY funnel table, not a schema-inference crash
+      assert(StatefulOps.funnelFinalStates(spark, out.getPath).count() == 0)
+      val mem = MemoryStream[StatefulOps.FunnelEvent](spark)
+      def run(): Unit = {
+        val q = StatefulOps.funnelToKeyedSink(mem.toDS(), out.getPath, ckpt.getPath)
+        q.awaitTermination(60000); ()
+      }
+      mem.addData(StatefulOps.FunnelEvent(1L, "view", 1000L),
+        StatefulOps.FunnelEvent(1L, "click", 2000L))
+      run()
+      val afterFirst = StatefulOps.funnelFinalStates(spark, out.getPath)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      // crash window: batch files committed, commit log lost
+      val commits = new java.io.File(ckpt, "commits").listFiles()
+      assert(commits != null && commits.nonEmpty)
+      commits.foreach(f => assert(f.delete()))
+      // restart replays batch 0 (overwrites its own batch_id partition)
+      // and processes the new event; resolution must show the funnel
+      // advanced exactly once per stage
+      mem.addData(StatefulOps.FunnelEvent(1L, "purchase", 3000L))
+      run()
+      val resolved = StatefulOps.funnelFinalStates(spark, out.getPath)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(afterFirst == Seq((1L, 1000L, 2000L, StatefulOps.FunnelUnset)))
+      assert(resolved == Seq((1L, 1000L, 2000L, 3000L)),
+        s"crash replay corrupted the funnel: $resolved")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(out); rm(ckpt)
+    }
+  }
+
   test("streamExactDedup: content seen in ANY earlier micro-batch never survives twice") {
     val mem = MemoryStream[String](spark)
     val docs = mem.toDF().select(col("value").as("text"))

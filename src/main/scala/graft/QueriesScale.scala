@@ -1253,7 +1253,7 @@ object QueriesScale {
   // (dir, source-mtime) and memoized to parquet; each append assigns
   // only the new batch. Serving reads segment files + today's batch.
   private def ivfBaseSegmentPath(s: SparkSession, dir: String): String =
-    graft.ArtifactMemo.parquet(
+    graft.ArtifactMemo.parquetDurable(s,
       graft.ArtifactMemo.stamp(dir, "embeddings.parquet"), "ivf_base_segment") {
       val emb = Tables.embeddings(s, dir)
         .withColumn("nv", ScaleOps.l2norm(col("embedding")))
@@ -2123,7 +2123,7 @@ object QueriesScale {
   // memoized to parquet like the IVF codebook (ccClusterMapPath);
   // dedup_cc keeps measuring the build itself.
   private def ccClusterMapPath(s: SparkSession, dir: String): String =
-    graft.ArtifactMemo.parquet(
+    graft.ArtifactMemo.parquetDurable(s,
       graft.ArtifactMemo.stamp(dir, "documents.parquet"), "ccmap") {
       val corpus = dupedDocs(s, dir)
       dedupCcFrom(corpus,

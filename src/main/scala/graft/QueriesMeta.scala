@@ -828,6 +828,58 @@ object QueriesMeta {
       """SELECT DISTINCT md5(text) AS content_hash FROM documents
         | ORDER BY content_hash""".stripMargin))
 
+  // ------------------------- streaming interval join (real streaming run)
+  // The batch-consistency gate for the THIRD stateful streaming family:
+  // the stream-stream time-bounded join (MicroBatch.enrichTrades — until
+  // now pinned only by StreamingSpec unit tests). Each click joins every
+  // view by the SAME user within the 24 h BEFORE it; both sides carry
+  // watermarks and the condition is time-bounded on both ends, so the
+  // join state is evictable — the unbounded-history scale killer this
+  // operator family exists to avoid (see enrichTrades scaladoc).
+  //
+  // Inner stream-stream joins emit each match as soon as both rows have
+  // arrived (the watermark only bounds STATE, not emission), so one
+  // AvailableNow pass over the fixture must produce EXACTLY the batch
+  // join — which is what the DuckDB oracle states, down to the inclusive
+  // [c_ts - 24h, c_ts] boundary. Memory sink + collect are gate-harness
+  // only, as in the other stream_* keys; the production form writes
+  // through MicroBatch.idempotentSink.
+  private val streamJoinQ = Q(
+    (s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("event_id"), col("user_id"),
+          col("event_type"), col("ts").cast("timestamp").as("ts"))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("symbol"), col("ts").as("trade_ts"),
+          col("event_id").as("click_id"))
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("q_symbol"), col("ts").as("quote_ts"),
+          col("event_id").as("view_id"))
+      val qname = "stream_join_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.MicroBatch.enrichTrades(clicks, views, "24 hours")
+        .select(col("symbol").as("user_id"), col("view_id"), col("click_id"),
+          (unix_micros(col("trade_ts")) - unix_micros(col("quote_ts"))).as("lag_us"))
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = s.table(qname)
+      val rows = res.collect()
+      s.catalog.dropTempView(qname)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        .orderBy("user_id", "view_id", "click_id")
+    },
+    Some(
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        | v AS (SELECT user_id, event_id AS view_id, ts_us AS v_us FROM e WHERE event_type = 'view'),
+        | c AS (SELECT user_id, event_id AS click_id, ts_us AS c_us FROM e WHERE event_type = 'click')
+        | SELECT v.user_id AS user_id, view_id, click_id, c_us - v_us AS lag_us
+        | FROM v JOIN c ON v.user_id = c.user_id
+        |  AND v_us >= c_us - CAST(86400 AS BIGINT) * 1000000 AND v_us <= c_us
+        | ORDER BY v.user_id, view_id, click_id""".stripMargin))
+
   // ------------------------------------------- fixed-width histogram
   // Value-distribution histogram over the orders fact: integer floor
   // division buckets (no quantile pass, no sampling — the O(1)-memory
@@ -879,6 +931,7 @@ object QueriesMeta {
     "stream_funnel" -> streamFunnelQ,
     "stream_sessions" -> streamSessionsQ,
     "stream_dedup" -> streamDedupQ,
+    "stream_join" -> streamJoinQ,
     "price_histogram" -> histogramQ,
     "pct_rank" -> pctRankQ,
     "asof_join" -> asofJoinQ,

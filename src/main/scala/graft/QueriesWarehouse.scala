@@ -189,10 +189,53 @@ object QueriesWarehouse {
         | GROUP BY ROLLUP (l_returnflag, l_linestatus)
         | ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin))
 
+  // --------------------------------------- bloom-filtered selective join
+  // The explicit form of Catalyst's runtime bloom filter
+  // (InjectRuntimeFilter): a selective dim (orders above a price
+  // threshold) joins the fact, and the fact side is pre-filtered by a
+  // bloom built over the dim keys BEFORE the exchange — probe misses
+  // never enter the shuffle. At 100 TB this is the pattern for a
+  // dim too big to broadcast but selective enough to prune most of the
+  // fact: the serialized filter is a few hundred KB (vs GBs of dim
+  // rows), ships once per task, and the probe is one codegen'd
+  // xxhash64 + bit test per row (operators.BloomJoin).
+  //
+  // Correctness is exact, not approximate: the bloom has no false
+  // negatives and the join itself removes false positives, so the
+  // result IS the plain join — which the oracle states. The one-row
+  // driver collect is the serialized bloom, same bounded-artifact
+  // stance as the ANN centroid collects. The shuffle-hash hint states
+  // the big-big shape (without it AQE would broadcast this sf's dim and
+  // the pre-filter would be moot); filter selectivity + plan shape are
+  // pinned in PlanSpec.
+  private val bloomJoinQ = Q(
+    (s, dir) => {
+      val dim = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 480000.0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      val fact = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_extendedprice"))
+      graft.operators.BloomJoin
+        .bloomJoin(fact, col("l_orderkey"), dim, col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_extendedprice"), col("o_totalprice"),
+          col("o_orderdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))
+    },
+    Some(
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | l_extendedprice, o_totalprice, o_orderdate
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_totalprice > 480000.0
+        | ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "scd2_history" -> scd2Q,
     "ffill_calendar" -> ffillQ,
     "pivot_close" -> pivotQ,
-    "sales_rollup" -> rollupQ
+    "sales_rollup" -> rollupQ,
+    "bloom_join" -> bloomJoinQ
   )
 }

@@ -656,6 +656,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bloom_join: fact is bloom-probed before the shuffle, and the probe prunes") {
+    import org.apache.spark.sql.functions.col
+    val dim = Tables.orders(spark, sf0001)
+      .filter(col("o_totalprice") > 480000.0).select(col("o_orderkey"))
+    val fact = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val bloom = graft.operators.BloomJoin.keyBloom(dim, col("o_orderkey"))
+    val probed = graft.operators.BloomJoin.probeFilter(fact, col("l_orderkey"), bloom)
+    // no false negatives: every true join row survives the probe
+    val trueKeys = dim.collect().map(_.getLong(0)).toSet
+    val factRows = fact.collect().map(_.getLong(0))
+    val survivors = probed.collect().map(_.getLong(0))
+    assert(factRows.count(trueKeys) == survivors.count(trueKeys))
+    // and the probe genuinely prunes: survivors ≪ fact (fp rate ~1%)
+    assert(survivors.length < factRows.length / 2,
+      s"bloom probe pruned nothing: ${survivors.length} of ${factRows.length}")
+    // plan shape: the probe is a plain codegen'd filter above the scan
+    // (before any exchange), and the join is the hinted shuffle-hash —
+    // the big-big shape the operator states
+    val df = Queries.all("bloom_join").fn(spark, sf0001)
+    val p = physical(df)
+    assert(p.toString.contains("might_contain"), "no bloom probe in plan")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.nonEmpty, "join must be shuffle-hash (big-big shape)")
+  }
+
   test("quality_classifier: scoring is per-row — no exchange before the output sort") {
     val df = Queries.all("quality_classifier").fn(spark, sf0001)
     val p = physical(df)

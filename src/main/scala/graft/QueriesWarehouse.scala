@@ -231,11 +231,47 @@ object QueriesWarehouse {
         | WHERE o_totalprice > 480000.0
         | ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin))
 
+  // ------------------------------------------------ z-order layout key
+  // The clustering key behind sources.ZOrderLayout: the Morton
+  // interleave of (l_partkey, l_suppkey) as exact long bit math, stated
+  // per-row so the oracle can restate the identical mask-spread
+  // sequence in ANSI SQL and hash-match it. The layout WRITE
+  // (range-partition by z + sort-within + parquet) and its measured
+  // row-group-skipping payoff are pinned in LayoutSpec — a write is a
+  // side effect and has no place in an oracle key; the z-value is the
+  // part with engine-checkable semantics.
+  private val zorderQ = Q(
+    (s, dir) => {
+      import graft.sources.ZOrderLayout.zValue
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          zValue(col("l_partkey"), col("l_suppkey")).as("zvalue"))
+        .orderBy(col("zvalue"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+    },
+    Some(
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |   l_partkey & 65535 AS x0, l_suppkey & 65535 AS y0 FROM lineitem),
+        | s1 AS (SELECT *, (x0 | (x0 << 8)) & 16711935 AS x1,
+        |                  (y0 | (y0 << 8)) & 16711935 AS y1 FROM b),
+        | s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |                  (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+        | s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |                  (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+        | s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |                  (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+        | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  (x4 | (y4 << 1)) AS zvalue
+        | FROM s4
+        | ORDER BY zvalue, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "scd2_history" -> scd2Q,
     "ffill_calendar" -> ffillQ,
     "pivot_close" -> pivotQ,
     "sales_rollup" -> rollupQ,
-    "bloom_join" -> bloomJoinQ
+    "bloom_join" -> bloomJoinQ,
+    "zorder_layout" -> zorderQ
   )
 }

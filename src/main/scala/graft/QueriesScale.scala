@@ -2910,9 +2910,57 @@ object QueriesScale {
         sum(col("t_q")).as("entropy_nats"))
   }
 
+  // --------------------------------------------- vocabulary OOV coverage
+  // The tokenizer-prep question every training pipeline asks before
+  // committing a vocab budget: with the K most-document-frequent tokens
+  // as the vocabulary, what out-of-vocabulary rate does each document
+  // see? Two phases: (1) document frequency = one shuffle on (token,
+  // doc)-distinct pairs, head-K via TakeOrderedAndProject (no global
+  // sort); (2) per-row OOV counting against the head as an array
+  // literal — the K-row driver collect is the bounded-artifact stance
+  // of the ANN centroid collects (a real vocab budget is ~50k tokens,
+  // still literal-sized). K=16 of this corpus's 31-token vocabulary so
+  // the head/tail split is non-vacuous at every sf.
+  //
+  // oov_rate is one double division of two exact longs — bitwise equal
+  // across engines, no quantization needed.
+  private val vocabCoverageQ = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab: Array[String] = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(16)
+        .collect().map(_.getString(0))
+      val vocabLit = typedLit(vocab.toSeq)
+      val toks = split(col("text"), " ")
+      docs.select(col("doc_id"),
+          size(toks).cast(LongType).as("n_tokens"),
+          size(filter(toks, t => !array_contains(vocabLit, t)))
+            .cast(LongType).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        | df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+        | vocab AS (SELECT token FROM df ORDER BY df DESC, token LIMIT 16),
+        | vl AS (SELECT list(token) AS vs FROM vocab),
+        | per AS (SELECT doc_id,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |   CAST(len(list_filter(string_split(text, ' '),
+        |     t -> NOT list_contains(vs, t))) AS BIGINT) AS n_oov
+        |  FROM documents, vl)
+        | SELECT doc_id, n_tokens, n_oov,
+        |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+        | FROM per ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "profile_table" -> profileTableQ,
     "char_entropy" -> charEntropyQ,
+    "vocab_coverage" -> vocabCoverageQ,
     "tfidf_topk" -> tfidfTopkQ,
     "embedding_project" -> embProjectQ,
     "mix_sources" -> mixSourcesQ,

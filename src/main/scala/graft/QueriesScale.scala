@@ -785,6 +785,50 @@ object QueriesScale {
         | FROM scored
         | QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin))
 
+  // --------------------------------------- metadata-filtered cosine top-k
+  // Filtered vector search — "nearest neighbors WHERE label = X" — the
+  // serving-side question every retrieval stack with metadata asks. The
+  // filter is applied BEFORE scoring, not after: the query set carries
+  // its label and the scoring join is a label EQUI-join, so only
+  // same-label pairs are ever scored — against similarity_topk's
+  // broadcast cross join this is corpus/|labels| of the work, and the
+  // plan shape generalizes to the persisted stores (partition the
+  // inverted lists by (label, cell) and the scan prunes on both).
+  // Post-filtering top-k instead (score all, then filter) would return
+  // FEWER than k for selective labels — the classic filtered-ANN bug;
+  // pre-filtering keeps k exact, which the oracle checks by
+  // construction. Same dot/norm builders as similarity_topk, so cosine
+  // is bit-identical across engines.
+  private val annFilteredTopkQ = Q(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("nv", ScaleOps.l2norm(col("embedding")))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("nv").as("nq"))
+      val scored = emb.join(broadcast(q), col("label") === col("q_label"))
+        .withColumn("cos", ScaleOps.cosine(col("q_emb"), col("embedding"), col("nq"), col("nv")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), col("label"), col("cos"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, label, embedding,
+        |  sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+        |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a,b) -> a + b)) AS nv
+        | FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb, nv AS nq FROM e WHERE vec_id < 10),
+        | scored AS (SELECT q.q_id, e.vec_id, e.label,
+        |  list_reduce(list_transform(list_zip(q.q_emb, e.embedding),
+        |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a,b) -> a + b) / (q.nq * e.nv) AS cos
+        | FROM e JOIN q ON e.label = q.q_label)
+        | SELECT q_id, vec_id, label, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        | FROM scored
+        | QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin))
+
   // -------------------------------------------- embedding near-dup pairs
   // Scale path (round-2 rewrite): candidates come from the shared LSH
   // bucket machinery (ScaleOps.lshBuckets, 16 tables × 4 sign-bits) with
@@ -2442,6 +2486,30 @@ object QueriesScale {
   // and ln is dyadically quantized before the order-free per-doc sum —
   // the same determinism recipe as the unigram form, so the oracle
   // mirrors bitwise. Docs with <2 tokens are absent on both sides.
+
+  // Shared oracle CTE chain ending in `agg(doc_id, n_bigrams,
+  // sum_logprob)` — reused verbatim by bigram_logprob and
+  // perplexity_buckets so the LM score bits are identical everywhere.
+  private val bigramLpCtes =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      | sp AS (SELECT doc_id,
+      |   unnest([array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]) AS bg
+      |  FROM t),
+      | spw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1,
+      |   string_split(bg, ' ')[2] AS w2 FROM sp),
+      | c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM spw GROUP BY 1),
+      | c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+      |  FROM c2 GROUP BY 1),
+      | cu AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cu
+      |  FROM (SELECT unnest(toks) AS w2 FROM t) GROUP BY 1),
+      | tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS tot FROM cu),
+      | lp AS (SELECT doc_id,
+      |   floor(ln(0.5 * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+      |          + 0.5 * (CAST(cu AS DOUBLE) / tot)) * 1048576.0) / 1048576.0 AS lp
+      |  FROM spw JOIN c2 USING (bg) JOIN c1 USING (w1) JOIN cu USING (w2)
+      |  CROSS JOIN tot),
+      | agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |   SUM(lp) AS sum_logprob FROM lp GROUP BY 1)""".stripMargin
   private val bigramLogProbQ = Q(
     (s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -2451,25 +2519,7 @@ object QueriesScale {
         .orderBy(col("doc_id"))
     },
     Some(
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        | sp AS (SELECT doc_id,
-        |   unnest([array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]) AS bg
-        |  FROM t),
-        | spw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1,
-        |   string_split(bg, ' ')[2] AS w2 FROM sp),
-        | c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM spw GROUP BY 1),
-        | c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
-        |  FROM c2 GROUP BY 1),
-        | cu AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cu
-        |  FROM (SELECT unnest(toks) AS w2 FROM t) GROUP BY 1),
-        | tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS tot FROM cu),
-        | lp AS (SELECT doc_id,
-        |   floor(ln(0.5 * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
-        |          + 0.5 * (CAST(cu AS DOUBLE) / tot)) * 1048576.0) / 1048576.0 AS lp
-        |  FROM spw JOIN c2 USING (bg) JOIN c1 USING (w1) JOIN cu USING (w2)
-        |  CROSS JOIN tot),
-        | agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |   SUM(lp) AS sum_logprob FROM lp GROUP BY 1)
+      s"""WITH $bigramLpCtes
         | SELECT doc_id, n_bigrams, sum_logprob,
         |  sum_logprob / CAST(n_bigrams AS DOUBLE) AS avg_logprob
         | FROM agg ORDER BY doc_id""".stripMargin))
@@ -2487,6 +2537,58 @@ object QueriesScale {
         .orderBy(col("doc_id"))
     },
     None)
+
+  // --------------------------------- CCNet perplexity head/middle/tail
+  // The CCNet bucketing step downstream of the LM score: split the
+  // corpus into head/middle/tail THIRDS by language-model likelihood,
+  // with the cutoffs derived from the score distribution — not a global
+  // ntile (a partition-less ranking window is a single-task wall at
+  // corpus scale). Instead: quantize the score dyadically, histogram it
+  // (one map-side-combinable shuffle), take the running count over the
+  // DISTINCT quantized scores, and assign each score value a bucket by
+  // where its cumulative count falls. The cumulative window runs over at
+  // most 2^20 · score-range rows — bounded by the QUANTIZATION, not the
+  // corpus, which is the whole point. Docs then pick up their bucket by
+  // joining on the quantized score (identical dyadic bits both engines).
+  // Ties share a value, so they share a bucket — cutoffs are
+  // value-based, exactly as CCNet applies them.
+  private val perplexityBucketsQ = Q(
+    (s, dir) => {
+      val scored = ScaleOps.withBigramLogProb(Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"),
+          (floor(col("avg_logprob") * lit(1048576.0)) / lit(1048576.0)).as("lm_q"))
+      val nn = scored.agg(count(lit(1)).as("n"))
+      val hist = scored.groupBy("lm_q").agg(count(lit(1)).as("cnt"))
+      // single-partition window, but over the bounded quantized domain
+      val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("lm_q").desc)))
+      val bk = cum.crossJoin(broadcast(nn))
+        .withColumn("bucket",
+          when(col("cum") <= floor((col("n") + lit(2)) / lit(3.0)).cast(LongType),
+            lit("head"))
+          .when(col("cum") <= floor((col("n") * lit(2) + lit(2)) / lit(3.0)).cast(LongType),
+            lit("middle"))
+          .otherwise(lit("tail")))
+        .select(col("lm_q"), col("bucket"))
+      scored.join(bk, "lm_q")
+        .select(col("doc_id"), col("lm_q"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH $bigramLpCtes,
+        | scored AS (SELECT doc_id,
+        |   floor((sum_logprob / CAST(n_bigrams AS DOUBLE)) * 1048576.0) / 1048576.0 AS lm_q
+        |  FROM agg),
+        | nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+        | hist AS (SELECT lm_q, CAST(COUNT(*) AS BIGINT) AS cnt FROM scored GROUP BY 1),
+        | cum AS (SELECT lm_q, SUM(cnt) OVER (ORDER BY lm_q DESC) AS cum FROM hist),
+        | bk AS (SELECT lm_q,
+        |   CASE WHEN cum <= CAST(FLOOR((n + 2) / 3.0) AS BIGINT) THEN 'head'
+        |        WHEN cum <= CAST(FLOOR((2 * n + 2) / 3.0) AS BIGINT) THEN 'middle'
+        |        ELSE 'tail' END AS bucket
+        |  FROM cum CROSS JOIN nn)
+        | SELECT doc_id, lm_q, bucket FROM scored JOIN bk USING (lm_q)
+        | ORDER BY doc_id""".stripMargin))
 
   // --------------------------------------- DSIR importance resampling
   // Data selection for LM training (Xie et al. 2023): pick the k raw
@@ -2972,6 +3074,7 @@ object QueriesScale {
     "unigram_logprob" -> unigramLogProbQ,
     "bigram_logprob" -> bigramLogProbQ,
     "bigram_logprob_prod" -> bigramLogProbProdQ,
+    "perplexity_buckets" -> perplexityBucketsQ,
     "fulltext_bm25" -> fulltextBm25Q,
     "fulltext_bm25_served" -> fulltextBm25ServedQ,
     "semantic_dedup" -> semanticDedupQ,
@@ -3017,6 +3120,7 @@ object QueriesScale {
     "text_normalize" -> textNormalizeQ,
     "ngram_jaccard" -> jaccardQ,
     "similarity_topk" -> similarityTopkQ,
+    "ann_filtered_topk" -> annFilteredTopkQ,
     "embedding_neardup" -> embNeardupQ,
     "multimodal_meta" -> multimodalQ,
     "image_meta" -> imageMetaQ,

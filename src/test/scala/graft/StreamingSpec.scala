@@ -305,6 +305,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("A", "2024-01-01 09:50:00.0", 99.0)), s"got $got")
   }
 
+  test("stream-stream join state is EVICTED once the watermark passes the horizon") {
+    // the 100 TB contract behind the two-sided time bound: buffered rows
+    // leave the state store when the watermark passes quote_ts + horizon
+    // — without this the join accumulates the full history forever. Feed
+    // many old quotes, then advance the watermark far past them with
+    // later batches and assert the store holds almost nothing.
+    val trades = MemoryStream[(String, java.sql.Timestamp, Double)](spark)
+    val quotes = MemoryStream[(String, java.sql.Timestamp, Double)](spark)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val joined = MicroBatch.enrichTrades(
+      trades.toDF().toDF("symbol", "trade_ts", "qty"),
+      quotes.toDF().toDF("q_symbol", "quote_ts", "px"),
+      horizon = "10 minutes", delay = "0 seconds")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("evict_probe").start()
+    val nQuotes = 100
+    quotes.addData((0 until nQuotes).map(i =>
+      ("A", ts(f"2024-01-01 09:0${i / 10}:0${i % 10}"), i.toDouble)))
+    trades.addData(("A", ts("2024-01-01 09:10:00"), 1.0))
+    q.processAllAvailable()        // batch 1: watermark → ~09:10
+    // the global watermark is the MIN across both inputs — BOTH sides
+    // must see later event times for it to advance past the old quotes
+    trades.addData(("A", ts("2024-01-01 12:00:00"), 2.0))
+    quotes.addData(("B", ts("2024-01-01 12:00:00"), 0.0))
+    q.processAllAvailable()        // batch 2: watermark → 12:00
+    trades.addData(("A", ts("2024-01-01 13:00:00"), 3.0))
+    quotes.addData(("B", ts("2024-01-01 13:00:00"), 0.0))
+    q.processAllAvailable()        // batch 3: eviction visible in state
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    spark.catalog.dropTempView("evict_probe")
+    assert(stateRows < nQuotes / 2,
+      s"join state not evicted: $stateRows rows retained of ${nQuotes + 3} fed")
+  }
+
   test("funnelToKeyedSink (foreachBatch production form) matches the memory-sink harness") {
     import graft.streaming.StatefulOps
     implicit val s = spark

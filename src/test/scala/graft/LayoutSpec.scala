@@ -29,7 +29,7 @@ class LayoutSpec extends SparkSpec {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
     val total = li.count()
     val tmp = java.nio.file.Files.createTempDirectory("graft_layout_").toFile
-    tmp.deleteOnExit()
+    try {
     val naiveDir = new java.io.File(tmp, "naive").getPath
     val zDir = new java.io.File(tmp, "zorder").getPath
     li.repartition(8).write.parquet(naiveDir)
@@ -63,5 +63,11 @@ class LayoutSpec extends SparkSpec {
     assert(zScanned <= total / 2,
       s"z-order skipped too little: scanned $zScanned of $total")
     assert(zScanned >= zResult, "scan cannot output fewer rows than the result")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
   }
 }

@@ -845,7 +845,15 @@ object QueriesMeta {
   // only, as in the other stream_* keys; the production form writes
   // through MicroBatch.idempotentSink.
   private val streamJoinQ = Q(
-    (s, dir) => {
+    (sOuter, dir) => {
+      // stream-stream joins allocate per-side state stores per shuffle
+      // partition per batch; at the gate fixture's volume (≤100k events,
+      // one AvailableNow batch) 32 of them are pure constant overhead —
+      // run the streaming query on a cloned session pinned to 8. A real
+      // deployment sizes this to cluster scale as usual; the state-store
+      // partition count is a harness knob, not an operator property.
+      val s = sOuter.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 8)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       def src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)

@@ -2590,6 +2590,46 @@ object QueriesScale {
         | SELECT doc_id, lm_q, bucket FROM scored JOIN bk USING (lm_q)
         | ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------ BPE tokenizer train/apply
+  // The tokenizer-training story (Sennrich et al. 2016) Spark-first —
+  // see ml.BpeTokenizer for the scale design (the merge loop runs on the
+  // DISTINCT-WORD frequency table, never re-touching the corpus; encode
+  // is a dictionary join). Iterative argmax training has no ANSI-SQL
+  // restatement, so both keys run rows-only; the semantics are pinned in
+  // BpeSpec against a plain-Scala reference implementation on the
+  // sf0.001 corpus (exact merge-table equality) plus hand-computed
+  // crafted-corpus merges.
+  private val bpeMergeCount = 32
+  private val bpeTrainQ = Q(
+    (s, dir) => {
+      val merges = graft.ml.BpeTokenizer.mergesFor(s, dir, bpeMergeCount)
+      s.createDataFrame(merges)
+        .select(col("rank"), col("left").as("left_sym"),
+          col("right").as("right_sym"), col("freq"))
+        .orderBy(col("rank"))
+    },
+    None)
+
+  // Per-doc BPE token counts: explode words once, join the segmentation
+  // dictionary, aggregate — the "how many tokens is my corpus" question
+  // priced as one join + one aggregate, with the tokenizer itself never
+  // running over raw text.
+  private val bpeTokenCountQ = Q(
+    (s, dir) => {
+      val merges = graft.ml.BpeTokenizer.mergesFor(s, dir, bpeMergeCount)
+      val wf = graft.ml.BpeTokenizer.wordFreq(Tables.documents(s, dir))
+      val dict = graft.ml.BpeTokenizer.segmentWords(s, wf, merges)
+        .select(col("word"), col("n_bpe"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(dict, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   // --------------------------------------- DSIR importance resampling
   // Data selection for LM training (Xie et al. 2023): pick the k raw
   // docs whose hashed-n-gram profile looks most like a target corpus
@@ -3075,6 +3115,8 @@ object QueriesScale {
     "bigram_logprob" -> bigramLogProbQ,
     "bigram_logprob_prod" -> bigramLogProbProdQ,
     "perplexity_buckets" -> perplexityBucketsQ,
+    "bpe_train" -> bpeTrainQ,
+    "bpe_token_count" -> bpeTokenCountQ,
     "fulltext_bm25" -> fulltextBm25Q,
     "fulltext_bm25_served" -> fulltextBm25ServedQ,
     "semantic_dedup" -> semanticDedupQ,

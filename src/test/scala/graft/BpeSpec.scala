@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.BpeTokenizer
+import graft.ml.BpeTokenizer.Merge
+
+/** Executable-spec pins for the BPE tokenizer: the distributed trainer
+  * must reproduce a plain single-node reference implementation exactly
+  * (same tie-breaking, same greedy rewrite), and the corpus-side token
+  * counts must equal re-encoding every document with the learned table.
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Reference BPE: the textbook in-memory implementation — word-freq
+    * map, weighted adjacent-pair counts, argmax by (freq DESC, left ASC,
+    * right ASC), greedy left-to-right rewrite.
+    */
+  private def referenceTrain(words: Map[String, Long], nMerges: Int): Seq[Merge] = {
+    var table: Map[Seq[String], Long] =
+      words.groupBy(_._1.map(_.toString): Seq[String])
+        .map { case (k, vs) => k -> vs.values.sum }
+    val out = scala.collection.mutable.ArrayBuffer[Merge]()
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      table.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ => ()
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), f) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += Merge(rank, l, r, f)
+        table = table.groupBy { case (syms, _) => BpeTokenizer.applyMerge(syms, l, r) }
+          .map { case (k, vs) => k -> vs.values.sum }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("crafted corpus: merge order and frequencies are the hand-computed ones") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab ab"), (2L, "abc")).toDF("doc_id", "text")
+    val merges = BpeTokenizer.train(spark, BpeTokenizer.wordFreq(docs), 8)
+    // words: ab×3, abc×1 → pair (a,b) freq 4 merges first; then (ab,c) freq 1
+    assert(merges == Seq(Merge(0, "a", "b", 4L), Merge(1, "ab", "c", 1L)))
+    assert(BpeTokenizer.segment("abc", merges) == Seq("abc"))
+    assert(BpeTokenizer.segment("abab", merges) == Seq("ab", "ab"))
+    assert(BpeTokenizer.segment("ba", merges) == Seq("b", "a"))
+  }
+
+  test("distributed trainer reproduces the reference implementation on the sf0.001 corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val wf = BpeTokenizer.wordFreq(docs)
+    val wordsMap = wf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = BpeTokenizer.train(spark, wf, 32)
+    val want = referenceTrain(wordsMap, 32)
+    assert(got == want, s"merge tables diverge:\n got=$got\nwant=$want")
+    assert(got.nonEmpty)
+    // frequencies must be non-increasing is NOT guaranteed by BPE (a
+    // merge can create a new frequent pair) — but every recorded
+    // frequency is positive and ranks are dense
+    assert(got.map(_.rank) == got.indices)
+    assert(got.forall(_.freq > 0))
+  }
+
+  test("bpe_token_count equals re-encoding every document with the learned table") {
+    val merges = BpeTokenizer.mergesFor(spark, sf0001, 32)
+    val got = Queries.all("bpe_token_count").fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      (id, ws.length.toLong,
+        ws.map(w => BpeTokenizer.segment(w, merges).length.toLong).sum)
+    }.sortBy(_._1).toSeq
+    assert(got == want)
+    // sanity: BPE compresses — token count strictly between word and char counts
+    got.zip(want).foreach { case ((_, nw, nb), _) => assert(nb >= nw) }
+  }
+}

@@ -252,4 +252,37 @@ object MicroBatch {
         expr(s"""symbol = q_symbol AND
                 | quote_ts BETWEEN trade_ts - INTERVAL $horizon AND trade_ts""".stripMargin),
         "inner")
+
+  /** Production sink form of [[enrichTrades]] (and of the `stream_join`
+    * gate key, whose memory-sink + collect wrapper exists only so the
+    * streaming query can run inside the batch oracle gate): each
+    * micro-batch of joined pairs lands in its own `batch_id` partition
+    * of a keyed parquet sink. foreachBatch is at-least-once; a replayed
+    * batch OVERWRITES its own partition, making the sink idempotent —
+    * the [[idempotentSink]]/funnelToKeyedSink recipe. Nothing reaches
+    * the driver.
+    */
+  def joinToKeyedSink(joined: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    joined.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          ()
+      }
+      .start()
+
+  /** Read-side of [[joinToKeyedSink]]: explicit schema (inference over a
+    * started-but-empty sink throws UNABLE_TO_INFER_SCHEMA — same rule as
+    * funnelFinalStates) plus a defensive dedup on the pair's natural key
+    * for the checkpoint-lost replay window, where a re-run batch can
+    * land under a NEW batch id instead of overwriting its old one.
+    */
+  def joinedPairs(spark: SparkSession, outDir: String, schema: StructType,
+      keyCols: Seq[String]): DataFrame =
+    spark.read.schema(schema.add("batch_id", LongType)).parquet(outDir)
+      .dropDuplicates(keyCols)
+      .drop("batch_id")
 }

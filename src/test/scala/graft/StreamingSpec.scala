@@ -340,6 +340,42 @@ class StreamingSpec extends SparkSpec {
       s"join state not evicted: $stateRows rows retained of ${nQuotes + 3} fed")
   }
 
+  test("joinToKeyedSink (production form of stream_join) matches the memory-sink harness") {
+    val dir = sf0001
+    val out = Files.createTempDirectory("graft_join_sink").toFile
+    val ckpt = Files.createTempDirectory("graft_join_ckpt").toFile
+    try {
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      def src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("event_id"), col("user_id"),
+          col("event_type"), col("ts").cast("timestamp").as("ts"))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("symbol"), col("ts").as("trade_ts"),
+          col("event_id").as("click_id"))
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("q_symbol"), col("ts").as("quote_ts"),
+          col("event_id").as("view_id"))
+      val joined = MicroBatch.enrichTrades(clicks, views, "24 hours")
+        .select(col("symbol").as("user_id"), col("view_id"), col("click_id"),
+          (unix_micros(col("trade_ts")) - unix_micros(col("quote_ts"))).as("lag_us"))
+      val q = MicroBatch.joinToKeyedSink(joined, out.getPath, ckpt.getPath)
+      q.awaitTermination()
+      val sinkRows = MicroBatch.joinedPairs(spark, out.getPath, joined.schema,
+          Seq("view_id", "click_id"))
+        .orderBy("user_id", "view_id", "click_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val harness = Queries.all("stream_join").fn(spark, dir)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(sinkRows.nonEmpty && sinkRows == harness)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out); rm(ckpt)
+    }
+  }
+
   test("funnelToKeyedSink (foreachBatch production form) matches the memory-sink harness") {
     import graft.streaming.StatefulOps
     implicit val s = spark

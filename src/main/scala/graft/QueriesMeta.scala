@@ -842,8 +842,8 @@ object QueriesMeta {
   // AvailableNow pass over the fixture must produce EXACTLY the batch
   // join — which is what the DuckDB oracle states, down to the inclusive
   // [c_ts - 24h, c_ts] boundary. Memory sink + collect are gate-harness
-  // only, as in the other stream_* keys; the production form writes
-  // through MicroBatch.idempotentSink.
+  // only, as in the other stream_* keys; the production form is
+  // MicroBatch.joinToKeyedSink (batch-equality pinned in StreamingSpec).
   private val streamJoinQ = Q(
     (sOuter, dir) => {
       // stream-stream joins allocate per-side state stores per shuffle

@@ -683,6 +683,35 @@ class PlanSpec extends SparkSpec {
     }.nonEmpty, "join must be shuffle-hash (big-big shape)")
   }
 
+  test("ann_filtered_topk: label pre-filter plans as an equi-join, never cartesian") {
+    val df = Queries.all("ann_filtered_topk").fn(spark, sf0001)
+    val p = physical(df)
+    // the whole point of pre-filtering: scoring joins on label equality
+    // (broadcast here; shuffle at scale) instead of similarity_topk's
+    // intentional cross join
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      "filtered ANN must not cross-join")
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "label gate must plan as a hash equi-join")
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.size == 1, s"expected one top-k window, got ${windows.size}")
+  }
+
+  test("vocab_coverage: head-K vocab plans as TakeOrdered, not a global sort") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit, split}
+    val df = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(16)
+    val p = physical(df)
+    assert(collectAll(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"vocab head-K must plan as TakeOrderedAndProject:\n$p")
+    assert(collectAll(p) { case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+      "no global sort for a head-K selection")
+  }
+
   test("quality_classifier: scoring is per-row — no exchange before the output sort") {
     val df = Queries.all("quality_classifier").fn(spark, sf0001)
     val p = physical(df)

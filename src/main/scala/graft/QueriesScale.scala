@@ -1694,6 +1694,79 @@ object QueriesScale {
       Seq("c_id")) { ivfPqParts(s, dir)._3 }
   }
 
+  // ------------- filtered IVF-PQ from a (label, cell) serving index (⊘)
+  // ann_filtered_topk's serving twin, completing the claim its scaladoc
+  // makes: partition the persisted inverted lists by (label, cell) and a
+  // filtered query's read prunes on BOTH dimensions — the metadata
+  // predicate and the probe set — before a single code row is scanned.
+  // Label count × K cells directories; a per-query read touches
+  // nProbe of them under ONE label branch. Rows-only (same two k-means
+  // float artifacts as the other IVF-PQ keys); pinned in PlanSpec:
+  // per-query partition count = nProbe < labels×K, filtered recall vs
+  // the exact ann_filtered_topk, and same-label-only results.
+  private val annFilteredServedQ = Q(
+    (s, dir) => {
+      val (emb, cb, _, queries, probeCells) = ivfPqParts(s, dir)
+      val path = ivfFilteredIndexPath(s, dir)
+      val labels: Map[Long, Int] = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("label")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val unionCells = probeCells.values.flatten.toSeq.distinct.sorted
+      val unionLabels = labels.values.toSeq.distinct.sorted
+      val codedRead = s.read.parquet(path)
+        .filter(col("label").isin(unionLabels: _*) &&
+          col("c_id").isin(unionCells: _*))
+      pqServe(s, emb, codedRead, cb, queries,
+        qid => col("label") === labels(qid) &&
+          col("c_id").isin(probeCells(qid): _*),
+        refine = pqRefineFor(s, dir))
+    },
+    None)
+
+  /** (label, c_id)-partitioned persisted IVF-PQ index — the filtered-ANN
+    * serving layout (FAISS inverted lists sharded additionally by the
+    * metadata attribute queries filter on). Durable per corpus stamp,
+    * like [[ivfPqIndexPath]]; exposed for the PlanSpec pruning contract.
+    */
+  def ivfFilteredIndexPath(s: SparkSession, dir: String): String = {
+    val stamp = ArtifactMemo.stamp(dir, "embeddings.parquet")
+    ArtifactMemo.parquetDurable(s, s"ivfpqlbl#$stamp", "ivfpq_lbl_index",
+      Seq("label", "c_id")) {
+      val cb = graft.ml.IvfCodebook.pqCodebook(s, dir, pqDim, pqM, pqK)
+      val emb = Tables.embeddings(s, dir)
+      val embN = emb.withColumn("nv", ScaleOps.l2norm(col("embedding")))
+      val cents = graft.ml.IvfCodebook.load(s,
+          graft.ml.IvfCodebook.codebookPath(s, dir, ivfTrainedK))
+        .withColumn("nc", ScaleOps.l2norm(col("c_emb")))
+      ivfAssign(embN, cents)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .withColumn("_nv", col("nv"))
+        .select(col("vec_id") +: col("label") +: col("c_id") +:
+          pqCodeCols(cb): _*)
+    }
+  }
+
+  /** Single-query serve from the filtered index — the read that makes
+    * two-dimensional partition pruning observable: exactly the query's
+    * label branch and its nProbe cells are selected. Returns (frame,
+    * servedQueryId, probeCellCount, totalPartitions = labels×K).
+    */
+  def ivfFilteredServeOne(s: SparkSession, dir: String)
+      : (DataFrame, Long, Int, Int) = {
+    val (emb, cb, _, queries, probeCells) = ivfPqParts(s, dir)
+    val path = ivfFilteredIndexPath(s, dir)
+    val qid = queries.map(_._1).min
+    val qLabel = emb.filter(col("vec_id") === qid)
+      .select(col("label")).head.getInt(0)
+    val nLabels = emb.select(col("label")).distinct().count().toInt
+    val cells = probeCells(qid)
+    val codedRead = s.read.parquet(path)
+      .filter(col("label") === qLabel && col("c_id").isin(cells: _*))
+    val df = pqServe(s, emb, codedRead, cb, queries.filter(_._1 == qid),
+      _ => lit(true), refine = pqRefineFor(s, dir))
+    (df, qid, cells.size, nLabels * ivfTrainedK)
+  }
+
   /** Single-query serve from the persisted index — the granularity at
     * which partition pruning is OBSERVABLE. The batch key's scan filter
     * is the union of all queries' probe sets, and at this fixture's
@@ -3140,6 +3213,7 @@ object QueriesScale {
     "ann_pq_topk" -> annPqQ,
     "ann_ivfpq_topk" -> annIvfPqQ,
     "ann_ivfpq_served" -> annIvfPqServedQ,
+    "ann_filtered_served" -> annFilteredServedQ,
     "line_dedup" -> lineDedupQ,
     "span_dedup" -> spanDedupQ,
     "span_dedup_prod" -> spanDedupProdQ,

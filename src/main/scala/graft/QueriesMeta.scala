@@ -888,6 +888,28 @@ object QueriesMeta {
         |  AND v_us >= c_us - CAST(86400 AS BIGINT) * 1000000 AND v_us <= c_us
         | ORDER BY v.user_id, view_id, click_id""".stripMargin))
 
+  // --------------------------------------------- salted hot-key rollup
+  // The static skew-mitigation pattern gated by oracle: symbol is
+  // l_returnflag — THREE logical groups over the whole fact, the
+  // degenerate hot-reducer shape where a plain groupBy funnels a third
+  // of the corpus through one task. Skew.saltedSum spreads each key
+  // over 16 salted partials and merges them in a second (3×16-row)
+  // shuffle. The composition is exactly associative-sum algebra, so the
+  // result EQUALS the plain groupBy — which the oracle states (the
+  // bloom_join equivalence stance). Exact integer sums; salt values
+  // never reach the output.
+  private val saltedAggQ = Q(
+    (s, dir) =>
+      graft.operators.Skew.saltedSum(
+        Tables.ohlcv(s, dir).select(col("symbol"), col("volume")),
+        Seq("symbol"), "volume")
+        .orderBy(col("symbol")),
+    Some(
+      s"""WITH base AS (${Tables.ohlcvSql})
+         | SELECT symbol, CAST(SUM(volume) AS BIGINT) AS sum_volume,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt
+         | FROM base GROUP BY symbol ORDER BY symbol""".stripMargin))
+
   // ------------------------------------------- fixed-width histogram
   // Value-distribution histogram over the orders fact: integer floor
   // division buckets (no quantile pass, no sampling — the O(1)-memory
@@ -940,6 +962,7 @@ object QueriesMeta {
     "stream_sessions" -> streamSessionsQ,
     "stream_dedup" -> streamDedupQ,
     "stream_join" -> streamJoinQ,
+    "salted_agg" -> saltedAggQ,
     "price_histogram" -> histogramQ,
     "pct_rank" -> pctRankQ,
     "asof_join" -> asofJoinQ,

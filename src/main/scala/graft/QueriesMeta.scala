@@ -910,6 +910,36 @@ object QueriesMeta {
          |  CAST(COUNT(*) AS BIGINT) AS cnt
          | FROM base GROUP BY symbol ORDER BY symbol""".stripMargin))
 
+  // ------------------------------------------ salted hot-key dim join
+  // saltedSum's join sibling: every fact row joins a THREE-row symbol
+  // dim — without salting, each dim key funnels a third of the fact
+  // through one join task. Skew.saltedDimJoin explodes the broadcast
+  // dim 16× and keys the join on (symbol, salt) so each hot key spreads
+  // over 16 tasks. The salt derives from monotonically_increasing_id —
+  // nondeterministic across runs — but it never reaches the output and
+  // every fact row still matches exactly its one dim row, so the result
+  // EQUALS the plain join: the oracle states the plain form.
+  private val saltedJoinQ = Q(
+    (s, dir) => {
+      val fact = Tables.ohlcv(s, dir)
+        .select(col("symbol"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("volume"))
+      val dim = fact.select(col("symbol")).distinct()
+        .withColumn("sym_code", ascii(col("symbol")))
+      graft.operators.Skew.saltedDimJoin(fact, dim, "symbol")
+        .select(col("symbol"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("volume"), col("sym_code"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+    },
+    Some(
+      s"""WITH base AS (${Tables.ohlcvSql}),
+         | dim AS (SELECT DISTINCT symbol, ascii(symbol) AS sym_code FROM base)
+         | SELECT symbol, l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  volume, sym_code
+         | FROM base JOIN dim USING (symbol)
+         | ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin))
+
   // ------------------------------------------- fixed-width histogram
   // Value-distribution histogram over the orders fact: integer floor
   // division buckets (no quantile pass, no sampling — the O(1)-memory
@@ -963,6 +993,7 @@ object QueriesMeta {
     "stream_dedup" -> streamDedupQ,
     "stream_join" -> streamJoinQ,
     "salted_agg" -> saltedAggQ,
+    "salted_join" -> saltedJoinQ,
     "price_histogram" -> histogramQ,
     "pct_rank" -> pctRankQ,
     "asof_join" -> asofJoinQ,

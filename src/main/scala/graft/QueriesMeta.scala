@@ -518,6 +518,32 @@ object QueriesMeta {
          |  END AS beta_20
          | FROM w ORDER BY symbol, trading_date""".stripMargin))
 
+  // ----------------------------------------------- ORC source round-trip
+  // The second columnar format of the source matrix (parquet / CSV /
+  // JSON / ORC — Spark ships the ORC reader natively). Same fixture
+  // stance as csv_symbols: Tables.ohlcvOrc writes the OHLCV projection
+  // to ORC once per (JVM, corpus stamp); the query only READS, and the
+  // oracle recomputes the same aggregate from the parquet base — so the
+  // hash check covers the full ORC write→read round trip (column
+  // typing, date encoding, long sums), not just a row count.
+  private val orcRoundtripQ = Q(
+    (s, dir) => {
+      val path = Tables.ohlcvOrc(s, dir)
+      s.read.orc(path)
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("volume")).as("sum_volume"),
+          min(col("trading_date")).as("first_date"),
+          max(col("trading_date")).as("last_date"))
+        .orderBy(col("symbol"))
+    },
+    Some(
+      s"""WITH base AS (${Tables.ohlcvSql})
+         | SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(volume) AS BIGINT) AS sum_volume,
+         |  MIN(trading_date) AS first_date, MAX(trading_date) AS last_date
+         | FROM base GROUP BY symbol ORDER BY symbol""".stripMargin))
+
   // ------------------------------------------- S10: CSV symbol universe
   // Round-trips the symbol universe through a real CSV file — exercises
   // the header-CSV source + fallback. The file is a FIXTURE
@@ -994,6 +1020,7 @@ object QueriesMeta {
     "stream_join" -> streamJoinQ,
     "salted_agg" -> saltedAggQ,
     "salted_join" -> saltedJoinQ,
+    "orc_roundtrip" -> orcRoundtripQ,
     "price_histogram" -> histogramQ,
     "pct_rank" -> pctRankQ,
     "asof_join" -> asofJoinQ,

@@ -85,6 +85,28 @@ object Tables {
     })
   }
 
+  /** Fixture: a compact OHLCV projection written once per (JVM, sfDir)
+    * as ORC — the second columnar format of the source matrix
+    * (parquet / CSV / JSON / ORC). Same memo discipline as
+    * [[symbolUniverseCsv]]: stamp-keyed, pure query functions, fail-fast
+    * on a missing source.
+    */
+  private val orcMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def ohlcvOrc(spark: SparkSession, dir: String): String = {
+    val srcStamp = ArtifactMemo.stamp(dir, "lineitem.parquet")
+    orcMemo.computeIfAbsent(srcStamp, { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ohlcv_orc_").toFile
+      tmp.deleteOnExit()
+      val path = new java.io.File(tmp, "ohlcv").getPath
+      ohlcv(spark, dir)
+        .select(col("symbol"), col("trading_date"), col("volume"),
+          col("l_orderkey"), col("l_linenumber"))
+        .write.mode("overwrite").orc(path)
+      path
+    })
+  }
+
   /** The same projection as ANSI SQL, shared by every oracle query. */
   val ohlcvSql: String =
     """SELECT l_returnflag AS symbol,

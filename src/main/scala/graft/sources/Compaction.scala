@@ -59,11 +59,16 @@ object Compaction {
     * promote.
     */
   def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20,
-      layoutCols: Seq[String] = Nil): Unit = {
+      layoutCols: Seq[String] = Nil, mergeSchema: Boolean = false): Unit = {
     recoverIfNeeded(spark, dir)
     val bytes = dataBytes(spark, dir)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(dir)
+    // mergeSchema: a directory whose later batches EVOLVED the schema
+    // must compact under the union of footers — the default
+    // single-footer read would silently drop columns absent from the
+    // sampled file (pinned in CompactionSpec)
+    val df = (if (mergeSchema) spark.read.option("mergeSchema", "true")
+              else spark.read).parquet(dir)
     val tmp = dir + "_compact_tmp"
     val repartitioned =
       if (layoutCols.nonEmpty)

@@ -699,6 +699,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_exact: rank filter pushes down as two-stage WindowGroupLimit") {
+    // Catalyst's InferWindowGroupLimit turns the rn=1 keep-min filter
+    // into group limits on BOTH sides of the exchange — the PARTIAL
+    // stage truncates every content-hash group to its top row map-side,
+    // so a hot duplicate hash ships one row per map task instead of its
+    // whole group through the shuffle. Pin both stages: losing the
+    // partial one silently reverts hot-hash dedup to full-group shuffles.
+    val p = physical(Queries.all("dedup_exact").fn(spark, sf0001))
+    val limits = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w.mode
+    }
+    assert(limits.size == 2, s"expected partial+final WindowGroupLimit, got $limits")
+    assert(limits.map(_.toString).toSet == Set("Partial", "Final"),
+      s"expected one Partial and one Final stage, got $limits")
+  }
+
   test("bloom_join: fact is bloom-probed before the shuffle, and the probe prunes") {
     import org.apache.spark.sql.functions.col
     val dim = Tables.orders(spark, sf0001)

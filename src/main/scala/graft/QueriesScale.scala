@@ -927,9 +927,10 @@ object QueriesScale {
     (s, dir) => {
       val w = (lit(16L) + (col("doc_id") * 37) % 2048).cast(LongType)
       val h = (lit(16L) + (col("doc_id") * 53) % 1536).cast(LongType)
-      val payload = when(col("doc_id") % 3 === 0, ScaleOps.synthPngHeader(w, h))
-        .when(col("doc_id") % 3 === 1, ScaleOps.synthJpegHeader(w, h))
-        .otherwise(ScaleOps.synthGifHeader(w, h))
+      val payload = when(col("doc_id") % 4 === 0, ScaleOps.synthPngHeader(w, h))
+        .when(col("doc_id") % 4 === 1, ScaleOps.synthJpegHeader(w, h))
+        .when(col("doc_id") % 4 === 2, ScaleOps.synthGifHeader(w, h))
+        .otherwise(ScaleOps.synthWebpHeader(w, h))
       Tables.documents(s, dir)
         .select(col("doc_id"), ScaleOps.imageMeta(payload).as("m"))
         .select(col("doc_id"), col("m.format").as("format"),
@@ -938,7 +939,7 @@ object QueriesScale {
     },
     Some(
       """SELECT doc_id,
-        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        | CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' ELSE 'webp' END AS format,
         | CAST(16 + (doc_id * 37) % 2048 AS BIGINT) AS width,
         | CAST(16 + (doc_id * 53) % 1536 AS BIGINT) AS height
         | FROM documents ORDER BY doc_id""".stripMargin))

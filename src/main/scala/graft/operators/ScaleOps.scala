@@ -1284,6 +1284,19 @@ object ScaleOps {
     lit(Array[Byte](0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01,
       0xFF.toByte, 0xD9.toByte))) // 3 components, EOI
 
+  /** Minimal valid lossless WebP: RIFF/WEBP container + VP8L chunk —
+    * 0x2F signature then 28 packed little-endian bits of
+    * (width−1):14 | (height−1):14 (the version/alpha bits stay zero).
+    * Sizes are honest for the bytes present (VP8L payload 5, RIFF 17).
+    */
+  def synthWebpHeader(w: Column, h: Column): Column = concat(
+    lit("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+    leU32Col(lit(17L)),
+    lit("WEBPVP8L".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+    leU32Col(lit(5L)),
+    lit(Array[Byte](0x2F)),
+    leU32Col((w - lit(1)).bitwiseOR(shiftleft(h - lit(1), 14))))
+
   /** Minimal valid GIF89a: version signature + little-endian logical
     * screen descriptor + trailer.
     */

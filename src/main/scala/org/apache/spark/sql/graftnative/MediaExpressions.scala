@@ -26,6 +26,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    codes) carries `precision:u8, height:u16-be, width:u16-be`.
   *  - GIF (GIF87a/89a spec): 6-byte version signature, then the logical
   *    screen width and height as LITTLE-endian u16.
+  *  - WebP (RIFF container spec): `RIFF <size> WEBP`, then dims from the
+  *    first chunk — lossy `VP8 ` (start code + 14-bit le u16 pair),
+  *    lossless `VP8L` (0x2F + 28 packed le bits of (w−1, h−1)), or
+  *    extended `VP8X` (u24-le canvas minus one).
   *
   * Anything else (including truncated or corrupt headers of a recognized
   * container) yields `('unknown', NULL, NULL)` — dimensions are never
@@ -63,6 +67,7 @@ object ImageMeta {
   private val FMT_PNG = UTF8String.fromString("png")
   private val FMT_JPEG = UTF8String.fromString("jpeg")
   private val FMT_GIF = UTF8String.fromString("gif")
+  private val FMT_WEBP = UTF8String.fromString("webp")
   private val FMT_UNKNOWN = UTF8String.fromString("unknown")
 
   private def row(fmt: UTF8String, w: Long, h: Long): InternalRow =
@@ -78,6 +83,11 @@ object ImageMeta {
       (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
   private def leU16(b: Array[Byte], i: Int): Long =
     (u8(b, i) | (u8(b, i + 1) << 8)).toLong
+  private def leU32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  private def leU24(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16)
 
   private val PngSig =
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
@@ -145,6 +155,40 @@ object ImageMeta {
         b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return row(FMT_GIF, leU16(b, 6), leU16(b, 8))
+    // ---- WebP (RIFF container): dims live in the FIRST chunk, whose
+    // layout depends on its fourCC (container spec, developers.google
+    // .com/speed/webp/docs/riff_container):
+    //   VP8  (lossy)    3-byte frame tag, start code 9D 01 2A, then
+    //                   u16-le width / u16-le height, 14 data bits each
+    //   VP8L (lossless) 0x2F signature, then 28 packed little-endian
+    //                   bits: (width−1):14 | (height−1):14
+    //   VP8X (extended) 4 flag/reserved bytes, then u24-le canvas
+    //                   (width−1) / (height−1)
+    if (b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      if (b.length >= 20 && b(12) == 'V' && b(13) == 'P' && b(14) == '8') {
+        if (b(15) == ' ') {
+          if (b.length >= 30 && u8(b, 23) == 0x9D && u8(b, 24) == 0x01 &&
+              u8(b, 25) == 0x2A)
+            return row(FMT_WEBP, leU16(b, 26) & 0x3FFF, leU16(b, 28) & 0x3FFF)
+          return unknownOf(FMT_WEBP)
+        }
+        if (b(15) == 'L') {
+          if (b.length >= 25 && u8(b, 20) == 0x2F) {
+            val bits = leU32(b, 21)
+            return row(FMT_WEBP, (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+          }
+          return unknownOf(FMT_WEBP)
+        }
+        if (b(15) == 'X') {
+          if (b.length >= 30)
+            return row(FMT_WEBP, leU24(b, 24) + 1, leU24(b, 27) + 1)
+          return unknownOf(FMT_WEBP)
+        }
+      }
+      return unknownOf(FMT_WEBP)
+    }
     unknownOf(FMT_UNKNOWN)
   }
 }

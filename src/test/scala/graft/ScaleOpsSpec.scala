@@ -368,6 +368,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("ImageMeta: WebP — VP8L synth round-trip, VP8/VP8X goldens, truncation") {
+    // VP8L packs (w−1, h−1) in 14 bits each — 16384 is the format max
+    val dims = Seq((1L, 1L), (16L, 16L), (640L, 480L), (16384L, 16384L))
+    val rt = dims.toDF("w", "h").select(col("w"), col("h"),
+        ScaleOps.imageMeta(ScaleOps.synthWebpHeader(col("w"), col("h"))).as("m"))
+      .select(col("m.format"), col("m.width") === col("w"),
+        col("m.height") === col("h"))
+      .as[(String, Boolean, Boolean)].collect()
+    assert(rt.forall(_ == (("webp", true, true))))
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le24(v: Int) = le16(v) ++ Array[Byte](((v >> 16) & 0xFF).toByte)
+    def le32(v: Int) = le24(v) ++ Array[Byte](((v >> 24) & 0xFF).toByte)
+    def parse(bytes: Array[Byte]) = Seq(Tuple1(bytes)).toDF("p")
+      .select(ScaleOps.imageMeta(col("p")).as("m"))
+      .select(col("m.format"), col("m.width"), col("m.height"))
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2))).head
+    // lossy VP8: frame tag, 9D 01 2A start code, u16-le dims whose two
+    // high bits are SCALING and must be masked off
+    val vp8 = "RIFF".getBytes ++ le32(22) ++ "WEBPVP8 ".getBytes ++ le32(10) ++
+      Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A) ++
+      le16(320 | 0x4000) ++ le16(240)
+    assert(parse(vp8) == (("webp", 320L, 240L)))
+    // extended VP8X: u24-le canvas minus one — dims past the 14-bit cap
+    val vp8x = "RIFF".getBytes ++ le32(18) ++ "WEBPVP8X".getBytes ++ le32(10) ++
+      Array[Byte](0x02, 0, 0, 0) ++ le24(99999) ++ le24(49999)
+    assert(parse(vp8x) == (("webp", 100000L, 50000L)))
+    // truncated after the fourCC → (webp, NULL, NULL); a RIFF that is
+    // not WEBP (a WAV) is not an image at all
+    assert(parse(vp8.take(20)) == (("webp", null, null)))
+    assert(parse(("RIFF" + "    " + "WAVE").getBytes("ISO-8859-1"))
+      == (("unknown", null, null)))
+  }
+
   test("Audio/Mp4 synth headers round-trip through the native parsers (codegen path)") {
     // boundary values: 1-channel 8-bit up to 8-channel 32-bit; FLAC's
     // 20-bit rate ceiling. (Frame counts past u32 are FLAC-only below —

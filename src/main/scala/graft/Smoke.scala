@@ -34,6 +34,14 @@ object Smoke {
       "SELECT ngram_repetition('a b a b a', 2, 3, 5).top_a_cover AS c").head.getLong(0)
     println(s"[smoke] sql ngram_repetition top2=$repSql")
     assert(repSql == 6L, "ngram_repetition not registered or coverage off")
+    // media parsers in plain SQL: a GIF89a header built from hex
+    val gifSql = spark.sql(
+      "SELECT m.format, m.width, m.height FROM " +
+        "(SELECT image_meta(unhex('4749463839611000200000003B')) AS m)")
+      .head
+    println(s"[smoke] sql image_meta=$gifSql")
+    assert(gifSql.getString(0) == "gif" && gifSql.getLong(1) == 16L &&
+      gifSql.getLong(2) == 32L, "image_meta not registered or GIF parse off")
     val df = SparkEntry.entry(spark)
     val n = df.count()
     println(s"[smoke] entry rows=$n cols=${df.columns.length}")

@@ -67,5 +67,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"char_entropy expects exactly 1 argument, got ${children.length}")
         CharEntropyStats(children.head)
       }))
+    // the three media-container parsers, for SQL-frontend users:
+    // SELECT image_meta(payload).width FROM ...
+    def unary(name: String, cls: Class[_], mk: Expression => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (children: Seq[Expression]) => {
+          require(children.length == 1,
+            s"$name expects exactly 1 argument, got ${children.length}")
+          mk(children.head)
+        }))
+    unary("image_meta", classOf[ImageMeta], ImageMeta(_))
+    unary("audio_meta", classOf[AudioMeta], AudioMeta(_))
+    unary("mp4_meta", classOf[Mp4Meta], Mp4Meta(_))
   }
 }

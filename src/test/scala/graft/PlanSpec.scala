@@ -64,15 +64,39 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.size <= 2, s"expected <=2 exchanges, got ${exchanges.size}")
   }
 
-  test("no unintentional cartesian products anywhere in the inventory") {
-    val allowed = Set("similarity_topk") // intentional: tiny broadcast query side
-    Queries.all.foreach { case (name, q) =>
-      if (!allowed(name)) {
+  test("no unintentional cartesian or nested-loop joins anywhere in the inventory") {
+    // BroadcastNestedLoopJoin is the other per-pair scale killer (a
+    // non-equi join Catalyst could not hash) — allowed only where a key
+    // intentionally crosses a bounded literal-sized side
+    val allowed = Set(
+      "similarity_topk", // intentional: tiny broadcast query side
+      "perplexity_buckets", // one-row corpus-count crossed into the cutoff table
+      "bigram_logprob", "bigram_logprob_prod", "unigram_logprob", // one-row total-count cross
+      "dsir_select", "dsir_select_prod", // one-row totals cross
+      "ffill_calendar", // 3-row bounds frame
+      "char_entropy", "fulltext_bm25", "fulltext_bm25_served", // one-row stats cross
+      "corpus_stats", "corpus_stats_approx", "corpus_stats_kmv",
+      "mix_sources", "quality_filter", "text_stats",
+      // IVF family: assignment/probing is the corpus × K-row-broadcast
+      // centroid cross — linear in N·K by construction, the standard
+      // coarse-quantizer scoring shape
+      "ann_ivf_topk", "ann_ivf_trained_topk", "ann_ivf_append", "ann_ivfpq_topk",
+      "semantic_dedup", "cluster_sample", // same K-row codebook cross
+      "tfidf_topk") // one-row corpus doc-count cross
+    val offenders = Queries.all.toSeq.flatMap { case (name, q) =>
+      if (allowed(name)) Nil
+      else {
         val p = physical(q.fn(spark, sf0001))
         val cart = collectAll(p) { case c: CartesianProductExec => c }
-        assert(cart.isEmpty, s"$name has a cartesian product")
+        val bnlj = collectAll(p) {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        }
+        (if (cart.nonEmpty) Seq(s"$name:cartesian") else Nil) ++
+          (if (bnlj.nonEmpty) Seq(s"$name:bnlj") else Nil)
       }
     }
+    assert(offenders.isEmpty,
+      s"unexpected per-pair joins: ${offenders.sorted.mkString(", ")}")
   }
 
   test("per-row corpus ops shuffle only for the final output sort") {

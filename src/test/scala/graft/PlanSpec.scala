@@ -739,6 +739,36 @@ class PlanSpec extends SparkSpec {
       s"expected one Partial and one Final stage, got $limits")
   }
 
+  test("Catalyst auto-injects the runtime bloom filter on the big-big shuffle join") {
+    // the built-in twin of bloom_join: when AQE can see the whole join,
+    // InjectRuntimeFilter wires the same BloomFilterAggregate /
+    // might_contain pair in automatically — pin that our session shape
+    // (selective creation side, shuffle join) actually triggers it, so
+    // the explicit operator is reserved for cross-pipeline-boundary use
+    import org.apache.spark.sql.functions.col
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = Tables.orders(spark, sf0001)
+        .filter(col("o_totalprice") > 480000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val fact = Tables.lineitem(spark, sf0001)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      assert(physical(joined).toString.contains("might_contain"),
+        s"runtime bloom filter not injected:\n${physical(joined)}")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("bloom_join: fact is bloom-probed before the shuffle, and the probe prunes") {
     import org.apache.spark.sql.functions.col
     val dim = Tables.orders(spark, sf0001)

@@ -30,11 +30,15 @@ object Bench {
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // per-key values rounded to ms: the driver captures only a bounded
+    // stdout TAIL, and full-precision doubles pushed the one-line JSON
+    // past that window at 132 keys (BENCH_r07 "parsed": null) — 3
+    // decimals keeps the whole line comfortably inside it
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // failed queries report -1 individually but must not deflate the total
     val total = results.values.filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout is wrapped in sbt [info] prefixes that break machine parsing —
     // also drop the bare JSON line to a file for the harness. Best-effort:

@@ -30,6 +30,11 @@ object RecallProbe {
         .select("q_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = pairs("similarity_topk")
+    // a broken/empty truth set must fail loudly, not print NaN recalls
+    // that look superficially valid
+    require(brute.nonEmpty,
+      s"brute-force similarity_topk returned no rows for $sfDir — " +
+        "the recall denominators would all be NaN")
     val rungs = Seq("ann_lsh_topk", "ann_ivf_topk", "ann_ivf_trained_topk",
       "ann_ivf_append", "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_served")
     val entries = rungs.map { key =>

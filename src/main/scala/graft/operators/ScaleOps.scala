@@ -668,10 +668,14 @@ object ScaleOps {
   }
 
   /** Delete warehouse directories whose name starts with one of
-    * `prefixes` and which no table in THIS JVM's catalog points at —
-    * i.e. orphans left by previous processes. Catalog-registered
-    * directories are live (another suite in this JVM may be serving from
-    * them) and are kept.
+    * `prefixes`, which no table in THIS JVM's catalog points at, AND
+    * which have not been modified for 48 h — i.e. genuinely stale
+    * orphans left by long-dead processes. Catalog-registered directories
+    * are live (another suite in this JVM may be serving from them); the
+    * mtime cutoff (same guard as ArtifactMemo.parquetDurable's orphan
+    * sweep) protects a CONCURRENT process sharing the warehouse — the
+    * cross-process reuse the durable serving stores exist for — whose
+    * live index this JVM's catalog knows nothing about.
     */
   private def sweepStaleWarehouseDirs(spark: SparkSession,
       prefixes: Seq[String]): Unit = {
@@ -679,10 +683,12 @@ object ScaleOps {
       spark.conf.get("spark.sql.warehouse.dir"))
     val fs = whs.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(whs)) return
+    val cutoff = System.currentTimeMillis() - 48L * 3600 * 1000
     fs.listStatus(whs).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && prefixes.exists(name.startsWith) &&
-          !spark.catalog.tableExists(name))
+          !spark.catalog.tableExists(name) &&
+          st.getModificationTime < cutoff)
         fs.delete(st.getPath, true)
     }
   }

@@ -221,10 +221,18 @@ case class WilderPairStateAgg(valueExpr: Expression, prevInit: Expression,
     // `close - lag(close)` first-row shape.
     val prev = If(EqualTo(bN, Literal(0L)), prevInit, bPrev)
     val chg = Subtract(x, prev)
+    // a NaN change (null input encoded as NaN above, or the row AFTER a
+    // null whose buffered prev is NaN) must fold 0 into both states —
+    // matching the unfused `close - lag(close)` composition where a null
+    // close yields a null change on its own row AND the next (both fold
+    // 0, series recovers). Without the guard, Spark's NaN > 0 = TRUE
+    // would turn the NaN change into a NaN gain and poison both states
+    // for the rest of the partition.
+    val live = Not(IsNaN(chg))
     val gain = KnownNotNull(
-      If(GreaterThan(chg, Literal(0.0)), chg, Literal(0.0)))
+      If(And(live, GreaterThan(chg, Literal(0.0))), chg, Literal(0.0)))
     val loss = KnownNotNull(
-      If(LessThan(chg, Literal(0.0)), UnaryMinus(chg), Literal(0.0)))
+      If(And(live, LessThan(chg, Literal(0.0))), UnaryMinus(chg), Literal(0.0)))
     def fold(in: Expression, s: AttributeReference, c: AttributeReference,
         m: AttributeReference): Seq[Expression] = Seq(
       If(Or(EqualTo(bN, Literal(0L)), IsNaN(s)), in,

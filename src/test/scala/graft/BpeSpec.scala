@@ -14,8 +14,25 @@ class BpeSpec extends SparkSpec {
 
   /** Reference BPE: the textbook in-memory implementation — word-freq
     * map, weighted adjacent-pair counts, argmax by (freq DESC, left ASC,
-    * right ASC), greedy left-to-right rewrite.
+    * right ASC), greedy left-to-right rewrite. Symbol ties break in
+    * UNSIGNED UTF-8 BYTE order — the order Spark's UTF8String comparison
+    * (and hence the distributed trainer's orderBy) uses. Java String
+    * compareTo (UTF-16 code-unit order) DISAGREES with it when
+    * supplementary-plane characters mix with U+E000..U+FFFF, so the
+    * reference must compare the encoded bytes, not the String values.
     */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   private def referenceTrain(words: Map[String, Long], nMerges: Int): Seq[Merge] = {
     var table: Map[Seq[String], Long] =
       words.groupBy(_._1.map(_.toString): Seq[String])
@@ -33,7 +50,14 @@ class BpeSpec extends SparkSpec {
       }
       if (counts.isEmpty) done = true
       else {
-        val ((l, r), f) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        val ((l, r), f) = counts.toSeq.reduceLeft { (p, q) =>
+          val ((pl, pr), pc) = p
+          val ((ql, qr), qc) = q
+          val qWins = qc > pc ||
+            (qc == pc && (utf8Lt(ql, pl) ||
+              (ql == pl && utf8Lt(qr, pr))))
+          if (qWins) q else p
+        }
         out += Merge(rank, l, r, f)
         table = table.groupBy { case (syms, _) => BpeTokenizer.applyMerge(syms, l, r) }
           .map { case (k, vs) => k -> vs.values.sum }

@@ -211,6 +211,37 @@ class IndicatorsSpec extends SparkSpec {
     assert(seeded == coalesced)
   }
 
+  test("wilder_pair_state recovers from a null close exactly like the lag composition") {
+    import org.apache.spark.sql.graftnative.EmaFunctions
+    val alpha = 1.0 / 14
+    // null at idx 5: its own change AND the next row's change are null in
+    // the unfused `close - lag(close)` composition (both fold 0); the
+    // fused aggregate's NaN-encoded prev must do the same instead of
+    // poisoning the states (Spark evaluates NaN > 0 as TRUE)
+    val rows: Seq[(Int, Option[Double])] = (0 until 40).map { i =>
+      (i, if (i == 5) None else Some(100.0 + 3 * math.sin(i / 3.0) + i % 5))
+    }
+    val df = rows.toDF("idx", "close")
+    val w = Window.orderBy("idx")
+    val wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    def gainOf(c: org.apache.spark.sql.Column) = when(c > 0, c).otherwise(lit(0.0))
+    def lossOf(c: org.apache.spark.sql.Column) = when(c < 0, -c).otherwise(lit(0.0))
+    val unfused = df
+      .withColumn("_chg", col("close") - lag(col("close"), 1).over(w))
+      .withColumn("_g", EmaFunctions.ema_state(gainOf(col("_chg")), alpha).over(wf))
+      .withColumn("_l", EmaFunctions.ema_state(lossOf(col("_chg")), alpha).over(wf))
+      .select(col("idx"), col("_g.cSeeded"), col("_l.cSeeded"))
+      .orderBy("idx").collect().toSeq
+    val fused = df
+      .withColumn("_st",
+        EmaFunctions.wilder_pair_state(col("close"), lit(null).cast("double"), alpha).over(wf))
+      .select(col("idx"), col("_st.g.cSeeded"), col("_st.l.cSeeded"))
+      .orderBy("idx").collect().toSeq
+    assert(fused == unfused)
+    // and the states are live again after the gap (not NaN-poisoned)
+    assert(fused.drop(7).forall(r => !r.getDouble(1).isNaN && !r.getDouble(2).isNaN))
+  }
+
   test("wilder_pair_state fails fast on grouped (merge-order-dependent) use") {
     import org.apache.spark.sql.graftnative.EmaFunctions
     val df = (1 to 10000).map(i => (i, i * 1.0)).toDF("idx", "close")

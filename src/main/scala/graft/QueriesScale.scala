@@ -944,6 +944,60 @@ object QueriesScale {
         | CAST(16 + (doc_id * 53) % 1536 AS BIGINT) AS height
         | FROM documents ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------------- real pixel decode
+  // The pixel half of the multimodal stage, REAL end-to-end: complete
+  // valid PPM-P6 / 24-bpp-BMP files (every header field AND every pixel
+  // byte) are built arithmetically from doc_id, the native ImageDecode
+  // expression parses them back to a normalized top-down RGB raster —
+  // for BMP that means undoing bottom-up row order, BGR sample order,
+  // and 4-byte row padding — then ImageResizeNN applies the integer NN
+  // kernel (sx = ⌊x·w/4⌋, sy = ⌊y·h/4⌋) and RasterChannelSums folds the
+  // resized samples into integer-exact per-channel sums. The oracle
+  // recomputes the sums from the same generative formula plus the same
+  // index map, so a hash match proves decode→resize→stats inverts both
+  // encodings pixel-for-pixel. One codegen'd byte walk per row, zero
+  // shuffle — the 100 TB shape. Golden fixed-byte decodes, corrupt-header
+  // fallbacks, and a hand-computed resize live in ScaleOpsSpec.
+  private val imagePixelsQ = Q(
+    (s, dir) => {
+      val w = lit(4L) + col("doc_id") % 8
+      val h = lit(3L) + col("doc_id") % 6
+      val payload = when(col("doc_id") % 2 === 0,
+          ScaleOps.synthPpm(w, h, col("doc_id")))
+        .otherwise(ScaleOps.synthBmp(w, h, col("doc_id")))
+      val raster = ScaleOps.imageDecode(payload)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raster.as("r"))
+        .select(col("doc_id"),
+          col("r.format").as("format"),
+          col("r.width").cast(LongType).as("width"),
+          col("r.height").cast(LongType).as("height"),
+          ScaleOps.rasterChannelSums(
+            ScaleOps.imageResizeNN(col("r"), 4, 4)).as("s"))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("s").getItem(0).as("r_sum"),
+          col("s").getItem(1).as("g_sum"),
+          col("s").getItem(2).as("b_sum"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 6 AS h FROM documents),
+        | g AS (SELECT d.doc_id, d.w, d.h, gx.range AS x, gy.range AS y
+        |        FROM d CROSS JOIN range(0, 4) gx CROSS JOIN range(0, 4) gy),
+        | px AS (SELECT doc_id, w, h,
+        |         ((y * h // 4) * w + (x * w // 4)) * 3 AS base FROM g),
+        | s AS (SELECT doc_id, w, h,
+        |        SUM((doc_id * 31 + (base + 0) * 7) % 256) AS r_sum,
+        |        SUM((doc_id * 31 + (base + 1) * 7) % 256) AS g_sum,
+        |        SUM((doc_id * 31 + (base + 2) * 7) % 256) AS b_sum
+        |       FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+        | CAST(b_sum AS BIGINT) AS b_sum
+        |FROM s ORDER BY doc_id""".stripMargin))
+
   // --------------------------------------------- document chunking (RAG)
   // Fixed-window chunking with overlap (window 64, stride 48 → 16-token
   // overlap): the retrieval/embedding prep stage. Single narrow pass —
@@ -3241,6 +3295,7 @@ object QueriesScale {
     "embedding_neardup" -> embNeardupQ,
     "multimodal_meta" -> multimodalQ,
     "image_meta" -> imageMetaQ,
+    "image_pixels" -> imagePixelsQ,
     "audio_meta" -> audioMetaQ,
     "container_meta" -> containerMetaQ,
     "chunk_documents" -> chunkDocumentsQ,

@@ -1311,6 +1311,85 @@ object ScaleOps {
     leU16Col(w), leU16Col(h),
     lit(Array[Byte](0, 0, 0, 0x3B)))
 
+  // ------------------------------------------------- real pixel decode
+  // Codec-free raster formats (PPM P6 / PGM P5 / uncompressed 24-bpp
+  // BMP): pixel payloads are pure header-plus-byte arithmetic, so the
+  // WHOLE decode→resize→channel-stats path runs natively with no image
+  // library — and the fixture encoders below build complete valid files
+  // (headers AND every pixel byte) arithmetically from (w, h, seed), so
+  // a DuckDB oracle can recompute the decoded statistics from the same
+  // formulas. A hash match on `image_pixels` therefore proves the
+  // decoder inverts two real raster encodings — including BMP's
+  // bottom-up row order, BGR sample order, and 4-byte row padding —
+  // end-to-end on every row.
+
+  /** Native raster decode `struct(format, width, height, channels,
+    * pixels)` — normalized row-major top-down RGB regardless of source
+    * container (see [[org.apache.spark.sql.graftnative.ImageDecode]]).
+    */
+  def imageDecode(payload: Column): Column =
+    org.apache.spark.sql.graftnative.RasterFunctions.image_decode(payload)
+
+  /** Nearest-neighbor resize of a decoded raster to fixed target dims
+    * (see [[org.apache.spark.sql.graftnative.ImageResizeNN]]).
+    */
+  def imageResizeNN(raster: Column, targetW: Int, targetH: Int): Column =
+    org.apache.spark.sql.graftnative.RasterFunctions
+      .image_resize_nn(raster, targetW, targetH)
+
+  /** Per-channel integer sample sums of a decoded raster
+    * (see [[org.apache.spark.sql.graftnative.RasterChannelSums]]).
+    */
+  def rasterChannelSums(raster: Column): Column =
+    org.apache.spark.sql.graftnative.RasterFunctions.raster_channel_sums(raster)
+
+  /** Deterministic fixture sample: the byte at logical row-major RGB
+    * index `idx` of image `seed` is `(seed·31 + idx·7) mod 256` — the
+    * generative formula the oracle mirrors.
+    */
+  private def pixByte(seed: Column, idx: Column): Column =
+    (seed * 31 + idx * 7) % 256
+
+  /** Complete valid binary PPM (P6): ASCII header + every RGB sample,
+    * row-major top-down, generated from [[pixByte]].
+    */
+  def synthPpm(w: Column, h: Column, seed: Column): Column = concat(
+    concat(lit("P6\n"), w.cast(StringType), lit(" "), h.cast(StringType),
+      lit("\n255\n")).cast(BinaryType),
+    unhex(array_join(
+      transform(sequence(lit(0L), w * h * 3 - 1),
+        i => lpad(hex(pixByte(seed, i)), 2, "0")), "")))
+
+  /** Complete valid 24-bpp BI_RGB BMP encoding the SAME logical image as
+    * [[synthPpm]] for the same (w, h, seed): 54-byte header, bottom-up
+    * rows, B,G,R sample order, rows padded to a 4-byte boundary — the
+    * decoder must undo all three to match the PPM-encoded rows.
+    */
+  def synthBmp(w: Column, h: Column, seed: Column): Column = {
+    val rowBytes = w * 3
+    val stride = rowBytes + 3 - (rowBytes + 3) % 4
+    val imgSize = stride * h
+    val body = unhex(array_join(
+      transform(sequence(lit(0L), imgSize - 1), k => {
+        val j = ((k - k % stride) / stride).cast(LongType) // file row (bottom-up)
+        val o = k % stride // offset within the padded row
+        val x = ((o - o % 3) / 3).cast(LongType)
+        val cLogical = lit(2L) - o % 3 // file B,G,R → logical R,G,B
+        val y = h - 1 - j
+        val idx = (y * w + x) * 3 + cLogical
+        val v = when(o >= rowBytes, lit(0L)).otherwise(pixByte(seed, idx))
+        lpad(hex(v), 2, "0")
+      }), ""))
+    concat(
+      lit("BM".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+      leU32Col(imgSize + 54), leU32Col(lit(0L)), leU32Col(lit(54L)),
+      leU32Col(lit(40L)), leU32Col(w), leU32Col(h),
+      leU16Col(lit(1L)), leU16Col(lit(24L)),
+      leU32Col(lit(0L)), leU32Col(imgSize),
+      leU32Col(lit(0L)), leU32Col(lit(0L)), leU32Col(lit(0L)), leU32Col(lit(0L)),
+      body)
+  }
+
   /** Native audio-container metadata `struct(format, channels,
     * sample_rate, bits_per_sample, n_frames)` — WAV chunk walk + FLAC
     * STREAMINFO bit unpack, same codegen'd zero-shuffle stance as
@@ -1423,12 +1502,19 @@ object ScaleOps {
   case class MediaIn(doc_id: Long, payload: Array[Byte])
   case class MediaOut(doc_id: Long, n_bytes: Long, n_frames: Int, features: Array[Double])
 
-  /** The batch-decode plumbing a multimodal pipeline needs, with the codec
-    * STUBBED (this container ships no image/audio libraries): partition-
-    * local iteration, micro-batched so a real decoder could amortize model
-    * or codec initialization per batch, fixed-width feature output with a
-    * declared schema. `frameSample` mimics video frame sampling: every
-    * `stride`-th `frameBytes`-sized chunk contributes one fake feature.
+  /** The batch-decode stage of the multimodal pipeline: partition-local
+    * iteration, micro-batched so per-batch setup (codec context, ONNX
+    * session, ...) amortizes, fixed-width feature output with a declared
+    * schema. The codec is REAL for the codec-free raster formats —
+    * payloads that decode as PPM/PGM/BMP (see
+    * [[org.apache.spark.sql.graftnative.ImageDecode]]) are
+    * pixel-decoded, nearest-neighbor-resized to a `dim×dim` frame, and
+    * emit per-channel sample means as features (`n_frames` = scan
+    * lines). Non-raster payloads fall back to the original deterministic
+    * byte-sampling features (`frameSample`-style: every `stride`-th
+    * `frameBytes`-sized chunk contributes one), documented as such —
+    * compressed-codec formats (JPEG pixels, H.264) would need libraries
+    * this container does not ship.
     */
   def decodeBatches(ds: org.apache.spark.sql.Dataset[MediaIn], dim: Int = 4,
       batchSize: Int = 64, frameBytes: Int = 16, stride: Int = 2)
@@ -1436,17 +1522,33 @@ object ScaleOps {
       : org.apache.spark.sql.Dataset[MediaOut] =
     ds.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // a real decoder would initialize once per batch here (codec ctx,
-        // ONNX session, ...) — the stub derives deterministic features
         batch.iterator.map { m =>
-          val frames = m.payload.grouped(frameBytes).zipWithIndex
-            .collect { case (chunk, i) if i % stride == 0 => chunk }.toArray
-          val feats = Array.tabulate(dim) { j =>
-            if (j < frames.length && frames(j).nonEmpty)
-              (frames(j).head & 0xFF) / 255.0
-            else 0.0
+          val raster = org.apache.spark.sql.graftnative.ImageDecode
+            .compute(m.payload)
+          if (!raster.isNullAt(4)) {
+            // real raster: decode → NN-resize to dim×dim → per-channel
+            // mean features (padded to the fixed dim width)
+            val resized = org.apache.spark.sql.graftnative.ImageResizeNN
+              .compute(raster, dim, dim)
+            val ch = resized.getInt(3)
+            val px = resized.getBinary(4)
+            val sums = new Array[Long](ch)
+            var i = 0
+            while (i < px.length) { sums(i % ch) += px(i) & 0xFF; i += 1 }
+            val feats = Array.tabulate(dim) { c =>
+              if (c < ch) sums(c).toDouble / (dim * dim) / 255.0 else 0.0
+            }
+            MediaOut(m.doc_id, m.payload.length.toLong, raster.getInt(2), feats)
+          } else {
+            val frames = m.payload.grouped(frameBytes).zipWithIndex
+              .collect { case (chunk, i) if i % stride == 0 => chunk }.toArray
+            val feats = Array.tabulate(dim) { j =>
+              if (j < frames.length && frames(j).nonEmpty)
+                (frames(j).head & 0xFF) / 255.0
+              else 0.0
+            }
+            MediaOut(m.doc_id, m.payload.length.toLong, frames.length, feats)
           }
-          MediaOut(m.doc_id, m.payload.length.toLong, frames.length, feats)
         }
       }
     }

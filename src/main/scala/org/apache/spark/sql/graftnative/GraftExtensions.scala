@@ -81,5 +81,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("image_meta", classOf[ImageMeta], ImageMeta(_))
     unary("audio_meta", classOf[AudioMeta], AudioMeta(_))
     unary("mp4_meta", classOf[Mp4Meta], Mp4Meta(_))
+    // raster pixel path: SELECT raster_channel_sums(
+    //   image_resize_nn(image_decode(payload), 4, 4)) FROM ...
+    unary("image_decode", classOf[ImageDecode], ImageDecode(_))
+    unary("raster_channel_sums", classOf[RasterChannelSums], RasterChannelSums(_))
+    ext.injectFunction((
+      new FunctionIdentifier("image_resize_nn"),
+      new ExpressionInfo(classOf[ImageResizeNN].getName, "image_resize_nn"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"image_resize_nn expects (raster, targetW, targetH), got ${children.length} arguments")
+        val Seq(tw, th) = children.drop(1).map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"image_resize_nn target dims must be integer literals, got $other")
+        }
+        ImageResizeNN(children.head, tw, th)
+      }))
   }
 }

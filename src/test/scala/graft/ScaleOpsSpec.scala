@@ -619,7 +619,128 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
-  test("decodeBatches: mapPartitions media plumbing with stubbed codec") {
+  // ---------------------------------------------------- raster decode
+
+  private def decodeRaster(b: Array[Byte]) =
+    Seq(Tuple1(b)).toDF("p")
+      .select(ScaleOps.imageDecode(col("p")).as("r"))
+      .select(col("r.format"), col("r.width"), col("r.height"),
+        col("r.channels"), col("r.pixels"))
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2), r.get(3),
+        Option(r.get(4)).map(_.asInstanceOf[Array[Byte]].toSeq).orNull)).head
+
+  test("ImageDecode: hand-built PPM bytes (with header comment) decode to exact pixels") {
+    val data = Array.tabulate(12)(i => (i * 10).toByte) // 2x2 RGB
+    val ppm = "P6\n# fixture comment\n2 2\n255\n".getBytes("US-ASCII") ++ data
+    assert(decodeRaster(ppm) == (("ppm", 2, 2, 3, data.toSeq)))
+    // P5 grayscale, compact single-space header
+    val gray = Array[Byte](9, 8, 7, 6, 5, 4)
+    val pgm = "P5 2 3 255\n".getBytes("US-ASCII") ++ gray
+    assert(decodeRaster(pgm) == (("pgm", 2, 3, 1, gray.toSeq)))
+    // truncated pixel data / maxval beyond one byte -> unknown, never guessed
+    assert(decodeRaster(ppm.dropRight(1))._1 == "unknown")
+    assert(decodeRaster("P6\n2 2\n65535\n".getBytes ++ data)._1 == "unknown")
+  }
+
+  test("ImageDecode: golden BMP bytes — bottom-up, BGR, row padding all undone") {
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = le16(v) ++ le16(v >> 16)
+    // logical 2x2 top-down RGB image
+    val logical = Seq[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    def header(hRaw: Int) =
+      "BM".getBytes ++ le32(70) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(2) ++ le32(hRaw) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    // bottom-up file rows (positive height): y=1 first, BGR, 2 pad bytes
+    val bottomUp = header(2) ++ Array[Byte](
+      90, 80, 70, 120, 110, 100, 0, 0,
+      30, 20, 10, 60, 50, 40, 0, 0)
+    assert(decodeRaster(bottomUp) == (("bmp", 2, 2, 3, logical)))
+    // negative height = top-down row order, same logical image
+    val topDown = header(-2) ++ Array[Byte](
+      30, 20, 10, 60, 50, 40, 0, 0,
+      90, 80, 70, 120, 110, 100, 0, 0)
+    assert(decodeRaster(topDown) == (("bmp", 2, 2, 3, logical)))
+    // 32-bpp / compressed / truncated -> unknown (no pixel guessing)
+    val bpp32 = "BM".getBytes ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(32) ++
+      le32(0) ++ le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    assert(decodeRaster(bpp32)._1 == "unknown")
+    assert(decodeRaster(bottomUp.dropRight(1))._1 == "unknown")
+    assert(decodeRaster("plain".getBytes)._1 == "unknown")
+  }
+
+  test("ImageResizeNN + RasterChannelSums: hand-computed NN kernel and exact sums") {
+    // 4x2 single-channel ramp: NN to 2x2 keeps sx in {0,2}, sy in {0,1}
+    val pgm = "P5\n4 2\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(8)(_.toByte)
+    val resized = Seq(Tuple1(pgm)).toDF("p")
+      .select(ScaleOps.imageResizeNN(
+        ScaleOps.imageDecode(col("p")), 2, 2).as("r"))
+      .select(col("r.width"), col("r.height"), col("r.pixels")).head()
+    assert(resized.getInt(0) == 2 && resized.getInt(1) == 2)
+    assert(resized.getAs[Array[Byte]](2).toSeq == Seq[Byte](0, 2, 4, 6))
+    // RGB channel sums on the golden 2x2 image
+    val data = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ data
+    val sums = Seq(Tuple1(ppm)).toDF("p")
+      .select(ScaleOps.rasterChannelSums(
+        ScaleOps.imageDecode(col("p"))).as("s"))
+      .as[Seq[Long]].head()
+    assert(sums == Seq(220L, 260L, 300L))
+    // unknown raster: resize passes through, sums are NULL
+    val unk = Seq(Tuple1("nope".getBytes)).toDF("p")
+      .select(ScaleOps.imageResizeNN(
+          ScaleOps.imageDecode(col("p")), 2, 2).as("r"),
+        ScaleOps.rasterChannelSums(ScaleOps.imageDecode(col("p"))).as("s"))
+      .select(col("r.format"), col("s")).head()
+    assert(unk.getString(0) == "unknown" && unk.isNullAt(1))
+  }
+
+  test("synthPpm and synthBmp encode the SAME logical image; decode inverts both") {
+    // the image_pixels fixture contract: one (w, h, seed) triple, two
+    // container encodings, identical decoded pixel arrays
+    val df = Seq((5L, 4L, 3L), (8L, 3L, 17L), (4L, 6L, 42L)).toDF("w", "h", "seed")
+    val both = df.select(
+        ScaleOps.imageDecode(ScaleOps.synthPpm(col("w"), col("h"), col("seed"))).as("p"),
+        ScaleOps.imageDecode(ScaleOps.synthBmp(col("w"), col("h"), col("seed"))).as("b"),
+        col("w"), col("h"), col("seed"))
+      .collect()
+    both.foreach { r =>
+      val p = r.getStruct(0)
+      val b = r.getStruct(1)
+      assert(p.getString(0) == "ppm" && b.getString(0) == "bmp")
+      assert(p.getInt(1) == r.getLong(2).toInt && p.getInt(2) == r.getLong(3).toInt)
+      assert(b.getInt(1) == p.getInt(1) && b.getInt(2) == p.getInt(2))
+      val pp = p.getAs[Array[Byte]](4).toSeq
+      val bp = b.getAs[Array[Byte]](4).toSeq
+      assert(pp == bp, "PPM and BMP must decode to identical pixels")
+      // and the pixels match the generative formula
+      val (w, seed) = (r.getLong(2), r.getLong(4))
+      val want = pp.indices.map(i => ((seed * 31 + i * 7) % 256).toByte)
+      assert(pp == want)
+      assert(w * r.getLong(3) * 3 == pp.length)
+    }
+  }
+
+  test("decodeBatches: REAL raster path — decoded per-channel means as features") {
+    import graft.operators.ScaleOps.MediaIn
+    // 2x2 RGB PPM: channel means over the 4x4 NN-resize are exact
+    // because NN only replicates source samples
+    val data = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ data
+    val out = graft.operators.ScaleOps.decodeBatches(
+      Seq(MediaIn(9L, ppm)).toDS()).collect().head
+    assert(out.n_frames == 2, "n_frames = decoded scan lines")
+    // 4x4 NN-resize of a 2x2 image replicates each pixel 4 times, so the
+    // mean equals the plain per-channel mean: R (10+40+70+100)/4 = 55
+    assert(math.abs(out.features(0) - 55.0 / 255.0) < 1e-12)
+    assert(math.abs(out.features(1) - 65.0 / 255.0) < 1e-12)
+    assert(math.abs(out.features(2) - 75.0 / 255.0) < 1e-12)
+    assert(out.features(3) == 0.0, "pad beyond channel count")
+  }
+
+  test("decodeBatches: non-raster payloads keep the documented byte-sampling fallback") {
     import graft.operators.ScaleOps.{MediaIn, MediaOut}
     val ds = Seq(
       MediaIn(1L, Array.tabulate(64)(_.toByte)),   // 4 frames of 16B, stride 2 -> 2 sampled

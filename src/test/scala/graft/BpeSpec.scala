@@ -73,6 +73,11 @@ class BpeSpec extends SparkSpec {
     val merges = BpeTokenizer.train(spark, BpeTokenizer.wordFreq(docs), 8)
     // words: ab×3, abc×1 → pair (a,b) freq 4 merges first; then (ab,c) freq 1
     assert(merges == Seq(Merge(0, "a", "b", 4L), Merge(1, "ab", "c", 1L)))
+    // the distributed path must produce the identical table (the default
+    // call short-circuits to the driver-side trainer at this vocab size)
+    val dist = BpeTokenizer.train(spark, BpeTokenizer.wordFreq(docs), 8,
+      localVocabLimit = 0)
+    assert(dist == merges)
     assert(BpeTokenizer.segment("abc", merges) == Seq("abc"))
     assert(BpeTokenizer.segment("abab", merges) == Seq("ab", "ab"))
     assert(BpeTokenizer.segment("ba", merges) == Seq("b", "a"))
@@ -82,15 +87,49 @@ class BpeSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001)
     val wf = BpeTokenizer.wordFreq(docs)
     val wordsMap = wf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val got = BpeTokenizer.train(spark, wf, 32)
+    // force the DISTRIBUTED batched path (the default call would take
+    // the small-vocab driver short-circuit on this corpus)
+    val got = BpeTokenizer.train(spark, wf, 32, localVocabLimit = 0)
     val want = referenceTrain(wordsMap, 32)
     assert(got == want, s"merge tables diverge:\n got=$got\nwant=$want")
     assert(got.nonEmpty)
+    // and the driver short-circuit produces the identical table
+    assert(BpeTokenizer.train(spark, wf, 32) == want)
     // frequencies must be non-increasing is NOT guaranteed by BPE (a
     // merge can create a new frequent pair) — but every recorded
     // frequency is positive and ranks are dense
     assert(got.map(_.rank) == got.indices)
     assert(got.forall(_.freq > 0))
+    // the batched trainer must have admitted more than one merge per
+    // driver round on this corpus — the whole point of the batching
+    val rounds = spark.sparkContext
+      .getLocalProperty("graft.bpe.lastRounds").toInt
+    info(s"32 merges in $rounds driver rounds")
+    assert(rounds < 32, "batching admitted nothing — one job per merge again")
+  }
+
+  test("batched trainer stays exact on an interference-heavy corpus") {
+    import spark.implicits._
+    // crafted so NAIVE batching diverges: merging the top pair (t,h)
+    // creates ("th","e") with weight 60 — higher than the pre-round
+    // runner-up (i,n) at 50 — so an exact trainer must CUT the batch and
+    // recount instead of admitting (i,n) second; plus symbol-sharing
+    // candidates ((h,e) shares with (t,h)) and a self-pair (aa).
+    val docs = Seq(
+      (1L, Seq.fill(60)("the").mkString(" ")),
+      (2L, Seq.fill(50)("in").mkString(" ")),
+      (3L, Seq.fill(40)("he").mkString(" ")),
+      (4L, Seq.fill(30)("aaa").mkString(" ")),
+      (5L, Seq.fill(20)("there in aaaa").mkString(" "))
+    ).toDF("doc_id", "text")
+    val wf = BpeTokenizer.wordFreq(docs)
+    val wordsMap = wf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (n <- Seq(1, 2, 3, 5, 8, 12)) {
+      val got = BpeTokenizer.train(spark, wf, n, localVocabLimit = 0)
+      val want = referenceTrain(wordsMap, n)
+      assert(got == want, s"nMerges=$n diverges:\n got=$got\nwant=$want")
+      assert(BpeTokenizer.train(spark, wf, n) == want, s"driver path, n=$n")
+    }
   }
 
   test("bpe_token_count equals re-encoding every document with the learned table") {

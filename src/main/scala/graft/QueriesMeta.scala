@@ -730,7 +730,14 @@ object QueriesMeta {
   // (StatefulOps.funnelFinalStates); batch-equivalence of the two is
   // pinned in StreamingSpec. Do not lift this wrapper into a pipeline.
   private val streamFunnelQ = Q(
-    (s, dir) => {
+    (sOuter, dir) => {
+      // state stores allocate per shuffle partition per batch; at the
+      // gate fixture's volume one AvailableNow pass over ≤100k events
+      // makes 32 of them pure constant overhead — clone the session and
+      // pin to 8, as stream_join does (the state-store partition count
+      // is a harness knob, not an operator property)
+      val s = sOuter.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 8)
       import s.implicits._
       implicit val sp: SparkSession = s
       val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -786,7 +793,15 @@ object QueriesMeta {
   // Same harness stance as stream_funnel: memory sink + collect exist
   // only so a real streaming query can run inside the batch oracle gate.
   private val streamSessionsQ = Q(
-    (s, dir) => {
+    (sOuter, dir) => {
+      // same state-store partition pin as stream_funnel/stream_join.
+      // Measured at sf0.1 (fresh profile, round 8): 8 partitions is the
+      // minimum of the sweep (4: 3.4s, 8: 3.2s, 16: 4.3s, 32: 4.2s) and
+      // the residual ~2.7s is the stateful session-window machinery
+      // itself (two micro-batches over 600k events emitting 95k
+      // sessions), not partition overhead — the floor for this volume.
+      val s = sOuter.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 8)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)

@@ -1587,6 +1587,57 @@ object QueriesScale {
     }.reduce(_ + _)
   }
 
+  /** RESIDUAL PQ encode (FAISS IndexIVFPQ form) over rows carrying
+    * `embedding`, `_nv`, and the coarse `c_id`: codes quantize
+    * r = x̂ − c(cell), so code_m = argmax over centroids of
+    * (x̂_sub·c − c_sub(cell)·c − ‖c‖²/2). The per-(m, k, cell) offset
+    * c_sub(cell)·c is a pure function of the two codebooks — computed
+    * once driver-side into `offTable` and inlined as literal arrays
+    * indexed by c_id, so the per-row cost stays one native dot per
+    * centroid plus one element_at. Same deterministic first-max
+    * tie-break as the raw encoder.
+    */
+  private def pqCodeColsRes(cb: Array[Array[Array[Float]]],
+      offTable: Array[Array[Array[Double]]]): Seq[Column] = {
+    val sub = pqDim / pqM
+    (0 until pqM).map { mi =>
+      val scores = array((0 until pqK).map { ki =>
+        val c = cb(mi)(ki)
+        val halfNorm = c.map(x => x.toDouble * x.toDouble).sum / 2.0
+        ScaleOps.dotD(slice(col("embedding"), mi * sub + 1, sub),
+          typedlit(c)) / col("_nv") -
+          element_at(typedlit(offTable(mi)(ki)), col("c_id") + 1) -
+          lit(halfNorm)
+      }: _*)
+      (array_position(scores, array_max(scores)) - 1)
+        .cast(IntegerType).as(s"code_$mi")
+    }
+  }
+
+  /** Per-query ADC score for residual codes:
+    * q̂·x̂ ≈ q̂·c(cell) + Σ_m LUT[m][code_m] with LUT[m][k] = q̂_sub·cb_mk.
+    * The q̂·c(cell) term is one more literal-array lookup on c_id
+    * (`qCellDots`, built driver-side per query from the K coarse
+    * centroids) — the residual form costs one element_at over the raw
+    * form and buys back the quantization error of whole-vector codes.
+    */
+  private def pqAdcScoreRes(cb: Array[Array[Array[Float]]],
+      qv: Array[Float], qCellDots: Array[Double]): Column = {
+    val sub = pqDim / pqM
+    val qn = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
+    val lutSum = (0 until pqM).map { mi =>
+      val lut = Array.tabulate(pqK) { ki =>
+        val c = cb(mi)(ki)
+        var acc = 0.0
+        var i = 0
+        while (i < sub) { acc += (qv(mi * sub + i) / qn) * c(i).toDouble; i += 1 }
+        acc
+      }
+      element_at(typedlit(lut), col(s"code_$mi") + 1): Column
+    }.reduce(_ + _)
+    lutSum + element_at(typedlit(qCellDots), col("c_id") + 1)
+  }
+
   /** Exact cosine re-rank of a small (q_id, vec_id) candidate set against
     * the raw vectors — broadcast candidate join, the corpus never
     * shuffles.
@@ -1615,11 +1666,12 @@ object QueriesScale {
     * null ascore and is dropped before ranking.
     */
   private def pqServe(s: SparkSession, emb: DataFrame, coded: DataFrame,
-      cb: Array[Array[Array[Float]]], queries: Array[(Long, Array[Float])],
+      queries: Array[(Long, Array[Float])],
+      scoreFor: (Long, Array[Float]) => Column,
       gate: Long => Column, refine: Int = pqRefine): DataFrame = {
     val scoreCols = queries.map { case (qid, qv) =>
       struct(lit(qid).as("q_id"),
-        when(gate(qid), pqAdcScore(cb, qv)).as("ascore"))
+        when(gate(qid), scoreFor(qid, qv)).as("ascore"))
     }
     val aW = Window.partitionBy("q_id")
       .orderBy(col("ascore").desc, col("vec_id"))
@@ -1639,7 +1691,8 @@ object QueriesScale {
       val emb = Tables.embeddings(s, dir)
       val coded = emb.withColumn("_nv", ScaleOps.l2norm(col("embedding")))
         .select(col("vec_id") +: pqCodeCols(cb): _*)
-      pqServe(s, emb, coded, cb, annQueryBatch(emb), _ => lit(true),
+      pqServe(s, emb, coded, annQueryBatch(emb),
+        (_, qv) => pqAdcScore(cb, qv), _ => lit(true),
         refine = pqRefineFor(s, dir))
     },
     None)
@@ -1668,28 +1721,42 @@ object QueriesScale {
   // self-retrieval, pinned in ScaleOpsSpec (the flat-PQ key pins 0.8 —
   // the cell gate can only lose candidates the probe misses, and the
   // measured gap quantifies exactly the IVF pruning cost).
-  /** Everything both IVF-PQ keys share: PQ codebook, raw embeddings, the
-    * coded index frame (coarse list id + PQ codes per vector), the query
-    * batch, and the per-query probe sets. Probe sets are driver-side:
+  /** Everything the residual-coded IVF-PQ keys share: residual PQ
+    * codebook, raw embeddings, the coded index frame (coarse list id +
+    * residual PQ codes per vector), the query batch, the per-query probe
+    * sets, and the per-query ADC scorer (residual LUTs + the q̂·c(cell)
+    * term). Probe sets and the offset/LUT tables are driver-side:
     * queries are literals and the centroid table is K rows — same
     * bounded-collect stance as the query batch.
     */
   private def ivfPqParts(s: SparkSession, dir: String)
-      : (DataFrame, Array[Array[Array[Float]]], DataFrame,
+      : (DataFrame, (Long, Array[Float]) => Column, DataFrame,
          Array[(Long, Array[Float])], Map[Long, Seq[Int]]) = {
-    val cb = graft.ml.IvfCodebook.pqCodebook(s, dir, pqDim, pqM, pqK)
+    val cb = graft.ml.IvfCodebook.pqResidualCodebook(
+      s, dir, pqDim, pqM, pqK, ivfTrainedK)
     val emb = Tables.embeddings(s, dir)
     val embN = emb.withColumn("nv", ScaleOps.l2norm(col("embedding")))
     val cents = graft.ml.IvfCodebook.load(s,
         graft.ml.IvfCodebook.codebookPath(s, dir, ivfTrainedK))
       .withColumn("nc", ScaleOps.l2norm(col("c_emb")))
-    // the stored index: coarse inverted-list id + PQ codes per vector
-    val coded = ivfAssign(embN, cents)
-      .withColumn("_nv", col("nv"))
-      .select(col("vec_id") +: col("c_id") +: pqCodeCols(cb): _*)
-    val queries = annQueryBatch(emb)
     val centArr = cents.select(col("c_id"), col("c_emb"), col("nc")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1) // dense 0..K-1 — array index = c_id below
+    // per-(m, k, cell) encode offsets c_sub(cell)·cb_mk, driver-side
+    val sub = pqDim / pqM
+    val offTable = Array.tabulate(pqM, pqK) { (mi, ki) =>
+      centArr.map { case (_, cv, _) =>
+        var acc = 0.0
+        var i = 0
+        while (i < sub) { acc += cv(mi * sub + i).toDouble * cb(mi)(ki)(i); i += 1 }
+        acc
+      }
+    }
+    // the stored index: coarse inverted-list id + residual PQ codes
+    val coded = ivfAssign(embN, cents)
+      .withColumn("_nv", col("nv"))
+      .select(col("vec_id") +: col("c_id") +: pqCodeColsRes(cb, offTable): _*)
+    val queries = annQueryBatch(emb)
     val probeCells: Map[Long, Seq[Int]] = queries.map { case (qid, qv) =>
       val qn = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
       val ranked = centArr.map { case (cid, cv, nc) =>
@@ -1700,13 +1767,25 @@ object QueriesScale {
       }.sortBy { case (cos, cid) => (-cos, cid) } // ivfServe's tie order
       qid -> ranked.take(ivfTrainedProbes).map(_._2).toSeq
     }.toMap
-    (emb, cb, coded, queries, probeCells)
+    // per-query q̂·c(cell) terms, indexed by c_id
+    val qCellDots: Map[Long, Array[Double]] = queries.map { case (qid, qv) =>
+      val qn = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
+      qid -> centArr.map { case (_, cv, _) =>
+        var acc = 0.0
+        var i = 0
+        while (i < qv.length) { acc += (qv(i) / qn) * cv(i).toDouble; i += 1 }
+        acc
+      }
+    }.toMap
+    val scoreFor = (qid: Long, qv: Array[Float]) =>
+      pqAdcScoreRes(cb, qv, qCellDots(qid))
+    (emb, scoreFor, coded, queries, probeCells)
   }
 
   private val annIvfPqQ = Q(
     (s, dir) => {
-      val (emb, cb, coded, queries, probeCells) = ivfPqParts(s, dir)
-      pqServe(s, emb, coded, cb, queries,
+      val (emb, scoreFor, coded, queries, probeCells) = ivfPqParts(s, dir)
+      pqServe(s, emb, coded, queries, scoreFor,
         qid => col("c_id").isin(probeCells(qid): _*),
         refine = pqRefineFor(s, dir))
     },
@@ -1726,12 +1805,12 @@ object QueriesScale {
   // on ~nProbe/K of a ~50×-compressed table.
   private val annIvfPqServedQ = Q(
     (s, dir) => {
-      val (emb, cb, _, queries, probeCells) = ivfPqParts(s, dir)
+      val (emb, scoreFor, _, queries, probeCells) = ivfPqParts(s, dir)
       val path = ivfPqIndexPath(s, dir)
       val union = probeCells.values.flatten.toSeq.distinct.sorted
       val codedRead = s.read.parquet(path)
         .filter(col("c_id").isin(union: _*))
-      pqServe(s, emb, codedRead, cb, queries,
+      pqServe(s, emb, codedRead, queries, scoreFor,
         qid => col("c_id").isin(probeCells(qid): _*),
         refine = pqRefineFor(s, dir))
     },
@@ -1744,8 +1823,11 @@ object QueriesScale {
     * the PlanSpec pruning contract.
     */
   def ivfPqIndexPath(s: SparkSession, dir: String): String = {
+    // "res" in the key: the round-8 switch to residual codes changed the
+    // stored row format — a stale raw-code index re-opened under the old
+    // key would be scored against residual LUTs
     val stamp = ArtifactMemo.stamp(dir, "embeddings.parquet")
-    ArtifactMemo.parquetDurable(s, s"ivfpq#$stamp", "ivfpq_index",
+    ArtifactMemo.parquetDurable(s, s"ivfpq_res#$stamp", "ivfpq_res_index",
       Seq("c_id")) { ivfPqParts(s, dir)._3 }
   }
 
@@ -1761,7 +1843,7 @@ object QueriesScale {
   // the exact ann_filtered_topk, and same-label-only results.
   private val annFilteredServedQ = Q(
     (s, dir) => {
-      val (emb, cb, _, queries, probeCells) = ivfPqParts(s, dir)
+      val (emb, scoreFor, _, queries, probeCells) = ivfPqParts(s, dir)
       val path = ivfFilteredIndexPath(s, dir)
       val labels: Map[Long, Int] = emb.filter(col("vec_id") < 10)
         .select(col("vec_id"), col("label")).collect()
@@ -1771,7 +1853,7 @@ object QueriesScale {
       val codedRead = s.read.parquet(path)
         .filter(col("label").isin(unionLabels: _*) &&
           col("c_id").isin(unionCells: _*))
-      pqServe(s, emb, codedRead, cb, queries,
+      pqServe(s, emb, codedRead, queries, scoreFor,
         qid => col("label") === labels(qid) &&
           col("c_id").isin(probeCells(qid): _*),
         refine = pqRefineFor(s, dir))
@@ -1784,20 +1866,18 @@ object QueriesScale {
     * like [[ivfPqIndexPath]]; exposed for the PlanSpec pruning contract.
     */
   def ivfFilteredIndexPath(s: SparkSession, dir: String): String = {
+    // "res" in the key, as in ivfPqIndexPath: the stored codes are
+    // residual-encoded and must never be re-opened by raw-code scoring
     val stamp = ArtifactMemo.stamp(dir, "embeddings.parquet")
-    ArtifactMemo.parquetDurable(s, s"ivfpqlbl#$stamp", "ivfpq_lbl_index",
-      Seq("label", "c_id")) {
-      val cb = graft.ml.IvfCodebook.pqCodebook(s, dir, pqDim, pqM, pqK)
+    ArtifactMemo.parquetDurable(s, s"ivfpqlbl_res#$stamp",
+      "ivfpq_lbl_res_index", Seq("label", "c_id")) {
+      // the SAME residual coded frame as the unfiltered index (one
+      // encoder, two layouts), sharded additionally by label
+      val coded = ivfPqParts(s, dir)._3
       val emb = Tables.embeddings(s, dir)
-      val embN = emb.withColumn("nv", ScaleOps.l2norm(col("embedding")))
-      val cents = graft.ml.IvfCodebook.load(s,
-          graft.ml.IvfCodebook.codebookPath(s, dir, ivfTrainedK))
-        .withColumn("nc", ScaleOps.l2norm(col("c_emb")))
-      ivfAssign(embN, cents)
-        .join(emb.select(col("vec_id"), col("label")), "vec_id")
-        .withColumn("_nv", col("nv"))
+      coded.join(emb.select(col("vec_id"), col("label")), "vec_id")
         .select(col("vec_id") +: col("label") +: col("c_id") +:
-          pqCodeCols(cb): _*)
+          (0 until pqM).map(mi => col(s"code_$mi"): Column): _*)
     }
   }
 
@@ -1808,7 +1888,7 @@ object QueriesScale {
     */
   def ivfFilteredServeOne(s: SparkSession, dir: String)
       : (DataFrame, Long, Int, Int) = {
-    val (emb, cb, _, queries, probeCells) = ivfPqParts(s, dir)
+    val (emb, scoreFor, _, queries, probeCells) = ivfPqParts(s, dir)
     val path = ivfFilteredIndexPath(s, dir)
     val qid = queries.map(_._1).min
     val qLabel = emb.filter(col("vec_id") === qid)
@@ -1817,8 +1897,8 @@ object QueriesScale {
     val cells = probeCells(qid)
     val codedRead = s.read.parquet(path)
       .filter(col("label") === qLabel && col("c_id").isin(cells: _*))
-    val df = pqServe(s, emb, codedRead, cb, queries.filter(_._1 == qid),
-      _ => lit(true), refine = pqRefineFor(s, dir))
+    val df = pqServe(s, emb, codedRead, queries.filter(_._1 == qid),
+      scoreFor, _ => lit(true), refine = pqRefineFor(s, dir))
     (df, qid, cells.size, nLabels * ivfTrainedK)
   }
 
@@ -1836,13 +1916,13 @@ object QueriesScale {
     */
   def ivfPqServeOneFromIndex(s: SparkSession, dir: String)
       : (DataFrame, Long, Int, Int) = {
-    val (emb, cb, _, queries, probeCells) = ivfPqParts(s, dir)
+    val (emb, scoreFor, _, queries, probeCells) = ivfPqParts(s, dir)
     val path = ivfPqIndexPath(s, dir)
     val qid = queries.map(_._1).min
     val cells = probeCells(qid)
     val codedRead = s.read.parquet(path).filter(col("c_id").isin(cells: _*))
-    val df = pqServe(s, emb, codedRead, cb, queries.filter(_._1 == qid),
-      _ => col("c_id").isin(cells: _*), refine = pqRefineFor(s, dir))
+    val df = pqServe(s, emb, codedRead, queries.filter(_._1 == qid),
+      scoreFor, _ => col("c_id").isin(cells: _*), refine = pqRefineFor(s, dir))
     (df, qid, cells.size, ivfTrainedK)
   }
 

@@ -41,7 +41,39 @@ object RecallProbe {
       val recall = brute.count(pairs(key).contains).toDouble / brute.size
       f""""$key": $recall%.4f"""
     }
-    println(entries.mkString(s"""{"sf_dir": "$sfDir", """, ", ", "}"))
+    // filtered-ANN per-label recall: the aggregate number can hide a
+    // collapsed rare label (pruning interacts with label selectivity —
+    // fewer same-label rows per probed cell), so measure recall of the
+    // served (label, cell) index PER QUERY against the exact filtered
+    // truth and call out the RAREST label's query explicitly.
+    def byQuery(key: String): Map[Long, Set[Long]] =
+      Queries.all(key).fn(spark, sfDir)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val ft = byQuery("ann_filtered_topk")
+    val fs = byQuery("ann_filtered_served")
+    require(ft.nonEmpty, "ann_filtered_topk returned no rows")
+    val emb = org.apache.spark.sql.functions.col _
+    val labelCounts = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val qLabels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(emb("vec_id") < 10).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val perQ = ft.keys.toSeq.sorted.map { q =>
+      val truth = ft(q)
+      q -> fs.getOrElse(q, Set.empty).count(truth.contains).toDouble / truth.size
+    }
+    val (rarestQ, _) = qLabels.toSeq
+      .sortBy { case (q, l) => (labelCounts(l), q) }.head
+    val filteredEntries =
+      perQ.map { case (q, r) =>
+        f""""q$q(l${qLabels(q)}%d,n${labelCounts(qLabels(q))}%d)": $r%.4f""" } :+
+      f""""rarest_label_q$rarestQ": ${perQ.toMap.apply(rarestQ)}%.4f"""
+    println((entries ++ filteredEntries)
+      .mkString(s"""{"sf_dir": "$sfDir", """, ", ", "}"))
     spark.stop()
   }
 }

@@ -188,7 +188,7 @@ class PlanSpec extends SparkSpec {
     val (one, qid, nCells, k) = QueriesScale.ivfPqServeOneFromIndex(spark, sf0001)
     val oneScans = collectAll(physical(one)) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
-        if s.metadata.get("Location").exists(_.contains("ivfpq_index")) => s
+        if s.metadata.get("Location").exists(_.contains("ivfpq_res_index")) => s
     }
     assert(oneScans.nonEmpty, "no persisted-index scan found")
     oneScans.foreach { s =>
@@ -202,7 +202,7 @@ class PlanSpec extends SparkSpec {
     val df = Queries.all("ann_ivfpq_served").fn(spark, sf0001)
     val idxScans = collectAll(physical(df)) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
-        if s.metadata.get("Location").exists(_.contains("ivfpq_index")) => s
+        if s.metadata.get("Location").exists(_.contains("ivfpq_res_index")) => s
     }
     assert(idxScans.nonEmpty, "no persisted-index scan found")
     idxScans.foreach { s =>
@@ -223,7 +223,7 @@ class PlanSpec extends SparkSpec {
     val (one, qid, nCells, totalParts) = QueriesScale.ivfFilteredServeOne(spark, sf0001)
     val scans = collectAll(physical(one)) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
-        if s.metadata.get("Location").exists(_.contains("ivfpq_lbl_index")) => s
+        if s.metadata.get("Location").exists(_.contains("ivfpq_lbl_res_index")) => s
     }
     assert(scans.nonEmpty, "no filtered-index scan found")
     scans.foreach { s =>

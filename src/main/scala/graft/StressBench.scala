@@ -103,6 +103,13 @@ object StressBench {
         () => Indicators.withWilderRsiExact(hot, w),
         () => Indicators.chunkedWilderRsi(hot, monthChunk, out = "rsi_wilder"),
         col("rsi_wilder")),
+      // OBV isolated: the one UNBOUNDED running sum in the indicator
+      // family — the pure prefix-sum decomposition without the bounded
+      // ROWS frames (no warm-up cloning on the chunked path at all)
+      ("obv",
+        () => Indicators.withObv(hot, w),
+        () => Indicators.chunkedObv(hot, monthChunk),
+        col("obv")),
       ("asof_join",
         () => AsOfJoin.asofJoin(probes, quotes, "symbol", "probe_date",
           "trading_date", "close", "asof_close"),

@@ -189,6 +189,25 @@ object Indicators {
     // summing fresh_sign: the staged lag's value at a chunk's first fresh
     // row IS the previous chunk's last close (the warm-up clone tail),
     // and integer volume arithmetic has no association sensitivity.
+    val offsets = obvChunkOffsets(indexed, orderCols)
+    localObv.join(broadcast(offsets), Seq("symbol", "chunk_id"))
+      .withColumn("obv", (col("obv_local") + col("obv_offset")).cast(DoubleType))
+      .filter(!col("is_warmup"))
+      .drop("is_warmup", "chunk_raw", "chunk_id", "obv_local", "obv_offset", "fresh_sign")
+  }
+
+  /** Per-(symbol, chunk) OBV offsets from ONE narrow sorted pass over the
+    * chunk-indexed frame: each chunk's signed-volume total plus the
+    * boundary sign of its first change vs the PREVIOUS chunk's last
+    * close (which a chunk-local pass cannot see — composed on the tiny
+    * per-chunk frame instead), cumulated exclusively per symbol. Shared
+    * by [[chunkedIndicators]] and the standalone [[chunkedObv]]. No
+    * argmax aggregation over the wide order-key struct exists anywhere
+    * (max(struct(9 cols)) compares interpreted per row and measured ~2×
+    * the cost of the sort itself).
+    */
+  private def obvChunkOffsets(indexed: DataFrame,
+      orderCols: Seq[String], includeOwnBoundary: Boolean = false): DataFrame = {
     val narrow = indexed.select(
       (Seq("symbol", "chunk_id") ++ orderCols ++ Seq("close", "volume"))
         .distinct.map(col): _*)
@@ -209,21 +228,70 @@ object Indicators {
       .select(col("symbol"), col("chunk_id"), col("_chunk_total0"),
         col("_first_close"), col("_first_vol"), col("close").as("_last_close"))
     val symW = Window.partitionBy("symbol").orderBy("chunk_id")
-    val offsets = perChunk
+    perChunk
       .withColumn("_chg1", col("_first_close") - lag(col("_last_close"), 1).over(symW))
       .withColumn("_boundary",
         when(col("_chg1") > 0, col("_first_vol"))
           .when(col("_chg1") < 0, -col("_first_vol"))
           .otherwise(lit(0L)))
       .withColumn("chunk_total", col("_chunk_total0") + col("_boundary"))
+      // the warm-up-free standalone path folds 0 at each chunk's first
+      // row (null local lag), so its offset must carry the chunk's OWN
+      // boundary sign; the indicator pipeline's warm-up clone supplies
+      // that sign locally, so its offset is prior-chunks-only
       .withColumn("obv_offset",
         coalesce(sum(col("chunk_total")).over(
-          symW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          symW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+          (if (includeOwnBoundary) col("_boundary") else lit(0L)))
       .select(col("symbol"), col("chunk_id"), col("obv_offset"))
-    localObv.join(broadcast(offsets), Seq("symbol", "chunk_id"))
-      .withColumn("obv", (col("obv_local") + col("obv_offset")).cast(DoubleType))
-      .filter(!col("is_warmup"))
-      .drop("is_warmup", "chunk_raw", "chunk_id", "obv_local", "obv_offset", "fresh_sign")
+  }
+
+  /** Standalone plain OBV — the unbounded running signed-volume sum over
+    * one symbol-wide window, exactly the [[withIndicators]] obv column
+    * without the other 14 indicators (the isolated form the stress pair
+    * measures against [[chunkedObv]]).
+    */
+  def withObv(df: DataFrame, w: WindowSpec, out: String = "obv"): DataFrame =
+    df.withColumn("_chg", col("close") - lag(col("close"), 1).over(w))
+      .withColumn("_sign",
+        when(col("_chg") > 0, col("volume"))
+          .when(col("_chg") < 0, -col("volume"))
+          .otherwise(lit(0L)))
+      .withColumn(out, sum(col("_sign"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast(DoubleType))
+      .drop("_chg", "_sign")
+
+  /** Standalone chunked OBV — SURVEY §4's prefix-sum decomposition on its
+    * own: chunk-local running sums over bounded (symbol, chunk)
+    * partitions plus the cumulated per-chunk offsets of
+    * [[obvChunkOffsets]]. Needs NO warm-up cloning (unlike the bounded
+    * ROWS-frame indicators): OBV's only cross-chunk dependency is the
+    * previous chunk's last close, and its sign contribution arrives
+    * through the boundary term of the offset frame — a chunk's first
+    * fresh row folds 0 locally, exactly what the null lag would do.
+    * Integer volume arithmetic has no association sensitivity, so the
+    * result is BIT-IDENTICAL to [[withObv]] (pinned in ChunkedSpec) while
+    * the longest sorted run is one chunk, not one symbol-history.
+    */
+  def chunkedObv(df: DataFrame, chunkExpr: Column,
+      orderCols: Seq[String] = Seq("trading_date", "l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "close", "volume", "open", "low"),
+      out: String = "obv"): DataFrame = {
+    val indexed = withDenseChunkIdx(df, chunkExpr)
+    val cw = Window.partitionBy("symbol", "chunk_id").orderBy(orderCols.map(col): _*)
+    val local = indexed
+      .withColumn("_chg", col("close") - lag(col("close"), 1).over(cw))
+      .withColumn("_sign",
+        when(col("_chg") > 0, col("volume"))
+          .when(col("_chg") < 0, -col("volume"))
+          .otherwise(lit(0L)))
+      .withColumn("_obv_local", sum(col("_sign"))
+        .over(cw.rowsBetween(Window.unboundedPreceding, 0)))
+    local.join(broadcast(
+        obvChunkOffsets(indexed, orderCols, includeOwnBoundary = true)),
+        Seq("symbol", "chunk_id"))
+      .withColumn(out, (col("_obv_local") + col("obv_offset")).cast(DoubleType))
+      .drop("_chg", "_sign", "_obv_local", "obv_offset", "chunk_raw", "chunk_id")
   }
 
   /** True exponential EMA (fidelity upgrade over the reference's SMA

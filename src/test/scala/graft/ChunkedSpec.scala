@@ -128,4 +128,35 @@ class ChunkedSpec extends SparkSpec {
       .select("trading_date", "obv").orderBy("trading_date").as[(java.sql.Date, Double)].collect()
     assert(plain.toSeq == chunked.toSeq)
   }
+
+  test("standalone chunkedObv equals the plain unbounded window bit-for-bit") {
+    // the isolated prefix-sum decomposition (the stress pair's chunked
+    // side): no warm-up cloning anywhere, exactness must hold at ANY
+    // chunk width including 1-row chunks, and the result is BIT-identical
+    // (integer signed-volume sums, association-free)
+    val rows = for (s <- Seq("A", "B"); i <- 0 until 500) yield
+      (s, i, 100.0 + 10 * math.sin(i / 7.0) + (if (s == "A") i % 5 else i % 9),
+        (i % 37) + 1L)
+    val df = rows.toDF("symbol", "idx", "close", "volume")
+      .withColumn("trading_date", expr("date_add(date '2010-01-01', idx)"))
+    val plainW = Window.partitionBy("symbol").orderBy("trading_date")
+    val plain = Indicators.withObv(df, plainW)
+      .select("symbol", "trading_date", "obv")
+      .orderBy("symbol", "trading_date")
+      .as[(String, java.sql.Date, Double)].collect().toSeq
+    for (width <- Seq(1, 7, 50, 250)) {
+      val chunked = Indicators.chunkedObv(df, floor(col("idx") / width),
+          orderCols = Seq("trading_date"))
+        .select("symbol", "trading_date", "obv")
+        .orderBy("symbol", "trading_date")
+        .as[(String, java.sql.Date, Double)].collect().toSeq
+      assert(plain == chunked, s"chunk width $width diverged")
+    }
+    // and it matches the obv column of the full indicator pipeline
+    val viaPipeline = Indicators.withIndicators(df, plainW)
+      .select("symbol", "trading_date", "obv")
+      .orderBy("symbol", "trading_date")
+      .as[(String, java.sql.Date, Double)].collect().toSeq
+    assert(plain == viaPipeline)
+  }
 }

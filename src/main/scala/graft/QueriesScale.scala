@@ -998,6 +998,133 @@ object QueriesScale {
         | CAST(b_sum AS BIGINT) AS b_sum
         |FROM s ORDER BY doc_id""".stripMargin))
 
+  // -------------------------------------------------- real audio decode
+  // The waveform half of the multimodal stage, REAL end-to-end: complete
+  // valid PCM WAV files (canonical header AND every sample byte, 8-bit
+  // unsigned and 16-bit little-endian two's complement, mono and stereo)
+  // are built arithmetically from doc_id, the native PcmDecode
+  // expression walks the RIFF chunks back to normalized signed samples,
+  // and PcmChannelStats folds them into per-channel sums / peak
+  // amplitudes / zero-crossing counts — all integer-exact. The oracle
+  // recomputes the statistics from the same generative formula
+  // (including the interleave k = frame·ch + channel and the sign
+  // conventions of both sample widths), so a hash match proves the
+  // decoder inverts the real PCM encoding sample-for-sample. One
+  // codegen'd byte walk per row, zero shuffle — the 100 TB shape.
+  // Golden fixed-byte decodes and corrupt-header fallbacks live in
+  // ScaleOpsSpec.
+  private val audioPcmQ = Q(
+    (s, dir) => {
+      val ch = lit(1L) + col("doc_id") % 2
+      val rate = lit(8000L) + (col("doc_id") * 441) % 8000
+      val frames = lit(50L) + col("doc_id") % 150
+      val payload = when(col("doc_id") % 3 === 0,
+          ScaleOps.synthWavPcm(ch, rate, 8, frames, col("doc_id")))
+        .otherwise(ScaleOps.synthWavPcm(ch, rate, 16, frames, col("doc_id")))
+      val d = ScaleOps.pcmDecode(payload)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), d.as("d"))
+        .select(col("doc_id"), col("d"),
+          ScaleOps.pcmChannelStats(col("d")).as("st"))
+        .select(col("doc_id"), col("d"), col("st"),
+          posexplode(col("st.sums")).as(Seq("channel", "amp_sum")))
+        .select(col("doc_id"),
+          col("d.format").as("format"),
+          col("d.channels").cast(LongType).as("channels"),
+          col("d.sample_rate").cast(LongType).as("sample_rate"),
+          col("d.bits").cast(LongType).as("bits"),
+          col("d.n_frames").cast(LongType).as("n_frames"),
+          col("channel").cast(LongType).as("channel"),
+          col("amp_sum"),
+          element_at(col("st.peaks"), col("channel") + 1).as("peak"),
+          element_at(col("st.zero_crossings"), col("channel") + 1).as("zero_cross"))
+        .orderBy("doc_id", "channel")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id,
+        |    1 + doc_id % 2 AS ch,
+        |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+        |    8000 + (doc_id * 441) % 8000 AS rate,
+        |    50 + doc_id % 150 AS frames
+        |   FROM documents),
+        | k AS (SELECT p.*, f.range AS f, c.range AS c, f.range * ch + c.range AS k
+        |       FROM p CROSS JOIN range(0, 200) f CROSS JOIN range(0, 2) c
+        |       WHERE f.range < frames AND c.range < ch),
+        | s AS (SELECT *, CASE WHEN bits = 8
+        |          THEN (doc_id * 13 + k * 7) % 256 - 128
+        |          ELSE CASE WHEN (doc_id * 13 + k * 7) % 65536 >= 32768
+        |               THEN (doc_id * 13 + k * 7) % 65536 - 65536
+        |               ELSE (doc_id * 13 + k * 7) % 65536 END END AS v
+        |       FROM k),
+        | z AS (SELECT *, CASE WHEN lag(v) OVER w IS NULL THEN 0
+        |          WHEN (v < 0) <> (lag(v) OVER w < 0) THEN 1 ELSE 0 END AS zc
+        |       FROM s WINDOW w AS (PARTITION BY doc_id, c ORDER BY f)),
+        | a AS (SELECT doc_id, ch, bits, rate, frames, c,
+        |        SUM(v) AS amp_sum, MAX(ABS(v)) AS peak, SUM(zc) AS zero_cross
+        |       FROM z GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT doc_id, 'wav' AS format,
+        | CAST(ch AS BIGINT) AS channels, CAST(rate AS BIGINT) AS sample_rate,
+        | CAST(bits AS BIGINT) AS bits, CAST(frames AS BIGINT) AS n_frames,
+        | CAST(c AS BIGINT) AS channel, CAST(amp_sum AS BIGINT) AS amp_sum,
+        | CAST(peak AS BIGINT) AS peak, CAST(zero_cross AS BIGINT) AS zero_cross
+        |FROM a ORDER BY doc_id, channel""".stripMargin))
+
+  // -------------------------------------------------- video frame sample
+  // The video half, REAL end-to-end on the codec-free container:
+  // complete valid Y4M streams (ASCII stream header, per-frame FRAME
+  // markers, raw planar payloads — mono AND 4:2:0 chroma-subsampled) are
+  // built arithmetically from doc_id, and the native Y4mFrameLuma walk
+  // samples every 2nd frame's integer luma sum — the frame-sampling
+  // pattern batch video classification uses (score 1-in-k frames). The
+  // parser must size each frame from the colorspace to even FIND the
+  // next marker, so the mixed-colorspace corpus proves the chroma-plane
+  // skip is real, and the oracle recomputes the sums from the generative
+  // formula over the luma plane only. One bounded byte walk per row,
+  // zero shuffle. Golden hand-built streams and truncation fallbacks
+  // live in ScaleOpsSpec.
+  private val videoFramesQ = Q(
+    (s, dir) => {
+      val w = lit(4L) + (col("doc_id") % 4) * 2
+      val h = lit(4L) + (col("doc_id") % 3) * 2
+      val frames = lit(4L) + col("doc_id") % 8
+      val payload = when(col("doc_id") % 2 === 0,
+          ScaleOps.synthY4m(w, h, frames, col("doc_id"), "mono"))
+        .otherwise(ScaleOps.synthY4m(w, h, frames, col("doc_id"), "420jpeg"))
+      val v = ScaleOps.y4mFrameLuma(payload, 2)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), v.as("v"))
+        .select(col("doc_id"),
+          col("v.width").cast(LongType).as("width"),
+          col("v.height").cast(LongType).as("height"),
+          col("v.colorspace").as("colorspace"),
+          col("v.n_frames").cast(LongType).as("n_frames"),
+          posexplode(arrays_zip(col("v.frame_idx").as("fi"),
+            col("v.y_sums").as("ys"))).as(Seq("_p", "z")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("colorspace"), col("n_frames"),
+          col("z.fi").cast(LongType).as("frame_idx"),
+          col("z.ys").as("y_sum"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id,
+        |    4 + (doc_id % 4) * 2 AS w,
+        |    4 + (doc_id % 3) * 2 AS h,
+        |    4 + doc_id % 8 AS frames,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'mono' ELSE '420jpeg' END AS cs
+        |   FROM documents),
+        | f AS (SELECT p.*, fr.range AS f FROM p CROSS JOIN range(0, 12) fr
+        |       WHERE fr.range < frames AND fr.range % 2 = 0),
+        | px AS (SELECT doc_id, w, h, frames, cs, f, o.range AS o
+        |        FROM f CROSS JOIN range(0, 80) o WHERE o.range < w * h),
+        | a AS (SELECT doc_id, w, h, frames, cs, f,
+        |        SUM((doc_id * 31 + f * 11 + o * 7) % 256) AS y_sum
+        |       FROM px GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | cs AS colorspace, CAST(frames AS BIGINT) AS n_frames,
+        | CAST(f AS BIGINT) AS frame_idx, CAST(y_sum AS BIGINT) AS y_sum
+        |FROM a ORDER BY doc_id, frame_idx""".stripMargin))
+
   // --------------------------------------------- document chunking (RAG)
   // Fixed-window chunking with overlap (window 64, stride 48 → 16-token
   // overlap): the retrieval/embedding prep stage. Single narrow pass —
@@ -3376,6 +3503,8 @@ object QueriesScale {
     "multimodal_meta" -> multimodalQ,
     "image_meta" -> imageMetaQ,
     "image_pixels" -> imagePixelsQ,
+    "audio_pcm" -> audioPcmQ,
+    "video_frames" -> videoFramesQ,
     "audio_meta" -> audioMetaQ,
     "container_meta" -> containerMetaQ,
     "chunk_documents" -> chunkDocumentsQ,

@@ -1390,6 +1390,106 @@ object ScaleOps {
       body)
   }
 
+  // ------------------------------------------------- real sample decode
+  // The audio/video analogues of the raster path: WAV linear PCM and Y4M
+  // raw video are the codec-free containers whose payloads ARE the
+  // waveform/frames, so sample decode is pure byte arithmetic — native
+  // expressions, no media library — and the fixture encoders build
+  // complete valid files (headers AND every sample byte) arithmetically
+  // from doc_id, so the DuckDB oracles recompute the decoded statistics
+  // from the same formulas. Hash matches on `audio_pcm`/`video_frames`
+  // prove the decoders invert the real encodings end-to-end per row.
+
+  /** Native WAV PCM sample decode `struct(format, channels, sample_rate,
+    * bits, n_frames, samples)` — samples normalized to signed ints,
+    * frame-major interleaved
+    * (see [[org.apache.spark.sql.graftnative.PcmDecode]]).
+    */
+  def pcmDecode(payload: Column): Column =
+    org.apache.spark.sql.graftnative.PcmFunctions.pcm_decode(payload)
+
+  /** Per-channel `(sums, peaks, zero_crossings)` of a decoded PCM
+    * struct (see [[org.apache.spark.sql.graftnative.PcmChannelStats]]).
+    */
+  def pcmChannelStats(decoded: Column): Column =
+    org.apache.spark.sql.graftnative.PcmFunctions.pcm_channel_stats(decoded)
+
+  /** Every `stride`-th frame's integer luma sum from a Y4M stream
+    * (see [[org.apache.spark.sql.graftnative.Y4mFrameLuma]]).
+    */
+  def y4mFrameLuma(payload: Column, stride: Int): Column =
+    org.apache.spark.sql.graftnative.PcmFunctions.y4m_frame_luma(payload, stride)
+
+  /** Deterministic fixture sample: frame-interleaved sample index `k` of
+    * waveform `seed` has UNSIGNED container value `(seed·13 + k·7) mod
+    * 2^bits` — the generative formula the oracle mirrors (signed view:
+    * subtract 2^bits when ≥ 2^(bits−1) for 16-bit two's complement, or
+    * the 128 bias for 8-bit).
+    */
+  private def wavSampleU(seed: Column, k: Column, bits: Long): Column =
+    (seed * 13 + k * 7) % (1L << bits)
+
+  /** Complete valid PCM WAV — [[synthWavHeader]]'s canonical header plus
+    * every sample byte of the `frames·channels` waveform from
+    * [[wavSampleU]]: 8-bit writes the unsigned byte directly, 16-bit
+    * writes little-endian sample pairs. `bits` is a literal 8 or 16 (the
+    * byte layout differs structurally, not arithmetically).
+    */
+  def synthWavPcm(channels: Column, rate: Column, bits: Long,
+      frames: Column, seed: Column): Column = {
+    require(bits == 8 || bits == 16, s"bits must be 8 or 16, got $bits")
+    val nBytes = frames * channels * (bits / 8)
+    val body = unhex(array_join(
+      transform(sequence(lit(0L), nBytes - 1), o => {
+        val v =
+          if (bits == 8) wavSampleU(seed, o, 8)
+          else {
+            val k = shiftright(o, 1) // sample index (2 bytes per sample)
+            val u = wavSampleU(seed, k, 16)
+            when(o.bitwiseAND(1L) === 0, u % 256) // LE low byte first
+              .otherwise(shiftright(u, 8))
+          }
+        lpad(hex(v), 2, "0")
+      }), ""))
+    concat(synthWavHeader(channels, rate, lit(bits), frames), body)
+  }
+
+  /** Deterministic fixture luma/chroma byte: offset `o` of frame `f` in
+    * stream `seed` is `(seed·31 + f·11 + o·7) mod 256` — mirrored by the
+    * video_frames oracle over the luma plane (`o < w·h`).
+    */
+  private def y4mByte(seed: Column, f: Column, o: Column): Column =
+    (seed * 31 + f * 11 + o * 7) % 256
+
+  /** Complete valid Y4M stream: `YUV4MPEG2` header with W/H/F/C tags,
+    * then `frames` frames of `FRAME\n` + planar payload from
+    * [[y4mByte]]. `colorspace` is a literal `"mono"` (payload `w·h`) or
+    * `"420jpeg"` (payload `w·h·3/2`, even dims required) — the parser
+    * must size frames from the colorspace to walk to the next marker,
+    * which is exactly what the mixed-colorspace key exercises.
+    */
+  def synthY4m(w: Column, h: Column, frames: Column, seed: Column,
+      colorspace: String): Column = {
+    val luma = w * h
+    val frameBytes = colorspace match {
+      case "mono" => luma
+      case "420jpeg" =>
+        // even dims: ⌈w/2⌉ = w/2 exactly, kept integral via shiftright
+        luma + shiftright(w, 1) * shiftright(h, 1) * 2
+      case other => throw new IllegalArgumentException(
+        s"synthY4m supports mono|420jpeg, got $other")
+    }
+    val header = concat(lit("YUV4MPEG2 W"), w.cast(StringType),
+      lit(" H"), h.cast(StringType),
+      lit(s" F25:1 Ip A1:1 C$colorspace\n")).cast(BinaryType)
+    concat(header, unhex(array_join(
+      transform(sequence(lit(0L), frames - 1), f => {
+        val inner = array_join(transform(sequence(lit(0L), frameBytes - 1),
+          o => lpad(hex(y4mByte(seed, f, o)), 2, "0")), "")
+        concat(lit("4652414d450a"), inner) // hex("FRAME\n") + payload
+      }), "")))
+  }
+
   /** Native audio-container metadata `struct(format, channels,
     * sample_rate, bits_per_sample, n_frames)` — WAV chunk walk + FLAC
     * STREAMINFO bit unpack, same codegen'd zero-shuffle stance as

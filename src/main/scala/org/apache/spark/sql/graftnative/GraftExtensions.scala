@@ -85,6 +85,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     //   image_resize_nn(image_decode(payload), 4, 4)) FROM ...
     unary("image_decode", classOf[ImageDecode], ImageDecode(_))
     unary("raster_channel_sums", classOf[RasterChannelSums], RasterChannelSums(_))
+    // sample decoders: SELECT pcm_channel_stats(pcm_decode(payload)).sums,
+    //   y4m_frame_luma(payload, 2).y_sums FROM ...
+    unary("pcm_decode", classOf[PcmDecode], PcmDecode(_))
+    unary("pcm_channel_stats", classOf[PcmChannelStats], PcmChannelStats(_))
+    ext.injectFunction((
+      new FunctionIdentifier("y4m_frame_luma"),
+      new ExpressionInfo(classOf[Y4mFrameLuma].getName, "y4m_frame_luma"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"y4m_frame_luma expects (payload, stride), got ${children.length} arguments")
+        val stride = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"y4m_frame_luma stride must be an integer literal, got $other")
+        }
+        Y4mFrameLuma(children.head, stride)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("image_resize_nn"),
       new ExpressionInfo(classOf[ImageResizeNN].getName, "image_resize_nn"),

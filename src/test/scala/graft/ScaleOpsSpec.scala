@@ -1686,4 +1686,139 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(3L) == ((6L, 2L, false)))
     assert(!out.contains(4L), "sub-window doc must be absent")
   }
+
+  // ------------------------------------------------ PCM / Y4M decode
+
+  private def le16b(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32b(v: Int) = le16b(v) ++ le16b(v >> 16)
+  private def wavBytes(ch: Int, rate: Int, bits: Int, data: Array[Byte]) =
+    "RIFF".getBytes ++ le32b(36 + data.length) ++ "WAVEfmt ".getBytes ++
+      le32b(16) ++ le16b(1) ++ le16b(ch) ++ le32b(rate) ++
+      le32b(rate * ch * bits / 8) ++ le16b(ch * bits / 8) ++ le16b(bits) ++
+      "data".getBytes ++ le32b(data.length) ++ data
+
+  private def decodePcm(b: Array[Byte]) =
+    Seq(Tuple1(b)).toDF("p")
+      .select(ScaleOps.pcmDecode(col("p")).as("d"))
+      .select(col("d.format"), col("d.channels"), col("d.n_frames"),
+        col("d.samples"), col("d"))
+      .head()
+
+  test("PcmDecode: golden 16-bit stereo bytes — LE two's complement, interleave, stats") {
+    val data = Seq(100, -200, -1, 32767, -32768, 0)
+      .flatMap(v => le16b(v & 0xFFFF)).toArray
+    val r = decodePcm(wavBytes(2, 8000, 16, data))
+    assert(r.getString(0) == "wav" && r.getInt(1) == 2 && r.getInt(2) == 3)
+    assert(r.getSeq[Int](3) == Seq(100, -200, -1, 32767, -32768, 0))
+    val st = Seq(Tuple1(wavBytes(2, 8000, 16, data))).toDF("p")
+      .select(ScaleOps.pcmChannelStats(ScaleOps.pcmDecode(col("p"))).as("s"))
+      .select(col("s.sums"), col("s.peaks"), col("s.zero_crossings")).head()
+    // ch0: 100, -1, -32768 (one + -> - flip); ch1: -200, 32767, 0 (one - -> + flip)
+    assert(st.getSeq[Long](0) == Seq(-32669L, 32567L))
+    assert(st.getSeq[Long](1) == Seq(32768L, 32767L))
+    assert(st.getSeq[Long](2) == Seq(1L, 1L))
+  }
+
+  test("PcmDecode: 8-bit mono bias, truncated-frame drop, non-PCM and corrupt fallbacks") {
+    // 8-bit WAV is UNSIGNED with a 128 bias
+    val r = decodePcm(wavBytes(1, 8000, 8, Array[Byte](128.toByte, 127, 129.toByte, 0)))
+    assert(r.getSeq[Int](3) == Seq(0, -1, 1, -128))
+    val st = Seq(Tuple1(wavBytes(1, 8000, 8, Array[Byte](128.toByte, 127, 129.toByte, 0))))
+      .toDF("p")
+      .select(ScaleOps.pcmChannelStats(ScaleOps.pcmDecode(col("p"))).as("s"))
+      .select(col("s.sums"), col("s.peaks"), col("s.zero_crossings")).head()
+    assert(st.getSeq[Long](0) == Seq(-128L))
+    assert(st.getSeq[Long](1) == Seq(128L))
+    assert(st.getSeq[Long](2) == Seq(3L)) // +,-,+,- : three sign flips
+    // a torn final frame is dropped, not guessed: 7 data bytes at
+    // blockAlign 4 -> 1 whole frame
+    val torn = decodePcm(wavBytes(2, 8000, 16, Array.fill[Byte](7)(1)))
+    assert(torn.getInt(2) == 1 && torn.getSeq[Int](3).length == 2)
+    // float PCM (fmt tag 3) and non-RIFF payloads: samples never guessed
+    val floatWav = wavBytes(1, 8000, 16, Array[Byte](0, 0))
+      .updated(20, 3.toByte)
+    assert(decodePcm(floatWav).getString(0) == "wav" && decodePcm(floatWav).isNullAt(3))
+    assert(decodePcm("not audio".getBytes).getString(0) == "unknown")
+    // stats on an unknown decode: NULL through
+    val unk = Seq(Tuple1("nope".getBytes)).toDF("p")
+      .select(ScaleOps.pcmChannelStats(ScaleOps.pcmDecode(col("p"))).as("s")).head()
+    assert(unk.isNullAt(0))
+  }
+
+  private def y4m(b: Array[Byte], stride: Int) =
+    Seq(Tuple1(b)).toDF("p")
+      .select(ScaleOps.y4mFrameLuma(col("p"), stride).as("v"))
+      .select(col("v.width"), col("v.height"), col("v.colorspace"),
+        col("v.n_frames"), col("v.frame_idx"), col("v.y_sums"))
+      .head()
+
+  test("Y4mFrameLuma: golden mono stream — header tags, frame walk, stride sampling") {
+    val s = "YUV4MPEG2 W2 H2 F25:1 Ip Cmono\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes ++ Array[Byte](1, 2, 3, 4) ++
+      "FRAME\n".getBytes ++ Array[Byte](5, 6, 7, 8) ++
+      "FRAMEXsome_param\n".getBytes ++ Array[Byte](10, 20, 30, 40)
+    val r = y4m(s, 2)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2 && r.getString(2) == "mono")
+    assert(r.getInt(3) == 3)
+    assert(r.getSeq[Int](4) == Seq(0, 2))
+    assert(r.getSeq[Long](5) == Seq(10L, 100L))
+  }
+
+  test("Y4mFrameLuma: 4:2:0 chroma skip is real; default colorspace; torn streams never salvage") {
+    // W2 H2 C420: frame = 4 luma + 2 chroma bytes; the walk must skip
+    // the chroma to find the next FRAME marker
+    val s420 = "YUV4MPEG2 W2 H2 C420jpeg\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes ++ Array[Byte](1, 2, 3, 4, 9, 9) ++
+      "FRAME\n".getBytes ++ Array[Byte](5, 5, 5, 5, 7, 7)
+    val r = y4m(s420, 1)
+    assert(r.getString(2) == "420jpeg" && r.getInt(3) == 2)
+    assert(r.getSeq[Long](5) == Seq(10L, 20L))
+    // absent C tag defaults to 420 per spec: same payload minus the tag
+    val sDefault = "YUV4MPEG2 W2 H2\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes ++ Array[Byte](1, 2, 3, 4, 9, 9)
+    val rd = y4m(sDefault, 1)
+    assert(rd.getString(2) == "420" && rd.getSeq[Long](5) == Seq(10L))
+    // truncated final frame / bad marker / bad magic: NULL, not a prefix
+    assert(y4m(s420.dropRight(1), 1).isNullAt(0))
+    val badMarker = "YUV4MPEG2 W2 H2 Cmono\n".getBytes("US-ASCII") ++
+      "FRUME\n".getBytes ++ Array[Byte](1, 2, 3, 4)
+    assert(y4m(badMarker, 1).isNullAt(0))
+    assert(y4m("MPEG4".getBytes, 1).isNullAt(0))
+  }
+
+  test("synthWavPcm / synthY4m: fixtures decode back to the generative formulas") {
+    // the audio_pcm fixture contract: container value (seed*13 + k*7)
+    // mod 2^bits, frame-major interleave
+    val wav16 = Seq(Tuple1(7L)).toDF("seed")
+      .select(ScaleOps.pcmDecode(ScaleOps.synthWavPcm(
+        lit(2L), lit(8000L), 16, lit(5L), col("seed"))).as("d"))
+      .select(col("d.channels"), col("d.n_frames"), col("d.samples")).head()
+    assert(wav16.getInt(0) == 2 && wav16.getInt(1) == 5)
+    val want16 = (0 until 10).map { k =>
+      val u = (7L * 13 + k * 7) % 65536
+      (if (u >= 32768) u - 65536 else u).toInt
+    }
+    assert(wav16.getSeq[Int](2) == want16)
+    val wav8 = Seq(Tuple1(3L)).toDF("seed")
+      .select(ScaleOps.pcmDecode(ScaleOps.synthWavPcm(
+        lit(1L), lit(8000L), 8, lit(4L), col("seed"))).as("d"))
+      .select(col("d.samples")).head()
+    assert(wav8.getSeq[Int](0) ==
+      (0 until 4).map(k => ((3L * 13 + k * 7) % 256 - 128).toInt))
+    // video: mono and 420 streams of the SAME (w, h, seed) yield the
+    // SAME luma sums — chroma planes change the walk, not the signal
+    val vids = Seq(Tuple1(11L)).toDF("seed")
+      .select(
+        ScaleOps.y4mFrameLuma(ScaleOps.synthY4m(
+          lit(4L), lit(4L), lit(3L), col("seed"), "mono"), 1).as("m"),
+        ScaleOps.y4mFrameLuma(ScaleOps.synthY4m(
+          lit(4L), lit(4L), lit(3L), col("seed"), "420jpeg"), 1).as("c"))
+      .select(col("m.y_sums"), col("c.y_sums"), col("m.n_frames")).head()
+    val wantLuma = (0 until 3).map { f =>
+      (0 until 16).map(o => (11L * 31 + f * 11 + o * 7) % 256).sum
+    }
+    assert(vids.getSeq[Long](0) == wantLuma)
+    assert(vids.getSeq[Long](1) == wantLuma)
+    assert(vids.getInt(2) == 3)
+  }
 }

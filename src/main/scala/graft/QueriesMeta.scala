@@ -929,6 +929,53 @@ object QueriesMeta {
         |  AND v_us >= c_us - CAST(86400 AS BIGINT) * 1000000 AND v_us <= c_us
         | ORDER BY v.user_id, view_id, click_id""".stripMargin))
 
+  // -------------------- streaming tumbling-window agg (real streaming run)
+  // The batch-consistency gate for the canonical streaming aggregation:
+  // event-time tumbling windows + watermark in APPEND mode
+  // (MicroBatch.tumblingCounts — until now pinned only by unit tests).
+  // Append mode emits a window iff the final watermark (= max event ts −
+  // 1 h delay) has passed its END — equality emits, matching the
+  // session_window gate's eviction rule — and the trailing windows the
+  // watermark never passes are ABSENT, which is the allowed-lateness
+  // contract stated as data: the oracle computes the same hourly counts
+  // in DuckDB and applies the same `win_end <= wm` cut, so the hash
+  // match pins both the aggregation AND the emission rule. Window
+  // alignment is epoch-floored on both sides (integer µs division).
+  // Memory sink + collect are gate-harness only, as in the other
+  // stream_* keys.
+  private val streamWindowQ = Q(
+    (sOuter, dir) => {
+      // same state-store partition pin as the other stateful gates: one
+      // AvailableNow pass over ≤600k fixture events needs 8 partitions'
+      // state machinery, not 32
+      val s = sOuter.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"))
+      val qname = "stream_window_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.MicroBatch.tumblingCounts(stream, delay = "1 hour")
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = s.table(qname)
+      val rows = res.collect()
+      s.catalog.dropTempView(qname)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        .orderBy("window_start", "event_type")
+    },
+    Some(
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        | w AS (SELECT event_type, (ts_us // 3600000000) * 3600000000 AS win_us FROM e),
+        | wm AS (SELECT max(ts_us) - 3600000000 AS wmk FROM e),
+        | a AS (SELECT win_us, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |       FROM w GROUP BY 1, 2)
+        | SELECT make_timestamp(win_us) AS window_start, event_type, n_events
+        | FROM a, wm WHERE win_us + 3600000000 <= wmk
+        | ORDER BY window_start, event_type""".stripMargin))
+
   // --------------------------------------------- salted hot-key rollup
   // The static skew-mitigation pattern gated by oracle: symbol is
   // l_returnflag — THREE logical groups over the whole fact, the
@@ -1049,6 +1096,7 @@ object QueriesMeta {
     "standard_scale" -> standardScaleQ,
     "filter_alert_rules" -> alertRulesQ,
     "stream_microbatch" -> streamMicrobatchQ,
+    "stream_window" -> streamWindowQ,
     "resample_ohlc" -> resampleOhlcQ,
     "range_join" -> rangeJoinQ,
     "rolling_corr" -> rollingCorrQ,

@@ -681,6 +681,79 @@ object QueriesScale {
     },
     None)
 
+  /** Candidate→exact-jaccard-verified pair CTEs (`cand`, `sets`,
+    * `verified`) over the minhash chain — the oracle mirror of
+    * [[verifiedPairs]], shared by the graph-analytics keys. (The two
+    * dedup oracles predate this factoring and keep their inline copies;
+    * the text is character-identical.)
+    */
+  private val verifiedOracleCtes =
+    s"""cand AS (SELECT DISTINCT id1, id2 FROM pairs),
+       | sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+       | verified AS (SELECT id1, id2 FROM (
+       |   SELECT cand.id1, cand.id2,
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+       |   FROM cand JOIN sets a ON cand.id1 = a.doc_id JOIN sets b ON cand.id2 = b.doc_id)
+       |  WHERE jaccard >= $dedupJaccardThreshold)""".stripMargin
+
+  // -------------------------------------------- dedup-graph PageRank
+  // Graph centrality over the verified near-dup graph — the second graph
+  // algorithm on the shared candidates→verify pair pipeline (alongside
+  // connected components). On a duplicate graph, rank concentrates on
+  // documents sitting at the center of large template/boilerplate
+  // families, which is exactly the ordering a training pipeline uses to
+  // pick cluster exemplars or rank crawl hubs.
+  //
+  // The arithmetic is FIXED-POINT INTEGER (ScaleOps.pageRankFixedPoint,
+  // ranks scaled by 10^12) precisely so the key can be hash-green:
+  // floating PageRank sums in shuffle order and cannot be mirrored
+  // bitwise; integer division + exact BIGINT sums replay identically in
+  // DuckDB, where the oracle unrolls the same 5 synchronous rounds as
+  // chained CTEs. 100 TB shape: degree-annotated edges materialize once,
+  // every round is join + partial/final agg + left join back to nodes,
+  // per-round lineage cut — see the operator scaladoc.
+  private val pagerankIterations = 5
+  private val pagerankScale = 1000000000000L
+
+  private val pagerankQ = Q(
+    (s, dir) => {
+      val corpus = dupedDocs(s, dir)
+      val verified = verifiedPairs(corpus,
+        ScaleOps.minhashSignatureTable(corpus, "doc_id", "text", k = 8))
+      val edges = verified.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(verified.select(col("id2").as("src"), col("id1").as("dst")))
+      ScaleOps.pageRankFixedPoint(corpus.select("doc_id"), edges,
+          nodeCol = "doc_id", iterations = pagerankIterations,
+          scale = pagerankScale)
+        .select(col("node").as("doc_id"), col("rank").as("pr_scaled"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val iters = (1 to pagerankIterations).map { i =>
+        s"""pr$i AS (SELECT c.doc_id,
+           |   ${pagerankScale * 15L / 100L} // nn.n
+           |     + (coalesce(s.m, 0) * 85) // 100 AS rank
+           |  FROM corpus c CROSS JOIN nn LEFT JOIN (
+           |    SELECT e.dst AS doc_id, SUM(p.rank // d.deg) AS m
+           |    FROM edges e JOIN pr${i - 1} p ON e.src = p.doc_id
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s USING (doc_id))""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH $minhashOracleCtes,
+         | $verifiedOracleCtes,
+         | edges AS (SELECT id1 AS src, id2 AS dst FROM verified
+         |           UNION SELECT id2, id1 FROM verified),
+         | deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |         FROM edges GROUP BY src),
+         | nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM corpus),
+         | pr0 AS (SELECT doc_id, $pagerankScale // nn.n AS rank
+         |         FROM corpus CROSS JOIN nn),
+         | $iters
+         |SELECT doc_id, CAST(rank AS BIGINT) AS pr_scaled
+         |FROM pr$pagerankIterations ORDER BY doc_id""".stripMargin
+    })
+
   // ------------------------------------------------- n-gram set jaccard
   // Exact token-set jaccard for all pairs within a source group —
   // explode distinct tokens, join on (source, token), count intersection;
@@ -894,6 +967,71 @@ object QueriesScale {
          | FROM cand JOIN e e1 ON cand.id1 = e1.vec_id JOIN e e2 ON cand.id2 = e2.vec_id)
          | SELECT label, id1, id2, cos FROM p WHERE cos > 0.25
          | ORDER BY label, id1, id2""".stripMargin))
+
+  // -------------------------------------------------- k-NN graph build
+  // The batch k-nearest-neighbor GRAPH over the embedding corpus — the
+  // construction stage under graph-based dedup clustering, HNSW-style
+  // index seeding, and label propagation. Candidates come from the SAME
+  // capped LSH bucket machinery as embedding_neardup (never an all-pairs
+  // self-join: candidate volume is bounded by cap²/2 per bucket at any
+  // corpus size), each candidate pair is scored once by exact cosine and
+  // contributes an edge in BOTH directions, and each node keeps its top-k
+  // by (cos desc, id) — a window over the candidate set only, partitioned
+  // by source node, so the per-node sort is bounded by that node's
+  // candidate count, not the corpus. Nodes whose buckets are all
+  // singletons have no candidates and are absent — the standard
+  // approximate-kNN-graph contract (recall of the LSH candidate stage is
+  // the embedding_neardup pin). Oracle: identical inlined hyperplanes,
+  // cap, cosine, and QUALIFY top-k — hash-green by construction.
+  private val knnGraphK = 3
+  private val knnGraphQ = Q(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val stacked = emb.select(col("vec_id"),
+        posexplode(ScaleOps.lshBucketsFused(col("embedding"), dim = 64,
+          tables = embNdTables, bits = embNdBits)).as(Seq("tbl", "bucket")))
+      val buckets = ScaleOps.cappedBuckets(
+        stacked.groupBy("tbl", "bucket")
+          .agg(sort_array(collect_list(col("vec_id"))).as("ids")), "ids")
+      val cands = buckets.select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids)),
+            |    y -> struct(x AS id1, y AS id2))))""".stripMargin)).as("p"))
+        .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+        .distinct()
+      val both = cands.unionAll(
+        cands.select(col("id2").as("id1"), col("id1").as("id2")))
+      val e = emb.withColumn("nv", ScaleOps.l2norm(col("embedding")))
+      val scored = both
+        .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+          col("nv").as("n1")), "id1")
+        .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+          col("nv").as("n2")), "id2")
+        .withColumn("cos", ScaleOps.cosine(col("e1"), col("e2"), col("n1"), col("n2")))
+      val w = Window.partitionBy("id1").orderBy(col("cos").desc, col("id2"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= knnGraphK)
+        .select(col("id1").as("src_id"), col("rank"),
+          col("id2").as("dst_id"), col("cos"))
+        .orderBy("src_id", "rank")
+    },
+    Some(
+      s"""WITH bucketed AS (${lshBucketedSql(embNdTables, embNdBits)}),
+         | ok AS (SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY tbl, bucket) AS c
+         |   FROM bucketed) WHERE c BETWEEN 2 AND ${ScaleOps.lshBucketCap}),
+         | cand AS (SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+         |  FROM ok a JOIN ok b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+         |  WHERE a.vec_id < b2.vec_id),
+         | bothdir AS (SELECT id1, id2 FROM cand UNION ALL SELECT id2, id1 FROM cand),
+         | e AS ($embNormSql),
+         | p AS (SELECT bothdir.id1, bothdir.id2,
+         |  list_reduce(list_transform(list_zip(e1.embedding, e2.embedding),
+         |       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a2,b2) -> a2 + b2) / (e1.nv * e2.nv) AS cos
+         | FROM bothdir JOIN e e1 ON bothdir.id1 = e1.vec_id JOIN e e2 ON bothdir.id2 = e2.vec_id)
+         | SELECT id1 AS src_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS INT) AS rank,
+         |  id2 AS dst_id, cos
+         | FROM p QUALIFY rank <= $knnGraphK ORDER BY src_id, rank""".stripMargin))
 
   // ------------------------------------------------ multimodal metadata
   private val multimodalQ = Q(
@@ -1124,6 +1262,69 @@ object QueriesScale {
         | cs AS colorspace, CAST(frames AS BIGINT) AS n_frames,
         | CAST(f AS BIGINT) AS frame_idx, CAST(y_sum AS BIGINT) AS y_sum
         |FROM a ORDER BY doc_id, frame_idx""".stripMargin))
+
+  // ------------------------------------ content-defined chunking (CDC)
+  // The rsync/LBFS chunking rule as a corpus operator: a boundary falls
+  // wherever the rolling hash of the trailing 16 code points lands in
+  // the mask class (native CdcCuts — one codegen'd pass per row), so an
+  // INSERTION moves only the boundaries inside its own window while
+  // fixed-window chunking (chunk_documents above) shifts every
+  // subsequent chunk. That stability is why storage dedup and
+  // incremental transfer chunk this way: per-chunk md5s of a lightly
+  // edited document re-match all but O(1) chunks against the standing
+  // chunk store (the insert-robustness property is pinned in
+  // ScaleOpsSpec). Cut positions are context-free by design — no
+  // min/max clamp, because a clamp makes each boundary depend on the
+  // previous one (sequential state), which would both break the
+  // per-position SQL mirror and serialize what is here an
+  // embarrassingly parallel per-row walk. Expected chunk = mask+1 = 64
+  // chars. The oracle recomputes every position's hash as an explicit
+  // 16-term polynomial from the SAME coefficient table
+  // (CdcCuts.coefficients — single source of truth) and applies the
+  // identical mod rule, so a hash match pins the cut rule, the chunk
+  // reassembly, and the per-chunk content hashes bitwise.
+  private val cdcWindow = 16
+  private val cdcMask = 63
+
+  private val cdcChunkQ = Q(
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .withColumn("cuts", ScaleOps.cdcCuts(col("text"), cdcWindow, cdcMask))
+        .withColumn("starts",
+          concat(array(lit(1)), transform(col("cuts"), c => c + 1)))
+        .withColumn("ends", concat(col("cuts"), array(length(col("text")))))
+        .select(col("doc_id"), col("text"),
+          posexplode(arrays_zip(col("starts").as("st"), col("ends").as("en")))
+            .as(Seq("chunk_idx", "se")))
+        .select(col("doc_id"),
+          col("chunk_idx").cast(LongType).as("chunk_idx"),
+          col("se.st").cast(LongType).as("off"),
+          (col("se.en") - col("se.st") + 1).cast(LongType).as("chunk_len"),
+          md5(expr("substring(text, se.st, se.en - se.st + 1)")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some {
+      val coefs = org.apache.spark.sql.graftnative.CdcCuts
+        .coefficients(cdcWindow).mkString("[", ", ", "]")
+      s"""WITH cdoc AS (SELECT doc_id, text, length(text) AS L
+         |   FROM documents WHERE length(text) > 0),
+         | cut AS (SELECT doc_id, text, L,
+         |   [CAST(p AS BIGINT) for p in generate_series($cdcWindow, L - 1)
+         |     if list_sum(list_transform(range(0, $cdcWindow),
+         |        t -> CAST(unicode(substr(text, CAST(p - t AS INT), 1)) AS BIGINT) * ($coefs)[t + 1]))
+         |       % ${cdcMask + 1} = 0]
+         |   AS cuts FROM cdoc),
+         | seg AS (SELECT doc_id, text,
+         |    list_prepend(CAST(1 AS BIGINT), list_transform(cuts, c -> c + 1)) AS starts,
+         |    list_append(cuts, CAST(L AS BIGINT)) AS ends FROM cut),
+         | ex AS (SELECT doc_id, text, generate_subscripts(starts, 1) AS i,
+         |        unnest(starts) AS st, unnest(ends) AS en FROM seg)
+         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx, CAST(st AS BIGINT) AS off,
+         | CAST(en - st + 1 AS BIGINT) AS chunk_len,
+         | md5(substr(text, CAST(st AS INT), CAST(en - st + 1 AS INT))) AS chunk_md5
+         |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin
+    })
 
   // --------------------------------------------- document chunking (RAG)
   // Fixed-window chunking with overlap (window 64, stride 48 → 16-token
@@ -2437,6 +2638,60 @@ object QueriesScale {
         |      ELSE 'test' END AS split
         | FROM documents ORDER BY doc_id""".stripMargin))
 
+  // -------------------------------- deterministic global shard shuffle
+  // Training-order shuffle WITHOUT a global sort: every doc hashes to a
+  // shard (content-stable, like dataset_split) and its position within
+  // the shard is its rank in hash order — the two-level "hash-partition
+  // then sort locally" decomposition that shuffles a 100 TB corpus with
+  // one bounded-size local sort per shard and zero cross-shard
+  // coordination (the terasort shape; at production scale nShards is in
+  // the thousands so each local sort fits an executor). Spark's window
+  // PARTITION BY shard ORDER BY (h, doc_id) plans exactly that:
+  // hash-exchange on shard + per-partition sort, no range exchange, no
+  // global ordering anywhere. Reproducibility is the point of hashing
+  // rather than random(): the same corpus yields the same epoch
+  // permutation on any cluster size, so a resumed training run reads
+  // the identical batch sequence.
+  private val shuffleShardCount = 16
+
+  /** Shared shard/position assignment: `hashCol` must be a nonneg
+    * 63-bit content hash; position is rank within shard in (hash, id)
+    * order — total because doc_id breaks ties.
+    */
+  private def shardShuffleFrom(docs: DataFrame, hashCol: Column): DataFrame =
+    docs
+      .withColumn("h", hashCol)
+      .withColumn("shard", col("h") % shuffleShardCount)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("h", "doc_id")).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+
+  private val shuffleShardQ = Q(
+    (s, dir) => shardShuffleFrom(
+      Tables.documents(s, dir),
+      conv(substring(md5(concat(lit("shard|"),
+        col("doc_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)),
+    Some(
+      s"""WITH sh2 AS (SELECT doc_id,
+         |   CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         | sp AS (SELECT doc_id, h, h % $shuffleShardCount AS shard FROM sh2),
+         | pp AS (SELECT doc_id, shard,
+         |   ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos FROM sp)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(pos AS BIGINT) AS pos
+         |FROM pp ORDER BY doc_id""".stripMargin))
+
+  // production twin (⊘): seeded xxhash64 in place of the md5 bridge —
+  // one codegen'd hash per row instead of a hex round-trip. Permutation
+  // validity (every shard's positions are exactly 1..|shard|, doc set
+  // preserved, balance bounded) is pinned in ScaleOpsSpec.
+  private val shuffleShardProdQ = Q(
+    (s, dir) => shardShuffleFrom(
+      Tables.documents(s, dir),
+      pmod(xxhash64(lit("shard"), col("doc_id")), lit(Long.MaxValue))),
+    None)
+
   // ------------------------------------------- corpus snapshot diff
   // Crawl-to-crawl delta: classify every doc_id across two corpus
   // snapshots as added / removed / changed / unchanged by CONTENT HASH,
@@ -3458,6 +3713,8 @@ object QueriesScale {
     "pack_sequences" -> packSequencesQ,
     "decontaminate" -> decontaminateQ,
     "dataset_split" -> datasetSplitQ,
+    "shuffle_shard" -> shuffleShardQ,
+    "shuffle_shard_prod" -> shuffleShardProdQ,
     "split_leakage_safe" -> leakageSplitQ,
     "corpus_diff" -> corpusDiffQ,
     "stratified_sample" -> stratifiedSampleQ,
@@ -3489,6 +3746,7 @@ object QueriesScale {
     "dedup_pipeline" -> dedupPipelineQ,
     "dedup_cc" -> dedupCcQ,
     "dedup_cc_prod" -> dedupCcProdQ,
+    "pagerank" -> pagerankQ,
     "dedup_pipeline_prod" -> dedupPipelineProdQ,
     "dedup_incremental" -> dedupIncrementalQ,
     "dedup_incremental_prod" -> dedupIncrementalProdQ,
@@ -3500,6 +3758,7 @@ object QueriesScale {
     "similarity_topk" -> similarityTopkQ,
     "ann_filtered_topk" -> annFilteredTopkQ,
     "embedding_neardup" -> embNeardupQ,
+    "knn_graph" -> knnGraphQ,
     "multimodal_meta" -> multimodalQ,
     "image_meta" -> imageMetaQ,
     "image_pixels" -> imagePixelsQ,
@@ -3508,6 +3767,7 @@ object QueriesScale {
     "audio_meta" -> audioMetaQ,
     "container_meta" -> containerMetaQ,
     "chunk_documents" -> chunkDocumentsQ,
+    "cdc_chunk" -> cdcChunkQ,
     "simhash_neardup" -> simhashQ
   )
 }

@@ -1400,6 +1400,13 @@ object ScaleOps {
   // from the same formulas. Hash matches on `audio_pcm`/`video_frames`
   // prove the decoders invert the real encodings end-to-end per row.
 
+  /** Native content-defined-chunking cut positions (see
+    * [[org.apache.spark.sql.graftnative.CdcCuts]]): 1-based code-point
+    * positions after which a chunk boundary falls.
+    */
+  def cdcCuts(text: Column, window: Int = 16, mask: Int = 63): Column =
+    org.apache.spark.sql.graftnative.TextExpressions.cdc_cuts(text, window, mask)
+
   /** Native WAV PCM sample decode `struct(format, channels, sample_rate,
     * bits, n_frames, samples)` — samples normalized to signed ints,
     * frame-major interleaved
@@ -1760,6 +1767,94 @@ object ScaleOps {
 
   private def newRunDir(d: String): String =
     s"$d/cc_run_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+  // ------------------------------------------------------------------
+  // PageRank (fixed-point integer, bit-reproducible)
+  // ------------------------------------------------------------------
+
+  /** PageRank over a directed edge list with EXACT fixed-point integer
+    * arithmetic: ranks are BIGINTs scaled by `scale`, and every step —
+    * out-degree split `rank div deg`, the exact BIGINT sum of in-flowing
+    * contributions, damping as `(sum · 85) div 100`, teleport
+    * `(scale · 15 / 100) / n` — is integer-only, so the result is
+    * bit-identical in any engine that replays the same iterations (the
+    * `pagerank` oracle unrolls them in DuckDB and hash-matches). Floating
+    * PageRank would be order-of-summation-dependent and unmirrorable.
+    *
+    * Semantics: `iterations` synchronous rounds from a uniform
+    * `scale/n` start; dangling nodes (no out-edges) leak their mass —
+    * the standard simplification, applied identically on both sides.
+    * `nodes` must be unique on `nodeCol` and cover every edge endpoint;
+    * nodes with no in-edges settle at the teleport floor.
+    *
+    * 100 TB shape (the iterative-join discipline proven by
+    * [[connectedComponents]]): the degree-annotated edge list is
+    * materialized ONCE and reused every round, so each iteration is one
+    * equi-join of edges against the (node, rank) frame, one partial+final
+    * aggregation on dst, and one left join back to nodes — shuffle volume
+    * per round is O(|edges|) with map-side combine, nothing is ever
+    * collected to the driver, and each round's rank frame is eagerly
+    * checkpointed to truncate lineage (else round k re-executes rounds
+    * 1..k−1 — and the upstream candidate-generation pipeline — per
+    * action). `checkpointDir` round-trips rounds through parquet instead
+    * of executor-local blocks, the cluster-durable fork documented on
+    * [[connectedComponents]]; on a real cluster you would additionally
+    * bucket the edge list by `src` so the per-round join never reshuffles
+    * the (static) big side.
+    */
+  def pageRankFixedPoint(nodes: DataFrame, edges: DataFrame,
+      nodeCol: String = "node", srcCol: String = "src",
+      dstCol: String = "dst", iterations: Int = 5,
+      scale: Long = 1000000000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val spark = nodes.sparkSession
+    val runDir = checkpointDir.map(newRunDir)
+    def roundCheckpoint(df: DataFrame, round: Int): DataFrame = runDir match {
+      case Some(d) =>
+        val path = s"$d/pr_round_$round"
+        df.write.mode("overwrite").parquet(path)
+        val back = spark.read.parquet(path)
+        if (round > 0) {
+          val prev = new org.apache.hadoop.fs.Path(s"$d/pr_round_${round - 1}")
+          prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(prev, true)
+        }
+        back
+      case None => df.localCheckpoint(true)
+    }
+    val n = nodes.count()
+    require(n > 0, "pageRankFixedPoint: empty node set")
+    val tele = (scale * 15L / 100L) / n
+    val nodeIds = nodes.select(col(nodeCol).cast(LongType).as("node"))
+    // degree-annotated distinct edges, materialized once for all rounds
+    val e = edges
+      .select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .distinct()
+    val contribEdges = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint(true)
+    var ranks = roundCheckpoint(
+      nodeIds.withColumn("rank", lit(scale / n)), 0)
+    for (i <- 1 to iterations) {
+      val inflow = contribEdges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
+        .groupBy("node").agg(sum(col("contrib")).as("m"))
+      ranks = roundCheckpoint(
+        nodeIds.join(inflow, Seq("node"), "left")
+          .select(col("node"),
+            (lit(tele) +
+              expr("(coalesce(m, CAST(0 AS BIGINT)) * 85) div 100"))
+              .as("rank")),
+        i)
+    }
+    // with checkpointDir, only the final round's parquet still backs
+    // `ranks`; the caller owns deleting the cc_run_* namespace once the
+    // result is consumed (same contract as connectedComponents)
+    ranks
+  }
 
   private def ccRun(edges: DataFrame, srcCol: String,
       dstCol: String, maxIter: Int,

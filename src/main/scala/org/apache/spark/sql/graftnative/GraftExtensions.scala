@@ -39,6 +39,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordShingles(children(0), k)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("cdc_cuts"),
+      new ExpressionInfo(classOf[CdcCuts].getName, "cdc_cuts"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"cdc_cuts expects (text, window, mask), got ${children.length} arguments")
+        val lits = children.tail.map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"cdc_cuts window/mask must be integer literals, got $other")
+        }
+        CdcCuts(children.head, lits(0), lits(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[PolyRollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => {

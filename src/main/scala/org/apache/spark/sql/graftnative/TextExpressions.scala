@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native word k-shingling — the corpus-side hot path of every minhash /
@@ -331,12 +331,132 @@ object CharEntropyStats {
   }
 }
 
+/** Native content-defined chunking cut positions (the rsync/LBFS/FastCDC
+  * family): a boundary falls after code point `p` (1-based) iff the
+  * rolling polynomial hash of the trailing `window` code points,
+  * `h_p = Σ_{t=0}^{w−1} cp_{p−t}·A^t  mod 2^31`, satisfies
+  * `h_p mod (mask+1) == 0`, for `p ∈ [w, L−1]` (never at the string end —
+  * the final chunk always closes at L). Cuts are CONTEXT-FREE — each
+  * depends only on the trailing window, never on previous cuts — which is
+  * the property that makes CDC robust to insertions (an edit only moves
+  * boundaries inside its own window) AND makes the rule mirrorable in
+  * SQL: the `cdc_chunk` oracle recomputes each position's hash as an
+  * explicit w-term polynomial and takes the identical mod. One O(len)
+  * pass per row with an O(w) ring buffer, fully inside codegen, zero
+  * shuffle. Deliberately NO min/max clamp: clamps make boundary
+  * eligibility depend on the previous cut (sequential state that no
+  * per-position SQL can restate); the mask alone gives expected chunk
+  * length mask+1 with geometric spread, which is what the dedup/sync use
+  * cases need.
+  *
+  * Semantics are per Unicode CODE POINT, not byte — `substring`/`length`
+  * count code points in both Spark and DuckDB, so cut indices line up
+  * with the string functions that consume them (multibyte pinned in
+  * ScaleOpsSpec). NULL text yields an empty cut list.
+  */
+case class CdcCuts(child: Expression, window: Int, mask: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(window >= 2, "window must be >= 2")
+  require(mask >= 1 && (mask & (mask + 1)) == 0,
+    s"mask must be 2^k - 1, got $mask")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) WordShingles.emptyArray()
+    else CdcCuts.compute(v.asInstanceOf[UTF8String], window, mask)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        |${childGen.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${childGen.isNull}
+        |  ? org.apache.spark.sql.graftnative.WordShingles.emptyArray()
+        |  : org.apache.spark.sql.graftnative.CdcCuts.compute(${childGen.value}, $window, $mask);
+       """.stripMargin
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcCuts {
+  /** Gear multiplier: odd, so ·A is a bijection mod 2^31 and low bits mix. */
+  val A = 31L
+  private val M = 0x7FFFFFFFL // mod 2^31 via two's-complement masking
+
+  /** `A^t mod 2^31` for `t = 0..w-1` — the polynomial coefficients the
+    * SQL oracle inlines as literals.
+    */
+  def coefficients(window: Int): Array[Long] = {
+    val out = new Array[Long](window)
+    var c = 1L
+    var t = 0
+    while (t < window) { out(t) = c; c = (c * A) & M; t += 1 }
+    out
+  }
+
+  /** One rolling pass; see class doc. Called from generated and
+    * interpreted paths.
+    */
+  def compute(text: UTF8String, window: Int, mask: Int): ArrayData = {
+    val s = text.toString
+    val aw = { // A^window mod 2^31: coefficient of the expiring code point
+      var c = 1L; var t = 0
+      while (t < window) { c = (c * A) & M; t += 1 }
+      c
+    }
+    // ring buffer of the last `window` code points
+    val ring = new Array[Long](window)
+    var h = 0L
+    var p = 0 // 1-based count of code points consumed
+    var i = 0 // UTF-16 index
+    var cuts: java.util.ArrayList[Integer] = null
+    // total code points, needed to suppress a cut at the final position
+    val len = s.codePointCount(0, s.length)
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      p += 1
+      // h_p = (A·h_{p−1} + cp_p − cp_{p−w}·A^w) mod 2^31; masking with
+      // 0x7FFFFFFF realizes the mod for any two's-complement intermediate
+      h = ((h * A) & M) + cp
+      if (p > window) h -= (ring(p % window) * aw) & M
+      h &= M
+      ring(p % window) = cp
+      if (p >= window && p < len && (h & mask) == 0L) {
+        if (cuts == null) cuts = new java.util.ArrayList[Integer](8)
+        cuts.add(p)
+      }
+    }
+    if (cuts == null) WordShingles.emptyArray()
+    else {
+      val out = new Array[Any](cuts.size())
+      var j = 0
+      while (j < out.length) { out(j) = cuts.get(j).intValue(); j += 1 }
+      new GenericArrayData(out)
+    }
+  }
+}
+
 object TextExpressions {
   /** Column-level API: native word k-shingles of a text column (see
     * [[WordShingles]]).
     */
   def word_shingles(text: Column, k: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), k))
+
+  /** Column-level API: native content-defined-chunking cut positions
+    * (see [[CdcCuts]]).
+    */
+  def cdc_cuts(text: Column, window: Int, mask: Int): Column =
+    ExpressionUtils.column(CdcCuts(ExpressionUtils.expression(text), window, mask))
 
   /** Column-level API: native per-document character entropy (see
     * [[CharEntropyStats]]).

@@ -1687,6 +1687,150 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!out.contains(4L), "sub-window doc must be absent")
   }
 
+  // ------------------------------------------- fixed-point PageRank
+
+  test("pageRankFixedPoint: golden graph equals the exact integer reference; dangling leaks; isolated at teleport floor") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node") // 4 dangling, 5 isolated
+    val edgeSeq = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L), (1L, 4L))
+    val edges = edgeSeq.toDF("src", "dst")
+    val scale = 1000000L
+    val iters = 4
+    val got = ScaleOps.pageRankFixedPoint(nodes, edges,
+        iterations = iters, scale = scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // plain-Scala reference with IDENTICAL integer arithmetic: uniform
+    // init scale/n, contrib = rank/outdeg (trunc div), damp = sum*85/100
+    val ids = Seq(1L, 2L, 3L, 4L, 5L)
+    val n = ids.size
+    val tele = (scale * 15 / 100) / n
+    val adj = edgeSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var rank = ids.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      adj.foreach { case (u, vs) =>
+        val c = rank(u) / vs.size
+        vs.foreach(v => inflow(v) += c)
+      }
+      rank = ids.map(v => v -> (tele + inflow(v) * 85 / 100)).toMap
+    }
+    assert(got == rank)
+    // isolated node: pure teleport floor every round
+    assert(got(5L) == tele)
+    // node 4 (dangling, two in-edges) holds more than the floor, and
+    // total mass strictly leaked (dangling node + floor truncation)
+    assert(got(4L) > tele)
+    assert(got.values.sum < scale)
+    // zero iterations short-circuits to the uniform start
+    val zero = ScaleOps.pageRankFixedPoint(nodes, edges,
+        iterations = 0, scale = scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zero.values.toSet == Set(scale / n))
+  }
+
+  // ------------------------------------------- shard shuffle (prod twin)
+
+  test("shuffle_shard_prod: valid permutation per shard, doc set preserved, bounded balance, md5-twin equivalence of shape") {
+    val dir = sf0001
+    val out = QueriesScale.all("shuffle_shard_prod").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.documents(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == docs, "every doc exactly once")
+    val byShard = out.groupBy(_._2)
+    byShard.foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions must be exactly 1..${rows.length}")
+    }
+    val sizes = byShard.values.map(_.length)
+    assert(byShard.size == 16, "all 16 shards populated at 500 docs")
+    assert(sizes.max <= 3 * (out.length / 16),
+      "no shard above 3x the mean — hash balance")
+    // the md5 (oracle) twin has the same shape properties with
+    // different assignments — same doc set, same shard count
+    val md5Out = QueriesScale.all("shuffle_shard").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(md5Out.map(_._1).toSet == docs)
+    assert(md5Out.groupBy(_._2).size == 16)
+  }
+
+  // ------------------------------------------- content-defined chunking
+
+  /** Independent per-position reference: explicit w-term polynomial over
+    * code points in BigInt (no rolling update, no masking tricks).
+    */
+  private def cdcReference(s: String, w: Int, mask: Int): Seq[Int] = {
+    val cps = s.codePoints().toArray
+    val m = BigInt(2).pow(31)
+    val coefs = (0 until w).map(t => BigInt(31).pow(t).mod(m))
+    (w to cps.length - 1).filter { p => // 1-based p in [w, len-1]
+      val h = (0 until w).map(t => BigInt(cps(p - 1 - t)) * coefs(t)).sum.mod(m)
+      h % (mask + 1) == 0
+    }
+  }
+
+  private def cdcCutsOf(s: String, w: Int = 16, mask: Int = 15): Seq[Int] =
+    Seq(Tuple1(s)).toDF("t")
+      .select(ScaleOps.cdcCuts(col("t"), w, mask).as("c"))
+      .head().getSeq[Int](0).toSeq
+
+  test("CdcCuts: rolling hash equals the explicit polynomial reference; code-point semantics; edges") {
+    // mask 15 (expected chunk 16) so short fixtures actually cut
+    val ascii = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    assert(cdcCutsOf(ascii) == cdcReference(ascii, 16, 15))
+    assert(cdcCutsOf(ascii).nonEmpty, "fixture long enough to cut")
+    // multibyte: CJK (3-byte UTF-8) and a supplementary-plane char
+    // (surrogate pair in UTF-16) — positions count CODE POINTS
+    val cjk = "深度学习模型需要大规模预训练语料库" * 5 + new String(Character.toChars(0x1F600)) + "end of stream padding here"
+    assert(cdcCutsOf(cjk) == cdcReference(cjk, 16, 15))
+    // shorter than the window: no position is eligible
+    assert(cdcCutsOf("short") == Seq())
+    // exactly window long: p = w = len is the final position — suppressed
+    assert(cdcCutsOf("abcdefghijklmnop") == Seq())
+    // null text: empty, not null
+    val nullRow = Seq[Option[String]](None).toDF("t")
+      .select(ScaleOps.cdcCuts(col("t"), 16, 15).as("c")).head()
+    assert(!nullRow.isNullAt(0) && nullRow.getSeq[Int](0).isEmpty)
+  }
+
+  test("CdcCuts: insertion moves only boundaries within one window of the edit") {
+    val base = ("content defined chunking is robust to local edits " * 10).trim
+    val editAt = 200 // 0-based char offset of the insertion
+    val ins = "XYZ"
+    val edited = base.substring(0, editAt) + ins + base.substring(editAt)
+    val cutsBase = cdcCutsOf(base)
+    val cutsEdit = cdcCutsOf(edited)
+    // every boundary strictly before the edit is preserved as-is
+    assert(cutsEdit.filter(_ < editAt) == cutsBase.filter(_ < editAt))
+    // every boundary at least one window past the edit is preserved,
+    // shifted by exactly the insertion length — the CDC property that
+    // keeps per-chunk hashes re-matching a standing chunk store
+    val horizon = editAt + ins.length + 16
+    assert(cutsEdit.filter(_ >= horizon).map(_ - ins.length) ==
+      cutsBase.filter(_ >= horizon - ins.length))
+  }
+
+  test("cdc_chunk: chunks reassemble the document exactly and respect the cut rule") {
+    val rows = QueriesScale.all("cdc_chunk").fn(spark, sf0001)
+      .select("doc_id", "chunk_idx", "off", "chunk_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val texts = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.groupBy(_._1).foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      // offsets tile [1, len] with no gap or overlap
+      assert(sorted.head._3 == 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4, s"doc $doc gap")
+        case _ =>
+      }
+      val last = sorted.last
+      assert(last._3 + last._4 - 1 ==
+        texts(doc).codePointCount(0, texts(doc).length))
+    }
+  }
+
   // ------------------------------------------------ PCM / Y4M decode
 
   private def le16b(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)

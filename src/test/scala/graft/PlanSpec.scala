@@ -834,4 +834,68 @@ class PlanSpec extends SparkSpec {
     assert(ex.size <= 1, s"expected only the ORDER BY exchange, got ${ex.size}")
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
   }
+
+  test("shuffle_shard: one hash exchange ON SHARD + the output sort — never a global position sort") {
+    // the terasort contract: positions come from a per-shard local sort
+    // (window hash-partitioned by shard), so the only exchanges are the
+    // shard hash partition and the deterministic-output range sort — a
+    // range exchange BEFORE the window would mean the plan regressed to
+    // a global sort over the corpus
+    Seq("shuffle_shard", "shuffle_shard_prod").foreach { name =>
+      val p = physical(Queries.all(name).fn(spark, sf0001))
+      val ex = collectAll(p) { case e: Exchange => e }
+      assert(ex.size == 2, s"$name: ${ex.size} exchanges (want 2)")
+      val parts = ex.map(_.outputPartitioning.toString.toLowerCase)
+      assert(parts.count(_.contains("rangepartitioning")) == 1, s"$name: $parts")
+      val hash = parts.filter(_.contains("hashpartitioning"))
+      assert(hash.size == 1 && hash.head.contains("shard"),
+        s"$name window must hash-partition on shard: $parts")
+    }
+  }
+
+  test("cdc_chunk: cut detection and chunk hashing are per-row — explode, no hash exchange") {
+    val p = physical(Queries.all("cdc_chunk").fn(spark, sf0001))
+    // scan → native cuts → generate (posexplode) → md5 projection; the
+    // only exchange is the output ORDER BY. Any hash exchange means an
+    // accidental aggregation/join slipped into what must stay a single
+    // linear corpus pass.
+    val ex = collectAll(p) { case e: Exchange => e }
+    assert(ex.size <= 1, s"${ex.size} exchanges (want ≤1)")
+    ex.foreach(e => assert(
+      e.outputPartitioning.toString.toLowerCase.contains("range"),
+      s"cdc_chunk computation shuffles: ${e.outputPartitioning}"))
+    assert(collectAll(p) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.nonEmpty, "chunk expansion must plan as Generate")
+  }
+
+  test("pagerank: one iteration = degree join + two-phase inflow aggregate + left join, no cartesian") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+    import spark.implicits._
+    // reproduce one UN-checkpointed round's plan (the key's own plan is
+    // lineage-cut every round by design, so the interesting shape lives
+    // inside the iteration)
+    val nodes = (1L to 50L).toDF("node")
+    val e = (1L to 49L).map(i => (i, i + 1)).toDF("src", "dst")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ranks = nodes.withColumn("rank", lit(1000L))
+    val inflow = e.join(deg, "src")
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
+      .groupBy("node").agg(sum(col("contrib")).as("m"))
+    val next = nodes.join(inflow, Seq("node"), "left")
+      .select(col("node"),
+        (lit(3L) + expr("(coalesce(m, CAST(0 AS BIGINT)) * 85) div 100")).as("rank"))
+    val p = physical(next)
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    // the inflow sum must aggregate partially below its exchange —
+    // map-side combine is what bounds the per-round shuffle to the
+    // distinct dst set instead of the full edge list
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.exists(_.aggregateExpressions.exists(
+        _.mode.toString.toLowerCase.contains("partial"))),
+      s"inflow aggregation must have a partial phase:\n$p")
+  }
 }

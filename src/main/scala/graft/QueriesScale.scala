@@ -754,6 +754,27 @@ object QueriesScale {
          |FROM pr$pagerankIterations ORDER BY doc_id""".stripMargin
     })
 
+  // production twin (⊘): the same fixed-point iterations over the
+  // xxhash64 candidate family (no md5 oracle tax on the signature
+  // stage). The integer arithmetic is hash-free, so ranks equal the md5
+  // family's EXACTLY wherever the verified edge sets agree — on the
+  // fixture corpus they do (the dedup_cc_prod argument), pinned in
+  // ScaleOpsSpec as bit-equality of the full rank vector.
+  private val pagerankProdQ = Q(
+    (s, dir) => {
+      val corpus = dupedDocs(s, dir)
+      val verified = verifiedPairs(corpus,
+        ScaleOps.minhashSignatureTableXx(corpus, "doc_id", "text", k = 8))
+      val edges = verified.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(verified.select(col("id2").as("src"), col("id1").as("dst")))
+      ScaleOps.pageRankFixedPoint(corpus.select("doc_id"), edges,
+          nodeCol = "doc_id", iterations = pagerankIterations,
+          scale = pagerankScale)
+        .select(col("node").as("doc_id"), col("rank").as("pr_scaled"))
+        .orderBy("doc_id")
+    },
+    None)
+
   // ------------------------------------------------- n-gram set jaccard
   // Exact token-set jaccard for all pairs within a source group —
   // explode distinct tokens, join on (source, token), count intersection;
@@ -3747,6 +3768,7 @@ object QueriesScale {
     "dedup_cc" -> dedupCcQ,
     "dedup_cc_prod" -> dedupCcProdQ,
     "pagerank" -> pagerankQ,
+    "pagerank_prod" -> pagerankProdQ,
     "dedup_pipeline_prod" -> dedupPipelineProdQ,
     "dedup_incremental" -> dedupIncrementalQ,
     "dedup_incremental_prod" -> dedupIncrementalProdQ,

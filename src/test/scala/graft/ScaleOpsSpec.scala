@@ -1728,6 +1728,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(zero.values.toSet == Set(scale / n))
   }
 
+  test("pagerank_prod: xxhash64-family ranks bit-equal the md5 family on the fixture corpus") {
+    val md5Ranks = QueriesScale.all("pagerank").fn(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val xxRanks = QueriesScale.all("pagerank_prod").fn(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(md5Ranks == xxRanks,
+      "integer PageRank is hash-free past the candidate stage — rank " +
+        "vectors must agree wherever the verified edge sets do")
+  }
+
   // ------------------------------------------- shard shuffle (prod twin)
 
   test("shuffle_shard_prod: valid permutation per shard, doc set preserved, bounded balance, md5-twin equivalence of shape") {

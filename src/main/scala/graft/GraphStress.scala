@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the iterative/analytic graph family (connected
+  * components, fixed-point PageRank, triangle counting, bounded BFS) on
+  * a synthetic graph far beyond the fixture's verified-pair graphs —
+  * the same fresh-JVM methodology as [[StressBench]] (run alone;
+  * co-resident JVMs inflate timings, measured up to 3.8×).
+  *
+  * Graph shape is chosen adversarially: a long chain (diameter stress —
+  * CC needs O(log d) star rounds) plus hub edges every node → node%H
+  * (skew stress — each hub accumulates n/H in-edges, exercising
+  * PageRank's map-side partial aggregation and the degree-orientation
+  * bound in triangle counting). For the triangle/BFS ops a second skip
+  * rail i → i+2 is added, making the triangle count exactly n−2
+  * — the probe SELF-VALIDATES the distributed count at full scale
+  * (hub members are ≥H apart, so hubs close no extra triangles).
+  *
+  * `SPARK_GRAFT_GRAPH_OPS` picks the sections (default `cc,pr`; add
+  * `tri,bfs`); `SPARK_GRAFT_GRAPH_NODES` the size (default 2M → ~4M
+  * directed edges for cc/pr, ~6M undirected for tri/bfs). Prints one
+  * JSON line with wall seconds per requested op.
+  */
+object GraphStress {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val n = sys.env.getOrElse("SPARK_GRAFT_GRAPH_NODES", "2000000").toLong
+    val ops = sys.env.getOrElse("SPARK_GRAFT_GRAPH_OPS", "cc,pr")
+      .split(",").map(_.trim).toSet
+    val hubs = 1000L
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // chain i -> i+1 (long diameter) + hub i -> i % hubs (heavy skew);
+    // self-loops from the hub rule are dropped by the operators
+    val ids = spark.range(0, n).select(col("id"))
+    val chain = ids.filter(col("id") < n - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val hub = ids.select(col("id").as("src"), (col("id") % hubs).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val edges = chain.unionAll(hub).localCheckpoint(true)
+    val nEdges = edges.count()
+
+    val fields = collection.mutable.ArrayBuffer(
+      s""""nodes":$n""", s""""edges":$nEdges""", s""""cpus":$cpus""")
+
+    if (ops("cc")) {
+      val t0 = System.nanoTime()
+      val reps = operators.ScaleOps.connectedComponents(edges, "src", "dst")
+      val nComponents = ids
+        .join(reps.withColumnRenamed("node", "id"), Seq("id"), "left")
+        .select(coalesce(col("rep"), col("id")).as("rep"))
+        .distinct().count()
+      val ccSec = (System.nanoTime() - t0) / 1e9
+      fields += f""""cc_sec":$ccSec%.2f"""
+      fields += s""""cc_components":$nComponents"""
+    }
+
+    if (ops("pr")) {
+      val both = edges.unionAll(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val t1 = System.nanoTime()
+      val ranks = operators.ScaleOps.pageRankFixedPoint(
+        ids.withColumnRenamed("id", "node"), both, iterations = 5)
+      val r = ranks.agg(count(lit(1)), max(col("rank"))).head()
+      val prSec = (System.nanoTime() - t1) / 1e9
+      fields += f""""pagerank_sec":$prSec%.2f"""
+      fields += s""""pagerank_iters":5,"ranked":${r.getLong(0)},"max_rank":${r.getLong(1)}"""
+    }
+
+    // skip rail for the analytic ops: triangles become exactly n-2
+    lazy val withSkip = {
+      val skip = ids.filter(col("id") < n - 2)
+        .select(col("id").as("src"), (col("id") + 2).as("dst"))
+      edges.unionAll(skip).localCheckpoint(true)
+    }
+
+    if (ops("tri")) {
+      val t2 = System.nanoTime()
+      val row = operators.ScaleOps.triangleCount(withSkip).head()
+      val triSec = (System.nanoTime() - t2) / 1e9
+      val expected = n - 2
+      require(row.getLong(2) == expected,
+        s"triangle self-check failed: got ${row.getLong(2)}, want $expected")
+      fields += f""""triangle_sec":$triSec%.2f"""
+      fields += s""""triangles":${row.getLong(2)},"tri_edges":${row.getLong(1)},"tri_selfcheck":"ok""""
+    }
+
+    if (ops("bfs")) {
+      val t3 = System.nanoTime()
+      val seeds = spark.range(0, 1).select(col("id").as("node"))
+      val lv = operators.ScaleOps.bfsLevels(withSkip, seeds, maxLevel = 3)
+      val r = lv.agg(count(lit(1)), max(col("level"))).head()
+      val bfsSec = (System.nanoTime() - t3) / 1e9
+      fields += f""""bfs_sec":$bfsSec%.2f"""
+      fields += s""""bfs_reached":${r.getLong(0)},"bfs_max_level":${r.getInt(1)}"""
+    }
+
+    println(fields.mkString("""{"metric":"graph_stress",""", ",", "}"))
+    spark.stop()
+  }
+}

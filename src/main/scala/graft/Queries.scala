@@ -649,7 +649,8 @@ object Queries {
          | ORDER BY trading_date, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)))
 
   // ---------------------------------------------------------------- map
-  val all: Map[String, Q] = core ++ QueriesMeta.all ++ QueriesScale.all ++ QueriesWarehouse.all
+  val all: Map[String, Q] = core ++ QueriesMeta.all ++ QueriesScale.all ++
+    QueriesWarehouse.all ++ QueriesRelational.all
 
   private lazy val core: Map[String, Q] = Map(
     "sma" -> smaQ,

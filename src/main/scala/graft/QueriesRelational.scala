@@ -1,0 +1,278 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Queries.Q
+
+/** Relational / warehouse operators beyond [[QueriesWarehouse]]'s sink
+  * shapes: wide→long reshape (unpivot), referential-integrity anti join,
+  * batch MERGE of a changelog, blocked fuzzy record linkage, and exact
+  * triangle counting on a co-occurrence graph. Each is a capability a
+  * 100 TB lakehouse pipeline reaches for weekly; none needs more than
+  * equi-joins + aggregates, so every one of them is fully
+  * oracle-checkable in ANSI SQL.
+  */
+object QueriesRelational {
+
+  // ------------------------------------------------------- unpivot (melt)
+  // The wide→long reshape (pandas `melt`, SQL UNPIVOT): the OHLCV frame's
+  // four price columns become (field, value) rows — the layout feature
+  // stores and long-format plotting/ML consumers want. Spark plans
+  // unpivot as a single Expand (each input row replicated once per value
+  // column, same operator the rollup key pins) — ONE scan whatever the
+  // arity, no join, no shuffle until the presentation sort. Values pass
+  // through untouched (no arithmetic), so doubles hash-match bitwise.
+  private val unpivotQ = Q(
+    (s, dir) =>
+      Tables.ohlcv(s, dir)
+        .unpivot(
+          Array(col("symbol"), col("trading_date"), col("l_orderkey"),
+            col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+          Array(col("open"), col("high"), col("low"), col("close")),
+          "field", "value")
+        .orderBy(col("symbol"), col("trading_date"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("field")),
+    Some(
+      s"""WITH base AS (${Tables.ohlcvSql}),
+         | long AS (
+         |  SELECT symbol, trading_date, l_orderkey, l_linenumber,
+         |         l_partkey, l_suppkey, 'open' AS field, open AS value FROM base
+         |  UNION ALL
+         |  SELECT symbol, trading_date, l_orderkey, l_linenumber,
+         |         l_partkey, l_suppkey, 'high', high FROM base
+         |  UNION ALL
+         |  SELECT symbol, trading_date, l_orderkey, l_linenumber,
+         |         l_partkey, l_suppkey, 'low', low FROM base
+         |  UNION ALL
+         |  SELECT symbol, trading_date, l_orderkey, l_linenumber,
+         |         l_partkey, l_suppkey, 'close', close FROM base)
+         | SELECT * FROM long
+         | ORDER BY symbol, trading_date, l_orderkey, l_linenumber,
+         |          l_partkey, l_suppkey, field""".stripMargin))
+
+  // ------------------------------------------- referential-integrity anti
+  // The data-quality sweep every ingest runs: facts whose expected
+  // detail rows are absent. Here: orders with NO high-quantity
+  // (≥ 45) lineitem — a NOT EXISTS with a correlated predicate, planned
+  // as build-side-pre-aggregated LEFT ANTI. The build side is first
+  // filtered AND key-distinct'd, so the anti join probes the smallest
+  // possible hash set; at 100 TB the distinct key set is a fraction of
+  // the detail table and AQE can broadcast it outright. No count-based
+  // outer-join-then-filter detour, no driver collection.
+  private val antiJoinQ = Q(
+    (s, dir) => {
+      val bigLines = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 45.0)
+        .select(col("l_orderkey")).distinct()
+      Tables.orders(s, dir)
+        .join(bigLines,
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate
+        | FROM orders o
+        | WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45.0)
+        | ORDER BY o_orderkey""".stripMargin))
+
+  // ---------------------------------------------------- batch MERGE apply
+  // operators.MergeUpsert.applyChangelog over an order-derived state
+  // table: the snapshot is each customer's latest order state before the
+  // 1997-01-01 cutoff; the changelog is the latest post-cutoff order per
+  // customer, read as an upsert — or, for customers whose latest order
+  // closed (status 'F'), a delete. Latest-wins collapse on BOTH sides is
+  // the max(struct(...)) idiom over the unique (o_orderdate, o_orderkey)
+  // order, so the oracle's ROW_NUMBER() DESC picks the identical row.
+  // One full-outer shuffle applies the whole log; see the operator
+  // scaladoc for the 100 TB story.
+  private val mergeUpsertQ = Q(
+    (s, dir) => {
+      val cutoff = lit("1997-01-01").cast(TimestampType)
+      def latest(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))).as("_m"))
+        .select(col("o_custkey"), col("_m.o_orderkey").as("o_orderkey"),
+          col("_m.o_orderstatus").as("status"),
+          col("_m.o_totalprice").as("o_totalprice"),
+          col("_m.o_orderdate").as("o_orderdate"))
+      val orders = Tables.orders(s, dir)
+      val target = latest(orders.filter(col("o_orderdate") < cutoff))
+      val changes = latest(orders.filter(col("o_orderdate") >= cutoff))
+        .withColumn("op",
+          when(col("status") === "F", lit("D")).otherwise(lit("U")))
+      operators.MergeUpsert
+        .applyChangelog(target, changes, Seq("o_custkey"), "op")
+        .orderBy(col("o_custkey"))
+    },
+    Some(
+      """WITH tgt AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus AS status,
+        |         o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
+        | chg AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus AS status,
+        |         o_totalprice, o_orderdate,
+        |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
+        | SELECT COALESCE(t.o_custkey, c.o_custkey) AS o_custkey,
+        |  CASE WHEN c.op = 'U' THEN c.o_orderkey ELSE t.o_orderkey END AS o_orderkey,
+        |  CASE WHEN c.op = 'U' THEN c.status ELSE t.status END AS status,
+        |  CASE WHEN c.op = 'U' THEN c.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |  CASE WHEN c.op = 'U' THEN c.o_orderdate ELSE t.o_orderdate END AS o_orderdate
+        | FROM tgt t FULL OUTER JOIN chg c ON t.o_custkey = c.o_custkey
+        | WHERE c.op IS NULL OR c.op = 'U'
+        | ORDER BY o_custkey""".stripMargin))
+
+  // ------------------------------------------------- fuzzy record linkage
+  // Blocked edit-distance self-linkage over the part-name dimension —
+  // the record-linkage shape behind vendor/product/entity dedup when
+  // names drift. The blocking key (the name's noun token) turns the
+  // quadratic all-pairs problem into per-block equi-join groups, and the
+  // expensive distance function runs ONLY on block-colocated pairs —
+  // the same never-all-pairs stance as the MinHash banding family, with
+  // a plain string key instead of a signature. levenshtein() is
+  // codegen'd; the ≤ 3 cutoff and a < b dedup keep output linear in the
+  // block sizes. At 100 TB: names dim ≪ facts, blocks bound the fanout,
+  // and a skewed block is exactly the salted_join precedent.
+  private val fuzzyJoinQ = Q(
+    (s, dir) => {
+      val names = Tables.part(s, dir).select(col("p_name")).distinct()
+        .select(col("p_name"),
+          expr("split_part(p_name, ' ', 2)").as("blk"))
+      val a = names.select(col("p_name").as("name_a"), col("blk"))
+      val b = names.select(col("p_name").as("name_b"), col("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b"))
+            .cast(IntegerType).as("edit_dist"))
+        .filter(col("edit_dist") <= 3)
+        .orderBy(col("name_a"), col("name_b"))
+    },
+    Some(
+      """WITH names AS (SELECT DISTINCT p_name,
+        |   split_part(p_name, ' ', 2) AS blk FROM part)
+        | SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |   CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+        | FROM names a JOIN names b
+        |   ON a.blk = b.blk AND a.p_name < b.p_name
+        | WHERE levenshtein(a.p_name, b.p_name) <= 3
+        | ORDER BY name_a, name_b""".stripMargin))
+
+  // -------------------------------------------------------- triangle count
+  // operators.ScaleOps.triangleCount over the part co-occurrence graph
+  // (parts sharing an urgent order are connected): exact global triangle
+  // count by degree-ordered orientation — wedge volume bounded by m^1.5
+  // instead of Σd², see the operator scaladoc. The oracle restates the
+  // identical orientation rule, so the single (n_nodes, n_edges,
+  // n_triangles) row hash-matches exactly.
+  private val triangleQ = Q(
+    (s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val li = Tables.lineitem(s, dir)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      val bb = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+      val edges = a.join(bb, Seq("l_orderkey"))
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      operators.ScaleOps.triangleCount(edges)
+    },
+    Some(
+      """WITH li AS (
+        |  SELECT l.l_orderkey, l.l_partkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderpriority = '1-URGENT'),
+        | pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+        |  GROUP BY node),
+        | ori AS (
+        |  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+        |              THEN u ELSE v END AS s,
+        |         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+        |              THEN v ELSE u END AS t
+        |  FROM pairs JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v)
+        | SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |        (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+        |        CAST(count(*) AS BIGINT) AS n_triangles
+        | FROM ori e1
+        |   JOIN ori e2 ON e1.t = e2.s
+        |   JOIN ori e3 ON e3.s = e1.s AND e3.t = e2.t""".stripMargin))
+
+  // ------------------------------------------------------ bounded BFS
+  // operators.ScaleOps.bfsLevels over the same urgent co-occurrence
+  // graph: minimum hop distance (≤ 3) from the Brand#11 part set — the
+  // blast-radius / neighborhood-expansion query. Level-synchronous
+  // frontier joins on the engine side; the oracle restates BFS as a
+  // depth-capped recursive CTE with MIN(level) per node (recursive
+  // UNION dedups (node, level) pairs, the level cap bounds the walk,
+  // and min-over-levels IS the BFS distance). Isolated seeds count at
+  // level 0 on both sides.
+  private val bfsQ = Q(
+    (s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val li = Tables.lineitem(s, dir)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      val bb = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+      val edges = a.join(bb, Seq("l_orderkey"))
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      val seeds = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#11")
+        .select(col("p_partkey").as("node"))
+      operators.ScaleOps.bfsLevels(edges, seeds, maxLevel = 3)
+        .orderBy(col("node"))
+    },
+    Some(
+      """WITH RECURSIVE li AS (
+        |  SELECT l.l_orderkey, l.l_partkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderpriority = '1-URGENT'),
+        | pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | und AS (SELECT u AS a, v AS b FROM pairs
+        |         UNION ALL SELECT v, u FROM pairs),
+        | seeds AS (SELECT DISTINCT p_partkey AS node FROM part
+        |           WHERE p_brand = 'Brand#11'),
+        | walk(node, level) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT u.b, w.level + 1 FROM walk w JOIN und u ON u.a = w.node
+        |  WHERE w.level < 3)
+        | SELECT node, CAST(MIN(level) AS INT) AS level
+        | FROM walk GROUP BY node ORDER BY node""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "unpivot_long" -> unpivotQ,
+    "anti_join_orphans" -> antiJoinQ,
+    "merge_upsert" -> mergeUpsertQ,
+    "fuzzy_join" -> fuzzyJoinQ,
+    "triangle_count" -> triangleQ,
+    "bfs_levels" -> bfsQ
+  )
+}

@@ -1933,4 +1933,112 @@ object ScaleOps {
     (e.select(col("v").as("node"), col("u").as("rep")), runDir)
   }
 
+  /** Exact global triangle count over an undirected edge list, returned
+    * as one row `(n_nodes, n_edges, n_triangles)` — the clustering-
+    * coefficient / community-density primitive that rounds out the graph
+    * family (CC for equivalence, PageRank for centrality, k-NN for
+    * construction, triangles for cohesion).
+    *
+    * Algorithm: degree-ordered orientation (Cohen, "Graph Twiddling in a
+    * MapReduce World", CiSE'09 — the standard distributed formulation).
+    * Each undirected edge is directed from its lower-degree endpoint to
+    * its higher-degree endpoint (ties broken by node id), which makes the
+    * orientation acyclic, so every triangle has exactly ONE wedge
+    * s→t₁, s→t₂ whose closing edge t₁→t₂ is also forward — each triangle
+    * is counted once, never 3× or 6×.
+    *
+    * == Why this survives 100 TB ==
+    * The naive wedge join groups by EVERY node and explodes hubs: a
+    * degree-d celebrity contributes d² wedges. Orientation bounds every
+    * out-degree by O(√m) (a node of degree > √m cannot have √m
+    * higher-degree neighbors), so worst-case wedge volume drops from
+    * Σd² to m^1.5 — the known optimum for exact counting — and the skew
+    * lands on the JOIN key distribution where AQE's skew-join splitting
+    * applies. Everything is equi-joins and aggregates: three shuffles
+    * (degree, orientation, wedge-close), no BNLJ, nothing collected.
+    * Input normalization (canonicalize + distinct) makes the count
+    * well-defined under duplicate or reversed input edges; self-loops
+    * are dropped.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val ori = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
+        when(fwd, col("v")).otherwise(col("u")).as("t"))
+    val wedges = ori
+      .join(ori.select(col("s").as("t"), col("t").as("t2")), Seq("t"))
+      .select(col("s"), col("t"), col("t2"))
+    val closed = wedges.join(
+      ori.select(col("s"), col("t").as("t2")), Seq("s", "t2"))
+    // three scalar aggregates over different frames: the one-row joins
+    // are the allowlisted bounded-stat cross shape
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  /** Breadth-first search to a bounded depth: minimum hop distance from a
+    * seed set over an undirected edge list, returned as `(node, level)`
+    * for every node within `maxLevel` hops (seeds at level 0; unreachable
+    * nodes absent). The shortest-path primitive the graph family was
+    * missing — blast-radius ("what does this entity touch within 3
+    * hops"), neighborhood expansion for sampling, and impact analysis
+    * are all this query.
+    *
+    * Level-synchronous frontier expansion: each round is ONE equi-join
+    * of the current frontier against the adjacency list, a distinct, and
+    * a left-anti against the visited set — the per-round shuffle is
+    * bounded by the frontier's edge neighborhood, never the whole graph,
+    * and first-reach order IS minimum level, so no min-aggregate pass is
+    * needed afterwards. Rounds are eagerly checkpointed to truncate
+    * lineage (same rationale as the CC/PageRank iterations: without it
+    * round N replays rounds 1..N−1 per action). Depth is bounded by
+    * construction — this is the hop-limited form; unbounded
+    * shortest-paths at 100 TB wants the [[connectedComponents]]-style
+    * convergence loop instead.
+    */
+  def bfsLevels(edges: DataFrame, seeds: DataFrame, maxLevel: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    require(maxLevel >= 0, s"maxLevel must be >= 0, got $maxLevel")
+    val adj = edges
+      .select(col(srcCol).cast(LongType).as("a"),
+        col(dstCol).cast(LongType).as("b"))
+      .unionAll(edges.select(col(dstCol).cast(LongType).as("a"),
+        col(srcCol).cast(LongType).as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var visited = seeds
+      .select(col(seedCol).cast(LongType).as("node")).distinct()
+      .withColumn("level", lit(0))
+      .localCheckpoint(true)
+    var frontier = visited
+    var l = 1
+    while (l <= maxLevel && !frontier.isEmpty) {
+      val next = frontier
+        .join(adj, col("node") === col("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("level", lit(l))
+        .localCheckpoint(true)
+      visited = visited.unionAll(next).localCheckpoint(true)
+      frontier = next
+      l += 1
+    }
+    visited
+  }
+
 }

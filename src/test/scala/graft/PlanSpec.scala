@@ -82,7 +82,8 @@ class PlanSpec extends SparkSpec {
       // coarse-quantizer scoring shape
       "ann_ivf_topk", "ann_ivf_trained_topk", "ann_ivf_append", "ann_ivfpq_topk",
       "semantic_dedup", "cluster_sample", // same K-row codebook cross
-      "tfidf_topk") // one-row corpus doc-count cross
+      "tfidf_topk", // one-row corpus doc-count cross
+      "triangle_count") // three one-row stat aggregates crossed into one row
     val offenders = Queries.all.toSeq.flatMap { case (name, q) =>
       if (allowed(name)) Nil
       else {
@@ -897,5 +898,85 @@ class PlanSpec extends SparkSpec {
     assert(aggs.exists(_.aggregateExpressions.exists(
         _.mode.toString.toLowerCase.contains("partial"))),
       s"inflow aggregation must have a partial phase:\n$p")
+  }
+
+  test("unpivot_long: melt plans as one Expand over one scan, no join") {
+    val p = physical(Queries.all("unpivot_long").fn(spark, sf0001))
+    assert(collectAll(p) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }.size == 1, "unpivot must plan as a single Expand")
+    val scans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"lineitem scanned ${scans.size}x (want 1)")
+    assert(!fmt(Queries.all("unpivot_long").fn(spark, sf0001))
+      .contains("Join"), "melt must not join")
+  }
+
+  test("anti_join_orphans: left anti probes a pre-distinct'd key set") {
+    val plan = fmt(Queries.all("anti_join_orphans").fn(spark, sf0001))
+    assert(plan.contains("LeftAnti"), "must plan as LEFT ANTI")
+    // the quantity filter must reach the lineitem scan as a pushed filter
+    // and the build side must be key-distinct BEFORE the join (an
+    // aggregate between scan and join), bounding the hash set by the
+    // distinct key count rather than the detail row count
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45"),
+      s"quantity filter not pushed to scan:\n$plan")
+    val p = physical(Queries.all("anti_join_orphans").fn(spark, sf0001))
+    def subtreeHasAgg(sp: SparkPlan): Boolean = collectAll(sp) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.nonEmpty
+    val antiBuildAggs = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.toString == "LeftAnti" => subtreeHasAgg(j.right)
+    }
+    assert(antiBuildAggs.nonEmpty && antiBuildAggs.forall(identity),
+      "anti-join build side must be distinct'd below the join")
+  }
+
+  test("merge_upsert: exactly one full-outer join applies the whole changelog") {
+    val p = physical(Queries.all("merge_upsert").fn(spark, sf0001))
+    val joins = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size == 1, s"expected 1 join, got ${joins.size}")
+    assert(joins.head.joinType.toString == "FullOuter",
+      s"merge must be FULL OUTER, got ${joins.head.joinType}")
+    // latest-wins collapse must aggregate partially (map-side) on both
+    // sides: at 100 TB the per-customer collapse is what shrinks the
+    // shuffle to one row per key per side
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggs.exists(_.aggregateExpressions.exists(
+      _.mode.toString.toLowerCase.contains("partial"))),
+      "latest-wins collapse must have a partial phase")
+  }
+
+  test("fuzzy_join: blocked linkage is an equi-join, distance only post-block") {
+    val plan = fmt(Queries.all("fuzzy_join").fn(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "blocking must make the linkage an equi-join, never all-pairs")
+    assert(plan.contains("levenshtein"),
+      "distance must evaluate as the codegen'd builtin")
+  }
+
+  test("triangle_count: equi-join wedges, partial-agg degrees, bounded crosses only") {
+    val p = physical(Queries.all("triangle_count").fn(spark, sf0001))
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      "no unbroadcast cartesian anywhere")
+    // the only nested-loop joins are the two one-row stat crosses
+    val bnlj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.size == 2, s"expected the two one-row stat crosses, got ${bnlj.size}")
+    // degree count must combine map-side — it is the hub-skew absorber
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggs.exists(_.aggregateExpressions.exists(
+      _.mode.toString.toLowerCase.contains("partial"))),
+      "degree aggregation must have a partial phase")
   }
 }

@@ -30,9 +30,15 @@ object GraphStress {
     val ops = sys.env.getOrElse("SPARK_GRAFT_GRAPH_OPS", "cc,pr")
       .split(",").map(_.trim).toSet
     val hubs = 1000L
+    // shuffle width is a 100 TB tuning knob, not a constant: the triangle
+    // closure join shuffles O(wedges) rows, so partitions must scale with
+    // data (the 4M-node run crosses the in-memory partition threshold at
+    // 16 and goes superlinear; 64 restores edge-linear scaling)
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
+      cpus.toString).toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

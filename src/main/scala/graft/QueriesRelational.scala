@@ -267,12 +267,56 @@ object QueriesRelational {
         | SELECT node, CAST(MIN(level) AS INT) AS level
         | FROM walk GROUP BY node ORDER BY node""".stripMargin))
 
+  // ----------------------------------------------- RANGE-interval window
+  // The calendar-time window every ROWS frame in the inventory cannot
+  // express: 30-day rolling volume per symbol over an IRREGULAR trading
+  // calendar — "last 30 rows" is wrong across gaps; "last 30 days" is
+  // what risk/liquidity metrics mean. Spark needs a numeric RANGE order
+  // key, so the date becomes epoch-days (unix_date) with a [-29, 0]
+  // frame; the oracle states the identical integer day arithmetic.
+  // RANGE frames are also tie-INsensitive (all peers of the current
+  // value are always in-frame), so same-day rows need no tiebreaker for
+  // the sums to be deterministic — integer volume sums stay exact.
+  // Plan: ONE exchange on symbol feeds one WindowExec, same shape as
+  // the ROWS indicator family.
+  private val rangeWindowQ = Q(
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol"))
+        .orderBy(col("_d"))
+        .rangeBetween(-29, 0)
+      Tables.ohlcv(s, dir)
+        .withColumn("_d", unix_date(to_date(col("trading_date"))))
+        .withColumn("vol_sum_30d", sum(col("volume")).over(w))
+        .withColumn("n_30d", count(lit(1)).over(w))
+        .select(col("symbol"), col("trading_date"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("volume"), col("vol_sum_30d"), col("n_30d"))
+        .orderBy(col("symbol"), col("trading_date"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    },
+    Some(
+      s"""WITH base AS (${Tables.ohlcvSql}),
+         | d AS (SELECT *, CAST(CAST(trading_date AS DATE) - DATE '1970-01-01'
+         |   AS BIGINT) AS _d FROM base)
+         | SELECT symbol, trading_date, l_orderkey, l_linenumber, l_partkey,
+         |  l_suppkey, volume,
+         |  CAST(SUM(volume) OVER (PARTITION BY symbol ORDER BY _d
+         |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS vol_sum_30d,
+         |  CAST(COUNT(*) OVER (PARTITION BY symbol ORDER BY _d
+         |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d
+         | FROM d
+         | ORDER BY symbol, trading_date, l_orderkey, l_linenumber,
+         |  l_partkey, l_suppkey""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "unpivot_long" -> unpivotQ,
     "anti_join_orphans" -> antiJoinQ,
     "merge_upsert" -> mergeUpsertQ,
     "fuzzy_join" -> fuzzyJoinQ,
     "triangle_count" -> triangleQ,
-    "bfs_levels" -> bfsQ
+    "bfs_levels" -> bfsQ,
+    "range_window" -> rangeWindowQ
   )
 }

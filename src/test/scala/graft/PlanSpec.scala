@@ -962,6 +962,19 @@ class PlanSpec extends SparkSpec {
       "distance must evaluate as the codegen'd builtin")
   }
 
+  test("range_window: one WindowExec with a RANGE frame, one hash exchange") {
+    val df = Queries.all("range_window").fn(spark, sf0001)
+    val p = physical(df)
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.size == 1, s"expected 1 WindowExec, got ${windows.size}")
+    assert(windows.head.toString.contains("RangeFrame"),
+      "the 30-day frame must be RANGE, not ROWS")
+    // one hash exchange for the symbol partitioning + one range exchange
+    // for the presentation sort; anything more means the window re-shuffled
+    val ex = collectAll(p) { case e: Exchange => e }
+    assert(ex.size <= 2, s"expected <=2 exchanges, got ${ex.size}")
+  }
+
   test("triangle_count: equi-join wedges, partial-agg degrees, bounded crosses only") {
     val p = physical(Queries.all("triangle_count").fn(spark, sf0001))
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,

@@ -48,15 +48,25 @@ object Bench {
     // greedily added under a hard byte budget, with the elided
     // (sub-threshold) key count recorded. Full per-key detail stays in
     // the line above and in SPARK_GRAFT_BENCH_OUT.
-    val byCost = results.toSeq.sortBy(-_._2)
+    // FAILED keys (-1) lead the list — a bench run with failures must
+    // never present a clean-looking truncated line — then strict
+    // cost-descending, stopping at the first non-fitting fragment so the
+    // captured set really is "failures + the slowest N" (a greedy
+    // keep-scanning fill would backfill cheap short-named keys past an
+    // expensive long-named one and make "elided" mean nothing)
+    val byCost = results.toSeq.sortBy { case (_, v) => (v >= 0, -v) }
     val budget = 1400
     val picked = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0
+    var full = false
     byCost.foreach { case (k, v) =>
       val frag = "\"" + k + "\":" + f"$v%.3f"
-      if (used + frag.length + 1 <= budget) { picked += frag; used += frag.length + 1 }
+      if (!full && used + frag.length + 1 <= budget) {
+        picked += frag; used += frag.length + 1
+      } else full = true
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"elided":${results.size - picked.size},"queries":${picked.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    val nFailed = results.values.count(_ < 0)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"elided":${results.size - picked.size},"queries":${picked.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     // stdout is wrapped in sbt [info] prefixes that break machine parsing —
     // also drop the bare JSON line to a file for the harness. Best-effort:
     // an unwritable path must not turn a fully-successful bench run into a

@@ -29,6 +29,10 @@ object GraphStress {
     val n = sys.env.getOrElse("SPARK_GRAFT_GRAPH_NODES", "2000000").toLong
     val ops = sys.env.getOrElse("SPARK_GRAFT_GRAPH_OPS", "cc,pr")
       .split(",").map(_.trim).toSet
+    val known = Set("cc", "pr", "tri", "bfs")
+    require((ops -- known).isEmpty,
+      s"unknown SPARK_GRAFT_GRAPH_OPS ${(ops -- known).mkString(",")}; " +
+        s"valid: ${known.mkString(",")}")
     val hubs = 1000L
     // shuffle width is a 100 TB tuning knob, not a constant: the triangle
     // closure join shuffles O(wedges) rows, so partitions must scale with

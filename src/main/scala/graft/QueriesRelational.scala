@@ -170,37 +170,46 @@ object QueriesRelational {
         | WHERE levenshtein(a.p_name, b.p_name) <= 3
         | ORDER BY name_a, name_b""".stripMargin))
 
+  // ------------------------------------- shared urgent co-occurrence graph
+  // Parts sharing an urgent order are connected — the ONE graph both the
+  // triangle and BFS keys (and their oracles' shared CTE text) are
+  // defined on; a single builder keeps the two keys' graphs from ever
+  // desynchronizing.
+  private def urgentCoOccurrenceEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val li = Tables.lineitem(s, dir)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_partkey"))
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst")).distinct()
+  }
+
+  private val coGraphCtes =
+    """li AS (
+      |  SELECT l.l_orderkey, l.l_partkey
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderpriority = '1-URGENT'),
+      | pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""".stripMargin
+
   // -------------------------------------------------------- triangle count
-  // operators.ScaleOps.triangleCount over the part co-occurrence graph
-  // (parts sharing an urgent order are connected): exact global triangle
-  // count by degree-ordered orientation — wedge volume bounded by m^1.5
-  // instead of Σd², see the operator scaladoc. The oracle restates the
-  // identical orientation rule, so the single (n_nodes, n_edges,
-  // n_triangles) row hash-matches exactly.
+  // operators.ScaleOps.triangleCount over the urgent co-occurrence graph:
+  // exact global triangle count by degree-ordered orientation — wedge
+  // volume bounded by m^1.5 instead of Σd², see the operator scaladoc.
+  // The oracle restates the identical orientation rule, so the single
+  // (n_nodes, n_edges, n_triangles) row hash-matches exactly.
   private val triangleQ = Q(
-    (s, dir) => {
-      val urgent = Tables.orders(s, dir)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"))
-      val li = Tables.lineitem(s, dir)
-        .join(urgent, col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey"), col("l_partkey"))
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-      val bb = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
-      val edges = a.join(bb, Seq("l_orderkey"))
-        .filter(col("src") < col("dst"))
-        .select(col("src"), col("dst")).distinct()
-      operators.ScaleOps.triangleCount(edges)
-    },
+    (s, dir) => operators.ScaleOps.triangleCount(urgentCoOccurrenceEdges(s, dir)),
     Some(
-      """WITH li AS (
-        |  SELECT l.l_orderkey, l.l_partkey
-        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |  WHERE o.o_orderpriority = '1-URGENT'),
-        | pairs AS (
-        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM li a JOIN li b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      s"""WITH $coGraphCtes,
         | deg AS (
         |  SELECT node, CAST(count(*) AS BIGINT) AS d
         |  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
@@ -229,32 +238,15 @@ object QueriesRelational {
   // level 0 on both sides.
   private val bfsQ = Q(
     (s, dir) => {
-      val urgent = Tables.orders(s, dir)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"))
-      val li = Tables.lineitem(s, dir)
-        .join(urgent, col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey"), col("l_partkey"))
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-      val bb = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
-      val edges = a.join(bb, Seq("l_orderkey"))
-        .filter(col("src") < col("dst"))
-        .select(col("src"), col("dst")).distinct()
       val seeds = Tables.part(s, dir)
         .filter(col("p_brand") === "Brand#11")
         .select(col("p_partkey").as("node"))
-      operators.ScaleOps.bfsLevels(edges, seeds, maxLevel = 3)
+      operators.ScaleOps
+        .bfsLevels(urgentCoOccurrenceEdges(s, dir), seeds, maxLevel = 3)
         .orderBy(col("node"))
     },
     Some(
-      """WITH RECURSIVE li AS (
-        |  SELECT l.l_orderkey, l.l_partkey
-        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |  WHERE o.o_orderpriority = '1-URGENT'),
-        | pairs AS (
-        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM li a JOIN li b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      s"""WITH RECURSIVE $coGraphCtes,
         | und AS (SELECT u AS a, v AS b FROM pairs
         |         UNION ALL SELECT v, u FROM pairs),
         | seeds AS (SELECT DISTINCT p_partkey AS node FROM part

@@ -716,19 +716,27 @@ object QueriesScale {
   private val pagerankIterations = 5
   private val pagerankScale = 1000000000000L
 
+  /** Shared pipeline for the pagerank twins — one body, the signature
+    * table is the only fork (same factoring as shardShuffleFrom), so the
+    * ScaleOpsSpec bit-equality pin between them can never be broken by
+    * an edit reaching only one twin.
+    */
+  private def pageRankFrom(s: SparkSession, dir: String,
+      sig: DataFrame => DataFrame): DataFrame = {
+    val corpus = dupedDocs(s, dir)
+    val verified = verifiedPairs(corpus, sig(corpus))
+    val edges = verified.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(verified.select(col("id2").as("src"), col("id1").as("dst")))
+    ScaleOps.pageRankFixedPoint(corpus.select("doc_id"), edges,
+        nodeCol = "doc_id", iterations = pagerankIterations,
+        scale = pagerankScale)
+      .select(col("node").as("doc_id"), col("rank").as("pr_scaled"))
+      .orderBy("doc_id")
+  }
+
   private val pagerankQ = Q(
-    (s, dir) => {
-      val corpus = dupedDocs(s, dir)
-      val verified = verifiedPairs(corpus,
-        ScaleOps.minhashSignatureTable(corpus, "doc_id", "text", k = 8))
-      val edges = verified.select(col("id1").as("src"), col("id2").as("dst"))
-        .unionAll(verified.select(col("id2").as("src"), col("id1").as("dst")))
-      ScaleOps.pageRankFixedPoint(corpus.select("doc_id"), edges,
-          nodeCol = "doc_id", iterations = pagerankIterations,
-          scale = pagerankScale)
-        .select(col("node").as("doc_id"), col("rank").as("pr_scaled"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => pageRankFrom(s, dir,
+      c => ScaleOps.minhashSignatureTable(c, "doc_id", "text", k = 8)),
     Some {
       val iters = (1 to pagerankIterations).map { i =>
         s"""pr$i AS (SELECT c.doc_id,
@@ -761,18 +769,8 @@ object QueriesScale {
   // fixture corpus they do (the dedup_cc_prod argument), pinned in
   // ScaleOpsSpec as bit-equality of the full rank vector.
   private val pagerankProdQ = Q(
-    (s, dir) => {
-      val corpus = dupedDocs(s, dir)
-      val verified = verifiedPairs(corpus,
-        ScaleOps.minhashSignatureTableXx(corpus, "doc_id", "text", k = 8))
-      val edges = verified.select(col("id1").as("src"), col("id2").as("dst"))
-        .unionAll(verified.select(col("id2").as("src"), col("id1").as("dst")))
-      ScaleOps.pageRankFixedPoint(corpus.select("doc_id"), edges,
-          nodeCol = "doc_id", iterations = pagerankIterations,
-          scale = pagerankScale)
-        .select(col("node").as("doc_id"), col("rank").as("pr_scaled"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => pageRankFrom(s, dir,
+      c => ScaleOps.minhashSignatureTableXx(c, "doc_id", "text", k = 8)),
     None)
 
   // ------------------------------------------------- n-gram set jaccard

@@ -169,42 +169,45 @@ object StressBench {
     // realistic time-bound hint (history scan pruned to ~2 chunk-widths
     // before the watermark; the ≤199-row re-read itself is then the only
     // overlap cost). One increment = the last 3 months of the hot frame.
-    val incInput = hot.withColumn("timestamp", to_timestamp(col("trading_date")))
-    val maxDate = incInput.agg(max(col("trading_date"))).head.getDate(0)
-    val cutoff = java.sql.Date.valueOf(maxDate.toLocalDate.minusDays(90))
-    val incOrd = Seq("trading_date", "l_orderkey", "l_linenumber",
-      "l_partkey", "l_suppkey", "close", "volume", "open", "low")
-    val incBase = java.nio.file.Files.createTempDirectory("graft_inc_stress").toString
-    import spark.implicits._
-    def seedState(name: String): (String, String) = {
-      val state = s"$incBase/wm_$name"
-      graft.operators.Incremental.advanceWatermarks(spark, state,
-        Seq(("HOT", java.sql.Timestamp.valueOf(cutoff.toLocalDate.atStartOfDay())))
-          .toDF("symbol", "last_processed_timestamp"))
-      (state, s"$incBase/out_$name")
-    }
-    val incModes: Seq[(String, Option[org.apache.spark.sql.Column], graft.operators.Incremental.BoundaryMode)] = Seq(
-      ("truncated", None, graft.operators.Incremental.Truncated),
-      ("overlap_unbounded", None, graft.operators.Incremental.OverlapReload),
-      ("overlap_bounded",
-        // a bound safely covering maxFrame-1 = 199 trading rows: 2 months
-        // of this frame carries ~14k rows/month at scale 10
-        Some(col("timestamp") >= to_timestamp(lit(
-          java.sql.Date.valueOf(cutoff.toLocalDate.minusDays(62))))),
-        graft.operators.Incremental.OverlapReload))
     // a targeted pair rerun (filter set) skips the incremental modes —
     // they measure a different axis (boundary handling, not the chunked
-    // window family) and cost ~half a minute at x20+
-    val incResults = (if (only.isDefined) Nil else incModes).map { case (name, bound, mode) =>
-      val (state, out) = seedState(name)
-      spark.catalog.clearCache(); System.gc()
-      val t0 = System.nanoTime()
-      val done = graft.operators.Incremental.runIncremental(
-        spark, incInput, state, out, mode, incOrd, bound)
-      val n = done.count()
-      val t = (System.nanoTime() - t0) / 1e9
-      println(f"[stress] incremental/$name%-18s $t%6.2fs  ($n rows)")
-      name -> t
+    // window family) — INCLUDING their setup: the max-date aggregation
+    // over the hot frame and the temp state dirs are not free either
+    val incResults = if (only.isDefined) Nil else {
+      val incInput = hot.withColumn("timestamp", to_timestamp(col("trading_date")))
+      val maxDate = incInput.agg(max(col("trading_date"))).head.getDate(0)
+      val cutoff = java.sql.Date.valueOf(maxDate.toLocalDate.minusDays(90))
+      val incOrd = Seq("trading_date", "l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "close", "volume", "open", "low")
+      val incBase = java.nio.file.Files.createTempDirectory("graft_inc_stress").toString
+      import spark.implicits._
+      def seedState(name: String): (String, String) = {
+        val state = s"$incBase/wm_$name"
+        graft.operators.Incremental.advanceWatermarks(spark, state,
+          Seq(("HOT", java.sql.Timestamp.valueOf(cutoff.toLocalDate.atStartOfDay())))
+            .toDF("symbol", "last_processed_timestamp"))
+        (state, s"$incBase/out_$name")
+      }
+      val incModes: Seq[(String, Option[org.apache.spark.sql.Column], graft.operators.Incremental.BoundaryMode)] = Seq(
+        ("truncated", None, graft.operators.Incremental.Truncated),
+        ("overlap_unbounded", None, graft.operators.Incremental.OverlapReload),
+        ("overlap_bounded",
+          // a bound safely covering maxFrame-1 = 199 trading rows: 2 months
+          // of this frame carries ~14k rows/month at scale 10
+          Some(col("timestamp") >= to_timestamp(lit(
+            java.sql.Date.valueOf(cutoff.toLocalDate.minusDays(62))))),
+          graft.operators.Incremental.OverlapReload))
+      incModes.map { case (name, bound, mode) =>
+        val (state, out) = seedState(name)
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        val done = graft.operators.Incremental.runIncremental(
+          spark, incInput, state, out, mode, incOrd, bound)
+        val n = done.count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[stress] incremental/$name%-18s $t%6.2fs  ($n rows)")
+        name -> t
+      }
     }
     val incJson = incResults.map { case (n, t) => s""""$n":$t""" }
       .mkString("{", ",", "}")

@@ -1832,9 +1832,19 @@ object ScaleOps {
       .select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .distinct()
-    val contribEdges = e
+    // in durable mode this frame must survive executor loss too — every
+    // round joins against it, so executor-local checkpoint blocks would
+    // reintroduce exactly the failure mode the parquet round-trip exists
+    // to survive
+    val contribAnnotated = e
       .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint(true)
+    val contribEdges = runDir match {
+      case Some(d) =>
+        val path = s"$d/pr_edges"
+        contribAnnotated.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => contribAnnotated.localCheckpoint(true)
+    }
     var ranks = roundCheckpoint(
       nodeIds.withColumn("rank", lit(scale / n)), 0)
     for (i <- 1 to iterations) {

@@ -1738,6 +1738,36 @@ class ScaleOpsSpec extends SparkSpec {
         "vectors must agree wherever the verified edge sets do")
   }
 
+  test("pageRankFixedPoint: parquet-checkpoint path matches localCheckpoint, edges durable too") {
+    // the durable form must put EVERYTHING the rounds depend on through
+    // parquet — the per-round rank frames AND the degree-annotated edge
+    // list every round joins against (executor-local blocks for either
+    // would die with an executor and kill the run)
+    val nodes = (1L to 6L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 4L),
+      (1L, 6L)).toDF("src", "dst")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pr_ckpt_").toFile
+    try {
+      val durable = ScaleOps.pageRankFixedPoint(nodes, edges,
+          iterations = 3, checkpointDir = Some(ckpt.getPath))
+        .as[(Long, Long)].collect().toMap
+      val local = ScaleOps.pageRankFixedPoint(nodes, edges, iterations = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(durable == local, "fixed-point ranks must be path-independent")
+      val runFiles = ckpt.listFiles().filter(_.getName.startsWith("cc_run_"))
+        .flatMap(_.listFiles()).map(_.getName)
+      assert(runFiles.contains("pr_edges"),
+        s"degree-annotated edges must persist in the run dir, got ${runFiles.toSeq}")
+      assert(runFiles.count(_.startsWith("pr_round_")) == 1,
+        s"only the last round should be kept, got ${runFiles.toSeq}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(ckpt)
+    }
+  }
+
   // ------------------------------------------- shard shuffle (prod twin)
 
   test("shuffle_shard_prod: valid permutation per shard, doc set preserved, bounded balance, md5-twin equivalence of shape") {

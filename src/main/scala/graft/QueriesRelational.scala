@@ -302,13 +302,119 @@ object QueriesRelational {
          | ORDER BY symbol, trading_date, l_orderkey, l_linenumber,
          |  l_partkey, l_suppkey""".stripMargin))
 
+  // -------------------------------------------------------- star join
+  // The canonical OLAP star: fact (lineitem) against FIVE dimension
+  // edges, with nation role-playing twice (the customer's nation→region
+  // and the supplier's nation) — the TPC-H Q5 family re-cut to this
+  // testdata's dimension spread. Revenue is decimal-exact end-to-end
+  // (rule 1: DECIMAL casts before the product, exact decimal sum, ONE
+  // final cast to double), so the 50-group result hash-matches bitwise.
+  //
+  // 100 TB shape: every dimension here is broadcast-sized (region 5,
+  // nation 25, supplier/customer ≪ fact), so the plan must be a chain
+  // of BroadcastHashJoins over a single fact scan with the date filter
+  // pushed down — zero shuffles until the final 50-group aggregate.
+  // Catalyst derives that freely from the declarative join graph;
+  // PlanSpec pins it (≥4 broadcasts, no fact-side SMJ on dim edges).
+  private val starJoinQ = Q(
+    (s, dir) => {
+      val rev = (col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(3, 2)) -
+          col("l_discount").cast(DecimalType(3, 2))))
+      val nationC = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("nc_key"), col("n_regionkey"))
+      val nationS = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+              col("o_orderdate") < lit("1998-01-01").cast(TimestampType)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(nationC, col("c_nationkey") === col("nc_key"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(nationS, col("s_nationkey") === col("ns_key"))
+        .groupBy(col("r_name").as("cust_region"), col("supp_nation"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(rev).cast(DoubleType).as("revenue"))
+        .orderBy(col("cust_region"), col("supp_nation"))
+    },
+    Some(
+      """SELECT r.r_name AS cust_region, ns.n_name AS supp_nation,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |    AS DOUBLE) AS revenue
+        | FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        |  JOIN region r ON nc.n_regionkey = r.r_regionkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        | WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |   AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        | GROUP BY 1, 2
+        | ORDER BY cust_region, supp_nation""".stripMargin))
+
+  // ------------------------------------------- approximate triangle count
+  // DOULION (Tsourakakis et al., KDD'09): count triangles on an
+  // edge-SAMPLED graph and scale by 1/p³ — the standard scale path when
+  // the exact wedge shuffle is too expensive. Sampling here is
+  // DETERMINISTIC (md5 bucket of the edge key, p = 1/4), which buys two
+  // things at once: the 100 TB property that re-runs and retries see the
+  // same subgraph, and a bitwise DuckDB oracle for an *approximation* —
+  // the oracle replays the identical sampled subgraph and orientation,
+  // so even the estimator is hash-green rather than ⊘.
+  private val triangleApproxQ = Q(
+    (s, dir) => {
+      val edges = urgentCoOccurrenceEdges(s, dir)
+        .filter(conv(substring(md5(concat(lit("te|"),
+            col("src").cast(StringType), lit(":"),
+            col("dst").cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType) % 4 === 0)
+      operators.ScaleOps.triangleCount(edges)
+        .select(col("n_nodes").as("n_sampled_nodes"),
+          col("n_edges").as("n_sampled_edges"),
+          col("n_triangles").as("tri_sampled"),
+          (col("n_triangles") * lit(64L)).as("tri_estimate"))
+    },
+    Some(
+      s"""WITH $coGraphCtes,
+        | sampled AS (
+        |  SELECT u, v FROM pairs
+        |  WHERE CAST(('0x' || substr(md5('te|' || u || ':' || v), 1, 8))
+        |    AS BIGINT) % 4 = 0),
+        | deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS node FROM sampled UNION ALL SELECT v FROM sampled)
+        |  GROUP BY node),
+        | ori AS (
+        |  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+        |              THEN u ELSE v END AS s,
+        |         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+        |              THEN v ELSE u END AS t
+        |  FROM sampled JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+        | tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS tri_sampled
+        |  FROM ori e1
+        |   JOIN ori e2 ON e1.t = e2.s
+        |   JOIN ori e3 ON e3.s = e1.s AND e3.t = e2.t)
+        | SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_sampled_nodes,
+        |        (SELECT CAST(count(*) AS BIGINT) FROM sampled) AS n_sampled_edges,
+        |        tri_sampled, tri_sampled * 64 AS tri_estimate
+        | FROM tri""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "unpivot_long" -> unpivotQ,
     "anti_join_orphans" -> antiJoinQ,
     "merge_upsert" -> mergeUpsertQ,
     "fuzzy_join" -> fuzzyJoinQ,
     "triangle_count" -> triangleQ,
+    "triangle_count_approx" -> triangleApproxQ,
     "bfs_levels" -> bfsQ,
-    "range_window" -> rangeWindowQ
+    "range_window" -> rangeWindowQ,
+    "star_join" -> starJoinQ
   )
 }

@@ -83,7 +83,7 @@ class PlanSpec extends SparkSpec {
       "ann_ivf_topk", "ann_ivf_trained_topk", "ann_ivf_append", "ann_ivfpq_topk",
       "semantic_dedup", "cluster_sample", // same K-row codebook cross
       "tfidf_topk", // one-row corpus doc-count cross
-      "triangle_count") // three one-row stat aggregates crossed into one row
+      "triangle_count", "triangle_count_approx") // three one-row stat aggregates crossed into one row
     val offenders = Queries.all.toSeq.flatMap { case (name, q) =>
       if (allowed(name)) Nil
       else {
@@ -973,6 +973,25 @@ class PlanSpec extends SparkSpec {
     // for the presentation sort; anything more means the window re-shuffled
     val ex = collectAll(p) { case e: Exchange => e }
     assert(ex.size <= 2, s"expected <=2 exchanges, got ${ex.size}")
+  }
+
+  test("star_join: all five dimension edges broadcast, date filter pushed to the fact scan") {
+    val df = Queries.all("star_join").fn(spark, sf0001)
+    val p = physical(df)
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 4,
+      s"dimension edges must broadcast (got ${bhj.size} broadcast joins)")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    val plan = fmt(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"order-date filter not pushed to the orders scan:\n$plan")
+    // the final 50-group aggregate must combine map-side
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggs.exists(_.aggregateExpressions.exists(
+      _.mode.toString.toLowerCase.contains("partial"))),
+      "revenue aggregate must have a partial phase")
   }
 
   test("triangle_count: equi-join wedges, partial-agg degrees, bounded crosses only") {

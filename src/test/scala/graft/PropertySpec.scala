@@ -169,4 +169,73 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ------------------------------------------- relational/graph operators
+
+  private val changelogGen: Gen[(List[(Long, String)], List[(Long, String, String)])] =
+    for {
+      tgt <- Gen.listOf(Gen.zip(Gen.choose(1L, 20L), Gen.alphaStr.map(_.take(4))))
+      chg <- Gen.listOf(Gen.zip(Gen.choose(1L, 25L), Gen.alphaStr.map(_.take(4)),
+        Gen.oneOf("U", "D")))
+    } yield (tgt.distinctBy(_._1), chg.distinctBy(_._1))
+
+  test("applyChangelog equals the per-key reference fold for random logs") {
+    samples(changelogGen, 8).foreach { case (tgt, chg) =>
+      val target = tgt.toDF("k", "s")
+      val changes = chg.toDF("k", "s", "op")
+      val got = graft.operators.MergeUpsert
+        .applyChangelog(target, changes, Seq("k"), "op")
+        .as[(Long, String)].collect().toMap
+      // reference: start from target state, apply each op
+      val ref = chg.foldLeft(tgt.toMap) {
+        case (st, (k, s, "U")) => st + (k -> s)
+        case (st, (k, _, "D")) => st - k
+        case (st, _) => st
+      }
+      assert(got == ref, s"tgt=$tgt chg=$chg")
+    }
+  }
+
+  private val graphGen: Gen[List[(Long, Long)]] =
+    Gen.listOf(Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)))
+
+  test("triangleCount equals brute-force triple enumeration on random graphs") {
+    samples(graphGen, 8).foreach { es =>
+      val edges = es.toDF("src", "dst")
+      val row = graft.operators.ScaleOps.triangleCount(edges).head()
+      val adj = es.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+        .filter { case (u, v) => u != v }.toSet
+      val nodes = adj.map(_._1).toList.sorted
+      val brute = (for {
+        i <- nodes; j <- nodes if i < j && adj((i, j))
+        k <- nodes if j < k && adj((j, k)) && adj((i, k))
+      } yield 1).size.toLong
+      assert(row.getLong(2) == brute, s"edges=$es")
+      assert(row.getLong(0) == nodes.size.toLong)
+      assert(row.getLong(1) == adj.size.toLong / 2)
+    }
+  }
+
+  test("bfsLevels equals reference BFS distances on random graphs") {
+    samples(graphGen, 8).foreach { es =>
+      val edges = es.toDF("src", "dst")
+      val seeds = Seq(1L, 2L)
+      val maxLevel = 3
+      val got = graft.operators.ScaleOps
+        .bfsLevels(edges, seeds.toDF("node"), maxLevel)
+        .as[(Long, Int)].collect().toMap
+      // reference BFS over the undirected adjacency (self-loops dropped)
+      val adj = es.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+        .filter { case (u, v) => u != v }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var ref = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      for (l <- 1 to maxLevel) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .diff(ref.keySet)
+        ref = ref ++ frontier.map(_ -> l)
+      }
+      assert(got == ref, s"edges=$es")
+    }
+  }
 }

@@ -120,9 +120,13 @@ object Indicators {
     *     prefix sum plus the cumulative total of prior chunks (a tiny
     *     per-(symbol, chunk) aggregate cumulated and joined back).
     *
-    * Exactness requires each chunk to hold ≥ maxFrame−1 rows (practical at
-    * scale; asserted in tests). Results are identical to
-    * [[withIndicators]] under that condition.
+    * Exactness requires each warm-up-feeding chunk to hold ≥ maxFrame−1
+    * rows (practical at scale). Results are identical to
+    * [[withIndicators]] under that condition — and the condition is
+    * ENFORCED at runtime: a too-narrow chunkExpr raises instead of
+    * silently truncating lookbacks (the per-chunk count rides a narrow
+    * two-column aggregate and a broadcast join, negligible next to the
+    * window pass itself).
     */
   /** Dense per-symbol chunk index (shared by both chunked paths): bucket
     * by `chunkExpr`, dense-rank the tiny distinct chunk set so gaps don't
@@ -190,10 +194,26 @@ object Indicators {
     // row IS the previous chunk's last close (the warm-up clone tail),
     // and integer volume arithmetic has no association sensitivity.
     val offsets = obvChunkOffsets(indexed, orderCols)
+    // precondition guard: any chunk that FEEDS warm-up (i.e. has a
+    // successor) must carry >= maxFrame-1 rows, or the successor's
+    // bounded frames silently see a truncated lookback. The violation is
+    // raised from the rows it would corrupt — folded into the kept `obv`
+    // column so column pruning can never elide the check.
+    val shortPrev = indexed.groupBy(col("symbol"), col("chunk_id"))
+      .agg(count(lit(1)).as("_prev_n"))
+      .filter(col("_prev_n") < maxFrame - 1)
+      .withColumn("chunk_id", col("chunk_id") + 1)
     localObv.join(broadcast(offsets), Seq("symbol", "chunk_id"))
-      .withColumn("obv", (col("obv_local") + col("obv_offset")).cast(DoubleType))
+      .join(broadcast(shortPrev), Seq("symbol", "chunk_id"), "left")
+      .withColumn("obv",
+        when(col("_prev_n").isNotNull, raise_error(concat(
+          lit("chunkedIndicators: the chunk feeding chunk_id="),
+          col("chunk_id"), lit(" has only "), col("_prev_n"),
+          lit(s" rows < maxFrame-1 = ${maxFrame - 1}; widen chunkExpr"))))
+        .otherwise((col("obv_local") + col("obv_offset")).cast(DoubleType)))
       .filter(!col("is_warmup"))
-      .drop("is_warmup", "chunk_raw", "chunk_id", "obv_local", "obv_offset", "fresh_sign")
+      .drop("is_warmup", "chunk_raw", "chunk_id", "obv_local", "obv_offset",
+        "fresh_sign", "_prev_n")
   }
 
   /** Per-(symbol, chunk) OBV offsets from ONE narrow sorted pass over the

@@ -122,11 +122,31 @@ class ChunkedSpec extends SparkSpec {
     val plainW = Window.partitionBy("symbol").orderBy("trading_date")
     val plain = Indicators.withIndicators(df, plainW)
       .select("trading_date", "obv").orderBy("trading_date").as[(java.sql.Date, Double)].collect()
-    // 10-row chunks: far below maxFrame, but OBV must still be exact
+    // 10-row chunks with a matching maxFrame: OBV's offset decomposition
+    // is chunk-size-free, and shrinking maxFrame keeps the (now enforced)
+    // warm-up precondition satisfied — the default 200 would rightly
+    // raise on 10-row chunks, which the guard test below pins
     val chunked = Indicators.chunkedIndicators(df, floor(col("idx") / 10),
-        orderCols = Seq("trading_date"))
+        orderCols = Seq("trading_date"), maxFrame = 10)
       .select("trading_date", "obv").orderBy("trading_date").as[(java.sql.Date, Double)].collect()
     assert(plain.toSeq == chunked.toSeq)
+  }
+
+  test("chunkedIndicators raises loudly when a chunk is narrower than the warm-up") {
+    val rows = (0 until 100).map(i => ("S", i, 100.0 + (i % 13), (i % 5) + 1L))
+    val df = rows.toDF("symbol", "idx", "close", "volume")
+      .withColumn("trading_date", expr("date_add(date '2010-01-01', idx)"))
+    // 10-row chunks against the default maxFrame=200: every feeding chunk
+    // violates the >= maxFrame-1 precondition — the result would silently
+    // truncate every bounded lookback, so it must raise instead
+    val e = intercept[Exception] {
+      Indicators.chunkedIndicators(df, floor(col("idx") / 10),
+        orderCols = Seq("trading_date")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("widen chunkExpr")),
+      s"expected the precondition message, got: ${messages(e).mkString(" | ")}")
   }
 
   test("standalone chunkedObv equals the plain unbounded window bit-for-bit") {

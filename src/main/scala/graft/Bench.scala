@@ -66,7 +66,9 @@ object Bench {
       } else full = true
     }
     val nFailed = results.values.count(_ < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"elided":${results.size - picked.size},"queries":${picked.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    // a DISTINCT metric name: a consumer matching "total" must never pick
+    // this truncated per-key set over the full line above
+    println(f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"elided":${results.size - picked.size},"queries":${picked.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     // stdout is wrapped in sbt [info] prefixes that break machine parsing —
     // also drop the bare JSON line to a file for the harness. Best-effort:
     // an unwritable path must not turn a fully-successful bench run into a

@@ -58,8 +58,11 @@ object GraphStress {
     val edges = chain.unionAll(hub).localCheckpoint(true)
     val nEdges = edges.count()
 
+    // record EVERY knob that can change a result — an artifact line must
+    // be reproducible from its own fields alone
     val fields = collection.mutable.ArrayBuffer(
-      s""""nodes":$n""", s""""edges":$nEdges""", s""""cpus":$cpus""")
+      s""""nodes":$n""", s""""edges":$nEdges""", s""""cpus":$cpus""",
+      s""""shuffle_partitions":$shuffleParts""")
 
     if (ops("cc")) {
       val t0 = System.nanoTime()

@@ -1231,11 +1231,15 @@ object ScaleOps {
   /** Multimodal column plumbing: the engine treats image/audio/video as
     * opaque binary + typed metadata. Container METADATA decode is real —
     * [[imageMeta]] parses format/width/height from PNG/JPEG/GIF header
-    * bytes natively, no codec needed. Pixel/feature decode
-    * ([[decodeBatches]]) still stubs its codec (this container ships no
-    * image/audio libraries); its Spark-side shape — binary column,
-    * per-partition batch processing, fixed-width feature output — is real
-    * and tested.
+    * bytes natively, no codec needed — and so is pixel/sample decode for
+    * the codec-free-payload formats: [[imageDecode]] inverts PPM/PGM/BMP
+    * rasters (and, since round 9, inflates + unfilters real PNG and
+    * LZW-decodes real GIF), [[pcmDecode]] inverts WAV linear PCM, and
+    * [[y4mFrameLuma]] walks Y4M frames — all natively, no image/audio
+    * library. [[decodeBatches]] feeds those real rasters through the
+    * mapPartitions batch path; only compressed codecs with no pure-JDK
+    * path (JPEG, H.264 — no libs in this container) fall back to a
+    * clearly-marked deterministic byte-sampling featurizer.
     */
   def withMultimodalPayload(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("payload", col(textCol).cast(BinaryType))
@@ -1390,6 +1394,22 @@ object ScaleOps {
       body)
   }
 
+  /** Complete valid PNG fixture from `(w, h, seed)` — real Deflater
+    * zlib, per-row filter cycling through all five spec filters, CRC'd
+    * chunks (see [[org.apache.spark.sql.graftnative.SynthPng]]). The
+    * pixel formula is the shared [[pixByte]] one the oracles replay.
+    */
+  def synthPng(w: Column, h: Column, seed: Column, channels: Int = 3): Column =
+    org.apache.spark.sql.graftnative.RasterSynthFunctions
+      .synth_png(w, h, seed, channels)
+
+  /** Complete valid GIF89a fixture from `(w, h, seed)` — real LZW
+    * compression, 256-entry three-ramp palette
+    * (see [[org.apache.spark.sql.graftnative.SynthGif]]).
+    */
+  def synthGif(w: Column, h: Column, seed: Column): Column =
+    org.apache.spark.sql.graftnative.RasterSynthFunctions.synth_gif(w, h, seed)
+
   // ------------------------------------------------- real sample decode
   // The audio/video analogues of the raster path: WAV linear PCM and Y4M
   // raw video are the codec-free containers whose payloads ARE the
@@ -1471,7 +1491,8 @@ object ScaleOps {
   /** Complete valid Y4M stream: `YUV4MPEG2` header with W/H/F/C tags,
     * then `frames` frames of `FRAME\n` + planar payload from
     * [[y4mByte]]. `colorspace` is a literal `"mono"` (payload `w·h`) or
-    * `"420jpeg"` (payload `w·h·3/2`, even dims required) — the parser
+    * `"420jpeg"` (payload `w·h + 2·⌈w/2⌉·⌈h/2⌉`, matching the parser's
+    * ceil-based chroma-plane arithmetic so odd dims stay valid) — the parser
     * must size frames from the colorspace to walk to the next marker,
     * which is exactly what the mixed-colorspace key exercises.
     */
@@ -1481,8 +1502,10 @@ object ScaleOps {
     val frameBytes = colorspace match {
       case "mono" => luma
       case "420jpeg" =>
-        // even dims: ⌈w/2⌉ = w/2 exactly, kept integral via shiftright
-        luma + shiftright(w, 1) * shiftright(h, 1) * 2
+        // ⌈w/2⌉·⌈h/2⌉ — the SAME ceil arithmetic as the Y4mFrameLuma
+        // parser, so odd dims produce a payload the parser can walk
+        // instead of a silently NULL decode from a size disagreement
+        luma + shiftright(w + 1, 1) * shiftright(h + 1, 1) * 2
       case other => throw new IllegalArgumentException(
         s"synthY4m supports mono|420jpeg, got $other")
     }

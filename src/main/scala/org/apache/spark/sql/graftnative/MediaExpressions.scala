@@ -10,12 +10,13 @@ import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native image-container metadata — format, width, height — parsed
-  * directly from the header bytes of a binary payload column. This is the
-  * REAL decode step of the multimodal pipeline's metadata stage (the
-  * pixel/feature decode in [[graft.operators.ScaleOps.decodeBatches]]
-  * still stubs its codec — this sandbox ships none — but container
-  * dimensions need no codec: they are deterministic integer fields at
-  * fixed offsets of the published container formats):
+  * directly from the header bytes of a binary payload column: the
+  * metadata stage of the multimodal pipeline. (Pixel decode is equally
+  * real for the pure-JDK-decodable formats — see [[ImageDecode]] for
+  * PPM/PGM/BMP/PNG/GIF rasters; only codecs with no pure-JDK path, e.g.
+  * JPEG, stop at metadata.) Container dimensions need no codec: they are
+  * deterministic integer fields at fixed offsets of the published
+  * container formats:
   *
   *  - PNG (ISO/IEC 15948 §5.2/§11.2.2): 8-byte signature
   *    `89 50 4E 47 0D 0A 1A 0A`, then the IHDR chunk whose first two

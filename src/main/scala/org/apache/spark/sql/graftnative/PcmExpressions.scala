@@ -113,9 +113,12 @@ object PcmDecode {
     if (fmtTag != 1 || ch <= 0 || rate <= 0 || blockAlign <= 0 ||
         (bits != 8 && bits != 16) || blockAlign != ch * (bits / 8) ||
         dataOff < 0) return unknownOf(FMT_WAV)
-    // a truncated final frame is dropped, not guessed
-    val avail = math.min(dataSize, (b.length - dataOff).toLong)
-    val frames = avail / blockAlign
+    // the declared chunk extent is the truth: a size field that
+    // overstates the real payload must not salvage bytes of subsequent
+    // RIFF chunks (or the file tail) as samples — reject, don't guess
+    if (dataSize > (b.length - dataOff).toLong) return unknownOf(FMT_WAV)
+    // a truncated final frame INSIDE the declared extent is dropped
+    val frames = dataSize / blockAlign
     val n = frames * ch
     if (n > MaxSamples) return unknownOf(FMT_WAV)
     val out = new Array[Int](n.toInt)

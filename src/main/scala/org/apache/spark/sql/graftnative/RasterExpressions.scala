@@ -10,10 +10,11 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native RASTER decode — the real pixel half of the multimodal stage
-  * (container metadata lives in [[ImageMeta]]). Three codec-free formats
-  * whose pixel payloads are pure header-plus-byte arithmetic, so the
-  * decode needs no image library and runs as one bounded byte walk per
-  * row inside whole-stage codegen:
+  * (container metadata lives in [[ImageMeta]]). Five formats whose
+  * pixel payloads are decodable with the JDK alone (byte arithmetic,
+  * plus `java.util.zip` for PNG's zlib), so the decode needs no image
+  * library and runs as one bounded byte walk per row inside whole-stage
+  * codegen:
   *
   *  - PPM `P6` (Netpbm spec): ASCII header `P6 <w> <h> <maxval>` with
   *    `#` comments and arbitrary whitespace, one whitespace byte, then
@@ -25,6 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    height = BOTTOM-UP row order), planes 1, 24 bpp, BI_RGB
   *    (uncompressed) only; each row is B,G,R triples padded to a 4-byte
   *    boundary. Decode = strip padding, swap to RGB, flip to top-down.
+  *  - PNG (ISO/IEC 15948): chunk walk with CRC-32 verification, IDAT
+  *    zlib inflate via the JDK `Inflater`, scanline unfiltering
+  *    (None/Sub/Up/Average/Paeth); 8-bit grayscale/truecolor,
+  *    non-interlaced.
+  *  - GIF (GIF87a/89a): first image block — LZW decompression, global
+  *    or local palette mapping, 4-pass deinterlace.
   *
   * Output is a normalized raster struct
   * `(format, width, height, channels, pixels)` with `pixels` row-major
@@ -64,6 +71,8 @@ object ImageDecode {
   private val FMT_PPM = UTF8String.fromString("ppm")
   private val FMT_PGM = UTF8String.fromString("pgm")
   private val FMT_BMP = UTF8String.fromString("bmp")
+  private val FMT_PNG = UTF8String.fromString("png")
+  private val FMT_GIF = UTF8String.fromString("gif")
   private val FMT_UNKNOWN = UTF8String.fromString("unknown")
 
   /** Decoded-raster size cap: 64 MiB of samples. A corrupt header must
@@ -168,6 +177,286 @@ object ImageDecode {
     row(FMT_BMP, w, h, 3, out)
   }
 
+  private def beU32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
+      (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
+
+  private val PngSig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def isPng(b: Array[Byte]): Boolean = {
+    if (b.length < 8) return false
+    var i = 0
+    while (i < 8) { if (b(i) != PngSig(i)) return false; i += 1 }
+    true
+  }
+
+  /** PNG decode (ISO/IEC 15948), zero external libraries: the chunk walk
+    * and CRC-32 check are pure arithmetic, IDAT is a zlib stream the
+    * JDK's own `Inflater` decompresses, and scanline UNfiltering
+    * (None/Sub/Up/Average/Paeth, §9) is pure byte arithmetic. Supported
+    * image types: bit depth 8, color type 0 (grayscale) or 2 (truecolor
+    * RGB), non-interlaced — the shapes a synthetic-fixture or
+    * screenshot-corpus pipeline produces. Every chunk's CRC is verified
+    * (a flipped payload byte yields `'unknown'`, never silently wrong
+    * pixels), multiple IDAT chunks concatenate per spec, ancillary
+    * chunks are skipped, and the inflated stream must contain EXACTLY
+    * `h·(1 + w·channels)` bytes — truncation or overrun is a reject.
+    */
+  private def decodePng(b: Array[Byte]): InternalRow = {
+    var w = -1; var h = -1; var ch = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    while (i + 12 <= b.length && !seenIend) {
+      val len = beU32(b, i)
+      if (len > b.length.toLong || i + 12L + len > b.length) return unknown
+      val dataOff = i + 8
+      val dataLen = len.toInt
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, i + 4, 4 + dataLen)
+      if (crc.getValue != beU32(b, dataOff + dataLen)) return unknown
+      val t0 = b(i + 4); val t1 = b(i + 5); val t2 = b(i + 6); val t3 = b(i + 7)
+      if (t0 == 'I' && t1 == 'H' && t2 == 'D' && t3 == 'R') {
+        if (seenIhdr || dataLen != 13) return unknown
+        seenIhdr = true
+        val wl = beU32(b, dataOff)
+        val hl = beU32(b, dataOff + 4)
+        val depth = u8(b, dataOff + 8)
+        val color = u8(b, dataOff + 9)
+        val comp = u8(b, dataOff + 10)
+        val filt = u8(b, dataOff + 11)
+        val inter = u8(b, dataOff + 12)
+        if (depth != 8 || comp != 0 || filt != 0 || inter != 0) return unknown
+        ch = color match { case 0 => 1; case 2 => 3; case _ => return unknown }
+        if (wl <= 0 || hl <= 0 || wl * hl * ch > MaxPixelBytes) return unknown
+        w = wl.toInt; h = hl.toInt
+      } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
+        if (!seenIhdr) return unknown
+        idat.write(b, dataOff, dataLen)
+      } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
+        seenIend = true
+      } // ancillary chunks: skipped, CRC still verified above
+      i = dataOff + dataLen + 4
+    }
+    if (!seenIhdr || !seenIend) return unknown
+    val rowBytes = w * ch
+    val raw = new Array[Byte](h * (1 + rowBytes))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      var stuck = false
+      while (off < raw.length && !inf.finished() && !stuck) {
+        val n =
+          try inf.inflate(raw, off, raw.length - off)
+          catch { case _: java.util.zip.DataFormatException => return unknown }
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
+        off += n
+      }
+      // the stream must yield the exact scanline volume and nothing more
+      if (off < raw.length) return unknown
+      if (!inf.finished() && inf.inflate(new Array[Byte](1)) > 0) return unknown
+    } finally inf.end()
+    val out = new Array[Byte](h * rowBytes)
+    val bpp = ch
+    var y = 0
+    while (y < h) {
+      val f = u8(raw, y * (1 + rowBytes))
+      if (f > 4) return unknown
+      val src = y * (1 + rowBytes) + 1
+      val dst = y * rowBytes
+      var x = 0
+      while (x < rowBytes) {
+        val rv = u8(raw, src + x)
+        val left = if (x >= bpp) u8(out, dst + x - bpp) else 0
+        val up = if (y > 0) u8(out, dst - rowBytes + x) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case _ => // Paeth (§9.4)
+            val ul = if (y > 0 && x >= bpp) u8(out, dst - rowBytes + x - bpp) else 0
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        out(dst + x) = ((rv + pred) & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    row(FMT_PNG, w, h, ch, out)
+  }
+
+  /** Decompress a GIF LZW code stream (GIF89a spec, appendix F) into
+    * exactly `nOut` palette indices, or null on any malformation:
+    * variable-width codes read LSB-first, CLEAR resets the table, the
+    * deferred-clear 4096-entry cap, and the KwKwK first-byte case all
+    * per spec. Pure arithmetic — no library.
+    */
+  private def lzwDecode(d: Array[Byte], minCode: Int, nOut: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val maxDict = 4096
+    val prefix = new Array[Int](maxDict)
+    val suffix = new Array[Byte](maxDict)
+    val stack = new Array[Byte](maxDict + 1)
+    var dictSize = eoi + 1
+    var codeSize = minCode + 1
+    val out = new Array[Byte](nOut)
+    var outPos = 0
+    var bitPos = 0
+    var prev = -1
+    var first = 0
+    val totalBits = d.length.toLong * 8
+    while (outPos < nOut) {
+      if (bitPos + codeSize > totalBits) return null
+      var code = 0
+      var k = 0
+      while (k < codeSize) {
+        code |= ((d((bitPos + k) >> 3) >> ((bitPos + k) & 7)) & 1) << k
+        k += 1
+      }
+      bitPos += codeSize
+      if (code == clear) { dictSize = eoi + 1; codeSize = minCode + 1; prev = -1 }
+      else if (code == eoi) return null // EOI before the pixel count is met
+      else {
+        var sp = 0
+        var c = code
+        if (code >= dictSize) {
+          // the KwKwK case: only code == dictSize with a previous string
+          if (code != dictSize || prev < 0) return null
+          stack(sp) = first.toByte; sp += 1
+          c = prev
+        }
+        while (c >= eoi + 1) {
+          stack(sp) = suffix(c); sp += 1
+          c = prefix(c)
+          if (sp > maxDict) return null
+        }
+        if (c >= clear) return null // prefix chain must end at a root
+        first = c
+        stack(sp) = c.toByte; sp += 1
+        if (outPos + sp > nOut) return null
+        while (sp > 0) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+        if (prev >= 0 && dictSize < maxDict) {
+          prefix(dictSize) = prev
+          suffix(dictSize) = first.toByte
+          dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    out
+  }
+
+  /** GIF pixel decode (GIF87a/89a spec), zero external libraries: the
+    * container walk (logical screen descriptor, color tables, extension
+    * skip, image descriptor) is fixed-offset arithmetic and the pixel
+    * payload is LZW ([[lzwDecode]]). Decodes the FIRST image block of
+    * the stream — the still-image case; animation frames after the first
+    * are ignored. Local color tables override the global one, and the
+    * 4-pass interlace row shuffle is undone so output is top-down
+    * row-major RGB like every other raster source.
+    */
+  private def decodeGif(b: Array[Byte]): InternalRow = {
+    if (b.length < 13) return unknown
+    val packed = u8(b, 10)
+    var i = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (i + 3 * n > b.length) return unknown
+      gct = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
+      i += 3 * n
+    }
+    while (i < b.length) {
+      u8(b, i) match {
+        case 0x21 => // extension: introducer + label, then sub-blocks
+          i += 2
+          var done = false
+          while (!done) {
+            if (i >= b.length) return unknown
+            val sz = u8(b, i)
+            i += 1 + sz
+            if (sz == 0) done = true
+          }
+        case 0x2C =>
+          if (i + 10 > b.length) return unknown
+          val w = leU16(b, i + 5)
+          val h = leU16(b, i + 7)
+          val ipacked = u8(b, i + 9)
+          val interlaced = (ipacked & 0x40) != 0
+          i += 10
+          var pal = gct
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            if (i + 3 * n > b.length) return unknown
+            pal = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
+            i += 3 * n
+          }
+          if (pal == null || w <= 0 || h <= 0 ||
+              3L * w * h > MaxPixelBytes) return unknown
+          if (i >= b.length) return unknown
+          val minCode = u8(b, i)
+          i += 1
+          if (minCode < 2 || minCode > 8) return unknown
+          val data = new java.io.ByteArrayOutputStream()
+          var done = false
+          while (!done) {
+            if (i >= b.length) return unknown
+            val sz = u8(b, i)
+            i += 1
+            if (sz == 0) done = true
+            else {
+              if (i + sz > b.length) return unknown
+              data.write(b, i, sz)
+              i += sz
+            }
+          }
+          val idx = lzwDecode(data.toByteArray, minCode, w * h)
+          if (idx == null) return unknown
+          val nPal = pal.length / 3
+          val out = new Array[Byte](3 * w * h)
+          var p = 0
+          var y = 0
+          // interlace pass starts/strides per spec appendix E
+          val starts = Array(0, 4, 2, 1)
+          val strides = Array(8, 8, 4, 2)
+          var pass = 0
+          var iy = starts(0)
+          while (y < h) {
+            val destY = if (interlaced) iy else y
+            var x = 0
+            while (x < w) {
+              val v = idx(p) & 0xFF
+              if (v >= nPal) return unknown
+              val d = (destY * w + x) * 3
+              out(d) = pal(3 * v)
+              out(d + 1) = pal(3 * v + 1)
+              out(d + 2) = pal(3 * v + 2)
+              p += 1
+              x += 1
+            }
+            if (interlaced) {
+              iy += strides(pass)
+              while (iy >= h && pass < 3) { pass += 1; iy = starts(pass) }
+            }
+            y += 1
+          }
+          return row(FMT_GIF, w, h, 3, out)
+        case 0x3B => return unknown // trailer before any image block
+        case _ => return unknown
+      }
+    }
+    unknown
+  }
+
   /** Decode one payload; called per row from generated and interpreted
     * paths.
     */
@@ -175,6 +464,9 @@ object ImageDecode {
     if (b.length >= 2 && b(0) == 'P' && b(1) == '6') decodeNetpbm(b, 3, FMT_PPM)
     else if (b.length >= 2 && b(0) == 'P' && b(1) == '5') decodeNetpbm(b, 1, FMT_PGM)
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+    else if (isPng(b)) decodePng(b)
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') decodeGif(b)
     else unknown
   }
 }
@@ -216,7 +508,10 @@ case class ImageResizeNN(child: Expression, targetW: Int, targetH: Int)
 
 object ImageResizeNN {
   def compute(r: InternalRow, tw: Int, th: Int): InternalRow = {
-    if (r.isNullAt(4)) return r // 'unknown' raster: nothing to resize
+    // 'unknown' raster: nothing to resize — but return a FRESH copy, not
+    // the input reference, which may alias a reused decode buffer when
+    // the struct arrives from a columnar scan rather than ImageDecode
+    if (r.isNullAt(4)) return r.copy()
     val w = r.getInt(1)
     val h = r.getInt(2)
     val ch = r.getInt(3)

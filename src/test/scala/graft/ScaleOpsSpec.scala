@@ -1918,6 +1918,12 @@ class ScaleOpsSpec extends SparkSpec {
     // blockAlign 4 -> 1 whole frame
     val torn = decodePcm(wavBytes(2, 8000, 16, Array.fill[Byte](7)(1)))
     assert(torn.getInt(2) == 1 && torn.getSeq[Int](3).length == 2)
+    // an OVERSTATED data-size field must not salvage trailing bytes of
+    // the file (or of subsequent chunks) as samples: reject, don't guess
+    val overstated = wavBytes(1, 8000, 8, Array[Byte](1, 2, 3, 4))
+    overstated(overstated.length - 8 + 2) = 99.toByte // dataSize 4 -> huge
+    assert(decodePcm(overstated).getString(0) == "wav" &&
+      decodePcm(overstated).isNullAt(3))
     // float PCM (fmt tag 3) and non-RIFF payloads: samples never guessed
     val floatWav = wavBytes(1, 8000, 16, Array[Byte](0, 0))
       .updated(20, 3.toByte)
@@ -2004,5 +2010,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(vids.getSeq[Long](0) == wantLuma)
     assert(vids.getSeq[Long](1) == wantLuma)
     assert(vids.getInt(2) == 3)
+    // odd dims in 420jpeg: the fixture sizes chroma with the SAME ceil
+    // arithmetic as the parser, so the stream decodes instead of
+    // silently yielding NULL from a payload-size disagreement
+    val odd = Seq(Tuple1(5L)).toDF("seed")
+      .select(ScaleOps.y4mFrameLuma(ScaleOps.synthY4m(
+        lit(3L), lit(5L), lit(2L), col("seed"), "420jpeg"), 1).as("v"))
+      .select(col("v.n_frames"), col("v.y_sums")).head()
+    assert(odd.getInt(0) == 2)
+    assert(odd.getSeq[Long](1) == (0 until 2).map { f =>
+      (0 until 15).map(o => (5L * 31 + f * 11 + o * 7) % 256).sum
+    })
   }
 }

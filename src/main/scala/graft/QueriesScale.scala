@@ -1155,6 +1155,107 @@ object QueriesScale {
         | CAST(b_sum AS BIGINT) AS b_sum
         |FROM s ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------------ compressed raster decode
+  // PNG and GIF — the #1 and #3 web-crawl raster formats — decoded for
+  // REAL with zero external libraries: the fixtures are complete valid
+  // files whose pixel payloads are genuinely COMPRESSED (PNG scanlines
+  // forward-filtered through all five spec filter types, then deflated
+  // through the JDK Deflater; GIF indices LZW-packed with real
+  // variable-width codes), and the native ImageDecode branches must run
+  // real INFLATE + per-scanline unfiltering / real LZW + palette mapping
+  // to recover them. The oracles replay only the generative pixel
+  // formula — they know nothing about zlib or LZW — so a hash match
+  // proves the decompressors invert real compression pixel-for-pixel on
+  // every row. Same decode→resize→channel-sums shape as `image_pixels`;
+  // per-row, zero shuffle. Golden handmade streams (stored-block zlib,
+  // hand-packed LZW, interlace, CRC corruption) live in ScaleOpsSpec.
+  private val pngPixelsQ = Q(
+    (s, dir) => {
+      // h ≥ 5 rows: every image exercises ALL FIVE filter types, since
+      // the fixture assigns row y the filter (seed + y) mod 5
+      val w = lit(4L) + col("doc_id") % 9
+      val h = lit(5L) + col("doc_id") % 7
+      val payload = when(col("doc_id") % 3 === 0,
+          ScaleOps.synthPng(w, h, col("doc_id"), channels = 1))
+        .otherwise(ScaleOps.synthPng(w, h, col("doc_id"), channels = 3))
+      val raster = ScaleOps.imageDecode(payload)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raster.as("r"))
+        .select(col("doc_id"),
+          col("r.format").as("format"),
+          col("r.width").cast(LongType).as("width"),
+          col("r.height").cast(LongType).as("height"),
+          col("r.channels").cast(LongType).as("channels"),
+          ScaleOps.rasterChannelSums(
+            ScaleOps.imageResizeNN(col("r"), 4, 4)).as("s"))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("channels"),
+          col("s").getItem(0).as("y_sum"),
+          // grayscale rasters have one channel: guard the RGB items
+          when(col("channels") === 1, lit(null).cast(LongType))
+            .otherwise(col("s").getItem(1)).as("g_sum"),
+          when(col("channels") === 1, lit(null).cast(LongType))
+            .otherwise(col("s").getItem(2)).as("b_sum"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 9 AS w, 5 + doc_id % 7 AS h,
+        |   CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS ch FROM documents),
+        | g AS (SELECT d.doc_id, d.w, d.h, d.ch, gx.range AS x, gy.range AS y
+        |        FROM d CROSS JOIN range(0, 4) gx CROSS JOIN range(0, 4) gy),
+        | px AS (SELECT doc_id, w, h, ch,
+        |         ((y * h // 4) * w + (x * w // 4)) * ch AS base FROM g),
+        | s AS (SELECT doc_id, w, h, ch,
+        |        SUM((doc_id * 31 + (base + 0) * 7) % 256) AS s0,
+        |        SUM(CASE WHEN ch = 3 THEN (doc_id * 31 + (base + 1) * 7) % 256 END) AS s1,
+        |        SUM(CASE WHEN ch = 3 THEN (doc_id * 31 + (base + 2) * 7) % 256 END) AS s2
+        |       FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, 'png' AS format,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(ch AS BIGINT) AS channels, CAST(s0 AS BIGINT) AS y_sum,
+        | CAST(s1 AS BIGINT) AS g_sum, CAST(s2 AS BIGINT) AS b_sum
+        |FROM s ORDER BY doc_id""".stripMargin))
+
+  private val gifPixelsQ = Q(
+    (s, dir) => {
+      val w = lit(3L) + col("doc_id") % 10
+      val h = lit(3L) + col("doc_id") % 8
+      val raster = ScaleOps.imageDecode(
+        ScaleOps.synthGif(w, h, col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raster.as("r"))
+        .select(col("doc_id"),
+          col("r.format").as("format"),
+          col("r.width").cast(LongType).as("width"),
+          col("r.height").cast(LongType).as("height"),
+          ScaleOps.rasterChannelSums(
+            ScaleOps.imageResizeNN(col("r"), 4, 4)).as("s"))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("s").getItem(0).as("r_sum"),
+          col("s").getItem(1).as("g_sum"),
+          col("s").getItem(2).as("b_sum"))
+        .orderBy("doc_id")
+    },
+    Some(
+      // the palette's three channel ramps (i, 2i mod 256, 3i mod 256)
+      // make the oracle's sums distinct per channel — a mapping mistake
+      // cannot hash-cancel
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 10 AS w, 3 + doc_id % 8 AS h
+        |           FROM documents),
+        | g AS (SELECT d.doc_id, d.w, d.h, gx.range AS x, gy.range AS y
+        |        FROM d CROSS JOIN range(0, 4) gx CROSS JOIN range(0, 4) gy),
+        | px AS (SELECT doc_id, w, h,
+        |         (doc_id * 31 + ((y * h // 4) * w + (x * w // 4)) * 7) % 256 AS v
+        |        FROM g),
+        | s AS (SELECT doc_id, w, h, SUM(v) AS r_sum,
+        |        SUM((2 * v) % 256) AS g_sum, SUM((3 * v) % 256) AS b_sum
+        |       FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, 'gif' AS format,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+        | CAST(b_sum AS BIGINT) AS b_sum
+        |FROM s ORDER BY doc_id""".stripMargin))
+
   // -------------------------------------------------- real audio decode
   // The waveform half of the multimodal stage, REAL end-to-end: complete
   // valid PCM WAV files (canonical header AND every sample byte, 8-bit
@@ -3782,6 +3883,8 @@ object QueriesScale {
     "multimodal_meta" -> multimodalQ,
     "image_meta" -> imageMetaQ,
     "image_pixels" -> imagePixelsQ,
+    "png_pixels" -> pngPixelsQ,
+    "gif_pixels" -> gifPixelsQ,
     "audio_pcm" -> audioPcmQ,
     "video_frames" -> videoFramesQ,
     "audio_meta" -> audioMetaQ,

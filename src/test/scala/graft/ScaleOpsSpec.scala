@@ -670,6 +670,167 @@ class ScaleOpsSpec extends SparkSpec {
     assert(decodeRaster("plain".getBytes)._1 == "unknown")
   }
 
+  // --- PNG: hand-built chunks around a STORED-block zlib stream, so the
+  // expected bytes are hand-computable without running any deflater
+  private def zlibStored(data: Array[Byte]): Array[Byte] = {
+    // 0x78 0x01 header, one final stored block, then big-endian Adler-32
+    var s1 = 1L; var s2 = 0L
+    data.foreach { b => s1 = (s1 + (b & 0xFF)) % 65521; s2 = (s2 + s1) % 65521 }
+    val adler = (s2 << 16) | s1
+    Array[Byte](0x78, 0x01, 0x01,
+      (data.length & 0xFF).toByte, ((data.length >> 8) & 0xFF).toByte,
+      (~data.length & 0xFF).toByte, ((~data.length >> 8) & 0xFF).toByte) ++
+      data ++ Array[Byte](((adler >> 24) & 0xFF).toByte,
+        ((adler >> 16) & 0xFF).toByte, ((adler >> 8) & 0xFF).toByte,
+        (adler & 0xFF).toByte)
+  }
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    def be32(v: Long) = Array[Byte](((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+  }
+
+  private val pngSig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def ihdr(w: Int, h: Int, color: Int, depth: Int = 8,
+      interlace: Int = 0): Array[Byte] =
+    pngChunk("IHDR", Array[Byte](
+      (w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+      (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte,
+      depth.toByte, color.toByte, 0, 0, interlace.toByte))
+
+  test("ImageDecode: golden PNG bytes — stored-zlib inflate, Sub/Up unfiltering, CRC gate") {
+    // 2x2 RGB: row 0 Sub-filtered, row 1 Up-filtered (hand-filtered here)
+    val logical = Seq[Byte](1, 2, 3, 4, 6, 8, 11, 22, 33, 14, 26, 38)
+    val filtered = Array[Byte](
+      1, 1, 2, 3, 3, 4, 5, // Sub: second pixel minus first
+      2, 10, 20, 30, 10, 20, 30) // Up: row 1 minus row 0
+    val png = pngSig ++ ihdr(2, 2, color = 2) ++
+      pngChunk("IDAT", zlibStored(filtered)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(decodeRaster(png) == (("png", 2, 2, 3, logical)))
+    // IDAT split across two chunks concatenates per spec
+    val half = zlibStored(filtered)
+    val split = pngSig ++ ihdr(2, 2, color = 2) ++
+      pngChunk("IDAT", half.take(5)) ++ pngChunk("IDAT", half.drop(5)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(decodeRaster(split) == (("png", 2, 2, 3, logical)))
+    // a flipped payload byte fails the chunk CRC: unknown, never wrong pixels
+    val corrupt = png.clone()
+    corrupt(pngSig.length + ihdr(2, 2, 2).length + 8 + 3) =
+      (corrupt(pngSig.length + ihdr(2, 2, 2).length + 8 + 3) ^ 0x40).toByte
+    assert(decodeRaster(corrupt)._1 == "unknown")
+    // truncation / interlaced / 16-bit / palette color type: reject
+    assert(decodeRaster(png.dropRight(1))._1 == "unknown")
+    assert(decodeRaster(pngSig ++ ihdr(2, 2, 2, interlace = 1) ++
+      pngChunk("IDAT", zlibStored(filtered)) ++
+      pngChunk("IEND", Array.emptyByteArray))._1 == "unknown")
+    assert(decodeRaster(pngSig ++ ihdr(2, 2, 2, depth = 16) ++
+      pngChunk("IDAT", zlibStored(filtered)) ++
+      pngChunk("IEND", Array.emptyByteArray))._1 == "unknown")
+    assert(decodeRaster(pngSig ++ ihdr(2, 2, color = 3) ++
+      pngChunk("IDAT", zlibStored(filtered)) ++
+      pngChunk("IEND", Array.emptyByteArray))._1 == "unknown")
+    // inflated volume must be EXACT: drop one filtered byte -> reject
+    assert(decodeRaster(pngSig ++ ihdr(2, 2, 2) ++
+      pngChunk("IDAT", zlibStored(filtered.dropRight(1))) ++
+      pngChunk("IEND", Array.emptyByteArray))._1 == "unknown")
+  }
+
+  test("ImageDecode: golden GIF bytes — hand-packed LZW, palette map, KwKwK, interlace") {
+    // 2x2, 4-entry palette, indices [0,1,2,1]; LZW minCode 2 hand-packed:
+    // codes clear(4),0,1,2 at 3 bits then 1,eoi(5) at 4 bits, LSB-first
+    val pal4 = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val gif = "GIF89a".getBytes ++ Array[Byte](2, 0, 2, 0, 0x81.toByte, 0, 0) ++
+      pal4 ++ Array[Byte](0x2C, 0, 0, 0, 0, 2, 0, 2, 0, 0, 2,
+        3, 0x44, 0x14, 0x05, 0, 0x3B)
+    val expected = Seq[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 40, 50, 60)
+    assert(decodeRaster(gif) == (("gif", 2, 2, 3, expected)))
+    // KwKwK (code == dictSize): indices [0,0,0] -> codes 4,0,6,5 packed
+    val gifK = "GIF89a".getBytes ++ Array[Byte](3, 0, 1, 0, 0x81.toByte, 0, 0) ++
+      pal4 ++ Array[Byte](0x2C, 0, 0, 0, 0, 3, 0, 1, 0, 0, 2,
+        2, 0x84.toByte, 0x0B, 0, 0x3B)
+    assert(decodeRaster(gifK) ==
+      (("gif", 3, 1, 3, Seq[Byte](10, 20, 30, 10, 20, 30, 10, 20, 30))))
+    // interlaced 1x5: stream rows land at 0,4,2,1,3 and must be unshuffled;
+    // codes clear(8),0,1,2,3,4,eoi(9) at 4 bits (8-entry palette, minCode 3)
+    val pal8 = Array.tabulate[Byte](24)(i => (i + 1).toByte)
+    val gifI = "GIF89a".getBytes ++ Array[Byte](1, 0, 5, 0, 0x82.toByte, 0, 0) ++
+      pal8 ++ Array[Byte](0x2C, 0, 0, 0, 0, 1, 0, 5, 0, 0x40, 3,
+        4, 0x08, 0x21, 0x43, 0x09, 0, 0x3B)
+    val (fmt, w, h, ch, pix) = decodeRaster(gifI)
+    assert((fmt, w, h, ch) == (("gif", 1, 5, 3)))
+    // dest row r gets stream index: 0->0, 1->3, 2->2, 3->4, 4->1
+    val wantRows = Seq(0, 3, 2, 4, 1)
+    assert(pix == wantRows.flatMap(v => pal8.slice(3 * v, 3 * v + 3)))
+    // malformations: trailer before image, palette overrun, torn sub-block
+    assert(decodeRaster("GIF89a".getBytes ++
+      Array[Byte](2, 0, 2, 0, 0, 0, 0, 0x3B))._1 == "unknown")
+    // index 2 under a 2-entry palette claim: reject, never guess
+    assert(decodeRaster("GIF89a".getBytes ++
+      Array[Byte](2, 0, 2, 0, 0x80.toByte, 0, 0) ++ pal4.take(6) ++
+      Array[Byte](0x2C, 0, 0, 0, 0, 2, 0, 2, 0, 0, 2,
+        3, 0x44, 0x14, 0x05, 0, 0x3B))._1 == "unknown")
+    assert(decodeRaster(gif.dropRight(3))._1 == "unknown")
+  }
+
+  test("SynthPng / SynthGif: really-compressed fixtures decode back to the formula") {
+    // h >= 5 rows: the per-row filter (seed + y) mod 5 hits ALL FIVE
+    // spec filters, so this round-trip proves inflate + every unfilter
+    val rows = Seq((6L, 7L, 123L), (5L, 5L, 4L), (9L, 8L, 77L))
+      .toDF("w", "h", "seed")
+    val dec = rows.select(col("seed"),
+        ScaleOps.imageDecode(ScaleOps.synthPng(col("w"), col("h"),
+          col("seed"), channels = 3)).as("r"),
+        ScaleOps.imageDecode(ScaleOps.synthPng(col("w"), col("h"),
+          col("seed"), channels = 1)).as("g"),
+        ScaleOps.imageDecode(ScaleOps.synthGif(col("w"), col("h"),
+          col("seed"))).as("f"),
+        col("w"), col("h"))
+      .collect()
+    dec.foreach { r =>
+      val seed = r.getLong(0)
+      val w = r.getLong(4).toInt; val h = r.getLong(5).toInt
+      def pix(idx: Int) = java.lang.Math.floorMod(seed * 31 + idx * 7, 256)
+      val rgb = r.getStruct(1)
+      assert(rgb.getString(0) == "png" && rgb.getInt(3) == 3)
+      val rgbPx = rgb.getAs[Array[Byte]](4)
+      assert(rgbPx.length == w * h * 3)
+      rgbPx.zipWithIndex.foreach { case (b, i) =>
+        assert((b & 0xFF) == pix(i), s"png rgb seed=$seed byte $i") }
+      val gray = r.getStruct(2)
+      assert(gray.getString(0) == "png" && gray.getInt(3) == 1)
+      gray.getAs[Array[Byte]](4).zipWithIndex.foreach { case (b, i) =>
+        assert((b & 0xFF) == pix(i), s"png gray seed=$seed byte $i") }
+      val gif = r.getStruct(3)
+      assert(gif.getString(0) == "gif" && gif.getInt(3) == 3)
+      val gifPx = gif.getAs[Array[Byte]](4)
+      (0 until w * h).foreach { p =>
+        val v = pix(p)
+        assert((gifPx(3 * p) & 0xFF) == v &&
+          (gifPx(3 * p + 1) & 0xFF) == (2 * v) % 256 &&
+          (gifPx(3 * p + 2) & 0xFF) == (3 * v) % 256,
+          s"gif seed=$seed pixel $p")
+      }
+    }
+    // a wide GIF forces the LZW dictionary through a code-width change
+    val wide = Seq((200L, 30L, 9L)).toDF("w", "h", "seed")
+      .select(ScaleOps.imageDecode(ScaleOps.synthGif(col("w"), col("h"),
+        col("seed"))).as("f"))
+      .select(col("f.width"), col("f.pixels")).head()
+    assert(wide.getInt(0) == 200)
+    val widePx = wide.getAs[Array[Byte]](1)
+    (0 until 200 * 30).foreach { p =>
+      val v = java.lang.Math.floorMod(9L * 31 + p * 7, 256)
+      assert((widePx(3 * p) & 0xFF) == v, s"wide gif pixel $p")
+    }
+  }
+
   test("ImageResizeNN + RasterChannelSums: hand-computed NN kernel and exact sums") {
     // 4x2 single-channel ramp: NN to 2x2 keeps sx in {0,2}, sy in {0,1}
     val pgm = "P5\n4 2\n255\n".getBytes("US-ASCII") ++

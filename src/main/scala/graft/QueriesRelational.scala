@@ -406,6 +406,46 @@ object QueriesRelational {
         |        tri_sampled, tri_sampled * 64 AS tri_estimate
         | FROM tri""".stripMargin))
 
+  // ------------------------------------------ label propagation communities
+  // The graph family's fourth primitive (equivalence = CC, centrality =
+  // PageRank, cohesion = triangles, community = LPA):
+  // operators.ScaleOps.labelPropagation over the same urgent
+  // co-occurrence graph — the deterministic min-label-tie-break
+  // synchronous variant, so the oracle can replay the unrolled rounds
+  // (neighbor-label frequency argmax per node per round) and the full
+  // community assignment hash-matches, not just summary stats. Four
+  // bounded rounds; the convergence-loop form at scale reuses the CC
+  // iteration harness.
+  private val labelPropIterations = 4
+  private val labelPropQ = Q(
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+      operators.ScaleOps
+        .labelPropagation(urgentCoOccurrenceEdges(s, dir),
+          iterations = labelPropIterations)
+        .select(col("node"), col("label").as("community"),
+          count(lit(1)).over(w).as("community_size"))
+        .orderBy(col("node"))
+    },
+    Some {
+      val iters = (1 to labelPropIterations).map { i =>
+        s"""c$i AS (SELECT u.a AS node, p.label, COUNT(*) AS cnt
+           |  FROM und u JOIN lp${i - 1} p ON p.node = u.b GROUP BY 1, 2),
+           | lp$i AS (SELECT node, label FROM (
+           |   SELECT node, label, row_number() OVER (
+           |     PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+           |   FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH $coGraphCtes,
+         | und AS (SELECT u AS a, v AS b FROM pairs
+         |         UNION ALL SELECT v, u FROM pairs),
+         | lp0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+         | $iters
+         |SELECT node, label AS community,
+         | CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+         |FROM lp$labelPropIterations ORDER BY node""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
     "unpivot_long" -> unpivotQ,
     "anti_join_orphans" -> antiJoinQ,
@@ -414,6 +454,7 @@ object QueriesRelational {
     "triangle_count" -> triangleQ,
     "triangle_count_approx" -> triangleApproxQ,
     "bfs_levels" -> bfsQ,
+    "label_prop" -> labelPropQ,
     "range_window" -> rangeWindowQ,
     "star_join" -> starJoinQ
   )

@@ -2022,6 +2022,60 @@ object ScaleOps {
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Label-propagation community detection (Raghavan et al. 2007), the
+    * DETERMINISTIC synchronous variant: every node starts with its own id
+    * as label; each round every node adopts the label most frequent among
+    * its NEIGHBORS (ties broken by smallest label; a node's own label
+    * does not vote). Classic LPA breaks ties randomly — that variant is
+    * neither reproducible at 100 TB (retries would flip communities) nor
+    * oracle-able; the min-label tie-break makes each round a pure
+    * function of the previous one, so a DuckDB oracle can replay the
+    * unrolled rounds and even the community assignment hash-matches.
+    * Runs a FIXED `iterations` rounds (bounded work by construction;
+    * LPA's natural stopping rule — no label changed — is the
+    * [[connectedComponents]]-style convergence loop at scale).
+    *
+    * 100 TB shape (the iterative-join discipline shared with
+    * [[pageRankFixedPoint]]): the undirected adjacency list materializes
+    * once; each round is one equi-join of edges against the (node,
+    * label) frame, one (node, label) count aggregate with map-side
+    * combine, and one argmax aggregate — `max(struct(cnt, -label))`
+    * instead of a row_number window, so the per-round shuffle stays
+    * O(|edges|) partial-aggregated with no sort. Rounds are eagerly
+    * checkpointed to truncate lineage.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val und = edges
+      .select(col(srcCol).cast(LongType).as("a"),
+        col(dstCol).cast(LongType).as("b"))
+      .unionAll(edges.select(col(dstCol).cast(LongType).as("a"),
+        col(srcCol).cast(LongType).as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = und.select(col("a").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val neigh = und
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      // argmax by (cnt desc, label asc): lexicographic max over
+      // (cnt, -label) — labels are node ids ≥ 0 so negation is safe
+      val best = neigh
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("next"))
+      labels = labels
+        .join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("next"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Breadth-first search to a bounded depth: minimum hop distance from a
     * seed set over an undirected edge list, returned as `(node, level)`
     * for every node within `maxLevel` hops (seeds at level 0; unreachable

@@ -216,6 +216,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation equals the reference synchronous min-tie-break rounds") {
+    samples(graphGen, 8).foreach { es =>
+      // DEDUPED undirected adjacency — multi-edges don't multi-vote,
+      // matching the operator's distinct edge normalization
+      val adj = es.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+        .filter { case (u, v) => u != v }.toSet
+        .groupBy((p: (Long, Long)) => p._1)
+        .view.mapValues(_.map(_._2).toList).toMap
+      if (adj.nonEmpty) {
+        val iterations = 4
+        val got = graft.operators.ScaleOps
+          .labelPropagation(es.toDF("src", "dst"), iterations)
+          .as[(Long, Long)].collect().toMap
+        // reference: synchronous rounds, label := most frequent neighbor
+        // label, ties to the smallest; a node's own label does not vote
+        var ref = adj.keys.map(n => n -> n).toMap
+        for (_ <- 1 to iterations) {
+          ref = ref.map { case (n, _) =>
+            val freq = adj(n).map(ref).groupBy(identity)
+              .view.mapValues(_.size).toMap
+            n -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }
+        }
+        assert(got == ref, s"edges=$es")
+        // every community label is one of its members' ids
+        val members = got.groupBy(_._2).map { case (l, m) => l -> m.keySet }
+        members.foreach { case (l, _) => assert(got.contains(l)) }
+      }
+    }
+  }
+
   test("bfsLevels equals reference BFS distances on random graphs") {
     samples(graphGen, 8).foreach { es =>
       val edges = es.toDF("src", "dst")

@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   * (hub members are ≥H apart, so hubs close no extra triangles).
   *
   * `SPARK_GRAFT_GRAPH_OPS` picks the sections (default `cc,pr`; add
-  * `tri,bfs`); `SPARK_GRAFT_GRAPH_NODES` the size (default 2M → ~4M
+  * `tri,bfs,pri` — `pri` is the incremental-PageRank cold-vs-warm
+  * probe); `SPARK_GRAFT_GRAPH_NODES` the size (default 2M → ~4M
   * directed edges for cc/pr, ~6M undirected for tri/bfs). Prints one
-  * JSON line with wall seconds per requested op.
+  * JSON line with wall seconds per requested op. `SPARK_DRIVER_MEM`
+  * sizes the probe JVM's heap (build.sbt default 8g) — the local-mode
+  * stand-in for executor memory, which must scale with the graph: the
+  * checkpointed edge frames and shuffle state live in this one heap.
   */
 object GraphStress {
   def main(args: Array[String]): Unit = {
@@ -29,7 +33,7 @@ object GraphStress {
     val n = sys.env.getOrElse("SPARK_GRAFT_GRAPH_NODES", "2000000").toLong
     val ops = sys.env.getOrElse("SPARK_GRAFT_GRAPH_OPS", "cc,pr")
       .split(",").map(_.trim).toSet
-    val known = Set("cc", "pr", "tri", "bfs")
+    val known = Set("cc", "pr", "pri", "tri", "bfs")
     require((ops -- known).isEmpty,
       s"unknown SPARK_GRAFT_GRAPH_OPS ${(ops -- known).mkString(",")}; " +
         s"valid: ${known.mkString(",")}")
@@ -40,9 +44,13 @@ object GraphStress {
     // 16 and goes superlinear; 64 restores edge-linear scaling)
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
       cpus.toString).toInt
+    // recorded probe knob: AQE can flip a mid-size degree frame into a
+    // multi-million-row broadcast build — "-1" disables to test that
+    val autoBc = sys.env.getOrElse("SPARK_GRAFT_AUTOBC", "10485760")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.sql.autoBroadcastJoinThreshold", autoBc)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -62,7 +70,9 @@ object GraphStress {
     // be reproducible from its own fields alone
     val fields = collection.mutable.ArrayBuffer(
       s""""nodes":$n""", s""""edges":$nEdges""", s""""cpus":$cpus""",
-      s""""shuffle_partitions":$shuffleParts""")
+      s""""shuffle_partitions":$shuffleParts""",
+      s""""heap_mb":${Runtime.getRuntime.maxMemory() >> 20}""",
+      s""""auto_bc":"$autoBc"""")
 
     if (ops("cc")) {
       val t0 = System.nanoTime()
@@ -86,6 +96,45 @@ object GraphStress {
       val prSec = (System.nanoTime() - t1) / 1e9
       fields += f""""pagerank_sec":$prSec%.2f"""
       fields += s""""pagerank_iters":5,"ranked":${r.getLong(0)},"max_rank":${r.getLong(1)}"""
+    }
+
+    if (ops("pri")) {
+      // incremental PageRank: cold-converge the base graph, persist the
+      // ranks, perturb the graph with a sparse delta rail, then compare
+      // a cold re-run against a warm start from the base ranks — the
+      // daily-delta economics pageRankConverge exists for. 5%-of-uniform
+      // tolerance keeps the cold ladder bounded at probe scale.
+      val both = edges.unionAll(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      val nodesDf = ids.withColumnRenamed("id", "node")
+      val tol = 1000000000000L / n / 20
+      val t0 = System.nanoTime()
+      val (rBase, kBase) = operators.ScaleOps.pageRankConverge(
+        nodesDf, both, tol = tol)
+      val baseSec = (System.nanoTime() - t0) / 1e9
+      val delta = ids.filter(col("id") % 97 === 0)
+        .select(col("id").as("src"), ((col("id") * 31) % n).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val full = both
+        .unionAll(delta)
+        .unionAll(delta.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      val t1 = System.nanoTime()
+      val (rCold, kCold) = operators.ScaleOps.pageRankConverge(
+        nodesDf, full, tol = tol)
+      val coldSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val (rWarm, kWarm) = operators.ScaleOps.pageRankConverge(
+        nodesDf, full, tol = tol, init = Some(rBase))
+      val warmSec = (System.nanoTime() - t2) / 1e9
+      val maxDiff = rWarm.withColumnRenamed("rank", "w")
+        .join(rCold.withColumnRenamed("rank", "c"), "node")
+        .agg(max(abs(col("w") - col("c")))).head().getLong(0)
+      fields += f""""pri_base_rounds":$kBase,"pri_base_sec":$baseSec%.2f"""
+      fields += f""""pri_cold_rounds":$kCold,"pri_cold_sec":$coldSec%.2f"""
+      fields += f""""pri_warm_rounds":$kWarm,"pri_warm_sec":$warmSec%.2f"""
+      fields += s""""pri_maxdiff":$maxDiff,"pri_tol":$tol"""
     }
 
     // skip rail for the analytic ops: triangles become exactly n-2

@@ -773,6 +773,46 @@ object QueriesScale {
       c => ScaleOps.minhashSignatureTableXx(c, "doc_id", "text", k = 8)),
     None)
 
+  // ------------------------------------------- incremental PageRank (⊘)
+  // The graph family's incremental twin (the engine's standard move:
+  // dedup_incremental, ann_ivf_append): "yesterday's" corpus (doc_id %
+  // 10 ≠ 0, ~90%) converges once and persists its ranks durably; the
+  // daily delta then WARM-STARTS pageRankConverge from that frame on the
+  // full graph, paying a handful of O(|edges|) rounds instead of the
+  // full cold ladder. ⊘ because the round count is a convergence
+  // stopping rule, not an unrollable fixed plan — ScaleOpsSpec pins
+  // warm-rounds < cold-rounds and ∞-norm agreement with the cold fixed
+  // point; GraphStress carries the scale row. Deterministic end to end
+  // (integer fixed-point + md5 candidate family), so the rows-only
+  // driver check is stable.
+  private val pagerankIncrementalQ = Q(
+    (s, dir) => {
+      val corpus = dupedDocs(s, dir)
+      val verified = verifiedPairs(corpus,
+        ScaleOps.minhashSignatureTable(corpus, "doc_id", "text", k = 8))
+      val edges = verified.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(verified.select(col("id2").as("src"), col("id1").as("dst")))
+      val nDocs = corpus.count()
+      val tol = math.max(1L, pagerankScale / nDocs / 100L) // 1% of uniform
+      val baseNodes = corpus.select("doc_id").filter(col("doc_id") % 10 =!= 0)
+      val baseEdges = edges
+        .join(baseNodes.withColumnRenamed("doc_id", "src"), "src")
+        .join(baseNodes.withColumnRenamed("doc_id", "dst"), "dst")
+      val basePath = ArtifactMemo.parquetDurable(s,
+        s"prbase#${ArtifactMemo.stamp(dir, "documents.parquet")}",
+        "pr_base_ranks") {
+        ScaleOps.pageRankConverge(baseNodes, baseEdges, tol = tol,
+          nodeCol = "doc_id", scale = pagerankScale)._1
+      }
+      val (ranks, rounds) = ScaleOps.pageRankConverge(
+        corpus.select("doc_id"), edges, tol = tol, nodeCol = "doc_id",
+        scale = pagerankScale, init = Some(s.read.parquet(basePath)))
+      ranks.select(col("node").as("doc_id"), col("rank").as("pr_scaled"))
+        .withColumn("warm_rounds", lit(rounds))
+        .orderBy("doc_id")
+    },
+    None)
+
   // ------------------------------------------------- n-gram set jaccard
   // Exact token-set jaccard for all pairs within a source group —
   // explode distinct tokens, join on (source, token), count intersection;
@@ -3868,6 +3908,7 @@ object QueriesScale {
     "dedup_cc_prod" -> dedupCcProdQ,
     "pagerank" -> pagerankQ,
     "pagerank_prod" -> pagerankProdQ,
+    "pagerank_incremental" -> pagerankIncrementalQ,
     "dedup_pipeline_prod" -> dedupPipelineProdQ,
     "dedup_incremental" -> dedupIncrementalQ,
     "dedup_incremental_prod" -> dedupIncrementalProdQ,

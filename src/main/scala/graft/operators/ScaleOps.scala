@@ -1859,8 +1859,16 @@ object ScaleOps {
     // round joins against it, so executor-local checkpoint blocks would
     // reintroduce exactly the failure mode the parquet round-trip exists
     // to survive
+    // shuffle_hash on the per-node frames: one row per node, but
+    // sequential ids and small values compress so well that size-based
+    // planning can flip them into multi-million-row broadcast builds at
+    // mid scale (the measured triangleCount degree-frame trap,
+    // STRESS_GRAPH_r09) — and a PER-ROUND broadcast of the rank frame
+    // would pay that again every iteration. The hint pins a
+    // per-partition hash build at every scale.
     val contribAnnotated = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .hint("shuffle_hash"), "src")
     val contribEdges = runDir match {
       case Some(d) =>
         val path = s"$d/pr_edges"
@@ -1872,11 +1880,12 @@ object ScaleOps {
       nodeIds.withColumn("rank", lit(scale / n)), 0)
     for (i <- 1 to iterations) {
       val inflow = contribEdges
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(ranks.withColumnRenamed("node", "src")
+          .hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
         .groupBy("node").agg(sum(col("contrib")).as("m"))
       ranks = roundCheckpoint(
-        nodeIds.join(inflow, Seq("node"), "left")
+        nodeIds.join(inflow.hint("shuffle_hash"), Seq("node"), "left")
           .select(col("node"),
             (lit(tele) +
               expr("(coalesce(m, CAST(0 AS BIGINT)) * 85) div 100"))
@@ -1887,6 +1896,79 @@ object ScaleOps {
     // `ranks`; the caller owns deleting the cc_run_* namespace once the
     // result is consumed (same contract as connectedComponents)
     ranks
+  }
+
+  /** Convergence-stopped PageRank with WARM-START support — the
+    * incremental twin of [[pageRankFixedPoint]] (the engine's standard
+    * move: `dedup_incremental`, `ann_ivf_append`). Iterates the same
+    * exact integer rounds until the rank vector moves at most `tol`
+    * integer units in the ∞-norm (or `maxIterations`), and seeds from
+    * `init` when given — the previous run's persisted `(node, rank)`
+    * frame. After a graph delta (new edges/nodes), the previous ranks
+    * sit FAR closer to the new fixed point than the uniform vector, and
+    * since the iteration contracts error by ~the damping factor per
+    * round, the saved rounds are ~log(Δ_cold/Δ_warm)/log(1/0.85) — each
+    * round at 100 TB is an O(|edges|) shuffle, so warm-starting is the
+    * difference between re-paying the full cold cost on every daily
+    * delta and paying a handful of rounds. Nodes absent from `init`
+    * (newly arrived) start at the uniform rank; departed nodes in
+    * `init` are dropped by the inner join onto the current node set.
+    *
+    * Returns `(ranks, roundsUsed)`. The convergence probe joins the
+    * round's checkpointed frame against the previous one — O(n) per
+    * round, dwarfed by the O(|edges|) contribution join.
+    */
+  def pageRankConverge(nodes: DataFrame, edges: DataFrame,
+      tol: Long, nodeCol: String = "node", srcCol: String = "src",
+      dstCol: String = "dst", maxIterations: Int = 40,
+      scale: Long = 1000000000000L,
+      init: Option[DataFrame] = None): (DataFrame, Int) = {
+    require(tol >= 1, s"tol must be >= 1 integer unit, got $tol")
+    require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
+    val n = nodes.count()
+    require(n > 0, "pageRankConverge: empty node set")
+    val tele = (scale * 15L / 100L) / n
+    val uniform = scale / n
+    val nodeIds = nodes.select(col(nodeCol).cast(LongType).as("node"))
+    val e = edges
+      .select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .distinct()
+    val contribEdges = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .hint("shuffle_hash"), "src") // same broadcast-trap pin as pageRankFixedPoint
+      .localCheckpoint(true)
+    var ranks = (init match {
+      case Some(prev) =>
+        nodeIds.join(prev.select(col("node").cast(LongType).as("node"),
+            col("rank").cast(LongType).as("_init")), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("_init"), lit(uniform)).as("rank"))
+      case None => nodeIds.withColumn("rank", lit(uniform))
+    }).localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIterations) {
+      val inflow = contribEdges
+        .join(ranks.withColumnRenamed("node", "src")
+          .hint("shuffle_hash"), "src")
+        .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
+        .groupBy("node").agg(sum(col("contrib")).as("m"))
+      val next = nodeIds.join(inflow.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(tele) +
+            expr("(coalesce(m, CAST(0 AS BIGINT)) * 85) div 100"))
+            .as("rank"))
+        .localCheckpoint(true)
+      rounds += 1
+      val delta = next
+        .join(ranks.select(col("node"), col("rank").as("_prev")), "node")
+        .agg(max(abs(col("rank") - col("_prev"))).as("d"))
+        .head().getLong(0)
+      ranks = next
+      converged = delta <= tol
+    }
+    (ranks, rounds)
   }
 
   private def ccRun(edges: DataFrame, srcCol: String,
@@ -2005,9 +2087,18 @@ object ScaleOps {
       .groupBy("node").agg(count(lit(1)).as("d"))
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
+    // shuffle_hash on the degree side: the (node, degree) frame is one
+    // row per node yet compresses to almost nothing (sequential ids,
+    // tiny degree values), so size-based planning can flip it into a
+    // multi-million-row BROADCAST build at mid scale — measured 2–3×
+    // on the 3M-node stress graph (STRESS_GRAPH_r09) where its
+    // compressed bytes dipped under the 10 MB threshold. The hint keeps
+    // it a per-partition hash build at every scale.
     val ori = e
-      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
-      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .join(deg.select(col("node").as("u"), col("d").as("du"))
+        .hint("shuffle_hash"), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv"))
+        .hint("shuffle_hash"), Seq("v"))
       .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
         when(fwd, col("v")).otherwise(col("u")).as("t"))
     val wedges = ori
@@ -2059,7 +2150,8 @@ object ScaleOps {
     var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val neigh = und
-        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .join(labels.select(col("node").as("b"), col("label"))
+          .hint("shuffle_hash"), "b") // per-node frame: broadcast-trap pin
         .groupBy(col("a").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       // argmax by (cnt desc, label asc): lexicographic max over
@@ -2069,7 +2161,7 @@ object ScaleOps {
         .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
         .select(col("node"), (-col("m.neg")).as("next"))
       labels = labels
-        .join(best, Seq("node"), "left")
+        .join(best.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"), coalesce(col("next"), col("label")).as("label"))
         .localCheckpoint(true)
     }

@@ -1889,6 +1889,51 @@ class ScaleOpsSpec extends SparkSpec {
     assert(zero.values.toSet == Set(scale / n))
   }
 
+  test("pageRankConverge: warm-start lands on the cold fixed point in fewer rounds") {
+    val n = 400L
+    val ids = spark.range(0, n)
+    def both(e: org.apache.spark.sql.DataFrame) =
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    // irregular base graph (chain + hubs) so convergence takes real rounds
+    val base = both(
+      ids.filter(col("id") < n - 1)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        .unionAll(ids.select(col("id").as("src"), (col("id") % 37).as("dst"))
+          .filter(col("src") =!= col("dst"))))
+    val nodes = ids.select(col("id").as("node"))
+    val scale = 1000000000000L
+    val tol = scale / n / 20 // 5% of the uniform rank
+    val (rBase, kBase) = ScaleOps.pageRankConverge(nodes, base, tol = tol,
+      scale = scale)
+    // the daily delta: a localized skip rail over the first 60 nodes
+    val full = base.unionAll(both(
+      ids.filter(col("id") < 60)
+        .select(col("id").as("src"), (col("id") + 5).as("dst"))))
+    val (rCold, kCold) = ScaleOps.pageRankConverge(nodes, full, tol = tol,
+      scale = scale)
+    val (rWarm, kWarm) = ScaleOps.pageRankConverge(nodes, full, tol = tol,
+      scale = scale, init = Some(rBase))
+    info(s"rounds: base=$kBase cold=$kCold warm=$kWarm")
+    assert(kWarm < kCold, s"warm $kWarm !< cold $kCold")
+    // both stopped within tol of the same fixed point: the geometric
+    // tail bounds each at tol·d/(1−d) ≈ 5.7·tol from it (d = 0.85)
+    val maxDiff = rWarm.withColumnRenamed("rank", "w")
+      .join(rCold.withColumnRenamed("rank", "c"), "node")
+      .agg(max(abs(col("w") - col("c")))).head().getLong(0)
+    info(s"∞-norm warm-vs-cold = $maxDiff (tol = $tol)")
+    assert(maxDiff <= 12 * tol, s"diff $maxDiff > ${12 * tol}")
+    // restarting from an already-converged vector is nearly free
+    val (_, kAgain) = ScaleOps.pageRankConverge(nodes, full, tol = tol,
+      scale = scale, init = Some(rCold))
+    assert(kAgain <= 3, s"restart took $kAgain rounds")
+    // new nodes absent from init start at the uniform rank: extending
+    // the node set must not throw and must rank every node
+    val wider = ids.unionAll(spark.range(n, n + 10)).select(col("id").as("node"))
+    val (rWide, _) = ScaleOps.pageRankConverge(wider, full, tol = tol,
+      scale = scale, init = Some(rCold), maxIterations = 2)
+    assert(rWide.count() == n + 10)
+  }
+
   test("pagerank_prod: xxhash64-family ranks bit-equal the md5 family on the fixture corpus") {
     val md5Ranks = QueriesScale.all("pagerank").fn(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

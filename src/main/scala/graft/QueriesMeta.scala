@@ -795,11 +795,22 @@ object QueriesMeta {
   private val streamSessionsQ = Q(
     (sOuter, dir) => {
       // same state-store partition pin as stream_funnel/stream_join.
-      // Measured at sf0.1 (fresh profile, round 8): 8 partitions is the
-      // minimum of the sweep (4: 3.4s, 8: 3.2s, 16: 4.3s, 32: 4.2s) and
-      // the residual ~2.7s is the stateful session-window machinery
-      // itself (two micro-batches over 600k events emitting 95k
-      // sessions), not partition overhead — the floor for this volume.
+      // Measured at sf0.1 (fresh sweep, round 8): 8 partitions is the
+      // minimum (4: 3.4s, 8: 3.2s, 16: 4.3s, 32: 4.2s). Round 9
+      // profiled the residual ~2.3s to the state-store ops themselves
+      // via graft.SessionProbe's per-batch progress log: batch 0 inserts
+      // all 95k sessions (allUpdatesTimeMs ≈ 1.3s + commit 0.8s), the
+      // mandatory no-data batch 1 evicts them all (removals 1.2s +
+      // commit 1.4s, summed across partitions) — with a 0s watermark
+      // delay over a static file EVERY session closes, so the full
+      // insert+evict round trip is the semantics under test, not
+      // overhead. Knobs measured and rejected: RocksDB provider 2.9s,
+      // local-partition session merge no-op (95k sessions from 100k
+      // events — nothing merges), tmpfs checkpoint no-op (not I/O
+      // bound), async progress tracking worse (3.3s), and disabling
+      // no-data micro-batches emits NOTHING (rows=0 — the flush batch
+      // IS the append-mode emit). This is the machinery floor for this
+      // session volume in local mode.
       val s = sOuter.newSession()
       s.conf.set("spark.sql.shuffle.partitions", 8)
       val schema = s.read.parquet(s"$dir/events.parquet").schema

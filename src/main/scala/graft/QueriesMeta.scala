@@ -846,6 +846,42 @@ object QueriesMeta {
         | FROM sess, wm WHERE end_us + 1800000000 <= w
         | ORDER BY user_id, session_start""".stripMargin))
 
+  // --------------------------------------- stream-static dimension join
+  // The dimension-lookup half of the streaming join family (stream_join
+  // is the stream-stream half): the events file stream enriched per
+  // micro-batch against the STATIC customer dimension via
+  // MicroBatch.enrichStatic — broadcast hash join inside every batch, no
+  // state store, no watermark, the shape a 100 TB fact stream uses for
+  // every dim lookup. The oracle is the plain batch join, so a hash
+  // match proves stream-batch consistency for the whole enrichment
+  // (inner-join referential filtering included). Memory sink + collect
+  // are gate-harness only, as in the other stream keys.
+  private val streamStaticJoinQ = Q(
+    (s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val qname = "stream_static_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.MicroBatch.enrichStatic(stream, dim)
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = s.table(qname)
+      val rows = res.collect()
+      s.catalog.dropTempView(qname)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        .orderBy("event_id")
+    },
+    Some(
+      """SELECT e.user_id, e.event_id, e.event_type, e.value, c.c_mktsegment
+        | FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        | ORDER BY e.event_id""".stripMargin))
+
   // ----------------------------------------- streaming exact dedup
   // The streaming twin of dedup_exact (incremental crawl ingest): the
   // documents parquet runs through a file source SELF-UNIONED — every
@@ -1090,6 +1126,7 @@ object QueriesMeta {
     "stream_funnel" -> streamFunnelQ,
     "stream_sessions" -> streamSessionsQ,
     "stream_dedup" -> streamDedupQ,
+    "stream_static_join" -> streamStaticJoinQ,
     "stream_join" -> streamJoinQ,
     "salted_agg" -> saltedAggQ,
     "salted_join" -> saltedJoinQ,

@@ -253,6 +253,23 @@ object MicroBatch {
                 | quote_ts BETWEEN trade_ts - INTERVAL $horizon AND trade_ts""".stripMargin),
         "inner")
 
+  /** Stream-STATIC enrichment join — the dimension-lookup half of the
+    * streaming join family ([[enrichTrades]] is the stream-stream half):
+    * each micro-batch of the fact stream joins a bounded dimension
+    * DataFrame. Unlike stream-stream, this needs NO state store and no
+    * watermark on the dim side — the static side is simply re-planned
+    * into every micro-batch, and with an explicit `broadcast()` it plans
+    * as a BroadcastHashJoin per batch, which is exactly the 100 TB
+    * shape: the fact stream never shuffles for a dimension lookup. An
+    * inner join drops facts with no dimension row (referential filter);
+    * callers wanting to keep them use the same op with a left join via
+    * `joinType`.
+    */
+  def enrichStatic(facts: DataFrame, dim: DataFrame,
+      keyCol: String = "user_id", joinType: String = "inner"): DataFrame =
+    facts.join(org.apache.spark.sql.functions.broadcast(dim),
+      Seq(keyCol), joinType)
+
   /** Production sink form of [[enrichTrades]] (and of the `stream_join`
     * gate key, whose memory-sink + collect wrapper exists only so the
     * streaming query can run inside the batch oracle gate): each

@@ -900,6 +900,21 @@ class PlanSpec extends SparkSpec {
       s"inflow aggregation must have a partial phase:\n$p")
   }
 
+  test("stream_static_join: dim side broadcast — the per-micro-batch lookup never shuffles the facts") {
+    import org.apache.spark.sql.functions.col
+    val facts = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val dim = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val p = physical(graft.streaming.MicroBatch.enrichStatic(facts, dim))
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, s"expected a broadcast hash join:\n$p")
+    assert(collectAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"a dim lookup must not shuffle the fact side:\n$p")
+  }
+
   test("unpivot_long: melt plans as one Expand over one scan, no join") {
     val p = physical(Queries.all("unpivot_long").fn(spark, sf0001))
     assert(collectAll(p) {

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * (hub members are ≥H apart, so hubs close no extra triangles).
   *
   * `SPARK_GRAFT_GRAPH_OPS` picks the sections (default `cc,pr`; add
-  * `tri,bfs,pri` — `pri` is the incremental-PageRank cold-vs-warm
+  * `tri,bfs,lpa,pri` — `pri` is the incremental-PageRank cold-vs-warm
   * probe); `SPARK_GRAFT_GRAPH_NODES` the size (default 2M → ~4M
   * directed edges for cc/pr, ~6M undirected for tri/bfs). Prints one
   * JSON line with wall seconds per requested op. `SPARK_DRIVER_MEM`
@@ -33,7 +33,7 @@ object GraphStress {
     val n = sys.env.getOrElse("SPARK_GRAFT_GRAPH_NODES", "2000000").toLong
     val ops = sys.env.getOrElse("SPARK_GRAFT_GRAPH_OPS", "cc,pr")
       .split(",").map(_.trim).toSet
-    val known = Set("cc", "pr", "pri", "tri", "bfs")
+    val known = Set("cc", "pr", "pri", "tri", "bfs", "lpa")
     require((ops -- known).isEmpty,
       s"unknown SPARK_GRAFT_GRAPH_OPS ${(ops -- known).mkString(",")}; " +
         s"valid: ${known.mkString(",")}")
@@ -153,6 +153,23 @@ object GraphStress {
         s"triangle self-check failed: got ${row.getLong(2)}, want $expected")
       fields += f""""triangle_sec":$triSec%.2f"""
       fields += s""""triangles":${row.getLong(2)},"tri_edges":${row.getLong(1)},"tri_selfcheck":"ok""""
+    }
+
+    if (ops("lpa")) {
+      // deterministic LPA on the chain+hub+skip graph; communities are
+      // data-dependent, so the self-check is structural: every node
+      // labeled, labels drawn from the node id space
+      val t4 = System.nanoTime()
+      val labels = operators.ScaleOps.labelPropagation(withSkip, iterations = 4)
+      val stats = labels.agg(count(lit(1)), countDistinct(col("label")),
+        min(col("label")), max(col("label"))).head()
+      val lpaSec = (System.nanoTime() - t4) / 1e9
+      require(stats.getLong(0) == n,
+        s"lpa labeled ${stats.getLong(0)} of $n nodes")
+      require(stats.getLong(2) >= 0 && stats.getLong(3) < n,
+        "lpa labels outside the node id space")
+      fields += f""""lpa_sec":$lpaSec%.2f"""
+      fields += s""""lpa_iters":4,"lpa_communities":${stats.getLong(1)}"""
     }
 
     if (ops("bfs")) {

@@ -407,6 +407,37 @@ object Queries {
          |  MAX(CASE WHEN rn = least(n, greatest(1, CAST(CEIL(0.99 * n) AS BIGINT))) THEN close END) AS p99
          | FROM rk GROUP BY symbol ORDER BY symbol""".stripMargin)))
 
+  // One-pass MERGEABLE quantile sketch (⊘): percentile_approx is
+  // Spark's Greenwald-Khanna summary — each partition builds a bounded
+  // summary, summaries merge associatively, and the final answer
+  // carries a deterministic rank guarantee |rank(answer) − ⌈q·n⌉| ≤
+  // n/accuracy. That is the 100 TB form of quantile_stats: the exact
+  // twin sorts each symbol's partition (fine when a symbol fits a
+  // partition), the sketch replaces the sort with one scan + O(acc·log n)
+  // state per group, the shape quantiles take when a single key no
+  // longer fits anywhere. ⊘ because DuckDB's approx_quantile is a
+  // t-digest — a DIFFERENT estimator with different answers — so the
+  // contract is the GK rank bound itself, pinned in ScaleOpsSpec
+  // against the exact ranks at fixture scale.
+  private val quantileSketchQ = Q(
+    (s, dir) => {
+      val qs = Seq(0.25 -> "p25", 0.50 -> "p50", 0.75 -> "p75",
+        0.90 -> "p90", 0.99 -> "p99")
+      ohlcv(s, dir).groupBy("symbol")
+        .agg(count(lit(1)).as("n_rows"),
+          percentile_approx(col("close"),
+            array(qs.map { case (q, _) => lit(q) }: _*),
+            lit(QuantileSketchAccuracy)).as("_qs"))
+        .select(col("symbol") +: col("n_rows") +:
+          qs.zipWithIndex.map { case ((_, nm), i) =>
+            col("_qs").getItem(i).as(nm) }: _*)
+        .orderBy("symbol")
+    },
+    None)
+
+  /** GK summary accuracy for `quantile_sketch`: rank error ≤ n/accuracy. */
+  val QuantileSketchAccuracy = 1000
+
   // Robust scaling: (close − median) / IQR per symbol — the
   // outlier-insensitive twin of standard_scale (M5) for fat-tailed price
   // features. Quartiles are the same float-free exact rank selections as
@@ -667,6 +698,7 @@ object Queries {
     "winsorize" -> winsorizeQ,
     "anomaly_zscore" -> anomalyZscoreQ,
     "quantile_stats" -> quantileStatsQ,
+    "quantile_sketch" -> quantileSketchQ,
     "robust_scale" -> robustScaleQ,
     "rsi" -> rsiQ,
     "obv" -> obvQ,

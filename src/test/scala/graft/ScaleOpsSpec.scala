@@ -1889,6 +1889,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(zero.values.toSet == Set(scale / n))
   }
 
+  test("quantile_sketch: every answer honors the GK rank bound against exact order statistics") {
+    val rows = Queries.all("quantile_sketch").fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // exact per-symbol sorted closes, straight from the same projection
+    val bySym = Tables.ohlcv(spark, sf0001)
+      .select(col("symbol"), col("close")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(rows.map(_.getString(0)).toSet == bySym.keySet)
+    val qs = Seq(0.25, 0.50, 0.75, 0.90, 0.99)
+    rows.foreach { r =>
+      val sym = r.getString(0)
+      val sorted = bySym(sym)
+      val n = sorted.length
+      assert(r.getLong(1) == n.toLong)
+      // GK guarantee: the returned value's rank is within n/accuracy of
+      // the target rank (+1 slack for the duplicate-value rank interval)
+      val tolRanks = n.toDouble / Queries.QuantileSketchAccuracy + 1
+      qs.zipWithIndex.foreach { case (q, i) =>
+        val v = r.getDouble(2 + i)
+        val lo = sorted.count(_ < v) // smallest rank holding value v
+        val hi = sorted.count(_ <= v) // largest rank holding value v
+        val target = math.ceil(q * n)
+        assert(target >= lo - tolRanks && target <= hi + tolRanks,
+          s"$sym p$q: value $v spans ranks [$lo,$hi], target $target, n=$n")
+      }
+    }
+  }
+
   test("pageRankConverge: warm-start lands on the cold fixed point in fewer rounds") {
     val n = 400L
     val ids = spark.range(0, n)

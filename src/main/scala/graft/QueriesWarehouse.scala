@@ -189,6 +189,38 @@ object QueriesWarehouse {
         | GROUP BY ROLLUP (l_returnflag, l_linestatus)
         | ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin))
 
+  // ------------------------------------------------ CUBE grouping lattice
+  // The full 2ᵏ grouping lattice over (returnflag, ship year) —
+  // rollup's sibling covering the subtotal sets a hierarchy omits
+  // (per-year with flags rolled up) — with grouping_id() as the set
+  // discriminator:
+  // the single integer BI tools pivot on, bit k set when groupBy
+  // column k is rolled up (Spark and DuckDB/Postgres agree on the
+  // first-column-is-MSB convention, which this key proves). Same
+  // one-scan Expand + one HashAggregate plan as rollup; measures
+  // decimal-exact.
+  private val cubeQ = Q(
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("ship_year", year(col("l_shipdate")).cast(LongType))
+        .cube(col("l_returnflag"), col("ship_year"))
+        .agg(
+          grouping_id().cast(LongType).as("gid"),
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 6)))
+            .cast(DoubleType).as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag"), col("ship_year")),
+    Some(
+      """WITH f AS (SELECT *, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)
+        |    AS ship_year FROM lineitem)
+        | SELECT CAST(GROUPING(l_returnflag, ship_year) AS BIGINT) AS gid,
+        |  l_returnflag, ship_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        | FROM f
+        | GROUP BY CUBE (l_returnflag, ship_year)
+        | ORDER BY gid, l_returnflag, ship_year""".stripMargin))
+
   // --------------------------------------- bloom-filtered selective join
   // The explicit form of Catalyst's runtime bloom filter
   // (InjectRuntimeFilter): a selective dim (orders above a price
@@ -271,6 +303,7 @@ object QueriesWarehouse {
     "ffill_calendar" -> ffillQ,
     "pivot_close" -> pivotQ,
     "sales_rollup" -> rollupQ,
+    "sales_cube" -> cubeQ,
     "bloom_join" -> bloomJoinQ,
     "zorder_layout" -> zorderQ
   )

@@ -48,36 +48,84 @@ object QueriesWarehouse {
   // WindowExec without a new shuffle or sort. At 100 TB the version rows
   // are a tiny fraction of the fact — the expensive frame is only sorted
   // once, and nothing is ever collected.
+  /** The SCD2 dimension frame — shared by the history key and the
+    * point-in-time lookup so the two can never desynchronize.
+    */
+  private def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("_prev", lag(col("o_orderstatus"), 1).over(w))
+      .filter(col("_prev").isNull || col("o_orderstatus") =!= col("_prev"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("effective_to", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("version"), col("o_orderstatus").as("status"),
+        col("o_orderdate").as("effective_from"), col("effective_to"),
+        col("effective_to").isNull.as("is_current"))
+  }
+
+  /** Shared oracle CTE text for the SCD2 dimension (mirrors [[scd2Dim]]). */
+  private val scd2DimCtes =
+    """runs AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |    LAG(o_orderstatus, 1) OVER w AS _prev
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      | changes AS (SELECT * FROM runs WHERE _prev IS NULL OR o_orderstatus <> _prev),
+      | dim AS (SELECT o_custkey,
+      |  CAST(ROW_NUMBER() OVER w AS INT) AS version,
+      |  o_orderstatus AS status,
+      |  o_orderdate AS effective_from,
+      |  LEAD(o_orderdate, 1) OVER w AS effective_to
+      | FROM changes
+      | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))""".stripMargin
+
   private val scd2Q = Q(
+    (s, dir) => scd2Dim(s, dir).orderBy(col("o_custkey"), col("version")),
+    Some(
+      s"""WITH $scd2DimCtes
+        | SELECT o_custkey, version, status, effective_from, effective_to,
+        |  effective_to IS NULL AS is_current
+        | FROM dim
+        | ORDER BY o_custkey, version""".stripMargin))
+
+  // ------------------------------------- SCD2 point-in-time lookup join
+  // The temporal join the SCD2 history exists FOR: every order fact
+  // resolves the dimension version that was valid AT its date —
+  // o_custkey equality plus the half-open validity interval
+  // [effective_from, effective_to). Versions partition each customer's
+  // timeline, so the join is exactly 1:1 (row count = facts; the zero-
+  // width intervals a same-date status flip produces match nothing by
+  // the half-open rule — both engines agree by construction). 100 TB
+  // shape: the interval predicate is a RESIDUAL on a custkey equi-join —
+  // never a BNLJ — and the dim side is the tiny version table, so the
+  // fact stream shuffles once on the key it already aggregates by.
+  private val scd2PitQ = Q(
     (s, dir) => {
-      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val dim = scd2Dim(s, dir)
+        .select(col("o_custkey").as("d_custkey"), col("version"),
+          col("status").as("status_at_order"),
+          col("effective_from"), col("effective_to"), col("is_current"))
       Tables.orders(s, dir)
-        .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"))
-        .withColumn("_prev", lag(col("o_orderstatus"), 1).over(w))
-        .filter(col("_prev").isNull || col("o_orderstatus") =!= col("_prev"))
-        .withColumn("version", row_number().over(w))
-        .withColumn("effective_to", lead(col("o_orderdate"), 1).over(w))
-        .select(col("o_custkey"), col("version"), col("o_orderstatus").as("status"),
-          col("o_orderdate").as("effective_from"), col("effective_to"),
-          col("effective_to").isNull.as("is_current"))
-        .orderBy(col("o_custkey"), col("version"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .join(dim,
+          col("o_custkey") === col("d_custkey") &&
+            col("o_orderdate") >= col("effective_from") &&
+            (col("effective_to").isNull ||
+              col("o_orderdate") < col("effective_to")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("version"), col("status_at_order"), col("is_current"))
+        .orderBy(col("o_orderkey"))
     },
     Some(
-      """WITH runs AS (
-        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
-        |    LAG(o_orderstatus, 1) OVER w AS _prev
-        |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
-        | changes AS (SELECT * FROM runs WHERE _prev IS NULL OR o_orderstatus <> _prev)
-        | SELECT o_custkey,
-        |  CAST(ROW_NUMBER() OVER w AS INT) AS version,
-        |  o_orderstatus AS status,
-        |  o_orderdate AS effective_from,
-        |  LEAD(o_orderdate, 1) OVER w AS effective_to,
-        |  LEAD(o_orderdate, 1) OVER w IS NULL AS is_current
-        | FROM changes
-        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        | ORDER BY o_custkey, version""".stripMargin))
+      s"""WITH $scd2DimCtes
+        | SELECT f.o_orderkey, f.o_custkey, f.o_orderdate,
+        |  d.version, d.status AS status_at_order,
+        |  d.effective_to IS NULL AS is_current
+        | FROM orders f JOIN dim d ON f.o_custkey = d.o_custkey
+        |  AND f.o_orderdate >= d.effective_from
+        |  AND (d.effective_to IS NULL OR f.o_orderdate < d.effective_to)
+        | ORDER BY f.o_orderkey""".stripMargin))
 
   // -------------------------------------- calendar gap-fill + forward fill
   // Densify each symbol's daily bars onto its own [min, max] calendar and
@@ -304,6 +352,7 @@ object QueriesWarehouse {
     "pivot_close" -> pivotQ,
     "sales_rollup" -> rollupQ,
     "sales_cube" -> cubeQ,
+    "scd2_pit_lookup" -> scd2PitQ,
     "bloom_join" -> bloomJoinQ,
     "zorder_layout" -> zorderQ
   )

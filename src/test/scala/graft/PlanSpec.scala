@@ -900,6 +900,14 @@ class PlanSpec extends SparkSpec {
       s"inflow aggregation must have a partial phase:\n$p")
   }
 
+  test("scd2_pit_lookup: interval predicate rides the custkey equi-join, never a BNLJ") {
+    val p = physical(Queries.all("scd2_pit_lookup").fn(spark, sf0001))
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "the validity-interval filter must be a residual on the equi-join")
+  }
+
   test("stream_static_join: dim side broadcast — the per-micro-batch lookup never shuffles the facts") {
     import org.apache.spark.sql.functions.col
     val facts = spark.read.parquet(s"$sf0001/events.parquet")

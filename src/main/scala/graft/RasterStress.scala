@@ -48,11 +48,14 @@ object RasterStress {
         .agg(sum(element_at(col("s"), 1)).as("r"),
           sum(element_at(col("s"), 2)).as("g"),
           sum(element_at(col("s"), 3)).as("b"),
-          count(lit(1)).as("n"))
+          // count the NON-NULL sums: count(lit(1)) would count rows whose
+          // decode failed ('unknown' → null sums) and a partial decode
+          // regression would silently inflate the reported images/s
+          count(col("s")).as("n"))
         .head()
       val sec = (System.nanoTime() - t0) / 1e9
       require(r.getLong(3) == nDocs && !r.isNullAt(0),
-        s"$fmt: decoded ${r.getLong(3)} of $nDocs (null sums = failed decode)")
+        s"$fmt: decoded ${r.getLong(3)} of $nDocs (every row must decode)")
       fields += f""""${fmt}_sec":$sec%.2f"""
       fields += f""""${fmt}_img_per_s":${nDocs / sec}%.0f"""
       fields += f""""${fmt}_mb_per_s":${rawMb / sec}%.1f"""

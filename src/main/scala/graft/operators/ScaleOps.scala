@@ -1922,11 +1922,24 @@ object ScaleOps {
       tol: Long, nodeCol: String = "node", srcCol: String = "src",
       dstCol: String = "dst", maxIterations: Int = 40,
       scale: Long = 1000000000000L,
-      init: Option[DataFrame] = None): (DataFrame, Int) = {
+      init: Option[DataFrame] = None,
+      runDir: Option[String] = None): (DataFrame, Int) = {
     require(tol >= 1, s"tol must be >= 1 integer unit, got $tol")
     require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
     val n = nodes.count()
     require(n > 0, "pageRankConverge: empty node set")
+    // localCheckpoint blocks live in executor memory — a lost executor
+    // kills the warm run. With runDir, the edge frame every round joins
+    // and the per-round rank frames round-trip through parquet instead
+    // (the same escape hatch pageRankFixedPoint has); default stays
+    // executor-local for fixture scale.
+    def durable(df: DataFrame, name: String): DataFrame = runDir match {
+      case Some(d) =>
+        val path = s"$d/pr_conv_$name"
+        df.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      case None => df.localCheckpoint(true)
+    }
     val tele = (scale * 15L / 100L) / n
     val uniform = scale / n
     val nodeIds = nodes.select(col(nodeCol).cast(LongType).as("node"))
@@ -1934,18 +1947,18 @@ object ScaleOps {
       .select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .distinct()
-    val contribEdges = e
+    val contribEdges = durable(e
       .join(e.groupBy("src").agg(count(lit(1)).as("deg"))
-        .hint("shuffle_hash"), "src") // same broadcast-trap pin as pageRankFixedPoint
-      .localCheckpoint(true)
-    var ranks = (init match {
+        .hint("shuffle_hash"), "src"), // same broadcast-trap pin as pageRankFixedPoint
+      "edges")
+    var ranks = durable(init match {
       case Some(prev) =>
         nodeIds.join(prev.select(col("node").cast(LongType).as("node"),
             col("rank").cast(LongType).as("_init")), Seq("node"), "left")
           .select(col("node"),
             coalesce(col("_init"), lit(uniform)).as("rank"))
       case None => nodeIds.withColumn("rank", lit(uniform))
-    }).localCheckpoint(true)
+    }, "ranks_0")
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIterations) {
@@ -1954,12 +1967,13 @@ object ScaleOps {
           .hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
         .groupBy("node").agg(sum(col("contrib")).as("m"))
-      val next = nodeIds.join(inflow.hint("shuffle_hash"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(tele) +
-            expr("(coalesce(m, CAST(0 AS BIGINT)) * 85) div 100"))
-            .as("rank"))
-        .localCheckpoint(true)
+      val next = durable(
+        nodeIds.join(inflow.hint("shuffle_hash"), Seq("node"), "left")
+          .select(col("node"),
+            (lit(tele) +
+              expr("(coalesce(m, CAST(0 AS BIGINT)) * 85) div 100"))
+              .as("rank")),
+        s"ranks_${rounds + 1}")
       rounds += 1
       val delta = next
         .join(ranks.select(col("node"), col("rank").as("_prev")), "node")
@@ -2135,9 +2149,14 @@ object ScaleOps {
     * O(|edges|) partial-aggregated with no sort. Rounds are eagerly
     * checkpointed to truncate lineage.
     */
-  def labelPropagation(edges: DataFrame, iterations: Int,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+  /** Deduped undirected adjacency for the LPA variants, with the
+    * nonnegative-id precondition the min-label tie-break depends on
+    * ENFORCED (the argmax negates the label, which orders correctly only
+    * for labels ≥ 0 — a silent wrong answer on negative ids is worse
+    * than one cheap extra aggregate on a frame this walk scans anyway).
+    */
+  private def lpaAdjacency(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
     val und = edges
       .select(col(srcCol).cast(LongType).as("a"),
         col(dstCol).cast(LongType).as("b"))
@@ -2146,26 +2165,78 @@ object ScaleOps {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
+    val minId = und.agg(min(col("a"))).head()
+    require(minId.isNullAt(0) || minId.getLong(0) >= 0,
+      s"labelPropagation requires nonnegative node ids (min-label " +
+        s"tie-break negates the label); got min id ${minId.getLong(0)}")
+    und
+  }
+
+  /** One synchronous LPA round: neighbor label counts, then argmax by
+    * (cnt desc, label asc) — `max(struct(cnt, -label))` instead of a
+    * row_number window so the per-round shuffle stays O(|edges|)
+    * partial-aggregated with no sort. Labels are node ids ≥ 0
+    * ([[lpaAdjacency]] enforces it) so the negation orders correctly.
+    */
+  private def lpaRound(und: DataFrame, labels: DataFrame): DataFrame = {
+    val neigh = und
+      .join(labels.select(col("node").as("b"), col("label"))
+        .hint("shuffle_hash"), "b") // per-node frame: broadcast-trap pin
+      .groupBy(col("a").as("node"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val best = neigh
+      .groupBy("node")
+      .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+      .select(col("node"), (-col("m.neg")).as("next"))
+    labels
+      .join(best.hint("shuffle_hash"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("next"), col("label")).as("label"))
+      .localCheckpoint(true)
+  }
+
+  def labelPropagation(edges: DataFrame, iterations: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val und = lpaAdjacency(edges, srcCol, dstCol)
     val nodes = und.select(col("a").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      val neigh = und
-        .join(labels.select(col("node").as("b"), col("label"))
-          .hint("shuffle_hash"), "b") // per-node frame: broadcast-trap pin
-        .groupBy(col("a").as("node"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-      // argmax by (cnt desc, label asc): lexicographic max over
-      // (cnt, -label) — labels are node ids ≥ 0 so negation is safe
-      val best = neigh
-        .groupBy("node")
-        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
-        .select(col("node"), (-col("m.neg")).as("next"))
-      labels = labels
-        .join(best.hint("shuffle_hash"), Seq("node"), "left")
-        .select(col("node"), coalesce(col("next"), col("label")).as("label"))
-        .localCheckpoint(true)
-    }
+    for (_ <- 1 to iterations) labels = lpaRound(und, labels)
     labels
+  }
+
+  /** LPA with the natural stopping rule — iterate until NO label changed
+    * (or `maxIterations`), returning `(labels, roundsUsed)`. The
+    * bounded-round form above is the oracle-able fixture shape; this is
+    * the production shape, where the round count is data-dependent and
+    * the stop probe is one O(n) changed-label count per round — dwarfed
+    * by the O(|edges|) neighbor join it piggybacks on. Because each round
+    * is the same pure function of the previous labels, a converged run's
+    * assignment EQUALS the bounded-round assignment for any round count
+    * ≥ the convergence point (pinned in ScaleOpsSpec). Synchronous
+    * min-tie-break LPA can 2-cycle on bipartite-ish structures (the
+    * classic oscillation); the loop detects a zero-progress round pair
+    * via the changed-count repeating and bails at `maxIterations` in
+    * that case rather than hanging.
+    */
+  def labelPropagationConverged(edges: DataFrame, maxIterations: Int = 40,
+      srcCol: String = "src", dstCol: String = "dst"): (DataFrame, Int) = {
+    require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
+    val und = lpaAdjacency(edges, srcCol, dstCol)
+    val nodes = und.select(col("a").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIterations) {
+      val next = lpaRound(und, labels)
+      rounds += 1
+      val changed = next
+        .join(labels.select(col("node"), col("label").as("_prev")), "node")
+        .filter(col("label") =!= col("_prev"))
+        .count()
+      labels = next
+      converged = changed == 0
+    }
+    (labels, rounds)
   }
 
   /** Breadth-first search to a bounded depth: minimum hop distance from a

@@ -254,9 +254,17 @@ object ImageDecode {
         if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
         off += n
       }
-      // the stream must yield the exact scanline volume and nothing more
+      // the stream must yield the exact scanline volume and nothing more.
+      // The overrun probe is inside the same reject-to-'unknown' guard as
+      // the main loop: a payload that inflates to exactly the scanline
+      // volume but carries a corrupt Adler-32 trailer throws from THIS
+      // inflate call, and malformed untrusted bytes must never fail the
+      // task.
       if (off < raw.length) return unknown
-      if (!inf.finished() && inf.inflate(new Array[Byte](1)) > 0) return unknown
+      if (!inf.finished() &&
+          (try inf.inflate(new Array[Byte](1))
+           catch { case _: java.util.zip.DataFormatException => return unknown
+          }) > 0) return unknown
     } finally inf.end()
     val out = new Array[Byte](h * rowBytes)
     val bpp = ch

@@ -740,6 +740,15 @@ class ScaleOpsSpec extends SparkSpec {
     assert(decodeRaster(pngSig ++ ihdr(2, 2, 2) ++
       pngChunk("IDAT", zlibStored(filtered.dropRight(1))) ++
       pngChunk("IEND", Array.emptyByteArray))._1 == "unknown")
+    // corrupt Adler-32 TRAILER with intact data and a recomputed chunk
+    // CRC: the stream inflates to exactly the scanline volume, so the
+    // DataFormatException fires from the trailing overrun probe — it must
+    // reject to 'unknown', not fail the task (adversarial crawl input)
+    val badAdler = zlibStored(filtered)
+    badAdler(badAdler.length - 1) = (badAdler(badAdler.length - 1) ^ 0x55).toByte
+    assert(decodeRaster(pngSig ++ ihdr(2, 2, 2) ++
+      pngChunk("IDAT", badAdler) ++
+      pngChunk("IEND", Array.emptyByteArray))._1 == "unknown")
   }
 
   test("ImageDecode: golden GIF bytes — hand-packed LZW, palette map, KwKwK, interlace") {
@@ -1961,6 +1970,68 @@ class ScaleOpsSpec extends SparkSpec {
     val (rWide, _) = ScaleOps.pageRankConverge(wider, full, tol = tol,
       scale = scale, init = Some(rCold), maxIterations = 2)
     assert(rWide.count() == n + 10)
+  }
+
+  test("pageRankConverge: runDir parquet path matches localCheckpoint and persists the joined frames") {
+    val nodes = (1L to 6L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 4L),
+      (1L, 6L)).toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft_prc_run_").toFile
+    try {
+      val (durable, kD) = ScaleOps.pageRankConverge(nodes, edges,
+        tol = 1000000L, runDir = Some(dir.getPath))
+      val (local, kL) = ScaleOps.pageRankConverge(nodes, edges,
+        tol = 1000000L)
+      assert(kD == kL, "round count must be path-independent")
+      assert(durable.as[(Long, Long)].collect().toMap ==
+        local.as[(Long, Long)].collect().toMap,
+        "converged ranks must be path-independent")
+      // the contribution edges every round joins AND the rank rounds
+      // must live in parquet — executor-local blocks would die with an
+      // executor and kill the warm run at scale
+      val names = dir.listFiles().map(_.getName)
+      assert(names.contains("pr_conv_edges"),
+        s"degree-annotated edges must persist, got ${names.toSeq}")
+      assert(names.count(_.startsWith("pr_conv_ranks_")) >= 2,
+        s"per-round rank frames must persist, got ${names.toSeq}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
+  test("labelPropagationConverged: stops when no label changes and agrees with any bounded run past that point") {
+    // two dense communities bridged by one edge — LPA converges in a few
+    // rounds to two stable labels
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val es = clique(Seq(0L, 1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L, 14L, 15L)) ++ Seq((4L, 10L))
+    val edges = es.toDF("src", "dst")
+    val (conv, rounds) = ScaleOps.labelPropagationConverged(edges)
+    val convMap = conv.as[(Long, Long)].collect().toMap
+    info(s"converged in $rounds rounds")
+    assert(rounds >= 1 && rounds < 40)
+    // the converged assignment IS the bounded-round assignment for any
+    // round count >= the convergence point (each round is a pure
+    // function of the previous labels, and a fixed point stays fixed)
+    Seq(rounds, rounds + 2).foreach { k =>
+      val bounded = ScaleOps.labelPropagation(edges, k)
+        .as[(Long, Long)].collect().toMap
+      assert(bounded == convMap, s"bounded k=$k diverged from converged")
+    }
+    // a converged state has every node on a community label
+    assert(convMap.values.toSet.size == 2,
+      s"expected 2 communities, got ${convMap.values.toSet}")
+    // negative node ids violate the min-tie-break precondition: the
+    // adjacency builder must raise, never silently mis-break ties
+    val neg = Seq((-1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      ScaleOps.labelPropagation(neg, 1).collect()
+    }
+    assert(ex.getMessage.contains("nonnegative"))
   }
 
   test("pagerank_prod: xxhash64-family ranks bit-equal the md5 family on the fixture corpus") {

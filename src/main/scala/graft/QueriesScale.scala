@@ -1296,6 +1296,93 @@ object QueriesScale {
         | CAST(b_sum AS BIGINT) AS b_sum
         |FROM s ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------------ baseline JPEG decode
+  // The #2 web raster format, decoded for REAL with zero external
+  // libraries: complete valid baseline JFIF files are built
+  // arithmetically from doc_id and really entropy-coded (T.81 Annex K
+  // Huffman tables written as DHT segments, DC difference coding, AC
+  // run-length coding with ZRL/EOB, 0xFF byte stuffing), and the native
+  // JpegCodec must parse DQT/SOF0/DHT/SOS, Huffman-decode the scan,
+  // dequantize, run the full 8×8 IDCT, upsample 4:2:0 chroma, and apply
+  // the JFIF YCbCr→RGB conversion to recover the pixels. JPEG is lossy
+  // in general, so the fixture content lives where the transform is
+  // EXACT (per-block DC + three rational-basis AC terms; constant
+  // chroma whose RGB conversion rounds to fixed integer shifts — see
+  // SynthJpeg's scaladoc for the arithmetic), which is what lets the
+  // oracle replay the decoded pixels knowing nothing about Huffman
+  // coding or the DCT: a hash match proves the decoder inverts real
+  // entropy coding + dequant + IDCT + color conversion on every row.
+  // Same decode→resize→channel-sums shape as `png_pixels`; per-row,
+  // zero shuffle. Golden hand-packed streams (custom DHT, DC-only
+  // blocks, non-multiple-of-8 crop) and the reject matrix (progressive
+  // SOF2, torn scan, DRI, 12-bit) live in ScaleOpsSpec.
+  private val jpegPixelsQ = Q(
+    (s, dir) => {
+      // dims are MCU multiples (the fixture exactness contract); the
+      // three modes cycle gray / 4:2:0 / 4:4:4, chroma variant doc_id%4
+      val w = lit(16L) * (lit(1L) + col("doc_id") % 3)
+      val h = lit(16L) * (lit(1L) + col("doc_id") % 2)
+      val payload = when(col("doc_id") % 3 === 0,
+          ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 0))
+        .when(col("doc_id") % 3 === 1,
+          ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 1))
+        .otherwise(ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 2))
+      val raster = ScaleOps.imageDecode(payload)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raster.as("r"))
+        .select(col("doc_id"),
+          col("r.format").as("format"),
+          col("r.width").cast(LongType).as("width"),
+          col("r.height").cast(LongType).as("height"),
+          col("r.channels").cast(LongType).as("channels"),
+          ScaleOps.rasterChannelSums(
+            ScaleOps.imageResizeNN(col("r"), 4, 4)).as("s"))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("channels"),
+          col("s").getItem(0).as("y_sum"),
+          when(col("channels") === 1, lit(null).cast(LongType))
+            .otherwise(col("s").getItem(1)).as("g_sum"),
+          when(col("channels") === 1, lit(null).cast(LongType))
+            .otherwise(col("s").getItem(2)).as("b_sum"))
+        .orderBy("doc_id")
+    },
+    Some(
+      // the oracle replays only the fixture formula: per-block
+      // (m, a, b, d), the u=4 basis sign pattern, and the four chroma
+      // shift triples — no Huffman, no DCT
+      """WITH d AS (SELECT doc_id, 16 * (1 + doc_id % 3) AS w,
+        |   16 * (1 + doc_id % 2) AS h,
+        |   CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS ch,
+        |   CAST(doc_id % 4 AS INT) AS v FROM documents),
+        | shifts(v, sr, sg, sb) AS (VALUES (0, 0, 0, 0), (1, 7, -4, 0),
+        |   (2, 0, -2, 9), (3, -10, 4, 7)),
+        | g AS (SELECT d.*, gx.range AS x, gy.range AS y
+        |        FROM d CROSS JOIN range(0, 4) gx CROSS JOIN range(0, 4) gy),
+        | src AS (SELECT doc_id, w, h, ch, v,
+        |          (x * w // 4) AS sx, (y * h // 4) AS sy FROM g),
+        | blk AS (SELECT doc_id, w, h, ch, v, sx, sy,
+        |          (sy // 8) * (w // 8) + (sx // 8) AS bi FROM src),
+        | yv AS (SELECT doc_id, w, h, ch, v,
+        |         64 + (doc_id * 31 + bi * 17) % 128
+        |         + ((doc_id * 5 + bi * 11) % 8)
+        |           * (CASE WHEN (sx % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        |         + ((doc_id * 3 + bi * 19) % 8)
+        |           * (CASE WHEN (sy % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        |         + ((doc_id * 7 + bi * 13) % 8)
+        |           * (CASE WHEN (sx % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        |           * (CASE WHEN (sy % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        |         AS yval FROM blk),
+        | s AS (SELECT doc_id, w, h, ch,
+        |        SUM(CASE WHEN ch = 1 THEN yval ELSE yval + sr END) AS s0,
+        |        SUM(CASE WHEN ch = 3 THEN yval + sg END) AS s1,
+        |        SUM(CASE WHEN ch = 3 THEN yval + sb END) AS s2
+        |       FROM yv JOIN shifts USING (v) GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, 'jpeg' AS format,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(ch AS BIGINT) AS channels, CAST(s0 AS BIGINT) AS y_sum,
+        | CAST(s1 AS BIGINT) AS g_sum, CAST(s2 AS BIGINT) AS b_sum
+        |FROM s ORDER BY doc_id""".stripMargin))
+
   // -------------------------------------------------- real audio decode
   // The waveform half of the multimodal stage, REAL end-to-end: complete
   // valid PCM WAV files (canonical header AND every sample byte, 8-bit
@@ -3926,6 +4013,7 @@ object QueriesScale {
     "image_pixels" -> imagePixelsQ,
     "png_pixels" -> pngPixelsQ,
     "gif_pixels" -> gifPixelsQ,
+    "jpeg_pixels" -> jpegPixelsQ,
     "audio_pcm" -> audioPcmQ,
     "video_frames" -> videoFramesQ,
     "audio_meta" -> audioMetaQ,

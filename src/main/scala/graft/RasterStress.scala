@@ -39,7 +39,11 @@ object RasterStress {
       "png" -> ((w: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column)
         => ScaleOps.synthPng(w, w, s, 3)),
       "gif" -> ((w: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column)
-        => ScaleOps.synthGif(w, w, s))
+        => ScaleOps.synthGif(w, w, s)),
+      // 4:2:0 YCbCr — the dominant web JPEG shape (dim must stay a
+      // multiple of 16 for the fixture's exactness contract)
+      "jpeg" -> ((w: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column)
+        => ScaleOps.synthJpeg(w, w, s, mode = 1))
     ).foreach { case (fmt, synth) =>
       val t0 = System.nanoTime()
       val r = ids

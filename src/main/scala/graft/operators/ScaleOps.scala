@@ -1410,6 +1410,16 @@ object ScaleOps {
   def synthGif(w: Column, h: Column, seed: Column): Column =
     org.apache.spark.sql.graftnative.RasterSynthFunctions.synth_gif(w, h, seed)
 
+  /** Complete valid baseline JFIF JPEG fixture from `(w, h, seed)` —
+    * real Annex-K Huffman entropy coding, DC-diff + run-length AC
+    * coding, byte stuffing; content chosen where the DCT round trip is
+    * exact so the decode is oracle-replayable
+    * (see [[org.apache.spark.sql.graftnative.SynthJpeg]]).
+    * `mode`: 0 = grayscale, 1 = YCbCr 4:2:0, 2 = YCbCr 4:4:4.
+    */
+  def synthJpeg(w: Column, h: Column, seed: Column, mode: Int): Column =
+    org.apache.spark.sql.graftnative.JpegSynthFunctions.synth_jpeg(w, h, seed, mode)
+
   // ------------------------------------------------- real sample decode
   // The audio/video analogues of the raster path: WAV linear PCM and Y4M
   // raw video are the codec-free containers whose payloads ARE the

@@ -74,6 +74,12 @@ object ImageDecode {
   private val FMT_PNG = UTF8String.fromString("png")
   private val FMT_GIF = UTF8String.fromString("gif")
   private val FMT_UNKNOWN = UTF8String.fromString("unknown")
+  private[graftnative] val FmtJpeg = UTF8String.fromString("jpeg")
+
+  /** Row builders for sibling decoders in this package ([[JpegCodec]]). */
+  private[graftnative] def unknownRow: InternalRow = unknown
+  private[graftnative] def rasterRow(fmt: UTF8String, w: Int, h: Int,
+      ch: Int, px: Array[Byte]): InternalRow = row(fmt, w, h, ch, px)
 
   /** Decoded-raster size cap: 64 MiB of samples. A corrupt header must
     * not make one row allocate unbounded memory in an executor.
@@ -475,6 +481,8 @@ object ImageDecode {
     else if (isPng(b)) decodePng(b)
     else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') decodeGif(b)
+    else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
+      JpegCodec.decode(b)
     else unknown
   }
 }

@@ -840,6 +840,113 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("SynthJpeg: really entropy-coded fixtures decode back to the exact block formula") {
+    import org.apache.spark.sql.graftnative.JpegSynth
+    // all three modes over sizes exercising multi-MCU grids, seeds
+    // covering all four chroma variants
+    val rows = Seq((16L, 16L, 0L), (32L, 16L, 1L), (48L, 32L, 2L),
+      (16L, 32L, 3L), (32L, 32L, 5L), (48L, 16L, 6L)).toDF("w", "h", "seed")
+    for (mode <- 0 to 2) {
+      val dec = rows.select(col("seed"), col("w"), col("h"),
+        ScaleOps.imageDecode(ScaleOps.synthJpeg(col("w"), col("h"),
+          col("seed"), mode)).as("r")).collect()
+      dec.foreach { r =>
+        val seed = r.getLong(0)
+        val w = r.getLong(1).toInt; val h = r.getLong(2).toInt
+        val st = r.getStruct(3)
+        assert(st.getString(0) == "jpeg", s"mode=$mode seed=$seed")
+        assert(st.getInt(1) == w && st.getInt(2) == h, s"mode=$mode seed=$seed")
+        val ch = st.getInt(3)
+        assert(ch == (if (mode == 0) 1 else 3))
+        val px = st.getAs[Array[Byte]](4)
+        val v = JpegSynth.ChromaVariants(java.lang.Math.floorMod(seed, 4).toInt)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val yv = JpegSynth.lumaAt(seed, w, x, y)
+            if (ch == 1)
+              assert((px(y * w + x) & 0xFF) == yv,
+                s"mode=$mode seed=$seed ($x,$y)")
+            else {
+              val d = (y * w + x) * 3
+              assert((px(d) & 0xFF) == yv + v._3 &&
+                (px(d + 1) & 0xFF) == yv + v._4 &&
+                (px(d + 2) & 0xFF) == yv + v._5,
+                s"mode=$mode seed=$seed ($x,$y): got " +
+                  s"(${px(d) & 0xFF},${px(d + 1) & 0xFF},${px(d + 2) & 0xFF}) " +
+                  s"want Y=$yv + (${v._3},${v._4},${v._5})")
+            }
+            x += 1
+          }
+          y += 1
+        }
+      }
+    }
+    // non-MCU-multiple dims violate the fixture's exactness contract: null
+    assert(rows.limit(1)
+      .select(ScaleOps.synthJpeg(lit(12L), lit(16L), lit(1L), 0).isNull)
+      .head().getBoolean(0))
+  }
+
+  test("ImageDecode: golden hand-packed JPEG — DC-only blocks, crop, reject matrix") {
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, marker.toByte,
+        (((payload.length + 2) >> 8) & 0xFF).toByte,
+        ((payload.length + 2) & 0xFF).toByte) ++ payload
+    // DQT table 0, zigzag order: DC step 8, everything else 16
+    val dqt = seg(0xDB, Array[Byte](0x00) ++
+      Array.tabulate[Byte](64)(i => if (i == 0) 8 else 16))
+    // custom minimal DHT: DC table = one length-1 code for size 3;
+    // AC table = one length-1 code for EOB — the decoder must build
+    // these from the DHT bytes, nothing standard about them
+    val dhtDc = seg(0xC4, Array[Byte](0x00,
+      1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 3))
+    val dhtAc = seg(0xC4, Array[Byte](0x10,
+      1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    val sos = seg(0xDA, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    def sof(w: Int, h: Int): Array[Byte] = seg(0xC0, Array[Byte](8,
+      ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,
+      ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte, 1, 1, 0x11, 0))
+    val soi = Array(0xFF.toByte, 0xD8.toByte)
+    val eoi = Array(0xFF.toByte, 0xD9.toByte)
+    // single 8x8: DC diff 5 (size 3, bits 101), EOB; coefficient 5·8 = 40,
+    // flat IDCT value 40/8 + 128 = 133. Stream 0 101 0 + pad 111 = 0x57
+    val one = soi ++ dqt ++ sof(8, 8) ++ dhtDc ++ dhtAc ++ sos ++
+      Array(0x57.toByte) ++ eoi
+    val (f1, w1, h1, c1, p1) = decodeRaster(one)
+    assert((f1, w1, h1, c1) == (("jpeg", 8, 8, 1)))
+    assert(p1 == Seq.fill(64)(133.toByte))
+    // 12x10 (2x2 MCU grid, cropped): DC diffs 5,-5,7,-7 → block values
+    // 133,128,135,128 laid out (0,0),(0,1),(1,0),(1,1); bit stream
+    // 0 101 0 | 0 010 0 | 0 111 0 | 0 000 0 + pad = 0x51 0x1C 0x0F
+    val four = soi ++ dqt ++ sof(12, 10) ++ dhtDc ++ dhtAc ++ sos ++
+      Array(0x51.toByte, 0x1C.toByte, 0x0F.toByte) ++ eoi
+    val (f4, w4, h4, c4, p4) = decodeRaster(four)
+    assert((f4, w4, h4, c4) == (("jpeg", 12, 10, 1)))
+    val want = for (y <- 0 until 10; x <- 0 until 12) yield
+      (if (y < 8) { if (x < 8) 133 else 128 }
+       else { if (x < 8) 135 else 128 }).toByte
+    assert(p4 == want)
+    // reject matrix: header-only (no scan), progressive SOF2, truncated
+    // entropy data, nonzero restart interval, 12-bit precision
+    val headerOnly = Seq(Tuple1(1L)).toDF("i")
+      .select(ScaleOps.imageDecode(
+        ScaleOps.synthJpegHeader(lit(64L), lit(48L))).getField("format"))
+      .head().getString(0)
+    assert(headerOnly == "unknown")
+    val sof2 = one.clone()
+    sof2(dqt.length + 2 + 1) = 0xC2.toByte // SOF0 → SOF2 marker byte
+    assert(decodeRaster(sof2)._1 == "unknown")
+    assert(decodeRaster(one.dropRight(3))._1 == "unknown") // torn scan
+    val dri = soi ++ dqt ++ sof(8, 8) ++ dhtDc ++ dhtAc ++
+      seg(0xDD, Array[Byte](0, 4)) ++ sos ++ Array(0x57.toByte) ++ eoi
+    assert(decodeRaster(dri)._1 == "unknown")
+    val deep = soi ++ dqt ++ seg(0xC0, Array[Byte](12, 0, 8, 0, 8, 1, 1,
+      0x11, 0)) ++ dhtDc ++ dhtAc ++ sos ++ Array(0x57.toByte) ++ eoi
+    assert(decodeRaster(deep)._1 == "unknown")
+  }
+
   test("ImageResizeNN + RasterChannelSums: hand-computed NN kernel and exact sums") {
     // 4x2 single-channel ramp: NN to 2x2 keeps sx in {0,2}, sy in {0,1}
     val pgm = "P5\n4 2\n255\n".getBytes("US-ASCII") ++

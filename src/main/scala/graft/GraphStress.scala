@@ -33,7 +33,7 @@ object GraphStress {
     val n = sys.env.getOrElse("SPARK_GRAFT_GRAPH_NODES", "2000000").toLong
     val ops = sys.env.getOrElse("SPARK_GRAFT_GRAPH_OPS", "cc,pr")
       .split(",").map(_.trim).toSet
-    val known = Set("cc", "pr", "pri", "tri", "bfs", "lpa")
+    val known = Set("cc", "pr", "pri", "tri", "bfs", "lpa", "lpac", "sssp")
     require((ops -- known).isEmpty,
       s"unknown SPARK_GRAFT_GRAPH_OPS ${(ops -- known).mkString(",")}; " +
         s"valid: ${known.mkString(",")}")
@@ -170,6 +170,59 @@ object GraphStress {
         "lpa labels outside the node id space")
       fields += f""""lpa_sec":$lpaSec%.2f"""
       fields += s""""lpa_iters":4,"lpa_communities":${stats.getLong(1)}"""
+    }
+
+    if (ops("lpac")) {
+      // convergence-mode LPA needs a graph that CONVERGES under the
+      // synchronous min-tie-break rule — the chain/star shapes 2-cycle
+      // (the documented oscillation), so this section uses a community
+      // graph: cliques of 10 bridged in a chain (the shape LPA exists
+      // for). 2M nodes → ~9M clique edges + 200k bridges.
+      val k = 10L
+      val blocks = spark.range(0, n / k).select(col("id").as("b"))
+      val pairs = (for (p1 <- 0L until k; p2 <- (p1 + 1) until k)
+        yield (p1, p2)).toSeq
+      import spark.implicits._
+      val pairDf = pairs.toDF("p1", "p2")
+      val cliqueEdges = blocks.crossJoin(broadcast(pairDf))
+        .select((col("b") * k + col("p1")).as("src"),
+          (col("b") * k + col("p2")).as("dst"))
+      val bridges = blocks.filter(col("b") < n / k - 1)
+        .select((col("b") * k + (k - 1)).as("src"),
+          ((col("b") + 1) * k).as("dst"))
+      val commEdges = cliqueEdges.unionAll(bridges).localCheckpoint(true)
+      val nCommEdges = commEdges.count()
+      val t5 = System.nanoTime()
+      val (labels, rounds) = operators.ScaleOps
+        .labelPropagationConverged(commEdges, maxIterations = 12)
+      val stats = labels.agg(count(lit(1)), countDistinct(col("label"))).head()
+      val lpacSec = (System.nanoTime() - t5) / 1e9
+      require(rounds < 12, s"lpac failed to converge within 12 rounds")
+      require(stats.getLong(0) == n,
+        s"lpac labeled ${stats.getLong(0)} of $n nodes")
+      fields += f""""lpac_sec":$lpacSec%.2f"""
+      fields += s""""lpac_rounds":$rounds,"lpac_edges":$nCommEdges"""
+      fields += s""""lpac_communities":${stats.getLong(1)}"""
+    }
+
+    if (ops("sssp")) {
+      // weighted shortest paths from node 0 over the chain+hub+skip
+      // graph with weights 1 + (src+dst) mod 7; the skip rail's
+      // distinct parity paths make the min nontrivial. Self-check:
+      // seeds at 0, all distances within rounds × max-weight.
+      val rounds = 8
+      val t6 = System.nanoTime()
+      val weighted = withSkip
+        .withColumn("weight", lit(1L) + (col("src") + col("dst")) % 7)
+      val seeds = spark.range(0, 1).select(col("id").as("node"))
+      val dist = operators.ScaleOps.ssspWeighted(weighted, seeds, rounds)
+      val r = dist.agg(count(lit(1)), max(col("dist")), min(col("dist"))).head()
+      val ssspSec = (System.nanoTime() - t6) / 1e9
+      require(r.getLong(2) == 0L, "sssp seed must sit at distance 0")
+      require(r.getLong(1) <= rounds.toLong * 7,
+        s"sssp max dist ${r.getLong(1)} exceeds the ${rounds}×7 bound")
+      fields += f""""sssp_sec":$ssspSec%.2f"""
+      fields += s""""sssp_rounds":$rounds,"sssp_reached":${r.getLong(0)},"sssp_max_dist":${r.getLong(1)}"""
     }
 
     if (ops("bfs")) {

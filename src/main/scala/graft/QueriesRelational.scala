@@ -259,6 +259,42 @@ object QueriesRelational {
         | SELECT node, CAST(MIN(level) AS INT) AS level
         | FROM walk GROUP BY node ORDER BY node""".stripMargin))
 
+  // --------------------------------------------- weighted shortest paths
+  // The graph family's fifth primitive — distance with real edge costs
+  // (equivalence = CC, centrality = PageRank, cohesion = triangles,
+  // community = LPA, reach = BFS): operators.ScaleOps.ssspWeighted over
+  // the same urgent co-occurrence graph with deterministic integer
+  // weights 1 + (u+v) mod 7. Level-synchronous Bellman-Ford rounds with
+  // frontier pruning on the engine side; because dist after round k is
+  // EXACTLY the min over ≤k-edge paths, the oracle restates the bounded
+  // form as a depth-capped recursive walk accumulating path weight with
+  // MIN(dist) per node — same shape as the BFS oracle plus a weight
+  // column. Isolated seeds sit at dist 0 on both sides.
+  private val ssspQ = Q(
+    (s, dir) => {
+      val seeds = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#12")
+        .select(col("p_partkey").as("node"))
+      val edges = urgentCoOccurrenceEdges(s, dir)
+        .withColumn("weight", lit(1L) + (col("src") + col("dst")) % 7)
+      operators.ScaleOps.ssspWeighted(edges, seeds, maxRounds = 3)
+        .orderBy(col("node"))
+    },
+    Some(
+      s"""WITH RECURSIVE $coGraphCtes,
+        | und AS (SELECT u AS a, v AS b, 1 + (u + v) % 7 AS w FROM pairs
+        |         UNION ALL SELECT v, u, 1 + (u + v) % 7 FROM pairs),
+        | seeds AS (SELECT DISTINCT p_partkey AS node FROM part
+        |           WHERE p_brand = 'Brand#12'),
+        | walk(node, dist, steps) AS (
+        |  SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+        |  UNION
+        |  SELECT u.b, w.dist + u.w, w.steps + 1
+        |  FROM walk w JOIN und u ON u.a = w.node
+        |  WHERE w.steps < 3)
+        | SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        | FROM walk GROUP BY node ORDER BY node""".stripMargin))
+
   // ----------------------------------------------- RANGE-interval window
   // The calendar-time window every ROWS frame in the inventory cannot
   // express: 30-day rolling volume per symbol over an IRREGULAR trading
@@ -455,6 +491,7 @@ object QueriesRelational {
     "triangle_count_approx" -> triangleApproxQ,
     "bfs_levels" -> bfsQ,
     "label_prop" -> labelPropQ,
+    "sssp_weighted" -> ssspQ,
     "range_window" -> rangeWindowQ,
     "star_join" -> starJoinQ
   )

@@ -1454,6 +1454,77 @@ object QueriesScale {
         | CAST(peak AS BIGINT) AS peak, CAST(zero_cross AS BIGINT) AS zero_cross
         |FROM a ORDER BY doc_id, channel""".stripMargin))
 
+  // ------------------------------------------------- real FLAC decode
+  // Audio parity with the raster trio: the SAME per-channel statistics
+  // contract as `audio_pcm`, but the container is FLAC — complete valid
+  // streams whose sample payloads are genuinely COMPRESSED (FIXED
+  // predictor residuals of per-subframe-varying order, real Rice coding
+  // with data-chosen parameters and alternating partition orders, CRC-8
+  // frame headers, CRC-16 frame footers, multi-frame 64-sample blocks),
+  // and the native FlacCodec must run real predictor reconstruction +
+  // Rice decompression to recover them. FLAC is lossless and the
+  // fixture samples are the WAV generative formula, so the oracle is
+  // the `audio_pcm` oracle with 'flac' as the format string — it knows
+  // nothing about Rice coding or predictors; a hash match proves the
+  // decompressor inverts real compression sample-for-sample. Golden
+  // hand-built streams (CONSTANT/VERBATIM/LPC subframes, escape
+  // partitions, CRC corruption) live in ScaleOpsSpec.
+  private val flacPcmQ = Q(
+    (s, dir) => {
+      val ch = lit(1L) + col("doc_id") % 2
+      val rate = lit(8000L) + (col("doc_id") * 441) % 8000
+      val frames = lit(50L) + col("doc_id") % 150
+      val payload = when(col("doc_id") % 3 === 0,
+          ScaleOps.synthFlac(ch, rate, frames, col("doc_id"), bits = 8))
+        .otherwise(ScaleOps.synthFlac(ch, rate, frames, col("doc_id"), bits = 16))
+      val d = ScaleOps.pcmDecode(payload)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), d.as("d"))
+        .select(col("doc_id"), col("d"),
+          ScaleOps.pcmChannelStats(col("d")).as("st"))
+        .select(col("doc_id"), col("d"), col("st"),
+          posexplode(col("st.sums")).as(Seq("channel", "amp_sum")))
+        .select(col("doc_id"),
+          col("d.format").as("format"),
+          col("d.channels").cast(LongType).as("channels"),
+          col("d.sample_rate").cast(LongType).as("sample_rate"),
+          col("d.bits").cast(LongType).as("bits"),
+          col("d.n_frames").cast(LongType).as("n_frames"),
+          col("channel").cast(LongType).as("channel"),
+          col("amp_sum"),
+          element_at(col("st.peaks"), col("channel") + 1).as("peak"),
+          element_at(col("st.zero_crossings"), col("channel") + 1).as("zero_cross"))
+        .orderBy("doc_id", "channel")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id,
+        |    1 + doc_id % 2 AS ch,
+        |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+        |    8000 + (doc_id * 441) % 8000 AS rate,
+        |    50 + doc_id % 150 AS frames
+        |   FROM documents),
+        | k AS (SELECT p.*, f.range AS f, c.range AS c, f.range * ch + c.range AS k
+        |       FROM p CROSS JOIN range(0, 200) f CROSS JOIN range(0, 2) c
+        |       WHERE f.range < frames AND c.range < ch),
+        | s AS (SELECT *, CASE WHEN bits = 8
+        |          THEN (doc_id * 13 + k * 7) % 256 - 128
+        |          ELSE CASE WHEN (doc_id * 13 + k * 7) % 65536 >= 32768
+        |               THEN (doc_id * 13 + k * 7) % 65536 - 65536
+        |               ELSE (doc_id * 13 + k * 7) % 65536 END END AS v
+        |       FROM k),
+        | z AS (SELECT *, CASE WHEN lag(v) OVER w IS NULL THEN 0
+        |          WHEN (v < 0) <> (lag(v) OVER w < 0) THEN 1 ELSE 0 END AS zc
+        |       FROM s WINDOW w AS (PARTITION BY doc_id, c ORDER BY f)),
+        | a AS (SELECT doc_id, ch, bits, rate, frames, c,
+        |        SUM(v) AS amp_sum, MAX(ABS(v)) AS peak, SUM(zc) AS zero_cross
+        |       FROM z GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT doc_id, 'flac' AS format,
+        | CAST(ch AS BIGINT) AS channels, CAST(rate AS BIGINT) AS sample_rate,
+        | CAST(bits AS BIGINT) AS bits, CAST(frames AS BIGINT) AS n_frames,
+        | CAST(c AS BIGINT) AS channel, CAST(amp_sum AS BIGINT) AS amp_sum,
+        | CAST(peak AS BIGINT) AS peak, CAST(zero_cross AS BIGINT) AS zero_cross
+        |FROM a ORDER BY doc_id, channel""".stripMargin))
+
   // -------------------------------------------------- video frame sample
   // The video half, REAL end-to-end on the codec-free container:
   // complete valid Y4M streams (ASCII stream header, per-frame FRAME
@@ -2365,6 +2436,67 @@ object QueriesScale {
         refine = pqRefineFor(s, dir))
     },
     None)
+
+  /** Probe surface for [[graft.AnnStress]]: the SAME residual IVF-PQ
+    * pipeline as `ann_ivfpq_topk` — identical ivfAssign / pqCodeColsRes /
+    * pqAdcScoreRes / pqServe code paths — over an ARBITRARY corpus and
+    * codebooks, with (nProbe, refine) as explicit knobs. The fixture key
+    * above stays byte-for-byte what the gate verifies; this entry exists
+    * so the ~1M-vector scale probe measures the shipped plan, not a
+    * probe-local reimplementation that could drift. `gateExtra` ANDs an
+    * additional per-query predicate over the coded rows (the filtered-ANN
+    * form: a label equality). Returns (top-k result, probed cells per
+    * query, the coded index frame) — the last two feed the scan-fraction
+    * measurement.
+    */
+  private[graft] def ivfPqServeFrom(s: SparkSession, emb: DataFrame,
+      centsRaw: DataFrame, cb: Array[Array[Array[Float]]],
+      queries: Array[(Long, Array[Float])], nProbe: Int, refine: Int,
+      codedExtra: DataFrame => DataFrame = identity,
+      gateExtra: Long => Column = _ => lit(true))
+      : (DataFrame, Map[Long, Seq[Int]], DataFrame) = {
+    val embN = emb.withColumn("nv", ScaleOps.l2norm(col("embedding")))
+    val cents = centsRaw.withColumn("nc", ScaleOps.l2norm(col("c_emb")))
+    val centArr = cents.select(col("c_id"), col("c_emb"), col("nc")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val sub = pqDim / pqM
+    val offTable = Array.tabulate(pqM, pqK) { (mi, ki) =>
+      centArr.map { case (_, cv, _) =>
+        var acc = 0.0
+        var i = 0
+        while (i < sub) { acc += cv(mi * sub + i).toDouble * cb(mi)(ki)(i); i += 1 }
+        acc
+      }
+    }
+    val coded = codedExtra(ivfAssign(embN, cents)
+      .withColumn("_nv", col("nv"))
+      .select(col("vec_id") +: col("c_id") +: pqCodeColsRes(cb, offTable): _*))
+    val probeCells: Map[Long, Seq[Int]] = queries.map { case (qid, qv) =>
+      val qn = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
+      val ranked = centArr.map { case (cid, cv, nc) =>
+        var acc = 0.0
+        var i = 0
+        while (i < qv.length) { acc += qv(i).toDouble * cv(i).toDouble; i += 1 }
+        (acc / (qn * nc), cid)
+      }.sortBy { case (cos, cid) => (-cos, cid) }
+      qid -> ranked.take(nProbe).map(_._2).toSeq
+    }.toMap
+    val qCellDots: Map[Long, Array[Double]] = queries.map { case (qid, qv) =>
+      val qn = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
+      qid -> centArr.map { case (_, cv, _) =>
+        var acc = 0.0
+        var i = 0
+        while (i < qv.length) { acc += (qv(i) / qn) * cv(i).toDouble; i += 1 }
+        acc
+      }
+    }.toMap
+    val result = pqServe(s, emb, coded, queries,
+      (qid, qv) => pqAdcScoreRes(cb, qv, qCellDots(qid)),
+      qid => col("c_id").isin(probeCells(qid): _*) && gateExtra(qid),
+      refine = refine)
+    (result, probeCells, coded)
+  }
 
   // ----------------------- IVF-PQ from the persisted serving index (⊘)
   // The durable half of ann_ivfpq_topk: the coded index rows are
@@ -4015,6 +4147,7 @@ object QueriesScale {
     "gif_pixels" -> gifPixelsQ,
     "jpeg_pixels" -> jpegPixelsQ,
     "audio_pcm" -> audioPcmQ,
+    "flac_pcm" -> flacPcmQ,
     "video_frames" -> videoFramesQ,
     "audio_meta" -> audioMetaQ,
     "container_meta" -> containerMetaQ,

@@ -1530,6 +1530,18 @@ object ScaleOps {
       }), "")))
   }
 
+  /** Complete valid FLAC fixture from `(channels, rate, frames, seed)` —
+    * real FIXED-predictor residuals, real Rice coding, CRC-8/16 gates;
+    * samples are the SAME generative formula as [[synthWavPcm]] (FLAC is
+    * lossless, so the oracle replays the WAV formula while the engine
+    * runs real decompression). `bits` is a literal 8 or 16
+    * (see [[org.apache.spark.sql.graftnative.SynthFlac]]).
+    */
+  def synthFlac(channels: Column, rate: Column, frames: Column,
+      seed: Column, bits: Int): Column =
+    org.apache.spark.sql.graftnative.FlacSynthFunctions
+      .synth_flac(channels, rate, frames, seed, bits)
+
   /** Native audio-container metadata `struct(format, channels,
     * sample_rate, bits_per_sample, n_frames)` — WAV chunk walk + FLAC
     * STREAMINFO bit unpack, same codegen'd zero-shuffle stance as
@@ -2247,6 +2259,73 @@ object ScaleOps {
       converged = changed == 0
     }
     (labels, rounds)
+  }
+
+  /** Single-source (or multi-source) WEIGHTED shortest paths to a bounded
+    * number of edges — the graph family's distance primitive with real
+    * edge costs, where [[bfsLevels]] covers only hop counts. Returns
+    * `(node, dist)` = the minimum total weight over paths of at most
+    * `maxRounds` edges from the seed set (seeds at 0; nodes unreachable
+    * within the bound absent), for NONNEGATIVE integer weights.
+    *
+    * Level-synchronous Bellman-Ford with frontier pruning: each round
+    * relaxes only the edges out of nodes whose distance improved last
+    * round — one equi-join of the improved frontier against the
+    * adjacency list, a min-aggregate of candidates (map-side combined),
+    * and a full-outer merge against the running distances. The classic
+    * invariant (dist after round k = exact min over ≤k-edge paths) is
+    * preserved by pruning because every value change re-enters the
+    * frontier, which is also what makes the bounded form oracle-able as
+    * a depth-capped recursive SQL walk. Per-round state joins are
+    * `shuffle_hash`-pinned (the compact per-node frame broadcast trap,
+    * see [[pageRankFixedPoint]]); rounds eagerly checkpoint to truncate
+    * lineage. At 100 TB the per-round shuffle is bounded by the
+    * frontier's edge neighborhood, never the whole graph; the
+    * run-to-convergence form is this loop with the empty-frontier stop,
+    * which the bounded form already short-circuits on.
+    */
+  def ssspWeighted(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      weightCol: String = "weight", seedCol: String = "node"): DataFrame = {
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    val adj = edges
+      .select(col(srcCol).cast(LongType).as("a"),
+        col(dstCol).cast(LongType).as("b"),
+        col(weightCol).cast(LongType).as("w"))
+      .unionAll(edges.select(col(dstCol).cast(LongType).as("a"),
+        col(srcCol).cast(LongType).as("b"),
+        col(weightCol).cast(LongType).as("w")))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(min(col("w")).as("w")) // parallel edges: keep min
+      .localCheckpoint(true)
+    val minW = adj.agg(min(col("w"))).head()
+    require(minW.isNullAt(0) || minW.getLong(0) >= 0,
+      s"ssspWeighted requires nonnegative weights, got min ${minW.getLong(0)}")
+    var dist = seeds
+      .select(col(seedCol).cast(LongType).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist
+    var r = 1
+    while (r <= maxRounds && !frontier.isEmpty) {
+      val cand = frontier
+        .join(adj.hint("shuffle_hash"), col("node") === col("a"))
+        .select(col("b").as("node"), (col("dist") + col("w")).as("cand"))
+        .groupBy("node").agg(min(col("cand")).as("cand"))
+      val merged = dist
+        .join(cand.hint("shuffle_hash"), Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("cand")),
+            coalesce(col("cand"), col("dist"))).as("dist"),
+          (col("cand").isNotNull &&
+            (col("dist").isNull || col("cand") < col("dist"))).as("_improved"))
+        .localCheckpoint(true)
+      frontier = merged.filter(col("_improved")).select("node", "dist")
+        .localCheckpoint(true)
+      dist = merged.select("node", "dist")
+      r += 1
+    }
+    dist
   }
 
   /** Breadth-first search to a bounded depth: minimum hop distance from a

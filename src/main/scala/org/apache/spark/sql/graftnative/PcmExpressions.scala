@@ -63,7 +63,15 @@ object PcmDecode {
       nullable = true)))
 
   private val FMT_WAV = UTF8String.fromString("wav")
+  private val FMT_FLAC = UTF8String.fromString("flac")
   private val FMT_UNKNOWN = UTF8String.fromString("unknown")
+
+  /** Row builders for the FLAC sibling decoder ([[FlacCodec]]). */
+  private[graftnative] def unknownFlacRow: InternalRow = unknownOf(FMT_FLAC)
+  private[graftnative] def flacRow(ch: Int, rate: Int, bits: Int,
+      frames: Int, samples: Array[Int]): InternalRow =
+    new GenericInternalRow(Array[Any](FMT_FLAC, ch, rate, bits, frames,
+      new GenericArrayData(samples.map(v => v: Any))))
 
   /** Decoded-sample cap (16 Mi samples ≈ 64 MiB of ints): a corrupt
     * header must not make one row allocate unbounded executor memory.
@@ -86,6 +94,8 @@ object PcmDecode {
     * paths.
     */
   def compute(b: Array[Byte]): InternalRow = {
+    if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+        b(3) == 'C') return FlacCodec.decode(b)
     if (b.length < 12 || !cc(b, 0, "RIFF") || !cc(b, 8, "WAVE"))
       return unknownOf(FMT_UNKNOWN)
     var fmtTag = -1; var ch = -1; var rate = -1; var bits = -1

@@ -247,6 +247,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ssspWeighted equals reference bounded Bellman-Ford on random graphs") {
+    samples(graphGen, 8).foreach { es =>
+      val edges = es.toDF("src", "dst")
+        .withColumn("weight",
+          org.apache.spark.sql.functions.expr("1 + (src + dst) % 7"))
+      val seeds = Seq(1L, 2L)
+      val maxRounds = 3
+      val got = graft.operators.ScaleOps
+        .ssspWeighted(edges, seeds.toDF("node"), maxRounds)
+        .as[(Long, Long)].collect().toMap
+      // reference: full (unpruned) Bellman-Ford rounds over the deduped
+      // undirected adjacency — dist after k rounds = min over ≤k-edge
+      // paths, the exact bounded semantics the operator claims
+      val adj = es.flatMap { case (u, v) =>
+          Seq((u, v, 1L + (u + v) % 7), (v, u, 1L + (u + v) % 7)) }
+        .filter { case (u, v, _) => u != v }
+        .groupBy(t => (t._1, t._2)).map { case ((u, v), g) =>
+          (u, v, g.map(_._3).min) }.toList
+      var ref = seeds.map(_ -> 0L).toMap
+      for (_ <- 1 to maxRounds) {
+        val relax = adj.flatMap { case (u, v, w) =>
+          ref.get(u).map(d => v -> (d + w)) }
+          .groupBy(_._1).map { case (n, g) => n -> g.map(_._2).min }
+        ref = (ref.keySet ++ relax.keySet).map { n =>
+          n -> math.min(ref.getOrElse(n, Long.MaxValue),
+            relax.getOrElse(n, Long.MaxValue))
+        }.toMap
+      }
+      assert(got == ref, s"edges=$es")
+    }
+  }
+
   test("bfsLevels equals reference BFS distances on random graphs") {
     samples(graphGen, 8).foreach { es =>
       val edges = es.toDF("src", "dst")

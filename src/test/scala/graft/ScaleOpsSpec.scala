@@ -2389,6 +2389,119 @@ class ScaleOpsSpec extends SparkSpec {
     assert(y4m("MPEG4".getBytes, 1).isNullAt(0))
   }
 
+  test("SynthFlac: really Rice-coded fixtures decode back to the WAV formula") {
+    import org.apache.spark.sql.graftnative.FlacSynth
+    // seeds cover both widths, mono/stereo, multi-frame streams, and the
+    // fixed-order rotation (order = (seed + frame + channel) mod 5)
+    val rows = Seq((1L, 8000L, 50L, 0L), (2L, 12000L, 199L, 1L),
+      (1L, 44100L, 64L, 2L), (2L, 16000L, 130L, 7L)).toDF("ch", "rate", "fr", "seed")
+    for (bits <- Seq(8, 16)) {
+      val dec = rows.select(col("ch"), col("fr"), col("seed"),
+        ScaleOps.pcmDecode(ScaleOps.synthFlac(col("ch"), col("rate"),
+          col("fr"), col("seed"), bits)).as("d")).collect()
+      dec.foreach { r =>
+        val ch = r.getLong(0).toInt; val fr = r.getLong(1).toInt
+        val seed = r.getLong(2)
+        val st = r.getStruct(3)
+        assert(st.getString(0) == "flac", s"bits=$bits seed=$seed")
+        assert(st.getInt(1) == ch && st.getInt(3) == bits &&
+          st.getInt(4) == fr, s"bits=$bits seed=$seed")
+        val samples = st.getSeq[Int](5)
+        assert(samples.length == fr * ch)
+        samples.zipWithIndex.foreach { case (v, k) =>
+          assert(v == FlacSynth.sampleAt(seed, k, bits),
+            s"bits=$bits seed=$seed sample $k")
+        }
+      }
+    }
+  }
+
+  test("FlacCodec: golden hand-built streams — CONSTANT/VERBATIM/LPC, escape, CRC gates") {
+    // independent CRC implementations (poly 0x07 / 0x8005, init 0)
+    def crc8(bs: Seq[Int]): Int = bs.foldLeft(0) { (c0, b) =>
+      (0 until 8).foldLeft(c0 ^ b) { (c, _) =>
+        if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xFF else (c << 1) & 0xFF }
+    }
+    def crc16(bs: Seq[Int]): Int = bs.foldLeft(0) { (c0, b) =>
+      (0 until 8).foldLeft(c0 ^ (b << 8)) { (c, _) =>
+        if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xFFFF
+        else (c << 1) & 0xFFFF }
+    }
+    class BW {
+      val out = collection.mutable.ArrayBuffer.empty[Int]
+      var acc = 0; var n = 0
+      def put(v: Long, len: Int): Unit = (len - 1 to 0 by -1).foreach { k =>
+        acc = (acc << 1) | ((v >> k) & 1L).toInt; n += 1
+        if (n == 8) { out += acc; acc = 0; n = 0 }
+      }
+      def align(): Unit = if (n > 0) put(0L, 8 - n)
+    }
+    // STREAMINFO for mono 8-bit rate 8000, total 4 samples, block 4
+    def streamInfo(total: Int) = Seq(
+      'f'.toInt, 'L'.toInt, 'a'.toInt, 'C'.toInt,
+      0x80, 0, 0, 34,
+      0, 4, 0, 4, 0, 0, 0, 0, 0, 0,
+      8000 >> 12, (8000 >> 4) & 0xFF, ((8000 & 0xF) << 4) | (0 << 1) | 0,
+      (7 << 4) | 0, 0, 0, 0, total) ++ Seq.fill(16)(0)
+    // frame header: sync/fixed, bs code 6 + rate-from-streaminfo,
+    // mono + 8-bit (ss code 1), frame 0, blocksize-1
+    def frameHdr(bsMinus1: Int) =
+      Seq(0xFF, 0xF8, 0x60, (0 << 4) | (1 << 1), 0, bsMinus1)
+    def frame(body: BW => Unit, corruptCrc16: Boolean = false): Seq[Int] = {
+      val hdr = frameHdr(3)
+      val bw = new BW
+      body(bw)
+      bw.align()
+      val f = hdr ++ Seq(crc8(hdr)) ++ bw.out
+      val c = crc16(f) ^ (if (corruptCrc16) 0x40 else 0)
+      f ++ Seq((c >> 8) & 0xFF, c & 0xFF)
+    }
+    def decode(ints: Seq[Int]) = {
+      val st = Seq(Tuple1(ints.map(_.toByte).toArray)).toDF("b")
+        .select(ScaleOps.pcmDecode(col("b")).as("d")).head().getStruct(0)
+      (st.getString(0), if (st.isNullAt(5)) null else st.getSeq[Int](5))
+    }
+    // CONSTANT subframe, value 5: pad 0, type 000000, wasted 0, 8-bit 5
+    val const = streamInfo(4) ++ frame { bw =>
+      bw.put(0, 1); bw.put(0, 6); bw.put(0, 1); bw.put(5, 8) }
+    assert(decode(const) == (("flac", Seq(5, 5, 5, 5))))
+    // VERBATIM subframe [1, -2, 3, -4]
+    val verbatim = streamInfo(4) ++ frame { bw =>
+      bw.put(0, 1); bw.put(1, 6); bw.put(0, 1)
+      Seq(1, -2, 3, -4).foreach(v => bw.put(v.toLong & 0xFF, 8)) }
+    assert(decode(verbatim) == (("flac", Seq(1, -2, 3, -4))))
+    // LPC order 1, precision 3, shift 1, coef 2 → pred = s[i-1]; warm-up
+    // 4, residuals +1 each (samples 4,5,6,7), Rice k=1
+    val lpc = streamInfo(4) ++ frame { bw =>
+      bw.put(0, 1); bw.put(32, 6); bw.put(0, 1) // LPC order 1 (type 100000)
+      bw.put(4, 8) // warm-up
+      bw.put(2, 4) // precision − 1
+      bw.put(1, 5) // shift
+      bw.put(2, 3) // coef = 2
+      bw.put(0, 2); bw.put(0, 4) // method 0, partition order 0
+      bw.put(1, 4) // Rice param k = 1
+      (1 to 3).foreach { _ => bw.put(1, 2); bw.put(0, 1) } // u=2: q=1, r=0
+    }
+    assert(decode(lpc) == (("flac", Seq(4, 5, 6, 7))))
+    // escape-coded partition: param 1111, 4 raw bits each [-3, 2, -1, 0]
+    val esc = streamInfo(4) ++ frame { bw =>
+      bw.put(0, 1); bw.put(8, 6); bw.put(0, 1) // FIXED order 0
+      bw.put(0, 2); bw.put(0, 4)
+      bw.put(15, 4); bw.put(4, 5)
+      Seq(-3, 2, -1, 0).foreach(v => bw.put(v.toLong & 0xF, 4))
+    }
+    assert(decode(esc) == (("flac", Seq(-3, 2, -1, 0))))
+    // corrupt frame CRC-16 → unknown, never wrong samples
+    val bad = streamInfo(4) ++ frame({ bw =>
+      bw.put(0, 1); bw.put(0, 6); bw.put(0, 1); bw.put(5, 8) },
+      corruptCrc16 = true)
+    assert(decode(bad)._1 == "unknown" || decode(bad)._2 == null)
+    // truncation and a samples-vs-STREAMINFO shortfall also reject
+    assert(decode(const.dropRight(3))._2 == null)
+    assert(decode(streamInfo(9) ++ frame { bw =>
+      bw.put(0, 1); bw.put(0, 6); bw.put(0, 1); bw.put(5, 8) })._2 == null)
+  }
+
   test("synthWavPcm / synthY4m: fixtures decode back to the generative formulas") {
     // the audio_pcm fixture contract: container value (seed*13 + k*7)
     // mod 2^bits, frame-major interleave

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.ScaleOps
+
+/** ANN ladder scale probe: does IVF-PQ recall hold when the corpus
+  * outgrows the fixture by ~500×? The recall floors in ARCHITECTURE's
+  * ⊘-registry are measured at the gate SFs (≤2k vectors); the 100 TB
+  * claim rides on the structure still working at millions, where the
+  * right knobs are bigger (K, nProbe, refine), not a bigger scan
+  * fraction. This probe synthesizes a clustered corpus (mixture of 10
+  * deterministic centers + per-vector noise, all xxhash64 arithmetic —
+  * no RNG state, rerunnable anywhere), trains the coarse + residual-PQ
+  * codebooks on a bounded sample exactly as the production path
+  * prescribes, and serves the 10-query batch through
+  * [[QueriesScale.ivfPqServeFrom]] — the SAME ivfAssign / residual
+  * encode / ADC / exact-rerank code the gated keys run, so the number
+  * measures the shipped plan. Reports recall@10 vs exact brute force,
+  * the measured per-query scan fraction (probed-cell mass / corpus),
+  * and the filtered-ANN variant (label-gated ADC against label-filtered
+  * truth). Fresh-JVM quiet-box methodology as the other stress mains.
+  *
+  * Knobs: `SPARK_GRAFT_ANN_VECS` (default 1M), `SPARK_GRAFT_ANN_K`
+  * (coarse cells, default 64), `SPARK_GRAFT_ANN_PROBES` (default 8),
+  * `SPARK_GRAFT_ANN_REFINE` (ADC candidate depth, default 2048),
+  * `SPARK_GRAFT_ANN_TRAIN` (training-sample rows, default 100k).
+  */
+object AnnStress {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val n = sys.env.getOrElse("SPARK_GRAFT_ANN_VECS", "1000000").toLong
+    val coarseK = sys.env.getOrElse("SPARK_GRAFT_ANN_K", "64").toInt
+    val nProbe = sys.env.getOrElse("SPARK_GRAFT_ANN_PROBES", "8").toInt
+    val refine = sys.env.getOrElse("SPARK_GRAFT_ANN_REFINE", "2048").toInt
+    val pqk = sys.env.getOrElse("SPARK_GRAFT_ANN_PQK", "32").toInt
+    val trainN = sys.env.getOrElse("SPARK_GRAFT_ANN_TRAIN", "100000").toLong
+    val dim = 64
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // clustered corpus: center(label, d) in [-1, 1] plus noise(vec_id, d)
+    // in [-1, 1] — both uniform from xxhash64, so any process regenerates
+    // the identical corpus. 10 labels ≈ the fixture corpus' structure.
+    def unitHash(cols: org.apache.spark.sql.Column*) =
+      (pmod(xxhash64(cols: _*), lit(200001L)) - 100000L) / 100000.0
+    val corpus = spark.range(0, n)
+      .select(col("id").as("vec_id"),
+        pmod(col("id"), lit(10L)).cast(IntegerType).as("label"))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(dim - 1)), d =>
+          (unitHash(lit("c"), col("label"), d) +
+            unitHash(lit("n"), col("vec_id"), d) * 0.6).cast(FloatType)))
+      .localCheckpoint(true)
+
+    // exact brute-force truth for the 10-query batch (and its
+    // label-filtered form) — the denominator of every recall number
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    val qBatch = queries.map { case (q, v, _) => (q, v) }
+    val qLabels = queries.map { case (q, _, l) => q -> l }.toMap
+    val embN = corpus.withColumn("nv", ScaleOps.l2norm(col("embedding")))
+    def bruteTopK(filtered: Boolean): Map[Long, Set[Long]] = {
+      val qDf = broadcast(queries.map { case (q, v, l) => (q, v.toSeq, l) }
+        .toSeq.toDF("q_id", "q_emb", "q_label")
+        .select(col("q_id"),
+          col("q_emb").cast(ArrayType(FloatType)).as("q_emb"), col("q_label"))
+        .withColumn("nq", ScaleOps.l2norm(col("q_emb"))))
+      val joined = embN.join(qDf,
+        if (filtered) col("label") === col("q_label") else lit(true))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      joined
+        .withColumn("cos", ScaleOps.cosine(col("q_emb"), col("embedding"),
+          col("nq"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, ps) => q -> ps.map(_._2).toSet }
+    }
+    val t0 = System.nanoTime()
+    val brutePlain = bruteTopK(filtered = false)
+    val bruteSec = (System.nanoTime() - t0) / 1e9
+    val bruteFiltered = bruteTopK(filtered = true)
+
+    // offline index build on a bounded sample (the production stance:
+    // centroid quality converges far below corpus size)
+    val sample = corpus.filter(
+      pmod(col("vec_id"), lit(math.max(1L, n / trainN))) === 0)
+    val t1 = System.nanoTime()
+    val cents = ml.IvfCodebook.train(sample, "embedding", coarseK)
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("c_id", "c_emb")
+      .select(col("c_id"), col("c_emb").cast(ArrayType(FloatType)).as("c_emb"))
+    val cb = ml.IvfCodebook.trainPqResidual(sample, "embedding", centsDf,
+      dim, m = 8, k = pqk, seed = 1042L, maxIter = 20)
+    val trainSec = (System.nanoTime() - t1) / 1e9
+
+    def recallOf(result: DataFrame, truth: Map[Long, Set[Long]]): Double = {
+      val got = result.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, ps) => q -> ps.map(_._2).toSet }
+      val per = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size }
+      per.sum / per.size
+    }
+
+    // plain IVF-PQ through the shipped plan
+    val t2 = System.nanoTime()
+    val (plain, probeCells, coded) = QueriesScale.ivfPqServeFrom(
+      spark, corpus, centsDf, cb, qBatch, nProbe, refine)
+    val plainRecall = recallOf(plain, brutePlain)
+    val serveSec = (System.nanoTime() - t2) / 1e9
+    // measured scan fraction: probed-cell mass per query / corpus size
+    val cellSizes = coded.groupBy("c_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val fracs = probeCells.map { case (_, cells) =>
+      cells.map(c => cellSizes.getOrElse(c, 0L)).sum.toDouble / n }
+    val scanFrac = fracs.sum / fracs.size
+
+    // filtered form: label joined onto the coded index, label-gated ADC
+    val (filtered, _, _) = QueriesScale.ivfPqServeFrom(
+      spark, corpus, centsDf, cb, qBatch, nProbe, refine,
+      codedExtra = c => c.join(corpus.select("vec_id", "label"), "vec_id"),
+      gateExtra = qid => col("label") === lit(qLabels(qid)))
+    val filteredRecall = recallOf(filtered, bruteFiltered)
+
+    println(Seq(
+      s""""vectors":$n""", s""""dim":$dim""", s""""cpus":$cpus""",
+      s""""coarse_k":$coarseK""", s""""n_probe":$nProbe""",
+      s""""pq_k":$pqk""",
+      s""""refine":$refine""", s""""train_rows":${sample.count()}""",
+      f""""brute_sec":$bruteSec%.2f""", f""""train_sec":$trainSec%.2f""",
+      f""""serve_sec":$serveSec%.2f""",
+      f""""ivfpq_recall_at10":$plainRecall%.4f""",
+      f""""filtered_recall_at10":$filteredRecall%.4f""",
+      f""""scan_fraction":$scanFrac%.4f""")
+      .mkString("""{"metric":"ann_stress",""", ",", "}"))
+    spark.stop()
+  }
+}

@@ -20,7 +20,21 @@ object Bench {
     // first execution pays per-query whole-stage-codegen compilation,
     // which is amortized noise on any long-lived cluster
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset (comma-separated keys): targeted re-benches — e.g.
+    // the streaming family on a quiet box with a canary key — without
+    // paying the full 160-key sweep. Unknown keys fail loudly.
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    subset.foreach { ks =>
+      val unknown = ks -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown SPARK_GRAFT_BENCH_KEYS: ${unknown.mkString(",")}")
+    }
+    val selected = subset match {
+      case Some(ks) => SparkEntry.queries.filter { case (k, _) => ks(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache() // isolate queries from lingering cache/GC state
       System.gc()
       val times = (1 to reps).flatMap { _ =>

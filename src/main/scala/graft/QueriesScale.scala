@@ -2247,7 +2247,10 @@ object QueriesScale {
       offTable: Array[Array[Array[Double]]]): Seq[Column] = {
     val sub = pqDim / pqM
     (0 until pqM).map { mi =>
-      val scores = array((0 until pqK).map { ki =>
+      // centroid count from the codebook itself: the fixture keys train
+      // pqK=32 books, the AnnStress scale probe passes bigger ones (the
+      // bits lever) through the SAME encode path
+      val scores = array((0 until cb(mi).length).map { ki =>
         val c = cb(mi)(ki)
         val halfNorm = c.map(x => x.toDouble * x.toDouble).sum / 2.0
         ScaleOps.dotD(slice(col("embedding"), mi * sub + 1, sub),
@@ -2272,7 +2275,7 @@ object QueriesScale {
     val sub = pqDim / pqM
     val qn = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
     val lutSum = (0 until pqM).map { mi =>
-      val lut = Array.tabulate(pqK) { ki =>
+      val lut = Array.tabulate(cb(mi).length) { ki =>
         val c = cb(mi)(ki)
         var acc = 0.0
         var i = 0
@@ -2390,7 +2393,7 @@ object QueriesScale {
       .sortBy(_._1) // dense 0..K-1 — array index = c_id below
     // per-(m, k, cell) encode offsets c_sub(cell)·cb_mk, driver-side
     val sub = pqDim / pqM
-    val offTable = Array.tabulate(pqM, pqK) { (mi, ki) =>
+    val offTable = Array.tabulate(pqM, cb(0).length) { (mi, ki) =>
       centArr.map { case (_, cv, _) =>
         var acc = 0.0
         var i = 0
@@ -2461,7 +2464,7 @@ object QueriesScale {
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
     val sub = pqDim / pqM
-    val offTable = Array.tabulate(pqM, pqK) { (mi, ki) =>
+    val offTable = Array.tabulate(pqM, cb(0).length) { (mi, ki) =>
       centArr.map { case (_, cv, _) =>
         var acc = 0.0
         var i = 0

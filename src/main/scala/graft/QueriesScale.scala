@@ -1383,6 +1383,60 @@ object QueriesScale {
         | CAST(s1 AS BIGINT) AS g_sum, CAST(s2 AS BIGINT) AS b_sum
         |FROM s ORDER BY doc_id""".stripMargin))
 
+  // --------------------------------------------- lossless WebP decode
+  // The fourth real raster codec (PNG/GIF/JPEG/WebP — the web formats'
+  // full set): complete valid RIFF/WEBP/VP8L files whose pixel streams
+  // are genuinely entropy-coded (real Huffman codes BUILT from the
+  // channel histograms after a forward subtract-green transform, code
+  // lengths emitted through VP8L's code-length coding, LSB-first
+  // bitstream), and the native WebpCodec must parse the RIFF walk, the
+  // code-length machinery, canonical Huffman decode per channel, and
+  // the subtract-green inverse to recover the pixels. The oracle
+  // replays only the generative formula — it knows nothing about
+  // Huffman coding — so a hash match proves real entropy decoding on
+  // every row. Decoder scope (predictor/color/indexing transforms and
+  // meta-Huffman reject honestly) is documented in WebpCodec's
+  // scaladoc; LZ77 backrefs and the color cache are pinned by
+  // hand-built goldens in ScaleOpsSpec. Same decode→resize→sums shape
+  // as the other raster keys; per-row, zero shuffle.
+  private val webpPixelsQ = Q(
+    (s, dir) => {
+      val w = lit(3L) + col("doc_id") % 11
+      val h = lit(3L) + col("doc_id") % 9
+      val raster = ScaleOps.imageDecode(
+        ScaleOps.synthWebpL(w, h, col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raster.as("r"))
+        .select(col("doc_id"),
+          col("r.format").as("format"),
+          col("r.width").cast(LongType).as("width"),
+          col("r.height").cast(LongType).as("height"),
+          ScaleOps.rasterChannelSums(
+            ScaleOps.imageResizeNN(col("r"), 4, 4)).as("s"))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("s").getItem(0).as("r_sum"),
+          col("s").getItem(1).as("g_sum"),
+          col("s").getItem(2).as("b_sum"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 11 AS w, 3 + doc_id % 9 AS h
+        |           FROM documents),
+        | g AS (SELECT d.doc_id, d.w, d.h, gx.range AS x, gy.range AS y
+        |        FROM d CROSS JOIN range(0, 4) gx CROSS JOIN range(0, 4) gy),
+        | px AS (SELECT doc_id, w, h,
+        |         ((y * h // 4) * w + (x * w // 4)) * 3 AS base FROM g),
+        | s AS (SELECT doc_id, w, h,
+        |        SUM((doc_id * 31 + (base + 0) * 7) % 256) AS r_sum,
+        |        SUM((doc_id * 31 + (base + 1) * 7) % 256) AS g_sum,
+        |        SUM((doc_id * 31 + (base + 2) * 7) % 256) AS b_sum
+        |       FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, 'webp' AS format,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+        | CAST(b_sum AS BIGINT) AS b_sum
+        |FROM s ORDER BY doc_id""".stripMargin))
+
   // -------------------------------------------------- real audio decode
   // The waveform half of the multimodal stage, REAL end-to-end: complete
   // valid PCM WAV files (canonical header AND every sample byte, 8-bit
@@ -4149,6 +4203,7 @@ object QueriesScale {
     "png_pixels" -> pngPixelsQ,
     "gif_pixels" -> gifPixelsQ,
     "jpeg_pixels" -> jpegPixelsQ,
+    "webp_pixels" -> webpPixelsQ,
     "audio_pcm" -> audioPcmQ,
     "flac_pcm" -> flacPcmQ,
     "video_frames" -> videoFramesQ,

@@ -1410,6 +1410,14 @@ object ScaleOps {
   def synthGif(w: Column, h: Column, seed: Column): Column =
     org.apache.spark.sql.graftnative.RasterSynthFunctions.synth_gif(w, h, seed)
 
+  /** Complete valid lossless WebP (VP8L) fixture from `(w, h, seed)` —
+    * real Huffman construction over the subtract-green channel
+    * histograms, real code-length coding, LSB-first VP8L bitstream
+    * (see [[org.apache.spark.sql.graftnative.SynthWebpL]]).
+    */
+  def synthWebpL(w: Column, h: Column, seed: Column): Column =
+    org.apache.spark.sql.graftnative.WebpSynthFunctions.synth_webpl(w, h, seed)
+
   /** Complete valid baseline JFIF JPEG fixture from `(w, h, seed)` —
     * real Annex-K Huffman entropy coding, DC-diff + run-length AC
     * coding, byte stuffing; content chosen where the DCT round trip is

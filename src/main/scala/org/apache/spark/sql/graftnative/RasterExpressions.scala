@@ -75,6 +75,7 @@ object ImageDecode {
   private val FMT_GIF = UTF8String.fromString("gif")
   private val FMT_UNKNOWN = UTF8String.fromString("unknown")
   private[graftnative] val FmtJpeg = UTF8String.fromString("jpeg")
+  private[graftnative] val FmtWebp = UTF8String.fromString("webp")
 
   /** Row builders for sibling decoders in this package ([[JpegCodec]]). */
   private[graftnative] def unknownRow: InternalRow = unknown
@@ -483,6 +484,9 @@ object ImageDecode {
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') decodeGif(b)
     else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
       JpegCodec.decode(b)
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+      b(11) == 'P') WebpCodec.decode(b)
     else unknown
   }
 }

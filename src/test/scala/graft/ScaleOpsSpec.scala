@@ -947,6 +947,143 @@ class ScaleOpsSpec extends SparkSpec {
     assert(decodeRaster(deep)._1 == "unknown")
   }
 
+  test("SynthWebpL: really Huffman-coded fixtures decode back to the formula") {
+    // sizes span single-pixel to multi-row; seeds vary the histograms
+    // (and therefore the constructed code lengths) per image
+    val rows = Seq((1L, 1L, 0L), (5L, 3L, 1L), (13L, 11L, 7L), (8L, 9L, 42L))
+      .toDF("w", "h", "seed")
+    val dec = rows.select(col("seed"), col("w"), col("h"),
+      ScaleOps.imageDecode(ScaleOps.synthWebpL(col("w"), col("h"),
+        col("seed"))).as("r")).collect()
+    dec.foreach { r =>
+      val seed = r.getLong(0)
+      val w = r.getLong(1).toInt; val h = r.getLong(2).toInt
+      val st = r.getStruct(3)
+      assert(st.getString(0) == "webp", s"seed=$seed")
+      assert(st.getInt(1) == w && st.getInt(2) == h && st.getInt(3) == 3)
+      val px = st.getAs[Array[Byte]](4)
+      def pix(idx: Int) = java.lang.Math.floorMod(seed * 31 + idx * 7, 256)
+      px.zipWithIndex.foreach { case (b, i) =>
+        assert((b & 0xFF) == pix(i), s"webp seed=$seed byte $i") }
+    }
+  }
+
+  test("WebpCodec: golden hand-packed VP8L — LZ77 backref, color cache, reject matrix") {
+    // LSB-first bit writer (the VP8L stream convention); Huffman codes
+    // are emitted MSB-of-code-first via single-bit puts
+    class BW {
+      val out = collection.mutable.ArrayBuffer.empty[Int]
+      var acc = 0L; var n = 0
+      def put(v: Long, len: Int): Unit = {
+        acc |= (v & ((1L << len) - 1)) << n; n += len
+        while (n >= 8) { out += (acc & 0xFF).toInt; acc >>>= 8; n -= 8 }
+      }
+      def code(c: Int, len: Int): Unit =
+        (len - 1 to 0 by -1).foreach(k => put((c >> k) & 1, 1))
+      def flush(): Unit = if (n > 0) { out += (acc & 0xFF).toInt; n = 0 }
+    }
+    def riff(payload: Seq[Int]): Array[Byte] = {
+      def le32(v: Int) = Seq(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF,
+        (v >> 24) & 0xFF)
+      val p = payload ++ (if (payload.size % 2 == 1) Seq(0) else Seq())
+      (Seq('R', 'I', 'F', 'F').map(_.toInt) ++ le32(4 + 8 + p.size) ++
+        Seq('W', 'E', 'B', 'P', 'V', 'P', '8', 'L').map(_.toInt) ++
+        le32(payload.size) ++ p).map(_.toByte).toArray
+    }
+    def header(bw: BW, w: Int, h: Int): Unit = {
+      bw.put(w - 1, 14); bw.put(h - 1, 14)
+      bw.put(0, 1) // alpha hint
+      bw.put(0, 3) // version
+    }
+    // a normal green code with exactly two length-1 symbols (lit, special),
+    // emitted through the real code-length coding: a complete 4-symbol
+    // cl code {0:'00', 1:'01', 17:'10', 18:'11'} so both repeat codes
+    // AND single explicit zeros are expressible
+    def greenTwoSymbols(bw: BW, lit: Int, special: Int, alphabet: Int): Unit = {
+      bw.put(0, 1) // normal form
+      bw.put(19 - 4, 4) // all 19 length slots, storage order 17,18,0,1,...
+      val lens = Map(0 -> 2, 1 -> 2, 17 -> 2, 18 -> 2)
+      Seq(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+        .foreach(s => bw.put(lens.getOrElse(s, 0).toLong, 3))
+      bw.put(0, 1) // no max-symbol shortcut
+      def tok1(): Unit = bw.code(1, 2) // cl symbol 1 ('01')
+      def zeros(n0: Int): Unit = {
+        var left = n0
+        while (left > 0) {
+          if (left >= 11) { val t = math.min(left, 138)
+            bw.code(3, 2); bw.put(t - 11, 7); left -= t } // 18
+          else if (left >= 3) { bw.code(2, 2); bw.put(left - 3, 3); left = 0 } // 17
+          else { bw.code(0, 2); left -= 1 } // explicit single zero
+        }
+      }
+      zeros(lit); tok1()
+      zeros(special - lit - 1); tok1()
+      zeros(alphabet - special - 1)
+    }
+    def simpleOne(bw: BW, sym: Int): Unit = {
+      bw.put(1, 1); bw.put(0, 1); bw.put(1, 1); bw.put(sym, 8)
+    }
+    def decode(bytes: Array[Byte]) = decodeRaster(bytes)
+
+    // ---- LZ77 golden: 2x2, literal (g10,r20,b30,a255) then a length-3
+    // backref at distance 1 → four identical RGB pixels
+    val lz = new BW
+    lz.put(0x2F, 8); header(lz, 2, 2)
+    lz.put(0, 1) // no transforms
+    lz.put(0, 1) // no color cache
+    lz.put(0, 1) // no meta-Huffman
+    greenTwoSymbols(lz, lit = 10, special = 258, alphabet = 280)
+    simpleOne(lz, 20); simpleOne(lz, 30); simpleOne(lz, 255) // r, b, a
+    simpleOne(lz, 1) // distance code 1 → prefix value 2 → map (1,0) → 1
+    lz.code(0, 1) // green '0' = literal 10 (r/b/a codes cost zero bits)
+    lz.code(1, 1) // green '1' = symbol 258 → length prefix 2 → length 3
+    lz.flush()
+    val (f1, w1, h1, c1, p1) = decode(riff(lz.out.toSeq))
+    assert((f1, w1, h1, c1) == (("webp", 2, 2, 3)))
+    assert(p1 == Seq.fill(4)(Seq(20, 10, 30)).flatten.map(_.toByte))
+
+    // ---- color-cache golden: 2x1, cache_bits=1; literal ARGB
+    // 0xFF140A1E hashes (0x1E35A7BD·px >>> 31) to index 0, so green
+    // symbol 280 replays it from the cache
+    val cc = new BW
+    cc.put(0x2F, 8); header(cc, 2, 1)
+    cc.put(0, 1) // no transforms
+    cc.put(1, 1); cc.put(1, 4) // color cache, 1 bit
+    cc.put(0, 1) // no meta-Huffman
+    greenTwoSymbols(cc, lit = 10, special = 280, alphabet = 282)
+    simpleOne(cc, 20); simpleOne(cc, 30); simpleOne(cc, 255)
+    simpleOne(cc, 0) // distance (unused)
+    cc.code(0, 1) // literal
+    cc.code(1, 1) // cache index 0
+    cc.flush()
+    val (f2, w2, h2, _, p2) = decode(riff(cc.out.toSeq))
+    assert((f2, w2, h2) == (("webp", 2, 1)))
+    assert(p2 == Seq(20, 10, 30, 20, 10, 30).map(_.toByte))
+
+    // ---- reject matrix: predictor transform, meta-Huffman, bad
+    // version, truncation, backref past start
+    def rejected(build: BW => Unit): Unit = {
+      val bw = new BW
+      bw.put(0x2F, 8)
+      build(bw)
+      bw.flush()
+      assert(decode(riff(bw.out.toSeq))._1 == "unknown")
+    }
+    rejected { bw => header(bw, 2, 2); bw.put(1, 1); bw.put(0, 2) } // predictor
+    rejected { bw => header(bw, 2, 2); bw.put(0, 1); bw.put(0, 1); bw.put(1, 1) } // meta
+    rejected { bw =>
+      bw.put(1, 14); bw.put(1, 14); bw.put(0, 1); bw.put(1, 3) } // version != 0
+    assert(decode(riff(lz.out.toSeq).dropRight(4))._1 == "unknown")
+    rejected { bw => // backref with nothing emitted yet
+      header(bw, 2, 2)
+      bw.put(0, 1); bw.put(0, 1); bw.put(0, 1)
+      greenTwoSymbols(bw, lit = 10, special = 258, alphabet = 280)
+      simpleOne(bw, 20); simpleOne(bw, 30); simpleOne(bw, 255)
+      simpleOne(bw, 1)
+      bw.code(1, 1) // immediate length symbol at pos 0
+    }
+  }
+
   test("ImageResizeNN + RasterChannelSums: hand-computed NN kernel and exact sums") {
     // 4x2 single-channel ramp: NN to 2x2 keeps sx in {0,2}, sy in {0,1}
     val pgm = "P5\n4 2\n255\n".getBytes("US-ASCII") ++

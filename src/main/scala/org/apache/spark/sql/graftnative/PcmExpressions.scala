@@ -16,7 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * format: the `data` chunk payload IS the waveform, so decode needs no
   * audio library and runs as one bounded byte walk per row inside
   * whole-stage codegen — exactly the stance of [[ImageDecode]] on the
-  * pixel side.
+  * pixel side. FLAC streams (really compressed: Rice-coded predictor
+  * residuals) dispatch to [[FlacCodec]] and land in the SAME normalized
+  * struct.
   *
   * Accepted input: `RIFF`/`WAVE` with a canonical `fmt ` chunk declaring
   * audio format 1 (integer PCM) and 8 or 16 bits per sample, plus a

@@ -10,11 +10,12 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native RASTER decode — the real pixel half of the multimodal stage
-  * (container metadata lives in [[ImageMeta]]). Five formats whose
+  * (container metadata lives in [[ImageMeta]]). Seven formats whose
   * pixel payloads are decodable with the JDK alone (byte arithmetic,
   * plus `java.util.zip` for PNG's zlib), so the decode needs no image
   * library and runs as one bounded byte walk per row inside whole-stage
-  * codegen:
+  * codegen — baseline JPEG lives in [[JpegCodec]] and lossless WebP in
+  * [[WebpCodec]], both dispatched from here:
   *
   *  - PPM `P6` (Netpbm spec): ASCII header `P6 <w> <h> <maxval>` with
   *    `#` comments and arbitrary whitespace, one whitespace byte, then

@@ -43,7 +43,9 @@ object RasterStress {
       // 4:2:0 YCbCr — the dominant web JPEG shape (dim must stay a
       // multiple of 16 for the fixture's exactness contract)
       "jpeg" -> ((w: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column)
-        => ScaleOps.synthJpeg(w, w, s, mode = 1))
+        => ScaleOps.synthJpeg(w, w, s, mode = 1)),
+      "webp" -> ((w: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column)
+        => ScaleOps.synthWebpL(w, w, s))
     ).foreach { case (fmt, synth) =>
       val t0 = System.nanoTime()
       val r = ids

@@ -498,8 +498,13 @@ object WebpSynth {
     bw.put(19 - 4, 4)
     CodeLengthOrder.foreach(s => bw.put(clLengths(s), 3))
     bw.put(0, 1) // no max-symbol shortcut
+    // the one-symbol-tree rule applies HERE too: a channel whose symbols
+    // all share one code length (e.g. a perfectly uniform 256-value
+    // histogram → every length 8) collapses the code-length code to a
+    // single symbol, which the decoder reads with ZERO bits per token
+    val clSingle = clLengths.count(_ > 0) == 1
     val clCodes = canonical(clLengths)
-    lengths.foreach { l =>
+    if (!clSingle) lengths.foreach { l =>
       bw.put(java.lang.Integer.reverse(clCodes(l)) >>> (32 - clLengths(l)),
         clLengths(l))
     }

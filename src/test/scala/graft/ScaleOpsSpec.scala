@@ -949,9 +949,12 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("SynthWebpL: really Huffman-coded fixtures decode back to the formula") {
     // sizes span single-pixel to multi-row; seeds vary the histograms
-    // (and therefore the constructed code lengths) per image
-    val rows = Seq((1L, 1L, 0L), (5L, 3L, 1L), (13L, 11L, 7L), (8L, 9L, 42L))
-      .toDF("w", "h", "seed")
+    // (and therefore the constructed code lengths) per image. 16×16 at
+    // an odd seed pins the uniform-histogram collapse: 256 pixels hit
+    // every red value exactly once → all code lengths equal → the
+    // code-length code itself is single-symbol (zero bits per token)
+    val rows = Seq((1L, 1L, 0L), (5L, 3L, 1L), (13L, 11L, 7L), (8L, 9L, 42L),
+      (16L, 16L, 1L), (16L, 16L, 2L), (32L, 32L, 3L)).toDF("w", "h", "seed")
     val dec = rows.select(col("seed"), col("w"), col("h"),
       ScaleOps.imageDecode(ScaleOps.synthWebpL(col("w"), col("h"),
         col("seed"))).as("r")).collect()

@@ -26,7 +26,11 @@ import graft.operators.ScaleOps
   * Knobs: `SPARK_GRAFT_ANN_VECS` (default 1M), `SPARK_GRAFT_ANN_K`
   * (coarse cells, default 64), `SPARK_GRAFT_ANN_PROBES` (default 8),
   * `SPARK_GRAFT_ANN_REFINE` (ADC candidate depth, default 2048),
-  * `SPARK_GRAFT_ANN_TRAIN` (training-sample rows, default 100k).
+  * `SPARK_GRAFT_ANN_TRAIN` (training-sample rows, default 100k),
+  * `SPARK_GRAFT_ANN_PQK` / `SPARK_GRAFT_ANN_PQM` (the two BITS levers:
+  * centroids per subspace and subspace count — bits/vector =
+  * m·log2(k); both flow through the shipped encode/ADC path, whose
+  * reference-array codebooks compile at any size since round 11).
   */
 object AnnStress {
   def main(args: Array[String]): Unit = {
@@ -36,6 +40,7 @@ object AnnStress {
     val nProbe = sys.env.getOrElse("SPARK_GRAFT_ANN_PROBES", "8").toInt
     val refine = sys.env.getOrElse("SPARK_GRAFT_ANN_REFINE", "2048").toInt
     val pqk = sys.env.getOrElse("SPARK_GRAFT_ANN_PQK", "32").toInt
+    val pqm = sys.env.getOrElse("SPARK_GRAFT_ANN_PQM", "8").toInt
     val trainN = sys.env.getOrElse("SPARK_GRAFT_ANN_TRAIN", "100000").toLong
     val dim = 64
     val spark = SparkSession.builder()
@@ -104,7 +109,7 @@ object AnnStress {
       .toDF("c_id", "c_emb")
       .select(col("c_id"), col("c_emb").cast(ArrayType(FloatType)).as("c_emb"))
     val cb = ml.IvfCodebook.trainPqResidual(sample, "embedding", centsDf,
-      dim, m = 8, k = pqk, seed = 1042L, maxIter = 20)
+      dim, m = pqm, k = pqk, seed = 1042L, maxIter = 20)
     val trainSec = (System.nanoTime() - t1) / 1e9
 
     def recallOf(result: DataFrame, truth: Map[Long, Set[Long]]): Double = {
@@ -139,7 +144,7 @@ object AnnStress {
     println(Seq(
       s""""vectors":$n""", s""""dim":$dim""", s""""cpus":$cpus""",
       s""""coarse_k":$coarseK""", s""""n_probe":$nProbe""",
-      s""""pq_k":$pqk""",
+      s""""pq_k":$pqk""", s""""pq_m":$pqm""",
       s""""refine":$refine""", s""""train_rows":${sample.count()}""",
       f""""brute_sec":$bruteSec%.2f""", f""""train_sec":$trainSec%.2f""",
       f""""serve_sec":$serveSec%.2f""",

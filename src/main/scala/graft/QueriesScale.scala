@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 
 import Queries.Q
 import graft.operators.ScaleOps
+import org.apache.spark.sql.graftnative.PqExpressions
 
 /** LLM-data-pipeline query keys over `documents` / `embeddings`
   * (SURVEY §7.1 step 8). Oracle SQL mirrors every Spark expression; md5 and
@@ -2202,8 +2203,10 @@ object QueriesScale {
   // corpus never shuffles).
   //
   // At 100 TB the codes are the point: 64-dim float rows become 8 small
-  // codes (~5 bytes packed, a ~50× smaller scan), the 8 KiB codebook plus
-  // the per-query LUT ride the plan as literals, and the only per-row
+  // codes (~5 bytes packed, a ~50× smaller scan), the codebook plus the
+  // per-query LUT ride the plan as codegen reference arrays (shipped
+  // once per task — literal inlining hit the Janino compile wall at
+  // pq_k≥128, see graftnative.PqExpressions), and the only per-row
   // work is 8 array lookups. Rows-only key (k-means floats are
   // partition-order-dependent, same as ann_ivf_trained_topk); the
   // contract is RECALL ≥ 0.8 vs the exact similarity_topk (measured 0.90
@@ -2254,37 +2257,45 @@ object QueriesScale {
     * cannot drift.
     */
   private def pqCodeCols(cb: Array[Array[Array[Float]]]): Seq[Column] = {
-    val sub = pqDim / pqM
-    (0 until pqM).map { mi =>
-      val scores = array((0 until pqK).map { ki =>
-        val c = cb(mi)(ki)
-        val halfNorm = c.map(x => x.toDouble * x.toDouble).sum / 2.0
-        ScaleOps.dotD(slice(col("embedding"), mi * sub + 1, sub),
-          typedlit(c)) / col("_nv") - lit(halfNorm)
-      }: _*)
-      (array_position(scores, array_max(scores)) - 1)
-        .cast(IntegerType).as(s"code_$mi")
+    // shape derived from the codebook itself: m = cb.length, sub = the
+    // centroid dim — the BITS levers (m and k) are both probe-adjustable
+    val m = cb.length
+    val sub = cb(0)(0).length
+    (0 until m).map { mi =>
+      val k = cb(mi).length
+      val cbFlat = new Array[Float](k * sub)
+      for (ki <- 0 until k; i <- 0 until sub) cbFlat(ki * sub + i) = cb(mi)(ki)(i)
+      val halfNorms = cb(mi).map(c => c.map(x => x.toDouble * x.toDouble).sum / 2.0)
+      PqExpressions.subspaceCode(col("embedding"), col("_nv"),
+        None, cbFlat, Array.emptyDoubleArray, halfNorms,
+        mi * sub, sub, k, cells = 0).as(s"code_$mi")
     }
   }
 
-  /** Per-query ADC score Σ_m LUT[m][code_m]: the 8×32 lookup table of
+  /** Per-query ADC score Σ_m LUT[m][code_m]: the m×k lookup table of
     * normalized-query subspace dot products is built driver-side and
-    * inlined as literal arrays — scoring a code row is 8 element_at
-    * lookups, zero shuffle, no vector math.
+    * shipped as ONE codegen reference array ([[graftnative.PqAdcLutScore]]
+    * — round 11's replacement for per-subspace literal arrays, which hit
+    * the Janino inline-literal wall at pq_k≥128) — scoring a code row is
+    * m array lookups, zero shuffle, no vector math, generated-code size
+    * constant in k.
     */
   private def pqAdcScore(cb: Array[Array[Array[Float]]], qv: Array[Float]): Column = {
-    val sub = pqDim / pqM
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val k = cb(0).length
     val qn = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
-    (0 until pqM).map { mi =>
-      val lut = Array.tabulate(pqK) { ki =>
-        val c = cb(mi)(ki)
-        var acc = 0.0
-        var i = 0
-        while (i < sub) { acc += (qv(mi * sub + i) / qn) * c(i).toDouble; i += 1 }
-        acc
-      }
-      element_at(typedlit(lut), col(s"code_$mi") + 1): Column
-    }.reduce(_ + _)
+    val lutFlat = new Array[Double](m * k)
+    for (mi <- 0 until m; ki <- 0 until k) {
+      val c = cb(mi)(ki)
+      var acc = 0.0
+      var i = 0
+      while (i < sub) { acc += (qv(mi * sub + i) / qn) * c(i).toDouble; i += 1 }
+      lutFlat(mi * k + ki) = acc
+    }
+    PqExpressions.adcScore(
+      (0 until m).map(mi => col(s"code_$mi")), None,
+      lutFlat, Array.emptyDoubleArray)
   }
 
   /** RESIDUAL PQ encode (FAISS IndexIVFPQ form) over rows carrying
@@ -2292,28 +2303,35 @@ object QueriesScale {
     * r = x̂ − c(cell), so code_m = argmax over centroids of
     * (x̂_sub·c − c_sub(cell)·c − ‖c‖²/2). The per-(m, k, cell) offset
     * c_sub(cell)·c is a pure function of the two codebooks — computed
-    * once driver-side into `offTable` and inlined as literal arrays
-    * indexed by c_id, so the per-row cost stays one native dot per
-    * centroid plus one element_at. Same deterministic first-max
-    * tie-break as the raw encoder.
+    * once driver-side into `offTable` and shipped as a codegen reference
+    * array indexed by (centroid, c_id), so the per-row cost stays one
+    * fused dot per centroid plus one array lookup. Same deterministic
+    * first-max tie-break as the raw encoder.
     */
   private def pqCodeColsRes(cb: Array[Array[Array[Float]]],
       offTable: Array[Array[Array[Double]]]): Seq[Column] = {
-    val sub = pqDim / pqM
-    (0 until pqM).map { mi =>
+    val m = cb.length
+    val sub = cb(0)(0).length
+    (0 until m).map { mi =>
       // centroid count from the codebook itself: the fixture keys train
       // pqK=32 books, the AnnStress scale probe passes bigger ones (the
-      // bits lever) through the SAME encode path
-      val scores = array((0 until cb(mi).length).map { ki =>
-        val c = cb(mi)(ki)
-        val halfNorm = c.map(x => x.toDouble * x.toDouble).sum / 2.0
-        ScaleOps.dotD(slice(col("embedding"), mi * sub + 1, sub),
-          typedlit(c)) / col("_nv") -
-          element_at(typedlit(offTable(mi)(ki)), col("c_id") + 1) -
-          lit(halfNorm)
-      }: _*)
-      (array_position(scores, array_max(scores)) - 1)
-        .cast(IntegerType).as(s"code_$mi")
+      // bits lever) through the SAME encode path — and since round 11 the
+      // codebook + offset table ship as codegen REFERENCE ARRAYS
+      // ([[graftnative.PqSubspaceCode]]), so pq_k ≥ 128 books compile
+      // (the literal form's ~74k inlined doubles hit the Janino wall,
+      // STRESS_ANN_r10) and each row costs ONE fused pass over its
+      // subspace slice instead of k dot-product columns + array_max.
+      val k = cb(mi).length
+      val cells = offTable(mi)(0).length
+      val cbFlat = new Array[Float](k * sub)
+      for (ki <- 0 until k; i <- 0 until sub) cbFlat(ki * sub + i) = cb(mi)(ki)(i)
+      val offFlat = new Array[Double](k * cells)
+      for (ki <- 0 until k; ci <- 0 until cells)
+        offFlat(ki * cells + ci) = offTable(mi)(ki)(ci)
+      val halfNorms = cb(mi).map(c => c.map(x => x.toDouble * x.toDouble).sum / 2.0)
+      PqExpressions.subspaceCode(col("embedding"), col("_nv"),
+        Some(col("c_id")), cbFlat, offFlat, halfNorms,
+        mi * sub, sub, k, cells).as(s"code_$mi")
     }
   }
 
@@ -2326,19 +2344,20 @@ object QueriesScale {
     */
   private def pqAdcScoreRes(cb: Array[Array[Array[Float]]],
       qv: Array[Float], qCellDots: Array[Double]): Column = {
-    val sub = pqDim / pqM
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val k = cb(0).length
     val qn = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
-    val lutSum = (0 until pqM).map { mi =>
-      val lut = Array.tabulate(cb(mi).length) { ki =>
-        val c = cb(mi)(ki)
-        var acc = 0.0
-        var i = 0
-        while (i < sub) { acc += (qv(mi * sub + i) / qn) * c(i).toDouble; i += 1 }
-        acc
-      }
-      element_at(typedlit(lut), col(s"code_$mi") + 1): Column
-    }.reduce(_ + _)
-    lutSum + element_at(typedlit(qCellDots), col("c_id") + 1)
+    val lutFlat = new Array[Double](m * k)
+    for (mi <- 0 until m; ki <- 0 until k) {
+      val c = cb(mi)(ki)
+      var acc = 0.0
+      var i = 0
+      while (i < sub) { acc += (qv(mi * sub + i) / qn) * c(i).toDouble; i += 1 }
+      lutFlat(mi * k + ki) = acc
+    }
+    PqExpressions.adcScore((0 until m).map(mi => col(s"code_$mi")),
+      Some(col("c_id")), lutFlat, qCellDots)
   }
 
   /** Exact cosine re-rank of a small (q_id, vec_id) candidate set against
@@ -2446,8 +2465,8 @@ object QueriesScale {
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
       .sortBy(_._1) // dense 0..K-1 — array index = c_id below
     // per-(m, k, cell) encode offsets c_sub(cell)·cb_mk, driver-side
-    val sub = pqDim / pqM
-    val offTable = Array.tabulate(pqM, cb(0).length) { (mi, ki) =>
+    val sub = cb(0)(0).length
+    val offTable = Array.tabulate(cb.length, cb(0).length) { (mi, ki) =>
       centArr.map { case (_, cv, _) =>
         var acc = 0.0
         var i = 0
@@ -2517,8 +2536,8 @@ object QueriesScale {
     val centArr = cents.select(col("c_id"), col("c_emb"), col("nc")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
-    val sub = pqDim / pqM
-    val offTable = Array.tabulate(pqM, cb(0).length) { (mi, ki) =>
+    val sub = cb(0)(0).length
+    val offTable = Array.tabulate(cb.length, cb(0).length) { (mi, ki) =>
       centArr.map { case (_, cv, _) =>
         var acc = 0.0
         var i = 0
@@ -2641,7 +2660,8 @@ object QueriesScale {
       val emb = Tables.embeddings(s, dir)
       coded.join(emb.select(col("vec_id"), col("label")), "vec_id")
         .select(col("vec_id") +: col("label") +: col("c_id") +:
-          (0 until pqM).map(mi => col(s"code_$mi"): Column): _*)
+          coded.columns.filter(_.startsWith("code_"))
+            .map(c => col(c): Column).toSeq: _*)
     }
   }
 

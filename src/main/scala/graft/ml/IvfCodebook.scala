@@ -83,9 +83,10 @@ object IvfCodebook {
     * codebook(m)(k) = subspace centroid as a float array.
     *
     * At 100 TB this trains on a sample exactly like [[train]]; the whole
-    * artifact is m·k·(dim/m) floats (here 8·16·8 = 1 KiB) — it inlines
-    * into the serving plan as literals, the index equivalent of a
-    * broadcast too small to ship as a table.
+    * artifact is m·k·(dim/m) floats (here 8·16·8 = 1 KiB; production
+    * books run 8·256·8 = 16 KiB) — it rides the serving plan as a
+    * codegen reference array (graftnative.PqExpressions), the index
+    * equivalent of a broadcast too small to ship as a table.
     */
   def trainPq(emb: DataFrame, embCol: String, dim: Int, m: Int = 8,
       k: Int = 16, seed: Long = 42L, maxIter: Int = 20): Array[Array[Array[Float]]] = {

@@ -2186,15 +2186,15 @@ object ScaleOps {
     * than one cheap extra aggregate on a frame this walk scans anyway).
     */
   private def lpaAdjacency(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
-    val und = edges
+      dstCol: String,
+      store: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    val und = store(edges
       .select(col(srcCol).cast(LongType).as("a"),
         col(dstCol).cast(LongType).as("b"))
       .unionAll(edges.select(col(dstCol).cast(LongType).as("a"),
         col(srcCol).cast(LongType).as("b")))
       .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     val minId = und.agg(min(col("a"))).head()
     require(minId.isNullAt(0) || minId.getLong(0) >= 0,
       s"labelPropagation requires nonnegative node ids (min-label " +
@@ -2208,7 +2208,8 @@ object ScaleOps {
     * partial-aggregated with no sort. Labels are node ids ≥ 0
     * ([[lpaAdjacency]] enforces it) so the negation orders correctly.
     */
-  private def lpaRound(und: DataFrame, labels: DataFrame): DataFrame = {
+  private def lpaRound(und: DataFrame, labels: DataFrame,
+      store: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     val neigh = und
       .join(labels.select(col("node").as("b"), col("label"))
         .hint("shuffle_hash"), "b") // per-node frame: broadcast-trap pin
@@ -2218,10 +2219,9 @@ object ScaleOps {
       .groupBy("node")
       .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
       .select(col("node"), (-col("m.neg")).as("next"))
-    labels
+    store(labels
       .join(best.hint("shuffle_hash"), Seq("node"), "left")
-      .select(col("node"), coalesce(col("next"), col("label")).as("label"))
-      .localCheckpoint(true)
+      .select(col("node"), coalesce(col("next"), col("label")).as("label")))
   }
 
   def labelPropagation(edges: DataFrame, iterations: Int,
@@ -2249,15 +2249,38 @@ object ScaleOps {
     * that case rather than hanging.
     */
   def labelPropagationConverged(edges: DataFrame, maxIterations: Int = 40,
-      srcCol: String = "src", dstCol: String = "dst"): (DataFrame, Int) = {
+      srcCol: String = "src", dstCol: String = "dst",
+      runDir: Option[String] = None): (DataFrame, Int) = {
     require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
-    val und = lpaAdjacency(edges, srcCol, dstCol)
+    // Same executor-loss escape hatch as pageRankConverge / ssspRun: with
+    // runDir the adjacency list and the per-round label frames round-trip
+    // through parquet (dropping the two-rounds-back frame — the previous
+    // round is still read by the convergence probe); default stays
+    // localCheckpoint for fixture scale.
+    def durable(name: String, dropPrev: Option[String])(df: DataFrame)
+        : DataFrame = runDir match {
+      case Some(d) =>
+        val path = s"$d/lpa_$name"
+        df.write.mode("overwrite").parquet(path)
+        val back = df.sparkSession.read.parquet(path)
+        dropPrev.foreach { p =>
+          val prev = new org.apache.hadoop.fs.Path(s"$d/lpa_$p")
+          prev.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(prev, true)
+        }
+        back
+      case None => df.localCheckpoint(true)
+    }
+    val und = lpaAdjacency(edges, srcCol, dstCol, durable("adj", None)(_))
     val nodes = und.select(col("a").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
+    var labels = durable("labels_0", None)(
+      nodes.withColumn("label", col("node")))
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIterations) {
-      val next = lpaRound(und, labels)
+      val next = lpaRound(und, labels,
+        durable(s"labels_${rounds + 1}",
+          if (rounds >= 1) Some(s"labels_${rounds - 1}") else None)(_))
       rounds += 1
       val changed = next
         .join(labels.select(col("node"), col("label").as("_prev")), "node")
@@ -2294,9 +2317,60 @@ object ScaleOps {
     */
   def ssspWeighted(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
       srcCol: String = "src", dstCol: String = "dst",
-      weightCol: String = "weight", seedCol: String = "node"): DataFrame = {
+      weightCol: String = "weight", seedCol: String = "node",
+      runDir: Option[String] = None): DataFrame =
+    ssspRun(edges, seeds, maxRounds, srcCol, dstCol, weightCol, seedCol,
+      runDir)._1
+
+  /** Run-to-fixpoint SSSP — [[ssspWeighted]]'s loop with the
+    * empty-frontier stop as the PRIMARY exit (the production shape, where
+    * the eccentricity of the seed set is data-dependent): relaxation
+    * rounds continue until no distance improves, bailing at
+    * `maxIterations` as a runaway guard (negative cycles are impossible
+    * under the nonnegative-weight `require`, so the loop always
+    * terminates — the cap bounds worst-case chain graphs). Returns
+    * `(dist, roundsUsed)`; because each round is a pure function of the
+    * previous distances and improvements always re-enter the frontier,
+    * the converged assignment EQUALS the bounded-round assignment for
+    * any bound ≥ the convergence point (pinned in ScaleOpsSpec) — the
+    * same contract [[labelPropagationConverged]] pins against its
+    * bounded form.
+    */
+  def ssspConverged(edges: DataFrame, seeds: DataFrame,
+      maxIterations: Int = 64, srcCol: String = "src",
+      dstCol: String = "dst", weightCol: String = "weight",
+      seedCol: String = "node",
+      runDir: Option[String] = None): (DataFrame, Int) = {
+    require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
+    ssspRun(edges, seeds, maxIterations, srcCol, dstCol, weightCol, seedCol,
+      runDir)
+  }
+
+  private def ssspRun(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
+      srcCol: String, dstCol: String, weightCol: String, seedCol: String,
+      runDir: Option[String]): (DataFrame, Int) = {
     require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
-    val adj = edges
+    // localCheckpoint blocks live in executor memory — a lost executor
+    // kills the run. With runDir, the adjacency list (joined every
+    // round) and the per-round merged-distance frames round-trip through
+    // parquet instead, each round deleting its predecessor (the same
+    // escape hatch pageRankConverge / ccRun have); default stays
+    // executor-local for fixture scale.
+    def durable(df: DataFrame, name: String, dropPrev: Option[String] = None)
+        : DataFrame = runDir match {
+      case Some(d) =>
+        val path = s"$d/sssp_$name"
+        df.write.mode("overwrite").parquet(path)
+        val back = df.sparkSession.read.parquet(path)
+        dropPrev.foreach { p =>
+          val prev = new org.apache.hadoop.fs.Path(s"$d/sssp_$p")
+          prev.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(prev, true)
+        }
+        back
+      case None => df.localCheckpoint(true)
+    }
+    val adj = durable(edges
       .select(col(srcCol).cast(LongType).as("a"),
         col(dstCol).cast(LongType).as("b"),
         col(weightCol).cast(LongType).as("w"))
@@ -2304,15 +2378,15 @@ object ScaleOps {
         col(srcCol).cast(LongType).as("b"),
         col(weightCol).cast(LongType).as("w")))
       .filter(col("a") =!= col("b"))
-      .groupBy("a", "b").agg(min(col("w")).as("w")) // parallel edges: keep min
-      .localCheckpoint(true)
+      .groupBy("a", "b").agg(min(col("w")).as("w")), // parallel edges: keep min
+      "adj")
     val minW = adj.agg(min(col("w"))).head()
     require(minW.isNullAt(0) || minW.getLong(0) >= 0,
       s"ssspWeighted requires nonnegative weights, got min ${minW.getLong(0)}")
-    var dist = seeds
+    var dist = durable(seeds
       .select(col(seedCol).cast(LongType).as("node")).distinct()
-      .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
+      .withColumn("dist", lit(0L)),
+      "merged_0")
     var frontier = dist
     var r = 1
     while (r <= maxRounds && !frontier.isEmpty) {
@@ -2320,20 +2394,25 @@ object ScaleOps {
         .join(adj.hint("shuffle_hash"), col("node") === col("a"))
         .select(col("b").as("node"), (col("dist") + col("w")).as("cand"))
         .groupBy("node").agg(min(col("cand")).as("cand"))
-      val merged = dist
+      val merged = durable(dist
         .join(cand.hint("shuffle_hash"), Seq("node"), "full_outer")
         .select(col("node"),
           least(coalesce(col("dist"), col("cand")),
             coalesce(col("cand"), col("dist"))).as("dist"),
           (col("cand").isNotNull &&
-            (col("dist").isNull || col("cand") < col("dist"))).as("_improved"))
-        .localCheckpoint(true)
-      frontier = merged.filter(col("_improved")).select("node", "dist")
-        .localCheckpoint(true)
+            (col("dist").isNull || col("cand") < col("dist"))).as("_improved")),
+        s"merged_$r", dropPrev = Some(s"merged_${r - 1}"))
+      frontier = runDir match {
+        // durable mode: the frontier is a cheap filter over the round's
+        // parquet — no second materialization needed
+        case Some(_) => merged.filter(col("_improved")).select("node", "dist")
+        case None => merged.filter(col("_improved")).select("node", "dist")
+          .localCheckpoint(true)
+      }
       dist = merged.select("node", "dist")
       r += 1
     }
-    dist
+    (dist, r - 1)
   }
 
   /** Breadth-first search to a bounded depth: minimum hop distance from a

@@ -33,33 +33,62 @@ object WebpCodec {
 
   private val MaxPixelBytes = 1 << 26
 
-  /** LSB-first bit reader over the VP8L payload. */
+  /** LSB-first bit reader over the VP8L payload — multi-byte loads for
+    * n-bit fields (round 11; the round-10 reader pulled one bit per
+    * loop) plus a 15-bit zero-padded PEEK feeding the table-driven
+    * Huffman decode. Consuming past the stream end clears `ok`; peeking
+    * past it is legal (the final code of a stream may be resolved from
+    * fewer lookahead bits than the peek width).
+    */
   private final class BitReader(b: Array[Byte], startByte: Int) {
     var bitPos: Long = startByte.toLong * 8
+    private val limit: Long = b.length.toLong * 8
     var ok = true
+    /** Read n ≤ 24 bits LSB-first. */
     def bits(n: Int): Int = {
-      var v = 0
+      if (bitPos + n > limit) { ok = false; return 0 }
+      val byteI = (bitPos >> 3).toInt
+      val bitO = (bitPos & 7).toInt
+      var v = 0L
       var k = 0
-      while (k < n) {
-        val p = bitPos + k
-        if ((p >> 3) >= b.length) { ok = false; return 0 }
-        v |= ((b((p >> 3).toInt) >> (p & 7).toInt) & 1) << k
-        k += 1
-      }
+      val m = math.min(b.length - byteI, 5)
+      while (k < m) { v |= (b(byteI + k) & 0xFFL) << (8 * k); k += 1 }
       bitPos += n
-      v
+      ((v >>> bitO) & ((1L << n) - 1)).toInt
+    }
+    /** Next 15 bits, zero-padded past the end; does not advance. */
+    def peek15(): Int = {
+      val byteI = (bitPos >> 3).toInt
+      val bitO = (bitPos & 7).toInt
+      var v = 0L
+      var k = 0
+      val m = math.min(b.length - byteI, 3)
+      while (k < m) { v |= (b(byteI + k) & 0xFFL) << (8 * k); k += 1 }
+      ((v >>> bitO) & 0x7FFF).toInt
+    }
+    /** Consume n bits previously peeked. */
+    def skip(n: Int): Unit = {
+      bitPos += n
+      if (bitPos > limit) ok = false
     }
   }
 
-  /** Canonical Huffman decode table, VP8L convention: codes assigned by
-    * (length, symbol-order) exactly like DEFLATE — decode MSB-first
-    * within the code while the stream itself is LSB-first, so the
-    * reader pulls one bit at a time. Null when over-subscribed.
+  /** Table-driven canonical Huffman decoder, VP8L convention (codes
+    * assigned by (length, symbol-order) like DEFLATE, read MSB-of-code
+    * first from the LSB-first stream). `root` is indexed by the next 8
+    * stream bits (so table keys are BIT-REVERSED codes — the standard
+    * two-level technique, same as JPEG's and libwebp's huffman tables);
+    * codes longer than 8 bits resolve through a per-prefix sub-table.
+    * Entries pack `(totalLen << 12) | symbol` (max alphabet 256+24+2048
+    * = 2328 < 4096); sub-table markers set bit 30. `single` ≥ 0 is the
+    * one-symbol zero-bit code form.
     */
-  private final class Huff(val minCode: Array[Int], val maxCode: Array[Int],
-      val valPtr: Array[Int], val vals: Array[Int], val single: Int)
+  private final class Huff(val root: Array[Int], val subs: Array[Array[Int]],
+      val single: Int)
 
   private val MaxLen = 15
+  private val RootBits = 8
+  private val SubMark = 0x40000000
 
   private def buildHuff(lengths: Array[Int]): Huff = {
     val counts = new Array[Int](MaxLen + 1)
@@ -76,51 +105,93 @@ object WebpCodec {
       // one symbol of length 0)
       var s = 0
       while (lengths(s) == 0) s += 1
-      return new Huff(null, null, null, null, s)
+      return new Huff(null, null, s)
     }
-    val minCode = new Array[Int](MaxLen + 1)
-    val maxCode = Array.fill(MaxLen + 1)(-1)
-    val valPtr = new Array[Int](MaxLen + 1)
-    val vals = new Array[Int](n)
+    // canonical code assignment + the Kraft completeness gate: the spec
+    // (and libwebp) reject UNDER-subscribed codes too — an incomplete
+    // code space would leave unreachable table entries and accept
+    // spec-invalid streams (round-11 advice item)
+    val nextCode = new Array[Int](MaxLen + 1)
     var code = 0
-    var k = 0
     var len = 1
     while (len <= MaxLen) {
-      if (counts(len) > 0) {
-        valPtr(len) = k
-        minCode(len) = code
-        maxCode(len) = code + counts(len) - 1
-        code += counts(len)
-        k += counts(len)
-      }
-      if (code > (1 << len)) return null // over-subscribed
-      code <<= 1
+      code = (code + counts(len - 1)) << 1
+      nextCode(len) = code
+      if (code + counts(len) > (1 << len)) return null // over-subscribed
       len += 1
     }
-    var ptr = 0
-    val fill = new Array[Int](MaxLen + 1)
+    var kraft = 0L
+    len = 1
+    while (len <= MaxLen) {
+      kraft += counts(len).toLong << (MaxLen - len)
+      len += 1
+    }
+    if (kraft != (1L << MaxLen)) return null // under-subscribed
+    // sub-table sizing: per 8-bit reversed prefix, the longest code
+    val subBits = new Array[Int](1 << RootBits)
+    val codesOf = new Array[Int](lengths.length)
     var sym = 0
     while (sym < lengths.length) {
       val l = lengths(sym)
-      if (l > 0) { vals(valPtr(l) + fill(l)) = sym; fill(l) += 1; ptr += 1 }
+      if (l > 0) {
+        val c = nextCode(l)
+        nextCode(l) += 1
+        codesOf(sym) = c
+        if (l > RootBits) {
+          val rev = java.lang.Integer.reverse(c) >>> (32 - l)
+          val pre = rev & ((1 << RootBits) - 1)
+          if (l - RootBits > subBits(pre)) subBits(pre) = l - RootBits
+        }
+      }
       sym += 1
     }
-    new Huff(minCode, maxCode, valPtr, vals, -1)
+    val root = new Array[Int](1 << RootBits)
+    val subIdx = new Array[Int](1 << RootBits)
+    val subsB = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    var p = 0
+    while (p < (1 << RootBits)) {
+      if (subBits(p) > 0) {
+        subIdx(p) = subsB.length
+        root(p) = SubMark | (subBits(p) << 20) | subsB.length
+        subsB += new Array[Int](1 << subBits(p))
+      }
+      p += 1
+    }
+    sym = 0
+    while (sym < lengths.length) {
+      val l = lengths(sym)
+      if (l > 0) {
+        val rev = java.lang.Integer.reverse(codesOf(sym)) >>> (32 - l)
+        val entry = (l << 12) | sym
+        if (l <= RootBits) {
+          var f = rev
+          while (f < (1 << RootBits)) { root(f) = entry; f += 1 << l }
+        } else {
+          val pre = rev & ((1 << RootBits) - 1)
+          val rest = rev >>> RootBits
+          val sb = subBits(pre)
+          val tab = subsB(subIdx(pre))
+          var f = rest
+          while (f < (1 << sb)) { tab(f) = entry; f += 1 << (l - RootBits) }
+        }
+      }
+      sym += 1
+    }
+    new Huff(root, subsB.toArray, -1)
   }
 
   private def decodeSym(br: BitReader, t: Huff): Int = {
     if (t.single >= 0) return t.single
-    var code = 0
-    var len = 0
-    while (len < MaxLen) {
-      val bit = br.bits(1)
-      if (!br.ok) return -1
-      code = (code << 1) | bit
-      len += 1
-      if (t.maxCode(len) >= 0 && code <= t.maxCode(len))
-        return t.vals(t.valPtr(len) + code - t.minCode(len))
+    val peek = br.peek15()
+    var e = t.root(peek & ((1 << RootBits) - 1))
+    if ((e & SubMark) != 0) {
+      val sb = (e >> 20) & 0xFF
+      e = t.subs(e & 0xFFFFF)((peek >> RootBits) & ((1 << sb) - 1))
     }
-    -1
+    if (e == 0) { br.ok = false; return -1 } // unreachable for complete codes
+    br.skip(e >>> 12)
+    if (!br.ok) return -1
+    e & 0xFFF
   }
 
   /** Order in which code-length-code lengths are stored (spec §6.2.2). */
@@ -210,7 +281,8 @@ object WebpCodec {
   }
 
   /** The 120-entry distance neighbor map (spec §5.2.2): (dx, dy) pairs
-    * for codes 1..120; code > 120 → linear distance − 120.
+    * for codes 1..120; code > 120 → linear distance − 120. Exactly the
+    * spec's published list — 120 entries, nothing trimmed at use sites.
     */
   private val DistMap: Array[(Int, Int)] = Array(
     (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
@@ -227,17 +299,338 @@ object WebpCodec {
     (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
     (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
     (-6, 6), (2, 8), (-2, 8), (8, 3), (-8, 3), (5, 7), (-5, 7), (7, 5),
-    (-7, 5), (8, 4), (3, 8), (-3, 8), (8, 5), (-8, 5), (6, 7), (-6, 7),
-    (0, 8), (-8, 4), (-8, 2), (-8, 1), (7, 6), (-7, 6), (8, 6), (-8, 6),
-    (5, 8), (-5, 8), (8, 7), (-8, 7), (6, 8), (-6, 8), (8, 8), (-8, 8),
-    (7, 8), (-7, 8), (0, 0)).take(120)
+    (-7, 5), (8, 4), (3, 8), (-3, 8), (8, 5), (-8, 5), (6, 7), (-6, 7))
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
   private def leU32(b: Array[Byte], i: Int): Long =
     u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
       (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
 
-  /** Decode a RIFF/WEBP/VP8L payload to the normalized raster row. */
+  // ------------------------------------------------ inverse transforms
+
+  private val TransformPredictor = 0
+  private val TransformColor = 1
+  private val TransformSubtractGreen = 2
+
+  /** One transform read from the stream: `bits`/`tw`/`data` are the
+    * sub-image block size and decoded sub-image (predictor modes or
+    * color-transform elements); subtract-green carries none.
+    */
+  private final class Transform(val kind: Int, val bits: Int,
+      val tw: Int, val data: Array[Int])
+
+  /** Per-channel mod-256 pixel add (predictor residual + prediction). */
+  private def addPixels(a: Int, b: Int): Int = {
+    val lo = ((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF
+    val hi = ((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00
+    lo | hi
+  }
+
+  /** Per-channel floor average without overflow. */
+  private def avg2(a: Int, b: Int): Int =
+    (((a ^ b) & 0xFEFEFEFE) >>> 1) + (a & b)
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def clampAddSubtractFull(l: Int, t: Int, tl: Int): Int = {
+    var out = 0
+    var sh = 0
+    while (sh < 32) {
+      val c = clamp255(((l >>> sh) & 0xFF) + ((t >>> sh) & 0xFF) -
+        ((tl >>> sh) & 0xFF))
+      out |= c << sh
+      sh += 8
+    }
+    out
+  }
+
+  private def clampAddSubtractHalf(ave: Int, tl: Int): Int = {
+    var out = 0
+    var sh = 0
+    while (sh < 32) {
+      val a = (ave >>> sh) & 0xFF
+      val b = (tl >>> sh) & 0xFF
+      val c = clamp255(a + (a - b) / 2)
+      out |= c << sh
+      sh += 8
+    }
+    out
+  }
+
+  /** Spec Select: the gradient estimate p = L + T − TL per channel;
+    * return L when its Manhattan distance to p is smaller, else T.
+    */
+  private def select(l: Int, t: Int, tl: Int): Int = {
+    var pL = 0
+    var pT = 0
+    var sh = 0
+    while (sh < 32) {
+      val lc = (l >>> sh) & 0xFF
+      val tc = (t >>> sh) & 0xFF
+      val tlc = (tl >>> sh) & 0xFF
+      val p = lc + tc - tlc
+      pL += math.abs(p - lc)
+      pT += math.abs(p - tc)
+      sh += 8
+    }
+    if (pL < pT) l else t
+  }
+
+  /** The 14 predictor modes (spec "Predictor Transform"). `tr` is
+    * `argb(i − w + 1)`, which for the rightmost column lands on the
+    * current row's FIRST pixel — exactly the spec/libwebp top-right
+    * wrap rule, with no column branch needed. Shared with the fixture
+    * encoder's forward pass (WebpSynth) — the spec semantics themselves
+    * are pinned independently by the hand-built per-mode goldens in
+    * ScaleOpsSpec, so the sharing cannot mask a misread of the spec.
+    */
+  private[graftnative] def predict(mode: Int, l: Int, t: Int, tr: Int, tl: Int): Int =
+    mode match {
+      case 0 => 0xFF000000
+      case 1 => l
+      case 2 => t
+      case 3 => tr
+      case 4 => tl
+      case 5 => avg2(avg2(l, tr), t)
+      case 6 => avg2(l, tl)
+      case 7 => avg2(l, t)
+      case 8 => avg2(tl, t)
+      case 9 => avg2(t, tr)
+      case 10 => avg2(avg2(l, tl), avg2(t, tr))
+      case 11 => select(l, t, tl)
+      case 12 => clampAddSubtractFull(l, t, tl)
+      case 13 => clampAddSubtractHalf(avg2(l, t), tl)
+      case _ => 0 // mode > 13: caller rejects
+    }
+
+  /** In-place inverse predictor transform over the ARGB frame. Returns
+    * false on an out-of-range mode.
+    */
+  private def inversePredictor(argb: Array[Int], w: Int, h: Int,
+      tr: Transform): Boolean = {
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pred =
+          if (x == 0 && y == 0) 0xFF000000
+          else if (y == 0) argb(i - 1) // top row: forced L
+          else if (x == 0) argb(i - w) // left column: forced T
+          else {
+            val mode = (tr.data((y >> tr.bits) * tr.tw + (x >> tr.bits))
+              >> 8) & 0xFF
+            if (mode > 13) return false
+            predict(mode, argb(i - 1), argb(i - w), argb(i - w + 1),
+              argb(i - w - 1))
+          }
+        argb(i) = addPixels(argb(i), pred)
+        x += 1
+        i += 1
+      }
+      y += 1
+    }
+    true
+  }
+
+  /** Signed-byte product >> 5 — the spec's ColorTransformDelta. */
+  private def ctDelta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+
+  /** In-place inverse cross-color transform: red recovers from green,
+    * blue from green and the RECOVERED red (spec order).
+    */
+  private def inverseColor(argb: Array[Int], w: Int, h: Int,
+      tr: Transform): Unit = {
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cte = tr.data((y >> tr.bits) * tr.tw + (x >> tr.bits))
+        val g2r = cte & 0xFF
+        val g2b = (cte >> 8) & 0xFF
+        val r2b = (cte >> 16) & 0xFF
+        val px = argb(i)
+        val green = (px >> 8) & 0xFF
+        var red = (px >> 16) & 0xFF
+        var blue = px & 0xFF
+        red = (red + ctDelta(g2r, green)) & 0xFF
+        blue = (blue + ctDelta(g2b, green) + ctDelta(r2b, red)) & 0xFF
+        argb(i) = (px & 0xFF00FF00) | (red << 16) | blue
+        x += 1
+        i += 1
+      }
+      y += 1
+    }
+  }
+
+  /** In-place inverse subtract-green. */
+  private def inverseSubtractGreen(argb: Array[Int]): Unit = {
+    var i = 0
+    while (i < argb.length) {
+      val px = argb(i)
+      val g = (px >> 8) & 0xFF
+      val r = ((px >> 16) + g) & 0xFF
+      val bl = (px + g) & 0xFF
+      argb(i) = (px & 0xFF00FF00) | (r << 16) | bl
+      i += 1
+    }
+  }
+
+  private def divRoundUp(a: Int, shift: Int): Int = (a + (1 << shift) - 1) >> shift
+
+  /** Decode one entropy-coded image (spec DecodeImageStream). At level 0
+    * the transform list is read first (predictor / cross-color /
+    * subtract-green; color-indexing rejects) and the meta-Huffman
+    * (entropy image) path is honored — each pixel's five Huffman codes
+    * come from the group its block maps to. Sub-images (the predictor /
+    * color / entropy images) recurse with `level0 = false`: no
+    * transforms, no meta codes, but their own optional color cache and
+    * full LZ77 machinery, per spec. Returns null on any spec violation.
+    */
+  private def decodeImage(br: BitReader, w0: Int, h0: Int, level0: Boolean,
+      transformsOut: scala.collection.mutable.ArrayBuffer[Transform])
+      : Array[Int] = {
+    val w = w0
+    val h = h0
+    if (level0) {
+      var more = br.bits(1)
+      var seen = 0
+      while (more == 1) {
+        if (!br.ok) return null
+        val kind = br.bits(2)
+        if ((seen & (1 << kind)) != 0) return null // each at most once
+        seen |= 1 << kind
+        kind match {
+          case TransformSubtractGreen =>
+            transformsOut += new Transform(TransformSubtractGreen, 0, 0, null)
+          case TransformPredictor | TransformColor =>
+            val bits = br.bits(3) + 2
+            if (!br.ok) return null
+            val tw = divRoundUp(w, bits)
+            val th = divRoundUp(h, bits)
+            val sub = decodeImage(br, tw, th, level0 = false, transformsOut)
+            if (sub == null) return null
+            transformsOut += new Transform(kind, bits, tw, sub)
+          case _ => return null // color-indexing: out of scope
+        }
+        more = br.bits(1)
+      }
+      if (!br.ok) return null
+    }
+    // color cache
+    var cacheBits = 0
+    if (br.bits(1) == 1) {
+      cacheBits = br.bits(4)
+      if (!br.ok || cacheBits < 1 || cacheBits > 11) return null
+    }
+    if (!br.ok) return null
+    // meta-Huffman (entropy image): level 0 only
+    var metaImg: Array[Int] = null
+    var metaBits = 0
+    var metaW = 0
+    var numGroups = 1
+    if (level0 && br.bits(1) == 1) {
+      if (!br.ok) return null
+      metaBits = br.bits(3) + 2
+      if (!br.ok) return null
+      metaW = divRoundUp(w, metaBits)
+      val metaH = divRoundUp(h, metaBits)
+      metaImg = decodeImage(br, metaW, metaH, level0 = false, transformsOut)
+      if (metaImg == null) return null
+      var mx = 0
+      var j = 0
+      while (j < metaImg.length) {
+        val idx = (metaImg(j) >> 8) & 0xFFFF
+        if (idx > mx) mx = idx
+        j += 1
+      }
+      numGroups = mx + 1
+      if (numGroups > 65536) return null
+    }
+    if (!br.ok) return null
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val greenAlpha = 256 + 24 + cacheSize
+    val groups = new Array[Array[Huff]](numGroups)
+    var gi = 0
+    while (gi < numGroups) {
+      val g = new Array[Huff](5)
+      g(0) = readCode(br, greenAlpha)
+      g(1) = readCode(br, 256)
+      g(2) = readCode(br, 256)
+      g(3) = readCode(br, 256)
+      g(4) = readCode(br, 40)
+      if (g(0) == null || g(1) == null || g(2) == null || g(3) == null ||
+          g(4) == null) return null
+      groups(gi) = g
+      gi += 1
+    }
+    val n = w * h
+    val argb = new Array[Int](n)
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    var pos = 0
+    var curGroup = groups(0)
+    var lastMetaCell = -1
+    while (pos < n) {
+      if (metaImg != null) {
+        val x = pos % w
+        val y = pos / w
+        val cell = (y >> metaBits) * metaW + (x >> metaBits)
+        if (cell != lastMetaCell) {
+          lastMetaCell = cell
+          val idx = (metaImg(cell) >> 8) & 0xFFFF
+          curGroup = groups(idx)
+        }
+      }
+      val g = decodeSym(br, curGroup(0))
+      if (g < 0) return null
+      if (g < 256) {
+        val r = decodeSym(br, curGroup(1))
+        val bl = decodeSym(br, curGroup(2))
+        val a = decodeSym(br, curGroup(3))
+        if (r < 0 || bl < 0 || a < 0) return null
+        val px = (a << 24) | (r << 16) | (g << 8) | bl
+        argb(pos) = px
+        if (cache != null)
+          cache((0x1E35A7BD * px) >>> (32 - cacheBits)) = px
+        pos += 1
+      } else if (g < 256 + 24) {
+        val length = prefixValue(br, g - 256)
+        val dcode = decodeSym(br, curGroup(4))
+        if (dcode < 0 || !br.ok) return null
+        val dRaw = prefixValue(br, dcode)
+        if (!br.ok) return null
+        val distance = if (dRaw > 120) dRaw - 120
+        else {
+          val (dx, dy) = DistMap(dRaw - 1)
+          val d = dy * w + dx
+          if (d < 1) 1 else d
+        }
+        if (distance > pos || pos + length > n) return null
+        var k = 0
+        while (k < length) {
+          val px = argb(pos - distance)
+          argb(pos) = px
+          if (cache != null)
+            cache((0x1E35A7BD * px) >>> (32 - cacheBits)) = px
+          pos += 1
+          k += 1
+        }
+      } else {
+        val idx = g - 256 - 24
+        if (cache == null || idx >= cacheSize) return null
+        argb(pos) = cache(idx)
+        pos += 1
+      }
+    }
+    argb
+  }
+
+  /** Decode a RIFF/WEBP/VP8L payload to the normalized raster row.
+    * Round-11 scope: the predictor and cross-color transforms and the
+    * meta-Huffman (entropy image) path are REAL — only the
+    * color-indexing (palette) transform still rejects to 'unknown'.
+    */
   def decode(b: Array[Byte]): InternalRow = {
     val unknown = ImageDecode.unknownRow
     // RIFF walk to the VP8L chunk
@@ -268,92 +661,31 @@ object WebpCodec {
     br.bits(1) // alpha hint
     if (br.bits(3) != 0 || !br.ok) return unknown // version must be 0
     if (3L * w * h > MaxPixelBytes) return unknown
-    // transforms: subtract-green supported; others reject
-    var subtractGreen = false
-    var more = br.bits(1)
-    while (more == 1) {
-      if (!br.ok) return unknown
-      br.bits(2) match {
-        case 2 => subtractGreen = true
-        case _ => return unknown // predictor/color/indexing: out of scope
+    val transforms = scala.collection.mutable.ArrayBuffer.empty[Transform]
+    val argb = decodeImage(br, w, h, level0 = true, transforms)
+    if (argb == null) return unknown
+    // inverse transforms in REVERSE read order (spec)
+    var ti = transforms.length - 1
+    while (ti >= 0) {
+      val tr = transforms(ti)
+      tr.kind match {
+        case TransformPredictor =>
+          if (!inversePredictor(argb, w, h, tr)) return unknown
+        case TransformColor => inverseColor(argb, w, h, tr)
+        case TransformSubtractGreen => inverseSubtractGreen(argb)
+        case _ => return unknown
       }
-      more = br.bits(1)
+      ti -= 1
     }
-    if (!br.ok) return unknown
-    // color cache
-    var cacheBits = 0
-    if (br.bits(1) == 1) {
-      cacheBits = br.bits(4)
-      if (!br.ok || cacheBits < 1 || cacheBits > 11) return unknown
-    }
-    // meta-Huffman (entropy image): out of scope
-    if (br.bits(1) == 1 || !br.ok) return unknown
-    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
-    val green = readCode(br, 256 + 24 + cacheSize)
-    val red = readCode(br, 256)
-    val blue = readCode(br, 256)
-    val alpha = readCode(br, 256)
-    val dist = readCode(br, 40)
-    if (green == null || red == null || blue == null || alpha == null ||
-        dist == null) return unknown
+    // drop alpha, emit RGB
     val n = w * h
-    val argb = new Array[Int](n)
-    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
-    def cacheInsert(px: Int): Unit =
-      if (cache != null)
-        cache(((0x1E35A7BD * px) >>> (32 - cacheBits))) = px
-    var pos = 0
-    while (pos < n) {
-      val g = decodeSym(br, green)
-      if (g < 0) return unknown
-      if (g < 256) {
-        val r = decodeSym(br, red)
-        val bl = decodeSym(br, blue)
-        val a = decodeSym(br, alpha)
-        if (r < 0 || bl < 0 || a < 0) return unknown
-        val px = (a << 24) | (r << 16) | (g << 8) | bl
-        argb(pos) = px
-        cacheInsert(px)
-        pos += 1
-      } else if (g < 256 + 24) {
-        val length = prefixValue(br, g - 256)
-        val dcode = decodeSym(br, dist)
-        if (dcode < 0 || !br.ok) return unknown
-        val dRaw = prefixValue(br, dcode)
-        if (!br.ok) return unknown
-        val distance = if (dRaw > 120) dRaw - 120
-        else {
-          val (dx, dy) = DistMap(dRaw - 1)
-          val d = dy * w + dx
-          if (d < 1) 1 else d
-        }
-        if (distance > pos || pos + length > n) return unknown
-        var k = 0
-        while (k < length) {
-          argb(pos) = argb(pos - distance)
-          cacheInsert(argb(pos))
-          pos += 1
-          k += 1
-        }
-      } else {
-        val idx = g - 256 - 24
-        if (cache == null || idx >= cacheSize) return unknown
-        argb(pos) = cache(idx)
-        pos += 1
-      }
-    }
-    // inverse subtract-green, drop alpha, emit RGB
     val out = new Array[Byte](3 * n)
     var p = 0
     while (p < n) {
       val px = argb(p)
-      val g = (px >> 8) & 0xFF
-      var r = (px >> 16) & 0xFF
-      var bl = px & 0xFF
-      if (subtractGreen) { r = (r + g) & 0xFF; bl = (bl + g) & 0xFF }
-      out(3 * p) = r.toByte
-      out(3 * p + 1) = g.toByte
-      out(3 * p + 2) = bl.toByte
+      out(3 * p) = ((px >> 16) & 0xFF).toByte
+      out(3 * p + 1) = ((px >> 8) & 0xFF).toByte
+      out(3 * p + 2) = (px & 0xFF).toByte
       p += 1
     }
     ImageDecode.rasterRow(ImageDecode.FmtWebp, w, h, 3, out)
@@ -429,32 +761,65 @@ object WebpSynth {
     */
   private def huffmanLengths(freq: Array[Long], maxLen: Int = 15): Array[Int] = {
     val n = freq.length
-    val active = (0 until n).filter(freq(_) > 0)
+    val active = (0 until n).filter(freq(_) > 0).toArray
     val lengths = new Array[Int](n)
     if (active.isEmpty) return lengths
-    if (active.size == 1) { lengths(active.head) = 1; return lengths }
+    if (active.length == 1) { lengths(active(0)) = 1; return lengths }
+    // two-queue Huffman build (round 11; replaces a boxed PriorityQueue
+    // that dominated the encode+decode stress loop): leaves sorted by
+    // (weight, symbol) ascending; merged internal weights are
+    // non-decreasing so a FIFO queue holds them already ordered. Tie
+    // rule mirrors the former PQ's (weight, node-id) order exactly —
+    // leaf ids < n < internal ids, so a leaf wins weight ties and
+    // internals tie in creation order — the produced trees (and the
+    // fixture bytes, which webp_pixels hashes) are bit-identical.
+    val m = active.length
     var floor = 1L
     var done = false
     while (!done) {
       java.util.Arrays.fill(lengths, 0)
-      // (weight, node-id); internal nodes get ids >= n
-      case class Node(w: Long, id: Int)
-      val ord = Ordering.by[Node, (Long, Int)](x => (x.w, x.id))
-      val pq = scala.collection.mutable.PriorityQueue.empty[Node](ord.reverse)
+      val leafIds = new Array[Int](m)
+      val leafW = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        leafIds(i) = active(i)
+        leafW(i) = math.max(freq(active(i)), floor)
+        i += 1
+      }
+      // insertion-stable sort by (w, id); active is already id-ascending
+      val perm = (0 until m).sortBy(j => (leafW(j), leafIds(j))).toArray
+      val sw = perm.map(leafW)
+      val sid = perm.map(leafIds)
       val left = new Array[Int](2 * n)
       val right = new Array[Int](2 * n)
-      active.foreach(s => pq.enqueue(Node(math.max(freq(s), floor), s)))
-      var next = n
-      while (pq.size > 1) {
-        val a = pq.dequeue(); val b = pq.dequeue()
-        left(next) = a.id; right(next) = b.id
-        pq.enqueue(Node(a.w + b.w, next))
-        next += 1
+      val intW = new Array[Long](m) // internal-node weights, FIFO
+      var li = 0 // next leaf
+      var ir = 0 // internal read
+      var iw = 0 // internal write
+      def takeMin(): (Long, Int) = {
+        val leafOk = li < m
+        val intOk = ir < iw
+        // leaf wins weight ties: its id (< n) sorted before internal ids
+        if (leafOk && (!intOk || sw(li) <= intW(ir))) {
+          val r = (sw(li), sid(li)); li += 1; r
+        } else {
+          val r = (intW(ir), n + ir); ir += 1; r
+        }
+      }
+      var merges = 0
+      while (merges < m - 1) {
+        val (wa, ia) = takeMin()
+        val (wb, ib) = takeMin()
+        left(n + iw) = ia
+        right(n + iw) = ib
+        intW(iw) = wa + wb
+        iw += 1
+        merges += 1
       }
       def walk(id: Int, depth: Int): Unit =
         if (id < n) lengths(id) = math.max(depth, 1)
         else { walk(left(id), depth + 1); walk(right(id), depth + 1) }
-      walk(pq.dequeue().id, 0)
+      walk(n + iw - 1, 0)
       if (lengths.max <= maxLen) done = true
       else floor = floor * 4 // compress the dynamic range, retry
     }

@@ -397,7 +397,7 @@ class ScaleOpsSpec extends SparkSpec {
     // truncated after the fourCC → (webp, NULL, NULL); a RIFF that is
     // not WEBP (a WAV) is not an image at all
     assert(parse(vp8.take(20)) == (("webp", null, null)))
-    assert(parse(("RIFF" + "    " + "WAVE").getBytes("ISO-8859-1"))
+    assert(parse(("RIFF" + "\u0000\u0000\u0000\u0000" + "WAVE").getBytes("ISO-8859-1"))
       == (("unknown", null, null)))
   }
 
@@ -2279,6 +2279,88 @@ class ScaleOpsSpec extends SparkSpec {
       ScaleOps.labelPropagation(neg, 1).collect()
     }
     assert(ex.getMessage.contains("nonnegative"))
+  }
+
+  test("labelPropagationConverged: runDir parquet path matches localCheckpoint and persists the joined frames") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L, 14L)) ++ Seq((4L, 10L)))
+      .toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lpa_run_").toFile
+    try {
+      val (durable, kD) = ScaleOps.labelPropagationConverged(edges,
+        runDir = Some(dir.getPath))
+      val (local, kL) = ScaleOps.labelPropagationConverged(edges)
+      assert(kD == kL, "round count must be path-independent")
+      assert(durable.as[(Long, Long)].collect().toMap ==
+        local.as[(Long, Long)].collect().toMap,
+        "converged labels must be path-independent")
+      // the adjacency every round joins AND the label rounds must live in
+      // parquet — executor-local blocks would die with an executor
+      val names = dir.listFiles().map(_.getName)
+      assert(names.contains("lpa_adj"),
+        s"adjacency must persist, got ${names.toSeq}")
+      assert(names.exists(_.startsWith("lpa_labels_")),
+        s"per-round label frames must persist, got ${names.toSeq}")
+      // two-rounds-back frames are swept, not hoarded: at most the two
+      // live rounds (the probe reads the previous one) plus labels_0
+      assert(names.count(_.startsWith("lpa_labels_")) <= 3,
+        s"stale label rounds must be deleted, got ${names.toSeq}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
+  test("ssspConverged: empty-frontier stop, bounded-form agreement, runDir matches localCheckpoint") {
+    // weighted chain with a shortcut: convergence needs several rounds,
+    // and the shortcut makes a later round IMPROVE an already-set node
+    // (the frontier-reentry invariant, not just first-touch BFS order)
+    val edges = Seq(
+      (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 5L, 1L), (0L, 5L, 10L), (5L, 6L, 1L))
+      .toDF("src", "dst", "weight")
+    val seeds = Seq(0L).toDF("node")
+    val (conv, rounds) = ScaleOps.ssspConverged(edges, seeds)
+    val convMap = conv.as[(Long, Long)].collect().toMap
+    info(s"converged in $rounds rounds")
+    assert(rounds >= 2 && rounds < 64)
+    assert(convMap == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L,
+      4L -> 4L, 5L -> 5L, 6L -> 6L))
+    // converged == bounded for any bound >= the convergence point (each
+    // round is a pure function of the previous distances)
+    Seq(rounds, rounds + 2).foreach { k =>
+      val bounded = ScaleOps.ssspWeighted(edges, seeds, k)
+        .as[(Long, Long)].collect().toMap
+      assert(bounded == convMap, s"bounded k=$k diverged from converged")
+    }
+    // durable mode: identical distances + the frames the rounds depend on
+    // live in parquet (adjacency joined every round, per-round merged)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sssp_run_").toFile
+    try {
+      val (durable, kD) = ScaleOps.ssspConverged(edges, seeds,
+        runDir = Some(dir.getPath))
+      assert(kD == rounds, "round count must be path-independent")
+      assert(durable.as[(Long, Long)].collect().toMap == convMap,
+        "distances must be path-independent")
+      val names = dir.listFiles().map(_.getName)
+      assert(names.contains("sssp_adj"),
+        s"adjacency must persist, got ${names.toSeq}")
+      assert(names.count(_.startsWith("sssp_merged_")) == 1,
+        s"exactly the live merged round must remain, got ${names.toSeq}")
+      // bounded entry point threads the same escape hatch
+      val viaBounded = ScaleOps.ssspWeighted(edges, seeds, rounds,
+        runDir = Some(dir.getPath)).as[(Long, Long)].collect().toMap
+      assert(viaBounded == convMap)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
   }
 
   test("pagerank_prod: xxhash64-family ranks bit-equal the md5 family on the fixture corpus") {

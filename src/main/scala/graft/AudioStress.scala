@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.ScaleOps
+
+/** Throughput probe for the compressed-audio decode path — the FLAC lane
+  * the raster codecs already have (STRESS_RASTER): synthesize-and-decode
+  * `SPARK_GRAFT_AUDIO_DOCS` streams of `SPARK_GRAFT_AUDIO_FRAMES` frames
+  * each for WAV-PCM (the uncompressed baseline) and FLAC (Rice-coded
+  * FIXED residuals, CRC-8/16 gated), and report wall seconds, docs/s,
+  * and decoded-PCM MB/s. The timed pipeline is synthesize → decode →
+  * per-channel stats (one codegen'd per-row stage, zero shuffle until
+  * the final scalar aggregate), so the number prices the whole
+  * encode+decode round trip, exactly like RasterStress. Alternating
+  * mono/stereo and 8/16-bit rows keep all four sample layouts in the
+  * loop. Fresh-JVM quiet-box methodology as the other stress mains.
+  */
+object AudioStress {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_AUDIO_DOCS", "50000").toLong
+    val frames = sys.env.getOrElse("SPARK_GRAFT_AUDIO_FRAMES", "4096").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ids = spark.range(0, nDocs).select(col("id"))
+    def stats(payload: org.apache.spark.sql.Column) =
+      ScaleOps.pcmChannelStats(ScaleOps.pcmDecode(payload)).as("s")
+    // warm-up: codegen + classloading outside the timed runs
+    ids.limit(500).select(stats(ScaleOps.synthFlac(lit(1L), lit(8000L),
+        lit(256L), col("id"), 8)))
+      .agg(sum(element_at(col("s.sums"), 1))).head()
+    // decoded-PCM volume: channels alternate 1/2, widths 8/16 → average
+    // 1.5 channels × 1.5 bytes = 2.25 bytes per frame
+    val pcmMb = nDocs * frames * 2.25 / 1e6
+    val fields = collection.mutable.ArrayBuffer(
+      s""""docs":$nDocs""", s""""frames":$frames""", s""""cpus":$cpus""",
+      f""""pcm_mb":$pcmMb%.1f""")
+    Seq(
+      "wav" -> ((s: org.apache.spark.sql.Column) =>
+        when(col("id") % 2 === 0,
+          ScaleOps.synthWavPcm(lit(1L) + col("id") % 2, lit(8000L), 8,
+            lit(frames), s))
+          .otherwise(ScaleOps.synthWavPcm(lit(1L) + col("id") % 2,
+            lit(8000L), 16, lit(frames), s))),
+      "flac" -> ((s: org.apache.spark.sql.Column) =>
+        when(col("id") % 2 === 0,
+          ScaleOps.synthFlac(lit(1L) + col("id") % 2, lit(8000L),
+            lit(frames), s, 8))
+          .otherwise(ScaleOps.synthFlac(lit(1L) + col("id") % 2,
+            lit(8000L), lit(frames), s, 16)))
+    ).foreach { case (fmt, synth) =>
+      val t0 = System.nanoTime()
+      val r = ids.select(stats(synth(col("id"))))
+        .agg(sum(element_at(col("s.sums"), 1)).as("c0"),
+          // count the NON-NULL stats: a decode regression ('unknown' →
+          // null stats) must not silently inflate docs/s
+          count(col("s")).as("n"))
+        .head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(r.getLong(1) == nDocs && !r.isNullAt(0),
+        s"$fmt: decoded ${r.getLong(1)} of $nDocs (every row must decode)")
+      fields += f""""${fmt}_sec":$sec%.2f"""
+      fields += f""""${fmt}_docs_per_s":${nDocs / sec}%.0f"""
+      fields += f""""${fmt}_pcm_mb_per_s":${pcmMb / sec}%.1f"""
+    }
+    println(fields.mkString("""{"metric":"audio_stress",""", ",", "}"))
+    spark.stop()
+  }
+}

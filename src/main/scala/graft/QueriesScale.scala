@@ -1400,6 +1400,55 @@ object QueriesScale {
   // scaladoc; LZ77 backrefs and the color cache are pinned by
   // hand-built goldens in ScaleOpsSpec. Same decode→resize→sums shape
   // as the other raster keys; per-row, zero shuffle.
+  // predictor-transform + meta-Huffman VP8L: the SAME generative pixels
+  // as webp_pixels, but the stream routes through the decoder's
+  // transform machinery — 4×4-block predictor with modes cycling
+  // (seed + blockIdx) mod 14 (all 14 spec modes across the corpus,
+  // including the rightmost-column top-right wrap), residuals really
+  // Huffman-coded, and for any image spanning ≥2 blocks a meta-Huffman
+  // entropy image routing alternate blocks to two distinct code groups.
+  // A hash match proves the inverse predictor and the per-block group
+  // selection are exact — the oracle replays only the generative
+  // formula and would catch any reconstruction drift. Per-mode spec
+  // semantics are additionally pinned by hand goldens in ScaleOpsSpec.
+  private val webpPredPixelsQ = Q(
+    (s, dir) => {
+      val w = lit(3L) + col("doc_id") % 11
+      val h = lit(3L) + col("doc_id") % 9
+      val raster = ScaleOps.imageDecode(
+        ScaleOps.synthWebpLPred(w, h, col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raster.as("r"))
+        .select(col("doc_id"),
+          col("r.format").as("format"),
+          col("r.width").cast(LongType).as("width"),
+          col("r.height").cast(LongType).as("height"),
+          ScaleOps.rasterChannelSums(
+            ScaleOps.imageResizeNN(col("r"), 4, 4)).as("s"))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("s").getItem(0).as("r_sum"),
+          col("s").getItem(1).as("g_sum"),
+          col("s").getItem(2).as("b_sum"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 11 AS w, 3 + doc_id % 9 AS h
+        |           FROM documents),
+        | g AS (SELECT d.doc_id, d.w, d.h, gx.range AS x, gy.range AS y
+        |        FROM d CROSS JOIN range(0, 4) gx CROSS JOIN range(0, 4) gy),
+        | px AS (SELECT doc_id, w, h,
+        |         ((y * h // 4) * w + (x * w // 4)) * 3 AS base FROM g),
+        | s AS (SELECT doc_id, w, h,
+        |        SUM((doc_id * 31 + (base + 0) * 7) % 256) AS r_sum,
+        |        SUM((doc_id * 31 + (base + 1) * 7) % 256) AS g_sum,
+        |        SUM((doc_id * 31 + (base + 2) * 7) % 256) AS b_sum
+        |       FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, 'webp' AS format,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+        | CAST(b_sum AS BIGINT) AS b_sum
+        |FROM s ORDER BY doc_id""".stripMargin))
+
   private val webpPixelsQ = Q(
     (s, dir) => {
       val w = lit(3L) + col("doc_id") % 11
@@ -4224,6 +4273,7 @@ object QueriesScale {
     "gif_pixels" -> gifPixelsQ,
     "jpeg_pixels" -> jpegPixelsQ,
     "webp_pixels" -> webpPixelsQ,
+    "webp_pred_pixels" -> webpPredPixelsQ,
     "audio_pcm" -> audioPcmQ,
     "flac_pcm" -> flacPcmQ,
     "video_frames" -> videoFramesQ,

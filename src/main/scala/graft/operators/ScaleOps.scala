@@ -1418,6 +1418,14 @@ object ScaleOps {
   def synthWebpL(w: Column, h: Column, seed: Column): Column =
     org.apache.spark.sql.graftnative.WebpSynthFunctions.synth_webpl(w, h, seed)
 
+  /** Predictor-transform + meta-Huffman lossless WebP fixture from
+    * `(w, h, seed)` — same generative pixels as [[synthWebpL]], stream
+    * built through the predictor/entropy-image machinery
+    * (see [[org.apache.spark.sql.graftnative.SynthWebpLPred]]).
+    */
+  def synthWebpLPred(w: Column, h: Column, seed: Column): Column =
+    org.apache.spark.sql.graftnative.WebpSynthFunctions.synth_webpl_pred(w, h, seed)
+
   /** Complete valid baseline JFIF JPEG fixture from `(w, h, seed)` —
     * real Annex-K Huffman entropy coding, DC-diff + run-length AC
     * coding, byte stuffing; content chosen where the DCT round trip is

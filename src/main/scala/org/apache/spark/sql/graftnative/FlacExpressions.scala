@@ -532,13 +532,24 @@ object FlacSynth {
     }
   }
 
-  /** UTF-8-style coded frame number (the fixed-blocksize frame index). */
+  /** UTF-8-style coded frame number (the fixed-blocksize frame index).
+    * The 4-byte form matters at the envelope edge: flacBytes permits
+    * frames·channels up to 2^24, i.e. frame indexes up to 262143 at
+    * BlockSize 64 — past 0xFFFF the 3-byte lead would overflow into the
+    * 0xF0 range and emit a structurally invalid stream (round-11 advice
+    * item; the boundary is pinned in ScaleOpsSpec).
+    */
   private def writeUtf8(out: java.io.ByteArrayOutputStream, n: Long): Unit = {
     if (n < 0x80) out.write(n.toInt)
     else if (n < 0x800) {
       out.write(0xC0 | (n >> 6).toInt); out.write(0x80 | (n & 0x3F).toInt)
-    } else {
+    } else if (n < 0x10000) {
       out.write(0xE0 | (n >> 12).toInt)
+      out.write(0x80 | ((n >> 6) & 0x3F).toInt)
+      out.write(0x80 | (n & 0x3F).toInt)
+    } else {
+      out.write(0xF0 | (n >> 18).toInt)
+      out.write(0x80 | ((n >> 12) & 0x3F).toInt)
       out.write(0x80 | ((n >> 6) & 0x3F).toInt)
       out.write(0x80 | (n & 0x3F).toInt)
     }

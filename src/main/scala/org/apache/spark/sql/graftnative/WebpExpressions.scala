@@ -16,18 +16,20 @@ import org.apache.spark.sql.types._
   * 16/17/18 repeat codes and the max-symbol shortcut), LZ77
   * backreferences with the VP8L prefix length/distance coding and the
   * 120-entry 2D distance neighbor map, the color cache (the 0x1e35a7bd
-  * multiplicative hash, updated on every emitted pixel), and the
-  * subtract-green inverse transform.
+  * multiplicative hash, updated on every emitted pixel), the
+  * subtract-green, PREDICTOR (all 14 modes, including the
+  * rightmost-column top-right wrap) and CROSS-COLOR inverse transforms,
+  * and the meta-Huffman (entropy image) path routing pixels to per-block
+  * Huffman groups — since round 11 the decoder covers what real VP8L
+  * encoders emit by default.
   *
-  * Scope, stated honestly: the predictor, cross-color, and
-  * color-indexing transforms and the meta-Huffman (entropy image)
-  * path reject to `'unknown'` — this decodes the transform-light
-  * subset the fixture encoder (and any encoder that disables those
-  * transforms) emits, with every entropy-coding mechanism of the
-  * format real. Anything malformed — bad signature, over-subscribed
-  * Huffman code, backref before enough pixels, truncated stream —
-  * rejects to `'unknown'`; pixels are never guessed and untrusted
-  * bytes never fail the task.
+  * Scope, stated honestly: the color-indexing (palette) transform — the
+  * one remaining VP8L feature, which rescales the coded width via pixel
+  * packing — rejects to `'unknown'`. Anything malformed — bad
+  * signature, over- OR under-subscribed Huffman code (the Kraft
+  * completeness gate), backref before enough pixels, a predictor mode
+  * above 13, truncated stream — also rejects; pixels are never guessed
+  * and untrusted bytes never fail the task.
   */
 object WebpCodec {
 
@@ -986,11 +988,202 @@ object WebpSynth {
     if ((pl.length & 1) == 1) out.write(0) // RIFF even padding
     out.toByteArray
   }
+
+  /** Shorthand used by [[webpBytesPred]]: one literal-only sub-image
+    * (predictor modes / entropy image), really entropy-coded — green
+    * through a normal Huffman code built from its histogram, constant
+    * r/b/a/distance through single-symbol simple codes.
+    */
+  private def writeSubImage(bw: BitWriter, greens: Array[Int],
+      rConst: Int, bConst: Int, aConst: Int): Unit = {
+    bw.put(0, 1) // no color cache
+    val gFreq = new Array[Long](256 + 24)
+    greens.foreach(g => gFreq(g) += 1)
+    val gLen = huffmanLengths(gFreq)
+    val gCode = canonical(gLen)
+    val gSingle = gLen.count(_ > 0) == 1
+    writeNormalCode(bw, gLen)
+    def simpleOne(sym: Int): Unit = {
+      bw.put(1, 1); bw.put(0, 1); bw.put(1, 1); bw.put(sym, 8)
+    }
+    simpleOne(rConst); simpleOne(bConst); simpleOne(aConst); simpleOne(0)
+    if (!gSingle) greens.foreach(g => putCode(bw, gCode(g), gLen(g)))
+  }
+
+  /** PREDICTOR + META-HUFFMAN fixture encoder — the round-11 companion
+    * to [[webpBytes]] proving the decoder's transform machinery on real
+    * streams (per-mode spec semantics are pinned separately by
+    * hand-built goldens in ScaleOpsSpec). Pixels are the SAME generative
+    * formula, so the same oracle replays them; the stream differs
+    * structurally: a predictor transform with 4×4 blocks whose modes
+    * cycle `(seed + blockIdx) mod 14` (every mode appears across any
+    * corpus), residuals computed by the exact forward of the decoder's
+    * reconstruction, and — when the image spans ≥ 2 blocks — a
+    * meta-Huffman entropy image routing alternate blocks to TWO distinct
+    * Huffman group codes built from per-group residual histograms. The
+    * predictor-mode image and the entropy image are themselves real
+    * entropy-coded sub-images. Null on degenerate dims, as webpBytes.
+    */
+  def webpBytesPred(w: Long, h: Long, seed: Long): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
+        3L * w * h > MaxPixelBytes) return null
+    val wi = w.toInt; val hi = h.toInt
+    val n = wi * hi
+    val px = new Array[Int](n)
+    var p = 0
+    while (p < n) {
+      px(p) = 0xFF000000 | (pix(seed, 3L * p) << 16) |
+        (pix(seed, 3L * p + 1) << 8) | pix(seed, 3L * p + 2)
+      p += 1
+    }
+    val tw = (wi + 3) >> 2
+    val th = (hi + 3) >> 2
+    val nb = tw * th
+    val modes = Array.tabulate(nb)(bi =>
+      ((java.lang.Math.floorMod(seed, 14) + bi) % 14).toInt)
+    // forward residuals: res = px − pred per channel mod 256, preds over
+    // FINAL pixels — the exact forward of the decoder's inverse
+    val resG = new Array[Int](n)
+    val resR = new Array[Int](n)
+    val resB = new Array[Int](n)
+    p = 0
+    var y = 0
+    while (y < hi) {
+      var x = 0
+      while (x < wi) {
+        val pred =
+          if (x == 0 && y == 0) 0xFF000000
+          else if (y == 0) px(p - 1)
+          else if (x == 0) px(p - wi)
+          else WebpCodec.predict(modes((y >> 2) * tw + (x >> 2)),
+            px(p - 1), px(p - wi), px(p - wi + 1), px(p - wi - 1))
+        resR(p) = ((px(p) >> 16) - (pred >> 16)) & 0xFF
+        resG(p) = ((px(p) >> 8) - (pred >> 8)) & 0xFF
+        resB(p) = (px(p) - pred) & 0xFF
+        x += 1
+        p += 1
+      }
+      y += 1
+    }
+    val numGroups = if (nb >= 2) 2 else 1
+    def groupOf(pos: Int): Int =
+      if (numGroups == 1) 0
+      else (((pos / wi) >> 2) * tw + ((pos % wi) >> 2)) % 2
+    // per-group channel histograms → real Huffman codes
+    val gFreq = Array.fill(numGroups)(new Array[Long](256 + 24))
+    val rFreq = Array.fill(numGroups)(new Array[Long](256))
+    val bFreq = Array.fill(numGroups)(new Array[Long](256))
+    p = 0
+    while (p < n) {
+      val gi = groupOf(p)
+      gFreq(gi)(resG(p)) += 1
+      rFreq(gi)(resR(p)) += 1
+      bFreq(gi)(resB(p)) += 1
+      p += 1
+    }
+    val gLen = gFreq.map(huffmanLengths(_))
+    val rLen = rFreq.map(huffmanLengths(_))
+    val bLen = bFreq.map(huffmanLengths(_))
+    val gCode = gLen.map(canonical)
+    val rCode = rLen.map(canonical)
+    val bCode = bLen.map(canonical)
+    val gSingle = gLen.map(_.count(_ > 0) == 1)
+    val rSingle = rLen.map(_.count(_ > 0) == 1)
+    val bSingle = bLen.map(_.count(_ > 0) == 1)
+    val payload = new java.io.ByteArrayOutputStream()
+    payload.write(0x2F)
+    val bw = new BitWriter(payload)
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1) // alpha hint
+    bw.put(0, 3) // version
+    // predictor transform, 4×4 blocks, mode image really entropy-coded
+    bw.put(1, 1)
+    bw.put(0, 2) // type: predictor
+    bw.put(0, 3) // size_bits − 2 = 0 → 4-pixel blocks
+    writeSubImage(bw, modes, rConst = 0, bConst = 0, aConst = 255)
+    bw.put(0, 1) // end of transforms
+    bw.put(0, 1) // no color cache
+    if (numGroups == 2) {
+      bw.put(1, 1) // meta-Huffman present
+      bw.put(0, 3) // huffman_bits − 2 = 0 → the same 4-pixel grid
+      writeSubImage(bw, Array.tabulate(nb)(_ % 2),
+        rConst = 0, bConst = 0, aConst = 255)
+    } else bw.put(0, 1)
+    def simpleOne(sym: Int): Unit = {
+      bw.put(1, 1); bw.put(0, 1); bw.put(1, 1); bw.put(sym, 8)
+    }
+    var gi = 0
+    while (gi < numGroups) {
+      writeNormalCode(bw, gLen(gi))
+      writeNormalCode(bw, rLen(gi))
+      writeNormalCode(bw, bLen(gi))
+      simpleOne(0) // alpha residual is constant 0 (all preds carry a=255)
+      simpleOne(0) // distance (unused: literals only)
+      gi += 1
+    }
+    p = 0
+    while (p < n) {
+      val g = groupOf(p)
+      if (!gSingle(g)) putCode(bw, gCode(g)(resG(p)), gLen(g)(resG(p)))
+      if (!rSingle(g)) putCode(bw, rCode(g)(resR(p)), rLen(g)(resR(p)))
+      if (!bSingle(g)) putCode(bw, bCode(g)(resB(p)), bLen(g)(resB(p)))
+      p += 1
+    }
+    bw.flush()
+    val pl = payload.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 4)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    ascii("RIFF")
+    le32(4L + 8 + pl.length + (pl.length & 1))
+    ascii("WEBP")
+    ascii("VP8L")
+    le32(pl.length.toLong)
+    out.write(pl, 0, pl.length)
+    if ((pl.length & 1) == 1) out.write(0) // RIFF even padding
+    out.toByteArray
+  }
+}
+
+/** Fixture expression for [[WebpSynth.webpBytesPred]] — the predictor +
+  * meta-Huffman VP8L stream over the same generative pixels.
+  */
+case class SynthWebpLPred(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(w: Any, h: Any, seed: Any): Any =
+    WebpSynth.webpBytesPred(w.asInstanceOf[Long], h.asInstanceOf[Long],
+      seed.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, h, s) => s"""
+      ${ev.value} = org.apache.spark.sql.graftnative.WebpSynth.webpBytesPred($w, $h, $s);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 object WebpSynthFunctions {
   /** Column API: complete valid lossless WebP from `(w, h, seed)`. */
   def synth_webpl(w: Column, h: Column, seed: Column): Column =
     ExpressionUtils.column(SynthWebpL(ExpressionUtils.expression(w),
+      ExpressionUtils.expression(h), ExpressionUtils.expression(seed)))
+
+  /** Column API: predictor + meta-Huffman lossless WebP fixture. */
+  def synth_webpl_pred(w: Column, h: Column, seed: Column): Column =
+    ExpressionUtils.column(SynthWebpLPred(ExpressionUtils.expression(w),
       ExpressionUtils.expression(h), ExpressionUtils.expression(seed)))
 }

@@ -971,6 +971,289 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("WebpCodec: golden hand-packed VP8L transforms — all 14 predictor modes, cross-color, meta-Huffman, under-subscription") {
+    // LSB-first bit writer (duplicated from the LZ77 golden test — these
+    // goldens pin the spec semantics by hand, independent of the
+    // encoder/decoder pair, so they share nothing with WebpSynth)
+    class BW {
+      val out = collection.mutable.ArrayBuffer.empty[Int]
+      var acc = 0L; var n = 0
+      def put(v: Long, len: Int): Unit = {
+        acc |= (v & ((1L << len) - 1)) << n; n += len
+        while (n >= 8) { out += (acc & 0xFF).toInt; acc >>>= 8; n -= 8 }
+      }
+      def code(c: Int, len: Int): Unit =
+        (len - 1 to 0 by -1).foreach(k => put((c >> k) & 1, 1))
+      def flush(): Unit = if (n > 0) { out += (acc & 0xFF).toInt; n = 0 }
+    }
+    def riff(payload: Seq[Int]): Array[Byte] = {
+      def le32(v: Int) = Seq(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF,
+        (v >> 24) & 0xFF)
+      val p = payload ++ (if (payload.size % 2 == 1) Seq(0) else Seq())
+      (Seq('R', 'I', 'F', 'F').map(_.toInt) ++ le32(4 + 8 + p.size) ++
+        Seq('W', 'E', 'B', 'P', 'V', 'P', '8', 'L').map(_.toInt) ++
+        le32(payload.size) ++ p).map(_.toByte).toArray
+    }
+    def header(bw: BW, w: Int, h: Int): Unit = {
+      bw.put(w - 1, 14); bw.put(h - 1, 14); bw.put(0, 1); bw.put(0, 3)
+    }
+    def simpleOne(bw: BW, sym: Int): Unit = {
+      bw.put(1, 1); bw.put(0, 1); bw.put(1, 1); bw.put(sym, 8)
+    }
+    // two-symbol simple code, 1 bit per symbol; s0 < s1 so canonical
+    // assignment gives s0 = '0', s1 = '1'
+    def simpleTwo(bw: BW, s0: Int, s1: Int): Unit = {
+      require(s0 < s1)
+      bw.put(1, 1); bw.put(1, 1); bw.put(1, 1); bw.put(s0, 8); bw.put(s1, 8)
+    }
+    def greenTwoSymbols(bw: BW, lit: Int, special: Int, alphabet: Int): Unit = {
+      bw.put(0, 1); bw.put(19 - 4, 4)
+      val lens = Map(0 -> 2, 1 -> 2, 17 -> 2, 18 -> 2)
+      Seq(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+        .foreach(s => bw.put(lens.getOrElse(s, 0).toLong, 3))
+      bw.put(0, 1)
+      def tok1(): Unit = bw.code(1, 2)
+      def zeros(n0: Int): Unit = {
+        var left = n0
+        while (left > 0) {
+          if (left >= 11) { val t = math.min(left, 138)
+            bw.code(3, 2); bw.put(t - 11, 7); left -= t }
+          else if (left >= 3) { bw.code(2, 2); bw.put(left - 3, 3); left = 0 }
+          else { bw.code(0, 2); left -= 1 }
+        }
+      }
+      zeros(lit); tok1(); zeros(special - lit - 1); tok1()
+      zeros(alphabet - special - 1)
+    }
+    // a 1×1 entropy-coded sub-image (predictor-mode / color / entropy
+    // image): cache bit + five codes; all-single codes → zero pixel bits
+    def subImage1(bw: BW, green: Int, red: Int, blue: Int): Unit = {
+      bw.put(0, 1) // no color cache
+      simpleOne(bw, green); simpleOne(bw, red); simpleOne(bw, blue)
+      simpleOne(bw, 255); simpleOne(bw, 0)
+    }
+
+    // ---- all 14 predictor modes on a 3×2 image, one 4-px block (so the
+    // block mode applies at the two interior pixels; the (2,1) pixel also
+    // exercises the rightmost-column top-right WRAP rule). Expected
+    // pixels computed by an independent per-channel reference
+    // implementation of the spec's mode formulas.
+    type Px = (Int, Int, Int) // (r, g, b); alpha is 255 throughout
+    def add(a: Px, b: Px): Px =
+      ((a._1 + b._1) & 0xFF, (a._2 + b._2) & 0xFF, (a._3 + b._3) & 0xFF)
+    def avg2(a: Px, b: Px): Px =
+      ((a._1 + b._1) / 2, (a._2 + b._2) / 2, (a._3 + b._3) / 2)
+    def clamp(v: Int) = math.max(0, math.min(255, v))
+    def refPred(m: Int, l: Px, t: Px, tr: Px, tl: Px): Px = m match {
+      case 0 => (0, 0, 0)
+      case 1 => l
+      case 2 => t
+      case 3 => tr
+      case 4 => tl
+      case 5 => avg2(avg2(l, tr), t)
+      case 6 => avg2(l, tl)
+      case 7 => avg2(l, t)
+      case 8 => avg2(tl, t)
+      case 9 => avg2(t, tr)
+      case 10 => avg2(avg2(l, tl), avg2(t, tr))
+      case 11 =>
+        // Select: Manhattan distance to the gradient L + T − TL (alpha
+        // channel contributes 0 here — all alphas equal)
+        def d(p: Px, q: Px) =
+          math.abs(p._1 - q._1) + math.abs(p._2 - q._2) + math.abs(p._3 - q._3)
+        val g = (l._1 + t._1 - tl._1, l._2 + t._2 - tl._2, l._3 + t._3 - tl._3)
+        if (d(g, l) < d(g, t)) l else t
+      case 12 => (clamp(l._1 + t._1 - tl._1), clamp(l._2 + t._2 - tl._2),
+        clamp(l._3 + t._3 - tl._3))
+      case 13 =>
+        val a = avg2(l, t)
+        (clamp(a._1 + (a._1 - tl._1) / 2), clamp(a._2 + (a._2 - tl._2) / 2),
+          clamp(a._3 + (a._3 - tl._3) / 2))
+    }
+    val res = Array[Px]((3, 5, 7), (9, 11, 13), (3, 11, 7),
+      (9, 5, 13), (3, 5, 7), (9, 11, 13))
+    for (mode <- 0 to 13) {
+      val bw = new BW
+      bw.put(0x2F, 8); header(bw, 3, 2)
+      bw.put(1, 1); bw.put(0, 2) // predictor transform
+      bw.put(0, 3) // size_bits − 2 = 0 → 4-px blocks → 1×1 mode image
+      subImage1(bw, green = mode, red = 0, blue = 0)
+      bw.put(0, 1) // end of transforms
+      bw.put(0, 1) // no color cache
+      bw.put(0, 1) // no meta-Huffman
+      greenTwoSymbols(bw, lit = 5, special = 11, alphabet = 280)
+      simpleTwo(bw, 3, 9) // red
+      simpleTwo(bw, 7, 13) // blue
+      simpleOne(bw, 255) // alpha
+      simpleOne(bw, 0) // distance
+      res.foreach { case (r, g, b) =>
+        bw.put(if (g == 11) 1 else 0, 1)
+        bw.put(if (r == 9) 1 else 0, 1)
+        bw.put(if (b == 13) 1 else 0, 1)
+      }
+      bw.flush()
+      val p0 = res(0)
+      val p1 = add(p0, res(1))
+      val p2 = add(p1, res(2))
+      val p3 = add(p0, res(3))
+      val p4 = add(refPred(mode, p3, p1, p2, p0), res(4))
+      val p5 = add(refPred(mode, p4, p2, p3, p1), res(5)) // TR wraps to p3
+      val want = Seq(p0, p1, p2, p3, p4, p5)
+        .flatMap(p => Seq(p._1, p._2, p._3)).map(_.toByte)
+      val (f, w, h, c, px) = decodeRaster(riff(bw.out.toSeq))
+      assert((f, w, h, c) == (("webp", 3, 2, 3)), s"mode $mode header")
+      assert(px == want, s"mode $mode pixels")
+    }
+    // spot-check two modes against fully hand-computed numbers (the
+    // reference above re-derives the spec; these two rows were worked on
+    // paper): p0=(3,5,7) p1=(12,16,20) p2=(15,27,27) p3=(12,10,20)
+    //   mode 7 (avg2(L,T)): p4 = ((12+15)/2+3? no: L=p3,T=p1) =
+    //   ((12+12)/2, (10+16)/2, (20+20)/2) = (12,13,20) + (3,5,7) = (15,18,27)
+    locally {
+      val p0 = (3, 5, 7); val p1 = add(p0, res(1)); val p3 = add(p0, res(3))
+      assert(add(avg2(p3, p1), res(4)) == ((15, 18, 27)))
+    }
+    // mode > 13 in the mode image must reject
+    locally {
+      val bw = new BW
+      bw.put(0x2F, 8); header(bw, 3, 2)
+      bw.put(1, 1); bw.put(0, 2); bw.put(0, 3)
+      subImage1(bw, green = 14, red = 0, blue = 0)
+      bw.put(0, 1); bw.put(0, 1); bw.put(0, 1)
+      greenTwoSymbols(bw, lit = 5, special = 11, alphabet = 280)
+      simpleTwo(bw, 3, 9); simpleTwo(bw, 7, 13)
+      simpleOne(bw, 255); simpleOne(bw, 0)
+      res.foreach { case (r, g, b) =>
+        bw.put(if (g == 11) 1 else 0, 1); bw.put(if (r == 9) 1 else 0, 1)
+        bw.put(if (b == 13) 1 else 0, 1)
+      }
+      bw.flush()
+      assert(decodeRaster(riff(bw.out.toSeq))._1 == "unknown")
+    }
+
+    // ---- cross-color transform, 2×1: cte green_to_red = 32 (delta = g),
+    // stored in the sub-image pixel's BLUE channel. Second pixel's green
+    // 130 is NEGATIVE as int8 — pins the signed multiplier semantics.
+    locally {
+      val bw = new BW
+      bw.put(0x2F, 8); header(bw, 2, 1)
+      bw.put(1, 1); bw.put(1, 2) // color transform
+      bw.put(0, 3)
+      subImage1(bw, green = 0, red = 0, blue = 32) // g2b=0, r2b=0, g2r=32
+      bw.put(0, 1); bw.put(0, 1); bw.put(0, 1)
+      greenTwoSymbols(bw, lit = 7, special = 130, alphabet = 280)
+      simpleTwo(bw, 5, 200) // red
+      simpleTwo(bw, 1, 9) // blue
+      simpleOne(bw, 255); simpleOne(bw, 0)
+      // p0 = (r5, g7, b9); p1 = (r200, g130, b1)
+      bw.put(0, 1); bw.put(0, 1); bw.put(1, 1)
+      bw.put(1, 1); bw.put(1, 1); bw.put(0, 1)
+      bw.flush()
+      val (f, w, h, _, px) = decodeRaster(riff(bw.out.toSeq))
+      assert((f, w, h) == (("webp", 2, 1)))
+      // red' = r + (32·(int8)g >> 5) = r + g (g=7) / r − 126 (g=130→−126)
+      assert(px == Seq(12, 7, 9, 74, 130, 1).map(_.toByte))
+    }
+    // cross-color red_to_blue chains on the RECOVERED red, 1×1
+    locally {
+      val bw = new BW
+      bw.put(0x2F, 8); header(bw, 1, 1)
+      bw.put(1, 1); bw.put(1, 2)
+      bw.put(0, 3)
+      subImage1(bw, green = 16, red = 224, blue = 0) // g2b=16, r2b=−32
+      bw.put(0, 1); bw.put(0, 1); bw.put(0, 1)
+      simpleOne(bw, 64) // green
+      simpleOne(bw, 100) // red
+      simpleOne(bw, 50) // blue
+      simpleOne(bw, 255); simpleOne(bw, 0)
+      bw.flush()
+      val (_, _, _, _, px) = decodeRaster(riff(bw.out.toSeq))
+      // blue' = 50 + (16·64 >> 5) + (−32·(int8)100 >> 5) = 50+32−100 = 238
+      assert(px == Seq(100, 64, 238 - 256).map(_.toByte))
+    }
+
+    // ---- meta-Huffman, 8×1: entropy image 2×1 routes the two 4-px
+    // blocks to two distinct all-single-code groups
+    locally {
+      val bw = new BW
+      bw.put(0x2F, 8); header(bw, 8, 1)
+      bw.put(0, 1) // no transforms
+      bw.put(0, 1) // no color cache
+      bw.put(1, 1) // meta-Huffman
+      bw.put(0, 3) // huffman_bits − 2 = 0 → 4-px cells → 2×1 image
+      bw.put(0, 1) // entropy sub-image: no cache
+      greenTwoSymbols(bw, lit = 0, special = 1, alphabet = 280)
+      simpleOne(bw, 0); simpleOne(bw, 0); simpleOne(bw, 255); simpleOne(bw, 0)
+      bw.put(0, 1); bw.put(1, 1) // entropy pixels: groups 0, 1
+      // group 0: constant (r1, g100, b2); group 1: constant (r3, g200, b4)
+      simpleOne(bw, 100); simpleOne(bw, 1); simpleOne(bw, 2)
+      simpleOne(bw, 255); simpleOne(bw, 0)
+      simpleOne(bw, 200); simpleOne(bw, 3); simpleOne(bw, 4)
+      simpleOne(bw, 255); simpleOne(bw, 0)
+      // 8 pixels, zero bits each
+      bw.flush()
+      val (f, w, h, _, px) = decodeRaster(riff(bw.out.toSeq))
+      assert((f, w, h) == (("webp", 8, 1)))
+      assert(px == (Seq.fill(4)(Seq(1, 100, 2)) ++
+        Seq.fill(4)(Seq(3, 200, 4))).flatten.map(_.toByte))
+    }
+
+    // ---- under-subscribed normal code must reject (Kraft gate): three
+    // length-2 symbols fill only 3/4 of the code space
+    locally {
+      val bw = new BW
+      bw.put(0x2F, 8); header(bw, 2, 2)
+      bw.put(0, 1); bw.put(0, 1); bw.put(0, 1)
+      // green: normal code, cl lengths {0:2, 2:2, 17:2, 18:2} (complete
+      // cl code), then tokens: three '2'-length symbols at 0,1,2 and
+      // zeros elsewhere → under-subscribed green code
+      bw.put(0, 1); bw.put(19 - 4, 4)
+      val lens = Map(0 -> 2, 2 -> 2, 17 -> 2, 18 -> 2)
+      Seq(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+        .foreach(s => bw.put(lens.getOrElse(s, 0).toLong, 3))
+      bw.put(0, 1) // no max-symbol shortcut
+      // canonical cl codes over {0,2,17,18} all len 2: 0='00', 2='01',
+      // 17='10', 18='11'
+      bw.code(1, 2); bw.code(1, 2); bw.code(1, 2) // three len-2 symbols
+      // zeros for the remaining 277 green slots
+      var left = 277
+      while (left > 0) {
+        if (left >= 11) { val t = math.min(left, 138)
+          bw.code(3, 2); bw.put(t - 11, 7); left -= t }
+        else { bw.code(0, 2); left -= 1 }
+      }
+      bw.flush()
+      assert(decodeRaster(riff(bw.out.toSeq))._1 == "unknown")
+    }
+  }
+
+  test("SynthWebpLPred: predictor + meta-Huffman fixtures decode back to the formula") {
+    // the round-trip across many (w, h, seed): every predictor mode and
+    // the two-group meta path appear; equality is per-pixel exact
+    val rows = (0L until 40L).map { seed =>
+      (3 + seed % 11, 3 + seed % 9, seed)
+    }.toDF("w", "h", "seed")
+    val got = rows.select(col("seed"),
+      ScaleOps.imageDecode(ScaleOps.synthWebpLPred(
+        col("w"), col("h"), col("seed"))).as("r"))
+      .select(col("seed"), col("r.format"), col("r.width"), col("r.height"),
+        col("r.pixels"))
+      .collect()
+    got.foreach { r =>
+      val seed = r.getLong(0)
+      assert(r.getString(1) == "webp", s"seed $seed rejected")
+      val w = r.getInt(2); val h = r.getInt(3)
+      assert((w, h) == ((3 + seed % 11).toInt, (3 + seed % 9).toInt))
+      val px = r.get(4).asInstanceOf[Array[Byte]]
+      var p = 0
+      while (p < 3 * w * h) {
+        val want = java.lang.Math.floorMod(seed * 31 + p * 7, 256).toInt
+        assert((px(p) & 0xFF) == want, s"seed $seed byte $p")
+        p += 1
+      }
+    }
+  }
+
   test("WebpCodec: golden hand-packed VP8L — LZ77 backref, color cache, reject matrix") {
     // LSB-first bit writer (the VP8L stream convention); Huffman codes
     // are emitted MSB-of-code-first via single-bit puts
@@ -1063,8 +1346,10 @@ class ScaleOpsSpec extends SparkSpec {
     assert((f2, w2, h2) == (("webp", 2, 1)))
     assert(p2 == Seq(20, 10, 30, 20, 10, 30).map(_.toByte))
 
-    // ---- reject matrix: predictor transform, meta-Huffman, bad
-    // version, truncation, backref past start
+    // ---- reject matrix: truncated transform/meta headers (the
+    // predictor and meta paths themselves are real since round 11 —
+    // these streams end mid-field), bad version, truncation, backref
+    // past start
     def rejected(build: BW => Unit): Unit = {
       val bw = new BW
       bw.put(0x2F, 8)
@@ -1072,8 +1357,9 @@ class ScaleOpsSpec extends SparkSpec {
       bw.flush()
       assert(decode(riff(bw.out.toSeq))._1 == "unknown")
     }
-    rejected { bw => header(bw, 2, 2); bw.put(1, 1); bw.put(0, 2) } // predictor
-    rejected { bw => header(bw, 2, 2); bw.put(0, 1); bw.put(0, 1); bw.put(1, 1) } // meta
+    rejected { bw => header(bw, 2, 2); bw.put(1, 1); bw.put(0, 2) } // predictor, truncated
+    rejected { bw => header(bw, 2, 2); bw.put(0, 1); bw.put(0, 1); bw.put(1, 1) } // meta, truncated
+    rejected { bw => header(bw, 2, 2); bw.put(1, 1); bw.put(3, 2) } // color-indexing: out of scope
     rejected { bw =>
       bw.put(1, 14); bw.put(1, 14); bw.put(0, 1); bw.put(1, 3) } // version != 0
     assert(decode(riff(lz.out.toSeq).dropRight(4))._1 == "unknown")
@@ -2635,6 +2921,103 @@ class ScaleOpsSpec extends SparkSpec {
             s"bits=$bits seed=$seed sample $k")
         }
       }
+    }
+  }
+
+  test("FlacCodec: golden stereo decorrelation, wasted bits, 4-byte frame numbers") {
+    // same independent CRC/bit-writer helpers as the mono golden test
+    def crc8(bs: Seq[Int]): Int = bs.foldLeft(0) { (c0, b) =>
+      (0 until 8).foldLeft(c0 ^ b) { (c, _) =>
+        if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xFF else (c << 1) & 0xFF }
+    }
+    def crc16(bs: Seq[Int]): Int = bs.foldLeft(0) { (c0, b) =>
+      (0 until 8).foldLeft(c0 ^ (b << 8)) { (c, _) =>
+        if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xFFFF
+        else (c << 1) & 0xFFFF }
+    }
+    class BW {
+      val out = collection.mutable.ArrayBuffer.empty[Int]
+      var acc = 0; var n = 0
+      def put(v: Long, len: Int): Unit = (len - 1 to 0 by -1).foreach { k =>
+        acc = (acc << 1) | ((v >> k) & 1L).toInt; n += 1
+        if (n == 8) { out += acc; acc = 0; n = 0 }
+      }
+      def align(): Unit = if (n > 0) put(0L, 8 - n)
+    }
+    def streamInfo(total: Int, channels: Int) = Seq(
+      'f'.toInt, 'L'.toInt, 'a'.toInt, 'C'.toInt,
+      0x80, 0, 0, 34,
+      0, 4, 0, 4, 0, 0, 0, 0, 0, 0,
+      8000 >> 12, (8000 >> 4) & 0xFF,
+      ((8000 & 0xF) << 4) | ((channels - 1) << 1) | 0,
+      (7 << 4) | 0, 0, 0, 0, total) ++ Seq.fill(16)(0)
+    // frame header: sync/fixed, bs code 6 + rate-from-streaminfo, 8-bit
+    // samples (ss code 1), channel assignment from the argument
+    def frame(chAsgn: Int, body: BW => Unit): Seq[Int] = {
+      val hdr = Seq(0xFF, 0xF8, 0x60, (chAsgn << 4) | (1 << 1), 0, 3)
+      val bw = new BW
+      body(bw)
+      bw.align()
+      val f = hdr ++ Seq(crc8(hdr)) ++ bw.out
+      val c = crc16(f)
+      f ++ Seq((c >> 8) & 0xFF, c & 0xFF)
+    }
+    def decode(ints: Seq[Int]) = {
+      val st = Seq(Tuple1(ints.map(_.toByte).toArray)).toDF("b")
+        .select(ScaleOps.pcmDecode(col("b")).as("d")).head().getStruct(0)
+      (st.getString(0), if (st.isNullAt(5)) null else st.getSeq[Int](5))
+    }
+    def const(bw: BW, v: Int, bits: Int): Unit = {
+      bw.put(0, 1); bw.put(0, 6); bw.put(0, 1)
+      bw.put(v.toLong & ((1L << bits) - 1), bits)
+    }
+    // LEFT-SIDE (chAsgn 8): L constant 100 (8 bits), side constant 30 at
+    // bps+1 = 9 bits → R = L − side = 70
+    val ls = streamInfo(4, 2) ++ frame(8, { bw =>
+      const(bw, 100, 8); const(bw, 30, 9) })
+    assert(decode(ls) == (("flac", Seq.fill(4)(Seq(100, 70)).flatten)))
+    // RIGHT-SIDE (chAsgn 9): side constant 25 (9 bits, channel 0), R
+    // constant 50 (8 bits) → L = side + R = 75
+    val rs = streamInfo(4, 2) ++ frame(9, { bw =>
+      const(bw, 25, 9); const(bw, 50, 8) })
+    assert(decode(rs) == (("flac", Seq.fill(4)(Seq(75, 50)).flatten)))
+    // MID-SIDE (chAsgn 10): mid 7 (8 bits), side 6 (9 bits) → the spec
+    // reconstruction (mid<<1 | side&1 ± side) >> 1 = (L 10, R 4); a
+    // NEGATIVE side in a second frame pins the sign handling: mid −3,
+    // side −5 → mid2 = −6|1 = −5 → L = (−5−5)>>1 = −5, R = (−5+5)>>1 = 0
+    val ms = streamInfo(4, 2) ++ frame(10, { bw =>
+      const(bw, 7, 8); const(bw, 6, 9) })
+    assert(decode(ms) == (("flac", Seq.fill(4)(Seq(10, 4)).flatten)))
+    val msNeg = streamInfo(4, 2) ++ frame(10, { bw =>
+      const(bw, -3, 8); const(bw, -5, 9) })
+    assert(decode(msNeg) == (("flac", Seq.fill(4)(Seq(-5, 0)).flatten)))
+    // WASTED BITS: mono VERBATIM, wasted = 1 (flag 1 + unary 0 → q=0),
+    // samples stored at 7 effective bits, output shifted left by 1
+    val wb = streamInfo(4, 1) ++ frame(0, { bw =>
+      bw.put(0, 1); bw.put(1, 6) // VERBATIM
+      bw.put(1, 1) // wasted-bits flag
+      bw.put(1, 1) // unary 0 → wasted = 1
+      Seq(3, -5, 7, 0).foreach(v => bw.put(v.toLong & 0x7F, 7))
+    })
+    assert(decode(wb) == (("flac", Seq(6, -10, 14, 0))))
+
+    // 4-byte coded frame numbers: past frame index 0xFFFF the encoder
+    // must emit the 0xF0 lead form (round-11 advice; 3-byte-only
+    // encoding produced invalid streams beyond ~4.19M samples). One
+    // frame past the boundary: 0x10001 blocks of 64 mono samples.
+    import org.apache.spark.sql.graftnative.{FlacSynth, FlacCodec}
+    val frames = (0x10001L) * 64L
+    val big = FlacSynth.flacBytes(1, 8000, 8, frames, seed = 3L)
+    assert(big != null)
+    val st = Seq(Tuple1(big)).toDF("b")
+      .select(ScaleOps.pcmDecode(col("b")).as("d")).head().getStruct(0)
+    assert(st.getString(0) == "flac", "boundary stream must decode")
+    assert(st.getInt(4) == frames.toInt)
+    val samples = st.getSeq[Int](5)
+    assert(samples.length == frames.toInt)
+    // spot-check samples inside the first 4-byte-numbered frame
+    Seq(0, 0x10000 * 64, frames.toInt - 1).foreach { k =>
+      assert(samples(k) == FlacSynth.sampleAt(3L, k, 8), s"sample $k")
     }
   }
 

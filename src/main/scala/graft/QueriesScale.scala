@@ -1384,6 +1384,50 @@ object QueriesScale {
         | CAST(s1 AS BIGINT) AS g_sum, CAST(s2 AS BIGINT) AS b_sum
         |FROM s ORDER BY doc_id""".stripMargin))
 
+  // PROGRESSIVE (SOF2) JPEG: the same generative content as jpeg_pixels
+  // re-coded through T.81 G.1.2 — an interleaved DC-first scan at Al=1,
+  // per-component spectral-band AC-first scans with real EOB-run coding
+  // (the constant-chroma planes are pure EOB-run streams), a raw-bit DC
+  // refinement scan, and AC refinement scans running the correction-bit
+  // algorithm. Progressive re-coding is lossless over the quantized
+  // coefficients, so the jpeg_pixels oracle replays this key verbatim —
+  // a hash match proves the multi-scan coefficient accumulation,
+  // successive-approximation shifts, and EOB-run bookkeeping all
+  // reconstruct the exact spectrum. Majority-of-web-JPEGs coverage
+  // (crawled JPEGs are predominantly progressive); golden truncated-scan
+  // rejects live in ScaleOpsSpec.
+  private val jpegProgressivePixelsQ = Q(
+    (s, dir) => {
+      val w = lit(16L) * (lit(1L) + col("doc_id") % 3)
+      val h = lit(16L) * (lit(1L) + col("doc_id") % 2)
+      val payload = when(col("doc_id") % 3 === 0,
+          ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 3))
+        .when(col("doc_id") % 3 === 1,
+          ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 4))
+        .otherwise(ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 5))
+      val raster = ScaleOps.imageDecode(payload)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raster.as("r"))
+        .select(col("doc_id"),
+          col("r.format").as("format"),
+          col("r.width").cast(LongType).as("width"),
+          col("r.height").cast(LongType).as("height"),
+          col("r.channels").cast(LongType).as("channels"),
+          ScaleOps.rasterChannelSums(
+            ScaleOps.imageResizeNN(col("r"), 4, 4)).as("s"))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("channels"),
+          col("s").getItem(0).as("y_sum"),
+          when(col("channels") === 1, lit(null).cast(LongType))
+            .otherwise(col("s").getItem(1)).as("g_sum"),
+          when(col("channels") === 1, lit(null).cast(LongType))
+            .otherwise(col("s").getItem(2)).as("b_sum"))
+        .orderBy("doc_id")
+    },
+    // the identical oracle as jpeg_pixels: progressive re-coding is
+    // lossless over the same quantized coefficients
+    jpegPixelsQ.sql)
+
   // --------------------------------------------- lossless WebP decode
   // The fourth real raster codec (PNG/GIF/JPEG/WebP — the web formats'
   // full set): complete valid RIFF/WEBP/VP8L files whose pixel streams
@@ -4272,6 +4316,7 @@ object QueriesScale {
     "png_pixels" -> pngPixelsQ,
     "gif_pixels" -> gifPixelsQ,
     "jpeg_pixels" -> jpegPixelsQ,
+    "jpeg_progressive_pixels" -> jpegProgressivePixelsQ,
     "webp_pixels" -> webpPixelsQ,
     "webp_pred_pixels" -> webpPredPixelsQ,
     "audio_pcm" -> audioPcmQ,

@@ -45,7 +45,13 @@ object RasterStress {
       "jpeg" -> ((w: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column)
         => ScaleOps.synthJpeg(w, w, s, mode = 1)),
       "webp" -> ((w: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column)
-        => ScaleOps.synthWebpL(w, w, s))
+        => ScaleOps.synthWebpL(w, w, s)),
+      // round-11 lanes: progressive JPEG (multi-scan coefficient
+      // accumulation) and predictor+meta-Huffman WebP
+      "jpeg_prog" -> ((w: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column)
+        => ScaleOps.synthJpeg(w, w, s, mode = 4)),
+      "webp_pred" -> ((w: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column)
+        => ScaleOps.synthWebpLPred(w, w, s))
     ).foreach { case (fmt, synth) =>
       val t0 = System.nanoTime()
       val r = ids

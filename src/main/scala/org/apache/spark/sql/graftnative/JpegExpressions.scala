@@ -239,8 +239,59 @@ private[graftnative] object JpegCodec {
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
   private def beU16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
 
-  /** Decode one baseline JPEG payload to the normalized raster row, or
-    * the `'unknown'` row for anything unsupported or malformed.
+  /** Per-component sample planes → the normalized raster row (grayscale
+    * passthrough or replicated-upsample YCbCr→RGB) — shared by the
+    * baseline and progressive paths.
+    */
+  private def emitRow(w: Int, h: Int, nComp: Int, planes: Array[Array[Int]],
+      planeW: Array[Int], compH: Array[Int], compV: Array[Int],
+      hMax: Int, vMax: Int): InternalRow = {
+    val ch = if (nComp == 1) 1 else 3
+    val out = new Array[Byte](w * h * ch)
+    if (ch == 1) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = planes(0)(y * planeW(0) + x).toByte
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      // chroma upsampling by replication: source sample (x·hs/hMax,
+      // y·vs/vMax); JFIF YCbCr→RGB with round-half-up, clamped
+      val hs1 = compH(1); val vs1 = compV(1)
+      val hs2 = compH(2); val vs2 = compV(2)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yv = planes(0)(y * planeW(0) + x)
+          val cb = planes(1)((y * vs1 / vMax) * planeW(1) + x * hs1 / hMax) - 128
+          val cr = planes(2)((y * vs2 / vMax) * planeW(2) + x * hs2 / hMax) - 128
+          var r = math.floor(yv + 1.402 * cr + 0.5).toInt
+          var g = math.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5).toInt
+          var bb = math.floor(yv + 1.772 * cb + 0.5).toInt
+          if (r < 0) r = 0 else if (r > 255) r = 255
+          if (g < 0) g = 0 else if (g > 255) g = 255
+          if (bb < 0) bb = 0 else if (bb > 255) bb = 255
+          val d = (y * w + x) * 3
+          out(d) = r.toByte
+          out(d + 1) = g.toByte
+          out(d + 2) = bb.toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    ImageDecode.rasterRow(ImageDecode.FmtJpeg, w, h, ch, out)
+  }
+
+  /** Decode one JPEG payload — baseline sequential (SOF0) or progressive
+    * (SOF2, spectral selection + successive approximation, T.81 G.1.2) —
+    * to the normalized raster row, or the `'unknown'` row for anything
+    * unsupported or malformed.
     */
   def decode(b: Array[Byte]): InternalRow = {
     val unknown = ImageDecode.unknownRow
@@ -253,17 +304,30 @@ private[graftnative] object JpegCodec {
     val compV = new Array[Int](3); val compTq = new Array[Int](3)
     val compTd = new Array[Int](3); val compTa = new Array[Int](3)
     var sofSeen = false
+    var progressive = false
+    var hMax = 0; var vMax = 0
+    var mcusX = 0; var mcusY = 0
+    // progressive state: per-component coefficient planes over the
+    // MCU-padded block grid, values stored at ZIGZAG index, unquantized
+    // (successive approximation refines raw values; dequantization
+    // happens once, at EOI)
+    var coefs: Array[Array[Int]] = null
+    val bWpad = new Array[Int](3); val bHpad = new Array[Int](3)
+    val bWreal = new Array[Int](3); val bHreal = new Array[Int](3)
+    var anyScan = false
+    var eoiSeen = false
     var i = 2 // past SOI
     var scanStart = -1
-    while (scanStart < 0) {
+    while (scanStart < 0 && !eoiSeen) {
       // skip marker-segment fill bytes (T.81 B.1.1.2 allows 0xFF runs)
       while (i + 1 < b.length && u8(b, i) == 0xFF && u8(b, i + 1) == 0xFF) i += 1
       if (i + 2 > b.length || u8(b, i) != 0xFF) return unknown
       val m = u8(b, i + 1)
       i += 2
       m match {
-        case 0xC0 => // SOF0: baseline sequential
+        case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive
           if (sofSeen || i + 2 > b.length) return unknown
+          progressive = m == 0xC2
           val len = beU16(b, i)
           if (len < 8 || i + len > b.length) return unknown
           if (u8(b, i + 2) != 8) return unknown // 8-bit precision only
@@ -280,6 +344,33 @@ private[graftnative] object JpegCodec {
             compV(c) = hv & 15
             compTq(c) = u8(b, i + 10 + 3 * c)
             if (compTq(c) > 3) return unknown
+            c += 1
+          }
+          // sampling grid: all 1×1, or (3-component) luma 2×2 chroma 1×1
+          c = 0
+          while (c < nComp) {
+            if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+              return unknown
+            hMax = math.max(hMax, compH(c)); vMax = math.max(vMax, compV(c))
+            c += 1
+          }
+          val all11 = (0 until nComp).forall(k => compH(k) == 1 && compV(k) == 1)
+          val is420 = nComp == 3 && compH(0) == 2 && compV(0) == 2 &&
+            compH(1) == 1 && compV(1) == 1 && compH(2) == 1 && compV(2) == 1
+          if (!all11 && !is420) return unknown
+          val chOut = if (nComp == 1) 1 else 3
+          if (w.toLong * h * chOut > MaxPixelBytes) return unknown
+          mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+          mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+          c = 0
+          while (c < nComp) {
+            bWpad(c) = mcusX * compH(c)
+            bHpad(c) = mcusY * compV(c)
+            // non-interleaved scans cover the component's REAL block
+            // grid (T.81 A.1.1: ceil(ceil(dim·sampling/max)/8)), which
+            // can be narrower than the MCU-padded grid
+            bWreal(c) = ((w * compH(c) + hMax - 1) / hMax + 7) / 8
+            bHreal(c) = ((h * compV(c) + vMax - 1) / vMax + 7) / 8
             c += 1
           }
           sofSeen = true
@@ -325,30 +416,242 @@ private[graftnative] object JpegCodec {
           val len = beU16(b, i)
           if (i + len > b.length) return unknown
           val ns = u8(b, i + 2)
-          if (ns != nComp || len != 6 + 2 * ns) return unknown
-          var c = 0
-          while (c < ns) {
-            val cs = u8(b, i + 3 + 2 * c)
-            // scan components must be the frame components, frame order
-            if (cs != compId(c)) return unknown
-            val tdta = u8(b, i + 4 + 2 * c)
-            compTd(c) = tdta >> 4
-            compTa(c) = tdta & 15
-            if (compTd(c) > 3 || compTa(c) > 3) return unknown
-            c += 1
+          if (!progressive) {
+            if (ns != nComp || len != 6 + 2 * ns) return unknown
+            var c = 0
+            while (c < ns) {
+              val cs = u8(b, i + 3 + 2 * c)
+              // scan components must be the frame components, frame order
+              if (cs != compId(c)) return unknown
+              val tdta = u8(b, i + 4 + 2 * c)
+              compTd(c) = tdta >> 4
+              compTa(c) = tdta & 15
+              if (compTd(c) > 3 || compTa(c) > 3) return unknown
+              c += 1
+            }
+            // baseline full-spectrum scan only
+            if (u8(b, i + 3 + 2 * ns) != 0 || u8(b, i + 4 + 2 * ns) != 63)
+              return unknown
+            scanStart = i + len
+          } else {
+            // progressive scan: a component subset in frame order, a
+            // spectral band, one successive-approximation step
+            if (ns < 1 || ns > nComp || len != 6 + 2 * ns) return unknown
+            val scanComp = new Array[Int](ns)
+            var prev = -1
+            var c = 0
+            while (c < ns) {
+              val cs = u8(b, i + 3 + 2 * c)
+              var idx = -1
+              var k = 0
+              while (k < nComp) { if (compId(k) == cs) idx = k; k += 1 }
+              if (idx <= prev) return unknown // unknown id / out of order
+              prev = idx
+              scanComp(c) = idx
+              val tdta = u8(b, i + 4 + 2 * c)
+              compTd(idx) = tdta >> 4
+              compTa(idx) = tdta & 15
+              if (compTd(idx) > 3 || compTa(idx) > 3) return unknown
+              c += 1
+            }
+            val ss = u8(b, i + 3 + 2 * ns)
+            val se = u8(b, i + 4 + 2 * ns)
+            val ahal = u8(b, i + 5 + 2 * ns)
+            val ah = ahal >> 4
+            val al = ahal & 15
+            if (ss == 0) { if (se != 0) return unknown } // DC scan
+            else if (ns != 1 || se < ss || se > 63) return unknown // AC scan
+            if (al > 13 || (ah != 0 && ah != al + 1)) return unknown
+            if (coefs == null) {
+              coefs = new Array[Array[Int]](nComp)
+              var k = 0
+              while (k < nComp) {
+                val cells = bWpad(k).toLong * bHpad(k) * 64
+                if (cells > MaxPixelBytes) return unknown
+                coefs(k) = new Array[Int](cells.toInt)
+                k += 1
+              }
+            }
+            // table presence: DC-first needs its DC table, AC scans
+            // their AC table; DC-refinement reads raw bits only
+            if (ss == 0 && ah == 0) {
+              var k = 0
+              while (k < ns) {
+                if (huffDc(compTd(scanComp(k))) == null) return unknown
+                k += 1
+              }
+            }
+            if (ss > 0 && huffAc(compTa(scanComp(0))) == null) return unknown
+
+            // ---- entropy-coded scan body (T.81 G.1.2)
+            val br = new BitReader(b, i + len)
+            val dcPred = new Array[Int](3)
+            var eobrun = 0
+            var bad = false
+            def dcBlock(ci: Int, off: Int): Unit = {
+              if (ah == 0) {
+                val s = decodeHuffSym(br, huffDc(compTd(ci)))
+                if (s < 0 || s > 15) { bad = true; return }
+                val mBits = br.receive(s)
+                if (mBits == Int.MinValue) { bad = true; return }
+                dcPred(ci) += extend(mBits, s)
+                coefs(ci)(off) = dcPred(ci) << al
+              } else {
+                val bit = br.bit()
+                if (bit < 0) { bad = true; return }
+                if (bit == 1) coefs(ci)(off) |= 1 << al
+              }
+            }
+            def acFirstBlock(ci: Int, off: Int): Unit = {
+              if (eobrun > 0) { eobrun -= 1; return }
+              val cf = coefs(ci)
+              var k = ss
+              while (k <= se) {
+                val sym = decodeHuffSym(br, huffAc(compTa(ci)))
+                if (sym < 0) { bad = true; return }
+                val r = sym >> 4
+                val s = sym & 15
+                if (s == 0) {
+                  if (r < 15) { // EOBn: 2^r + extra blocks end here
+                    val extra = br.receive(r)
+                    if (extra == Int.MinValue) { bad = true; return }
+                    eobrun = (1 << r) - 1 + extra
+                    return
+                  }
+                  k += 16 // ZRL
+                } else {
+                  k += r
+                  if (k > se) { bad = true; return }
+                  val vb = br.receive(s)
+                  if (vb == Int.MinValue) { bad = true; return }
+                  cf(off + k) = extend(vb, s) << al
+                  k += 1
+                }
+              }
+            }
+            def acRefineBlock(ci: Int, off: Int): Unit = {
+              val cf = coefs(ci)
+              val p1 = 1 << al
+              var k = ss
+              if (eobrun == 0) {
+                var brk = false
+                while (k <= se && !brk && !bad) {
+                  val sym = decodeHuffSym(br, huffAc(compTa(ci)))
+                  if (sym < 0) { bad = true; return }
+                  var r = sym >> 4
+                  val s = sym & 15
+                  var newVal = 0
+                  if (s == 0) {
+                    if (r < 15) { // EOBn INCLUDING this block's remainder
+                      val extra = br.receive(r)
+                      if (extra == Int.MinValue) { bad = true; return }
+                      eobrun = (1 << r) + extra
+                      brk = true
+                    } // r == 15: run of 16 zero-history coefficients
+                  } else {
+                    if (s != 1) { bad = true; return } // corrections are ±1
+                    val sb = br.bit()
+                    if (sb < 0) { bad = true; return }
+                    newVal = if (sb == 1) p1 else -p1
+                  }
+                  if (!brk) {
+                    // advance over r zero-history positions, emitting
+                    // correction bits for nonzero-history ones passed
+                    var done = false
+                    while (k <= se && !done) {
+                      val cur = cf(off + k)
+                      if (cur != 0) {
+                        val cb = br.bit()
+                        if (cb < 0) { bad = true; return }
+                        if (cb == 1 && (cur & p1) == 0)
+                          cf(off + k) = if (cur > 0) cur + p1 else cur - p1
+                      } else {
+                        if (r == 0) {
+                          if (newVal != 0) cf(off + k) = newVal
+                          done = true
+                        } else r -= 1
+                      }
+                      k += 1
+                    }
+                  }
+                }
+              }
+              if (eobrun > 0 && !bad) {
+                // inside an EOB run: correction bits only
+                while (k <= se) {
+                  val cur = cf(off + k)
+                  if (cur != 0) {
+                    val cb = br.bit()
+                    if (cb < 0) { bad = true; return }
+                    if (cb == 1 && (cur & p1) == 0)
+                      cf(off + k) = if (cur > 0) cur + p1 else cur - p1
+                  }
+                  k += 1
+                }
+                eobrun -= 1
+              }
+            }
+            if (ss == 0 && ns > 1) {
+              // interleaved DC scan: MCU order over the padded grid
+              var my = 0
+              while (my < mcusY && !bad) {
+                var mx = 0
+                while (mx < mcusX && !bad) {
+                  var sc = 0
+                  while (sc < ns && !bad) {
+                    val ci = scanComp(sc)
+                    var v0 = 0
+                    while (v0 < compV(ci) && !bad) {
+                      var h0 = 0
+                      while (h0 < compH(ci) && !bad) {
+                        val off = ((my * compV(ci) + v0) * bWpad(ci) +
+                          mx * compH(ci) + h0) * 64
+                        dcBlock(ci, off)
+                        h0 += 1
+                      }
+                      v0 += 1
+                    }
+                    sc += 1
+                  }
+                  mx += 1
+                }
+                my += 1
+              }
+            } else {
+              // non-interleaved: raster order over the REAL block grid
+              val ci = scanComp(0)
+              var brow = 0
+              while (brow < bHreal(ci) && !bad) {
+                var bcol = 0
+                while (bcol < bWreal(ci) && !bad) {
+                  val off = (brow * bWpad(ci) + bcol) * 64
+                  if (ss == 0) dcBlock(ci, off)
+                  else if (ah == 0) acFirstBlock(ci, off)
+                  else acRefineBlock(ci, off)
+                  bcol += 1
+                }
+                brow += 1
+              }
+            }
+            if (bad) return unknown
+            anyScan = true
+            // resume the marker walk at the next marker after the
+            // entropy-coded data (skipping stuffed 0xFF 0x00 pairs)
+            var p = br.pos
+            while (p + 1 < b.length &&
+                !(u8(b, p) == 0xFF && u8(b, p + 1) != 0x00)) p += 1
+            if (p + 1 >= b.length) return unknown
+            i = p
           }
-          // baseline full-spectrum scan only
-          if (u8(b, i + 3 + 2 * ns) != 0 || u8(b, i + 4 + 2 * ns) != 63)
-            return unknown
-          scanStart = i + len
         case 0xDD => // DRI: restart intervals unsupported — honest reject
           if (i + 4 > b.length) return unknown
           if (beU16(b, i + 2) != 0) return unknown
           i += beU16(b, i)
-        case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+        case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
             0xCD | 0xCE | 0xCF =>
-          return unknown // progressive/extended/lossless/arithmetic
-        case 0xD9 => return unknown // EOI before any scan
+          return unknown // extended/lossless/arithmetic
+        case 0xD9 => // EOI: legal end for a progressive stream with scans
+          if (progressive && anyScan) eoiSeen = true else return unknown
         case mm if mm >= 0xE0 && mm <= 0xEF => // APPn
           if (i + 2 > b.length) return unknown
           val len = beU16(b, i)
@@ -362,38 +665,66 @@ private[graftnative] object JpegCodec {
         case _ => return unknown
       }
     }
-    // sampling grid: all 1×1, or (3-component) luma 2×2 with chroma 1×1
-    var hMax = 0; var vMax = 0
     var c = 0
     while (c < nComp) {
-      if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
-        return unknown
-      hMax = math.max(hMax, compH(c)); vMax = math.max(vMax, compV(c))
+      if (qt(compTq(c)) == null) return unknown
       c += 1
     }
-    val all11 = (0 until nComp).forall(k => compH(k) == 1 && compV(k) == 1)
-    val is420 = nComp == 3 && compH(0) == 2 && compV(0) == 2 &&
-      compH(1) == 1 && compV(1) == 1 && compH(2) == 1 && compV(2) == 1
-    if (!all11 && !is420) return unknown
-    val ch = if (nComp == 1) 1 else 3
-    if (w.toLong * h * ch > MaxPixelBytes) return unknown
-    c = 0
-    while (c < nComp) {
-      if (qt(compTq(c)) == null || huffDc(compTd(c)) == null ||
-          huffAc(compTa(c)) == null) return unknown
-      c += 1
-    }
-    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
     // per-component sample planes, padded to whole MCUs
     val planeW = new Array[Int](3)
     val planes = new Array[Array[Int]](3)
     c = 0
     while (c < nComp) {
-      planeW(c) = mcusX * compH(c) * 8
-      val pl = planeW(c).toLong * (mcusY * compV(c) * 8)
+      planeW(c) = bWpad(c) * 8
+      val pl = planeW(c).toLong * (bHpad(c) * 8)
       if (pl > MaxPixelBytes) return unknown
       planes(c) = new Array[Int](pl.toInt)
+      c += 1
+    }
+    if (progressive) {
+      // all scans absorbed: dequantize + IDCT every (padded) block
+      val coefNat = new Array[Int](64)
+      val blk = new Array[Int](64)
+      c = 0
+      while (c < nComp) {
+        val q = qt(compTq(c))
+        val cf = coefs(c)
+        var brow = 0
+        while (brow < bHpad(c)) {
+          var bcol = 0
+          while (bcol < bWpad(c)) {
+            val off = (brow * bWpad(c) + bcol) * 64
+            var k = 0
+            while (k < 64) {
+              coefNat(Zigzag(k)) = cf(off + k) * q(k)
+              k += 1
+            }
+            idctBlock(coefNat, blk)
+            val px0 = bcol * 8
+            val py0 = brow * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              val rowBase = (py0 + yy) * planeW(c) + px0
+              while (xx < 8) {
+                planes(c)(rowBase + xx) = blk(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            bcol += 1
+          }
+          brow += 1
+        }
+        c += 1
+      }
+      return emitRow(w, h, nComp, planes, planeW, compH, compV, hMax, vMax)
+    }
+    // ---- baseline: one full-spectrum interleaved scan, IDCT per block
+    c = 0
+    while (c < nComp) {
+      if (huffDc(compTd(c)) == null || huffAc(compTa(c)) == null)
+        return unknown
       c += 1
     }
     val br = new BitReader(b, scanStart)
@@ -461,45 +792,7 @@ private[graftnative] object JpegCodec {
       }
       my += 1
     }
-    val out = new Array[Byte](w * h * ch)
-    if (ch == 1) {
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          out(y * w + x) = planes(0)(y * planeW(0) + x).toByte
-          x += 1
-        }
-        y += 1
-      }
-    } else {
-      // chroma upsampling by replication: source sample (x·hs/hMax,
-      // y·vs/vMax); JFIF YCbCr→RGB with round-half-up, clamped
-      val hs1 = compH(1); val vs1 = compV(1)
-      val hs2 = compH(2); val vs2 = compV(2)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val yv = planes(0)(y * planeW(0) + x)
-          val cb = planes(1)((y * vs1 / vMax) * planeW(1) + x * hs1 / hMax) - 128
-          val cr = planes(2)((y * vs2 / vMax) * planeW(2) + x * hs2 / hMax) - 128
-          var r = math.floor(yv + 1.402 * cr + 0.5).toInt
-          var g = math.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5).toInt
-          var bb = math.floor(yv + 1.772 * cb + 0.5).toInt
-          if (r < 0) r = 0 else if (r > 255) r = 255
-          if (g < 0) g = 0 else if (g > 255) g = 255
-          if (bb < 0) bb = 0 else if (bb > 255) bb = 255
-          val d = (y * w + x) * 3
-          out(d) = r.toByte
-          out(d + 1) = g.toByte
-          out(d + 2) = bb.toByte
-          x += 1
-        }
-        y += 1
-      }
-    }
-    ImageDecode.rasterRow(ImageDecode.FmtJpeg, w, h, ch, out)
+    emitRow(w, h, nComp, planes, planeW, compH, compV, hMax, vMax)
   }
 }
 
@@ -542,8 +835,9 @@ case class SynthJpeg(first: Expression, second: Expression, third: Expression,
     mode: Int)
     extends TernaryExpression with ImplicitCastInputTypes {
 
-  require(mode >= 0 && mode <= 2,
-    s"synth_jpeg mode must be 0 (gray), 1 (4:2:0), or 2 (4:4:4), got $mode")
+  require(mode >= 0 && mode <= 5,
+    s"synth_jpeg mode must be 0 (gray), 1 (4:2:0), 2 (4:4:4), or the " +
+      s"progressive forms 3-5 of the same layouts, got $mode")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType, LongType)
   override def dataType: DataType = BinaryType
@@ -697,8 +991,12 @@ object JpegSynth {
     o.toByteArray
   }
 
-  /** Complete valid baseline JFIF JPEG from `(w, h, seed, mode)`. */
+  /** Complete valid baseline JFIF JPEG from `(w, h, seed, mode)`;
+    * modes 3–5 are the PROGRESSIVE (SOF2) forms of layouts 0–2
+    * (see [[jpegBytesProgressive]]).
+    */
   def jpegBytes(w: Long, h: Long, seed: Long, mode: Int): Array[Byte] = {
+    if (mode >= 3) return jpegBytesProgressive(w, h, seed, mode - 3)
     val mcu = if (mode == 1) 16 else 8
     if (w <= 0 || h <= 0 || w > 0xFFFF || h > 0xFFFF ||
         w % mcu != 0 || h % mcu != 0) return null
@@ -804,6 +1102,290 @@ object JpegSynth {
       }
     }
     bw.flushWithOnes()
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  // ------------------------------------------------ progressive encoder
+
+  /** Custom AC Huffman table for the progressive scans: EOBn (run-end
+    * counts, absent from the Annex K baseline tables), ZRL, and the
+    * (run, size ≤ 2) value symbols the fixture's small coefficients
+    * need — 48 symbols, all length 6 (the all-ones code stays unused,
+    * per T.81 C.2). Written as a real DHT the decoder must parse.
+    */
+  private val ProgAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 48, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcVals: Array[Int] =
+    (0 to 15).flatMap(r => Seq((r << 4) | 0, (r << 4) | 1, (r << 4) | 2))
+      .filter(sym => sym != 0xF1 && sym != 0xF2)
+      .toArray :+ 0xF1 :+ 0xF2
+  private val ProgAcEnc = encTable(ProgAcBits, ProgAcVals)
+
+  /** Complete valid PROGRESSIVE (SOF2) JFIF JPEG from `(w, h, seed)` —
+    * the same generative pixel content as the baseline fixture (the
+    * progressive scan sequence re-codes the identical quantized
+    * coefficients losslessly, so the jpeg_pixels oracle replays it
+    * unchanged), exercising all four scan kinds of T.81 G.1.2: a DC
+    * first scan at Al=1 (interleaved for color), per-component AC first
+    * scans split into two spectral bands with real EOB-run coding (the
+    * constant-chroma planes are pure EOB-run streams), a raw-bit DC
+    * refinement scan, and AC refinement scans running the G.1.2.3
+    * correction-bit algorithm (buffered bits flushed after each symbol,
+    * ZRL only within the newly-significant prefix). `layout` is the
+    * baseline `mode`: 0 grayscale, 1 YCbCr 4:2:0, 2 YCbCr 4:4:4.
+    */
+  def jpegBytesProgressive(w: Long, h: Long, seed: Long, layout: Int): Array[Byte] = {
+    val mcu = if (layout == 1) 16 else 8
+    if (w <= 0 || h <= 0 || w > 0xFFFF || h > 0xFFFF ||
+        w % mcu != 0 || h % mcu != 0) return null
+    val wi = w.toInt; val hi = h.toInt
+    val ch = if (layout == 0) 1 else 3
+    if (w * h * ch > MaxPixelBytes) return null
+    val variant = ChromaVariants(java.lang.Math.floorMod(seed, 4).toInt)
+    val (dr, db) = (variant._1, variant._2)
+    val bwBlocks = wi / 8
+    val bhBlocks = hi / 8
+    // per-component quantized zigzag blocks, raster order
+    val yBlocks = Array.tabulate(bhBlocks * bwBlocks) { bi =>
+      val z = new Array[Int](64)
+      val (m, a, b, d) = blockParams(seed, bi.toLong)
+      z(0) = m - 128; z(10) = b; z(14) = a; z(39) = d
+      z
+    }
+    val (cW, cH) = if (layout == 1) (wi / 16, hi / 16) else (bwBlocks, bhBlocks)
+    val cbBlocks = Array.fill(cH * cW) { val z = new Array[Int](64); z(0) = db; z }
+    val crBlocks = Array.fill(cH * cW) { val z = new Array[Int](64); z(0) = dr; z }
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xFF); out.write(0xD8) // SOI
+    segment(out, 0xE0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0,
+      0, 1, 0, 1, 0, 0))
+    val dqt = new java.io.ByteArrayOutputStream()
+    dqt.write(0x00)
+    Zigzag.foreach(nat => dqt.write(QuantLumaNat(nat)))
+    if (ch == 3) {
+      dqt.write(0x01)
+      Zigzag.foreach(nat => dqt.write(QuantChromaNat(nat)))
+    }
+    segment(out, 0xDB, dqt.toByteArray)
+    // SOF2
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8)
+    sof.write((hi >> 8) & 0xFF); sof.write(hi & 0xFF)
+    sof.write((wi >> 8) & 0xFF); sof.write(wi & 0xFF)
+    sof.write(ch)
+    if (ch == 1) { sof.write(1); sof.write(0x11); sof.write(0) }
+    else {
+      sof.write(1); sof.write(if (layout == 1) 0x22 else 0x11); sof.write(0)
+      sof.write(2); sof.write(0x11); sof.write(1)
+      sof.write(3); sof.write(0x11); sof.write(1)
+    }
+    segment(out, 0xC2, sof.toByteArray)
+    segment(out, 0xC4, dhtPayload(0, 0, DcLumaBits, DcLumaVals))
+    if (ch == 3)
+      segment(out, 0xC4, dhtPayload(0, 1, DcChromaBits, DcChromaVals))
+    segment(out, 0xC4, dhtPayload(1, 0, ProgAcBits, ProgAcVals))
+
+    def sos(comps: Seq[(Int, Int)], ss: Int, se: Int, ah: Int, al: Int)
+        (body: BitWriter => Unit): Unit = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(comps.length)
+      comps.foreach { case (id, tdta) => o.write(id); o.write(tdta) }
+      o.write(ss); o.write(se); o.write((ah << 4) | al)
+      segment(out, 0xDA, o.toByteArray)
+      val bw = new BitWriter(out)
+      body(bw)
+      bw.flushWithOnes()
+    }
+
+    // interleaved (or single-component) block order for the DC scans
+    def dcOrder(f: (Int, Array[Int]) => Unit): Unit = {
+      if (ch == 1) yBlocks.foreach(z => f(0, z))
+      else if (layout == 1) {
+        var my = 0
+        while (my < hi / 16) {
+          var mx = 0
+          while (mx < wi / 16) {
+            var v0 = 0
+            while (v0 < 2) {
+              var h0 = 0
+              while (h0 < 2) {
+                f(0, yBlocks((2 * my + v0) * bwBlocks + 2 * mx + h0))
+                h0 += 1
+              }
+              v0 += 1
+            }
+            f(1, cbBlocks(my * cW + mx))
+            f(2, crBlocks(my * cW + mx))
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        var bi = 0
+        while (bi < yBlocks.length) {
+          f(0, yBlocks(bi)); f(1, cbBlocks(bi)); f(2, crBlocks(bi))
+          bi += 1
+        }
+      }
+    }
+    val dcComps =
+      if (ch == 1) Seq((1, 0x00))
+      else Seq((1, 0x00), (2, 0x10), (3, 0x10))
+
+    // ---- scan 1: DC first, Al = 1 (arithmetic shift per G.1.2.1)
+    sos(dcComps, 0, 0, 0, 1) { bw =>
+      val pred = new Array[Int](3)
+      dcOrder { (ci, z) =>
+        val v = z(0) >> 1
+        val diff = v - pred(ci)
+        pred(ci) = v
+        val enc = if (ci == 0) DcLumaEnc else DcChromaEnc
+        val s = bitLen(math.abs(diff))
+        val code = enc(s)
+        bw.put(code & 0xFFFF, code >>> 16)
+        if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      }
+    }
+
+    // ---- AC first scan for one component band (G.1.2.2): values
+    // point-transformed toward zero, zero bands folded into EOB runs
+    def acFirst(blocks: Array[Array[Int]], ss: Int, se: Int, al: Int)
+        (bw: BitWriter): Unit = {
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val code = ProgAcEnc(r << 4)
+        bw.put(code & 0xFFFF, code >>> 16)
+        if (r > 0) bw.put(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      blocks.foreach { z =>
+        var run = 0
+        var emitted = false
+        var k = ss
+        while (k <= se) {
+          val t0 = z(k)
+          val t = if (t0 < 0) -((-t0) >> al) else t0 >> al
+          if (t == 0) run += 1
+          else {
+            flushEob()
+            while (run >= 16) {
+              val zrl = ProgAcEnc(0xF0)
+              bw.put(zrl & 0xFFFF, zrl >>> 16)
+              run -= 16
+            }
+            val size = bitLen(math.abs(t))
+            val code = ProgAcEnc((run << 4) | size)
+            bw.put(code & 0xFFFF, code >>> 16)
+            bw.put(if (t >= 0) t else t + (1 << size) - 1, size)
+            run = 0
+            emitted = true
+          }
+          k += 1
+        }
+        if (run > 0 || !emitted) {
+          eobrun += 1
+          if (eobrun == 0x7FFF) flushEob()
+        }
+      }
+      flushEob()
+    }
+
+    // ---- AC refinement scan (G.1.2.3, the jcphuff shape): correction
+    // bits buffered and flushed after each emitted symbol; ZRL only
+    // within the prefix ending at the last newly-significant coefficient
+    def acRefine(blocks: Array[Array[Int]], ss: Int, se: Int, al: Int)
+        (bw: BitWriter): Unit = {
+      var eobrun = 0
+      // two correction-bit pools, the G.1.2.3 emission discipline: `be`
+      // holds bits tied to the pending EOB run (the decoder consumes
+      // them while replaying the run's blocks, AFTER the EOBn symbol);
+      // `br` holds the current block's bits since the last symbol (the
+      // decoder consumes them while advancing past the NEXT symbol)
+      val be = new scala.collection.mutable.ArrayBuffer[Int]()
+      val brB = new scala.collection.mutable.ArrayBuffer[Int]()
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val code = ProgAcEnc(r << 4)
+        bw.put(code & 0xFFFF, code >>> 16)
+        if (r > 0) bw.put(eobrun - (1 << r), r)
+        eobrun = 0
+        be.foreach(bit => bw.put(bit, 1))
+        be.clear()
+      }
+      blocks.foreach { z =>
+        val absv = new Array[Int](64)
+        var eobPos = ss - 1 // index of the LAST newly-significant coef
+        var k = ss
+        while (k <= se) {
+          val a0 = math.abs(z(k)) >> al
+          absv(k) = a0
+          if (a0 == 1) eobPos = k
+          k += 1
+        }
+        var r = 0
+        k = ss
+        while (k <= se) {
+          val t = absv(k)
+          if (t == 0) r += 1
+          else {
+            // emit required ZRLs unless foldable into the block's EOB
+            while (r > 15 && k <= eobPos) {
+              emitEobrun()
+              val zrl = ProgAcEnc(0xF0)
+              bw.put(zrl & 0xFFFF, zrl >>> 16)
+              r -= 16
+              brB.foreach(bit => bw.put(bit, 1))
+              brB.clear()
+            }
+            if (t > 1) brB += (t & 1) // history nonzero: correction bit
+            else {
+              // newly significant: EOBn (+ its run's bits), the value
+              // symbol, the sign, then this block's buffered bits
+              emitEobrun()
+              val code = ProgAcEnc((r << 4) | 1)
+              bw.put(code & 0xFFFF, code >>> 16)
+              bw.put(if (z(k) < 0) 0 else 1, 1)
+              brB.foreach(bit => bw.put(bit, 1))
+              brB.clear()
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || brB.nonEmpty) {
+          eobrun += 1
+          be ++= brB
+          brB.clear()
+          if (eobrun == 0x7FFF) emitEobrun()
+        }
+      }
+      emitEobrun()
+    }
+
+    val yBands = Seq((1, 13), (14, 63))
+    // ---- scans 2..: AC first, Al = 1, per component
+    yBands.foreach { case (s1, s2) =>
+      sos(Seq((1, 0x00)), s1, s2, 0, 1)(acFirst(yBlocks, s1, s2, 1))
+    }
+    if (ch == 3) {
+      sos(Seq((2, 0x00)), 1, 63, 0, 1)(acFirst(cbBlocks, 1, 63, 1))
+      sos(Seq((3, 0x00)), 1, 63, 0, 1)(acFirst(crBlocks, 1, 63, 1))
+    }
+    // ---- DC refinement: one raw bit per block, interleaved order
+    sos(dcComps, 0, 0, 1, 0) { bw =>
+      dcOrder((_, z) => bw.put(z(0) & 1, 1))
+    }
+    // ---- AC refinement, Ah = 1, Al = 0
+    yBands.foreach { case (s1, s2) =>
+      sos(Seq((1, 0x00)), s1, s2, 1, 0)(acRefine(yBlocks, s1, s2, 0))
+    }
+    if (ch == 3) {
+      sos(Seq((2, 0x00)), 1, 63, 1, 0)(acRefine(cbBlocks, 1, 63, 0))
+      sos(Seq((3, 0x00)), 1, 63, 1, 0)(acRefine(crBlocks, 1, 63, 0))
+    }
     out.write(0xFF); out.write(0xD9) // EOI
     out.toByteArray
   }

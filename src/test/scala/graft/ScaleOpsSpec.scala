@@ -889,6 +889,185 @@ class ScaleOpsSpec extends SparkSpec {
       .head().getBoolean(0))
   }
 
+  test("SynthJpeg progressive: spectral-selection + successive-approximation scans decode to the exact block formula") {
+    import org.apache.spark.sql.graftnative.JpegSynth
+    // modes 3-5 = progressive forms of gray / 4:2:0 / 4:4:4; same sizes
+    // and chroma-variant coverage as the baseline test — progressive
+    // re-codes the identical quantized coefficients losslessly
+    val rows = Seq((16L, 16L, 0L), (32L, 16L, 1L), (48L, 32L, 2L),
+      (16L, 32L, 3L), (32L, 32L, 5L), (48L, 16L, 6L)).toDF("w", "h", "seed")
+    for (mode <- 3 to 5) {
+      val dec = rows.select(col("seed"), col("w"), col("h"),
+        ScaleOps.imageDecode(ScaleOps.synthJpeg(col("w"), col("h"),
+          col("seed"), mode)).as("r")).collect()
+      dec.foreach { r =>
+        val seed = r.getLong(0)
+        val w = r.getLong(1).toInt; val h = r.getLong(2).toInt
+        val st = r.getStruct(3)
+        assert(st.getString(0) == "jpeg", s"mode=$mode seed=$seed")
+        assert(st.getInt(1) == w && st.getInt(2) == h, s"mode=$mode seed=$seed")
+        val ch = st.getInt(3)
+        assert(ch == (if (mode == 3) 1 else 3))
+        val px = st.getAs[Array[Byte]](4)
+        val v = JpegSynth.ChromaVariants(java.lang.Math.floorMod(seed, 4).toInt)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val yv = JpegSynth.lumaAt(seed, w, x, y)
+            if (ch == 1)
+              assert((px(y * w + x) & 0xFF) == yv,
+                s"mode=$mode seed=$seed ($x,$y)")
+            else {
+              val d = (y * w + x) * 3
+              assert((px(d) & 0xFF) == yv + v._3 &&
+                (px(d + 1) & 0xFF) == yv + v._4 &&
+                (px(d + 2) & 0xFF) == yv + v._5,
+                s"mode=$mode seed=$seed ($x,$y)")
+            }
+            x += 1
+          }
+          y += 1
+        }
+      }
+    }
+    // a TRUNCATED progressive stream (EOI before any scan data, or a
+    // scan cut mid-entropy-data) rejects — never partial pixels
+    val full = rows.limit(1)
+      .select(ScaleOps.synthJpeg(lit(16L), lit(16L), lit(1L), 4))
+      .head().getAs[Array[Byte]](0)
+    def decBytes(b: Array[Byte]): String =
+      Seq(Tuple1(b)).toDF("p")
+        .select(ScaleOps.imageDecode(col("p")).as("r"))
+        .select(col("r.format")).head().getString(0)
+    assert(decBytes(full) == "jpeg")
+    // drop the EOI plus some scan tail
+    assert(decBytes(full.dropRight(8)) == "unknown")
+    // cut inside the FIRST scan: find the first SOS and truncate after it
+    val firstSos = (0 until full.length - 1).find(i =>
+      (full(i) & 0xFF) == 0xFF && (full(i + 1) & 0xFF) == 0xDA).get
+    assert(decBytes(full.take(firstSos + 20)) == "unknown")
+  }
+
+  test("ImageDecode: golden hand-packed PROGRESSIVE JPEG — negative coefficients, refinement sign, baseline equivalence") {
+    // hand-built 8×8 grayscale streams with quant table all-1s and a
+    // three-coefficient spectrum (DC, zz1, zz3): the progressive coding
+    // (DC first Al=1 → AC first Al=1 → DC refine → AC refine) must
+    // reconstruct the identical spectrum as a baseline single scan —
+    // negative values pin the arithmetic-vs-toward-zero point transform
+    // and the refinement sign conventions the fixture (all-nonnegative
+    // ACs) cannot reach
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, marker.toByte,
+        (((payload.length + 2) >> 8) & 0xFF).toByte,
+        ((payload.length + 2) & 0xFF).toByte) ++ payload
+    val dqt = seg(0xDB, Array[Byte](0x00) ++ Array.fill(64)(1.toByte))
+    def sof(marker: Int) = seg(marker, Array[Byte](8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    // DC table: categories 0..3 at length 2 ('00'..'11')
+    val dhtDc = seg(0xC4, Array[Byte](0x00) ++
+      Array[Byte](0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      Array[Byte](0, 1, 2, 3))
+    // AC table: 7 symbols at length 3 ('000'..'110')
+    val acSyms = Array(0x00, 0x01, 0x02, 0x03, 0x11, 0x12, 0xF0)
+    val dhtAc = seg(0xC4, Array[Byte](0x10) ++
+      Array[Byte](0, 0, 7, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      acSyms.map(_.toByte))
+    val acCode = acSyms.zipWithIndex.toMap // symbol -> 3-bit code
+    val dcCode = Map(0 -> 0, 1 -> 1, 2 -> 2, 3 -> 3) // 2-bit codes
+    class BW {
+      val out = collection.mutable.ArrayBuffer.empty[Byte]
+      var acc = 0; var n = 0
+      def put(v: Int, len: Int): Unit = (len - 1 to 0 by -1).foreach { k =>
+        acc = (acc << 1) | ((v >> k) & 1); n += 1
+        if (n == 8) {
+          out += acc.toByte
+          if ((acc & 0xFF) == 0xFF) out += 0 // byte stuffing
+          acc = 0; n = 0
+        }
+      }
+      def pad(): Array[Byte] = { if (n > 0) put((1 << (8 - n)) - 1, 8 - n); out.toArray }
+    }
+    def mag(v: Int, s: Int): Int = if (v >= 0) v else v + (1 << s) - 1
+    def bitLen(v: Int) = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def sos(comps: Array[Byte], ss: Int, se: Int, ah: Int, al: Int,
+        body: BW => Unit): Array[Byte] = {
+      val hdr = seg(0xDA, Array[Byte]((comps.length / 2).toByte) ++ comps ++
+        Array[Byte](ss.toByte, se.toByte, ((ah << 4) | al).toByte))
+      val bw = new BW
+      body(bw)
+      hdr ++ bw.pad()
+    }
+    def decodePx(b: Array[Byte]): (String, Seq[Byte]) = {
+      val st = Seq(Tuple1(b)).toDF("p")
+        .select(ScaleOps.imageDecode(col("p")).as("r"))
+        .select(col("r.format"), col("r.pixels")).head()
+      (st.getString(0),
+        Option(st.get(1)).map(_.asInstanceOf[Array[Byte]].toSeq).orNull)
+    }
+    val soi = Array(0xFF.toByte, 0xD8.toByte)
+    val eoi = Array(0xFF.toByte, 0xD9.toByte)
+    for ((dc, ac1, ac3) <- Seq((-6, -5, 1), (-6, -5, -1), (7, 4, -3))) {
+      // baseline reference: one full scan of the same spectrum
+      val base = soi ++ dqt ++ sof(0xC0) ++ dhtDc ++ dhtAc ++
+        sos(Array[Byte](1, 0x00), 0, 63, 0, 0, { bw =>
+          val sD = bitLen(dc)
+          bw.put(dcCode(sD), 2); bw.put(mag(dc, sD), sD)
+          val s1 = bitLen(ac1)
+          bw.put(acCode(s1), 3); bw.put(mag(ac1, s1), s1) // r=0 at zz1
+          val s3 = bitLen(ac3)
+          bw.put(acCode(0x10 | s3), 3); bw.put(mag(ac3, s3), s3) // r=1 at zz3
+          bw.put(acCode(0x00), 3) // EOB
+        }) ++ eoi
+      val (fB, pxB) = decodePx(base)
+      assert(fB == "jpeg", s"baseline ($dc,$ac1,$ac3)")
+      // progressive: the same spectrum across four scans
+      val prog = soi ++ dqt ++ sof(0xC2) ++ dhtDc ++ dhtAc ++
+        sos(Array[Byte](1, 0x00), 0, 0, 0, 1, { bw =>
+          val v = dc >> 1 // arithmetic shift (G.1.2.1)
+          val s = bitLen(v)
+          bw.put(dcCode(s), 2); if (s > 0) bw.put(mag(v, s), s)
+        }) ++
+        sos(Array[Byte](1, 0x00), 1, 63, 0, 1, { bw =>
+          // toward-zero point transform (G.1.2.2)
+          def pt(v: Int) = if (v < 0) -((-v) >> 1) else v >> 1
+          val t1 = pt(ac1); val t3 = pt(ac3)
+          if (t1 != 0) { val s = bitLen(t1); bw.put(acCode(s), 3); bw.put(mag(t1, s), s) }
+          if (t3 != 0) {
+            val r = if (t1 != 0) 1 else 2 // zz2 (and zz1 if zero) skipped
+            val s = bitLen(t3)
+            bw.put(acCode((r << 4) | s), 3); bw.put(mag(t3, s), s)
+          }
+          bw.put(acCode(0x00), 3) // EOB for the rest
+        }) ++
+        sos(Array[Byte](1, 0x00), 0, 0, 1, 0, bw => bw.put(dc & 1, 1)) ++
+        sos(Array[Byte](1, 0x00), 1, 63, 1, 0, { bw =>
+          // G.1.2.3 refinement: history from the Al=1 scan
+          def hist(v: Int) = if (v < 0) -((-v) >> 1) else v >> 1
+          val brB = collection.mutable.ArrayBuffer.empty[Int]
+          var r = 0
+          Seq((1, ac1), (2, 0), (3, ac3)).foreach { case (_, v) =>
+            val t = math.abs(v)
+            if (t == 0) r += 1
+            else if (hist(v) != 0) brB += (t & 1)
+            else { // newly significant
+              bw.put(acCode((r << 4) | 1), 3)
+              bw.put(if (v < 0) 0 else 1, 1)
+              brB.foreach(bit => bw.put(bit, 1)); brB.clear()
+              r = 0
+            }
+          }
+          // trailing zz4..63 all zero-history: one EOB covering the
+          // block's remainder, then the still-buffered correction bits
+          bw.put(acCode(0x00), 3)
+          brB.foreach(bit => bw.put(bit, 1))
+        }) ++ eoi
+      val (fP, pxP) = decodePx(prog)
+      assert(fP == "jpeg", s"progressive ($dc,$ac1,$ac3)")
+      assert(pxP == pxB,
+        s"progressive pixels must equal baseline for spectrum ($dc,$ac1,$ac3)")
+    }
+  }
+
   test("ImageDecode: golden hand-packed JPEG — DC-only blocks, crop, reject matrix") {
     def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
       Array(0xFF.toByte, marker.toByte,

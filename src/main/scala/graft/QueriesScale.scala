@@ -1493,6 +1493,56 @@ object QueriesScale {
         | CAST(b_sum AS BIGINT) AS b_sum
         |FROM s ORDER BY doc_id""".stripMargin))
 
+  // COLOR-INDEXING (palette) VP8L — the fourth and final transform,
+  // closing the format: a 2–32-color palette (all four pixel-bundling
+  // widths, including the unpacked >16 form) is DELTA-decoded from a
+  // real entropy-coded palette sub-image, and the main image's packed
+  // indices are unbundled from the REDUCED coded width back to full
+  // resolution. The oracle replays the palette and index formulas only —
+  // a hash match proves delta accumulation, LSB-first unbundling, and
+  // the width arithmetic are exact. Out-of-range-index and
+  // combined-transform rejects are pinned by hand goldens in
+  // ScaleOpsSpec.
+  private val webpPalettePixelsQ = Q(
+    (s, dir) => {
+      val w = lit(3L) + col("doc_id") % 11
+      val h = lit(3L) + col("doc_id") % 9
+      val raster = ScaleOps.imageDecode(
+        ScaleOps.synthWebpLPalette(w, h, col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raster.as("r"))
+        .select(col("doc_id"),
+          col("r.format").as("format"),
+          col("r.width").cast(LongType).as("width"),
+          col("r.height").cast(LongType).as("height"),
+          ScaleOps.rasterChannelSums(
+            ScaleOps.imageResizeNN(col("r"), 4, 4)).as("s"))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("s").getItem(0).as("r_sum"),
+          col("s").getItem(1).as("g_sum"),
+          col("s").getItem(2).as("b_sum"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 11 AS w, 3 + doc_id % 9 AS h,
+        |           2 + doc_id % 31 AS sz FROM documents),
+        | g AS (SELECT d.doc_id, d.w, d.h, d.sz, gx.range AS x, gy.range AS y
+        |        FROM d CROSS JOIN range(0, 4) gx CROSS JOIN range(0, 4) gy),
+        | px AS (SELECT doc_id, w, h, sz,
+        |         (y * h // 4) * w + (x * w // 4) AS p FROM g),
+        | ix AS (SELECT doc_id, w, h,
+        |         (doc_id * 31 + p * 7) % sz AS idx FROM px),
+        | s AS (SELECT doc_id, w, h,
+        |        SUM((doc_id * 13 + idx * 11) % 256) AS r_sum,
+        |        SUM((doc_id * 17 + idx * 7) % 256) AS g_sum,
+        |        SUM((doc_id * 19 + idx * 3) % 256) AS b_sum
+        |       FROM ix GROUP BY 1, 2, 3)
+        |SELECT doc_id, 'webp' AS format,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+        | CAST(b_sum AS BIGINT) AS b_sum
+        |FROM s ORDER BY doc_id""".stripMargin))
+
   private val webpPixelsQ = Q(
     (s, dir) => {
       val w = lit(3L) + col("doc_id") % 11
@@ -4319,6 +4369,7 @@ object QueriesScale {
     "jpeg_progressive_pixels" -> jpegProgressivePixelsQ,
     "webp_pixels" -> webpPixelsQ,
     "webp_pred_pixels" -> webpPredPixelsQ,
+    "webp_palette_pixels" -> webpPalettePixelsQ,
     "audio_pcm" -> audioPcmQ,
     "flac_pcm" -> flacPcmQ,
     "video_frames" -> videoFramesQ,

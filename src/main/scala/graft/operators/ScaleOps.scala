@@ -1426,6 +1426,13 @@ object ScaleOps {
   def synthWebpLPred(w: Column, h: Column, seed: Column): Column =
     org.apache.spark.sql.graftnative.WebpSynthFunctions.synth_webpl_pred(w, h, seed)
 
+  /** Color-indexing (palette) lossless WebP fixture from `(w, h, seed)` —
+    * delta-coded palette sub-image + pixel-bundled packed indices
+    * (see [[org.apache.spark.sql.graftnative.SynthWebpLPalette]]).
+    */
+  def synthWebpLPalette(w: Column, h: Column, seed: Column): Column =
+    org.apache.spark.sql.graftnative.WebpSynthFunctions.synth_webpl_palette(w, h, seed)
+
   /** Complete valid baseline JFIF JPEG fixture from `(w, h, seed)` —
     * real Annex-K Huffman entropy coding, DC-diff + run-length AC
     * coding, byte stuffing; content chosen where the DCT round trip is

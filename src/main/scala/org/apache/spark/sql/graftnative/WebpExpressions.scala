@@ -313,6 +313,7 @@ object WebpCodec {
   private val TransformPredictor = 0
   private val TransformColor = 1
   private val TransformSubtractGreen = 2
+  private val TransformColorIndexing = 3
 
   /** One transform read from the stream: `bits`/`tw`/`data` are the
     * sub-image block size and decoded sub-image (predictor modes or
@@ -479,6 +480,36 @@ object WebpCodec {
     }
   }
 
+  /** Inverse color-indexing: unbundle packed palette indices (the coded
+    * image's green channel, LSB-first sub-positions) back to full width
+    * and look each up in the delta-decoded palette. An index beyond the
+    * palette yields 0x00000000, per spec.
+    */
+  private def inverseColorIndexing(packed: Array[Int], w: Int, h: Int,
+      tr: Transform): Array[Int] = {
+    val widthBits = tr.bits
+    val size = tr.tw
+    val pal = tr.data
+    val packedW = divRoundUp(w, widthBits)
+    val bitsPerPx = 8 >> widthBits
+    val mask = (1 << widthBits) - 1
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (packed(y * packedW + (x >> widthBits)) >> 8) & 0xFF
+        val idx =
+          if (widthBits == 0) g
+          else (g >> (bitsPerPx * (x & mask))) & ((1 << bitsPerPx) - 1)
+        out(y * w + x) = if (idx < size) pal(idx) else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   private def divRoundUp(a: Int, shift: Int): Int = (a + (1 << shift) - 1) >> shift
 
   /** Decode one entropy-coded image (spec DecodeImageStream). At level 0
@@ -493,7 +524,7 @@ object WebpCodec {
   private def decodeImage(br: BitReader, w0: Int, h0: Int, level0: Boolean,
       transformsOut: scala.collection.mutable.ArrayBuffer[Transform])
       : Array[Int] = {
-    val w = w0
+    var w = w0 // color-indexing pixel bundling NARROWS the coded image
     val h = h0
     if (level0) {
       var more = br.bits(1)
@@ -514,11 +545,33 @@ object WebpCodec {
             val sub = decodeImage(br, tw, th, level0 = false, transformsOut)
             if (sub == null) return null
             transformsOut += new Transform(kind, bits, tw, sub)
-          case _ => return null // color-indexing: out of scope
+          case _ => // color-indexing (palette): the coded image carries
+            // packed palette INDICES in its green channel, ≤16-color
+            // palettes bundling several pixels per coded pixel — the
+            // coded width shrinks for everything that follows
+            val size = br.bits(8) + 1
+            if (!br.ok) return null
+            val pal = decodeImage(br, size, 1, level0 = false, transformsOut)
+            if (pal == null) return null
+            // palette entries are DELTA-coded per channel (spec):
+            // cumulative mod-256 add from the first entry
+            var pi = 1
+            while (pi < size) { pal(pi) = addPixels(pal(pi), pal(pi - 1)); pi += 1 }
+            val widthBits =
+              if (size <= 2) 3 else if (size <= 4) 2
+              else if (size <= 16) 1 else 0
+            transformsOut += new Transform(TransformColorIndexing, widthBits,
+              size, pal)
+            w = divRoundUp(w, widthBits)
         }
         more = br.bits(1)
       }
       if (!br.ok) return null
+      // the packed-index stream composes awkwardly with spatial
+      // transforms (they would operate on the packed grid); real palette
+      // encoders emit indexing alone, and this decoder holds that line
+      if (transformsOut.exists(_.kind == TransformColorIndexing) &&
+          transformsOut.length != 1) return null
     }
     // color cache
     var cacheBits = 0
@@ -664,7 +717,7 @@ object WebpCodec {
     if (br.bits(3) != 0 || !br.ok) return unknown // version must be 0
     if (3L * w * h > MaxPixelBytes) return unknown
     val transforms = scala.collection.mutable.ArrayBuffer.empty[Transform]
-    val argb = decodeImage(br, w, h, level0 = true, transforms)
+    var argb = decodeImage(br, w, h, level0 = true, transforms)
     if (argb == null) return unknown
     // inverse transforms in REVERSE read order (spec)
     var ti = transforms.length - 1
@@ -675,6 +728,8 @@ object WebpCodec {
           if (!inversePredictor(argb, w, h, tr)) return unknown
         case TransformColor => inverseColor(argb, w, h, tr)
         case TransformSubtractGreen => inverseSubtractGreen(argb)
+        case TransformColorIndexing =>
+          argb = inverseColorIndexing(argb, w, h, tr)
         case _ => return unknown
       }
       ti -= 1
@@ -1148,6 +1203,129 @@ object WebpSynth {
     if ((pl.length & 1) == 1) out.write(0) // RIFF even padding
     out.toByteArray
   }
+
+  /** Fully-general literal image writer (all four channels vary) — the
+    * palette sub-image's delta pixels need real codes on every channel.
+    */
+  private def writeLiteralImageFull(bw: BitWriter, px: Array[Int]): Unit = {
+    bw.put(0, 1) // no color cache
+    val gFreq = new Array[Long](256 + 24)
+    val rFreq = new Array[Long](256)
+    val bFreq = new Array[Long](256)
+    val aFreq = new Array[Long](256)
+    px.foreach { p =>
+      gFreq((p >> 8) & 0xFF) += 1
+      rFreq((p >> 16) & 0xFF) += 1
+      bFreq(p & 0xFF) += 1
+      aFreq((p >>> 24) & 0xFF) += 1
+    }
+    val lens = Array(huffmanLengths(gFreq), huffmanLengths(rFreq),
+      huffmanLengths(bFreq), huffmanLengths(aFreq))
+    val codes = lens.map(canonical)
+    val singles = lens.map(_.count(_ > 0) == 1)
+    lens.foreach(writeNormalCode(bw, _))
+    bw.put(1, 1); bw.put(0, 1); bw.put(1, 1); bw.put(0, 8) // dist: simple 1-symbol
+    px.foreach { p =>
+      val chs = Array((p >> 8) & 0xFF, (p >> 16) & 0xFF, p & 0xFF,
+        (p >>> 24) & 0xFF)
+      var c = 0
+      while (c < 4) {
+        if (!singles(c)) putCode(bw, codes(c)(chs(c)), lens(c)(chs(c)))
+        c += 1
+      }
+    }
+  }
+
+  /** COLOR-INDEXING (palette) fixture encoder — the last VP8L transform,
+    * completing the decoder's format coverage: a `2 + (seed mod 31)`-color
+    * palette (sizes 2–32 sweep all four pixel-bundling widths, including
+    * the unpacked >16 form), DELTA-coded through a real entropy-coded
+    * palette sub-image with varying codes on every channel, and a main
+    * image of LSB-first-bundled packed indices at the REDUCED coded
+    * width. Pixels replay arithmetically: index of pixel p is
+    * `(seed·31 + p·7) mod size`, palette entry i is
+    * `((seed·13 + i·11) mod 256, (seed·17 + i·7) mod 256,
+    * (seed·19 + i·3) mod 256)` — the oracle recomputes both.
+    */
+  def webpBytesPalette(w: Long, h: Long, seed: Long): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
+        3L * w * h > MaxPixelBytes) return null
+    val wi = w.toInt; val hi = h.toInt
+    val size = 2 + java.lang.Math.floorMod(seed, 31).toInt
+    def palR(i: Int) = java.lang.Math.floorMod(seed * 13 + i * 11L, 256).toInt
+    def palG(i: Int) = java.lang.Math.floorMod(seed * 17 + i * 7L, 256).toInt
+    def palB(i: Int) = java.lang.Math.floorMod(seed * 19 + i * 3L, 256).toInt
+    def idxOf(p: Int) = java.lang.Math.floorMod(seed * 31 + p * 7L, size).toInt
+    val widthBits =
+      if (size <= 2) 3 else if (size <= 4) 2 else if (size <= 16) 1 else 0
+    val packedW = (wi + (1 << widthBits) - 1) >> widthBits
+    val bitsPerPx = 8 >> widthBits
+    // delta-coded palette pixels (alpha 255 throughout → delta 0 past i=0)
+    val palDelta = Array.tabulate(size) { i =>
+      val (r, g, b) =
+        if (i == 0) (palR(0), palG(0), palB(0))
+        else ((palR(i) - palR(i - 1)) & 0xFF, (palG(i) - palG(i - 1)) & 0xFF,
+          (palB(i) - palB(i - 1)) & 0xFF)
+      val a = if (i == 0) 255 else 0
+      (a << 24) | (r << 16) | (g << 8) | b
+    }
+    // packed main-image greens, bundled per row LSB-first
+    val greens = new Array[Int](packedW * hi)
+    var y = 0
+    while (y < hi) {
+      var x = 0
+      while (x < wi) {
+        val idx = idxOf(y * wi + x)
+        val gi = y * packedW + (x >> widthBits)
+        greens(gi) |= idx << (bitsPerPx * (x & ((1 << widthBits) - 1)))
+        x += 1
+      }
+      y += 1
+    }
+    val payload = new java.io.ByteArrayOutputStream()
+    payload.write(0x2F)
+    val bw = new BitWriter(payload)
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1) // alpha hint
+    bw.put(0, 3) // version
+    bw.put(1, 1)
+    bw.put(3, 2) // color-indexing transform
+    bw.put(size - 1, 8)
+    writeLiteralImageFull(bw, palDelta)
+    bw.put(0, 1) // end of transforms
+    bw.put(0, 1) // no color cache
+    bw.put(0, 1) // no meta-Huffman
+    // main image at the packed width: greens carry the bundled indices
+    val gFreq = new Array[Long](256 + 24)
+    greens.foreach(g => gFreq(g) += 1)
+    val gLen = huffmanLengths(gFreq)
+    val gCode = canonical(gLen)
+    val gSingle = gLen.count(_ > 0) == 1
+    writeNormalCode(bw, gLen)
+    def simpleOne(sym: Int): Unit = {
+      bw.put(1, 1); bw.put(0, 1); bw.put(1, 1); bw.put(sym, 8)
+    }
+    simpleOne(0); simpleOne(0); simpleOne(255); simpleOne(0)
+    if (!gSingle) greens.foreach(g => putCode(bw, gCode(g), gLen(g)))
+    bw.flush()
+    val pl = payload.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(str: String): Unit =
+      out.write(str.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 4)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    ascii("RIFF")
+    le32(4L + 8 + pl.length + (pl.length & 1))
+    ascii("WEBP")
+    ascii("VP8L")
+    le32(pl.length.toLong)
+    out.write(pl, 0, pl.length)
+    if ((pl.length & 1) == 1) out.write(0) // RIFF even padding
+    out.toByteArray
+  }
 }
 
 /** Fixture expression for [[WebpSynth.webpBytesPred]] — the predictor +
@@ -1176,6 +1354,32 @@ case class SynthWebpLPred(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Fixture expression for [[WebpSynth.webpBytesPalette]] — the
+  * color-indexing (palette) VP8L stream.
+  */
+case class SynthWebpLPalette(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(w: Any, h: Any, seed: Any): Any =
+    WebpSynth.webpBytesPalette(w.asInstanceOf[Long], h.asInstanceOf[Long],
+      seed.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, h, s) => s"""
+      ${ev.value} = org.apache.spark.sql.graftnative.WebpSynth.webpBytesPalette($w, $h, $s);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object WebpSynthFunctions {
   /** Column API: complete valid lossless WebP from `(w, h, seed)`. */
   def synth_webpl(w: Column, h: Column, seed: Column): Column =
@@ -1185,5 +1389,10 @@ object WebpSynthFunctions {
   /** Column API: predictor + meta-Huffman lossless WebP fixture. */
   def synth_webpl_pred(w: Column, h: Column, seed: Column): Column =
     ExpressionUtils.column(SynthWebpLPred(ExpressionUtils.expression(w),
+      ExpressionUtils.expression(h), ExpressionUtils.expression(seed)))
+
+  /** Column API: color-indexing (palette) lossless WebP fixture. */
+  def synth_webpl_palette(w: Column, h: Column, seed: Column): Column =
+    ExpressionUtils.column(SynthWebpLPalette(ExpressionUtils.expression(w),
       ExpressionUtils.expression(h), ExpressionUtils.expression(seed)))
 }

@@ -1406,6 +1406,157 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("WebpCodec: golden hand-packed VP8L color-indexing — packing, delta palette, out-of-range index, combo reject") {
+    class BW {
+      val out = collection.mutable.ArrayBuffer.empty[Int]
+      var acc = 0L; var n = 0
+      def put(v: Long, len: Int): Unit = {
+        acc |= (v & ((1L << len) - 1)) << n; n += len
+        while (n >= 8) { out += (acc & 0xFF).toInt; acc >>>= 8; n -= 8 }
+      }
+      def code(c: Int, len: Int): Unit =
+        (len - 1 to 0 by -1).foreach(k => put((c >> k) & 1, 1))
+      def flush(): Unit = if (n > 0) { out += (acc & 0xFF).toInt; n = 0 }
+    }
+    def riff(payload: Seq[Int]): Array[Byte] = {
+      def le32(v: Int) = Seq(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF,
+        (v >> 24) & 0xFF)
+      val p = payload ++ (if (payload.size % 2 == 1) Seq(0) else Seq())
+      (Seq('R', 'I', 'F', 'F').map(_.toInt) ++ le32(4 + 8 + p.size) ++
+        Seq('W', 'E', 'B', 'P', 'V', 'P', '8', 'L').map(_.toInt) ++
+        le32(payload.size) ++ p).map(_.toByte).toArray
+    }
+    def simpleOne(bw: BW, sym: Int): Unit = {
+      bw.put(1, 1); bw.put(0, 1); bw.put(1, 1); bw.put(sym, 8)
+    }
+    def simpleTwo(bw: BW, s0: Int, s1: Int): Unit = {
+      require(s0 < s1)
+      bw.put(1, 1); bw.put(1, 1); bw.put(1, 1); bw.put(s0, 8); bw.put(s1, 8)
+    }
+    // 5×2 image, 3-color palette → widthBits 2 (4 px per coded pixel,
+    // 2 bits each, LSB-first), coded width ceil(5/4) = 2. Palette
+    // (10,20,30), (15,25,35), (20,30,40) — DELTAS (10,20,30), (5,5,5),
+    // (5,5,5), every channel a real 2-symbol code. Index grid
+    // (row-major): row0 = 0,1,2,0,1 ; row1 = 2,0,1,2,3 — the last index
+    // (3) is OUT OF RANGE for a 3-color palette → 0x00000000 per spec.
+    val bw2 = new BW
+    bw2.put(0x2F, 8)
+    bw2.put(5 - 1, 14); bw2.put(2 - 1, 14); bw2.put(0, 1); bw2.put(0, 3)
+    bw2.put(1, 1); bw2.put(3, 2)
+    bw2.put(3 - 1, 8)
+    bw2.put(0, 1) // palette sub-image: no cache
+    simpleTwo(bw2, 5, 20) // green deltas {20, 5, 5}: 20->'1'? no: 5<20 so 5='0',20='1'
+    simpleTwo(bw2, 5, 10) // red deltas {10, 5, 5}
+    simpleTwo(bw2, 5, 30) // blue deltas {30, 5, 5}
+    simpleTwo(bw2, 0, 255) // alpha deltas {255, 0, 0}
+    simpleOne(bw2, 0) // distance
+    // palette pixels: delta0 (a255,r10,g20,b30): g'1' r'1' b'1' a'1';
+    // deltas 1,2 (a0,r5,g5,b5): g'0' r'0' b'0' a'0' ×2
+    bw2.put(1, 1); bw2.put(1, 1); bw2.put(1, 1); bw2.put(1, 1)
+    bw2.put(0, 1); bw2.put(0, 1); bw2.put(0, 1); bw2.put(0, 1)
+    bw2.put(0, 1); bw2.put(0, 1); bw2.put(0, 1); bw2.put(0, 1)
+    bw2.put(0, 1) // end of transforms
+    bw2.put(0, 1) // main image: no color cache
+    bw2.put(0, 1) // no meta-Huffman
+    // packed greens, 2 bits per index LSB-first:
+    // row0: (0,1,2,0)->0b00_10_01_00=0x24, (1)->0x01
+    // row1: (2,0,1,2)->0b10_01_00_10=0x92, (3)->0x03
+    // distinct greens {0x24, 0x01, 0x92, 0x03}: 4 symbols — use a
+    // normal green code? simple codes carry max 2 symbols; use two
+    // 2-symbol... not possible. Emit greens via an 8-bit-first simple
+    // code is out; instead reuse the LZ77 golden's greenTwoSymbols for
+    // a 4-symbol normal code.
+    def greenFour(bwx: BW, syms: Seq[Int]): Unit = {
+      // normal code with four length-2 symbols through the code-length
+      // coding (cl lengths {0:2, 2:2, 17:2, 18:2})
+      bwx.put(0, 1); bwx.put(19 - 4, 4)
+      val lens = Map(0 -> 2, 2 -> 2, 17 -> 2, 18 -> 2)
+      Seq(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+        .foreach(s => bwx.put(lens.getOrElse(s, 0).toLong, 3))
+      bwx.put(0, 1) // no max-symbol shortcut
+      // cl codes: 0='00', 2='01', 17='10', 18='11'
+      def zeros(n0: Int): Unit = {
+        var left = n0
+        while (left > 0) {
+          if (left >= 11) { val t = math.min(left, 138)
+            bwx.code(3, 2); bwx.put(t - 11, 7); left -= t }
+          else if (left >= 3) { bwx.code(2, 2); bwx.put(left - 3, 3); left = 0 }
+          else { bwx.code(0, 2); left -= 1 }
+        }
+      }
+      var prev = -1
+      syms.sorted.foreach { s =>
+        zeros(s - prev - 1); bwx.code(1, 2); prev = s // cl symbol 2
+      }
+      zeros(280 - prev - 1)
+    }
+    val packedSyms = Seq(0x24, 0x01, 0x92, 0x03)
+    greenFour(bw2, packedSyms)
+    simpleOne(bw2, 0); simpleOne(bw2, 0); simpleOne(bw2, 255); simpleOne(bw2, 0)
+    // canonical codes for sorted {0x01,0x03,0x24,0x92}: '00','01','10','11'
+    val gc = packedSyms.sorted.zipWithIndex.toMap
+    Seq(0x24, 0x01, 0x92, 0x03).foreach(s => bw2.code(gc(s), 2))
+    bw2.flush()
+    val st = Seq(Tuple1(riff(bw2.out.toSeq))).toDF("p")
+      .select(ScaleOps.imageDecode(col("p")).as("r"))
+      .select(col("r.format"), col("r.width"), col("r.height"), col("r.pixels"))
+      .head()
+    assert((st.getString(0), st.getInt(1), st.getInt(2)) == (("webp", 5, 2)))
+    val px = st.getAs[Array[Byte]](3).map(_ & 0xFF).toSeq
+    val pal = Seq(Seq(10, 20, 30), Seq(15, 25, 35), Seq(20, 30, 40))
+    val want = (Seq(0, 1, 2, 0, 1).map(pal) ++
+      Seq(2, 0, 1, 2).map(pal) :+ Seq(0, 0, 0)).flatten // idx 3 → black
+    assert(px == want, s"palette pixels: got $px want $want")
+
+    // combined transforms with indexing reject (decoder scope line)
+    val bw3 = new BW
+    bw3.put(0x2F, 8)
+    bw3.put(1, 14); bw3.put(0, 14); bw3.put(0, 1); bw3.put(0, 3)
+    bw3.put(1, 1); bw3.put(2, 2) // subtract-green first
+    bw3.put(1, 1); bw3.put(3, 2) // then color-indexing
+    bw3.put(1 - 1, 8)
+    bw3.put(0, 1)
+    simpleOne(bw3, 0); simpleOne(bw3, 0); simpleOne(bw3, 0); simpleOne(bw3, 255)
+    simpleOne(bw3, 0)
+    bw3.put(0, 1); bw3.put(0, 1); bw3.put(0, 1)
+    simpleOne(bw3, 0); simpleOne(bw3, 0); simpleOne(bw3, 0); simpleOne(bw3, 255)
+    simpleOne(bw3, 0)
+    bw3.flush()
+    assert(Seq(Tuple1(riff(bw3.out.toSeq))).toDF("p")
+      .select(ScaleOps.imageDecode(col("p")).as("r"))
+      .select(col("r.format")).head().getString(0) == "unknown")
+  }
+
+  test("SynthWebpLPalette: palette fixtures decode back to the index/palette formulas") {
+    // seeds sweep palette sizes 2..32 → all four bundling widths
+    val rows = (0L until 40L).map { seed =>
+      (3 + seed % 11, 3 + seed % 9, seed)
+    }.toDF("w", "h", "seed")
+    val got = rows.select(col("seed"),
+      ScaleOps.imageDecode(ScaleOps.synthWebpLPalette(
+        col("w"), col("h"), col("seed"))).as("r"))
+      .select(col("seed"), col("r.format"), col("r.width"), col("r.height"),
+        col("r.pixels"))
+      .collect()
+    got.foreach { r =>
+      val seed = r.getLong(0)
+      assert(r.getString(1) == "webp", s"seed $seed rejected")
+      val w = r.getInt(2); val h = r.getInt(3)
+      val size = 2 + (seed % 31).toInt
+      val px = r.get(4).asInstanceOf[Array[Byte]]
+      var p = 0
+      while (p < w * h) {
+        val idx = java.lang.Math.floorMod(seed * 31 + p * 7L, size).toInt
+        val er = java.lang.Math.floorMod(seed * 13 + idx * 11L, 256).toInt
+        val eg = java.lang.Math.floorMod(seed * 17 + idx * 7L, 256).toInt
+        val eb = java.lang.Math.floorMod(seed * 19 + idx * 3L, 256).toInt
+        assert((px(3 * p) & 0xFF) == er && (px(3 * p + 1) & 0xFF) == eg &&
+          (px(3 * p + 2) & 0xFF) == eb, s"seed $seed pixel $p")
+        p += 1
+      }
+    }
+  }
+
   test("SynthWebpLPred: predictor + meta-Huffman fixtures decode back to the formula") {
     // the round-trip across many (w, h, seed): every predictor mode and
     // the two-group meta path appear; equality is per-pixel exact

@@ -108,8 +108,14 @@ object AnnStress {
     val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("c_id", "c_emb")
       .select(col("c_id"), col("c_emb").cast(ArrayType(FloatType)).as("c_emb"))
+    // random init for big books: the probe's m·k can reach 8192
+    // centroids across m sequential fits — k-means|| init alone would
+    // dominate the offline build (measured: >90 min at m=32, k=256)
+    val initMode = sys.env.getOrElse("SPARK_GRAFT_ANN_INIT",
+      if (pqm.toLong * pqk > 2048) "random" else "k-means||")
     val cb = ml.IvfCodebook.trainPqResidual(sample, "embedding", centsDf,
-      dim, m = pqm, k = pqk, seed = 1042L, maxIter = 20)
+      dim, m = pqm, k = pqk, seed = 1042L, maxIter = 20,
+      initMode = initMode)
     val trainSec = (System.nanoTime() - t1) / 1e9
 
     def recallOf(result: DataFrame, truth: Map[Long, Set[Long]]): Double = {
@@ -144,7 +150,7 @@ object AnnStress {
     println(Seq(
       s""""vectors":$n""", s""""dim":$dim""", s""""cpus":$cpus""",
       s""""coarse_k":$coarseK""", s""""n_probe":$nProbe""",
-      s""""pq_k":$pqk""", s""""pq_m":$pqm""",
+      s""""pq_k":$pqk""", s""""pq_m":$pqm""", s""""init":"$initMode"""",
       s""""refine":$refine""", s""""train_rows":${sample.count()}""",
       f""""brute_sec":$bruteSec%.2f""", f""""train_sec":$trainSec%.2f""",
       f""""serve_sec":$serveSec%.2f""",

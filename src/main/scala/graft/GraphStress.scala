@@ -33,7 +33,8 @@ object GraphStress {
     val n = sys.env.getOrElse("SPARK_GRAFT_GRAPH_NODES", "2000000").toLong
     val ops = sys.env.getOrElse("SPARK_GRAFT_GRAPH_OPS", "cc,pr")
       .split(",").map(_.trim).toSet
-    val known = Set("cc", "pr", "pri", "tri", "bfs", "lpa", "lpac", "sssp")
+    val known = Set("cc", "pr", "pri", "tri", "bfs", "lpa", "lpac", "sssp",
+      "ssspc")
     require((ops -- known).isEmpty,
       s"unknown SPARK_GRAFT_GRAPH_OPS ${(ops -- known).mkString(",")}; " +
         s"valid: ${known.mkString(",")}")
@@ -223,6 +224,30 @@ object GraphStress {
         s"sssp max dist ${r.getLong(1)} exceeds the ${rounds}×7 bound")
       fields += f""""sssp_sec":$ssspSec%.2f"""
       fields += s""""sssp_rounds":$rounds,"sssp_reached":${r.getLong(0)},"sssp_max_dist":${r.getLong(1)}"""
+    }
+
+    if (ops("ssspc")) {
+      // run-to-fixpoint SSSP needs a LOG-diameter graph (the chain's
+      // linear diameter would run n rounds): a binary-tree rail
+      // i → i>>1 bounds every shortest path at ~2·log2(n) hops, and the
+      // chain provides cheap local alternatives that keep the
+      // frontier-pruning honest. Self-check: every node reached,
+      // convergence within the 64-round guard.
+      val tree = ids.filter(col("id") >= 1)
+        .select(col("id").as("src"), expr("id div 2").as("dst"))
+      val treeChain = tree.unionAll(chain)
+        .withColumn("weight", lit(1L) + (col("src") + col("dst")) % 7)
+        .localCheckpoint(true)
+      val seeds = spark.range(0, 1).select(col("id").as("node"))
+      val t7 = System.nanoTime()
+      val (dist, rounds) = operators.ScaleOps.ssspConverged(treeChain, seeds)
+      val r = dist.agg(count(lit(1)), max(col("dist")), min(col("dist"))).head()
+      val ssspcSec = (System.nanoTime() - t7) / 1e9
+      require(rounds < 64, s"ssspc failed to converge within 64 rounds")
+      require(r.getLong(0) == n, s"ssspc reached ${r.getLong(0)} of $n nodes")
+      require(r.getLong(2) == 0L, "ssspc seed must sit at distance 0")
+      fields += f""""ssspc_sec":$ssspcSec%.2f"""
+      fields += s""""ssspc_rounds":$rounds,"ssspc_reached":${r.getLong(0)},"ssspc_max_dist":${r.getLong(1)}"""
     }
 
     if (ops("bfs")) {

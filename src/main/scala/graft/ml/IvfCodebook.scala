@@ -161,7 +161,8 @@ object IvfCodebook {
     */
   def trainPqResidual(emb: DataFrame, embCol: String, cents: DataFrame,
       dim: Int, m: Int = 8, k: Int = 16, seed: Long = 42L,
-      maxIter: Int = 20): Array[Array[Array[Float]]] = {
+      maxIter: Int = 20,
+      initMode: String = "k-means||"): Array[Array[Array[Float]]] = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
     val withC = emb
@@ -183,7 +184,14 @@ object IvfCodebook {
         val vecs = res.select(org.apache.spark.ml.functions
           .array_to_vector(slice(col("r"), mi * sub + 1, sub)
             .cast(ArrayType(DoubleType))).as("features"))
+        // initMode is a TRAINING-COST knob: k-means|| init (the default,
+        // unchanged for every fixture artifact) runs ~5 extra passes per
+        // fit, which at production book shapes (m·k = 32·256 = 8192
+        // centroids over 32 sequential fits) dominates the build;
+        // "random" init converges equivalently on residual subspaces at
+        // a fraction of the cost (AnnStress measures recall under it)
         val model = new KMeans().setK(k).setSeed(seed + mi).setMaxIter(maxIter)
+          .setInitMode(initMode)
           .setFeaturesCol("features").fit(vecs)
         model.clusterCenters.map(_.toArray.map(_.toFloat))
       }

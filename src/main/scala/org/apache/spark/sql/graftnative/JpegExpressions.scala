@@ -163,6 +163,19 @@ private[graftnative] object JpegCodec {
       n -= 1
       (acc >> n) & 1
     }
+    /** Byte-align, consume an RSTn marker, return n (0-7); -1 when the
+      * next bytes are not a restart marker. Buffered bits are padding
+      * by definition at a restart boundary.
+      */
+    def restart(): Int = {
+      n = 0 // discard pad bits
+      if (pos + 1 >= b.length) return -1
+      if ((b(pos) & 0xFF) != 0xFF) return -1
+      val m = b(pos + 1) & 0xFF
+      if (m < 0xD0 || m > 0xD7) return -1
+      pos += 2
+      m & 7
+    }
     /** Read `s` magnitude bits; Int.MinValue on exhaustion. */
     def receive(s: Int): Int = {
       var v = 0
@@ -316,6 +329,7 @@ private[graftnative] object JpegCodec {
     val bWreal = new Array[Int](3); val bHreal = new Array[Int](3)
     var anyScan = false
     var eoiSeen = false
+    var restartInterval = 0
     var i = 2 // past SOI
     var scanStart = -1
     while (scanStart < 0 && !eoiSeen) {
@@ -488,6 +502,24 @@ private[graftnative] object JpegCodec {
             val dcPred = new Array[Int](3)
             var eobrun = 0
             var bad = false
+            // restart intervals: every `restartInterval` MCUs (blocks in
+            // a non-interleaved scan) an RSTn marker byte-aligns the
+            // stream, resets DC prediction AND the EOB run (T.81 G.1.2)
+            var unit = 0
+            var rstIdx = 0
+            def unitStart(): Unit = {
+              if (restartInterval > 0 && unit > 0 &&
+                  unit % restartInterval == 0) {
+                val mk = br.restart()
+                if (mk != (rstIdx & 7)) bad = true
+                else {
+                  rstIdx += 1
+                  java.util.Arrays.fill(dcPred, 0)
+                  eobrun = 0
+                }
+              }
+              unit += 1
+            }
             def dcBlock(ci: Int, off: Int): Unit = {
               if (ah == 0) {
                 val s = decodeHuffSym(br, huffDc(compTd(ci)))
@@ -597,6 +629,7 @@ private[graftnative] object JpegCodec {
               while (my < mcusY && !bad) {
                 var mx = 0
                 while (mx < mcusX && !bad) {
+                  unitStart()
                   var sc = 0
                   while (sc < ns && !bad) {
                     val ci = scanComp(sc)
@@ -624,10 +657,13 @@ private[graftnative] object JpegCodec {
               while (brow < bHreal(ci) && !bad) {
                 var bcol = 0
                 while (bcol < bWreal(ci) && !bad) {
+                  unitStart()
                   val off = (brow * bWpad(ci) + bcol) * 64
-                  if (ss == 0) dcBlock(ci, off)
-                  else if (ah == 0) acFirstBlock(ci, off)
-                  else acRefineBlock(ci, off)
+                  if (!bad) {
+                    if (ss == 0) dcBlock(ci, off)
+                    else if (ah == 0) acFirstBlock(ci, off)
+                    else acRefineBlock(ci, off)
+                  }
                   bcol += 1
                 }
                 brow += 1
@@ -643,9 +679,10 @@ private[graftnative] object JpegCodec {
             if (p + 1 >= b.length) return unknown
             i = p
           }
-        case 0xDD => // DRI: restart intervals unsupported — honest reject
+        case 0xDD => // DRI: restart interval in MCUs (blocks when the
+          // scan is non-interleaved), applied by the scan loops below
           if (i + 4 > b.length) return unknown
-          if (beU16(b, i + 2) != 0) return unknown
+          restartInterval = beU16(b, i + 2)
           i += beU16(b, i)
         case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
             0xCD | 0xCE | 0xCF =>
@@ -731,10 +768,21 @@ private[graftnative] object JpegCodec {
     val dcPred = new Array[Int](3)
     val coef = new Array[Int](64)
     val blk = new Array[Int](64)
+    var mcuIdx = 0
+    var rstIdx = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcuIdx > 0 &&
+            mcuIdx % restartInterval == 0) {
+          // RSTn between MCUs: byte-align, check the cyclic index,
+          // reset DC prediction (T.81 F.2.1.3.1)
+          if (br.restart() != (rstIdx & 7)) return unknown
+          rstIdx += 1
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        mcuIdx += 1
         c = 0
         while (c < nComp) {
           val q = qt(compTq(c))
@@ -1186,6 +1234,18 @@ object JpegSynth {
     if (ch == 3)
       segment(out, 0xC4, dhtPayload(0, 1, DcChromaBits, DcChromaVals))
     segment(out, 0xC4, dhtPayload(1, 0, ProgAcBits, ProgAcVals))
+    // odd seeds emit RESTART INTERVALS (every 3 MCUs/blocks): half of
+    // any corpus exercises RSTn handling in all four scan kinds, the
+    // other half the marker-free path
+    val dri = if (java.lang.Math.floorMod(seed, 2) == 1) 3 else 0
+    if (dri > 0)
+      segment(out, 0xDD, Array[Byte]((dri >> 8).toByte, (dri & 0xFF).toByte))
+    var rstIdx = 0
+    def writeRst(bw: BitWriter): Unit = {
+      bw.flushWithOnes()
+      out.write(0xFF); out.write(0xD0 + (rstIdx & 7))
+      rstIdx += 1
+    }
 
     def sos(comps: Seq[(Int, Int)], ss: Int, se: Int, ah: Int, al: Int)
         (body: BitWriter => Unit): Unit = {
@@ -1194,30 +1254,23 @@ object JpegSynth {
       comps.foreach { case (id, tdta) => o.write(id); o.write(tdta) }
       o.write(ss); o.write(se); o.write((ah << 4) | al)
       segment(out, 0xDA, o.toByteArray)
+      rstIdx = 0 // the RSTn cycle restarts with each scan
       val bw = new BitWriter(out)
       body(bw)
       bw.flushWithOnes()
     }
 
-    // interleaved (or single-component) block order for the DC scans
-    def dcOrder(f: (Int, Array[Int]) => Unit): Unit = {
-      if (ch == 1) yBlocks.foreach(z => f(0, z))
+    // MCU-grouped block order for the DC scans (restart units are MCUs)
+    def dcOrderMcus(g: Seq[(Int, Array[Int])] => Unit): Unit = {
+      if (ch == 1) yBlocks.foreach(z => g(Seq((0, z))))
       else if (layout == 1) {
         var my = 0
         while (my < hi / 16) {
           var mx = 0
           while (mx < wi / 16) {
-            var v0 = 0
-            while (v0 < 2) {
-              var h0 = 0
-              while (h0 < 2) {
-                f(0, yBlocks((2 * my + v0) * bwBlocks + 2 * mx + h0))
-                h0 += 1
-              }
-              v0 += 1
-            }
-            f(1, cbBlocks(my * cW + mx))
-            f(2, crBlocks(my * cW + mx))
+            val ys = for (v0 <- 0 until 2; h0 <- 0 until 2)
+              yield (0, yBlocks((2 * my + v0) * bwBlocks + 2 * mx + h0))
+            g(ys ++ Seq((1, cbBlocks(my * cW + mx)), (2, crBlocks(my * cW + mx))))
             mx += 1
           }
           my += 1
@@ -1225,7 +1278,7 @@ object JpegSynth {
       } else {
         var bi = 0
         while (bi < yBlocks.length) {
-          f(0, yBlocks(bi)); f(1, cbBlocks(bi)); f(2, crBlocks(bi))
+          g(Seq((0, yBlocks(bi)), (1, cbBlocks(bi)), (2, crBlocks(bi))))
           bi += 1
         }
       }
@@ -1237,15 +1290,23 @@ object JpegSynth {
     // ---- scan 1: DC first, Al = 1 (arithmetic shift per G.1.2.1)
     sos(dcComps, 0, 0, 0, 1) { bw =>
       val pred = new Array[Int](3)
-      dcOrder { (ci, z) =>
-        val v = z(0) >> 1
-        val diff = v - pred(ci)
-        pred(ci) = v
-        val enc = if (ci == 0) DcLumaEnc else DcChromaEnc
-        val s = bitLen(math.abs(diff))
-        val code = enc(s)
-        bw.put(code & 0xFFFF, code >>> 16)
-        if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      var unit = 0
+      dcOrderMcus { blocks =>
+        if (dri > 0 && unit > 0 && unit % dri == 0) {
+          writeRst(bw)
+          java.util.Arrays.fill(pred, 0)
+        }
+        unit += 1
+        blocks.foreach { case (ci, z) =>
+          val v = z(0) >> 1
+          val diff = v - pred(ci)
+          pred(ci) = v
+          val enc = if (ci == 0) DcLumaEnc else DcChromaEnc
+          val s = bitLen(math.abs(diff))
+          val code = enc(s)
+          bw.put(code & 0xFFFF, code >>> 16)
+          if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        }
       }
     }
 
@@ -1254,6 +1315,7 @@ object JpegSynth {
     def acFirst(blocks: Array[Array[Int]], ss: Int, se: Int, al: Int)
         (bw: BitWriter): Unit = {
       var eobrun = 0
+      var unit = 0
       def flushEob(): Unit = if (eobrun > 0) {
         val r = 31 - Integer.numberOfLeadingZeros(eobrun)
         val code = ProgAcEnc(r << 4)
@@ -1262,6 +1324,13 @@ object JpegSynth {
         eobrun = 0
       }
       blocks.foreach { z =>
+        // restart units in a non-interleaved scan are blocks; the EOB
+        // run must not span the marker
+        if (dri > 0 && unit > 0 && unit % dri == 0) {
+          flushEob()
+          writeRst(bw)
+        }
+        unit += 1
         var run = 0
         var emitted = false
         var k = ss
@@ -1299,6 +1368,7 @@ object JpegSynth {
     def acRefine(blocks: Array[Array[Int]], ss: Int, se: Int, al: Int)
         (bw: BitWriter): Unit = {
       var eobrun = 0
+      var unitR = 0
       // two correction-bit pools, the G.1.2.3 emission discipline: `be`
       // holds bits tied to the pending EOB run (the decoder consumes
       // them while replaying the run's blocks, AFTER the EOBn symbol);
@@ -1316,6 +1386,11 @@ object JpegSynth {
         be.clear()
       }
       blocks.foreach { z =>
+        if (dri > 0 && unitR > 0 && unitR % dri == 0) {
+          emitEobrun()
+          writeRst(bw)
+        }
+        unitR += 1
         val absv = new Array[Int](64)
         var eobPos = ss - 1 // index of the LAST newly-significant coef
         var k = ss
@@ -1376,7 +1451,12 @@ object JpegSynth {
     }
     // ---- DC refinement: one raw bit per block, interleaved order
     sos(dcComps, 0, 0, 1, 0) { bw =>
-      dcOrder((_, z) => bw.put(z(0) & 1, 1))
+      var unit = 0
+      dcOrderMcus { blocks =>
+        if (dri > 0 && unit > 0 && unit % dri == 0) writeRst(bw)
+        unit += 1
+        blocks.foreach { case (_, z) => bw.put(z(0) & 1, 1) }
+      }
     }
     // ---- AC refinement, Ah = 1, Al = 0
     yBands.foreach { case (s1, s2) =>

@@ -1116,14 +1116,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(headerOnly == "unknown")
     val sof2 = one.clone()
     sof2(dqt.length + 2 + 1) = 0xC2.toByte // SOF0 → SOF2 marker byte
+    // a progressive frame with a BASELINE-shaped scan header (Ss=0,
+    // Se=63) violates G.1.2's DC-scan rule — still a reject, but for
+    // the header, not the (round-11-supported) SOF2 marker itself
     assert(decodeRaster(sof2)._1 == "unknown")
     assert(decodeRaster(one.dropRight(3))._1 == "unknown") // torn scan
-    val dri = soi ++ dqt ++ sof(8, 8) ++ dhtDc ++ dhtAc ++
-      seg(0xDD, Array[Byte](0, 4)) ++ sos ++ Array(0x57.toByte) ++ eoi
-    assert(decodeRaster(dri)._1 == "unknown")
     val deep = soi ++ dqt ++ seg(0xC0, Array[Byte](12, 0, 8, 0, 8, 1, 1,
       0x11, 0)) ++ dhtDc ++ dhtAc ++ sos ++ Array(0x57.toByte) ++ eoi
     assert(decodeRaster(deep)._1 == "unknown")
+
+    // ---- restart intervals (round 11: DRI was an honest reject before)
+    // DRI with a single MCU never reaches a boundary: same pixels
+    val driOne = soi ++ dqt ++ sof(8, 8) ++ dhtDc ++ dhtAc ++
+      seg(0xDD, Array[Byte](0, 4)) ++ sos ++ Array(0x57.toByte) ++ eoi
+    assert(decodeRaster(driOne) == (("jpeg", 8, 8, 1, p1)))
+    // 12x10 four-MCU grid, DRI = 1: an RSTn between every MCU, each
+    // resetting DC prediction — diffs ARE the block values (5, 4, 7, 4 →
+    // flat blocks 133, 132, 135, 132); each MCU's bits pad to a byte
+    // (0 sss 0 + 1-pad): 5→0x57, 4→0x47, 7→0x77
+    def rst(k: Int) = Array(0xFF.toByte, (0xD0 + k).toByte)
+    val driFour = soi ++ dqt ++ sof(12, 10) ++ dhtDc ++ dhtAc ++
+      seg(0xDD, Array[Byte](0, 1)) ++ sos ++
+      Array(0x57.toByte) ++ rst(0) ++ Array(0x47.toByte) ++ rst(1) ++
+      Array(0x77.toByte) ++ rst(2) ++ Array(0x47.toByte) ++ eoi
+    val (fR, wR, hR, cR, pR) = decodeRaster(driFour)
+    assert((fR, wR, hR, cR) == (("jpeg", 12, 10, 1)))
+    val wantR = for (y <- 0 until 10; x <- 0 until 12) yield
+      (if (y < 8) { if (x < 8) 133 else 132 }
+       else { if (x < 8) 135 else 132 }).toByte
+    assert(pR == wantR, "restart-separated MCUs with DC-pred resets")
+    // the RSTn cycle is checked: swapping the first two markers rejects
+    val driBad = soi ++ dqt ++ sof(12, 10) ++ dhtDc ++ dhtAc ++
+      seg(0xDD, Array[Byte](0, 1)) ++ sos ++
+      Array(0x57.toByte) ++ rst(1) ++ Array(0x47.toByte) ++ rst(0) ++
+      Array(0x77.toByte) ++ rst(2) ++ Array(0x47.toByte) ++ eoi
+    assert(decodeRaster(driBad)._1 == "unknown")
   }
 
   test("SynthWebpL: really Huffman-coded fixtures decode back to the formula") {

@@ -1493,6 +1493,76 @@ object QueriesScale {
         | CAST(b_sum AS BIGINT) AS b_sum
         |FROM s ORDER BY doc_id""".stripMargin))
 
+  // EXTENDED PNG shapes (round 11): RGBA, palette (PLTE), gray+alpha,
+  // and Adam7-interlaced variants — the full 8-bit color-type set a web
+  // crawl yields (alpha decoded then dropped, the WebP stance). Adam7
+  // streams carry SEVEN independently filtered sub-images scattered
+  // back to full resolution, so a hash match proves the per-pass
+  // unfiltering and the scatter geometry, not just inflate. Variants
+  // cycle by doc_id; the oracle replays the per-variant sample
+  // formulas.
+  private val pngExtPixelsQ = Q(
+    (s, dir) => {
+      val w = lit(3L) + col("doc_id") % 13
+      val h = lit(3L) + col("doc_id") % 7
+      val payload = when(col("doc_id") % 5 === 0,
+          ScaleOps.synthPngExt(w, h, col("doc_id"), 0))
+        .when(col("doc_id") % 5 === 1,
+          ScaleOps.synthPngExt(w, h, col("doc_id"), 1))
+        .when(col("doc_id") % 5 === 2,
+          ScaleOps.synthPngExt(w, h, col("doc_id"), 2))
+        .when(col("doc_id") % 5 === 3,
+          ScaleOps.synthPngExt(w, h, col("doc_id"), 3))
+        .otherwise(ScaleOps.synthPngExt(w, h, col("doc_id"), 4))
+      val raster = ScaleOps.imageDecode(payload)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raster.as("r"))
+        .select(col("doc_id"),
+          col("r.format").as("format"),
+          col("r.width").cast(LongType).as("width"),
+          col("r.height").cast(LongType).as("height"),
+          col("r.channels").cast(LongType).as("channels"),
+          ScaleOps.rasterChannelSums(
+            ScaleOps.imageResizeNN(col("r"), 4, 4)).as("s"))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("channels"),
+          col("s").getItem(0).as("c0_sum"),
+          when(col("channels") === 1, lit(null).cast(LongType))
+            .otherwise(col("s").getItem(1)).as("c1_sum"),
+          when(col("channels") === 1, lit(null).cast(LongType))
+            .otherwise(col("s").getItem(2)).as("c2_sum"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+        |           CAST(doc_id % 5 AS INT) AS v FROM documents),
+        | g AS (SELECT d.*, gx.range AS x, gy.range AS y
+        |        FROM d CROSS JOIN range(0, 4) gx CROSS JOIN range(0, 4) gy),
+        | px AS (SELECT doc_id, w, h, v,
+        |         (y * h // 4) * w + (x * w // 4) AS p FROM g),
+        | ch AS (SELECT doc_id, w, h, v, p, c.range AS c FROM px
+        |        CROSS JOIN range(0, 3) c
+        |        WHERE c.range = 0 OR v <> 2),
+        | val AS (SELECT doc_id, w, h, v, c,
+        |          CASE
+        |           WHEN v = 1 THEN (doc_id * 13 +
+        |             ((doc_id * 31 + p * 7) % 64) * 11 + c * 5) % 256
+        |           WHEN v = 2 THEN (doc_id * 31 + (2 * p) * 7) % 256
+        |           WHEN v = 3 THEN (doc_id * 31 + (3 * p + c) * 7) % 256
+        |           ELSE (doc_id * 31 + (4 * p + c) * 7) % 256
+        |          END AS s FROM ch),
+        | agg AS (SELECT doc_id, w, h, v,
+        |          SUM(CASE WHEN c = 0 THEN s END) AS c0_sum,
+        |          SUM(CASE WHEN c = 1 THEN s END) AS c1_sum,
+        |          SUM(CASE WHEN c = 2 THEN s END) AS c2_sum
+        |         FROM val GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, 'png' AS format,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(CASE WHEN v = 2 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+        | CAST(c0_sum AS BIGINT) AS c0_sum, CAST(c1_sum AS BIGINT) AS c1_sum,
+        | CAST(c2_sum AS BIGINT) AS c2_sum
+        |FROM agg ORDER BY doc_id""".stripMargin))
+
   // COLOR-INDEXING (palette) VP8L — the fourth and final transform,
   // closing the format: a 2–32-color palette (all four pixel-bundling
   // widths, including the unpacked >16 form) is DELTA-decoded from a
@@ -4370,6 +4440,7 @@ object QueriesScale {
     "webp_pixels" -> webpPixelsQ,
     "webp_pred_pixels" -> webpPredPixelsQ,
     "webp_palette_pixels" -> webpPalettePixelsQ,
+    "png_ext_pixels" -> pngExtPixelsQ,
     "audio_pcm" -> audioPcmQ,
     "flac_pcm" -> flacPcmQ,
     "video_frames" -> videoFramesQ,

@@ -1399,6 +1399,14 @@ object ScaleOps {
     * chunks (see [[org.apache.spark.sql.graftnative.SynthPng]]). The
     * pixel formula is the shared [[pixByte]] one the oracles replay.
     */
+  /** Extended PNG fixture: `variant` 0 = RGBA, 1 = palette, 2 =
+    * gray+alpha, 3 = RGB Adam7, 4 = RGBA Adam7
+    * (see [[org.apache.spark.sql.graftnative.SynthPngExt]]).
+    */
+  def synthPngExt(w: Column, h: Column, seed: Column, variant: Int): Column =
+    org.apache.spark.sql.graftnative.RasterSynthFunctions
+      .synth_png_ext(w, h, seed, variant)
+
   def synthPng(w: Column, h: Column, seed: Column, channels: Int = 3): Column =
     org.apache.spark.sql.graftnative.RasterSynthFunctions
       .synth_png(w, h, seed, channels)

@@ -203,16 +203,26 @@ object ImageDecode {
     * and CRC-32 check are pure arithmetic, IDAT is a zlib stream the
     * JDK's own `Inflater` decompresses, and scanline UNfiltering
     * (None/Sub/Up/Average/Paeth, §9) is pure byte arithmetic. Supported
-    * image types: bit depth 8, color type 0 (grayscale) or 2 (truecolor
-    * RGB), non-interlaced — the shapes a synthetic-fixture or
-    * screenshot-corpus pipeline produces. Every chunk's CRC is verified
-    * (a flipped payload byte yields `'unknown'`, never silently wrong
-    * pixels), multiple IDAT chunks concatenate per spec, ancillary
+    * image types (round 11 widened to the full 8-bit set a web crawl
+    * yields): bit depth 8 with color type 0 (grayscale), 2 (truecolor
+    * RGB), 3 (palette — PLTE lookup, out-of-range index rejects),
+    * 4 (gray+alpha) and 6 (RGBA) — alpha channels are decoded then
+    * dropped (RGB/gray out, same stance as the WebP decoder) — and BOTH
+    * interlace methods (none and Adam7: seven sub-images, each
+    * independently filtered at its own width, scattered to full
+    * resolution). 16-bit depth stays a reject. Every chunk's CRC is
+    * verified (a flipped payload byte yields `'unknown'`, never silently
+    * wrong pixels), multiple IDAT chunks concatenate per spec, ancillary
     * chunks are skipped, and the inflated stream must contain EXACTLY
-    * `h·(1 + w·channels)` bytes — truncation or overrun is a reject.
+    * the scanline volume — truncation or overrun is a reject.
     */
   private def decodePng(b: Array[Byte]): InternalRow = {
-    var w = -1; var h = -1; var ch = 0
+    var w = -1; var h = -1
+    var samples = 0 // bytes per pixel in the coded scanlines
+    var outCh = 0 // emitted channels (alpha dropped)
+    var colorType = -1
+    var interlaced = false
+    var palette: Array[Byte] = null
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
     var i = 8
@@ -235,10 +245,21 @@ object ImageDecode {
         val comp = u8(b, dataOff + 10)
         val filt = u8(b, dataOff + 11)
         val inter = u8(b, dataOff + 12)
-        if (depth != 8 || comp != 0 || filt != 0 || inter != 0) return unknown
-        ch = color match { case 0 => 1; case 2 => 3; case _ => return unknown }
-        if (wl <= 0 || hl <= 0 || wl * hl * ch > MaxPixelBytes) return unknown
+        if (depth != 8 || comp != 0 || filt != 0 || inter > 1) return unknown
+        interlaced = inter == 1
+        colorType = color
+        samples = color match {
+          case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+          case _ => return unknown
+        }
+        outCh = color match { case 0 | 4 => 1; case _ => 3 }
+        if (wl <= 0 || hl <= 0 || wl * hl * math.max(samples, outCh) >
+          MaxPixelBytes) return unknown
         w = wl.toInt; h = hl.toInt
+      } else if (t0 == 'P' && t1 == 'L' && t2 == 'T' && t3 == 'E') {
+        if (!seenIhdr || palette != null || dataLen == 0 ||
+            dataLen % 3 != 0 || dataLen > 768) return unknown
+        palette = java.util.Arrays.copyOfRange(b, dataOff, dataOff + dataLen)
       } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
         if (!seenIhdr) return unknown
         idat.write(b, dataOff, dataLen)
@@ -248,8 +269,22 @@ object ImageDecode {
       i = dataOff + dataLen + 4
     }
     if (!seenIhdr || !seenIend) return unknown
-    val rowBytes = w * ch
-    val raw = new Array[Byte](h * (1 + rowBytes))
+    if (colorType == 3 && palette == null) return unknown
+    // Adam7 pass geometry (spec appendix; pass 1..7)
+    val xStart = Array(0, 4, 0, 2, 0, 1, 0)
+    val yStart = Array(0, 0, 4, 0, 2, 0, 1)
+    val xStep = Array(8, 8, 4, 4, 2, 2, 1)
+    val yStep = Array(8, 8, 8, 4, 4, 2, 2)
+    def passW(p: Int) = (w - xStart(p) + xStep(p) - 1) / xStep(p)
+    def passH(p: Int) = (h - yStart(p) + yStep(p) - 1) / yStep(p)
+    val rawLen =
+      if (!interlaced) h.toLong * (1 + w.toLong * samples)
+      else (0 until 7).map { p =>
+        val pw = passW(p); val ph = passH(p)
+        if (pw <= 0 || ph <= 0) 0L else ph.toLong * (1 + pw.toLong * samples)
+      }.sum
+    if (rawLen > MaxPixelBytes * 2L) return unknown
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -274,38 +309,107 @@ object ImageDecode {
            catch { case _: java.util.zip.DataFormatException => return unknown
           }) > 0) return unknown
     } finally inf.end()
-    val out = new Array[Byte](h * rowBytes)
-    val bpp = ch
-    var y = 0
-    while (y < h) {
-      val f = u8(raw, y * (1 + rowBytes))
-      if (f > 4) return unknown
-      val src = y * (1 + rowBytes) + 1
-      val dst = y * rowBytes
-      var x = 0
-      while (x < rowBytes) {
-        val rv = u8(raw, src + x)
-        val left = if (x >= bpp) u8(out, dst + x - bpp) else 0
-        val up = if (y > 0) u8(out, dst - rowBytes + x) else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) >> 1
-          case _ => // Paeth (§9.4)
-            val ul = if (y > 0 && x >= bpp) u8(out, dst - rowBytes + x - bpp) else 0
-            val p = left + up - ul
-            val pa = math.abs(p - left)
-            val pb = math.abs(p - up)
-            val pc = math.abs(p - ul)
-            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+    // unfilter one sub-image of `sw`×`sh` coded pixels starting at
+    // raw(srcOff), producing sw·samples bytes per row into dst
+    // sequentially; returns false on a bad filter byte
+    def unfilter(srcOff: Int, sw: Int, sh: Int, dst: Array[Byte],
+        dstOff: Int): Boolean = {
+      val rowBytes = sw * samples
+      var y = 0
+      while (y < sh) {
+        val f = u8(raw, srcOff + y * (1 + rowBytes))
+        if (f > 4) return false
+        val src = srcOff + y * (1 + rowBytes) + 1
+        val dstRow = dstOff + y * rowBytes
+        var x = 0
+        while (x < rowBytes) {
+          val rv = u8(raw, src + x)
+          val left = if (x >= samples) u8(dst, dstRow + x - samples) else 0
+          val up = if (y > 0) u8(dst, dstRow - rowBytes + x) else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) >> 1
+            case _ => // Paeth (§9.4)
+              val ul = if (y > 0 && x >= samples)
+                u8(dst, dstRow - rowBytes + x - samples) else 0
+              val p = left + up - ul
+              val pa = math.abs(p - left)
+              val pb = math.abs(p - up)
+              val pc = math.abs(p - ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          dst(dstRow + x) = ((rv + pred) & 0xFF).toByte
+          x += 1
         }
-        out(dst + x) = ((rv + pred) & 0xFF).toByte
-        x += 1
+        y += 1
       }
-      y += 1
+      true
     }
-    row(FMT_PNG, w, h, ch, out)
+    // full-resolution sample plane
+    val samp = new Array[Byte](w * h * samples)
+    if (!interlaced) {
+      if (!unfilter(0, w, h, samp, 0)) return unknown
+    } else {
+      var srcOff = 0
+      var p = 0
+      while (p < 7) {
+        val pw = passW(p); val ph = passH(p)
+        if (pw > 0 && ph > 0) {
+          val sub = new Array[Byte](pw * ph * samples)
+          if (!unfilter(srcOff, pw, ph, sub, 0)) return unknown
+          srcOff += ph * (1 + pw * samples)
+          // scatter to full resolution
+          var j = 0
+          while (j < ph) {
+            val destY = yStart(p) + j * yStep(p)
+            var k = 0
+            while (k < pw) {
+              val destX = xStart(p) + k * xStep(p)
+              var s = 0
+              while (s < samples) {
+                samp((destY * w + destX) * samples + s) =
+                  sub((j * pw + k) * samples + s)
+                s += 1
+              }
+              k += 1
+            }
+            j += 1
+          }
+        }
+        p += 1
+      }
+    }
+    // emit: drop alpha / resolve the palette
+    val out = new Array[Byte](w * h * outCh)
+    val n = w * h
+    colorType match {
+      case 0 | 2 => System.arraycopy(samp, 0, out, 0, out.length)
+      case 3 =>
+        val palSize = palette.length / 3
+        var p = 0
+        while (p < n) {
+          val idx = samp(p) & 0xFF
+          if (idx >= palSize) return unknown
+          out(3 * p) = palette(3 * idx)
+          out(3 * p + 1) = palette(3 * idx + 1)
+          out(3 * p + 2) = palette(3 * idx + 2)
+          p += 1
+        }
+      case 4 =>
+        var p = 0
+        while (p < n) { out(p) = samp(2 * p); p += 1 }
+      case _ => // 6: RGBA → RGB
+        var p = 0
+        while (p < n) {
+          out(3 * p) = samp(4 * p)
+          out(3 * p + 1) = samp(4 * p + 1)
+          out(3 * p + 2) = samp(4 * p + 2)
+          p += 1
+        }
+    }
+    row(FMT_PNG, w, h, outCh, out)
   }
 
   /** Decompress a GIF LZW code stream (GIF89a spec, appendix F) into

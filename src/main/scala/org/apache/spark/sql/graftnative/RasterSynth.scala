@@ -49,6 +49,35 @@ case class SynthPng(first: Expression, second: Expression, third: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Fixture expression for [[RasterSynth.pngBytesExt]] — the extended
+  * PNG shapes (RGBA / palette / gray+alpha / Adam7).
+  */
+case class SynthPngExt(first: Expression, second: Expression,
+    third: Expression, variant: Int)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  require(variant >= 0 && variant <= 4,
+    s"synth_png_ext variant must be 0-4, got $variant")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(w: Any, h: Any, seed: Any): Any =
+    RasterSynth.pngBytesExt(w.asInstanceOf[Long], h.asInstanceOf[Long],
+      seed.asInstanceOf[Long], variant)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, h, s) => s"""
+      ${ev.value} = org.apache.spark.sql.graftnative.RasterSynth.pngBytesExt($w, $h, $s, $variant);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 case class SynthGif(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {
 
@@ -168,6 +197,166 @@ object RasterSynth {
     out.toByteArray
   }
 
+
+  /** EXTENDED PNG fixture encoder (round 11) covering the decoder's
+    * widened scope: `variant` 0 = RGBA (type 6), 1 = 64-entry PALETTE
+    * (type 3, PLTE chunk), 2 = gray+alpha (type 4), 3 = RGB Adam7
+    * INTERLACED, 4 = RGBA Adam7. Coded samples come from the same
+    * generative formulas the oracles replay (RGBA channel c of pixel p
+    * is `pix(seed, 4p + c)`; palette index of p is
+    * `(seed·31 + p·7) mod 64` over entries
+    * `(seed·13 + i·11 + c·5) mod 256`; gray of p is `pix(seed, 2p)`);
+    * every pass/row is forward-filtered through the full five-filter
+    * cycle and really deflated. Interlaced variants serialize the seven
+    * Adam7 sub-images, each filtered independently at its own width.
+    */
+  def pngBytesExt(w: Long, h: Long, seed: Long, variant: Int): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w * h * 4 > MaxPixelBytes) return null
+    val wi = w.toInt; val hi = h.toInt
+    val n = wi * hi
+    val (colorType, samples) = variant match {
+      case 0 => (6, 4)
+      case 1 => (3, 1)
+      case 2 => (4, 2)
+      case 3 => (2, 3)
+      case _ => (6, 4)
+    }
+    val interlaced = variant >= 3
+    val palSize = 64
+    // full-resolution coded sample plane
+    val smp = new Array[Byte](n * samples)
+    variant match {
+      case 1 =>
+        var p = 0
+        while (p < n) {
+          smp(p) = java.lang.Math.floorMod(seed * 31 + p * 7L, palSize).toByte
+          p += 1
+        }
+      case 2 =>
+        var p = 0
+        while (p < n) {
+          smp(2 * p) = pix(seed, 2L * p).toByte
+          smp(2 * p + 1) = pix(seed, 2L * p + 1).toByte // alpha (dropped)
+          p += 1
+        }
+      case _ =>
+        var k = 0
+        while (k < smp.length) { smp(k) = pix(seed, k).toByte; k += 1 }
+    }
+    // forward-filter one sub-image (sw×sh samples taken from smp via the
+    // position mapper) into the raw scanline stream
+    val rawOut = new java.io.ByteArrayOutputStream()
+    def filterSub(sw: Int, sh: Int, rowSeed: Long,
+        at: (Int, Int) => Int): Unit = {
+      val rowBytes = sw * samples
+      val sub = new Array[Byte](sh * rowBytes)
+      var y = 0
+      while (y < sh) {
+        var x = 0
+        while (x < sw) {
+          val srcPix = at(x, y)
+          var c = 0
+          while (c < samples) {
+            sub((y * sw + x) * samples + c) = smp(srcPix * samples + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      y = 0
+      while (y < sh) {
+        val f = java.lang.Math.floorMod(rowSeed + y, 5).toInt
+        rawOut.write(f)
+        var x = 0
+        while (x < rowBytes) {
+          val cur = sub(y * rowBytes + x) & 0xFF
+          val left = if (x >= samples) sub(y * rowBytes + x - samples) & 0xFF else 0
+          val up = if (y > 0) sub((y - 1) * rowBytes + x) & 0xFF else 0
+          val ul = if (y > 0 && x >= samples)
+            sub((y - 1) * rowBytes + x - samples) & 0xFF else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) >> 1
+            case _ =>
+              val pd = left + up - ul
+              val pa = math.abs(pd - left)
+              val pb = math.abs(pd - up)
+              val pc = math.abs(pd - ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          rawOut.write((cur - pred) & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    if (!interlaced) filterSub(wi, hi, seed, (x, y) => y * wi + x)
+    else {
+      val xStart = Array(0, 4, 0, 2, 0, 1, 0)
+      val yStart = Array(0, 0, 4, 0, 2, 0, 1)
+      val xStep = Array(8, 8, 4, 4, 2, 2, 1)
+      val yStep = Array(8, 8, 8, 4, 4, 2, 2)
+      var p = 0
+      while (p < 7) {
+        val pw = (wi - xStart(p) + xStep(p) - 1) / xStep(p)
+        val ph = (hi - yStart(p) + yStep(p) - 1) / yStep(p)
+        if (pw > 0 && ph > 0) {
+          val (xs, ys, xe, ye) = (xStart(p), yStart(p), xStep(p), yStep(p))
+          filterSub(pw, ph, seed + p,
+            (x, y) => (ys + y * ye) * wi + (xs + x * xe))
+        }
+        p += 1
+      }
+    }
+    val raw = rawOut.toByteArray
+    val defl = new java.util.zip.Deflater()
+    val idat =
+      try {
+        defl.setInput(raw)
+        defl.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        val o = new java.io.ByteArrayOutputStream()
+        while (!defl.finished()) {
+          val nn = defl.deflate(buf)
+          o.write(buf, 0, nn)
+        }
+        o.toByteArray
+      } finally defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A),
+      0, 8)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((wi >> 24) & 0xFF).toByte; ihdr(1) = ((wi >> 16) & 0xFF).toByte
+    ihdr(2) = ((wi >> 8) & 0xFF).toByte; ihdr(3) = (wi & 0xFF).toByte
+    ihdr(4) = ((hi >> 24) & 0xFF).toByte; ihdr(5) = ((hi >> 16) & 0xFF).toByte
+    ihdr(6) = ((hi >> 8) & 0xFF).toByte; ihdr(7) = (hi & 0xFF).toByte
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = colorType.toByte
+    ihdr(10) = 0; ihdr(11) = 0
+    ihdr(12) = (if (interlaced) 1 else 0).toByte
+    crcChunk(out, "IHDR", ihdr)
+    if (variant == 1) {
+      val plte = new Array[Byte](palSize * 3)
+      var ii = 0
+      while (ii < palSize) {
+        var c = 0
+        while (c < 3) {
+          plte(3 * ii + c) =
+            java.lang.Math.floorMod(seed * 13 + ii * 11L + c * 5L, 256).toByte
+          c += 1
+        }
+        ii += 1
+      }
+      crcChunk(out, "PLTE", plte)
+    }
+    crcChunk(out, "IDAT", idat)
+    crcChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Real GIF LZW compression of a palette-index stream (min code size
     * 8): variable-width codes LSB-first, leading CLEAR, trailing EOI,
     * code width grows with the dictionary exactly one step ahead of the
@@ -266,6 +455,13 @@ object RasterSynthFunctions {
   /** Column API: complete valid PNG from `(w, h, seed)` — grayscale
     * (`channels = 1`) or truecolor RGB (`channels = 3`).
     */
+  /** Column API: extended PNG fixture (RGBA / palette / gray+alpha /
+    * Adam7 interlace), see [[SynthPngExt]].
+    */
+  def synth_png_ext(w: Column, h: Column, seed: Column, variant: Int): Column =
+    ExpressionUtils.column(SynthPngExt(ExpressionUtils.expression(w),
+      ExpressionUtils.expression(h), ExpressionUtils.expression(seed), variant))
+
   def synth_png(w: Column, h: Column, seed: Column, channels: Int): Column =
     ExpressionUtils.column(SynthPng(ExpressionUtils.expression(w),
       ExpressionUtils.expression(h), ExpressionUtils.expression(seed), channels))

@@ -725,7 +725,10 @@ class ScaleOpsSpec extends SparkSpec {
     corrupt(pngSig.length + ihdr(2, 2, 2).length + 8 + 3) =
       (corrupt(pngSig.length + ihdr(2, 2, 2).length + 8 + 3) ^ 0x40).toByte
     assert(decodeRaster(corrupt)._1 == "unknown")
-    // truncation / interlaced / 16-bit / palette color type: reject
+    // truncation / 16-bit: reject. (Interlace and palette are REAL
+    // since round 11 — these streams now reject for honest structural
+    // reasons instead: an Adam7 2×2 needs 15 raw bytes, not 14, and a
+    // type-3 stream without a PLTE chunk has no palette to resolve.)
     assert(decodeRaster(png.dropRight(1))._1 == "unknown")
     assert(decodeRaster(pngSig ++ ihdr(2, 2, 2, interlace = 1) ++
       pngChunk("IDAT", zlibStored(filtered)) ++
@@ -735,6 +738,20 @@ class ScaleOpsSpec extends SparkSpec {
       pngChunk("IEND", Array.emptyByteArray))._1 == "unknown")
     assert(decodeRaster(pngSig ++ ihdr(2, 2, color = 3) ++
       pngChunk("IDAT", zlibStored(filtered)) ++
+      pngChunk("IEND", Array.emptyByteArray))._1 == "unknown")
+    // palette: a 2×2 type-3 image over a 2-entry PLTE; index 2 at the
+    // last pixel is OUT OF RANGE → reject, never a guessed color
+    val palIdx = Array[Byte](0, 0, 1, 0, 1, 0) // rows None-filtered
+    val plteOk = pngSig ++ ihdr(2, 2, color = 3) ++
+      pngChunk("PLTE", Array[Byte](1, 2, 3, 4, 5, 6)) ++
+      pngChunk("IDAT", zlibStored(palIdx)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(decodeRaster(plteOk) ==
+      (("png", 2, 2, 3, Seq[Byte](1, 2, 3, 4, 5, 6, 4, 5, 6, 1, 2, 3))))
+    val palBad = Array[Byte](0, 0, 1, 0, 1, 2)
+    assert(decodeRaster(pngSig ++ ihdr(2, 2, color = 3) ++
+      pngChunk("PLTE", Array[Byte](1, 2, 3, 4, 5, 6)) ++
+      pngChunk("IDAT", zlibStored(palBad)) ++
       pngChunk("IEND", Array.emptyByteArray))._1 == "unknown")
     // inflated volume must be EXACT: drop one filtered byte -> reject
     assert(decodeRaster(pngSig ++ ihdr(2, 2, 2) ++

@@ -130,7 +130,8 @@ object AnnStress {
     // plain IVF-PQ through the shipped plan
     val t2 = System.nanoTime()
     val (plain, probeCells, coded) = QueriesScale.ivfPqServeFrom(
-      spark, corpus, centsDf, cb, qBatch, nProbe, refine)
+      spark, corpus, centsDf, cb, qBatch, nProbe, refine,
+      materializeIndex = true)
     val plainRecall = recallOf(plain, brutePlain)
     val serveSec = (System.nanoTime() - t2) / 1e9
     // measured scan fraction: probed-cell mass per query / corpus size
@@ -144,7 +145,8 @@ object AnnStress {
     val (filtered, _, _) = QueriesScale.ivfPqServeFrom(
       spark, corpus, centsDf, cb, qBatch, nProbe, refine,
       codedExtra = c => c.join(corpus.select("vec_id", "label"), "vec_id"),
-      gateExtra = qid => col("label") === lit(qLabels(qid)))
+      gateExtra = qid => col("label") === lit(qLabels(qid)),
+      materializeIndex = true)
     val filteredRecall = recallOf(filtered, bruteFiltered)
 
     println(Seq(

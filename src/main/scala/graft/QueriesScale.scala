@@ -2540,7 +2540,7 @@ object QueriesScale {
       for (ki <- 0 until k; i <- 0 until sub) cbFlat(ki * sub + i) = cb(mi)(ki)(i)
       val offFlat = new Array[Double](k * cells)
       for (ki <- 0 until k; ci <- 0 until cells)
-        offFlat(ki * cells + ci) = offTable(mi)(ki)(ci)
+        offFlat(ci * k + ki) = offTable(mi)(ki)(ci)
       val halfNorms = cb(mi).map(c => c.map(x => x.toDouble * x.toDouble).sum / 2.0)
       PqExpressions.subspaceCode(col("embedding"), col("_nv"),
         Some(col("c_id")), cbFlat, offFlat, halfNorms,
@@ -2742,7 +2742,8 @@ object QueriesScale {
       centsRaw: DataFrame, cb: Array[Array[Array[Float]]],
       queries: Array[(Long, Array[Float])], nProbe: Int, refine: Int,
       codedExtra: DataFrame => DataFrame = identity,
-      gateExtra: Long => Column = _ => lit(true))
+      gateExtra: Long => Column = _ => lit(true),
+      materializeIndex: Boolean = false)
       : (DataFrame, Map[Long, Seq[Int]], DataFrame) = {
     val embN = emb.withColumn("nv", ScaleOps.l2norm(col("embedding")))
     val cents = centsRaw.withColumn("nc", ScaleOps.l2norm(col("c_emb")))
@@ -2758,9 +2759,14 @@ object QueriesScale {
         acc
       }
     }
-    val coded = codedExtra(ivfAssign(embN, cents)
+    // materializeIndex: the production stance is a PERSISTED coded index
+    // (ann_ivfpq_served) — a probe serving several query batches from
+    // one build materializes the encode once instead of re-running it
+    // per downstream action (at 1M vectors × m=32 the encode dominates)
+    val coded0 = codedExtra(ivfAssign(embN, cents)
       .withColumn("_nv", col("nv"))
       .select(col("vec_id") +: col("c_id") +: pqCodeColsRes(cb, offTable): _*))
+    val coded = if (materializeIndex) coded0.localCheckpoint(true) else coded0
     val probeCells: Map[Long, Seq[Int]] = queries.map { case (qid, qv) =>
       val qn = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
       val ranked = centArr.map { case (cid, cv, nc) =>

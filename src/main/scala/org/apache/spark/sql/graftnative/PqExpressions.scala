@@ -34,9 +34,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 object PqExpressions {
 
   /** Column API: PQ code of one subspace (see [[PqSubspaceCode]]).
-    * `cbFlat` is k×sub row-major; `offFlat` k×cells row-major (empty +
-    * cells=0 + cId=None for the raw non-residual form); `halfNorms` the
-    * per-centroid ‖c‖²/2 terms.
+    * `cbFlat` is k×sub row-major; `offFlat` is cells×k row-major —
+    * TRANSPOSED so one row's argmax walks the offsets for its cell
+    * SEQUENTIALLY (the (ki, cell) layout strides `cells` doubles per
+    * centroid: ~8k cache-line misses per row over a multi-MB table at
+    * production book shapes, measured 10×+ slower at m=32·k=256) —
+    * (empty + cells=0 + cId=None for the raw non-residual form);
+    * `halfNorms` the per-centroid ‖c‖²/2 terms.
     */
   def subspaceCode(emb: Column, nv: Column, cId: Option[Column],
       cbFlat: Array[Float], offFlat: Array[Double], halfNorms: Array[Double],
@@ -115,7 +119,7 @@ case class PqSubspaceCode(embedding: Expression, nv: Expression,
         i += 1
       }
       var s = acc / n
-      if (cells > 0) s -= offFlat(ki * cells + cidV)
+      if (cells > 0) s -= offFlat(cidV * k + ki)
       s -= halfNorms(ki)
       // Spark double total order: == short-circuit (−0.0 = 0.0), then
       // Double.compare (NaN greatest); strict > keeps the FIRST maximum
@@ -151,7 +155,7 @@ case class PqSubspaceCode(embedding: Expression, nv: Expression,
          |if (${g.isNull}) { ${ev.isNull} = true; }
          |else { $cid = ${g.value}; }
        """.stripMargin).getOrElse("")
-    val offTerm = if (cells > 0) s"$s -= $off[$ki * $cells + $cid];" else ""
+    val offTerm = if (cells > 0) s"$s -= $off[$cid * $k + $ki];" else ""
     val code =
       code"""
         |${embGen.code}

@@ -81,7 +81,7 @@ class PqExpressionsSpec extends SparkSpec {
           val cells = off(mi)(0).length
           val offFlat = new Array[Double](k * cells)
           for (ki <- 0 until k; ci <- 0 until cells)
-            offFlat(ki * cells + ci) = off(mi)(ki)(ci)
+            offFlat(ci * k + ki) = off(mi)(ki)(ci)
           PqExpressions.subspaceCode(col("embedding"), col("_nv"),
             Some(col("c_id")), cbFlat, offFlat, halfNorms,
             mi * sub, sub, k, cells).as(s"code_$mi")

@@ -52,18 +52,53 @@ object AnnStress {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // clustered corpus: center(label, d) in [-1, 1] plus noise(vec_id, d)
-    // in [-1, 1] — both uniform from xxhash64, so any process regenerates
+    // clustered corpus: center(label, d) in [-1, 1] plus per-vector
+    // noise — both from xxhash64 arithmetic, so any process regenerates
     // the identical corpus. 10 labels ≈ the fixture corpus' structure.
+    // TWO noise models, because they price quantization oppositely:
+    //  - "iid": noise i.i.d. uniform per dimension — the PATHOLOGICAL
+    //    case for PQ (no correlation structure to exploit; top-10
+    //    margins among 100k within-cluster candidates are order-
+    //    statistic-thin, so exact rank needs either many bits or a
+    //    large rerank fraction);
+    //  - "lowdim": the same noise energy confined to a 16-dim subspace
+    //    through a fixed mixing matrix B (64×16, xxhash-derived) — the
+    //    shape real embedding corpora have (low intrinsic dimension),
+    //    where subspace codebooks capture structure.
+    val corpusMode = sys.env.getOrElse("SPARK_GRAFT_ANN_CORPUS", "iid")
     def unitHash(cols: org.apache.spark.sql.Column*) =
       (pmod(xxhash64(cols: _*), lit(200001L)) - 100000L) / 100000.0
+    val noiseCol: org.apache.spark.sql.Column =
+      if (corpusMode == "iid")
+        transform(sequence(lit(0), lit(dim - 1)), d =>
+          unitHash(lit("n"), col("vec_id"), d) * 0.6)
+      else {
+        val zDim = 16
+        // fixed mixing matrix, driver-side (the same for every vector);
+        // rows scaled 1/sqrt(zDim) so per-dim noise energy matches iid
+        val bm = Array.tabulate(dim, zDim) { (d, j) =>
+          val hsh = java.lang.Math.floorMod(
+            (d * 1315423911L + j * 2654435761L + 7L) ^ 0x9E3779B97F4A7C15L,
+            200001L)
+          ((hsh - 100000L).toDouble / 100000.0) / math.sqrt(zDim.toDouble)
+        }
+        val z = transform(sequence(lit(0), lit(zDim - 1)), j =>
+          unitHash(lit("z"), col("vec_id"), j))
+        transform(sequence(lit(0), lit(dim - 1)), d =>
+          aggregate(
+            zip_with(z, element_at(typedlit(bm.map(_.toSeq).toSeq), d + 1),
+              (zj, bj) => zj * bj),
+            lit(0.0), (acc, x) => acc + x) * lit(0.6 * 1.732))
+      }
     val corpus = spark.range(0, n)
       .select(col("id").as("vec_id"),
         pmod(col("id"), lit(10L)).cast(IntegerType).as("label"))
+      .withColumn("_noise", noiseCol)
       .withColumn("embedding",
         transform(sequence(lit(0), lit(dim - 1)), d =>
           (unitHash(lit("c"), col("label"), d) +
-            unitHash(lit("n"), col("vec_id"), d) * 0.6).cast(FloatType)))
+            element_at(col("_noise"), d + 1)).cast(FloatType)))
+      .drop("_noise")
       .localCheckpoint(true)
 
     // exact brute-force truth for the 10-query batch (and its
@@ -151,6 +186,7 @@ object AnnStress {
 
     println(Seq(
       s""""vectors":$n""", s""""dim":$dim""", s""""cpus":$cpus""",
+      s""""corpus":"$corpusMode"""",
       s""""coarse_k":$coarseK""", s""""n_probe":$nProbe""",
       s""""pq_k":$pqk""", s""""pq_m":$pqm""", s""""init":"$initMode"""",
       s""""refine":$refine""", s""""train_rows":${sample.count()}""",

@@ -835,18 +835,26 @@ object WebpSynth {
     var done = false
     while (!done) {
       java.util.Arrays.fill(lengths, 0)
-      val leafIds = new Array[Int](m)
-      val leafW = new Array[Long](m)
+      // primitive packed-key sort by (w, id): ids < 4096 and weights are
+      // bounded by the pixel count, so (w << 12) | id orders identically
+      // to the former boxed (w, id) tuple sort with zero allocation —
+      // the per-image Huffman build is the encode+decode stress loop's
+      // hot spot
+      val keys = new Array[Long](m)
       var i = 0
       while (i < m) {
-        leafIds(i) = active(i)
-        leafW(i) = math.max(freq(active(i)), floor)
+        keys(i) = (math.max(freq(active(i)), floor) << 12) | active(i).toLong
         i += 1
       }
-      // insertion-stable sort by (w, id); active is already id-ascending
-      val perm = (0 until m).sortBy(j => (leafW(j), leafIds(j))).toArray
-      val sw = perm.map(leafW)
-      val sid = perm.map(leafIds)
+      java.util.Arrays.sort(keys)
+      val sw = new Array[Long](m)
+      val sid = new Array[Int](m)
+      i = 0
+      while (i < m) {
+        sw(i) = keys(i) >>> 12
+        sid(i) = (keys(i) & 0xFFF).toInt
+        i += 1
+      }
       val left = new Array[Int](2 * n)
       val right = new Array[Int](2 * n)
       val intW = new Array[Long](m) // internal-node weights, FIFO

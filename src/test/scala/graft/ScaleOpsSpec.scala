@@ -1421,6 +1421,61 @@ class ScaleOpsSpec extends SparkSpec {
         Seq.fill(4)(Seq(3, 200, 4))).flatten.map(_.toByte))
     }
 
+    // ---- LZ77 distance coverage (round-11 advice): a 2D-mapped
+    // distance code > 1 and a linear distance > 120. 3×2 image: four
+    // literals with alternating red, then a length-2 backref at distance
+    // code 4 → DistMap(3) = (−1, 1) → d = 1·3 − 1 = 2; a wrong distance
+    // (1 or 3) would copy the opposite red parity.
+    locally {
+      val bw = new BW
+      bw.put(0x2F, 8); header(bw, 3, 2)
+      bw.put(0, 1); bw.put(0, 1); bw.put(0, 1)
+      greenTwoSymbols(bw, lit = 50, special = 257, alphabet = 280) // len code 1 → length 2
+      simpleTwo(bw, 60, 70) // red alternates
+      simpleOne(bw, 80) // blue
+      simpleOne(bw, 255) // alpha
+      simpleOne(bw, 3) // distance code 3 → prefix value 4 → DistMap(3)
+      // literals: (g50, r60/70 alternating, b80) ×4, then green '1' = 257
+      for (i <- 0 until 4) { bw.code(0, 1); bw.put(i & 1, 1) }
+      bw.code(1, 1) // backref: length 2, distance from the single-symbol code
+      bw.flush()
+      val (f, w, h, _, px) = decodeRaster(riff(bw.out.toSeq))
+      assert((f, w, h) == (("webp", 3, 2)))
+      val lits = Seq(Seq(60, 50, 80), Seq(70, 50, 80), Seq(60, 50, 80),
+        Seq(70, 50, 80))
+      val want = (lits ++ Seq(lits(2), lits(3))).flatten.map(_.toByte)
+      assert(px == want, "2D distance code 4 must resolve to d = 2")
+    }
+    // linear distance: 11×12 image, 122 literals with alternating red,
+    // then a length-10 backref at distance code 13 + 5 extra bits 25 →
+    // dRaw = (3 << 5) + 25 + 1 = 122 > 120 → LINEAR distance
+    // dRaw − 120 = 2 (mistaking the raw 122 for the distance would
+    // reject — only 122 pixels exist — and any off-by-one flips the
+    // copied red parity).
+    locally {
+      val bw = new BW
+      bw.put(0x2F, 8); header(bw, 11, 12)
+      bw.put(0, 1); bw.put(0, 1); bw.put(0, 1)
+      greenTwoSymbols(bw, lit = 90, special = 262, alphabet = 280) // len code 6
+      simpleTwo(bw, 10, 20) // red alternates
+      simpleOne(bw, 30) // blue
+      simpleOne(bw, 255)
+      simpleOne(bw, 13) // distance code 13: 5 extra bits
+      for (i <- 0 until 122) { bw.code(0, 1); bw.put(i & 1, 1) }
+      bw.code(1, 1) // green 262 → length prefix 6 → 2 extra bits
+      bw.put(1, 2) // length = 8 + 1 + 1 = 10
+      bw.put(25, 5) // distance = (3 << 5) + 25 + 1 = 122 → linear d = 2
+      bw.flush()
+      val (f, w, h, _, px) = decodeRaster(riff(bw.out.toSeq))
+      assert((f, w, h) == (("webp", 11, 12)))
+      // pixels 122..131 copy from pos−2: red parity equals (k−2) % 2 = k%2
+      (122 until 132).foreach { k =>
+        val r = px(3 * k) & 0xFF
+        assert(r == (if (k % 2 == 0) 10 else 20), s"pixel $k red $r")
+        assert((px(3 * k + 1) & 0xFF) == 90 && (px(3 * k + 2) & 0xFF) == 30)
+      }
+    }
+
     // ---- under-subscribed normal code must reject (Kraft gate): three
     // length-2 symbols fill only 3/4 of the code space
     locally {

@@ -18,13 +18,16 @@ import org.apache.spark.sql.types._
   * Annex K reference Huffman table specs the fixture encoder emits as
   * DHT payloads) lives in [[JpegTables]].
   *
-  * Supported: baseline DCT (SOF0), 8-bit precision, 1 component
-  * (grayscale) or 3 components YCbCr with 4:4:4 (all 1×1) or 4:2:0
-  * (luma 2×2, chroma 1×1) sampling — the shapes that dominate real
-  * crawls. Progressive (SOF2), extended/lossless/arithmetic frames,
-  * other sampling grids, 12-bit precision, and nonzero restart
-  * intervals reject to `'unknown'` — pixels are never guessed, and
-  * malformed untrusted bytes must never fail the task. Reference
+  * Supported: baseline DCT (SOF0) AND progressive DCT (SOF2 — spectral
+  * selection, successive approximation, interleaved and non-interleaved
+  * scans, the G.1.2.3 AC-refinement correction-bit algorithm; round
+  * 11), 8-bit precision, 1 component (grayscale) or 3 components YCbCr
+  * with 4:4:4 (all 1×1) or 4:2:0 (luma 2×2, chroma 1×1) sampling, and
+  * restart intervals (DRI/RSTn with cyclic-index checks and DC/EOB-run
+  * resets) — together the shapes that dominate real crawls.
+  * Extended/lossless/arithmetic frames, other sampling grids, and
+  * 12-bit precision reject to `'unknown'` — pixels are never guessed,
+  * and malformed untrusted bytes must never fail the task. Reference
   * pipeline context: the reference system has no media path at all;
   * this completes the training-data brief's decode stage for the
   * PNG/GIF/JPEG web-raster trio.

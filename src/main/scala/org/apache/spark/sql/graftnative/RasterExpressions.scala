@@ -29,8 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    boundary. Decode = strip padding, swap to RGB, flip to top-down.
   *  - PNG (ISO/IEC 15948): chunk walk with CRC-32 verification, IDAT
   *    zlib inflate via the JDK `Inflater`, scanline unfiltering
-  *    (None/Sub/Up/Average/Paeth); 8-bit grayscale/truecolor,
-  *    non-interlaced.
+  *    (None/Sub/Up/Average/Paeth); the full 8-bit color-type set
+  *    (grayscale, truecolor, palette, gray+alpha, RGBA — alpha decoded
+  *    then dropped), plain or Adam7-interlaced.
   *  - GIF (GIF87a/89a): first image block — LZW decompression, global
   *    or local palette mapping, 4-pass deinterlace.
   *

@@ -1494,8 +1494,11 @@ object QueriesScale {
         |FROM s ORDER BY doc_id""".stripMargin))
 
   // EXTENDED PNG shapes (round 11): RGBA, palette (PLTE), gray+alpha,
-  // and Adam7-interlaced variants — the full 8-bit color-type set a web
-  // crawl yields (alpha decoded then dropped, the WebP stance). Adam7
+  // Adam7-interlaced, and 16-BIT variants — the full color-type/depth
+  // set a web crawl yields (alpha decoded then dropped, the WebP
+  // stance; 16-bit samples emit their big-endian high byte, the
+  // standard rendering downconversion — the fixture's low bytes vary
+  // independently so a byte-order mixup changes every value). Adam7
   // streams carry SEVEN independently filtered sub-images scattered
   // back to full resolution, so a hash match proves the per-pass
   // unfiltering and the scatter geometry, not just inflate. Variants
@@ -1505,15 +1508,19 @@ object QueriesScale {
     (s, dir) => {
       val w = lit(3L) + col("doc_id") % 13
       val h = lit(3L) + col("doc_id") % 7
-      val payload = when(col("doc_id") % 5 === 0,
+      val payload = when(col("doc_id") % 7 === 0,
           ScaleOps.synthPngExt(w, h, col("doc_id"), 0))
-        .when(col("doc_id") % 5 === 1,
+        .when(col("doc_id") % 7 === 1,
           ScaleOps.synthPngExt(w, h, col("doc_id"), 1))
-        .when(col("doc_id") % 5 === 2,
+        .when(col("doc_id") % 7 === 2,
           ScaleOps.synthPngExt(w, h, col("doc_id"), 2))
-        .when(col("doc_id") % 5 === 3,
+        .when(col("doc_id") % 7 === 3,
           ScaleOps.synthPngExt(w, h, col("doc_id"), 3))
-        .otherwise(ScaleOps.synthPngExt(w, h, col("doc_id"), 4))
+        .when(col("doc_id") % 7 === 4,
+          ScaleOps.synthPngExt(w, h, col("doc_id"), 4))
+        .when(col("doc_id") % 7 === 5,
+          ScaleOps.synthPngExt(w, h, col("doc_id"), 5))
+        .otherwise(ScaleOps.synthPngExt(w, h, col("doc_id"), 6))
       val raster = ScaleOps.imageDecode(payload)
       Tables.documents(s, dir)
         .select(col("doc_id"), raster.as("r"))
@@ -1535,20 +1542,22 @@ object QueriesScale {
     },
     Some(
       """WITH d AS (SELECT doc_id, 3 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
-        |           CAST(doc_id % 5 AS INT) AS v FROM documents),
+        |           CAST(doc_id % 7 AS INT) AS v FROM documents),
         | g AS (SELECT d.*, gx.range AS x, gy.range AS y
         |        FROM d CROSS JOIN range(0, 4) gx CROSS JOIN range(0, 4) gy),
         | px AS (SELECT doc_id, w, h, v,
         |         (y * h // 4) * w + (x * w // 4) AS p FROM g),
         | ch AS (SELECT doc_id, w, h, v, p, c.range AS c FROM px
         |        CROSS JOIN range(0, 3) c
-        |        WHERE c.range = 0 OR v <> 2),
+        |        WHERE c.range = 0 OR v NOT IN (2, 6)),
         | val AS (SELECT doc_id, w, h, v, c,
         |          CASE
         |           WHEN v = 1 THEN (doc_id * 13 +
         |             ((doc_id * 31 + p * 7) % 64) * 11 + c * 5) % 256
         |           WHEN v = 2 THEN (doc_id * 31 + (2 * p) * 7) % 256
         |           WHEN v = 3 THEN (doc_id * 31 + (3 * p + c) * 7) % 256
+        |           WHEN v = 5 THEN (doc_id * 31 + (2 * (3 * p + c)) * 7) % 256
+        |           WHEN v = 6 THEN (doc_id * 31 + (2 * p) * 7) % 256
         |           ELSE (doc_id * 31 + (4 * p + c) * 7) % 256
         |          END AS s FROM ch),
         | agg AS (SELECT doc_id, w, h, v,
@@ -1558,7 +1567,7 @@ object QueriesScale {
         |         FROM val GROUP BY 1, 2, 3, 4)
         |SELECT doc_id, 'png' AS format,
         | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-        | CAST(CASE WHEN v = 2 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+        | CAST(CASE WHEN v IN (2, 6) THEN 1 ELSE 3 END AS BIGINT) AS channels,
         | CAST(c0_sum AS BIGINT) AS c0_sum, CAST(c1_sum AS BIGINT) AS c1_sum,
         | CAST(c2_sum AS BIGINT) AS c2_sum
         |FROM agg ORDER BY doc_id""".stripMargin))

@@ -211,7 +211,10 @@ object ImageDecode {
     * dropped (RGB/gray out, same stance as the WebP decoder) — and BOTH
     * interlace methods (none and Adam7: seven sub-images, each
     * independently filtered at its own width, scattered to full
-    * resolution). 16-bit depth stays a reject. Every chunk's CRC is
+    * resolution). 16-bit depth decodes for the non-palette color types
+    * with each big-endian sample emitted as its HIGH byte (the standard
+    * 8-bit rendering downconversion; filtering runs on raw bytes with
+    * the doubled bytes-per-pixel stride, per spec). Every chunk's CRC is
     * verified (a flipped payload byte yields `'unknown'`, never silently
     * wrong pixels), multiple IDAT chunks concatenate per spec, ancillary
     * chunks are skipped, and the inflated stream must contain EXACTLY
@@ -219,7 +222,9 @@ object ImageDecode {
     */
   private def decodePng(b: Array[Byte]): InternalRow = {
     var w = -1; var h = -1
-    var samples = 0 // bytes per pixel in the coded scanlines
+    var samples = 0 // samples per pixel in the coded scanlines
+    var sampleBytes = 0 // bytes per pixel (samples × depth/8) — filter bpp
+    var depthBytes = 1
     var outCh = 0 // emitted channels (alpha dropped)
     var colorType = -1
     var interlaced = false
@@ -246,15 +251,19 @@ object ImageDecode {
         val comp = u8(b, dataOff + 10)
         val filt = u8(b, dataOff + 11)
         val inter = u8(b, dataOff + 12)
-        if (depth != 8 || comp != 0 || filt != 0 || inter > 1) return unknown
+        if ((depth != 8 && depth != 16) || comp != 0 || filt != 0 ||
+            inter > 1) return unknown
+        if (depth == 16 && color == 3) return unknown // spec: no 16-bit palette
+        depthBytes = depth / 8
         interlaced = inter == 1
         colorType = color
         samples = color match {
           case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
           case _ => return unknown
         }
+        sampleBytes = samples * depthBytes
         outCh = color match { case 0 | 4 => 1; case _ => 3 }
-        if (wl <= 0 || hl <= 0 || wl * hl * math.max(samples, outCh) >
+        if (wl <= 0 || hl <= 0 || wl * hl * math.max(sampleBytes, outCh) >
           MaxPixelBytes) return unknown
         w = wl.toInt; h = hl.toInt
       } else if (t0 == 'P' && t1 == 'L' && t2 == 'T' && t3 == 'E') {
@@ -279,10 +288,11 @@ object ImageDecode {
     def passW(p: Int) = (w - xStart(p) + xStep(p) - 1) / xStep(p)
     def passH(p: Int) = (h - yStart(p) + yStep(p) - 1) / yStep(p)
     val rawLen =
-      if (!interlaced) h.toLong * (1 + w.toLong * samples)
+      if (!interlaced) h.toLong * (1 + w.toLong * sampleBytes)
       else (0 until 7).map { p =>
         val pw = passW(p); val ph = passH(p)
-        if (pw <= 0 || ph <= 0) 0L else ph.toLong * (1 + pw.toLong * samples)
+        if (pw <= 0 || ph <= 0) 0L
+        else ph.toLong * (1 + pw.toLong * sampleBytes)
       }.sum
     if (rawLen > MaxPixelBytes * 2L) return unknown
     val raw = new Array[Byte](rawLen.toInt)
@@ -315,7 +325,7 @@ object ImageDecode {
     // sequentially; returns false on a bad filter byte
     def unfilter(srcOff: Int, sw: Int, sh: Int, dst: Array[Byte],
         dstOff: Int): Boolean = {
-      val rowBytes = sw * samples
+      val rowBytes = sw * sampleBytes
       var y = 0
       while (y < sh) {
         val f = u8(raw, srcOff + y * (1 + rowBytes))
@@ -325,7 +335,7 @@ object ImageDecode {
         var x = 0
         while (x < rowBytes) {
           val rv = u8(raw, src + x)
-          val left = if (x >= samples) u8(dst, dstRow + x - samples) else 0
+          val left = if (x >= sampleBytes) u8(dst, dstRow + x - sampleBytes) else 0
           val up = if (y > 0) u8(dst, dstRow - rowBytes + x) else 0
           val pred = f match {
             case 0 => 0
@@ -333,8 +343,8 @@ object ImageDecode {
             case 2 => up
             case 3 => (left + up) >> 1
             case _ => // Paeth (§9.4)
-              val ul = if (y > 0 && x >= samples)
-                u8(dst, dstRow - rowBytes + x - samples) else 0
+              val ul = if (y > 0 && x >= sampleBytes)
+                u8(dst, dstRow - rowBytes + x - sampleBytes) else 0
               val p = left + up - ul
               val pa = math.abs(p - left)
               val pb = math.abs(p - up)
@@ -348,8 +358,8 @@ object ImageDecode {
       }
       true
     }
-    // full-resolution sample plane
-    val samp = new Array[Byte](w * h * samples)
+    // full-resolution sample-byte plane
+    val samp = new Array[Byte](w * h * sampleBytes)
     if (!interlaced) {
       if (!unfilter(0, w, h, samp, 0)) return unknown
     } else {
@@ -358,9 +368,9 @@ object ImageDecode {
       while (p < 7) {
         val pw = passW(p); val ph = passH(p)
         if (pw > 0 && ph > 0) {
-          val sub = new Array[Byte](pw * ph * samples)
+          val sub = new Array[Byte](pw * ph * sampleBytes)
           if (!unfilter(srcOff, pw, ph, sub, 0)) return unknown
-          srcOff += ph * (1 + pw * samples)
+          srcOff += ph * (1 + pw * sampleBytes)
           // scatter to full resolution
           var j = 0
           while (j < ph) {
@@ -369,9 +379,9 @@ object ImageDecode {
             while (k < pw) {
               val destX = xStart(p) + k * xStep(p)
               var s = 0
-              while (s < samples) {
-                samp((destY * w + destX) * samples + s) =
-                  sub((j * pw + k) * samples + s)
+              while (s < sampleBytes) {
+                samp((destY * w + destX) * sampleBytes + s) =
+                  sub((j * pw + k) * sampleBytes + s)
                 s += 1
               }
               k += 1
@@ -382,11 +392,18 @@ object ImageDecode {
         p += 1
       }
     }
-    // emit: drop alpha / resolve the palette
+    // emit: drop alpha / resolve the palette; 16-bit samples emit their
+    // big-endian HIGH byte (the stride skips the low byte)
     val out = new Array[Byte](w * h * outCh)
     val n = w * h
+    val db = depthBytes
     colorType match {
-      case 0 | 2 => System.arraycopy(samp, 0, out, 0, out.length)
+      case 0 | 2 =>
+        if (db == 1) System.arraycopy(samp, 0, out, 0, out.length)
+        else {
+          var s0 = 0
+          while (s0 < out.length) { out(s0) = samp(s0 * 2); s0 += 1 }
+        }
       case 3 =>
         val palSize = palette.length / 3
         var p = 0
@@ -400,13 +417,13 @@ object ImageDecode {
         }
       case 4 =>
         var p = 0
-        while (p < n) { out(p) = samp(2 * p); p += 1 }
+        while (p < n) { out(p) = samp(2 * p * db); p += 1 }
       case _ => // 6: RGBA → RGB
         var p = 0
         while (p < n) {
-          out(3 * p) = samp(4 * p)
-          out(3 * p + 1) = samp(4 * p + 1)
-          out(3 * p + 2) = samp(4 * p + 2)
+          out(3 * p) = samp((4 * p) * db)
+          out(3 * p + 1) = samp((4 * p + 1) * db)
+          out(3 * p + 2) = samp((4 * p + 2) * db)
           p += 1
         }
     }

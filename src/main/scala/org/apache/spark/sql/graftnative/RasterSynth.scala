@@ -56,8 +56,8 @@ case class SynthPngExt(first: Expression, second: Expression,
     third: Expression, variant: Int)
     extends TernaryExpression with ImplicitCastInputTypes {
 
-  require(variant >= 0 && variant <= 4,
-    s"synth_png_ext variant must be 0-4, got $variant")
+  require(variant >= 0 && variant <= 6,
+    s"synth_png_ext variant must be 0-6 (5/6 = 16-bit RGB/gray), got $variant")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType, LongType)
   override def dataType: DataType = BinaryType
@@ -211,20 +211,23 @@ object RasterSynth {
     * Adam7 sub-images, each filtered independently at its own width.
     */
   def pngBytesExt(w: Long, h: Long, seed: Long, variant: Int): Array[Byte] = {
-    if (w <= 0 || h <= 0 || w * h * 4 > MaxPixelBytes) return null
+    if (w <= 0 || h <= 0 || w * h * 6 > MaxPixelBytes) return null
     val wi = w.toInt; val hi = h.toInt
     val n = wi * hi
-    val (colorType, samples) = variant match {
-      case 0 => (6, 4)
-      case 1 => (3, 1)
-      case 2 => (4, 2)
-      case 3 => (2, 3)
-      case _ => (6, 4)
+    val (colorType, samples, depth) = variant match {
+      case 0 => (6, 4, 8)
+      case 1 => (3, 1, 8)
+      case 2 => (4, 2, 8)
+      case 3 => (2, 3, 8)
+      case 4 => (6, 4, 8)
+      case 5 => (2, 3, 16) // 16-bit truecolor, big-endian samples
+      case _ => (0, 1, 16) // 16-bit grayscale
     }
-    val interlaced = variant >= 3
+    val interlaced = variant == 3 || variant == 4
     val palSize = 64
-    // full-resolution coded sample plane
-    val smp = new Array[Byte](n * samples)
+    val sampleBytes = samples * (depth / 8)
+    // full-resolution coded sample-byte plane
+    val smp = new Array[Byte](n * sampleBytes)
     variant match {
       case 1 =>
         var p = 0
@@ -239,6 +242,16 @@ object RasterSynth {
           smp(2 * p + 1) = pix(seed, 2L * p + 1).toByte // alpha (dropped)
           p += 1
         }
+      case 5 | 6 =>
+        // sample s = (hi, lo) big-endian: hi = pix(2s), lo = pix(2s+1) —
+        // the decoder must really walk the doubled stride and emit the
+        // HIGH byte; a low-byte mixup changes every output value
+        var sIdx = 0
+        while (sIdx < n * samples) {
+          smp(2 * sIdx) = pix(seed, 2L * sIdx).toByte
+          smp(2 * sIdx + 1) = pix(seed, 2L * sIdx + 1).toByte
+          sIdx += 1
+        }
       case _ =>
         var k = 0
         while (k < smp.length) { smp(k) = pix(seed, k).toByte; k += 1 }
@@ -248,7 +261,7 @@ object RasterSynth {
     val rawOut = new java.io.ByteArrayOutputStream()
     def filterSub(sw: Int, sh: Int, rowSeed: Long,
         at: (Int, Int) => Int): Unit = {
-      val rowBytes = sw * samples
+      val rowBytes = sw * sampleBytes
       val sub = new Array[Byte](sh * rowBytes)
       var y = 0
       while (y < sh) {
@@ -256,8 +269,8 @@ object RasterSynth {
         while (x < sw) {
           val srcPix = at(x, y)
           var c = 0
-          while (c < samples) {
-            sub((y * sw + x) * samples + c) = smp(srcPix * samples + c)
+          while (c < sampleBytes) {
+            sub((y * sw + x) * sampleBytes + c) = smp(srcPix * sampleBytes + c)
             c += 1
           }
           x += 1
@@ -271,10 +284,10 @@ object RasterSynth {
         var x = 0
         while (x < rowBytes) {
           val cur = sub(y * rowBytes + x) & 0xFF
-          val left = if (x >= samples) sub(y * rowBytes + x - samples) & 0xFF else 0
+          val left = if (x >= sampleBytes) sub(y * rowBytes + x - sampleBytes) & 0xFF else 0
           val up = if (y > 0) sub((y - 1) * rowBytes + x) & 0xFF else 0
-          val ul = if (y > 0 && x >= samples)
-            sub((y - 1) * rowBytes + x - samples) & 0xFF else 0
+          val ul = if (y > 0 && x >= sampleBytes)
+            sub((y - 1) * rowBytes + x - sampleBytes) & 0xFF else 0
           val pred = f match {
             case 0 => 0
             case 1 => left
@@ -333,7 +346,7 @@ object RasterSynth {
     ihdr(2) = ((wi >> 8) & 0xFF).toByte; ihdr(3) = (wi & 0xFF).toByte
     ihdr(4) = ((hi >> 24) & 0xFF).toByte; ihdr(5) = ((hi >> 16) & 0xFF).toByte
     ihdr(6) = ((hi >> 8) & 0xFF).toByte; ihdr(7) = (hi & 0xFF).toByte
-    ihdr(8) = 8 // bit depth
+    ihdr(8) = depth.toByte
     ihdr(9) = colorType.toByte
     ihdr(10) = 0; ihdr(11) = 0
     ihdr(12) = (if (interlaced) 1 else 0).toByte

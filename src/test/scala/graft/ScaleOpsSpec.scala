@@ -725,10 +725,11 @@ class ScaleOpsSpec extends SparkSpec {
     corrupt(pngSig.length + ihdr(2, 2, 2).length + 8 + 3) =
       (corrupt(pngSig.length + ihdr(2, 2, 2).length + 8 + 3) ^ 0x40).toByte
     assert(decodeRaster(corrupt)._1 == "unknown")
-    // truncation / 16-bit: reject. (Interlace and palette are REAL
-    // since round 11 — these streams now reject for honest structural
-    // reasons instead: an Adam7 2×2 needs 15 raw bytes, not 14, and a
-    // type-3 stream without a PLTE chunk has no palette to resolve.)
+    // truncation: reject. (Interlace, palette, and 16-bit depth are
+    // REAL since round 11 — these streams now reject for honest
+    // structural reasons instead: an Adam7 2×2 needs 15 raw bytes and a
+    // 16-bit 2×2 needs 26, not the 14 provided, and a type-3 stream
+    // without a PLTE chunk has no palette to resolve.)
     assert(decodeRaster(png.dropRight(1))._1 == "unknown")
     assert(decodeRaster(pngSig ++ ihdr(2, 2, 2, interlace = 1) ++
       pngChunk("IDAT", zlibStored(filtered)) ++

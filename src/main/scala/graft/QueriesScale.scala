@@ -1384,6 +1384,73 @@ object QueriesScale {
         | CAST(s1 AS BIGINT) AS g_sum, CAST(s2 AS BIGINT) AS b_sum
         |FROM s ORDER BY doc_id""".stripMargin))
 
+  // 4:2:2 / 4:4:0 CHROMA SAMPLING (round 11): the two remaining grids
+  // real encoders emit (photography pipelines favor 4:2:2), in baseline
+  // AND progressive forms — the decoder's replication upsampler is
+  // general in the sampling ratios and the grid gate now admits any
+  // luma {1,2}×{1,2} with 1×1 chroma. Same generative content and
+  // exactness contract as jpeg_pixels (constant chroma planes make
+  // replication trivially exact at every grid); the oracle replays the
+  // block formula with ch = 3 throughout.
+  private val jpegSamplingPixelsQ = Q(
+    (s, dir) => {
+      val w = lit(16L) * (lit(1L) + col("doc_id") % 3)
+      val h = lit(16L) * (lit(1L) + col("doc_id") % 2)
+      val payload = when(col("doc_id") % 4 === 0,
+          ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 6))
+        .when(col("doc_id") % 4 === 1,
+          ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 7))
+        .when(col("doc_id") % 4 === 2,
+          ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 8))
+        .otherwise(ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 9))
+      val raster = ScaleOps.imageDecode(payload)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raster.as("r"))
+        .select(col("doc_id"),
+          col("r.format").as("format"),
+          col("r.width").cast(LongType).as("width"),
+          col("r.height").cast(LongType).as("height"),
+          ScaleOps.rasterChannelSums(
+            ScaleOps.imageResizeNN(col("r"), 4, 4)).as("s"))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("s").getItem(0).as("r_sum"),
+          col("s").getItem(1).as("g_sum"),
+          col("s").getItem(2).as("b_sum"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, 16 * (1 + doc_id % 3) AS w,
+        |   16 * (1 + doc_id % 2) AS h,
+        |   CAST(doc_id % 4 AS INT) AS v FROM documents),
+        | shifts(v, sr, sg, sb) AS (VALUES (0, 0, 0, 0), (1, 7, -4, 0),
+        |   (2, 0, -2, 9), (3, -10, 4, 7)),
+        | g AS (SELECT d.*, gx.range AS x, gy.range AS y
+        |        FROM d CROSS JOIN range(0, 4) gx CROSS JOIN range(0, 4) gy),
+        | src AS (SELECT doc_id, w, h, v,
+        |          (x * w // 4) AS sx, (y * h // 4) AS sy FROM g),
+        | blk AS (SELECT doc_id, w, h, v, sx, sy,
+        |          (sy // 8) * (w // 8) + (sx // 8) AS bi FROM src),
+        | yv AS (SELECT doc_id, w, h, v,
+        |         64 + (doc_id * 31 + bi * 17) % 128
+        |         + ((doc_id * 5 + bi * 11) % 8)
+        |           * (CASE WHEN (sx % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        |         + ((doc_id * 3 + bi * 19) % 8)
+        |           * (CASE WHEN (sy % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        |         + ((doc_id * 7 + bi * 13) % 8)
+        |           * (CASE WHEN (sx % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        |           * (CASE WHEN (sy % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        |         AS yval FROM blk),
+        | s AS (SELECT doc_id, w, h,
+        |        SUM(yval + sr) AS r_sum,
+        |        SUM(yval + sg) AS g_sum,
+        |        SUM(yval + sb) AS b_sum
+        |       FROM yv JOIN shifts USING (v) GROUP BY 1, 2, 3)
+        |SELECT doc_id, 'jpeg' AS format,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+        | CAST(b_sum AS BIGINT) AS b_sum
+        |FROM s ORDER BY doc_id""".stripMargin))
+
   // PROGRESSIVE (SOF2) JPEG: the same generative content as jpeg_pixels
   // re-coded through T.81 G.1.2 — an interleaved DC-first scan at Al=1,
   // per-component spectral-band AC-first scans with real EOB-run coding
@@ -4452,6 +4519,7 @@ object QueriesScale {
     "gif_pixels" -> gifPixelsQ,
     "jpeg_pixels" -> jpegPixelsQ,
     "jpeg_progressive_pixels" -> jpegProgressivePixelsQ,
+    "jpeg_sampling_pixels" -> jpegSamplingPixelsQ,
     "webp_pixels" -> webpPixelsQ,
     "webp_pred_pixels" -> webpPredPixelsQ,
     "webp_palette_pixels" -> webpPalettePixelsQ,

@@ -363,7 +363,9 @@ private[graftnative] object JpegCodec {
             if (compTq(c) > 3) return unknown
             c += 1
           }
-          // sampling grid: all 1×1, or (3-component) luma 2×2 chroma 1×1
+          // sampling grid: luma H,V ∈ {1,2} with chroma 1×1 — covers
+          // 4:4:4, 4:2:0, 4:2:2 and 4:4:0, the grids real encoders emit
+          // (the replication upsampler below is general in hs/vs)
           c = 0
           while (c < nComp) {
             if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
@@ -371,10 +373,9 @@ private[graftnative] object JpegCodec {
             hMax = math.max(hMax, compH(c)); vMax = math.max(vMax, compV(c))
             c += 1
           }
-          val all11 = (0 until nComp).forall(k => compH(k) == 1 && compV(k) == 1)
-          val is420 = nComp == 3 && compH(0) == 2 && compV(0) == 2 &&
-            compH(1) == 1 && compV(1) == 1 && compH(2) == 1 && compV(2) == 1
-          if (!all11 && !is420) return unknown
+          val chromaOk = nComp == 1 ||
+            ((1 until nComp).forall(k => compH(k) == 1 && compV(k) == 1))
+          if (!chromaOk) return unknown
           val chOut = if (nComp == 1) 1 else 3
           if (w.toLong * h * chOut > MaxPixelBytes) return unknown
           mcusX = (w + 8 * hMax - 1) / (8 * hMax)
@@ -886,9 +887,10 @@ case class SynthJpeg(first: Expression, second: Expression, third: Expression,
     mode: Int)
     extends TernaryExpression with ImplicitCastInputTypes {
 
-  require(mode >= 0 && mode <= 5,
-    s"synth_jpeg mode must be 0 (gray), 1 (4:2:0), 2 (4:4:4), or the " +
-      s"progressive forms 3-5 of the same layouts, got $mode")
+  require(mode >= 0 && mode <= 9,
+    s"synth_jpeg mode must be 0 (gray), 1 (4:2:0), 2 (4:4:4), 3-5 their " +
+      s"progressive forms, 6/7 baseline 4:2:2/4:4:0, 8/9 progressive " +
+      s"4:2:2/4:4:0; got $mode")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType, LongType)
   override def dataType: DataType = BinaryType
@@ -1042,17 +1044,30 @@ object JpegSynth {
     o.toByteArray
   }
 
+  /** Luma sampling factors per fixture layout: 0 gray, 1 = 4:2:0,
+    * 2 = 4:4:4, 3 = 4:2:2 (2×1), 4 = 4:4:0 (1×2).
+    */
+  private def lumaHV(layout: Int): (Int, Int) = layout match {
+    case 1 => (2, 2)
+    case 3 => (2, 1)
+    case 4 => (1, 2)
+    case _ => (1, 1)
+  }
+
   /** Complete valid baseline JFIF JPEG from `(w, h, seed, mode)`;
-    * modes 3–5 are the PROGRESSIVE (SOF2) forms of layouts 0–2
-    * (see [[jpegBytesProgressive]]).
+    * modes 3–5 are the PROGRESSIVE (SOF2) forms of layouts 0–2, modes
+    * 6/7 the baseline 4:2:2 / 4:4:0 grids, and 8/9 their progressive
+    * forms (see [[jpegBytesProgressive]]).
     */
   def jpegBytes(w: Long, h: Long, seed: Long, mode: Int): Array[Byte] = {
-    if (mode >= 3) return jpegBytesProgressive(w, h, seed, mode - 3)
-    val mcu = if (mode == 1) 16 else 8
+    if (mode >= 3 && mode <= 5) return jpegBytesProgressive(w, h, seed, mode - 3)
+    if (mode >= 8) return jpegBytesProgressive(w, h, seed, mode - 5)
+    val layout = if (mode == 6) 3 else if (mode == 7) 4 else mode
+    val (lh, lv) = lumaHV(layout)
     if (w <= 0 || h <= 0 || w > 0xFFFF || h > 0xFFFF ||
-        w % mcu != 0 || h % mcu != 0) return null
+        w % (8 * lh) != 0 || h % (8 * lv) != 0) return null
     val wi = w.toInt; val hi = h.toInt
-    val ch = if (mode == 0) 1 else 3
+    val ch = if (layout == 0) 1 else 3
     if (w * h * ch > MaxPixelBytes) return null
     val variant = ChromaVariants(java.lang.Math.floorMod(seed, 4).toInt)
     val (dr, db) = (variant._1, variant._2)
@@ -1077,7 +1092,7 @@ object JpegSynth {
     sof.write(ch)
     if (ch == 1) { sof.write(1); sof.write(0x11); sof.write(0) }
     else {
-      sof.write(1); sof.write(if (mode == 1) 0x22 else 0x11); sof.write(0)
+      sof.write(1); sof.write((lh << 4) | lv); sof.write(0)
       sof.write(2); sof.write(0x11); sof.write(1)
       sof.write(3); sof.write(0x11); sof.write(1)
     }
@@ -1113,17 +1128,17 @@ object JpegSynth {
     val chromaZzCb = { val z = new Array[Int](64); z(0) = db; z }
     val chromaZzCr = { val z = new Array[Int](64); z(0) = dr; z }
     var dcY = 0; var dcCb = 0; var dcCr = 0
-    if (mode == 1) {
-      val mcusX = wi / 16; val mcusY = hi / 16
+    if (ch == 3 && (lh > 1 || lv > 1)) {
+      val mcusX = wi / (8 * lh); val mcusY = hi / (8 * lv)
       var my = 0
       while (my < mcusY) {
         var mx = 0
         while (mx < mcusX) {
           var v0 = 0
-          while (v0 < 2) {
+          while (v0 < lv) {
             var h0 = 0
-            while (h0 < 2) {
-              val bi = (2L * my + v0) * bwBlocks + (2L * mx + h0)
+            while (h0 < lh) {
+              val bi = (lv.toLong * my + v0) * bwBlocks + (lh.toLong * mx + h0)
               dcY = encodeBlock(bw, lumaZz(bi), dcY, DcLumaEnc, AcLumaEnc)
               h0 += 1
             }
@@ -1187,9 +1202,9 @@ object JpegSynth {
     * baseline `mode`: 0 grayscale, 1 YCbCr 4:2:0, 2 YCbCr 4:4:4.
     */
   def jpegBytesProgressive(w: Long, h: Long, seed: Long, layout: Int): Array[Byte] = {
-    val mcu = if (layout == 1) 16 else 8
+    val (lh, lv) = lumaHV(layout)
     if (w <= 0 || h <= 0 || w > 0xFFFF || h > 0xFFFF ||
-        w % mcu != 0 || h % mcu != 0) return null
+        w % (8 * lh) != 0 || h % (8 * lv) != 0) return null
     val wi = w.toInt; val hi = h.toInt
     val ch = if (layout == 0) 1 else 3
     if (w * h * ch > MaxPixelBytes) return null
@@ -1204,7 +1219,7 @@ object JpegSynth {
       z(0) = m - 128; z(10) = b; z(14) = a; z(39) = d
       z
     }
-    val (cW, cH) = if (layout == 1) (wi / 16, hi / 16) else (bwBlocks, bhBlocks)
+    val (cW, cH) = (wi / (8 * lh), hi / (8 * lv))
     val cbBlocks = Array.fill(cH * cW) { val z = new Array[Int](64); z(0) = db; z }
     val crBlocks = Array.fill(cH * cW) { val z = new Array[Int](64); z(0) = dr; z }
 
@@ -1228,7 +1243,7 @@ object JpegSynth {
     sof.write(ch)
     if (ch == 1) { sof.write(1); sof.write(0x11); sof.write(0) }
     else {
-      sof.write(1); sof.write(if (layout == 1) 0x22 else 0x11); sof.write(0)
+      sof.write(1); sof.write((lh << 4) | lv); sof.write(0)
       sof.write(2); sof.write(0x11); sof.write(1)
       sof.write(3); sof.write(0x11); sof.write(1)
     }
@@ -1266,13 +1281,13 @@ object JpegSynth {
     // MCU-grouped block order for the DC scans (restart units are MCUs)
     def dcOrderMcus(g: Seq[(Int, Array[Int])] => Unit): Unit = {
       if (ch == 1) yBlocks.foreach(z => g(Seq((0, z))))
-      else if (layout == 1) {
+      else if (lh > 1 || lv > 1) {
         var my = 0
-        while (my < hi / 16) {
+        while (my < hi / (8 * lv)) {
           var mx = 0
-          while (mx < wi / 16) {
-            val ys = for (v0 <- 0 until 2; h0 <- 0 until 2)
-              yield (0, yBlocks((2 * my + v0) * bwBlocks + 2 * mx + h0))
+          while (mx < wi / (8 * lh)) {
+            val ys = for (v0 <- 0 until lv; h0 <- 0 until lh)
+              yield (0, yBlocks((lv * my + v0) * bwBlocks + lh * mx + h0))
             g(ys ++ Seq((1, cbBlocks(my * cW + mx)), (2, crBlocks(my * cW + mx))))
             mx += 1
           }

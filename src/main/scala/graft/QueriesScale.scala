@@ -1727,6 +1727,77 @@ object QueriesScale {
         | CAST(b_sum AS BIGINT) AS b_sum
         |FROM s ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------------ LOSSY WebP decode
+  // The missing half of the web's WebP traffic (VP8L above covers
+  // lossless): one VP8 KEY FRAME per RFC 6386, really decoded — the
+  // boolean arithmetic decoder, key-frame mode trees, coefficient
+  // token decoding with band/context probabilities, dequant, the exact
+  // integer IDCT/WHT, and all intra predictors. The fixture encoder
+  // arithmetic-codes for real against the same spec-default probability
+  // tables; VP8 is lossy in general so the content lives where the
+  // transform is EXACT (every 4×4 block reconstructs to a constant
+  // through DC-only residuals — see Vp8Synth's scaladoc for the
+  // level arithmetic), which is what lets the oracle replay the decoded
+  // pixels knowing nothing about arithmetic coding, prediction, or the
+  // DCT. Even doc_ids build all-B_PRED frames (per-4×4 targets,
+  // B_DC/B_TM alternating); odd doc_ids build 16×16-mode frames
+  // (DC/V/H/TM rotating per MB) routing per-MB targets through the
+  // real Y2/WHT path; chroma planes are the constant JPEG chroma
+  // variants whose JFIF RGB conversion rounds to integer shift triples.
+  // Same decode→resize→channel-sums shape as the other raster keys;
+  // per-row, zero shuffle. Golden edge/reject coverage lives in
+  // Vp8Spec.
+  private val webpLossyPixelsQ = Q(
+    (s, dir) => {
+      val w = lit(16L) * (lit(1L) + col("doc_id") % 3)
+      val h = lit(16L) * (lit(1L) + shiftright(col("doc_id"), 1) % 2)
+      val payload = when(col("doc_id") % 2 === 0,
+          ScaleOps.synthVp8(w, h, col("doc_id"), mode = 0))
+        .otherwise(ScaleOps.synthVp8(w, h, col("doc_id"), mode = 1))
+      val raster = ScaleOps.imageDecode(payload)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raster.as("r"))
+        .select(col("doc_id"),
+          col("r.format").as("format"),
+          col("r.width").cast(LongType).as("width"),
+          col("r.height").cast(LongType).as("height"),
+          ScaleOps.rasterChannelSums(
+            ScaleOps.imageResizeNN(col("r"), 4, 4)).as("s"))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("s").getItem(0).as("r_sum"),
+          col("s").getItem(1).as("g_sum"),
+          col("s").getItem(2).as("b_sum"))
+        .orderBy("doc_id")
+    },
+    Some(
+      // replays only the fixture formula: the per-unit luma constant
+      // (4×4 blocks for B_PRED docs, MBs for 16×16 docs) plus the
+      // chroma shift triple — no arithmetic coding, no prediction
+      """WITH d AS (SELECT doc_id, 16 * (1 + doc_id % 3) AS w,
+        |   16 * (1 + (doc_id // 2) % 2) AS h,
+        |   CAST(doc_id % 4 AS INT) AS v, doc_id % 2 AS m FROM documents),
+        | shifts(v, sr, sg, sb) AS (VALUES (0, 0, 0, 0), (1, 7, -4, 0),
+        |   (2, 0, -2, 9), (3, -10, 4, 7)),
+        | g AS (SELECT d.*, gx.range AS x, gy.range AS y
+        |        FROM d CROSS JOIN range(0, 4) gx CROSS JOIN range(0, 4) gy),
+        | src AS (SELECT doc_id, w, h, v, m,
+        |          (x * w // 4) AS sx, (y * h // 4) AS sy FROM g),
+        | yv AS (SELECT doc_id, w, h, v,
+        |         48 + (doc_id * 31 +
+        |           (CASE WHEN m = 0 THEN (sy // 4) * (w // 4) + (sx // 4)
+        |                 ELSE (sy // 16) * (w // 16) + (sx // 16) END) * 17) % 160
+        |         AS yval FROM src),
+        | s AS (SELECT doc_id, w, h,
+        |        SUM(yval + sr) AS r_sum,
+        |        SUM(yval + sg) AS g_sum,
+        |        SUM(yval + sb) AS b_sum
+        |       FROM yv JOIN shifts USING (v) GROUP BY 1, 2, 3)
+        |SELECT doc_id, 'webp' AS format,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+        | CAST(b_sum AS BIGINT) AS b_sum
+        |FROM s ORDER BY doc_id""".stripMargin))
+
   // -------------------------------------------------- real audio decode
   // The waveform half of the multimodal stage, REAL end-to-end: complete
   // valid PCM WAV files (canonical header AND every sample byte, 8-bit
@@ -4523,6 +4594,7 @@ object QueriesScale {
     "webp_pixels" -> webpPixelsQ,
     "webp_pred_pixels" -> webpPredPixelsQ,
     "webp_palette_pixels" -> webpPalettePixelsQ,
+    "webp_lossy_pixels" -> webpLossyPixelsQ,
     "png_ext_pixels" -> pngExtPixelsQ,
     "audio_pcm" -> audioPcmQ,
     "flac_pcm" -> flacPcmQ,

@@ -1451,6 +1451,16 @@ object ScaleOps {
   def synthJpeg(w: Column, h: Column, seed: Column, mode: Int): Column =
     org.apache.spark.sql.graftnative.JpegSynthFunctions.synth_jpeg(w, h, seed, mode)
 
+  /** Complete valid LOSSY WebP fixture (one VP8 key frame, RFC 6386)
+    * from `(w, h, seed)` — real boolean arithmetic coding of modes and
+    * DCT tokens; content chosen where the transform is exact (constant
+    * 4×4 blocks) so the decode is oracle-replayable
+    * (see [[org.apache.spark.sql.graftnative.SynthVp8]]).
+    * `mode`: 0 = all-B_PRED, 1 = 16×16 modes through the Y2/WHT path.
+    */
+  def synthVp8(w: Column, h: Column, seed: Column, mode: Int): Column =
+    org.apache.spark.sql.graftnative.Vp8SynthFunctions.synth_vp8(w, h, seed, mode)
+
   // ------------------------------------------------- real sample decode
   // The audio/video analogues of the raster path: WAV linear PCM and Y4M
   // raw video are the codec-free containers whose payloads ARE the

@@ -702,6 +702,13 @@ object WebpCodec {
         payloadOff = i + 8
         if (payloadOff + size > b.length) return unknown
         payloadEnd = (payloadOff + size).toInt
+      } else if (b(i) == 'V' && b(i + 1) == 'P' && b(i + 2) == '8' &&
+          b(i + 3) == ' ') {
+        // lossy WebP: one VP8 key frame (RFC 6386) — Vp8Codec
+        val off = i + 8
+        if (off + size > b.length) return unknown
+        val row = Vp8Codec.decodeFrame(b, off, (off + size).toInt)
+        return if (row == null) unknown else row
       }
       val next = i.toLong + 8 + size + (size & 1)
       if (next > Int.MaxValue) return unknown

@@ -51,7 +51,11 @@ object RasterStress {
       "jpeg_prog" -> ((w: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column)
         => ScaleOps.synthJpeg(w, w, s, mode = 4)),
       "webp_pred" -> ((w: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column)
-        => ScaleOps.synthWebpLPred(w, w, s))
+        => ScaleOps.synthWebpLPred(w, w, s)),
+      // lossy VP8 key frames, both fixture shapes (B_PRED and 16x16/Y2)
+      "vp8" -> ((w: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column)
+        => when(s % 2 === 0, ScaleOps.synthVp8(w, w, s, mode = 0))
+          .otherwise(ScaleOps.synthVp8(w, w, s, mode = 1)))
     ).foreach { case (fmt, synth) =>
       val t0 = System.nanoTime()
       val r = ids

@@ -1311,7 +1311,7 @@ object Vp8Synth {
     * the caller's context tracking (always true).
     */
   private def writeDcBlock(e: BoolEnc, typ: Int, ctx0: Int, first: Int,
-      k: Int): Boolean = {
+      k: Int, probs: Array[Int] = Vp8Tables.DefaultCoeffProbs): Boolean = {
     require(k != 0)
     val a = math.abs(k)
     val off0 = ((typ * 8 + CoeffBands(first)) * 3 + ctx0) * 11
@@ -1323,7 +1323,7 @@ object Vp8Synth {
       else if (a <= 34) 8
       else if (a <= 66) 9
       else { require(a <= 67 + 2047, s"level $a out of category range"); 10 }
-    e.tree(CoeffTree, DefaultCoeffProbs, off0, tok)
+    e.tree(CoeffTree, probs, off0, tok)
     if (tok >= 5) {
       val cat = tok - 5
       val extra = a - CatBase(cat)
@@ -1338,24 +1338,26 @@ object Vp8Synth {
     if (first + 1 < 16) {
       val ctx1 = if (a > 1) 2 else 1
       val off1 = ((typ * 8 + CoeffBands(first + 1)) * 3 + ctx1) * 11
-      e.tree(CoeffTree, DefaultCoeffProbs, off1, TokEob)
+      e.tree(CoeffTree, probs, off1, TokEob)
     }
     true
   }
 
   /** Write an empty coefficient block (end-of-block at `first`). */
-  private def writeEmptyBlock(e: BoolEnc, typ: Int, ctx0: Int,
-      first: Int): Boolean = {
+  private def writeEmptyBlock(e: BoolEnc, typ: Int, ctx0: Int, first: Int,
+      probs: Array[Int] = Vp8Tables.DefaultCoeffProbs): Boolean = {
     val off = ((typ * 8 + CoeffBands(first)) * 3 + ctx0) * 11
-    e.tree(CoeffTree, DefaultCoeffProbs, off, TokEob)
+    e.tree(CoeffTree, probs, off, TokEob)
     false
   }
 
   /** Test-harness aliases for [[Vp8TestBuilder]]. */
   private[graftnative] def writeDcBlockT(e: BoolEnc, typ: Int, ctx0: Int,
-      first: Int, k: Int): Boolean = writeDcBlock(e, typ, ctx0, first, k)
+      first: Int, k: Int, probs: Array[Int]): Boolean =
+    writeDcBlock(e, typ, ctx0, first, k, probs)
   private[graftnative] def writeEmptyBlockT(e: BoolEnc, typ: Int, ctx0: Int,
-      first: Int): Boolean = writeEmptyBlock(e, typ, ctx0, first)
+      first: Int, probs: Array[Int]): Boolean =
+    writeEmptyBlock(e, typ, ctx0, first, probs)
 
   /** Luma target constant of grid unit `n` (4×4 block in mode 0, MB in
     * mode 1) — the shared generative formula the oracle replays.
@@ -1648,7 +1650,8 @@ private[graftnative] final case class Vp8TestOpts(
     mbNoSkip: Boolean = false,
     segEnabled: Boolean = false,
     segAbsolute: Boolean = true,
-    segQuant: Array[Int] = Array(0, 0, 0, 0))
+    segQuant: Array[Int] = Array(0, 0, 0, 0),
+    probUpdates: Array[(Int, Int)] = Array.empty)
 
 private[graftnative] object Vp8TestBuilder {
   import Vp8Tables._
@@ -1701,8 +1704,20 @@ private[graftnative] object Vp8TestBuilder {
     var i = 0
     while (i < 5) { e0.flag(v = false); i += 1 }
     e0.flag(v = true) // refresh_entropy_probs
+    val effProbs = new Array[Int](1056)
+    System.arraycopy(DefaultCoeffProbs, 0, effProbs, 0, 1056)
+    val updMap = opts.probUpdates.toMap
     i = 0
-    while (i < 1056) { e0.bool(CoeffUpdateProbs(i), v = false); i += 1 }
+    while (i < 1056) {
+      updMap.get(i) match {
+        case Some(p) =>
+          e0.bool(CoeffUpdateProbs(i), v = true)
+          e0.literal(8, p)
+          effProbs(i) = p
+        case None => e0.bool(CoeffUpdateProbs(i), v = false)
+      }
+      i += 1
+    }
     e0.flag(opts.mbNoSkip)
     if (opts.mbNoSkip) e0.literal(8, 128) // prob_skip_false
 
@@ -1762,8 +1777,8 @@ private[graftnative] object Vp8TestBuilder {
     var leftY2nz = false
 
     def writeDc(e: BoolEnc, typ: Int, ctx: Int, first: Int, k: Int): Boolean =
-      if (k == 0) Vp8Synth.writeEmptyBlockT(e, typ, ctx, first)
-      else Vp8Synth.writeDcBlockT(e, typ, ctx, first, k)
+      if (k == 0) Vp8Synth.writeEmptyBlockT(e, typ, ctx, first, effProbs)
+      else Vp8Synth.writeDcBlockT(e, typ, ctx, first, k, effProbs)
 
     my = 0
     while (my < mbH) {

@@ -327,6 +327,77 @@ class Vp8GoldenSpec extends AnyFunSuite {
       assert(lum(r, 32, x, y) == v, s"col $x row $y")
   }
 
+  test("coefficient probability updates: header-updated probs drive token decode") {
+    // update a handful of probs the fixture's tokens actually consult
+    // (type 1 band 0, type 0 band 1, type 2 band 0 / band 1); the
+    // builder then codes tokens against the UPDATED table, so a decoder
+    // that ignores the update flags (or misreads the 8-bit values)
+    // desynchronizes immediately
+    val updates = Array(
+      ((1 * 8 + 0) * 3 + 0) * 11 + 0 -> 30,
+      ((1 * 8 + 0) * 3 + 0) * 11 + 1 -> 200,
+      ((0 * 8 + 1) * 3 + 0) * 11 + 0 -> 77,
+      ((2 * 8 + 0) * 3 + 0) * 11 + 2 -> 250,
+      ((2 * 8 + 1) * 3 + 1) * 11 + 0 -> 5)
+    def frame(upd: Array[(Int, Int)]): Array[Byte] = {
+      val mbs = (0 until 2).map(i =>
+        Vp8TestMb(ymode = DcPred, kY2 = 10 + 56 * i, kUV = 3)).toArray
+      Vp8TestBuilder.buildTestFrame(32, 16, mbs,
+        Vp8TestOpts(probUpdates = upd))
+    }
+    val base = decode(frame(Array.empty))
+    val upd = decode(frame(updates))
+    assert(fmt(base) == "webp" && fmt(upd) == "webp")
+    // identical content coded under two probability tables must decode
+    // to identical pixels
+    assert(java.util.Arrays.equals(base.getBinary(4), upd.getBinary(4)))
+  }
+
+  test("VP8X extended container with a leading ALPH chunk still routes to the frame") {
+    val plain = Vp8Synth.vp8Bytes(16, 16, 3L, 0)
+    // unwrap the bare VP8 chunk payload from the plain container
+    val chunkLen = (plain(16) & 0xFF) | ((plain(17) & 0xFF) << 8) |
+      ((plain(18) & 0xFF) << 16) | ((plain(19) & 0xFF) << 24)
+    val frame = java.util.Arrays.copyOfRange(plain, 20, 20 + chunkLen)
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = s.foreach(c => out.write(c))
+    def le32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    val alph = Array.tabulate[Byte](7)(i => i.toByte)
+    val vp8xBody = 10 + 8 + alph.length + 1 + 8 + frame.length + (frame.length & 1)
+    ascii("RIFF"); le32(4 + vp8xBody); ascii("WEBP")
+    ascii("VP8X"); le32(10)
+    out.write(0x10) // alpha-flag byte
+    out.write(0); out.write(0); out.write(0)
+    out.write(15); out.write(0); out.write(0) // canvas w-1 (u24)
+    out.write(15); out.write(0); out.write(0) // canvas h-1 (u24)
+    ascii("ALPH"); le32(alph.length)
+    out.write(alph, 0, alph.length); out.write(0) // odd-size pad
+    ascii("VP8 "); le32(frame.length)
+    out.write(frame, 0, frame.length)
+    if ((frame.length & 1) == 1) out.write(0)
+    val r = decode(out.toByteArray)
+    assert(fmt(r) == "webp", "VP8X/ALPH wrapper rejected")
+    val p = decode(plain)
+    assert(java.util.Arrays.equals(r.getBinary(4), p.getBinary(4)))
+  }
+
+  test("fuzz robustness: random single-byte mutations never throw") {
+    val rnd = new scala.util.Random(7)
+    val base = Vp8Synth.vp8Bytes(32, 32, 9L, 1)
+    var rejected = 0
+    for (_ <- 0 until 300) {
+      val c = base.clone()
+      val i = rnd.nextInt(c.length)
+      c(i) = (rnd.nextInt(256)).toByte
+      val r = decode(c) // must terminate and never throw
+      if (fmt(r) == "unknown") rejected += 1
+    }
+    assert(rejected > 0, "some mutations should reject")
+  }
+
   test("simple loop filter golden: only p0/q0 move") {
     // same edge; simple filter: f = 16 -> p0 += (16+3)>>3 = 2,
     // q0 -= (16+4)>>3 = 2; all other columns untouched

@@ -1996,6 +1996,66 @@ object QueriesScale {
         | CAST(f AS BIGINT) AS frame_idx, CAST(y_sum AS BIGINT) AS y_sum
         |FROM a ORDER BY doc_id, frame_idx""".stripMargin))
 
+  // ------------------------------------------ MJPEG-in-AVI video decode
+  // Real codec-in-container video, one step past raw Y4M: every `00dc`
+  // chunk in the AVI movi LIST is a complete baseline JPEG, and the
+  // operator samples every 2nd frame THROUGH the real JpegCodec
+  // (entropy decode, dequant, IDCT, 4:2:0 upsample, color conversion
+  // per frame) while skipping unsampled frames by length — the
+  // frame-sample shape a training-data pipeline needs. The oracle
+  // replays the per-frame JPEG fixture sums in closed form: the ±-basis
+  // AC terms cancel over each 8×8 block, so a frame's luma sum is
+  // Σ_blocks 64·(64 + (sf·31 + bi·17) mod 128) at frame seed
+  // sf = doc_id + 131·f, plus the chroma-variant shift triple times the
+  // pixel count. Per-row, zero shuffle until the explode.
+  private val videoMjpegFramesQ = Q(
+    (s, dir) => {
+      val w = lit(16L) * (lit(1L) + col("doc_id") % 2)
+      val h = lit(16L)
+      val frames = lit(3L) + col("doc_id") % 4
+      val v = ScaleOps.aviMjpegFrames(
+        ScaleOps.synthAvi(w, h, frames, col("doc_id")), 2)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), v.as("v"))
+        .select(col("doc_id"),
+          col("v.width").cast(LongType).as("width"),
+          col("v.height").cast(LongType).as("height"),
+          col("v.codec").as("codec"),
+          col("v.n_frames").cast(LongType).as("n_frames"),
+          posexplode(arrays_zip(col("v.frame_idx").as("fi"),
+            col("v.r_sums").as("rs"), col("v.g_sums").as("gs"),
+            col("v.b_sums").as("bs"))).as(Seq("_p", "z")))
+        .select(col("doc_id"), col("width"), col("height"), col("codec"),
+          col("n_frames"),
+          col("z.fi").cast(LongType).as("frame_idx"),
+          col("z.rs").as("r_sum"),
+          col("z.gs").as("g_sum"),
+          col("z.bs").as("b_sum"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 16 * (1 + doc_id % 2) AS w, 16 AS h,
+        |    3 + doc_id % 4 AS frames FROM documents),
+        | f AS (SELECT p.*, fr.range AS f, doc_id + 131 * fr.range AS sd
+        |       FROM p CROSS JOIN range(0, 6) fr
+        |       WHERE fr.range < frames AND fr.range % 2 = 0),
+        | blk AS (SELECT doc_id, w, h, frames, f, sd, b.range AS bi
+        |         FROM f CROSS JOIN range(0, 8) b
+        |         WHERE b.range < (w // 8) * (h // 8)),
+        | a AS (SELECT doc_id, w, h, frames, f, sd,
+        |        SUM(64 * (64 + (sd * 31 + bi * 17) % 128)) AS y_sum
+        |       FROM blk GROUP BY 1, 2, 3, 4, 5, 6),
+        | shifts(v, sr, sg, sb) AS (VALUES (0, 0, 0, 0), (1, 7, -4, 0),
+        |   (2, 0, -2, 9), (3, -10, 4, 7))
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | 'mjpg' AS codec, CAST(frames AS BIGINT) AS n_frames,
+        | CAST(f AS BIGINT) AS frame_idx,
+        | CAST(y_sum + w * h * sr AS BIGINT) AS r_sum,
+        | CAST(y_sum + w * h * sg AS BIGINT) AS g_sum,
+        | CAST(y_sum + w * h * sb AS BIGINT) AS b_sum
+        |FROM a JOIN shifts ON shifts.v = CAST(sd % 4 AS INT)
+        |ORDER BY doc_id, frame_idx""".stripMargin))
+
   // ------------------------------------ content-defined chunking (CDC)
   // The rsync/LBFS chunking rule as a corpus operator: a boundary falls
   // wherever the rolling hash of the trailing 16 code points lands in
@@ -4599,6 +4659,7 @@ object QueriesScale {
     "audio_pcm" -> audioPcmQ,
     "flac_pcm" -> flacPcmQ,
     "video_frames" -> videoFramesQ,
+    "video_mjpeg_frames" -> videoMjpegFramesQ,
     "audio_meta" -> audioMetaQ,
     "container_meta" -> containerMetaQ,
     "chunk_documents" -> chunkDocumentsQ,

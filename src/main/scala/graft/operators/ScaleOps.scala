@@ -1461,6 +1461,22 @@ object ScaleOps {
   def synthVp8(w: Column, h: Column, seed: Column, mode: Int): Column =
     org.apache.spark.sql.graftnative.Vp8SynthFunctions.synth_vp8(w, h, seed, mode)
 
+  /** Complete valid AVI/MJPEG fixture: every `00dc` chunk is a REAL
+    * baseline 4:2:0 JPEG (frame f at seed `seed + 131·f`), plus proper
+    * hdrl headers and idx1
+    * (see [[org.apache.spark.sql.graftnative.AviSynth]]).
+    */
+  def synthAvi(w: Column, h: Column, frames: Column, seed: Column): Column =
+    org.apache.spark.sql.graftnative.AviFunctions.synth_avi(w, h, frames, seed)
+
+  /** Sampled MJPEG frame statistics from an AVI payload: every
+    * `stride`-th frame is JPEG-decoded (unsampled frames are skipped by
+    * length, never parsed) and per-channel sums are emitted
+    * (see [[org.apache.spark.sql.graftnative.AviMjpegFrames]]).
+    */
+  def aviMjpegFrames(payload: Column, stride: Int): Column =
+    org.apache.spark.sql.graftnative.AviFunctions.avi_mjpeg_frames(payload, stride)
+
   // ------------------------------------------------- real sample decode
   // The audio/video analogues of the raster path: WAV linear PCM and Y4M
   // raw video are the codec-free containers whose payloads ARE the

@@ -116,6 +116,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Y4mFrameLuma(children.head, stride)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("avi_mjpeg_frames"),
+      new ExpressionInfo(classOf[AviMjpegFrames].getName, "avi_mjpeg_frames"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"avi_mjpeg_frames expects (payload, stride), got ${children.length} arguments")
+        val stride = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"avi_mjpeg_frames stride must be an integer literal, got $other")
+        }
+        AviMjpegFrames(children.head, stride)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("image_resize_nn"),
       new ExpressionInfo(classOf[ImageResizeNN].getName, "image_resize_nn"),
       (children: Seq[Expression]) => {

@@ -1306,15 +1306,10 @@ object Vp8Synth {
   private def floorMod(a: Long, m: Long): Int = java.lang.Math.floorMod(a, m).toInt
   private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
-  /** Write one DC-only coefficient block: level `k` (nonzero) at
-    * position `first`, then end-of-block. Returns the nonzero flag for
-    * the caller's context tracking (always true).
-    */
-  private def writeDcBlock(e: BoolEnc, typ: Int, ctx0: Int, first: Int,
-      k: Int, probs: Array[Int] = Vp8Tables.DefaultCoeffProbs): Boolean = {
-    require(k != 0)
-    val a = math.abs(k)
-    val off0 = ((typ * 8 + CoeffBands(first)) * 3 + ctx0) * 11
+  /** Write one coefficient token (value, category extra bits, sign). */
+  private def writeToken(e: BoolEnc, off: Int, start: Int, lvl: Int,
+      probs: Array[Int]): Unit = {
+    val a = math.abs(lvl)
     val tok =
       if (a <= 4) a
       else if (a <= 6) 5
@@ -1323,7 +1318,7 @@ object Vp8Synth {
       else if (a <= 34) 8
       else if (a <= 66) 9
       else { require(a <= 67 + 2047, s"level $a out of category range"); 10 }
-    e.tree(CoeffTree, probs, off0, tok)
+    e.tree(CoeffTree, probs, off, tok, start)
     if (tok >= 5) {
       val cat = tok - 5
       val extra = a - CatBase(cat)
@@ -1334,13 +1329,54 @@ object Vp8Synth {
         i += 1
       }
     }
-    e.bool(128, k < 0)
-    if (first + 1 < 16) {
-      val ctx1 = if (a > 1) 2 else 1
-      val off1 = ((typ * 8 + CoeffBands(first + 1)) * 3 + ctx1) * 11
-      e.tree(CoeffTree, probs, off1, TokEob)
+    e.bool(128, lvl < 0)
+  }
+
+  /** Write a general coefficient block from scan-order `levels`
+    * (positions `first`..15): explicit ZERO tokens inside the run (the
+    * EOB token is prohibited right after one — the tree read starts at
+    * node 2 — and the context resets to 0), then end-of-block after the
+    * last nonzero. Returns the nonzero-context flag (eob > first).
+    */
+  private def writeBlock(e: BoolEnc, typ: Int, ctx0: Int, first: Int,
+      levels: Array[Int], probs: Array[Int]): Boolean = {
+    var lp = 15
+    while (lp >= first && levels(lp) == 0) lp -= 1
+    if (lp < first) return writeEmptyBlock(e, typ, ctx0, first, probs)
+    var n = first
+    var ctx = ctx0
+    var skipEob = false
+    while (n <= lp) {
+      val off = ((typ * 8 + CoeffBands(n)) * 3 + ctx) * 11
+      val start = if (skipEob) 2 else 0
+      val lvl = levels(n)
+      if (lvl == 0) {
+        e.tree(CoeffTree, probs, off, TokZero, start)
+        ctx = 0; skipEob = true
+      } else {
+        writeToken(e, off, start, lvl, probs)
+        ctx = if (math.abs(lvl) == 1) 1 else 2
+        skipEob = false
+      }
+      n += 1
+    }
+    if (lp + 1 < 16) {
+      val off = ((typ * 8 + CoeffBands(lp + 1)) * 3 + ctx) * 11
+      e.tree(CoeffTree, probs, off, TokEob)
     }
     true
+  }
+
+  /** Write one DC-only coefficient block: level `k` (nonzero) at
+    * position `first`, then end-of-block. Returns the nonzero flag for
+    * the caller's context tracking (always true).
+    */
+  private def writeDcBlock(e: BoolEnc, typ: Int, ctx0: Int, first: Int,
+      k: Int, probs: Array[Int] = Vp8Tables.DefaultCoeffProbs): Boolean = {
+    require(k != 0)
+    val levels = new Array[Int](16)
+    levels(first) = k
+    writeBlock(e, typ, ctx0, first, levels, probs)
   }
 
   /** Write an empty coefficient block (end-of-block at `first`). */
@@ -1358,6 +1394,9 @@ object Vp8Synth {
   private[graftnative] def writeEmptyBlockT(e: BoolEnc, typ: Int, ctx0: Int,
       first: Int, probs: Array[Int]): Boolean =
     writeEmptyBlock(e, typ, ctx0, first, probs)
+  private[graftnative] def writeBlockT(e: BoolEnc, typ: Int, ctx0: Int,
+      first: Int, levels: Array[Int], probs: Array[Int]): Boolean =
+    writeBlock(e, typ, ctx0, first, levels, probs)
 
   /** Luma target constant of grid unit `n` (4×4 block in mode 0, MB in
     * mode 1) — the shared generative formula the oracle replays.
@@ -1638,7 +1677,8 @@ private[graftnative] final case class Vp8TestMb(
     segment: Int = 0,
     kY2: Int = 0,
     kY: Array[Int] = null,
-    kUV: Int = 0)
+    kUV: Int = 0,
+    yLevels: Array[Array[Int]] = null)
 
 /** Header knobs for [[Vp8Synth.buildTestFrame]]. */
 private[graftnative] final case class Vp8TestOpts(
@@ -1812,11 +1852,16 @@ private[graftnative] object Vp8TestBuilder {
           var bi = 0
           while (bi < 16) {
             val sx = bi & 3; val sy = bi >> 2
-            val kv = if (mb.kY == null) 0 else mb.kY(bi)
             val ctx = (if (aboveYnz(mx * 4 + sx)) 1 else 0) +
               (if (leftYnz(sy)) 1 else 0)
-            val nz = writeDc(e1, typ, ctx, first,
-              if (first == 1) 0 else kv) // Y-after-Y2 blocks: DC not coded
+            val nz =
+              if (mb.yLevels != null)
+                Vp8Synth.writeBlockT(e1, typ, ctx, first, mb.yLevels(bi), effProbs)
+              else {
+                val kv = if (mb.kY == null) 0 else mb.kY(bi)
+                // Y-after-Y2 blocks carry no DC of their own
+                writeDc(e1, typ, ctx, first, if (first == 1) 0 else kv)
+              }
             aboveYnz(mx * 4 + sx) = nz; leftYnz(sy) = nz
             bi += 1
           }

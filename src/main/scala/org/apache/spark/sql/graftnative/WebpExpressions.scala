@@ -709,6 +709,34 @@ object WebpCodec {
         if (off + size > b.length) return unknown
         val row = Vp8Codec.decodeFrame(b, off, (off + size).toInt)
         return if (row == null) unknown else row
+      } else if (b(i) == 'A' && b(i + 1) == 'N' && b(i + 2) == 'M' &&
+          b(i + 3) == 'F' && size >= 24) {
+        // animated WebP: decode the FIRST frame (the sampling stance the
+        // frame-extract pipeline wants). The ANMF payload carries a
+        // 16-byte frame header (x, y, w-1, h-1, duration, flags) then
+        // nested VP8 / VP8L (+ optional ALPH) chunks.
+        val bodyEnd = i + 8 + size
+        if (bodyEnd > b.length) return unknown
+        var j = i + 8 + 16
+        while (j + 8 <= bodyEnd) {
+          val sz2 = leU32(b, j + 4)
+          if (j + 8 + sz2 > bodyEnd) return unknown
+          if (b(j) == 'V' && b(j + 1) == 'P' && b(j + 2) == '8' &&
+              b(j + 3) == 'L') {
+            payloadOff = j + 8
+            payloadEnd = (j + 8 + sz2).toInt
+            j = bodyEnd.toInt
+          } else if (b(j) == 'V' && b(j + 1) == 'P' && b(j + 2) == '8' &&
+              b(j + 3) == ' ') {
+            val row = Vp8Codec.decodeFrame(b, j + 8, (j + 8 + sz2).toInt)
+            return if (row == null) unknown else row
+          } else {
+            val nxt = j.toLong + 8 + sz2 + (sz2 & 1)
+            if (nxt > Int.MaxValue) return unknown
+            j = nxt.toInt
+          }
+        }
+        if (payloadOff < 0) return unknown
       }
       val next = i.toLong + 8 + size + (size & 1)
       if (next > Int.MaxValue) return unknown

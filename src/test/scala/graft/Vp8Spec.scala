@@ -384,6 +384,93 @@ class Vp8GoldenSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(r.getBinary(4), p.getBinary(4)))
   }
 
+  test("AC coefficients: ZERO runs, the EOB-after-zero rule, and band mapping") {
+    // block (0,0) carries a full scan-order level pattern — DC, explicit
+    // ZERO tokens inside the run (so the next read starts at tree node
+    // 2), context transitions through 0/1/2, and a band-7 coefficient at
+    // the last position (no EOB emitted). Expected pixels are computed
+    // through the already-pinned IDCT: layered verification of the
+    // token/dequant/zigzag stage given the transform stage.
+    val levels0 = Array(3, 0, -1, 2, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 4)
+    val yl = Array.fill(16)(new Array[Int](16))
+    yl(0) = levels0
+    val bytes = Vp8TestBuilder.buildTestFrame(16, 16,
+      Array(Vp8TestMb(ymode = BPred, bmode = BDc, kUV = 3, yLevels = yl)),
+      Vp8TestOpts())
+    val r = decode(bytes)
+    assert(fmt(r) == "webp")
+    val px = r.getBinary(4)
+    // expected block (0,0): pred 128 + idct(dequant(levels)); qi=0 so
+    // y1dc = y1ac = 4
+    val zig = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+    val coeffs = new Array[Int](16)
+    for (n <- 0 until 16) coeffs(zig(n)) = levels0(n) * 4
+    val resid = new Array[Int](16)
+    Vp8Codec.idct4x4(coeffs, resid)
+    // chroma: kUV=3 -> all chroma 128 + (3*4+4>>3) = 130 -> cb=cr=2 ->
+    // JFIF rounds to (y+3, y-2, y+4)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val lum = math.max(0, math.min(255, 128 + resid(y * 4 + x)))
+      val d = (y * 16 + x) * 3
+      assert((px(d) & 0xFF) == lum + 3, s"r at ($x,$y)")
+      assert((px(d + 1) & 0xFF) == lum - 2, s"g at ($x,$y)")
+      assert((px(d + 2) & 0xFF) == lum + 4, s"b at ($x,$y)")
+    }
+    // token desync anywhere in the luma stream would corrupt the chroma
+    // blocks decoded after it: the shift relation must hold frame-wide
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val d = (y * 16 + x) * 3
+      assert((px(d) & 0xFF) - (px(d + 1) & 0xFF) == 5, s"r-g at ($x,$y)")
+      assert((px(d + 2) & 0xFF) - (px(d + 1) & 0xFF) == 6, s"b-g at ($x,$y)")
+    }
+  }
+
+  test("animated WebP (ANMF): the first frame decodes, lossy and lossless") {
+    def animWrap(plain: Array[Byte]): Array[Byte] = {
+      // unwrap the bare frame chunk (VP8 or VP8L) from the plain container
+      val tag = new String(plain, 12, 4, "US-ASCII")
+      val chunkLen = (plain(16) & 0xFF) | ((plain(17) & 0xFF) << 8) |
+        ((plain(18) & 0xFF) << 16) | ((plain(19) & 0xFF) << 24)
+      val frame = java.util.Arrays.copyOfRange(plain, 20, 20 + chunkLen)
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(s: String): Unit = s.foreach(c => out.write(c))
+      def le32(v: Int): Unit = {
+        out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+        out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+      }
+      def u24(v: Int): Unit = {
+        out.write(v & 0xFF); out.write((v >> 8) & 0xFF); out.write((v >> 16) & 0xFF)
+      }
+      val anmfBody = 16 + 8 + frame.length + (frame.length & 1)
+      val total = 4 + (8 + 10) + (8 + 6) + (8 + anmfBody)
+      ascii("RIFF"); le32(total); ascii("WEBP")
+      ascii("VP8X"); le32(10)
+      out.write(0x02); out.write(0); out.write(0); out.write(0) // ANIM flag
+      u24(15); u24(15) // canvas w-1, h-1
+      ascii("ANIM"); le32(6)
+      le32(0); out.write(0); out.write(0) // bg color, loop count
+      ascii("ANMF"); le32(anmfBody)
+      u24(0); u24(0)   // frame x/2, y/2
+      u24(15); u24(15) // frame w-1, h-1
+      u24(40)          // duration
+      out.write(0)     // flags
+      ascii(tag); le32(frame.length)
+      out.write(frame, 0, frame.length)
+      if ((frame.length & 1) == 1) out.write(0)
+      out.toByteArray
+    }
+    val lossy = Vp8Synth.vp8Bytes(16, 16, 5L, 1)
+    val rL = decode(animWrap(lossy))
+    assert(fmt(rL) == "webp", "animated lossy first frame rejected")
+    assert(java.util.Arrays.equals(rL.getBinary(4), decode(lossy).getBinary(4)))
+    val lossless = WebpSynth.webpBytes(16, 16, 5L)
+    if (lossless != null) {
+      val rV = decode(animWrap(lossless))
+      assert(fmt(rV) == "webp", "animated lossless first frame rejected")
+      assert(java.util.Arrays.equals(rV.getBinary(4), decode(lossless).getBinary(4)))
+    }
+  }
+
   test("fuzz robustness: random single-byte mutations never throw") {
     val rnd = new scala.util.Random(7)
     val base = Vp8Synth.vp8Bytes(32, 32, 9L, 1)

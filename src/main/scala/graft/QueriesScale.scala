@@ -1798,6 +1798,73 @@ object QueriesScale {
         | CAST(b_sum AS BIGINT) AS b_sum
         |FROM s ORDER BY doc_id""".stripMargin))
 
+  // --------------------------------------------- baseline TIFF decode
+  // The archival/scan raster format every document corpus yields,
+  // decoded for real: the IFD entry walk (inline vs offset values),
+  // BOTH byte orders — the same pixels travel as `II` and `MM` files,
+  // so an endianness bug flips the hash — multi-strip assembly
+  // (RowsPerStrip 4), and both baseline compressions (none and
+  // PackBits, with the fixture's gray mode alternating constant rows
+  // (run packets) and varying rows (literal packets) so both packet
+  // kinds are on the decode path). The oracle replays the generative
+  // pixel formulas; same decode→resize→sums shape as the other raster
+  // keys; per-row, zero shuffle.
+  private val tiffPixelsQ = Q(
+    (s, dir) => {
+      val w = lit(3L) + col("doc_id") % 13
+      val h = lit(3L) + col("doc_id") % 7
+      val payload = when(col("doc_id") % 4 === 0,
+          ScaleOps.synthTiff(w, h, col("doc_id"), 0))
+        .when(col("doc_id") % 4 === 1,
+          ScaleOps.synthTiff(w, h, col("doc_id"), 1))
+        .when(col("doc_id") % 4 === 2,
+          ScaleOps.synthTiff(w, h, col("doc_id"), 2))
+        .otherwise(ScaleOps.synthTiff(w, h, col("doc_id"), 3))
+      val raster = ScaleOps.imageDecode(payload)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raster.as("r"))
+        .select(col("doc_id"),
+          col("r.format").as("format"),
+          col("r.width").cast(LongType).as("width"),
+          col("r.height").cast(LongType).as("height"),
+          col("r.channels").cast(LongType).as("channels"),
+          ScaleOps.rasterChannelSums(
+            ScaleOps.imageResizeNN(col("r"), 4, 4)).as("s"))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("channels"),
+          col("s").getItem(0).as("y_sum"),
+          when(col("channels") === 1, lit(null).cast(LongType))
+            .otherwise(col("s").getItem(1)).as("g_sum"),
+          when(col("channels") === 1, lit(null).cast(LongType))
+            .otherwise(col("s").getItem(2)).as("b_sum"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+        |   CAST(doc_id % 4 AS INT) AS m FROM documents),
+        | g AS (SELECT d.*, gx.range AS x, gy.range AS y
+        |        FROM d CROSS JOIN range(0, 4) gx CROSS JOIN range(0, 4) gy),
+        | px AS (SELECT doc_id, w, h, m, (x * w // 4) AS sx, (y * h // 4) AS sy,
+        |         ((y * h // 4) * w + (x * w // 4)) AS p FROM g),
+        | v AS (SELECT doc_id, w, h, m,
+        |        CASE WHEN m = 2 THEN
+        |          CASE WHEN sy % 2 = 0 THEN (doc_id * 31 + sy * 13) % 256
+        |               ELSE (doc_id * 31 + p * 7) % 256 END
+        |        ELSE (doc_id * 31 + (3 * p + 0) * 7) % 256 END AS c0,
+        |        CASE WHEN m = 2 THEN NULL
+        |             ELSE (doc_id * 31 + (3 * p + 1) * 7) % 256 END AS c1,
+        |        CASE WHEN m = 2 THEN NULL
+        |             ELSE (doc_id * 31 + (3 * p + 2) * 7) % 256 END AS c2
+        |       FROM px),
+        | s AS (SELECT doc_id, w, h, m, SUM(c0) AS s0, SUM(c1) AS s1,
+        |        SUM(c2) AS s2 FROM v GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, 'tiff' AS format,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(CASE WHEN m = 2 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+        | CAST(s0 AS BIGINT) AS y_sum, CAST(s1 AS BIGINT) AS g_sum,
+        | CAST(s2 AS BIGINT) AS b_sum
+        |FROM s ORDER BY doc_id""".stripMargin))
+
   // -------------------------------------------------- real audio decode
   // The waveform half of the multimodal stage, REAL end-to-end: complete
   // valid PCM WAV files (canonical header AND every sample byte, 8-bit
@@ -2176,6 +2243,76 @@ object QueriesScale {
         | CAST(8000 + (doc_id * 441) % 40000 AS BIGINT) AS sample_rate,
         | CAST((1 + doc_id % 4) * 8 AS BIGINT) AS bits_per_sample,
         | CAST(1000 + (doc_id * 17) % 100000 AS BIGINT) AS n_frames
+        | FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ----------------------------------------- Ogg container metadata
+  // The remaining audio container next to WAV/FLAC/MP4: real RFC 3533
+  // page walks — capture pattern, segment-table lacing, and the page
+  // CRC-32 actually VERIFIED (poly 0x04C11DB7, computed with the
+  // checksum field zeroed; the fixture encoder writes real checksums,
+  // so a CRC-shortcutting parser still passes but a CRC-miscomputing
+  // one rejects everything) — then the BOS packet routed by magic:
+  // Vorbis identification headers on even doc_ids, OpusHead on odd.
+  // n_frames is the final page's granule position. Zero shuffle.
+  private val oggMetaQ = Q(
+    (s, dir) => {
+      val ch = lit(1L) + col("doc_id") % 8
+      val rate = lit(8000L) + (col("doc_id") * 441) % 40000
+      val frames = lit(1000L) + (col("doc_id") * 17) % 100000
+      val payload = when(col("doc_id") % 2 === 0,
+          ScaleOps.synthOgg(ch, rate, frames, mode = 0))
+        .otherwise(ScaleOps.synthOgg(ch, rate, frames, mode = 1))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ScaleOps.oggMeta(payload).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.n_frames").as("n_frames"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS format,
+        | CAST(1 + doc_id % 8 AS BIGINT) AS channels,
+        | CAST(8000 + (doc_id * 441) % 40000 AS BIGINT) AS sample_rate,
+        | CAST(1000 + (doc_id * 17) % 100000 AS BIGINT) AS n_frames
+        | FROM documents ORDER BY doc_id""".stripMargin))
+
+  // -------------------------------------------- MP3 container metadata
+  // The dominant crawled-audio format, walked for real: the ID3v2 head
+  // is skipped through its syncsafe size, then EVERY frame header is
+  // parsed — sync gate, version/layer routing, the published bitrate
+  // and sample-rate index tables, the padding bit — and the per-layer
+  // frame-length arithmetic must land exactly on the next sync or the
+  // file rejects, so a passing row proves the whole walk. Container
+  // shape rotates by doc_id: bare / ID3v2 head / ID3v1 trailer / both.
+  // n_frames is total samples (frames × 1152 for MPEG-1 Layer III).
+  private val mp3MetaQ = Q(
+    (s, dir) => {
+      val ch = lit(1L) + col("doc_id") % 2
+      val srIdx = col("doc_id") % 3
+      val frames = lit(5L) + col("doc_id") % 40
+      val payload = when(col("doc_id") % 4 === 0,
+          ScaleOps.synthMp3(ch, srIdx, frames, mode = 0))
+        .when(col("doc_id") % 4 === 1,
+          ScaleOps.synthMp3(ch, srIdx, frames, mode = 1))
+        .when(col("doc_id") % 4 === 2,
+          ScaleOps.synthMp3(ch, srIdx, frames, mode = 2))
+        .otherwise(ScaleOps.synthMp3(ch, srIdx, frames, mode = 3))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ScaleOps.mp3Meta(payload).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.n_frames").as("n_samples"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, 'mp3' AS format,
+        | CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |      ELSE 32000 END AS BIGINT) AS sample_rate,
+        | CAST((5 + doc_id % 40) * 1152 AS BIGINT) AS n_samples
         | FROM documents ORDER BY doc_id""".stripMargin))
 
   // --------------------------------------- ISO BMFF container metadata
@@ -4656,11 +4793,14 @@ object QueriesScale {
     "webp_palette_pixels" -> webpPalettePixelsQ,
     "webp_lossy_pixels" -> webpLossyPixelsQ,
     "png_ext_pixels" -> pngExtPixelsQ,
+    "tiff_pixels" -> tiffPixelsQ,
     "audio_pcm" -> audioPcmQ,
     "flac_pcm" -> flacPcmQ,
     "video_frames" -> videoFramesQ,
     "video_mjpeg_frames" -> videoMjpegFramesQ,
     "audio_meta" -> audioMetaQ,
+    "ogg_meta" -> oggMetaQ,
+    "mp3_meta" -> mp3MetaQ,
     "container_meta" -> containerMetaQ,
     "chunk_documents" -> chunkDocumentsQ,
     "cdc_chunk" -> cdcChunkQ,

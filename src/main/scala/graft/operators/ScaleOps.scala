@@ -1461,6 +1461,43 @@ object ScaleOps {
   def synthVp8(w: Column, h: Column, seed: Column, mode: Int): Column =
     org.apache.spark.sql.graftnative.Vp8SynthFunctions.synth_vp8(w, h, seed, mode)
 
+  /** Ogg page-walk metadata (RFC 3533) with Vorbis/Opus identification
+    * headers and REAL page-CRC verification
+    * (see [[org.apache.spark.sql.graftnative.OggMeta]]).
+    */
+  def oggMeta(payload: Column): Column =
+    org.apache.spark.sql.graftnative.OggFunctions.ogg_meta(payload)
+
+  /** Complete valid two-page Ogg stream from `(ch, rate, frames)`;
+    * `mode`: 0 = Vorbis, 1 = Opus
+    * (see [[org.apache.spark.sql.graftnative.OggSynth]]).
+    */
+  def synthOgg(ch: Column, rate: Column, frames: Column, mode: Int): Column =
+    org.apache.spark.sql.graftnative.OggFunctions.synth_ogg(ch, rate, frames, mode)
+
+  /** MP3 frame-walk metadata: ID3v2 skip, every frame header parsed
+    * through the published bitrate/sample-rate tables and per-layer
+    * length arithmetic (see [[org.apache.spark.sql.graftnative.Mp3Meta]]).
+    */
+  def mp3Meta(payload: Column): Column =
+    org.apache.spark.sql.graftnative.Mp3Functions.mp3_meta(payload)
+
+  /** Complete valid MP3 from `(ch, srIdx, frames)`; `mode` bit 0 adds
+    * an ID3v2 head, bit 1 an ID3v1 trailer
+    * (see [[org.apache.spark.sql.graftnative.Mp3Synth]]).
+    */
+  def synthMp3(ch: Column, srIdx: Column, frames: Column, mode: Int): Column =
+    org.apache.spark.sql.graftnative.Mp3Functions.synth_mp3(ch, srIdx, frames, mode)
+
+  /** Complete valid baseline TIFF fixture from `(w, h, seed)` — both
+    * byte orders, multi-strip, uncompressed or really PackBits-coded
+    * (see [[org.apache.spark.sql.graftnative.SynthTiff]]).
+    * `mode`: 0 = II none RGB, 1 = MM none RGB, 2 = II PackBits gray,
+    * 3 = MM PackBits RGB.
+    */
+  def synthTiff(w: Column, h: Column, seed: Column, mode: Int): Column =
+    org.apache.spark.sql.graftnative.TiffFunctions.synth_tiff(w, h, seed, mode)
+
   /** Complete valid AVI/MJPEG fixture: every `00dc` chunk is a REAL
     * baseline 4:2:0 JPEG (frame f at seed `seed + 131·f`), plus proper
     * hdrl headers and idx1

@@ -78,6 +78,7 @@ object ImageDecode {
   private val FMT_UNKNOWN = UTF8String.fromString("unknown")
   private[graftnative] val FmtJpeg = UTF8String.fromString("jpeg")
   private[graftnative] val FmtWebp = UTF8String.fromString("webp")
+  private[graftnative] val FmtTiff = UTF8String.fromString("tiff")
 
   /** Row builders for sibling decoders in this package ([[JpegCodec]]). */
   private[graftnative] def unknownRow: InternalRow = unknown
@@ -610,6 +611,7 @@ object ImageDecode {
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
       b(11) == 'P') WebpCodec.decode(b)
+    else if (TiffCodec.isTiff(b)) TiffCodec.decode(b)
     else unknown
   }
 }

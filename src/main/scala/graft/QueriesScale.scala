@@ -2407,6 +2407,101 @@ object QueriesScale {
          | SELECT id1, id2, hamming FROM pairs WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin
     })
 
+  // ---------------------------------------- IMAGE near-dup (dHash LSH)
+  // The image half of the dedup ladder: every payload is DECODED (real
+  // PPM bytes through the raster path), perceptually fingerprinted with
+  // the 64-bit difference hash (9×8 NN grid → gray → horizontal
+  // gradient bits — pure integer arithmetic, so the oracle mirrors it
+  // bit-for-bit; the fixture's per-index step depends on the seed, so
+  // distinct seeds produce distinct fingerprints and the hash does the
+  // separating, not the banding), then deduplicated EXACTLY like text
+  // SimHash: 4×16-bit
+  // band buckets with the shared pair-expansion cap, ordered in-bucket
+  // pair generation, and an exact Hamming verify (≤2) over the
+  // reconstructed 64 bits. Fixture: doc pairs (2k, 2k+1) encode the
+  // SAME image (seed = doc_id/2), so every pair is found at Hamming 0
+  // while unrelated images separate — the banding, the hash, and the
+  // verify all sit on the oracle's critical path. Same shuffle shape as
+  // simhash_neardup: one decode pass, banding explode, bucket group,
+  // no all-pairs anywhere.
+  private def dhashBandBuckets(s: SparkSession, dir: String): DataFrame = {
+    val pairSeed = shiftright(col("doc_id"), 1)
+    val w = lit(18L) + (pairSeed % 3) * 9
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        ScaleOps.rasterDHash(ScaleOps.imageDecode(
+          ScaleOps.synthPpmKeyed(w, lit(16L), pairSeed))).as("dh"))
+      .select(col("doc_id"),
+        col("dh").bitwiseAND(lit(0xFFFFFFFFL)).as("lo"),
+        shiftrightunsigned(col("dh"), 32).as("hi"))
+    t.select(col("doc_id"), col("lo"), col("hi"),
+      posexplode(array(
+        col("lo").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16),
+        col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("hi"), 16))).as(Seq("band_idx", "bk")))
+      .groupBy("band_idx", "bk")
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("lo"), col("hi")))).as("ms"))
+  }
+
+  private val imageDhashNeardupQ = Q(
+    (s, dir) => {
+      val buckets = ScaleOps.cappedBuckets(dhashBandBuckets(s, dir), "ms")
+      buckets.select(explode(expr(
+          """flatten(transform(ms, (x, i) ->
+            |  transform(slice(ms, i + 2, size(ms)),
+            |    y -> struct(x.doc_id AS id1, y.doc_id AS id2,
+            |                x.lo AS lo1, x.hi AS hi1,
+            |                y.lo AS lo2, y.hi AS hi2))))""".stripMargin))
+          .as("p"))
+        .select(col("p.id1"), col("p.id2"),
+          (bit_count(col("p.lo1").bitwiseXOR(col("p.lo2"))) +
+            bit_count(col("p.hi1").bitwiseXOR(col("p.hi2")))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 2)
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some {
+      val cap = ScaleOps.lshBucketCap
+      """WITH d AS (SELECT doc_id, doc_id // 2 AS s,
+        |    18 + ((doc_id // 2) % 3) * 9 AS w, 16 AS h FROM documents),
+        | g AS (SELECT d.*, gy.range AS gy, gx.range AS gx
+        |       FROM d CROSS JOIN range(0, 8) gy CROSS JOIN range(0, 9) gx),
+        | smp AS (SELECT doc_id, gy, gx,
+        |         ((s * 31 + (((gy * h // 8) * w + (gx * w // 9)) * 3 + 0) * (7 + s % 13)) % 256
+        |          + (s * 31 + (((gy * h // 8) * w + (gx * w // 9)) * 3 + 1) * (7 + s % 13)) % 256
+        |          + (s * 31 + (((gy * h // 8) * w + (gx * w // 9)) * 3 + 2) * (7 + s % 13)) % 256)
+        |         // 3 AS v FROM g),
+        | bits AS (SELECT a.doc_id, a.gy, a.gx,
+        |          CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |          FROM smp a JOIN smp b ON a.doc_id = b.doc_id
+        |           AND a.gy = b.gy AND b.gx = a.gx + 1
+        |          WHERE a.gx < 8),
+        | hsh AS (SELECT doc_id,
+        |         CAST(SUM(CASE WHEN gy * 8 + gx < 32
+        |           THEN bit * (CAST(1 AS BIGINT) << (gy * 8 + gx))
+        |           ELSE 0 END) AS BIGINT) AS lo,
+        |         CAST(SUM(CASE WHEN gy * 8 + gx >= 32
+        |           THEN bit * (CAST(1 AS BIGINT) << (gy * 8 + gx - 32))
+        |           ELSE 0 END) AS BIGINT) AS hi
+        |         FROM bits GROUP BY 1),
+        | banded AS (SELECT doc_id, lo, hi, b.range AS band_idx,
+        |           CASE b.range WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+        |                WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS bk
+        |           FROM hsh CROSS JOIN range(0, 4) b),
+        | ok AS (SELECT * FROM (SELECT *,
+        |     COUNT(*) OVER (PARTITION BY band_idx, bk) AS c FROM banded)
+        |   WHERE c BETWEEN 2 AND """.stripMargin + cap + """),
+        | pairs AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+        |    CAST(bit_count(xor(a.lo, b2.lo))
+        |      + bit_count(xor(a.hi, b2.hi)) AS INT) AS hamming
+        |  FROM ok a JOIN ok b2 ON a.band_idx = b2.band_idx AND a.bk = b2.bk
+        |  WHERE a.doc_id < b2.doc_id)
+        |SELECT id1, id2, hamming FROM pairs WHERE hamming <= 2
+        |ORDER BY id1, id2""".stripMargin
+    })
+
   // -------------------------------------------- LSH-bucketed ANN top-k
   // The scale path for similarity_topk: candidates = corpus vectors
   // sharing any LSH table-bucket with the query vector (equi-join on
@@ -4804,6 +4899,7 @@ object QueriesScale {
     "container_meta" -> containerMetaQ,
     "chunk_documents" -> chunkDocumentsQ,
     "cdc_chunk" -> cdcChunkQ,
-    "simhash_neardup" -> simhashQ
+    "simhash_neardup" -> simhashQ,
+    "image_dhash_neardup" -> imageDhashNeardupQ
   )
 }

@@ -1364,6 +1364,21 @@ object ScaleOps {
       transform(sequence(lit(0L), w * h * 3 - 1),
         i => lpad(hex(pixByte(seed, i)), 2, "0")), "")))
 
+  /** PPM variant whose GRADIENTS are seed-dependent: sample byte
+    * `(seed·31 + idx·(7 + seed mod 13)) mod 256`. [[synthPpm]]'s
+    * additive seed term cancels in any neighbor comparison, so every
+    * same-sized image shares one dHash; here the per-index step varies
+    * with the seed, so different seeds produce different perceptual
+    * fingerprints — the property an image-dedup fixture needs.
+    */
+  def synthPpmKeyed(w: Column, h: Column, seed: Column): Column = concat(
+    concat(lit("P6\n"), w.cast(StringType), lit(" "), h.cast(StringType),
+      lit("\n255\n")).cast(BinaryType),
+    unhex(array_join(
+      transform(sequence(lit(0L), w * h * 3 - 1),
+        i => lpad(hex((seed * 31 + i * (lit(7L) + seed % 13)) % 256), 2, "0")),
+      "")))
+
   /** Complete valid 24-bpp BI_RGB BMP encoding the SAME logical image as
     * [[synthPpm]] for the same (w, h, seed): 54-byte header, bottom-up
     * rows, B,G,R sample order, rows padded to a 4-byte boundary — the
@@ -1474,6 +1489,13 @@ object ScaleOps {
     */
   def synthOgg(ch: Column, rate: Column, frames: Column, mode: Int): Column =
     org.apache.spark.sql.graftnative.OggFunctions.synth_ogg(ch, rate, frames, mode)
+
+  /** 64-bit perceptual difference hash of a decoded raster — the image
+    * analogue of MinHash for near-dup dedup
+    * (see [[org.apache.spark.sql.graftnative.RasterDHash]]).
+    */
+  def rasterDHash(raster: Column): Column =
+    org.apache.spark.sql.graftnative.RasterFunctions.raster_dhash(raster)
 
   /** MP3 frame-walk metadata: ID3v2 skip, every frame header parsed
     * through the published bitrate/sample-rate tables and per-layer

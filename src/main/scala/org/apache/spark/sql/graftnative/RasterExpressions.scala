@@ -727,6 +727,81 @@ object RasterChannelSums {
   }
 }
 
+/** 64-bit difference hash (dHash) of a decoded raster — the standard
+  * perceptual fingerprint for IMAGE near-dup dedup in training-data
+  * pipelines: sample a 9×8 grid with the same integer NN kernel as
+  * [[ImageResizeNN]] (`sx = ⌊gx·W/9⌋, sy = ⌊gy·H/8⌋`), gray each sample
+  * (`(r+g+b)/3` integer, or the sample itself for single-channel), and
+  * set bit `gy·8+gx` iff the right neighbor is strictly brighter. Pure
+  * integer arithmetic end to end, so any system applying the same
+  * kernel reproduces the hash bit-for-bit — which is what lets the
+  * DuckDB oracle mirror it. Robust to resizing/re-encoding by
+  * construction (the grid normalizes scale; gradients survive
+  * brightness shifts), which is why dHash banding is the image
+  * analogue of MinHash banding for text. Per-row, zero shuffle,
+  * `'unknown'` rasters hash to null.
+  */
+case class RasterDHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == ImageDecode.schema)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"raster_dhash expects an image_decode struct, got ${child.dataType}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val r = RasterDHash.compute(v.asInstanceOf[InternalRow])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long graftDh = org.apache.spark.sql.graftnative.RasterDHash.compute($c);
+      if (graftDh == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = graftDh.longValue(); }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RasterDHash {
+  def compute(r: InternalRow): java.lang.Long = {
+    if (r.isNullAt(1)) return null
+    val w = r.getInt(1); val h = r.getInt(2); val ch = r.getInt(3)
+    val px = r.getBinary(4)
+    if (w < 1 || h < 1 || (ch != 1 && ch != 3)) return null
+    var dh = 0L
+    val g = new Array[Int](9)
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * h / 8
+      var gx = 0
+      while (gx < 9) {
+        val sx = gx * w / 9
+        g(gx) =
+          if (ch == 1) px(sy * w + sx) & 0xFF
+          else {
+            val base = (sy * w + sx) * 3
+            ((px(base) & 0xFF) + (px(base + 1) & 0xFF) + (px(base + 2) & 0xFF)) / 3
+          }
+        gx += 1
+      }
+      gx = 0
+      while (gx < 8) {
+        if (g(gx + 1) > g(gx)) dh |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    java.lang.Long.valueOf(dh)
+  }
+}
+
 object RasterFunctions {
   /** Column API: decode PPM/PGM/BMP bytes to the normalized raster
     * struct `(format, width, height, channels, pixels)`.
@@ -740,6 +815,9 @@ object RasterFunctions {
       ImageResizeNN(ExpressionUtils.expression(raster), targetW, targetH))
 
   /** Column API: per-channel sample sums (`array<bigint>`). */
+  def raster_dhash(raster: Column): Column =
+    ExpressionUtils.column(RasterDHash(ExpressionUtils.expression(raster)))
+
   def raster_channel_sums(raster: Column): Column =
     ExpressionUtils.column(
       RasterChannelSums(ExpressionUtils.expression(raster)))

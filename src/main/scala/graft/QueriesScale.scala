@@ -2123,6 +2123,56 @@ object QueriesScale {
         |FROM a JOIN shifts ON shifts.v = CAST(sd % 4 AS INT)
         |ORDER BY doc_id, frame_idx""".stripMargin))
 
+  // ------------------------------------- animated-GIF frame extraction
+  // The third frame-sampling format next to Y4M and MJPEG/AVI: real
+  // multi-frame GIF89a (looping application extension, per-frame
+  // graphic-control extensions), every 2nd frame LZW-decoded and
+  // palette-mapped while skipped frames cost only their sub-block
+  // length fields. The oracle replays the per-frame index formula
+  // through the palette ramps (r = idx, g = 2·idx mod 256,
+  // b = 3·idx mod 256). Per-row, zero shuffle until the explode.
+  private val gifFramesQ = Q(
+    (s, dir) => {
+      val w = lit(4L) + (col("doc_id") % 4) * 2
+      val h = lit(4L) + (col("doc_id") % 3) * 2
+      val frames = lit(2L) + col("doc_id") % 5
+      val v = ScaleOps.gifFrames(
+        ScaleOps.synthGifAnim(w, h, frames, col("doc_id")), 2)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), v.as("v"))
+        .select(col("doc_id"),
+          col("v.width").cast(LongType).as("width"),
+          col("v.height").cast(LongType).as("height"),
+          col("v.n_frames").cast(LongType).as("n_frames"),
+          posexplode(arrays_zip(col("v.frame_idx").as("fi"),
+            col("v.r_sums").as("rs"), col("v.g_sums").as("gs"),
+            col("v.b_sums").as("bs"))).as(Seq("_p", "z")))
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          col("z.fi").cast(LongType).as("frame_idx"),
+          col("z.rs").as("r_sum"),
+          col("z.gs").as("g_sum"),
+          col("z.bs").as("b_sum"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 4 + (doc_id % 4) * 2 AS w,
+        |    4 + (doc_id % 3) * 2 AS h, 2 + doc_id % 5 AS frames
+        |   FROM documents),
+        | f AS (SELECT p.*, fr.range AS f FROM p CROSS JOIN range(0, 6) fr
+        |       WHERE fr.range < frames AND fr.range % 2 = 0),
+        | px AS (SELECT doc_id, w, h, frames, f,
+        |         (doc_id * 31 + f * 11 + o.range * 7) % 256 AS idx
+        |        FROM f CROSS JOIN range(0, 80) o WHERE o.range < w * h),
+        | a AS (SELECT doc_id, w, h, frames, f,
+        |        SUM(idx) AS r_sum, SUM((2 * idx) % 256) AS g_sum,
+        |        SUM((3 * idx) % 256) AS b_sum
+        |       FROM px GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(frames AS BIGINT) AS n_frames, CAST(f AS BIGINT) AS frame_idx,
+        | CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+        | CAST(b_sum AS BIGINT) AS b_sum
+        |FROM a ORDER BY doc_id, frame_idx""".stripMargin))
+
   // ------------------------------------ content-defined chunking (CDC)
   // The rsync/LBFS chunking rule as a corpus operator: a boundary falls
   // wherever the rolling hash of the trailing 16 code points lands in
@@ -4893,6 +4943,7 @@ object QueriesScale {
     "flac_pcm" -> flacPcmQ,
     "video_frames" -> videoFramesQ,
     "video_mjpeg_frames" -> videoMjpegFramesQ,
+    "gif_frames" -> gifFramesQ,
     "audio_meta" -> audioMetaQ,
     "ogg_meta" -> oggMetaQ,
     "mp3_meta" -> mp3MetaQ,

@@ -1490,6 +1490,21 @@ object ScaleOps {
   def synthOgg(ch: Column, rate: Column, frames: Column, mode: Int): Column =
     org.apache.spark.sql.graftnative.OggFunctions.synth_ogg(ch, rate, frames, mode)
 
+  /** Multi-frame GIF89a fixture from `(w, h, frames, seed)` — looping
+    * extension, per-frame GCE + full-canvas LZW image
+    * (see [[org.apache.spark.sql.graftnative.GifAnimSynth]]).
+    */
+  def synthGifAnim(w: Column, h: Column, frames: Column, seed: Column): Column =
+    org.apache.spark.sql.graftnative.RasterSynthFunctions
+      .synth_gif_anim(w, h, frames, seed)
+
+  /** Stride-sampled animated-GIF frame statistics: every `stride`-th
+    * frame is LZW-decoded and palette-mapped, the rest skipped by their
+    * sub-block lengths (see [[org.apache.spark.sql.graftnative.GifFrames]]).
+    */
+  def gifFrames(payload: Column, stride: Int): Column =
+    org.apache.spark.sql.graftnative.RasterFunctions.gif_frames(payload, stride)
+
   /** 64-bit perceptual difference hash of a decoded raster — the image
     * analogue of MinHash for near-dup dedup
     * (see [[org.apache.spark.sql.graftnative.RasterDHash]]).

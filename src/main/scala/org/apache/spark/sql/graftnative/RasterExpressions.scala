@@ -437,6 +437,9 @@ object ImageDecode {
     * deferred-clear 4096-entry cap, and the KwKwK first-byte case all
     * per spec. Pure arithmetic — no library.
     */
+  private[graftnative] def lzwDecodeShared(d: Array[Byte], minCode: Int,
+      nOut: Int): Array[Byte] = lzwDecode(d, minCode, nOut)
+
   private def lzwDecode(d: Array[Byte], minCode: Int, nOut: Int): Array[Byte] = {
     val clear = 1 << minCode
     val eoi = clear + 1
@@ -727,6 +730,153 @@ object RasterChannelSums {
   }
 }
 
+/** Animated-GIF frame extraction with stride sampling — the GIF
+  * analogue of [[AviMjpegFrames]]: walk the GIF89a block stream
+  * (graphic-control and application extensions skipped by sub-block
+  * lengths, every image descriptor counted), LZW-decode and
+  * palette-map ONLY every `stride`-th frame (unsampled frames are
+  * skipped by their sub-block length fields — never decompressed), and
+  * emit per-frame channel sums. Frames are decoded as STORED (their
+  * own rect and palette, global or local, interlace honored);
+  * inter-frame disposal compositing is a renderer concern, not a
+  * corpus-statistics one, and is out of scope by design. Geometry or
+  * palette violations, torn sub-blocks, or LZW errors null the row.
+  */
+case class GifFrames(child: Expression, stride: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(stride > 0, s"stride must be positive, got $stride")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = AviMjpegFrames.schema
+
+  override def nullSafeEval(v: Any): Any =
+    GifFrames.compute(v.asInstanceOf[Array[Byte]], stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftnative.GifFrames.compute($c, $stride)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GifFrames {
+  private val MaxFrames = 1 << 16
+  private val MaxPixelBytes = 1 << 26
+  private val CodecGif = UTF8String.fromString("gif")
+
+  private def bad: InternalRow =
+    new GenericInternalRow(Array[Any](null, null, null, null, null, null, null, null))
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def leU16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+  def compute(b: Array[Byte], stride: Int): InternalRow = {
+    if (b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a') return bad
+    val sw = leU16(b, 6)
+    val sh = leU16(b, 8)
+    val packed = u8(b, 10)
+    var i = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (i + 3 * n > b.length) return bad
+      gct = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
+      i += 3 * n
+    }
+    val idxs = new java.util.ArrayList[Integer]()
+    val rs = new java.util.ArrayList[java.lang.Long]()
+    val gs = new java.util.ArrayList[java.lang.Long]()
+    val bs = new java.util.ArrayList[java.lang.Long]()
+    var n = 0
+    var sawTrailer = false
+    while (i < b.length && !sawTrailer) {
+      u8(b, i) match {
+        case 0x21 =>
+          i += 2
+          var done = false
+          while (!done) {
+            if (i >= b.length) return bad
+            val sz = u8(b, i)
+            i += 1 + sz
+            if (sz == 0) done = true
+          }
+        case 0x2C =>
+          if (i + 10 > b.length) return bad
+          val w = leU16(b, i + 5)
+          val h = leU16(b, i + 7)
+          val ipacked = u8(b, i + 9)
+          val interlaced = (ipacked & 0x40) != 0
+          i += 10
+          var pal = gct
+          if ((ipacked & 0x80) != 0) {
+            val nLoc = 2 << (ipacked & 7)
+            if (i + 3 * nLoc > b.length) return bad
+            pal = java.util.Arrays.copyOfRange(b, i, i + 3 * nLoc)
+            i += 3 * nLoc
+          }
+          if (pal == null || w <= 0 || h <= 0 || 3L * w * h > MaxPixelBytes)
+            return bad
+          if (i >= b.length) return bad
+          val minCode = u8(b, i)
+          i += 1
+          if (minCode < 2 || minCode > 8) return bad
+          val sample = n % stride == 0
+          val data = if (sample) new java.io.ByteArrayOutputStream() else null
+          var done = false
+          while (!done) {
+            if (i >= b.length) return bad
+            val sz = u8(b, i)
+            i += 1
+            if (sz == 0) done = true
+            else {
+              if (i + sz > b.length) return bad
+              if (sample) data.write(b, i, sz)
+              i += sz
+            }
+          }
+          if (sample) {
+            val idx = ImageDecode.lzwDecodeShared(data.toByteArray, minCode, w * h)
+            if (idx == null) return bad
+            val nPal = pal.length / 3
+            var rr = 0L; var gg = 0L; var bb = 0L
+            var p = 0
+            while (p < idx.length) {
+              val v = idx(p) & 0xFF
+              if (v >= nPal) return bad
+              rr += pal(3 * v) & 0xFF
+              gg += pal(3 * v + 1) & 0xFF
+              bb += pal(3 * v + 2) & 0xFF
+              p += 1
+            }
+            // channel sums are interlace-order-independent; the
+            // per-pixel scatter is pinned by the single-frame decoder
+            idxs.add(n); rs.add(rr); gs.add(gg); bs.add(bb)
+          }
+          n += 1
+          if (n > MaxFrames) return bad
+        case 0x3B => sawTrailer = true
+        case _ => return bad
+      }
+    }
+    if (!sawTrailer || n == 0 || idxs.isEmpty) return bad
+    val m = idxs.size()
+    val ia = new Array[Int](m)
+    val ra = new Array[Long](m)
+    val ga = new Array[Long](m)
+    val ba = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      ia(k) = idxs.get(k); ra(k) = rs.get(k); ga(k) = gs.get(k); ba(k) = bs.get(k)
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](sw, sh, CodecGif, n,
+      new GenericArrayData(ia), new GenericArrayData(ra),
+      new GenericArrayData(ga), new GenericArrayData(ba)))
+  }
+}
+
 /** 64-bit difference hash (dHash) of a decoded raster — the standard
   * perceptual fingerprint for IMAGE near-dup dedup in training-data
   * pipelines: sample a 9×8 grid with the same integer NN kernel as
@@ -815,6 +965,9 @@ object RasterFunctions {
       ImageResizeNN(ExpressionUtils.expression(raster), targetW, targetH))
 
   /** Column API: per-channel sample sums (`array<bigint>`). */
+  def gif_frames(payload: Column, stride: Int): Column =
+    ExpressionUtils.column(GifFrames(ExpressionUtils.expression(payload), stride))
+
   def raster_dhash(raster: Column): Column =
     ExpressionUtils.column(RasterDHash(ExpressionUtils.expression(raster)))
 

@@ -375,7 +375,8 @@ object RasterSynth {
     * code width grows with the dictionary exactly one step ahead of the
     * decoder's, adds stop at 4096 (deferred clear).
     */
-  private def lzwEncode(indices: Array[Byte], minCode: Int): Array[Byte] = {
+  private[graftnative] def lzwEncode(indices: Array[Byte],
+      minCode: Int): Array[Byte] = {
     val clear = 1 << minCode
     val eoi = clear + 1
     var codeSize = minCode + 1
@@ -464,6 +465,98 @@ object RasterSynth {
   }
 }
 
+/** Multi-frame GIF89a fixture: NETSCAPE2.0 looping application
+  * extension, then per frame a graphic-control extension (delay 4,
+  * disposal none) and a full-canvas image whose index stream is
+  * `(seed·31 + f·11 + p·7) mod 256`, really LZW-compressed — the same
+  * palette ramps as the single-frame fixture, so per-frame channel
+  * sums replay from the formula.
+  */
+object GifAnimSynth {
+
+  def gifAnimBytes(w: Long, h: Long, frames: Long, seed: Long): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w > 0xFFFF || h > 0xFFFF || frames < 1 ||
+        frames > 64 || 3 * w * h > (1 << 26)) return null
+    val wi = w.toInt; val hi = h.toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      0, 6)
+    out.write(wi & 0xFF); out.write((wi >> 8) & 0xFF)
+    out.write(hi & 0xFF); out.write((hi >> 8) & 0xFF)
+    out.write(0xF7); out.write(0); out.write(0)
+    var c = 0
+    while (c < 256) {
+      out.write(c); out.write((2 * c) % 256); out.write((3 * c) % 256)
+      c += 1
+    }
+    // NETSCAPE2.0 looping extension (loop forever)
+    out.write(0x21); out.write(0xFF); out.write(11)
+    out.write("NETSCAPE2.0".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      0, 11)
+    out.write(3); out.write(1); out.write(0); out.write(0); out.write(0)
+    var f = 0
+    while (f < frames) {
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0) // disposal none, no transparency
+      out.write(4); out.write(0) // delay 4/100 s
+      out.write(0) // transparent index (unused)
+      out.write(0) // block terminator
+      out.write(0x2C)
+      out.write(0); out.write(0); out.write(0); out.write(0)
+      out.write(wi & 0xFF); out.write((wi >> 8) & 0xFF)
+      out.write(hi & 0xFF); out.write((hi >> 8) & 0xFF)
+      out.write(0)
+      val indices = new Array[Byte](wi * hi)
+      var p = 0
+      while (p < indices.length) {
+        indices(p) = java.lang.Math.floorMod(seed * 31 + f * 11 + p * 7, 256).toByte
+        p += 1
+      }
+      out.write(8)
+      val lzw = RasterSynth.lzwEncode(indices, 8)
+      var off = 0
+      while (off < lzw.length) {
+        val nn = math.min(255, lzw.length - off)
+        out.write(nn)
+        out.write(lzw, off, nn)
+        off += nn
+      }
+      out.write(0)
+      f += 1
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+}
+
+/** Expression wrapping [[GifAnimSynth.gifAnimBytes]]. */
+case class SynthGifAnim(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(LongType, LongType, LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(w: Any, h: Any, fr: Any, seed: Any): Any =
+    GifAnimSynth.gifAnimBytes(w.asInstanceOf[Long], h.asInstanceOf[Long],
+      fr.asInstanceOf[Long], seed.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, h, fr, s) => s"""
+      ${ev.value} = org.apache.spark.sql.graftnative.GifAnimSynth.gifAnimBytes($w, $h, $fr, $s);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
 object RasterSynthFunctions {
   /** Column API: complete valid PNG from `(w, h, seed)` — grayscale
     * (`channels = 1`) or truecolor RGB (`channels = 3`).
@@ -478,6 +571,13 @@ object RasterSynthFunctions {
   def synth_png(w: Column, h: Column, seed: Column, channels: Int): Column =
     ExpressionUtils.column(SynthPng(ExpressionUtils.expression(w),
       ExpressionUtils.expression(h), ExpressionUtils.expression(seed), channels))
+
+  /** Column API: multi-frame GIF89a from `(w, h, frames, seed)`. */
+  def synth_gif_anim(w: Column, h: Column, frames: Column,
+      seed: Column): Column =
+    ExpressionUtils.column(SynthGifAnim(ExpressionUtils.expression(w),
+      ExpressionUtils.expression(h), ExpressionUtils.expression(frames),
+      ExpressionUtils.expression(seed)))
 
   /** Column API: complete valid GIF89a from `(w, h, seed)`. */
   def synth_gif(w: Column, h: Column, seed: Column): Column =

@@ -1798,6 +1798,81 @@ object QueriesScale {
         | CAST(b_sum AS BIGINT) AS b_sum
         |FROM s ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------- EXIF orientation normalization
+  // The decode-side normalize step every geometry-sensitive image op
+  // needs (crops, aspect filters, perceptual hashes all change under
+  // rotation): the fixture JPEG carries a REAL APP1 Exif segment
+  // (marker-stream walk + mini-TIFF IFD read for tag 0x0112), the
+  // decoded raster is remapped through the 1-8 orientation (flips,
+  // 180°, and the four dim-swapping transposes), and only then resized
+  // and summed. The oracle replays the INVERSE coordinate map per
+  // orientation over the generative JPEG block formula — a wrong remap
+  // in any of the 8 cases lands on different source pixels and flips
+  // the hash. Per-row, zero shuffle.
+  private val exifOrientPixelsQ = Q(
+    (s, dir) => {
+      val w = lit(16L) * (lit(1L) + col("doc_id") % 2)
+      val h = lit(16L)
+      val payload = ScaleOps.synthJpegExif(w, h, col("doc_id"), mode = 2)
+      val oriented = ScaleOps.rasterOrient(
+        ScaleOps.imageDecode(payload), ScaleOps.exifOrientation(payload))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          ScaleOps.exifOrientation(payload).cast(LongType).as("orientation"),
+          oriented.as("r"))
+        .select(col("doc_id"), col("orientation"),
+          col("r.width").cast(LongType).as("width"),
+          col("r.height").cast(LongType).as("height"),
+          ScaleOps.rasterChannelSums(
+            ScaleOps.imageResizeNN(col("r"), 4, 4)).as("s"))
+        .select(col("doc_id"), col("orientation"), col("width"), col("height"),
+          col("s").getItem(0).as("r_sum"),
+          col("s").getItem(1).as("g_sum"),
+          col("s").getItem(2).as("b_sum"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, 16 * (1 + doc_id % 2) AS w, 16 AS h,
+        |   1 + doc_id % 8 AS o, CAST(doc_id % 4 AS INT) AS v FROM documents),
+        | dims AS (SELECT d.*, CASE WHEN o >= 5 THEN h ELSE w END AS ow,
+        |          CASE WHEN o >= 5 THEN w ELSE h END AS oh FROM d),
+        | shifts(v, sr, sg, sb) AS (VALUES (0, 0, 0, 0), (1, 7, -4, 0),
+        |   (2, 0, -2, 9), (3, -10, 4, 7)),
+        | g AS (SELECT dims.*, gx.range AS x, gy.range AS y
+        |        FROM dims CROSS JOIN range(0, 4) gx CROSS JOIN range(0, 4) gy),
+        | op AS (SELECT doc_id, w, h, o, v, ow, oh,
+        |          (x * ow // 4) AS ox, (y * oh // 4) AS oy FROM g),
+        | src AS (SELECT doc_id, w, h, o, v, ow, oh,
+        |          CASE WHEN o = 1 OR o = 4 THEN ox
+        |               WHEN o = 2 OR o = 3 THEN w - 1 - ox
+        |               WHEN o = 5 OR o = 6 THEN oy
+        |               ELSE w - 1 - oy END AS sx,
+        |          CASE WHEN o = 1 OR o = 2 THEN oy
+        |               WHEN o = 3 OR o = 4 THEN h - 1 - oy
+        |               WHEN o = 5 OR o = 8 THEN ox
+        |               ELSE h - 1 - ox END AS sy FROM op),
+        | blk AS (SELECT doc_id, o, v, ow, oh, sx, sy,
+        |          (sy // 8) * (w // 8) + (sx // 8) AS bi FROM src),
+        | yv AS (SELECT doc_id, o, v, ow, oh,
+        |         64 + (doc_id * 31 + bi * 17) % 128
+        |         + ((doc_id * 5 + bi * 11) % 8)
+        |           * (CASE WHEN (sx % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        |         + ((doc_id * 3 + bi * 19) % 8)
+        |           * (CASE WHEN (sy % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        |         + ((doc_id * 7 + bi * 13) % 8)
+        |           * (CASE WHEN (sx % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        |           * (CASE WHEN (sy % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        |         AS yval FROM blk),
+        | s AS (SELECT doc_id, o, ow, oh,
+        |        SUM(yval + sr) AS r_sum, SUM(yval + sg) AS g_sum,
+        |        SUM(yval + sb) AS b_sum
+        |       FROM yv JOIN shifts USING (v) GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(o AS BIGINT) AS orientation,
+        | CAST(ow AS BIGINT) AS width, CAST(oh AS BIGINT) AS height,
+        | CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+        | CAST(b_sum AS BIGINT) AS b_sum
+        |FROM s ORDER BY doc_id""".stripMargin))
+
   // --------------------------------------------- baseline TIFF decode
   // The archival/scan raster format every document corpus yields,
   // decoded for real: the IFD entry walk (inline vs offset values),
@@ -4939,6 +5014,7 @@ object QueriesScale {
     "webp_lossy_pixels" -> webpLossyPixelsQ,
     "png_ext_pixels" -> pngExtPixelsQ,
     "tiff_pixels" -> tiffPixelsQ,
+    "exif_orient_pixels" -> exifOrientPixelsQ,
     "audio_pcm" -> audioPcmQ,
     "flac_pcm" -> flacPcmQ,
     "video_frames" -> videoFramesQ,

@@ -1490,6 +1490,26 @@ object ScaleOps {
   def synthOgg(ch: Column, rate: Column, frames: Column, mode: Int): Column =
     org.apache.spark.sql.graftnative.OggFunctions.synth_ogg(ch, rate, frames, mode)
 
+  /** EXIF orientation (1-8) from a JPEG's APP1 segment — null when
+    * absent (see [[org.apache.spark.sql.graftnative.ExifOrientation]]).
+    */
+  def exifOrientation(payload: Column): Column =
+    org.apache.spark.sql.graftnative.ExifFunctions.exif_orientation(payload)
+
+  /** Apply an EXIF orientation to a decoded raster: exact flip /
+    * rotation index remaps, dims swap for 5-8
+    * (see [[org.apache.spark.sql.graftnative.RasterOrient]]).
+    */
+  def rasterOrient(raster: Column, orientation: Column): Column =
+    org.apache.spark.sql.graftnative.ExifFunctions.raster_orient(raster, orientation)
+
+  /** Baseline JPEG fixture wrapped with an APP1 Exif segment carrying
+    * orientation `1 + (seed mod 8)`
+    * (see [[org.apache.spark.sql.graftnative.ExifSynth]]).
+    */
+  def synthJpegExif(w: Column, h: Column, seed: Column, mode: Int): Column =
+    org.apache.spark.sql.graftnative.ExifFunctions.synth_jpeg_exif(w, h, seed, mode)
+
   /** Multi-frame GIF89a fixture from `(w, h, frames, seed)` — looping
     * extension, per-frame GCE + full-canvas LZW image
     * (see [[org.apache.spark.sql.graftnative.GifAnimSynth]]).

@@ -2539,11 +2539,15 @@ object QueriesScale {
   // gradient bits — pure integer arithmetic, so the oracle mirrors it
   // bit-for-bit; the fixture's per-index step depends on the seed, so
   // distinct seeds produce distinct fingerprints and the hash does the
-  // separating, not the banding), then deduplicated EXACTLY like text
-  // SimHash: 4×16-bit
-  // band buckets with the shared pair-expansion cap, ordered in-bucket
-  // pair generation, and an exact Hamming verify (≤2) over the
-  // reconstructed 64 bits. Fixture: doc pairs (2k, 2k+1) encode the
+  // separating, not the banding), then deduplicated with the
+  // PIGEONHOLE banding the Hamming budget dictates: 3 bands of
+  // 21/21/22 bits, so any pair within Hamming ≤ 2 keeps at least one
+  // band intact — the exact LSH guarantee, and the parameterization
+  // that scales (a 2²¹-bucket space keeps occupancy per band low where
+  // 16-bit bands drown in collisions at millions of images — measured
+  // in STRESS_DHASH_r11). Shared pair-expansion cap, ordered in-bucket
+  // pair generation, exact Hamming verify (≤2) over the reconstructed
+  // 64 bits. Fixture: doc pairs (2k, 2k+1) encode the
   // SAME image (seed = doc_id/2), so every pair is found at Hamming 0
   // while unrelated images separate — the banding, the hash, and the
   // verify all sit on the oracle's critical path. Same shuffle shape as
@@ -2561,10 +2565,10 @@ object QueriesScale {
         shiftrightunsigned(col("dh"), 32).as("hi"))
     t.select(col("doc_id"), col("lo"), col("hi"),
       posexplode(array(
-        col("lo").bitwiseAND(lit(65535L)),
-        shiftright(col("lo"), 16),
-        col("hi").bitwiseAND(lit(65535L)),
-        shiftright(col("hi"), 16))).as(Seq("band_idx", "bk")))
+        col("lo").bitwiseAND(lit(0x1FFFFFL)),
+        shiftright(col("lo"), 21).bitwiseOR(
+          col("hi").bitwiseAND(lit(1023L)) * lit(2048L)),
+        shiftright(col("hi"), 10))).as(Seq("band_idx", "bk")))
       .groupBy("band_idx", "bk")
       .agg(sort_array(collect_list(
         struct(col("doc_id"), col("lo"), col("hi")))).as("ms"))
@@ -2612,9 +2616,10 @@ object QueriesScale {
         |           ELSE 0 END) AS BIGINT) AS hi
         |         FROM bits GROUP BY 1),
         | banded AS (SELECT doc_id, lo, hi, b.range AS band_idx,
-        |           CASE b.range WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
-        |                WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS bk
-        |           FROM hsh CROSS JOIN range(0, 4) b),
+        |           CASE b.range WHEN 0 THEN lo % 2097152
+        |                WHEN 1 THEN (lo // 2097152) + (hi % 1024) * 2048
+        |                ELSE hi // 1024 END AS bk
+        |           FROM hsh CROSS JOIN range(0, 3) b),
         | ok AS (SELECT * FROM (SELECT *,
         |     COUNT(*) OVER (PARTITION BY band_idx, bk) AS c FROM banded)
         |   WHERE c BETWEEN 2 AND """.stripMargin + cap + """),

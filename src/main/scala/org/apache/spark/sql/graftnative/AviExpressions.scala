@@ -88,14 +88,15 @@ object AviMjpegFrames {
     var moviOff = -1L
     var moviEnd = -1L
     var mjpgStream = false
-    def walkHdrl(off: Long, end: Long): Unit = {
+    def walkHdrl(off: Long, end: Long, depth: Int): Unit = {
+      if (depth > 8) return // crafted deep nesting must not overflow the stack
       var i = off
       while (i + 8 <= end) {
         val sz = le32(b, (i + 4).toInt)
         val body = i + 8
         if (body + sz > end) return
         if (fourcc(b, i.toInt, "LIST") && sz >= 4) {
-          walkHdrl(body + 4, body + sz)
+          walkHdrl(body + 4, body + sz, depth + 1)
         } else if (fourcc(b, i.toInt, "strf") && sz >= 20) {
           // BITMAPINFOHEADER: biCompression at +16
           if (fourcc(b, (body + 16).toInt, "MJPG")) mjpgStream = true
@@ -110,7 +111,7 @@ object AviMjpegFrames {
       if (body + sz > b.length) return bad
       if (fourcc(b, i.toInt, "LIST") && sz >= 4) {
         if (fourcc(b, body.toInt, "movi")) { moviOff = body + 4; moviEnd = body + sz }
-        else if (fourcc(b, body.toInt, "hdrl")) walkHdrl(body + 4, body + sz)
+        else if (fourcc(b, body.toInt, "hdrl")) walkHdrl(body + 4, body + sz, 0)
       }
       i = body + sz + (sz & 1)
     }
@@ -129,7 +130,8 @@ object AviMjpegFrames {
       (b(c + 2) == 'd' && (b(c + 3) == 'c' || b(c + 3) == 'b')) &&
         b(c) >= '0' && b(c) <= '9' && b(c + 1) >= '0' && b(c + 1) <= '9'
 
-    def walkMovi(off: Long, end: Long): Unit = {
+    def walkMovi(off: Long, end: Long, depth: Int): Unit = {
+      if (depth > 8) { ok = false; return } // depth-bounded, like hdrl
       var i = off
       while (ok && i + 8 <= end) {
         val sz = le32(b, (i + 4).toInt)
@@ -137,7 +139,7 @@ object AviMjpegFrames {
         if (body + sz > end) { ok = false; return }
         if (fourcc(b, i.toInt, "LIST") && sz >= 4 &&
             fourcc(b, body.toInt, "rec ")) {
-          walkMovi(body + 4, body + sz)
+          walkMovi(body + 4, body + sz, depth + 1)
         } else if (frameChunk(i.toInt)) {
           if (n >= MaxFrames) { ok = false; return }
           if (n % stride == 0) {
@@ -172,7 +174,7 @@ object AviMjpegFrames {
         i = body + sz + (sz & 1)
       }
     }
-    walkMovi(moviOff, moviEnd)
+    walkMovi(moviOff, moviEnd, 0)
     if (!ok || n == 0 || idx.isEmpty) return bad
     val m = idx.size()
     val ia = new Array[Int](m)

@@ -529,6 +529,62 @@ object GifAnimSynth {
   }
 }
 
+/** High-entropy PPM fixture for dedup-scale probes: sample bytes come
+  * from a Knuth multiplicative hash of `(seed, idx)`, so unlike the
+  * linear oracle fixtures (whose gradients collapse to a handful of
+  * classes mod 256) every seed yields an essentially unique perceptual
+  * fingerprint — the property a realistic duplicate-recovery probe
+  * needs. Probe-only: no SQL oracle mirrors this content.
+  */
+object PpmHashSynth {
+  def ppmHashBytes(w: Long, h: Long, seed: Long): Array[Byte] = {
+    if (w < 1 || h < 1 || w > 4096 || h > 4096 ||
+        3 * w * h > (1 << 26)) return null
+    val header = s"P6\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val n = (3 * w * h).toInt
+    val out = new Array[Byte](header.length + n)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < n) {
+      // full splitmix64 finalizer: a single xorshift leaves enough
+      // arithmetic-progression structure to cluster dHash patterns
+      // across seeds (measured as band-bucket blowups at 1M images)
+      var x = seed * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL
+      x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+      x ^= x >>> 27; x *= 0x94D049BB133111EBL
+      x ^= x >>> 31
+      out(header.length + i) = (x >>> 16).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** Expression wrapping [[PpmHashSynth.ppmHashBytes]]. */
+case class SynthPpmHash(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(w: Any, h: Any, seed: Any): Any =
+    PpmHashSynth.ppmHashBytes(w.asInstanceOf[Long], h.asInstanceOf[Long],
+      seed.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, h, s) => s"""
+      ${ev.value} = org.apache.spark.sql.graftnative.PpmHashSynth.ppmHashBytes($w, $h, $s);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Expression wrapping [[GifAnimSynth.gifAnimBytes]]. */
 case class SynthGifAnim(first: Expression, second: Expression,
     third: Expression, fourth: Expression)
@@ -571,6 +627,11 @@ object RasterSynthFunctions {
   def synth_png(w: Column, h: Column, seed: Column, channels: Int): Column =
     ExpressionUtils.column(SynthPng(ExpressionUtils.expression(w),
       ExpressionUtils.expression(h), ExpressionUtils.expression(seed), channels))
+
+  /** Column API: high-entropy hash-content PPM (probe-only). */
+  def synth_ppm_hash(w: Column, h: Column, seed: Column): Column =
+    ExpressionUtils.column(SynthPpmHash(ExpressionUtils.expression(w),
+      ExpressionUtils.expression(h), ExpressionUtils.expression(seed)))
 
   /** Column API: multi-frame GIF89a from `(w, h, frames, seed)`. */
   def synth_gif_anim(w: Column, h: Column, frames: Column,

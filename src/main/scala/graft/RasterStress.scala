@@ -55,7 +55,10 @@ object RasterStress {
       // lossy VP8 key frames, both fixture shapes (B_PRED and 16x16/Y2)
       "vp8" -> ((w: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column)
         => when(s % 2 === 0, ScaleOps.synthVp8(w, w, s, mode = 0))
-          .otherwise(ScaleOps.synthVp8(w, w, s, mode = 1)))
+          .otherwise(ScaleOps.synthVp8(w, w, s, mode = 1))),
+      // baseline TIFF, PackBits RGB (the compressed path)
+      "tiff" -> ((w: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column)
+        => ScaleOps.synthTiff(w, w, s, 3))
     ).foreach { case (fmt, synth) =>
       val t0 = System.nanoTime()
       val r = ids

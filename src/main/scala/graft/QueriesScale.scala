@@ -2138,6 +2138,67 @@ object QueriesScale {
         | CAST(f AS BIGINT) AS frame_idx, CAST(y_sum AS BIGINT) AS y_sum
         |FROM a ORDER BY doc_id, frame_idx""".stripMargin))
 
+  // ------------------------------------------ windowed audio features
+  // The featurization step between PCM decode and any audio-quality /
+  // voice-activity gate: fixed 16-frame windows, each reduced across
+  // all channels to its exact integer ENERGY (Σ sample²) and peak
+  // magnitude. Same WAV fixtures as audio_pcm (8- and 16-bit rotate),
+  // so the oracle replays the generative sample formula through the
+  // window arithmetic bit-for-bit. Per-row, zero shuffle until the
+  // explode.
+  private val audioEnergyWindowsQ = Q(
+    (s, dir) => {
+      val ch = lit(1L) + col("doc_id") % 2
+      val rate = lit(8000L) + (col("doc_id") * 441) % 8000
+      val frames = lit(50L) + col("doc_id") % 150
+      val payload = when(col("doc_id") % 3 === 0,
+          ScaleOps.synthWavPcm(ch, rate, 8, frames, col("doc_id")))
+        .otherwise(ScaleOps.synthWavPcm(ch, rate, 16, frames, col("doc_id")))
+      val d = ScaleOps.pcmDecode(payload)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), d.as("d"))
+        .select(col("doc_id"), col("d"),
+          ScaleOps.pcmEnergyWindows(col("d"), 16).as("e"))
+        .select(col("doc_id"),
+          col("d.channels").cast(LongType).as("channels"),
+          col("d.n_frames").cast(LongType).as("n_frames"),
+          col("e.n_windows").cast(LongType).as("n_windows"),
+          posexplode(arrays_zip(col("e.win_idx").as("w"),
+            col("e.energy").as("en"), col("e.peak").as("pk")))
+            .as(Seq("_p", "z")))
+        .select(col("doc_id"), col("channels"), col("n_frames"),
+          col("n_windows"),
+          col("z.w").cast(LongType).as("win_idx"),
+          col("z.en").as("energy"),
+          col("z.pk").as("peak"))
+        .orderBy("doc_id", "win_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id,
+        |    1 + doc_id % 2 AS ch,
+        |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+        |    50 + doc_id % 150 AS frames
+        |   FROM documents),
+        | k AS (SELECT p.*, f.range AS f, c.range AS c,
+        |        f.range * ch + c.range AS k
+        |       FROM p CROSS JOIN range(0, 200) f CROSS JOIN range(0, 2) c
+        |       WHERE f.range < frames AND c.range < ch),
+        | s AS (SELECT *, CASE WHEN bits = 8
+        |          THEN (doc_id * 13 + k * 7) % 256 - 128
+        |          ELSE CASE WHEN (doc_id * 13 + k * 7) % 65536 >= 32768
+        |               THEN (doc_id * 13 + k * 7) % 65536 - 65536
+        |               ELSE (doc_id * 13 + k * 7) % 65536 END END AS v,
+        |        f // 16 AS w FROM k),
+        | a AS (SELECT doc_id, ch, frames, w,
+        |        SUM(v * v) AS energy, MAX(ABS(v)) AS peak
+        |       FROM s GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(ch AS BIGINT) AS channels,
+        | CAST(frames AS BIGINT) AS n_frames,
+        | CAST((frames + 15) // 16 AS BIGINT) AS n_windows,
+        | CAST(w AS BIGINT) AS win_idx, CAST(energy AS BIGINT) AS energy,
+        | CAST(peak AS BIGINT) AS peak
+        |FROM a ORDER BY doc_id, win_idx""".stripMargin))
+
   // ------------------------------------------ MJPEG-in-AVI video decode
   // Real codec-in-container video, one step past raw Y4M: every `00dc`
   // chunk in the AVI movi LIST is a complete baseline JPEG, and the
@@ -5022,6 +5083,7 @@ object QueriesScale {
     "exif_orient_pixels" -> exifOrientPixelsQ,
     "audio_pcm" -> audioPcmQ,
     "flac_pcm" -> flacPcmQ,
+    "audio_energy_windows" -> audioEnergyWindowsQ,
     "video_frames" -> videoFramesQ,
     "video_mjpeg_frames" -> videoMjpegFramesQ,
     "gif_frames" -> gifFramesQ,

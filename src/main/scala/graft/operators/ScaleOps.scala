@@ -1490,6 +1490,14 @@ object ScaleOps {
   def synthOgg(ch: Column, rate: Column, frames: Column, mode: Int): Column =
     org.apache.spark.sql.graftnative.OggFunctions.synth_ogg(ch, rate, frames, mode)
 
+  /** Fixed-window energy/peak features over decoded PCM — the
+    * featurize-after-decode step
+    * (see [[org.apache.spark.sql.graftnative.PcmEnergyWindows]]).
+    */
+  def pcmEnergyWindows(pcm: Column, windowFrames: Int): Column =
+    org.apache.spark.sql.graftnative.PcmEnergyFunctions
+      .pcm_energy_windows(pcm, windowFrames)
+
   /** EXIF orientation (1-8) from a JPEG's APP1 segment — null when
     * absent (see [[org.apache.spark.sql.graftnative.ExifOrientation]]).
     */

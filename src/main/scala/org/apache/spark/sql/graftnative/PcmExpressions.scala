@@ -385,3 +385,93 @@ object PcmFunctions {
     ExpressionUtils.column(
       Y4mFrameLuma(ExpressionUtils.expression(payload), stride))
 }
+
+/** Windowed audio ENERGY features over a decoded PCM struct — the
+  * featurization step between decode and any audio-quality /
+  * voice-activity gate in a training-data pipeline: fixed windows of
+  * `windowFrames` frames (the last window may be short), each reduced
+  * across ALL channels to its exact integer energy (Σ sample²) and
+  * peak magnitude (max |sample|). Pure integer arithmetic, so the
+  * DuckDB oracle replays it bit-for-bit; per-row, zero shuffle.
+  */
+case class PcmEnergyWindows(child: Expression, windowFrames: Int)
+    extends UnaryExpression {
+
+  require(windowFrames > 0, s"windowFrames must be positive, got $windowFrames")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == PcmDecode.schema)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pcm_energy_windows expects a pcm_decode struct, got ${child.dataType}")
+
+  override def dataType: DataType = PcmEnergyWindows.schema
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    PcmEnergyWindows.compute(v.asInstanceOf[InternalRow], windowFrames)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = org.apache.spark.sql.graftnative.PcmEnergyWindows.compute($c, $windowFrames);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PcmEnergyWindows {
+  val schema: StructType = StructType(Seq(
+    StructField("n_windows", IntegerType, nullable = false),
+    StructField("win_idx", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("energy", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("peak", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  def compute(r: InternalRow, windowFrames: Int): InternalRow = {
+    if (r.isNullAt(5)) return null
+    val ch = r.getInt(1)
+    val samples = r.getArray(5)
+    val n = samples.numElements()
+    if (ch < 1) return null
+    val frames = n / ch
+    val nWin = (frames + windowFrames - 1) / windowFrames
+    val idx = new Array[Int](nWin)
+    val energy = new Array[Long](nWin)
+    val peak = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      idx(w) = w
+      val f0 = w * windowFrames
+      val f1 = math.min(frames, f0 + windowFrames)
+      var e = 0L
+      var p = 0L
+      var k = f0 * ch
+      val end = f1 * ch
+      while (k < end) {
+        val s = samples.getInt(k).toLong
+        e += s * s
+        val a = math.abs(s)
+        if (a > p) p = a
+        k += 1
+      }
+      energy(w) = e
+      peak(w) = p
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nWin, new GenericArrayData(idx), new GenericArrayData(energy),
+      new GenericArrayData(peak)))
+  }
+}
+
+object PcmEnergyFunctions {
+  /** Column API: fixed-window energy/peak features over decoded PCM. */
+  def pcm_energy_windows(pcm: Column, windowFrames: Int): Column =
+    ExpressionUtils.column(PcmEnergyWindows(ExpressionUtils.expression(pcm),
+      windowFrames))
+}

@@ -42,6 +42,19 @@ object Smoke {
     println(s"[smoke] sql image_meta=$gifSql")
     assert(gifSql.getString(0) == "gif" && gifSql.getLong(1) == 16L &&
       gifSql.getLong(2) == 32L, "image_meta not registered or GIF parse off")
+    // round-11 registrations: the perceptual hash over a decoded raster
+    // (tiny 1x1 P5 PGM "P5\n1 1\n255\n" + one sample byte) and the MP3
+    // frame walk over one hand-built MPEG-2 Layer III frame
+    val dhSql = spark.sql(
+      "SELECT raster_dhash(image_decode(unhex('50350A3120310A3235350A40'))) AS h")
+      .head.getLong(0)
+    println(s"[smoke] sql raster_dhash(1x1)=$dhSql")
+    assert(dhSql == 0L, "raster_dhash not registered (flat image must hash 0)")
+    val mp3Sql = spark.sql(
+      "SELECT mp3_meta(unhex(concat('FFF320C0', repeat('00', 48)))).sample_rate AS r")
+      .head.getLong(0)
+    println(s"[smoke] sql mp3_meta rate=$mp3Sql")
+    assert(mp3Sql == 22050L, "mp3_meta not registered or frame walk off")
     val df = SparkEntry.entry(spark)
     val n = df.count()
     println(s"[smoke] entry rows=$n cols=${df.columns.length}")

@@ -115,6 +115,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         Y4mFrameLuma(children.head, stride)
       }))
+    unary("ogg_meta", classOf[OggMetaExpr], OggMetaExpr(_))
+    unary("mp3_meta", classOf[Mp3MetaExpr], Mp3MetaExpr(_))
+    unary("exif_orientation", classOf[ExifOrientation], ExifOrientation(_))
+    unary("raster_dhash", classOf[RasterDHash], RasterDHash(_))
+    ext.injectFunction((
+      new FunctionIdentifier("raster_orient"),
+      new ExpressionInfo(classOf[RasterOrient].getName, "raster_orient"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"raster_orient expects (raster, orientation), got ${children.length} arguments")
+        RasterOrient(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("gif_frames"),
+      new ExpressionInfo(classOf[GifFrames].getName, "gif_frames"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"gif_frames expects (payload, stride), got ${children.length} arguments")
+        val stride = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"gif_frames stride must be an integer literal, got $other")
+        }
+        GifFrames(children.head, stride)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("pcm_energy_windows"),
+      new ExpressionInfo(classOf[PcmEnergyWindows].getName, "pcm_energy_windows"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"pcm_energy_windows expects (pcm, windowFrames), got ${children.length} arguments")
+        val wf = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"pcm_energy_windows windowFrames must be an integer literal, got $other")
+        }
+        PcmEnergyWindows(children.head, wf)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("avi_mjpeg_frames"),
       new ExpressionInfo(classOf[AviMjpegFrames].getName, "avi_mjpeg_frames"),

@@ -104,7 +104,7 @@ class AviSpec extends AnyFunSuite {
     assert(r1.getArray(5).toLongArray().toSeq == r0.getArray(5).toLongArray().toSeq)
   }
 
-  test("reject matrix: non-MJPG compression, torn movi, bad magic, mixed dims") {
+  test("reject matrix: non-MJPG compression, torn movi, bad magic, corrupt frame") {
     val ok = AviSynth.aviBytes(16, 16, 3, seed = 2L)
     def mut(f: Array[Byte] => Unit): Array[Byte] = { val c = ok.clone(); f(c); c }
     // strf biCompression 'MJPG' -> 'H264': find it (strf body + 16)

@@ -2309,6 +2309,60 @@ object QueriesScale {
         | CAST(b_sum AS BIGINT) AS b_sum
         |FROM a ORDER BY doc_id, frame_idx""".stripMargin))
 
+  // ---------------------------------- animated-WebP frame extraction
+  // The fourth frame-sampling container (Y4M, MJPEG/AVI, animated GIF,
+  // animated WebP): real VP8X/ANIM/ANMF chunk walks whose sampled
+  // frames are COMPLETE lossy VP8 key frames decoded through the same
+  // Vp8Codec as webp_lossy_pixels (arithmetic decoder, mode trees,
+  // IDCT/WHT, prediction per frame); skipped frames cost only their
+  // chunk length. The oracle replays the per-frame VP8 fixture
+  // formula: frame f at seed doc_id + 131·f, per-MB luma constants
+  // plus the chroma-variant shift triple. Per-row, zero shuffle until
+  // the explode.
+  private val webpAnimFramesQ = Q(
+    (s, dir) => {
+      val w = lit(16L) * (lit(1L) + col("doc_id") % 2)
+      val h = lit(16L)
+      val frames = lit(2L) + col("doc_id") % 4
+      val v = ScaleOps.webpAnimFrames(
+        ScaleOps.synthWebpAnim(w, h, frames, col("doc_id")), 2)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), v.as("v"))
+        .select(col("doc_id"),
+          col("v.width").cast(LongType).as("width"),
+          col("v.height").cast(LongType).as("height"),
+          col("v.n_frames").cast(LongType).as("n_frames"),
+          posexplode(arrays_zip(col("v.frame_idx").as("fi"),
+            col("v.r_sums").as("rs"), col("v.g_sums").as("gs"),
+            col("v.b_sums").as("bs"))).as(Seq("_p", "z")))
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          col("z.fi").cast(LongType).as("frame_idx"),
+          col("z.rs").as("r_sum"),
+          col("z.gs").as("g_sum"),
+          col("z.bs").as("b_sum"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 16 * (1 + doc_id % 2) AS w, 16 AS h,
+        |    2 + doc_id % 4 AS frames FROM documents),
+        | f AS (SELECT p.*, fr.range AS f, doc_id + 131 * fr.range AS sf
+        |       FROM p CROSS JOIN range(0, 6) fr
+        |       WHERE fr.range < frames AND fr.range % 2 = 0),
+        | shifts(v, sr, sg, sb) AS (VALUES (0, 0, 0, 0), (1, 7, -4, 0),
+        |   (2, 0, -2, 9), (3, -10, 4, 7)),
+        | mb AS (SELECT doc_id, w, h, frames, f, sf, m.range AS nm
+        |        FROM f CROSS JOIN range(0, 2) m WHERE m.range < w // 16),
+        | a AS (SELECT doc_id, w, h, frames, f, sf,
+        |        SUM(256 * (48 + (sf * 31 + nm * 17) % 160)) AS y_sum
+        |       FROM mb GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(frames AS BIGINT) AS n_frames, CAST(f AS BIGINT) AS frame_idx,
+        | CAST(y_sum + w * h * sr AS BIGINT) AS r_sum,
+        | CAST(y_sum + w * h * sg AS BIGINT) AS g_sum,
+        | CAST(y_sum + w * h * sb AS BIGINT) AS b_sum
+        |FROM a JOIN shifts ON shifts.v = CAST(sf % 4 AS INT)
+        |ORDER BY doc_id, frame_idx""".stripMargin))
+
   // ------------------------------------ content-defined chunking (CDC)
   // The rsync/LBFS chunking rule as a corpus operator: a boundary falls
   // wherever the rolling hash of the trailing 16 code points lands in
@@ -5087,6 +5141,7 @@ object QueriesScale {
     "video_frames" -> videoFramesQ,
     "video_mjpeg_frames" -> videoMjpegFramesQ,
     "gif_frames" -> gifFramesQ,
+    "webp_anim_frames" -> webpAnimFramesQ,
     "audio_meta" -> audioMetaQ,
     "ogg_meta" -> oggMetaQ,
     "mp3_meta" -> mp3MetaQ,

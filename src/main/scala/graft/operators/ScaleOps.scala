@@ -1490,6 +1490,21 @@ object ScaleOps {
   def synthOgg(ch: Column, rate: Column, frames: Column, mode: Int): Column =
     org.apache.spark.sql.graftnative.OggFunctions.synth_ogg(ch, rate, frames, mode)
 
+  /** Animated-WebP fixture of real lossy VP8 key frames
+    * (see [[org.apache.spark.sql.graftnative.WebpAnimSynth]]).
+    */
+  def synthWebpAnim(w: Column, h: Column, frames: Column, seed: Column): Column =
+    org.apache.spark.sql.graftnative.WebpAnimFunctions
+      .synth_webp_anim(w, h, frames, seed)
+
+  /** Stride-sampled animated-WebP frame statistics — nested VP8/VP8L
+    * chunks decoded through the still-image codecs
+    * (see [[org.apache.spark.sql.graftnative.WebpAnimFrames]]).
+    */
+  def webpAnimFrames(payload: Column, stride: Int): Column =
+    org.apache.spark.sql.graftnative.WebpAnimFunctions
+      .webp_anim_frames(payload, stride)
+
   /** Fixed-window energy/peak features over decoded PCM — the
     * featurize-after-decode step
     * (see [[org.apache.spark.sql.graftnative.PcmEnergyWindows]]).

@@ -1925,3 +1925,248 @@ private[graftnative] object Vp8TestBuilder {
     out.toByteArray
   }
 }
+
+/** Animated-WebP frame extraction with stride sampling — the fourth
+  * frame-sampling container next to Y4M, MJPEG/AVI, and animated GIF:
+  * walk the VP8X/ANIM/ANMF chunk sequence, and for every `stride`-th
+  * frame decode the nested VP8 or VP8L payload through the SAME codecs
+  * the still-image path uses (the nested chunk is re-wrapped in a bare
+  * RIFF container, so both coded forms ride the existing decoders);
+  * unsampled frames are skipped by their chunk length, never decoded.
+  * Emits the [[AviMjpegFrames]] schema: canvas dims, frame count, and
+  * per-sampled-frame RGB channel sums. Mixed frame dims are allowed
+  * (ANMF frames may be sub-canvas rects); torn chunks or any frame the
+  * codecs reject null the row.
+  */
+case class WebpAnimFrames(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    stride: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  require(stride > 0, s"stride must be positive, got $stride")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = AviMjpegFrames.schema
+
+  override def nullSafeEval(v: Any): Any =
+    WebpAnimFrames.compute(v.asInstanceOf[Array[Byte]], stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftnative.WebpAnimFrames.compute($c, $stride)")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
+}
+
+object WebpAnimFrames {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private val MaxFrames = 1 << 16
+  private val CodecWebp = org.apache.spark.unsafe.types.UTF8String.fromString("webp")
+
+  private def bad: InternalRow =
+    new GenericInternalRow(Array[Any](null, null, null, null, null, null, null, null))
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def leU32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  /** Re-wrap one nested frame chunk as a bare RIFF/WEBP file so the
+    * still-image decoders handle either coded form.
+    */
+  private def wrap(tag: String, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = {
+      var i = 0; while (i < s.length) { out.write(s.charAt(i)); i += 1 }
+    }
+    def le32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    ascii("RIFF"); le32(4 + 8 + body.length + (body.length & 1)); ascii("WEBP")
+    ascii(tag); le32(body.length)
+    out.write(body, 0, body.length)
+    if ((body.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  def compute(b: Array[Byte], stride: Int): InternalRow = {
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'E' || b(10) != 'B' ||
+        b(11) != 'P') return bad
+    var canvasW = -1
+    var canvasH = -1
+    val idxs = new java.util.ArrayList[Integer]()
+    val rs = new java.util.ArrayList[java.lang.Long]()
+    val gs = new java.util.ArrayList[java.lang.Long]()
+    val bs = new java.util.ArrayList[java.lang.Long]()
+    var n = 0
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = leU32(b, i + 4)
+      val body = i + 8
+      if (body + size > b.length) return bad
+      if (b(i) == 'V' && b(i + 1) == 'P' && b(i + 2) == '8' && b(i + 3) == 'X'
+          && size >= 10) {
+        canvasW = 1 + (u8(b, body + 4) | (u8(b, body + 5) << 8) |
+          (u8(b, body + 6) << 16))
+        canvasH = 1 + (u8(b, body + 7) | (u8(b, body + 8) << 8) |
+          (u8(b, body + 9) << 16))
+      } else if (b(i) == 'A' && b(i + 1) == 'N' && b(i + 2) == 'M' &&
+          b(i + 3) == 'F' && size >= 24) {
+        if (n >= MaxFrames) return bad
+        if (n % stride == 0) {
+          // find the nested VP8 / VP8L chunk past the 16-byte ANMF header
+          var j = body + 16
+          val end = (body + size).toInt
+          var decoded: InternalRow = null
+          while (j + 8 <= end && decoded == null) {
+            val sz2 = leU32(b, j + 4)
+            if (j + 8 + sz2 > end) return bad
+            val isL = b(j) == 'V' && b(j + 1) == 'P' && b(j + 2) == '8' &&
+              b(j + 3) == 'L'
+            val isV = b(j) == 'V' && b(j + 1) == 'P' && b(j + 2) == '8' &&
+              b(j + 3) == ' '
+            if (isL || isV) {
+              val fb = java.util.Arrays.copyOfRange(b, j + 8, (j + 8 + sz2).toInt)
+              decoded = ImageDecode.compute(wrap(if (isL) "VP8L" else "VP8 ", fb))
+              if (decoded.isNullAt(1)) return bad
+            } else {
+              val nxt = j.toLong + 8 + sz2 + (sz2 & 1)
+              if (nxt > Int.MaxValue) return bad
+              j = nxt.toInt
+            }
+          }
+          if (decoded == null) return bad
+          val px = decoded.getBinary(4)
+          var rr = 0L; var gg = 0L; var bb = 0L
+          var p = 0
+          while (p < px.length) {
+            rr += px(p) & 0xFF; gg += px(p + 1) & 0xFF; bb += px(p + 2) & 0xFF
+            p += 3
+          }
+          idxs.add(n); rs.add(rr); gs.add(gg); bs.add(bb)
+        }
+        n += 1
+      }
+      val next = i.toLong + 8 + size + (size & 1)
+      if (next > Int.MaxValue) return bad
+      i = next.toInt
+    }
+    if (n == 0 || idxs.isEmpty || canvasW < 0) return bad
+    val m = idxs.size()
+    val ia = new Array[Int](m)
+    val ra = new Array[Long](m)
+    val ga = new Array[Long](m)
+    val ba = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      ia(k) = idxs.get(k); ra(k) = rs.get(k); ga(k) = gs.get(k); ba(k) = bs.get(k)
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](canvasW, canvasH, CodecWebp, n,
+      new GenericArrayData(ia), new GenericArrayData(ra),
+      new GenericArrayData(ga), new GenericArrayData(ba)))
+  }
+}
+
+/** Fixture: an animated WebP whose frames are REAL lossy VP8 key frames
+  * from [[Vp8Synth]] (frame f at seed `seed + 131·f`, the 16×16/Y2
+  * shape), each wrapped in a proper ANMF header under VP8X/ANIM.
+  */
+object WebpAnimSynth {
+  def webpAnimBytes(wL: Long, hL: Long, framesL: Long, seed: Long): Array[Byte] = {
+    if (framesL < 1 || framesL > 64) return null
+    val inner = new Array[Array[Byte]](framesL.toInt)
+    var f = 0
+    while (f < framesL) {
+      val full = Vp8Synth.vp8Bytes(wL, hL, seed + 131L * f, mode = 1)
+      if (full == null) return null
+      val len = (full(16) & 0xFF) | ((full(17) & 0xFF) << 8) |
+        ((full(18) & 0xFF) << 16) | ((full(19) & 0xFF) << 24)
+      inner(f) = java.util.Arrays.copyOfRange(full, 20, 20 + len)
+      f += 1
+    }
+    val w = wL.toInt; val h = hL.toInt
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = {
+      var i = 0; while (i < s.length) { out.write(s.charAt(i)); i += 1 }
+    }
+    def le32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    def u24(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF); out.write((v >> 16) & 0xFF)
+    }
+    var total = 4 + (8 + 10) + (8 + 6)
+    f = 0
+    while (f < framesL) {
+      total += 8 + 16 + 8 + inner(f).length + (inner(f).length & 1)
+      f += 1
+    }
+    ascii("RIFF"); le32(total); ascii("WEBP")
+    ascii("VP8X"); le32(10)
+    out.write(0x02); out.write(0); out.write(0); out.write(0) // ANIM flag
+    u24(w - 1); u24(h - 1)
+    ascii("ANIM"); le32(6)
+    le32(0); out.write(0); out.write(0) // bg color, loop count
+    f = 0
+    while (f < framesL) {
+      val body = 16 + 8 + inner(f).length + (inner(f).length & 1)
+      ascii("ANMF"); le32(body)
+      u24(0); u24(0)       // frame x/2, y/2
+      u24(w - 1); u24(h - 1)
+      u24(40); out.write(0) // duration, flags
+      ascii("VP8 "); le32(inner(f).length)
+      out.write(inner(f), 0, inner(f).length)
+      if ((inner(f).length & 1) == 1) out.write(0)
+      f += 1
+    }
+    out.toByteArray
+  }
+}
+
+/** Expression wrapping [[WebpAnimSynth.webpAnimBytes]]. */
+case class SynthWebpAnim(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(LongType, LongType, LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(w: Any, h: Any, fr: Any, seed: Any): Any =
+    WebpAnimSynth.webpAnimBytes(w.asInstanceOf[Long], h.asInstanceOf[Long],
+      fr.asInstanceOf[Long], seed.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, h, fr, s) => s"""
+      ${ev.value} = org.apache.spark.sql.graftnative.WebpAnimSynth.webpAnimBytes($w, $h, $fr, $s);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
+object WebpAnimFunctions {
+  /** Column API: sampled frame statistics from an animated WebP. */
+  def webp_anim_frames(payload: Column, stride: Int): Column =
+    ExpressionUtils.column(WebpAnimFrames(ExpressionUtils.expression(payload), stride))
+
+  /** Column API: animated-WebP fixture of lossy VP8 key frames. */
+  def synth_webp_anim(w: Column, h: Column, frames: Column, seed: Column): Column =
+    ExpressionUtils.column(SynthWebpAnim(ExpressionUtils.expression(w),
+      ExpressionUtils.expression(h), ExpressionUtils.expression(frames),
+      ExpressionUtils.expression(seed)))
+}

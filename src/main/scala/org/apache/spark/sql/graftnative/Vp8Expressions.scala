@@ -625,6 +625,11 @@ object Vp8Codec {
     val w = wRaw & 0x3FFF
     val h = hRaw & 0x3FFF // upper bits: upscale hint (display-side, ignored)
     if (w == 0 || h == 0 || 3L * w * h > MaxPixelBytes) return null
+    // The bordered reconstruction planes are Int (4 B) — ~4 B/px luma
+    // + ~2 B/px chroma on MB-padded dims. Gate on THAT footprint so a
+    // single row never transiently allocates ~2x the MaxPixelBytes
+    // intent across concurrent task threads.
+    if (6L * ((w + 15) & ~15) * ((h + 15) & ~15) > MaxPixelBytes) return null
     val part0 = off + 10
     if (part0 + firstPartSize > end) return null
     val bd = new BoolDec(b, part0, part0 + firstPartSize)

@@ -43,6 +43,50 @@ class GifFramesSpec extends AnyFunSuite {
     assert(r.getInt(3) == 1)
   }
 
+  test("disposal-using GIF: sampled frames are the RAW per-frame rasters") {
+    // Pins the compositing contract (stated in the GifFrames scaladoc):
+    // inter-frame disposal/transparency compositing is a renderer
+    // concern; each sampled frame's sums cover ONLY its own rect's raw
+    // palette-mapped pixels. Frame 1: full 4x4 canvas of index 1 with
+    // disposal "do not dispose". Frame 2: a 2x2 sub-rect at (1,1), all
+    // index 2, disposal "restore to background" + transparency flag.
+    // A compositing decoder would report frame 2 over the full canvas
+    // (12 px of palette[1] + 4 px of palette[2]); the raw contract is
+    // 4 px of palette[2] only.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(4); out.write(0); out.write(4); out.write(0) // 4x4 canvas
+    out.write(0xF7); out.write(0); out.write(0) // 256-entry GCT
+    for (c <- 0 until 256) {
+      out.write(c); out.write((2 * c) % 256); out.write((3 * c) % 256)
+    }
+    def frame(x: Int, y: Int, w: Int, h: Int, fill: Int, disposal: Int,
+        transparent: Boolean): Unit = {
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write((disposal << 2) | (if (transparent) 1 else 0))
+      out.write(4); out.write(0) // delay
+      out.write(0) // transparent index 0 (no pixel uses it here)
+      out.write(0)
+      out.write(0x2C)
+      out.write(x); out.write(0); out.write(y); out.write(0)
+      out.write(w); out.write(0); out.write(h); out.write(0)
+      out.write(0)
+      out.write(8)
+      val lzw = RasterSynth.lzwEncode(Array.fill[Byte](w * h)(fill.toByte), 8)
+      out.write(lzw.length)
+      out.write(lzw, 0, lzw.length)
+      out.write(0)
+    }
+    frame(0, 0, 4, 4, fill = 1, disposal = 1, transparent = false)
+    frame(1, 1, 2, 2, fill = 2, disposal = 2, transparent = true)
+    out.write(0x3B)
+    val r = GifFrames.compute(out.toByteArray, 1)
+    assert(!r.isNullAt(0) && r.getInt(3) == 2)
+    assert(r.getArray(5).toLongArray().toSeq == Seq(16L, 8L), "r: raw, not composited")
+    assert(r.getArray(6).toLongArray().toSeq == Seq(32L, 16L), "g")
+    assert(r.getArray(7).toLongArray().toSeq == Seq(48L, 24L), "b")
+  }
+
   test("reject matrix: torn sub-blocks, missing trailer, bad signature") {
     val ok = GifAnimSynth.gifAnimBytes(6, 8, 3, seed = 1L)
     assert(GifFrames.compute(ok.take(ok.length - 1), 1).isNullAt(0), "no trailer")

@@ -485,6 +485,28 @@ class Vp8GoldenSpec extends AnyFunSuite {
     assert(rejected > 0, "some mutations should reject")
   }
 
+  test("RFC 6386 probability tables: pinned length/sum/FNV-1a digests") {
+    // The three large spec tables are exercised only through
+    // encoder/decoder roundtrips against the SAME arrays, so an
+    // accidental edit (or a bad merge) would pass every roundtrip
+    // gate. These digests pin the transcription that was spot-checked
+    // row-by-row against RFC 6386 §13.4/§11.5/§13.5; any future drift
+    // of a single entry flips the FNV hash.
+    def fnv(a: Array[Int]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < a.length) { h = (h ^ (a(i) & 0xFF)) * 0x100000001b3L; i += 1 }
+      h
+    }
+    import org.apache.spark.sql.graftnative.Vp8Tables._
+    assert(CoeffUpdateProbs.length == 1056 && CoeffUpdateProbs.sum == 268469 &&
+      fnv(CoeffUpdateProbs) == 2953479712176751804L)
+    assert(KfBModeProbs.length == 900 && KfBModeProbs.sum == 77557 &&
+      fnv(KfBModeProbs) == -356240400359699780L)
+    assert(DefaultCoeffProbs.length == 1056 && DefaultCoeffProbs.sum == 174918 &&
+      fnv(DefaultCoeffProbs) == 3428204052837526043L)
+  }
+
   test("simple loop filter golden: only p0/q0 move") {
     // same edge; simple filter: f = 16 -> p0 += (16+3)>>3 = 2,
     // q0 -= (16+4)>>3 = 2; all other columns untouched

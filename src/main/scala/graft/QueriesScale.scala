@@ -1873,6 +1873,48 @@ object QueriesScale {
         | CAST(b_sum AS BIGINT) AS b_sum
         |FROM s ORDER BY doc_id""".stripMargin))
 
+  // --------------------------------------------- EXIF metadata extraction
+  // The APP1 fields a multimodal corpus JOIN actually uses beyond
+  // orientation: camera make/model (IFD0 ASCII tags, inline-vs-offset
+  // slot rule), DateTimeOriginal (the Exif sub-IFD behind the 0x8769
+  // pointer), and GPS lat/lon (the GPS IFD behind 0x8825 — RATIONAL[3]
+  // deg/min/sec with N/S/E/W refs folded to signed decimal degrees in
+  // the pinned order `deg + min/60 + sec/3600`, so DuckDB reproduces
+  // the double bit-for-bit). The fixture writes the same logical
+  // content as `II` for even doc_ids and `MM` for odd ones — an
+  // endianness bug anywhere in the IFD chain flips the hash. Per-row,
+  // zero shuffle.
+  private val exifMetaQ = Q(
+    (s, dir) => {
+      val payload = ScaleOps.synthJpegExifMeta(lit(16L), lit(16L), col("doc_id"), mode = 2)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ScaleOps.exifMeta(payload).as("m"))
+        .select(col("doc_id"),
+          col("m.make").as("make"),
+          col("m.model").as("model"),
+          col("m.datetime_original").as("datetime_original"),
+          col("m.orientation").cast(LongType).as("orientation"),
+          col("m.gps_lat").as("gps_lat"),
+          col("m.gps_lon").as("gps_lon"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        | 'CAM' || (doc_id % 5) AS make,
+        | 'MODEL' || (doc_id % 7) AS model,
+        | printf('%04d:%02d:%02d %02d:%02d:%02d',
+        |   2000 + doc_id % 26, 1 + doc_id % 12, 1 + doc_id % 28,
+        |   doc_id % 24, (doc_id * 7) % 60, (doc_id * 13) % 60)
+        |   AS datetime_original,
+        | CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+        | (CASE WHEN doc_id % 2 = 1 THEN -1.0 ELSE 1.0 END) *
+        |   ((doc_id % 90) + ((doc_id * 3) % 60) / 60.0
+        |    + (((doc_id * 37) % 6000) / 100.0) / 3600.0) AS gps_lat,
+        | (CASE WHEN doc_id % 3 = 0 THEN -1.0 ELSE 1.0 END) *
+        |   ((doc_id % 180) + ((doc_id * 5) % 60) / 60.0
+        |    + (((doc_id * 41) % 6000) / 100.0) / 3600.0) AS gps_lon
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
   // --------------------------------------------- baseline TIFF decode
   // The archival/scan raster format every document corpus yields,
   // decoded for real: the IFD entry walk (inline vs offset values),
@@ -1936,6 +1978,83 @@ object QueriesScale {
         |SELECT doc_id, 'tiff' AS format,
         | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         | CAST(CASE WHEN m = 2 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+        | CAST(s0 AS BIGINT) AS y_sum, CAST(s1 AS BIGINT) AS g_sum,
+        | CAST(s2 AS BIGINT) AS b_sum
+        |FROM s ORDER BY doc_id""".stripMargin))
+
+  // --------------------------------------------- extended TIFF decode
+  // The scanned-document slice of a web crawl is LZW-dominated; this
+  // key drives the round-12 decoder extensions end to end: REAL TIFF
+  // LZW (MSB-first, the spec's early-change width ladder, Clear
+  // handling) in gray (mode 4), LZW + horizontal-predictor RGB — the
+  // classic scanner output — (mode 5), 8-bit palette through the
+  // 16-bit ColorMap (mode 6), and 16-bit grayscale in BOTH byte orders
+  // (mode 7 = MM plain, mode 8 = II LZW'd, decoded to the high byte
+  // like the 16-bit PNG path). The oracle replays the generative
+  // formulas only — LZW, predictor undifferencing, and ColorMap
+  // resolution all sit on the decode-side critical path. Per-row, zero
+  // shuffle.
+  private val tiffExtPixelsQ = Q(
+    (s, dir) => {
+      val w = lit(3L) + col("doc_id") % 13
+      val h = lit(3L) + col("doc_id") % 7
+      val m = col("doc_id") % 5
+      val payload = when(m === 0, ScaleOps.synthTiff(w, h, col("doc_id"), 4))
+        .when(m === 1, ScaleOps.synthTiff(w, h, col("doc_id"), 5))
+        .when(m === 2, ScaleOps.synthTiff(w, h, col("doc_id"), 6))
+        .when(m === 3, ScaleOps.synthTiff(w, h, col("doc_id"), 7))
+        .otherwise(ScaleOps.synthTiff(w, h, col("doc_id"), 8))
+      val raster = ScaleOps.imageDecode(payload)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raster.as("r"))
+        .select(col("doc_id"),
+          col("r.format").as("format"),
+          col("r.width").cast(LongType).as("width"),
+          col("r.height").cast(LongType).as("height"),
+          col("r.channels").cast(LongType).as("channels"),
+          ScaleOps.rasterChannelSums(
+            ScaleOps.imageResizeNN(col("r"), 4, 4)).as("s"))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("channels"),
+          col("s").getItem(0).as("y_sum"),
+          when(col("channels") === 1, lit(null).cast(LongType))
+            .otherwise(col("s").getItem(1)).as("g_sum"),
+          when(col("channels") === 1, lit(null).cast(LongType))
+            .otherwise(col("s").getItem(2)).as("b_sum"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+        |   CAST(doc_id % 5 AS INT) AS m FROM documents),
+        | g AS (SELECT d.*, gx.range AS x, gy.range AS y
+        |        FROM d CROSS JOIN range(0, 4) gx CROSS JOIN range(0, 4) gy),
+        | px AS (SELECT doc_id, w, h, m, (x * w // 4) AS sx, (y * h // 4) AS sy,
+        |         ((y * h // 4) * w + (x * w // 4)) AS p FROM g),
+        | v AS (SELECT doc_id, w, h, m,
+        |        CASE
+        |         WHEN m = 0 THEN -- LZW gray: the shared gray formula
+        |          CASE WHEN sy % 2 = 0 THEN (doc_id * 31 + sy * 13) % 256
+        |               ELSE (doc_id * 31 + p * 7) % 256 END
+        |         WHEN m = 1 THEN (doc_id * 31 + (3 * p + 0) * 7) % 256
+        |         WHEN m = 2 THEN -- palette: ColorMap red high byte
+        |          (((doc_id * 31 + p * 7) % 256) * 997 + doc_id * 13) % 65536 // 256
+        |         ELSE ((doc_id * 131 + p * 251) % 65536) // 256 END AS c0,
+        |        CASE
+        |         WHEN m = 1 THEN (doc_id * 31 + (3 * p + 1) * 7) % 256
+        |         WHEN m = 2 THEN
+        |          (((doc_id * 31 + p * 7) % 256) * 2039 + doc_id * 17) % 65536 // 256
+        |         ELSE NULL END AS c1,
+        |        CASE
+        |         WHEN m = 1 THEN (doc_id * 31 + (3 * p + 2) * 7) % 256
+        |         WHEN m = 2 THEN
+        |          (((doc_id * 31 + p * 7) % 256) * 3571 + doc_id * 19) % 65536 // 256
+        |         ELSE NULL END AS c2
+        |       FROM px),
+        | s AS (SELECT doc_id, w, h, m, SUM(c0) AS s0, SUM(c1) AS s1,
+        |        SUM(c2) AS s2 FROM v GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, 'tiff' AS format,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(CASE WHEN m IN (1, 2) THEN 3 ELSE 1 END AS BIGINT) AS channels,
         | CAST(s0 AS BIGINT) AS y_sum, CAST(s1 AS BIGINT) AS g_sum,
         | CAST(s2 AS BIGINT) AS b_sum
         |FROM s ORDER BY doc_id""".stripMargin))
@@ -5134,7 +5253,9 @@ object QueriesScale {
     "webp_lossy_pixels" -> webpLossyPixelsQ,
     "png_ext_pixels" -> pngExtPixelsQ,
     "tiff_pixels" -> tiffPixelsQ,
+    "tiff_ext_pixels" -> tiffExtPixelsQ,
     "exif_orient_pixels" -> exifOrientPixelsQ,
+    "exif_meta" -> exifMetaQ,
     "audio_pcm" -> audioPcmQ,
     "flac_pcm" -> flacPcmQ,
     "audio_energy_windows" -> audioEnergyWindowsQ,

@@ -1526,6 +1526,20 @@ object ScaleOps {
   def rasterOrient(raster: Column, orientation: Column): Column =
     org.apache.spark.sql.graftnative.ExifFunctions.raster_orient(raster, orientation)
 
+  /** EXIF metadata struct (make/model/datetime_original/orientation/
+    * gps_lat/gps_lon) from a JPEG's APP1 segment
+    * (see [[org.apache.spark.sql.graftnative.ExifMeta]]).
+    */
+  def exifMeta(payload: Column): Column =
+    org.apache.spark.sql.graftnative.ExifFunctions.exif_meta(payload)
+
+  /** Baseline JPEG fixture with a FULL APP1 Exif block (IFD0 + Exif
+    * sub-IFD + GPS IFD, both byte orders by seed parity)
+    * (see [[org.apache.spark.sql.graftnative.ExifMetaSynth]]).
+    */
+  def synthJpegExifMeta(w: Column, h: Column, seed: Column, mode: Int): Column =
+    org.apache.spark.sql.graftnative.ExifFunctions.synth_jpeg_exif_meta(w, h, seed, mode)
+
   /** Baseline JPEG fixture wrapped with an APP1 Exif segment carrying
     * orientation `1 + (seed mod 8)`
     * (see [[org.apache.spark.sql.graftnative.ExifSynth]]).

@@ -7,19 +7,112 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 
-/** Baseline TIFF pixel decode (TIFF 6.0, the archival/scan format every
+/** TIFF pixel decode (TIFF 6.0, the archival/scan format every
   * document corpus yields): BOTH byte orders (`II`/`MM`), the IFD entry
   * walk with inline-vs-offset value resolution, multi-strip assembly
-  * via StripOffsets/StripByteCounts/RowsPerStrip, and the two baseline
-  * compressions — none (1) and PackBits (32773, the run-length coding
-  * TIFF inherited from MacPaint). 8-bit grayscale (PhotometricInterp 1)
-  * and 8-bit chunky RGB are decoded; anything else — palette, 16-bit,
-  * LZW, planar, tiled — rejects to `'unknown'` honestly, and malformed
-  * IFDs / torn strips / PackBits overruns reject rather than guess.
+  * via StripOffsets/StripByteCounts/RowsPerStrip, and the three
+  * compressions scanned-document corpora actually carry — none (1),
+  * PackBits (32773), and LZW (5, TIFF's MSB-first variant WITH the
+  * spec's "early change" off-by-one, §13) — plus horizontal-predictor
+  * undifferencing (tag 317 = 2, the usual companion of LZW). Sample
+  * layouts: 8-bit grayscale (PhotometricInterp 1), 8-bit chunky RGB,
+  * 8-bit palette (PhotometricInterp 3 via the 16-bit ColorMap, each
+  * channel emitted as `value >> 8`), and 16-bit grayscale (high byte
+  * emitted, honoring the file byte order — the same contract as the
+  * 16-bit PNG path). Anything else — planar, tiled, 4-bit, float —
+  * rejects to `'unknown'` honestly, and malformed IFDs / torn strips /
+  * codec overruns reject rather than guess.
   */
 object TiffCodec {
 
   private val MaxPixelBytes = 1 << 26
+
+  /** TIFF §13 LZW: MSB-first bit packing, 9→12-bit codes, Clear=256,
+    * EOI=257, and the spec'd EARLY CHANGE (the width bumps when the
+    * next table slot is `2^w - 1`, one code sooner than plain LZW).
+    * Returns exactly `need` bytes or null.
+    */
+  private[graftnative] def lzwDecode(b: Array[Byte], from: Int, to: Int,
+      need: Int): Array[Byte] = {
+    val out = new Array[Byte](need)
+    var got = 0
+    // table: per-code prefix link / final byte / expanded length
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val length = new Array[Int](4096)
+    var i = 0
+    while (i < 256) { prefix(i) = -1; suffix(i) = i.toByte; length(i) = 1; i += 1 }
+    var nextCode = 258
+    var width = 9
+    var acc = 0L
+    var nAcc = 0
+    var pos = from
+    var old = -1
+    def nextSym(): Int = {
+      while (nAcc < width && pos < to) {
+        acc = (acc << 8) | (b(pos) & 0xFF)
+        nAcc += 8
+        pos += 1
+      }
+      if (nAcc < width) return -1
+      nAcc -= width
+      ((acc >>> nAcc) & ((1 << width) - 1)).toInt
+    }
+    def writeString(code: Int): Boolean = {
+      val len = length(code)
+      if (got + len > need) return false
+      var at = got + len - 1
+      var c = code
+      while (c >= 0) { out(at) = suffix(c); at -= 1; c = prefix(c) }
+      got += len
+      true
+    }
+    var done = false
+    while (!done) {
+      val code = nextSym()
+      if (code < 0) return null
+      if (code == 257) { // EOI
+        done = true
+      } else if (code == 256) { // Clear
+        nextCode = 258
+        width = 9
+        old = -1
+      } else if (old < 0) {
+        if (code > 255) return null
+        if (!writeString(code)) return null
+        old = code
+      } else {
+        if (code > nextCode || nextCode > 4095) return null
+        val newCode = nextCode
+        if (code == nextCode) {
+          // the KwKwK case: string = old + firstChar(old)
+          var c = old
+          while (prefix(c) >= 0) c = prefix(c)
+          prefix(newCode) = old; suffix(newCode) = suffix(c)
+          length(newCode) = length(old) + 1
+          if (!writeString(newCode)) return null
+        } else {
+          if (!writeString(code)) return null
+          var c = code
+          while (prefix(c) >= 0) c = prefix(c)
+          prefix(newCode) = old; suffix(newCode) = suffix(c)
+          length(newCode) = length(old) + 1
+        }
+        nextCode += 1
+        if (nextCode == (1 << width) - 1 && width < 12) width += 1 // early change
+        old = code
+      }
+      if (got == need && !done) {
+        // spec requires EOI next (possibly after padding); accept
+        // either EOI or exact exhaustion
+        val tail = nextSym()
+        if (tail != 257 && tail != -1) return null
+        done = true
+      }
+    }
+    if (got != need) return null
+    out
+  }
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
 
@@ -92,17 +185,31 @@ object TiffCodec {
     val h = one(257)
     if (w < 1 || h < 1 || w > 65535 || h > 65535) return unknown
     val compression = one(259, 1)
-    if (compression != 1 && compression != 32773) return unknown
+    if (compression != 1 && compression != 32773 && compression != 5)
+      return unknown
     val photometric = one(262)
     val spp = one(277, 1).toInt
-    val ch =
-      if (photometric == 1 && spp == 1) 1
-      else if (photometric == 2 && spp == 3) 3
-      else return unknown
-    if (one(284, 1) != 1) return unknown // chunky only
     val bits = values(entries.get(258), 4)
-    if (bits == null || bits.length < ch || bits.take(ch).exists(_ != 8))
-      return unknown
+    if (bits == null || bits.length < spp) return unknown
+    val depth = bits(0)
+    if (bits.take(spp).exists(_ != depth)) return unknown
+    // supported sample layouts (chunky only)
+    val palette = photometric == 3
+    val sppOk =
+      (photometric == 1 && spp == 1 && (depth == 8 || depth == 16)) ||
+        (photometric == 2 && spp == 3 && depth == 8) ||
+        (palette && spp == 1 && depth == 8)
+    if (!sppOk) return unknown
+    if (one(284, 1) != 1) return unknown // chunky only
+    val predictor = one(317, 1)
+    if (predictor != 1 && predictor != 2) return unknown
+    if (predictor == 2 && depth != 8) return unknown
+    var cmap: Array[Long] = null
+    if (palette) {
+      cmap = values(entries.get(320), 768)
+      if (cmap == null || cmap.length != 768) return unknown
+    }
+    val ch = if (photometric == 2 || palette) 3 else 1
     if (ch.toLong * w * h > MaxPixelBytes) return unknown
     val rowsPerStrip = one(278, h)
     if (rowsPerStrip < 1) return unknown
@@ -112,19 +219,25 @@ object TiffCodec {
     if (offs == null || counts == null || offs.length != nStrips ||
         counts.length != nStrips) return unknown
 
-    val out = new Array[Byte]((ch * w * h).toInt)
+    // ---- strips -> raw sample bytes (pre-predictor, pre-mapping)
+    val bytesPerSample = depth.toInt / 8
+    val rowRaw = (w * spp * bytesPerSample).toInt
+    val raw = new Array[Byte](rowRaw * h.toInt)
     var strip = 0
     var dst = 0
     while (strip < nStrips) {
       val rows = math.min(rowsPerStrip, h - strip.toLong * rowsPerStrip)
-      val need = (rows * w * ch).toInt
+      val need = (rows * rowRaw).toInt
       val so = offs(strip)
       val sc = counts(strip)
       if (so < 0 || sc < 0 || so + sc > b.length) return unknown
       if (compression == 1) {
         if (sc != need) return unknown
-        System.arraycopy(b, so.toInt, out, dst, need)
-        dst += need
+        System.arraycopy(b, so.toInt, raw, dst, need)
+      } else if (compression == 5) {
+        val dec = lzwDecode(b, so.toInt, (so + sc).toInt, need)
+        if (dec == null) return unknown
+        System.arraycopy(dec, 0, raw, dst, need)
       } else {
         // PackBits (TIFF 6.0 §9): n in 0..127 -> copy n+1 literals;
         // n in -127..-1 -> repeat next byte 1-n times; -128 is a noop
@@ -138,33 +251,76 @@ object TiffCodec {
           if (n >= 0) {
             val len = n + 1
             if (src + len > end || got + len > need) return unknown
-            System.arraycopy(b, src, out, dst + got, len)
+            System.arraycopy(b, src, raw, dst + got, len)
             src += len
             got += len
           } else if (n != -128) {
             val len = 1 - n
             if (src >= end || got + len > need) return unknown
-            java.util.Arrays.fill(out, dst + got, dst + got + len, b(src))
+            java.util.Arrays.fill(raw, dst + got, dst + got + len, b(src))
             src += 1
             got += len
           }
         }
-        dst += need
       }
+      dst += need
       strip += 1
+    }
+
+    // ---- horizontal predictor (tag 317 = 2): per-row, per-channel
+    // cumulative sums restore the original samples (TIFF 6.0 §14)
+    if (predictor == 2) {
+      var y = 0
+      while (y < h) {
+        val base = y * rowRaw
+        var x = spp
+        while (x < rowRaw) {
+          raw(base + x) = (raw(base + x) + raw(base + x - spp)).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    // ---- sample mapping -> 8-bit output raster
+    val out = new Array[Byte]((ch * w * h).toInt)
+    if (depth == 16) {
+      // high byte, honoring the file byte order
+      val hi = if (le) 1 else 0
+      var p = 0
+      val n = (w * h).toInt
+      while (p < n) { out(p) = raw(2 * p + hi); p += 1 }
+    } else if (palette) {
+      // ColorMap entries are 16-bit; emit each channel's high byte
+      var p = 0
+      val n = (w * h).toInt
+      while (p < n) {
+        val idx = raw(p) & 0xFF
+        out(3 * p) = (cmap(idx) >> 8).toByte
+        out(3 * p + 1) = (cmap(256 + idx) >> 8).toByte
+        out(3 * p + 2) = (cmap(512 + idx) >> 8).toByte
+        p += 1
+      }
+    } else {
+      System.arraycopy(raw, 0, out, 0, out.length)
     }
     ImageDecode.rasterRow(ImageDecode.FmtTiff, w.toInt, h.toInt, ch, out)
   }
 }
 
-/** Fixture ENCODER for baseline TIFF: complete valid files in BOTH byte
-  * orders, multi-strip (RowsPerStrip 4), uncompressed or really
-  * PackBits-coded (a real run/literal packer, not pre-chunked output).
-  * `mode`: 0 = II uncompressed RGB, 1 = MM uncompressed RGB (the
-  * same pixels, so endianness bugs flip the hash), 2 = II PackBits
-  * GRAYSCALE with alternating constant rows (runs) and varying rows
-  * (literals), 3 = MM PackBits RGB. Pixels follow the shared generative
-  * formulas, which is what the oracle replays.
+/** Fixture ENCODER for TIFF: complete valid files in BOTH byte orders,
+  * multi-strip (RowsPerStrip 4), uncompressed, really PackBits-coded,
+  * or really LZW-coded (a real MSB-first dictionary coder with the
+  * spec's early change, not canned bytes). `mode`:
+  * 0 = II uncompressed RGB, 1 = MM uncompressed RGB (same pixels, so
+  * endianness bugs flip the hash), 2 = II PackBits GRAYSCALE with
+  * alternating constant rows (runs) and varying rows (literals),
+  * 3 = MM PackBits RGB, 4 = II LZW grayscale, 5 = MM LZW RGB with the
+  * horizontal predictor (tag 317 = 2, the usual LZW companion),
+  * 6 = II 8-bit PALETTE (formula-generated 16-bit ColorMap),
+  * 7 = MM 16-bit grayscale, 8 = II LZW 16-bit grayscale (byte order ×
+  * sample width × compression all crossed). Pixels follow the shared
+  * generative formulas, which is what the oracle replays.
   */
 object TiffSynth {
 
@@ -175,12 +331,87 @@ object TiffSynth {
     */
   def rgbAt(seed: Long, p: Long, c: Int): Int = floorMod(seed * 31 + (3 * p + c) * 7, 256)
 
-  /** Gray formula (mode 2): even rows constant `(seed·31 + y·13) mod
+  /** Gray formula (modes 2/4): even rows constant `(seed·31 + y·13) mod
     * 256` (PackBits runs), odd rows vary per pixel (literals).
     */
   def grayAt(seed: Long, w: Long, x: Long, y: Long): Int =
     if (y % 2 == 0) floorMod(seed * 31 + y * 13, 256)
     else floorMod(seed * 31 + (y * w + x) * 7, 256)
+
+  /** Palette-index formula (mode 6): `(seed·31 + p·7) mod 256`. */
+  def palIdxAt(seed: Long, p: Long): Int = floorMod(seed * 31 + p * 7, 256)
+
+  /** 16-bit ColorMap formulas (mode 6), one per channel; the decoder
+    * emits the high byte (`value >> 8`).
+    */
+  def cmapAt(chan: Int, idx: Int, seed: Long): Int = chan match {
+    case 0 => floorMod(idx * 997L + seed * 13, 65536)
+    case 1 => floorMod(idx * 2039L + seed * 17, 65536)
+    case _ => floorMod(idx * 3571L + seed * 19, 65536)
+  }
+
+  /** 16-bit gray sample formula (modes 7/8). */
+  def gray16At(seed: Long, p: Long): Int = floorMod(seed * 131 + p * 251, 65536)
+
+  /** TIFF §13 LZW encoder: MSB-first packing, Clear up front, EOI at
+    * the end, dictionary growth with the spec's EARLY CHANGE (width
+    * bumps when the next free slot is `2^w - 1`), and a Clear+reset
+    * when the table fills (real-encoder behavior, so multi-KB strips
+    * exercise the decoder's width ladder and Clear handling).
+    */
+  private[graftnative] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nAcc = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      acc = (acc << width) | code
+      nAcc += width
+      while (nAcc >= 8) {
+        nAcc -= 8
+        out.write(((acc >>> nAcc) & 0xFF).toInt)
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var nextCode = 258
+    emit(256) // Clear
+    if (data.isEmpty) {
+      emit(257)
+    } else {
+      var omega = data(0) & 0xFF
+      var i = 1
+      while (i < data.length) {
+        val c = data(i) & 0xFF
+        val key = Integer.valueOf((omega << 8) | c)
+        val hit = dict.get(key)
+        if (hit != null) {
+          omega = hit.intValue()
+        } else {
+          emit(omega)
+          dict.put(key, Integer.valueOf(nextCode))
+          nextCode += 1
+          // The encoder switches one slot LATER than the decoder
+          // (2^w vs the decoder's 2^w - 1): the decoder's table add
+          // lags the encoder's by exactly one code, so these two
+          // triggers land the width change on the SAME code index —
+          // the spec's "early change" pairing (TIFF 6.0 §13).
+          if (nextCode == (1 << width) && width < 12) width += 1
+          if (nextCode > 4094) { // keep slot 4095 unused, spec-style
+            emit(256)
+            dict.clear()
+            nextCode = 258
+            width = 9
+          }
+          omega = c
+        }
+        i += 1
+      }
+      emit(omega)
+      emit(257) // EOI
+    }
+    if (nAcc > 0) out.write(((acc << (8 - nAcc)) & 0xFF).toInt)
+    out.toByteArray
+  }
 
   /** Real PackBits packer: maximal runs (≥3 repeats) as repeat packets,
     * everything else as literal packets of up to 128 bytes.
@@ -216,21 +447,36 @@ object TiffSynth {
   def tiffBytes(wL: Long, hL: Long, seed: Long, mode: Int): Array[Byte] = {
     if (wL < 1 || hL < 1 || wL > 1024 || hL > 1024) return null
     val w = wL.toInt; val h = hL.toInt
-    val le = mode == 0 || mode == 2
-    val gray = mode == 2
+    val le = mode == 0 || mode == 2 || mode == 4 || mode == 6 || mode == 8
+    val gray = mode == 2 || mode == 4
+    val rgb = mode == 0 || mode == 1 || mode == 3 || mode == 5
+    val pal = mode == 6
+    val g16 = mode == 7 || mode == 8
     val packed = mode == 2 || mode == 3
-    val ch = if (gray) 1 else 3
+    val lzw = mode == 4 || mode == 5 || mode == 8
+    val pred2 = mode == 5
+    val spp = if (rgb) 3 else 1
+    val bytesPerSample = if (g16) 2 else 1
+    val rowRaw = w * spp * bytesPerSample
     val rowsPerStrip = 4
     val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
-    // raw pixel bytes
-    val raw = new Array[Byte](w * h * ch)
+    // raw sample bytes (file byte order for the 16-bit samples)
+    val raw = new Array[Byte](rowRaw * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        if (gray) raw(y * w + x) = grayAt(seed, w, x, y).toByte
-        else {
-          val p = y.toLong * w + x
+        val p = y.toLong * w + x
+        if (g16) {
+          val v = gray16At(seed, p)
+          val at = y * rowRaw + 2 * x
+          if (le) { raw(at) = (v & 0xFF).toByte; raw(at + 1) = (v >> 8).toByte }
+          else { raw(at) = (v >> 8).toByte; raw(at + 1) = (v & 0xFF).toByte }
+        } else if (pal) {
+          raw(y * w + x) = palIdxAt(seed, p).toByte
+        } else if (gray) {
+          raw(y * w + x) = grayAt(seed, w, x, y).toByte
+        } else {
           var c = 0
           while (c < 3) {
             raw((y * w + x) * 3 + c) = rgbAt(seed, p, c).toByte
@@ -241,15 +487,31 @@ object TiffSynth {
       }
       y += 1
     }
+    // horizontal predictor (mode 5): per-row per-channel differencing
+    if (pred2) {
+      y = 0
+      while (y < h) {
+        val base = y * rowRaw
+        var x = rowRaw - 1
+        while (x >= spp) {
+          raw(base + x) = (raw(base + x) - raw(base + x - spp)).toByte
+          x -= 1
+        }
+        y += 1
+      }
+    }
     // strips
     val strips = new Array[Array[Byte]](nStrips)
     var s = 0
     while (s < nStrips) {
       val r0 = s * rowsPerStrip
       val rows = math.min(rowsPerStrip, h - r0)
-      val seg = java.util.Arrays.copyOfRange(raw, r0 * w * ch,
-        (r0 + rows) * w * ch)
-      strips(s) = if (packed) packBits(seg) else seg
+      val seg = java.util.Arrays.copyOfRange(raw, r0 * rowRaw,
+        (r0 + rows) * rowRaw)
+      strips(s) =
+        if (packed) packBits(seg)
+        else if (lzw) lzwEncode(seg)
+        else seg
       s += 1
     }
 
@@ -269,13 +531,18 @@ object TiffSynth {
     if (le) { out.write('I'); out.write('I'); w16(42) }
     else { out.write('M'); out.write('M'); w16(42) }
     w32(8) // IFD at offset 8
-    val nEntries = if (gray) 9 else 10
+    // 256,257,258,259,262,273,278,279,284 always; +277 for RGB;
+    // +317 for the predictor; +320 for the ColorMap
+    val nEntries = 9 + (if (rgb) 1 else 0) + (if (pred2) 1 else 0) +
+      (if (pal) 1 else 0)
     val ifdSize = 2 + 12 * nEntries + 4
-    // layout after IFD: [bits array if rgb: 6 bytes] [strip offsets 4n]
-    // [strip counts 4n] [strip data...]
+    // layout after IFD: [bits array if rgb: 6 bytes] [colormap if
+    // palette: 1536] [strip offsets 4n] [strip counts 4n] [strip data]
     var cursor = 8L + ifdSize
     val bitsOff = cursor
-    if (!gray) cursor += 6
+    if (rgb) cursor += 6
+    val cmapOff = cursor
+    if (pal) cursor += 1536
     val needOffArrays = nStrips > 1
     val offArrAt = cursor
     if (needOffArrays) cursor += 4L * nStrips
@@ -295,19 +562,29 @@ object TiffSynth {
     }
     entry(256, 4, 1, w)  // ImageWidth
     entry(257, 4, 1, h)  // ImageLength
-    if (gray) entry(258, 3, 1, 8)
-    else entry(258, 3, 3, bitsOff) // BitsPerSample array at offset
-    entry(259, 3, 1, if (packed) 32773 else 1)
-    entry(262, 3, 1, if (gray) 1 else 2)
+    if (rgb) entry(258, 3, 3, bitsOff) // BitsPerSample array at offset
+    else entry(258, 3, 1, if (g16) 16 else 8)
+    entry(259, 3, 1, if (packed) 32773 else if (lzw) 5 else 1)
+    entry(262, 3, 1, if (rgb) 2 else if (pal) 3 else 1)
     if (nStrips == 1) entry(273, 4, 1, stripOffs(0))
     else entry(273, 4, nStrips, offArrAt)
-    if (!gray) entry(277, 3, 1, 3)
+    if (rgb) entry(277, 3, 1, 3)
     entry(278, 4, 1, rowsPerStrip)
     if (nStrips == 1) entry(279, 4, 1, strips(0).length)
     else entry(279, 4, nStrips, cntArrAt)
     entry(284, 3, 1, 1)
+    if (pred2) entry(317, 3, 1, 2)
+    if (pal) entry(320, 3, 768, cmapOff)
     w32(0) // no next IFD
-    if (!gray) { w16(8); w16(8); w16(8) }
+    if (rgb) { w16(8); w16(8); w16(8) }
+    if (pal) {
+      var chan = 0
+      while (chan < 3) {
+        var idx = 0
+        while (idx < 256) { w16(cmapAt(chan, idx, seed)); idx += 1 }
+        chan += 1
+      }
+    }
     if (needOffArrays) {
       s = 0
       while (s < nStrips) { w32(stripOffs(s)); s += 1 }
@@ -325,8 +602,8 @@ case class SynthTiff(first: Expression, second: Expression, third: Expression,
     mode: Int)
     extends TernaryExpression with ImplicitCastInputTypes {
 
-  require(mode >= 0 && mode <= 3,
-    s"synth_tiff mode must be 0-3 (II/MM x none/PackBits); got $mode")
+  require(mode >= 0 && mode <= 8,
+    s"synth_tiff mode must be 0-8 (byte order x layout x compression); got $mode")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType, LongType)
   override def dataType: DataType = BinaryType

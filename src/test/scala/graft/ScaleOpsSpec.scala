@@ -14,6 +14,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got(1).isEmpty)
   }
 
+  test("raster_orient with a null orientation passes through (codegen path)") {
+    // An EXIF-less JPEG yields a null exif_orientation; the oriented
+    // raster must be the UNCHANGED decode, not null — otherwise every
+    // EXIF-less crawl image silently drops out of resize/hash/dedup.
+    val df = Seq(7L).toDF("seed")
+      .withColumn("payload", ScaleOps.synthJpeg(lit(16L), lit(16L), col("seed"), 2))
+      .withColumn("r", ScaleOps.imageDecode(col("payload")))
+      .withColumn("o", ScaleOps.exifOrientation(col("payload")))
+      .withColumn("oriented", ScaleOps.rasterOrient(col("r"), col("o")))
+      .select(col("o"), col("r.pixels").as("p0"), col("oriented.pixels").as("p1"))
+    val row = df.collect()(0)
+    assert(row.isNullAt(0), "plain fixture JPEG has no EXIF")
+    assert(java.util.Arrays.equals(row.getAs[Array[Byte]]("p0"),
+      row.getAs[Array[Byte]]("p1")))
+  }
+
   test("minhash: identical docs get identical signatures, different docs differ") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),

@@ -77,7 +77,77 @@ class TiffSpec extends AnyFunSuite {
     assert(r.getBinary(4).toSeq == Seq[Byte](10, 20, 30, 40))
   }
 
-  test("reject matrix: LZW, 16-bit, planar, palette, torn strip, PackBits overrun") {
+  test("LZW hand golden: the spec walk incl. the KwKwK case decodes") {
+    // Codes for [7,7,7,8,8,8,7,7,7] derived by hand from TIFF 6.0 §13:
+    // Clear, 7, 258 (KwKwK), 8, 260 (KwKwK), 258, 7, EOI — all 9-bit,
+    // MSB-packed to these 9 bytes. Pins bit order, Clear handling, and
+    // both add-rule branches independently of our own encoder.
+    val stream = Array(128, 1, 224, 64, 136, 36, 8, 15, 1).map(_.toByte)
+    val got = TiffCodec.lzwDecode(stream, 0, stream.length, 9)
+    assert(got != null && got.toSeq == Seq[Byte](7, 7, 7, 8, 8, 8, 7, 7, 7))
+  }
+
+  test("LZW roundtrip across ALL width boundaries and a table-full Clear") {
+    // High-entropy data grows the dictionary ~1 entry per input byte:
+    // 3 KB crosses 9->10->11 bits, 6 KB reaches 12, 12 KB forces the
+    // table-full Clear + width reset mid-stream.
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(10, 300, 3000, 6000, 12000)) {
+      val data = Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      val enc = TiffSynth.lzwEncode(data)
+      val dec = TiffCodec.lzwDecode(enc, 0, enc.length, n)
+      assert(dec != null, s"n=$n rejected")
+      assert(java.util.Arrays.equals(dec, data), s"n=$n mismatch")
+    }
+    // low-entropy data exercises long KwKwK chains across boundaries
+    val runs = Array.tabulate[Byte](9000)(i => (i / 200).toByte)
+    val enc = TiffSynth.lzwEncode(runs)
+    assert(java.util.Arrays.equals(
+      TiffCodec.lzwDecode(enc, 0, enc.length, runs.length), runs))
+  }
+
+  test("LZW gray (mode 4) and LZW+predictor RGB (mode 5) match the formulas") {
+    val r4 = decode(TiffSynth.tiffBytes(13, 11, 5L, 4))
+    assert(fmt(r4) == "tiff" && r4.getInt(3) == 1)
+    val px4 = r4.getBinary(4)
+    for (y <- 0 until 11; x <- 0 until 13)
+      assert((px4(y * 13 + x) & 0xFF) == TiffSynth.grayAt(5L, 13, x, y), s"($x,$y)")
+    val r5 = decode(TiffSynth.tiffBytes(9, 7, 6L, 5))
+    assert(fmt(r5) == "tiff" && r5.getInt(3) == 3)
+    val px5 = r5.getBinary(4)
+    for (p <- 0 until 63; c <- 0 until 3)
+      assert((px5(p * 3 + c) & 0xFF) == TiffSynth.rgbAt(6L, p, c),
+        s"predictor undiff p=$p c=$c")
+  }
+
+  test("palette (mode 6): indices map through the 16-bit ColorMap's high byte") {
+    val r = decode(TiffSynth.tiffBytes(10, 6, 3L, 6))
+    assert(fmt(r) == "tiff" && r.getInt(3) == 3)
+    val px = r.getBinary(4)
+    for (p <- 0 until 60) {
+      val idx = TiffSynth.palIdxAt(3L, p)
+      for (c <- 0 until 3)
+        assert((px(3 * p + c) & 0xFF) == (TiffSynth.cmapAt(c, idx, 3L) >> 8),
+          s"p=$p c=$c")
+    }
+  }
+
+  test("16-bit gray (modes 7/8): high byte honors the file byte order") {
+    for ((mode, label) <- Seq(7 -> "MM", 8 -> "II+LZW")) {
+      val r = decode(TiffSynth.tiffBytes(12, 9, 9L, mode))
+      assert(fmt(r) == "tiff" && r.getInt(3) == 1, label)
+      val px = r.getBinary(4)
+      for (p <- 0 until 108)
+        assert((px(p) & 0xFF) == (TiffSynth.gray16At(9L, p) >> 8), s"$label p=$p")
+    }
+    // same pixels travel as MM (7): an endianness bug in the 16-bit
+    // path would emit the LOW byte for one of the orders
+    val ii = decode(TiffSynth.tiffBytes(12, 9, 9L, 8)).getBinary(4)
+    val mm = decode(TiffSynth.tiffBytes(12, 9, 9L, 7)).getBinary(4)
+    assert(java.util.Arrays.equals(ii, mm))
+  }
+
+  test("reject matrix: planar, missing ColorMap, 16-bit predictor, torn streams") {
     val ok = TiffSynth.tiffBytes(8, 6, 1L, 0)
     assert(fmt(decode(ok)) == "tiff")
     def mutEntry(tag: Int, newValue: Int): Array[Byte] = {
@@ -96,14 +166,34 @@ class TiffSpec extends AnyFunSuite {
       }
       c
     }
-    assert(fmt(decode(mutEntry(259, 5))) == "unknown", "LZW rejects")
-    assert(fmt(decode(mutEntry(262, 3))) == "unknown", "palette rejects")
+    assert(fmt(decode(mutEntry(259, 5))) == "unknown",
+      "raw bytes relabeled LZW are not a valid code stream")
+    assert(fmt(decode(mutEntry(262, 3))) == "unknown",
+      "palette without a ColorMap rejects")
     assert(fmt(decode(mutEntry(284, 2))) == "unknown", "planar rejects")
+    // unknown predictor value: flip mode 5's tag 317 (MM layout) to 3
+    locally {
+      val p5 = TiffSynth.tiffBytes(8, 6, 1L, 5)
+      val cp = p5.clone()
+      val np = ((cp(8) & 0xFF) << 8) | (cp(9) & 0xFF)
+      var ep = 0
+      while (ep < np) {
+        val off = 10 + 12 * ep
+        val t = ((cp(off) & 0xFF) << 8) | (cp(off + 1) & 0xFF)
+        if (t == 317) cp(off + 9) = 3
+        ep += 1
+      }
+      assert(fmt(decode(cp)) == "unknown", "unknown predictor value rejects")
+    }
     assert(fmt(decode(ok.take(ok.length - 10))) == "unknown", "torn strip")
     // PackBits overrun: truncate a packed file mid-stream
     val packed = TiffSynth.tiffBytes(12, 6, 7L, 2)
     assert(fmt(decode(packed.take(packed.length - 5))) == "unknown")
-    // 16-bit: gray file with BitsPerSample 16
+    // torn LZW: truncate an LZW file mid-stream
+    val lzw = TiffSynth.tiffBytes(16, 12, 7L, 4)
+    assert(fmt(decode(lzw.take(lzw.length - 5))) == "unknown", "torn LZW")
+    // 16-bit with BitsPerSample flipped on an 8-bit file: strip byte
+    // counts no longer cover the doubled row size
     val g = TiffSynth.tiffBytes(8, 6, 1L, 2)
     val c = g.clone()
     val n = (c(8) & 0xFF) | ((c(9) & 0xFF) << 8)
@@ -114,6 +204,26 @@ class TiffSpec extends AnyFunSuite {
       if (t == 258) c(off + 8) = 16
       e += 1
     }
-    assert(fmt(decode(c)) == "unknown", "16-bit rejects")
+    assert(fmt(decode(c)) == "unknown", "16-bit with 8-bit strip sizes rejects")
+    // predictor 2 on a 16-bit file rejects (8-bit-only support)
+    val g16 = TiffSynth.tiffBytes(8, 6, 1L, 7)
+    val c2 = g16.clone()
+    // MM file: IFD count at 8-9 big-endian, entries from 10
+    val n2 = ((c2(8) & 0xFF) << 8) | (c2(9) & 0xFF)
+    var e2 = 0
+    var done = false
+    while (e2 < n2 && !done) {
+      val off = 10 + 12 * e2
+      val t = ((c2(off) & 0xFF) << 8) | (c2(off + 1) & 0xFF)
+      if (t == 284) {
+        // no predictor entry exists in mode 7; flip PlanarConfig's tag
+        // to 317 (same SHORT layout) with value 2 to fake one
+        c2(off) = 0x01; c2(off + 1) = 0x3D // tag 317
+        c2(off + 8) = 0; c2(off + 9) = 2
+        done = true
+      }
+      e2 += 1
+    }
+    assert(done && fmt(decode(c2)) == "unknown", "16-bit predictor rejects")
   }
 }

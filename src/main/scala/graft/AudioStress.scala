@@ -69,6 +69,29 @@ object AudioStress {
       fields += f""""${fmt}_docs_per_s":${nDocs / sec}%.0f"""
       fields += f""""${fmt}_pcm_mb_per_s":${pcmMb / sec}%.1f"""
     }
+    // ---- MP3 lane (round 12): full Layer III decode — header walk,
+    // side info, Huffman, requantization, IMDCT + polyphase synthesis
+    // on every row; seeds cycle the fixture's silent and nonzero
+    // classes, all three sample rates, mono and MS/independent stereo.
+    // Decoded-PCM volume: frames(doc)=2+doc%3 → mean 3 frames × 1152 ×
+    // mean 1.5 ch × 2 B = 10368 B/doc.
+    locally {
+      val mp3Docs = math.max(1000L, nDocs / 10) // ~40x the PCM per doc
+      val mp3Ids = spark.range(0, mp3Docs).select(col("id"))
+      val mp3Mb = mp3Docs * 3.0 * 1152 * 1.5 * 2 / 1e6
+      val t0 = System.nanoTime()
+      val r = mp3Ids.select(stats(ScaleOps.synthMp3Pcm(col("id"))))
+        .agg(sum(element_at(col("s.sums"), 1)).as("c0"),
+          count(col("s")).as("n"))
+        .head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(r.getLong(1) == mp3Docs,
+        s"mp3: decoded ${r.getLong(1)} of $mp3Docs (every row must decode)")
+      fields += s""""mp3_docs":$mp3Docs"""
+      fields += f""""mp3_sec":$sec%.2f"""
+      fields += f""""mp3_docs_per_s":${mp3Docs / sec}%.0f"""
+      fields += f""""mp3_pcm_mb_per_s":${mp3Mb / sec}%.1f"""
+    }
     println(fields.mkString("""{"metric":"audio_stress",""", ",", "}"))
     spark.stop()
   }

@@ -2059,6 +2059,85 @@ object QueriesScale {
         | CAST(s2 AS BIGINT) AS b_sum
         |FROM s ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------- MP3 Layer III PCM decode
+  // The lossy format that dominates crawled web audio, decoded for real
+  // (see Mp3L3Codec's scaladoc for the precise scope): the oracle rides
+  // the exactness contract — `global_gain = 210 + 4k` and
+  // `scalefac_scale = 1` make every requantized line a dyadic
+  // `±2^(k − sf)`, so `spec_sum_q20 = Σ xr·2^20` is an exact BIGINT the
+  // oracle reproduces with pure integer arithmetic (headers, side info,
+  // scalefactors, Huffman tables 1/count1-B, and requantization all sit
+  // on its critical path, at ALL THREE MPEG-1 sample rates whose
+  // scalefactor-band tables the CASE ladder mirrors). Silent files
+  // (every 5th doc; the stereo ones mid/side-coded) must propagate
+  // EXACT zeros through the complete IMDCT + polyphase filterbank to
+  // the PCM — `silent` is decoded-PCM-derived, not metadata. Per-row,
+  // zero shuffle.
+  private val mp3PcmQ = Q(
+    (s, dir) => {
+      val d = ScaleOps.mp3Decode(ScaleOps.synthMp3Pcm(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), d.as("d"))
+        .select(col("doc_id"),
+          col("d.format").as("format"),
+          col("d.channels").cast(LongType).as("channels"),
+          col("d.sample_rate").cast(LongType).as("sample_rate"),
+          col("d.bitrate_kbps").cast(LongType).as("bitrate_kbps"),
+          col("d.n_frames").cast(LongType).as("n_frames"),
+          col("d.n_samples").cast(LongType).as("n_samples"),
+          col("d.spec_sum_q20").as("spec_sum_q20"),
+          (col("d.pcm_abs_max") === 0).as("silent"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH p AS (
+        | SELECT doc_id, 1 + doc_id % 2 AS ch, CAST(doc_id % 3 AS INT) AS sr,
+        |        2 + doc_id % 3 AS fr, (doc_id % 5 = 0) AS silent
+        | FROM documents),
+        |gc AS (SELECT p.*, g.range AS g, c.range AS c
+        |       FROM p CROSS JOIN range(0, 2) g CROSS JOIN range(0, 2) c
+        |       WHERE c.range < p.ch),
+        |bv AS (SELECT gc.*, j.range AS j FROM gc CROSS JOIN range(0, 16) j),
+        |lines AS (
+        | SELECT doc_id, sr, g, c, 2 * j AS line,
+        |        (doc_id + 3 * j + g + c) % 2 AS v, (doc_id + j + g) % 2 AS s
+        | FROM bv
+        | UNION ALL
+        | SELECT doc_id, sr, g, c, 2 * j + 1 AS line,
+        |        (doc_id + 5 * j + 1 + 2 * g + c) % 2 AS v,
+        |        (doc_id + 7 * j + 3 + c) % 2 AS s
+        | FROM bv
+        | UNION ALL
+        | SELECT doc_id, sr, g, c, 32 + 4 * q.range + t.range AS line,
+        |        (doc_id + q.range + t.range + g + 2 * c) % 2 AS v,
+        |        (doc_id + 3 * q.range + t.range + g) % 2 AS s
+        | FROM gc CROSS JOIN range(0, 4) q CROSS JOIN range(0, 4) t),
+        |contrib AS (
+        | SELECT doc_id,
+        |  CASE WHEN v = 0 THEN 0
+        |   ELSE (CASE WHEN s = 1 THEN -1 ELSE 1 END) *
+        |    CAST(power(2, 20 + (doc_id + 2 * g + 3 * c) % 4
+        |     - (doc_id + (CASE WHEN line < 4 THEN 0 WHEN line < 8 THEN 1
+        |         WHEN line < 12 THEN 2 WHEN line < 16 THEN 3
+        |         WHEN line < 20 THEN 4 WHEN line < 24 THEN 5
+        |         WHEN line < 30 THEN 6 WHEN line < 36 THEN 7
+        |         WHEN line < (CASE WHEN sr = 1 THEN 42 ELSE 44 END) THEN 8
+        |         ELSE 9 END) + g + 2 * c) % 4) AS BIGINT) END AS contr
+        | FROM lines),
+        |tot AS (SELECT doc_id, SUM(contr) AS t FROM contrib GROUP BY 1)
+        |SELECT p.doc_id, 'mp3' AS format,
+        | CAST(ch AS BIGINT) AS channels,
+        | CAST(CASE sr WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+        |   AS BIGINT) AS sample_rate,
+        | CAST(128 AS BIGINT) AS bitrate_kbps,
+        | CAST(fr AS BIGINT) AS n_frames,
+        | CAST(fr * 1152 AS BIGINT) AS n_samples,
+        | CAST(CASE WHEN silent THEN 0 ELSE fr * tot.t END AS BIGINT)
+        |   AS spec_sum_q20,
+        | silent
+        |FROM p JOIN tot ON p.doc_id = tot.doc_id
+        |ORDER BY p.doc_id""".stripMargin))
+
   // -------------------------------------------------- real audio decode
   // The waveform half of the multimodal stage, REAL end-to-end: complete
   // valid PCM WAV files (canonical header AND every sample byte, 8-bit
@@ -2261,10 +2340,13 @@ object QueriesScale {
   // The featurization step between PCM decode and any audio-quality /
   // voice-activity gate: fixed 16-frame windows, each reduced across
   // all channels to its exact integer ENERGY (Σ sample²) and peak
-  // magnitude. Same WAV fixtures as audio_pcm (8- and 16-bit rotate),
-  // so the oracle replays the generative sample formula through the
-  // window arithmetic bit-for-bit. Per-row, zero shuffle until the
-  // explode.
+  // magnitude. Three decode lanes share the key (round 12): 8-bit WAV,
+  // 16-bit WAV (oracle replays the generative sample formula through
+  // the window arithmetic bit-for-bit), and MP3 — silent Layer III
+  // streams (seed 5·doc pins the fixture's silent class) whose windows
+  // must come out EXACTLY zero through the full lossy decode, with the
+  // window COUNT derived from the real frame walk (a miscounted
+  // granule flips n_windows). Per-row, zero shuffle until the explode.
   private val audioEnergyWindowsQ = Q(
     (s, dir) => {
       val ch = lit(1L) + col("doc_id") % 2
@@ -2272,7 +2354,9 @@ object QueriesScale {
       val frames = lit(50L) + col("doc_id") % 150
       val payload = when(col("doc_id") % 3 === 0,
           ScaleOps.synthWavPcm(ch, rate, 8, frames, col("doc_id")))
-        .otherwise(ScaleOps.synthWavPcm(ch, rate, 16, frames, col("doc_id")))
+        .when(col("doc_id") % 3 === 1,
+          ScaleOps.synthWavPcm(ch, rate, 16, frames, col("doc_id")))
+        .otherwise(ScaleOps.synthMp3Pcm(col("doc_id") * 5))
       val d = ScaleOps.pcmDecode(payload)
       Tables.documents(s, dir)
         .select(col("doc_id"), d.as("d"))
@@ -2297,7 +2381,7 @@ object QueriesScale {
         |    1 + doc_id % 2 AS ch,
         |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
         |    50 + doc_id % 150 AS frames
-        |   FROM documents),
+        |   FROM documents WHERE doc_id % 3 < 2),
         | k AS (SELECT p.*, f.range AS f, c.range AS c,
         |        f.range * ch + c.range AS k
         |       FROM p CROSS JOIN range(0, 200) f CROSS JOIN range(0, 2) c
@@ -2310,13 +2394,24 @@ object QueriesScale {
         |        f // 16 AS w FROM k),
         | a AS (SELECT doc_id, ch, frames, w,
         |        SUM(v * v) AS energy, MAX(ABS(v)) AS peak
-        |       FROM s GROUP BY 1, 2, 3, 4)
-        |SELECT doc_id, CAST(ch AS BIGINT) AS channels,
-        | CAST(frames AS BIGINT) AS n_frames,
-        | CAST((frames + 15) // 16 AS BIGINT) AS n_windows,
-        | CAST(w AS BIGINT) AS win_idx, CAST(energy AS BIGINT) AS energy,
-        | CAST(peak AS BIGINT) AS peak
-        |FROM a ORDER BY doc_id, win_idx""".stripMargin))
+        |       FROM s GROUP BY 1, 2, 3, 4),
+        | wav AS (SELECT doc_id, CAST(ch AS BIGINT) AS channels,
+        |   CAST(frames AS BIGINT) AS n_frames,
+        |   CAST((frames + 15) // 16 AS BIGINT) AS n_windows,
+        |   CAST(w AS BIGINT) AS win_idx, CAST(energy AS BIGINT) AS energy,
+        |   CAST(peak AS BIGINT) AS peak FROM a),
+        | mp AS (SELECT doc_id,
+        |    1 + (doc_id * 5) % 2 AS ch,
+        |    (2 + (doc_id * 5) % 3) * 1152 AS frames
+        |   FROM documents WHERE doc_id % 3 = 2),
+        | mpw AS (SELECT doc_id, CAST(ch AS BIGINT) AS channels,
+        |   CAST(frames AS BIGINT) AS n_frames,
+        |   CAST(frames // 16 AS BIGINT) AS n_windows,
+        |   CAST(w.range AS BIGINT) AS win_idx,
+        |   CAST(0 AS BIGINT) AS energy, CAST(0 AS BIGINT) AS peak
+        |  FROM mp CROSS JOIN range(0, 288) w WHERE w.range < frames // 16)
+        |SELECT * FROM (SELECT * FROM wav UNION ALL SELECT * FROM mpw)
+        |ORDER BY doc_id, win_idx""".stripMargin))
 
   // ------------------------------------------ MJPEG-in-AVI video decode
   // Real codec-in-container video, one step past raw Y4M: every `00dc`
@@ -5254,6 +5349,7 @@ object QueriesScale {
     "png_ext_pixels" -> pngExtPixelsQ,
     "tiff_pixels" -> tiffPixelsQ,
     "tiff_ext_pixels" -> tiffExtPixelsQ,
+    "mp3_pcm" -> mp3PcmQ,
     "exif_orient_pixels" -> exifOrientPixelsQ,
     "exif_meta" -> exifMetaQ,
     "audio_pcm" -> audioPcmQ,

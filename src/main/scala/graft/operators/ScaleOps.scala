@@ -1540,6 +1540,18 @@ object ScaleOps {
   def synthJpegExifMeta(w: Column, h: Column, seed: Column, mode: Int): Column =
     org.apache.spark.sql.graftnative.ExifFunctions.synth_jpeg_exif_meta(w, h, seed, mode)
 
+  /** Full MPEG-1 Layer III PCM decode
+    * (see [[org.apache.spark.sql.graftnative.Mp3L3Codec]]).
+    */
+  def mp3Decode(payload: Column): Column =
+    org.apache.spark.sql.graftnative.Mp3PcmFunctions.mp3_decode(payload)
+
+  /** Formula-spectrum Layer III fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.Mp3PcmSynth]]).
+    */
+  def synthMp3Pcm(doc: Column): Column =
+    org.apache.spark.sql.graftnative.Mp3PcmFunctions.synth_mp3_pcm(doc)
+
   /** Baseline JPEG fixture wrapped with an APP1 Exif segment carrying
     * orientation `1 + (seed mod 8)`
     * (see [[org.apache.spark.sql.graftnative.ExifSynth]]).
@@ -1645,38 +1657,21 @@ object ScaleOps {
   def y4mFrameLuma(payload: Column, stride: Int): Column =
     org.apache.spark.sql.graftnative.PcmFunctions.y4m_frame_luma(payload, stride)
 
-  /** Deterministic fixture sample: frame-interleaved sample index `k` of
-    * waveform `seed` has UNSIGNED container value `(seed·13 + k·7) mod
-    * 2^bits` — the generative formula the oracle mirrors (signed view:
-    * subtract 2^bits when ≥ 2^(bits−1) for 16-bit two's complement, or
-    * the 128 bias for 8-bit).
-    */
-  private def wavSampleU(seed: Column, k: Column, bits: Long): Column =
-    (seed * 13 + k * 7) % (1L << bits)
-
   /** Complete valid PCM WAV — [[synthWavHeader]]'s canonical header plus
-    * every sample byte of the `frames·channels` waveform from
-    * [[wavSampleU]]: 8-bit writes the unsigned byte directly, 16-bit
+    * every sample byte of the `(seed·13 + k·7) mod 2^bits` waveform
+    * (the generative formula the oracle mirrors): 8-bit writes the
+    * unsigned byte directly, 16-bit
     * writes little-endian sample pairs. `bits` is a literal 8 or 16 (the
     * byte layout differs structurally, not arithmetically).
     */
   def synthWavPcm(channels: Column, rate: Column, bits: Long,
       frames: Column, seed: Column): Column = {
     require(bits == 8 || bits == 16, s"bits must be 8 or 16, got $bits")
-    val nBytes = frames * channels * (bits / 8)
-    val body = unhex(array_join(
-      transform(sequence(lit(0L), nBytes - 1), o => {
-        val v =
-          if (bits == 8) wavSampleU(seed, o, 8)
-          else {
-            val k = shiftright(o, 1) // sample index (2 bytes per sample)
-            val u = wavSampleU(seed, k, 16)
-            when(o.bitwiseAND(1L) === 0, u % 256) // LE low byte first
-              .otherwise(shiftright(u, 8))
-          }
-        lpad(hex(v), 2, "0")
-      }), ""))
-    concat(synthWavHeader(channels, rate, lit(bits), frames), body)
+    // round 12: native encoder, byte-identical to the former per-byte
+    // hex-string Catalyst construction — which made the WAV stress
+    // lane price string plumbing instead of PCM (the r11 "anomaly")
+    org.apache.spark.sql.graftnative.PcmFunctions.synth_wav_pcm(
+      channels, rate, frames, seed, bits.toInt)
   }
 
   /** Deterministic fixture luma/chroma byte: offset `o` of frame `f` in

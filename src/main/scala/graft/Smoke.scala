@@ -55,6 +55,24 @@ object Smoke {
       .head.getLong(0)
     println(s"[smoke] sql mp3_meta rate=$mp3Sql")
     assert(mp3Sql == 22050L, "mp3_meta not registered or frame walk off")
+    // round-12 registrations: full EXIF metadata and Layer III PCM
+    // decode in plain SQL (fixture payloads built by the same synth
+    // objects the keys use)
+    val mk = org.apache.spark.sql.graftnative.ExifMeta.compute(
+      org.apache.spark.sql.graftnative.ExifMetaSynth.jpegWithMeta(16, 16, 3, 2))
+      .getUTF8String(0).toString
+    val mkSql = spark.sql(
+      s"SELECT exif_meta(unhex('${org.apache.spark.sql.graftnative.ExifMetaSynth
+        .jpegWithMeta(16, 16, 3, 2).map("%02X".format(_)).mkString}')).make AS mk")
+      .head.getString(0)
+    println(s"[smoke] sql exif_meta.make=$mkSql")
+    assert(mkSql == mk && mkSql == "CAM3", "exif_meta not registered")
+    val mp3PcmSql = spark.sql(
+      s"SELECT mp3_decode(unhex('${org.apache.spark.sql.graftnative.Mp3PcmSynth
+        .mp3Bytes(0L).map("%02X".format(_)).mkString}')).pcm_abs_max AS p")
+      .head.getInt(0)
+    println(s"[smoke] sql mp3_decode silent peak=$mp3PcmSql")
+    assert(mp3PcmSql == 0, "mp3_decode not registered or silence broken")
     val df = SparkEntry.entry(spark)
     val n = df.count()
     println(s"[smoke] entry rows=$n cols=${df.columns.length}")

@@ -119,6 +119,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("mp3_meta", classOf[Mp3MetaExpr], Mp3MetaExpr(_))
     unary("exif_orientation", classOf[ExifOrientation], ExifOrientation(_))
     unary("raster_dhash", classOf[RasterDHash], RasterDHash(_))
+    // round 12: SELECT exif_meta(payload).gps_lat,
+    //   mp3_decode(payload).spec_sum_q20 FROM ...
+    unary("exif_meta", classOf[ExifMeta], ExifMeta(_))
+    unary("mp3_decode", classOf[Mp3DecodeExpr], Mp3DecodeExpr(_))
     ext.injectFunction((
       new FunctionIdentifier("raster_orient"),
       new ExpressionInfo(classOf[RasterOrient].getName, "raster_orient"),

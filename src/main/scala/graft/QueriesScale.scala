@@ -2138,6 +2138,41 @@ object QueriesScale {
         |FROM p JOIN tot ON p.doc_id = tot.doc_id
         |ORDER BY p.doc_id""".stripMargin))
 
+  // ------------------------------------------------ ID3v2 tag metadata
+  // The audio-side exif_meta: title/artist/album/year from real ID3v2
+  // tags prepended to real Layer III streams. Even docs travel as
+  // v2.3 (PLAIN u32 frame sizes, ISO-8859-1 title/album, a
+  // UTF-16-with-BOM artist alternating both endiannesses, TYER); odd
+  // docs as v2.4 (SYNCSAFE frame sizes — mixing the two conventions
+  // walks off-frame and rejects — UTF-8 text, TDRC timestamp whose
+  // year is its first four chars). The decoder also verifies the tag
+  // does not break the FRAME WALK: mp3_meta must still count the
+  // frames behind the tag (n_samples column). Per-row, zero shuffle.
+  private val id3MetaQ = Q(
+    (s, dir) => {
+      val payload = ScaleOps.synthMp3Id3(col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ScaleOps.id3Meta(payload).as("m"),
+          ScaleOps.mp3Meta(payload).as("w"))
+        .select(col("doc_id"),
+          col("m.version").cast(LongType).as("version"),
+          col("m.title").as("title"),
+          col("m.artist").as("artist"),
+          col("m.album").as("album"),
+          col("m.year").as("year"),
+          col("w.n_frames").cast(LongType).as("n_samples"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        | CAST(CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END AS BIGINT) AS version,
+        | 'TITLE' || (doc_id % 9) AS title,
+        | 'ARTIST' || (doc_id % 7) AS artist,
+        | 'ALBUM' || (doc_id % 5) AS album,
+        | CAST(1990 + doc_id % 30 AS VARCHAR) AS year,
+        | CAST((2 + doc_id % 3) * 1152 AS BIGINT) AS n_samples
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
   // -------------------------------------------------- real audio decode
   // The waveform half of the multimodal stage, REAL end-to-end: complete
   // valid PCM WAV files (canonical header AND every sample byte, 8-bit
@@ -5350,6 +5385,7 @@ object QueriesScale {
     "tiff_pixels" -> tiffPixelsQ,
     "tiff_ext_pixels" -> tiffExtPixelsQ,
     "mp3_pcm" -> mp3PcmQ,
+    "id3_meta" -> id3MetaQ,
     "exif_orient_pixels" -> exifOrientPixelsQ,
     "exif_meta" -> exifMetaQ,
     "audio_pcm" -> audioPcmQ,

@@ -58,7 +58,11 @@ object RasterStress {
           .otherwise(ScaleOps.synthVp8(w, w, s, mode = 1))),
       // baseline TIFF, PackBits RGB (the compressed path)
       "tiff" -> ((w: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column)
-        => ScaleOps.synthTiff(w, w, s, 3))
+        => ScaleOps.synthTiff(w, w, s, 3)),
+      // round-12 TIFF: LZW + horizontal predictor RGB — the classic
+      // scanner output, pricing the real §13 dictionary decode
+      "tiff_lzw" -> ((w: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column)
+        => ScaleOps.synthTiff(w, w, s, 5))
     ).foreach { case (fmt, synth) =>
       val t0 = System.nanoTime()
       val r = ids

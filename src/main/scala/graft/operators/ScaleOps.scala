@@ -1552,6 +1552,18 @@ object ScaleOps {
   def synthMp3Pcm(doc: Column): Column =
     org.apache.spark.sql.graftnative.Mp3PcmFunctions.synth_mp3_pcm(doc)
 
+  /** ID3v2 text-frame metadata (title/artist/album/year, v2.3 + v2.4)
+    * (see [[org.apache.spark.sql.graftnative.Id3Meta]]).
+    */
+  def id3Meta(payload: Column): Column =
+    org.apache.spark.sql.graftnative.Id3Functions.id3_meta(payload)
+
+  /** ID3v2-tagged Layer III fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.Id3Synth]]).
+    */
+  def synthMp3Id3(doc: Column): Column =
+    org.apache.spark.sql.graftnative.Id3Functions.synth_mp3_id3(doc)
+
   /** Baseline JPEG fixture wrapped with an APP1 Exif segment carrying
     * orientation `1 + (seed mod 8)`
     * (see [[org.apache.spark.sql.graftnative.ExifSynth]]).

@@ -123,6 +123,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     //   mp3_decode(payload).spec_sum_q20 FROM ...
     unary("exif_meta", classOf[ExifMeta], ExifMeta(_))
     unary("mp3_decode", classOf[Mp3DecodeExpr], Mp3DecodeExpr(_))
+    unary("id3_meta", classOf[Id3Meta], Id3Meta(_))
     ext.injectFunction((
       new FunctionIdentifier("raster_orient"),
       new ExpressionInfo(classOf[RasterOrient].getName, "raster_orient"),

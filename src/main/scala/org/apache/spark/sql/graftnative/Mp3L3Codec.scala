@@ -140,6 +140,32 @@ object Mp3L3Codec {
     def bit(): Int = bits(1)
   }
 
+  /** ISO 11172-3 frame CRC-16: polynomial 0x8005, init 0xFFFF,
+    * MSB-first, over two byte ranges (header bytes 3-4 + side info).
+    */
+  private[graftnative] def crc16(b: Array[Byte], off1: Int, len1: Int,
+      off2: Int, len2: Int): Int = {
+    var crc = 0xFFFF
+    def feed(off: Int, len: Int): Unit = {
+      var k = 0
+      while (k < len) {
+        val byte = b(off + k) & 0xFF
+        var bit = 7
+        while (bit >= 0) {
+          val in = (byte >> bit) & 1
+          val c15 = (crc >> 15) & 1
+          crc = (crc << 1) & 0xFFFF
+          if ((c15 ^ in) == 1) crc ^= 0x8005
+          bit -= 1
+        }
+        k += 1
+      }
+    }
+    feed(off1, len1)
+    feed(off2, len2)
+    crc
+  }
+
   // ------------------------------------------------- per-granule state
 
   private final class Granule {
@@ -387,8 +413,16 @@ object Mp3L3Codec {
         if (thisMode == 1 && (modeExt & 1) != 0) return unknown
         val msStereo = thisMode == 1 && (modeExt & 2) != 0
         var off = i + 4
-        if (protection == 0) off += 2 // skip CRC-16
         val sideBytes = if (nch == 1) 17 else 32
+        if (protection == 0) {
+          // CRC-16 (poly 0x8005, init 0xFFFF, MSB-first) over header
+          // bytes 3-4 and the side info — actually VERIFIED, not
+          // skipped, the same stance as the Ogg page-CRC gate
+          if (i + 6 + sideBytes > i + frameLen) return unknown
+          val stored = ((b(i + 4) & 0xFF) << 8) | (b(i + 5) & 0xFF)
+          if (crc16(b, i + 2, 2, i + 6, sideBytes) != stored) return unknown
+          off += 2
+        }
         if (off + sideBytes > i + frameLen) return unknown
         val sbr = new Br(b)
         sbr.pos = off.toLong * 8

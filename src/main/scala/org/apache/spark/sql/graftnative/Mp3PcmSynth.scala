@@ -40,6 +40,8 @@ object Mp3PcmSynth {
   def pairYSign(doc: Long, j: Int, c: Int): Int = fm(doc + 7 * j + 3 + c, 2)
   def quadV(doc: Long, q: Int, s: Int, g: Int, c: Int): Int = fm(doc + q + s + g + 2 * c, 2)
   def quadSign(doc: Long, q: Int, s: Int, g: Int): Int = fm(doc + 3 * q + s + g, 2)
+  /** Every 7th-mod-3 seed carries a REAL CRC-16 (protection bit 0). */
+  def withCrc(doc: Long): Boolean = fm(doc, 7) == 3
 
   val NPairs = 16
   val NQuads = 4
@@ -110,9 +112,11 @@ object Mp3PcmSynth {
     val nFrames = frames(doc)
     val isSilent = silent(doc)
     val frameLen = 144 * 128000 / rate // padding 0
+    val crc = withCrc(doc)
     // one frame's bytes (content identical across frames)
     val fw = new BitW
-    fw.put(0xFF, 8); fw.put(0xFB, 8) // MPEG-1 Layer III, no CRC
+    // MPEG-1 Layer III; protection bit 0 = CRC-16 present
+    fw.put(0xFF, 8); fw.put(if (crc) 0xFA else 0xFB, 8)
     fw.put((9 << 4) | (sIdx << 2), 8) // 128 kbit/s, padding 0
     // mode: mono=3; stereo: MS joint (mode 1, ext 2) when silent,
     // independent stereo (mode 0) otherwise
@@ -162,7 +166,20 @@ object Mp3PcmSynth {
       }
       g += 1
     }
-    val frameBytes = fw.bytes
+    val plain = fw.bytes
+    // CRC frames: splice the real CRC-16 between header and side info
+    val frameBytes =
+      if (!crc) plain
+      else {
+        val sideBytes = if (nch == 1) 17 else 32
+        val withC = new Array[Byte](plain.length + 2)
+        System.arraycopy(plain, 0, withC, 0, 4)
+        System.arraycopy(plain, 4, withC, 6, plain.length - 4)
+        val v = Mp3L3Codec.crc16(withC, 2, 2, 6, sideBytes)
+        withC(4) = ((v >> 8) & 0xFF).toByte
+        withC(5) = (v & 0xFF).toByte
+        withC
+      }
     if (frameBytes.length > frameLen) return null // cannot happen at 128k
     val out = new Array[Byte](frameLen * nFrames)
     var f = 0

@@ -121,6 +121,24 @@ class Mp3PcmSpec extends AnyFunSuite {
     assert(r.getLong(6) == expectedSpecQ20(doc), "reservoir decode differs")
   }
 
+  test("CRC-16: protected frames verify; a flipped side-info bit rejects") {
+    // doc 3 carries protection bit 0 with a real CRC (3 % 7 == 3)
+    val b = Mp3PcmSynth.mp3Bytes(3L)
+    assert((b(1) & 1) == 0, "protection bit must be 0 on doc 3")
+    val r = Mp3L3Codec.compute(b)
+    assert(r.getUTF8String(0).toString == "mp3", "CRC frame rejected")
+    assert(r.getLong(6) == expectedSpecQ20(3L), "CRC frame content differs")
+    // corrupt one side-info byte (covered by the CRC): must reject
+    val c = b.clone()
+    c(8) = (c(8) ^ 0x40).toByte
+    assert(Mp3L3Codec.compute(c).getUTF8String(0).toString == "unknown",
+      "CRC mismatch must reject")
+    // corrupt the stored CRC itself: must reject too
+    val c2 = b.clone()
+    c2(4) = (c2(4) ^ 1).toByte
+    assert(Mp3L3Codec.compute(c2).getUTF8String(0).toString == "unknown")
+  }
+
   test("reject matrix: truncation, reservoir underrun, unsupported paths") {
     val ok = Mp3PcmSynth.mp3Bytes(1L)
     def fmt(b: Array[Byte]): String =

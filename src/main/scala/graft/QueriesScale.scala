@@ -2138,6 +2138,51 @@ object QueriesScale {
         |FROM p JOIN tot ON p.doc_id = tot.doc_id
         |ORDER BY p.doc_id""".stripMargin))
 
+  // ------------------------------------------- WARC/gzip record extract
+  // The storage shape web crawls ARRIVE in: Common Crawl WARC/WET files
+  // are concatenated gzip members, one WARC record per member. The
+  // decode is real end to end — per-member gzip header walk (odd
+  // members carry FNAME fields), JDK inflate, and CRC-32 + ISIZE
+  // trailers VERIFIED against the decompressed bytes — then the
+  // WARC/1.0 header parse (version line, header block, Content-Length
+  // body, the record-separating CRLF pair). The oracle replays the
+  // record formulas: URIs and bodies are seed arithmetic, and md5(body)
+  // is computed by BOTH engines over the decompressed text, so a single
+  // corrupted byte anywhere in inflate/CRC/parse flips the hash. The
+  // warcinfo member is position 0 (rec_idx of the conversion records
+  // starts at 1), proving multi-member offsets advance exactly.
+  // Per-row, zero shuffle until the explode.
+  private val warcRecordsQ = Q(
+    (s, dir) => {
+      val w = ScaleOps.warcRecords(ScaleOps.synthWarcGz(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"),
+          col("w.n_members").cast(LongType).as("n_members"),
+          posexplode(col("w.records")).as(Seq("rec_idx", "r")))
+        .filter(col("r.rec_type") === "conversion")
+        .select(col("doc_id"), col("n_members"),
+          col("rec_idx").cast(LongType).as("rec_idx"),
+          col("r.uri").as("uri"),
+          length(col("r.body")).cast(LongType).as("body_len"),
+          md5(col("r.body").cast(BinaryType)).as("body_md5"))
+        .orderBy("doc_id", "rec_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS recs FROM documents),
+        | r AS (SELECT doc_id, recs, rr.range AS rec
+        |       FROM p CROSS JOIN range(0, 5) rr WHERE rr.range < recs),
+        | b AS (SELECT doc_id, recs, rec,
+        |        'text ' || doc_id || ' ' || rec || ' ' ||
+        |          repeat('ab', 5 + (doc_id + rec) % 9) AS body FROM r)
+        |SELECT doc_id,
+        | CAST(recs + 1 AS BIGINT) AS n_members,
+        | CAST(rec + 1 AS BIGINT) AS rec_idx,
+        | 'https://example.com/' || doc_id || '/' || rec AS uri,
+        | CAST(length(body) AS BIGINT) AS body_len,
+        | md5(body) AS body_md5
+        |FROM b ORDER BY doc_id, rec_idx""".stripMargin))
+
   // ------------------------------------------------ ID3v2 tag metadata
   // The audio-side exif_meta: title/artist/album/year from real ID3v2
   // tags prepended to real Layer III streams. Even docs travel as
@@ -5386,6 +5431,7 @@ object QueriesScale {
     "tiff_ext_pixels" -> tiffExtPixelsQ,
     "mp3_pcm" -> mp3PcmQ,
     "id3_meta" -> id3MetaQ,
+    "warc_records" -> warcRecordsQ,
     "exif_orient_pixels" -> exifOrientPixelsQ,
     "exif_meta" -> exifMetaQ,
     "audio_pcm" -> audioPcmQ,

@@ -1564,6 +1564,18 @@ object ScaleOps {
   def synthMp3Id3(doc: Column): Column =
     org.apache.spark.sql.graftnative.Id3Functions.synth_mp3_id3(doc)
 
+  /** WARC records from concatenated gzip members (CRC-32/ISIZE
+    * verified) (see [[org.apache.spark.sql.graftnative.WarcRecords]]).
+    */
+  def warcRecords(payload: Column): Column =
+    org.apache.spark.sql.graftnative.WarcFunctions.warc_records(payload)
+
+  /** WET-style WARC-in-gzip fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.WarcSynth]]).
+    */
+  def synthWarcGz(doc: Column): Column =
+    org.apache.spark.sql.graftnative.WarcFunctions.synth_warc_gz(doc)
+
   /** Baseline JPEG fixture wrapped with an APP1 Exif segment carrying
     * orientation `1 + (seed mod 8)`
     * (see [[org.apache.spark.sql.graftnative.ExifSynth]]).

@@ -124,6 +124,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("exif_meta", classOf[ExifMeta], ExifMeta(_))
     unary("mp3_decode", classOf[Mp3DecodeExpr], Mp3DecodeExpr(_))
     unary("id3_meta", classOf[Id3Meta], Id3Meta(_))
+    unary("warc_records", classOf[WarcRecords], WarcRecords(_))
     ext.injectFunction((
       new FunctionIdentifier("raster_orient"),
       new ExpressionInfo(classOf[RasterOrient].getName, "raster_orient"),

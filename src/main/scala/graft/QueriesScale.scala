@@ -2138,6 +2138,49 @@ object QueriesScale {
         |FROM p JOIN tot ON p.doc_id = tot.doc_id
         |ORDER BY p.doc_id""".stripMargin))
 
+  // ------------------------------------------------ HTML text extraction
+  // The step between warc_records and every text operator: crawls hand
+  // you MARKUP, and dedup/quality/LM scoring consume text. The
+  // extraction rules are fixed and engine-agnostic (scripts/styles/
+  // comments dropped with contents, block tags break lines, entities
+  // decoded, whitespace collapsed — see HtmlTextExtract's scaladoc),
+  // and the fixture front-loads the classic traps: a quoted '>' inside
+  // an attribute value, '>' inside a comment, entity references, tab/
+  // newline/double-space runs that must collapse, an inline <b> span
+  // flowing into its line. The oracle replays the expected VISIBLE
+  // text from the formulas and both engines md5 it. Per-row, zero
+  // shuffle.
+  private val htmlTextQ = Q(
+    (s, dir) => {
+      val h = ScaleOps.htmlText(ScaleOps.synthHtml(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), h.as("h"))
+        .select(col("doc_id"),
+          col("h.title").as("title"),
+          col("h.n_links").cast(LongType).as("n_links"),
+          length(col("h.text")).cast(LongType).as("text_len"),
+          md5(col("h.text").cast(BinaryType)).as("text_md5"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS np, doc_id % 3 AS nl
+        |           FROM documents),
+        | pl AS (SELECT doc_id, 0 AS grp, i.range AS idx,
+        |         'para&' || doc_id || ' ' || i.range || ' ' ||
+        |           repeat('wx', 3 + (doc_id + i.range) % 5) AS line
+        |        FROM p CROSS JOIN range(0, 5) i WHERE i.range < np
+        |        UNION ALL
+        |        SELECT doc_id, 1, k.range,
+        |         'link ' || doc_id || ' ' || k.range
+        |        FROM p CROSS JOIN range(0, 3) k WHERE k.range < nl),
+        | t AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY grp, idx)
+        |         AS text FROM pl GROUP BY doc_id)
+        |SELECT p.doc_id, 'Title ' || (p.doc_id % 9) AS title,
+        | CAST(p.nl AS BIGINT) AS n_links,
+        | CAST(length(t.text) AS BIGINT) AS text_len,
+        | md5(t.text) AS text_md5
+        |FROM p JOIN t ON p.doc_id = t.doc_id ORDER BY p.doc_id""".stripMargin))
+
   // ------------------------------------------- WARC/gzip record extract
   // The storage shape web crawls ARRIVE in: Common Crawl WARC/WET files
   // are concatenated gzip members, one WARC record per member. The
@@ -5432,6 +5475,7 @@ object QueriesScale {
     "mp3_pcm" -> mp3PcmQ,
     "id3_meta" -> id3MetaQ,
     "warc_records" -> warcRecordsQ,
+    "html_text" -> htmlTextQ,
     "exif_orient_pixels" -> exifOrientPixelsQ,
     "exif_meta" -> exifMetaQ,
     "audio_pcm" -> audioPcmQ,

@@ -1576,6 +1576,18 @@ object ScaleOps {
   def synthWarcGz(doc: Column): Column =
     org.apache.spark.sql.graftnative.WarcFunctions.synth_warc_gz(doc)
 
+  /** HTML visible-text extraction with fixed engine-agnostic rules
+    * (see [[org.apache.spark.sql.graftnative.HtmlTextExtract]]).
+    */
+  def htmlText(payload: Column): Column =
+    org.apache.spark.sql.graftnative.HtmlFunctions.html_text(payload)
+
+  /** Formula-text HTML fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.HtmlSynth]]).
+    */
+  def synthHtml(doc: Column): Column =
+    org.apache.spark.sql.graftnative.HtmlFunctions.synth_html(doc)
+
   /** Baseline JPEG fixture wrapped with an APP1 Exif segment carrying
     * orientation `1 + (seed mod 8)`
     * (see [[org.apache.spark.sql.graftnative.ExifSynth]]).

@@ -125,6 +125,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("mp3_decode", classOf[Mp3DecodeExpr], Mp3DecodeExpr(_))
     unary("id3_meta", classOf[Id3Meta], Id3Meta(_))
     unary("warc_records", classOf[WarcRecords], WarcRecords(_))
+    unary("html_text", classOf[HtmlTextExtract], HtmlTextExtract(_))
     ext.injectFunction((
       new FunctionIdentifier("raster_orient"),
       new ExpressionInfo(classOf[RasterOrient].getName, "raster_orient"),

@@ -1,0 +1,285 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML visible-text extraction — the step between [[WarcRecords]] and
+  * the text pipeline (dedup, quality, LM scoring all consume TEXT, and
+  * a crawl hands you markup). The rules are fixed and documented so
+  * two engines can agree byte-for-byte on the output:
+  *
+  *  1. `<script>`, `<style>`, and `<!-- comments -->` are dropped WITH
+  *     their contents (case-insensitive; a torn script/comment drops
+  *     the remainder of the document rather than leaking code as text).
+  *  2. The first `<title>` is captured separately (whitespace-collapsed).
+  *  3. BLOCK tags (`p div br h1-h6 li tr td th ul ol table section
+  *     article header footer blockquote pre`) start a new output line;
+  *     inline tags (`a b i em strong span ...` — anything else)
+  *     disappear, their text flowing into the current line.
+  *  4. Character references `&amp; &lt; &gt; &quot; &apos;` and
+  *     `&#NN;` / `&#xHH;` are decoded; unknown named entities pass
+  *     through verbatim.
+  *  5. Whitespace inside a line collapses to single spaces; lines are
+  *     trimmed; empty lines are dropped; lines join with `\n`.
+  *  6. `n_links` counts `<a` open tags carrying an `href` attribute.
+  *
+  * Attribute values may contain `>` inside quotes — the tag scanner is
+  * quote-aware, which is the classic naive-splitter bug. Output is a
+  * struct `(title, text, n_links)`; null input stays null, and inputs
+  * with NO tags at all pass through rule 4-5 (plain text is legal
+  * HTML). This is a TEXT-pipeline extractor with defined semantics,
+  * not a browser: no DOM tree, no CSS visibility, no JS.
+  */
+case class HtmlTextExtract(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = HtmlTextExtract.schema
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HtmlTextExtract.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = org.apache.spark.sql.graftnative.HtmlTextExtract.compute($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HtmlTextExtract {
+  val schema: StructType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("text", StringType, nullable = false),
+    StructField("n_links", IntegerType, nullable = false)))
+
+  private val BlockTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("p", "div", "br", "h1", "h2", "h3", "h4", "h5", "h6", "li", "tr",
+      "td", "th", "ul", "ol", "table", "section", "article", "header",
+      "footer", "blockquote", "pre").foreach(s.add)
+    s
+  }
+
+  /** Decode character references into `out`. */
+  private def decodeEntities(s: String, out: StringBuilder): Unit = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val name = s.substring(i + 1, semi)
+          val decoded: String = name match {
+            case "amp" => "&"
+            case "lt" => "<"
+            case "gt" => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case _ if name.startsWith("#x") || name.startsWith("#X") =>
+              try String.valueOf(Integer.parseInt(name.substring(2), 16).toChar)
+              catch { case _: Exception => null }
+            case _ if name.startsWith("#") =>
+              try String.valueOf(Integer.parseInt(name.substring(1)).toChar)
+              catch { case _: Exception => null }
+            case _ => null
+          }
+          if (decoded != null) { out.append(decoded); i = semi + 1 }
+          else { out.append(c); i += 1 }
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+  }
+
+  /** Collapse whitespace runs to single spaces and trim. */
+  private def collapse(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
+        pendingSpace = out.nonEmpty
+      } else {
+        if (pendingSpace) out.append(' ')
+        pendingSpace = false
+        out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  def compute(v: UTF8String): InternalRow = {
+    val html = v.toString
+    val n = html.length
+    var i = 0
+    var title: String = null
+    var nLinks = 0
+    val lines = new java.util.ArrayList[String]()
+    val cur = new StringBuilder()
+    def flush(): Unit = {
+      val line = collapse(cur.toString)
+      cur.setLength(0)
+      if (line.nonEmpty) lines.add(line)
+    }
+    var inTitle = false
+    val titleBuf = new StringBuilder()
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      val textEnd = if (lt < 0) n else lt
+      if (textEnd > i) {
+        val seg = new StringBuilder()
+        decodeEntities(html.substring(i, textEnd), seg)
+        if (inTitle) titleBuf.append(seg) else cur.append(seg)
+      }
+      if (lt < 0) {
+        i = n
+      } else if (html.startsWith("<!--", lt)) {
+        val close = html.indexOf("-->", lt + 4)
+        i = if (close < 0) n else close + 3
+      } else {
+        // quote-aware tag end scan
+        var j = lt + 1
+        var quote: Char = 0
+        var end = -1
+        while (end < 0 && j < n) {
+          val c = html.charAt(j)
+          if (quote != 0) { if (c == quote) quote = 0 }
+          else if (c == '"' || c == '\'') quote = c
+          else if (c == '>') end = j
+          j += 1
+        }
+        if (end < 0) { i = n } // torn tag: drop the remainder
+        else {
+          val inner = html.substring(lt + 1, end)
+          val closing = inner.startsWith("/")
+          val body = if (closing) inner.substring(1) else inner
+          var k = 0
+          while (k < body.length && Character.isLetterOrDigit(body.charAt(k))) k += 1
+          val name = body.substring(0, k).toLowerCase(java.util.Locale.ROOT)
+          i = end + 1
+          if (!closing && (name == "script" || name == "style")) {
+            // skip contents to the matching close tag
+            val close = html.toLowerCase(java.util.Locale.ROOT)
+              .indexOf("</" + name, i)
+            if (close < 0) i = n
+            else {
+              val gt = html.indexOf('>', close)
+              i = if (gt < 0) n else gt + 1
+            }
+          } else if (name == "title") {
+            if (closing) {
+              if (inTitle && title == null) title = collapse(titleBuf.toString)
+              inTitle = false
+            } else if (title == null) inTitle = true
+          } else {
+            if (!closing && name == "a" &&
+                body.toLowerCase(java.util.Locale.ROOT).contains("href"))
+              nLinks += 1
+            if (BlockTags.contains(name)) flush()
+          }
+        }
+      }
+    }
+    flush()
+    val sb = new StringBuilder()
+    var li = 0
+    while (li < lines.size()) {
+      if (li > 0) sb.append('\n')
+      sb.append(lines.get(li))
+      li += 1
+    }
+    new GenericInternalRow(Array[Any](
+      if (title == null) null else UTF8String.fromString(title),
+      UTF8String.fromString(sb.toString), nLinks))
+  }
+}
+
+/** Fixture: an HTML page whose VISIBLE text is a pure formula of the
+  * seed (what the oracle replays): a title, a dropped script and
+  * style block and comment, `2 + seed mod 3` paragraphs whose source
+  * carries entity references, tabs, newlines, and double spaces that
+  * must collapse to the formula text, an inline `<b>` span flowing
+  * into its line, and `seed mod 3` `<a href>` links each on its own
+  * line. One attribute value contains a QUOTED `>` — the classic
+  * naive-splitter trap.
+  */
+object HtmlSynth {
+  private def fm(a: Long, m: Long): Int = java.lang.Math.floorMod(a, m).toInt
+
+  def title(seed: Long): String = "Title " + fm(seed, 9)
+  def nParas(seed: Long): Int = 2 + fm(seed, 3)
+  def nLinks(seed: Long): Int = fm(seed, 3)
+  def paraText(seed: Long, i: Int): String =
+    s"para&$seed $i " + "wx" * (3 + fm(seed + i, 5))
+  def linkText(seed: Long, k: Int): String = s"link $seed $k"
+
+  def htmlString(seed: Long): String = {
+    val sb = new StringBuilder()
+    sb.append("<html><head><title>  ").append("Title  ").append(fm(seed, 9))
+      .append(" </title>\n")
+    sb.append("<style>body { color: red; }</style>\n")
+    sb.append("<script type=\"text/javascript\">if (1 > 0) { alert('<p>'); }</script>\n")
+    sb.append("</head>\n<body data-x=\"a>b\">\n")
+    sb.append("<!-- hidden > comment -->\n")
+    var i = 0
+    val np = nParas(seed)
+    while (i < np) {
+      // source: entity + doubled/odd whitespace + an inline <b> span;
+      // collapses to paraText exactly
+      sb.append("<p>para&amp;").append(seed).append("\t\n  ").append(i)
+        .append("  <b>").append("wx" * (3 + fm(seed + i, 5)))
+        .append("</b> </p>\n")
+      i += 1
+    }
+    var k = 0
+    val nl = nLinks(seed)
+    while (k < nl) {
+      sb.append("<p><a href=\"https://example.com/").append(seed).append('/')
+        .append(k).append("\">link ").append(seed).append(' ').append(k)
+        .append("</a></p>\n")
+      k += 1
+    }
+    sb.append("</body></html>\n")
+    sb.toString
+  }
+}
+
+/** Expression wrapping [[HtmlSynth.htmlString]]. */
+case class SynthHtml(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(doc: Any): Any =
+    UTF8String.fromString(HtmlSynth.htmlString(doc.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d => s"""
+      ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+        org.apache.spark.sql.graftnative.HtmlSynth.htmlString($d));
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HtmlFunctions {
+  def html_text(payload: Column): Column =
+    ExpressionUtils.column(HtmlTextExtract(ExpressionUtils.expression(payload)))
+
+  def synth_html(doc: Column): Column =
+    ExpressionUtils.column(SynthHtml(ExpressionUtils.expression(doc)))
+}

@@ -60,6 +60,13 @@ object WarcRecords {
   private val MaxMembers = 4096
   private val MaxInflated = 1 << 24
 
+  /** Per-thread reusable inflater: a crawl-scale decode walks millions
+    * of small members, and per-member native Inflater allocation costs
+    * more than the inflate itself; reset() restores fresh-stream state.
+    */
+  private val tlInf = ThreadLocal.withInitial[java.util.zip.Inflater](() =>
+    new java.util.zip.Inflater(true))
+
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
   private def leU32(b: Array[Byte], i: Int): Long =
     u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
@@ -82,7 +89,8 @@ object WarcRecords {
       if (i >= b.length) return null
       i += 1
     }
-    val inf = new java.util.zip.Inflater(true)
+    val inf = tlInf.get()
+    inf.reset()
     inf.setInput(b, i, b.length - i)
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
@@ -94,11 +102,10 @@ object WarcRecords {
         out.write(buf, 0, n)
         if (out.size() > MaxInflated) return null
       }
-      // read BEFORE end() releases the native state
       remaining = inf.getRemaining
     } catch {
       case _: java.util.zip.DataFormatException => return null
-    } finally inf.end()
+    }
     val consumed = (b.length - i) - remaining
     val trailerAt = i + consumed
     if (trailerAt + 8 > b.length) return null
@@ -190,6 +197,11 @@ object WarcRecords {
 object WarcSynth {
   private def fm(a: Long, m: Long): Int = java.lang.Math.floorMod(a, m).toInt
 
+  private val tlDefl = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+    // BEST_SPEED: the fixture prices the DECODE side; level-6 encode was
+  // ~3x the inflate+verify cost and dominated the key's wall time
+  new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true))
+
   def nConversion(seed: Long): Int = 2 + fm(seed, 3)
   def uri(seed: Long, rec: Int): String = s"https://example.com/$seed/$rec"
   def body(seed: Long, rec: Int): String =
@@ -206,7 +218,8 @@ object WarcSynth {
       out.write(nb, 0, nb.length)
       out.write(0)
     }
-    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    val defl = tlDefl.get()
+    defl.reset()
     defl.setInput(payload)
     defl.finish()
     val buf = new Array[Byte](8192)
@@ -214,7 +227,6 @@ object WarcSynth {
       val n = defl.deflate(buf)
       out.write(buf, 0, n)
     }
-    defl.end()
     val crc = new java.util.zip.CRC32()
     crc.update(payload, 0, payload.length)
     val c = crc.getValue

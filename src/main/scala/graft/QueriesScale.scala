@@ -2059,6 +2059,68 @@ object QueriesScale {
         | CAST(s2 AS BIGINT) AS b_sum
         |FROM s ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------------- tiled TIFF decode
+  // The organization large scans actually use (tiles are TIFF's answer
+  // to random access into big rasters): fixed 16×16 tiles addressed by
+  // TileOffsets/TileByteCounts, EDGE TILES PADDED TO FULL SIZE in the
+  // data, and the horizontal predictor undifferencing PER TILE ROW
+  // (each tile is independent — a decoder carrying prediction across a
+  // tile boundary corrupts every tile after the first and flips the
+  // hash). Even docs: II tiled LZW RGB with the predictor (the
+  // archetypal scanner output); odd docs: MM tiled uncompressed 16-bit
+  // grayscale (byte order on the 16-bit path again). Dims run past one
+  // tile in both axes so multi-tile assembly and padding are on the
+  // oracle path. Per-row, zero shuffle.
+  private val tiffTiledPixelsQ = Q(
+    (s, dir) => {
+      val w = lit(3L) + col("doc_id") % 29
+      val h = lit(3L) + col("doc_id") % 23
+      val payload = when(col("doc_id") % 2 === 0,
+          ScaleOps.synthTiff(w, h, col("doc_id"), 9))
+        .otherwise(ScaleOps.synthTiff(w, h, col("doc_id"), 10))
+      val raster = ScaleOps.imageDecode(payload)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raster.as("r"))
+        .select(col("doc_id"),
+          col("r.format").as("format"),
+          col("r.width").cast(LongType).as("width"),
+          col("r.height").cast(LongType).as("height"),
+          col("r.channels").cast(LongType).as("channels"),
+          ScaleOps.rasterChannelSums(
+            ScaleOps.imageResizeNN(col("r"), 4, 4)).as("s"))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("channels"),
+          col("s").getItem(0).as("y_sum"),
+          when(col("channels") === 1, lit(null).cast(LongType))
+            .otherwise(col("s").getItem(1)).as("g_sum"),
+          when(col("channels") === 1, lit(null).cast(LongType))
+            .otherwise(col("s").getItem(2)).as("b_sum"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 29 AS w, 3 + doc_id % 23 AS h,
+        |   CAST(doc_id % 2 AS INT) AS m FROM documents),
+        | g AS (SELECT d.*, gx.range AS x, gy.range AS y
+        |        FROM d CROSS JOIN range(0, 4) gx CROSS JOIN range(0, 4) gy),
+        | px AS (SELECT doc_id, w, h, m,
+        |         ((y * h // 4) * w + (x * w // 4)) AS p FROM g),
+        | v AS (SELECT doc_id, w, h, m,
+        |        CASE WHEN m = 0 THEN (doc_id * 31 + (3 * p + 0) * 7) % 256
+        |             ELSE ((doc_id * 131 + p * 251) % 65536) // 256 END AS c0,
+        |        CASE WHEN m = 0 THEN (doc_id * 31 + (3 * p + 1) * 7) % 256
+        |             ELSE NULL END AS c1,
+        |        CASE WHEN m = 0 THEN (doc_id * 31 + (3 * p + 2) * 7) % 256
+        |             ELSE NULL END AS c2
+        |       FROM px),
+        | s AS (SELECT doc_id, w, h, m, SUM(c0) AS s0, SUM(c1) AS s1,
+        |        SUM(c2) AS s2 FROM v GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, 'tiff' AS format,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(CASE WHEN m = 0 THEN 3 ELSE 1 END AS BIGINT) AS channels,
+        | CAST(s0 AS BIGINT) AS y_sum, CAST(s1 AS BIGINT) AS g_sum,
+        | CAST(s2 AS BIGINT) AS b_sum
+        |FROM s ORDER BY doc_id""".stripMargin))
+
   // ------------------------------------------- MP3 Layer III PCM decode
   // The lossy format that dominates crawled web audio, decoded for real
   // (see Mp3L3Codec's scaladoc for the precise scope): the oracle rides
@@ -5472,6 +5534,7 @@ object QueriesScale {
     "png_ext_pixels" -> pngExtPixelsQ,
     "tiff_pixels" -> tiffPixelsQ,
     "tiff_ext_pixels" -> tiffExtPixelsQ,
+    "tiff_tiled_pixels" -> tiffTiledPixelsQ,
     "mp3_pcm" -> mp3PcmQ,
     "id3_meta" -> id3MetaQ,
     "warc_records" -> warcRecordsQ,

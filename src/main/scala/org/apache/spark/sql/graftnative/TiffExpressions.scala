@@ -128,6 +128,46 @@ object TiffCodec {
 
   private final class Entry(val typ: Int, val count: Long, val at: Int)
 
+  /** Decompress one strip/tile segment to exactly `need` bytes
+    * (compression 1 = none, 5 = LZW, 32773 = PackBits), or null.
+    */
+  private def segment(b: Array[Byte], so: Long, sc: Long, need: Int,
+      compression: Long): Array[Byte] = {
+    if (so < 0 || sc < 0 || so + sc > b.length) return null
+    if (compression == 1) {
+      if (sc != need) return null
+      java.util.Arrays.copyOfRange(b, so.toInt, (so + sc).toInt)
+    } else if (compression == 5) {
+      lzwDecode(b, so.toInt, (so + sc).toInt, need)
+    } else {
+      // PackBits (TIFF 6.0 §9): n in 0..127 -> copy n+1 literals;
+      // n in -127..-1 -> repeat next byte 1-n times; -128 is a noop
+      val out = new Array[Byte](need)
+      var src = so.toInt
+      val end = (so + sc).toInt
+      var got = 0
+      while (got < need) {
+        if (src >= end) return null
+        val n = b(src)
+        src += 1
+        if (n >= 0) {
+          val len = n + 1
+          if (src + len > end || got + len > need) return null
+          System.arraycopy(b, src, out, got, len)
+          src += len
+          got += len
+        } else if (n != -128) {
+          val len = 1 - n
+          if (src >= end || got + len > need) return null
+          java.util.Arrays.fill(out, got, got + len, b(src))
+          src += 1
+          got += len
+        }
+      }
+      out
+    }
+  }
+
   def isTiff(b: Array[Byte]): Boolean =
     b.length >= 8 &&
       ((b(0) == 'I' && b(1) == 'I' && u8(b, 2) == 0x2A && u8(b, 3) == 0) ||
@@ -211,74 +251,89 @@ object TiffCodec {
     }
     val ch = if (photometric == 2 || palette) 3 else 1
     if (ch.toLong * w * h > MaxPixelBytes) return unknown
-    val rowsPerStrip = one(278, h)
-    if (rowsPerStrip < 1) return unknown
-    val nStrips = ((h + rowsPerStrip - 1) / rowsPerStrip).toInt
-    val offs = values(entries.get(273), nStrips)
-    val counts = values(entries.get(279), nStrips)
-    if (offs == null || counts == null || offs.length != nStrips ||
-        counts.length != nStrips) return unknown
-
-    // ---- strips -> raw sample bytes (pre-predictor, pre-mapping)
     val bytesPerSample = depth.toInt / 8
     val rowRaw = (w * spp * bytesPerSample).toInt
     val raw = new Array[Byte](rowRaw * h.toInt)
-    var strip = 0
-    var dst = 0
-    while (strip < nStrips) {
-      val rows = math.min(rowsPerStrip, h - strip.toLong * rowsPerStrip)
-      val need = (rows * rowRaw).toInt
-      val so = offs(strip)
-      val sc = counts(strip)
-      if (so < 0 || sc < 0 || so + sc > b.length) return unknown
-      if (compression == 1) {
-        if (sc != need) return unknown
-        System.arraycopy(b, so.toInt, raw, dst, need)
-      } else if (compression == 5) {
-        val dec = lzwDecode(b, so.toInt, (so + sc).toInt, need)
-        if (dec == null) return unknown
-        System.arraycopy(dec, 0, raw, dst, need)
-      } else {
-        // PackBits (TIFF 6.0 §9): n in 0..127 -> copy n+1 literals;
-        // n in -127..-1 -> repeat next byte 1-n times; -128 is a noop
-        var src = so.toInt
-        val end = (so + sc).toInt
-        var got = 0
-        while (got < need) {
-          if (src >= end) return unknown
-          val n = b(src)
-          src += 1
-          if (n >= 0) {
-            val len = n + 1
-            if (src + len > end || got + len > need) return unknown
-            System.arraycopy(b, src, raw, dst + got, len)
-            src += len
-            got += len
-          } else if (n != -128) {
-            val len = 1 - n
-            if (src >= end || got + len > need) return unknown
-            java.util.Arrays.fill(raw, dst + got, dst + got + len, b(src))
-            src += 1
-            got += len
+    val tiled = entries.containsKey(322) || entries.containsKey(324)
+    if (tiled) {
+      // ---- tiled organization (TIFF 6.0 §15): fixed tw×th tiles,
+      // edge tiles padded to FULL size in the data; the predictor
+      // undifferences per TILE row (each tile is independent)
+      val tw = one(322)
+      val th = one(323)
+      if (tw < 16 || th < 16 || tw % 16 != 0 || th % 16 != 0) return unknown
+      val across = ((w + tw - 1) / tw).toInt
+      val down = ((h + th - 1) / th).toInt
+      val nTiles = across * down
+      if (nTiles > (1 << 16)) return unknown
+      val offs = values(entries.get(324), nTiles)
+      val counts = values(entries.get(325), nTiles)
+      if (offs == null || counts == null || offs.length != nTiles ||
+          counts.length != nTiles) return unknown
+      val tileRowBytes = (tw * spp * bytesPerSample).toInt
+      val need = tileRowBytes * th.toInt
+      var t = 0
+      while (t < nTiles) {
+        val data = segment(b, offs(t), counts(t), need, compression)
+        if (data == null) return unknown
+        if (predictor == 2) {
+          var ty = 0
+          while (ty < th) {
+            val base = ty * tileRowBytes
+            var x = spp
+            while (x < tileRowBytes) {
+              data(base + x) = (data(base + x) + data(base + x - spp)).toByte
+              x += 1
+            }
+            ty += 1
           }
         }
-      }
-      dst += need
-      strip += 1
-    }
-
-    // ---- horizontal predictor (tag 317 = 2): per-row, per-channel
-    // cumulative sums restore the original samples (TIFF 6.0 §14)
-    if (predictor == 2) {
-      var y = 0
-      while (y < h) {
-        val base = y * rowRaw
-        var x = spp
-        while (x < rowRaw) {
-          raw(base + x) = (raw(base + x) + raw(base + x - spp)).toByte
-          x += 1
+        // copy the in-bounds region into the raster
+        val tx0 = (t % across) * tw
+        val ty0 = (t / across) * th
+        val copyCols = (math.min(tw, w - tx0) * spp * bytesPerSample).toInt
+        val copyRows = math.min(th, h - ty0).toInt
+        var r = 0
+        while (r < copyRows) {
+          System.arraycopy(data, r * tileRowBytes, raw,
+            ((ty0 + r) * rowRaw + tx0 * spp * bytesPerSample).toInt, copyCols)
+          r += 1
         }
-        y += 1
+        t += 1
+      }
+    } else {
+      val rowsPerStrip = one(278, h)
+      if (rowsPerStrip < 1) return unknown
+      val nStrips = ((h + rowsPerStrip - 1) / rowsPerStrip).toInt
+      val offs = values(entries.get(273), nStrips)
+      val counts = values(entries.get(279), nStrips)
+      if (offs == null || counts == null || offs.length != nStrips ||
+          counts.length != nStrips) return unknown
+      // ---- strips -> raw sample bytes (pre-predictor, pre-mapping)
+      var strip = 0
+      var dst = 0
+      while (strip < nStrips) {
+        val rows = math.min(rowsPerStrip, h - strip.toLong * rowsPerStrip)
+        val need = (rows * rowRaw).toInt
+        val data = segment(b, offs(strip), counts(strip), need, compression)
+        if (data == null) return unknown
+        System.arraycopy(data, 0, raw, dst, need)
+        dst += need
+        strip += 1
+      }
+      // ---- horizontal predictor (tag 317 = 2): per-row, per-channel
+      // cumulative sums restore the original samples (TIFF 6.0 §14)
+      if (predictor == 2) {
+        var y = 0
+        while (y < h) {
+          val base = y * rowRaw
+          var x = spp
+          while (x < rowRaw) {
+            raw(base + x) = (raw(base + x) + raw(base + x - spp)).toByte
+            x += 1
+          }
+          y += 1
+        }
       }
     }
 
@@ -446,6 +501,7 @@ object TiffSynth {
 
   def tiffBytes(wL: Long, hL: Long, seed: Long, mode: Int): Array[Byte] = {
     if (wL < 1 || hL < 1 || wL > 1024 || hL > 1024) return null
+    if (mode == 9 || mode == 10) return tiffTiledBytes(wL, hL, seed, mode)
     val w = wL.toInt; val h = hL.toInt
     val le = mode == 0 || mode == 2 || mode == 4 || mode == 6 || mode == 8
     val gray = mode == 2 || mode == 4
@@ -595,6 +651,143 @@ object TiffSynth {
     while (s < nStrips) { out.write(strips(s), 0, strips(s).length); s += 1 }
     out.toByteArray
   }
+
+  /** Tiled fixture (modes 9/10): 16×16 tiles with edge padding, tile
+    * offset/count arrays (tags 322-325). Mode 9 = II tiled LZW RGB
+    * with the horizontal predictor (undifferencing restarts per TILE
+    * row — the tile-independence contract); mode 10 = MM tiled
+    * uncompressed 16-bit grayscale. Pixel formulas are the shared
+    * ones (rgbAt / gray16At), so the same oracles replay them.
+    */
+  private def tiffTiledBytes(wL: Long, hL: Long, seed: Long,
+      mode: Int): Array[Byte] = {
+    val w = wL.toInt; val h = hL.toInt
+    val le = mode == 9
+    val rgb = mode == 9
+    val g16 = mode == 10
+    val pred2 = mode == 9
+    val lzw = mode == 9
+    val spp = if (rgb) 3 else 1
+    val bps = if (g16) 2 else 1
+    val tw = 16; val th = 16
+    val across = (w + tw - 1) / tw
+    val down = (h + th - 1) / th
+    val nTiles = across * down
+    val rowRaw = w * spp * bps
+    val raw = new Array[Byte](rowRaw * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pix = y.toLong * w + x
+        if (g16) {
+          val v = gray16At(seed, pix)
+          val at = y * rowRaw + 2 * x
+          if (le) { raw(at) = (v & 0xFF).toByte; raw(at + 1) = (v >> 8).toByte }
+          else { raw(at) = (v >> 8).toByte; raw(at + 1) = (v & 0xFF).toByte }
+        } else {
+          var c = 0
+          while (c < 3) {
+            raw((y * w + x) * 3 + c) = rgbAt(seed, pix, c).toByte
+            c += 1
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val tileRowBytes = tw * spp * bps
+    val tiles = new Array[Array[Byte]](nTiles)
+    var t = 0
+    while (t < nTiles) {
+      val tx0 = (t % across) * tw
+      val ty0 = (t / across) * th
+      val buf = new Array[Byte](tileRowBytes * th) // zero edge padding
+      var r = 0
+      while (r < th) {
+        val sy = ty0 + r
+        if (sy < h) {
+          val cols = math.min(tw, w - tx0) * spp * bps
+          System.arraycopy(raw, sy * rowRaw + tx0 * spp * bps,
+            buf, r * tileRowBytes, cols)
+        }
+        r += 1
+      }
+      if (pred2) {
+        r = 0
+        while (r < th) {
+          val base = r * tileRowBytes
+          var x = tileRowBytes - 1
+          while (x >= spp) {
+            buf(base + x) = (buf(base + x) - buf(base + x - spp)).toByte
+            x -= 1
+          }
+          r += 1
+        }
+      }
+      tiles(t) = if (lzw) lzwEncode(buf) else buf
+      t += 1
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (le) { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      else { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def w32(v: Long): Unit =
+      if (le) {
+        out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+        out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+      } else {
+        out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+        out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+      }
+    if (le) { out.write('I'); out.write('I'); w16(42) }
+    else { out.write('M'); out.write('M'); w16(42) }
+    w32(8)
+    // 256,257,258,259,262,284 + 277 (rgb) + 317 (pred) + 322,323,324,325
+    val nEntries = 10 + (if (rgb) 1 else 0) + (if (pred2) 1 else 0)
+    val ifdSize = 2 + 12 * nEntries + 4
+    var cursor = 8L + ifdSize
+    val bitsOff = cursor
+    if (rgb) cursor += 6
+    val offArrAt = cursor
+    if (nTiles > 1) cursor += 4L * nTiles
+    val cntArrAt = cursor
+    if (nTiles > 1) cursor += 4L * nTiles
+    val tileOffs = new Array[Long](nTiles)
+    t = 0
+    while (t < nTiles) { tileOffs(t) = cursor; cursor += tiles(t).length; t += 1 }
+    w16(nEntries)
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+      w16(tag); w16(typ); w32(count)
+      if (typ == 3 && count == 1) { w16(value.toInt); w16(0) } else w32(value)
+    }
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    if (rgb) entry(258, 3, 3, bitsOff) else entry(258, 3, 1, 16)
+    entry(259, 3, 1, if (lzw) 5 else 1)
+    entry(262, 3, 1, if (rgb) 2 else 1)
+    if (rgb) entry(277, 3, 1, 3)
+    entry(284, 3, 1, 1)
+    if (pred2) entry(317, 3, 1, 2)
+    entry(322, 4, 1, tw)
+    entry(323, 4, 1, th)
+    if (nTiles == 1) entry(324, 4, 1, tileOffs(0))
+    else entry(324, 4, nTiles, offArrAt)
+    if (nTiles == 1) entry(325, 4, 1, tiles(0).length)
+    else entry(325, 4, nTiles, cntArrAt)
+    w32(0)
+    if (rgb) { w16(8); w16(8); w16(8) }
+    if (nTiles > 1) {
+      t = 0
+      while (t < nTiles) { w32(tileOffs(t)); t += 1 }
+      t = 0
+      while (t < nTiles) { w32(tiles(t).length); t += 1 }
+    }
+    t = 0
+    while (t < nTiles) { out.write(tiles(t), 0, tiles(t).length); t += 1 }
+    out.toByteArray
+  }
 }
 
 /** Codegen-friendly expression wrapping [[TiffSynth.tiffBytes]]. */
@@ -602,8 +795,8 @@ case class SynthTiff(first: Expression, second: Expression, third: Expression,
     mode: Int)
     extends TernaryExpression with ImplicitCastInputTypes {
 
-  require(mode >= 0 && mode <= 8,
-    s"synth_tiff mode must be 0-8 (byte order x layout x compression); got $mode")
+  require(mode >= 0 && mode <= 10,
+    s"synth_tiff mode must be 0-10 (byte order x layout x compression x organization); got $mode")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType, LongType)
   override def dataType: DataType = BinaryType

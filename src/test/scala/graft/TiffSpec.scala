@@ -147,6 +147,43 @@ class TiffSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(ii, mm))
   }
 
+  test("tiled (modes 9/10): multi-tile assembly, edge padding, per-tile predictor") {
+    // 20x18 -> 2x2 tiles of 16x16 with right/bottom padding
+    val r9 = decode(TiffSynth.tiffBytes(20, 18, 4L, 9))
+    assert(fmt(r9) == "tiff" && r9.getInt(1) == 20 && r9.getInt(2) == 18 &&
+      r9.getInt(3) == 3)
+    val px9 = r9.getBinary(4)
+    for (p <- 0 until 360; c <- 0 until 3)
+      assert((px9(p * 3 + c) & 0xFF) == TiffSynth.rgbAt(4L, p, c),
+        s"tiled LZW+pred p=$p c=$c")
+    val r10 = decode(TiffSynth.tiffBytes(33, 17, 7L, 10))
+    assert(fmt(r10) == "tiff" && r10.getInt(3) == 1)
+    val px10 = r10.getBinary(4)
+    for (p <- 0 until 33 * 17)
+      assert((px10(p) & 0xFF) == (TiffSynth.gray16At(7L, p) >> 8),
+        s"tiled MM 16-bit p=$p")
+    // exactly-tile-aligned dims also work (no padding path)
+    val ra = decode(TiffSynth.tiffBytes(32, 16, 2L, 9))
+    assert(fmt(ra) == "tiff" && ra.getInt(1) == 32)
+  }
+
+  test("tiled reject: a TileWidth that is not a multiple of 16") {
+    val ok = TiffSynth.tiffBytes(20, 18, 1L, 9)
+    val c = ok.clone()
+    // II layout: find tag 322's entry and set its LONG value to 15
+    val n = (c(8) & 0xFF) | ((c(9) & 0xFF) << 8)
+    var e = 0
+    while (e < n) {
+      val off = 10 + 12 * e
+      val t = (c(off) & 0xFF) | ((c(off + 1) & 0xFF) << 8)
+      if (t == 322) { c(off + 8) = 15; c(off + 9) = 0 }
+      e += 1
+    }
+    assert(fmt(decode(c)) == "unknown")
+    // torn tile data
+    assert(fmt(decode(ok.take(ok.length - 9))) == "unknown")
+  }
+
   test("reject matrix: planar, missing ColorMap, 16-bit predictor, torn streams") {
     val ok = TiffSynth.tiffBytes(8, 6, 1L, 0)
     assert(fmt(decode(ok)) == "tiff")

@@ -2200,6 +2200,56 @@ object QueriesScale {
         |FROM p JOIN tot ON p.doc_id = tot.doc_id
         |ORDER BY p.doc_id""".stripMargin))
 
+  // -------------------------------------------- MP4 per-track sample stats
+  // One level deeper than container_meta's mvhd fields — the inventory
+  // pass a video pipeline runs before fetching any mdat bytes: per
+  // track, the handler and codec fourccs (hdlr/stsd), the mdhd
+  // timescale/duration, and the sample count and media BYTE volume
+  // from the real sample tables (stts sums; stsz in BOTH its modes —
+  // per-sample u32 entries on the video track, fixed-size on the
+  // audio track — with the stts-vs-stsz count consistency gate on the
+  // decode path). Odd docs carry two tracks. Per-row, zero shuffle
+  // until the explode.
+  private val mp4TracksQ = Q(
+    (s, dir) => {
+      val m = ScaleOps.mp4Tracks(ScaleOps.synthMp4Tracks(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), m.as("m"))
+        .select(col("doc_id"), col("m.brand").as("brand"),
+          posexplode(col("m.tracks")).as(Seq("trk", "t")))
+        .select(col("doc_id"), col("brand"),
+          col("trk").cast(LongType).as("trk"),
+          col("t.handler").as("handler"),
+          col("t.codec").as("codec"),
+          col("t.timescale").as("timescale"),
+          col("t.duration").as("duration"),
+          col("t.n_samples").as("n_samples"),
+          col("t.total_bytes").as("total_bytes"))
+        .orderBy("doc_id", "trk")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 10 + doc_id % 20 AS nv, 20 + doc_id % 30 AS na,
+        |   (doc_id % 2 = 1) AS has_audio FROM documents),
+        | vbytes AS (SELECT doc_id, SUM(100 + (doc_id * 7 + i.range * 13) % 900)
+        |     AS vb FROM p CROSS JOIN range(0, 30) i WHERE i.range < nv
+        |   GROUP BY doc_id),
+        | rows_ AS (
+        |  SELECT p.doc_id, 0 AS trk, 'vide' AS handler, 'avc1' AS codec,
+        |   CAST(30000 AS BIGINT) AS timescale,
+        |   CAST(nv * 1001 AS BIGINT) AS duration,
+        |   CAST(nv AS BIGINT) AS n_samples, CAST(vb AS BIGINT) AS total_bytes
+        |  FROM p JOIN vbytes ON p.doc_id = vbytes.doc_id
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'soun', 'mp4a', 48000, na * 1024, na,
+        |   na * (64 + doc_id % 64)
+        |  FROM p WHERE has_audio)
+        |SELECT doc_id, 'isom' AS brand, CAST(trk AS BIGINT) AS trk, handler,
+        | codec, CAST(timescale AS BIGINT) AS timescale,
+        | CAST(duration AS BIGINT) AS duration,
+        | CAST(n_samples AS BIGINT) AS n_samples,
+        | CAST(total_bytes AS BIGINT) AS total_bytes
+        |FROM rows_ ORDER BY doc_id, trk""".stripMargin))
+
   // ------------------------------------------------ HTML text extraction
   // The step between warc_records and every text operator: crawls hand
   // you MARKUP, and dedup/quality/LM scoring consume text. The
@@ -5539,6 +5589,7 @@ object QueriesScale {
     "id3_meta" -> id3MetaQ,
     "warc_records" -> warcRecordsQ,
     "html_text" -> htmlTextQ,
+    "mp4_tracks" -> mp4TracksQ,
     "exif_orient_pixels" -> exifOrientPixelsQ,
     "exif_meta" -> exifMetaQ,
     "audio_pcm" -> audioPcmQ,

@@ -1588,6 +1588,18 @@ object ScaleOps {
   def synthHtml(doc: Column): Column =
     org.apache.spark.sql.graftnative.HtmlFunctions.synth_html(doc)
 
+  /** MP4 per-track sample tables (stsd/stsz/stts walk)
+    * (see [[org.apache.spark.sql.graftnative.Mp4Tracks]]).
+    */
+  def mp4Tracks(payload: Column): Column =
+    org.apache.spark.sql.graftnative.Mp4TrackFunctions.mp4_tracks(payload)
+
+  /** ftyp+moov fixture with real sample tables from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.Mp4TracksSynth]]).
+    */
+  def synthMp4Tracks(doc: Column): Column =
+    org.apache.spark.sql.graftnative.Mp4TrackFunctions.synth_mp4_tracks(doc)
+
   /** Baseline JPEG fixture wrapped with an APP1 Exif segment carrying
     * orientation `1 + (seed mod 8)`
     * (see [[org.apache.spark.sql.graftnative.ExifSynth]]).

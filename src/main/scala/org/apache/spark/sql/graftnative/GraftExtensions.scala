@@ -126,6 +126,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("id3_meta", classOf[Id3Meta], Id3Meta(_))
     unary("warc_records", classOf[WarcRecords], WarcRecords(_))
     unary("html_text", classOf[HtmlTextExtract], HtmlTextExtract(_))
+    unary("mp4_tracks", classOf[Mp4Tracks], Mp4Tracks(_))
     ext.injectFunction((
       new FunctionIdentifier("raster_orient"),
       new ExpressionInfo(classOf[RasterOrient].getName, "raster_orient"),

@@ -14,20 +14,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * a crawl hands you markup). The rules are fixed and documented so
   * two engines can agree byte-for-byte on the output:
   *
-  *  1. `<script>`, `<style>`, and `<!-- comments -->` are dropped WITH
-  *     their contents (case-insensitive; a torn script/comment drops
-  *     the remainder of the document rather than leaking code as text).
+  *  1. `<script>`, `<style>`, `<!-- comments -->`, and
+  *     `<![CDATA[ ... ]]>` sections are dropped WITH their contents
+  *     (case-insensitive; a torn script/comment/CDATA drops the
+  *     remainder of the document rather than leaking code as text).
   *  2. The first `<title>` is captured separately (whitespace-collapsed).
   *  3. BLOCK tags (`p div br h1-h6 li tr td th ul ol table section
   *     article header footer blockquote pre`) start a new output line;
   *     inline tags (`a b i em strong span ...` — anything else)
   *     disappear, their text flowing into the current line.
-  *  4. Character references `&amp; &lt; &gt; &quot; &apos;` and
-  *     `&#NN;` / `&#xHH;` are decoded; unknown named entities pass
-  *     through verbatim.
+  *  4. Character references are decoded: the XML five (`&amp; &lt;
+  *     &gt; &quot; &apos;`), the common HTML named set (`&nbsp;
+  *     &mdash; &rsquo; &copy; &euro; ...` — the Latin-1 punctuation/
+  *     symbol block plus General-Punctuation names), and `&#NN;` /
+  *     `&#xHH;` including supplementary-plane code points (surrogate
+  *     pairs emitted, invalid code points passed through verbatim).
+  *     Unknown named entities pass through verbatim.
   *  5. Whitespace inside a line collapses to single spaces; lines are
   *     trimmed; empty lines are dropped; lines join with `\n`.
-  *  6. `n_links` counts `<a` open tags carrying an `href` attribute.
+  *  6. `n_links` counts `<a` open tags carrying an `href` ATTRIBUTE —
+  *     the name matched at an attribute boundary outside quoted
+  *     values, so `data-xhref=`, `class="hrefbtn"`, `hreflang=`, and
+  *     mentions inside attribute VALUES do not count.
   *
   * Attribute values may contain `>` inside quotes — the tag scanner is
   * quote-aware, which is the classic naive-splitter bug. Output is a
@@ -70,6 +78,51 @@ object HtmlTextExtract {
     s
   }
 
+  /** The common HTML named references beyond the XML five: the Latin-1
+    * supplement block (nbsp..iquest, times, divide) and the General
+    * Punctuation / symbol names real pages actually use (quotes,
+    * dashes, ellipsis, bullet, euro, trade, arrows). Single canonical
+    * code point each, per the WHATWG named-references table.
+    */
+  private val NamedEntities: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("amp", "&"); m.put("lt", "<"); m.put("gt", ">")
+    m.put("quot", "\""); m.put("apos", "'")
+    val latin1 = Seq(
+      "nbsp" -> 0xA0, "iexcl" -> 0xA1, "cent" -> 0xA2, "pound" -> 0xA3,
+      "curren" -> 0xA4, "yen" -> 0xA5, "brvbar" -> 0xA6, "sect" -> 0xA7,
+      "uml" -> 0xA8, "copy" -> 0xA9, "ordf" -> 0xAA, "laquo" -> 0xAB,
+      "not" -> 0xAC, "shy" -> 0xAD, "reg" -> 0xAE, "macr" -> 0xAF,
+      "deg" -> 0xB0, "plusmn" -> 0xB1, "sup2" -> 0xB2, "sup3" -> 0xB3,
+      "acute" -> 0xB4, "micro" -> 0xB5, "para" -> 0xB6, "middot" -> 0xB7,
+      "cedil" -> 0xB8, "sup1" -> 0xB9, "ordm" -> 0xBA, "raquo" -> 0xBB,
+      "frac14" -> 0xBC, "frac12" -> 0xBD, "frac34" -> 0xBE,
+      "iquest" -> 0xBF, "times" -> 0xD7, "divide" -> 0xF7)
+    val punct = Seq(
+      "ndash" -> 0x2013, "mdash" -> 0x2014, "lsquo" -> 0x2018,
+      "rsquo" -> 0x2019, "sbquo" -> 0x201A, "ldquo" -> 0x201C,
+      "rdquo" -> 0x201D, "bdquo" -> 0x201E, "dagger" -> 0x2020,
+      "Dagger" -> 0x2021, "bull" -> 0x2022, "hellip" -> 0x2026,
+      "permil" -> 0x2030, "prime" -> 0x2032, "Prime" -> 0x2033,
+      "lsaquo" -> 0x2039, "rsaquo" -> 0x203A, "oline" -> 0x203E,
+      "frasl" -> 0x2044, "euro" -> 0x20AC, "trade" -> 0x2122,
+      "minus" -> 0x2212, "larr" -> 0x2190, "uarr" -> 0x2191,
+      "rarr" -> 0x2192, "darr" -> 0x2193, "harr" -> 0x2194)
+    (latin1 ++ punct).foreach { case (k, cp) =>
+      m.put(k, String.valueOf(cp.toChar))
+    }
+    m
+  }
+
+  /** Code point → string, surrogate pairs for supplementary planes;
+    * null on an invalid code point (the reference then passes through
+    * verbatim, matching the unknown-name stance).
+    */
+  private def codePointStr(cp: Int): String =
+    if (cp < 0 || cp > Character.MAX_CODE_POINT ||
+        (cp >= Character.MIN_SURROGATE && cp <= Character.MAX_SURROGATE)) null
+    else new String(Character.toChars(cp))
+
   /** Decode character references into `out`. */
   private def decodeEntities(s: String, out: StringBuilder): Unit = {
     var i = 0
@@ -79,25 +132,66 @@ object HtmlTextExtract {
         val semi = s.indexOf(';', i + 1)
         if (semi > i && semi - i <= 10) {
           val name = s.substring(i + 1, semi)
-          val decoded: String = name match {
-            case "amp" => "&"
-            case "lt" => "<"
-            case "gt" => ">"
-            case "quot" => "\""
-            case "apos" => "'"
-            case _ if name.startsWith("#x") || name.startsWith("#X") =>
-              try String.valueOf(Integer.parseInt(name.substring(2), 16).toChar)
+          val decoded: String =
+            if (name.startsWith("#x") || name.startsWith("#X")) {
+              try codePointStr(Integer.parseInt(name.substring(2), 16))
               catch { case _: Exception => null }
-            case _ if name.startsWith("#") =>
-              try String.valueOf(Integer.parseInt(name.substring(1)).toChar)
+            } else if (name.startsWith("#")) {
+              try codePointStr(Integer.parseInt(name.substring(1)))
               catch { case _: Exception => null }
-            case _ => null
-          }
+            } else NamedEntities.get(name)
           if (decoded != null) { out.append(decoded); i = semi + 1 }
           else { out.append(c); i += 1 }
         } else { out.append(c); i += 1 }
       } else { out.append(c); i += 1 }
     }
+  }
+
+  /** Case-insensitive forward scan for `"</" + name` starting at
+    * `from`; linear in the remaining document and index-stable. The
+    * former whole-document `toLowerCase` was quadratic on script-heavy
+    * pages AND unsafe: Java lowercasing can change string LENGTH
+    * (U+0130 'İ' lowers to two chars), so an index found in the
+    * lowered copy misaligns against the original.
+    */
+  private def findCloseTag(html: String, from: Int, name: String): Int = {
+    val needle = "</" + name
+    val nl = needle.length
+    var p = from
+    val last = html.length - nl
+    while (p <= last) {
+      if (html.charAt(p) == '<' && html.regionMatches(true, p, needle, 0, nl))
+        return p
+      p += 1
+    }
+    -1
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  /** True when the tag body carries an `href` ATTRIBUTE: the name at
+    * an attribute boundary (preceded by whitespace or '/'), followed by
+    * '=', whitespace, or end-of-body, and OUTSIDE quoted attribute
+    * values — so `data-xhref=`, `hreflang=`, `class="hrefbtn"`, and
+    * `title="see href=x"` all correctly do not count.
+    */
+  private def hasHrefAttr(body: String): Boolean = {
+    val n = body.length
+    var p = 0
+    var quote: Char = 0
+    while (p < n) {
+      val c = body.charAt(p)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if ((c == 'h' || c == 'H') && p > 0 &&
+          (isWs(body.charAt(p - 1)) || body.charAt(p - 1) == '/') &&
+          body.regionMatches(true, p, "href", 0, 4) &&
+          (p + 4 >= n || body.charAt(p + 4) == '=' || isWs(body.charAt(p + 4))))
+        return true
+      p += 1
+    }
+    false
   }
 
   /** Collapse whitespace runs to single spaces and trim. */
@@ -147,6 +241,9 @@ object HtmlTextExtract {
       } else if (html.startsWith("<!--", lt)) {
         val close = html.indexOf("-->", lt + 4)
         i = if (close < 0) n else close + 3
+      } else if (html.startsWith("<![CDATA[", lt)) {
+        val close = html.indexOf("]]>", lt + 9)
+        i = if (close < 0) n else close + 3
       } else {
         // quote-aware tag end scan
         var j = lt + 1
@@ -170,8 +267,7 @@ object HtmlTextExtract {
           i = end + 1
           if (!closing && (name == "script" || name == "style")) {
             // skip contents to the matching close tag
-            val close = html.toLowerCase(java.util.Locale.ROOT)
-              .indexOf("</" + name, i)
+            val close = findCloseTag(html, i, name)
             if (close < 0) i = n
             else {
               val gt = html.indexOf('>', close)
@@ -183,8 +279,7 @@ object HtmlTextExtract {
               inTitle = false
             } else if (title == null) inTitle = true
           } else {
-            if (!closing && name == "a" &&
-                body.toLowerCase(java.util.Locale.ROOT).contains("href"))
+            if (!closing && name == "a" && hasHrefAttr(body))
               nLinks += 1
             if (BlockTags.contains(name)) flush()
           }

@@ -82,9 +82,10 @@ object Mp4Tracks {
   private def child(b: Array[Byte], from: Int, limit: Int,
       name: String): (Int, Int) = {
     var i = from
-    var guard = 0
-    while (i + 8 <= limit && guard < 128) {
-      guard += 1
+    // bounded by byte progress alone: boxLen ≥ 8 guarantees termination,
+    // and a fixed sibling cap would reject well-formed files with many
+    // boxes (not a format rule)
+    while (i + 8 <= limit) {
       val len = boxLen(b, i, limit)
       if (len < 0) return null
       if (is4cc(b, i + 4, name)) {
@@ -178,9 +179,7 @@ object Mp4Tracks {
       return null
     val brand = UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, 8, 12))
     var i = 0
-    var guard = 0
-    while (i + 8 <= b.length && guard < 64) {
-      guard += 1
+    while (i + 8 <= b.length) { // byte-progress bounded (boxLen ≥ 8)
       val len = boxLen(b, i, b.length)
       if (len < 0) return null
       if (is4cc(b, i + 4, "moov")) {
@@ -188,9 +187,7 @@ object Mp4Tracks {
         val from = i + (if (beU32(b, i) == 1) 16 else 8)
         val tracks = new java.util.ArrayList[InternalRow]()
         var j = from
-        var g2 = 0
-        while (j + 8 <= limit && g2 < 128) {
-          g2 += 1
+        while (j + 8 <= limit) { // byte-progress bounded (boxLen ≥ 8)
           val clen = boxLen(b, j, limit)
           if (clen < 0) return null
           if (is4cc(b, j + 4, "trak")) {

@@ -730,12 +730,32 @@ object WebpCodec {
         rest >>>= (e1 >>> 12)
         val e2 = symAt(curGroup(2), (rest & 0x7FFF).toInt)
         if (e2 < 0) return null
-        rest >>>= (e2 >>> 12)
-        val e3 = symAt(curGroup(3), (rest & 0x7FFF).toInt)
-        if (e3 < 0) return null
-        br.skip(len0 + (e1 >>> 12) + (e2 >>> 12) + (e3 >>> 12))
-        if (!br.ok) return null
-        val px = ((e3 & 0xFFF) << 24) | ((e1 & 0xFFF) << 16) | (g << 8) |
+        // the 45-bit peek fully covers e1 (offset ≤ 30 before its
+        // 15-bit window) and e2 (offset ≤ 30 exactly), but e3's window
+        // starts at len0+len1+len2, which can reach 45: past offset 30
+        // the tail of its 15-bit lookup is ZERO PADDING, and a complete
+        // code maps every pattern to some symbol — a deep alpha code
+        // would silently resolve a WRONG symbol (and, if the padded
+        // path exits the tree early, a wrong bit count, desyncing the
+        // stream). Fall back to a sequential decode for e3 in that
+        // deep-prefix-code case; the common ≤ 30-bit case keeps the
+        // single-skip fast path.
+        val off2 = len0 + (e1 >>> 12) + (e2 >>> 12)
+        var a = 0
+        if (off2 <= 30) {
+          rest >>>= (e2 >>> 12)
+          val e3 = symAt(curGroup(3), (rest & 0x7FFF).toInt)
+          if (e3 < 0) return null
+          br.skip(off2 + (e3 >>> 12))
+          if (!br.ok) return null
+          a = e3 & 0xFFF
+        } else {
+          br.skip(off2)
+          if (!br.ok) return null
+          a = decodeSym(br, curGroup(3))
+          if (a < 0 || !br.ok) return null
+        }
+        val px = (a << 24) | ((e1 & 0xFFF) << 16) | (g << 8) |
           (e2 & 0xFFF)
         argb(pos) = px
         if (cache != null)

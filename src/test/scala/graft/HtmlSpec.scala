@@ -58,4 +58,76 @@ class HtmlSpec extends AnyFunSuite {
     assert(r.getUTF8String(0).toString == "A B")
     assert(r.getInt(2) == 1, "only the href anchor counts")
   }
+
+  test("href counts attributes only: boundary-matched, outside quotes") {
+    // substring mentions that must NOT count
+    assert(x("""<a data-xhref="u">t</a>""").getInt(2) == 0)
+    assert(x("""<a class="hrefbtn">t</a>""").getInt(2) == 0)
+    assert(x("""<a hreflang="en">t</a>""").getInt(2) == 0)
+    assert(x("""<a title="see href=x here">t</a>""").getInt(2) == 0)
+    // real attributes that must count: =, spaced =, bare-at-end, any case
+    assert(x("""<a href="u">t</a>""").getInt(2) == 1)
+    assert(x("""<a href = "u">t</a>""").getInt(2) == 1)
+    assert(x("""<a HREF='u'>t</a>""").getInt(2) == 1)
+    assert(x("""<a rel="x" href>t</a>""").getInt(2) == 1)
+    assert(x("""<a href="a" >1</a><a href="b">2</a>""").getInt(2) == 2)
+  }
+
+  test("script close-tag scan is case-insensitive and index-stable") {
+    assert(text("<script>var x;</SCRIPT>after") == "after")
+    assert(text("<STYLE>a{}</Style>ok") == "ok")
+    // U+0130 'İ' inside the script: Java lowercasing expands it to TWO
+    // chars, so a lowered-copy index search would misalign every byte
+    // after it — the linear regionMatches scan must not
+    assert(text("<script>var s = 'İİİ';</script><p>keep</p>") == "keep")
+    // many script blocks: visible text survives each gap
+    val many = (1 to 40).map(k => s"<script>f($k);</script><p>v$k</p>").mkString
+    assert(text(many) == (1 to 40).map("v" + _).mkString("\n"))
+  }
+
+  test("entities: common HTML named set and supplementary-plane refs") {
+    assert(text("a&nbsp;b") == "a b")
+    assert(text("x&mdash;y &ndash; &rsquo;s &ldquo;q&rdquo;") ==
+      "x—y – ’s “q”")
+    assert(text("&copy; &reg; &trade; &euro;9 &pound;5 &deg;C &middot;") ==
+      "© ® ™ €9 £5 °C ·")
+    assert(text("&hellip; &bull; &laquo;q&raquo; &frac12; &times; &divide;") ==
+      "… • «q» ½ × ÷")
+    assert(text("&larr; &rarr; &minus;1 &plusmn;2 &micro;s &sect;3") ==
+      "← → −1 ±2 µs §3")
+    // supplementary plane: surrogate pair emitted
+    assert(text("pile &#128169; of &#x1F4A9;") == "pile 💩 of 💩")
+    // invalid code points pass through verbatim (like unknown names)
+    assert(text("bad &#x110000; &#xD800; ref") == "bad &#x110000; &#xD800; ref")
+    // case-sensitive names: Dagger vs dagger both known, Nbsp unknown
+    assert(text("&dagger;&Dagger;&Nbsp;") == "†‡&Nbsp;")
+  }
+
+  test("CDATA sections drop with contents") {
+    assert(text("a<![CDATA[ raw <p> 1 > 0 ]]>b") == "ab")
+    // torn CDATA: remainder drops
+    assert(text("keep<![CDATA[ never closed") == "keep")
+  }
+
+  test("gnarly page: nested tables, comments, CDATA, entity soup") {
+    val page =
+      """<html><head><title>Q&amp;A &mdash; FAQ</title>
+        |<script type="text/javascript">document.write("<table><tr><td>");</script>
+        |</head><body>
+        |<!-- nav
+        |  multi-line comment with <p>tags</p> and 1 > 0 -->
+        |<table><tr><td>R1C1</td><td>R1&nbsp;C2</td></tr>
+        |<tr><td><table><tr><td>nested&hellip;</td></tr></table></td></tr></table>
+        |<![CDATA[ <p>not text</p> ]]>
+        |<div>copy &copy; 2026 &ndash; <a href="/x">link&rsquo;s text</a></div>
+        |<p>caf&eacute; is unknown here: stays verbatim</p>
+        |</body></html>""".stripMargin
+    val r = x(page)
+    assert(r.getUTF8String(0).toString == "Q&A — FAQ")
+    assert(r.getInt(2) == 1)
+    assert(r.getUTF8String(1).toString ==
+      "R1C1\nR1 C2\nnested…\n" +
+      "copy © 2026 – link’s text\n" +
+      "caf&eacute; is unknown here: stays verbatim")
+  }
 }

@@ -57,4 +57,32 @@ class Mp4TracksSpec extends AnyFunSuite {
     assert(Mp4Tracks.compute(Array[Byte](0, 0, 0, 8, 'f', 'r', 'e', 'e')) == null)
     assert(Mp4Tracks.compute(Array[Byte](1, 2, 3)) == null)
   }
+
+  test("many sibling boxes: walk is byte-bounded, not sibling-capped") {
+    // a structurally valid file with 300 top-level `free` boxes before
+    // moov, and 300 `free` siblings before the trak inside moov — a
+    // fixed sibling cap would reject it even though the targets exist
+    val ok = Mp4TracksSynth.mp4Bytes(2L) // video-only
+    val free = Array[Byte](0, 0, 0, 8, 'f', 'r', 'e', 'e')
+    // locate moov (top level, right after ftyp in the fixture)
+    var i = 4
+    while (!(ok(i) == 'm' && ok(i + 1) == 'o' && ok(i + 2) == 'o' &&
+      ok(i + 3) == 'v')) i += 1
+    val moovStart = i - 4
+    val ftyp = ok.slice(0, moovStart)
+    val moovBody = ok.slice(moovStart + 8, ok.length)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp, 0, ftyp.length)
+    (1 to 300).foreach(_ => out.write(free, 0, free.length))
+    val newLen = 8 + 300 * 8 + moovBody.length
+    out.write((newLen >> 24) & 0xFF); out.write((newLen >> 16) & 0xFF)
+    out.write((newLen >> 8) & 0xFF); out.write(newLen & 0xFF)
+    out.write('m'); out.write('o'); out.write('o'); out.write('v')
+    (1 to 300).foreach(_ => out.write(free, 0, free.length))
+    out.write(moovBody, 0, moovBody.length)
+    val r = Mp4Tracks.compute(out.toByteArray)
+    assert(r != null, "free-box-heavy file must still resolve")
+    assert(r.getArray(1).numElements() == 1)
+    assert(r.getArray(1).getStruct(0, 6).getUTF8String(1).toString == "avc1")
+  }
 }

@@ -1819,6 +1819,80 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("WebpCodec: golden deep-prefix VP8L — literal crossing the 45-bit peek") {
+    // Regression for the literal fast path: G+R+B code lengths can sum
+    // past 30 bits, at which point the alpha lookup window extends
+    // beyond the 45-bit peek and its tail is zero padding — a complete
+    // code resolves SOME symbol from padding, silently wrong and (when
+    // the padded walk exits the tree early) with a wrong bit count that
+    // desyncs every later pixel. This stream packs G=15, R=15, B=3 bits
+    // (offset 33) and a true 15-bit all-ones alpha code whose padded
+    // walk resolves a 13-bit sibling: the next pixel then decodes from
+    // the two leftover alpha bits and comes out wrong.
+    class BW {
+      val out = collection.mutable.ArrayBuffer.empty[Int]
+      var acc = 0L; var n = 0
+      def put(v: Long, len: Int): Unit = {
+        acc |= (v & ((1L << len) - 1)) << n; n += len
+        while (n >= 8) { out += (acc & 0xFF).toInt; acc >>>= 8; n -= 8 }
+      }
+      def code(c: Int, len: Int): Unit =
+        (len - 1 to 0 by -1).foreach(k => put((c >> k) & 1, 1))
+      def flush(): Unit = if (n > 0) { out += (acc & 0xFF).toInt; n = 0 }
+    }
+    def riff(payload: Seq[Int]): Array[Byte] = {
+      def le32(v: Int) = Seq(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF,
+        (v >> 24) & 0xFF)
+      val p = payload ++ (if (payload.size % 2 == 1) Seq(0) else Seq())
+      (Seq('R', 'I', 'F', 'F').map(_.toInt) ++ le32(4 + 8 + p.size) ++
+        Seq('W', 'E', 'B', 'P', 'V', 'P', '8', 'L').map(_.toInt) ++
+        le32(payload.size) ++ p).map(_.toByte).toArray
+    }
+    // "ladder" code over symbols 0..15: lengths 1,2,...,14,15,15 — a
+    // complete code whose deep symbols are runs of 1-bits (symbol k<14
+    // is 1^k then 0; symbol 14 is 1^14 0; symbol 15 is 1^15). Emitted
+    // through the real code-length coding: cl symbol 1 at length 3,
+    // cl symbols 2..15 at length 4 (Kraft 1/8 + 14/16 = 1), with the
+    // max-symbol shortcut capping the read at 16 symbols.
+    def ladder(bw: BW): Unit = {
+      bw.put(0, 1) // normal form
+      bw.put(19 - 4, 4) // all 19 cl slots, storage order 17,18,0,1,...
+      val lens = (1 -> 3) +: (2 to 15).map(_ -> 4)
+      val m = lens.toMap
+      Seq(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+        .foreach(s => bw.put(m.getOrElse(s, 0).toLong, 3))
+      bw.put(1, 1); bw.put(1, 3); bw.put(14, 4) // max-symbol = 2 + 14 = 16
+      // canonical cl codes: symbol 1 -> 000; symbols 2..15 -> their own
+      // value as a 4-bit code (codes start at 2)
+      def cl(v: Int): Unit = if (v == 1) bw.code(0, 3) else bw.code(v, 4)
+      (0 to 15).foreach(sym => cl(if (sym <= 13) sym + 1 else 15))
+    }
+    val bw = new BW
+    bw.put(0x2F, 8)
+    bw.put(2 - 1, 14); bw.put(1 - 1, 14) // 2x1
+    bw.put(0, 1); bw.put(0, 3) // alpha hint, version
+    bw.put(0, 1) // no transforms
+    bw.put(0, 1) // no color cache
+    bw.put(0, 1) // no meta-Huffman
+    ladder(bw) // G (alphabet 280; all ladder symbols < 256 = literals)
+    ladder(bw) // R
+    ladder(bw) // B
+    ladder(bw) // A
+    bw.put(1, 1); bw.put(0, 1); bw.put(0, 1); bw.put(0, 1) // dist: single sym 0
+    // pixel 0: G=sym14 (1^14 0), R=sym15 (1^15), B=sym2 (110, offset now
+    // 33), A=sym15 (1^15 — bits 33..47, past the 45-bit peek)
+    bw.code((1 << 15) - 2, 15)
+    bw.code((1 << 15) - 1, 15)
+    bw.code(6, 3)
+    bw.code((1 << 15) - 1, 15)
+    // pixel 1: all sym0 (code 0, 1 bit each)
+    bw.code(0, 1); bw.code(0, 1); bw.code(0, 1); bw.code(0, 1)
+    bw.flush()
+    val (f, w, h, c, px) = decodeRaster(riff(bw.out.toSeq))
+    assert((f, w, h, c) == (("webp", 2, 1, 3)))
+    assert(px == Seq[Byte](15, 14, 2, 0, 0, 0))
+  }
+
   test("ImageResizeNN + RasterChannelSums: hand-computed NN kernel and exact sums") {
     // 4x2 single-channel ramp: NN to 2x2 keeps sx in {0,2}, sy in {0,1}
     val pgm = "P5\n4 2\n255\n".getBytes("US-ASCII") ++

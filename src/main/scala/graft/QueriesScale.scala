@@ -2124,17 +2124,24 @@ object QueriesScale {
   // ------------------------------------------- MP3 Layer III PCM decode
   // The lossy format that dominates crawled web audio, decoded for real
   // (see Mp3L3Codec's scaladoc for the precise scope): the oracle rides
-  // the exactness contract — `global_gain = 210 + 4k` and
-  // `scalefac_scale = 1` make every requantized line a dyadic
-  // `±2^(k − sf)`, so `spec_sum_q20 = Σ xr·2^20` is an exact BIGINT the
-  // oracle reproduces with pure integer arithmetic (headers, side info,
-  // scalefactors, Huffman tables 1/count1-B, and requantization all sit
-  // on its critical path, at ALL THREE MPEG-1 sample rates whose
-  // scalefactor-band tables the CASE ladder mirrors). Silent files
-  // (every 5th doc; the stereo ones mid/side-coded) must propagate
-  // EXACT zeros through the complete IMDCT + polyphase filterbank to
-  // the PCM — `silent` is decoded-PCM-derived, not metadata. Per-row,
-  // zero shuffle.
+  // the exactness contract — `global_gain = 210 + 4k`,
+  // `scalefac_scale = 1`, and coded values restricted to PERFECT CUBES
+  // (0/1/8/27 → v^{4/3} = 0/1/16/81) make every requantized line a
+  // dyadic `±v^{4/3}·2^(k − sf)`, so `spec_sum_q20 = Σ xr·2^20` is an
+  // exact BIGINT the oracle reproduces with pure integer arithmetic.
+  // On its critical path: headers, side info, scalefactors, THREE
+  // Huffman regions rotating the small tables 2-12, the 16×16 tables
+  // 13/15/16, and the linbits/ESC families (19/21/24/26 — value 27 =
+  // escape symbol 15 + a 12-valued linbits extension), count1 tables A
+  // and B, requantization at all three MPEG-1 sample rates, and
+  // INTENSITY STEREO on doc%3==1 stereo docs (right channel carries
+  // region0 only; is_pos limited to the exactly-dyadic {0,3,6} + the
+  // 7 pass-through, so Σ(L′+R′) = Σ L and the oracle needs no
+  // intensity term — the WHERE clauses just drop the right channel's
+  // untransmitted lines). Silent files (every 5th doc; the stereo ones
+  // mid/side-coded) must propagate EXACT zeros through the complete
+  // IMDCT + polyphase filterbank to the PCM — `silent` is
+  // decoded-PCM-derived, not metadata. Per-row, zero shuffle.
   private val mp3PcmQ = Q(
     (s, dir) => {
       val d = ScaleOps.mp3Decode(ScaleOps.synthMp3Pcm(col("doc_id")))
@@ -2154,7 +2161,9 @@ object QueriesScale {
     Some(
       """WITH p AS (
         | SELECT doc_id, 1 + doc_id % 2 AS ch, CAST(doc_id % 3 AS INT) AS sr,
-        |        2 + doc_id % 3 AS fr, (doc_id % 5 = 0) AS silent
+        |        2 + doc_id % 3 AS fr, (doc_id % 5 = 0) AS silent,
+        |        (doc_id % 2 = 1 AND doc_id % 5 <> 0 AND doc_id % 3 = 1)
+        |          AS intens
         | FROM documents),
         |gc AS (SELECT p.*, g.range AS g, c.range AS c
         |       FROM p CROSS JOIN range(0, 2) g CROSS JOIN range(0, 2) c
@@ -2162,22 +2171,33 @@ object QueriesScale {
         |bv AS (SELECT gc.*, j.range AS j FROM gc CROSS JOIN range(0, 16) j),
         |lines AS (
         | SELECT doc_id, sr, g, c, 2 * j AS line,
-        |        (doc_id + 3 * j + g + c) % 2 AS v, (doc_id + j + g) % 2 AS s
-        | FROM bv
+        |        CASE WHEN j < 6 THEN (doc_id + 3 * j + g + c) % 2
+        |         ELSE (CASE (doc_id + 3 * j + g + c) % 3 WHEN 0 THEN 0
+        |               WHEN 1 THEN 1
+        |               ELSE (CASE WHEN j < 12 THEN 8 ELSE 27 END) END)
+        |        END AS v,
+        |        (doc_id + j + g) % 2 AS s
+        | FROM bv WHERE NOT (intens AND c = 1 AND j >= 6)
         | UNION ALL
         | SELECT doc_id, sr, g, c, 2 * j + 1 AS line,
-        |        (doc_id + 5 * j + 1 + 2 * g + c) % 2 AS v,
+        |        CASE WHEN j < 6 THEN (doc_id + 5 * j + 1 + 2 * g + c) % 2
+        |         ELSE (CASE (doc_id + 5 * j + 1 + 2 * g + c) % 3 WHEN 0 THEN 0
+        |               WHEN 1 THEN 1
+        |               ELSE (CASE WHEN j < 12 THEN 8 ELSE 27 END) END)
+        |        END AS v,
         |        (doc_id + 7 * j + 3 + c) % 2 AS s
-        | FROM bv
+        | FROM bv WHERE NOT (intens AND c = 1 AND j >= 6)
         | UNION ALL
         | SELECT doc_id, sr, g, c, 32 + 4 * q.range + t.range AS line,
         |        (doc_id + q.range + t.range + g + 2 * c) % 2 AS v,
         |        (doc_id + 3 * q.range + t.range + g) % 2 AS s
-        | FROM gc CROSS JOIN range(0, 4) q CROSS JOIN range(0, 4) t),
+        | FROM gc CROSS JOIN range(0, 4) q CROSS JOIN range(0, 4) t
+        | WHERE NOT (intens AND c = 1)),
         |contrib AS (
         | SELECT doc_id,
         |  CASE WHEN v = 0 THEN 0
         |   ELSE (CASE WHEN s = 1 THEN -1 ELSE 1 END) *
+        |    (CASE v WHEN 1 THEN 1 WHEN 8 THEN 16 ELSE 81 END) *
         |    CAST(power(2, 20 + (doc_id + 2 * g + 3 * c) % 4
         |     - (doc_id + (CASE WHEN line < 4 THEN 0 WHEN line < 8 THEN 1
         |         WHEN line < 12 THEN 2 WHEN line < 16 THEN 3
@@ -2324,14 +2344,16 @@ object QueriesScale {
         .orderBy("doc_id", "rec_idx")
     },
     Some(
-      """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS recs FROM documents),
-        | r AS (SELECT doc_id, recs, rr.range AS rec
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS recs,
+        |   CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS paired
+        | FROM documents),
+        | r AS (SELECT doc_id, recs, paired, rr.range AS rec
         |       FROM p CROSS JOIN range(0, 5) rr WHERE rr.range < recs),
-        | b AS (SELECT doc_id, recs, rec,
+        | b AS (SELECT doc_id, recs, paired, rec,
         |        'text ' || doc_id || ' ' || rec || ' ' ||
         |          repeat('ab', 5 + (doc_id + rec) % 9) AS body FROM r)
         |SELECT doc_id,
-        | CAST(recs + 1 AS BIGINT) AS n_members,
+        | CAST(recs + 1 - paired AS BIGINT) AS n_members,
         | CAST(rec + 1 AS BIGINT) AS rec_idx,
         | 'https://example.com/' || doc_id || '/' || rec AS uri,
         | CAST(length(body) AS BIGINT) AS body_len,

@@ -23,15 +23,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * synthesis filterbank.
   *
   * Honest scope, stated precisely:
-  *  - Huffman: big-value tables 0 and 1 and count1 table B are
-  *    implemented (table 1 and the count1-B complement rule are
-  *    transcribed from the published spec tables); the remaining
-  *    big-value tables (2-31, incl. all linbits/ESC tables) reject to
-  *    `'unknown'` rather than guess. A real-world encoder's output
-  *    will usually reject; spec-conformant streams restricted to
-  *    these tables decode exactly.
-  *  - Intensity stereo rejects (mid/side and independent channels are
-  *    full implementations).
+  *  - Huffman: ALL big-value tables 0-31 decode (incl. the 16-23 /
+  *    24-31 linbits families with ESC values and the spec's
+  *    linbits-then-sign order) plus both count1 tables. Table data
+  *    provenance is graded in [[Mp3HuffTables]]: tables
+  *    1-3/5-13/count1-A/B are constraint-validated transcriptions of
+  *    the published spec tables; tables 15/16/24 carry canonical
+  *    reconstructions from their (repaired) length matrices, so a
+  *    third-party stream selecting those three code tables decodes
+  *    through real machinery but without a bit-conformance claim.
+  *    Tables 4 and 14 are "not used" per spec and reject.
+  *  - Stereo: mid/side, independent, AND intensity stereo (long and
+  *    short blocks, per-window bounds, is_pos 7 pass-through, the
+  *    exact 0/3/6 projection factors). The one rejected shape is
+  *    intensity over MIXED blocks (or an intensity granule pair whose
+  *    channels disagree on windowing) — rejecting beats guessing at
+  *    band geometry.
   *  - The polyphase SYNTHESIS WINDOW is not the ISO Table 3-B.3
   *    tabulated prototype (512 opaque constants); it is a
   *    code-generated 512-tap lowpass (Blackman-windowed sinc, cutoff
@@ -111,12 +118,8 @@ object Mp3L3Codec {
   private val Cs = Ci.map(c => 1.0 / StrictMath.sqrt(1.0 + c * c))
   private val Ca = Ci.zip(Cs).map { case (c, s) => c * s }
 
-  /** Huffman table 1 (Table B.7): (x, y) pairs over {0, 1}², listed as
-    * (code, length) keyed by (x << 1) | y. A canonical, widely
-    * reproduced table: (0,0)→"1", (0,1)→"001", (1,0)→"01", (1,1)→"000".
-    */
-  private val T1Code = Array(1, 1, 1, 0)
-  private val T1Len = Array(1, 3, 2, 3)
+  // Huffman code data lives in [[Mp3HuffTables]] (all 32 big-value
+  // ids + both count1 tables, with per-table provenance grading).
 
   // ------------------------------------------------------- bit reader
 
@@ -138,6 +141,27 @@ object Mp3L3Codec {
       v
     }
     def bit(): Int = bits(1)
+    /** Next n ≤ 19 bits MSB-first WITHOUT consuming, zero-padded past
+      * the stream end (a final code may resolve from fewer lookahead
+      * bits than the LUT width; actually consuming past the end still
+      * fails via advance()).
+      */
+    def peek(n: Int): Int = {
+      val byteI = (pos >> 3).toInt
+      val bitOff = (pos & 7).toInt
+      var acc = 0L
+      var i = 0
+      while (i < 4) {
+        val idx = byteI + i
+        acc = (acc << 8) | (if (idx < b.length) (b(idx) & 0xFFL) else 0L)
+        i += 1
+      }
+      ((acc >>> (32 - bitOff - n)) & ((1L << n) - 1)).toInt
+    }
+    /** Consume n previously peeked bits. */
+    def advance(n: Int): Unit = {
+      if (pos + n > b.length.toLong * 8) ok = false else pos += n
+    }
   }
 
   /** ISO 11172-3 frame CRC-16: polynomial 0x8005, init 0xFFFF,
@@ -381,7 +405,7 @@ object Mp3L3Codec {
     val md = new java.io.ByteArrayOutputStream()
     // (bit-position, sideinfo) pending granule work per frame
     final case class FrameJob(mainStart: Int, gr: Array[Array[Granule]],
-      scfsi: Array[Array[Int]], msStereo: Boolean)
+      scfsi: Array[Array[Int]], msStereo: Boolean, isStereo: Boolean)
     val jobs = scala.collection.mutable.ArrayBuffer.empty[FrameJob]
     while (i < b.length) {
       if (b.length - i == 128 && b(i) == 'T' && b(i + 1) == 'A' &&
@@ -409,9 +433,8 @@ object Mp3L3Codec {
           nch = thisCh; rate = thisRate; srIdx = sIdx; brKbps = Bitrate(brIdx)
           mode = thisMode
         } else if (nch != thisCh || rate != thisRate) return unknown
-        // intensity stereo: out of scope, reject honestly
-        if (thisMode == 1 && (modeExt & 1) != 0) return unknown
         val msStereo = thisMode == 1 && (modeExt & 2) != 0
+        val isStereo = thisMode == 1 && (modeExt & 1) != 0
         var off = i + 4
         val sideBytes = if (nch == 1) 17 else 32
         if (protection == 0) {
@@ -479,7 +502,8 @@ object Mp3L3Codec {
         val mainLen = i + frameLen - mainOff
         val startOfThisFrame = md.size()
         if (mainDataBegin > startOfThisFrame) return unknown // reservoir underrun
-        jobs += FrameJob(startOfThisFrame - mainDataBegin, gr, scfsi, msStereo)
+        jobs += FrameJob(startOfThisFrame - mainDataBegin, gr, scfsi, msStereo,
+          isStereo)
         md.write(b, mainOff, mainLen)
         frames += 1
         if (frames > MaxFrames) return unknown
@@ -517,8 +541,9 @@ object Mp3L3Codec {
           requantize(q, srIdx)
           c += 1
         }
-        // stereo processing
-        if (nch == 2 && job.msStereo) msDecode(job.gr(g)(0), job.gr(g)(1))
+        // stereo processing (mid/side and/or intensity)
+        if (nch == 2 && !stereoDecode(job.gr(g)(0), job.gr(g)(1),
+          job.msStereo, job.isStereo, srIdx)) return unknown
         c = 0
         while (c < nch) {
           val q = job.gr(g)(c)
@@ -650,28 +675,27 @@ object Mp3L3Codec {
 
   // ---------------------------------------------------------- huffman
 
-  /** Decode one (x, y) pair from big-value table 1 (table 0 emits
-    * zeros without consuming bits).
+  /** Decode one (x, y) pair from a big-value table (table 0 emits
+    * zeros without consuming bits). Full Table B.7 semantics: LUT
+    * symbol resolve, then per value the ESC extension (value 15 plus
+    * `linbits` raw bits on the 16-31 families) and the sign bit, in
+    * the spec's order (x linbits, x sign, y linbits, y sign).
     */
   private def pair(br: Br, table: Int, out: Array[Int], at: Int): Boolean = {
     if (table == 0) { out(at) = 0; out(at + 1) = 0; return true }
-    // table 1: walk the 3 possible prefix lengths
-    var code = 0
-    var len = 0
-    var sym = -1
-    while (sym < 0 && len < 4) {
-      code = (code << 1) | br.bit()
-      len += 1
-      var s = 0
-      while (s < 4) {
-        if (T1Len(s) == len && T1Code(s) == code) sym = s
-        s += 1
-      }
-    }
-    if (sym < 0 || !br.ok) return false
-    var x = (sym >> 1) & 1
-    var y = sym & 1
+    val lut = Mp3HuffTables.lutFor(table)
+    if (lut == null) return false // ids 4 and 14: "not used" per spec
+    val e = lut.entries(br.peek(lut.bits))
+    br.advance(e >>> 8)
+    if (!br.ok) return false
+    val sym = e & 0xFF
+    val dim = Mp3HuffTables.dimFor(table)
+    var x = sym / dim
+    var y = sym % dim
+    val linbits = Mp3HuffTables.Linbits(table)
+    if (x == 15 && linbits > 0) { x += br.bits(linbits); if (!br.ok) return false }
     if (x != 0 && br.bit() == 1) x = -x
+    if (y == 15 && linbits > 0) { y += br.bits(linbits); if (!br.ok) return false }
     if (y != 0 && br.bit() == 1) y = -y
     out(at) = x
     out(at + 1) = y
@@ -698,19 +722,25 @@ object Mp3L3Codec {
         if (li < r0End) q.tableSelect(0)
         else if (li < r1End) q.tableSelect(1)
         else q.tableSelect(2)
-      if (table > 1) return false // unsupported published table: reject
       if (!pair(br, table, q.is, li)) return false
       li += 2
     }
     // count1: quads until the granule's bit budget is exhausted
-    if (q.count1Table != 1 && br.pos < grStart + q.part23 && li < 576) {
-      // count1 table A not implemented: reject rather than guess
-      return false
-    }
     while (br.pos < grStart + q.part23 && li + 4 <= 576) {
-      val code = br.bits(4)
-      if (!br.ok) return false
-      val value = 15 - code // table B: 4-bit one's-complement codes
+      val value =
+        if (q.count1Table == 1) {
+          // table B: 4-bit one's-complement codes
+          val code = br.bits(4)
+          if (!br.ok) return false
+          15 - code
+        } else {
+          // table A (Table B.7): a real Huffman code over the 16 quads
+          val lut = Mp3HuffTables.count1ALut
+          val e = lut.entries(br.peek(lut.bits))
+          br.advance(e >>> 8)
+          if (!br.ok) return false
+          e & 0xFF
+        }
       var s = 0
       val quad = new Array[Int](4)
       while (s < 4) {
@@ -800,16 +830,165 @@ object Mp3L3Codec {
 
   // --------------------------------------------------------- stereo
 
-  /** Mid/side: L = (M + S)/√2, R = (M − S)/√2. */
-  private def msDecode(l: Granule, r: Granule): Unit = {
+  /** Mid/side over a line range: L = (M + S)/√2, R = (M − S)/√2. */
+  private def msRange(l: Granule, r: Granule, from: Int, to: Int): Unit = {
     val inv = 1.0 / StrictMath.sqrt(2.0)
-    var i = 0
-    while (i < 576) {
+    var i = from
+    while (i < to) {
       val m = l.xr(i)
       val s = r.xr(i)
       l.xr(i) = (m + s) * inv
       r.xr(i) = (m - s) * inv
       i += 1
+    }
+  }
+
+  /** Intensity-stereo projection factors for is_pos 0-6 (§2.4.3.4.9.3):
+    * ratio = tan(is_pos·π/12), left = kl·x, right = kr·x with
+    * kl = r/(1+r), kr = 1/(1+r). Positions 0, 3, 6 are pinned to their
+    * EXACT values (0/1, 1/2 / 1/2, 1/0) — tan(π/4) in floating point is
+    * 1−ulp, and the fixture oracle's integer-exactness contract rides
+    * on dyadic kl/kr at those positions. is_pos 7 means "no intensity"
+    * for the band.
+    */
+  private val IsKl: Array[Double] = Array.tabulate(7) {
+    case 0 => 0.0
+    case 3 => 0.5
+    case 6 => 1.0
+    case p =>
+      val r = StrictMath.tan(p * StrictMath.PI / 12.0)
+      r / (1.0 + r)
+  }
+  private val IsKr: Array[Double] = Array.tabulate(7) {
+    case 0 => 1.0
+    case 3 => 0.5
+    case 6 => 0.0
+    case p => 1.0 / (1.0 + StrictMath.tan(p * StrictMath.PI / 12.0))
+  }
+
+  /** Joint-stereo processing for one granule pair: mid/side and/or
+    * intensity per the frame's mode_extension. Intensity applies to
+    * scalefactor bands wholly inside the RIGHT channel's zero part
+    * (the bound rounds UP to the next band boundary); the right
+    * channel's scalefactors there are is_pos values, is_pos 7 leaving
+    * the band on the mid/side (or independent) path. The untransmitted
+    * tail band reuses the last transmitted band's is_pos (the
+    * established decoder convention). Returns false on the one shape
+    * this decoder rejects: intensity with MIXED blocks, or an
+    * intensity granule pair whose two channels disagree on windowing
+    * (both vanishingly rare; rejecting beats guessing at band
+    * geometry).
+    */
+  private def stereoDecode(l: Granule, r: Granule, ms: Boolean,
+      is: Boolean, srIdx: Int): Boolean = {
+    if (!is) {
+      if (ms) msRange(l, r, 0, 576)
+      return true
+    }
+    if (l.windowSwitching != r.windowSwitching || l.blockType != r.blockType ||
+        l.mixedBlock != r.mixedBlock) return false
+    if (r.windowSwitching && r.blockType == 2) {
+      if (r.mixedBlock) return false
+      intensityShort(l, r, ms, srIdx)
+    } else {
+      intensityLong(l, r, ms, srIdx)
+    }
+    true
+  }
+
+  private def intensityLong(l: Granule, r: Granule, ms: Boolean,
+      srIdx: Int): Unit = {
+    val sfbL = SfbLong(srIdx)
+    var rzero = 576
+    while (rzero > 0 && r.is(rzero - 1) == 0) rzero -= 1
+    var bound = 0
+    while (bound < 22 && sfbL(bound) < rzero) bound += 1
+    // below the bound: mid/side if enabled, else independent L/R
+    if (ms) msRange(l, r, 0, sfbL(bound))
+    var sfb = bound
+    while (sfb < 22) {
+      val isPos = if (sfb <= 20) r.scalefacL(sfb) else r.scalefacL(20)
+      val s = sfbL(sfb)
+      val e = sfbL(sfb + 1)
+      // is_pos 7 = "no intensity" per spec; anything above 7 is out of
+      // the legal 0-6 range and is treated the same way rather than
+      // indexing past the factor tables
+      if (isPos >= 7) { if (ms) msRange(l, r, s, e) }
+      else {
+        val kl = IsKl(isPos)
+        val kr = IsKr(isPos)
+        var i = s
+        while (i < e) {
+          val v = l.xr(i)
+          l.xr(i) = v * kl
+          r.xr(i) = v * kr
+          i += 1
+        }
+      }
+      sfb += 1
+    }
+  }
+
+  /** Short-block intensity: per-window bounds from the right channel's
+    * PRE-reorder spectrum (where each band's samples sit window-major),
+    * applied to the POST-reorder xr through the same (k·3 + w) layout
+    * the requantizer used.
+    */
+  private def intensityShort(l: Granule, r: Granule, ms: Boolean,
+      srIdx: Int): Unit = {
+    val sfbS = SfbShort(srIdx)
+    // last band carrying a nonzero right sample, per window
+    val lastNz = Array(-1, -1, -1)
+    var sfb = 0
+    var src = 0
+    while (sfb < 13) {
+      val width = sfbS(sfb + 1) - sfbS(sfb)
+      var w = 0
+      while (w < 3) {
+        var k = 0
+        while (k < width) {
+          if (src < 576 && r.is(src) != 0) lastNz(w) = sfb
+          src += 1
+          k += 1
+        }
+        w += 1
+      }
+      sfb += 1
+    }
+    sfb = 0
+    while (sfb < 13) {
+      val start = 3 * sfbS(sfb)
+      val width = sfbS(sfb + 1) - sfbS(sfb)
+      var w = 0
+      while (w < 3) {
+        val intens = sfb > lastNz(w)
+        val isPos =
+          if (!intens) 8 // sentinel: not an intensity band for this window
+          else if (sfb <= 11) r.scalefacS(sfb)(w)
+          else r.scalefacS(11)(w)
+        var k = 0
+        while (k < width) {
+          val i = start + k * 3 + w
+          if (i < 576) {
+            if (isPos >= 7) { // 7 = no-intensity; >7 out of legal range
+              if (ms) {
+                val inv = 1.0 / StrictMath.sqrt(2.0)
+                val m = l.xr(i)
+                val s = r.xr(i)
+                l.xr(i) = (m + s) * inv
+                r.xr(i) = (m - s) * inv
+              }
+            } else {
+              val v = l.xr(i)
+              l.xr(i) = v * IsKl(isPos)
+              r.xr(i) = v * IsKr(isPos)
+            }
+          }
+          k += 1
+        }
+        w += 1
+      }
+      sfb += 1
     }
   }
 

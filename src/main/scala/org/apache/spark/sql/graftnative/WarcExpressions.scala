@@ -12,21 +12,27 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** WARC-in-gzip record extraction — the storage shape web crawls
   * actually arrive in (Common Crawl WARC/WET/WAT files are
-  * CONCATENATED gzip members, one WARC record per member, precisely so
-  * records are independently seekable). The walk is real end to end:
-  * each member's gzip header is parsed (FHCRC/FEXTRA/FNAME flags —
-  * FNAME skipped by its NUL, the others rejected honestly), the
-  * DEFLATE body inflated with the JDK `Inflater` (the PNG stance), and
-  * the member's CRC-32 AND ISIZE trailers VERIFIED against the
-  * decompressed bytes — a flipped payload bit or a short write rejects
-  * the whole input rather than emitting corrupt text. Each
-  * decompressed member must be one WARC/1.x record: version line,
+  * CONCATENATED gzip members, usually one WARC record per member,
+  * precisely so records are independently seekable). The walk is real
+  * end to end: each member's gzip header is parsed with the FULL
+  * RFC 1952 flag set — FEXTRA skipped by its XLEN, FNAME and FCOMMENT
+  * by their NULs, and FHCRC *verified* (the low 16 bits of a CRC-32
+  * over the header bytes — verify-not-skip, the same stance as the
+  * trailer); reserved flag bits reject. The DEFLATE body is inflated
+  * with the JDK `Inflater` (the PNG stance), and the member's CRC-32
+  * AND ISIZE trailers VERIFIED against the decompressed bytes — a
+  * flipped payload bit or a short write rejects the whole input
+  * rather than emitting corrupt text. Each decompressed member
+  * carries ONE OR MORE complete WARC/1.x records (multi-record
+  * members appear in practice from re-packing tools): version line,
   * `Name: value` headers to the blank line, `Content-Length` bytes of
-  * block, then the record-separating CRLF CRLF. `WARC-Type` and
-  * `WARC-Target-URI` are surfaced per record with the block itself,
-  * which is what a WET-style text pipeline consumes. Torn members,
-  * trailer mismatches, header overruns, or a missing Content-Length
-  * yield a null STRUCT — never a partial record list.
+  * block, then the record-separating CRLF CRLF, repeated to the end
+  * of the member. `WARC-Type` and `WARC-Target-URI` are surfaced per
+  * record with the block itself, which is what a WET-style text
+  * pipeline consumes (`conversion`-record filtering is a downstream
+  * `filter`, pinned by the pipeline-composition test). Torn members,
+  * header-CRC or trailer mismatches, header overruns, or a missing
+  * Content-Length yield a null STRUCT — never a partial record list.
   */
 case class WarcRecords(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -80,14 +86,32 @@ object WarcRecords {
     if (u8(b, off) != 0x1F || u8(b, off + 1) != 0x8B || u8(b, off + 2) != 8)
       return null
     val flags = u8(b, off + 3)
-    // FTEXT (1) is advisory; FNAME (8) is skippable; FEXTRA (4),
-    // FHCRC (2), FCOMMENT (16), reserved: reject honestly
-    if ((flags & ~0x09) != 0) return null
+    if ((flags & 0xE0) != 0) return null // reserved bits: reject
     var i = off + 10
-    if ((flags & 8) != 0) {
+    // RFC 1952 optional-field order: FEXTRA, FNAME, FCOMMENT, FHCRC
+    if ((flags & 4) != 0) { // FEXTRA: 2-byte LE XLEN + payload
+      if (i + 2 > b.length) return null
+      val xlen = u8(b, i) | (u8(b, i + 1) << 8)
+      i += 2 + xlen
+      if (i > b.length) return null
+    }
+    if ((flags & 8) != 0) { // FNAME: NUL-terminated
       while (i < b.length && b(i) != 0) i += 1
       if (i >= b.length) return null
       i += 1
+    }
+    if ((flags & 16) != 0) { // FCOMMENT: NUL-terminated
+      while (i < b.length && b(i) != 0) i += 1
+      if (i >= b.length) return null
+      i += 1
+    }
+    if ((flags & 2) != 0) { // FHCRC: low 16 bits of CRC-32 over header
+      if (i + 2 > b.length) return null
+      val hc = new java.util.zip.CRC32()
+      hc.update(b, off, i - off)
+      if ((hc.getValue & 0xFFFFL) != (u8(b, i) | (u8(b, i + 1) << 8)))
+        return null
+      i += 2
     }
     val inf = tlInf.get()
     inf.reset()
@@ -117,10 +141,11 @@ object WarcRecords {
     (data, trailerAt + 8)
   }
 
-  /** Parse one decompressed member as a single WARC record. */
-  private[sql] def record(d: Array[Byte]): InternalRow = {
-    // version line
-    var i = 0
+  /** Parse one WARC record starting at `from`; returns (row, nextOffset)
+    * or null on any malformation.
+    */
+  private def recordAt(d: Array[Byte], from: Int): (InternalRow, Int) = {
+    var i = from
     def line(): String = {
       val start = i
       while (i + 1 < d.length && !(d(i) == '\r' && d(i + 1) == '\n')) i += 1
@@ -160,39 +185,65 @@ object WarcRecords {
     // the record-separating CRLF CRLF (WARC/1.0 §4)
     if (i + 4 > d.length || d(i) != '\r' || d(i + 1) != '\n' ||
         d(i + 2) != '\r' || d(i + 3) != '\n') return null
-    new GenericInternalRow(Array[Any](
+    (new GenericInternalRow(Array[Any](
       if (recType == null) null else UTF8String.fromString(recType),
       if (uri == null) null else UTF8String.fromString(uri),
-      UTF8String.fromString(body)))
+      UTF8String.fromString(body))), i + 4)
+  }
+
+  /** Parse a decompressed member as one or more complete WARC records
+    * (repacking tools emit multi-record members); false on any
+    * malformation or trailing garbage.
+    */
+  private[sql] def records(d: Array[Byte],
+      out: java.util.ArrayList[InternalRow]): Boolean = {
+    var i = 0
+    var n = 0
+    while (i < d.length) {
+      val r = recordAt(d, i)
+      if (r == null) return false
+      out.add(r._1)
+      i = r._2
+      n += 1
+    }
+    n > 0
   }
 
   def compute(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 18) return null
     val recs = new java.util.ArrayList[InternalRow]()
     var off = 0
+    var members = 0
     while (off < b.length) {
-      if (recs.size() >= MaxMembers) return null
+      // explicit resource limits (like MaxInflated): total members and
+      // total records, multi-record members included
+      if (members >= MaxMembers || recs.size() >= 4 * MaxMembers) return null
       val m = member(b, off)
       if (m == null) return null
-      val r = record(m._1)
-      if (r == null) return null
-      recs.add(r)
+      if (!records(m._1, recs)) return null
+      members += 1
       off = m._2
     }
     if (recs.isEmpty) return null
     val arr = new Array[Any](recs.size())
     var k = 0
     while (k < arr.length) { arr(k) = recs.get(k); k += 1 }
-    new GenericInternalRow(Array[Any](recs.size(), new GenericArrayData(arr)))
+    new GenericInternalRow(Array[Any](members, new GenericArrayData(arr)))
   }
 }
 
 /** Fixture: a WET-style WARC file as concatenated gzip members — one
   * `warcinfo` record then `2 + seed mod 3` `conversion` records with
   * formula URIs and bodies (what the oracle replays), each member
-  * REALLY deflate-compressed with correct CRC-32/ISIZE trailers.
-  * Odd-seed members carry an FNAME field so the skippable-flag path is
-  * exercised on the oracle-checked walk.
+  * REALLY deflate-compressed with correct CRC-32/ISIZE trailers. The
+  * gzip OPTIONAL FIELDS rotate on seed formulas so every header path
+  * sits on the oracle-checked walk: the warcinfo member carries FEXTRA
+  * (even seeds) or FCOMMENT (odd seeds); conversion members carry
+  * FNAME on `(seed+rec) % 2 == 1` and a VERIFIED FHCRC header CRC on
+  * `(seed+rec) % 3 == 2`. Seeds with `seed % 4 == 2` pack conversion
+  * records 0 and 1 into ONE gzip member (the multi-record re-pack
+  * shape), dropping `n_members` by one without changing the record
+  * list.
   */
 object WarcSynth {
   private def fm(a: Long, m: Long): Int = java.lang.Math.floorMod(a, m).toInt
@@ -206,17 +257,39 @@ object WarcSynth {
   def uri(seed: Long, rec: Int): String = s"https://example.com/$seed/$rec"
   def body(seed: Long, rec: Int): String =
     s"text $seed $rec " + "ab" * (5 + fm(seed + rec, 9))
+  def paired(seed: Long): Boolean = fm(seed, 4) == 2
+  def nMembers(seed: Long): Int =
+    1 + nConversion(seed) - (if (paired(seed)) 1 else 0)
 
-  private def gzMember(payload: Array[Byte], name: String): Array[Byte] = {
+  private[graftnative] def gzMember(payload: Array[Byte], name: String,
+      extra: Array[Byte] = null, comment: String = null,
+      hcrc: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(0x1F); out.write(0x8B); out.write(8)
-    out.write(if (name != null) 8 else 0) // FNAME
+    out.write((if (extra != null) 4 else 0) | (if (name != null) 8 else 0) |
+      (if (comment != null) 16 else 0) | (if (hcrc) 2 else 0))
     out.write(0); out.write(0); out.write(0); out.write(0) // mtime
     out.write(0); out.write(255) // xfl, os unknown
+    if (extra != null) { // FEXTRA: LE XLEN + payload
+      out.write(extra.length & 0xFF); out.write((extra.length >> 8) & 0xFF)
+      out.write(extra, 0, extra.length)
+    }
     if (name != null) {
       val nb = name.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
       out.write(nb, 0, nb.length)
       out.write(0)
+    }
+    if (comment != null) {
+      val cb = comment.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      out.write(cb, 0, cb.length)
+      out.write(0)
+    }
+    if (hcrc) { // low 16 bits of CRC-32 over the header so far, LE
+      val h = out.toByteArray
+      val hc = new java.util.zip.CRC32()
+      hc.update(h, 0, h.length)
+      val v = (hc.getValue & 0xFFFF).toInt
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
     }
     val defl = tlDefl.get()
     defl.reset()
@@ -257,15 +330,30 @@ object WarcSynth {
   def warcGzBytes(seed: Long): Array[Byte] = {
     if (seed < 0) return null
     val out = new java.io.ByteArrayOutputStream()
-    val info = gzMember(rec("warcinfo", null, s"software: graft-fixture $seed"), null)
+    val info = gzMember(rec("warcinfo", null, s"software: graft-fixture $seed"),
+      name = null,
+      extra = if (fm(seed, 2) == 0) Array[Byte]('g', 'r', 4, 0, 1, 2, 3, 4)
+        else null,
+      comment = if (fm(seed, 2) == 1) s"fixture $seed" else null)
     out.write(info, 0, info.length)
     var r = 0
     val n = nConversion(seed)
     while (r < n) {
-      val m = gzMember(rec("conversion", uri(seed, r), body(seed, r)),
-        if (fm(seed + r, 2) == 1) s"rec-$r.warc" else null)
+      val payload =
+        if (paired(seed) && r == 0) {
+          // records 0 and 1 in one member (the re-pack shape)
+          val a = rec("conversion", uri(seed, 0), body(seed, 0))
+          val b2 = rec("conversion", uri(seed, 1), body(seed, 1))
+          val j = new Array[Byte](a.length + b2.length)
+          System.arraycopy(a, 0, j, 0, a.length)
+          System.arraycopy(b2, 0, j, a.length, b2.length)
+          j
+        } else rec("conversion", uri(seed, r), body(seed, r))
+      val m = gzMember(payload,
+        name = if (fm(seed + r, 2) == 1) s"rec-$r.warc" else null,
+        hcrc = fm(seed + r, 3) == 2)
       out.write(m, 0, m.length)
-      r += 1
+      r += (if (paired(seed) && r == 0) 2 else 1)
     }
     out.toByteArray
   }

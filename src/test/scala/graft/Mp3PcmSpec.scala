@@ -22,24 +22,36 @@ class Mp3PcmSpec extends AnyFunSuite {
       while (sfbL(s + 1) <= line) s += 1
       s
     }
+    val isIntensity = Mp3PcmSynth.intensity(doc)
     var total = 0L
     for (g <- 0 until 2; c <- 0 until nch) {
       val k = Mp3PcmSynth.kGain(doc, g, c)
+      // the intensity right channel carries region0 only (no count1);
+      // its projected share of the left spectrum sums back to exactly
+      // the left contribution (kl + kr = 1), so intensity adds NO term
+      val intensityRight = isIntensity && c == 1
       def contrib(line: Int, v: Int, signBit: Int): Long =
         if (v == 0) 0L
         else {
+          // perfect cubes: v^(4/3) = 1, 16, 81
+          val v43 = v match { case 1 => 1L; case 8 => 16L; case 27 => 81L }
           val e = 20 + k - Mp3PcmSynth.sf(doc, sfbOf(line), g, c)
-          (if (signBit == 1) -1L else 1L) << e
+          (if (signBit == 1) -v43 else v43) << e
         }
-      for (j <- 0 until Mp3PcmSynth.NPairs) {
-        total += contrib(2 * j, Mp3PcmSynth.pairX(doc, j, g, c),
-          Mp3PcmSynth.pairXSign(doc, j, g))
-        total += contrib(2 * j + 1, Mp3PcmSynth.pairY(doc, j, g, c),
-          Mp3PcmSynth.pairYSign(doc, j, c))
+      val nPairs = if (intensityRight) 6 else Mp3PcmSynth.NPairs
+      for (j <- 0 until nPairs) {
+        val x = if (j < 6) Mp3PcmSynth.pairX(doc, j, g, c)
+          else Mp3PcmSynth.pairXBig(doc, j, g, c)
+        val y = if (j < 6) Mp3PcmSynth.pairY(doc, j, g, c)
+          else Mp3PcmSynth.pairYBig(doc, j, g, c)
+        total += contrib(2 * j, x, Mp3PcmSynth.pairXSign(doc, j, g))
+        total += contrib(2 * j + 1, y, Mp3PcmSynth.pairYSign(doc, j, c))
       }
-      for (q <- 0 until Mp3PcmSynth.NQuads; s <- 0 until 4) {
-        total += contrib(32 + 4 * q + s, Mp3PcmSynth.quadV(doc, q, s, g, c),
-          Mp3PcmSynth.quadSign(doc, q, s, g))
+      if (!intensityRight) {
+        for (q <- 0 until Mp3PcmSynth.NQuads; s <- 0 until 4) {
+          total += contrib(32 + 4 * q + s, Mp3PcmSynth.quadV(doc, q, s, g, c),
+            Mp3PcmSynth.quadSign(doc, q, s, g))
+        }
       }
     }
     total * Mp3PcmSynth.frames(doc)
@@ -64,6 +76,73 @@ class Mp3PcmSpec extends AnyFunSuite {
       assert(r.getArray(8).numElements() ==
         Mp3PcmSynth.frames(doc) * 1152 * Mp3PcmSynth.channels(doc))
     }
+  }
+
+  test("huffman data: every shipped table builds a complete prefix-free LUT") {
+    // the LUT builder throws on any overlap (prefix violation) or
+    // unreachable entry (Kraft under-subscription) — building every
+    // table IS the data validation
+    val ids = Seq(1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 15) ++ (16 to 31)
+    for (id <- ids) {
+      val lut = Mp3HuffTables.lutFor(id)
+      assert(lut != null, s"table $id")
+      assert(lut.bits >= 1 && lut.bits <= 19, s"table $id width")
+    }
+    assert(Mp3HuffTables.count1ALut.bits == 6)
+    // not-used ids and table 0 have no code data
+    assert(Mp3HuffTables.lutFor(0) == null)
+    assert(Mp3HuffTables.lutFor(4) == null)
+    assert(Mp3HuffTables.lutFor(14) == null)
+    // the 16-23 / 24-31 families share code tables; linbits differ
+    assert(Mp3HuffTables.dataFor(17) eq Mp3HuffTables.dataFor(16))
+    assert(Mp3HuffTables.dataFor(31) eq Mp3HuffTables.dataFor(24))
+    assert(Mp3HuffTables.Linbits(16) == 1 && Mp3HuffTables.Linbits(23) == 13)
+    assert(Mp3HuffTables.Linbits(24) == 4 && Mp3HuffTables.Linbits(31) == 13)
+    // spot-pin table 1 against its published code strings:
+    // (0,0)→"1", (0,1)→"001", (1,0)→"01", (1,1)→"000"
+    assert(Mp3HuffTables.t1.toSeq ==
+      Seq((1 << 20) | 1, (3 << 20) | 1, (2 << 20) | 1, (3 << 20) | 0))
+    // t13 carries the format's deepest codes
+    assert(Mp3HuffTables.lutFor(13).bits == 19)
+  }
+
+  test("intensity stereo actively projects: clearing mode-ext changes PCM") {
+    // doc 1: stereo, non-silent, doc%3==1 → intensity joint stereo
+    val b = Mp3PcmSynth.mp3Bytes(1L)
+    assert((b(3) & 0xF0) == 0x50, "mode 1 (joint), mode_ext 1 (intensity)")
+    val r1 = Mp3L3Codec.compute(b)
+    assert(r1.getUTF8String(0).toString == "mp3")
+    // clear the intensity bit in EVERY frame header: the stream then
+    // decodes as plain joint stereo with no processing. The spectrum
+    // fingerprint is INVARIANT (kl + kr = 1 per line), but the PCM must
+    // differ — proof the intensity path actively transforms channels.
+    val frameLen = 144 * 128000 / 48000 // doc 1: srIdx = 1
+    val c = b.clone()
+    var f = 0
+    while (f * frameLen < c.length) {
+      c(f * frameLen + 3) = (c(f * frameLen + 3) & ~0x10).toByte
+      f += 1
+    }
+    val r2 = Mp3L3Codec.compute(c)
+    assert(r2.getUTF8String(0).toString == "mp3")
+    assert(r1.getLong(6) == r2.getLong(6),
+      "spectrum sum must be intensity-invariant")
+    val s1 = r1.getArray(8).toIntArray()
+    val s2 = r2.getArray(8).toIntArray()
+    assert(s1.length == s2.length && !java.util.Arrays.equals(s1, s2),
+      "intensity must change the decoded PCM")
+  }
+
+  test("intensity is_pos factors: 0 routes all energy right, 6 all left") {
+    // hand-check the exact-dyadic positions through a real decode:
+    // doc 19 is intensity (19%3==1, stereo, non-silent); its is_pos
+    // values per band come from the fixture formula
+    for (sfb <- 3 to 20; g <- 0 to 1) {
+      val p = Mp3PcmSynth.isPos(19L, sfb, g)
+      assert(Seq(0, 3, 6, 7).contains(p))
+    }
+    val r = Mp3L3Codec.compute(Mp3PcmSynth.mp3Bytes(19L))
+    assert(r.getUTF8String(0).toString == "mp3" && r.getInt(7) > 0)
   }
 
   test("silent stereo uses MS joint stereo and still yields exact zeros") {
@@ -148,11 +227,15 @@ class Mp3PcmSpec extends AnyFunSuite {
     val c1 = ok.clone()
     c1(4) = 0x10
     assert(fmt(c1) == "unknown", "reservoir underrun")
-    // intensity stereo: doc 5 is MS stereo; set mode_ext bit 0
+    // intensity stereo now DECODES: doc 5 is silent MS stereo; setting
+    // mode_ext bit 0 turns on intensity over an all-zero spectrum,
+    // which must pass through the full intensity path to exact zeros
     val ms = Mp3PcmSynth.mp3Bytes(5L)
     val c2 = ms.clone()
     c2(3) = (c2(3) | 0x10).toByte
-    assert(fmt(c2) == "unknown", "intensity stereo rejects")
+    val r2 = Mp3L3Codec.compute(c2)
+    assert(r2.getUTF8String(0).toString == "mp3", "intensity decodes")
+    assert(r2.getInt(7) == 0, "silent intensity stays exactly zero")
     // MPEG-2 header rejects the PCM decoder (meta walk still covers it)
     val c3 = ok.clone()
     c3(1) = 0xF3.toByte
@@ -160,23 +243,24 @@ class Mp3PcmSpec extends AnyFunSuite {
     assert(fmt(Array[Byte](1, 2, 3, 4)) == "unknown")
   }
 
-  test("unsupported big-value table select rejects instead of guessing") {
+  test("not-used big-value table ids 4 and 14 reject instead of guessing") {
     // doc 2 is MONO nonzero; table_select(0) sits in side info:
     // bits: 9 (mdb) + 5 (priv) + 4 (scfsi) + 12 + 9 + 8 + 4 + 1 = 52
     // bits into side info → table_select starts at bit 52
-    val ok = Mp3PcmSynth.mp3Bytes(2L)
-    val c = ok.clone()
-    val bitOff = (4 * 8) + 52 // absolute bit of table_select(0)
-    // set the 5-bit field to 7 (an unimplemented published table)
-    var k = 0
-    while (k < 5) {
-      val v = if (k >= 2) 1 else 0 // 00111 = 7
-      val byteI = (bitOff + k) >> 3
-      val bitI = 7 - ((bitOff + k) & 7)
-      c(byteI) = ((c(byteI) & ~(1 << bitI)) | (v << bitI)).toByte
-      k += 1
+    for (bad <- Seq(4, 14)) {
+      val c = Mp3PcmSynth.mp3Bytes(2L).clone()
+      val bitOff = (4 * 8) + 52 // absolute bit of table_select(0)
+      var k = 0
+      while (k < 5) {
+        val v = (bad >> (4 - k)) & 1
+        val byteI = (bitOff + k) >> 3
+        val bitI = 7 - ((bitOff + k) & 7)
+        c(byteI) = ((c(byteI) & ~(1 << bitI)) | (v << bitI)).toByte
+        k += 1
+      }
+      assert(Mp3L3Codec.compute(c).getUTF8String(0).toString == "unknown",
+        s"table $bad must reject")
     }
-    assert(Mp3L3Codec.compute(c).getUTF8String(0).toString == "unknown")
   }
 
   test("filterbank envelope: nonzero spectra yield bounded, nonzero PCM") {

@@ -2951,6 +2951,44 @@ class ScaleOpsSpec extends SparkSpec {
     assert(zero.values.toSet == Set(scale / n))
   }
 
+  test("pageRankFixedPoint: durable checkpointDir mode is bit-equal and resumable from parquet") {
+    // the 100 TB story: per-round state in a durable parquet namespace
+    // instead of executor-local checkpoint blocks. This pins (a) the
+    // durable mode produces BIT-EQUAL ranks, and (b) the final round's
+    // parquet is independently re-readable — the executor-loss /
+    // driver-restart resume path (a resumed run reads the round file
+    // cold, exactly as this test does).
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (1L, 4L)).toDF("src", "dst")
+    val iters = 4
+    val local = ScaleOps.pageRankFixedPoint(nodes, edges, iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("pr_durable").toString
+    try {
+      val durable = ScaleOps.pageRankFixedPoint(nodes, edges,
+        iterations = iters, checkpointDir = Some(dir))
+      val got = durable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == local, "durable mode must be bit-equal to local mode")
+      // the run namespace holds exactly the FINAL round (earlier rounds
+      // pruned) plus the degree-annotated edge frame
+      val runDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      assert(runDirs.length == 1, "one run namespace")
+      val rounds = runDirs.head.listFiles().map(_.getName).sorted
+      assert(rounds.contains(s"pr_round_$iters"), rounds.mkString(","))
+      assert(!rounds.exists(n2 => n2.startsWith("pr_round_") &&
+        n2 != s"pr_round_$iters"), "earlier rounds pruned: " + rounds.mkString(","))
+      assert(rounds.contains("pr_edges"))
+      // cold re-read of the final round — the resume path
+      val reread = spark.read
+        .parquet(s"${runDirs.head.getAbsolutePath}/pr_round_$iters")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reread == local, "resume re-read must reproduce the ranks")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("quantile_sketch: every answer honors the GK rank bound against exact order statistics") {
     val rows = Queries.all("quantile_sketch").fn(spark, sf0001).collect()
     assert(rows.nonEmpty)

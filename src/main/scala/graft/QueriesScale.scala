@@ -2270,6 +2270,116 @@ object QueriesScale {
         | CAST(total_bytes AS BIGINT) AS total_bytes
         |FROM rows_ ORDER BY doc_id, trk""".stripMargin))
 
+  // ---------------------------------------- MP4 per-sample byte ranges
+  // The step past mp4_tracks' inventory: stsc sample-to-chunk runs and
+  // stco/co64 chunk offsets resolved against stsz into one
+  // (offset, size) per sample — what a fetch layer needs to pull media
+  // bytes without a codec. The fixture's layout contract is pure
+  // arithmetic (free-box pad to 4096, mdat payload at 4104, video in
+  // 4-sample chunks with 16-byte inter-chunk gaps, audio as one
+  // fixed-size chunk after the video bytes), so the oracle replays
+  // every offset with a window prefix-sum. Even docs carry stco (u32),
+  // odd docs co64 (u64) — both offset-box forms on the hash. Per-row,
+  // zero shuffle until the explode.
+  private val mp4SamplesQ = Q(
+    (s, dir) => {
+      val m = ScaleOps.mp4Samples(ScaleOps.synthMp4Samples(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), m.as("m"))
+        .select(col("doc_id"), posexplode(col("m.tracks")).as(Seq("trk", "t")))
+        .select(col("doc_id"), col("trk").cast(LongType).as("trk"),
+          col("t.handler").as("handler"), col("t.codec").as("codec"),
+          posexplode(arrays_zip(col("t.offsets").as("o"),
+            col("t.sizes").as("z"))).as(Seq("sample_idx", "y")))
+        .select(col("doc_id"), col("trk"), col("handler"), col("codec"),
+          col("sample_idx").cast(LongType).as("sample_idx"),
+          col("y.o").as("offset"), col("y.z").as("size"))
+        .orderBy("doc_id", "trk", "sample_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 10 + doc_id % 20 AS nv, 20 + doc_id % 30 AS na,
+        |   64 + doc_id % 64 AS asz, (doc_id % 2 = 1) AS has_audio
+        | FROM documents),
+        | v AS (SELECT doc_id, nv, i.range AS j,
+        |        100 + (doc_id * 7 + i.range * 13) % 900 AS sz
+        |       FROM p CROSS JOIN range(0, 30) i WHERE i.range < nv),
+        | vo AS (SELECT doc_id, j, sz,
+        |        4104 + 16 * (j // 4) +
+        |        COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY j
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |       FROM v),
+        | vt AS (SELECT doc_id, SUM(sz) AS total_v FROM v GROUP BY doc_id),
+        | a AS (SELECT p.doc_id, j.range AS j, asz AS sz,
+        |        4104 + 16 * ((nv + 3) // 4) + vt.total_v + j.range * asz AS off
+        |       FROM p JOIN vt ON p.doc_id = vt.doc_id
+        |       CROSS JOIN range(0, 50) j
+        |       WHERE has_audio AND j.range < na),
+        | rows_ AS (
+        |  SELECT doc_id, 0 AS trk, 'vide' AS handler, 'avc1' AS codec,
+        |   j, off, sz FROM vo
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'soun', 'mp4a', j, off, sz FROM a)
+        |SELECT doc_id, CAST(trk AS BIGINT) AS trk, handler, codec,
+        | CAST(j AS BIGINT) AS sample_idx, CAST(off AS BIGINT) AS offset,
+        | CAST(sz AS BIGINT) AS size
+        |FROM rows_ ORDER BY doc_id, trk, sample_idx""".stripMargin))
+
+  // ------------------------------------------ MJPEG-in-MP4 frame stats
+  // The MP4 twin of video_mjpeg_frames: the video track's samples are
+  // complete baseline JPEGs addressed THROUGH the real stsc/stco/stsz
+  // resolution and decoded by the same JpegCodec with the same stride
+  // contract. The fixture packs the SAME JpegSynth frames as the AVI
+  // twin, so the oracle is LITERALLY the AVI key's SQL — the two
+  // containers must be byte-identical at the statistics level
+  // (additionally spec-pinned array-for-array). Per-row, zero shuffle.
+  private val mp4MjpegFramesQ = Q(
+    (s, dir) => {
+      val w = lit(16L) * (lit(1L) + col("doc_id") % 2)
+      val h = lit(16L)
+      val frames = lit(3L) + col("doc_id") % 4
+      val v = ScaleOps.mp4MjpegFrames(
+        ScaleOps.synthMp4Mjpeg(w, h, frames, col("doc_id")), 2)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), v.as("v"))
+        .select(col("doc_id"),
+          col("v.width").cast(LongType).as("width"),
+          col("v.height").cast(LongType).as("height"),
+          col("v.codec").as("codec"),
+          col("v.n_frames").cast(LongType).as("n_frames"),
+          posexplode(arrays_zip(col("v.frame_idx").as("fi"),
+            col("v.r_sums").as("rs"), col("v.g_sums").as("gs"),
+            col("v.b_sums").as("bs"))).as(Seq("_p", "z")))
+        .select(col("doc_id"), col("width"), col("height"), col("codec"),
+          col("n_frames"),
+          col("z.fi").cast(LongType).as("frame_idx"),
+          col("z.rs").as("r_sum"),
+          col("z.gs").as("g_sum"),
+          col("z.bs").as("b_sum"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 16 * (1 + doc_id % 2) AS w, 16 AS h,
+        |    3 + doc_id % 4 AS frames FROM documents),
+        | f AS (SELECT p.*, fr.range AS f, doc_id + 131 * fr.range AS sd
+        |       FROM p CROSS JOIN range(0, 6) fr
+        |       WHERE fr.range < frames AND fr.range % 2 = 0),
+        | blk AS (SELECT doc_id, w, h, frames, f, sd, b.range AS bi
+        |         FROM f CROSS JOIN range(0, 8) b
+        |         WHERE b.range < (w // 8) * (h // 8)),
+        | a AS (SELECT doc_id, w, h, frames, f, sd,
+        |        SUM(64 * (64 + (sd * 31 + bi * 17) % 128)) AS y_sum
+        |       FROM blk GROUP BY 1, 2, 3, 4, 5, 6),
+        | shifts(v, sr, sg, sb) AS (VALUES (0, 0, 0, 0), (1, 7, -4, 0),
+        |   (2, 0, -2, 9), (3, -10, 4, 7))
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | 'mjpg' AS codec, CAST(frames AS BIGINT) AS n_frames,
+        | CAST(f AS BIGINT) AS frame_idx,
+        | CAST(y_sum + w * h * sr AS BIGINT) AS r_sum,
+        | CAST(y_sum + w * h * sg AS BIGINT) AS g_sum,
+        | CAST(y_sum + w * h * sb AS BIGINT) AS b_sum
+        |FROM a JOIN shifts ON shifts.v = CAST(sd % 4 AS INT)
+        |ORDER BY doc_id, frame_idx""".stripMargin))
+
   // ------------------------------------------------ HTML text extraction
   // The step between warc_records and every text operator: crawls hand
   // you MARKUP, and dedup/quality/LM scoring consume text. The
@@ -5608,6 +5718,8 @@ object QueriesScale {
     "tiff_ext_pixels" -> tiffExtPixelsQ,
     "tiff_tiled_pixels" -> tiffTiledPixelsQ,
     "mp3_pcm" -> mp3PcmQ,
+    "mp4_samples" -> mp4SamplesQ,
+    "mp4_mjpeg_frames" -> mp4MjpegFramesQ,
     "id3_meta" -> id3MetaQ,
     "warc_records" -> warcRecordsQ,
     "html_text" -> htmlTextQ,

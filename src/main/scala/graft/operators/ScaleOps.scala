@@ -1600,6 +1600,33 @@ object ScaleOps {
   def synthMp4Tracks(doc: Column): Column =
     org.apache.spark.sql.graftnative.Mp4TrackFunctions.synth_mp4_tracks(doc)
 
+  /** MP4 per-sample byte ranges: stsc/stco/co64 resolved against stsz
+    * (see [[org.apache.spark.sql.graftnative.Mp4Samples]]).
+    */
+  def mp4Samples(payload: Column): Column =
+    org.apache.spark.sql.graftnative.Mp4TrackFunctions.mp4_samples(payload)
+
+  /** Chunk-layout MP4 fixture with a real mdat from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.Mp4SamplesSynth]]).
+    */
+  def synthMp4Samples(doc: Column): Column =
+    org.apache.spark.sql.graftnative.Mp4TrackFunctions.synth_mp4_samples(doc)
+
+  /** MJPEG-in-MP4 stride-sampled frame statistics — the MP4 twin of
+    * [[aviMjpegFrames]] (see
+    * [[org.apache.spark.sql.graftnative.Mp4MjpegFrames]]).
+    */
+  def mp4MjpegFrames(payload: Column, stride: Int): Column =
+    org.apache.spark.sql.graftnative.Mp4TrackFunctions
+      .mp4_mjpeg_frames(payload, stride)
+
+  /** MJPEG-in-MP4 fixture carrying the SAME JpegSynth frames as
+    * [[synthAvi]] (see [[org.apache.spark.sql.graftnative.Mp4SamplesSynth]]).
+    */
+  def synthMp4Mjpeg(w: Column, h: Column, frames: Column, seed: Column): Column =
+    org.apache.spark.sql.graftnative.Mp4TrackFunctions
+      .synth_mp4_mjpeg(w, h, frames, seed)
+
   /** Baseline JPEG fixture wrapped with an APP1 Exif segment carrying
     * orientation `1 + (seed mod 8)`
     * (see [[org.apache.spark.sql.graftnative.ExifSynth]]).

@@ -58,6 +58,100 @@ class Mp4TracksSpec extends AnyFunSuite {
     assert(Mp4Tracks.compute(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("Mp4Samples: chunk resolution matches the layout formulas (stco AND co64)") {
+    for (seed <- 0L to 9L) { // even = stco, odd = co64
+      val b = Mp4SamplesSynth.mp4SamplesBytes(seed)
+      assert(b != null, s"seed $seed")
+      val r = Mp4Samples.compute(b)
+      assert(r != null, s"seed $seed rejected")
+      val tracks = r.getArray(1)
+      val nv = Mp4TracksSynth.nVideo(seed)
+      val video = tracks.getStruct(0, 4)
+      assert(video.getUTF8String(1).toString == "avc1")
+      val offs = video.getArray(2).toLongArray()
+      val sizes = video.getArray(3).toLongArray()
+      assert(offs.length == nv)
+      for (j <- 0 until nv) {
+        assert(offs(j) == Mp4SamplesSynth.videoOffset(seed, j),
+          s"seed $seed video sample $j offset")
+        assert(sizes(j) == Mp4TracksSynth.videoSize(seed, j))
+      }
+      if (Mp4TracksSynth.hasAudio(seed)) {
+        val audio = tracks.getStruct(1, 4)
+        val aOffs = audio.getArray(2).toLongArray()
+        val asz = Mp4TracksSynth.audioSize(seed)
+        val base = Mp4SamplesSynth.audioBase(seed)
+        assert(aOffs.length == Mp4TracksSynth.nAudio(seed))
+        for (j <- aOffs.indices)
+          assert(aOffs(j) == base + j * asz, s"seed $seed audio sample $j")
+      } else assert(tracks.numElements() == 1)
+      // every range must lie inside the file
+      for (t <- 0 until tracks.numElements()) {
+        val tr = tracks.getStruct(t, 4)
+        val o = tr.getArray(2).toLongArray()
+        val z = tr.getArray(3).toLongArray()
+        for (j <- o.indices) assert(o(j) + z(j) <= b.length)
+      }
+    }
+  }
+
+  test("Mp4Samples reject matrix: bad stsc walk, out-of-file range, no offsets box") {
+    val ok = Mp4SamplesSynth.mp4SamplesBytes(2L) // video-only, stco
+    assert(Mp4Samples.compute(ok) != null)
+    // find stco and corrupt the first chunk offset far past the file
+    def find(tag: String): Int = {
+      var i = 0
+      while (!(ok(i) == tag(0) && ok(i + 1) == tag(1) && ok(i + 2) == tag(2) &&
+        ok(i + 3) == tag(3))) i += 1
+      i
+    }
+    val stco = find("stco")
+    val c1 = ok.clone()
+    c1(stco + 12) = 0x7F.toByte // first offset u32 -> huge
+    assert(Mp4Samples.compute(c1) == null, "out-of-file range rejects")
+    // stsc first run not starting at chunk 1
+    val stsc = find("stsc")
+    val c2 = ok.clone()
+    c2(stsc + 15) = 2 // first_chunk = 2
+    assert(Mp4Samples.compute(c2) == null, "stsc must start at chunk 1")
+    // rename stco away: no offsets box at all
+    val c3 = ok.clone()
+    c3(stco) = 'x'.toByte
+    assert(Mp4Samples.compute(c3) == null, "missing stco/co64 rejects")
+    // spc = 0 is meaningless
+    val c4 = ok.clone()
+    c4(stsc + 19) = 0 // samples_per_chunk = 0
+    assert(Mp4Samples.compute(c4) == null, "zero samples_per_chunk rejects")
+  }
+
+  test("MJPEG parity: MP4 and AVI twins produce byte-identical frame stats") {
+    for (seed <- 0L to 5L) {
+      val w = 16L * (1 + seed % 2)
+      val h = 16L
+      val frames = 3L + seed % 4
+      val avi = AviMjpegFrames.compute(
+        AviSynth.aviBytes(w, h, frames, seed), 2)
+      val mp4 = Mp4MjpegFrames.compute(
+        Mp4SamplesSynth.mp4MjpegBytes(w, h, frames, seed), 2)
+      assert(!avi.isNullAt(0) && !mp4.isNullAt(0), s"seed $seed")
+      assert(mp4.getInt(0) == avi.getInt(0), "width")
+      assert(mp4.getInt(1) == avi.getInt(1), "height")
+      assert(mp4.getUTF8String(2) == avi.getUTF8String(2), "codec")
+      assert(mp4.getInt(3) == avi.getInt(3), "n_frames")
+      assert(mp4.getArray(4).toIntArray().toSeq ==
+        avi.getArray(4).toIntArray().toSeq, "frame_idx")
+      assert(mp4.getArray(5).toLongArray().toSeq ==
+        avi.getArray(5).toLongArray().toSeq, s"seed $seed r_sums")
+      assert(mp4.getArray(6).toLongArray().toSeq ==
+        avi.getArray(6).toLongArray().toSeq, s"seed $seed g_sums")
+      assert(mp4.getArray(7).toLongArray().toSeq ==
+        avi.getArray(7).toLongArray().toSeq, s"seed $seed b_sums")
+    }
+    // non-MJPEG codec rejects to the null row
+    val plain = Mp4SamplesSynth.mp4SamplesBytes(2L) // avc1
+    assert(Mp4MjpegFrames.compute(plain, 2).isNullAt(0))
+  }
+
   test("many sibling boxes: walk is byte-bounded, not sibling-capped") {
     // a structurally valid file with 300 top-level `free` boxes before
     // moov, and 300 `free` siblings before the trak inside moov — a

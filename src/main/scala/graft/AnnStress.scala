@@ -90,7 +90,7 @@ object AnnStress {
               (zj, bj) => zj * bj),
             lit(0.0), (acc, x) => acc + x) * lit(0.6 * 1.732))
       }
-    val corpus = spark.range(0, n)
+    val corpusRaw = spark.range(0, n)
       .select(col("id").as("vec_id"),
         pmod(col("id"), lit(10L)).cast(IntegerType).as("label"))
       .withColumn("_noise", noiseCol)
@@ -99,7 +99,123 @@ object AnnStress {
           (unitHash(lit("c"), col("label"), d) +
             element_at(col("_noise"), d + 1)).cast(FloatType)))
       .drop("_noise")
-      .localCheckpoint(true)
+
+    // ---- optional OPQ-P rotation probe (Ge et al. 2013, parametric
+    // variant): rotate the WHOLE space by PCA eigenvectors with the
+    // eigen-dimensions allocated to PQ subspaces so each subspace's
+    // log-eigenvalue mass is balanced. A global orthogonal rotation
+    // preserves every distance and cosine exactly, so truth, coarse
+    // quantizer, and serve plan are untouched — only PQ's subspace
+    // DECOMPOSITION sees different coordinates, which is precisely the
+    // knob OPQ optimizes. `SPARK_GRAFT_ANN_ROT=pca` turns it on; the
+    // iid corpus is the information-floor hypothesis (spherical
+    // covariance → rotation should buy ~nothing), lowdim the
+    // structured case it should help.
+    val rotMode = sys.env.getOrElse("SPARK_GRAFT_ANN_ROT", "none")
+    val corpus = (if (rotMode != "pca") corpusRaw else {
+      val sampleRows = corpusRaw.filter(
+        pmod(col("vec_id"), lit(math.max(1L, n / 20000L))) === 0)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val mSamp = sampleRows.length
+      val mean = new Array[Double](dim)
+      sampleRows.foreach(v => { var d = 0; while (d < dim) { mean(d) += v(d); d += 1 } })
+      var d0 = 0
+      while (d0 < dim) { mean(d0) /= mSamp; d0 += 1 }
+      val cov = Array.ofDim[Double](dim, dim)
+      sampleRows.foreach { v =>
+        var a = 0
+        while (a < dim) {
+          val va = v(a) - mean(a)
+          var b2 = a
+          while (b2 < dim) {
+            cov(a)(b2) += va * (v(b2) - mean(b2))
+            b2 += 1
+          }
+          a += 1
+        }
+      }
+      var a = 0
+      while (a < dim) {
+        var b2 = a
+        while (b2 < dim) {
+          cov(a)(b2) /= mSamp
+          cov(b2)(a) = cov(a)(b2)
+          b2 += 1
+        }
+        a += 1
+      }
+      // cyclic Jacobi eigensolver on the 64x64 covariance
+      val A = cov.map(_.clone())
+      val V = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+      var sweep = 0
+      var off = 1.0
+      while (sweep < 50 && off > 1e-12) {
+        off = 0.0
+        var p = 0
+        while (p < dim - 1) {
+          var q = p + 1
+          while (q < dim) {
+            val apq = A(p)(q)
+            off += apq * apq
+            if (math.abs(apq) > 1e-14) {
+              val theta = 0.5 * math.atan2(2 * apq, A(q)(q) - A(p)(p))
+              val c = math.cos(theta)
+              val s = math.sin(theta)
+              var k = 0
+              while (k < dim) {
+                val akp = A(k)(p); val akq = A(k)(q)
+                A(k)(p) = c * akp - s * akq
+                A(k)(q) = s * akp + c * akq
+                k += 1
+              }
+              k = 0
+              while (k < dim) {
+                val apk = A(p)(k); val aqk = A(q)(k)
+                A(p)(k) = c * apk - s * aqk
+                A(q)(k) = s * apk + c * aqk
+                val vkp = V(k)(p); val vkq = V(k)(q)
+                V(k)(p) = c * vkp - s * vkq
+                V(k)(q) = s * vkp + c * vkq
+                k += 1
+              }
+            }
+            q += 1
+          }
+          p += 1
+        }
+        sweep += 1
+      }
+      val eig = Array.tabulate(dim)(i => (A(i)(i), i)).sortBy(-_._1)
+      // balanced allocation: dims per subspace fixed at dim/m; assign
+      // each eigen-dim (descending eigenvalue) to the non-full subspace
+      // with the smallest log-eigenvalue mass
+      val perSub = dim / pqm
+      val subMass = new Array[Double](pqm)
+      val subFill = new Array[Int](pqm)
+      val order = new Array[Int](dim) // output coordinate -> eigen index
+      eig.foreach { case (ev, srcIdx) =>
+        var best = -1
+        var bm = Double.MaxValue
+        var s2 = 0
+        while (s2 < pqm) {
+          if (subFill(s2) < perSub && subMass(s2) < bm) { bm = subMass(s2); best = s2 }
+          s2 += 1
+        }
+        order(best * perSub + subFill(best)) = srcIdx
+        subMass(best) += math.log(math.max(ev, 1e-12))
+        subFill(best) += 1
+      }
+      // rotation matrix: output dim r = eigenvector column order(r)
+      val rot = Array.tabulate(dim, dim)((r, c) => V(c)(order(r)))
+      val rotLit = typedlit(rot.map(_.toSeq).toSeq)
+      corpusRaw.withColumn("embedding",
+        transform(sequence(lit(0), lit(dim - 1)), r =>
+          aggregate(
+            zip_with(col("embedding"), element_at(rotLit, r + 1),
+              (x, w) => x * w),
+            lit(0.0), (acc, x) => acc + x).cast(FloatType)))
+    }).localCheckpoint(true)
 
     // exact brute-force truth for the 10-query batch (and its
     // label-filtered form) — the denominator of every recall number
@@ -186,7 +302,7 @@ object AnnStress {
 
     println(Seq(
       s""""vectors":$n""", s""""dim":$dim""", s""""cpus":$cpus""",
-      s""""corpus":"$corpusMode"""",
+      s""""corpus":"$corpusMode"""", s""""rot":"$rotMode"""",
       s""""coarse_k":$coarseK""", s""""n_probe":$nProbe""",
       s""""pq_k":$pqk""", s""""pq_m":$pqm""", s""""init":"$initMode"""",
       s""""refine":$refine""", s""""train_rows":${sample.count()}""",

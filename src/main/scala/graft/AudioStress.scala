@@ -92,6 +92,28 @@ object AudioStress {
       fields += f""""mp3_docs_per_s":${mp3Docs / sec}%.0f"""
       fields += f""""mp3_pcm_mb_per_s":${mp3Mb / sec}%.1f"""
     }
+    // ---- Vorbis lane (round 13): full Ogg Vorbis decode — page walk
+    // with CRC, packet assembly, codebook/floor/residue decode,
+    // coupling, direct IMDCT + windowed overlap-add on every row.
+    // PCM volume: (frames−1)×128 samples × mean 1.5 ch × 2 B with
+    // mean frames 3 → 768 B/doc.
+    locally {
+      val vDocs = math.max(1000L, nDocs / 10)
+      val vIds = spark.range(0, vDocs).select(col("id"))
+      val vMb = vDocs * 2.0 * 128 * 1.5 * 2 / 1e6
+      val t0 = System.nanoTime()
+      val r = vIds.select(stats(ScaleOps.synthOggVorbis(col("id"))))
+        .agg(sum(element_at(col("s.sums"), 1)).as("c0"),
+          count(col("s")).as("n"))
+        .head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(r.getLong(1) == vDocs,
+        s"vorbis: decoded ${r.getLong(1)} of $vDocs (every row must decode)")
+      fields += s""""vorbis_docs":$vDocs"""
+      fields += f""""vorbis_sec":$sec%.2f"""
+      fields += f""""vorbis_docs_per_s":${vDocs / sec}%.0f"""
+      fields += f""""vorbis_pcm_mb_per_s":${vMb / sec}%.1f"""
+    }
     println(fields.mkString("""{"metric":"audio_stress",""", ",", "}"))
     spark.stop()
   }

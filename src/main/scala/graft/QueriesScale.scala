@@ -2270,6 +2270,82 @@ object QueriesScale {
         | CAST(total_bytes AS BIGINT) AS total_bytes
         |FROM rows_ ORDER BY doc_id, trk""".stripMargin))
 
+  // --------------------------------------------- Ogg Vorbis PCM decode
+  // Web audio's second pillar next to MP3, decoded for real (see
+  // VorbisCodec's scaladoc for the precise scope): Ogg pages with CRC
+  // + lacing packet assembly, full codebook parsing (the spec's
+  // lowest-unused-codeword assignment, VQ lookup types with
+  // float32_unpack), floor-1 decode, residue types 1 and 2,
+  // square-polar coupling, IMDCT + windowed overlap-add. The oracle
+  // rides an exactness contract: the fixture's floors are flat at the
+  // dB table's top (index 255 = exactly 1.0) and its VQ values dyadic
+  // (−2 + 0.5·((e+d) mod 8)), so `spec_sum_q20 = Σ spectral·2^20` is
+  // an exact BIGINT — headers, both codebooks, floor decode, residue
+  // classwords/cascade, and stereo coupling all sit on the hash. In
+  // val2 = 2·value units: mono sums class-0 partitions directly;
+  // stereo's coupled pairs are ADJACENT VQ dims (the interleaved
+  // type-2 vector pairs (2j, 2j+1) inside one codeword), giving the
+  // closed form Σ CASE (m>0)=(a>0) THEN 2m−a ELSE 2m+a END. Silent
+  // docs (every 5th) zero every floor flag and must reach the PCM as
+  // exact zeros through the full IMDCT/overlap path. Per-row, zero
+  // shuffle.
+  private val vorbisPcmQ = Q(
+    (s, dir) => {
+      val d = ScaleOps.vorbisDecode(ScaleOps.synthOggVorbis(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), d.as("d"))
+        .select(col("doc_id"),
+          col("d.format").as("format"),
+          col("d.channels").cast(LongType).as("channels"),
+          col("d.sample_rate").cast(LongType).as("sample_rate"),
+          col("d.n_packets").cast(LongType).as("n_packets"),
+          col("d.n_samples").cast(LongType).as("n_samples"),
+          col("d.spec_sum_q20").as("spec_sum_q20"),
+          (col("d.pcm_abs_max") === 0).as("silent"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH p AS (
+        | SELECT doc_id, 1 + doc_id % 2 AS ch, CAST(doc_id % 3 AS INT) AS sr,
+        |        2 + doc_id % 3 AS fr, (doc_id % 5 = 0) AS silent
+        | FROM documents),
+        |cells AS (
+        | SELECT p.doc_id, ch, fr, silent, f.range AS f, pp.range AS pp,
+        |        i.range AS i, d.range AS d,
+        |        -4 + ((doc_id + 2 * f.range + 3 * pp.range + i.range) % 8
+        |              + d.range) % 8 AS val2
+        | FROM p CROSS JOIN range(0, 4) f CROSS JOIN range(0, 32) pp
+        |      CROSS JOIN range(0, 2) i CROSS JOIN range(0, 4) d
+        | WHERE NOT silent AND f.range < fr
+        |   AND pp.range < (CASE WHEN ch = 2 THEN 32 ELSE 16 END)
+        |   AND (doc_id + pp.range) % 2 = 0),
+        |monoq AS (
+        | SELECT doc_id, SUM(val2) * 524288 AS q20
+        | FROM cells WHERE ch = 1 GROUP BY doc_id),
+        |pairs AS (
+        | SELECT m.doc_id, m.val2 AS m2, a.val2 AS a2
+        | FROM (SELECT * FROM cells WHERE ch = 2 AND d % 2 = 0) m
+        | JOIN (SELECT * FROM cells WHERE ch = 2 AND d % 2 = 1) a
+        |   ON m.doc_id = a.doc_id AND m.f = a.f AND m.pp = a.pp
+        |  AND m.i = a.i AND m.d + 1 = a.d),
+        |stereoq AS (
+        | SELECT doc_id,
+        |  SUM(CASE WHEN (m2 > 0) = (a2 > 0) THEN 2 * m2 - a2
+        |      ELSE 2 * m2 + a2 END) * 524288 AS q20
+        | FROM pairs GROUP BY doc_id)
+        |SELECT p.doc_id, 'vorbis' AS format,
+        | CAST(ch AS BIGINT) AS channels,
+        | CAST(CASE sr WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+        |   AS BIGINT) AS sample_rate,
+        | CAST(fr AS BIGINT) AS n_packets,
+        | CAST((fr - 1) * 128 AS BIGINT) AS n_samples,
+        | CAST(COALESCE(monoq.q20, stereoq.q20, 0) AS BIGINT) AS spec_sum_q20,
+        | silent
+        |FROM p
+        |LEFT JOIN monoq ON p.doc_id = monoq.doc_id
+        |LEFT JOIN stereoq ON p.doc_id = stereoq.doc_id
+        |ORDER BY p.doc_id""".stripMargin))
+
   // ---------------------------------------- MP4 per-sample byte ranges
   // The step past mp4_tracks' inventory: stsc sample-to-chunk runs and
   // stco/co64 chunk offsets resolved against stsz into one
@@ -2723,7 +2799,9 @@ object QueriesScale {
           ScaleOps.synthWavPcm(ch, rate, 8, frames, col("doc_id")))
         .when(col("doc_id") % 3 === 1,
           ScaleOps.synthWavPcm(ch, rate, 16, frames, col("doc_id")))
-        .otherwise(ScaleOps.synthMp3Pcm(col("doc_id") * 5))
+        .when(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 0,
+          ScaleOps.synthMp3Pcm(col("doc_id") * 5))
+        .otherwise(ScaleOps.synthOggVorbis(col("doc_id") * 5))
       val d = ScaleOps.pcmDecode(payload)
       Tables.documents(s, dir)
         .select(col("doc_id"), d.as("d"))
@@ -2769,7 +2847,8 @@ object QueriesScale {
         |   CAST(peak AS BIGINT) AS peak FROM a),
         | mp AS (SELECT doc_id,
         |    1 + (doc_id * 5) % 2 AS ch,
-        |    (2 + (doc_id * 5) % 3) * 1152 AS frames
+        |    CASE WHEN doc_id % 2 = 0 THEN (2 + (doc_id * 5) % 3) * 1152
+        |         ELSE (1 + (doc_id * 5) % 3) * 128 END AS frames
         |   FROM documents WHERE doc_id % 3 = 2),
         | mpw AS (SELECT doc_id, CAST(ch AS BIGINT) AS channels,
         |   CAST(frames AS BIGINT) AS n_frames,
@@ -5719,6 +5798,7 @@ object QueriesScale {
     "tiff_tiled_pixels" -> tiffTiledPixelsQ,
     "mp3_pcm" -> mp3PcmQ,
     "mp4_samples" -> mp4SamplesQ,
+    "vorbis_pcm" -> vorbisPcmQ,
     "mp4_mjpeg_frames" -> mp4MjpegFramesQ,
     "id3_meta" -> id3MetaQ,
     "warc_records" -> warcRecordsQ,

@@ -1558,6 +1558,18 @@ object ScaleOps {
   def id3Meta(payload: Column): Column =
     org.apache.spark.sql.graftnative.Id3Functions.id3_meta(payload)
 
+  /** Full Ogg Vorbis PCM decode
+    * (see [[org.apache.spark.sql.graftnative.VorbisCodec]]).
+    */
+  def vorbisDecode(payload: Column): Column =
+    org.apache.spark.sql.graftnative.VorbisFunctions.vorbis_decode(payload)
+
+  /** Formula-spectrum Ogg Vorbis fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.VorbisSynth]]).
+    */
+  def synthOggVorbis(doc: Column): Column =
+    org.apache.spark.sql.graftnative.VorbisFunctions.synth_ogg_vorbis(doc)
+
   /** ID3v2-tagged Layer III fixture from a doc seed
     * (see [[org.apache.spark.sql.graftnative.Id3Synth]]).
     */

@@ -67,6 +67,7 @@ object PcmDecode {
   private val FMT_WAV = UTF8String.fromString("wav")
   private val FMT_FLAC = UTF8String.fromString("flac")
   private val FMT_MP3 = UTF8String.fromString("mp3")
+  private val FMT_VORBIS = UTF8String.fromString("vorbis")
   private val FMT_UNKNOWN = UTF8String.fromString("unknown")
 
   /** Row builders for the FLAC sibling decoder ([[FlacCodec]]). */
@@ -108,6 +109,14 @@ object PcmDecode {
       if (r.isNullAt(1)) return unknownOf(FMT_UNKNOWN)
       return new GenericInternalRow(Array[Any](FMT_MP3, r.getInt(1),
         r.getInt(2), 16, r.getInt(5), r.getArray(8)))
+    }
+    if (b.length >= 4 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' &&
+        b(3) == 'S') {
+      // Ogg Vorbis (round 13): same normalized landing as MP3
+      val r = VorbisCodec.compute(b)
+      if (r.isNullAt(1)) return unknownOf(FMT_UNKNOWN)
+      return new GenericInternalRow(Array[Any](FMT_VORBIS, r.getInt(1),
+        r.getInt(2), 16, r.getInt(4), r.getArray(7)))
     }
     if (b.length < 12 || !cc(b, 0, "RIFF") || !cc(b, 8, "WAVE"))
       return unknownOf(FMT_UNKNOWN)

@@ -42,12 +42,16 @@ object Bench {
     // control_sec / CONTROL_BASELINE_SEC (the round-13 quiet-box pin);
     // `total_normalized` = total / control_ratio is the drift-corrected
     // total to compare across rounds.
-    val ControlBaselineSec = 0.55 // round-13 pin, 32-thread quiet box
+    // round-13 pin: the 8000-image lane measured 0.287/0.294/0.303 s
+    // across three fresh local[32] JVMs on the quiet round-13 box —
+    // control_ratio 1.0 means "the round-13 box"; >1 means the box got
+    // slower and total_normalized discounts it
+    val ControlBaselineSec = 0.295
     val controlSec = {
       import org.apache.spark.sql.functions._
       def once(): Double = {
         val t0 = System.nanoTime()
-        spark.range(0, 2000, 1, cpus.toInt)
+        spark.range(0, 8000, 1, cpus.toInt)
           .select(operators.ScaleOps.imageDecode(
             operators.ScaleOps.synthPng(lit(64), lit(64), col("id"), 3))
             .getField("width").as("w"))

@@ -281,6 +281,9 @@ object VorbisCodec {
     var vq: Array[Double] = null
     var seqP = false
     if (lookupType == 1 || lookupType == 2) {
+      // the value TABLE is entries×dim for both lookup types — gate it
+      // (memory bound per row), not just the multiplicand count
+      if (entries.toLong * dim > (1 << 22)) return null
       val minV = float32Unpack(br.bitsL(32))
       val deltaV = float32Unpack(br.bitsL(32))
       val valueBits = br.bits(4) + 1
@@ -786,12 +789,45 @@ object VorbisCodec {
 
   // ------------------------------------------------------------- MDCT
 
+  /** Cached IMDCT basis per block size: StrictMath.cos dominated the
+    * per-row decode profile (≈200k transcendental calls per stereo
+    * doc) — the table turns the transform into pure multiply-adds.
+    * Capped at n ≤ 2048 (16 MB; the common real-world maximum) —
+    * larger legal blocks (≤8192) fall back to the direct loop rather
+    * than pinning a 268 MB table.
+    */
+  private val imdctCosCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
+
+  private def imdctCos(n: Int): Array[Array[Double]] =
+    imdctCosCache.computeIfAbsent(n, { _ =>
+      val f = 2.0 * StrictMath.PI / n
+      Array.tabulate(n, n / 2)((j, k) =>
+        StrictMath.cos(f * (j + 0.5 + n / 4.0) * (k + 0.5)))
+    })
+
   /** Direct inverse MDCT (spec §1.3.2 definition), n = block size:
     * out(j) = Σ_{k<n/2} spec(k) · cos(2π/n · (j + 0.5 + n/4)(k + 0.5)).
     */
   private[graftnative] def imdct(spec: Array[Double], n: Int): Array[Double] = {
     val n2 = n / 2
     val out = new Array[Double](n)
+    if (n <= 2048) {
+      val tab = imdctCos(n)
+      var j = 0
+      while (j < n) {
+        val row = tab(j)
+        var s = 0.0
+        var k = 0
+        while (k < n2) {
+          s += spec(k) * row(k)
+          k += 1
+        }
+        out(j) = s
+        j += 1
+      }
+      return out
+    }
     val f = 2.0 * StrictMath.PI / n
     var j = 0
     while (j < n) {

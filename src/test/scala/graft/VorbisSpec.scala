@@ -137,6 +137,26 @@ class VorbisSpec extends AnyFunSuite {
     }
   }
 
+  test("truncation sweep: every prefix decodes to a row or rejects, never throws") {
+    // the untrusted-bytes stance: crawled payloads arrive torn at any
+    // byte; the decoder must classify, not crash
+    val ok = VorbisSynth.oggVorbisBytes(3L)
+    var k = 0
+    while (k < ok.length) {
+      val r = VorbisCodec.compute(ok.take(k))
+      assert(r != null) // a row always comes back ('unknown' or valid)
+      k += 7
+    }
+    // and a bit-flip sweep over a sample of positions: same contract
+    var p = 0
+    while (p < ok.length) {
+      val c = ok.clone()
+      c(p) = (c(p) ^ 0x40).toByte
+      VorbisCodec.compute(c) // must not throw; reject or decode
+      p += 97
+    }
+  }
+
   test("coupling: stereo PCM differs from channel-duplicated mono decode") {
     // doc 1 is stereo non-silent; its two channels must not be equal
     // (square-polar coupling splits M/A into distinct L/R)

@@ -905,6 +905,28 @@ object VorbisCodec {
     p.length >= 7 && (p(0) & 0xFF) == typ && p(1) == 'v' && p(2) == 'o' &&
       p(3) == 'r' && p(4) == 'b' && p(5) == 'i' && p(6) == 's'
 
+  /** Per-thread memo of parsed setup headers keyed by the exact packet
+    * bytes (+ channel count, which gates the mapping parse). Crawl
+    * corpora repeat encoder configurations constantly — the same
+    * encoder build emits byte-identical setup packets — and the
+    * codebook tree builds dominated the per-FILE decode cost at small
+    * files. Parsed Setups are immutable; failures are not cached
+    * (failing is already cheap).
+    */
+  private final class SetupKey(val b: Array[Byte], val ch: Int) {
+    override val hashCode: Int = java.util.Arrays.hashCode(b) * 31 + ch
+    override def equals(o: Any): Boolean = o match {
+      case k: SetupKey => k.ch == ch && java.util.Arrays.equals(k.b, b)
+      case _ => false
+    }
+  }
+  private val tlSetup =
+    ThreadLocal.withInitial[java.util.LinkedHashMap[SetupKey, Setup]](() =>
+      new java.util.LinkedHashMap[SetupKey, Setup](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[SetupKey, Setup]): Boolean = size > 8
+      })
+
   def compute(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 58) return unknown
     val packets = oggPackets(b)
@@ -925,12 +947,18 @@ object VorbisCodec {
     if (bs0 < 64 || bs1 < bs0 || bs1 > MaxBlock) return unknown
     // comment header: structural skip only
     if (!isHeader(packets(1), 3)) return unknown
-    // setup header
+    // setup header (memoized per thread by exact packet bytes)
     if (!isHeader(packets(2), 5)) return unknown
-    val sBr = new Br(packets(2))
-    sBr.pos = 7 * 8
-    val setup = readSetup(sBr, channels)
-    if (setup == null) return unknown
+    val setupKey = new SetupKey(packets(2), channels)
+    val setupCache = tlSetup.get()
+    var setup = setupCache.get(setupKey)
+    if (setup == null) {
+      val sBr = new Br(packets(2))
+      sBr.pos = 7 * 8
+      setup = readSetup(sBr, channels)
+      if (setup == null) return unknown
+      setupCache.put(setupKey, setup)
+    }
 
     // audio packet loop
     val modeBits = ilog(setup.modeBlockflag.length - 1)

@@ -152,6 +152,28 @@ class Mp4TracksSpec extends AnyFunSuite {
     assert(Mp4MjpegFrames.compute(plain, 2).isNullAt(0))
   }
 
+  test("truncation/bit-flip sweeps: samples and mjpeg walks never throw") {
+    val ok = Mp4SamplesSynth.mp4SamplesBytes(3L)
+    var k = 0
+    while (k < ok.length) {
+      Mp4Samples.compute(ok.take(k)) // null or row, never a throw
+      k += 13
+    }
+    var p = 0
+    while (p < ok.length) {
+      val c = ok.clone()
+      c(p) = (c(p) ^ 0x20).toByte
+      Mp4Samples.compute(c)
+      p += 101
+    }
+    val mj = Mp4SamplesSynth.mp4MjpegBytes(16, 16, 3, 4L)
+    k = 0
+    while (k < mj.length) {
+      Mp4MjpegFrames.compute(mj.take(k), 2)
+      k += 53
+    }
+  }
+
   test("many sibling boxes: walk is byte-bounded, not sibling-capped") {
     // a structurally valid file with 300 top-level `free` boxes before
     // moov, and 300 `free` siblings before the trak inside moov — a

@@ -137,6 +137,22 @@ class WarcSpec extends AnyFunSuite {
     assert(text.getUTF8String(1).toString == "Hello & welcome")
   }
 
+  test("truncation/bit-flip sweep: the member walk never throws") {
+    val ok = WarcSynth.warcGzBytes(6L)
+    var k = 0
+    while (k < ok.length) {
+      WarcRecords.compute(ok.take(k)) // null or row, never a throw
+      k += 11
+    }
+    var p = 0
+    while (p < ok.length) {
+      val c = ok.clone()
+      c(p) = (c(p) ^ 0x08).toByte
+      WarcRecords.compute(c)
+      p += 67
+    }
+  }
+
   test("JDK GZIPOutputStream members interoperate (real-world gzip framing)") {
     // build one member with the JDK's own gzip writer around a valid
     // record — proves the walk is not coupled to our fixture's framing

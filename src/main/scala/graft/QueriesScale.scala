@@ -2155,7 +2155,8 @@ object QueriesScale {
           col("d.n_frames").cast(LongType).as("n_frames"),
           col("d.n_samples").cast(LongType).as("n_samples"),
           col("d.spec_sum_q20").as("spec_sum_q20"),
-          (col("d.pcm_abs_max") === 0).as("silent"))
+          (col("d.pcm_abs_max") === 0).as("silent"),
+          col("d.bit_exact").as("bit_exact"))
         .orderBy("doc_id")
     },
     Some(
@@ -2216,7 +2217,8 @@ object QueriesScale {
         | CAST(fr * 1152 AS BIGINT) AS n_samples,
         | CAST(CASE WHEN silent THEN 0 ELSE fr * tot.t END AS BIGINT)
         |   AS spec_sum_q20,
-        | silent
+        | silent,
+        | silent AS bit_exact
         |FROM p JOIN tot ON p.doc_id = tot.doc_id
         |ORDER BY p.doc_id""".stripMargin))
 

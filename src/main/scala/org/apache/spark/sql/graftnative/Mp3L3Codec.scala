@@ -69,14 +69,20 @@ object Mp3L3Codec {
     StructField("spec_sum_q20", LongType, nullable = true),
     StructField("pcm_abs_max", IntegerType, nullable = true),
     StructField("samples", ArrayType(IntegerType, containsNull = false),
-      nullable = true)))
+      nullable = true),
+    // conformance flag: false when any big-value region consulted a
+    // grade-B Huffman table (15 / 16-23 / 24-31 — canonical
+    // reconstructions whose code ASSIGNMENT may differ from ISO's) so
+    // downstream consumers can split bit-exact decodes from
+    // plausible-but-unverified spectra instead of trusting both equally
+    StructField("bit_exact", BooleanType, nullable = true)))
 
   private val FmtMp3 = UTF8String.fromString("mp3")
   private val FmtUnknown = UTF8String.fromString("unknown")
 
   private def unknown: InternalRow =
     new GenericInternalRow(Array[Any](FmtUnknown, null, null, null, null,
-      null, null, null, null))
+      null, null, null, null, null))
 
   private val MaxFrames = 2048 // ≈ 2.4M samples/ch ≈ 19 MB of ints stereo
 
@@ -207,6 +213,11 @@ object Mp3L3Codec {
     var preflag = 0
     var scalefacScale = 0
     var count1Table = 0
+    /** Set when big-value decode actually consults a grade-B table
+      * (15 / 16–23 / 24–31 — canonical reconstructions, see
+      * [[Mp3HuffTables]]'s provenance scaladoc).
+      */
+    var usedGradeB = false
     // decoded per-granule data
     val scalefacL = new Array[Int](23)
     val scalefacS = Array.ofDim[Int](13, 3)
@@ -517,6 +528,7 @@ object Mp3L3Codec {
     val nSamples = frames * 1152
     val pcm = new Array[Int](nSamples * nch)
     var specSum = 0.0
+    var bitExact = true
     val synth = Array.fill(nch)(new SynthState)
     val overlap = Array.fill(nch, 32, 18)(0.0)
     val outF = new Array[Double](32)
@@ -537,6 +549,7 @@ object Mp3L3Codec {
           if (!readScalefactors(br, q, if (g == 1) job.scfsi(c) else null,
             if (g == 1) job.gr(0)(c) else null)) return unknown
           if (!readHuffman(br, q, grStart, srIdx)) return unknown
+          if (q.usedGradeB) bitExact = false
           br.pos = grStart + q.part23
           requantize(q, srIdx)
           c += 1
@@ -584,7 +597,7 @@ object Mp3L3Codec {
     val q20l = if (q20.isNaN || q20.isInfinite) 0L else q20.toLong
     new GenericInternalRow(Array[Any](FmtMp3, nch, rate, brKbps, frames,
       nSamples, q20l, absMax,
-      new GenericArrayData(pcm.map(v => v: Any))))
+      new GenericArrayData(pcm.map(v => v: Any)), bitExact))
   }
 
   private def q0BigValuesTooBig(gr: Array[Array[Granule]]): Boolean = {
@@ -722,6 +735,7 @@ object Mp3L3Codec {
         if (li < r0End) q.tableSelect(0)
         else if (li < r1End) q.tableSelect(1)
         else q.tableSelect(2)
+      if (table >= 15) q.usedGradeB = true
       if (!pair(br, table, q.is, li)) return false
       li += 2
     }

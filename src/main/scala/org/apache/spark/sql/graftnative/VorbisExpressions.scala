@@ -25,6 +25,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * direct inverse MDCT, and the sin(π/2·sin²) window with the spec's
   * lapping rules — long blocks against short neighbors included.
   *
+  * Spec edge semantics implemented (not just the happy path):
+  *  - End-of-packet during floor decode renders the frame SILENT and
+  *    keeps decoding (spec §4.3.2's non-error); EOP during residue
+  *    decode keeps the partial vector. Only structural corruption —
+  *    CRC failures, torn pages, codewords walking into vacant tree
+  *    slots, out-of-range floor values — rejects the stream.
+  *  - Page granule positions are honored: the first granule-bearing
+  *    audio page declares the encoder's initial PCM offset (trimmed
+  *    from the head) and the final page's granulepos end-trims the
+  *    tail, so `n_samples` matches a reference decoder's accounting
+  *    on real encoder output (which pads the first frame and
+  *    truncates the last).
+  *  - Total decoded output is gated by MaxTotalSamples (≈64 MB of
+  *    Int slots) against allocation-amplification from crafted
+  *    streams of near-empty audio packets.
+  *
   * Honest scope, stated precisely:
   *  - Floor type 0 (LSP) rejects — modern encoders emit floor 1 only.
   *  - The 256-entry floor1_inverse_dB_table is GENERATED as the exact
@@ -67,6 +83,14 @@ object VorbisCodec {
   private val MaxPackets = 4096
   private val MaxBlock = 8192
 
+  /** Cap on total decoded output (samples × channels, as Int slots ≈
+    * 64 MB). Without it a few-KB crafted Ogg of ~1-byte audio packets
+    * (4096 packets × 8192-sample blocks × 8 channels) could demand
+    * ~536 MB — the same allocation-amplification shape
+    * WarcRecords.MaxInflated guards against.
+    */
+  private val MaxTotalSamples = 1 << 24
+
   /** floor1_inverse_dB_table: geometric from the spec's endpoints (see
     * the scaladoc's provenance note). table(255) is exactly 1.0.
     */
@@ -79,10 +103,16 @@ object VorbisCodec {
 
   // ---------------------------------------------------------- bit I/O
 
-  /** Vorbis packs LSB-first within bytes. */
+  /** Vorbis packs LSB-first within bytes. `ok` drops on end-of-packet
+    * (the spec's recoverable condition inside audio-packet decode);
+    * `corrupt` marks STRUCTURAL invalidity (a codeword walking into a
+    * vacant tree slot, an out-of-range floor value) that must reject
+    * the stream rather than silence the frame.
+    */
   private[graftnative] final class Br(val b: Array[Byte]) {
     var pos: Long = 0
     var ok = true
+    var corrupt = false
     def bits(n: Int): Int = {
       if (n == 0) return 0
       if (pos + n > b.length.toLong * 8) { ok = false; return 0 }
@@ -328,12 +358,16 @@ object VorbisCodec {
     var node = 1
     while (true) {
       val bit = br.bit()
-      if (!br.ok) return -1
+      if (!br.ok) return -1 // end-of-packet: recoverable per spec §4.3
       val slot = 2 * node + bit
-      if (slot >= cb.tree.length) return -1
+      if (slot >= cb.tree.length || cb.tree(slot) == 0) {
+        // a sparse tree's vacant slot: structural corruption
+        br.corrupt = true
+        br.ok = false
+        return -1
+      }
       val v = cb.tree(slot)
       if (v < 0) return -v - 1
-      if (v == 0) return -1
       node = v
     }
     -1
@@ -609,7 +643,7 @@ object VorbisCodec {
       var cval = 0
       if (csub > 0) {
         cval = decodeEntry(br, books(f.classMaster(cls)))
-        if (cval < 0) { br.ok = false; return null }
+        if (cval < 0) return null // ok/corrupt already set
       }
       var d = 0
       while (d < cdim) {
@@ -617,7 +651,7 @@ object VorbisCodec {
         cval >>= csub
         if (book >= 0) {
           y(w) = decodeEntry(br, books(book))
-          if (y(w) < 0) { br.ok = false; return null }
+          if (y(w) < 0) return null // ok/corrupt already set
         } else y(w) = 0
         w += 1
         d += 1
@@ -665,7 +699,9 @@ object VorbisCodec {
         step2(i) = false
         finalY(i) = predicted
       }
-      if (finalY(i) < 0 || finalY(i) >= range) { br.ok = false; return null }
+      if (finalY(i) < 0 || finalY(i) >= range) {
+        br.corrupt = true; br.ok = false; return null
+      }
       i += 1
     }
     // curve synthesis: sorted-X render over step2 posts
@@ -724,7 +760,10 @@ object VorbisCodec {
           while (j < ch) {
             if (!doNotDecode(j)) {
               var temp = decodeEntry(br, classbook)
-              if (temp < 0) return false
+              // EOP mid-residue is the spec's non-error: keep the
+              // partial vector (§4.3); only structural decode
+              // failures reject
+              if (temp < 0) return !br.corrupt
               var i = classwords - 1
               while (i >= 0) {
                 classifs(j)(partCount + i) = temp % r.nClass
@@ -753,7 +792,7 @@ object VorbisCodec {
                   var s = 0
                   while (s < step) {
                     val e = decodeEntry(br, cb)
-                    if (e < 0) return false
+                    if (e < 0) return !br.corrupt
                     var d = 0
                     while (d < cb.dim) {
                       vecs(j)(offset + s + d * step) += cb.vq(e * cb.dim + d)
@@ -765,7 +804,7 @@ object VorbisCodec {
                   var s = 0
                   while (s < r.partSize) {
                     val e = decodeEntry(br, cb)
-                    if (e < 0) return false
+                    if (e < 0) return !br.corrupt
                     var d = 0
                     while (d < cb.dim && s < r.partSize) {
                       vecs(j)(offset + s) += cb.vq(e * cb.dim + d)
@@ -854,11 +893,22 @@ object VorbisCodec {
 
   // ------------------------------------------------------------ decode
 
-  /** Assemble Ogg packets: returns the packet list or null. Verifies
-    * every page CRC; handles lacing and continued packets.
+  /** Assembled packets plus, per packet, the granule position of the
+    * page on which it completes — valid only for the LAST packet
+    * completed on each page (the spec ties granulepos to that packet);
+    * −1 everywhere else, and on pages whose granulepos field is the
+    * spec's "no packet completes here" sentinel (all ones).
     */
-  private[graftnative] def oggPackets(b: Array[Byte]): Array[Array[Byte]] = {
+  private[graftnative] final class PacketStream(
+      val packets: Array[Array[Byte]], val granules: Array[Long])
+
+  /** Assemble Ogg packets: returns the packet stream or null. Verifies
+    * every page CRC; handles lacing and continued packets; records the
+    * page granule positions needed for the spec's head/tail trimming.
+    */
+  private[graftnative] def oggPacketStream(b: Array[Byte]): PacketStream = {
     val packets = new java.util.ArrayList[Array[Byte]]()
+    val granules = new java.util.ArrayList[java.lang.Long]()
     var cur = new java.io.ByteArrayOutputStream()
     var open = false
     var off = 0
@@ -876,9 +926,16 @@ object VorbisCodec {
       val stored = (b(off + 22) & 0xFF) | ((b(off + 23) & 0xFF) << 8) |
         ((b(off + 24) & 0xFF) << 16) | ((b(off + 25) & 0xFF) << 24)
       if (OggMeta.pageCrc(b, off, pageLen, off + 22) != stored) return null
+      var pageGranule = 0L
+      var gi = 0
+      while (gi < 8) {
+        pageGranule |= (b(off + 6 + gi) & 0xFFL) << (8 * gi)
+        gi += 1
+      }
       val continued = (headerType & 1) != 0
       if (continued != open) return null // torn continuation
       var p = off + 27 + nSegs
+      var lastCompleted = -1
       s = 0
       while (s < nSegs) {
         val seg = b(off + 27 + s) & 0xFF
@@ -886,19 +943,33 @@ object VorbisCodec {
         p += seg
         if (seg < 255) {
           packets.add(cur.toByteArray)
+          granules.add(-1L)
+          lastCompleted = packets.size() - 1
           cur = new java.io.ByteArrayOutputStream()
           open = false
           if (packets.size() > MaxPackets) return null
         } else open = true
         s += 1
       }
+      if (lastCompleted >= 0 && pageGranule != -1L)
+        granules.set(lastCompleted, pageGranule)
       off += pageLen
     }
     if (open || off != b.length) return null
     val out = new Array[Array[Byte]](packets.size())
+    val g = new Array[Long](packets.size())
     var i = 0
-    while (i < out.length) { out(i) = packets.get(i); i += 1 }
-    out
+    while (i < out.length) {
+      out(i) = packets.get(i)
+      g(i) = granules.get(i)
+      i += 1
+    }
+    new PacketStream(out, g)
+  }
+
+  private[graftnative] def oggPackets(b: Array[Byte]): Array[Array[Byte]] = {
+    val s = oggPacketStream(b)
+    if (s == null) null else s.packets
   }
 
   private def isHeader(p: Array[Byte], typ: Int): Boolean =
@@ -929,8 +1000,10 @@ object VorbisCodec {
 
   def compute(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 58) return unknown
-    val packets = oggPackets(b)
-    if (packets == null || packets.length < 3) return unknown
+    val stream = oggPacketStream(b)
+    if (stream == null || stream.packets.length < 3) return unknown
+    val packets = stream.packets
+    val granules = stream.granules
     // identification header
     if (!isHeader(packets(0), 1)) return unknown
     val idBr = new Br(packets(0))
@@ -972,15 +1045,30 @@ object VorbisCodec {
     var prevN = 0
     var pi = 3
     var nAudio = 0
+    var haveGranule = false
+    var headTrim = 0
+    var lastGranule = -1L
     while (pi < packets.length) {
       val p = packets(pi)
       val br = new Br(p)
       if (br.bit() != 0) return unknown // must be an audio packet
       val mode = br.bits(modeBits)
-      if (mode >= setup.modeBlockflag.length || !br.ok) return unknown
+      if (mode >= setup.modeBlockflag.length) return unknown
+      if (!br.ok) {
+        // EOP before the mode field completes: the spec IGNORES the
+        // packet (frame lost, lapping state unchanged) — only a
+        // non-audio type bit or an out-of-range mode rejects
+        pi += 1
+      } else {
       val longBlock = setup.modeBlockflag(mode)
       val n = if (longBlock) bs1 else bs0
       val n2 = n / 2
+      // allocation-amplification gate (mirrors WarcRecords.MaxInflated),
+      // checked BEFORE any decode work so a few-KB crafted stream of
+      // ~1-byte audio packets cannot demand unbounded PCM or CPU
+      if (prevRight != null &&
+        (nSamples + prevN / 4 + n / 4).toLong * channels > MaxTotalSamples)
+        return unknown
       var prevFlag = true
       var nextFlag = true
       if (longBlock && bs0 != bs1) {
@@ -988,16 +1076,30 @@ object VorbisCodec {
         nextFlag = br.bit() == 1
       }
       val mapping = setup.mappings(setup.modeMapping(mode))
-      // floors
+      // floors. End-of-packet during floor decode is the spec's
+      // NON-error (§4.3.2): the frame renders silent — every channel
+      // zeroed — but still advances the lapping state. Only structural
+      // corruption (vacant codeword slots, out-of-range floor values)
+      // rejects the stream.
       val floorOut = new Array[Array[Int]](channels)
       val noResidue = new Array[Boolean](channels)
+      var frameEop = false
       var c = 0
-      while (c < channels) {
+      while (c < channels && !frameEop) {
         val f = setup.floors(mapping.submapFloor(mapping.mux(c)))
         floorOut(c) = decodeFloor1(br, f, setup.books, n2)
-        if (!br.ok) return unknown
+        if (br.corrupt) return unknown
+        if (!br.ok) frameEop = true
         noResidue(c) = floorOut(c) == null
         c += 1
+      }
+      if (frameEop) {
+        c = 0
+        while (c < channels) {
+          floorOut(c) = null
+          noResidue(c) = true
+          c += 1
+        }
       }
       // coupling: if either channel of a pair is nonzero, both decode
       var s = 0
@@ -1008,10 +1110,12 @@ object VorbisCodec {
         }
         s += 1
       }
-      // residue per submap
+      // residue per submap. EOP inside residue keeps the partial
+      // vector (decodeResidueInner returns true for it); only
+      // structural failures surface as false here.
       val residueVec = Array.ofDim[Double](channels, n2)
       var sm = 0
-      while (sm < mapping.submaps) {
+      while (sm < mapping.submaps && !frameEop) {
         val chIdx = (0 until channels).filter(mapping.mux(_) == sm).toArray
         val r = setup.residues(mapping.submapResidue(sm))
         if (r.typ == 2) {
@@ -1076,29 +1180,34 @@ object VorbisCodec {
         }
         c += 1
       }
-      // IMDCT + window + overlap-add
+      // IMDCT + window + overlap-add. A channel whose floor is unused
+      // renders silence (spec §4.3.7) — its spectral vector is exactly
+      // zero, so the transform is skipped outright: silence is common
+      // in real corpora and the direct IMDCT is O(n²) at large blocks.
       val frame = Array.ofDim[Double](channels, n)
       c = 0
       while (c < channels) {
-        val t = imdct(spectral(c), n)
-        // window: equal-lapping for matched neighbors; a long block
-        // next to short neighbors gets the spec's offset short slopes
-        val leftN = if (longBlock && !prevFlag) bs0 else n
-        val rightN = if (longBlock && !nextFlag) bs0 else n
-        val leftStart = n / 4 - leftN / 4
-        val rightEnd = 3 * n / 4 + rightN / 4
-        var j = 0
-        while (j < n) {
-          val wv =
-            if (j < leftStart) 0.0
-            else if (j < leftStart + leftN / 2)
-              winSlope(j - leftStart, leftN / 2)
-            else if (j < rightEnd - rightN / 2) 1.0
-            else if (j < rightEnd)
-              winSlope(rightEnd - 1 - j, rightN / 2)
-            else 0.0
-          frame(c)(j) = t(j) * wv
-          j += 1
+        if (floorOut(c) != null) {
+          val t = imdct(spectral(c), n)
+          // window: equal-lapping for matched neighbors; a long block
+          // next to short neighbors gets the spec's offset short slopes
+          val leftN = if (longBlock && !prevFlag) bs0 else n
+          val rightN = if (longBlock && !nextFlag) bs0 else n
+          val leftStart = n / 4 - leftN / 4
+          val rightEnd = 3 * n / 4 + rightN / 4
+          var j = 0
+          while (j < n) {
+            val wv =
+              if (j < leftStart) 0.0
+              else if (j < leftStart + leftN / 2)
+                winSlope(j - leftStart, leftN / 2)
+              else if (j < rightEnd - rightN / 2) 1.0
+              else if (j < rightEnd)
+                winSlope(rightEnd - 1 - j, rightN / 2)
+              else 0.0
+            frame(c)(j) = t(j) * wv
+            j += 1
+          }
         }
         c += 1
       }
@@ -1138,10 +1247,24 @@ object VorbisCodec {
       prevN = n
       nAudio += 1
       if (nAudio > MaxPackets) return unknown
+      // granule accounting (spec A.2): a page's granulepos is the
+      // absolute PCM position after its last completed packet. The
+      // first granule-bearing audio page declares the head offset
+      // (decoded-so-far minus granulepos); the final one declares the
+      // end trim.
+      val g = granules(pi)
+      if (g >= 0) {
+        if (!haveGranule) {
+          haveGranule = true
+          headTrim = math.max(0L, nSamples.toLong - g).toInt
+        }
+        lastGranule = g
+      }
       pi += 1
+      }
     }
     if (nAudio == 0) return unknown
-    val all = new Array[Int](nSamples * channels)
+    var all = new Array[Int](nSamples * channels)
     var w = 0
     var li = 0
     while (li < pcm.size()) {
@@ -1150,10 +1273,27 @@ object VorbisCodec {
       w += seg.length
       li += 1
     }
+    var nOut = nSamples
+    if (haveGranule) {
+      val kept = math.max(0L,
+        math.min((nSamples - headTrim).toLong, lastGranule)).toInt
+      if (headTrim > 0 || kept < nSamples) {
+        all = java.util.Arrays.copyOfRange(all, headTrim * channels,
+          (headTrim + kept) * channels)
+        nOut = kept
+        absMax = 0
+        var t = 0
+        while (t < all.length) {
+          val m = if (all(t) < 0) -all(t) else all(t)
+          if (m > absMax) absMax = m
+          t += 1
+        }
+      }
+    }
     val q20 = StrictMath.rint(specSum * 1048576.0)
     val q20l = if (q20.isNaN || q20.isInfinite) 0L else q20.toLong
     new GenericInternalRow(Array[Any](FmtVorbis, channels, rate, nAudio,
-      nSamples, q20l, absMax, new GenericArrayData(all)))
+      nOut, q20l, absMax, new GenericArrayData(all)))
   }
 }
 
@@ -1444,8 +1584,16 @@ object VorbisSynth {
     add(OggSynth.page(0, 0, serial, 1, commentPacket()))
     add(OggSynth.page(0, 0, serial, 2, setup))
     var f = 0
+    var granule = 0L
     while (f < nF) {
       val longBlock = f % 2 == 1
+      // true lapped-output accounting: frame f emits
+      // (N(f-1) + N(f)) / 4 samples against its predecessor
+      if (f > 0) {
+        val prevBs = if ((f - 1) % 2 == 1) 256 else 128
+        val curBs = if (longBlock) 256 else 128
+        granule += (prevBs + curBs) / 4
+      }
       val aw = new BitW
       aw.put(0, 1)
       aw.put(if (longBlock) 1 else 0, 1) // mode number (ilog(1) = 1 bit)
@@ -1469,8 +1617,40 @@ object VorbisSynth {
           p += 2
         }
       }
-      add(OggSynth.page(if (f == nF - 1) 4 else 0, 0, serial, 3 + f,
+      add(OggSynth.page(if (f == nF - 1) 4 else 0, granule, serial, 3 + f,
         aw.bytes))
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Test-harness variant: the adversarial allocation-amplification
+    * shape the MaxTotalSamples gate exists for — `nPackets` ONE-byte
+    * audio packets against an 8-channel, 8192-sample-block ident.
+    * Each ~1-byte packet EOPs inside floor decode (a spec non-error
+    * rendering the frame silent) yet claims 4096×8 output slots, so a
+    * few-KB stream demands ~0.5 GB without the gate. Granules are
+    * written truthfully so the trim path stays inert.
+    */
+  private[graftnative] def amplificationStreamBytes(nPackets: Int): Array[Byte] = {
+    val w = new BitW
+    header(w, 1)
+    w.put(0, 32) // version
+    w.put(8, 8) // channels
+    w.put(44100, 32)
+    w.put(0, 32); w.put(0, 32); w.put(0, 32)
+    w.put(0xDD, 8) // blocksizes 8192/8192
+    w.put(1, 1)
+    val serial = 79
+    val out = new java.io.ByteArrayOutputStream()
+    def add(p: Array[Byte]): Unit = out.write(p, 0, p.length)
+    add(OggSynth.page(2, 0, serial, 0, w.bytes))
+    add(OggSynth.page(0, 0, serial, 1, commentPacket()))
+    add(OggSynth.page(0, 0, serial, 2, setupPacket(8)))
+    var f = 0
+    while (f < nPackets) {
+      add(OggSynth.page(if (f == nPackets - 1) 4 else 0, f.toLong * 4096,
+        serial, 3 + f, Array[Byte](0)))
       f += 1
     }
     out.toByteArray

@@ -75,6 +75,12 @@ class Mp3PcmSpec extends AnyFunSuite {
         assert(r.getInt(7) > 0, s"doc $doc: nonzero spectrum must produce PCM")
       assert(r.getArray(8).numElements() ==
         Mp3PcmSynth.frames(doc) * 1152 * Mp3PcmSynth.channels(doc))
+      // conformance flag: non-silent fixtures rotate region2 through
+      // the grade-B linbits families (19/21/24/26), so they must be
+      // MARKED bit_exact=false; silent docs never consult a big-value
+      // table and stay true
+      assert(r.getBoolean(9) == Mp3PcmSynth.silent(doc),
+        s"doc $doc bit_exact flag")
     }
   }
 

@@ -157,6 +157,101 @@ class VorbisSpec extends AnyFunSuite {
     }
   }
 
+  /** Rebuild pages from assembled packets with caller-chosen granule
+    * positions (index → granulepos; −1 = the spec's "no packet
+    * completes" sentinel).
+    */
+  private def repage(packets: Array[Array[Byte]],
+      granuleOf: Int => Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < packets.length) {
+      val flags = if (i == 0) 2 else if (i == packets.length - 1) 4 else 0
+      val p = OggSynth.page(flags, granuleOf(i), 77, i, packets(i))
+      out.write(p, 0, p.length)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  test("EOP inside audio-packet decode is the spec's non-error, not corruption") {
+    // every truncation of the LAST audio packet must still decode: a
+    // cut inside floor decode renders the frame silent, a cut inside
+    // residue keeps the partial vector (spec §4.3) — real encoders
+    // routinely truncate packets after the last nonzero residue value
+    val full = VorbisSynth.oggVorbisBytes(1L) // stereo, non-silent, 3 frames
+    val packets = VorbisCodec.oggPackets(full)
+    val nF = VorbisSynth.frames(1L)
+    assert(packets.length == 3 + nF)
+    def granules(i: Int): Long = if (i < 3) 0L else (i - 3).toLong * 128
+    var cut = 0
+    while (cut < packets(packets.length - 1).length) {
+      val mod = packets.clone()
+      mod(mod.length - 1) = mod(mod.length - 1).take(cut)
+      val r = VorbisCodec.compute(repage(mod, granules))
+      assert(r.getUTF8String(0).toString == "vorbis",
+        s"cut=$cut: EOP must not reject the stream")
+      if (cut == 0) {
+        // the zero-byte packet EOPs before the mode field: the spec
+        // drops the PACKET (frame lost, lapping unchanged)
+        assert(r.getInt(3) == nF - 1, s"cut=$cut packets")
+        assert(r.getInt(4) == (nF - 2) * 128, s"cut=$cut samples")
+      } else {
+        assert(r.getInt(3) == nF, s"cut=$cut packets")
+        assert(r.getInt(4) == (nF - 1) * 128, s"cut=$cut samples")
+      }
+      cut += 1
+    }
+    // and structural corruption still rejects: a codeword led into a
+    // vacant tree slot is not EOP (covered by the CRC/torn-page matrix;
+    // the distinction is pinned by the reject-matrix test above)
+  }
+
+  test("granule positions: head offset and end trim clip the decoded PCM") {
+    val full = VorbisSynth.oggVorbisBytes(1L)
+    val packets = VorbisCodec.oggPackets(full)
+    val nF = VorbisSynth.frames(1L) // 3 → 256 lapped samples
+    val ch = VorbisSynth.channels(1L)
+    // end trim: the EOS page claims 10 samples fewer than decoded
+    val trimmed = VorbisCodec.compute(repage(packets,
+      i => if (i < 3) 0L
+      else if (i == packets.length - 1) (nF - 1).toLong * 128 - 10
+      else (i - 3).toLong * 128))
+    assert(trimmed.getUTF8String(0).toString == "vorbis")
+    assert(trimmed.getInt(4) == (nF - 1) * 128 - 10, "end trim")
+    assert(trimmed.getArray(7).numElements() == ((nF - 1) * 128 - 10) * ch)
+    // head offset: the first granule-bearing audio page (frame 1,
+    // decoded-so-far 128) declares 120 → 8 samples trimmed from the
+    // head; EOS declares 248 → total 248
+    val offset = VorbisCodec.compute(repage(packets,
+      i => if (i < 3) 0L
+      else if (i == 3) -1L // frame 0's page: no granule
+      else if (i == 4) 120L
+      else 248L))
+    assert(offset.getUTF8String(0).toString == "vorbis")
+    assert(offset.getInt(4) == 248, "head offset + end trim")
+    assert(offset.getArray(7).numElements() == 248 * ch)
+    // the untouched fixture (granules == decoded accounting) is
+    // trim-neutral — pinned by the roundtrip test's exact n_samples
+  }
+
+  test("allocation-amplification gate: 1-byte packets cannot claim unbounded PCM") {
+    // 8 channels × 8192-sample blocks × one-byte packets: each frame
+    // EOPs in floor decode (silent, legal) but claims 32768 output
+    // slots; past MaxTotalSamples the stream must reject
+    val bomb = VorbisSynth.amplificationStreamBytes(520)
+    assert(bomb.length < 32 * 1024, "the attack stream itself is small")
+    val r = VorbisCodec.compute(bomb)
+    assert(r.getUTF8String(0).toString == "unknown",
+      "amplification past the gate must reject")
+    // the same shape under the gate decodes (all-silent output)
+    val small = VorbisCodec.compute(VorbisSynth.amplificationStreamBytes(6))
+    assert(small.getUTF8String(0).toString == "vorbis")
+    assert(small.getInt(1) == 8)
+    assert(small.getInt(4) == 5 * 4096)
+    assert(small.getInt(6) == 0, "EOP-silent frames reach the PCM as zeros")
+  }
+
   test("coupling: stereo PCM differs from channel-duplicated mono decode") {
     // doc 1 is stereo non-silent; its two channels must not be equal
     // (square-polar coupling splits M/A into distinct L/R)

@@ -270,8 +270,12 @@ object QueriesScale {
     * (one row per shared band, id1 < id2). Used by BOTH minhash_dedup and
     * dedup_pipeline so their oracles cannot drift.
     */
-  private val minhashOracleCtes =
-    s"""corpus AS ($dupedSql),
+  /** The minhash/LSH oracle machinery (md5 family, 8 hashes, 4 bands,
+    * capped buckets) over an arbitrary `corpus(doc_id, text)` CTE —
+    * shared by the plain dedup gates and the crawl-composition gate.
+    */
+  private def minhashOracleCtesFor(corpusSql: String) =
+    s"""corpus AS ($corpusSql),
        | t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
        | sh AS (SELECT doc_id,
        |  [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS shingles FROM t),
@@ -297,6 +301,8 @@ object QueriesScale {
        | pairs AS (SELECT a.doc_id AS id1, b2.doc_id AS id2
        |  FROM ok a JOIN ok b2 ON a.band_idx = b2.band_idx AND a.bk = b2.bk
        |  WHERE a.doc_id < b2.doc_id)""".stripMargin
+
+  private val minhashOracleCtes = minhashOracleCtesFor(dupedSql)
 
   private val minhashLshQ = Q(
     (s, dir) => minhashPairsFromBuckets(minhashBandBuckets(
@@ -2402,6 +2408,77 @@ object QueriesScale {
         | CAST(sz AS BIGINT) AS size
         |FROM rows_ ORDER BY doc_id, trk, sample_idx""".stripMargin))
 
+  // ----------------------------------- fragmented-MP4 per-sample ranges
+  // The moof/traf/trun shape crawled DASH/CMAF video actually arrives
+  // in — moov carries EMPTY sample tables, so mp4_samples' stbl
+  // resolution cannot address a single byte; the ranges live in the
+  // movie fragments. The fixture carries the SAME logical samples as
+  // mp4_samples (identical per-sample size formulas) re-laid as real
+  // fragments, and rotates the tfhd/trun flag matrix so every
+  // inheritance path sits on the hash: even video fragments inherit
+  // their base from default-base-is-moof, odd ones carry an explicit
+  // u64 base_data_offset (plus first-sample-flags); audio sizes come
+  // from the tfhd default on all but the LAST fragment, which inherits
+  // from mvex/trex — the deepest link of the fragmented defaults
+  // chain. The oracle replays the layout arithmetic in closed form
+  // (see Mp4FragSynth's scaladoc). Per-row, zero shuffle until the
+  // explode.
+  private val mp4FragSamplesQ = Q(
+    (s, dir) => {
+      val m = ScaleOps.mp4FragSamples(ScaleOps.synthMp4Frag(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), m.as("m"))
+        .select(col("doc_id"), posexplode(col("m.tracks")).as(Seq("trk", "t")))
+        .select(col("doc_id"), col("trk").cast(LongType).as("trk"),
+          col("t.handler").as("handler"), col("t.codec").as("codec"),
+          posexplode(arrays_zip(col("t.offsets").as("o"),
+            col("t.sizes").as("z"))).as(Seq("sample_idx", "y")))
+        .select(col("doc_id"), col("trk"), col("handler"), col("codec"),
+          col("sample_idx").cast(LongType).as("sample_idx"),
+          col("y.o").as("offset"), col("y.z").as("size"))
+        .orderBy("doc_id", "trk", "sample_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 10 + doc_id % 20 AS nv, 20 + doc_id % 30 AS na,
+        |   64 + doc_id % 64 AS asz, (doc_id % 2 = 1) AS has_audio,
+        |   (10 + doc_id % 20 + 3) // 4 AS nf
+        | FROM documents),
+        | v AS (SELECT doc_id, nv, i.range AS j,
+        |        100 + (doc_id * 7 + i.range * 13) % 900 AS sz,
+        |        i.range // 4 AS f
+        |       FROM p CROSS JOIN range(0, 30) i WHERE i.range < nv),
+        | vps AS (SELECT doc_id, j, sz, f,
+        |        COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY j
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_j
+        |       FROM v),
+        | vfs AS (SELECT doc_id, f, MIN(s_j) AS s_4f, COUNT(*) AS spc
+        |       FROM vps GROUP BY doc_id, f),
+        | vo AS (SELECT vps.doc_id, vps.j, vps.sz,
+        |        4096 + 68 * ((vps.f + 1) // 2) + 80 * (vps.f // 2)
+        |         + 24 * vps.f + vfs.s_4f
+        |         + (CASE WHEN vps.f % 2 = 1 THEN 80 ELSE 68 END)
+        |         + 4 * vfs.spc + 8 + (vps.s_j - vfs.s_4f) AS off
+        |       FROM vps JOIN vfs ON vps.doc_id = vfs.doc_id AND vps.f = vfs.f),
+        | vt AS (SELECT doc_id, SUM(sz) AS total_v FROM v GROUP BY doc_id),
+        | a0 AS (SELECT p.doc_id, na, asz,
+        |        4096 + 68 * ((nf + 1) // 2) + 80 * (nf // 2)
+        |         + 4 * nv + 8 * nf + vt.total_v AS base
+        |       FROM p JOIN vt ON p.doc_id = vt.doc_id WHERE has_audio),
+        | a AS (SELECT a0.doc_id, j.range AS j, asz AS sz,
+        |        base + (j.range // 8) * (80 + 8 * asz)
+        |         + (CASE WHEN j.range // 8 = (na + 7) // 8 - 1
+        |            THEN 68 ELSE 72 END) + 8 + (j.range % 8) * asz AS off
+        |       FROM a0 CROSS JOIN range(0, 50) j WHERE j.range < na),
+        | rows_ AS (
+        |  SELECT doc_id, 0 AS trk, 'vide' AS handler, 'avc1' AS codec,
+        |   j, off, sz FROM vo
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'soun', 'mp4a', j, off, sz FROM a)
+        |SELECT doc_id, CAST(trk AS BIGINT) AS trk, handler, codec,
+        | CAST(j AS BIGINT) AS sample_idx, CAST(off AS BIGINT) AS offset,
+        | CAST(sz AS BIGINT) AS size
+        |FROM rows_ ORDER BY doc_id, trk, sample_idx""".stripMargin))
+
   // ------------------------------------------ MJPEG-in-MP4 frame stats
   // The MP4 twin of video_mjpeg_frames: the video track's samples are
   // complete baseline JPEGs addressed THROUGH the real stsc/stco/stsz
@@ -2500,6 +2577,81 @@ object QueriesScale {
         | CAST(length(t.text) AS BIGINT) AS text_len,
         | md5(t.text) AS text_md5
         |FROM p JOIN t ON p.doc_id = t.doc_id ORDER BY p.doc_id""".stripMargin))
+
+  // ------------------------- end-to-end CRAWL dedup pipeline (WARC in)
+  // The literal Common Crawl shape, composed in ONE plan: concatenated
+  // gzip members (FHCRC + multi-record members on the path) → WARC
+  // response records → HTTP header strip → HTML visible-text
+  // extraction (entities, inline spans, script/style skip) → minhash
+  // signatures → banded LSH candidates → exact-jaccard verify →
+  // per-pair keep-min survivors. Every stage before the signature
+  // groupBy is PER-ROW (decode expressions compose inside one
+  // projection — no shuffle until banding, pinned by PlanSpec), so the
+  // 100 TB plan reads each WARC once and shuffles only compact
+  // signatures and candidate ids. The fixture's dup-groups of 3 (base /
+  // near-dup / unrelated) make the removal set exactly the variant-1
+  // docs; the oracle replays extraction output in closed form and the
+  // full md5-minhash machinery in SQL.
+  private def crawlCorpus(s: SparkSession, dir: String): DataFrame = {
+    val w = ScaleOps.warcRecords(ScaleOps.synthWarcHtmlGz(col("doc_id")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), explode(col("w.records")).as("r"))
+      .filter(col("r.rec_type") === "response")
+      .select(col("doc_id"), col("r.body").as("body"))
+      .select(col("doc_id"), col("body")
+        .substr(locate("\r\n\r\n", col("body")) + 4, length(col("body")))
+        .as("html"))
+      .select(col("doc_id"), ScaleOps.htmlText(col("html")).as("h"))
+      .select(col("doc_id"), col("h.text").as("text"))
+  }
+
+  private val crawlCorpusSql =
+    """SELECT doc_id,
+      | CASE WHEN doc_id % 3 = 2 THEN
+      |  'alt ' || (doc_id // 3) || ' ' ||
+      |  array_to_string([ 'u' || (((doc_id // 3) * 11 + i * 17 + 3) % 99991)
+      |    for i in generate_series(0, 9)], ' ')
+      | ELSE
+      |  'page ' || (doc_id // 3) || ' ' ||
+      |  array_to_string([ 't' || (((doc_id // 3) * 7 + i * 13) % 99991)
+      |    for i in generate_series(0, 9)], ' ') ||
+      |  CASE WHEN doc_id % 3 = 1 THEN ' extra' || ((doc_id // 3) % 9)
+      |   ELSE '' END
+      | END AS text
+      |FROM documents""".stripMargin
+
+  private val crawlDedupPipelineQ = Q(
+    (s, dir) => {
+      val corpus = crawlCorpus(s, dir)
+      val sig = ScaleOps.minhashSignatureTable(corpus, "doc_id", "text", k = 8)
+      val removed = verifiedPairs(corpus, sig)
+        .select(col("id2").as("doc_id")).distinct()
+      corpus
+        .join(removed.withColumn("_dup", lit(1)).hint("shuffle_hash"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("_dup").isNull.as("kept"),
+          length(col("text")).cast(LongType).as("text_len"),
+          md5(col("text").cast(BinaryType)).as("text_md5"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH ${minhashOracleCtesFor(crawlCorpusSql)},
+         | cand AS (SELECT DISTINCT id1, id2 FROM pairs),
+         | sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+         | verified AS (SELECT id1, id2 FROM (
+         |   SELECT cand.id1, cand.id2,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+         |   FROM cand JOIN sets a ON cand.id1 = a.doc_id
+         |   JOIN sets b ON cand.id2 = b.doc_id)
+         |  WHERE jaccard >= $dedupJaccardThreshold),
+         | removed AS (SELECT DISTINCT id2 AS doc_id FROM verified)
+         |SELECT c.doc_id, (r.doc_id IS NULL) AS kept,
+         | CAST(length(c.text) AS BIGINT) AS text_len,
+         | md5(c.text) AS text_md5
+         |FROM corpus c LEFT JOIN removed r ON c.doc_id = r.doc_id
+         |ORDER BY c.doc_id""".stripMargin))
 
   // ------------------------------------------- WARC/gzip record extract
   // The storage shape web crawls ARRIVE in: Common Crawl WARC/WET files
@@ -5800,10 +5952,12 @@ object QueriesScale {
     "tiff_tiled_pixels" -> tiffTiledPixelsQ,
     "mp3_pcm" -> mp3PcmQ,
     "mp4_samples" -> mp4SamplesQ,
+    "mp4_frag_samples" -> mp4FragSamplesQ,
     "vorbis_pcm" -> vorbisPcmQ,
     "mp4_mjpeg_frames" -> mp4MjpegFramesQ,
     "id3_meta" -> id3MetaQ,
     "warc_records" -> warcRecordsQ,
+    "crawl_dedup_pipeline" -> crawlDedupPipelineQ,
     "html_text" -> htmlTextQ,
     "mp4_tracks" -> mp4TracksQ,
     "exif_orient_pixels" -> exifOrientPixelsQ,

@@ -1588,6 +1588,13 @@ object ScaleOps {
   def synthWarcGz(doc: Column): Column =
     org.apache.spark.sql.graftnative.WarcFunctions.synth_warc_gz(doc)
 
+  /** Crawl-shaped WARC-in-gzip fixture: HTTP response records carrying
+    * dup-group HTML pages (see
+    * [[org.apache.spark.sql.graftnative.WarcSynth.warcHtmlGzBytes]]).
+    */
+  def synthWarcHtmlGz(doc: Column): Column =
+    org.apache.spark.sql.graftnative.WarcFunctions.synth_warc_html_gz(doc)
+
   /** HTML visible-text extraction with fixed engine-agnostic rules
     * (see [[org.apache.spark.sql.graftnative.HtmlTextExtract]]).
     */
@@ -1623,6 +1630,19 @@ object ScaleOps {
     */
   def synthMp4Samples(doc: Column): Column =
     org.apache.spark.sql.graftnative.Mp4TrackFunctions.synth_mp4_samples(doc)
+
+  /** Fragmented-MP4 (moof/traf/trun) per-sample byte ranges — the
+    * DASH/CMAF shape (see
+    * [[org.apache.spark.sql.graftnative.Mp4FragSamples]]).
+    */
+  def mp4FragSamples(payload: Column): Column =
+    org.apache.spark.sql.graftnative.Mp4FragFunctions.mp4_frag_samples(payload)
+
+  /** Fragmented twin of the chunked MP4 fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.Mp4FragSynth]]).
+    */
+  def synthMp4Frag(doc: Column): Column =
+    org.apache.spark.sql.graftnative.Mp4FragFunctions.synth_mp4_frag(doc)
 
   /** MJPEG-in-MP4 stride-sampled frame statistics — the MP4 twin of
     * [[aviMjpegFrames]] (see

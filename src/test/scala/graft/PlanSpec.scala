@@ -319,6 +319,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("crawl_dedup_pipeline: extraction is exchange-free; dedup tail matches dedup_pipeline") {
+    val p = physical(Queries.all("crawl_dedup_pipeline").fn(spark, sf0001))
+    val cart = collectAll(p) { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, "cartesian product in the crawl pipeline")
+    // the WARC→HTTP-strip→HTML-extract chain is a single projection —
+    // the composed pipeline must carry EXACTLY the dedup tail's shuffle
+    // structure (3 pinned shuffled-hash joins) and nothing more: an
+    // extra hash exchange would mean extraction accidentally aggregated
+    // or re-partitioned corpus-sized data
+    val shj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shj.size == 3, s"expected 3 shuffled-hash joins, got ${shj.size}")
+    val globalSorts = collectAll(p) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.size == 1, s"${globalSorts.size} global sorts")
+    // and the extraction stage alone never shuffles: per-row decode
+    val w = graft.operators.ScaleOps.warcRecords(
+      graft.operators.ScaleOps.synthWarcHtmlGz(
+        org.apache.spark.sql.functions.col("doc_id")))
+    val corpus = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"), w.as("w"))
+    val ex = collectAll(physical(corpus)) { case e: Exchange => e }
+    assert(ex.isEmpty, s"extraction shuffles: ${ex.size} exchanges")
+  }
+
   test("unigram_logprob: Zipf split-join — head broadcast, tail shuffle-hash, one-row total") {
     val p = physical(Queries.all("unigram_logprob").fn(spark, sf0001))
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)

@@ -166,4 +166,31 @@ class WarcSpec extends AnyFunSuite {
     assert(r != null && r.getInt(0) == 1)
     assert(r.getArray(1).getStruct(0, 3).getUTF8String(2).toString == "hello")
   }
+
+  test("crawl fixture: WARC decode + HTTP strip + HTML extract recovers crawlText exactly") {
+    for (doc <- 0L to 29L) {
+      val r = WarcRecords.compute(WarcSynth.warcHtmlGzBytes(doc))
+      assert(r != null, s"doc $doc")
+      val recs = r.getArray(1)
+      // find the response record (index 1 normally, 1 in the paired
+      // member too — warcinfo always precedes)
+      var body: String = null
+      for (i <- 0 until recs.numElements()) {
+        val rec = recs.getStruct(i, 3)
+        if (rec.getUTF8String(0).toString == "response")
+          body = rec.getUTF8String(2).toString
+      }
+      assert(body != null, s"doc $doc: no response record")
+      val html = body.substring(body.indexOf("\r\n\r\n") + 4)
+      val h = HtmlTextExtract.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(html))
+      assert(h != null)
+      val text = h.getUTF8String(1).toString
+      assert(text == WarcSynth.crawlText(doc),
+        s"doc $doc: extracted [$text] vs [${WarcSynth.crawlText(doc)}]")
+      // dup-group contract: variants 0/1 share all but one token
+      if (doc % 3 == 1)
+        assert(text.startsWith(WarcSynth.crawlText(doc - 1)), s"doc $doc")
+    }
+  }
 }

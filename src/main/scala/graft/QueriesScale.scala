@@ -2479,6 +2479,84 @@ object QueriesScale {
         | CAST(sz AS BIGINT) AS size
         |FROM rows_ ORDER BY doc_id, trk, sample_idx""".stripMargin))
 
+  // ----------------------------------------- subtitle cue extraction
+  // Video-text pairs are a first-class training product, and subtitle
+  // cues are the only time-aligned text crawled video ships with. Even
+  // docs travel as SRT (comma millis, numeric indices, an &amp; entity
+  // + <i> span on the text), odd docs as WebVTT (NOTE block, cue
+  // identifier lines, settings after the arrow, <b>/<c.*> spans, an
+  // inline timestamp tag, a numeric entity) — both decode to the SAME
+  // closed-form text the oracle rebuilds. Per-row parse, zero shuffle
+  // until the explode.
+  private val subtitleTextQ = Q(
+    (s, dir) => {
+      val c = ScaleOps.subtitleCues(ScaleOps.synthSubtitle(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), c.as("c"))
+        .select(col("doc_id"), col("c.format").as("format"),
+          explode(col("c.cues")).as("q"))
+        .select(col("doc_id"), col("format"),
+          col("q.idx").cast(LongType).as("cue_idx"),
+          col("q.start_ms").as("start_ms"),
+          col("q.end_ms").as("end_ms"),
+          col("q.text").as("text"))
+        .orderBy("doc_id", "cue_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 3 + doc_id % 4 AS n,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'webvtt' ELSE 'srt' END AS format,
+        |  doc_id % 13 AS off FROM documents),
+        | c AS (SELECT doc_id, format, i.range + 1 AS idx,
+        |        97 * i.range + off AS start_ms
+        |       FROM p CROSS JOIN range(0, 7) i WHERE i.range < n)
+        |SELECT doc_id, format, CAST(idx AS BIGINT) AS cue_idx,
+        | CAST(start_ms AS BIGINT) AS start_ms,
+        | CAST(start_ms + 211 AS BIGINT) AS end_ms,
+        | 'cue ' || doc_id || ' ' || idx || ' & one' || chr(10) ||
+        |   'line ' || idx || ' two' AS text
+        |FROM c ORDER BY doc_id, cue_idx""".stripMargin))
+
+  // ------------------------------------ subtitle-to-frame pairing join
+  // The join that makes cues useful: align each cue's [start, end)
+  // window against the video track's sample clock (the MP4 fixtures'
+  // 30000/1001 timescale — sample j lands at (j·1001000) div 30000 ms)
+  // and count the frames a cue captions. Computed per-row with
+  // sequence/filter higher-order functions over the track's sample
+  // count — at 100 TB this is the zero-shuffle form of the range join
+  // (per document, cue windows and the sample clock are both bounded);
+  // the oracle replays it with a generate_series list comprehension.
+  private val subtitleFramePairingQ = Q(
+    (s, dir) => {
+      val c = ScaleOps.subtitleCues(ScaleOps.synthSubtitle(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), c.as("c"),
+          (lit(10L) + col("doc_id") % 20).as("nv"))
+        .select(col("doc_id"), col("nv"), explode(col("c.cues")).as("q"))
+        .select(col("doc_id"),
+          col("q.idx").cast(LongType).as("cue_idx"),
+          col("q.start_ms").as("start_ms"),
+          col("q.end_ms").as("end_ms"),
+          expr("""size(filter(transform(sequence(0L, nv - 1L),
+            j -> (j * 1001000) div 30000),
+            t -> t >= q.start_ms AND t < q.end_ms))""")
+            .cast(LongType).as("n_frames"))
+        .orderBy("doc_id", "cue_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 3 + doc_id % 4 AS n, doc_id % 13 AS off,
+        |  10 + doc_id % 20 AS nv FROM documents),
+        | c AS (SELECT doc_id, nv, i.range + 1 AS idx,
+        |        97 * i.range + off AS start_ms,
+        |        97 * i.range + off + 211 AS end_ms
+        |       FROM p CROSS JOIN range(0, 7) i WHERE i.range < n)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS cue_idx,
+        | CAST(start_ms AS BIGINT) AS start_ms,
+        | CAST(end_ms AS BIGINT) AS end_ms,
+        | CAST(len([j FOR j IN generate_series(0, nv - 1)
+        |   IF (j * 1001000) // 30000 >= start_ms
+        |      AND (j * 1001000) // 30000 < end_ms]) AS BIGINT) AS n_frames
+        |FROM c ORDER BY doc_id, cue_idx""".stripMargin))
+
   // ------------------------------------------ MJPEG-in-MP4 frame stats
   // The MP4 twin of video_mjpeg_frames: the video track's samples are
   // complete baseline JPEGs addressed THROUGH the real stsc/stco/stsz
@@ -5953,6 +6031,8 @@ object QueriesScale {
     "mp3_pcm" -> mp3PcmQ,
     "mp4_samples" -> mp4SamplesQ,
     "mp4_frag_samples" -> mp4FragSamplesQ,
+    "subtitle_text" -> subtitleTextQ,
+    "subtitle_frame_pairing" -> subtitleFramePairingQ,
     "vorbis_pcm" -> vorbisPcmQ,
     "mp4_mjpeg_frames" -> mp4MjpegFramesQ,
     "id3_meta" -> id3MetaQ,

@@ -1631,6 +1631,18 @@ object ScaleOps {
   def synthMp4Samples(doc: Column): Column =
     org.apache.spark.sql.graftnative.Mp4TrackFunctions.synth_mp4_samples(doc)
 
+  /** SRT/WebVTT subtitle cue extraction
+    * (see [[org.apache.spark.sql.graftnative.SubtitleCues]]).
+    */
+  def subtitleCues(payload: Column): Column =
+    org.apache.spark.sql.graftnative.SubtitleFunctions.subtitle_cues(payload)
+
+  /** Deterministic SRT/WebVTT fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.SubtitleSynth]]).
+    */
+  def synthSubtitle(doc: Column): Column =
+    org.apache.spark.sql.graftnative.SubtitleFunctions.synth_subtitle(doc)
+
   /** Fragmented-MP4 (moof/traf/trun) per-sample byte ranges — the
     * DASH/CMAF shape (see
     * [[org.apache.spark.sql.graftnative.Mp4FragSamples]]).

@@ -1631,6 +1631,13 @@ object ScaleOps {
   def synthMp4Samples(doc: Column): Column =
     org.apache.spark.sql.graftnative.Mp4TrackFunctions.synth_mp4_samples(doc)
 
+  /** Per-frame dHash over MJPEG video in either container
+    * (see [[org.apache.spark.sql.graftnative.VideoFrameDhashes]]).
+    */
+  def videoFrameDhashes(payload: Column, stride: Int): Column =
+    org.apache.spark.sql.graftnative.VideoDhashFunctions
+      .video_frame_dhashes(payload, stride)
+
   /** SRT/WebVTT subtitle cue extraction
     * (see [[org.apache.spark.sql.graftnative.SubtitleCues]]).
     */

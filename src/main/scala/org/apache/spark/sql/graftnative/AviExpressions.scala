@@ -81,9 +81,15 @@ object AviMjpegFrames {
     b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
       b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
 
-  def compute(b: Array[Byte], stride: Int): InternalRow = {
+  /** Collect every MJPEG frame chunk's (offset, size) from the movi
+    * list — the container walk shared by the statistics and dHash
+    * forms. Returns null on a malformed container (bad RIFF shape,
+    * non-MJPG stream, torn chunks, frame-count cap).
+    */
+  private[graftnative] def frameRanges(
+      b: Array[Byte]): (Array[Int], Array[Int]) = {
     if (b.length < 12 || !fourcc(b, 0, "RIFF") || !fourcc(b, 8, "AVI "))
-      return bad
+      return null
     // pass 1: find strf (compression gate) and the movi LIST
     var moviOff = -1L
     var moviEnd = -1L
@@ -108,22 +114,17 @@ object AviMjpegFrames {
     while (i + 8 <= b.length && moviOff < 0) {
       val sz = le32(b, (i + 4).toInt)
       val body = i + 8
-      if (body + sz > b.length) return bad
+      if (body + sz > b.length) return null
       if (fourcc(b, i.toInt, "LIST") && sz >= 4) {
         if (fourcc(b, body.toInt, "movi")) { moviOff = body + 4; moviEnd = body + sz }
         else if (fourcc(b, body.toInt, "hdrl")) walkHdrl(body + 4, body + sz, 0)
       }
       i = body + sz + (sz & 1)
     }
-    if (!mjpgStream || moviOff < 0) return bad
+    if (!mjpgStream || moviOff < 0) return null
 
-    val idx = new java.util.ArrayList[Integer]()
-    val rs = new java.util.ArrayList[java.lang.Long]()
-    val gs = new java.util.ArrayList[java.lang.Long]()
-    val bs = new java.util.ArrayList[java.lang.Long]()
-    var w = -1
-    var h = -1
-    var n = 0
+    val offs = new java.util.ArrayList[Integer]()
+    val szs = new java.util.ArrayList[Integer]()
     var ok = true
 
     def frameChunk(c: Int): Boolean =
@@ -141,41 +142,67 @@ object AviMjpegFrames {
             fourcc(b, body.toInt, "rec ")) {
           walkMovi(body + 4, body + sz, depth + 1)
         } else if (frameChunk(i.toInt)) {
-          if (n >= MaxFrames) { ok = false; return }
-          if (n % stride == 0) {
-            // decode ONLY sampled frames — dropped frames cost a length
-            // field, not a JPEG decode. Gate on the SOI marker first:
-            // JpegCodec assumes its dispatcher already checked the magic.
-            if (sz < 2 || u8(b, body.toInt) != 0xFF ||
-                u8(b, (body + 1).toInt) != 0xD8) { ok = false; return }
-            val fb = java.util.Arrays.copyOfRange(b, body.toInt, (body + sz).toInt)
-            val r = JpegCodec.decode(fb)
-            if (r.isNullAt(1)) { ok = false; return }
-            val fw = r.getInt(1); val fh = r.getInt(2); val ch = r.getInt(3)
-            if (w < 0) { w = fw; h = fh }
-            else if (w != fw || h != fh) { ok = false; return }
-            val px = r.getBinary(4)
-            var rr = 0L; var gg = 0L; var bb = 0L
-            if (ch == 3) {
-              var p = 0
-              while (p < px.length) {
-                rr += px(p) & 0xFF; gg += px(p + 1) & 0xFF; bb += px(p + 2) & 0xFF
-                p += 3
-              }
-            } else {
-              var p = 0
-              while (p < px.length) { rr += px(p) & 0xFF; p += 1 }
-              gg = rr; bb = rr
-            }
-            idx.add(n); rs.add(rr); gs.add(gg); bs.add(bb)
-          }
-          n += 1
+          if (offs.size() >= MaxFrames) { ok = false; return }
+          offs.add(body.toInt)
+          szs.add(sz.toInt)
         }
         i = body + sz + (sz & 1)
       }
     }
     walkMovi(moviOff, moviEnd, 0)
-    if (!ok || n == 0 || idx.isEmpty) return bad
+    if (!ok) return null
+    val oa = new Array[Int](offs.size())
+    val sa = new Array[Int](offs.size())
+    var k = 0
+    while (k < oa.length) { oa(k) = offs.get(k); sa(k) = szs.get(k); k += 1 }
+    (oa, sa)
+  }
+
+  def compute(b: Array[Byte], stride: Int): InternalRow = {
+    val ranges = frameRanges(b)
+    if (ranges == null) return bad
+    val (fOffs, fSzs) = ranges
+
+    val idx = new java.util.ArrayList[Integer]()
+    val rs = new java.util.ArrayList[java.lang.Long]()
+    val gs = new java.util.ArrayList[java.lang.Long]()
+    val bs = new java.util.ArrayList[java.lang.Long]()
+    var w = -1
+    var h = -1
+    var n = 0
+    while (n < fOffs.length) {
+      if (n % stride == 0) {
+        // decode ONLY sampled frames — dropped frames cost a length
+        // field, not a JPEG decode. Gate on the SOI marker first:
+        // JpegCodec assumes its dispatcher already checked the magic.
+        val body = fOffs(n)
+        val sz = fSzs(n)
+        if (sz < 2 || u8(b, body) != 0xFF || u8(b, body + 1) != 0xD8)
+          return bad
+        val fb = java.util.Arrays.copyOfRange(b, body, body + sz)
+        val r = JpegCodec.decode(fb)
+        if (r.isNullAt(1)) return bad
+        val fw = r.getInt(1); val fh = r.getInt(2); val ch = r.getInt(3)
+        if (w < 0) { w = fw; h = fh }
+        else if (w != fw || h != fh) return bad
+        val px = r.getBinary(4)
+        var rr = 0L; var gg = 0L; var bb = 0L
+        if (ch == 3) {
+          var p = 0
+          while (p < px.length) {
+            rr += px(p) & 0xFF; gg += px(p + 1) & 0xFF; bb += px(p + 2) & 0xFF
+            p += 3
+          }
+        } else {
+          var p = 0
+          while (p < px.length) { rr += px(p) & 0xFF; p += 1 }
+          gg = rr; bb = rr
+        }
+        idx.add(n); rs.add(rr); gs.add(gg); bs.add(bb)
+      }
+      n += 1
+    }
+    if (n == 0 || idx.isEmpty) return bad
     val m = idx.size()
     val ia = new Array[Int](m)
     val ra = new Array[Long](m)

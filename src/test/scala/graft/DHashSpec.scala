@@ -49,4 +49,32 @@ class DHashSpec extends AnyFunSuite {
   test("unknown raster hashes to null") {
     assert(RasterDHash.compute(ImageDecode.unknownRow) == null)
   }
+
+  test("video frame dhash: AVI and MP4 twins hash identically; stride samples") {
+    for (doc <- 0L to 9L) {
+      val w = 16L * (2 + doc % 3)
+      val frames = 3 + doc % 4
+      val avi = VideoFrameDhashes.compute(
+        AviSynth.aviBytes(w, 32, frames, doc), 1)
+      val mp4 = VideoFrameDhashes.compute(
+        Mp4SamplesSynth.mp4MjpegBytes(w, 32, frames, doc), 1)
+      assert(!avi.isNullAt(0) && !mp4.isNullAt(0), s"doc $doc")
+      assert(avi.getInt(0) == frames && mp4.getInt(0) == frames)
+      assert(avi.getArray(2).toLongArray().toSeq ==
+        mp4.getArray(2).toLongArray().toSeq,
+        s"doc $doc: containers must hash identically")
+      // stride 2: every other frame, skipped frames cost no decode
+      val s2 = VideoFrameDhashes.compute(
+        AviSynth.aviBytes(w, 32, frames, doc), 2)
+      assert(s2.getArray(1).toIntArray().toSeq ==
+        (0 until frames.toInt by 2))
+    }
+    // truncation sweep: classify, never throw
+    val b = AviSynth.aviBytes(32, 32, 4, 3)
+    var k = 0
+    while (k < b.length) {
+      VideoFrameDhashes.compute(b.take(k), 1)
+      k += 17
+    }
+  }
 }

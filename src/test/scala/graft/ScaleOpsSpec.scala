@@ -3711,4 +3711,26 @@ class ScaleOpsSpec extends SparkSpec {
       (0 until 15).map(o => (5L * 31 + f * 11 + o * 7) % 256).sum
     })
   }
+
+  test("video_dhash_neardup: twin recall 1.0 — every MP4 frame reps to its AVI twin or earlier") {
+    val rows = Queries.all("video_dhash_neardup").fn(spark, sf0001).collect()
+    val rep = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = Tables.documents(spark, sf0001).count().toInt
+    var twins = 0
+    for (d <- 0 until nDocs) {
+      val frames = 3 + d % 4
+      for (f <- 0 until frames) {
+        val aviPid = (2L * d) * 64 + f
+        val mp4Pid = (2L * d + 1) * 64 + f
+        // the MP4 frame's hash equals its AVI twin's, so it can never
+        // be a cluster representative ahead of the twin
+        assert(rep.contains(mp4Pid), s"doc $d frame $f: twin not deduped")
+        assert(rep(mp4Pid) <= aviPid, s"doc $d frame $f: rep after twin")
+        twins += 1
+      }
+    }
+    assert(twins == (0 until nDocs).map(d => 3 + d % 4).sum)
+    // star output is linear: strictly fewer rows than total frames
+    assert(rows.length < 2 * twins)
+  }
 }

@@ -2354,6 +2354,70 @@ object QueriesScale {
         |LEFT JOIN stereoq ON p.doc_id = stereoq.doc_id
         |ORDER BY p.doc_id""".stripMargin))
 
+  // ------------------------------------------- Ogg Opus packet lattice
+  // The decide-and-close answer for Opus (crawled audio's third pillar
+  // after MP3/Vorbis): the packet-level inventory RFC 6716's TOC byte
+  // makes extractable with certainty and zero codec state — coding
+  // mode, bandwidth, frame duration, stereo flag, and frame count
+  // through all four frame-count codes, validated against the 120 ms
+  // ceiling — over real RFC 7845 OpusHead/OpusTags headers on the
+  // CRC-verified Ogg walk. Full SILK/CELT PCM decode is scoped out
+  // (see OpusPackets' scaladoc); this is what duration accounting and
+  // mode stratification need before any fetch-side decode. Per-row,
+  // zero shuffle until the explode.
+  private val opusPacketsQ = Q(
+    (s, dir) => {
+      val o = ScaleOps.opusPackets(ScaleOps.synthOggOpus(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), o.as("o"))
+        .select(col("doc_id"),
+          col("o.channels").cast(LongType).as("channels"),
+          col("o.pre_skip").cast(LongType).as("pre_skip"),
+          posexplode(col("o.packets")).as(Seq("packet_idx", "p")))
+        .select(col("doc_id"), col("channels"), col("pre_skip"),
+          col("packet_idx").cast(LongType).as("packet_idx"),
+          col("p.config").cast(LongType).as("config"),
+          col("p.mode").as("mode"),
+          col("p.bandwidth").as("bandwidth"),
+          col("p.stereo").as("stereo"),
+          col("p.n_frames").cast(LongType).as("n_frames"),
+          col("p.frame_ms_x10").cast(LongType).as("frame_ms_x10"),
+          col("p.n_samples48").cast(LongType).as("n_samples48"))
+        .orderBy("doc_id", "packet_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 4 AS n,
+        |   doc_id % 2 = 1 AS st FROM documents),
+        | k AS (SELECT doc_id, st, i.range AS pi,
+        |        (doc_id + 5 * i.range) % 32 AS cfg,
+        |        CAST(i.range % 4 AS INT) AS code
+        |       FROM p CROSS JOIN range(0, 6) i WHERE i.range < n),
+        | e AS (SELECT doc_id, st, pi, cfg, code,
+        |        CASE WHEN cfg < 12 THEN (CASE cfg % 4 WHEN 0 THEN 100
+        |          WHEN 1 THEN 200 WHEN 2 THEN 400 ELSE 600 END)
+        |         WHEN cfg < 16 THEN (CASE cfg % 2 WHEN 0 THEN 100
+        |          ELSE 200 END)
+        |         ELSE (CASE cfg % 4 WHEN 0 THEN 25 WHEN 1 THEN 50
+        |          WHEN 2 THEN 100 ELSE 200 END) END AS msx10,
+        |        CASE WHEN cfg < 12 THEN 'silk' WHEN cfg < 16 THEN 'hybrid'
+        |         ELSE 'celt' END AS mode,
+        |        CASE WHEN cfg < 12 THEN (CASE cfg // 4 WHEN 0 THEN 'nb'
+        |          WHEN 1 THEN 'mb' ELSE 'wb' END)
+        |         WHEN cfg < 16 THEN (CASE (cfg - 12) // 2 WHEN 0 THEN 'swb'
+        |          ELSE 'fb' END)
+        |         ELSE (CASE (cfg - 16) // 4 WHEN 0 THEN 'nb'
+        |          WHEN 1 THEN 'wb' WHEN 2 THEN 'swb' ELSE 'fb' END) END AS bw,
+        |        CASE code WHEN 0 THEN 1 WHEN 3 THEN 1 + pi % 2
+        |         ELSE 2 END AS nf
+        |       FROM k)
+        |SELECT doc_id, CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        | CAST(312 AS BIGINT) AS pre_skip,
+        | CAST(pi AS BIGINT) AS packet_idx, CAST(cfg AS BIGINT) AS config,
+        | mode, bw AS bandwidth, st AS stereo,
+        | CAST(nf AS BIGINT) AS n_frames, CAST(msx10 AS BIGINT) AS frame_ms_x10,
+        | CAST(nf * msx10 * 48 // 10 AS BIGINT) AS n_samples48
+        |FROM e ORDER BY doc_id, packet_idx""".stripMargin))
+
   // ---------------------------------------- MP4 per-sample byte ranges
   // The step past mp4_tracks' inventory: stsc sample-to-chunk runs and
   // stco/co64 chunk offsets resolved against stsz into one
@@ -6090,6 +6154,7 @@ object QueriesScale {
     "subtitle_text" -> subtitleTextQ,
     "subtitle_frame_pairing" -> subtitleFramePairingQ,
     "vorbis_pcm" -> vorbisPcmQ,
+    "opus_packets" -> opusPacketsQ,
     "mp4_mjpeg_frames" -> mp4MjpegFramesQ,
     "id3_meta" -> id3MetaQ,
     "warc_records" -> warcRecordsQ,

@@ -1631,6 +1631,18 @@ object ScaleOps {
   def synthMp4Samples(doc: Column): Column =
     org.apache.spark.sql.graftnative.Mp4TrackFunctions.synth_mp4_samples(doc)
 
+  /** Ogg Opus packet inventory (RFC 7845 framing + RFC 6716 TOC)
+    * (see [[org.apache.spark.sql.graftnative.OpusPackets]]).
+    */
+  def opusPackets(payload: Column): Column =
+    org.apache.spark.sql.graftnative.OpusFunctions.opus_packets(payload)
+
+  /** Formula-lattice Ogg Opus fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.OpusSynth]]).
+    */
+  def synthOggOpus(doc: Column): Column =
+    org.apache.spark.sql.graftnative.OpusFunctions.synth_ogg_opus(doc)
+
   /** Per-frame dHash over MJPEG video in either container
     * (see [[org.apache.spark.sql.graftnative.VideoFrameDhashes]]).
     */

@@ -2354,6 +2354,50 @@ object QueriesScale {
         |LEFT JOIN stereoq ON p.doc_id = stereoq.doc_id
         |ORDER BY p.doc_id""".stripMargin))
 
+  // ---------------------------------------------- PDF text extraction
+  // The largest untouched training-data text modality, extracted for
+  // real: classic xref chains (incremental updates resolve to the
+  // NEWEST object version), the full COS object parser, FlateDecode
+  // content streams with direct and indirect /Length, the recursive
+  // page tree, and BT/ET text assembly (Tj / TJ-with-kern-rule / the
+  // quote operators). The fixture rotation puts every structural
+  // variant on the hash: two-level page trees (doc%3=0), deflated
+  // streams (odd docs), indirect lengths (doc%4=2), and appended
+  // incremental updates that re-define page 0 (doc%5=0) — the oracle
+  // replays the page text in closed form, so a stale-object read or a
+  // mis-assembled line flips the hash. Encrypted / CID-keyed / xref-
+  // stream files reject honestly (PdfSpec). Per-row, zero shuffle
+  // until the explode.
+  private val pdfTextQ = Q(
+    (s, dir) => {
+      val d = ScaleOps.pdfText(ScaleOps.synthPdf(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), d.as("d"))
+        .select(col("doc_id"),
+          col("d.version").as("version"),
+          col("d.n_pages").cast(LongType).as("n_pages"),
+          explode(col("d.pages")).as("p"))
+        .select(col("doc_id"), col("version"), col("n_pages"),
+          col("p.page_idx").cast(LongType).as("page_idx"),
+          col("p.text").as("text"))
+        .orderBy("doc_id", "page_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS np,
+        |   (doc_id % 5 = 0) AS upd FROM documents),
+        | pg AS (SELECT doc_id, np, i.range AS pi,
+        |        CASE WHEN i.range = 0 AND upd
+        |         THEN 'Doc ' || doc_id || ' page 0 (updated)'
+        |         ELSE 'Doc ' || doc_id || ' page ' || i.range || ' (alpha)'
+        |        END
+        |        || chr(10) || 'seg ' || doc_id || ' one two'
+        |        || chr(10) || 'quote ' || chr(39) || 'p' || i.range || chr(39)
+        |        || chr(10) || 'hex ' || format('{:x}', doc_id % 256) AS text
+        |       FROM p CROSS JOIN range(0, 3) i WHERE i.range < np)
+        |SELECT doc_id, '1.4' AS version, CAST(np AS BIGINT) AS n_pages,
+        | CAST(pi AS BIGINT) AS page_idx, text
+        |FROM pg ORDER BY doc_id, page_idx""".stripMargin))
+
   // ------------------------------------------- Ogg Opus packet lattice
   // The decide-and-close answer for Opus (crawled audio's third pillar
   // after MP3/Vorbis): the packet-level inventory RFC 6716's TOC byte
@@ -6155,6 +6199,7 @@ object QueriesScale {
     "subtitle_frame_pairing" -> subtitleFramePairingQ,
     "vorbis_pcm" -> vorbisPcmQ,
     "opus_packets" -> opusPacketsQ,
+    "pdf_text" -> pdfTextQ,
     "mp4_mjpeg_frames" -> mp4MjpegFramesQ,
     "id3_meta" -> id3MetaQ,
     "warc_records" -> warcRecordsQ,

@@ -1631,6 +1631,18 @@ object ScaleOps {
   def synthMp4Samples(doc: Column): Column =
     org.apache.spark.sql.graftnative.Mp4TrackFunctions.synth_mp4_samples(doc)
 
+  /** PDF page-text extraction (classic xref, FlateDecode, BT/ET text)
+    * (see [[org.apache.spark.sql.graftnative.PdfText]]).
+    */
+  def pdfText(payload: Column): Column =
+    org.apache.spark.sql.graftnative.PdfFunctions.pdf_text(payload)
+
+  /** Structured-PDF fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.PdfSynth]]).
+    */
+  def synthPdf(doc: Column): Column =
+    org.apache.spark.sql.graftnative.PdfFunctions.synth_pdf(doc)
+
   /** Ogg Opus packet inventory (RFC 7845 framing + RFC 6716 TOC)
     * (see [[org.apache.spark.sql.graftnative.OpusPackets]]).
     */

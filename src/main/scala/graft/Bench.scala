@@ -61,6 +61,30 @@ object Bench {
       once() // warm codegen for the control plan itself
       math.min(once(), once())
     }
+    // ---- second control lane: a fixed SHUFFLE-bound workload (hash
+    // exchange of 4M synthetic rows over 256k keys, no parquet, no
+    // decode). The CPU lane cannot attribute drift in the
+    // shuffle/iteration families (the round-13 movers were all there);
+    // this one prices exchange + aggregation machinery specifically.
+    // round-14 pin: 0.685/0.673/0.677 s across three fresh local[32]
+    // JVMs on the quiet round-14 box (CPU lane measured 0.276-0.296 in
+    // the same runs, i.e. at its round-13 pin — same pin discipline as
+    // ControlBaselineSec; the two ratios together separate
+    // compute-drift from shuffle-drift).
+    val ShuffleControlBaselineSec = 0.678
+    val shuffleControlSec = {
+      import org.apache.spark.sql.functions._
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 4L * 1000 * 1000, 1, cpus.toInt)
+          .select(((col("id") * 2654435761L) % 262144).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("c"))
+          .agg(sum("c")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm codegen for the control plan itself
+      math.min(once(), once())
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache() // isolate queries from lingering cache/GC state
       System.gc()
@@ -81,7 +105,8 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val controlRatio = controlSec / ControlBaselineSec
     val totalNorm = total / controlRatio
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","control_sec":$controlSec%.3f,"control_ratio":$controlRatio%.3f,"total_normalized":$totalNorm%.3f,"queries":$qs,"sf":"$sfDir"}"""
+    val shuffleControlRatio = shuffleControlSec / ShuffleControlBaselineSec
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","control_sec":$controlSec%.3f,"control_ratio":$controlRatio%.3f,"shuffle_control_sec":$shuffleControlSec%.3f,"shuffle_control_ratio":$shuffleControlRatio%.3f,"total_normalized":$totalNorm%.3f,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // the driver captures only the last ~2000 chars of stdout; at 134
     // keys the full per-key line is ~3 KB, so whatever precision it uses
@@ -111,7 +136,7 @@ object Bench {
     val nFailed = results.values.count(_ < 0)
     // a DISTINCT metric name: a consumer matching "total" must never pick
     // this truncated per-key set over the full line above
-    println(f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","control_ratio":$controlRatio%.3f,"total_normalized":$totalNorm%.3f,"n_queries":${results.size},"n_failed":$nFailed,"elided":${results.size - picked.size},"queries":${picked.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","control_ratio":$controlRatio%.3f,"shuffle_control_ratio":$shuffleControlRatio%.3f,"total_normalized":$totalNorm%.3f,"n_queries":${results.size},"n_failed":$nFailed,"elided":${results.size - picked.size},"queries":${picked.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     // stdout is wrapped in sbt [info] prefixes that break machine parsing —
     // also drop the bare JSON line to a file for the harness. Best-effort:
     // an unwritable path must not turn a fully-successful bench run into a

@@ -48,7 +48,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    windowing walk) is the ISO §2.4.3.2 flow; only the 512 window
   *    VALUES differ, which changes out-of-band leakage, not
   *    passband semantics. Swap the table when bit-conformance against
-  *    reference decoders is required.
+  *    reference decoders is required: drop the published values as
+  *    `mp3_synth_window.tsv` under `-Dgraft.data.dir` (see
+  *    [[DataOverrides]]) — a data-only change.
   *
   * Everything oracle-checkable is exact: an all-zero spectrum
   * propagates exact 0.0 through every stage to the PCM (the full
@@ -236,7 +238,7 @@ object Mp3L3Codec {
     * Blackman-windowed sinc, cutoff π/64, calibrated below to unity
     * cascade gain through the paired ISO analysis structure.
     */
-  private[graftnative] val DWin: Array[Double] = {
+  private val DWinBuiltin: Array[Double] = {
     val d = new Array[Double](512)
     var i = 0
     while (i < 512) {
@@ -327,6 +329,26 @@ object Mp3L3Codec {
     }
     d
   }
+
+  /** The active synthesis window — the calibrated Blackman-sinc by
+    * default, or ISO Table 3-B.3 dropped in via [[DataOverrides]]
+    * (`mp3_synth_window.tsv`, 512 values) when the published literals
+    * are available. Data-only swap; see the object scaladoc.
+    */
+  @volatile private[graftnative] var DWin: Array[Double] = DWinBuiltin
+
+  /** Install the published window from `dir`; true when swapped. */
+  private[graftnative] def installWindow(dir: String): Boolean =
+    DataOverrides.doubles(dir, "mp3_synth_window", 512) match {
+      case Some(w) => DWin = w; true
+      case None => false
+    }
+
+  /** Restore the calibrated generated window (test hook). */
+  private[graftnative] def resetWindow(): Unit = DWin = DWinBuiltin
+
+  // automatic pickup when the literals are dropped next to the job
+  DataOverrides.configuredDir.foreach(installWindow)
 
   /** Per-channel synthesis state: the 1024-sample V FIFO. */
   private final class SynthState {

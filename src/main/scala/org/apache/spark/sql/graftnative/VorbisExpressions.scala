@@ -49,7 +49,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    index 255 is exactly 1.0. Streams whose floors sit away from the
   *    endpoints decode through real machinery with ≤ float-rounding
   *    deviations from a reference decoder; swapping in the published
-  *    literals is a data-only change.
+  *    literals is a data-only change (`vorbis_inverse_db.tsv` under
+  *    `-Dgraft.data.dir`, see [[DataOverrides]]).
   *  - The oracle fingerprint (`spec_sum_q20`) is the SPECTRAL sum
   *    before the IMDCT: the paired fixture emits flat-at-maximum
   *    floors (multiplier slot 0, range 256, both endpoint posts at
@@ -94,12 +95,31 @@ object VorbisCodec {
   /** floor1_inverse_dB_table: geometric from the spec's endpoints (see
     * the scaladoc's provenance note). table(255) is exactly 1.0.
     */
-  private[graftnative] val InverseDb: Array[Double] = {
+  private val InverseDbBuiltin: Array[Double] = {
     val lo = 1.0649863e-7
     Array.tabulate(256)(i =>
       if (i == 255) 1.0
       else StrictMath.exp(StrictMath.log(lo) * (255 - i) / 255.0))
   }
+
+  /** The active dB table — the geometric reconstruction by default,
+    * or the spec's published 256 literals dropped in via
+    * [[DataOverrides]] (`vorbis_inverse_db.tsv`). Data-only swap.
+    */
+  @volatile private[graftnative] var InverseDb: Array[Double] = InverseDbBuiltin
+
+  /** Install the published table from `dir`; true when swapped. */
+  private[graftnative] def installInverseDb(dir: String): Boolean =
+    DataOverrides.doubles(dir, "vorbis_inverse_db", 256) match {
+      case Some(t) => InverseDb = t; true
+      case None => false
+    }
+
+  /** Restore the generated geometric table (test hook). */
+  private[graftnative] def resetInverseDb(): Unit = InverseDb = InverseDbBuiltin
+
+  // automatic pickup when the literals are dropped next to the job
+  DataOverrides.configuredDir.foreach(installInverseDb)
 
   // ---------------------------------------------------------- bit I/O
 

@@ -2394,7 +2394,9 @@ object QueriesScale {
         |        || chr(10) || 'quote ' || chr(39) || 'p' || i.range || chr(39)
         |        || chr(10) || 'hex ' || format('{:x}', doc_id % 256) AS text
         |       FROM p CROSS JOIN range(0, 3) i WHERE i.range < np)
-        |SELECT doc_id, '1.4' AS version, CAST(np AS BIGINT) AS n_pages,
+        |SELECT doc_id,
+        | CASE WHEN doc_id % 7 IN (3, 5) THEN '1.5' ELSE '1.4' END AS version,
+        | CAST(np AS BIGINT) AS n_pages,
         | CAST(pi AS BIGINT) AS page_idx, text
         |FROM pg ORDER BY doc_id, page_idx""".stripMargin))
 

@@ -14,10 +14,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * modality, parsed for real from the bytes up (ISO 32000-1 / the
   * public PDF 1.7 reference):
   *
-  *  - `%PDF-1.x` header, `startxref` located from the tail, CLASSIC
-  *    cross-reference tables (`xref` subsections of
-  *    `offset generation n/f` entries) chained through trailer
-  *    `/Prev` — incremental-update files resolve to their NEWEST
+  *  - `%PDF-1.x` header, `startxref` located from the tail, and BOTH
+  *    cross-reference forms chained through `/Prev` (mixed freely):
+  *    classic tables (`xref` subsections of `offset generation n/f`
+  *    entries) and PDF 1.5+ cross-reference STREAMS (/Type /XRef:
+  *    binary W-field entries over /Index subsections, FlateDecode,
+  *    including the PNG row predictors real writers emit). Type-2
+  *    entries resolve through OBJECT STREAMS (/Type /ObjStm header
+  *    pairs + /First offsets, with the spec's slot-number
+  *    cross-check). Incremental-update files resolve to their NEWEST
   *    object versions because newer xref sections take precedence.
   *  - A real COS object parser: dictionaries, arrays, names with
   *    `#xx` escapes, literal strings with `\`-escapes (including
@@ -39,10 +44,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Honest rejects (never guesses): encrypted files (trailer
   * `/Encrypt`), CID-keyed text (any page resource font with
   * `/Subtype /Type0` — glyph-indexed strings are NOT character codes
-  * and emitting them would be garbage), cross-reference STREAMS (the
-  * PDF 1.5+ compressed-xref form; `startxref` landing on an object
-  * rather than `xref` rejects — a disclosed scope bound, not an
-  * oversight), torn objects, and missing catalog/page structure.
+  * and emitting them would be garbage), hybrid-reference files'
+  * `/XRefStm` side-channel (the classic chain is still walked; a
+  * disclosed scope bound), non-Flate filters, torn objects, and
+  * missing catalog/page structure.
   * Simple fonts (Type1/TrueType with standard encodings) show byte
   * strings whose printable range coincides with Latin-1, which is
   * exactly the regime where byte-level extraction is sound.
@@ -297,19 +302,36 @@ object PdfText {
   // ------------------------------------------------------ document
 
   private final class Doc(val b: Array[Byte], val xref: Map[Int, Int],
-      val trailer: Map[String, Any]) {
+      val compressed: Map[Int, (Int, Int)], val trailer: Map[String, Any]) {
     private val memo = new java.util.HashMap[Int, Any]()
     private val inflight = new java.util.HashSet[Int]()
+    // decoded object streams: stmNum -> (data, first, Array[(objNum, off)])
+    private val objStms =
+      new java.util.HashMap[Int, (Array[Byte], Int, Array[(Int, Int)])]()
 
-    /** Fetch object `num`: parses `num gen obj … endobj`, returning the
-      * body or a PdfStream.
+    /** Fetch object `num`: parses `num gen obj … endobj` at its xref
+      * offset, or extracts it from its object stream (type-2 entries),
+      * returning the body or a PdfStream.
       */
     def fetch(num: Int): Any = {
       val cached = memo.get(num)
       if (cached != null || memo.containsKey(num)) return cached
-      val off = xref.getOrElse(num, -1)
-      if (off < 0 || off >= b.length) bad()
       if (!inflight.add(num)) bad() // reference cycle through a fetch
+      val result: Any = xref.get(num) match {
+        case Some(off) =>
+          if (off < 0 || off >= b.length) bad()
+          fetchAt(num, off)
+        case None => compressed.get(num) match {
+          case Some((stmNum, idx)) => fetchCompressed(num, stmNum, idx)
+          case None => bad()
+        }
+      }
+      inflight.remove(num)
+      memo.put(num, result)
+      result
+    }
+
+    private def fetchAt(num: Int, off: Int): Any = {
       val p = new P(b, off)
       p.skipWs()
       val n2 = p.keyword()
@@ -320,7 +342,7 @@ object PdfText {
       if (p.keyword() != "obj") bad()
       val body = p.obj(0)
       p.skipWs()
-      val result: Any = body match {
+      body match {
         case dict: Map[String @unchecked, Any @unchecked] if {
           val save = p.pos
           val kw = if (p.peek == -1) "" else p.keyword()
@@ -337,9 +359,50 @@ object PdfText {
           new PdfStream(dict, p.pos, len)
         case other => other
       }
-      inflight.remove(num)
-      memo.put(num, result)
-      result
+    }
+
+    /** Extract object `num` from object stream `stmNum` (its header
+      * slot `idx` must name `num` — the spec's cross-check). Objects
+      * inside an ObjStm are body-only (streams are not permitted).
+      */
+    private def fetchCompressed(num: Int, stmNum: Int, idx: Int): Any = {
+      var parsed = objStms.get(stmNum)
+      if (parsed == null) {
+        val s = fetch(stmNum) match {
+          case s: PdfStream => s
+          case _ => bad()
+        }
+        if (resolve(s.dict.getOrElse("Type", null), 0) != PdfName("ObjStm"))
+          bad()
+        val n = resolve(s.dict.getOrElse("N", null), 0) match {
+          case l: java.lang.Long => l.toInt
+          case _ => bad()
+        }
+        val first = resolve(s.dict.getOrElse("First", null), 0) match {
+          case l: java.lang.Long => l.toInt
+          case _ => bad()
+        }
+        if (n < 0 || n > MaxObjects || first < 0) bad()
+        val data = streamData(s)
+        val hp = new P(data, 0)
+        val pairs = new Array[(Int, Int)](n)
+        var k = 0
+        while (k < n) {
+          hp.skipWs()
+          val on = hp.keyword().toIntOption.getOrElse(bad())
+          hp.skipWs()
+          val oo = hp.keyword().toIntOption.getOrElse(bad())
+          pairs(k) = (on, oo)
+          k += 1
+        }
+        parsed = (data, first, pairs)
+        objStms.put(stmNum, parsed)
+      }
+      val (data, first, pairs) = parsed
+      if (idx < 0 || idx >= pairs.length || pairs(idx)._1 != num) bad()
+      val at = first + pairs(idx)._2
+      if (at < 0 || at > data.length) bad()
+      new P(data, at).obj(0)
     }
 
     def resolve(v: Any, depth: Int): Any = v match {
@@ -383,8 +446,214 @@ object PdfText {
 
   // --------------------------------------------------------- xref
 
-  /** Load the classic xref chain from `startxref`; newest sections win. */
-  private def loadXref(b: Array[Byte]): (Map[Int, Int], Map[String, Any]) = {
+  /** PNG-predictor decode (Predictor ≥ 10 with Colors 1 / 8-bit — the
+    * form xref streams use): rows of (1 + columns) bytes, per-row
+    * filter byte, unfiltered in place per the PNG spec (bpp = 1).
+    */
+  private def pngUnpredict(data: Array[Byte], columns: Int): Array[Byte] = {
+    if (columns < 1 || data.length % (columns + 1) != 0) bad()
+    val rows = data.length / (columns + 1)
+    val out = new Array[Byte](rows * columns)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (columns + 1)) & 0xFF
+      var x = 0
+      while (x < columns) {
+        val raw = data(r * (columns + 1) + 1 + x) & 0xFF
+        val left = if (x > 0) out(r * columns + x - 1) & 0xFF else 0
+        val up = if (r > 0) out((r - 1) * columns + x) & 0xFF else 0
+        val upLeft =
+          if (r > 0 && x > 0) out((r - 1) * columns + x - 1) & 0xFF else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 =>
+            val p = left + up - upLeft
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - upLeft)
+            raw + (if (pa <= pb && pa <= pc) left
+              else if (pb <= pc) up else upLeft)
+          case _ => bad()
+        }
+        out(r * columns + x) = (v & 0xFF).toByte
+        x += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Parsed state of one xref section (either form). */
+  private final class XrefAcc {
+    var direct = Map.empty[Int, Int]
+    var compressed = Map.empty[Int, (Int, Int)]
+    var trailer: Map[String, Any] = null
+    def seen(num: Int): Boolean =
+      direct.contains(num) || compressed.contains(num)
+  }
+
+  /** One cross-reference STREAM section (PDF 1.5+): `num gen obj` with
+    * /Type /XRef, binary W-field entries, /Index subsections, raw or
+    * FlateDecode (with the PNG row predictors real writers emit). The
+    * /Length must be DIRECT — an indirect length would need the very
+    * xref being built.
+    */
+  private def xrefStreamSection(b: Array[Byte], at: Int, acc: XrefAcc): Int = {
+    val p = new P(b, at)
+    p.skipWs()
+    p.keyword().toIntOption.getOrElse(bad()) // object number
+    p.skipWs()
+    p.keyword().toIntOption.getOrElse(bad()) // generation
+    p.skipWs()
+    if (p.keyword() != "obj") bad()
+    val dict = p.obj(0) match {
+      case m: Map[String @unchecked, Any @unchecked] => m
+      case _ => bad()
+    }
+    if (dict.getOrElse("Type", null) != PdfName("XRef")) bad()
+    p.skipWs()
+    if (p.keyword() != "stream") bad()
+    if (p.peek == '\r') p.pos += 1
+    if (p.peek == '\n') p.pos += 1
+    val len = dict.getOrElse("Length", null) match {
+      case l: java.lang.Long => l.toInt
+      case _ => bad()
+    }
+    if (len < 0 || p.pos + len > b.length) bad()
+    val raw = java.util.Arrays.copyOfRange(b, p.pos, p.pos + len)
+    var data = dict.getOrElse("Filter", null) match {
+      case null => raw
+      case PdfName("FlateDecode") => inflate(raw)
+      case _ => bad()
+    }
+    dict.getOrElse("DecodeParms", null) match {
+      case null =>
+      case parms: Map[String @unchecked, Any @unchecked] =>
+        parms.getOrElse("Predictor", null) match {
+          case null =>
+          case pr: java.lang.Long if pr.toInt == 1 =>
+          case pr: java.lang.Long if pr.toInt >= 10 =>
+            val cols = parms.getOrElse("Columns", null) match {
+              case c: java.lang.Long => c.toInt
+              case null => 1
+              case _ => bad()
+            }
+            data = pngUnpredict(data, cols)
+          case _ => bad() // TIFF predictor 2: not emitted by xref writers
+        }
+      case _ => bad()
+    }
+    val size = dict.getOrElse("Size", null) match {
+      case l: java.lang.Long => l.toInt
+      case _ => bad()
+    }
+    val w = dict.getOrElse("W", null) match {
+      case v: Vector[Any @unchecked] if v.size == 3 =>
+        v.map { case l: java.lang.Long => l.toInt; case _ => bad() }
+      case _ => bad()
+    }
+    if (w.exists(x => x < 0 || x > 8)) bad()
+    val rowLen = w.sum
+    if (rowLen < 1) bad()
+    val index: Vector[Int] = dict.getOrElse("Index", null) match {
+      case null => Vector(0, size)
+      case v: Vector[Any @unchecked] if v.size % 2 == 0 =>
+        v.map { case l: java.lang.Long => l.toInt; case _ => bad() }
+      case _ => bad()
+    }
+    var rowAt = 0
+    def field(width: Int, default: Long): Long = {
+      if (width == 0) return default
+      var v = 0L
+      var k = 0
+      while (k < width) { v = (v << 8) | (data(rowAt + k) & 0xFFL); k += 1 }
+      rowAt += width
+      v
+    }
+    var s = 0
+    while (s < index.size) {
+      val start = index(s)
+      val count = index(s + 1)
+      if (start < 0 || count < 0 || start + count > MaxObjects) bad()
+      var k = 0
+      while (k < count) {
+        if (rowAt + rowLen > data.length) bad()
+        val typ = field(w(0), 1L)
+        val f2 = field(w(1), 0L)
+        val f3 = field(w(2), 0L)
+        val num = start + k
+        if (!acc.seen(num)) typ match {
+          case 0L => // free
+          case 1L =>
+            if (f2 > Int.MaxValue) bad()
+            acc.direct += (num -> f2.toInt)
+          case 2L =>
+            if (f2 > Int.MaxValue || f3 > Int.MaxValue) bad()
+            acc.compressed += (num -> ((f2.toInt, f3.toInt)))
+          case _ => bad()
+        }
+        k += 1
+      }
+      s += 2
+    }
+    if (acc.trailer == null) acc.trailer = dict
+    dict.getOrElse("Prev", null) match {
+      case l: java.lang.Long => l.toInt
+      case null => -1
+      case _ => bad()
+    }
+  }
+
+  /** One CLASSIC xref table section; returns the /Prev offset or -1. */
+  private def classicXrefSection(b: Array[Byte], at: Int, acc: XrefAcc): Int = {
+    val p = new P(b, at)
+    p.skipWs()
+    if (p.keyword() != "xref") bad()
+    var done = false
+    while (!done) {
+      p.skipWs()
+      if (p.peek >= '0' && p.peek <= '9') {
+        val start = p.keyword().toIntOption.getOrElse(bad())
+        p.skipWs()
+        val count = p.keyword().toIntOption.getOrElse(bad())
+        if (count < 0 || start < 0 || start + count > MaxObjects) bad()
+        var k = 0
+        while (k < count) {
+          p.skipWs()
+          val off = p.keyword()
+          p.skipWs()
+          p.keyword() // generation
+          p.skipWs()
+          val typ = p.keyword()
+          if (off.length != 10 || typ.length != 1) bad()
+          if (typ == "n" && !acc.seen(start + k))
+            acc.direct += ((start + k) -> off.toInt)
+          else if (typ != "n" && typ != "f") bad()
+          k += 1
+        }
+      } else done = true
+    }
+    p.skipWs()
+    if (p.keyword() != "trailer") bad()
+    val t = p.obj(0) match {
+      case m: Map[String @unchecked, Any @unchecked] => m
+      case _ => bad()
+    }
+    if (acc.trailer == null) acc.trailer = t
+    t.getOrElse("Prev", null) match {
+      case l: java.lang.Long => l.toInt
+      case null => -1
+      case _ => bad()
+    }
+  }
+
+  /** Load the xref chain from `startxref` — classic tables AND
+    * cross-reference streams, mixed freely; newest sections win.
+    */
+  private def loadXref(b: Array[Byte]): XrefAcc = {
     // find `startxref` in the tail
     val tailFrom = math.max(0, b.length - 2048)
     val tail = new String(b, tailFrom, b.length - tailFrom,
@@ -394,55 +663,19 @@ object PdfText {
     val p0 = new P(b, tailFrom + sx + "startxref".length)
     p0.skipWs()
     var at = p0.keyword().toLongOption.getOrElse(bad()).toInt
-    var xref = Map.empty[Int, Int]
-    var trailer: Map[String, Any] = null
+    val acc = new XrefAcc
     var hops = 0
     while (at >= 0) {
       hops += 1
-      if (hops > 64 || at >= b.length) bad()
-      val p = new P(b, at)
-      p.skipWs()
-      // a cross-reference STREAM starts with `num gen obj` — disclosed
-      // out of scope; only the classic table form is accepted
-      if (p.keyword() != "xref") bad()
-      var done = false
-      while (!done) {
-        p.skipWs()
-        if (p.peek >= '0' && p.peek <= '9') {
-          val start = p.keyword().toIntOption.getOrElse(bad())
-          p.skipWs()
-          val count = p.keyword().toIntOption.getOrElse(bad())
-          if (count < 0 || start < 0 || start + count > MaxObjects) bad()
-          var k = 0
-          while (k < count) {
-            p.skipWs()
-            val off = p.keyword()
-            p.skipWs()
-            p.keyword() // generation
-            p.skipWs()
-            val typ = p.keyword()
-            if (off.length != 10 || typ.length != 1) bad()
-            if (typ == "n" && !xref.contains(start + k))
-              xref += ((start + k) -> off.toInt)
-            else if (typ != "n" && typ != "f") bad()
-            k += 1
-          }
-        } else done = true
-      }
-      p.skipWs()
-      if (p.keyword() != "trailer") bad()
-      val t = p.obj(0) match {
-        case m: Map[String @unchecked, Any @unchecked] => m
-        case _ => bad()
-      }
-      if (trailer == null) trailer = t
-      at = t.getOrElse("Prev", null) match {
-        case l: java.lang.Long => l.toInt
-        case null => -1
-        case _ => bad()
-      }
+      if (hops > 64 || at >= b.length || at < 0) bad()
+      val probe = new P(b, at)
+      probe.skipWs()
+      at =
+        if (probe.peek == 'x') classicXrefSection(b, at, acc)
+        else xrefStreamSection(b, at, acc)
     }
-    (xref, trailer)
+    if (acc.trailer == null) bad()
+    acc
   }
 
   // ------------------------------------------------- content streams
@@ -550,9 +783,10 @@ object PdfText {
     val version = new String(b, 5, ve - 5,
       java.nio.charset.StandardCharsets.ISO_8859_1)
     try {
-      val (xref, trailer) = loadXref(b)
+      val acc = loadXref(b)
+      val trailer = acc.trailer
       if (trailer.contains("Encrypt")) return unknown // honest reject
-      val doc = new Doc(b, xref, trailer)
+      val doc = new Doc(b, acc.direct, acc.compressed, trailer)
       val root = doc.resolve(trailer.getOrElse("Root", null), 0) match {
         case m: Map[String @unchecked, Any @unchecked] => m
         case _ => bad()
@@ -649,13 +883,23 @@ object PdfText {
   *  - `1 + doc mod 3` pages; docs with `doc mod 3 == 0` route them
   *    through a TWO-LEVEL page tree (Pages → [Pages[kids…], lastPage]).
   *  - odd docs FlateDecode every content stream; `doc mod 4 == 2`
-  *    stores `/Length` as an INDIRECT reference.
+  *    stores `/Length` as an INDIRECT reference; `doc mod 4 == 3`
+  *    splits each page's content across a two-stream /Contents ARRAY
+  *    (cut between operators — BT stays open across the boundary).
+  *  - `doc mod 7 == 3` writes the PDF 1.5 form: a cross-reference
+  *    STREAM (W [1 4 2], per-object /Index pairs, FlateDecode);
+  *    `doc mod 7 == 5` additionally packs every dict object into an
+  *    OBJECT STREAM (type-2 entries — including indirect /Length
+  *    targets when the rotations intersect) and runs the xref rows
+  *    through the PNG Up predictor (/Predictor 12) real writers emit.
   *  - page text exercises `Tj` (with escaped parens), `TJ` (kern
   *    −200 renders a space, −50 does not), the `'` next-line-show
   *    operator, and a HEX string.
   *  - docs with `doc mod 5 == 0` append an INCREMENTAL UPDATE that
-  *    re-defines page 0's content stream (new text) behind a second
-  *    xref with `/Prev` — extraction must surface the UPDATED text.
+  *    re-defines page 0's dict and content stream behind a second
+  *    xref section with `/Prev` — extraction must surface the UPDATED
+  *    text, and on ObjStm docs the newer DIRECT object must beat the
+  *    older compressed one.
   */
 object PdfSynth {
   private def fm(a: Long, m: Long): Int = java.lang.Math.floorMod(a, m).toInt
@@ -723,6 +967,84 @@ object PdfSynth {
       raw(s"trailer\n<< /Size $size /Root $rootRef$prevPart >>\n")
       raw(s"startxref\n$xrefAt\n%%EOF\n")
     }
+
+    /** The PDF 1.5 form: a /Type /XRef stream object. `compressedIn`
+      * maps packed object numbers to their (objStmNum, slot). W is
+      * [1 4 2]; with `predictor`, rows go through PNG Up filtering
+      * behind /DecodeParms << /Predictor 12 /Columns 7 >>.
+      */
+    def xrefStreamAndTrailer(xrefNum: Int, directNums: Seq[Int],
+        compressedIn: Seq[(Int, Int, Int)], size: Int, rootRef: String,
+        prev: Int, predictor: Boolean): Unit = {
+      val xrefAt = out.size()
+      val rows = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Int)]()
+      rows += ((0, 0, 0L, 65535)) // object 0: free
+      directNums.foreach(n => rows += ((n, 1, offsets(n).toLong, 0)))
+      compressedIn.foreach { case (n, stm, slot) =>
+        rows += ((n, 2, stm.toLong, slot))
+      }
+      rows += ((xrefNum, 1, xrefAt.toLong, 0))
+      val sorted = rows.sortBy(_._1)
+      val body = new java.io.ByteArrayOutputStream()
+      sorted.foreach { case (_, typ, f2, f3) =>
+        body.write(typ)
+        body.write(((f2 >> 24) & 0xFF).toInt); body.write(((f2 >> 16) & 0xFF).toInt)
+        body.write(((f2 >> 8) & 0xFF).toInt); body.write((f2 & 0xFF).toInt)
+        body.write((f3 >> 8) & 0xFF); body.write(f3 & 0xFF)
+      }
+      var data = body.toByteArray
+      if (predictor) {
+        // PNG Up (type 2) rows over Columns = 7
+        val cols = 7
+        val rowsN = data.length / cols
+        val outP = new java.io.ByteArrayOutputStream()
+        var r = 0
+        while (r < rowsN) {
+          outP.write(2)
+          var x = 0
+          while (x < cols) {
+            val cur = data(r * cols + x) & 0xFF
+            val up = if (r > 0) data((r - 1) * cols + x) & 0xFF else 0
+            outP.write((cur - up) & 0xFF)
+            x += 1
+          }
+          r += 1
+        }
+        data = outP.toByteArray
+      }
+      val z = deflate(data)
+      val idx = sorted.map(e => s"${e._1} 1").mkString(" ")
+      val parms =
+        if (predictor) " /DecodeParms << /Predictor 12 /Columns 7 >>" else ""
+      val prevPart = if (prev >= 0) s" /Prev $prev" else ""
+      raw(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] " +
+        s"/Index [$idx] /Root $rootRef$prevPart /Filter /FlateDecode$parms " +
+        s"/Length ${z.length} >>\nstream\n")
+      out.write(z, 0, z.length)
+      raw("\nendstream\nendobj\n")
+      raw(s"startxref\n$xrefAt\n%%EOF\n")
+    }
+
+    /** Pack body-only objects into a /Type /ObjStm stream object.
+      * Returns the packed (num → slot) assignments.
+      */
+    def objStm(stmNum: Int, objs: Seq[(Int, String)]): Seq[(Int, Int)] = {
+      val bodies = objs.map(_._2.getBytes(Latin1))
+      val offs = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
+      val header = objs.zip(offs)
+        .map { case ((n, _), o) => s"$n $o" }.mkString(" ") + "\n"
+      val hb = header.getBytes(Latin1)
+      val data = new java.io.ByteArrayOutputStream()
+      data.write(hb, 0, hb.length)
+      bodies.foreach { x => data.write(x, 0, x.length); data.write(' ') }
+      val z = deflate(data.toByteArray)
+      offsets(stmNum) = out.size()
+      raw(s"$stmNum 0 obj\n<< /Type /ObjStm /N ${objs.size} " +
+        s"/First ${hb.length} /Filter /FlateDecode /Length ${z.length} >>\nstream\n")
+      out.write(z, 0, z.length)
+      raw("\nendstream\nendobj\n")
+      objs.map(_._1).zipWithIndex
+    }
   }
 
   private def deflate(data: Array[Byte]): Array[Byte] = {
@@ -740,66 +1062,116 @@ object PdfSynth {
     } finally d.end()
   }
 
+  /** Which docs carry the PDF 1.5 forms (and say so in the header). */
+  def xrefStreamForm(doc: Long): Boolean = fm(doc, 7) == 3 || fm(doc, 7) == 5
+  def version(doc: Long): String = if (xrefStreamForm(doc)) "1.5" else "1.4"
+
   def pdfBytes(doc: Long): Array[Byte] = {
     if (doc < 0) return null
     val np = nPages(doc)
     val flate = fm(doc, 2) == 1
     val indirectLen = fm(doc, 4) == 2
+    val splitContents = fm(doc, 4) == 3
     val twoLevel = fm(doc, 3) == 0
+    val xrefStream = xrefStreamForm(doc)
+    val useObjStm = fm(doc, 7) == 5 // ObjStm packing + PNG predictor
 
     val b = new Builder
-    b.raw("%PDF-1.4\n%âãÏÓ\n")
-    // object plan: 1 catalog, 2 pages root, 3 font,
-    // pages at 10+p, contents at 20+p, lengths at 30+p (if indirect),
-    // inner pages node at 4 (two-level docs)
+    b.raw(s"%PDF-${version(doc)}\n%âãÏÓ\n")
+    // object plan: 1 catalog, 2 pages root, 3 font, inner pages node 4
+    // (two-level docs), pages at 10+p, contents at 20+p (and 40+p for
+    // split-contents docs), lengths at 30+p (indirect-length docs),
+    // ObjStm at 50, xref streams at 60/61
     val kidsRefs =
       if (twoLevel && np > 1)
         s"[4 0 R ${10 + np - 1} 0 R]"
       else (0 until np).map(p => s"${10 + p} 0 R").mkString("[", " ", "]")
-    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
-    b.obj(2, s"<< /Type /Pages /Kids $kidsRefs /Count $np >>")
-    b.obj(3, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    def parentOf(p: Int): String =
+      if (twoLevel && np > 1 && p < np - 1) "4 0 R" else "2 0 R"
+    def pageDict(p: Int): String = {
+      val contents =
+        if (splitContents) s"[${20 + p} 0 R ${40 + p} 0 R]"
+        else s"${20 + p} 0 R"
+      s"""<< /Type /Page /Parent ${parentOf(p)} /MediaBox [0 0 612 792]
+         | /Resources << /Font << /F1 3 0 R >> >>
+         | /Contents $contents >>""".stripMargin
+    }
+    // dict-only objects: written plainly, or packed into the ObjStm
+    val dictObjs = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    dictObjs += ((1, "<< /Type /Catalog /Pages 2 0 R >>"))
+    dictObjs += ((2, s"<< /Type /Pages /Kids $kidsRefs /Count $np >>"))
+    dictObjs += ((3, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
     if (twoLevel && np > 1) {
       val inner = (0 until np - 1).map(p => s"${10 + p} 0 R")
         .mkString("[", " ", "]")
-      b.obj(4, s"<< /Type /Pages /Kids $inner /Count ${np - 1} /Parent 2 0 R >>")
+      dictObjs +=
+        ((4, s"<< /Type /Pages /Kids $inner /Count ${np - 1} /Parent 2 0 R >>"))
     }
+    val streamLens = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    val streamNums = scala.collection.mutable.ArrayBuffer[Int]()
     for (p <- 0 until np) {
-      val parent = if (twoLevel && np > 1 && p < np - 1) "4 0 R" else "2 0 R"
-      b.obj(10 + p,
-        s"""<< /Type /Page /Parent $parent /MediaBox [0 0 612 792]
-           | /Resources << /Font << /F1 3 0 R >> >>
-           | /Contents ${20 + p} 0 R >>""".stripMargin)
-      val cs = contentStream(doc, p).getBytes(Latin1)
-      val data = if (flate) deflate(cs) else cs
-      val lenPart =
-        if (indirectLen) s"/Length ${30 + p} 0 R"
-        else s"/Length ${data.length}"
-      val filterPart = if (flate) " /Filter /FlateDecode" else ""
-      b.streamObj(20 + p, s"<< $lenPart$filterPart >>", data)
-      if (indirectLen) b.obj(30 + p, data.length.toString)
+      dictObjs += ((10 + p, pageDict(p)))
+      val full = contentStream(doc, p)
+      // split docs cut between operators (a legal multi-stream page)
+      val parts =
+        if (splitContents) {
+          val cut = full.indexOf("0 -14 TD")
+          Seq(full.substring(0, cut), full.substring(cut))
+        } else Seq(full)
+      parts.zipWithIndex.foreach { case (part, pi) =>
+        val num = (if (pi == 0) 20 else 40) + p
+        val data = if (flate) deflate(part.getBytes(Latin1))
+          else part.getBytes(Latin1)
+        val lenPart =
+          if (indirectLen) s"/Length ${30 + p} 0 R"
+          else s"/Length ${data.length}"
+        val filterPart = if (flate) " /Filter /FlateDecode" else ""
+        b.streamObj(num, s"<< $lenPart$filterPart >>", data)
+        streamNums += num
+        if (indirectLen && pi == 0) streamLens += ((30 + p, data.length))
+      }
     }
-    val baseNums = Seq(1, 2, 3) ++ (if (twoLevel && np > 1) Seq(4) else Nil) ++
-      (0 until np).flatMap(p =>
-        Seq(10 + p, 20 + p) ++ (if (indirectLen) Seq(30 + p) else Nil))
-    b.xrefAndTrailer(baseNums, 64, "1 0 R")
+    streamLens.foreach { case (n, len) => dictObjs += ((n, len.toString)) }
+    if (xrefStream) {
+      if (useObjStm) {
+        val slots = b.objStm(50, dictObjs.toSeq)
+        b.xrefStreamAndTrailer(60, streamNums.toSeq :+ 50,
+          slots.map { case (n, slot) => (n, 50, slot) }, 70, "1 0 R",
+          prev = -1, predictor = true)
+      } else {
+        dictObjs.foreach { case (n, s) => b.obj(n, s) }
+        b.xrefStreamAndTrailer(60, streamNums.toSeq ++ dictObjs.map(_._1),
+          Nil, 70, "1 0 R", prev = -1, predictor = false)
+      }
+    } else {
+      dictObjs.foreach { case (n, s) => b.obj(n, s) }
+      b.xrefAndTrailer(streamNums.toSeq ++ dictObjs.map(_._1), 70, "1 0 R")
+    }
 
     if (updated(doc)) {
-      // incremental update: re-define page 0's content stream and chain
-      // the new xref to the previous one
+      // incremental update: re-define page 0's DICT (collapsing any
+      // split back to one stream — and, for ObjStm docs, overriding a
+      // compressed object with a direct one, which must win) plus its
+      // content stream, chained through /Prev
       val firstXrefAt = {
-        // recover the base section's startxref target: it is the offset
-        // the Builder wrote; recompute by scanning the tail
         val s = new String(b.out.toByteArray, Latin1)
         val at = s.lastIndexOf("startxref")
         s.substring(at + 10, s.indexOf('\n', at + 10)).trim.toInt
       }
+      b.obj(10,
+        s"""<< /Type /Page /Parent ${parentOf(0)} /MediaBox [0 0 612 792]
+           | /Resources << /Font << /F1 3 0 R >> >>
+           | /Contents 20 0 R >>""".stripMargin)
       val cs2 = contentStream(doc, 0,
         textOverride = s"Doc $doc page 0 \\(updated\\)").getBytes(Latin1)
       val data2 = if (flate) deflate(cs2) else cs2
       val filterPart = if (flate) " /Filter /FlateDecode" else ""
       b.streamObj(20, s"<< /Length ${data2.length}$filterPart >>", data2)
-      b.xrefAndTrailer(Seq(20), 64, "1 0 R", prev = firstXrefAt)
+      if (xrefStream)
+        b.xrefStreamAndTrailer(61, Seq(10, 20), Nil, 70, "1 0 R",
+          prev = firstXrefAt, predictor = useObjStm)
+      else
+        b.xrefAndTrailer(Seq(10, 20), 70, "1 0 R", prev = firstXrefAt)
     }
     b.out.toByteArray
   }

@@ -18,7 +18,7 @@ class PdfSpec extends AnyFunSuite {
       assert(b != null, s"doc $doc")
       val r = PdfText.compute(b)
       assert(r.getUTF8String(0).toString == "pdf", s"doc $doc rejected")
-      assert(r.getUTF8String(1).toString == "1.4")
+      assert(r.getUTF8String(1).toString == PdfSynth.version(doc))
       val np = PdfSynth.nPages(doc)
       assert(r.getInt(2) == np, s"doc $doc n_pages")
       val pages = r.getArray(3)
@@ -33,12 +33,35 @@ class PdfSpec extends AnyFunSuite {
   }
 
   test("incremental update: the NEWEST object version wins through /Prev") {
-    // doc 0 and 10 are updated (doc % 5 == 0); their page-0 text says so
-    for (doc <- Seq(0L, 10L, 15L)) {
+    // doc % 5 == 0 docs are updated; 10 is also an xref-STREAM doc
+    // (10 % 7 == 3) and 40 an ObjStm doc (40 % 7 == 5), so the sweep
+    // covers classic-over-classic, stream-over-stream, and the
+    // direct-object-beats-older-COMPRESSED-object precedence
+    for (doc <- Seq(0L, 10L, 15L, 40L)) {
       val r = PdfText.compute(PdfSynth.pdfBytes(doc))
+      assert(r.getUTF8String(0).toString == "pdf", s"doc $doc")
       val t = r.getArray(3).getStruct(0, 2).getUTF8String(1).toString
       assert(t.contains("(updated)"), s"doc $doc must surface the update")
       assert(!t.contains("(alpha)"), s"doc $doc: stale object version read")
+    }
+  }
+
+  test("PDF 1.5 forms: xref streams, PNG predictors, object streams, split contents") {
+    val xrefStreamDocs = (0L to 60L).filter(PdfSynth.xrefStreamForm)
+    assert(xrefStreamDocs.nonEmpty)
+    for (doc <- xrefStreamDocs) {
+      val r = PdfText.compute(PdfSynth.pdfBytes(doc))
+      assert(r.getUTF8String(0).toString == "pdf", s"doc $doc rejected")
+      for (p <- 0 until PdfSynth.nPages(doc))
+        assert(r.getArray(3).getStruct(p, 2).getUTF8String(1).toString ==
+          PdfSynth.pageText(doc, p), s"doc $doc page $p")
+    }
+    // split-contents docs (doc % 4 == 3) reassemble across the stream
+    // boundary with BT held open
+    for (doc <- Seq(3L, 7L, 19L)) {
+      val r = PdfText.compute(PdfSynth.pdfBytes(doc))
+      assert(r.getArray(3).getStruct(0, 2).getUTF8String(1).toString ==
+        PdfSynth.pageText(doc, 0), s"doc $doc split contents")
     }
   }
 
@@ -77,7 +100,7 @@ class PdfSpec extends AnyFunSuite {
     assert(onePage("BT (a) Tj (b) ' (c) \" ET") == "a\nb\nc")
   }
 
-  test("honest rejects: encryption, Type0 fonts, xref streams, torn files") {
+  test("honest rejects: encryption, Type0 fonts, torn files") {
     val ok = PdfSynth.pdfBytes(1L)
     def fmt(b: Array[Byte]): String = PdfText.compute(b).getUTF8String(0).toString
     assert(fmt(ok) == "pdf")
@@ -87,7 +110,7 @@ class PdfSpec extends AnyFunSuite {
     assert(fmt("hello world this is not a pdf at all".getBytes(Latin1)) == "unknown")
     // /Encrypt in the trailer
     val s = new String(ok, Latin1)
-    val enc = s.replace("/Size 64", "/Size 64 /Encrypt 9 0 R")
+    val enc = s.replace("/Size 70", "/Size 70 /Encrypt 9 0 R")
     // offsets unchanged: the trailer sits after every object
     assert(fmt(enc.getBytes(Latin1)) == "unknown", "encrypted must reject")
     // a Type0 font in the resources

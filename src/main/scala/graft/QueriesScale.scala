@@ -2354,6 +2354,91 @@ object QueriesScale {
         |LEFT JOIN stereoq ON p.doc_id = stereoq.doc_id
         |ORDER BY p.doc_id""".stripMargin))
 
+  // --------------------------------------- TAR / WebDataset extraction
+  // The shard format large multimodal training corpora actually ship
+  // in: a tar of {key}.{ext} files consumed sequentially because tar
+  // needs no central index. tar_members surfaces the fetch layer's
+  // per-member byte ranges from CHECKSUM-VERIFIED ustar headers, with
+  // GNU type-L long names, PAX path overrides, and GNU base-256 sizes
+  // all on the oracle hash (the fixture rotates each onto member 0);
+  // webdataset_pairs is the downstream sample-assembly groupBy (key =
+  // basename up to the first dot). Per-row walk, zero shuffle until
+  // the explode; the pairing groupBy keys on compact strings.
+  private val tarMembersQ = Q(
+    (s, dir) => {
+      val t = ScaleOps.tarMembers(ScaleOps.synthTar(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"), posexplode(col("t.members")).as(Seq("m_idx", "m")))
+        .select(col("doc_id"), col("m_idx").cast(LongType).as("member_idx"),
+          col("m.name").as("name"), col("m.typeflag").as("typeflag"),
+          col("m.offset").as("offset"), col("m.size").as("size"))
+        .orderBy("doc_id", "member_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS n,
+        |   CASE WHEN doc_id % 4 IN (1, 2) THEN 1024 ELSE 0 END AS extra
+        | FROM documents),
+        | m AS (SELECT doc_id, n, extra, i.range AS i,
+        |        100 + (doc_id * 7 + i.range * 13) % 900 AS jsz,
+        |        40 + (doc_id + i.range) % 50 AS nsz
+        |       FROM p CROSS JOIN range(0, 5) i WHERE i.range < n),
+        | ps AS (SELECT doc_id, extra, i, jsz, nsz,
+        |        ((jsz + 511) // 512) * 512 AS jpad,
+        |        COALESCE(SUM(1536 + ((jsz + 511) // 512) * 512) OVER
+        |          (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS before
+        |       FROM m),
+        | rows_ AS (
+        |  SELECT doc_id, 2 * i AS midx,
+        |   CASE WHEN i = 0 AND doc_id % 4 = 1 THEN
+        |     'shard/' || repeat('x', 90) || '/d' || doc_id ||
+        |       '/s' || doc_id || '_0.jpg'
+        |    WHEN i = 0 AND doc_id % 4 = 2 THEN
+        |     'pax/dir/s' || doc_id || '_0.jpg'
+        |    ELSE 's' || doc_id || '_' || i || '.jpg' END AS name,
+        |   extra + before + 512 AS off, jsz AS size FROM ps
+        |  UNION ALL
+        |  SELECT doc_id, 2 * i + 1,
+        |   's' || doc_id || '_' || i || '.json',
+        |   extra + before + 512 + jpad + 512, nsz FROM ps)
+        |SELECT doc_id, CAST(midx AS BIGINT) AS member_idx, name,
+        | '0' AS typeflag, CAST(off AS BIGINT) AS offset,
+        | CAST(size AS BIGINT) AS size
+        |FROM rows_ ORDER BY doc_id, member_idx""".stripMargin))
+
+  // -------------------------------------- WebDataset sample assembly
+  private val webdatasetPairsQ = Q(
+    (s, dir) => {
+      val t = ScaleOps.tarMembers(ScaleOps.synthTar(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"), explode(col("t.members")).as("m"))
+        .select(col("doc_id"),
+          substring_index(substring_index(col("m.name"), "/", -1), ".", 1)
+            .as("sample_key"),
+          expr("substring(substring_index(m.name, '/', -1), " +
+            "length(substring_index(substring_index(m.name, '/', -1), '.', 1)) + 2)")
+            .as("ext"),
+          col("m.size").as("size"))
+        .groupBy("doc_id", "sample_key")
+        .agg(count(lit(1)).as("n_parts"),
+          array_join(sort_array(collect_list(col("ext"))), ",").as("exts"),
+          sum(col("size")).as("total_bytes"))
+        .orderBy("doc_id", "sample_key")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS n FROM documents),
+        | m AS (SELECT doc_id, i.range AS i,
+        |        100 + (doc_id * 7 + i.range * 13) % 900 AS jsz,
+        |        40 + (doc_id + i.range) % 50 AS nsz
+        |       FROM p CROSS JOIN range(0, 5) i WHERE i.range < n)
+        |SELECT doc_id, 's' || doc_id || '_' || i AS sample_key,
+        | CAST(2 AS BIGINT) AS n_parts, 'jpg,json' AS exts,
+        | CAST(jsz + nsz AS BIGINT) AS total_bytes
+        |FROM m ORDER BY doc_id, sample_key""".stripMargin))
+
   // ---------------------------------------------- PDF text extraction
   // The largest untouched training-data text modality, extracted for
   // real: classic xref chains (incremental updates resolve to the
@@ -6202,6 +6287,8 @@ object QueriesScale {
     "vorbis_pcm" -> vorbisPcmQ,
     "opus_packets" -> opusPacketsQ,
     "pdf_text" -> pdfTextQ,
+    "tar_members" -> tarMembersQ,
+    "webdataset_pairs" -> webdatasetPairsQ,
     "mp4_mjpeg_frames" -> mp4MjpegFramesQ,
     "id3_meta" -> id3MetaQ,
     "warc_records" -> warcRecordsQ,

@@ -1631,6 +1631,18 @@ object ScaleOps {
   def synthMp4Samples(doc: Column): Column =
     org.apache.spark.sql.graftnative.Mp4TrackFunctions.synth_mp4_samples(doc)
 
+  /** TAR/WebDataset member extraction (ustar + GNU longname + PAX)
+    * (see [[org.apache.spark.sql.graftnative.TarMembers]]).
+    */
+  def tarMembers(payload: Column): Column =
+    org.apache.spark.sql.graftnative.TarFunctions.tar_members(payload)
+
+  /** WebDataset-style tar fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.TarSynth]]).
+    */
+  def synthTar(doc: Column): Column =
+    org.apache.spark.sql.graftnative.TarFunctions.synth_tar(doc)
+
   /** PDF page-text extraction (classic xref, FlateDecode, BT/ET text)
     * (see [[org.apache.spark.sql.graftnative.PdfText]]).
     */

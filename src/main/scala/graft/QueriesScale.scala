@@ -2408,6 +2408,52 @@ object QueriesScale {
         | CAST(size AS BIGINT) AS size
         |FROM rows_ ORDER BY doc_id, member_idx""".stripMargin))
 
+  // ------------------------------------------- ZIP entry extraction
+  // tar's indexed sibling in dataset distribution: the central
+  // directory drives the walk, local headers re-verify with their own
+  // name/extra lengths, and EVERY member decodes for real (stored +
+  // DEFLATE) with its CRC-32 verified — one corrupt member rejects
+  // the archive. The hash carries a decode PROOF: payload_md5 is md5
+  // over the decompressed bytes' lowercase hex, which the oracle
+  // recomputes from the payload formulas entirely in SQL (hex keeps
+  // the digest inside DuckDB's VARCHAR-only md5). Offsets/csize of
+  // deflated members are not closed-form (compressor output) and are
+  // pinned by ZipSpec instead. Per-row, zero shuffle until the
+  // explode.
+  private val zipEntriesQ = Q(
+    (s, dir) => {
+      val z = ScaleOps.zipEntries(ScaleOps.synthZip(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), z.as("z"))
+        .select(col("doc_id"), posexplode(col("z.entries")).as(Seq("e_idx", "e")))
+        .select(col("doc_id"), col("e_idx").cast(LongType).as("entry_idx"),
+          col("e.name").as("name"), col("e.method").as("method"),
+          col("e.usize").as("usize"), col("e.payload_md5").as("payload_md5"))
+        .orderBy("doc_id", "entry_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS n FROM documents),
+        | m AS (SELECT doc_id, i.range AS i,
+        |        100 + (doc_id * 7 + i.range * 13) % 900 AS bsz,
+        |        40 + (doc_id + i.range) % 50 AS jsz
+        |       FROM p CROSS JOIN range(0, 5) i WHERE i.range < n),
+        | ent AS (
+        |  SELECT doc_id, 2 * i AS eidx,
+        |   's' || doc_id || '_' || i || '.bin' AS name,
+        |   'stored' AS method, bsz AS usize, 2 * i AS tag FROM m
+        |  UNION ALL
+        |  SELECT doc_id, 2 * i + 1, 's' || doc_id || '_' || i || '.json',
+        |   'deflate', jsz, 2 * i + 1 FROM m),
+        | pm AS (SELECT doc_id, eidx, name, method, usize,
+        |   md5(string_agg(format('{:02x}',
+        |     (doc_id * 31 + tag * 17 + k.range) % 256), ''
+        |     ORDER BY k.range)) AS payload_md5
+        |  FROM ent CROSS JOIN range(0, 1000) k WHERE k.range < usize
+        |  GROUP BY doc_id, eidx, name, method, usize)
+        |SELECT doc_id, CAST(eidx AS BIGINT) AS entry_idx, name, method,
+        | CAST(usize AS BIGINT) AS usize, payload_md5
+        |FROM pm ORDER BY doc_id, entry_idx""".stripMargin))
+
   // -------------------------------------- WebDataset sample assembly
   private val webdatasetPairsQ = Q(
     (s, dir) => {
@@ -6289,6 +6335,7 @@ object QueriesScale {
     "pdf_text" -> pdfTextQ,
     "tar_members" -> tarMembersQ,
     "webdataset_pairs" -> webdatasetPairsQ,
+    "zip_entries" -> zipEntriesQ,
     "mp4_mjpeg_frames" -> mp4MjpegFramesQ,
     "id3_meta" -> id3MetaQ,
     "warc_records" -> warcRecordsQ,

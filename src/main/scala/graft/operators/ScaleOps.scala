@@ -1631,6 +1631,18 @@ object ScaleOps {
   def synthMp4Samples(doc: Column): Column =
     org.apache.spark.sql.graftnative.Mp4TrackFunctions.synth_mp4_samples(doc)
 
+  /** ZIP entry extraction with decode-proof digests
+    * (see [[org.apache.spark.sql.graftnative.ZipEntries]]).
+    */
+  def zipEntries(payload: Column): Column =
+    org.apache.spark.sql.graftnative.ZipFunctions.zip_entries(payload)
+
+  /** Two-method ZIP fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.ZipSynth]]).
+    */
+  def synthZip(doc: Column): Column =
+    org.apache.spark.sql.graftnative.ZipFunctions.synth_zip(doc)
+
   /** TAR/WebDataset member extraction (ustar + GNU longname + PAX)
     * (see [[org.apache.spark.sql.graftnative.TarMembers]]).
     */

@@ -1,0 +1,309 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ZIP archive extraction — tar's indexed sibling in dataset
+  * distribution (APPNOTE.TXT / ISO 21320): the End-of-Central-
+  * Directory record is located from the tail (scanning past a
+  * trailing archive comment), the CENTRAL DIRECTORY drives the walk
+  * (its sizes are authoritative — streamed entries with bit-3 data
+  * descriptors leave the local sizes zeroed), each entry's local
+  * header signature is re-verified and its own name/extra lengths
+  * (which legally differ from the central copy) locate the payload,
+  * and every member is DECODED FOR REAL — stored or DEFLATE via the
+  * JDK inflater, output-capped — with its CRC-32 VERIFIED against the
+  * decompressed bytes (the gzip/WARC stance: one corrupt member
+  * rejects the archive rather than emitting plausible garbage).
+  *
+  * Honest rejects: encrypted entries (general-purpose bit 0),
+  * compression methods other than stored/deflate, ZIP64 archives
+  * (0xFFFF/0xFFFFFFFF sentinel fields — a disclosed scope bound),
+  * signature/offset inconsistencies, CRC mismatches.
+  *
+  * Output: per entry `(name, method, offset, csize, usize,
+  * payload_md5)` — byte ranges for a fetch layer plus a decode-proof
+  * digest the oracle recomputes from the payload formulas. Per-row,
+  * zero shuffle until the caller explodes entries.
+  */
+case class ZipEntries(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ZipEntries.schema
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    ZipEntries.compute(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = org.apache.spark.sql.graftnative.ZipEntries.compute($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ZipEntries {
+  val schema: StructType = StructType(Seq(
+    StructField("n_entries", IntegerType, nullable = false),
+    StructField("entries", ArrayType(StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("method", StringType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("csize", LongType, nullable = false),
+      StructField("usize", LongType, nullable = false),
+      StructField("payload_md5", StringType, nullable = false))),
+      containsNull = false), nullable = false)))
+
+  private val MaxEntries = 1 << 16
+  private val MaxInflated = 1 << 24
+  private val MethodStored = UTF8String.fromString("stored")
+  private val MethodDeflate = UTF8String.fromString("deflate")
+
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
+  /** md5 over the payload's LOWERCASE-HEX rendering — a bijective
+    * decode proof that stays inside DuckDB's VARCHAR-only md5.
+    */
+  private def md5OfHex(data: Array[Byte]): String = {
+    val hex = new StringBuilder(data.length * 2)
+    data.foreach(x => hex.append(f"${x & 0xFF}%02x"))
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(hex.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val sb = new StringBuilder(32)
+    d.foreach(x => sb.append(f"${x & 0xFF}%02x"))
+    sb.toString
+  }
+
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b.length < 22) return null
+    // EOCD: PK\5\6 scanned backwards past a possible comment (<= 64K)
+    var eocd = -1
+    var i = b.length - 22
+    val stop = math.max(0, b.length - 22 - 65535)
+    while (eocd < 0 && i >= stop) {
+      if (b(i) == 'P' && b(i + 1) == 'K' && b(i + 2) == 5 && b(i + 3) == 6 &&
+        i + 22 + leU16(b, i + 20) == b.length) eocd = i
+      i -= 1
+    }
+    if (eocd < 0) return null
+    val nEntries = leU16(b, eocd + 10)
+    if (leU16(b, eocd + 8) != nEntries) return null // multi-disk: reject
+    if (nEntries == 0xFFFF) return null // ZIP64: disclosed out of scope
+    val cdSize = leU32(b, eocd + 12)
+    val cdOff = leU32(b, eocd + 16)
+    if (cdOff == 0xFFFFFFFFL) return null // ZIP64
+    if (cdOff + cdSize > eocd) return null
+    if (nEntries > MaxEntries) return null
+    val out = new Array[Any](nEntries)
+    var p = cdOff.toInt
+    var e = 0
+    while (e < nEntries) {
+      if (p + 46 > eocd) return null
+      if (!(b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 1 && b(p + 3) == 2))
+        return null
+      val flags = leU16(b, p + 8)
+      if ((flags & 1) != 0) return null // encrypted: honest reject
+      val method = leU16(b, p + 10)
+      val crc = leU32(b, p + 16)
+      val csize = leU32(b, p + 20)
+      val usize = leU32(b, p + 24)
+      if (csize == 0xFFFFFFFFL || usize == 0xFFFFFFFFL) return null // ZIP64
+      val nameLen = leU16(b, p + 28)
+      val extraLen = leU16(b, p + 30)
+      val commentLen = leU16(b, p + 32)
+      val localOff = leU32(b, p + 42)
+      if (p + 46 + nameLen > eocd) return null
+      val name = new String(b, p + 46, nameLen,
+        java.nio.charset.StandardCharsets.UTF_8)
+      // local header: re-verify the signature, use ITS name/extra
+      // lengths (legally different from the central copy)
+      val lh = localOff.toInt
+      if (localOff + 30 > b.length) return null
+      if (!(b(lh) == 'P' && b(lh + 1) == 'K' && b(lh + 2) == 3 &&
+        b(lh + 3) == 4)) return null
+      val lNameLen = leU16(b, lh + 26)
+      val lExtraLen = leU16(b, lh + 28)
+      val dataOff = localOff + 30 + lNameLen + lExtraLen
+      if (dataOff + csize > b.length) return null
+      if (usize > MaxInflated) return null
+      val raw = java.util.Arrays.copyOfRange(b, dataOff.toInt,
+        (dataOff + csize).toInt)
+      val data = method match {
+        case 0 =>
+          if (csize != usize) return null
+          raw
+        case 8 =>
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            inf.setInput(raw)
+            val o = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            while (!inf.finished()) {
+              val n =
+                try inf.inflate(buf)
+                catch {
+                  case _: java.util.zip.DataFormatException => return null
+                }
+              if (n == 0 && inf.needsInput()) return null
+              o.write(buf, 0, n)
+              if (o.size() > usize) return null
+            }
+            o.toByteArray
+          } finally inf.end()
+        case _ => return null // other methods: out of scope
+      }
+      if (data.length != usize) return null
+      val check = new java.util.zip.CRC32()
+      check.update(data, 0, data.length)
+      if (check.getValue != crc) return null // decode-proof gate
+      out(e) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(name),
+        if (method == 0) MethodStored else MethodDeflate,
+        dataOff, csize, usize, UTF8String.fromString(md5OfHex(data))))
+      p += 46 + nameLen + extraLen + commentLen
+      e += 1
+    }
+    if (p != cdOff + cdSize) return null // central directory must tile
+    new GenericInternalRow(Array[Any](nEntries, new GenericArrayData(out)))
+  }
+}
+
+/** Fixture ENCODER for [[ZipEntries]]: `2 + doc mod 3` samples of a
+  * STORED `{key}.bin` plus a DEFLATED `{key}.json` (both decode paths
+  * and the CRC gate on every doc), real CRC-32 fields, an archive
+  * comment on `doc mod 3 == 0`, and a local extra field on member 0
+  * of `doc mod 4 == 1` (the local/central length divergence). Payload
+  * bytes are the tar fixture's formula, so `payload_md5` has a
+  * closed-form oracle.
+  */
+object ZipSynth {
+  private def fm(a: Long, m: Long): Int = java.lang.Math.floorMod(a, m).toInt
+
+  def nSamples(doc: Long): Int = 2 + fm(doc, 3)
+  def binSize(doc: Long, i: Int): Long = 100 + fm(doc * 7 + i * 13, 900)
+  def jsonSize(doc: Long, i: Int): Long = 40 + fm(doc + i, 50)
+  def payloadByte(doc: Long, tag: Int, k: Long): Byte =
+    fm(doc * 31 + tag * 17 + k, 256).toByte
+
+  private def payload(doc: Long, tag: Int, size: Long): Array[Byte] =
+    Array.tabulate(size.toInt)(k => payloadByte(doc, tag, k))
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
+    try {
+      d.setInput(data)
+      d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  def zipBytes(doc: Long): Array[Byte] = {
+    if (doc < 0) return null
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def u32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    val n = nSamples(doc)
+    final case class Entry(name: String, method: Int, crc: Long,
+      data: Array[Byte], usize: Long, localOff: Long, extra: Array[Byte])
+    val entries = scala.collection.mutable.ArrayBuffer[Entry]()
+    var i = 0
+    while (i < n) {
+      Seq(("bin", 0, binSize(doc, i), 2 * i), ("json", 8, jsonSize(doc, i),
+        2 * i + 1)).foreach { case (ext, method, size, tag) =>
+        val raw = payload(doc, tag, size)
+        val crc = new java.util.zip.CRC32()
+        crc.update(raw, 0, raw.length)
+        val data = if (method == 8) deflate(raw) else raw
+        val name = s"s${doc}_$i.$ext"
+        val extra =
+          if (tag == 0 && fm(doc, 4) == 1)
+            Array[Byte](0x55, 0x54, 4, 0, 1, 2, 3, 4) // an opaque field
+          else Array.emptyByteArray
+        val localOff = out.size().toLong
+        u32(0x04034B50L)
+        u16(20); u16(0); u16(method)
+        u16(0); u16(0) // time/date
+        u32(crc.getValue); u32(data.length.toLong); u32(size)
+        u16(name.length); u16(extra.length)
+        name.foreach(c => out.write(c))
+        out.write(extra, 0, extra.length)
+        out.write(data, 0, data.length)
+        entries += Entry(name, method, crc.getValue, data, size, localOff,
+          extra)
+      }
+      i += 1
+    }
+    val cdOff = out.size().toLong
+    entries.foreach { en =>
+      u32(0x02014B50L)
+      u16(20); u16(20); u16(0); u16(en.method)
+      u16(0); u16(0)
+      u32(en.crc); u32(en.data.length.toLong); u32(en.usize)
+      u16(en.name.length); u16(0); u16(0) // central copy omits the extra
+      u16(0); u16(0); u32(0)
+      u32(en.localOff)
+      en.name.foreach(c => out.write(c))
+    }
+    val cdSize = out.size() - cdOff
+    val comment = if (fm(doc, 3) == 0) s"graft shard $doc" else ""
+    u32(0x06054B50L)
+    u16(0); u16(0)
+    u16(entries.size); u16(entries.size)
+    u32(cdSize); u32(cdOff)
+    u16(comment.length)
+    comment.foreach(c => out.write(c))
+    out.toByteArray
+  }
+}
+
+/** Expression wrapping [[ZipSynth.zipBytes]]. */
+case class SynthZip(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(doc: Any): Any =
+    ZipSynth.zipBytes(doc.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d => s"""
+      ${ev.value} = org.apache.spark.sql.graftnative.ZipSynth.zipBytes($d);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ZipFunctions {
+  /** Column API: ZIP entry extraction with decode-proof digests. */
+  def zip_entries(payload: Column): Column =
+    ExpressionUtils.column(ZipEntries(ExpressionUtils.expression(payload)))
+
+  /** Column API: two-method ZIP fixture from a doc seed. */
+  def synth_zip(doc: Column): Column =
+    ExpressionUtils.column(SynthZip(ExpressionUtils.expression(doc)))
+}

@@ -1,0 +1,111 @@
+package org.apache.spark.sql.graftnative
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ZIP extraction contracts: both decode methods with CRC gates,
+  * offset/csize fidelity, JDK-writer interop, and the reject matrix.
+  */
+class ZipSpec extends AnyFunSuite {
+
+  test("fixture roundtrip: names, methods, sizes, decode digests across 20 seeds") {
+    for (doc <- 0L to 19L) {
+      val b = ZipSynth.zipBytes(doc)
+      val r = ZipEntries.compute(b)
+      assert(r != null, s"doc $doc rejected")
+      val n = ZipSynth.nSamples(doc)
+      assert(r.getInt(0) == 2 * n, s"doc $doc entries")
+      val entries = r.getArray(1)
+      for (i <- 0 until n; (ext, method, size, tag) <- Seq(
+        ("bin", "stored", ZipSynth.binSize(doc, i), 2 * i),
+        ("json", "deflate", ZipSynth.jsonSize(doc, i), 2 * i + 1))) {
+        val e = entries.getStruct(tag, 6)
+        assert(e.getUTF8String(0).toString == s"s${doc}_$i.$ext")
+        assert(e.getUTF8String(1).toString == method)
+        assert(e.getLong(4) == size, s"doc $doc entry $tag usize")
+        // stored entries: the byte range addresses the formula payload
+        if (method == "stored") {
+          val off = e.getLong(2)
+          assert(e.getLong(3) == size, "stored csize == usize")
+          var k = 0L
+          while (k < size) {
+            assert(b((off + k).toInt) == ZipSynth.payloadByte(doc, tag, k),
+              s"doc $doc entry $tag byte $k")
+            k += 1
+          }
+        } else {
+          // deflated: the range must hold the compressed stream in-file
+          assert(e.getLong(2) + e.getLong(3) <= b.length)
+        }
+      }
+    }
+  }
+
+  test("interop: a java.util.zip.ZipOutputStream archive parses identically") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    val payload = Array.tabulate[Byte](300)(k => (k * 7).toByte)
+    z.putNextEntry(new java.util.zip.ZipEntry("a/b.txt"))
+    z.write(payload, 0, payload.length)
+    z.closeEntry()
+    val stored = new java.util.zip.ZipEntry("plain.bin")
+    stored.setMethod(java.util.zip.ZipOutputStream.STORED)
+    stored.setSize(4)
+    val sp = Array[Byte](9, 8, 7, 6)
+    val crc = new java.util.zip.CRC32()
+    crc.update(sp, 0, 4)
+    stored.setCrc(crc.getValue)
+    z.putNextEntry(stored)
+    z.write(sp, 0, 4)
+    z.closeEntry()
+    z.close()
+    val r = ZipEntries.compute(bos.toByteArray)
+    assert(r != null, "JDK-written archive must parse")
+    assert(r.getInt(0) == 2)
+    val e0 = r.getArray(1).getStruct(0, 6)
+    assert(e0.getUTF8String(0).toString == "a/b.txt")
+    assert(e0.getUTF8String(1).toString == "deflate")
+    assert(e0.getLong(4) == 300)
+    val e1 = r.getArray(1).getStruct(1, 6)
+    assert(e1.getUTF8String(1).toString == "stored")
+    assert(e1.getLong(4) == 4)
+  }
+
+  test("reject matrix: flipped payload bit (CRC), encryption flag, torn tails") {
+    val ok = ZipSynth.zipBytes(4L)
+    assert(ZipEntries.compute(ok) != null)
+    // flip a byte inside the FIRST stored payload: CRC must catch it
+    val r = ZipEntries.compute(ok)
+    val off = r.getArray(1).getStruct(0, 6).getLong(2)
+    val c = ok.clone()
+    c(off.toInt) = (c(off.toInt) ^ 1).toByte
+    assert(ZipEntries.compute(c) == null, "CRC gate")
+    // set the encryption bit in the first CENTRAL directory entry
+    // (the authoritative copy compute reads; flags sit at +8)
+    var cd = -1
+    var ci = 0
+    while (cd < 0 && ci + 4 <= ok.length) {
+      if (ok(ci) == 'P' && ok(ci + 1) == 'K' && ok(ci + 2) == 1 &&
+        ok(ci + 3) == 2) cd = ci
+      ci += 1
+    }
+    assert(cd > 0)
+    val enc = ok.clone()
+    enc(cd + 8) = (enc(cd + 8) | 1).toByte
+    assert(ZipEntries.compute(enc) == null, "encrypted entries reject")
+    // torn EOCD
+    assert(ZipEntries.compute(ok.take(ok.length - 5)) == null)
+    // truncation + bit-flip sweeps: classify, never throw
+    var k = 0
+    while (k < ok.length) {
+      ZipEntries.compute(ok.take(k))
+      k += 23
+    }
+    var p = 0
+    while (p < ok.length) {
+      val c2 = ok.clone()
+      c2(p) = (c2(p) ^ 0x40).toByte
+      ZipEntries.compute(c2)
+      p += 37
+    }
+  }
+}

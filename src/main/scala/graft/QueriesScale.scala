@@ -2408,6 +2408,62 @@ object QueriesScale {
         | CAST(size AS BIGINT) AS size
         |FROM rows_ ORDER BY doc_id, member_idx""".stripMargin))
 
+  // --------------------------- WebDataset container→codec composition
+  // The multimodal shard consumed END TO END in one plan: real JPEGs
+  // live inside tar members, the checksummed ustar walk resolves their
+  // byte ranges, substring slices the payloads, and the SAME JpegCodec
+  // the image keys use decodes them to channel statistics — proving
+  // the container and codec layers compose without a staging table.
+  // The fixture packs JpegSynth mode-1 frames at the MJPEG seed
+  // convention (sample i at doc + 131·i), so the oracle replays the
+  // per-block closed form (±-basis terms cancel over blocks) with no
+  // tar arithmetic at all — sizes of real JPEGs are not closed-form,
+  // and the key deliberately emits only decode statistics. Per-row,
+  // zero shuffle until the explode.
+  private val webdatasetImageStatsQ = Q(
+    (s, dir) => {
+      val shard = ScaleOps.synthTarWds(col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), shard.as("t"))
+        .select(col("doc_id"), col("t"),
+          posexplode(ScaleOps.tarMembers(col("t")).getField("members"))
+            .as(Seq("m_idx", "m")))
+        .filter(col("m.name").endsWith(".jpg"))
+        .select(col("doc_id"), (col("m_idx") / 2).cast(LongType).as("sample_idx"),
+          ScaleOps.imageDecode(expr(
+            "substring(t, CAST(m.offset + 1 AS INT), CAST(m.size AS INT))"))
+            .as("r"))
+        .select(col("doc_id"), col("sample_idx"),
+          col("r.width").cast(LongType).as("width"),
+          col("r.height").cast(LongType).as("height"),
+          ScaleOps.rasterChannelSums(col("r")).as("s"))
+        .select(col("doc_id"), col("sample_idx"), col("width"), col("height"),
+          col("s").getItem(0).as("r_sum"),
+          col("s").getItem(1).as("g_sum"),
+          col("s").getItem(2).as("b_sum"))
+        .orderBy("doc_id", "sample_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 16 * (1 + doc_id % 2) AS w, 16 AS h,
+        |    2 + doc_id % 3 AS n FROM documents),
+        | f AS (SELECT p.*, i.range AS i, doc_id + 131 * i.range AS sd
+        |       FROM p CROSS JOIN range(0, 5) i WHERE i.range < n),
+        | blk AS (SELECT doc_id, w, h, i, sd, b.range AS bi
+        |         FROM f CROSS JOIN range(0, 8) b
+        |         WHERE b.range < (w // 8) * (h // 8)),
+        | a AS (SELECT doc_id, w, h, i, sd,
+        |        SUM(64 * (64 + (sd * 31 + bi * 17) % 128)) AS y_sum
+        |       FROM blk GROUP BY 1, 2, 3, 4, 5),
+        | shifts(v, sr, sg, sb) AS (VALUES (0, 0, 0, 0), (1, 7, -4, 0),
+        |   (2, 0, -2, 9), (3, -10, 4, 7))
+        |SELECT doc_id, CAST(i AS BIGINT) AS sample_idx,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(y_sum + w * h * sr AS BIGINT) AS r_sum,
+        | CAST(y_sum + w * h * sg AS BIGINT) AS g_sum,
+        | CAST(y_sum + w * h * sb AS BIGINT) AS b_sum
+        |FROM a JOIN shifts ON shifts.v = CAST(sd % 4 AS INT)
+        |ORDER BY doc_id, sample_idx""".stripMargin))
+
   // ------------------------------------------- ZIP entry extraction
   // tar's indexed sibling in dataset distribution: the central
   // directory drives the walk, local headers re-verify with their own
@@ -6336,6 +6392,7 @@ object QueriesScale {
     "tar_members" -> tarMembersQ,
     "webdataset_pairs" -> webdatasetPairsQ,
     "zip_entries" -> zipEntriesQ,
+    "webdataset_image_stats" -> webdatasetImageStatsQ,
     "mp4_mjpeg_frames" -> mp4MjpegFramesQ,
     "id3_meta" -> id3MetaQ,
     "warc_records" -> warcRecordsQ,

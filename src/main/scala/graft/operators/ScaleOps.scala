@@ -1655,6 +1655,12 @@ object ScaleOps {
   def synthTar(doc: Column): Column =
     org.apache.spark.sql.graftnative.TarFunctions.synth_tar(doc)
 
+  /** Multimodal WebDataset fixture (real JPEG members) from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.TarWdsSynth]]).
+    */
+  def synthTarWds(doc: Column): Column =
+    org.apache.spark.sql.graftnative.TarFunctions.synth_tar_wds(doc)
+
   /** PDF page-text extraction (classic xref, FlateDecode, BT/ET text)
     * (see [[org.apache.spark.sql.graftnative.PdfText]]).
     */

@@ -80,6 +80,26 @@ class TarSpec extends AnyFunSuite {
     }
   }
 
+  test("WDS fixture: jpg member ranges slice back the exact JpegSynth bytes") {
+    for (doc <- 0L to 5L) {
+      val b = TarWdsSynth.tarWdsBytes(doc)
+      val r = TarMembers.compute(b)
+      assert(r != null, s"doc $doc")
+      val n = TarWdsSynth.nSamples(doc)
+      assert(r.getInt(0) == 2 * n)
+      for (i <- 0 until n) {
+        val m = r.getArray(1).getStruct(2 * i, 4)
+        assert(m.getUTF8String(0).toString == s"s${doc}_$i.jpg")
+        val sliced = java.util.Arrays.copyOfRange(b, m.getLong(2).toInt,
+          (m.getLong(2) + m.getLong(3)).toInt)
+        val direct = JpegSynth.jpegBytes(TarWdsSynth.width(doc), 16,
+          doc + 131L * i, 1)
+        assert(java.util.Arrays.equals(sliced, direct),
+          s"doc $doc sample $i: tar range must address the exact JPEG")
+      }
+    }
+  }
+
   test("interop: java.util.zip is absent for tar, so cross-check a hand ustar") {
     // a minimal single-member ustar built independently of TarSynth's
     // writer: proves the parser is not coupled to its own fixture

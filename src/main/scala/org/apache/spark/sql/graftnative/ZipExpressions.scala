@@ -67,6 +67,13 @@ object ZipEntries {
 
   private val MaxEntries = 1 << 16
   private val MaxInflated = 1 << 24
+
+  /** Per-thread reusable inflater (the WarcRecords pattern): archive
+    * decode walks many small members, and per-member native Inflater
+    * allocation costs more than the inflate itself.
+    */
+  private val tlInf = ThreadLocal.withInitial[java.util.zip.Inflater](() =>
+    new java.util.zip.Inflater(true))
   private val MethodStored = UTF8String.fromString("stored")
   private val MethodDeflate = UTF8String.fromString("deflate")
 
@@ -76,16 +83,27 @@ object ZipEntries {
     (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
       ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
 
+  private val tlMd5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  private val HexDigits = "0123456789abcdef".toCharArray
+
   /** md5 over the payload's LOWERCASE-HEX rendering — a bijective
     * decode proof that stays inside DuckDB's VARCHAR-only md5.
     */
   private def md5OfHex(data: Array[Byte]): String = {
-    val hex = new StringBuilder(data.length * 2)
-    data.foreach(x => hex.append(f"${x & 0xFF}%02x"))
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(hex.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val hex = new Array[Byte](data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      hex(2 * i) = HexDigits((data(i) & 0xF0) >> 4).toByte
+      hex(2 * i + 1) = HexDigits(data(i) & 0x0F).toByte
+      i += 1
+    }
+    val md = tlMd5.get()
+    md.reset()
+    val d = md.digest(hex)
     val sb = new StringBuilder(32)
-    d.foreach(x => sb.append(f"${x & 0xFF}%02x"))
+    d.foreach(x => sb.append(HexDigits((x & 0xF0) >> 4))
+      .append(HexDigits(x & 0x0F)))
     sb.toString
   }
 
@@ -148,23 +166,28 @@ object ZipEntries {
           if (csize != usize) return null
           raw
         case 8 =>
-          val inf = new java.util.zip.Inflater(true)
-          try {
-            inf.setInput(raw)
-            val o = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](8192)
-            while (!inf.finished()) {
-              val n =
-                try inf.inflate(buf)
-                catch {
-                  case _: java.util.zip.DataFormatException => return null
-                }
-              if (n == 0 && inf.needsInput()) return null
-              o.write(buf, 0, n)
-              if (o.size() > usize) return null
+          val inf = tlInf.get()
+          inf.reset()
+          inf.setInput(raw)
+          val o = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var bad = false
+          while (!bad && !inf.finished()) {
+            val n =
+              try inf.inflate(buf)
+              catch {
+                case _: java.util.zip.DataFormatException => bad = true; 0
+              }
+            if (!bad) {
+              if (n == 0 && inf.needsInput()) bad = true
+              else {
+                o.write(buf, 0, n)
+                if (o.size() > usize) bad = true
+              }
             }
-            o.toByteArray
-          } finally inf.end()
+          }
+          if (bad) return null
+          o.toByteArray
         case _ => return null // other methods: out of scope
       }
       if (data.length != usize) return null
@@ -203,16 +226,18 @@ object ZipSynth {
   private def payload(doc: Long, tag: Int, size: Long): Array[Byte] =
     Array.tabulate(size.toInt)(k => payloadByte(doc, tag, k))
 
+  private val tlDefl = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+    new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true))
+
   private def deflate(data: Array[Byte]): Array[Byte] = {
-    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
-    try {
-      d.setInput(data)
-      d.finish()
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-      out.toByteArray
-    } finally d.end()
+    val d = tlDefl.get()
+    d.reset()
+    d.setInput(data)
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    out.toByteArray
   }
 
   def zipBytes(doc: Long): Array[Byte] = {

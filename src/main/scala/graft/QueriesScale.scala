@@ -2510,6 +2510,41 @@ object QueriesScale {
         | CAST(usize AS BIGINT) AS usize, payload_md5
         |FROM pm ORDER BY doc_id, entry_idx""".stripMargin))
 
+  // ----------------------------------- EPUB book-text composition
+  // Book corpora ship as EPUB — a zip of XHTML chapters per OCF — and
+  // this key consumes one end to end: the verified central-directory
+  // walk (every member inflated + CRC-gated) surfaces the `.xhtml`
+  // members as text, and the SAME HtmlTextExtract the crawl pipeline
+  // uses strips each chapter to visible text. The fixture is a real
+  // OCF layout (STORED mimetype first, container.xml, deflated
+  // chapters with entity/inline-span obstacles); the oracle replays
+  // chapter text in closed form. Per-row, zero shuffle until the
+  // explode.
+  private val epubTextQ = Q(
+    (s, dir) => {
+      val z = ScaleOps.zipTexts(ScaleOps.synthEpub(col("doc_id")), ".xhtml")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), z.as("z"))
+        .select(col("doc_id"),
+          posexplode(col("z.texts")).as(Seq("chapter_idx", "t")))
+        .select(col("doc_id"),
+          col("chapter_idx").cast(LongType).as("chapter_idx"),
+          ScaleOps.htmlText(col("t.text")).as("h"))
+        .select(col("doc_id"), col("chapter_idx"),
+          col("h.title").as("title"), col("h.text").as("text"))
+        .orderBy("doc_id", "chapter_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS n FROM documents),
+        | c AS (SELECT doc_id, i.range AS c
+        |       FROM p CROSS JOIN range(0, 3) i WHERE i.range < n)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chapter_idx,
+        | 'Book ' || doc_id AS title,
+        | 'Chapter ' || c || ' of book ' || doc_id || chr(10) ||
+        |   'body ' || doc_id || ' ' || c || ' ' ||
+        |   repeat('tok ', 2 + (doc_id + c) % 4) || '& end' AS text
+        |FROM c ORDER BY doc_id, chapter_idx""".stripMargin))
+
   // -------------------------------------- WebDataset sample assembly
   private val webdatasetPairsQ = Q(
     (s, dir) => {
@@ -6393,6 +6428,7 @@ object QueriesScale {
     "webdataset_pairs" -> webdatasetPairsQ,
     "zip_entries" -> zipEntriesQ,
     "webdataset_image_stats" -> webdatasetImageStatsQ,
+    "epub_text" -> epubTextQ,
     "mp4_mjpeg_frames" -> mp4MjpegFramesQ,
     "id3_meta" -> id3MetaQ,
     "warc_records" -> warcRecordsQ,

@@ -1643,6 +1643,18 @@ object ScaleOps {
   def synthZip(doc: Column): Column =
     org.apache.spark.sql.graftnative.ZipFunctions.synth_zip(doc)
 
+  /** Decoded text members of a ZIP by name suffix
+    * (see [[org.apache.spark.sql.graftnative.ZipTexts]]).
+    */
+  def zipTexts(payload: Column, suffix: String): Column =
+    org.apache.spark.sql.graftnative.EpubFunctions.zip_texts(payload, suffix)
+
+  /** OCF/EPUB-shaped fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.EpubSynth]]).
+    */
+  def synthEpub(doc: Column): Column =
+    org.apache.spark.sql.graftnative.EpubFunctions.synth_epub(doc)
+
   /** TAR/WebDataset member extraction (ustar + GNU longname + PAX)
     * (see [[org.apache.spark.sql.graftnative.TarMembers]]).
     */

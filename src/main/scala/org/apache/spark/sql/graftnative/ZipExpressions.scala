@@ -107,7 +107,15 @@ object ZipEntries {
     sb.toString
   }
 
-  def compute(b: Array[Byte]): InternalRow = {
+  /** Decoded entry view shared by the range key and the text form. */
+  private[graftnative] final class DecodedEntry(val name: String,
+    val method: Int, val dataOff: Long, val csize: Long,
+    val data: Array[Byte])
+
+  /** The full verified walk: EOCD, central directory, local headers,
+    * decode + CRC per member; null on any reject (see the scaladoc).
+    */
+  private[graftnative] def decodedEntries(b: Array[Byte]): Array[DecodedEntry] = {
     if (b.length < 22) return null
     // EOCD: PK\5\6 scanned backwards past a possible comment (<= 64K)
     var eocd = -1
@@ -127,7 +135,7 @@ object ZipEntries {
     if (cdOff == 0xFFFFFFFFL) return null // ZIP64
     if (cdOff + cdSize > eocd) return null
     if (nEntries > MaxEntries) return null
-    val out = new Array[Any](nEntries)
+    val out = new Array[DecodedEntry](nEntries)
     var p = cdOff.toInt
     var e = 0
     while (e < nEntries) {
@@ -194,15 +202,30 @@ object ZipEntries {
       val check = new java.util.zip.CRC32()
       check.update(data, 0, data.length)
       if (check.getValue != crc) return null // decode-proof gate
-      out(e) = new GenericInternalRow(Array[Any](
-        UTF8String.fromString(name),
-        if (method == 0) MethodStored else MethodDeflate,
-        dataOff, csize, usize, UTF8String.fromString(md5OfHex(data))))
+      out(e) = new DecodedEntry(name, method, dataOff, csize, data)
       p += 46 + nameLen + extraLen + commentLen
       e += 1
     }
     if (p != cdOff + cdSize) return null // central directory must tile
-    new GenericInternalRow(Array[Any](nEntries, new GenericArrayData(out)))
+    out
+  }
+
+  def compute(b: Array[Byte]): InternalRow = {
+    val entries = decodedEntries(b)
+    if (entries == null) return null
+    val out = new Array[Any](entries.length)
+    var e = 0
+    while (e < entries.length) {
+      val en = entries(e)
+      out(e) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(en.name),
+        if (en.method == 0) MethodStored else MethodDeflate,
+        en.dataOff, en.csize, en.data.length.toLong,
+        UTF8String.fromString(md5OfHex(en.data))))
+      e += 1
+    }
+    new GenericInternalRow(Array[Any](entries.length,
+      new GenericArrayData(out)))
   }
 }
 
@@ -240,44 +263,36 @@ object ZipSynth {
     out.toByteArray
   }
 
-  def zipBytes(doc: Long): Array[Byte] = {
-    if (doc < 0) return null
+  /** Generic archive writer shared by the formula fixture and the
+    * EPUB fixture: `(name, method 0|8, rawPayload, localExtra)`.
+    */
+  private[graftnative] def writeArchive(
+      members: Seq[(String, Int, Array[Byte], Array[Byte])],
+      comment: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     def u32(v: Long): Unit = {
       out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
       out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
     }
-    val n = nSamples(doc)
     final case class Entry(name: String, method: Int, crc: Long,
-      data: Array[Byte], usize: Long, localOff: Long, extra: Array[Byte])
+      data: Array[Byte], usize: Long, localOff: Long)
     val entries = scala.collection.mutable.ArrayBuffer[Entry]()
-    var i = 0
-    while (i < n) {
-      Seq(("bin", 0, binSize(doc, i), 2 * i), ("json", 8, jsonSize(doc, i),
-        2 * i + 1)).foreach { case (ext, method, size, tag) =>
-        val raw = payload(doc, tag, size)
-        val crc = new java.util.zip.CRC32()
-        crc.update(raw, 0, raw.length)
-        val data = if (method == 8) deflate(raw) else raw
-        val name = s"s${doc}_$i.$ext"
-        val extra =
-          if (tag == 0 && fm(doc, 4) == 1)
-            Array[Byte](0x55, 0x54, 4, 0, 1, 2, 3, 4) // an opaque field
-          else Array.emptyByteArray
-        val localOff = out.size().toLong
-        u32(0x04034B50L)
-        u16(20); u16(0); u16(method)
-        u16(0); u16(0) // time/date
-        u32(crc.getValue); u32(data.length.toLong); u32(size)
-        u16(name.length); u16(extra.length)
-        name.foreach(c => out.write(c))
-        out.write(extra, 0, extra.length)
-        out.write(data, 0, data.length)
-        entries += Entry(name, method, crc.getValue, data, size, localOff,
-          extra)
-      }
-      i += 1
+    members.foreach { case (name, method, raw, extra) =>
+      val crc = new java.util.zip.CRC32()
+      crc.update(raw, 0, raw.length)
+      val data = if (method == 8) deflate(raw) else raw
+      val localOff = out.size().toLong
+      u32(0x04034B50L)
+      u16(20); u16(0); u16(method)
+      u16(0); u16(0) // time/date
+      u32(crc.getValue); u32(data.length.toLong); u32(raw.length.toLong)
+      u16(name.length); u16(extra.length)
+      name.foreach(c => out.write(c))
+      out.write(extra, 0, extra.length)
+      out.write(data, 0, data.length)
+      entries += Entry(name, method, crc.getValue, data, raw.length.toLong,
+        localOff)
     }
     val cdOff = out.size().toLong
     entries.foreach { en =>
@@ -291,7 +306,6 @@ object ZipSynth {
       en.name.foreach(c => out.write(c))
     }
     val cdSize = out.size() - cdOff
-    val comment = if (fm(doc, 3) == 0) s"graft shard $doc" else ""
     u32(0x06054B50L)
     u16(0); u16(0)
     u16(entries.size); u16(entries.size)
@@ -299,6 +313,24 @@ object ZipSynth {
     u16(comment.length)
     comment.foreach(c => out.write(c))
     out.toByteArray
+  }
+
+  def zipBytes(doc: Long): Array[Byte] = {
+    if (doc < 0) return null
+    val n = nSamples(doc)
+    val members = (0 until n).flatMap { i =>
+      Seq(("bin", 0, binSize(doc, i), 2 * i),
+        ("json", 8, jsonSize(doc, i), 2 * i + 1)).map {
+        case (ext, method, size, tag) =>
+          val extra =
+            if (tag == 0 && fm(doc, 4) == 1)
+              Array[Byte](0x55, 0x54, 4, 0, 1, 2, 3, 4) // an opaque field
+            else Array.emptyByteArray
+          (s"s${doc}_$i.$ext", method, payload(doc, tag, size), extra)
+      }
+    }
+    writeArchive(members,
+      if (fm(doc, 3) == 0) s"graft shard $doc" else "")
   }
 }
 

@@ -262,7 +262,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("media metadata keys: one corpus scan, parse in projection, shuffle only for the output sort") {
-    Seq("image_meta", "audio_meta", "container_meta").foreach { k =>
+    // the round-14 document/container keys join the contract: decode
+    // happens in the projection (or an explode over it); the only
+    // exchange is the gate's output ORDER BY
+    Seq("image_meta", "audio_meta", "container_meta", "pdf_text",
+      "tar_members", "zip_entries", "opus_packets", "subtitle_text",
+      "mp4_frag_samples", "webdataset_image_stats").foreach { k =>
       val p = physical(Queries.all(k).fn(spark, sf0001))
       val scans = collectAll(p) {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s

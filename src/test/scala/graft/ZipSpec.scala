@@ -70,6 +70,29 @@ class ZipSpec extends AnyFunSuite {
     assert(e1.getLong(4) == 4)
   }
 
+  test("EPUB: the OCF layout decodes; mimetype first and stored; chapters extract") {
+    for (doc <- 0L to 9L) {
+      val b = EpubSynth.epubBytes(doc)
+      val all = ZipEntries.compute(b)
+      assert(all != null, s"doc $doc")
+      val first = all.getArray(1).getStruct(0, 6)
+      assert(first.getUTF8String(0).toString == "mimetype")
+      assert(first.getUTF8String(1).toString == "stored",
+        "the OCF magic-number rule: mimetype must be STORED")
+      val t = ZipTexts.compute(b, ".xhtml")
+      assert(t != null)
+      val texts = t.getArray(1)
+      assert(texts.numElements() == EpubSynth.nChapters(doc), s"doc $doc")
+      for (c <- 0 until texts.numElements()) {
+        val row = texts.getStruct(c, 2)
+        assert(row.getUTF8String(0).toString == s"OEBPS/chap$c.xhtml")
+        val h = HtmlTextExtract.compute(row.getUTF8String(1))
+        assert(h.getUTF8String(1).toString == EpubSynth.chapterText(doc, c),
+          s"doc $doc chapter $c")
+      }
+    }
+  }
+
   test("reject matrix: flipped payload bit (CRC), encryption flag, torn tails") {
     val ok = ZipSynth.zipBytes(4L)
     assert(ZipEntries.compute(ok) != null)

@@ -2510,6 +2510,50 @@ object QueriesScale {
         | CAST(usize AS BIGINT) AS usize, payload_md5
         |FROM pm ORDER BY doc_id, entry_idx""".stripMargin))
 
+  // ------------------------------------------ jsonl.gz corpus shards
+  // The format public text corpora actually ship in (C4, The Pile:
+  // *.jsonl.gz): concatenated gzip members (gzip's legal append shape,
+  // FNAME/FHCRC rotated onto the hash) inflate through the WARC
+  // family's RFC 1952 machinery into lines, and Spark's own
+  // split/explode/from_json does the rest — the composition is the
+  // point. Per-row decode, zero shuffle until the explode.
+  private val jsonlCorpusQ = Q(
+    (s, dir) => {
+      val txt = ScaleOps.gzipText(ScaleOps.synthJsonlGz(col("doc_id")))
+      val lineSchema = org.apache.spark.sql.types.StructType
+        .fromDDL("id BIGINT, lang STRING, text STRING")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), txt.as("t"))
+        .select(col("doc_id"), posexplode(
+          filter(split(col("t"), "\n"), x => x =!= lit("")))
+          .as(Seq("line_idx", "line")))
+        .select(col("doc_id"), col("line_idx").cast(LongType).as("line_idx"),
+          from_json(col("line"), lineSchema).as("j"))
+        .select(col("doc_id"), col("line_idx"),
+          col("j.id").as("id"), col("j.lang").as("lang"),
+          col("j.text").as("text"))
+        .orderBy("doc_id", "line_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS nm FROM documents),
+        | mem AS (SELECT doc_id, m.range AS m,
+        |         1 + (doc_id + m.range) % 3 AS nl
+        |        FROM p CROSS JOIN range(0, 5) m WHERE m.range < nm),
+        | mo AS (SELECT doc_id, m, nl,
+        |        COALESCE(SUM(nl) OVER (PARTITION BY doc_id ORDER BY m
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS before
+        |       FROM mem),
+        | ln AS (SELECT doc_id, m, before + l.range AS line_idx, l.range AS l
+        |        FROM mo CROSS JOIN range(0, 3) l WHERE l.range < nl)
+        |SELECT doc_id, CAST(line_idx AS BIGINT) AS line_idx,
+        | CAST(doc_id * 100 + m * 10 + l AS BIGINT) AS id,
+        | CASE (doc_id + 2 * m + l) % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+        |   WHEN 2 THEN 'fr' ELSE 'ja' END AS lang,
+        | 'line ' || doc_id || ' ' || m || ' ' || l || ' ' ||
+        |   repeat('w', 3 + (doc_id + m + l) % 6) AS text
+        |FROM ln ORDER BY doc_id, line_idx""".stripMargin))
+
   // ----------------------------------- EPUB book-text composition
   // Book corpora ship as EPUB — a zip of XHTML chapters per OCF — and
   // this key consumes one end to end: the verified central-directory
@@ -6429,6 +6473,7 @@ object QueriesScale {
     "zip_entries" -> zipEntriesQ,
     "webdataset_image_stats" -> webdatasetImageStatsQ,
     "epub_text" -> epubTextQ,
+    "jsonl_corpus" -> jsonlCorpusQ,
     "mp4_mjpeg_frames" -> mp4MjpegFramesQ,
     "id3_meta" -> id3MetaQ,
     "warc_records" -> warcRecordsQ,

@@ -1643,6 +1643,18 @@ object ScaleOps {
   def synthZip(doc: Column): Column =
     org.apache.spark.sql.graftnative.ZipFunctions.synth_zip(doc)
 
+  /** Concatenated-gzip shard to UTF-8 text
+    * (see [[org.apache.spark.sql.graftnative.GzipText]]).
+    */
+  def gzipText(payload: Column): Column =
+    org.apache.spark.sql.graftnative.JsonlFunctions.gzip_text(payload)
+
+  /** jsonl.gz corpus-shard fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.JsonlSynth]]).
+    */
+  def synthJsonlGz(doc: Column): Column =
+    org.apache.spark.sql.graftnative.JsonlFunctions.synth_jsonl_gz(doc)
+
   /** Decoded text members of a ZIP by name suffix
     * (see [[org.apache.spark.sql.graftnative.ZipTexts]]).
     */

@@ -167,6 +167,33 @@ class WarcSpec extends AnyFunSuite {
     assert(r.getArray(1).getStruct(0, 3).getUTF8String(2).toString == "hello")
   }
 
+  test("gzip_text: concatenated jsonl members inflate to the exact shard text") {
+    for (doc <- 0L to 9L) {
+      val t = GzipText.compute(JsonlSynth.jsonlGzBytes(doc))
+      assert(t != null, s"doc $doc")
+      val lines = t.toString.split("\n").filter(_.nonEmpty).toSeq
+      val exp = (0 until JsonlSynth.nMembers(doc)).flatMap { m =>
+        (0 until JsonlSynth.linesIn(doc, m)).map { l =>
+          s"""{"id":${JsonlSynth.lineId(doc, m, l)},""" +
+            s""""lang":"${JsonlSynth.lang(doc, m, l)}",""" +
+            s""""text":"${JsonlSynth.text(doc, m, l)}"}"""
+        }
+      }
+      assert(lines == exp, s"doc $doc")
+    }
+    // trailer corruption (ISIZE) rejects the whole shard
+    val ok = JsonlSynth.jsonlGzBytes(3L)
+    val c = ok.clone()
+    c(ok.length - 2) = (c(ok.length - 2) ^ 1).toByte
+    assert(GzipText.compute(c) == null, "ISIZE gate")
+    // truncation sweep: classify, never throw
+    var k = 0
+    while (k < ok.length) {
+      GzipText.compute(ok.take(k))
+      k += 7
+    }
+  }
+
   test("crawl fixture: WARC decode + HTTP strip + HTML extract recovers crawlText exactly") {
     for (doc <- 0L to 29L) {
       val r = WarcRecords.compute(WarcSynth.warcHtmlGzBytes(doc))

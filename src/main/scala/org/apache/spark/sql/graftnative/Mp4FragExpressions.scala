@@ -386,8 +386,19 @@ object Mp4FragSynth {
     ((seed + 31 * trk + 7 * j + k) & 0xFF).toByte
 
   private def samplePayload(seed: Long, trk: Int, j: Int,
-      size: Long): Array[Byte] =
-    Array.tabulate(size.toInt)(k => payloadByte(seed, trk, j, k))
+      size: Long): Array[Byte] = {
+    // payloadByte is a +1 ramp mod 256 in k: fill without per-byte
+    // closure boxing (the fixture dominates this key's bench cost)
+    val out = new Array[Byte](size.toInt)
+    var v = ((seed + 31 * trk + 7 * j) & 0xFF).toInt
+    var k = 0
+    while (k < out.length) {
+      out(k) = v.toByte
+      v = (v + 1) & 0xFF
+      k += 1
+    }
+    out
+  }
 
   def mp4FragBytes(seed: Long): Array[Byte] = {
     if (seed < 0) return null

@@ -2510,6 +2510,75 @@ object QueriesScale {
         | CAST(usize AS BIGINT) AS usize, payload_md5
         |FROM pm ORDER BY doc_id, entry_idx""".stripMargin))
 
+  // -------------------------------------- robots.txt crawl governance
+  // The decision respectful corpus crawlers gate every fetch on,
+  // evaluated per-row (RFC 9309): group selection by longest agent
+  // prefix with exactly ONE group applying, longest-path rule match
+  // with Allow winning ties. The fixture's two groups put group
+  // EXCLUSIVITY on the hash (the graftbot group must shadow the `*`
+  // group's /private rules entirely), plus the no-trailing-slash
+  // prefix trap, comments, and Crawl-delay/Sitemap lines the parser
+  // must skip; wildcard `*`/`$` paths are pinned by RobotsSpec. The
+  // oracle replays the decisions in closed form. Zero shuffle until
+  // the explode.
+  private val robotsAllowedQ = Q(
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          ScaleOps.synthRobots(col("doc_id")).as("robots"),
+          (col("doc_id") % 5).as("k"), (col("doc_id") % 3).as("j"))
+        .select(col("doc_id"), col("robots"), col("k"), col("j"),
+          explode(sequence(lit(0L), lit(7L))).as("u"))
+        .withColumn("path",
+          when(col("u") === 0, concat(lit("/ok/"), col("doc_id") % 7))
+            .when(col("u") === 1, concat(lit("/private"), col("k"), lit("/a")))
+            .when(col("u") === 2,
+              concat(lit("/private"), col("k"), lit("/public/x")))
+            .when(col("u") === 3,
+              concat(lit("/private"), col("k") + 1, lit("/b")))
+            .when(col("u") === 4, concat(lit("/tmp"), col("j"), lit("/y")))
+            .when(col("u") === 5, concat(lit("/tmp"), col("j") + 1, lit("/z")))
+            .when(col("u") === 6,
+              concat(lit("/private"), col("k"), lit("/public")))
+            .otherwise(lit("/")))
+        .select(col("doc_id"), col("u").cast(LongType).as("url_idx"),
+          col("path"),
+          ScaleOps.robotsAllowed(col("robots"), lit("graftbot"), col("path"))
+            .as("d"))
+        .select(col("doc_id"), col("url_idx"), col("path"),
+          col("d.allowed").as("allowed"), col("d.rule_path").as("rule_path"))
+        .orderBy("doc_id", "url_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, doc_id % 5 AS k, doc_id % 3 AS j,
+        |   (doc_id % 4 <> 0) AS bot FROM documents),
+        | u AS (SELECT p.*, uu.range AS u FROM p CROSS JOIN range(0, 8) uu),
+        | urls AS (SELECT doc_id, k, j, bot, u,
+        |   CASE u WHEN 0 THEN '/ok/' || (doc_id % 7)
+        |    WHEN 1 THEN '/private' || k || '/a'
+        |    WHEN 2 THEN '/private' || k || '/public/x'
+        |    WHEN 3 THEN '/private' || (k + 1) || '/b'
+        |    WHEN 4 THEN '/tmp' || j || '/y'
+        |    WHEN 5 THEN '/tmp' || (j + 1) || '/z'
+        |    WHEN 6 THEN '/private' || k || '/public'
+        |    ELSE '/' END AS path FROM u)
+        |SELECT doc_id, CAST(u AS BIGINT) AS url_idx, path,
+        | CASE WHEN bot THEN NOT starts_with(path, '/tmp' || j || '/')
+        |  ELSE NOT (starts_with(path, '/private' || k || '/')
+        |            AND NOT starts_with(path, '/private' || k || '/public/'))
+        | END AS allowed,
+        | CASE WHEN bot THEN
+        |   CASE WHEN starts_with(path, '/tmp' || j || '/')
+        |     THEN '/tmp' || j || '/' ELSE '/' END
+        |  ELSE
+        |   CASE WHEN starts_with(path, '/private' || k || '/public/')
+        |     THEN '/private' || k || '/public/'
+        |    WHEN starts_with(path, '/private' || k || '/')
+        |     THEN '/private' || k || '/'
+        |    ELSE NULL END
+        | END AS rule_path
+        |FROM urls ORDER BY doc_id, url_idx""".stripMargin))
+
   // ------------------------------------------ jsonl.gz corpus shards
   // The format public text corpora actually ship in (C4, The Pile:
   // *.jsonl.gz): concatenated gzip members (gzip's legal append shape,
@@ -6474,6 +6543,7 @@ object QueriesScale {
     "webdataset_image_stats" -> webdatasetImageStatsQ,
     "epub_text" -> epubTextQ,
     "jsonl_corpus" -> jsonlCorpusQ,
+    "robots_allowed" -> robotsAllowedQ,
     "mp4_mjpeg_frames" -> mp4MjpegFramesQ,
     "id3_meta" -> id3MetaQ,
     "warc_records" -> warcRecordsQ,

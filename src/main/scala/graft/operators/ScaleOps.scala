@@ -1643,6 +1643,19 @@ object ScaleOps {
   def synthZip(doc: Column): Column =
     org.apache.spark.sql.graftnative.ZipFunctions.synth_zip(doc)
 
+  /** RFC 9309 robots.txt allow/deny decision
+    * (see [[org.apache.spark.sql.graftnative.RobotsAllowed]]).
+    */
+  def robotsAllowed(robots: Column, agent: Column, path: Column): Column =
+    org.apache.spark.sql.graftnative.RobotsFunctions
+      .robots_allowed(robots, agent, path)
+
+  /** Two-group robots.txt fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.RobotsSynth]]).
+    */
+  def synthRobots(doc: Column): Column =
+    org.apache.spark.sql.graftnative.RobotsFunctions.synth_robots(doc)
+
   /** Concatenated-gzip shard to UTF-8 text
     * (see [[org.apache.spark.sql.graftnative.GzipText]]).
     */

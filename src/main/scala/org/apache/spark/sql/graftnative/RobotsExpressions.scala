@@ -1,0 +1,253 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** robots.txt evaluation (RFC 9309) — the crawl-GOVERNANCE piece of
+  * the WARC family: respectful corpus crawlers gate every fetch on
+  * it, so a pipeline that re-filters an existing crawl against
+  * updated rules needs the decision as a per-row expression.
+  *
+  * `robots_allowed(robots, agent, path)` implements the RFC's
+  * matching model:
+  *  - GROUPS: consecutive `User-agent:` lines share the following
+  *    rules; the crawler picks the group whose agent token is the
+  *    LONGEST case-insensitive prefix of its product token, falling
+  *    back to the `*` group; exactly ONE group applies (rules from
+  *    unselected groups never leak in — pinned by the fixture).
+  *  - RULES: within the selected group, the `Allow`/`Disallow` rule
+  *    with the LONGEST matching path wins; ties go to Allow; an
+  *    empty-path rule never matches; no match ⇒ allowed. Paths
+  *    support `*` wildcards and the `$` end anchor.
+  *  - Lines: comments stripped at `#`, unknown directives ignored
+  *    (Crawl-delay, Sitemap — per the RFC's extensibility rule),
+  *    field names case-insensitive.
+  *
+  * Honest scope: percent-encoding equivalence (RFC 9309 §2.2.2's
+  * octet comparison) is NOT normalized — paths compare as given,
+  * which is exact for corpora whose fetcher already canonicalized
+  * URLs (ours does not re-encode) — and two SEPARATE groups naming
+  * the same agent token are not merged (the RFC merges them; the
+  * first such group wins here). Both disclosed, not guessed.
+  */
+case class RobotsAllowed(robots: Expression, agent: Expression,
+    path: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = robots
+  override def second: Expression = agent
+  override def third: Expression = path
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType, StringType)
+  override def dataType: DataType = RobotsAllowed.schema
+
+  override def nullSafeEval(r: Any, a: Any, p: Any): Any =
+    RobotsAllowed.compute(r.asInstanceOf[UTF8String].toString,
+      a.asInstanceOf[UTF8String].toString,
+      p.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, a, p) =>
+      s"org.apache.spark.sql.graftnative.RobotsAllowed.compute(" +
+        s"$r.toString(), $a.toString(), $p.toString())")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(robots = f, agent = s, path = t)
+}
+
+object RobotsAllowed {
+  val schema: StructType = StructType(Seq(
+    StructField("allowed", BooleanType, nullable = false),
+    StructField("rule_path", StringType, nullable = true)))
+
+  private final case class Rule(allow: Boolean, path: String)
+
+  /** Does `rulePath` (with `*` wildcards and an optional trailing `$`
+    * anchor) match a prefix of `path`?
+    */
+  private[graftnative] def pathMatches(rulePath: String, path: String): Boolean = {
+    val anchored = rulePath.endsWith("$")
+    val pat = if (anchored) rulePath.substring(0, rulePath.length - 1)
+      else rulePath
+    // greedy-with-backtracking wildcard prefix match
+    def matches(pi: Int, si: Int): Boolean = {
+      var p = pi
+      var s = si
+      while (p < pat.length) {
+        if (pat.charAt(p) == '*') {
+          // '*' absorbs any run; a trailing '*' matches the rest
+          if (p == pat.length - 1) return true
+          var k = s
+          while (k <= path.length) {
+            if (matches(p + 1, k)) return true
+            k += 1
+          }
+          return false
+        }
+        if (s >= path.length || path.charAt(s) != pat.charAt(p)) return false
+        p += 1
+        s += 1
+      }
+      !anchored || s == path.length
+    }
+    matches(0, 0)
+  }
+
+  def compute(robots: String, agent: String, path: String): InternalRow = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    // parse into (agentToken → rules) groups
+    var groups = List.empty[(List[String], List[Rule])]
+    var curAgents = List.empty[String]
+    var curRules = List.empty[Rule]
+    var agentRun = false // consecutive User-agent lines accumulate
+    def flush(): Unit = {
+      if (curAgents.nonEmpty) groups = (curAgents, curRules.reverse) :: groups
+      curAgents = List.empty
+      curRules = List.empty
+    }
+    robots.split("\r\n|\n|\r", -1).foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val field = line.substring(0, colon).trim
+            .toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          field match {
+            case "user-agent" =>
+              if (!agentRun) flush()
+              curAgents = value.toLowerCase(java.util.Locale.ROOT) :: curAgents
+              agentRun = true
+            case "allow" =>
+              agentRun = false
+              if (value.nonEmpty) curRules = Rule(allow = true, value) :: curRules
+            case "disallow" =>
+              agentRun = false
+              if (value.nonEmpty) curRules = Rule(allow = false, value) :: curRules
+            case _ => agentRun = false // Crawl-delay, Sitemap, unknown
+          }
+        }
+      }
+    }
+    flush()
+    // group selection: longest agent token that prefixes ours; '*' last
+    var best: List[Rule] = null
+    var bestLen = -1
+    groups.foreach { case (agents, rules) =>
+      agents.foreach { a =>
+        if (a == "*") {
+          if (bestLen < 0) { best = rules; bestLen = 0 }
+        } else if (agentLc.startsWith(a) && a.length > bestLen) {
+          best = rules
+          bestLen = a.length
+        }
+      }
+    }
+    if (best == null)
+      return new GenericInternalRow(Array[Any](true, null))
+    // longest-match rule; Allow wins ties
+    var winner: Rule = null
+    best.foreach { r =>
+      if (pathMatches(r.path, path)) {
+        if (winner == null || r.path.length > winner.path.length ||
+          (r.path.length == winner.path.length && r.allow && !winner.allow))
+          winner = r
+      }
+    }
+    if (winner == null) new GenericInternalRow(Array[Any](true, null))
+    else new GenericInternalRow(Array[Any](winner.allow,
+      UTF8String.fromString(winner.path)))
+  }
+}
+
+/** Fixture ENCODER: a robots.txt with a `*` group (Disallow a
+  * /privateK/ subtree, Allow its /public/ corner) and — on
+  * `doc mod 4 != 0` — a more specific `graftbot` group (Disallow
+  * /tmpJ/, Allow /), plus comments, a Crawl-delay, and a Sitemap
+  * line the parser must skip. The paired URL formulas walk both
+  * groups' edges (the no-trailing-slash prefix trap included), so
+  * group EXCLUSIVITY and longest-match both sit on the oracle hash.
+  */
+object RobotsSynth {
+  private def fm(a: Long, m: Long): Int = java.lang.Math.floorMod(a, m).toInt
+
+  def hasBotGroup(doc: Long): Boolean = fm(doc, 4) != 0
+  def k(doc: Long): Int = fm(doc, 5)
+  def j(doc: Long): Int = fm(doc, 3)
+
+  def robotsTxt(doc: Long): String = {
+    val sb = new StringBuilder()
+    sb.append("# graft fixture ").append(doc).append('\n')
+    sb.append("User-agent: *\n")
+    sb.append("Disallow: /private").append(k(doc)).append("/\n")
+    sb.append("Allow: /private").append(k(doc)).append("/public/\n")
+    sb.append("Crawl-delay: 2\n\n")
+    if (hasBotGroup(doc)) {
+      sb.append("User-agent: graftbot\n")
+      sb.append("Disallow: /tmp").append(j(doc)).append("/\n")
+      sb.append("Allow: /\n")
+    }
+    sb.append("Sitemap: https://example.com/sitemap.xml\n")
+    sb.toString
+  }
+
+  val NUrls = 8
+  def url(doc: Long, u: Int): String = u match {
+    case 0 => s"/ok/${fm(doc, 7)}"
+    case 1 => s"/private${k(doc)}/a"
+    case 2 => s"/private${k(doc)}/public/x"
+    case 3 => s"/private${k(doc) + 1}/b"
+    case 4 => s"/tmp${j(doc)}/y"
+    case 5 => s"/tmp${j(doc) + 1}/z"
+    case 6 => s"/private${k(doc)}/public" // no trailing slash: the trap
+    case _ => "/"
+  }
+}
+
+/** Expression wrapping [[RobotsSynth.robotsTxt]]. */
+case class SynthRobots(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(doc: Any): Any = {
+    val s = RobotsSynth.robotsTxt(doc.asInstanceOf[Long])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d => s"""
+      String s = org.apache.spark.sql.graftnative.RobotsSynth.robotsTxt($d);
+      if (s == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(s); }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RobotsFunctions {
+  /** Column API: RFC 9309 allow/deny decision for (robots, agent, path). */
+  def robots_allowed(robots: Column, agent: Column, path: Column): Column =
+    ExpressionUtils.column(RobotsAllowed(
+      ExpressionUtils.expression(robots),
+      ExpressionUtils.expression(agent),
+      ExpressionUtils.expression(path)))
+
+  /** Column API: two-group robots.txt fixture from a doc seed. */
+  def synth_robots(doc: Column): Column =
+    ExpressionUtils.column(SynthRobots(ExpressionUtils.expression(doc)))
+}

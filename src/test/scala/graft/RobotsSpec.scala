@@ -1,0 +1,102 @@
+package org.apache.spark.sql.graftnative
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RFC 9309 contracts the fixture key can't carry: wildcard and
+  * $-anchored paths, agent specificity, longest-match/Allow-wins, and
+  * parser robustness.
+  */
+class RobotsSpec extends AnyFunSuite {
+
+  private def decide(robots: String, agent: String, path: String) = {
+    val r = RobotsAllowed.compute(robots, agent, path)
+    (r.getBoolean(0), if (r.isNullAt(1)) null else r.getUTF8String(1).toString)
+  }
+
+  test("wildcards and the $ anchor") {
+    val robots =
+      """User-agent: *
+        |Disallow: /*.pdf$
+        |Disallow: /a/*/private
+        |Allow: /a/b/private/open
+        |""".stripMargin
+    assert(decide(robots, "bot", "/doc.pdf") == ((false, "/*.pdf$")))
+    assert(decide(robots, "bot", "/doc.pdfx")._1, "$ must anchor the end")
+    assert(decide(robots, "bot", "/a/b/private/z") ==
+      ((false, "/a/*/private")))
+    // Allow with the longer path beats the wildcard disallow
+    assert(decide(robots, "bot", "/a/b/private/open/f")._1)
+    assert(decide(robots, "bot", "/b/c")._1, "no rule matches")
+  }
+
+  test("agent specificity: the longest matching token's group applies") {
+    val robots =
+      """User-agent: *
+        |Disallow: /
+        |
+        |User-agent: graft
+        |Disallow: /x/
+        |
+        |User-agent: graftbot
+        |Allow: /
+        |""".stripMargin
+    // 'graftbot' token: its exact group wins over 'graft' and '*'
+    assert(decide(robots, "graftbot", "/anything")._1)
+    // 'graftcrawler' matches only 'graft': that group's rules apply
+    assert(decide(robots, "graftcrawler", "/x/y") == ((false, "/x/")))
+    assert(decide(robots, "graftcrawler", "/y")._1)
+    // an unrelated bot falls to '*': everything disallowed
+    assert(!decide(robots, "otherbot", "/y")._1)
+  }
+
+  test("ties go to Allow; empty values and unknown directives are inert") {
+    val robots =
+      """User-agent: *
+        |# both rules match /dir/ with equal length
+        |Disallow: /dir/
+        |Allow: /dir/
+        |Disallow:
+        |Crawl-delay: 10
+        |Sitemap: https://e.com/s.xml
+        |Nonsense: value
+        |""".stripMargin
+    assert(decide(robots, "bot", "/dir/page")._1, "equal length: Allow wins")
+    assert(decide(robots, "bot", "/other")._1, "empty Disallow never matches")
+  }
+
+  test("multiple consecutive User-agent lines share one rule block") {
+    val robots =
+      """User-agent: alpha
+        |User-agent: beta
+        |Disallow: /shared/
+        |""".stripMargin
+    assert(!decide(robots, "alpha", "/shared/x")._1)
+    assert(!decide(robots, "beta", "/shared/x")._1)
+    assert(decide(robots, "gamma", "/shared/x")._1, "no group for gamma")
+  }
+
+  test("fixture decisions match the oracle formulas across 20 seeds") {
+    for (doc <- 0L to 19L; u <- 0 until RobotsSynth.NUrls) {
+      val path = RobotsSynth.url(doc, u)
+      val (allowed, _) = decide(RobotsSynth.robotsTxt(doc), "graftbot", path)
+      val k = RobotsSynth.k(doc)
+      val j = RobotsSynth.j(doc)
+      val expect =
+        if (RobotsSynth.hasBotGroup(doc)) !path.startsWith(s"/tmp$j/")
+        else !(path.startsWith(s"/private$k/") &&
+          !path.startsWith(s"/private$k/public/"))
+      assert(allowed == expect, s"doc $doc url $u ($path)")
+    }
+  }
+
+  test("fuzz: garbage and truncations classify, never throw") {
+    val base = RobotsSynth.robotsTxt(7L)
+    var kk = 0
+    while (kk < base.length) {
+      RobotsAllowed.compute(base.substring(0, kk), "graftbot", "/x")
+      kk += 5
+    }
+    RobotsAllowed.compute("::::\n\n##\nUser-agent\nAllow /", "b", "/")
+    RobotsAllowed.compute("", "b", "/p")
+  }
+}

@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * VERIFIED (the Ogg CRC-32: polynomial 0x04C11DB7, zero init, no
   * reflection, computed with the checksum field zeroed) — a corrupted
   * page rejects rather than trusting the header bytes. The first (BOS)
-  * page's packet routes by magic: `vorbis` (channels, rate from
+  * page's packet routes by magic: `\x01 vorbis` (channels, rate from
   * the identification header, Vorbis I §4.2.2) or `OpusHead` (channel
   * count, input sample rate, RFC 7845 §5.1). `n_frames` is the LAST
   * page's granule position — total PCM samples for Vorbis, 48 kHz

@@ -4972,7 +4972,7 @@ object QueriesScale {
     val path = ivfFilteredIndexPath(s, dir)
     val qid = queries.map(_._1).min
     val qLabel = emb.filter(col("vec_id") === qid)
-      .select(col("label")).head.getInt(0)
+      .select(col("label")).head().getInt(0)
     val nLabels = emb.select(col("label")).distinct().count().toInt
     val cells = probeCells(qid)
     val codedRead = s.read.parquet(path)

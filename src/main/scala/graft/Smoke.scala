@@ -20,18 +20,18 @@ object Smoke {
     // extensions bind at session instantiation)
     val dotSql = spark.sql(
       "SELECT dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
-        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head.getDouble(0)
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head().getDouble(0)
     println(s"[smoke] sql dot_f=$dotSql")
     assert(dotSql == 11.0, "dot_f not registered via GraftExtensions")
     val shSql = spark.sql("SELECT word_shingles('a b c d', 3) AS s")
-      .head.getSeq[String](0)
+      .head().getSeq[String](0)
     println(s"[smoke] sql word_shingles=$shSql")
     assert(shSql == Seq("a b c", "b c d"), "word_shingles not registered")
-    val rhSql = spark.sql("SELECT rolling_hash('') AS h").head.getLong(0)
+    val rhSql = spark.sql("SELECT rolling_hash('') AS h").head().getLong(0)
     println(s"[smoke] sql rolling_hash('')=$rhSql")
     assert(rhSql == 217L, "rolling_hash not registered or empty-string semantics off")
     val repSql = spark.sql(
-      "SELECT ngram_repetition('a b a b a', 2, 3, 5).top_a_cover AS c").head.getLong(0)
+      "SELECT ngram_repetition('a b a b a', 2, 3, 5).top_a_cover AS c").head().getLong(0)
     println(s"[smoke] sql ngram_repetition top2=$repSql")
     assert(repSql == 6L, "ngram_repetition not registered or coverage off")
     // media parsers in plain SQL: a GIF89a header built from hex
@@ -47,12 +47,12 @@ object Smoke {
     // frame walk over one hand-built MPEG-2 Layer III frame
     val dhSql = spark.sql(
       "SELECT raster_dhash(image_decode(unhex('50350A3120310A3235350A40'))) AS h")
-      .head.getLong(0)
+      .head().getLong(0)
     println(s"[smoke] sql raster_dhash(1x1)=$dhSql")
     assert(dhSql == 0L, "raster_dhash not registered (flat image must hash 0)")
     val mp3Sql = spark.sql(
       "SELECT mp3_meta(unhex(concat('FFF320C0', repeat('00', 48)))).sample_rate AS r")
-      .head.getLong(0)
+      .head().getLong(0)
     println(s"[smoke] sql mp3_meta rate=$mp3Sql")
     assert(mp3Sql == 22050L, "mp3_meta not registered or frame walk off")
     // round-12 registrations: full EXIF metadata and Layer III PCM
@@ -64,13 +64,13 @@ object Smoke {
     val mkSql = spark.sql(
       s"SELECT exif_meta(unhex('${org.apache.spark.sql.graftnative.ExifMetaSynth
         .jpegWithMeta(16, 16, 3, 2).map("%02X".format(_)).mkString}')).make AS mk")
-      .head.getString(0)
+      .head().getString(0)
     println(s"[smoke] sql exif_meta.make=$mkSql")
     assert(mkSql == mk && mkSql == "CAM3", "exif_meta not registered")
     val mp3PcmSql = spark.sql(
       s"SELECT mp3_decode(unhex('${org.apache.spark.sql.graftnative.Mp3PcmSynth
         .mp3Bytes(0L).map("%02X".format(_)).mkString}')).pcm_abs_max AS p")
-      .head.getInt(0)
+      .head().getInt(0)
     println(s"[smoke] sql mp3_decode silent peak=$mp3PcmSql")
     assert(mp3PcmSql == 0, "mp3_decode not registered or silence broken")
     val df = SparkEntry.entry(spark)

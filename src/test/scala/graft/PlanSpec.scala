@@ -267,7 +267,8 @@ class PlanSpec extends SparkSpec {
     // exchange is the gate's output ORDER BY
     Seq("image_meta", "audio_meta", "container_meta", "pdf_text",
       "tar_members", "zip_entries", "opus_packets", "subtitle_text",
-      "mp4_frag_samples", "webdataset_image_stats").foreach { k =>
+      "mp4_frag_samples", "webdataset_image_stats", "epub_text",
+      "jsonl_corpus", "robots_allowed").foreach { k =>
       val p = physical(Queries.all(k).fn(spark, sf0001))
       val scans = collectAll(p) {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s

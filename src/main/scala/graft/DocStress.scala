@@ -137,6 +137,63 @@ object DocStress {
       fields += f""""crawl_docs_per_s":${nDocs / sec}%.0f"""
     }
 
+    // ---- epub (zip walk + per-chapter HTML extraction)
+    locally {
+      val t0 = System.nanoTime()
+      val r = ids
+        .select(ScaleOps.zipTexts(
+          ScaleOps.synthEpub(col("id")), ".xhtml").as("z"))
+        .select(explode(col("z.texts")).as("t"))
+        .select(ScaleOps.htmlText(col("t.text")).as("h"))
+        .agg(count(col("h.text")).as("chapters"),
+          sum(length(col("h.text"))).as("chars"))
+        .head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val expChapters = (0L until nDocs).map(d => 1 + d % 3).sum
+      require(r.getLong(0) == expChapters, s"epub: ${r.getLong(0)} chapters")
+      fields += f""""epub_sec":$sec%.2f"""
+      fields += f""""epub_docs_per_s":${nDocs / sec}%.0f"""
+    }
+
+    // ---- jsonl.gz (gunzip + line split + from_json)
+    locally {
+      val lineSchema = org.apache.spark.sql.types.StructType
+        .fromDDL("id BIGINT, lang STRING, text STRING")
+      val t0 = System.nanoTime()
+      val r = ids
+        .select(ScaleOps.gzipText(ScaleOps.synthJsonlGz(col("id"))).as("t"))
+        .select(explode(filter(split(col("t"), "\n"),
+          x => x =!= lit(""))).as("line"))
+        .select(from_json(col("line"), lineSchema).as("j"))
+        .agg(count(col("j.id")).as("n")).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val expLines = (0L until nDocs).map { d =>
+        (0 until (2 + d % 3).toInt).map(m => 1 + (d + m) % 3).sum
+      }.sum
+      require(r.getLong(0) == expLines, s"jsonl: ${r.getLong(0)} lines")
+      fields += f""""jsonl_sec":$sec%.2f"""
+      fields += f""""jsonl_docs_per_s":${nDocs / sec}%.0f"""
+      fields += f""""jsonl_lines_per_s":${r.getLong(0) / sec}%.0f"""
+    }
+
+    // ---- robots (parse + 8 decisions per doc)
+    locally {
+      val t0 = System.nanoTime()
+      val r = ids
+        .select(col("id"), ScaleOps.synthRobots(col("id")).as("robots"))
+        .select(col("id"), col("robots"),
+          explode(sequence(lit(0L), lit(7L))).as("u"))
+        .select(ScaleOps.robotsAllowed(col("robots"), lit("graftbot"),
+          concat(lit("/p"), col("u"), lit("/x"))).as("d"))
+        .agg(count(col("d.allowed")).as("n"),
+          sum(when(col("d.allowed"), 1L).otherwise(0L)).as("ok"))
+        .head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(r.getLong(0) == nDocs * 8, s"robots: ${r.getLong(0)} decisions")
+      fields += f""""robots_sec":$sec%.2f"""
+      fields += f""""robots_decisions_per_s":${r.getLong(0) / sec}%.0f"""
+    }
+
     println(fields.mkString("{", ",", "}"))
     spark.stop()
   }

@@ -133,6 +133,26 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("xref-stream rejects: corrupt W, broken predictor columns, torn entry data") {
+    // doc 3 is the plain xref-stream form; surgically corrupt its
+    // /W array — [1 4 2] -> [1 4 9] makes rows overrun the data
+    val ok = PdfSynth.pdfBytes(3L)
+    val s = new String(ok, Latin1)
+    def fmt(b: Array[Byte]): String = PdfText.compute(b).getUTF8String(0).toString
+    assert(fmt(ok) == "pdf")
+    val badW = s.replace("/W [1 4 2]", "/W [1 4 9]")
+    assert(badW != s, "fixture must carry the W array")
+    assert(fmt(badW.getBytes(Latin1)) == "unknown", "oversized W rows reject")
+    // doc 5 runs the PNG predictor; claim a wrong Columns count
+    val okP = PdfSynth.pdfBytes(5L)
+    val sp = new String(okP, Latin1)
+    assert(fmt(okP) == "pdf")
+    val badCols = sp.replace("/Columns 7", "/Columns 6")
+    assert(badCols != sp)
+    assert(fmt(badCols.getBytes(Latin1)) == "unknown",
+      "predictor row misalignment rejects")
+  }
+
   test("composition: extracted pages feed the text-analysis surface") {
     // the shape the pipeline brief cares about: pdf_text output is a
     // (doc, text) corpus — shingles and token stats must compute on it

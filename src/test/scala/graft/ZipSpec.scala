@@ -115,6 +115,20 @@ class ZipSpec extends AnyFunSuite {
     val enc = ok.clone()
     enc(cd + 8) = (enc(cd + 8) | 1).toByte
     assert(ZipEntries.compute(enc) == null, "encrypted entries reject")
+    // ZIP64 sentinel entry count must reject, not wrap
+    var eo = -1
+    var ei = ok.length - 22
+    while (eo < 0 && ei >= 0) {
+      if (ok(ei) == 'P' && ok(ei + 1) == 'K' && ok(ei + 2) == 5 &&
+        ok(ei + 3) == 6) eo = ei
+      ei -= 1
+    }
+    val z64 = ok.clone()
+    z64(eo + 10) = 0xFF.toByte
+    z64(eo + 11) = 0xFF.toByte
+    z64(eo + 8) = 0xFF.toByte
+    z64(eo + 9) = 0xFF.toByte
+    assert(ZipEntries.compute(z64) == null, "ZIP64 sentinel rejects")
     // torn EOCD
     assert(ZipEntries.compute(ok.take(ok.length - 5)) == null)
     // truncation + bit-flip sweeps: classify, never throw

@@ -412,15 +412,27 @@ object PdfText {
       case other => other
     }
 
-    /** Decoded stream bytes: raw or FlateDecode. */
+    /** Decoded stream bytes: raw or FlateDecode, honoring /DecodeParms
+      * (r14 ADVICE: a content/object stream carrying a PNG predictor
+      * previously yielded predictor-filtered garbage — now it routes
+      * through the same unfilter xref streams use, and a predictor on
+      * an UNFILTERED stream rejects).
+      */
     def streamData(s: PdfStream): Array[Byte] = {
       val raw = java.util.Arrays.copyOfRange(b, s.dataOff, s.dataOff + s.dataLen)
+      val parms = resolve(s.dict.getOrElse("DecodeParms", null), 0) match {
+        case pv: Vector[Any @unchecked] if pv.size == 1 => resolve(pv.head, 0)
+        case other => other
+      }
       resolve(s.dict.getOrElse("Filter", null), 0) match {
-        case null => raw
-        case PdfName("FlateDecode") => inflate(raw)
-        case v: Vector[Any @unchecked] if v.isEmpty => raw
+        case null => applyDecodeParms(raw, parms, filtered = false)
+        case PdfName("FlateDecode") =>
+          applyDecodeParms(inflate(raw), parms, filtered = true)
+        case v: Vector[Any @unchecked] if v.isEmpty =>
+          applyDecodeParms(raw, parms, filtered = false)
         case v: Vector[Any @unchecked]
-          if v.size == 1 && v.head == PdfName("FlateDecode") => inflate(raw)
+          if v.size == 1 && v.head == PdfName("FlateDecode") =>
+          applyDecodeParms(inflate(raw), parms, filtered = true)
         case _ => bad() // other filters: out of scope, reject
       }
     }
@@ -486,13 +498,55 @@ object PdfText {
     out
   }
 
-  /** Parsed state of one xref section (either form). */
+  /** Apply a stream's /DecodeParms: absent or Predictor 1 is identity;
+    * PNG predictors (>= 10) unfilter over /Columns (Colors 1, 8-bit —
+    * the only shape real text-pipeline streams carry); anything else —
+    * TIFF predictor 2, multi-component parms, indirect values, or a
+    * predictor on an UNFILTERED stream — rejects rather than emitting
+    * plausible garbage. Shared by xref streams and Doc.streamData.
+    */
+  private def applyDecodeParms(data: Array[Byte], parmsV: Any,
+      filtered: Boolean): Array[Byte] = parmsV match {
+    case null => data
+    case parms: Map[String @unchecked, Any @unchecked] =>
+      parms.getOrElse("Colors", null) match {
+        case null =>
+        case c: java.lang.Long if c.toInt == 1 =>
+        case _ => bad()
+      }
+      parms.getOrElse("BitsPerComponent", null) match {
+        case null =>
+        case c: java.lang.Long if c.toInt == 8 =>
+        case _ => bad()
+      }
+      parms.getOrElse("Predictor", null) match {
+        case null => data
+        case pr: java.lang.Long if pr.toInt == 1 => data
+        case pr: java.lang.Long if pr.toInt >= 10 && filtered =>
+          val cols = parms.getOrElse("Columns", null) match {
+            case c: java.lang.Long => c.toInt
+            case null => 1
+            case _ => bad()
+          }
+          pngUnpredict(data, cols)
+        case _ => bad() // TIFF predictor 2 / predictor without a filter
+      }
+    case _ => bad()
+  }
+
+  /** Parsed state of one xref section (either form). Free entries are
+    * recorded in `free` so newest-wins precedence applies to DELETIONS
+    * too: an object freed by a newer incremental update must not
+    * resurrect to its stale older version when an older section still
+    * supplies an offset for it (r14 ADVICE).
+    */
   private final class XrefAcc {
     var direct = Map.empty[Int, Int]
     var compressed = Map.empty[Int, (Int, Int)]
+    var free = Set.empty[Int]
     var trailer: Map[String, Any] = null
     def seen(num: Int): Boolean =
-      direct.contains(num) || compressed.contains(num)
+      direct.contains(num) || compressed.contains(num) || free.contains(num)
   }
 
   /** One cross-reference STREAM section (PDF 1.5+): `num gen obj` with
@@ -524,26 +578,13 @@ object PdfText {
     }
     if (len < 0 || p.pos + len > b.length) bad()
     val raw = java.util.Arrays.copyOfRange(b, p.pos, p.pos + len)
-    var data = dict.getOrElse("Filter", null) match {
-      case null => raw
-      case PdfName("FlateDecode") => inflate(raw)
-      case _ => bad()
-    }
-    dict.getOrElse("DecodeParms", null) match {
+    val data = dict.getOrElse("Filter", null) match {
       case null =>
-      case parms: Map[String @unchecked, Any @unchecked] =>
-        parms.getOrElse("Predictor", null) match {
-          case null =>
-          case pr: java.lang.Long if pr.toInt == 1 =>
-          case pr: java.lang.Long if pr.toInt >= 10 =>
-            val cols = parms.getOrElse("Columns", null) match {
-              case c: java.lang.Long => c.toInt
-              case null => 1
-              case _ => bad()
-            }
-            data = pngUnpredict(data, cols)
-          case _ => bad() // TIFF predictor 2: not emitted by xref writers
-        }
+        applyDecodeParms(raw, dict.getOrElse("DecodeParms", null),
+          filtered = false)
+      case PdfName("FlateDecode") =>
+        applyDecodeParms(inflate(raw), dict.getOrElse("DecodeParms", null),
+          filtered = true)
       case _ => bad()
     }
     val size = dict.getOrElse("Size", null) match {
@@ -586,7 +627,7 @@ object PdfText {
         val f3 = field(w(2), 0L)
         val num = start + k
         if (!acc.seen(num)) typ match {
-          case 0L => // free
+          case 0L => acc.free += num // free: blocks older sections too
           case 1L =>
             if (f2 > Int.MaxValue) bad()
             acc.direct += (num -> f2.toInt)
@@ -629,9 +670,11 @@ object PdfText {
           p.skipWs()
           val typ = p.keyword()
           if (off.length != 10 || typ.length != 1) bad()
-          if (typ == "n" && !acc.seen(start + k))
-            acc.direct += ((start + k) -> off.toInt)
-          else if (typ != "n" && typ != "f") bad()
+          if (typ == "n") {
+            if (!acc.seen(start + k)) acc.direct += ((start + k) -> off.toInt)
+          } else if (typ == "f") {
+            if (!acc.seen(start + k)) acc.free += (start + k)
+          } else bad()
           k += 1
         }
       } else done = true

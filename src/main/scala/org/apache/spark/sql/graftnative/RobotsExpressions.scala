@@ -71,33 +71,41 @@ object RobotsAllowed {
 
   /** Does `rulePath` (with `*` wildcards and an optional trailing `$`
     * anchor) match a prefix of `path`?
+    *
+    * Linear greedy two-pointer wildcard match (one saved backtrack
+    * point per `*`, re-anchored forward only): worst-case
+    * O(|path|·|pattern|), never exponential — robots.txt is untrusted
+    * crawl input, and a crafted many-wildcard rule (`…a*a*a*…b$`) must
+    * not become a per-row CPU bomb (the MaxInflated discipline).
+    * A non-anchored rule is a prefix match, which is exactly a full
+    * match of `pattern + "*"`.
     */
   private[graftnative] def pathMatches(rulePath: String, path: String): Boolean = {
     val anchored = rulePath.endsWith("$")
-    val pat = if (anchored) rulePath.substring(0, rulePath.length - 1)
+    val base = if (anchored) rulePath.substring(0, rulePath.length - 1)
       else rulePath
-    // greedy-with-backtracking wildcard prefix match
-    def matches(pi: Int, si: Int): Boolean = {
-      var p = pi
-      var s = si
-      while (p < pat.length) {
-        if (pat.charAt(p) == '*') {
-          // '*' absorbs any run; a trailing '*' matches the rest
-          if (p == pat.length - 1) return true
-          var k = s
-          while (k <= path.length) {
-            if (matches(p + 1, k)) return true
-            k += 1
-          }
-          return false
-        }
-        if (s >= path.length || path.charAt(s) != pat.charAt(p)) return false
+    val pat = if (anchored) base else base + "*"
+    var s = 0
+    var p = 0
+    var star = -1 // pattern index of the last '*' seen
+    var mark = 0 // path index that star is currently matched up to
+    while (s < path.length) {
+      if (p < pat.length && pat.charAt(p) == '*') {
+        star = p
+        p += 1
+        mark = s
+      } else if (p < pat.length && pat.charAt(p) == path.charAt(s)) {
         p += 1
         s += 1
-      }
-      !anchored || s == path.length
+      } else if (star >= 0) {
+        // widen the last star by one char and retry after it
+        mark += 1
+        s = mark
+        p = star + 1
+      } else return false
     }
-    matches(0, 0)
+    while (p < pat.length && pat.charAt(p) == '*') p += 1
+    p == pat.length
   }
 
   def compute(robots: String, agent: String, path: String): InternalRow = {
@@ -141,10 +149,14 @@ object RobotsAllowed {
       }
     }
     flush()
-    // group selection: longest agent token that prefixes ours; '*' last
+    // group selection: longest agent token that prefixes ours; '*' last.
+    // Groups were accumulated by prepending, so reverse to DOCUMENT
+    // order — with the strict '>' that makes the FIRST group declaring
+    // a duplicate agent token win ties, the behavior the scaladoc
+    // discloses (r14 ADVICE: the unreversed walk made the LAST win).
     var best: List[Rule] = null
     var bestLen = -1
-    groups.foreach { case (agents, rules) =>
+    groups.reverse.foreach { case (agents, rules) =>
       agents.foreach { a =>
         if (a == "*") {
           if (bestLen < 0) { best = rules; bestLen = 0 }

@@ -67,6 +67,13 @@ object ZipEntries {
 
   private val MaxEntries = 1 << 16
   private val MaxInflated = 1 << 24
+  /** Cumulative decompressed-output cap across the whole walk (the
+    * GzipText.MaxTotal discipline): 65535 central entries all pointing
+    * at one small deflate payload — the classic overlapping-entry zip
+    * bomb — must not turn a ~3 MB archive into a terabyte of inflate
+    * work. Overlapping local ranges also reject outright (below).
+    */
+  private val MaxTotalInflated = 1 << 26
 
   /** Per-thread reusable inflater (the WarcRecords pattern): archive
     * decode walks many small members, and per-member native Inflater
@@ -136,6 +143,10 @@ object ZipEntries {
     if (cdOff + cdSize > eocd) return null
     if (nEntries > MaxEntries) return null
     val out = new Array[DecodedEntry](nEntries)
+    // local-header byte ranges, for the overlap rejection after the walk
+    val rangeLo = new Array[Long](nEntries)
+    val rangeHi = new Array[Long](nEntries)
+    var totalInflated = 0L
     var p = cdOff.toInt
     var e = 0
     while (e < nEntries) {
@@ -167,6 +178,10 @@ object ZipEntries {
       val dataOff = localOff + 30 + lNameLen + lExtraLen
       if (dataOff + csize > b.length) return null
       if (usize > MaxInflated) return null
+      totalInflated += usize
+      if (totalInflated > MaxTotalInflated) return null // zip-bomb gate
+      rangeLo(e) = localOff
+      rangeHi(e) = dataOff + csize
       val raw = java.util.Arrays.copyOfRange(b, dataOff.toInt,
         (dataOff + csize).toInt)
       val data = method match {
@@ -207,6 +222,17 @@ object ZipEntries {
       e += 1
     }
     if (p != cdOff + cdSize) return null // central directory must tile
+    // overlapping local ranges reject: two central entries aliasing the
+    // same payload bytes are never produced by a real writer and are
+    // the other half of the zip-bomb shape
+    if (nEntries > 1) {
+      val order = (0 until nEntries).sortBy(rangeLo)
+      var k = 1
+      while (k < nEntries) {
+        if (rangeLo(order(k)) < rangeHi(order(k - 1))) return null
+        k += 1
+      }
+    }
     out
   }
 

@@ -153,6 +153,105 @@ class PdfSpec extends AnyFunSuite {
       "predictor row misalignment rejects")
   }
 
+  test("incremental delete: a freed object must NOT resurrect from an older section") {
+    // r14 ADVICE: free entries were not recorded in the newest-wins
+    // set, so an object deleted by a newer update silently resolved to
+    // its stale older version. Freeing page 0's content stream must
+    // now make the fetch fail (honest reject), not read the old bytes.
+    val ok = PdfSynth.pdfBytes(1L) // classic form, no update
+    def fmt(b: Array[Byte]): String = PdfText.compute(b).getUTF8String(0).toString
+    assert(fmt(ok) == "pdf")
+    val s = new String(ok, Latin1)
+    val prevAt = {
+      val at = s.lastIndexOf("startxref")
+      s.substring(at + 10, s.indexOf('\n', at + 10)).trim.toInt
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ok, 0, ok.length)
+    val xr = out.size()
+    val upd = s"xref\n20 1\n0000000000 65535 f \n" +
+      s"trailer\n<< /Size 70 /Root 1 0 R /Prev $prevAt >>\n" +
+      s"startxref\n$xr\n%%EOF\n"
+    val ub = upd.getBytes(Latin1)
+    out.write(ub, 0, ub.length)
+    assert(fmt(out.toByteArray) == "unknown",
+      "freed content object resurrected from the older xref section")
+  }
+
+  test("content-stream /DecodeParms: PNG predictor decodes, TIFF and filterless reject") {
+    def onePageStream(dict: String, data: Array[Byte]): (String, String) = {
+      val b = new java.io.ByteArrayOutputStream()
+      def raw(s: String): Unit = { val x = s.getBytes(Latin1); b.write(x, 0, x.length) }
+      val offs = scala.collection.mutable.Map[Int, Int]()
+      raw("%PDF-1.7\n")
+      def obj(n: Int, s: String): Unit = { offs(n) = b.size(); raw(s"$n 0 obj\n$s\nendobj\n") }
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+      offs(4) = b.size()
+      raw(s"4 0 obj\n$dict\nstream\n")
+      b.write(data, 0, data.length)
+      raw("\nendstream\nendobj\n")
+      val xr = b.size()
+      raw("xref\n0 1\n0000000000 65535 f \n")
+      Seq(1, 2, 3, 4).foreach(n => raw(f"$n 1\n${offs(n)}%010d 00000 n \n"))
+      raw("trailer\n<< /Size 8 /Root 1 0 R >>\n")
+      raw(s"startxref\n$xr\n%%EOF\n")
+      val r = PdfText.compute(b.toByteArray)
+      val fmt = r.getUTF8String(0).toString
+      if (fmt != "pdf") (fmt, null)
+      else (fmt, r.getArray(3).getStruct(0, 2).getUTF8String(1).toString)
+    }
+    // PNG Up (predictor 12) filtered content over Columns = 8
+    val cols = 8
+    val content = {
+      val base = "BT (pred ok) Tj ET".getBytes(Latin1)
+      val padded = java.util.Arrays.copyOf(base,
+        ((base.length + cols - 1) / cols) * cols)
+      java.util.Arrays.fill(padded, base.length, padded.length, ' '.toByte)
+      padded
+    }
+    val filtered = {
+      val o = new java.io.ByteArrayOutputStream()
+      var r = 0
+      while (r < content.length / cols) {
+        o.write(2) // PNG Up
+        var x = 0
+        while (x < cols) {
+          val cur = content(r * cols + x) & 0xFF
+          val up = if (r > 0) content((r - 1) * cols + x) & 0xFF else 0
+          o.write((cur - up) & 0xFF)
+          x += 1
+        }
+        r += 1
+      }
+      o.toByteArray
+    }
+    val z = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(filtered); d.finish()
+      val o = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end()
+      o.toByteArray
+    }
+    val png = onePageStream(s"<< /Length ${z.length} /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $cols >> >>", z)
+    assert(png == (("pdf", "pred ok")),
+      s"PNG-predictor content must decode through the unfilter: $png")
+    // r14 ADVICE regression shape: the same stream with the predictor
+    // SILENTLY DROPPED from handling would yield filtered garbage —
+    // claim TIFF predictor 2 instead: honest reject
+    val tiff = onePageStream(s"<< /Length ${z.length} /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 2 /Columns $cols >> >>", z)
+    assert(tiff._1 == "unknown", "TIFF predictor must reject")
+    // a predictor on an UNFILTERED stream is malformed: reject
+    val nofil = onePageStream(s"<< /Length ${filtered.length} " +
+      s"/DecodeParms << /Predictor 12 /Columns $cols >> >>", filtered)
+    assert(nofil._1 == "unknown", "predictor without a filter must reject")
+  }
+
   test("composition: extracted pages feed the text-analysis surface") {
     // the shape the pipeline brief cares about: pdf_text output is a
     // (doc, text) corpus — shingles and token stats must compute on it

@@ -89,6 +89,65 @@ class RobotsSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate agent groups: the FIRST declared group wins ties") {
+    // two separate groups naming the same token are NOT merged (the
+    // disclosed divergence from the RFC's merge rule) — and the first
+    // one declared must win, exactly as the scaladoc says (r14 ADVICE:
+    // the unreversed group walk silently made the LAST win)
+    val robots =
+      """User-agent: graftbot
+        |Disallow: /first/
+        |
+        |User-agent: graftbot
+        |Allow: /
+        |""".stripMargin
+    assert(decide(robots, "graftbot", "/first/x") == ((false, "/first/")))
+    assert(decide(robots, "graftbot", "/other")._1,
+      "first group has no rule for /other: allowed by no-match")
+    // same for duplicate '*' groups
+    val star =
+      """User-agent: *
+        |Disallow: /a/
+        |
+        |User-agent: *
+        |Allow: /a/
+        |""".stripMargin
+    assert(decide(star, "anybot", "/a/x") == ((false, "/a/")))
+  }
+
+  test("wildcard match is linear: the crafted backtracking bomb completes instantly") {
+    // the r14 ADVICE CPU-bomb shape: many '*'s that each used to fork
+    // a recursive scan — exponential before, O(path * pattern) now
+    val bomb = "/" + "*a" * 24 + "*b$"
+    val path = "/" + "a" * 400
+    val t0 = System.nanoTime()
+    assert(!RobotsAllowed.pathMatches(bomb, path))
+    assert(RobotsAllowed.pathMatches("/" + "*a" * 24 + "*b$", "/" + "a" * 60 + "b"))
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs < 2000, s"wildcard match took ${elapsedMs}ms")
+    // randomized equivalence against the JDK regex engine (prefix
+    // semantics = lookingAt, anchored = matches)
+    val rnd = new scala.util.Random(9157)
+    for (_ <- 0 until 4000) {
+      val pat = "/" + Seq.fill(rnd.nextInt(8))(
+        "ab*".charAt(rnd.nextInt(3))).mkString +
+        (if (rnd.nextBoolean()) "$" else "")
+      val p = "/" + Seq.fill(rnd.nextInt(10))(
+        "ab".charAt(rnd.nextInt(2))).mkString
+      val anchored = pat.endsWith("$")
+      val core = if (anchored) pat.dropRight(1) else pat
+      val rx = java.util.regex.Pattern.compile(
+        core.map {
+          case '*' => ".*"
+          case c => java.util.regex.Pattern.quote(c.toString)
+        }.mkString)
+      val m = rx.matcher(p)
+      val expect = if (anchored) m.matches() else m.lookingAt()
+      assert(RobotsAllowed.pathMatches(pat, p) == expect,
+        s"pattern [$pat] path [$p]")
+    }
+  }
+
   test("fuzz: garbage and truncations classify, never throw") {
     val base = RobotsSynth.robotsTxt(7L)
     var kk = 0

@@ -93,6 +93,51 @@ class ZipSpec extends AnyFunSuite {
     }
   }
 
+  test("zip bombs: overlapping central entries and total-output cap reject") {
+    // (a) overlapping-entry bomb: duplicate a valid central entry so
+    // two entries alias the same local payload — each decodes with a
+    // passing CRC, so only the overlap gate can reject it
+    val ok = ZipSynth.zipBytes(2L) // no archive comment (doc % 3 != 0)
+    assert(ZipEntries.compute(ok) != null)
+    def leU16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    var eo = -1
+    var ei = ok.length - 22
+    while (eo < 0 && ei >= 0) {
+      if (ok(ei) == 'P' && ok(ei + 1) == 'K' && ok(ei + 2) == 5 &&
+        ok(ei + 3) == 6) eo = ei
+      ei -= 1
+    }
+    val cdOff = (ok(eo + 16) & 0xFF) | ((ok(eo + 17) & 0xFF) << 8) |
+      ((ok(eo + 18) & 0xFF) << 16) | ((ok(eo + 19) & 0xFF) << 24)
+    val firstLen = 46 + leU16(ok, cdOff + 28) + leU16(ok, cdOff + 30) +
+      leU16(ok, cdOff + 32)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ok, 0, eo) // everything through the old central directory
+    out.write(ok, cdOff, firstLen) // the duplicated first entry
+    val n = leU16(ok, eo + 10)
+    val eocd = java.util.Arrays.copyOfRange(ok, eo, ok.length)
+    eocd(8) = ((n + 1) & 0xFF).toByte; eocd(9) = ((n + 1) >> 8).toByte
+    eocd(10) = eocd(8); eocd(11) = eocd(9)
+    val newCdSize = (eo - cdOff) + firstLen
+    eocd(12) = (newCdSize & 0xFF).toByte
+    eocd(13) = ((newCdSize >> 8) & 0xFF).toByte
+    eocd(14) = ((newCdSize >> 16) & 0xFF).toByte
+    eocd(15) = ((newCdSize >> 24) & 0xFF).toByte
+    out.write(eocd, 0, eocd.length)
+    assert(ZipEntries.compute(out.toByteArray) == null,
+      "aliased central entries must reject (overlap gate)")
+    // (b) cumulative-output bomb: members individually under the
+    // 16 MiB per-member cap, 80 MiB total — past the 64 MiB walk cap
+    val zeros16M = new Array[Byte](1 << 24)
+    val big = ZipSynth.writeArchive(
+      (0 until 5).map(i => (s"z$i.bin", 8, zeros16M, Array.emptyByteArray)), "")
+    assert(ZipEntries.compute(big) == null, "80 MiB total must reject")
+    val okTotal = ZipSynth.writeArchive(
+      (0 until 3).map(i => (s"z$i.bin", 8, zeros16M, Array.emptyByteArray)), "")
+    assert(ZipEntries.compute(okTotal) != null, "48 MiB total still decodes")
+  }
+
   test("reject matrix: flipped payload bit (CRC), encryption flag, torn tails") {
     val ok = ZipSynth.zipBytes(4L)
     assert(ZipEntries.compute(ok) != null)

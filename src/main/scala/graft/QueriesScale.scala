@@ -2698,11 +2698,15 @@ object QueriesScale {
   // quote operators). The fixture rotation puts every structural
   // variant on the hash: two-level page trees (doc%3=0), deflated
   // streams (odd docs), indirect lengths (doc%4=2), and appended
-  // incremental updates that re-define page 0 (doc%5=0) — the oracle
-  // replays the page text in closed form, so a stale-object read or a
-  // mis-assembled line flips the hash. Encrypted / CID-keyed / xref-
-  // stream files reject honestly (PdfSpec). Per-row, zero shuffle
-  // until the explode.
+  // incremental updates that re-define page 0 (doc%5=0 or doc%11=9 —
+  // the latter as a HYBRID classic+/XRefStm section whose new content
+  // stream is reachable only through the stream side channel), and
+  // Type0/CID pages decoded through /ToUnicode CMaps (doc%11=7, all
+  // three mapping forms with a mid-stream Tf switch) — the oracle
+  // replays the page text in closed form, so a stale-object read, a
+  // mis-assembled line, or a byte-level read of CID codes flips the
+  // hash. Encrypted / un-mapped-CID files reject honestly (PdfSpec).
+  // Per-row, zero shuffle until the explode.
   private val pdfTextQ = Q(
     (s, dir) => {
       val d = ScaleOps.pdfText(ScaleOps.synthPdf(col("doc_id")))
@@ -2719,7 +2723,7 @@ object QueriesScale {
     },
     Some(
       """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS np,
-        |   (doc_id % 5 = 0) AS upd FROM documents),
+        |   (doc_id % 5 = 0 OR doc_id % 11 = 9) AS upd FROM documents),
         | pg AS (SELECT doc_id, np, i.range AS pi,
         |        CASE WHEN i.range = 0 AND upd
         |         THEN 'Doc ' || doc_id || ' page 0 (updated)'

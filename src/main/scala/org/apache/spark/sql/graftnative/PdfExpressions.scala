@@ -41,13 +41,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    one space); `Td`/`TD`/`T*`/`'`/`"` start a new line; page texts
   *    join lines with `\n`.
   *
+  * Composite (Type0/CID) fonts decode through their `/ToUnicode`
+  * CMap (§9.10.3): `Tf` tracks the active font, show-strings split
+  * into the CMap's fixed-length codes, and `bfchar`/`bfrange`
+  * (increment AND array forms) map codes to UTF-16 text — the route
+  * most post-2000 writers need.
+  *
   * Honest rejects (never guesses): encrypted files (trailer
-  * `/Encrypt`), CID-keyed text (any page resource font with
-  * `/Subtype /Type0` — glyph-indexed strings are NOT character codes
-  * and emitting them would be garbage), hybrid-reference files'
-  * `/XRefStm` side-channel (the classic chain is still walked; a
-  * disclosed scope bound), non-Flate filters, torn objects, and
-  * missing catalog/page structure.
+  * `/Encrypt`), Type0 fonts WITHOUT a /ToUnicode CMap (glyph-indexed
+  * strings with no map are NOT character codes and emitting them
+  * would be garbage), unmapped codes in a mapped font, non-Flate
+  * filters, torn objects, and missing catalog/page structure.
   * Simple fonts (Type1/TrueType with standard encodings) show byte
   * strings whose printable range coincides with Latin-1, which is
   * exactly the regime where byte-level extraction is sound.
@@ -648,11 +652,21 @@ object PdfText {
     }
   }
 
-  /** One CLASSIC xref table section; returns the /Prev offset or -1. */
+  /** One CLASSIC xref table section; returns the /Prev offset or -1.
+    *
+    * Entries are buffered, not committed directly: if the trailer
+    * carries `/XRefStm` (a HYBRID-reference file, §7.5.8.4), the xref
+    * STREAM it points at takes precedence for the objects it covers —
+    * it is processed first, so a hybrid incremental update's
+    * stream-side redefinitions beat this section's (and any older
+    * section's) entries instead of silently yielding stale objects.
+    */
   private def classicXrefSection(b: Array[Byte], at: Int, acc: XrefAcc): Int = {
     val p = new P(b, at)
     p.skipWs()
     if (p.keyword() != "xref") bad()
+    // (num, offset, isFree) buffered until the trailer is read
+    val buf = new java.util.ArrayList[(Int, Int, Boolean)]()
     var done = false
     while (!done) {
       p.skipWs()
@@ -670,11 +684,9 @@ object PdfText {
           p.skipWs()
           val typ = p.keyword()
           if (off.length != 10 || typ.length != 1) bad()
-          if (typ == "n") {
-            if (!acc.seen(start + k)) acc.direct += ((start + k) -> off.toInt)
-          } else if (typ == "f") {
-            if (!acc.seen(start + k)) acc.free += (start + k)
-          } else bad()
+          if (typ == "n") buf.add((start + k, off.toInt, false))
+          else if (typ == "f") buf.add((start + k, 0, true))
+          else bad()
           k += 1
         }
       } else done = true
@@ -686,6 +698,23 @@ object PdfText {
       case _ => bad()
     }
     if (acc.trailer == null) acc.trailer = t
+    // hybrid side channel first: its entries outrank this section's
+    t.getOrElse("XRefStm", null) match {
+      case null =>
+      case l: java.lang.Long =>
+        val stmAt = l.toInt
+        if (stmAt < 0 || stmAt >= b.length) bad()
+        xrefStreamSection(b, stmAt, acc) // its /Prev (if any) is ignored
+      case _ => bad()
+    }
+    var i = 0
+    while (i < buf.size()) {
+      val (num, off, isFree) = buf.get(i)
+      if (!acc.seen(num)) {
+        if (isFree) acc.free += num else acc.direct += (num -> off)
+      }
+      i += 1
+    }
     t.getOrElse("Prev", null) match {
       case l: java.lang.Long => l.toInt
       case null => -1
@@ -721,20 +750,164 @@ object PdfText {
     acc
   }
 
+  // ---------------------------------------------- ToUnicode CMaps
+
+  /** A composite (Type0) font's text decoder: fixed-length character
+    * codes looked up in its /ToUnicode CMap. Simple fonts are `null`
+    * in the font map (byte/Latin-1 semantics).
+    */
+  private[graftnative] final class Type0Font(val codeLen: Int,
+    val cmap: java.util.HashMap[Integer, String])
+
+  private val MaxCmapEntries = 1 << 16
+
+  /** Parse a /ToUnicode CMap stream (ISO 32000-1 §9.10.3 / Adobe
+    * CMap syntax): `codespacerange` fixes the code byte length (1 or
+    * 2 — the sound subset; Identity-H writers emit 2), `bfchar` pairs
+    * and `bfrange` triples (single-dst increment form AND the array
+    * form) map codes to UTF-16BE strings. PostScript scaffolding
+    * (`findresource`, `def`, dict blocks) is skipped as inert
+    * operands; malformed entries reject the file.
+    */
+  private[graftnative] def parseToUnicode(data: Array[Byte]): Type0Font = {
+    val p = new P(data, 0)
+    var codeLen = -1
+    val cmap = new java.util.HashMap[Integer, String]()
+    def codeOf(s: PdfStr): Int = {
+      if (s.bytes.length < 1 || s.bytes.length > 2) bad()
+      if (codeLen < 0) codeLen = s.bytes.length
+      else if (codeLen != s.bytes.length) bad()
+      var v = 0
+      var i = 0
+      while (i < s.bytes.length) { v = (v << 8) | (s.bytes(i) & 0xFF); i += 1 }
+      v
+    }
+    def utf16(s: PdfStr): String = {
+      if (s.bytes.length % 2 != 0 || s.bytes.length == 0) bad()
+      new String(s.bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+    }
+    def put(code: Int, dst: String): Unit = {
+      if (cmap.size() >= MaxCmapEntries) bad()
+      cmap.put(code, dst)
+    }
+    // one token: a COS-parsable object, a keyword string, or null at EOF
+    def tok(): Any = {
+      p.skipWs()
+      val c = p.peek
+      if (c == -1) null
+      else if (c == '/' || c == '(' || c == '[' || c == '<' ||
+        c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) p.obj(0)
+      else p.keywordOrSym().mkString
+    }
+    var done = false
+    while (!done) {
+      tok() match {
+        case null => done = true
+        case "begincodespacerange" =>
+          var more = true
+          while (more) tok() match {
+            case "endcodespacerange" => more = false
+            case lo: PdfStr =>
+              codeOf(lo)
+              tok() match {
+                case hi: PdfStr => codeOf(hi)
+                case _ => bad()
+              }
+            case _ => bad()
+          }
+        case "beginbfchar" =>
+          var more = true
+          while (more) tok() match {
+            case "endbfchar" => more = false
+            case src: PdfStr =>
+              tok() match {
+                case dst: PdfStr => put(codeOf(src), utf16(dst))
+                case _ => bad()
+              }
+            case _ => bad()
+          }
+        case "beginbfrange" =>
+          var more = true
+          while (more) tok() match {
+            case "endbfrange" => more = false
+            case loS: PdfStr =>
+              val lo = codeOf(loS)
+              val hi = tok() match {
+                case hiS: PdfStr => codeOf(hiS)
+                case _ => bad()
+              }
+              if (hi < lo || hi - lo + 1 > MaxCmapEntries) bad()
+              tok() match {
+                case dst: PdfStr =>
+                  // increment form: the LAST UTF-16 code unit steps
+                  val base = utf16(dst)
+                  var k = 0
+                  while (k <= hi - lo) {
+                    val last = base.charAt(base.length - 1) + k
+                    if (last > 0xFFFF) bad()
+                    put(lo + k,
+                      base.substring(0, base.length - 1) + last.toChar)
+                    k += 1
+                  }
+                case arr: Vector[Any @unchecked] =>
+                  if (arr.size != hi - lo + 1) bad()
+                  var k = 0
+                  while (k <= hi - lo) {
+                    arr(k) match {
+                      case d: PdfStr => put(lo + k, utf16(d))
+                      case _ => bad()
+                    }
+                    k += 1
+                  }
+                case _ => bad()
+              }
+            case _ => bad()
+          }
+        case _ => // numbers, names, dicts, PostScript keywords: inert
+      }
+    }
+    if (codeLen < 0) codeLen = 2 // no codespacerange: Identity-H default
+    if (cmap.isEmpty) bad() // an empty map cannot decode anything
+    new Type0Font(codeLen, cmap)
+  }
+
   // ------------------------------------------------- content streams
 
-  /** Fixed text-assembly rules over one page's concatenated content. */
-  private def pageText(content: Array[Byte], budget: Int): String = {
+  /** Fixed text-assembly rules over one page's concatenated content.
+    * `fonts` maps the page's font resource names to their Type0
+    * decoders (absent = simple byte/Latin-1 font); `Tf` switches the
+    * active font. Graphics-state save/restore (`q`/`Q`) is not
+    * tracked for font selection — the font last set by `Tf` stays
+    * active, which matches linear text-writer output.
+    */
+  private def pageText(content: Array[Byte], budget: Int,
+      fonts: Map[String, Type0Font]): String = {
     val p = new P(content, 0)
     val sb = new StringBuilder()
     var inText = false
+    var curFont: Type0Font = null // null = simple byte font
     def newline(): Unit =
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
     def show(s: PdfStr): Unit = {
-      var i = 0
-      while (i < s.bytes.length) {
-        sb.append((s.bytes(i) & 0xFF).toChar) // Latin-1 byte semantics
-        i += 1
+      if (curFont == null) {
+        var i = 0
+        while (i < s.bytes.length) {
+          sb.append((s.bytes(i) & 0xFF).toChar) // Latin-1 byte semantics
+          i += 1
+        }
+      } else {
+        val cl = curFont.codeLen
+        if (s.bytes.length % cl != 0) bad() // torn multi-byte code
+        var i = 0
+        while (i < s.bytes.length) {
+          var code = 0
+          var k = 0
+          while (k < cl) { code = (code << 8) | (s.bytes(i + k) & 0xFF); k += 1 }
+          val m = curFont.cmap.get(code)
+          if (m == null) bad() // unmapped code: reject, don't guess
+          sb.append(m)
+          i += cl
+        }
       }
       if (sb.length > budget) bad()
     }
@@ -797,6 +970,13 @@ object PdfText {
               operands.clear()
             case "Td" | "TD" | "T*" =>
               if (inText) newline()
+              operands.clear()
+            case "Tf" =>
+              if (operands.size() >= 2)
+                operands.get(operands.size() - 2) match {
+                  case PdfName(n) => curFont = fonts.getOrElse(n, null)
+                  case _ =>
+                }
               operands.clear()
             case _ => operands.clear() // any other operator: no text effect
           }
@@ -861,18 +1041,29 @@ object PdfText {
       }
       walk(pagesRoot, 0)
       if (pages.isEmpty) bad()
-      // CID gate: any Type0 font in any page's resources rejects
+      // per-page font maps: Type0 (composite/CID) fonts decode through
+      // their /ToUnicode CMap; a Type0 WITHOUT one still rejects the
+      // file — glyph-indexed strings with no map are garbage, the
+      // original honest stance, now narrowed to the truly unmappable
+      val fontMaps = new Array[Map[String, Type0Font]](pages.size())
       var pi = 0
       while (pi < pages.size()) {
+        var fm = Map.empty[String, Type0Font]
         doc.resolve(pages.get(pi).getOrElse("Resources", null), 0) match {
           case res: Map[String @unchecked, Any @unchecked] =>
             doc.resolve(res.getOrElse("Font", null), 0) match {
               case fonts: Map[String @unchecked, Any @unchecked] =>
-                fonts.values.foreach { f =>
+                fonts.foreach { case (fname, f) =>
                   doc.resolve(f, 0) match {
                     case fd: Map[String @unchecked, Any @unchecked] =>
                       if (doc.resolve(fd.getOrElse("Subtype", null), 0) ==
-                        PdfName("Type0")) return unknown
+                        PdfName("Type0")) {
+                        doc.resolve(fd.getOrElse("ToUnicode", null), 0) match {
+                          case s: PdfStream =>
+                            fm += (fname -> parseToUnicode(doc.streamData(s)))
+                          case _ => return unknown // no ToUnicode: reject
+                        }
+                      }
                     case _ =>
                   }
                 }
@@ -880,6 +1071,7 @@ object PdfText {
             }
           case _ =>
         }
+        fontMaps(pi) = fm
         pi += 1
       }
       // text per page
@@ -901,7 +1093,7 @@ object PdfText {
           case arr: Vector[Any @unchecked] => arr.foreach(append)
           case other => append(other)
         }
-        val text = pageText(buf.toByteArray, MaxTextChars - total)
+        val text = pageText(buf.toByteArray, MaxTextChars - total, fontMaps(pi))
         total += text.length
         rows(pi) = new GenericInternalRow(
           Array[Any](pi, UTF8String.fromString(text)))
@@ -943,12 +1135,31 @@ object PdfText {
   *    xref section with `/Prev` — extraction must surface the UPDATED
   *    text, and on ObjStm docs the newer DIRECT object must beat the
   *    older compressed one.
+  *  - classic-form docs with `doc mod 11 == 9` take their update as a
+  *    HYBRID-reference section (classic table + trailer /XRefStm):
+  *    the new content stream is listed ONLY in the xref stream, so
+  *    §7.5.8.4 stream-over-table precedence sits on the hash.
+  *  - docs with `doc mod 11 == 7` render the page body through a
+  *    composite Type0 /F2 font: 2-byte non-ASCII codes decoded via a
+  *    /ToUnicode CMap exercising bfchar, increment-bfrange, AND
+  *    array-bfrange — with a mid-stream `Tf` switch from the simple
+  *    /F1 (first line) on the hash. The page TEXT formula is
+  *    unchanged, so only a correct CMap route can reproduce it.
   */
 object PdfSynth {
   private def fm(a: Long, m: Long): Int = java.lang.Math.floorMod(a, m).toInt
 
   def nPages(doc: Long): Int = 1 + fm(doc, 3)
-  def updated(doc: Long): Boolean = fm(doc, 5) == 0
+  def updated(doc: Long): Boolean = fm(doc, 5) == 0 || fm(doc, 11) == 9
+  /** Classic-form docs on the `mod 11 == 9` lane take their update as
+    * a HYBRID-reference section: the classic table lists only the new
+    * page dict while the new CONTENT stream is listed solely in the
+    * trailer's /XRefStm stream — classic-chain-only resolution
+    * provably yields the stale page text, so the hash carries
+    * §7.5.8.4 precedence.
+    */
+  def hybridUpdate(doc: Long): Boolean =
+    fm(doc, 11) == 9 && !xrefStreamForm(doc)
 
   /** The text both engines must agree on for page p. */
   def pageText(doc: Long, p: Int): String = {
@@ -961,24 +1172,82 @@ object PdfSynth {
       s"hex ${java.lang.Long.toHexString(java.lang.Math.floorMod(doc, 256L))}"
   }
 
+  /** Type0/CID docs: the page body renders through a composite /F2
+    * font whose 2-byte codes deliberately do NOT coincide with ASCII
+    * (0x0200+c, with 'a'..'c' and 'q' detoured through the CMap's
+    * array-bfrange and bfchar forms) — byte-level extraction of these
+    * strings would be garbage, so the hash proves the CMap route.
+    */
+  def type0(doc: Long): Boolean = fm(doc, 11) == 7
+
+  /** Encode `s` as the /F2 composite font's hex show-string. */
+  private def cidHex(s: String): String =
+    s.map { c =>
+      val code =
+        if (c == 'q') 0x0400
+        else if (c >= 'a' && c <= 'c') 0x0300 + (c - 'a')
+        else 0x0200 + c.toInt
+      f"$code%04X"
+    }.mkString
+
   private def contentStream(doc: Long, p: Int, textOverride: String = null): String = {
     val first = if (textOverride != null) textOverride
       else s"Doc $doc page $p \\(alpha\\)"
-    val hex = {
-      val s = s"hex ${java.lang.Long.toHexString(java.lang.Math.floorMod(doc, 256L))}"
-      s.map(c => f"${c.toInt}%02X").mkString
+    val hexLine = s"hex ${java.lang.Long.toHexString(java.lang.Math.floorMod(doc, 256L))}"
+    if (type0(doc)) {
+      // first line through the simple /F1 font, the rest through the
+      // composite /F2 — Tf switching mid-stream sits on the hash
+      s"""BT
+         |/F1 12 Tf
+         |72 720 Td
+         |($first) Tj
+         |/F2 12 Tf
+         |0 -14 TD
+         |[<${cidHex(s"seg $doc")}> -200 <${cidHex("one")}> -50 <${cidHex(" two")}>] TJ
+         |<${cidHex(s"quote 'p$p'")}> '
+         |T*
+         |<${cidHex(hexLine)}> Tj
+         |ET""".stripMargin
+    } else {
+      val hex = hexLine.map(c => f"${c.toInt}%02X").mkString
+      s"""BT
+         |/F1 12 Tf
+         |72 720 Td
+         |($first) Tj
+         |0 -14 TD
+         |[(seg $doc) -200 (one) -50 ( two)] TJ
+         |(quote 'p$p') '
+         |T*
+         |<$hex> Tj
+         |ET""".stripMargin
     }
-    s"""BT
-       |/F1 12 Tf
-       |72 720 Td
-       |($first) Tj
-       |0 -14 TD
-       |[(seg $doc) -200 (one) -50 ( two)] TJ
-       |(quote 'p$p') '
-       |T*
-       |<$hex> Tj
-       |ET""".stripMargin
   }
+
+  /** The /ToUnicode CMap matching [[cidHex]]: all three mapping forms
+    * (bfchar, increment bfrange, array bfrange) plus the PostScript
+    * scaffolding real writers emit.
+    */
+  private def toUnicodeCMap: String =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |/CIDSystemInfo << /Registry (graft) /Ordering (synth) /Supplement 0 >> def
+      |/CMapName /graft-synth def
+      |/CMapType 2 def
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |1 beginbfchar
+      |<0400> <0071>
+      |endbfchar
+      |2 beginbfrange
+      |<0220> <027E> <0020>
+      |<0300> <0302> [<0061> <0062> <0063>]
+      |endbfrange
+      |endcmap
+      |CMapName currentdict /CMap defineresource pop
+      |end
+      |end""".stripMargin
 
   private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
 
@@ -1000,15 +1269,44 @@ object PdfSynth {
       raw("\nendstream\nendobj\n")
     }
     def xrefAndTrailer(nums: Seq[Int], size: Int, rootRef: String,
-        prev: Int = -1): Unit = {
+        prev: Int = -1, xrefStm: Int = -1): Unit = {
       val xrefAt = out.size()
       raw("xref\n0 1\n0000000000 65535 f \n")
       nums.sorted.foreach { n =>
         raw(f"$n%d 1\n${offsets(n)}%010d 00000 n \n")
       }
       val prevPart = if (prev >= 0) s" /Prev $prev" else ""
-      raw(s"trailer\n<< /Size $size /Root $rootRef$prevPart >>\n")
+      val stmPart = if (xrefStm >= 0) s" /XRefStm $xrefStm" else ""
+      raw(s"trailer\n<< /Size $size /Root $rootRef$prevPart$stmPart >>\n")
       raw(s"startxref\n$xrefAt\n%%EOF\n")
+    }
+
+    /** A bare /Type /XRef stream OBJECT (no trailer/startxref) — the
+      * hybrid-file side channel a classic trailer points at via
+      * /XRefStm. Lists `directNums` plus itself; returns its offset.
+      */
+    def xrefStreamObjOnly(xrefNum: Int, directNums: Seq[Int], size: Int,
+        rootRef: String): Int = {
+      val xrefAt = out.size()
+      val rows = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Int)]()
+      directNums.foreach(n => rows += ((n, 1, offsets(n).toLong, 0)))
+      rows += ((xrefNum, 1, xrefAt.toLong, 0))
+      val sorted = rows.sortBy(_._1)
+      val body = new java.io.ByteArrayOutputStream()
+      sorted.foreach { case (_, typ, f2, f3) =>
+        body.write(typ)
+        body.write(((f2 >> 24) & 0xFF).toInt); body.write(((f2 >> 16) & 0xFF).toInt)
+        body.write(((f2 >> 8) & 0xFF).toInt); body.write((f2 & 0xFF).toInt)
+        body.write((f3 >> 8) & 0xFF); body.write(f3 & 0xFF)
+      }
+      val z = deflate(body.toByteArray)
+      val idx = sorted.map(e => s"${e._1} 1").mkString(" ")
+      raw(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] " +
+        s"/Index [$idx] /Root $rootRef /Filter /FlateDecode " +
+        s"/Length ${z.length} >>\nstream\n")
+      out.write(z, 0, z.length)
+      raw("\nendstream\nendobj\n")
+      xrefAt
     }
 
     /** The PDF 1.5 form: a /Type /XRef stream object. `compressedIn`
@@ -1131,12 +1429,16 @@ object PdfSynth {
       else (0 until np).map(p => s"${10 + p} 0 R").mkString("[", " ", "]")
     def parentOf(p: Int): String =
       if (twoLevel && np > 1 && p < np - 1) "4 0 R" else "2 0 R"
+    // type0 docs add the composite /F2 (dict 5, descendant 6, CMap
+    // stream 7) next to the simple /F1
+    val fontsDict =
+      if (type0(doc)) "<< /F1 3 0 R /F2 5 0 R >>" else "<< /F1 3 0 R >>"
     def pageDict(p: Int): String = {
       val contents =
         if (splitContents) s"[${20 + p} 0 R ${40 + p} 0 R]"
         else s"${20 + p} 0 R"
       s"""<< /Type /Page /Parent ${parentOf(p)} /MediaBox [0 0 612 792]
-         | /Resources << /Font << /F1 3 0 R >> >>
+         | /Resources << /Font $fontsDict >>
          | /Contents $contents >>""".stripMargin
     }
     // dict-only objects: written plainly, or packed into the ObjStm
@@ -1150,8 +1452,22 @@ object PdfSynth {
       dictObjs +=
         ((4, s"<< /Type /Pages /Kids $inner /Count ${np - 1} /Parent 2 0 R >>"))
     }
+    if (type0(doc)) {
+      dictObjs += ((5, "<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+        "/Encoding /Identity-H /DescendantFonts [6 0 R] /ToUnicode 7 0 R >>"))
+      dictObjs += ((6, "<< /Type /Font /Subtype /CIDFontType2 " +
+        "/BaseFont /GraftCID /CIDSystemInfo << /Registry (graft) " +
+        "/Ordering (synth) /Supplement 0 >> >>"))
+    }
     val streamLens = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
     val streamNums = scala.collection.mutable.ArrayBuffer[Int]()
+    if (type0(doc)) {
+      val cm = toUnicodeCMap.getBytes(Latin1)
+      val data = if (flate) deflate(cm) else cm
+      val filterPart = if (flate) " /Filter /FlateDecode" else ""
+      b.streamObj(7, s"<< /Length ${data.length}$filterPart >>", data)
+      streamNums += 7
+    }
     for (p <- 0 until np) {
       dictObjs += ((10 + p, pageDict(p)))
       val full = contentStream(doc, p)
@@ -1203,7 +1519,7 @@ object PdfSynth {
       }
       b.obj(10,
         s"""<< /Type /Page /Parent ${parentOf(0)} /MediaBox [0 0 612 792]
-           | /Resources << /Font << /F1 3 0 R >> >>
+           | /Resources << /Font $fontsDict >>
            | /Contents 20 0 R >>""".stripMargin)
       val cs2 = contentStream(doc, 0,
         textOverride = s"Doc $doc page 0 \\(updated\\)").getBytes(Latin1)
@@ -1213,7 +1529,13 @@ object PdfSynth {
       if (xrefStream)
         b.xrefStreamAndTrailer(61, Seq(10, 20), Nil, 70, "1 0 R",
           prev = firstXrefAt, predictor = useObjStm)
-      else
+      else if (hybridUpdate(doc)) {
+        // hybrid: the classic table lists ONLY the page dict; the new
+        // content stream is reachable solely through /XRefStm
+        val stmAt = b.xrefStreamObjOnly(62, Seq(20), 70, "1 0 R")
+        b.xrefAndTrailer(Seq(10), 70, "1 0 R", prev = firstXrefAt,
+          xrefStm = stmAt)
+      } else
         b.xrefAndTrailer(Seq(10, 20), 70, "1 0 R", prev = firstXrefAt)
     }
     b.out.toByteArray

@@ -153,6 +153,105 @@ class PdfSpec extends AnyFunSuite {
       "predictor row misalignment rejects")
   }
 
+  test("Type0/ToUnicode: CID docs extract, ligature/surrogate dsts decode, sweeps hold") {
+    // fixture rotation: doc % 11 == 7 routes the page body through a
+    // composite /F2 whose codes are NOT ASCII — the roundtrip sweep
+    // already asserts text equality; here pin the route explicitly
+    val t0docs = (0L to 60L).filter(PdfSynth.type0)
+    assert(t0docs.nonEmpty)
+    for (doc <- t0docs) {
+      val r = PdfText.compute(PdfSynth.pdfBytes(doc))
+      assert(r.getUTF8String(0).toString == "pdf", s"doc $doc rejected")
+      for (p <- 0 until PdfSynth.nPages(doc))
+        assert(r.getArray(3).getStruct(p, 2).getUTF8String(1).toString ==
+          PdfSynth.pageText(doc, p), s"doc $doc page $p")
+    }
+    // a hand-built CMap with a MULTI-UNIT dst (ff ligature) and a
+    // SURROGATE-PAIR dst (U+1D400): both decode through UTF-16BE
+    def mini(cmap: String, show: String): (String, String) = {
+      val b = new java.io.ByteArrayOutputStream()
+      def raw(s: String): Unit = { val x = s.getBytes(Latin1); b.write(x, 0, x.length) }
+      val offs = scala.collection.mutable.Map[Int, Int]()
+      raw("%PDF-1.7\n")
+      def obj(n: Int, s: String): Unit = { offs(n) = b.size(); raw(s"$n 0 obj\n$s\nendobj\n") }
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+      obj(3, "<< /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /G 5 0 R >> >> /Contents 4 0 R >>")
+      val content = s"BT /G 10 Tf $show Tj ET"
+      offs(4) = b.size()
+      raw(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+      obj(5, "<< /Type /Font /Subtype /Type0 /BaseFont /T /Encoding /Identity-H " +
+        "/DescendantFonts [6 0 R] /ToUnicode 7 0 R >>")
+      obj(6, "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /T >>")
+      offs(7) = b.size()
+      raw(s"7 0 obj\n<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n")
+      val xr = b.size()
+      raw("xref\n0 1\n0000000000 65535 f \n")
+      Seq(1, 2, 3, 4, 5, 6, 7).foreach(n => raw(f"$n 1\n${offs(n)}%010d 00000 n \n"))
+      raw("trailer\n<< /Size 8 /Root 1 0 R >>\n")
+      raw(s"startxref\n$xr\n%%EOF\n")
+      val r = PdfText.compute(b.toByteArray)
+      val fmt = r.getUTF8String(0).toString
+      (fmt, if (fmt == "pdf")
+        r.getArray(3).getStruct(0, 2).getUTF8String(1).toString else null)
+    }
+    val cmap =
+      """begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |3 beginbfchar
+        |<0001> <00660066>
+        |<0002> <D835DC00>
+        |<0003> <0058>
+        |endbfchar
+        |endcmap""".stripMargin
+    assert(mini(cmap, "<000100020003>") ==
+      (("pdf", "ff" + "𝐀" + "X")))
+    // unmapped code: honest reject
+    assert(mini(cmap, "<0009>")._1 == "unknown")
+    // torn code (odd byte count against 2-byte codes): reject
+    assert(mini(cmap, "<000100>")._1 == "unknown")
+    // truncation + bit-flip sweeps over a type0 doc (CMap included)
+    val ok = PdfSynth.pdfBytes(7L)
+    var k = 0
+    while (k < ok.length) { PdfText.compute(ok.take(k)); k += 13 }
+    var p = 0
+    while (p < ok.length) {
+      val c = ok.clone()
+      c(p) = (c(p) ^ 0x08).toByte
+      PdfText.compute(c)
+      p += 29
+    }
+  }
+
+  test("hybrid /XRefStm: the stream side-channel wins over the classic chain") {
+    val hybridDocs = (0L to 120L).filter(PdfSynth.hybridUpdate)
+    assert(hybridDocs.nonEmpty)
+    for (doc <- hybridDocs) {
+      val ok = PdfSynth.pdfBytes(doc)
+      val r = PdfText.compute(ok)
+      assert(r.getUTF8String(0).toString == "pdf", s"doc $doc rejected")
+      val t = r.getArray(3).getStruct(0, 2).getUTF8String(1).toString
+      assert(t == PdfSynth.pageText(doc, 0), s"doc $doc page 0")
+      assert(t.contains("(updated)"), s"doc $doc must surface the hybrid update")
+      // the DIVERGENCE proof: strip the /XRefStm key and the very same
+      // file resolves the content stream through the classic chain to
+      // the STALE version — the side channel is load-bearing
+      val s = new String(ok, Latin1)
+      val at = s.lastIndexOf(" /XRefStm ")
+      assert(at > 0, s"doc $doc trailer must carry /XRefStm")
+      val end = s.indexOf(" >>", at)
+      val stripped = (s.substring(0, at) + s.substring(end)).getBytes(Latin1)
+      val r2 = PdfText.compute(stripped)
+      assert(r2.getUTF8String(0).toString == "pdf", s"doc $doc stripped rejected")
+      val t2 = r2.getArray(3).getStruct(0, 2).getUTF8String(1).toString
+      assert(t2.contains("(alpha)") && !t2.contains("(updated)"),
+        s"doc $doc: classic-only resolution should have yielded the stale text")
+    }
+  }
+
   test("incremental delete: a freed object must NOT resurrect from an older section") {
     // r14 ADVICE: free entries were not recorded in the newest-wins
     // set, so an object deleted by a newer update silently resolved to

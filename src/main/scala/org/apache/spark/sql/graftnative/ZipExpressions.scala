@@ -23,9 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * decompressed bytes (the gzip/WARC stance: one corrupt member
   * rejects the archive rather than emitting plausible garbage).
   *
+  * ZIP64 archives resolve fully (>4 GiB shards are routine at corpus
+  * scale): 0xFFFF/0xFFFFFFFF sentinels route through the EOCD64
+  * locator + record (APPNOTE §4.3.14/15) and each entry's 0x0001
+  * extra field (§4.5.3) for usize/csize/offset/disk overflow — every
+  * marker independently, since writers emit any subset.
+  *
   * Honest rejects: encrypted entries (general-purpose bit 0),
-  * compression methods other than stored/deflate, ZIP64 archives
-  * (0xFFFF/0xFFFFFFFF sentinel fields — a disclosed scope bound),
+  * compression methods other than stored/deflate, multi-disk
+  * archives, sentinel fields whose ZIP64 record is absent,
   * signature/offset inconsistencies, CRC mismatches.
   *
   * Output: per entry `(name, method, offset, csize, usize,
@@ -89,6 +95,12 @@ object ZipEntries {
   private def leU32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
       ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+  private def leU64(b: Array[Byte], i: Int): Long = {
+    var v = 0L
+    var k = 7
+    while (k >= 0) { v = (v << 8) | (b(i + k) & 0xFFL); k -= 1 }
+    v
+  }
 
   private val tlMd5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
@@ -134,13 +146,39 @@ object ZipEntries {
       i -= 1
     }
     if (eocd < 0) return null
-    val nEntries = leU16(b, eocd + 10)
+    var nEntries = leU16(b, eocd + 10)
     if (leU16(b, eocd + 8) != nEntries) return null // multi-disk: reject
-    if (nEntries == 0xFFFF) return null // ZIP64: disclosed out of scope
-    val cdSize = leU32(b, eocd + 12)
-    val cdOff = leU32(b, eocd + 16)
-    if (cdOff == 0xFFFFFFFFL) return null // ZIP64
-    if (cdOff + cdSize > eocd) return null
+    var cdSize = leU32(b, eocd + 12)
+    var cdOff = leU32(b, eocd + 16)
+    // cd must end where the tail structures begin: the EOCD, or the
+    // EOCD64 record when the ZIP64 path below re-points it
+    var cdEnd = eocd.toLong
+    if (nEntries == 0xFFFF || cdSize == 0xFFFFFFFFL || cdOff == 0xFFFFFFFFL) {
+      // ZIP64 (APPNOTE §4.3.14/15): the EOCD64 locator immediately
+      // precedes the EOCD and points at the EOCD64 record
+      val loc = eocd - 20
+      if (loc < 0) return null
+      if (!(b(loc) == 'P' && b(loc + 1) == 'K' && b(loc + 2) == 6 &&
+        b(loc + 3) == 7)) return null
+      if (leU32(b, loc + 4) != 0L) return null // disk with the EOCD64
+      if (leU32(b, loc + 16) != 1L) return null // total disks
+      val e64 = leU64(b, loc + 8)
+      if (e64 < 0 || e64 + 56 > loc) return null
+      val at = e64.toInt
+      if (!(b(at) == 'P' && b(at + 1) == 'K' && b(at + 2) == 6 &&
+        b(at + 3) == 6)) return null
+      if (leU32(b, at + 16) != 0L || leU32(b, at + 20) != 0L)
+        return null // multi-disk
+      val n64 = leU64(b, at + 24)
+      if (n64 != leU64(b, at + 32)) return null // per-disk vs total
+      if (n64 < 0 || n64 > MaxEntries) return null
+      nEntries = n64.toInt
+      cdSize = leU64(b, at + 40)
+      cdOff = leU64(b, at + 48)
+      if (cdSize < 0 || cdOff < 0) return null
+      cdEnd = e64
+    }
+    if (cdOff + cdSize > cdEnd) return null
     if (nEntries > MaxEntries) return null
     val out = new Array[DecodedEntry](nEntries)
     // local-header byte ranges, for the overlap rejection after the walk
@@ -157,14 +195,53 @@ object ZipEntries {
       if ((flags & 1) != 0) return null // encrypted: honest reject
       val method = leU16(b, p + 10)
       val crc = leU32(b, p + 16)
-      val csize = leU32(b, p + 20)
-      val usize = leU32(b, p + 24)
-      if (csize == 0xFFFFFFFFL || usize == 0xFFFFFFFFL) return null // ZIP64
+      var csize = leU32(b, p + 20)
+      var usize = leU32(b, p + 24)
       val nameLen = leU16(b, p + 28)
       val extraLen = leU16(b, p + 30)
       val commentLen = leU16(b, p + 32)
-      val localOff = leU32(b, p + 42)
-      if (p + 46 + nameLen > eocd) return null
+      val diskStart = leU16(b, p + 34)
+      var localOff = leU32(b, p + 42)
+      if (p + 46 + nameLen + extraLen > eocd) return null
+      // ZIP64 sentinels resolve through the entry's 0x0001 extra
+      // field: 8-byte usize/csize/localOff (4-byte disk) present in
+      // that order for exactly the fields that overflowed (§4.5.3)
+      if (csize == 0xFFFFFFFFL || usize == 0xFFFFFFFFL ||
+        localOff == 0xFFFFFFFFL || diskStart == 0xFFFF) {
+        var x = p + 46 + nameLen
+        val xEnd = x + extraLen
+        var found = false
+        while (!found && x + 4 <= xEnd) {
+          val id = leU16(b, x)
+          val len = leU16(b, x + 2)
+          if (x + 4 + len > xEnd) return null
+          if (id == 1) {
+            var q = x + 4
+            val qEnd = x + 4 + len
+            if (usize == 0xFFFFFFFFL) {
+              if (q + 8 > qEnd) return null
+              usize = leU64(b, q); q += 8
+            }
+            if (csize == 0xFFFFFFFFL) {
+              if (q + 8 > qEnd) return null
+              csize = leU64(b, q); q += 8
+            }
+            if (localOff == 0xFFFFFFFFL) {
+              if (q + 8 > qEnd) return null
+              localOff = leU64(b, q); q += 8
+            }
+            if (diskStart == 0xFFFF) {
+              if (q + 4 > qEnd) return null
+              if (leU32(b, q) != 0L) return null // multi-disk
+              q += 4
+            }
+            found = true
+          }
+          x += 4 + len
+        }
+        if (!found) return null // sentinel without the ZIP64 field
+        if (csize < 0 || usize < 0 || localOff < 0) return null
+      }
       val name = new String(b, p + 46, nameLen,
         java.nio.charset.StandardCharsets.UTF_8)
       // local header: re-verify the signature, use ITS name/extra
@@ -259,9 +336,11 @@ object ZipEntries {
   * STORED `{key}.bin` plus a DEFLATED `{key}.json` (both decode paths
   * and the CRC gate on every doc), real CRC-32 fields, an archive
   * comment on `doc mod 3 == 0`, and a local extra field on member 0
-  * of `doc mod 4 == 1` (the local/central length divergence). Payload
-  * bytes are the tar fixture's formula, so `payload_md5` has a
-  * closed-form oracle.
+  * of `doc mod 4 == 1` (the local/central length divergence). The
+  * `doc mod 5` lane forces each ZIP64 marker independently (EOCD64
+  * tail, size sentinels, offset sentinel, all three). Payload bytes
+  * are the tar fixture's formula, so `payload_md5` has a closed-form
+  * oracle.
   */
 object ZipSynth {
   private def fm(a: Long, m: Long): Int = java.lang.Math.floorMod(a, m).toInt
@@ -291,16 +370,26 @@ object ZipSynth {
 
   /** Generic archive writer shared by the formula fixture and the
     * EPUB fixture: `(name, method 0|8, rawPayload, localExtra)`.
+    * `zip64Mode` forces ZIP64 markers independently (writers emit any
+    * subset): bit 0 = EOCD64 locator+record with sentinel EOCD
+    * fields, bit 1 = central usize/csize sentinels resolved by the
+    * 0x0001 extra, bit 2 = central offset sentinel likewise.
     */
   private[graftnative] def writeArchive(
       members: Seq[(String, Int, Array[Byte], Array[Byte])],
-      comment: String): Array[Byte] = {
+      comment: String, zip64Mode: Int = 0): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     def u32(v: Long): Unit = {
       out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
       out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
     }
+    def u64(v: Long): Unit = {
+      var k = 0
+      while (k < 8) { out.write(((v >> (8 * k)) & 0xFF).toInt); k += 1 }
+    }
+    val z64Sizes = (zip64Mode & 2) != 0
+    val z64Off = (zip64Mode & 4) != 0
     final case class Entry(name: String, method: Int, crc: Long,
       data: Array[Byte], usize: Long, localOff: Long)
     val entries = scala.collection.mutable.ArrayBuffer[Entry]()
@@ -322,23 +411,66 @@ object ZipSynth {
     }
     val cdOff = out.size().toLong
     entries.foreach { en =>
+      // the 0x0001 extra carries exactly the overflowed fields, in
+      // the spec's fixed order (usize, csize, localOff)
+      val z64Len = (if (z64Sizes) 16 else 0) + (if (z64Off) 8 else 0)
+      val extraLen = if (z64Len > 0) 4 + z64Len else 0
       u32(0x02014B50L)
-      u16(20); u16(20); u16(0); u16(en.method)
+      u16(20); u16(if (z64Len > 0) 45 else 20); u16(0); u16(en.method)
       u16(0); u16(0)
-      u32(en.crc); u32(en.data.length.toLong); u32(en.usize)
-      u16(en.name.length); u16(0); u16(0) // central copy omits the extra
+      u32(en.crc)
+      if (z64Sizes) { u32(0xFFFFFFFFL); u32(0xFFFFFFFFL) }
+      else { u32(en.data.length.toLong); u32(en.usize) }
+      u16(en.name.length); u16(extraLen); u16(0)
       u16(0); u16(0); u32(0)
-      u32(en.localOff)
+      if (z64Off) u32(0xFFFFFFFFL) else u32(en.localOff)
       en.name.foreach(c => out.write(c))
+      if (z64Len > 0) {
+        u16(1); u16(z64Len)
+        if (z64Sizes) { u64(en.usize); u64(en.data.length.toLong) }
+        if (z64Off) u64(en.localOff)
+      }
     }
     val cdSize = out.size() - cdOff
-    u32(0x06054B50L)
-    u16(0); u16(0)
-    u16(entries.size); u16(entries.size)
-    u32(cdSize); u32(cdOff)
-    u16(comment.length)
-    comment.foreach(c => out.write(c))
+    if ((zip64Mode & 1) != 0) {
+      // EOCD64 record, then its locator, then a sentinel EOCD
+      val e64At = out.size().toLong
+      u32(0x06064B50L)
+      u64(44L) // size of the remainder of this record
+      u16(45); u16(45)
+      u32(0L); u32(0L)
+      u64(entries.size.toLong); u64(entries.size.toLong)
+      u64(cdSize.toLong); u64(cdOff)
+      u32(0x07064B50L)
+      u32(0L); u64(e64At); u32(1L)
+      u32(0x06054B50L)
+      u16(0); u16(0)
+      u16(0xFFFF); u16(0xFFFF)
+      u32(0xFFFFFFFFL); u32(0xFFFFFFFFL)
+      u16(comment.length)
+      comment.foreach(c => out.write(c))
+    } else {
+      u32(0x06054B50L)
+      u16(0); u16(0)
+      u16(entries.size); u16(entries.size)
+      u32(cdSize); u32(cdOff)
+      u16(comment.length)
+      comment.foreach(c => out.write(c))
+    }
     out.toByteArray
+  }
+
+  /** ZIP64 marker rotation: each marker independently, then all at
+    * once — small archives with forced sentinels are the legal shape
+    * `force_zip64`-style writers emit, so the resolution machinery
+    * sits on the oracle hash without 4 GiB fixtures.
+    */
+  def zip64Mode(doc: Long): Int = fm(doc, 5) match {
+    case 1 => 1 // EOCD64 locator + record only
+    case 2 => 2 // central size sentinels via the 0x0001 extra
+    case 3 => 4 // central offset sentinel
+    case 4 => 7 // everything
+    case _ => 0 // classic
   }
 
   def zipBytes(doc: Long): Array[Byte] = {
@@ -356,7 +488,8 @@ object ZipSynth {
       }
     }
     writeArchive(members,
-      if (fm(doc, 3) == 0) s"graft shard $doc" else "")
+      if (fm(doc, 3) == 0) s"graft shard $doc" else "",
+      zip64Mode(doc))
   }
 }
 

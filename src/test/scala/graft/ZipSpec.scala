@@ -93,6 +93,44 @@ class ZipSpec extends AnyFunSuite {
     }
   }
 
+  test("ZIP64: every marker combination resolves to the classic decode") {
+    val payloads = Seq(
+      ("a.bin", 0, Array.tabulate[Byte](257)(k => (k * 3).toByte),
+        Array.emptyByteArray),
+      ("b.json", 8, Array.tabulate[Byte](801)(k => (k * 11 + 5).toByte),
+        Array.emptyByteArray))
+    val classic = ZipEntries.compute(ZipSynth.writeArchive(payloads, "c"))
+    assert(classic != null)
+    def render(r: org.apache.spark.sql.catalyst.InternalRow): Seq[(String, String, Long, String)] =
+      (0 until r.getInt(0)).map { i =>
+        val e = r.getArray(1).getStruct(i, 6)
+        (e.getUTF8String(0).toString, e.getUTF8String(1).toString,
+          e.getLong(4), e.getUTF8String(5).toString)
+      }
+    for (mode <- Seq(1, 2, 4, 7)) {
+      val b = ZipSynth.writeArchive(payloads, "c", mode)
+      val r = ZipEntries.compute(b)
+      assert(r != null, s"zip64 mode $mode rejected")
+      assert(render(r) == render(classic), s"zip64 mode $mode decode")
+      // truncation + bit-flip sweeps stay honest on the ZIP64 shapes
+      var k = 0
+      while (k < b.length) { ZipEntries.compute(b.take(k)); k += 19 }
+      var p = 0
+      while (p < b.length) {
+        val c2 = b.clone()
+        c2(p) = (c2(p) ^ 0x20).toByte
+        ZipEntries.compute(c2)
+        p += 31
+      }
+    }
+    // the fixture rotation exercises all modes across seeds
+    for (doc <- 0L to 24L) {
+      val r = ZipEntries.compute(ZipSynth.zipBytes(doc))
+      assert(r != null, s"doc $doc (zip64 mode ${ZipSynth.zip64Mode(doc)})")
+      assert(r.getInt(0) == 2 * ZipSynth.nSamples(doc), s"doc $doc entries")
+    }
+  }
+
   test("zip bombs: overlapping central entries and total-output cap reject") {
     // (a) overlapping-entry bomb: duplicate a valid central entry so
     // two entries alias the same local payload — each decodes with a
@@ -139,7 +177,9 @@ class ZipSpec extends AnyFunSuite {
   }
 
   test("reject matrix: flipped payload bit (CRC), encryption flag, torn tails") {
-    val ok = ZipSynth.zipBytes(4L)
+    // doc 10: classic EOCD lane (doc % 5 == 0), so the hand-doctored
+    // sentinels below are not already resolved by a real EOCD64
+    val ok = ZipSynth.zipBytes(10L)
     assert(ZipEntries.compute(ok) != null)
     // flip a byte inside the FIRST stored payload: CRC must catch it
     val r = ZipEntries.compute(ok)
@@ -160,7 +200,8 @@ class ZipSpec extends AnyFunSuite {
     val enc = ok.clone()
     enc(cd + 8) = (enc(cd + 8) | 1).toByte
     assert(ZipEntries.compute(enc) == null, "encrypted entries reject")
-    // ZIP64 sentinel entry count must reject, not wrap
+    // ZIP64 sentinel entry count WITHOUT an EOCD64 locator must
+    // reject, not wrap (the sentinel now routes through the locator)
     var eo = -1
     var ei = ok.length - 22
     while (eo < 0 && ei >= 0) {
@@ -173,7 +214,8 @@ class ZipSpec extends AnyFunSuite {
     z64(eo + 11) = 0xFF.toByte
     z64(eo + 8) = 0xFF.toByte
     z64(eo + 9) = 0xFF.toByte
-    assert(ZipEntries.compute(z64) == null, "ZIP64 sentinel rejects")
+    assert(ZipEntries.compute(z64) == null,
+      "sentinel without an EOCD64 locator rejects")
     // torn EOCD
     assert(ZipEntries.compute(ok.take(ok.length - 5)) == null)
     // truncation + bit-flip sweeps: classify, never throw

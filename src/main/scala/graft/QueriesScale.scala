@@ -2739,6 +2739,48 @@ object QueriesScale {
         | CAST(pi AS BIGINT) AS page_idx, text
         |FROM pg ORDER BY doc_id, page_idx""".stripMargin))
 
+  // ------------------------------------------- DOCX text extraction
+  // The top OFFICE-document modality: WordprocessingML inside an OPC
+  // zip, consumed end to end — the verified central-directory walk
+  // (CRC-gated, ZIP64 lanes included via the shared doc%5 rotation)
+  // surfaces word/document.xml, and the WML walk puts every assembly
+  // rule on the hash: split runs, xml:space preserve, w:tab/w:br,
+  // XML entities (named + numeric em-dash), table cells as ordinary
+  // lines in document order, an empty-paragraph spacer line, and
+  // rPr/pPr properties that must NOT leak. The oracle replays the
+  // paragraph lines in closed form. Per-row, zero shuffle.
+  private val docxTextQ = Q(
+    (s, dir) => {
+      val d = ScaleOps.docxText(ScaleOps.synthDocx(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), d.as("d"))
+        .select(col("doc_id"),
+          col("d.n_paragraphs").cast(LongType).as("n_paragraphs"),
+          col("d.text").as("text"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS nb FROM documents),
+        | body AS (SELECT doc_id,
+        |    string_agg('para ' || i.range || ' of ' || doc_id || ' ' ||
+        |      repeat('w', CAST(2 + (doc_id + i.range) % 4 AS INT)),
+        |      chr(10) ORDER BY i.range) AS btxt
+        |   FROM p CROSS JOIN range(0, 3) i WHERE i.range < nb
+        |   GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(10 + nb AS BIGINT) AS n_paragraphs,
+        | 'Title ' || p.doc_id || chr(10) ||
+        | 'split run ' || p.doc_id || chr(10) ||
+        | 'tab' || chr(9) || 'after ' || (p.doc_id % 7) || chr(10) ||
+        | 'amp & lt < dash ' || chr(8212) || ' ' || p.doc_id || chr(10) ||
+        | 'line one' || chr(10) || 'line two ' || p.doc_id || chr(10) ||
+        | body.btxt || chr(10) ||
+        | 'cell 0 0 ' || p.doc_id || chr(10) ||
+        | 'cell 0 1 ' || p.doc_id || chr(10) ||
+        | 'cell 1 0 ' || p.doc_id || chr(10) ||
+        | 'cell 1 1 ' || p.doc_id || chr(10) AS text
+        |FROM p JOIN body ON p.doc_id = body.doc_id
+        |ORDER BY p.doc_id""".stripMargin))
+
   // ------------------------------------------- Ogg Opus packet lattice
   // The decide-and-close answer for Opus (crawled audio's third pillar
   // after MP3/Vorbis): the packet-level inventory RFC 6716's TOC byte
@@ -6541,6 +6583,7 @@ object QueriesScale {
     "vorbis_pcm" -> vorbisPcmQ,
     "opus_packets" -> opusPacketsQ,
     "pdf_text" -> pdfTextQ,
+    "docx_text" -> docxTextQ,
     "tar_members" -> tarMembersQ,
     "webdataset_pairs" -> webdatasetPairsQ,
     "zip_entries" -> zipEntriesQ,

@@ -1710,6 +1710,18 @@ object ScaleOps {
   def synthPdf(doc: Column): Column =
     org.apache.spark.sql.graftnative.PdfFunctions.synth_pdf(doc)
 
+  /** DOCX (WordprocessingML-in-OPC) text extraction
+    * (see [[org.apache.spark.sql.graftnative.DocxText]]).
+    */
+  def docxText(payload: Column): Column =
+    org.apache.spark.sql.graftnative.DocxFunctions.docx_text(payload)
+
+  /** OPC/DOCX fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.DocxSynth]]).
+    */
+  def synthDocx(doc: Column): Column =
+    org.apache.spark.sql.graftnative.DocxFunctions.synth_docx(doc)
+
   /** Ogg Opus packet inventory (RFC 7845 framing + RFC 6716 TOC)
     * (see [[org.apache.spark.sql.graftnative.OpusPackets]]).
     */

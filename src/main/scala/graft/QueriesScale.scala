@@ -2739,6 +2739,43 @@ object QueriesScale {
         | CAST(pi AS BIGINT) AS page_idx, text
         |FROM pg ORDER BY doc_id, page_idx""".stripMargin))
 
+  // -------------------------------------- HTML main-content extraction
+  // The boilerplate strip between raw visible text and dedup/quality:
+  // nav/sidebar/footer chrome flowing into shingles creates cross-site
+  // false dup pairs (HtmlSpec pins that composition). Fixed block
+  // rules — chrome containers, link density >= 1/3, < 5 words — over
+  // the same tag grammar as html_text; the fixture's page skeleton
+  // exercises every drop rule plus a KEPT paragraph with an inline
+  // low-density link, and the oracle replays the surviving paragraphs
+  // in closed form. Per-row, zero shuffle.
+  private val mainContentQ = Q(
+    (s, dir) => {
+      val m = ScaleOps.mainContent(ScaleOps.synthMainHtml(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), m.as("m"))
+        .select(col("doc_id"), col("m.text").as("text"),
+          col("m.n_kept").cast(LongType).as("n_kept"),
+          col("m.n_dropped").cast(LongType).as("n_dropped"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS np FROM documents),
+        | paras AS (SELECT doc_id,
+        |    string_agg('story ' || doc_id || ' part ' || i.range ||
+        |      ' alpha beta gamma ' ||
+        |      repeat('tok ', CAST(3 + (doc_id + i.range) % 4 AS INT)) ||
+        |      'end ' || i.range, chr(10) ORDER BY i.range) AS ptxt
+        |   FROM p CROSS JOIN range(0, 3) i WHERE i.range < np
+        |   GROUP BY doc_id)
+        |SELECT p.doc_id,
+        | paras.ptxt || chr(10) || 'update ' || p.doc_id ||
+        |   ' with one small link inside a much longer sentence ref ' ||
+        |   (p.doc_id % 9) AS text,
+        | CAST(np + 1 AS BIGINT) AS n_kept,
+        | CAST(5 AS BIGINT) AS n_dropped
+        |FROM p JOIN paras ON p.doc_id = paras.doc_id
+        |ORDER BY p.doc_id""".stripMargin))
+
   // ------------------------------------------- DOCX text extraction
   // The top OFFICE-document modality: WordprocessingML inside an OPC
   // zip, consumed end to end — the verified central-directory walk
@@ -6584,6 +6621,7 @@ object QueriesScale {
     "opus_packets" -> opusPacketsQ,
     "pdf_text" -> pdfTextQ,
     "docx_text" -> docxTextQ,
+    "main_content" -> mainContentQ,
     "tar_members" -> tarMembersQ,
     "webdataset_pairs" -> webdatasetPairsQ,
     "zip_entries" -> zipEntriesQ,

@@ -1607,6 +1607,18 @@ object ScaleOps {
   def synthHtml(doc: Column): Column =
     org.apache.spark.sql.graftnative.HtmlFunctions.synth_html(doc)
 
+  /** jusText-style main-content (boilerplate) extraction
+    * (see [[org.apache.spark.sql.graftnative.MainContent]]).
+    */
+  def mainContent(payload: Column): Column =
+    org.apache.spark.sql.graftnative.HtmlFunctions.main_content(payload)
+
+  /** Chrome-laden page fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.MainSynth]]).
+    */
+  def synthMainHtml(doc: Column): Column =
+    org.apache.spark.sql.graftnative.HtmlFunctions.synth_main_html(doc)
+
   /** MP4 per-track sample tables (stsd/stsz/stts walk)
     * (see [[org.apache.spark.sql.graftnative.Mp4Tracks]]).
     */

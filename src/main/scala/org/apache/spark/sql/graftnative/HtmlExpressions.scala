@@ -213,6 +213,15 @@ object HtmlTextExtract {
     out.toString
   }
 
+  // shared with MainContent (same tag grammar, different block model)
+  private[graftnative] def collapseWs(s: String): String = collapse(s)
+  private[graftnative] def decodeEntitiesInto(s: String, out: StringBuilder): Unit =
+    decodeEntities(s, out)
+  private[graftnative] def findClose(html: String, from: Int, name: String): Int =
+    findCloseTag(html, from, name)
+  private[graftnative] def isBlockTag(name: String): Boolean =
+    BlockTags.contains(name)
+
   def compute(v: UTF8String): InternalRow = {
     val html = v.toString
     val n = html.length
@@ -300,6 +309,245 @@ object HtmlTextExtract {
   }
 }
 
+/** HTML MAIN-CONTENT extraction (boilerplate strip) — the segmenter
+  * every production crawl pipeline runs between raw visible text and
+  * dedup/quality scoring: nav, sidebar, and footer chrome otherwise
+  * flows into shingles and creates cross-site false dup pairs. The
+  * jusText/trafilatura-style block model, with FIXED documented rules
+  * so two engines agree byte-for-byte:
+  *
+  *  1. The page is segmented into BLOCKS at the same block-level tags
+  *     [[HtmlTextExtract]] uses for line breaks; script/style/comment
+  *     contents are dropped; the title never enters a block.
+  *  2. Per block: collapsed text, its length in chars, the LINK chars
+  *     (text inside `<a>`), and the whitespace word count.
+  *  3. A block is BOILERPLATE when any of: (a) any of its text was
+  *     inside `<nav> <header> <footer> <aside>` (structural chrome);
+  *     (b) link density ≥ 1/3 (`3 * linkChars >= chars`, chars > 0);
+  *     (c) fewer than 5 words. Otherwise it is CONTENT.
+  *  4. Output: content blocks joined with `\n`, plus kept/dropped
+  *     counts so callers can gate on chrome-heavy pages.
+  *
+  * The thresholds are the classifier — fixed constants, not tuned
+  * per-corpus, exactly so the decision is reproducible by the oracle.
+  */
+case class MainContent(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = MainContent.schema
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    MainContent.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = org.apache.spark.sql.graftnative.MainContent.compute($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MainContent {
+  val schema: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("n_kept", IntegerType, nullable = false),
+    StructField("n_dropped", IntegerType, nullable = false)))
+
+  private val ChromeTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("nav", "header", "footer", "aside").foreach(s.add)
+    s
+  }
+  private val MinWords = 5
+
+  def compute(v: UTF8String): InternalRow = {
+    val html = v.toString
+    val n = html.length
+    var i = 0
+    var chromeDepth = 0
+    var aDepth = 0
+    var inTitle = false
+    val kept = new java.util.ArrayList[String]()
+    var nDropped = 0
+    val cur = new StringBuilder()
+    val curLink = new StringBuilder()
+    var curChrome = false
+    def flush(): Unit = {
+      val text = HtmlTextExtract.collapseWs(cur.toString)
+      val linkLen = HtmlTextExtract.collapseWs(curLink.toString).length
+      cur.setLength(0)
+      curLink.setLength(0)
+      val chrome = curChrome
+      curChrome = false
+      if (text.nonEmpty) {
+        var words = 1
+        var w = 0
+        while (w < text.length) { if (text.charAt(w) == ' ') words += 1; w += 1 }
+        val boiler = chrome || 3 * linkLen >= text.length || words < MinWords
+        if (boiler) nDropped += 1 else kept.add(text)
+      }
+    }
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      val textEnd = if (lt < 0) n else lt
+      if (textEnd > i && !inTitle) {
+        val seg = new StringBuilder()
+        HtmlTextExtract.decodeEntitiesInto(html.substring(i, textEnd), seg)
+        cur.append(seg)
+        if (aDepth > 0) curLink.append(seg)
+        if (chromeDepth > 0) curChrome = true
+      }
+      if (lt < 0) {
+        i = n
+      } else if (html.startsWith("<!--", lt)) {
+        val close = html.indexOf("-->", lt + 4)
+        i = if (close < 0) n else close + 3
+      } else if (html.startsWith("<![CDATA[", lt)) {
+        val close = html.indexOf("]]>", lt + 9)
+        i = if (close < 0) n else close + 3
+      } else {
+        var j = lt + 1
+        var quote: Char = 0
+        var end = -1
+        while (end < 0 && j < n) {
+          val c = html.charAt(j)
+          if (quote != 0) { if (c == quote) quote = 0 }
+          else if (c == '"' || c == '\'') quote = c
+          else if (c == '>') end = j
+          j += 1
+        }
+        if (end < 0) { i = n } // torn tag: drop the remainder
+        else {
+          val inner = html.substring(lt + 1, end)
+          val closing = inner.startsWith("/")
+          val body = if (closing) inner.substring(1) else inner
+          var k = 0
+          while (k < body.length && Character.isLetterOrDigit(body.charAt(k))) k += 1
+          val name = body.substring(0, k).toLowerCase(java.util.Locale.ROOT)
+          i = end + 1
+          if (!closing && (name == "script" || name == "style")) {
+            val close = HtmlTextExtract.findClose(html, i, name)
+            if (close < 0) i = n
+            else {
+              val gt = html.indexOf('>', close)
+              i = if (gt < 0) n else gt + 1
+            }
+          } else if (name == "title") {
+            inTitle = !closing && !inner.endsWith("/")
+            if (closing) inTitle = false
+          } else {
+            if (ChromeTags.contains(name)) {
+              if (closing) { if (chromeDepth > 0) chromeDepth -= 1 }
+              else if (!inner.endsWith("/")) chromeDepth += 1
+            }
+            if (name == "a") {
+              if (closing) { if (aDepth > 0) aDepth -= 1 }
+              else if (!inner.endsWith("/")) aDepth += 1
+            }
+            if (HtmlTextExtract.isBlockTag(name)) flush()
+          }
+        }
+      }
+    }
+    flush()
+    val sb = new StringBuilder()
+    var li = 0
+    while (li < kept.size()) {
+      if (li > 0) sb.append('\n')
+      sb.append(kept.get(li))
+      li += 1
+    }
+    new GenericInternalRow(Array[Any](UTF8String.fromString(sb.toString),
+      kept.size(), nDropped))
+  }
+}
+
+/** Fixture for [[MainContent]]: a realistic page skeleton whose MAIN
+  * text is a pure seed formula and whose chrome exercises every drop
+  * rule — a `<header>`/`<nav>` link bar (chrome rule), a link-list
+  * sidebar `<div>` OUTSIDE any chrome tag (density rule), a short
+  * "Read more" teaser (word-count rule), and a `<footer>` — plus one
+  * content paragraph carrying an INLINE link whose density stays
+  * under 1/3 and must be KEPT.
+  */
+object MainSynth {
+  private def fm(a: Long, m: Long): Int = java.lang.Math.floorMod(a, m).toInt
+
+  def nParas(seed: Long): Int = 1 + fm(seed, 3)
+
+  def paraText(seed: Long, i: Int): String =
+    s"story $seed part $i alpha beta gamma " + "tok " * (3 + fm(seed + i, 4)) +
+      s"end $i"
+
+  /** The linked paragraph: 12 words of text, a 2-word link. */
+  def linkedParaText(seed: Long): String =
+    s"update $seed with one small link inside a much longer sentence " +
+      s"ref ${fm(seed, 9)}"
+
+  def expectedText(seed: Long): String =
+    ((0 until nParas(seed)).map(paraText(seed, _)) :+ linkedParaText(seed))
+      .mkString("\n")
+
+  def expectedKept(seed: Long): Int = nParas(seed) + 1
+
+  def htmlString(seed: Long): String = {
+    val sb = new StringBuilder()
+    sb.append("<html><head><title>Site ").append(fm(seed, 9))
+      .append("</title></head><body>\n")
+    sb.append("<header><h1>Example Site ").append(fm(seed, 9))
+      .append("</h1><nav>")
+    for (k <- 0 until 4)
+      sb.append("<a href=\"/s").append(k).append("\">Section ").append(k)
+        .append("</a> ")
+    sb.append("</nav></header>\n")
+    // the content paragraphs (formula text, no links)
+    for (i <- 0 until nParas(seed))
+      sb.append("<p>").append(paraText(seed, i)).append("</p>\n")
+    // a KEPT paragraph with one inline low-density link
+    sb.append("<p>update ").append(seed)
+      .append(" with one small <a href=\"/r\">link inside</a>")
+      .append(" a much longer sentence ref ").append(fm(seed, 9))
+      .append("</p>\n")
+    // sidebar: a link list OUTSIDE chrome tags — the density rule
+    sb.append("<div>")
+    for (k <- 0 until 3)
+      sb.append("<a href=\"/rel").append(k).append("\">related ")
+        .append(fm(seed + k, 5)).append("</a> also")
+    sb.append("</div>\n")
+    // a short teaser — the word-count rule
+    sb.append("<p>Read more here</p>\n")
+    sb.append("<footer>Copyright ").append(2000 + fm(seed, 20))
+      .append(" Example Site. All rights reserved forever.</footer>\n")
+    sb.append("</body></html>\n")
+    sb.toString
+  }
+}
+
+/** Expression wrapping [[MainSynth.htmlString]]. */
+case class SynthMainHtml(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(doc: Any): Any =
+    UTF8String.fromString(MainSynth.htmlString(doc.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d => s"""
+      ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+        org.apache.spark.sql.graftnative.MainSynth.htmlString($d));
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fixture: an HTML page whose VISIBLE text is a pure formula of the
   * seed (what the oracle replays): a title, a dropped script and
   * style block and comment, `2 + seed mod 3` paragraphs whose source
@@ -377,4 +625,12 @@ object HtmlFunctions {
 
   def synth_html(doc: Column): Column =
     ExpressionUtils.column(SynthHtml(ExpressionUtils.expression(doc)))
+
+  /** Column API: jusText-style main-content (boilerplate) extraction. */
+  def main_content(payload: Column): Column =
+    ExpressionUtils.column(MainContent(ExpressionUtils.expression(payload)))
+
+  /** Column API: chrome-laden page fixture from a doc seed. */
+  def synth_main_html(doc: Column): Column =
+    ExpressionUtils.column(SynthMainHtml(ExpressionUtils.expression(doc)))
 }

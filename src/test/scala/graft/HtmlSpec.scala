@@ -130,4 +130,72 @@ class HtmlSpec extends AnyFunSuite {
       "copy © 2026 – link’s text\n" +
       "caf&eacute; is unknown here: stays verbatim")
   }
+
+  test("main content: fixture roundtrip across 20 seeds") {
+    for (seed <- 0L to 19L) {
+      val r = MainContent.compute(org.apache.spark.unsafe.types.UTF8String
+        .fromString(MainSynth.htmlString(seed)))
+      assert(r.getUTF8String(0).toString == MainSynth.expectedText(seed),
+        s"seed $seed:\n[${r.getUTF8String(0)}]\nvs\n[${MainSynth.expectedText(seed)}]")
+      assert(r.getInt(1) == MainSynth.expectedKept(seed), s"seed $seed kept")
+      assert(r.getInt(2) == 5, s"seed $seed dropped")
+    }
+  }
+
+  test("main content: each drop rule fires independently") {
+    def mc(html: String): (String, Int, Int) = {
+      val r = MainContent.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(html))
+      (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2))
+    }
+    // chrome rule: identical text inside vs outside <nav>
+    assert(mc("<nav><p>six words of text right here</p></nav>") == (("", 0, 1)))
+    assert(mc("<p>six words of text right here</p>") ==
+      (("six words of text right here", 1, 0)))
+    // density rule (word count held >= 5 both sides): an all-link
+    // block drops; one short link in a long sentence keeps
+    assert(mc("<p><a href=x>aa bb cc dd ee</a></p>") == (("", 0, 1)))
+    assert(mc("<p><a href=x>aa</a> bb cc dd ee ff gg</p>") ==
+      (("aa bb cc dd ee ff gg", 1, 0)))
+    // word-count rule boundary: 4 words drop, 5 words keep
+    assert(mc("<p>one two three four</p>") == (("", 0, 1)))
+    assert(mc("<p>one two three four five</p>") ==
+      (("one two three four five", 1, 0)))
+    // a plain page with no markup is one block, classified normally
+    assert(mc("just words with no markup at all here")._1 ==
+      "just words with no markup at all here")
+  }
+
+  test("main content kills chrome-induced cross-site false dup pairs") {
+    // two pages: SAME chrome skeleton (nav/sidebar/footer formulas
+    // collide across the seeds), DIFFERENT stories — the composition
+    // the crawl pipeline cares about. On full visible text the shared
+    // chrome bridges the shingle sets; on main content it vanishes.
+    def shingles(t: String): Set[String] = {
+      val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.size < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty && b.isEmpty) 0.0
+      else (a & b).size.toDouble / (a | b).size
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def page(story: String): String =
+      "<html><body><header><h1>Example Site</h1><nav>" +
+        "<a href=\"/a\">Archive pages</a> <a href=\"/b\">About this site</a> " +
+        "<a href=\"/c\">Contact the editors</a></nav></header>" +
+        s"<p>$story</p>" +
+        "<footer>Copyright 2026 Example Site. All rights reserved.</footer>" +
+        "</body></html>"
+    val h0 = page("the quick brown fox jumped over seven lazy dogs this morning")
+    val h9 = page("nine green turtles swam slowly south past the old stone pier")
+    val full0 = HtmlTextExtract.compute(u(h0)).getUTF8String(1).toString
+    val full9 = HtmlTextExtract.compute(u(h9)).getUTF8String(1).toString
+    val main0 = MainContent.compute(u(h0)).getUTF8String(0).toString
+    val main9 = MainContent.compute(u(h9)).getUTF8String(0).toString
+    val fullJ = jac(shingles(full0), shingles(full9))
+    val mainJ = jac(shingles(main0), shingles(main9))
+    assert(fullJ > 0.15, s"chrome should bridge full-text shingles ($fullJ)")
+    assert(mainJ == 0.0, s"main content must share nothing ($mainJ)")
+  }
 }

@@ -2739,6 +2739,38 @@ object QueriesScale {
         | CAST(pi AS BIGINT) AS page_idx, text
         |FROM pg ORDER BY doc_id, page_idx""".stripMargin))
 
+  // ------------------------------------------- URL canonicalization
+  // What every URL-keyed dedup/frontier needs before equality means
+  // anything (RFC 3986 §6): lowercase scheme/host, default ports
+  // stripped, unreserved octets decoded + remaining triplets
+  // uppercased, dot-segments resolved, fragments dropped, query
+  // params sorted (the crawl convention, disclosed). Two messy
+  // spellings per resource collapse under the canonical group-by, so
+  // the hash carries both the normalization STRING and the dedup
+  // SEMANTICS. The group-by shuffles on the canonical key — compact
+  // strings, map-side combined.
+  private val urlCanonicalQ = Q(
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array(
+          ScaleOps.synthUrl(col("doc_id"), 0),
+          ScaleOps.synthUrl(col("doc_id"), 1))).as("url"))
+        .select(col("doc_id"), ScaleOps.urlCanonical(col("url")).as("canonical"))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_spellings"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("canonical")
+    },
+    Some(
+      """WITH c AS (SELECT doc_id,
+        |   'https://ex' || (doc_id % 5) || '.org/p' || (doc_id % 7) ||
+        |   '/tok/q' || (doc_id % 9) || '?a=' || (doc_id % 3) ||
+        |   '&b=x%2Fy' AS canonical
+        |  FROM documents)
+        |SELECT canonical, CAST(2 * COUNT(*) AS BIGINT) AS n_spellings,
+        | CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin))
+
   // -------------------------------------- HTML main-content extraction
   // The boilerplate strip between raw visible text and dedup/quality:
   // nav/sidebar/footer chrome flowing into shingles creates cross-site
@@ -6622,6 +6654,7 @@ object QueriesScale {
     "pdf_text" -> pdfTextQ,
     "docx_text" -> docxTextQ,
     "main_content" -> mainContentQ,
+    "url_canonical" -> urlCanonicalQ,
     "tar_members" -> tarMembersQ,
     "webdataset_pairs" -> webdatasetPairsQ,
     "zip_entries" -> zipEntriesQ,

@@ -1722,6 +1722,18 @@ object ScaleOps {
   def synthPdf(doc: Column): Column =
     org.apache.spark.sql.graftnative.PdfFunctions.synth_pdf(doc)
 
+  /** RFC 3986 URL canonicalization
+    * (see [[org.apache.spark.sql.graftnative.UrlCanonical]]).
+    */
+  def urlCanonical(url: Column): Column =
+    org.apache.spark.sql.graftnative.UrlFunctions.url_canonical(url)
+
+  /** Messy-URL fixture from a doc seed, two spellings per resource
+    * (see [[org.apache.spark.sql.graftnative.UrlSynth]]).
+    */
+  def synthUrl(doc: Column, variant: Int): Column =
+    org.apache.spark.sql.graftnative.UrlFunctions.synth_url(doc, variant)
+
   /** DOCX (WordprocessingML-in-OPC) text extraction
     * (see [[org.apache.spark.sql.graftnative.DocxText]]).
     */

@@ -4204,27 +4204,30 @@ object QueriesScale {
   // standard corpus op the frame machinery implies: per-frame dHash
   // from both the AVI and the MP4 MJPEG twins (which carry the SAME
   // JpegSynth frames, so every (doc, frame) has a guaranteed
-  // cross-container twin), clustered by EXACT hash with a keep-min
-  // representative. Output: every non-representative frame with its
-  // cluster rep; ids pack (2·doc + container)·64 + frame_idx.
+  // cross-container twin), clustered Hamming-tolerantly (≤ 4) by
+  // ScaleOps.dhashHammingClusters. Output: every non-representative
+  // frame with its merged-cluster rep; ids pack
+  // (2·doc + container)·64 + frame_idx.
   //
-  // Scale stance, learned the measured way: video frames form HUGE
-  // genuine dup-clusters (title cards, black frames — here, identical
-  // hashes repeat across hundreds of seeds), so the image key's
-  // banded in-bucket PAIR expansion is the wrong shape — quadratic in
-  // cluster size, and an LSH bucket cap silently drops exactly the
-  // dups the key exists to find (measured: 1985/2250 twins lost at
-  // cap 64). Exact-hash clustering is one groupBy on an 8-byte key
-  // with LINEAR star output — the 100 TB form; hamming-tolerant
-  // refinement stays image_dhash_neardup's banded job.
+  // Scale stance, learned the measured way (r14): video frames form
+  // HUGE genuine dup-clusters (title cards, black frames), so banding
+  // RAW frames is the wrong shape — quadratic in cluster size, and an
+  // LSH bucket cap silently drops exactly the dups the key exists to
+  // find (measured: 1985/2250 twins lost at cap 64). The r15 upgrade
+  // keeps exact-hash clustering as stage 1 (one groupBy, linear star
+  // output) and bands only the cluster REPRESENTATIVES (reps ≪
+  // frames, so the cap is safe) with 5 pigeonhole bands guaranteeing
+  // Hamming ≤ 4, merging clusters via connected components — true
+  // near-dup without re-creating the measured drop.
   //
   // ⊘ no SQL oracle, and the reason is precise: the JPEG fixture's
   // per-BLOCK sums are closed-form (the ±-basis AC terms cancel over
   // each block — the exactness video_mjpeg_frames' hash rides), but
   // per-PIXEL values are not, and dHash samples pixels. The contract
   // is pinned by ScaleOpsSpec instead: every MP4 frame resolves to a
-  // representative no later than its AVI twin (twin recall 1.0), and
-  // DHashSpec pins container-identical hash arrays.
+  // representative no later than its AVI twin (twin recall 1.0),
+  // 1–2-bit-perturbed twins recover at 100% with transitive chains
+  // merging, and DHashSpec pins container-identical hash arrays.
   private val videoDhashNeardupQ = Q(
     (s, dir) => {
       // 32/48/64 × 32 frames: the 8×9 dHash grid must span many JPEG
@@ -4240,18 +4243,11 @@ object QueriesScale {
       val mp4 = docs.select((col("doc_id") * 2 + 1).as("vid"),
         ScaleOps.videoFrameDhashes(
           ScaleOps.synthMp4Mjpeg(w, h, frames, col("doc_id")), 1).as("v"))
-      avi.unionAll(mp4)
+      val pids = avi.unionAll(mp4)
         .select(col("vid"), posexplode(arrays_zip(col("v.frame_idx").as("fi"),
           col("v.dhash").as("dh"))).as(Seq("_p", "z")))
         .select((col("vid") * 64 + col("z.fi")).as("pid"), col("z.dh").as("dh"))
-        .groupBy(col("dh"))
-        .agg(sort_array(collect_list(col("pid"))).as("ps"))
-        .filter(size(col("ps")) >= 2)
-        .select(explode(expr(
-          "transform(slice(ps, 2, size(ps)), p -> struct(p AS pid, ps[0] AS rep))"))
-          .as("x"))
-        .select(col("x.pid").as("pid"), col("x.rep").as("rep"))
-        .orderBy("pid")
+      ScaleOps.dhashHammingClusters(pids).orderBy("pid")
     },
     None)
 

@@ -232,6 +232,56 @@ object ScaleOps {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Hamming-tolerant dedup clustering over 64-bit perceptual hashes —
+    * the two-stage shape video-frame dedup needs at 100 TB:
+    *
+    *  - STAGE 1 groups EXACT hashes (one groupBy on an 8-byte key,
+    *    LINEAR star output): video dup clusters are huge (title cards,
+    *    black frames), and banding raw frames provably drops twins
+    *    under any bucket cap (measured r14: 1985/2250 lost at cap 64).
+    *  - STAGE 2 bands only the cluster REPRESENTATIVE hashes — one per
+    *    DISTINCT hash, reps ≪ frames, so the capped pair expansion
+    *    that is wrong at frame scale is safe here — with the
+    *    pigeonhole parameterization the budget dictates: 5 bands of
+    *    13/13/13/13/12 bits, so any rep pair within Hamming ≤ 4
+    *    shares at least one full band. Candidates verify by exact
+    *    popcount; clusters merge over the rep graph via distributed
+    *    connected components (chains of ≤4-bit steps merge
+    *    transitively, as near-dup semantics require).
+    *
+    * Input: `(pid LONG, dh LONG)`; output: `(pid, rep)` for every
+    * non-representative frame, `rep` = min pid of its merged cluster.
+    */
+  def dhashHammingClusters(frames: DataFrame, maxHamming: Int = 4): DataFrame = {
+    val byHash = frames.groupBy(col("dh"))
+      .agg(min(col("pid")).as("rep0"),
+        sort_array(collect_list(col("pid"))).as("ps"))
+    val banded = byHash.select(col("dh"), col("rep0"),
+      posexplode(array(
+        col("dh").bitwiseAND(lit(0x1FFFL)),
+        shiftrightunsigned(col("dh"), 13).bitwiseAND(lit(0x1FFFL)),
+        shiftrightunsigned(col("dh"), 26).bitwiseAND(lit(0x1FFFL)),
+        shiftrightunsigned(col("dh"), 39).bitwiseAND(lit(0x1FFFL)),
+        shiftrightunsigned(col("dh"), 52))).as(Seq("band_idx", "bk")))
+      .groupBy("band_idx", "bk")
+      .agg(sort_array(collect_list(struct(col("rep0"), col("dh")))).as("ms"))
+    val edges = cappedBuckets(banded, "ms")
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms)),
+          |    y -> struct(x.rep0 AS src, y.rep0 AS dst,
+          |                x.dh AS h1, y.dh AS h2))))""".stripMargin)).as("e"))
+      .filter(hamming(col("e.h1"), col("e.h2")) <= maxHamming)
+      .select(col("e.src"), col("e.dst"))
+      .distinct()
+    val comp = connectedComponents(edges, "src", "dst")
+      .select(col("node").as("rep0"), col("rep").as("crep"))
+    byHash.select(col("rep0"), explode(col("ps")).as("pid"))
+      .join(comp, Seq("rep0"), "left")
+      .select(col("pid"), coalesce(col("crep"), col("rep0")).as("rep"))
+      .filter(col("pid") =!= col("rep"))
+  }
+
   /** Exact double-precision dot product of two float vectors with a fixed
     * left-to-right fold — deterministic across engines (see Queries
     * scaladoc). Backed by the native codegen expression

@@ -3733,4 +3733,62 @@ class ScaleOpsSpec extends SparkSpec {
     // star output is linear: strictly fewer rows than total frames
     assert(rows.length < 2 * twins)
   }
+
+  test("dhashHammingClusters: perturbed twins recover 100%, chains merge transitively") {
+    // well-separated random bases (seeded; pairwise distance asserted)
+    val rnd = new scala.util.Random(4242)
+    val bases = (0 until 40).map(_ => rnd.nextLong())
+    for (i <- bases.indices; j <- 0 until i)
+      assert(java.lang.Long.bitCount(bases(i) ^ bases(j)) > 8,
+        s"bases $i/$j too close for an unambiguous fixture")
+    // per base: an exact twin, a 1-bit perturbation, a 2-bit perturbation
+    val rows = bases.zipWithIndex.flatMap { case (h, k) =>
+      val pid = 100L * k
+      Seq((pid, h), (pid + 1, h),
+        (pid + 2, h ^ (1L << (k % 64))),
+        (pid + 3, h ^ (1L << ((k + 7) % 64)) ^ (1L << ((k + 29) % 64))))
+    }
+    val rep = ScaleOps.dhashHammingClusters(rows.toDF("pid", "dh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- bases.indices; o <- 1 to 3)
+      assert(rep(100L * k + o) == 100L * k,
+        s"base $k offset $o: perturbed twin not recovered")
+    for (k <- bases.indices)
+      assert(!rep.contains(100L * k), "representatives emit no row")
+    // transitive chain: ham(a,b)=4, ham(b,c)=4, ham(a,c)=8 — CC must
+    // merge all three even though a-c exceeds the per-edge budget
+    val a = 0x0123456789ABCDEFL
+    val b = a ^ 0xFL
+    val c = b ^ (0xFL << 20)
+    assert(java.lang.Long.bitCount(a ^ c) == 8)
+    val chain = ScaleOps.dhashHammingClusters(
+      Seq((1L, a), (2L, b), (3L, c)).toDF("pid", "dh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chain == Map(2L -> 1L, 3L -> 1L), s"chain merge: $chain")
+    // hamming 5 stays separate under the default budget of 4
+    val far = ScaleOps.dhashHammingClusters(
+      Seq((1L, a), (2L, a ^ 0x1FL)).toDF("pid", "dh")).collect()
+    assert(far.isEmpty, "hamming 5 must not merge at budget 4")
+  }
+
+  test("video_dhash_neardup: banding runs on the REP side (reps well under frames)") {
+    // the scale contract behind the two-stage shape: stage 1's exact
+    // grouping collapses the guaranteed cross-container twins, so the
+    // banded pair expansion sees at most half the frame count
+    val docs = Tables.documents(spark, sf0001)
+    val w = lit(16L) * (lit(2L) + col("doc_id") % 3)
+    val h = lit(32L)
+    val frames = lit(3L) + col("doc_id") % 4
+    val pids = docs.select(
+        ScaleOps.videoFrameDhashes(
+          ScaleOps.synthAvi(w, h, frames, col("doc_id")), 1).as("v"))
+      .unionAll(docs.select(
+        ScaleOps.videoFrameDhashes(
+          ScaleOps.synthMp4Mjpeg(w, h, frames, col("doc_id")), 1).as("v")))
+      .select(explode(col("v.dhash")).as("dh"))
+    val nFrames = pids.count()
+    val nReps = pids.distinct().count()
+    assert(nReps * 2 <= nFrames,
+      s"reps $nReps vs frames $nFrames: stage 1 must collapse the twins")
+  }
 }

@@ -29,12 +29,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (Crawl-delay, Sitemap — per the RFC's extensibility rule),
   *    field names case-insensitive.
   *
-  * Honest scope: percent-encoding equivalence (RFC 9309 §2.2.2's
-  * octet comparison) is NOT normalized — paths compare as given,
-  * which is exact for corpora whose fetcher already canonicalized
-  * URLs (ours does not re-encode) — and two SEPARATE groups naming
-  * the same agent token are not merged (the RFC merges them; the
-  * first such group wins here). Both disclosed, not guessed.
+  * Percent-encoding equivalence (RFC 9309 §2.2.2's octet
+  * comparison): both rule paths and the query path are normalized
+  * with the RFC 3986 rules [[UrlCanonical]] uses — unreserved octets
+  * decode, the rest uppercase — so `/a%62c` matches `/abc` while an
+  * encoded `%2F` stays distinct from a real slash and encoded
+  * `%2A`/`%24` never become wildcards or anchors. A torn escape
+  * leaves that component compared as raw text (robots files are
+  * messy; rejecting the whole file would fail open).
+  *
+  * Honest scope: two SEPARATE groups naming the same agent token are
+  * not merged (the RFC merges them; the first such group wins here).
+  * Disclosed, not guessed.
   */
 case class RobotsAllowed(robots: Expression, agent: Expression,
     path: Expression)
@@ -108,8 +114,15 @@ object RobotsAllowed {
     p == pat.length
   }
 
-  def compute(robots: String, agent: String, path: String): InternalRow = {
+  /** §2.2.2 octet normalization with the fail-open fallback. */
+  private def norm(s: String): String = {
+    val n = UrlCanonical.pctNorm(s)
+    if (n == null) s else n
+  }
+
+  def compute(robots: String, agent: String, rawPath: String): InternalRow = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val path = norm(rawPath)
     // parse into (agentToken → rules) groups
     var groups = List.empty[(List[String], List[Rule])]
     var curAgents = List.empty[String]
@@ -139,10 +152,12 @@ object RobotsAllowed {
               agentRun = true
             case "allow" =>
               agentRun = false
-              if (value.nonEmpty) curRules = Rule(allow = true, value) :: curRules
+              if (value.nonEmpty)
+                curRules = Rule(allow = true, norm(value)) :: curRules
             case "disallow" =>
               agentRun = false
-              if (value.nonEmpty) curRules = Rule(allow = false, value) :: curRules
+              if (value.nonEmpty)
+                curRules = Rule(allow = false, norm(value)) :: curRules
             case _ => agentRun = false // Crawl-delay, Sitemap, unknown
           }
         }

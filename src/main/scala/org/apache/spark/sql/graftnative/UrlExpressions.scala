@@ -64,8 +64,10 @@ object UrlCanonical {
     (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
       (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
 
-  /** Percent-normalize one component; null on a torn escape. */
-  private def pctNorm(s: String): String = {
+  /** Percent-normalize one component; null on a torn escape. Shared
+    * with [[RobotsAllowed]] for RFC 9309 §2.2.2 octet comparison.
+    */
+  private[graftnative] def pctNorm(s: String): String = {
     val out = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

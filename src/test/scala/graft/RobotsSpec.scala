@@ -148,6 +148,31 @@ class RobotsSpec extends AnyFunSuite {
     }
   }
 
+  test("percent-encoding octet comparison (RFC 9309 2.2.2)") {
+    // unreserved octets decode on both sides before matching
+    val robots =
+      """User-agent: *
+        |Disallow: /priv%61te/
+        |Allow: /private/%70ub
+        |""".stripMargin
+    assert(decide(robots, "bot", "/private/x") == ((false, "/private/")))
+    assert(!decide(robots, "bot", "/priv%61te/x")._1)
+    assert(decide(robots, "bot", "/private/pub/y")._1,
+      "Allow with an encoded octet must win by length")
+    // an encoded slash is NOT a path slash; hex case is insensitive
+    val r2 = "User-agent: *\nDisallow: /a%2Fb\n"
+    assert(decide(r2, "bot", "/a/b")._1, "%2F stays distinct from /")
+    assert(!decide(r2, "bot", "/a%2fb")._1, "octet match is hex-case-blind")
+    // an encoded * is a literal octet, never a wildcard
+    val r3 = "User-agent: *\nDisallow: /x%2Ay\n"
+    assert(decide(r3, "bot", "/xABCy")._1, "%2A must not expand as a wildcard")
+    assert(!decide(r3, "bot", "/x%2ay")._1)
+    // torn escapes fail open to raw-text comparison, never throw
+    val r4 = "User-agent: *\nDisallow: /a%zq\n"
+    assert(!decide(r4, "bot", "/a%zq/x")._1)
+    assert(decide(r4, "bot", "/azq")._1)
+  }
+
   test("fuzz: garbage and truncations classify, never throw") {
     val base = RobotsSynth.robotsTxt(7L)
     var kk = 0

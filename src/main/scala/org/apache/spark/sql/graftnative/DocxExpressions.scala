@@ -106,6 +106,10 @@ object DocxText {
     }
   }
 
+  // shared with the other office walks (ODT/PPTX/XLSX)
+  private[graftnative] def decodeXmlInto(s: String, out: StringBuilder): Unit =
+    decodeXml(s, out)
+
   /** The WML walk over `word/document.xml`; null on malformed input. */
   private[graftnative] def extractWml(xml: String): (Int, String) = {
     val n = xml.length

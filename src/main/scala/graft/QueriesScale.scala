@@ -2850,6 +2850,204 @@ object QueriesScale {
         |FROM p JOIN body ON p.doc_id = body.doc_id
         |ORDER BY p.doc_id""".stripMargin))
 
+  // ------------------------------------------- ODT text extraction
+  // The OpenDocument half of the office family, sharing the verified
+  // container walk (ODF magic-number rule: STORED mimetype first, and
+  // a mimetype naming a non-ODT type rejects). The walk's rules all
+  // sit on the hash: text:h/text:p lines, split spans, the text:s
+  // space-run element with its text:c count, text:tab/line-break,
+  // entities, table cells as ordinary lines, style scaffolding never
+  // leaking. Closed-form oracle; per-row, zero shuffle.
+  private val odtTextQ = Q(
+    (s, dir) => {
+      val d = ScaleOps.odtText(ScaleOps.synthOdt(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), d.as("d"))
+        .select(col("doc_id"),
+          col("d.n_paragraphs").cast(LongType).as("n_paragraphs"),
+          col("d.text").as("text"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS nb FROM documents),
+        | body AS (SELECT doc_id,
+        |    string_agg('odt para ' || i.range || ' of ' || doc_id || ' ' ||
+        |      repeat('v', CAST(2 + (doc_id + i.range) % 4 AS INT)),
+        |      chr(10) ORDER BY i.range) AS btxt
+        |   FROM p CROSS JOIN range(0, 3) i WHERE i.range < nb
+        |   GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(8 + nb AS BIGINT) AS n_paragraphs,
+        | 'Heading ' || p.doc_id || chr(10) ||
+        | 'spans join ' || p.doc_id || chr(10) ||
+        | 'gap' || repeat(' ', CAST(2 + p.doc_id % 3 AS INT)) || 'end ' ||
+        |   (p.doc_id % 7) || chr(10) ||
+        | 'tabbed' || chr(9) || 'here ' || p.doc_id || chr(10) ||
+        | 'break' || chr(10) || 'line ' || p.doc_id || chr(10) ||
+        | 'ent & < ' || p.doc_id || chr(10) ||
+        | body.btxt || chr(10) ||
+        | 'odt cell 0 ' || p.doc_id || chr(10) ||
+        | 'odt cell 1 ' || p.doc_id AS text
+        |FROM p JOIN body ON p.doc_id = body.doc_id
+        |ORDER BY p.doc_id""".stripMargin))
+
+  // ------------------------------------------- PPTX slide text
+  // PresentationML rounds out the office family: slides are surfaced
+  // in NUMERIC order (the fixture writes them to the archive in
+  // reverse, so ordering sits on the hash), each assembling a:p
+  // paragraphs, split a:t runs, a:br breaks, and entities, with run
+  // properties and the layout tree contributing nothing. One row per
+  // slide — pdf_text's paged shape. Per-row, zero shuffle until the
+  // explode.
+  private val pptxTextQ = Q(
+    (s, dir) => {
+      val d = ScaleOps.pptxText(ScaleOps.synthPptx(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), d.as("d"))
+        .select(col("doc_id"),
+          col("d.n_slides").cast(LongType).as("n_slides"),
+          posexplode(col("d.slides")).as(Seq("_p", "sl")))
+        .select(col("doc_id"), col("n_slides"),
+          col("sl.slide_idx").cast(LongType).as("slide_idx"),
+          col("sl.text").as("text"))
+        .orderBy("doc_id", "slide_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS ns FROM documents),
+        | s AS (SELECT doc_id, ns, i.range AS s
+        |       FROM p CROSS JOIN range(0, 3) i WHERE i.range < ns)
+        |SELECT doc_id, CAST(ns AS BIGINT) AS n_slides,
+        | CAST(s AS BIGINT) AS slide_idx,
+        | 'Slide ' || (s + 1) || ' of deck ' || doc_id || chr(10) ||
+        | 'bullet one ' || doc_id || ' ' || s || chr(10) ||
+        | 'two-line' || chr(10) || 'bullet ' || ((doc_id + s) % 5) || chr(10) ||
+        | 'amp & done ' || s AS text
+        |FROM s ORDER BY doc_id, slide_idx""".stripMargin))
+
+  // ------------------------------------------- XLSX cell extraction
+  // The TABULAR office modality: sharedStrings (plain + RICH split-run
+  // entries with entities) resolve t="s" cells, numeric/boolean/
+  // formula-string/inlineStr cells carry their values verbatim, empty
+  // cells are skipped, and sheets assemble in numeric order (written
+  // reversed in the fixture). Cell refs (B3) resolve to 1-based
+  // (row, col) — every piece on the hash. Per-row, zero shuffle until
+  // the explode.
+  private val xlsxCellsQ = Q(
+    (s, dir) => {
+      val d = ScaleOps.xlsxCells(ScaleOps.synthXlsx(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), d.as("d"))
+        .select(col("doc_id"), explode(col("d.cells")).as("c"))
+        .select(col("doc_id"),
+          col("c.sheet").cast(LongType).as("sheet"),
+          col("c.row").cast(LongType).as("row_n"),
+          col("c.col").cast(LongType).as("col_n"),
+          col("c.ctype").as("ctype"), col("c.value").as("value"))
+        .orderBy("doc_id", "sheet", "row_n", "col_n")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS nr,
+        |   doc_id % 2 = 1 AS s2 FROM documents),
+        | r AS (SELECT doc_id, i.range + 1 AS r
+        |       FROM p CROSS JOIN range(0, 5) i WHERE i.range < nr),
+        | c AS (
+        |  SELECT doc_id, 1 AS sheet, r AS row_n, 1 AS col_n, 's' AS ctype,
+        |    CASE (doc_id + r) % 3 WHEN 0 THEN 'name ' || doc_id
+        |      WHEN 1 THEN 'alpha ' || doc_id
+        |      ELSE 'x & y ' || (doc_id % 5) END AS value FROM r
+        |  UNION ALL SELECT doc_id, 1, r, 2, 'n',
+        |    CAST((doc_id * 7 + r * 13) % 900 AS VARCHAR) FROM r
+        |  UNION ALL SELECT doc_id, 1, r, 3, 'b',
+        |    CAST((doc_id + r) % 2 AS VARCHAR) FROM r
+        |  UNION ALL SELECT doc_id, 1, r, 4, 'inlineStr',
+        |    'in ' || doc_id || ' ' || r FROM r
+        |  UNION ALL SELECT doc_id, 2, 1, 1, 'str',
+        |    'sum ' || (doc_id % 11) FROM p WHERE s2)
+        |SELECT doc_id, CAST(sheet AS BIGINT) AS sheet,
+        | CAST(row_n AS BIGINT) AS row_n, CAST(col_n AS BIGINT) AS col_n,
+        | ctype, value
+        |FROM c ORDER BY doc_id, sheet, row_n, col_n""".stripMargin))
+
+  // ------------------------------------------- sitemap parsing
+  // robots_allowed's discovery sibling: the frontier seeds from
+  // sitemaps and re-crawl scheduling reads lastmod. Both document
+  // kinds on the hash — urlset entries (escaped-ampersand locs,
+  // rotating lastmod/priority, a changefreq to skip) and the
+  // sitemapindex shard-of-shards form. Per-row, zero shuffle until
+  // the explode.
+  private val sitemapUrlsQ = Q(
+    (s, dir) => {
+      val d = ScaleOps.sitemapUrls(ScaleOps.synthSitemap(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), d.as("d"))
+        .select(col("doc_id"), col("d.kind").as("kind"),
+          posexplode(col("d.entries")).as(Seq("entry_idx", "e")))
+        .select(col("doc_id"), col("kind"),
+          col("entry_idx").cast(LongType).as("entry_idx"),
+          col("e.loc").as("loc"), col("e.lastmod").as("lastmod"),
+          col("e.priority").as("priority"))
+        .orderBy("doc_id", "entry_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, (doc_id % 5 = 0) AS idx,
+        |   2 + doc_id % 4 AS ne FROM documents),
+        | e AS (SELECT doc_id, idx, i.range AS i
+        |       FROM p CROSS JOIN range(0, 6) i WHERE i.range < ne)
+        |SELECT doc_id,
+        | CASE WHEN idx THEN 'sitemapindex' ELSE 'urlset' END AS kind,
+        | CAST(i AS BIGINT) AS entry_idx,
+        | CASE WHEN idx
+        |  THEN 'https://ex' || (doc_id % 7) || '.org/sitemap' || i || '.xml.gz'
+        |  ELSE 'https://ex' || (doc_id % 7) || '.org/page?id=' || i ||
+        |    '&v=' || ((doc_id + i) % 9) END AS loc,
+        | CASE WHEN (doc_id + i) % 3 <> 0 THEN
+        |   '2025-' || lpad(CAST(1 + (doc_id + i) % 12 AS VARCHAR), 2, '0') ||
+        |   '-' || lpad(CAST(1 + (doc_id * 3 + i) % 28 AS VARCHAR), 2, '0')
+        |  ELSE NULL END AS lastmod,
+        | CASE WHEN NOT idx AND (doc_id + i) % 2 = 0
+        |  THEN '0.' || (1 + (doc_id + i) % 9) ELSE NULL END AS priority
+        |FROM e ORDER BY doc_id, entry_idx""".stripMargin))
+
+  // ------------------------------------------- feed parsing
+  // The third discovery channel: RSS 2.0 and Atom parse to one entry
+  // shape. The fixture alternates dialects by seed, with the corners
+  // that break naive parsers on the hash: a CDATA title lane, missing
+  // timestamps surfacing null (feeds omit freely — disclosed), and
+  // Atom entries whose rel="alternate" link must beat an EARLIER
+  // enclosure link. Per-row, zero shuffle until the explode.
+  private val feedEntriesQ = Q(
+    (s, dir) => {
+      val d = ScaleOps.feedEntries(ScaleOps.synthFeed(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), d.as("d"))
+        .select(col("doc_id"), col("d.format").as("format"),
+          col("d.feed_title").as("feed_title"),
+          posexplode(col("d.entries")).as(Seq("entry_idx", "e")))
+        .select(col("doc_id"), col("format"), col("feed_title"),
+          col("entry_idx").cast(LongType).as("entry_idx"),
+          col("e.title").as("title"), col("e.link").as("link"),
+          col("e.ts").as("ts"))
+        .orderBy("doc_id", "entry_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, doc_id % 2 = 1 AS atom,
+        |   1 + doc_id % 3 AS ne FROM documents),
+        | e AS (SELECT doc_id, atom, i.range AS i
+        |       FROM p CROSS JOIN range(0, 3) i WHERE i.range < ne)
+        |SELECT doc_id,
+        | CASE WHEN atom THEN 'atom' ELSE 'rss' END AS format,
+        | 'Feed & co ' || doc_id AS feed_title,
+        | CAST(i AS BIGINT) AS entry_idx,
+        | 'Post ' || i || ' <ep ' || ((doc_id + i) % 8) || '>' AS title,
+        | 'https://ex' || (doc_id % 7) || '.org/post/' || i AS link,
+        | CASE WHEN (doc_id + i) % 4 <> 0 THEN
+        |   CASE WHEN atom THEN '2025-' ||
+        |     lpad(CAST(1 + (doc_id + i) % 12 AS VARCHAR), 2, '0') ||
+        |     '-03T10:0' || i || ':00Z'
+        |    ELSE 'Mon, ' || (1 + (doc_id + i) % 28) || ' Apr 2025 10:0' ||
+        |     i || ':00 GMT' END
+        |  ELSE NULL END AS ts
+        |FROM e ORDER BY doc_id, entry_idx""".stripMargin))
+
   // ------------------------------------------- Ogg Opus packet lattice
   // The decide-and-close answer for Opus (crawled audio's third pillar
   // after MP3/Vorbis): the packet-level inventory RFC 6716's TOC byte
@@ -6649,6 +6847,11 @@ object QueriesScale {
     "opus_packets" -> opusPacketsQ,
     "pdf_text" -> pdfTextQ,
     "docx_text" -> docxTextQ,
+    "odt_text" -> odtTextQ,
+    "pptx_text" -> pptxTextQ,
+    "xlsx_cells" -> xlsxCellsQ,
+    "sitemap_urls" -> sitemapUrlsQ,
+    "feed_entries" -> feedEntriesQ,
     "main_content" -> mainContentQ,
     "url_canonical" -> urlCanonicalQ,
     "tar_members" -> tarMembersQ,

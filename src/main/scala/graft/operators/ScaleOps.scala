@@ -1796,6 +1796,66 @@ object ScaleOps {
   def synthDocx(doc: Column): Column =
     org.apache.spark.sql.graftnative.DocxFunctions.synth_docx(doc)
 
+  /** ODT (OpenDocument text) extraction
+    * (see [[org.apache.spark.sql.graftnative.OdtText]]).
+    */
+  def odtText(payload: Column): Column =
+    org.apache.spark.sql.graftnative.OdtFunctions.odt_text(payload)
+
+  /** ODF/ODT fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.OdtSynth]]).
+    */
+  def synthOdt(doc: Column): Column =
+    org.apache.spark.sql.graftnative.OdtFunctions.synth_odt(doc)
+
+  /** PPTX (PresentationML) slide-text extraction
+    * (see [[org.apache.spark.sql.graftnative.PptxText]]).
+    */
+  def pptxText(payload: Column): Column =
+    org.apache.spark.sql.graftnative.PptxFunctions.pptx_text(payload)
+
+  /** PresentationML fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.PptxSynth]]).
+    */
+  def synthPptx(doc: Column): Column =
+    org.apache.spark.sql.graftnative.PptxFunctions.synth_pptx(doc)
+
+  /** XLSX (SpreadsheetML) cell extraction
+    * (see [[org.apache.spark.sql.graftnative.XlsxCells]]).
+    */
+  def xlsxCells(payload: Column): Column =
+    org.apache.spark.sql.graftnative.XlsxFunctions.xlsx_cells(payload)
+
+  /** SpreadsheetML fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.XlsxSynth]]).
+    */
+  def synthXlsx(doc: Column): Column =
+    org.apache.spark.sql.graftnative.XlsxFunctions.synth_xlsx(doc)
+
+  /** sitemaps.org urlset/sitemapindex parsing
+    * (see [[org.apache.spark.sql.graftnative.SitemapUrls]]).
+    */
+  def sitemapUrls(xml: Column): Column =
+    org.apache.spark.sql.graftnative.SitemapFunctions.sitemap_urls(xml)
+
+  /** Sitemap fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.SitemapSynth]]).
+    */
+  def synthSitemap(doc: Column): Column =
+    org.apache.spark.sql.graftnative.SitemapFunctions.synth_sitemap(doc)
+
+  /** RSS 2.0 / Atom feed-entry extraction
+    * (see [[org.apache.spark.sql.graftnative.FeedEntries]]).
+    */
+  def feedEntries(xml: Column): Column =
+    org.apache.spark.sql.graftnative.FeedFunctions.feed_entries(xml)
+
+  /** Two-dialect feed fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.FeedSynth]]).
+    */
+  def synthFeed(doc: Column): Column =
+    org.apache.spark.sql.graftnative.FeedFunctions.synth_feed(doc)
+
   /** Ogg Opus packet inventory (RFC 7845 framing + RFC 6716 TOC)
     * (see [[org.apache.spark.sql.graftnative.OpusPackets]]).
     */

@@ -2850,6 +2850,81 @@ object QueriesScale {
         |FROM p JOIN body ON p.doc_id = body.doc_id
         |ORDER BY p.doc_id""".stripMargin))
 
+  // ------------------------------------------- Markdown stripping
+  // README/docs corpora are among the largest public text sources and
+  // their markup inflates shingles like HTML chrome. The documented
+  // CommonMark subset all on the hash: ATX + setext headings,
+  // emphasis/strong/code spans, inline + REFERENCE links, an image's
+  // alt text, a fenced code block kept verbatim (fences dropped),
+  // nested blockquotes, both list forms, a thematic break, an
+  // autolink, and a reference definition that must vanish. Per-row,
+  // zero shuffle.
+  private val markdownTextQ = Q(
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          ScaleOps.markdownText(ScaleOps.synthMarkdown(col("doc_id")))
+            .as("text"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS ni FROM documents),
+        | it AS (SELECT doc_id,
+        |    string_agg('item ' || i.range || ' of ' || doc_id,
+        |      chr(10) ORDER BY i.range) AS itxt
+        |   FROM p CROSS JOIN range(0, 5) i WHERE i.range < ni
+        |   GROUP BY doc_id)
+        |SELECT p.doc_id,
+        | 'Project ' || (p.doc_id % 100) || chr(10) || chr(10) ||
+        | 'Intro with bold ' || (p.doc_id % 9) ||
+        |   ' and italic words plus inline code v' || p.doc_id || '.' ||
+        |   chr(10) || chr(10) ||
+        | 'Setext Title' || chr(10) || chr(10) ||
+        | 'see the docs ' || (p.doc_id % 5) || ' and ref guide here' ||
+        |   chr(10) || chr(10) ||
+        | 'val x' || p.doc_id || ' = ' || (p.doc_id % 7) || chr(10) ||
+        | 'println(x' || p.doc_id || ')' || chr(10) || chr(10) ||
+        | it.itxt || chr(10) || chr(10) ||
+        | 'quoted wisdom ' || p.doc_id || chr(10) || chr(10) ||
+        | 'logo-' || (p.doc_id % 4) || chr(10) ||
+        | 'https://ex' || (p.doc_id % 7) || '.org/d' || p.doc_id AS text
+        |FROM p JOIN it ON p.doc_id = it.doc_id
+        |ORDER BY p.doc_id""".stripMargin))
+
+  // ------------------------------------------- RTF text extraction
+  // The legacy office format email attachments still arrive in: a
+  // real control-word parser with group-scoped \uc state. On the
+  // hash: font/color/stylesheet/info tables and {\*\generator}
+  // vanishing, cp1252 \'hh escapes INCLUDING the 0x80 block where
+  // Latin-1 would be wrong, \uN with fallback skip, special-char
+  // control words, and a \field whose instruction drops while its
+  // result text stays. Per-row, zero shuffle.
+  private val rtfTextQ = Q(
+    (s, dir) => {
+      val d = ScaleOps.rtfText(ScaleOps.synthRtf(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), d.as("d"))
+        .select(col("doc_id"), col("d.text").as("text"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS np FROM documents),
+        | pa AS (SELECT doc_id,
+        |    string_agg('Para ' || i.range || ' of ' || doc_id || chr(8212) ||
+        |      'x' || ((doc_id + i.range) % 9), chr(10) ORDER BY i.range)
+        |      AS ptxt
+        |   FROM p CROSS JOIN range(0, 3) i WHERE i.range < np
+        |   GROUP BY doc_id)
+        |SELECT p.doc_id,
+        | 'Title ' || chr(8220) || 'doc ' || p.doc_id || chr(8221) || chr(10) ||
+        | 'caf' || chr(233) || ' ' || chr(8364) || (p.doc_id % 50) || ' ' ||
+        |   chr(215) || (p.doc_id % 5) || chr(10) ||
+        | pa.ptxt || chr(10) ||
+        | 'link text ' || (p.doc_id % 7) || chr(10) ||
+        | 'tab' || chr(9) || 'here ' || p.doc_id || chr(10) AS text
+        |FROM p JOIN pa ON p.doc_id = pa.doc_id
+        |ORDER BY p.doc_id""".stripMargin))
+
   // ------------------------------------------- ODT text extraction
   // The OpenDocument half of the office family, sharing the verified
   // container walk (ODF magic-number rule: STORED mimetype first, and
@@ -6848,6 +6923,8 @@ object QueriesScale {
     "pdf_text" -> pdfTextQ,
     "docx_text" -> docxTextQ,
     "odt_text" -> odtTextQ,
+    "markdown_text" -> markdownTextQ,
+    "rtf_text" -> rtfTextQ,
     "pptx_text" -> pptxTextQ,
     "xlsx_cells" -> xlsxCellsQ,
     "sitemap_urls" -> sitemapUrlsQ,

@@ -1796,6 +1796,30 @@ object ScaleOps {
   def synthDocx(doc: Column): Column =
     org.apache.spark.sql.graftnative.DocxFunctions.synth_docx(doc)
 
+  /** Markdown → text stripping
+    * (see [[org.apache.spark.sql.graftnative.MarkdownText]]).
+    */
+  def markdownText(md: Column): Column =
+    org.apache.spark.sql.graftnative.MarkdownFunctions.markdown_text(md)
+
+  /** README-shaped Markdown fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.MarkdownSynth]]).
+    */
+  def synthMarkdown(doc: Column): Column =
+    org.apache.spark.sql.graftnative.MarkdownFunctions.synth_markdown(doc)
+
+  /** RTF text extraction
+    * (see [[org.apache.spark.sql.graftnative.RtfText]]).
+    */
+  def rtfText(payload: Column): Column =
+    org.apache.spark.sql.graftnative.RtfFunctions.rtf_text(payload)
+
+  /** Word-shaped RTF fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.RtfSynth]]).
+    */
+  def synthRtf(doc: Column): Column =
+    org.apache.spark.sql.graftnative.RtfFunctions.synth_rtf(doc)
+
   /** ODT (OpenDocument text) extraction
     * (see [[org.apache.spark.sql.graftnative.OdtText]]).
     */

@@ -2850,6 +2850,67 @@ object QueriesScale {
         |FROM p JOIN body ON p.doc_id = body.doc_id
         |ORDER BY p.doc_id""".stripMargin))
 
+  // ------------------------------------------- email / MIME parsing
+  // Mail archives are a canonical large text corpus with nothing else
+  // in the pipeline able to read them. The fixture's four shapes put
+  // the whole MIME surface on the hash: plain 7bit, quoted-printable
+  // with soft breaks and =C3=A9, multipart/alternative with a
+  // preamble/epilogue to drop, and NESTED multipart/mixed carrying a
+  // base64 UTF-8 part plus a non-text attachment leaf (inventoried
+  // with empty text); Subjects rotate RFC 2047 B/Q encoded words
+  // including the adjacent-join rule, and one shape folds its Subject
+  // header across lines. Per-row, zero shuffle until the explode.
+  private val emlMessageQ = Q(
+    (s, dir) => {
+      val d = ScaleOps.emlMessage(ScaleOps.synthEml(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), d.as("d"))
+        .select(col("doc_id"),
+          col("d.from").as("from_addr"), col("d.to").as("to_addr"),
+          col("d.subject").as("subject"), col("d.date").as("sent_date"),
+          col("d.n_parts").cast(LongType).as("n_parts"),
+          posexplode(col("d.parts")).as(Seq("part_idx", "pt")))
+        .select(col("doc_id"), col("from_addr"), col("to_addr"),
+          col("subject"), col("sent_date"), col("n_parts"),
+          col("part_idx").cast(LongType).as("part_idx"),
+          col("pt.content_type").as("content_type"),
+          col("pt.text").as("text"))
+        .orderBy("doc_id", "part_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS sh FROM documents),
+        | base AS (SELECT doc_id, sh,
+        |   'Sender ' || (doc_id % 9) || ' <s' || (doc_id % 9) ||
+        |     '@ex.org>' AS from_addr,
+        |   'r' || doc_id || '@ex.org' AS to_addr,
+        |   CASE sh WHEN 1 THEN 'caf' || chr(233) || ' update ' || (doc_id % 50)
+        |     WHEN 2 THEN 'status report ' || (doc_id % 50)
+        |     WHEN 3 THEN 'na' || chr(239) || 've summary ' || (doc_id % 50)
+        |     ELSE 'plain subject ' || (doc_id % 50) END AS subject,
+        |   'Mon, ' || (1 + doc_id % 28) || ' Apr 2025 0' || (doc_id % 10) ||
+        |     ':30:00 +0000' AS sent_date,
+        |   'Hello ' || (doc_id % 9) || ',' || chr(10) ||
+        |     'the measured value is ' || ((doc_id * 7) % 900) || '.' ||
+        |     CASE WHEN sh = 1 THEN ' r' || chr(233) || 'sum' || chr(233) ||
+        |       ' attached.' ELSE '' END AS body,
+        |   CASE sh WHEN 2 THEN 2 WHEN 3 THEN 3 ELSE 1 END AS np FROM p),
+        | parts AS (
+        |  SELECT doc_id, 0 AS part_idx, 'text/plain' AS content_type,
+        |    body AS text FROM base
+        |  UNION ALL SELECT doc_id, 1, 'text/html',
+        |    '<p>alt ' || (doc_id % 9) || '</p>' FROM base WHERE sh = 2
+        |  UNION ALL SELECT doc_id, 1, 'text/plain',
+        |    'm' || chr(233) || 'trics ' || chr(163) || (doc_id % 100) ||
+        |    chr(10) || 'end ' || doc_id FROM base WHERE sh = 3
+        |  UNION ALL SELECT doc_id, 2, 'application/pdf', '' FROM base
+        |    WHERE sh = 3)
+        |SELECT b.doc_id, b.from_addr, b.to_addr, b.subject, b.sent_date,
+        | CAST(b.np AS BIGINT) AS n_parts,
+        | CAST(pt.part_idx AS BIGINT) AS part_idx,
+        | pt.content_type, pt.text
+        |FROM base b JOIN parts pt ON b.doc_id = pt.doc_id
+        |ORDER BY b.doc_id, part_idx""".stripMargin))
+
   // ------------------------------------------- Markdown stripping
   // README/docs corpora are among the largest public text sources and
   // their markup inflates shingles like HTML chrome. The documented
@@ -6925,6 +6986,7 @@ object QueriesScale {
     "odt_text" -> odtTextQ,
     "markdown_text" -> markdownTextQ,
     "rtf_text" -> rtfTextQ,
+    "eml_message" -> emlMessageQ,
     "pptx_text" -> pptxTextQ,
     "xlsx_cells" -> xlsxCellsQ,
     "sitemap_urls" -> sitemapUrlsQ,

@@ -1796,6 +1796,18 @@ object ScaleOps {
   def synthDocx(doc: Column): Column =
     org.apache.spark.sql.graftnative.DocxFunctions.synth_docx(doc)
 
+  /** RFC 5322 + MIME email parsing
+    * (see [[org.apache.spark.sql.graftnative.EmlMessage]]).
+    */
+  def emlMessage(payload: Column): Column =
+    org.apache.spark.sql.graftnative.EmlFunctions.eml_message(payload)
+
+  /** Four-shape email fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.EmlSynth]]).
+    */
+  def synthEml(doc: Column): Column =
+    org.apache.spark.sql.graftnative.EmlFunctions.synth_eml(doc)
+
   /** Markdown → text stripping
     * (see [[org.apache.spark.sql.graftnative.MarkdownText]]).
     */

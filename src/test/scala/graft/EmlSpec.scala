@@ -1,0 +1,90 @@
+package org.apache.spark.sql.graftnative
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Email/MIME parsing contracts: the four fixture shapes, RFC 2047
+  * corners, the RFC 2046 boundary newline rule, and rejects.
+  */
+class EmlSpec extends AnyFunSuite {
+
+  test("fixture roundtrip: all four shapes across 24 seeds") {
+    for (doc <- 0L to 23L) {
+      val r = EmlMessage.compute(EmlSynth.emlString(doc))
+      assert(r.getUTF8String(0).toString == "eml", s"doc $doc rejected")
+      assert(r.getUTF8String(1).toString == EmlSynth.from(doc))
+      assert(r.getUTF8String(2).toString == EmlSynth.to(doc))
+      assert(r.getUTF8String(3).toString == EmlSynth.subject(doc),
+        s"doc $doc subject (2047 shape ${EmlSynth.shape(doc)})")
+      assert(r.getUTF8String(4).toString == EmlSynth.date(doc))
+      assert(r.getInt(5) == EmlSynth.nParts(doc), s"doc $doc parts")
+      val p0 = r.getArray(6).getStruct(0, 2)
+      assert(p0.getUTF8String(0).toString == "text/plain")
+      assert(p0.getUTF8String(1).toString == EmlSynth.bodyText(doc),
+        s"doc $doc body:\n[${p0.getUTF8String(1)}]\nvs\n[${EmlSynth.bodyText(doc)}]")
+      if (EmlSynth.shape(doc) == 2) {
+        val p1 = r.getArray(6).getStruct(1, 2)
+        assert(p1.getUTF8String(0).toString == "text/html")
+        assert(p1.getUTF8String(1).toString == EmlSynth.htmlAltText(doc))
+      }
+      if (EmlSynth.shape(doc) == 3) {
+        val p1 = r.getArray(6).getStruct(1, 2)
+        assert(p1.getUTF8String(1).toString == EmlSynth.b64PartText(doc),
+          s"doc $doc base64 part")
+        val p2 = r.getArray(6).getStruct(2, 2)
+        assert(p2.getUTF8String(0).toString == "application/pdf")
+        assert(p2.getUTF8String(1).toString == "", "non-text leaf: empty text")
+      }
+    }
+  }
+
+  test("RFC 2047: B/Q forms, adjacent join, unknown charset rejects") {
+    assert(EmlMessage.decodeWords("=?utf-8?B?Y2Fmw6k=?=") == "café")
+    assert(EmlMessage.decodeWords("=?iso-8859-1?Q?a_b=E9c?=") == "a béc")
+    // adjacent encoded words: intervening whitespace drops
+    assert(EmlMessage.decodeWords("=?utf-8?B?YWI=?= =?utf-8?B?Y2Q=?=") == "abcd")
+    // non-adjacent text keeps its spacing
+    assert(EmlMessage.decodeWords("x =?utf-8?B?eQ==?= z") == "x y z")
+    // a malformed word passes through verbatim rather than corrupting
+    assert(EmlMessage.decodeWords("=?utf-8?B?broken") == "=?utf-8?B?broken")
+  }
+
+  test("rejects: missing separator, lost boundary, bad encodings") {
+    def fmt(s: String): String =
+      EmlMessage.compute(s).getUTF8String(0).toString
+    assert(fmt("no header separator at all") == "unknown")
+    assert(fmt("Subject: x\r\n\r\nbody ok") == "eml")
+    // multipart without boundary param
+    assert(fmt("Content-Type: multipart/mixed\r\n\r\nbody") == "unknown")
+    // closing boundary never arrives
+    assert(fmt("Content-Type: multipart/mixed; boundary=b\r\n\r\n--b\r\n" +
+      "Content-Type: text/plain\r\n\r\nx\r\n") == "unknown")
+    // unknown transfer encoding / charset
+    assert(fmt("Content-Type: text/plain\r\n" +
+      "Content-Transfer-Encoding: uuencode\r\n\r\nx") == "unknown")
+    assert(fmt("Content-Type: text/plain; charset=koi8-r\r\n" +
+      "Content-Transfer-Encoding: base64\r\n\r\neA==") == "unknown")
+    // torn QP
+    assert(fmt("Content-Type: text/plain; charset=utf-8\r\n" +
+      "Content-Transfer-Encoding: quoted-printable\r\n\r\nbad =Z9 escape") ==
+      "unknown")
+    // truncation sweep over a nested multipart: classify, never throw
+    val ok = EmlSynth.emlString(3L)
+    var k = 0
+    while (k < ok.length) { EmlMessage.compute(ok.substring(0, k)); k += 17 }
+  }
+
+  test("boundary newline rule: part bodies do not grow a trailing newline") {
+    val r = EmlMessage.compute(EmlSynth.emlString(2L)) // multipart/alternative
+    val body = r.getArray(6).getStruct(0, 2).getUTF8String(1).toString
+    assert(!body.endsWith("\n"),
+      "the CRLF before a boundary belongs to the delimiter, not the part")
+  }
+
+  test("composition: decoded parts feed text analysis; html alt routes to html_text") {
+    val r = EmlMessage.compute(EmlSynth.emlString(6L)) // shape 2
+    val html = r.getArray(6).getStruct(1, 2).getUTF8String(1).toString
+    val stripped = HtmlTextExtract.compute(UTF8String.fromString(html))
+    assert(stripped.getUTF8String(1).toString == s"alt ${6 % 9}")
+  }
+}

@@ -2911,6 +2911,79 @@ object QueriesScale {
         |FROM base b JOIN parts pt ON b.doc_id = pt.doc_id
         |ORDER BY b.doc_id, part_idx""".stripMargin))
 
+  // ------------------------------------------- mbox → eml composition
+  // Mail archives ship as mbox shards; this key consumes one end to
+  // end: the mboxrd split (envelope lines delimit, >From un-stuffing
+  // applied — the un-stuffed line is each first message's body TAIL,
+  // so the rule sits on the hash) feeds every message straight into
+  // eml_message, subjects/part counts verified per member. Layers
+  // compose without a staging table. Per-row, zero shuffle until the
+  // explode.
+  private val mboxMessagesQ = Q(
+    (s, dir) => {
+      val m = ScaleOps.mboxSplit(ScaleOps.synthMbox(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), m.as("m"))
+        .select(col("doc_id"),
+          col("m.n_messages").cast(LongType).as("n_messages"),
+          posexplode(col("m.messages")).as(Seq("msg_idx", "msg")))
+        .select(col("doc_id"), col("n_messages"),
+          col("msg_idx").cast(LongType).as("msg_idx"),
+          ScaleOps.emlMessage(col("msg")).as("e"))
+        .select(col("doc_id"), col("n_messages"), col("msg_idx"),
+          col("e.subject").as("subject"),
+          col("e.n_parts").cast(LongType).as("n_parts"),
+          element_at(split(col("e.parts").getItem(0).getField("text"), "\n"), -1)
+            .as("body_tail"))
+        .orderBy("doc_id", "msg_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS nm FROM documents),
+        | m AS (SELECT doc_id, nm, k.range AS k, 7 * doc_id + k.range AS seed
+        |   FROM p CROSS JOIN range(0, 3) k WHERE k.range < nm),
+        | s AS (SELECT doc_id, nm, k, seed, CAST(seed % 4 AS INT) AS sh FROM m)
+        |SELECT doc_id, CAST(nm AS BIGINT) AS n_messages,
+        | CAST(k AS BIGINT) AS msg_idx,
+        | CASE sh WHEN 1 THEN 'caf' || chr(233) || ' update ' || (seed % 50)
+        |   WHEN 2 THEN 'status report ' || (seed % 50)
+        |   WHEN 3 THEN 'na' || chr(239) || 've summary ' || (seed % 50)
+        |   ELSE 'plain subject ' || (seed % 50) END AS subject,
+        | CAST(CASE sh WHEN 2 THEN 2 WHEN 3 THEN 3 ELSE 1 END AS BIGINT)
+        |   AS n_parts,
+        | CASE WHEN k = 0 AND sh IN (0, 1)
+        |  THEN 'From the archives: note ' || (doc_id % 9)
+        |  ELSE 'the measured value is ' || ((seed * 7) % 900) || '.' ||
+        |    CASE WHEN sh = 1 THEN ' r' || chr(233) || 'sum' || chr(233) ||
+        |      ' attached.' ELSE '' END
+        | END AS body_tail
+        |FROM s ORDER BY doc_id, msg_idx""".stripMargin))
+
+  // ---------------------------------- robots Sitemap directives
+  // The governance→discovery link: crawlers learn sitemap locations
+  // from robots.txt Sitemap lines (group-independent, collected in
+  // document order). The fixture's extra-directive rotation sits on
+  // the hash next to the constant first line. Per-row, zero shuffle
+  // until the explode.
+  private val robotsSitemapsQ = Q(
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(
+          ScaleOps.robotsSitemaps(ScaleOps.synthRobots(col("doc_id"))))
+          .as(Seq("sm_idx", "sitemap_url")))
+        .select(col("doc_id"), col("sm_idx").cast(LongType).as("sm_idx"),
+          col("sitemap_url"))
+        .orderBy("doc_id", "sm_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS ns FROM documents),
+        | e AS (SELECT doc_id, i.range AS i
+        |       FROM p CROSS JOIN range(0, 2) i WHERE i.range < ns)
+        |SELECT doc_id, CAST(i AS BIGINT) AS sm_idx,
+        | CASE WHEN i = 0 THEN 'https://example.com/sitemap.xml'
+        |  ELSE 'https://ex' || (doc_id % 7) || '.org/maps/s' || (i - 1) ||
+        |    '.xml' END AS sitemap_url
+        |FROM e ORDER BY doc_id, sm_idx""".stripMargin))
+
   // ------------------------------------------- Markdown stripping
   // README/docs corpora are among the largest public text sources and
   // their markup inflates shingles like HTML chrome. The documented
@@ -6987,6 +7060,8 @@ object QueriesScale {
     "markdown_text" -> markdownTextQ,
     "rtf_text" -> rtfTextQ,
     "eml_message" -> emlMessageQ,
+    "mbox_messages" -> mboxMessagesQ,
+    "robots_sitemaps" -> robotsSitemapsQ,
     "pptx_text" -> pptxTextQ,
     "xlsx_cells" -> xlsxCellsQ,
     "sitemap_urls" -> sitemapUrlsQ,

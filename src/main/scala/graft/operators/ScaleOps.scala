@@ -1808,6 +1808,24 @@ object ScaleOps {
   def synthEml(doc: Column): Column =
     org.apache.spark.sql.graftnative.EmlFunctions.synth_eml(doc)
 
+  /** mboxrd container splitting
+    * (see [[org.apache.spark.sql.graftnative.MboxSplit]]).
+    */
+  def mboxSplit(payload: Column): Column =
+    org.apache.spark.sql.graftnative.EmlFunctions.mbox_split(payload)
+
+  /** mbox shard fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.MboxSynth]]).
+    */
+  def synthMbox(doc: Column): Column =
+    org.apache.spark.sql.graftnative.EmlFunctions.synth_mbox(doc)
+
+  /** Sitemap-directive collection from robots.txt
+    * (see [[org.apache.spark.sql.graftnative.RobotsSitemaps]]).
+    */
+  def robotsSitemaps(robots: Column): Column =
+    org.apache.spark.sql.graftnative.RobotsFunctions.robots_sitemaps(robots)
+
   /** Markdown → text stripping
     * (see [[org.apache.spark.sql.graftnative.MarkdownText]]).
     */

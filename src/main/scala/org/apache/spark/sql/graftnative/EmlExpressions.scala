@@ -484,6 +484,144 @@ case class SynthEml(child: Expression)
     copy(child = newChild)
 }
 
+/** mbox container splitting (the mboxrd convention) — mail archives
+  * ship as one file of concatenated messages, each introduced by a
+  * `From ` envelope line. Split rules:
+  *
+  *  - a message starts at a line beginning `"From "` (the envelope
+  *    line itself is NOT part of the message);
+  *  - `>From`-quoting un-stuffs: a body line matching `>+From ` loses
+  *    exactly ONE leading `>` (the mboxrd rule — classic mboxo cannot
+  *    round-trip and is why the convention exists);
+  *  - text before the first envelope line rejects the file (it is not
+  *    an mbox).
+  *
+  * Output: the raw message strings, ready for [[EmlMessage]] — the
+  * composition is the point.
+  */
+case class MboxSplit(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = MboxSplit.schema
+  override def nullable: Boolean = false
+
+  override def nullSafeEval(v: Any): Any =
+    MboxSplit.compute(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftnative.MboxSplit.compute($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MboxSplit {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("n_messages", IntegerType, nullable = true),
+    StructField("messages", ArrayType(StringType, containsNull = false),
+      nullable = true)))
+
+  private val FmtMbox = UTF8String.fromString("mbox")
+  private val FmtUnknown = UTF8String.fromString("unknown")
+  private val MaxMessages = 1 << 16
+
+  private def unknown: InternalRow =
+    new GenericInternalRow(Array[Any](FmtUnknown, null, null))
+
+  def compute(raw: String): InternalRow = {
+    val lines = raw.split("\r\n|\n", -1)
+    val msgs = new java.util.ArrayList[String]()
+    var cur: StringBuilder = null
+    // the newline ending a message belongs to the separator (the
+    // blank-line convention), mirroring the MIME boundary rule
+    def close(): Unit = if (cur != null) {
+      val s = cur.toString
+      msgs.add(if (s.endsWith("\n")) s.substring(0, s.length - 1) else s)
+    }
+    for (line <- lines) {
+      if (line.startsWith("From ")) {
+        close()
+        if (msgs.size() >= MaxMessages) return unknown
+        cur = new StringBuilder()
+      } else if (cur == null) {
+        if (line.nonEmpty) return unknown // content before any envelope
+      } else {
+        // mboxrd un-stuffing: one '>' comes off a >+From line
+        val unstuffed =
+          if (line.startsWith(">")) {
+            var g = 0
+            while (g < line.length && line.charAt(g) == '>') g += 1
+            if (line.startsWith("From ", g)) line.substring(1) else line
+          } else line
+        if (cur.nonEmpty) cur.append('\n')
+        cur.append(unstuffed)
+      }
+    }
+    close()
+    if (msgs.isEmpty) return unknown
+    val arr = new Array[Any](msgs.size())
+    var i = 0
+    while (i < msgs.size()) {
+      arr(i) = UTF8String.fromString(msgs.get(i))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](FmtMbox, msgs.size(),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)))
+  }
+}
+
+/** Fixture: `1 + doc mod 3` [[EmlSynth]] messages concatenated with
+  * `From ` envelope lines, with a body line that needs mboxrd
+  * un-stuffing spliced into the first message.
+  */
+object MboxSynth {
+  private def fm(a: Long, m: Long): Int = java.lang.Math.floorMod(a, m).toInt
+
+  def nMessages(doc: Long): Int = 1 + fm(doc, 3)
+
+  /** Message k of the shard is the eml fixture for seed 7·doc+k. */
+  def memberSeed(doc: Long, k: Int): Long = 7 * doc + k
+
+  def mboxString(doc: Long): String = {
+    val sb = new StringBuilder()
+    for (k <- 0 until nMessages(doc)) {
+      sb.append(s"From s@ex.org Mon Apr ${1 + fm(doc + k, 28)} 2025\n")
+      val eml = EmlSynth.emlString(memberSeed(doc, k))
+      if (k == 0) {
+        // a stuffed body line the splitter must un-stuff
+        sb.append(eml)
+        sb.append("\n>From the archives: note ").append(fm(doc, 9)).append('\n')
+      } else sb.append(eml)
+      if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    }
+    sb.toString
+  }
+}
+
+/** Expression wrapping [[MboxSynth.mboxString]]. */
+case class SynthMbox(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(doc: Any): Any =
+    UTF8String.fromString(MboxSynth.mboxString(doc.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d => s"""
+      ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+        org.apache.spark.sql.graftnative.MboxSynth.mboxString($d));
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object EmlFunctions {
   /** Column API: RFC 5322 + MIME email parsing. */
   def eml_message(payload: Column): Column =
@@ -492,4 +630,12 @@ object EmlFunctions {
   /** Column API: four-shape email fixture from a doc seed. */
   def synth_eml(doc: Column): Column =
     ExpressionUtils.column(SynthEml(ExpressionUtils.expression(doc)))
+
+  /** Column API: mboxrd container splitting. */
+  def mbox_split(payload: Column): Column =
+    ExpressionUtils.column(MboxSplit(ExpressionUtils.expression(payload)))
+
+  /** Column API: mbox shard fixture from a doc seed. */
+  def synth_mbox(doc: Column): Column =
+    ExpressionUtils.column(SynthMbox(ExpressionUtils.expression(doc)))
 }

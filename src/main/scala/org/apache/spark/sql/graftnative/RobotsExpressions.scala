@@ -226,8 +226,15 @@ object RobotsSynth {
       sb.append("Allow: /\n")
     }
     sb.append("Sitemap: https://example.com/sitemap.xml\n")
+    for (k <- 0 until extraSitemaps(doc))
+      sb.append(s"Sitemap: https://ex${fm(doc, 7)}.org/maps/s$k.xml\n")
     sb.toString
   }
+
+  /** Beyond the constant first line: `doc mod 2` extra sitemap
+    * directives (inert for robots_allowed, data for robots_sitemaps).
+    */
+  def extraSitemaps(doc: Long): Int = fm(doc, 2)
 
   val NUrls = 8
   def url(doc: Long, u: Int): String = u match {
@@ -266,6 +273,57 @@ case class SynthRobots(child: Expression)
     copy(child = newChild)
 }
 
+/** `Sitemap:` directive collection from robots.txt (RFC 9309 §2.2.4 /
+  * sitemaps.org): the governance→discovery link — crawlers learn
+  * where a site's sitemaps live from exactly these lines. Values are
+  * absolute URLs taken as given (canonicalize downstream), collected
+  * in document order from anywhere in the file (the directive is
+  * group-independent per the spec); comments and all other fields are
+  * ignored.
+  */
+case class RobotsSitemaps(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def nullSafeEval(v: Any): Any =
+    RobotsSitemaps.compute(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftnative.RobotsSitemaps.compute($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RobotsSitemaps {
+  def compute(robots: String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val out = new java.util.ArrayList[Any]()
+    robots.split("\r\n|\n|\r", -1).foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+        line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) out.add(UTF8String.fromString(v))
+      }
+    }
+    val arr = new Array[Any](out.size())
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
 object RobotsFunctions {
   /** Column API: RFC 9309 allow/deny decision for (robots, agent, path). */
   def robots_allowed(robots: Column, agent: Column, path: Column): Column =
@@ -277,4 +335,8 @@ object RobotsFunctions {
   /** Column API: two-group robots.txt fixture from a doc seed. */
   def synth_robots(doc: Column): Column =
     ExpressionUtils.column(SynthRobots(ExpressionUtils.expression(doc)))
+
+  /** Column API: Sitemap-directive collection from robots.txt. */
+  def robots_sitemaps(robots: Column): Column =
+    ExpressionUtils.column(RobotsSitemaps(ExpressionUtils.expression(robots)))
 }

@@ -81,6 +81,48 @@ class EmlSpec extends AnyFunSuite {
       "the CRLF before a boundary belongs to the delimiter, not the part")
   }
 
+  test("mbox: split, un-stuffing, and the eml composition across 20 seeds") {
+    for (doc <- 0L to 19L) {
+      val r = MboxSplit.compute(MboxSynth.mboxString(doc))
+      assert(r.getUTF8String(0).toString == "mbox", s"doc $doc rejected")
+      val nm = MboxSynth.nMessages(doc)
+      assert(r.getInt(1) == nm, s"doc $doc messages")
+      for (k <- 0 until nm) {
+        val msg = r.getArray(2).getUTF8String(k).toString
+        val e = EmlMessage.compute(msg)
+        assert(e.getUTF8String(0).toString == "eml", s"doc $doc msg $k")
+        val seed = MboxSynth.memberSeed(doc, k)
+        assert(e.getUTF8String(3).toString == EmlSynth.subject(seed),
+          s"doc $doc msg $k subject")
+        if (k == 0 && EmlSynth.shape(seed) <= 1) {
+          val body = e.getArray(6).getStruct(0, 2).getUTF8String(1).toString
+          assert(body.endsWith(s"From the archives: note ${doc % 9}"),
+            s"doc $doc: the stuffed line must un-stuff into the body")
+          assert(!body.contains(">From"), "no residual stuffing")
+        }
+      }
+    }
+    // mboxo-style double-stuffing loses exactly ONE '>'
+    val two = MboxSplit.compute("From a\nX: y\n\n>>From deep\n")
+    assert(two.getArray(2).getUTF8String(0).toString.endsWith(">From deep"))
+    // not an mbox: content before any envelope line
+    assert(MboxSplit.compute("plain text\nFrom a\n")
+      .getUTF8String(0).toString == "unknown")
+    assert(MboxSplit.compute("").getUTF8String(0).toString == "unknown")
+  }
+
+  test("robots sitemaps: directives collect in document order") {
+    val got = RobotsSitemaps.compute(
+      "# c\nUser-agent: *\nDisallow: /x\nSitemap: https://a/s1.xml\n" +
+        "User-agent: b\nSITEMAP:   https://a/s2.xml  # trailing\nAllow: /\n")
+    assert(got.numElements() == 2)
+    assert(got.getUTF8String(0).toString == "https://a/s1.xml")
+    assert(got.getUTF8String(1).toString == "https://a/s2.xml",
+      "case-insensitive field, comment stripped, value trimmed")
+    assert(RobotsSitemaps.compute("User-agent: *\nAllow: /\n")
+      .numElements() == 0)
+  }
+
   test("composition: decoded parts feed text analysis; html alt routes to html_text") {
     val r = EmlMessage.compute(EmlSynth.emlString(6L)) // shape 2
     val html = r.getArray(6).getStruct(1, 2).getUTF8String(1).toString

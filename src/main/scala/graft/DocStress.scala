@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.ScaleOps
 
-/** Throughput probe for the round-14 document/container surface — the
-  * STRESS_AUDIO/STRESS_RASTER methodology applied to the new lanes:
+/** Throughput probe for the document/container surface (round 14,
+  * office/eml lanes added round 15) — the STRESS_AUDIO/STRESS_RASTER
+  * methodology applied per lane:
   *
   *  - `pdf`: full PDF extraction per row (xref chain — classic and
   *    stream forms by seed rotation — COS parse, FlateDecode, page
@@ -174,6 +175,52 @@ object DocStress {
       fields += f""""jsonl_sec":$sec%.2f"""
       fields += f""""jsonl_docs_per_s":${nDocs / sec}%.0f"""
       fields += f""""jsonl_lines_per_s":${r.getLong(0) / sec}%.0f"""
+    }
+
+    // ---- docx (zip walk + WML text assembly) — r15's office family
+    locally {
+      val t0 = System.nanoTime()
+      val r = ids
+        .select(ScaleOps.docxText(ScaleOps.synthDocx(col("id"))).as("d"))
+        .agg(sum(col("d.n_paragraphs")).as("paras"),
+          sum(length(col("d.text"))).as("chars"))
+        .head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val expParas = (0L until nDocs).map(d => 11 + d % 3).sum
+      require(r.getLong(0) == expParas,
+        s"docx: ${r.getLong(0)} paragraphs of $expParas")
+      fields += f""""docx_sec":$sec%.2f"""
+      fields += f""""docx_docs_per_s":${nDocs / sec}%.0f"""
+      fields += f""""docx_chars_per_s":${r.getLong(1) / sec}%.0f"""
+    }
+
+    // ---- xlsx (zip walk + shared strings + cell resolution)
+    locally {
+      val t0 = System.nanoTime()
+      val r = ids
+        .select(ScaleOps.xlsxCells(ScaleOps.synthXlsx(col("id"))).as("d"))
+        .agg(sum(col("d.n_cells")).as("cells")).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val expCells = (0L until nDocs).map(d => (2 + d % 3) * 4 + d % 2).sum
+      require(r.getLong(0) == expCells, s"xlsx: ${r.getLong(0)} cells")
+      fields += f""""xlsx_sec":$sec%.2f"""
+      fields += f""""xlsx_docs_per_s":${nDocs / sec}%.0f"""
+      fields += f""""xlsx_cells_per_s":${r.getLong(0) / sec}%.0f"""
+    }
+
+    // ---- eml (headers + RFC 2047 + multipart + QP/base64 decode)
+    locally {
+      val t0 = System.nanoTime()
+      val r = ids
+        .select(ScaleOps.emlMessage(ScaleOps.synthEml(col("id"))).as("d"))
+        .agg(sum(col("d.n_parts")).as("parts")).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val expParts = (0L until nDocs).map(d => (d % 4) match {
+        case 2 => 2L; case 3 => 3L; case _ => 1L
+      }).sum
+      require(r.getLong(0) == expParts, s"eml: ${r.getLong(0)} parts")
+      fields += f""""eml_sec":$sec%.2f"""
+      fields += f""""eml_docs_per_s":${nDocs / sec}%.0f"""
     }
 
     // ---- robots (parse + 8 decisions per doc)

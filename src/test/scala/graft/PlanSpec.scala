@@ -352,6 +352,40 @@ class PlanSpec extends SparkSpec {
     assert(ex.isEmpty, s"extraction shuffles: ${ex.size} exchanges")
   }
 
+  test("r15 document keys: per-row extraction plans stay exchange-free until the output sort") {
+    // the 100 TB contract for every new modality key: one projection
+    // over the corpus — decode work happens inside the expression, and
+    // the ONLY exchange in the whole query is the final presentation
+    // orderBy (url_canonical additionally carries its intentional
+    // group-by; it is pinned separately below)
+    for (key <- Seq("docx_text", "odt_text", "pptx_text", "xlsx_cells",
+      "rtf_text", "markdown_text", "eml_message", "mbox_messages",
+      "main_content", "sitemap_urls", "feed_entries", "robots_sitemaps")) {
+      val p = physical(Queries.all(key).fn(spark, sf0001))
+      assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+        s"$key plans a cartesian product")
+      val ex = collectAll(p) { case e: Exchange => e }
+      assert(ex.size <= 1, s"$key: ${ex.size} exchanges — decode must not shuffle")
+      val aggs = collectAll(p) {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggs.isEmpty, s"$key: unexpected aggregation in a per-row key")
+    }
+    // url_canonical: exactly one hash exchange (the canonical group-by,
+    // map-side combined) + the output sort — never a corpus self-join
+    val p = physical(Queries.all("url_canonical").fn(spark, sf0001))
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    val shuffles = collectAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 2, s"url_canonical: ${shuffles.size} shuffles")
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.nonEmpty && aggs.size <= 2,
+      s"url_canonical: expected the partial+final group-by pair, got ${aggs.size}")
+  }
+
   test("unigram_logprob: Zipf split-join — head broadcast, tail shuffle-hash, one-row total") {
     val p = physical(Queries.all("unigram_logprob").fn(spark, sf0001))
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)

@@ -2911,6 +2911,58 @@ object QueriesScale {
         |FROM base b JOIN parts pt ON b.doc_id = pt.doc_id
         |ORDER BY b.doc_id, part_idx""".stripMargin))
 
+  // --------------------------------- MediaWiki dump → stripped text
+  // Wikipedia dumps are THE canonical public text corpus; this key
+  // consumes one end to end: dump XML parsed per page (title/id/ns/
+  // redirect/timestamp, double-escaped text entity-decoded), then
+  // WIKITEXT STRIPPED through the documented subset — templates and
+  // tables dropped with nesting, piped/plain internal links to their
+  // labels, File/Category links dropped with captions, refs dropped
+  // WITH content, nowiki verbatim, quotes/headings/lists resolved.
+  // Redirect pages surface their target with empty text (the
+  // extractor convention). The oracle replays titles and the full
+  // stripped prose in closed form. Per-row, zero shuffle until the
+  // explode.
+  private val wikiArticlesQ = Q(
+    (s, dir) => {
+      val d = ScaleOps.mediawikiPages(ScaleOps.synthWikiDump(col("doc_id")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), d.as("d"))
+        .select(col("doc_id"),
+          posexplode(col("d.pages")).as(Seq("page_idx", "p")))
+        .select(col("doc_id"), col("page_idx").cast(LongType).as("page_idx"),
+          col("p.title").as("title"), col("p.page_id").as("page_id"),
+          col("p.redirect_to").as("redirect_to"),
+          col("p.timestamp").as("timestamp"),
+          when(col("p.redirect_to").isNotNull, lit(""))
+            .otherwise(ScaleOps.wikitextStrip(col("p.text"))).as("text"))
+        .orderBy("doc_id", "page_idx")
+    },
+    Some(
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS np FROM documents),
+        | pg AS (SELECT doc_id, i.range AS p,
+        |        (i.range = 1 AND doc_id % 4 = 1) AS redir
+        |       FROM p CROSS JOIN range(0, 3) i WHERE i.range < np)
+        |SELECT doc_id, CAST(p AS BIGINT) AS page_idx,
+        | 'Article ' || doc_id || '/' || p || ' <x>' AS title,
+        | CAST(doc_id * 100 + p AS BIGINT) AS page_id,
+        | CASE WHEN redir THEN 'Article ' || doc_id || '/0 <x>'
+        |  ELSE NULL END AS redirect_to,
+        | '2025-' || lpad(CAST(1 + (doc_id + p) % 12 AS VARCHAR), 2, '0') ||
+        |   '-01T12:00:0' || (p % 10) || 'Z' AS timestamp,
+        | CASE WHEN redir THEN ''
+        |  ELSE
+        |   'History ' || ((doc_id + p) % 9) || chr(10) ||
+        |   'The city of Ex' || doc_id || ' lies on the ' || (doc_id % 5) ||
+        |     'th meridian.' || chr(10) ||
+        |   'It was founded in ' || (1200 + (doc_id * 3 + p) % 800) ||
+        |     ' and renamed twice.' || chr(10) || chr(10) ||
+        |   'Economy trade fishing note ' || (doc_id % 7) || chr(10) ||
+        |   'raw '''' markup ' || doc_id || ' kept' || chr(10) ||
+        |   'External portal ' || ((doc_id + p) % 6)
+        | END AS text
+        |FROM pg ORDER BY doc_id, page_idx""".stripMargin))
+
   // ------------------------------------------- mbox → eml composition
   // Mail archives ship as mbox shards; this key consumes one end to
   // end: the mboxrd split (envelope lines delimit, >From un-stuffing
@@ -7061,6 +7113,7 @@ object QueriesScale {
     "rtf_text" -> rtfTextQ,
     "eml_message" -> emlMessageQ,
     "mbox_messages" -> mboxMessagesQ,
+    "wiki_articles" -> wikiArticlesQ,
     "robots_sitemaps" -> robotsSitemapsQ,
     "pptx_text" -> pptxTextQ,
     "xlsx_cells" -> xlsxCellsQ,

@@ -1853,6 +1853,24 @@ object ScaleOps {
   def synthEml(doc: Column): Column =
     org.apache.spark.sql.graftnative.EmlFunctions.synth_eml(doc)
 
+  /** MediaWiki dump page extraction
+    * (see [[org.apache.spark.sql.graftnative.MediawikiPages]]).
+    */
+  def mediawikiPages(xml: Column): Column =
+    org.apache.spark.sql.graftnative.WikiFunctions.mediawiki_pages(xml)
+
+  /** Wikitext → plain-text stripping
+    * (see [[org.apache.spark.sql.graftnative.WikitextStrip]]).
+    */
+  def wikitextStrip(text: Column): Column =
+    org.apache.spark.sql.graftnative.WikiFunctions.wikitext_strip(text)
+
+  /** MediaWiki dump fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.WikiSynth]]).
+    */
+  def synthWikiDump(doc: Column): Column =
+    org.apache.spark.sql.graftnative.WikiFunctions.synth_wiki_dump(doc)
+
   /** mboxrd container splitting
     * (see [[org.apache.spark.sql.graftnative.MboxSplit]]).
     */

@@ -1046,6 +1046,9 @@ object PdfText {
       // file — glyph-indexed strings with no map are garbage, the
       // original honest stance, now narrowed to the truly unmappable
       val fontMaps = new Array[Map[String, Type0Font]](pages.size())
+      // pages share font objects: parse each ToUnicode stream once
+      // (Doc.fetch memoizes the PdfStream, so identity keys work)
+      val cmapCache = new java.util.IdentityHashMap[PdfStream, Type0Font]()
       var pi = 0
       while (pi < pages.size()) {
         var fm = Map.empty[String, Type0Font]
@@ -1060,7 +1063,12 @@ object PdfText {
                         PdfName("Type0")) {
                         doc.resolve(fd.getOrElse("ToUnicode", null), 0) match {
                           case s: PdfStream =>
-                            fm += (fname -> parseToUnicode(doc.streamData(s)))
+                            var t0 = cmapCache.get(s)
+                            if (t0 == null) {
+                              t0 = parseToUnicode(doc.streamData(s))
+                              cmapCache.put(s, t0)
+                            }
+                            fm += (fname -> t0)
                           case _ => return unknown // no ToUnicode: reject
                         }
                       }

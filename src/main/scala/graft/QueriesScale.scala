@@ -2923,45 +2923,95 @@ object QueriesScale {
   // extractor convention). The oracle replays titles and the full
   // stripped prose in closed form. Per-row, zero shuffle until the
   // explode.
-  private val wikiArticlesQ = Q(
+  /** Shared by wiki_articles and its bz2-compressed twin. */
+  private val wikiArticlesOracle: String =
+    """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS np FROM documents),
+      | pg AS (SELECT doc_id, i.range AS p,
+      |        (i.range = 1 AND doc_id % 4 = 1) AS redir
+      |       FROM p CROSS JOIN range(0, 3) i WHERE i.range < np)
+      |SELECT doc_id, CAST(p AS BIGINT) AS page_idx,
+      | 'Article ' || doc_id || '/' || p || ' <x>' AS title,
+      | CAST(doc_id * 100 + p AS BIGINT) AS page_id,
+      | CASE WHEN redir THEN 'Article ' || doc_id || '/0 <x>'
+      |  ELSE NULL END AS redirect_to,
+      | '2025-' || lpad(CAST(1 + (doc_id + p) % 12 AS VARCHAR), 2, '0') ||
+      |   '-01T12:00:0' || (p % 10) || 'Z' AS timestamp,
+      | CASE WHEN redir THEN ''
+      |  ELSE
+      |   'History ' || ((doc_id + p) % 9) || chr(10) ||
+      |   'The city of Ex' || doc_id || ' lies on the ' || (doc_id % 5) ||
+      |     'th meridian.' || chr(10) ||
+      |   'It was founded in ' || (1200 + (doc_id * 3 + p) % 800) ||
+      |     ' and renamed twice.' || chr(10) || chr(10) ||
+      |   'Economy trade fishing note ' || (doc_id % 7) || chr(10) ||
+      |   'raw '''' markup ' || doc_id || ' kept' || chr(10) ||
+      |   'External portal ' || ((doc_id + p) % 6)
+      | END AS text
+      |FROM pg ORDER BY doc_id, page_idx""".stripMargin
+
+  /** Dump XML (already decoded) -> per-page stripped articles. */
+  private def wikiPagesToArticles(xml: org.apache.spark.sql.Column,
+      s: SparkSession, dir: String) = {
+    val d = ScaleOps.mediawikiPages(xml)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), d.as("d"))
+      .select(col("doc_id"),
+        posexplode(col("d.pages")).as(Seq("page_idx", "p")))
+      .select(col("doc_id"), col("page_idx").cast(LongType).as("page_idx"),
+        col("p.title").as("title"), col("p.page_id").as("page_id"),
+        col("p.redirect_to").as("redirect_to"),
+        col("p.timestamp").as("timestamp"),
+        when(col("p.redirect_to").isNotNull, lit(""))
+          .otherwise(ScaleOps.wikitextStrip(col("p.text"))).as("text"))
+      .orderBy("doc_id", "page_idx")
+  }
+
+  // --------------------------------------- bzip2 decompression
+  // Wikipedia dumps and many legacy corpus snapshots ship .bz2, and
+  // the JDK has no codec — this one is built from the bytes up
+  // (Huffman groups, selectors, MTF/RLE2, inverse BWT, RLE1, the
+  // CRC-32/BZIP2 gate anchored to the public check value in
+  // Bzip2Spec). The fixture rotates RLE1-triggering runs and the
+  // concatenated-stream append shape onto the hash. Per-row, zero
+  // shuffle.
+  private val bzip2TextQ = Q(
     (s, dir) => {
-      val d = ScaleOps.mediawikiPages(ScaleOps.synthWikiDump(col("doc_id")))
       Tables.documents(s, dir)
-        .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"),
-          posexplode(col("d.pages")).as(Seq("page_idx", "p")))
-        .select(col("doc_id"), col("page_idx").cast(LongType).as("page_idx"),
-          col("p.title").as("title"), col("p.page_id").as("page_id"),
-          col("p.redirect_to").as("redirect_to"),
-          col("p.timestamp").as("timestamp"),
-          when(col("p.redirect_to").isNotNull, lit(""))
-            .otherwise(ScaleOps.wikitextStrip(col("p.text"))).as("text"))
-        .orderBy("doc_id", "page_idx")
+          ScaleOps.bzip2Text(ScaleOps.synthBzip2(col("doc_id"))).as("text"))
+        .orderBy("doc_id")
     },
     Some(
-      """WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS np FROM documents),
-        | pg AS (SELECT doc_id, i.range AS p,
-        |        (i.range = 1 AND doc_id % 4 = 1) AS redir
-        |       FROM p CROSS JOIN range(0, 3) i WHERE i.range < np)
-        |SELECT doc_id, CAST(p AS BIGINT) AS page_idx,
-        | 'Article ' || doc_id || '/' || p || ' <x>' AS title,
-        | CAST(doc_id * 100 + p AS BIGINT) AS page_id,
-        | CASE WHEN redir THEN 'Article ' || doc_id || '/0 <x>'
-        |  ELSE NULL END AS redirect_to,
-        | '2025-' || lpad(CAST(1 + (doc_id + p) % 12 AS VARCHAR), 2, '0') ||
-        |   '-01T12:00:0' || (p % 10) || 'Z' AS timestamp,
-        | CASE WHEN redir THEN ''
-        |  ELSE
-        |   'History ' || ((doc_id + p) % 9) || chr(10) ||
-        |   'The city of Ex' || doc_id || ' lies on the ' || (doc_id % 5) ||
-        |     'th meridian.' || chr(10) ||
-        |   'It was founded in ' || (1200 + (doc_id * 3 + p) % 800) ||
-        |     ' and renamed twice.' || chr(10) || chr(10) ||
-        |   'Economy trade fishing note ' || (doc_id % 7) || chr(10) ||
-        |   'raw '''' markup ' || doc_id || ' kept' || chr(10) ||
-        |   'External portal ' || ((doc_id + p) % 6)
-        | END AS text
-        |FROM pg ORDER BY doc_id, page_idx""".stripMargin))
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS nl,
+        |   (doc_id % 4 = 1) AS two FROM documents),
+        | l AS (SELECT doc_id,
+        |    string_agg('line ' || i.range || ' of shard ' || doc_id || ' ' ||
+        |      repeat('a', CAST(3 + (doc_id + i.range) % 6 AS INT)) ||
+        |      ' value=' || ((doc_id * 7 + i.range) % 900),
+        |      chr(10) ORDER BY i.range) AS body
+        |   FROM p CROSS JOIN range(0, 5) i WHERE i.range < nl
+        |   GROUP BY doc_id)
+        |SELECT p.doc_id, l.body || chr(10) ||
+        | CASE WHEN two THEN 'appended tail ' || (p.doc_id % 9) || chr(10)
+        |  ELSE '' END AS text
+        |FROM p JOIN l ON p.doc_id = l.doc_id
+        |ORDER BY p.doc_id""".stripMargin))
+
+  // ------------------------- bz2 wiki dump, consumed end to end
+  // The literal enwiki shard shape: the bzip2 decoder feeds the dump
+  // parser feeds the wikitext stripper in ONE per-row plan — three
+  // decode layers composing without a staging table, verified against
+  // the SAME closed-form oracle as the uncompressed twin (so a bug in
+  // ANY layer flips the hash).
+  private val wikiDumpBz2Q = Q(
+    (s, dir) => wikiPagesToArticles(
+      ScaleOps.bzip2Text(ScaleOps.synthWikiDumpBz2(col("doc_id"))), s, dir),
+    Some(wikiArticlesOracle))
+
+  private val wikiArticlesQ = Q(
+    (s, dir) => wikiPagesToArticles(
+      ScaleOps.synthWikiDump(col("doc_id")), s, dir),
+    Some(wikiArticlesOracle))
 
   // ------------------------------------------- mbox → eml composition
   // Mail archives ship as mbox shards; this key consumes one end to
@@ -7114,6 +7164,8 @@ object QueriesScale {
     "eml_message" -> emlMessageQ,
     "mbox_messages" -> mboxMessagesQ,
     "wiki_articles" -> wikiArticlesQ,
+    "bzip2_text" -> bzip2TextQ,
+    "wiki_dump_bz2" -> wikiDumpBz2Q,
     "robots_sitemaps" -> robotsSitemapsQ,
     "pptx_text" -> pptxTextQ,
     "xlsx_cells" -> xlsxCellsQ,

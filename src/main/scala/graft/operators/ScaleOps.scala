@@ -1853,6 +1853,22 @@ object ScaleOps {
   def synthEml(doc: Column): Column =
     org.apache.spark.sql.graftnative.EmlFunctions.synth_eml(doc)
 
+  /** bzip2 decompression to UTF-8 text
+    * (see [[org.apache.spark.sql.graftnative.Bzip2Codec]]).
+    */
+  def bzip2Text(payload: Column): Column =
+    org.apache.spark.sql.graftnative.Bzip2Functions.bzip2_text(payload)
+
+  /** bzip2 fixture from a doc seed
+    * (see [[org.apache.spark.sql.graftnative.Bzip2Synth]]).
+    */
+  def synthBzip2(doc: Column): Column =
+    org.apache.spark.sql.graftnative.Bzip2Functions.synth_bzip2(doc)
+
+  /** bz2-compressed MediaWiki dump fixture from a doc seed. */
+  def synthWikiDumpBz2(doc: Column): Column =
+    org.apache.spark.sql.graftnative.Bzip2Functions.synth_wiki_dump_bz2(doc)
+
   /** MediaWiki dump page extraction
     * (see [[org.apache.spark.sql.graftnative.MediawikiPages]]).
     */

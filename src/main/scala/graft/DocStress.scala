@@ -223,6 +223,27 @@ object DocStress {
       fields += f""""eml_docs_per_s":${nDocs / sec}%.0f"""
     }
 
+    // ---- wikibz2 (bzip2 decode → dump parse → wikitext strip)
+    locally {
+      val wikiDocs = math.max(1000L, nDocs / 4) // 3 decode layers per doc
+      val wikiIds = spark.range(0, wikiDocs).select(col("id"))
+      val t0 = System.nanoTime()
+      val r = wikiIds
+        .select(ScaleOps.mediawikiPages(
+          ScaleOps.bzip2Text(ScaleOps.synthWikiDumpBz2(col("id")))).as("d"))
+        .select(explode(col("d.pages")).as("p"))
+        .select(ScaleOps.wikitextStrip(col("p.text")).as("t"))
+        .agg(count(lit(1)).as("pages"), sum(length(col("t"))).as("chars"))
+        .head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val expPages = (0L until wikiDocs).map(d => 1 + d % 3).sum
+      require(r.getLong(0) == expPages, s"wikibz2: ${r.getLong(0)} pages")
+      fields += s""""wikibz2_docs":$wikiDocs"""
+      fields += f""""wikibz2_sec":$sec%.2f"""
+      fields += f""""wikibz2_docs_per_s":${wikiDocs / sec}%.0f"""
+      fields += f""""wikibz2_chars_per_s":${r.getLong(1) / sec}%.0f"""
+    }
+
     // ---- robots (parse + 8 decisions per doc)
     locally {
       val t0 = System.nanoTime()

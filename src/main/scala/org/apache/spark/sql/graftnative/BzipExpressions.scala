@@ -259,9 +259,20 @@ object Bzip2Codec {
               }
               g += 1
             }
-            // decode the MTF/RLE2 symbol stream into the BWT buffer
-            val bwt = new Array[Byte](maxBlock)
+            // decode the MTF/RLE2 symbol stream into the BWT buffer.
+            // Grown on demand (doubling, capped at maxBlock) instead of
+            // allocated at the level-9 900 KB upfront: small blocks —
+            // the common shard case — then cost KBs, not a fresh 900 KB
+            // zeroed allocation per row (measured GC drag on the
+            // per-row decode lanes).
+            var bwt = new Array[Byte](math.min(maxBlock,
+              math.max(4096, in.length * 8)))
             var nBwt = 0
+            def ensureBwt(needed: Int): Unit = if (needed > bwt.length) {
+              var cap = bwt.length
+              while (cap < needed) cap = math.min(maxBlock, cap << 1)
+              bwt = java.util.Arrays.copyOf(bwt, cap)
+            }
             val unzftab = new Array[Int](256)
             val mtf = seqToUnseq.clone()
             var groupNo = -1
@@ -303,11 +314,13 @@ object Bzip2Codec {
                 }
                 val b0 = mtf(0)
                 if (nBwt + run > maxBlock) return null
+                ensureBwt(nBwt + run)
                 unzftab(b0) += run
                 var k = 0
                 while (k < run) { bwt(nBwt) = b0.toByte; nBwt += 1; k += 1 }
               } else {
                 if (nBwt >= maxBlock) return null
+                ensureBwt(nBwt + 1)
                 // MTF decode symbol sym-1
                 val j = sym - 1
                 if (j >= nUse) return null
@@ -407,6 +420,57 @@ object Bzip2Codec {
     }
   }
 
+  /** Rotation order of all cyclic shifts of `a` (the BWT permutation),
+    * by prefix doubling over packed primitive longs. Each pass sorts
+    * keys `(rank(i) << 40) | (rank((i+k) mod n) << 20) | i`; two passes
+    * double the compared prefix, so ⌈log₂ n⌉ sorts of a primitive
+    * long[] replace the per-comparison byte walks of a rotation
+    * comparator. Fits because blocks are < 2²⁰ bytes (blockMax 700000),
+    * so rank and index each fit 20 bits. Ties (equal full rotations)
+    * resolve ascending by index via the low bits — matching a stable
+    * sort over ascending indices.
+    */
+  private def bwtRotationOrder(a: Array[Byte]): Array[Int] = {
+    val n = a.length
+    val sa = new Array[Int](n)
+    if (n <= 1) { if (n == 1) sa(0) = 0; return sa }
+    var rank = new Array[Int](n)
+    var i = 0
+    while (i < n) { rank(i) = a(i) & 0xFF; i += 1 }
+    val keys = new Array[Long](n)
+    var k = 1
+    var distinct = false
+    var first = true
+    // pass with shift k extends rank coverage to 2k chars; stop once
+    // coverage ≥ n (k ≥ n entering the test) or ranks are all distinct
+    while (first || (!distinct && k < n)) {
+      first = false
+      i = 0
+      while (i < n) {
+        val j = i + k
+        val jj = if (j >= n) j - n else j
+        keys(i) = (rank(i).toLong << 40) | (rank(jj).toLong << 20) | i.toLong
+        i += 1
+      }
+      java.util.Arrays.sort(keys)
+      val newRank = new Array[Int](n)
+      var r = 0
+      newRank((keys(0) & 0xFFFFF).toInt) = 0
+      i = 1
+      while (i < n) {
+        if ((keys(i) >>> 20) != (keys(i - 1) >>> 20)) r += 1
+        newRank((keys(i) & 0xFFFFF).toInt) = r
+        i += 1
+      }
+      rank = newRank
+      distinct = r == n - 1
+      k <<= 1
+    }
+    i = 0
+    while (i < n) { sa(i) = (keys(i) & 0xFFFFF).toInt; i += 1 }
+    sa
+  }
+
   /** Compress `data` as one-block-per-900k bzip2 (level 9). The
     * encoder favors LEGALITY over ratio: a complete two-length
     * canonical Huffman code shared by two groups. Exists for the
@@ -452,30 +516,20 @@ object Bzip2Codec {
         }
         o.toByteArray
       }
-      // BWT via rotation sort (fixture-scale inputs; O(n^2) worst)
+      // BWT via prefix-doubling rotation sort: O(n log² n) on primitive
+      // long keys (rank₁ | rank₂ | index packed into one long, sorted with
+      // Arrays.sort) — the boxed O(n²·log n) rotation-comparator this
+      // replaces dominated the wiki_dump_bz2 lane (14.2 s → the fixture
+      // encoder was 25× the decode). Equal rotations tie-break ascending
+      // by index, which is exactly the order the stable boxed sort
+      // produced, so the emitted bytes are bit-identical.
       val n = rle1.length
-      val saBoxed = Array.tabulate(n)(Integer.valueOf(_))
-      java.util.Arrays.sort(saBoxed, new java.util.Comparator[Integer] {
-        def compare(a: Integer, b: Integer): Int = {
-          var i = a.intValue()
-          var j = b.intValue()
-          var k = 0
-          while (k < n) {
-            val ca = rle1(i) & 0xFF
-            val cb = rle1(j) & 0xFF
-            if (ca != cb) return ca - cb
-            i += 1; if (i == n) i = 0
-            j += 1; if (j == n) j = 0
-            k += 1
-          }
-          0
-        }
-      })
+      val sa = bwtRotationOrder(rle1)
       var origPtr = -1
       val bwt = new Array[Byte](n)
       var i = 0
       while (i < n) {
-        val s = saBoxed(i).intValue()
+        val s = sa(i)
         if (s == 0) origPtr = i
         bwt(i) = rle1(if (s == 0) n - 1 else s - 1)
         i += 1

@@ -48,6 +48,7 @@ object AnnStress {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -26,6 +26,7 @@ object AudioStress {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ids = spark.range(0, nDocs).select(col("id"))

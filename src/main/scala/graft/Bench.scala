@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warm-up outside the timed loop so the first query isn't

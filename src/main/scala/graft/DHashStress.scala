@@ -30,6 +30,7 @@ object DHashStress {
       .config("spark.sql.shuffle.partitions", cpus * 2)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -8,9 +8,27 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Optimizer rules excluded in every engine session.
+    *
+    * `InferFiltersFromGenerate` synthesizes `size(g) > 0 AND
+    * isnotnull(g)` below each explode. For a generator over a scanned
+    * column that can prune I/O; every generator in this engine is a
+    * COMPUTED expression (decode codecs, shingle builders), so the
+    * inferred filter re-evaluates the full expression once in the
+    * filter and again in the projection — measured as a full duplicate
+    * decode pass on wiki_dump_bz2 and the minhash shingle stage, and it
+    * prunes nothing (exploding an empty array already emits no rows).
+    * Excluding the rule halves every decode-then-explode lane at any
+    * scale (optimization guide §4.4: stop the optimizer duplicating
+    * expensive expressions).
+    */
+  val ExcludedRules =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
   def builder(cores: Int = Runtime.getRuntime.availableProcessors())
       : SparkSession.Builder =
     SparkSession.builder()
+      .config("spark.sql.optimizer.excludedRules", ExcludedRules)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       // AQE: runtime partition coalescing + skew-join splitting — the

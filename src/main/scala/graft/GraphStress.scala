@@ -54,6 +54,7 @@ object GraphStress {
       .config("spark.sql.autoBroadcastJoinThreshold", autoBc)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -25,6 +25,24 @@ object QueriesScale {
       col("lang"), col("source"), col("n_chars")))
   }
 
+  /** [[dupedDocs]] with the scan fanned out across cores
+    * (Tables.fanOut) — used ONLY as the SIGNATURE-builder input of the
+    * dedup/graph family: the md5-shingle map stage is that family's CPU
+    * hot spot and otherwise runs as one task over the single-row-group
+    * fixture. The plain [[dupedDocs]] stays everywhere else (sets,
+    * join-backs): those subtrees are scanned several times per plan and
+    * each would pay the fan-out exchange for map work that feeds a
+    * shuffle within milliseconds — measured +4 s on dedup_cc when the
+    * fan-out was blanket. Row set identical, so every oracle is
+    * unaffected.
+    */
+  private def dupedDocsFanned(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(s, Tables.documents(s, dir),
+      s"$dir/documents.parquet")
+    d.unionAll(d.select((col("doc_id") + 100000).as("doc_id"), col("text"),
+      col("lang"), col("source"), col("n_chars")))
+  }
+
   private val dupedSql =
     """SELECT * FROM documents
       | UNION ALL
@@ -260,8 +278,8 @@ object QueriesScale {
     */
   def minhashBucketStats(s: SparkSession, dir: String, prod: Boolean = false): DataFrame = {
     val sig =
-      if (prod) ScaleOps.minhashSignatureTableXx(dupedDocs(s, dir), "doc_id", "text", k = 8)
-      else ScaleOps.minhashSignatureTable(dupedDocs(s, dir), "doc_id", "text", k = 8)
+      if (prod) ScaleOps.minhashSignatureTableXx(dupedDocsFanned(s, dir), "doc_id", "text", k = 8)
+      else ScaleOps.minhashSignatureTable(dupedDocsFanned(s, dir), "doc_id", "text", k = 8)
     ScaleOps.bucketSkewStats(minhashBandBuckets(sig), "ids")
   }
 
@@ -306,7 +324,7 @@ object QueriesScale {
 
   private val minhashLshQ = Q(
     (s, dir) => minhashPairsFromBuckets(minhashBandBuckets(
-      ScaleOps.minhashSignatureTable(dupedDocs(s, dir), "doc_id", "text", k = 8))),
+      ScaleOps.minhashSignatureTable(dupedDocsFanned(s, dir), "doc_id", "text", k = 8))),
     Some(
       s"""WITH $minhashOracleCtes
          | SELECT id1, id2, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
@@ -394,7 +412,7 @@ object QueriesScale {
     (s, dir) => {
       val corpus = dupedDocs(s, dir)
       dedupPipelineFrom(corpus,
-        ScaleOps.minhashSignatureTable(corpus, "doc_id", "text", k = 8))
+        ScaleOps.minhashSignatureTable(dupedDocsFanned(s, dir), "doc_id", "text", k = 8))
     },
     Some(
       s"""WITH $minhashOracleCtes,
@@ -422,7 +440,7 @@ object QueriesScale {
   // the near-dup candidate sets overlap heavily.
   private val minhashProdQ = Q(
     (s, dir) => minhashPairsFromBuckets(minhashBandBuckets(
-      ScaleOps.minhashSignatureTableXx(dupedDocs(s, dir), "doc_id", "text", k = 8))),
+      ScaleOps.minhashSignatureTableXx(dupedDocsFanned(s, dir), "doc_id", "text", k = 8))),
     None)
 
   // ------------------------- production dedup pipeline (xxhash64, ⊘)
@@ -438,7 +456,7 @@ object QueriesScale {
     (s, dir) => {
       val corpus = dupedDocs(s, dir)
       dedupPipelineFrom(corpus,
-        ScaleOps.minhashSignatureTableXx(corpus, "doc_id", "text", k = 8))
+        ScaleOps.minhashSignatureTableXx(dupedDocsFanned(s, dir), "doc_id", "text", k = 8))
     },
     None)
 
@@ -649,7 +667,7 @@ object QueriesScale {
     (s, dir) => {
       val corpus = dupedDocs(s, dir)
       dedupCcFrom(corpus,
-        ScaleOps.minhashSignatureTable(corpus, "doc_id", "text", k = 8))
+        ScaleOps.minhashSignatureTable(dupedDocsFanned(s, dir), "doc_id", "text", k = 8))
     },
     Some(
       s"""WITH RECURSIVE $minhashOracleCtes,
@@ -684,7 +702,7 @@ object QueriesScale {
     (s, dir) => {
       val corpus = dupedDocs(s, dir)
       dedupCcFrom(corpus,
-        ScaleOps.minhashSignatureTableXx(corpus, "doc_id", "text", k = 8))
+        ScaleOps.minhashSignatureTableXx(dupedDocsFanned(s, dir), "doc_id", "text", k = 8))
     },
     None)
 
@@ -731,7 +749,7 @@ object QueriesScale {
   private def pageRankFrom(s: SparkSession, dir: String,
       sig: DataFrame => DataFrame): DataFrame = {
     val corpus = dupedDocs(s, dir)
-    val verified = verifiedPairs(corpus, sig(corpus))
+    val verified = verifiedPairs(corpus, sig(dupedDocsFanned(s, dir)))
     val edges = verified.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(verified.select(col("id2").as("src"), col("id1").as("dst")))
     ScaleOps.pageRankFixedPoint(corpus.select("doc_id"), edges,
@@ -796,7 +814,7 @@ object QueriesScale {
     (s, dir) => {
       val corpus = dupedDocs(s, dir)
       val verified = verifiedPairs(corpus,
-        ScaleOps.minhashSignatureTable(corpus, "doc_id", "text", k = 8))
+        ScaleOps.minhashSignatureTable(dupedDocsFanned(s, dir), "doc_id", "text", k = 8))
       val edges = verified.select(col("id1").as("src"), col("id2").as("dst"))
         .unionAll(verified.select(col("id2").as("src"), col("id1").as("dst")))
       val nDocs = corpus.count()
@@ -897,7 +915,12 @@ object QueriesScale {
   // same dot/norm builders (ScaleOps.cosine).
   private val similarityTopkQ = Q(
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+      // fanned scan: the exact dot-product pass over the corpus is the
+      // cost and ran single-task over the one-row-group fixture (the
+      // query side's filter pushes below the fan-out, so its branch
+      // exchanges only the 10 query rows)
+      val emb = Tables.fanOut(s, Tables.embeddings(s, dir),
+          s"$dir/embeddings.parquet")
         .withColumn("nv", ScaleOps.l2norm(col("embedding")))
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nv").as("nq"))
@@ -1135,7 +1158,7 @@ object QueriesScale {
         .when(col("doc_id") % 4 === 1, ScaleOps.synthJpegHeader(w, h))
         .when(col("doc_id") % 4 === 2, ScaleOps.synthGifHeader(w, h))
         .otherwise(ScaleOps.synthWebpHeader(w, h))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), ScaleOps.imageMeta(payload).as("m"))
         .select(col("doc_id"), col("m.format").as("format"),
           col("m.width").as("width"), col("m.height").as("height"))
@@ -1170,7 +1193,7 @@ object QueriesScale {
           ScaleOps.synthPpm(w, h, col("doc_id")))
         .otherwise(ScaleOps.synthBmp(w, h, col("doc_id")))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1226,7 +1249,7 @@ object QueriesScale {
           ScaleOps.synthPng(w, h, col("doc_id"), channels = 1))
         .otherwise(ScaleOps.synthPng(w, h, col("doc_id"), channels = 3))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1269,7 +1292,7 @@ object QueriesScale {
       val h = lit(3L) + col("doc_id") % 8
       val raster = ScaleOps.imageDecode(
         ScaleOps.synthGif(w, h, col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1335,7 +1358,7 @@ object QueriesScale {
           ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 1))
         .otherwise(ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 2))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1410,7 +1433,7 @@ object QueriesScale {
           ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 8))
         .otherwise(ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 9))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1479,7 +1502,7 @@ object QueriesScale {
           ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 4))
         .otherwise(ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 5))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1534,7 +1557,7 @@ object QueriesScale {
       val h = lit(3L) + col("doc_id") % 9
       val raster = ScaleOps.imageDecode(
         ScaleOps.synthWebpLPred(w, h, col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1595,7 +1618,7 @@ object QueriesScale {
           ScaleOps.synthPngExt(w, h, col("doc_id"), 5))
         .otherwise(ScaleOps.synthPngExt(w, h, col("doc_id"), 6))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1661,7 +1684,7 @@ object QueriesScale {
       val h = lit(3L) + col("doc_id") % 9
       val raster = ScaleOps.imageDecode(
         ScaleOps.synthWebpLPalette(w, h, col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1701,7 +1724,7 @@ object QueriesScale {
       val h = lit(3L) + col("doc_id") % 9
       val raster = ScaleOps.imageDecode(
         ScaleOps.synthWebpL(w, h, col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1761,7 +1784,7 @@ object QueriesScale {
           ScaleOps.synthVp8(w, h, col("doc_id"), mode = 0))
         .otherwise(ScaleOps.synthVp8(w, h, col("doc_id"), mode = 1))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1822,7 +1845,7 @@ object QueriesScale {
       val payload = ScaleOps.synthJpegExif(w, h, col("doc_id"), mode = 2)
       val oriented = ScaleOps.rasterOrient(
         ScaleOps.imageDecode(payload), ScaleOps.exifOrientation(payload))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"),
           ScaleOps.exifOrientation(payload).cast(LongType).as("orientation"),
           oriented.as("r"))
@@ -1893,7 +1916,7 @@ object QueriesScale {
   private val exifMetaQ = Q(
     (s, dir) => {
       val payload = ScaleOps.synthJpegExifMeta(lit(16L), lit(16L), col("doc_id"), mode = 2)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), ScaleOps.exifMeta(payload).as("m"))
         .select(col("doc_id"),
           col("m.make").as("make"),
@@ -1944,7 +1967,7 @@ object QueriesScale {
           ScaleOps.synthTiff(w, h, col("doc_id"), 2))
         .otherwise(ScaleOps.synthTiff(w, h, col("doc_id"), 3))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -2011,7 +2034,7 @@ object QueriesScale {
         .when(m === 3, ScaleOps.synthTiff(w, h, col("doc_id"), 7))
         .otherwise(ScaleOps.synthTiff(w, h, col("doc_id"), 8))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -2085,7 +2108,7 @@ object QueriesScale {
           ScaleOps.synthTiff(w, h, col("doc_id"), 9))
         .otherwise(ScaleOps.synthTiff(w, h, col("doc_id"), 10))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -2151,7 +2174,7 @@ object QueriesScale {
   private val mp3PcmQ = Q(
     (s, dir) => {
       val d = ScaleOps.mp3Decode(ScaleOps.synthMp3Pcm(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"),
           col("d.format").as("format"),
@@ -2241,7 +2264,7 @@ object QueriesScale {
   private val mp4TracksQ = Q(
     (s, dir) => {
       val m = ScaleOps.mp4Tracks(ScaleOps.synthMp4Tracks(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), m.as("m"))
         .select(col("doc_id"), col("m.brand").as("brand"),
           posexplode(col("m.tracks")).as(Seq("trk", "t")))
@@ -2300,7 +2323,7 @@ object QueriesScale {
   private val vorbisPcmQ = Q(
     (s, dir) => {
       val d = ScaleOps.vorbisDecode(ScaleOps.synthOggVorbis(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"),
           col("d.format").as("format"),
@@ -2367,7 +2390,7 @@ object QueriesScale {
   private val tarMembersQ = Q(
     (s, dir) => {
       val t = ScaleOps.tarMembers(ScaleOps.synthTar(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), t.as("t"))
         .select(col("doc_id"), posexplode(col("t.members")).as(Seq("m_idx", "m")))
         .select(col("doc_id"), col("m_idx").cast(LongType).as("member_idx"),
@@ -2423,7 +2446,7 @@ object QueriesScale {
   private val webdatasetImageStatsQ = Q(
     (s, dir) => {
       val shard = ScaleOps.synthTarWds(col("doc_id"))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), shard.as("t"))
         .select(col("doc_id"), col("t"),
           posexplode(ScaleOps.tarMembers(col("t")).getField("members"))
@@ -2479,7 +2502,7 @@ object QueriesScale {
   private val zipEntriesQ = Q(
     (s, dir) => {
       val z = ScaleOps.zipEntries(ScaleOps.synthZip(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), z.as("z"))
         .select(col("doc_id"), posexplode(col("z.entries")).as(Seq("e_idx", "e")))
         .select(col("doc_id"), col("e_idx").cast(LongType).as("entry_idx"),
@@ -2523,7 +2546,7 @@ object QueriesScale {
   // the explode.
   private val robotsAllowedQ = Q(
     (s, dir) => {
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"),
           ScaleOps.synthRobots(col("doc_id")).as("robots"),
           (col("doc_id") % 5).as("k"), (col("doc_id") % 3).as("j"))
@@ -2591,7 +2614,7 @@ object QueriesScale {
       val txt = ScaleOps.gzipText(ScaleOps.synthJsonlGz(col("doc_id")))
       val lineSchema = org.apache.spark.sql.types.StructType
         .fromDDL("id BIGINT, lang STRING, text STRING")
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), txt.as("t"))
         .select(col("doc_id"), posexplode(
           filter(split(col("t"), "\n"), x => x =!= lit("")))
@@ -2636,7 +2659,7 @@ object QueriesScale {
   private val epubTextQ = Q(
     (s, dir) => {
       val z = ScaleOps.zipTexts(ScaleOps.synthEpub(col("doc_id")), ".xhtml")
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), z.as("z"))
         .select(col("doc_id"),
           posexplode(col("z.texts")).as(Seq("chapter_idx", "t")))
@@ -2662,7 +2685,7 @@ object QueriesScale {
   private val webdatasetPairsQ = Q(
     (s, dir) => {
       val t = ScaleOps.tarMembers(ScaleOps.synthTar(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), t.as("t"))
         .select(col("doc_id"), explode(col("t.members")).as("m"))
         .select(col("doc_id"),
@@ -2710,7 +2733,7 @@ object QueriesScale {
   private val pdfTextQ = Q(
     (s, dir) => {
       val d = ScaleOps.pdfText(ScaleOps.synthPdf(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"),
           col("d.version").as("version"),
@@ -2751,7 +2774,7 @@ object QueriesScale {
   // strings, map-side combined.
   private val urlCanonicalQ = Q(
     (s, dir) => {
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), explode(array(
           ScaleOps.synthUrl(col("doc_id"), 0),
           ScaleOps.synthUrl(col("doc_id"), 1))).as("url"))
@@ -2783,7 +2806,7 @@ object QueriesScale {
   private val mainContentQ = Q(
     (s, dir) => {
       val m = ScaleOps.mainContent(ScaleOps.synthMainHtml(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), m.as("m"))
         .select(col("doc_id"), col("m.text").as("text"),
           col("m.n_kept").cast(LongType).as("n_kept"),
@@ -2821,7 +2844,7 @@ object QueriesScale {
   private val docxTextQ = Q(
     (s, dir) => {
       val d = ScaleOps.docxText(ScaleOps.synthDocx(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"),
           col("d.n_paragraphs").cast(LongType).as("n_paragraphs"),
@@ -2863,7 +2886,7 @@ object QueriesScale {
   private val emlMessageQ = Q(
     (s, dir) => {
       val d = ScaleOps.emlMessage(ScaleOps.synthEml(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"),
           col("d.from").as("from_addr"), col("d.to").as("to_addr"),
@@ -2953,7 +2976,7 @@ object QueriesScale {
   private def wikiPagesToArticles(xml: org.apache.spark.sql.Column,
       s: SparkSession, dir: String) = {
     val d = ScaleOps.mediawikiPages(xml)
-    Tables.documents(s, dir)
+    Tables.documentSeeds(s, dir)
       .select(col("doc_id"), d.as("d"))
       .select(col("doc_id"),
         posexplode(col("d.pages")).as(Seq("page_idx", "p")))
@@ -2976,7 +2999,7 @@ object QueriesScale {
   // shuffle.
   private val bzip2TextQ = Q(
     (s, dir) => {
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"),
           ScaleOps.bzip2Text(ScaleOps.synthBzip2(col("doc_id"))).as("text"))
         .orderBy("doc_id")
@@ -3024,7 +3047,7 @@ object QueriesScale {
   private val mboxMessagesQ = Q(
     (s, dir) => {
       val m = ScaleOps.mboxSplit(ScaleOps.synthMbox(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), m.as("m"))
         .select(col("doc_id"),
           col("m.n_messages").cast(LongType).as("n_messages"),
@@ -3068,7 +3091,7 @@ object QueriesScale {
   // until the explode.
   private val robotsSitemapsQ = Q(
     (s, dir) => {
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), posexplode(
           ScaleOps.robotsSitemaps(ScaleOps.synthRobots(col("doc_id"))))
           .as(Seq("sm_idx", "sitemap_url")))
@@ -3097,7 +3120,7 @@ object QueriesScale {
   // zero shuffle.
   private val markdownTextQ = Q(
     (s, dir) => {
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"),
           ScaleOps.markdownText(ScaleOps.synthMarkdown(col("doc_id")))
             .as("text"))
@@ -3138,7 +3161,7 @@ object QueriesScale {
   private val rtfTextQ = Q(
     (s, dir) => {
       val d = ScaleOps.rtfText(ScaleOps.synthRtf(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"), col("d.text").as("text"))
         .orderBy("doc_id")
@@ -3172,7 +3195,7 @@ object QueriesScale {
   private val odtTextQ = Q(
     (s, dir) => {
       val d = ScaleOps.odtText(ScaleOps.synthOdt(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"),
           col("d.n_paragraphs").cast(LongType).as("n_paragraphs"),
@@ -3212,7 +3235,7 @@ object QueriesScale {
   private val pptxTextQ = Q(
     (s, dir) => {
       val d = ScaleOps.pptxText(ScaleOps.synthPptx(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"),
           col("d.n_slides").cast(LongType).as("n_slides"),
@@ -3245,7 +3268,7 @@ object QueriesScale {
   private val xlsxCellsQ = Q(
     (s, dir) => {
       val d = ScaleOps.xlsxCells(ScaleOps.synthXlsx(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"), explode(col("d.cells")).as("c"))
         .select(col("doc_id"),
@@ -3288,7 +3311,7 @@ object QueriesScale {
   private val sitemapUrlsQ = Q(
     (s, dir) => {
       val d = ScaleOps.sitemapUrls(ScaleOps.synthSitemap(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"), col("d.kind").as("kind"),
           posexplode(col("d.entries")).as(Seq("entry_idx", "e")))
@@ -3328,7 +3351,7 @@ object QueriesScale {
   private val feedEntriesQ = Q(
     (s, dir) => {
       val d = ScaleOps.feedEntries(ScaleOps.synthFeed(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"), col("d.format").as("format"),
           col("d.feed_title").as("feed_title"),
@@ -3373,7 +3396,7 @@ object QueriesScale {
   private val opusPacketsQ = Q(
     (s, dir) => {
       val o = ScaleOps.opusPackets(ScaleOps.synthOggOpus(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), o.as("o"))
         .select(col("doc_id"),
           col("o.channels").cast(LongType).as("channels"),
@@ -3437,7 +3460,7 @@ object QueriesScale {
   private val mp4SamplesQ = Q(
     (s, dir) => {
       val m = ScaleOps.mp4Samples(ScaleOps.synthMp4Samples(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), m.as("m"))
         .select(col("doc_id"), posexplode(col("m.tracks")).as(Seq("trk", "t")))
         .select(col("doc_id"), col("trk").cast(LongType).as("trk"),
@@ -3495,7 +3518,7 @@ object QueriesScale {
   private val mp4FragSamplesQ = Q(
     (s, dir) => {
       val m = ScaleOps.mp4FragSamples(ScaleOps.synthMp4Frag(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), m.as("m"))
         .select(col("doc_id"), posexplode(col("m.tracks")).as(Seq("trk", "t")))
         .select(col("doc_id"), col("trk").cast(LongType).as("trk"),
@@ -3560,7 +3583,7 @@ object QueriesScale {
   private val subtitleTextQ = Q(
     (s, dir) => {
       val c = ScaleOps.subtitleCues(ScaleOps.synthSubtitle(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), c.as("c"))
         .select(col("doc_id"), col("c.format").as("format"),
           explode(col("c.cues")).as("q"))
@@ -3597,7 +3620,7 @@ object QueriesScale {
   private val subtitleFramePairingQ = Q(
     (s, dir) => {
       val c = ScaleOps.subtitleCues(ScaleOps.synthSubtitle(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), c.as("c"),
           (lit(10L) + col("doc_id") % 20).as("nv"))
         .select(col("doc_id"), col("nv"), explode(col("c.cues")).as("q"))
@@ -3641,7 +3664,7 @@ object QueriesScale {
       val frames = lit(3L) + col("doc_id") % 4
       val v = ScaleOps.mp4MjpegFrames(
         ScaleOps.synthMp4Mjpeg(w, h, frames, col("doc_id")), 2)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), v.as("v"))
         .select(col("doc_id"),
           col("v.width").cast(LongType).as("width"),
@@ -3697,7 +3720,7 @@ object QueriesScale {
   private val htmlTextQ = Q(
     (s, dir) => {
       val h = ScaleOps.htmlText(ScaleOps.synthHtml(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), h.as("h"))
         .select(col("doc_id"),
           col("h.title").as("title"),
@@ -3741,7 +3764,7 @@ object QueriesScale {
   // full md5-minhash machinery in SQL.
   private def crawlCorpus(s: SparkSession, dir: String): DataFrame = {
     val w = ScaleOps.warcRecords(ScaleOps.synthWarcHtmlGz(col("doc_id")))
-    Tables.documents(s, dir)
+    Tables.documentSeeds(s, dir)
       .select(col("doc_id"), w.as("w"))
       .select(col("doc_id"), explode(col("w.records")).as("r"))
       .filter(col("r.rec_type") === "response")
@@ -3817,7 +3840,7 @@ object QueriesScale {
   private val warcRecordsQ = Q(
     (s, dir) => {
       val w = ScaleOps.warcRecords(ScaleOps.synthWarcGz(col("doc_id")))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), w.as("w"))
         .select(col("doc_id"),
           col("w.n_members").cast(LongType).as("n_members"),
@@ -3860,7 +3883,7 @@ object QueriesScale {
   private val id3MetaQ = Q(
     (s, dir) => {
       val payload = ScaleOps.synthMp3Id3(col("doc_id"))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), ScaleOps.id3Meta(payload).as("m"),
           ScaleOps.mp3Meta(payload).as("w"))
         .select(col("doc_id"),
@@ -3906,7 +3929,7 @@ object QueriesScale {
           ScaleOps.synthWavPcm(ch, rate, 8, frames, col("doc_id")))
         .otherwise(ScaleOps.synthWavPcm(ch, rate, 16, frames, col("doc_id")))
       val d = ScaleOps.pcmDecode(payload)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"), col("d"),
           ScaleOps.pcmChannelStats(col("d")).as("st"))
@@ -3977,7 +4000,7 @@ object QueriesScale {
           ScaleOps.synthFlac(ch, rate, frames, col("doc_id"), bits = 8))
         .otherwise(ScaleOps.synthFlac(ch, rate, frames, col("doc_id"), bits = 16))
       val d = ScaleOps.pcmDecode(payload)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"), col("d"),
           ScaleOps.pcmChannelStats(col("d")).as("st"))
@@ -4046,7 +4069,7 @@ object QueriesScale {
           ScaleOps.synthY4m(w, h, frames, col("doc_id"), "mono"))
         .otherwise(ScaleOps.synthY4m(w, h, frames, col("doc_id"), "420jpeg"))
       val v = ScaleOps.y4mFrameLuma(payload, 2)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), v.as("v"))
         .select(col("doc_id"),
           col("v.width").cast(LongType).as("width"),
@@ -4104,7 +4127,7 @@ object QueriesScale {
           ScaleOps.synthMp3Pcm(col("doc_id") * 5))
         .otherwise(ScaleOps.synthOggVorbis(col("doc_id") * 5))
       val d = ScaleOps.pcmDecode(payload)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"), col("d"),
           ScaleOps.pcmEnergyWindows(col("d"), 16).as("e"))
@@ -4179,7 +4202,7 @@ object QueriesScale {
       val frames = lit(3L) + col("doc_id") % 4
       val v = ScaleOps.aviMjpegFrames(
         ScaleOps.synthAvi(w, h, frames, col("doc_id")), 2)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), v.as("v"))
         .select(col("doc_id"),
           col("v.width").cast(LongType).as("width"),
@@ -4235,7 +4258,7 @@ object QueriesScale {
       val frames = lit(2L) + col("doc_id") % 5
       val v = ScaleOps.gifFrames(
         ScaleOps.synthGifAnim(w, h, frames, col("doc_id")), 2)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), v.as("v"))
         .select(col("doc_id"),
           col("v.width").cast(LongType).as("width"),
@@ -4287,7 +4310,7 @@ object QueriesScale {
       val frames = lit(2L) + col("doc_id") % 4
       val v = ScaleOps.webpAnimFrames(
         ScaleOps.synthWebpAnim(w, h, frames, col("doc_id")), 2)
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), v.as("v"))
         .select(col("doc_id"),
           col("v.width").cast(LongType).as("width"),
@@ -4428,7 +4451,7 @@ object QueriesScale {
       val payload = when(col("doc_id") % 2 === 0,
           ScaleOps.synthWavHeader(ch, rate, bits, frames))
         .otherwise(ScaleOps.synthFlacHeader(ch, rate, bits, frames))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), ScaleOps.audioMeta(payload).as("m"))
         .select(col("doc_id"), col("m.format").as("format"),
           col("m.channels").as("channels"),
@@ -4463,7 +4486,7 @@ object QueriesScale {
       val payload = when(col("doc_id") % 2 === 0,
           ScaleOps.synthOgg(ch, rate, frames, mode = 0))
         .otherwise(ScaleOps.synthOgg(ch, rate, frames, mode = 1))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), ScaleOps.oggMeta(payload).as("m"))
         .select(col("doc_id"), col("m.format").as("format"),
           col("m.channels").as("channels"),
@@ -4500,7 +4523,7 @@ object QueriesScale {
         .when(col("doc_id") % 4 === 2,
           ScaleOps.synthMp3(ch, srIdx, frames, mode = 2))
         .otherwise(ScaleOps.synthMp3(ch, srIdx, frames, mode = 3))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), ScaleOps.mp3Meta(payload).as("m"))
         .select(col("doc_id"), col("m.format").as("format"),
           col("m.channels").as("channels"),
@@ -4526,7 +4549,7 @@ object QueriesScale {
       val ts = lit(600L) + (col("doc_id") * 7) % 90000
       val dur = (col("doc_id") * 997) % 10000000L
       val payload = ScaleOps.synthMp4Header(ts, dur, (col("doc_id") % 2).cast("int"))
-      Tables.documents(s, dir)
+      Tables.documentSeeds(s, dir)
         .select(col("doc_id"), ScaleOps.mp4Meta(payload).as("m"))
         .select(col("doc_id"), col("m.brand").as("brand"),
           col("m.timescale").as("timescale"),
@@ -4555,7 +4578,7 @@ object QueriesScale {
     * [[simhashBucketStats]] so cap observability reads the same frame.
     */
   private def simhashBandBuckets(s: SparkSession, dir: String): DataFrame = {
-    val d = ScaleOps.simhashTable(dupedDocs(s, dir), "doc_id", "text")
+    val d = ScaleOps.simhashTable(dupedDocsFanned(s, dir), "doc_id", "text")
     d.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFF)): _*))
@@ -4632,7 +4655,7 @@ object QueriesScale {
   private def dhashBandBuckets(s: SparkSession, dir: String): DataFrame = {
     val pairSeed = shiftright(col("doc_id"), 1)
     val w = lit(18L) + (pairSeed % 3) * 9
-    val t = Tables.documents(s, dir)
+    val t = Tables.documentSeeds(s, dir)
       .select(col("doc_id"),
         ScaleOps.rasterDHash(ScaleOps.imageDecode(
           ScaleOps.synthPpmKeyed(w, lit(16L), pairSeed))).as("dh"))
@@ -6133,7 +6156,7 @@ object QueriesScale {
       graft.ArtifactMemo.stamp(dir, "documents.parquet"), "ccmap") {
       val corpus = dupedDocs(s, dir)
       dedupCcFrom(corpus,
-        ScaleOps.minhashSignatureTable(corpus, "doc_id", "text", k = 8))
+        ScaleOps.minhashSignatureTable(dupedDocsFanned(s, dir), "doc_id", "text", k = 8))
         .select("doc_id", "rep_id")
     }
   private val leakageSplitQ = Q(
@@ -6603,7 +6626,12 @@ object QueriesScale {
   // scoring pass at any corpus size.
   private val dsirSelectQ = Q(
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // fanned scan: both the fit and the scoring pass explode md5'd
+      // uni+bigram features per token — the md5 map stage dominates and
+      // ran single-task over the one-row-group fixture (the xx twin's
+      // hashing is cheap enough that the exchange doesn't pay there)
+      val docs = Tables.fanOut(s, Tables.documents(s, dir),
+        s"$dir/documents.parquet")
       val isTarget = col("source") === lit("src0")
       val w = ScaleOps.dsirWeights(docs, isTarget)
       ScaleOps.dsirSelect(docs, w, isTarget, k = 100)

@@ -28,6 +28,62 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Cores-adaptive scan fan-out (optimization guide §2.5 "input skew:
+    * one huge unsplittable file … repartition immediately after the
+    * read", §6 input split size): the fixture parquets are written as a
+    * SINGLE row group each, so however many cores the session has, every
+    * scan — and everything map-side above it: the per-row decode
+    * expressions, minhash/shingle projections, partial aggregations —
+    * ran as ONE task (measured: wiki_dump_bz2 spent 14 s on local[32]
+    * with 31 idle cores; the whole per-row decode family was serial).
+    *
+    * Policy, derived from input size rather than a local constant: when
+    * the scan's natural split count (bytes / maxPartitionBytes) is below
+    * the cluster's default parallelism, round-robin repartition to that
+    * parallelism; otherwise return the scan untouched. At 100 TB the
+    * input has thousands of splits, the condition is false, and no
+    * exchange is added — the fan-out exists precisely for the
+    * unsplittable-small-input case.
+    *
+    * Applied SELECTIVELY at the point where expensive per-row work
+    * begins (decode-lane seeds, the shingle/signature projections) — a
+    * first cut wired it into [[table]] for every scan, and the measured
+    * bench total went UP 17%: plans that scan a fixture several times
+    * (the dedup family reads `documents` up to 12×) paid the exchange +
+    * extra AQE stage per scan (~0.3-0.5 s each) while most of those
+    * scans feed a shuffle within milliseconds anyway. Fan out where the
+    * map stage is the cost, never blanket.
+    */
+  def fanOut(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (p <= 1) return df
+    val bytes =
+      try {
+        val hp = new org.apache.hadoop.fs.Path(path)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(hp).getLen
+      } catch { case scala.util.control.NonFatal(_) => return df }
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val naturalSplits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (naturalSplits < p) df.repartition(p) else df
+  }
+
+  /** doc_id seed frame for the per-row synth-decode lanes, fanned out
+    * across cores: those lanes derive their entire payload from the seed
+    * (synth → decode → fields per row), so the fan-out exchange carries
+    * ONE long per row while the decode work above it spreads over every
+    * core — the "decide with small rows" half of the optimization
+    * guide's §8 rule, applied to generation. At 100 TB the analogous
+    * seed/frontier table is fanned out the same way before a decode
+    * pass; [[fanOut]] self-disables once the input carries enough
+    * natural splits.
+    */
+  def documentSeeds(spark: SparkSession, dir: String): DataFrame =
+    fanOut(spark,
+      documents(spark, dir).select(org.apache.spark.sql.functions.col("doc_id")),
+      s"$dir/documents.parquet")
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

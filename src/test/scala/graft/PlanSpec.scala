@@ -24,6 +24,17 @@ class PlanSpec extends SparkSpec {
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
     p.collect(pf) ++ p.subqueries.flatMap(collectAll(_)(pf))
 
+  /** Exchanges excluding the cores-adaptive scan fan-out
+    * (Tables.fanOut): a RoundRobinPartitioning repartition carries no
+    * key — it only spreads single-row-group fixture scans across cores —
+    * so the shape pins below keep counting what they always counted:
+    * DATA-DEPENDENT (hash/range) shuffles.
+    */
+  private def dataExchanges(p: SparkPlan): Seq[Exchange] =
+    collectAll(p) { case e: Exchange => e }.filterNot(
+      _.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+
   private def fmt(df: DataFrame): String = {
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
@@ -60,7 +71,7 @@ class PlanSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.size <= 6,
       s"expected <=6 WindowExec nodes, got ${windows.size}")
     // and they all share ONE exchange (same partitioning by symbol)
-    val exchanges = collectAll(p) { case e: Exchange => e }
+    val exchanges = dataExchanges(p)
     assert(exchanges.size <= 2, s"expected <=2 exchanges, got ${exchanges.size}")
   }
 
@@ -110,7 +121,7 @@ class PlanSpec extends SparkSpec {
       "multimodal_meta")
     perRow.foreach { name =>
       val p = physical(Queries.all(name).fn(spark, sf0001))
-      val ex = collectAll(p) { case e: Exchange => e }
+      val ex = dataExchanges(p)
       assert(ex.size <= 1, s"$name: ${ex.size} exchanges")
       ex.foreach(e => assert(
         e.outputPartitioning.toString.toLowerCase.contains("range"),
@@ -123,7 +134,7 @@ class PlanSpec extends SparkSpec {
     // one hash exchange on lang (carrying ≤k longs per lang per map task)
     // plus the output ORDER BY's range exchange — a distinct/extra hash
     // exchange would mean the sketch regressed to an exact-DISTINCT plan
-    val ex = collectAll(p) { case e: Exchange => e }
+    val ex = dataExchanges(p)
     assert(ex.size <= 2, s"${ex.size} exchanges (want ≤2)")
     assert(ex.count(_.outputPartitioning.toString.toLowerCase.contains("hash")) <= 1,
       s"extra hash exchange: ${ex.map(_.outputPartitioning)}")
@@ -277,7 +288,7 @@ class PlanSpec extends SparkSpec {
       // header parsing is per-row projection work: the ONLY exchange the
       // plan may carry is the gate's deterministic ORDER BY — a second
       // one would mean the parse path regressed into an agg or join
-      val exchanges = collectAll(p) { case e: Exchange => e }
+      val exchanges = dataExchanges(p)
       assert(exchanges.size == 1,
         s"$k has ${exchanges.size} exchanges (want only the output sort)")
       assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
@@ -348,7 +359,7 @@ class PlanSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("doc_id")))
     val corpus = Tables.documents(spark, sf0001)
       .select(org.apache.spark.sql.functions.col("doc_id"), w.as("w"))
-    val ex = collectAll(physical(corpus)) { case e: Exchange => e }
+    val ex = dataExchanges(physical(corpus))
     assert(ex.isEmpty, s"extraction shuffles: ${ex.size} exchanges")
   }
 
@@ -364,7 +375,7 @@ class PlanSpec extends SparkSpec {
       val p = physical(Queries.all(key).fn(spark, sf0001))
       assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
         s"$key plans a cartesian product")
-      val ex = collectAll(p) { case e: Exchange => e }
+      val ex = dataExchanges(p)
       assert(ex.size <= 1, s"$key: ${ex.size} exchanges — decode must not shuffle")
       val aggs = collectAll(p) {
         case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
@@ -375,9 +386,7 @@ class PlanSpec extends SparkSpec {
     // map-side combined) + the output sort — never a corpus self-join
     val p = physical(Queries.all("url_canonical").fn(spark, sf0001))
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
-    val shuffles = collectAll(p) {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
+    val shuffles = dataExchanges(p)
     assert(shuffles.size <= 2, s"url_canonical: ${shuffles.size} shuffles")
     val aggs = collectAll(p) {
       case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
@@ -444,7 +453,7 @@ class PlanSpec extends SparkSpec {
 
   test("pack_sequences: one hash exchange (the packing streams) + output sort only") {
     val p = physical(Queries.all("pack_sequences").fn(spark, sf0001))
-    val ex = collectAll(p) { case e: Exchange => e }
+    val ex = dataExchanges(p)
     // the cumsum needs exactly one hash partitioning on (lang, shard);
     // the only other exchange is the ORDER BY's range partitioning — a
     // second hash exchange would mean the window keys don't line up and
@@ -537,7 +546,7 @@ class PlanSpec extends SparkSpec {
     // aggregation or a split window spec
     Seq("vwap", "drawdown", "stochastic", "atr", "anomaly_zscore").foreach { name =>
       val p = physical(Queries.all(name).fn(spark, sf0001))
-      val ex = collectAll(p) { case e: Exchange => e }
+      val ex = dataExchanges(p)
       assert(ex.size <= 2, s"$name: ${ex.size} exchanges")
       val windows = collectAll(p) { case w: WindowExec => w }
       assert(windows.size <= 2, s"$name: ${windows.size} windows")
@@ -576,7 +585,7 @@ class PlanSpec extends SparkSpec {
     val windows = collectAll(p) { case w: WindowExec => w }
     assert(windows.isEmpty, s"expected no WindowExec, got ${windows.size}")
     // daily hash exchange + weekly hash exchange + output range sort
-    val ex = collectAll(p) { case e: Exchange => e }
+    val ex = dataExchanges(p)
     assert(ex.size <= 3, s"expected <=3 exchanges, got ${ex.size}")
   }
 
@@ -642,7 +651,7 @@ class PlanSpec extends SparkSpec {
 
   test("embedding_project: per-row projections, only the output sort shuffles") {
     val p = physical(Queries.all("embedding_project").fn(spark, sf0001))
-    val ex = collectAll(p) { case e: Exchange => e }
+    val ex = dataExchanges(p)
     assert(ex.size <= 1, s"expected only the ORDER BY exchange, got ${ex.size}")
     val windows = collectAll(p) { case w: WindowExec => w }
     assert(windows.isEmpty, "no window should appear in a per-row projection")
@@ -655,7 +664,7 @@ class PlanSpec extends SparkSpec {
     // one shuffle on o_custkey + the output range partitioning — the
     // change-row filter preserves distribution, so the second WindowExec
     // must NOT introduce a new exchange
-    val ex = collectAll(p) { case e: Exchange => e }
+    val ex = dataExchanges(p)
     assert(ex.size <= 2, s"expected <=2 exchanges (custkey + ORDER BY), got ${ex.size}")
   }
 
@@ -674,7 +683,7 @@ class PlanSpec extends SparkSpec {
     // pivot), two data exchanges plus the output sort at most
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
     assert(!fmt(df).contains("Join"), "pivot must not plan any join")
-    val ex = collectAll(p) { case e: Exchange => e }
+    val ex = dataExchanges(p)
     assert(ex.size <= 3, s"expected <=3 exchanges (dedup, pivot, sort), got ${ex.size}")
   }
 
@@ -728,7 +737,7 @@ class PlanSpec extends SparkSpec {
   test("split_leakage_safe: one per-row hash over the cluster map — only the output sort shuffles") {
     val df = Queries.all("split_leakage_safe").fn(spark, sf0001)
     val p = physical(df)
-    val ex = collectAll(p) { case e: Exchange => e }
+    val ex = dataExchanges(p)
     assert(ex.size <= 1, s"expected only the ORDER BY exchange, got ${ex.size}")
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
   }
@@ -814,27 +823,25 @@ class PlanSpec extends SparkSpec {
     // (selective creation side, shuffle join) actually triggers it, so
     // the explicit operator is reserved for cross-pipeline-boundary use
     import org.apache.spark.sql.functions.col
-    val confs = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val dim = Tables.orders(spark, sf0001)
-        .filter(col("o_totalprice") > 480000.0)
-        .select(col("o_orderkey"), col("o_totalprice"))
-      val fact = Tables.lineitem(spark, sf0001)
-        .select(col("l_orderkey"), col("l_extendedprice"))
-      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
-      assert(physical(joined).toString.contains("might_contain"),
-        s"runtime bloom filter not injected:\n${physical(joined)}")
-    } finally {
-      saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
-    }
+    // run under the naturally-split condition (tiny maxPartitionBytes →
+    // Tables.fanOut self-disables): InjectRuntimeFilter pattern-matches
+    // filter-over-scan on the creation side and does not walk through a
+    // Repartition, so the local fan-out would mask the injection this
+    // pin exists to prove for the at-scale (no-fan-out) plan shape
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dim = Tables.orders(s2, sf0001)
+      .filter(col("o_totalprice") > 480000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val fact = Tables.lineitem(s2, sf0001)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+    assert(physical(joined).toString.contains("might_contain"),
+      s"runtime bloom filter not injected:\n${physical(joined)}")
   }
 
   test("bloom_join: fact is bloom-probed before the shuffle, and the probe prunes") {
@@ -898,7 +905,7 @@ class PlanSpec extends SparkSpec {
     val p = physical(df)
     // the model rides the plan as a broadcast coefficient vector; the
     // only shuffle the scored frame is allowed is the final ORDER BY
-    val ex = collectAll(p) { case e: Exchange => e }
+    val ex = dataExchanges(p)
     assert(ex.size <= 1, s"expected only the ORDER BY exchange, got ${ex.size}")
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
   }
@@ -911,7 +918,7 @@ class PlanSpec extends SparkSpec {
     // a global sort over the corpus
     Seq("shuffle_shard", "shuffle_shard_prod").foreach { name =>
       val p = physical(Queries.all(name).fn(spark, sf0001))
-      val ex = collectAll(p) { case e: Exchange => e }
+      val ex = dataExchanges(p)
       assert(ex.size == 2, s"$name: ${ex.size} exchanges (want 2)")
       val parts = ex.map(_.outputPartitioning.toString.toLowerCase)
       assert(parts.count(_.contains("rangepartitioning")) == 1, s"$name: $parts")
@@ -927,7 +934,7 @@ class PlanSpec extends SparkSpec {
     // only exchange is the output ORDER BY. Any hash exchange means an
     // accidental aggregation/join slipped into what must stay a single
     // linear corpus pass.
-    val ex = collectAll(p) { case e: Exchange => e }
+    val ex = dataExchanges(p)
     assert(ex.size <= 1, s"${ex.size} exchanges (want ≤1)")
     ex.foreach(e => assert(
       e.outputPartitioning.toString.toLowerCase.contains("range"),
@@ -1061,7 +1068,7 @@ class PlanSpec extends SparkSpec {
       "the 30-day frame must be RANGE, not ROWS")
     // one hash exchange for the symbol partitioning + one range exchange
     // for the presentation sort; anything more means the window re-shuffled
-    val ex = collectAll(p) { case e: Exchange => e }
+    val ex = dataExchanges(p)
     assert(ex.size <= 2, s"expected <=2 exchanges, got ${ex.size}")
   }
 
@@ -1100,5 +1107,25 @@ class PlanSpec extends SparkSpec {
     assert(aggs.exists(_.aggregateExpressions.exists(
       _.mode.toString.toLowerCase.contains("partial"))),
       "degree aggregation must have a partial phase")
+  }
+
+  test("scan fan-out: single-split fixture scans repartition to cores; big scans don't") {
+    // the fixture parquets are one row group each — without the fan-out,
+    // every per-row decode lane runs as ONE task on any core count
+    val p = physical(Tables.documentSeeds(spark, sf0001))
+    val rr = collectAll(p) { case e: Exchange => e }.filter(
+      _.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+    assert(rr.size == 1, s"expected the scan fan-out exchange, got ${rr.size}")
+    assert(rr.head.outputPartitioning.numPartitions ==
+      spark.sparkContext.defaultParallelism,
+      "fan-out width must track cluster parallelism, not a constant")
+    // a scan whose natural split count reaches the parallelism must stay
+    // exchange-free — the policy self-disables where files provide splits
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    val p2 = physical(Tables.documentSeeds(s2, sf0001))
+    assert(collectAll(p2) { case e: Exchange => e }.isEmpty,
+      "fan-out must not engage when the scan already has enough splits")
   }
 }

@@ -2547,17 +2547,31 @@ object ScaleOps {
         back
       case None => df.localCheckpoint(true)
     }
-    val n = nodes.count()
+    def stored(df: DataFrame, name: String): DataFrame = runDir match {
+      case Some(d) =>
+        val path = s"$d/$name"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint(true)
+    }
+    // node frame materialized ONCE (it enters every round's aggregation;
+    // without the cut each round would replay the upstream corpus scan),
+    // and its count comes off the materialized frame
+    val nodeIds = stored(
+      nodes.select(col(nodeCol).cast(LongType).as("node")), "pr_nodes")
+    val n = nodeIds.count()
     require(n > 0, "pageRankFixedPoint: empty node set")
     val tele = (scale * 15L / 100L) / n
-    val nodeIds = nodes.select(col(nodeCol).cast(LongType).as("node"))
-    // degree-annotated distinct edges, materialized once for all rounds
-    val e = edges
+    // distinct edges materialized BEFORE the degree self-join: the two
+    // join branches below would otherwise each re-execute the whole
+    // upstream candidate→verify pipeline (ReuseExchange across the
+    // branches is not guaranteed), doubling the most expensive stage
+    val e = stored(edges
       .select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
-      .distinct()
-    // in durable mode this frame must survive executor loss too — every
-    // round joins against it, so executor-local checkpoint blocks would
+      .distinct(), "pr_dedup")
+    // in durable mode these frames must survive executor loss too — every
+    // round joins against them, so executor-local checkpoint blocks would
     // reintroduce exactly the failure mode the parquet round-trip exists
     // to survive
     // shuffle_hash on the per-node frames: one row per node, but
@@ -2567,30 +2581,28 @@ object ScaleOps {
     // STRESS_GRAPH_r09) — and a PER-ROUND broadcast of the rank frame
     // would pay that again every iteration. The hint pins a
     // per-partition hash build at every scale.
+    //
     val contribAnnotated = e
       .join(e.groupBy("src").agg(count(lit(1)).as("deg"))
         .hint("shuffle_hash"), "src")
-    val contribEdges = runDir match {
-      case Some(d) =>
-        val path = s"$d/pr_edges"
-        contribAnnotated.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
-      case None => contribAnnotated.localCheckpoint(true)
-    }
+    val contribEdges = stored(contribAnnotated, "pr_edges")
     var ranks = roundCheckpoint(
       nodeIds.withColumn("rank", lit(scale / n)), 0)
     for (i <- 1 to iterations) {
+      // teleport floor via union-zero instead of a left join back to
+      // nodes: every node contributes one 0 row to the sum, so isolated
+      // nodes land at exactly tele + (0 · 85) div 100 — the same integers
+      // as the former coalesce(m, 0) — with one aggregation exchange
+      // per round instead of an aggregation plus a node join
       val inflow = contribEdges
         .join(ranks.withColumnRenamed("node", "src")
           .hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
-        .groupBy("node").agg(sum(col("contrib")).as("m"))
       ranks = roundCheckpoint(
-        nodeIds.join(inflow.hint("shuffle_hash"), Seq("node"), "left")
+        inflow.unionAll(nodeIds.select(col("node"), lit(0L).as("contrib")))
+          .groupBy("node").agg(sum(col("contrib")).as("m"))
           .select(col("node"),
-            (lit(tele) +
-              expr("(coalesce(m, CAST(0 AS BIGINT)) * 85) div 100"))
-              .as("rank")),
+            (lit(tele) + expr("(m * 85) div 100")).as("rank")),
         i)
     }
     // with checkpointDir, only the final round's parquet still backs
@@ -2643,11 +2655,16 @@ object ScaleOps {
     }
     val tele = (scale * 15L / 100L) / n
     val uniform = scale / n
-    val nodeIds = nodes.select(col(nodeCol).cast(LongType).as("node"))
-    val e = edges
+    // node frame materialized once — it rides every round's aggregation
+    val nodeIds = durable(
+      nodes.select(col(nodeCol).cast(LongType).as("node")), "nodes")
+    // distinct edges materialized BEFORE the degree self-join (one
+    // execution of the upstream pipeline, not one per join branch) —
+    // same rationale as pageRankFixedPoint
+    val e = durable(edges
       .select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
-      .distinct()
+      .distinct(), "dedup")
     val contribEdges = durable(e
       .join(e.groupBy("src").agg(count(lit(1)).as("deg"))
         .hint("shuffle_hash"), "src"), // same broadcast-trap pin as pageRankFixedPoint
@@ -2663,24 +2680,30 @@ object ScaleOps {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIterations) {
+      // one aggregation per round: the teleport floor arrives as a
+      // union-zero row per node (exact integers unchanged — see
+      // pageRankFixedPoint), and the PREVIOUS rank rides the same rows
+      // (max over one non-null value per node), so the convergence probe
+      // below is a scan-only aggregate instead of a per-round join
       val inflow = contribEdges
-        .join(ranks.withColumnRenamed("node", "src")
+        .join(ranks.select(col("node").as("src"), col("rank"))
           .hint("shuffle_hash"), "src")
-        .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
-        .groupBy("node").agg(sum(col("contrib")).as("m"))
+        .select(col("dst").as("node"), expr("rank div deg").as("contrib"),
+          lit(null).cast(LongType).as("_prev"))
       val next = durable(
-        nodeIds.join(inflow.hint("shuffle_hash"), Seq("node"), "left")
+        inflow.unionAll(ranks.select(col("node"), lit(0L).as("contrib"),
+            col("rank").as("_prev")))
+          .groupBy("node")
+          .agg(sum(col("contrib")).as("m"), max(col("_prev")).as("_prev"))
           .select(col("node"),
-            (lit(tele) +
-              expr("(coalesce(m, CAST(0 AS BIGINT)) * 85) div 100"))
-              .as("rank")),
+            (lit(tele) + expr("(m * 85) div 100")).as("rank"),
+            col("_prev")),
         s"ranks_${rounds + 1}")
       rounds += 1
       val delta = next
-        .join(ranks.select(col("node"), col("rank").as("_prev")), "node")
         .agg(max(abs(col("rank") - col("_prev"))).as("d"))
         .head().getLong(0)
-      ranks = next
+      ranks = next.select("node", "rank")
       converged = delta <= tol
     }
     (ranks, rounds)
@@ -2886,13 +2909,15 @@ object ScaleOps {
         .hint("shuffle_hash"), "b") // per-node frame: broadcast-trap pin
       .groupBy(col("a").as("node"), col("label"))
       .agg(count(lit(1)).as("cnt"))
-    val best = neigh
+    // every label-frame node IS an adjacency node (both callers derive
+    // labels from und's node set) and every adjacency node has ≥1
+    // neighbor, so `best` covers the full label domain — the former
+    // left-join-back to `labels` was a per-round join whose coalesce
+    // never fired; the argmax IS the next label frame
+    store(neigh
       .groupBy("node")
       .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
-      .select(col("node"), (-col("m.neg")).as("next"))
-    store(labels
-      .join(best.hint("shuffle_hash"), Seq("node"), "left")
-      .select(col("node"), coalesce(col("next"), col("label")).as("label")))
+      .select(col("node"), (-col("m.neg")).as("label")))
   }
 
   def labelPropagation(edges: DataFrame, iterations: Int,
@@ -3131,7 +3156,10 @@ object ScaleOps {
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("level", lit(l))
         .localCheckpoint(true)
-      visited = visited.unionAll(next).localCheckpoint(true)
+      // visited is a union of ALREADY-materialized per-level frames —
+      // re-checkpointing the union each level just re-copied every prior
+      // level's rows; the shallow union lineage is free to rescan
+      visited = visited.unionAll(next)
       frontier = next
       l += 1
     }

@@ -894,7 +894,15 @@ object QueriesMeta {
   // the driver's hash compare). Memory sink + collect are gate-harness
   // only, as in stream_funnel/stream_sessions.
   private val streamDedupQ = Q(
-    (s, dir) => {
+    (sOuter, dir) => {
+      // same state-store partition pin as stream_funnel/stream_join/
+      // stream_sessions: dropDuplicates allocates a state store per
+      // shuffle partition per batch, and one AvailableNow pass over the
+      // ≤10k-doc fixture needs 8 of them, not 32 — the partition count is
+      // a harness knob, not an operator property (this was the one
+      // stateful stream key still running on the outer session's count)
+      val s = sOuter.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 8)
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       def src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)

@@ -278,7 +278,7 @@ object QueriesScale {
     */
   def minhashBucketStats(s: SparkSession, dir: String, prod: Boolean = false): DataFrame = {
     val sig =
-      if (prod) ScaleOps.minhashSignatureTableXx(dupedDocsFanned(s, dir), "doc_id", "text", k = 8)
+      if (prod) ScaleOps.minhashSignatureTableXx(dupedDocs(s, dir), "doc_id", "text", k = 8)
       else ScaleOps.minhashSignatureTable(dupedDocsFanned(s, dir), "doc_id", "text", k = 8)
     ScaleOps.bucketSkewStats(minhashBandBuckets(sig), "ids")
   }
@@ -440,7 +440,7 @@ object QueriesScale {
   // the near-dup candidate sets overlap heavily.
   private val minhashProdQ = Q(
     (s, dir) => minhashPairsFromBuckets(minhashBandBuckets(
-      ScaleOps.minhashSignatureTableXx(dupedDocsFanned(s, dir), "doc_id", "text", k = 8))),
+      ScaleOps.minhashSignatureTableXx(dupedDocs(s, dir), "doc_id", "text", k = 8))),
     None)
 
   // ------------------------- production dedup pipeline (xxhash64, ⊘)
@@ -456,7 +456,7 @@ object QueriesScale {
     (s, dir) => {
       val corpus = dupedDocs(s, dir)
       dedupPipelineFrom(corpus,
-        ScaleOps.minhashSignatureTableXx(dupedDocsFanned(s, dir), "doc_id", "text", k = 8))
+        ScaleOps.minhashSignatureTableXx(dupedDocs(s, dir), "doc_id", "text", k = 8))
     },
     None)
 
@@ -702,7 +702,7 @@ object QueriesScale {
     (s, dir) => {
       val corpus = dupedDocs(s, dir)
       dedupCcFrom(corpus,
-        ScaleOps.minhashSignatureTableXx(dupedDocsFanned(s, dir), "doc_id", "text", k = 8))
+        ScaleOps.minhashSignatureTableXx(dupedDocs(s, dir), "doc_id", "text", k = 8))
     },
     None)
 
@@ -747,9 +747,9 @@ object QueriesScale {
     * an edit reaching only one twin.
     */
   private def pageRankFrom(s: SparkSession, dir: String,
-      sig: DataFrame => DataFrame): DataFrame = {
+      sig: DataFrame): DataFrame = {
     val corpus = dupedDocs(s, dir)
-    val verified = verifiedPairs(corpus, sig(dupedDocsFanned(s, dir)))
+    val verified = verifiedPairs(corpus, sig)
     val edges = verified.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(verified.select(col("id2").as("src"), col("id1").as("dst")))
     ScaleOps.pageRankFixedPoint(corpus.select("doc_id"), edges,
@@ -761,7 +761,7 @@ object QueriesScale {
 
   private val pagerankQ = Q(
     (s, dir) => pageRankFrom(s, dir,
-      c => ScaleOps.minhashSignatureTable(c, "doc_id", "text", k = 8)),
+      ScaleOps.minhashSignatureTable(dupedDocsFanned(s, dir), "doc_id", "text", k = 8)),
     Some {
       val iters = (1 to pagerankIterations).map { i =>
         s"""pr$i AS (SELECT c.doc_id,
@@ -795,7 +795,7 @@ object QueriesScale {
   // ScaleOpsSpec as bit-equality of the full rank vector.
   private val pagerankProdQ = Q(
     (s, dir) => pageRankFrom(s, dir,
-      c => ScaleOps.minhashSignatureTableXx(c, "doc_id", "text", k = 8)),
+      ScaleOps.minhashSignatureTableXx(dupedDocs(s, dir), "doc_id", "text", k = 8)),
     None)
 
   // ------------------------------------------- incremental PageRank (⊘)

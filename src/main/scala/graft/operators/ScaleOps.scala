@@ -2815,11 +2815,18 @@ object ScaleOps {
     */
   def triangleCount(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
+    // canonical edges materialized once: `e` feeds four subtrees (both
+    // degree branches, the orientation join, the n_edges stat) and `ori`
+    // three (two wedge sides, the closing join) — without the cut the
+    // optimizer replicates the whole upstream pipeline into every
+    // reference (the co-occurrence-graph caller's plan carried 144
+    // parquet scans and zero guaranteed reuse)
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint(true)
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -2839,6 +2846,7 @@ object ScaleOps {
         .hint("shuffle_hash"), Seq("v"))
       .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
         when(fwd, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint(true)
     val wedges = ori
       .join(ori.select(col("s").as("t"), col("t").as("t2")), Seq("t"))
       .select(col("s"), col("t"), col("t2"))

@@ -6539,9 +6539,17 @@ object QueriesScale {
   // value-based, exactly as CCNet applies them.
   private val perplexityBucketsQ = Q(
     (s, dir) => {
+      // the quantized-score frame is referenced three times (corpus
+      // count, histogram, the final join back) and each reference would
+      // re-execute the whole bigram-LM pipeline (the plan carried 54
+      // parquet scans); one materialization of the narrow
+      // (doc_id, lm_q) frame — 16 bytes per doc at any scale — cuts
+      // that to a single LM pass. Values are deterministic (dyadic
+      // quantization), so the hash-green oracle is unaffected.
       val scored = ScaleOps.withBigramLogProb(Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"),
           (floor(col("avg_logprob") * lit(1048576.0)) / lit(1048576.0)).as("lm_q"))
+        .localCheckpoint(true)
       val nn = scored.agg(count(lit(1)).as("n"))
       val hist = scored.groupBy("lm_q").agg(count(lit(1)).as("cnt"))
       // single-partition window, but over the bounded quantized domain

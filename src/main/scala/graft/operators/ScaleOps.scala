@@ -1188,7 +1188,15 @@ object ScaleOps {
   def semanticDedup(emb: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String = "embedding", threshold: Double = 0.25,
       clusterCap: Int = 4096, nAssign: Int = 2): DataFrame = {
+    // narrow (cluster, id) memberships materialized once: `assigned`
+    // feeds the size histogram, the bound filter, and (via withVec) both
+    // sides of the verification self-join — without the cut the optimizer
+    // replicates the broadcast-codebook argmax pipeline into every
+    // reference (the semantic_dedup plan carried 54 parquet scans).
+    // Two longs per vector, so the materialization is seed-frame-sized
+    // at any scale; the vector-carrying frames stay unmaterialized.
     val assigned = assignClusters(emb, cents, idCol, vecCol, nAssign)
+      .localCheckpoint(true)
     val sizes = assigned.groupBy("_cid").agg(count(lit(1)).as("_csz"))
     val bounded = assigned
       .join(broadcast(sizes.filter(col("_csz") <= clusterCap)).drop("_csz"), "_cid")

@@ -14,6 +14,41 @@ object QueriesMeta {
 
   private val TotalDec = DecimalType(18, 2)
 
+  /** Compressed source bytes one streaming state-store partition should
+    * own in the gate harness. Stateful operators allocate a full state
+    * store (provider, maintenance thread, commit) per shuffle partition
+    * per micro-batch, so the partition count must track INPUT VOLUME,
+    * not the session's core count: the round-8 sweep at sf0.1 (events ≈
+    * 2 MB compressed) measured 8 partitions optimal (4: 3.4 s, 8:
+    * 3.2 s, 16: 4.3 s, 32: 4.2 s), which this constant reproduces at
+    * 2 MB / 256 KB = 8 while scaling down for smaller fixtures and up —
+    * capped at the session's parallelism — for larger ones. A real
+    * cluster deployment sizes `spark.sql.shuffle.partitions` to its own
+    * scale as usual; the derivation only replaces the former literal 8.
+    */
+  private val StreamStateBytesPerPartition = 256L * 1024
+
+  /** Cloned session for the stateful streaming gate keys with the
+    * state-store partition count derived from the source parquet's size
+    * (see [[StreamStateBytesPerPartition]]), clamped to
+    * [1, defaultParallelism].
+    */
+  private def streamStateSession(sOuter: SparkSession, dir: String,
+      table: String): SparkSession = {
+    val s = sOuter.newSession()
+    val bytes =
+      try {
+        val hp = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(hp).getLength
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    val parts = math.max(1L,
+      math.min(s.sparkContext.defaultParallelism.toLong,
+        (bytes + StreamStateBytesPerPartition - 1) / StreamStateBytesPerPartition))
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s
+  }
+
   // ------------------------------------------- A3/A4: last-per-group
   // Mongo `$sort + $group {$first: $$ROOT}` (prediction_api.py:281-320,
   // ml_scheduler.py:142-150) → the row_number dedup pattern.
@@ -733,11 +768,11 @@ object QueriesMeta {
     (sOuter, dir) => {
       // state stores allocate per shuffle partition per batch; at the
       // gate fixture's volume one AvailableNow pass over ≤100k events
-      // makes 32 of them pure constant overhead — clone the session and
-      // pin to 8, as stream_join does (the state-store partition count
-      // is a harness knob, not an operator property)
-      val s = sOuter.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 8)
+      // makes 32 of them pure constant overhead — clone the session with
+      // the partition count DERIVED from the source size (see
+      // streamStateSession; the count is a harness knob, not an operator
+      // property)
+      val s = streamStateSession(sOuter, dir, "events")
       import s.implicits._
       implicit val sp: SparkSession = s
       val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -810,9 +845,9 @@ object QueriesMeta {
       // bound), async progress tracking worse (3.3s), and disabling
       // no-data micro-batches emits NOTHING (rows=0 — the flush batch
       // IS the append-mode emit). This is the machinery floor for this
-      // session volume in local mode.
-      val s = sOuter.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 8)
+      // session volume in local mode. Partition count now derived from
+      // the source size (streamStateSession) instead of the literal 8.
+      val s = streamStateSession(sOuter, dir, "events")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -898,11 +933,10 @@ object QueriesMeta {
       // same state-store partition pin as stream_funnel/stream_join/
       // stream_sessions: dropDuplicates allocates a state store per
       // shuffle partition per batch, and one AvailableNow pass over the
-      // ≤10k-doc fixture needs 8 of them, not 32 — the partition count is
-      // a harness knob, not an operator property (this was the one
-      // stateful stream key still running on the outer session's count)
-      val s = sOuter.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 8)
+      // ≤10k-doc fixture needs a handful of them, not 32 — the count is
+      // a harness knob derived from the source size (streamStateSession),
+      // not an operator property
+      val s = streamStateSession(sOuter, dir, "documents")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       def src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -945,11 +979,11 @@ object QueriesMeta {
       // stream-stream joins allocate per-side state stores per shuffle
       // partition per batch; at the gate fixture's volume (≤100k events,
       // one AvailableNow batch) 32 of them are pure constant overhead —
-      // run the streaming query on a cloned session pinned to 8. A real
+      // run the streaming query on a cloned session whose partition count
+      // derives from the source size (streamStateSession). A real
       // deployment sizes this to cluster scale as usual; the state-store
       // partition count is a harness knob, not an operator property.
-      val s = sOuter.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 8)
+      val s = streamStateSession(sOuter, dir, "events")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       def src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -1000,11 +1034,10 @@ object QueriesMeta {
   // stream_* keys.
   private val streamWindowQ = Q(
     (sOuter, dir) => {
-      // same state-store partition pin as the other stateful gates: one
-      // AvailableNow pass over ≤600k fixture events needs 8 partitions'
-      // state machinery, not 32
-      val s = sOuter.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 8)
+      // same derived state-store partition count as the other stateful
+      // gates: one AvailableNow pass over the fixture needs state
+      // machinery proportional to the source volume, not the core count
+      val s = streamStateSession(sOuter, dir, "events")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)

@@ -57,11 +57,17 @@ object Tables {
   def fanOut(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
     val p = spark.sparkContext.defaultParallelism
     if (p <= 1) return df
+    // getContentSummary sums LEAF file bytes (one RPC, recursive), so a
+    // directory-layout parquet reports its real data size; the former
+    // getFileStatus returned the directory entry's own length (~0) for
+    // multi-file tables, which would mis-read a huge table as "one
+    // split" and add a full-input round-robin shuffle at exactly the
+    // scale where the fan-out must self-disable
     val bytes =
       try {
         val hp = new org.apache.hadoop.fs.Path(path)
         hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getFileStatus(hp).getLen
+          .getContentSummary(hp).getLength
       } catch { case scala.util.control.NonFatal(_) => return df }
     val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))

@@ -256,9 +256,8 @@ object ScaleOps {
     // byHash is the SMALL post-collapse table (one row per distinct
     // hash) and everything downstream — banding, edges, the member
     // explode — derives from it, so it is persisted and the expensive
-    // per-frame decode upstream runs exactly once. It stays cached for
-    // the caller's plan; the bench/verify harnesses clearCache between
-    // keys, and at scale the cache is the point (reps ≪ frames).
+    // per-frame decode upstream runs exactly once. It is unpersisted
+    // before return, after the (small) result materializes.
     val byHash = frames.groupBy(col("dh"))
       .agg(min(col("pid")).as("rep0"),
         sort_array(collect_list(col("pid"))).as("ps"))
@@ -285,11 +284,17 @@ object ScaleOps {
     // edges = verified near-dup rep pairs), so the common case merges
     // with a driver-side union-find under a hard bound — 2M edges =
     // 32 MB, the codebook-collect class — and only a genuinely huge
-    // rep graph pays the multi-round distributed star algorithm
+    // rep graph pays the multi-round distributed star algorithm.
+    // ONE execution of the edge pipeline decides the branch AND feeds
+    // the union-find: collect under limit(cap + 1) — cap-many rows in
+    // hand means the driver path is safe, one more means fall back
+    // (re-executing edges only on that rare distributed path), instead
+    // of the former count() + collect() double execution.
     val spark = frames.sparkSession
+    val cappedRows = edges.limit((DriverCcEdgeCap + 1).toInt).collect()
     val comp: DataFrame =
-      if (edges.count() <= DriverCcEdgeCap) {
-        val rows = edges.collect() // bounded by the cap just checked
+      if (cappedRows.length <= DriverCcEdgeCap) {
+        val rows = cappedRows // bounded by the cap just checked
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {
           var r = x
@@ -315,10 +320,18 @@ object ScaleOps {
       } else
         connectedComponents(edges, "src", "dst")
           .select(col("node").as("rep0"), col("rep").as("crep"))
-    byHash.select(col("rep0"), explode(col("ps")).as("pid"))
+    // materialize the (small) result and RELEASE byHash: the output is
+    // one row per non-representative frame — the member explode is its
+    // last reader, so a long-lived session must not keep accumulating
+    // MEMORY_AND_DISK blocks per invocation (guide §5: unpersist when
+    // done)
+    val out = byHash.select(col("rep0"), explode(col("ps")).as("pid"))
       .join(comp, Seq("rep0"), "left")
       .select(col("pid"), coalesce(col("crep"), col("rep0")).as("rep"))
       .filter(col("pid") =!= col("rep"))
+      .localCheckpoint(true)
+    byHash.unpersist()
+    out
   }
 
   /** Edge bound under which [[dhashHammingClusters]] merges on the
@@ -2504,6 +2517,18 @@ object ScaleOps {
   // PageRank (fixed-point integer, bit-reproducible)
   // ------------------------------------------------------------------
 
+  /** How many unrolled iterative-graph rounds may compose into one plan
+    * before the lineage is cut. Each round adds a join + aggregation to
+    * the logical tree, so Catalyst's optimization time grows with the
+    * unroll depth; 8 keeps the tree trivially cheap to plan while
+    * amortizing the per-round driver floor (job submission + planning +
+    * an executor-memory copy of a tiny frame) that dominated the
+    * fixed-round graph keys at fixture scale. Scale-independent: the
+    * cut frequency bounds PLAN size, not data size — per-round shuffle
+    * volume is unchanged at any scale.
+    */
+  private val UnrollBatch = 8
+
   /** PageRank over a directed edge list with EXACT fixed-point integer
     * arithmetic: ranks are BIGINTs scaled by `scale`, and every step —
     * out-degree split `rank div deg`, the exact BIGINT sum of in-flowing
@@ -2542,6 +2567,17 @@ object ScaleOps {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     val spark = nodes.sparkSession
     val runDir = checkpointDir.map(newRunDir)
+    // The rank chain is LINEAR — round k's frame is referenced exactly
+    // once (by round k+1), so nothing re-executes if the rounds compose
+    // into ONE plan. Materializing every round paid a per-round driver
+    // floor (job submission + planning + an executor-memory copy of the
+    // frame) that dominated wall time at fixture scale (8-core runs BEAT
+    // 32-core — pure overhead, optimization guide §1.2 "the distributed
+    // algorithm" / §2.4 remove passes outright). Rounds are now unrolled
+    // and the lineage is cut only every `UnrollBatch` rounds to bound
+    // Catalyst's plan-size growth for large iteration counts. The
+    // durable (runDir) branch keeps per-round parquet: there the
+    // round-trip is the fault-tolerance contract, not an optimization.
     def roundCheckpoint(df: DataFrame, round: Int): DataFrame = runDir match {
       case Some(d) =>
         val path = s"$d/pr_round_$round"
@@ -2553,7 +2589,10 @@ object ScaleOps {
             .delete(prev, true)
         }
         back
-      case None => df.localCheckpoint(true)
+      case None =>
+        if (round > 0 && round < iterations && round % UnrollBatch == 0)
+          df.localCheckpoint(true)
+        else df // stays in the unrolled plan
     }
     def stored(df: DataFrame, name: String): DataFrame = runDir match {
       case Some(d) =>
@@ -2698,15 +2737,22 @@ object ScaleOps {
           .hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), expr("rank div deg").as("contrib"),
           lit(null).cast(LongType).as("_prev"))
-      val next = durable(
-        inflow.unionAll(ranks.select(col("node"), lit(0L).as("contrib"),
-            col("rank").as("_prev")))
-          .groupBy("node")
-          .agg(sum(col("contrib")).as("m"), max(col("_prev")).as("_prev"))
-          .select(col("node"),
-            (lit(tele) + expr("(m * 85) div 100")).as("rank"),
-            col("_prev")),
-        s"ranks_${rounds + 1}")
+      val nextPlan = inflow
+        .unionAll(ranks.select(col("node"), lit(0L).as("contrib"),
+          col("rank").as("_prev")))
+        .groupBy("node")
+        .agg(sum(col("contrib")).as("m"), max(col("_prev")).as("_prev"))
+        .select(col("node"),
+          (lit(tele) + expr("(m * 85) div 100")).as("rank"),
+          col("_prev"))
+      // local mode: LAZY checkpoint — the ∞-norm delta probe right below
+      // is a full-scan aggregate, so it materializes the round's frame in
+      // the SAME job (the eager form paid a separate materialization job
+      // per round); durable mode keeps the parquet round-trip
+      val next = runDir match {
+        case Some(_) => durable(nextPlan, s"ranks_${rounds + 1}")
+        case None => nextPlan.localCheckpoint(false)
+      }
       rounds += 1
       val delta = next
         .agg(max(abs(col("rank") - col("_prev"))).as("d"))
@@ -2720,8 +2766,13 @@ object ScaleOps {
   private def ccRun(edges: DataFrame, srcCol: String,
       dstCol: String, maxIter: Int,
       runDir: Option[String]): (DataFrame, Option[String]) = {
-    // Eager per-round materialization + lineage cut. Both branches are
-    // actions: parquet write, or localCheckpoint(eager = true).
+    // Per-round materialization + lineage cut. Durable branch: a parquet
+    // write (an action). Local branch: a LAZY localCheckpoint — the
+    // checksum probe that immediately follows every round is a full-scan
+    // aggregate, so it materializes the checkpoint in the SAME job; the
+    // former eager form paid one extra job per round (materialize, then
+    // fingerprint the already-materialized blocks) — half the rounds'
+    // driver floor for free (guide §1.2: remove passes outright).
     def checkpointRound(df: DataFrame, round: Int): DataFrame = runDir match {
       case Some(d) =>
         val path = s"$d/cc_round_$round"
@@ -2733,7 +2784,7 @@ object ScaleOps {
             .delete(prev, true)
         }
         back
-      case None => df.localCheckpoint(true)
+      case None => df.localCheckpoint(false)
     }
     def canonical(e: DataFrame): DataFrame =
       e.select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
@@ -2779,7 +2830,8 @@ object ScaleOps {
       edges.select(col(srcCol).as("u"), col(dstCol).as("v"))), 0)
     var sum = checksum(e)
     var it = 0
-    var converged = e.isEmpty
+    // the checksum's count doubles as the emptiness probe — no isEmpty job
+    var converged = sum._1 == 0L
     while (!converged && it < maxIter) {
       val next = checkpointRound(smallStar(largeStar(e)), it + 1)
       val nextSum = checksum(next)
@@ -2917,8 +2969,19 @@ object ScaleOps {
     * row_number window so the per-round shuffle stays O(|edges|)
     * partial-aggregated with no sort. Labels are node ids ≥ 0
     * ([[lpaAdjacency]] enforces it) so the negation orders correctly.
+    *
+    * CONTRACT: the label domain must be a subset of the adjacency node
+    * domain (`labels.node ⊆ und.a`). The round's output is the argmax
+    * frame itself — there is no join back to `labels` — so a label row
+    * whose node has NO adjacency entry (an isolated node) silently
+    * drops out of the label frame rather than keeping its label. Both
+    * callers satisfy the contract by construction (labels are
+    * initialized FROM the adjacency node set, and every adjacency node
+    * has ≥ 1 neighbor, so the neighbor-count aggregate covers the full
+    * domain); a new caller with isolated nodes must densify first.
+    * Pinned by the ScaleOpsSpec isolated-node test.
     */
-  private def lpaRound(und: DataFrame, labels: DataFrame,
+  private[graft] def lpaRound(und: DataFrame, labels: DataFrame,
       store: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     val neigh = und
       .join(labels.select(col("node").as("b"), col("label"))
@@ -2941,8 +3004,15 @@ object ScaleOps {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     val und = lpaAdjacency(edges, srcCol, dstCol)
     val nodes = und.select(col("a").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
-    for (_ <- 1 to iterations) labels = lpaRound(und, labels)
+    // label chain is LINEAR (each round's frame feeds only the next), so
+    // the fixed rounds unroll into one plan — same rationale and batch
+    // bound as pageRankFixedPoint; `und` stays materialized because every
+    // round joins it
+    var labels = nodes.withColumn("label", col("node"))
+    for (i <- 1 to iterations)
+      labels = lpaRound(und, labels,
+        if (i < iterations && i % UnrollBatch == 0) _.localCheckpoint(true)
+        else identity[DataFrame])
     labels
   }
 
@@ -3099,32 +3169,48 @@ object ScaleOps {
       .select(col(seedCol).cast(LongType).as("node")).distinct()
       .withColumn("dist", lit(0L)),
       "merged_0")
-    var frontier = dist
+    var frontierHasRows = !dist.isEmpty
     var r = 1
-    while (r <= maxRounds && !frontier.isEmpty) {
+    while (r <= maxRounds && frontierHasRows) {
+      // round 1's frontier is the seed frame itself (no _improved column
+      // yet); later rounds filter the previous round's improved rows
+      val frontier =
+        if (r == 1) dist else dist.filter(col("_improved")).select("node", "dist")
       val cand = frontier
         .join(adj.hint("shuffle_hash"), col("node") === col("a"))
         .select(col("b").as("node"), (col("dist") + col("w")).as("cand"))
         .groupBy("node").agg(min(col("cand")).as("cand"))
-      val merged = durable(dist
+      val mergedPlan = dist
         .join(cand.hint("shuffle_hash"), Seq("node"), "full_outer")
         .select(col("node"),
           least(coalesce(col("dist"), col("cand")),
             coalesce(col("cand"), col("dist"))).as("dist"),
           (col("cand").isNotNull &&
-            (col("dist").isNull || col("cand") < col("dist"))).as("_improved")),
-        s"merged_$r", dropPrev = Some(s"merged_${r - 1}"))
-      frontier = runDir match {
-        // durable mode: the frontier is a cheap filter over the round's
-        // parquet — no second materialization needed
-        case Some(_) => merged.filter(col("_improved")).select("node", "dist")
-        case None => merged.filter(col("_improved")).select("node", "dist")
-          .localCheckpoint(true)
+            (col("dist").isNull || col("cand") < col("dist"))).as("_improved"))
+      runDir match {
+        // durable mode: the round's parquet write materializes; the
+        // improved-count probe and next round's frontier are cheap
+        // filters over it
+        case Some(_) =>
+          val merged = durable(mergedPlan, s"merged_$r",
+            dropPrev = Some(s"merged_${r - 1}"))
+          frontierHasRows = !merged.filter(col("_improved")).isEmpty
+          dist = merged
+        // local mode: LAZY checkpoint — the improved-count probe is a
+        // full-scan aggregate, so it materializes the round's frame in
+        // the SAME job. The former shape paid three jobs per round
+        // (merged checkpoint, frontier checkpoint, isEmpty); the
+        // frontier needs no materialization of its own — it is a filter
+        // over the round's cached blocks, exactly like the durable
+        // branch (guide §1.2 / §2.4: remove redundant passes).
+        case None =>
+          val merged = mergedPlan.localCheckpoint(false)
+          frontierHasRows = merged.filter(col("_improved")).count() > 0
+          dist = merged
       }
-      dist = merged.select("node", "dist")
       r += 1
     }
-    (dist, r - 1)
+    (dist.select("node", "dist"), r - 1)
   }
 
   /** Breadth-first search to a bounded depth: minimum hop distance from a
@@ -3159,19 +3245,24 @@ object ScaleOps {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
+    // per-level frames are LAZY checkpoints materialized by the count
+    // probe that doubles as the emptiness check — one job per level
+    // instead of the former checkpoint + isEmpty pair (guide §1.2)
     var visited = seeds
       .select(col(seedCol).cast(LongType).as("node")).distinct()
       .withColumn("level", lit(0))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var frontier = visited
+    var frontierHasRows = frontier.count() > 0
     var l = 1
-    while (l <= maxLevel && !frontier.isEmpty) {
+    while (l <= maxLevel && frontierHasRows) {
       val next = frontier
         .join(adj, col("node") === col("a"))
         .select(col("b").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("level", lit(l))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      frontierHasRows = next.count() > 0 // materializes the level's blocks
       // visited is a union of ALREADY-materialized per-level frames —
       // re-checkpointing the union each level just re-copied every prior
       // level's rows; the shallow union lineage is free to rescan

@@ -3125,6 +3125,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("nonnegative"))
   }
 
+  test("lpaRound contract: a label-domain node absent from the adjacency drops out (label ⊆ adjacency required)") {
+    // the round's output is the neighbor-argmax frame itself (no join
+    // back to the label frame), so an ISOLATED node's label row silently
+    // disappears — documented on lpaRound; callers must keep the label
+    // domain a subset of the adjacency node domain (both current callers
+    // initialize labels FROM the adjacency node set)
+    val und = Seq((1L, 2L), (2L, 1L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 2L), (99L, 99L)).toDF("node", "label")
+    val out = ScaleOps.lpaRound(und, labels).as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 2L),
+      s"isolated node must drop out of the round's output, got $out")
+    assert(out == Map(1L -> 2L, 2L -> 1L),
+      s"neighbors adopt each other's label, got $out")
+  }
+
   test("labelPropagationConverged: runDir parquet path matches localCheckpoint and persists the joined frames") {
     def clique(ids: Seq[Long]) =
       for (a <- ids; b <- ids if a < b) yield (a, b)

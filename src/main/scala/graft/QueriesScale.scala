@@ -1158,7 +1158,7 @@ object QueriesScale {
         .when(col("doc_id") % 4 === 1, ScaleOps.synthJpegHeader(w, h))
         .when(col("doc_id") % 4 === 2, ScaleOps.synthGifHeader(w, h))
         .otherwise(ScaleOps.synthWebpHeader(w, h))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), ScaleOps.imageMeta(payload).as("m"))
         .select(col("doc_id"), col("m.format").as("format"),
           col("m.width").as("width"), col("m.height").as("height"))
@@ -1193,7 +1193,7 @@ object QueriesScale {
           ScaleOps.synthPpm(w, h, col("doc_id")))
         .otherwise(ScaleOps.synthBmp(w, h, col("doc_id")))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1249,7 +1249,7 @@ object QueriesScale {
           ScaleOps.synthPng(w, h, col("doc_id"), channels = 1))
         .otherwise(ScaleOps.synthPng(w, h, col("doc_id"), channels = 3))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1292,7 +1292,7 @@ object QueriesScale {
       val h = lit(3L) + col("doc_id") % 8
       val raster = ScaleOps.imageDecode(
         ScaleOps.synthGif(w, h, col("doc_id")))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1358,7 +1358,7 @@ object QueriesScale {
           ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 1))
         .otherwise(ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 2))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1433,7 +1433,7 @@ object QueriesScale {
           ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 8))
         .otherwise(ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 9))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1502,7 +1502,7 @@ object QueriesScale {
           ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 4))
         .otherwise(ScaleOps.synthJpeg(w, h, col("doc_id"), mode = 5))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1557,7 +1557,7 @@ object QueriesScale {
       val h = lit(3L) + col("doc_id") % 9
       val raster = ScaleOps.imageDecode(
         ScaleOps.synthWebpLPred(w, h, col("doc_id")))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1618,7 +1618,7 @@ object QueriesScale {
           ScaleOps.synthPngExt(w, h, col("doc_id"), 5))
         .otherwise(ScaleOps.synthPngExt(w, h, col("doc_id"), 6))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1684,7 +1684,7 @@ object QueriesScale {
       val h = lit(3L) + col("doc_id") % 9
       val raster = ScaleOps.imageDecode(
         ScaleOps.synthWebpLPalette(w, h, col("doc_id")))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1724,7 +1724,7 @@ object QueriesScale {
       val h = lit(3L) + col("doc_id") % 9
       val raster = ScaleOps.imageDecode(
         ScaleOps.synthWebpL(w, h, col("doc_id")))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1784,7 +1784,7 @@ object QueriesScale {
           ScaleOps.synthVp8(w, h, col("doc_id"), mode = 0))
         .otherwise(ScaleOps.synthVp8(w, h, col("doc_id"), mode = 1))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -1845,7 +1845,7 @@ object QueriesScale {
       val payload = ScaleOps.synthJpegExif(w, h, col("doc_id"), mode = 2)
       val oriented = ScaleOps.rasterOrient(
         ScaleOps.imageDecode(payload), ScaleOps.exifOrientation(payload))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"),
           ScaleOps.exifOrientation(payload).cast(LongType).as("orientation"),
           oriented.as("r"))
@@ -1916,7 +1916,7 @@ object QueriesScale {
   private val exifMetaQ = Q(
     (s, dir) => {
       val payload = ScaleOps.synthJpegExifMeta(lit(16L), lit(16L), col("doc_id"), mode = 2)
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), ScaleOps.exifMeta(payload).as("m"))
         .select(col("doc_id"),
           col("m.make").as("make"),
@@ -1967,7 +1967,7 @@ object QueriesScale {
           ScaleOps.synthTiff(w, h, col("doc_id"), 2))
         .otherwise(ScaleOps.synthTiff(w, h, col("doc_id"), 3))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -2034,7 +2034,7 @@ object QueriesScale {
         .when(m === 3, ScaleOps.synthTiff(w, h, col("doc_id"), 7))
         .otherwise(ScaleOps.synthTiff(w, h, col("doc_id"), 8))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -2108,7 +2108,7 @@ object QueriesScale {
           ScaleOps.synthTiff(w, h, col("doc_id"), 9))
         .otherwise(ScaleOps.synthTiff(w, h, col("doc_id"), 10))
       val raster = ScaleOps.imageDecode(payload)
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), raster.as("r"))
         .select(col("doc_id"),
           col("r.format").as("format"),
@@ -2174,7 +2174,7 @@ object QueriesScale {
   private val mp3PcmQ = Q(
     (s, dir) => {
       val d = ScaleOps.mp3Decode(ScaleOps.synthMp3Pcm(col("doc_id")))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"),
           col("d.format").as("format"),
@@ -2323,7 +2323,7 @@ object QueriesScale {
   private val vorbisPcmQ = Q(
     (s, dir) => {
       val d = ScaleOps.vorbisDecode(ScaleOps.synthOggVorbis(col("doc_id")))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"),
           col("d.format").as("format"),
@@ -2546,7 +2546,7 @@ object QueriesScale {
   // the explode.
   private val robotsAllowedQ = Q(
     (s, dir) => {
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"),
           ScaleOps.synthRobots(col("doc_id")).as("robots"),
           (col("doc_id") % 5).as("k"), (col("doc_id") % 3).as("j"))
@@ -2774,7 +2774,7 @@ object QueriesScale {
   // strings, map-side combined.
   private val urlCanonicalQ = Q(
     (s, dir) => {
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), explode(array(
           ScaleOps.synthUrl(col("doc_id"), 0),
           ScaleOps.synthUrl(col("doc_id"), 1))).as("url"))
@@ -2806,7 +2806,7 @@ object QueriesScale {
   private val mainContentQ = Q(
     (s, dir) => {
       val m = ScaleOps.mainContent(ScaleOps.synthMainHtml(col("doc_id")))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), m.as("m"))
         .select(col("doc_id"), col("m.text").as("text"),
           col("m.n_kept").cast(LongType).as("n_kept"),
@@ -2844,7 +2844,7 @@ object QueriesScale {
   private val docxTextQ = Q(
     (s, dir) => {
       val d = ScaleOps.docxText(ScaleOps.synthDocx(col("doc_id")))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"),
           col("d.n_paragraphs").cast(LongType).as("n_paragraphs"),
@@ -2999,7 +2999,7 @@ object QueriesScale {
   // shuffle.
   private val bzip2TextQ = Q(
     (s, dir) => {
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"),
           ScaleOps.bzip2Text(ScaleOps.synthBzip2(col("doc_id"))).as("text"))
         .orderBy("doc_id")
@@ -3091,7 +3091,7 @@ object QueriesScale {
   // until the explode.
   private val robotsSitemapsQ = Q(
     (s, dir) => {
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), posexplode(
           ScaleOps.robotsSitemaps(ScaleOps.synthRobots(col("doc_id"))))
           .as(Seq("sm_idx", "sitemap_url")))
@@ -3120,7 +3120,7 @@ object QueriesScale {
   // zero shuffle.
   private val markdownTextQ = Q(
     (s, dir) => {
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"),
           ScaleOps.markdownText(ScaleOps.synthMarkdown(col("doc_id")))
             .as("text"))
@@ -3161,7 +3161,7 @@ object QueriesScale {
   private val rtfTextQ = Q(
     (s, dir) => {
       val d = ScaleOps.rtfText(ScaleOps.synthRtf(col("doc_id")))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"), col("d.text").as("text"))
         .orderBy("doc_id")
@@ -3195,7 +3195,7 @@ object QueriesScale {
   private val odtTextQ = Q(
     (s, dir) => {
       val d = ScaleOps.odtText(ScaleOps.synthOdt(col("doc_id")))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"),
           col("d.n_paragraphs").cast(LongType).as("n_paragraphs"),
@@ -3396,7 +3396,7 @@ object QueriesScale {
   private val opusPacketsQ = Q(
     (s, dir) => {
       val o = ScaleOps.opusPackets(ScaleOps.synthOggOpus(col("doc_id")))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), o.as("o"))
         .select(col("doc_id"),
           col("o.channels").cast(LongType).as("channels"),
@@ -3720,7 +3720,7 @@ object QueriesScale {
   private val htmlTextQ = Q(
     (s, dir) => {
       val h = ScaleOps.htmlText(ScaleOps.synthHtml(col("doc_id")))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), h.as("h"))
         .select(col("doc_id"),
           col("h.title").as("title"),
@@ -3883,7 +3883,7 @@ object QueriesScale {
   private val id3MetaQ = Q(
     (s, dir) => {
       val payload = ScaleOps.synthMp3Id3(col("doc_id"))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), ScaleOps.id3Meta(payload).as("m"),
           ScaleOps.mp3Meta(payload).as("w"))
         .select(col("doc_id"),
@@ -3929,7 +3929,7 @@ object QueriesScale {
           ScaleOps.synthWavPcm(ch, rate, 8, frames, col("doc_id")))
         .otherwise(ScaleOps.synthWavPcm(ch, rate, 16, frames, col("doc_id")))
       val d = ScaleOps.pcmDecode(payload)
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"), col("d"),
           ScaleOps.pcmChannelStats(col("d")).as("st"))
@@ -4127,7 +4127,7 @@ object QueriesScale {
           ScaleOps.synthMp3Pcm(col("doc_id") * 5))
         .otherwise(ScaleOps.synthOggVorbis(col("doc_id") * 5))
       val d = ScaleOps.pcmDecode(payload)
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), d.as("d"))
         .select(col("doc_id"), col("d"),
           ScaleOps.pcmEnergyWindows(col("d"), 16).as("e"))
@@ -4451,7 +4451,7 @@ object QueriesScale {
       val payload = when(col("doc_id") % 2 === 0,
           ScaleOps.synthWavHeader(ch, rate, bits, frames))
         .otherwise(ScaleOps.synthFlacHeader(ch, rate, bits, frames))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), ScaleOps.audioMeta(payload).as("m"))
         .select(col("doc_id"), col("m.format").as("format"),
           col("m.channels").as("channels"),
@@ -4486,7 +4486,7 @@ object QueriesScale {
       val payload = when(col("doc_id") % 2 === 0,
           ScaleOps.synthOgg(ch, rate, frames, mode = 0))
         .otherwise(ScaleOps.synthOgg(ch, rate, frames, mode = 1))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), ScaleOps.oggMeta(payload).as("m"))
         .select(col("doc_id"), col("m.format").as("format"),
           col("m.channels").as("channels"),
@@ -4523,7 +4523,7 @@ object QueriesScale {
         .when(col("doc_id") % 4 === 2,
           ScaleOps.synthMp3(ch, srIdx, frames, mode = 2))
         .otherwise(ScaleOps.synthMp3(ch, srIdx, frames, mode = 3))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), ScaleOps.mp3Meta(payload).as("m"))
         .select(col("doc_id"), col("m.format").as("format"),
           col("m.channels").as("channels"),
@@ -4549,7 +4549,7 @@ object QueriesScale {
       val ts = lit(600L) + (col("doc_id") * 7) % 90000
       val dur = (col("doc_id") * 997) % 10000000L
       val payload = ScaleOps.synthMp4Header(ts, dur, (col("doc_id") % 2).cast("int"))
-      Tables.documentSeeds(s, dir)
+      Tables.documentSeedsPlain(s, dir)
         .select(col("doc_id"), ScaleOps.mp4Meta(payload).as("m"))
         .select(col("doc_id"), col("m.brand").as("brand"),
           col("m.timescale").as("timescale"),

@@ -90,6 +90,21 @@ object Tables {
       documents(spark, dir).select(org.apache.spark.sql.functions.col("doc_id")),
       s"$dir/documents.parquet")
 
+  /** [[documentSeeds]] WITHOUT the fan-out exchange — for the CHEAP
+    * decode lanes (metadata probes, light text formats, single-raster
+    * decodes), where the r16 per-lane A/B bench (all 63 seeded lanes,
+    * fanned vs plain, quiet box: control_ratio 0.96/1.03) measured the
+    * exchange costing 0.03–0.47 s per key against decode work too light
+    * to repay it; the heavy codecs (pdf, zip/tar, mp4/video, epub/pptx/
+    * xlsx, webdataset, wiki/bz2 dumps) measured 2–3× WORSE plain and
+    * keep [[documentSeeds]]. The split is a per-operator decode-cost
+    * property, not a fixture tune: at scale [[fanOut]] self-disables and
+    * the two forms converge — the choice only matters for the
+    * unsplittable-small-input case the fan-out exists for.
+    */
+  def documentSeedsPlain(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(org.apache.spark.sql.functions.col("doc_id"))
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

@@ -260,16 +260,20 @@ object QueriesMeta {
   private val asofJoinQ = Q(
     (s, dir) => {
       import graft.operators.AsOfJoin
-      // project BEFORE the dedup window: latestPerKeyTime sorts every
-      // (symbol, trading_date) group, and carrying the full OHLCV row
-      // through that sort pays for columns the as-of join never reads —
-      // 7 columns in the exchange+sort instead of 12
-      val quotes = AsOfJoin.latestPerKeyTime(
-        Tables.ohlcv(s, dir).select(col("symbol"), col("trading_date"), col("close"),
-          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
-        "symbol", "trading_date",
-        Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
-        .select(col("symbol"), col("trading_date"), col("close"))
+      // keep-latest quote dedup as a struct-MAX aggregation, not a
+      // row_number window (the resample_ohlc stance, guide §2.3
+      // "aggregate before you shuffle"): the window form range-sorted
+      // the full 7-column frame per (symbol, date) group; max(struct)
+      // partial-aggregates map-side, so the exchange ships one row per
+      // (symbol, date) per map task instead of every quote row. The
+      // picked row is IDENTICAL: (l_orderkey, l_linenumber, l_partkey,
+      // l_suppkey) is the table's unique key, so the lexicographic
+      // struct max IS the greatest-tiebreaker row the window selected.
+      val quotes = Tables.ohlcv(s, dir)
+        .groupBy(col("symbol"), col("trading_date"))
+        .agg(max(struct(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("close"))).as("_m"))
+        .select(col("symbol"), col("trading_date"), col("_m.close").as("close"))
       val probes = Tables.orders(s, dir)
         .withColumn("symbol",
           when(col("o_orderstatus") === "F", lit("A"))

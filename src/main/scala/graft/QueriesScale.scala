@@ -4768,7 +4768,10 @@ object QueriesScale {
       val w = lit(16L) * (lit(2L) + col("doc_id") % 3)
       val h = lit(32L)
       val frames = lit(3L) + col("doc_id") % 4
-      val docs = Tables.documents(s, dir)
+      // fanned seed frame (the image_dhash stance): the two per-row
+      // decode branches below are this key's CPU wall — on the unfanned
+      // single-row-group scan each container's decode ran as ONE task
+      val docs = Tables.documentSeeds(s, dir)
       val avi = docs.select((col("doc_id") * 2).as("vid"),
         ScaleOps.videoFrameDhashes(
           ScaleOps.synthAvi(w, h, frames, col("doc_id")), 1).as("v"))

@@ -2602,10 +2602,17 @@ object ScaleOps {
       case None => df.localCheckpoint(true)
     }
     // node frame materialized ONCE (it enters every round's aggregation;
-    // without the cut each round would replay the upstream corpus scan),
-    // and its count comes off the materialized frame
-    val nodeIds = stored(
-      nodes.select(col(nodeCol).cast(LongType).as("node")), "pr_nodes")
+    // without the cut each round would replay the upstream corpus scan).
+    // Local mode: LAZY checkpoint — the count right below (needed for the
+    // teleport constant anyway) materializes it in the SAME job instead
+    // of a separate eager-checkpoint job.
+    val nodeIds = runDir match {
+      case Some(_) =>
+        stored(nodes.select(col(nodeCol).cast(LongType).as("node")), "pr_nodes")
+      case None =>
+        nodes.select(col(nodeCol).cast(LongType).as("node"))
+          .localCheckpoint(false)
+    }
     val n = nodeIds.count()
     require(n > 0, "pageRankFixedPoint: empty node set")
     val tele = (scale * 15L / 100L) / n
@@ -2686,8 +2693,6 @@ object ScaleOps {
       runDir: Option[String] = None): (DataFrame, Int) = {
     require(tol >= 1, s"tol must be >= 1 integer unit, got $tol")
     require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
-    val n = nodes.count()
-    require(n > 0, "pageRankConverge: empty node set")
     // localCheckpoint blocks live in executor memory — a lost executor
     // kills the warm run. With runDir, the edge frame every round joins
     // and the per-round rank frames round-trip through parquet instead
@@ -2700,11 +2705,21 @@ object ScaleOps {
         df.sparkSession.read.parquet(path)
       case None => df.localCheckpoint(true)
     }
+    // node frame materialized once — it rides every round's aggregation.
+    // Local mode: lazy checkpoint fused with the count the teleport
+    // constant needs anyway (one job, not an upstream execution for the
+    // count PLUS an eager-checkpoint job for the frame).
+    val nodeIds = runDir match {
+      case Some(_) =>
+        durable(nodes.select(col(nodeCol).cast(LongType).as("node")), "nodes")
+      case None =>
+        nodes.select(col(nodeCol).cast(LongType).as("node"))
+          .localCheckpoint(false)
+    }
+    val n = nodeIds.count()
+    require(n > 0, "pageRankConverge: empty node set")
     val tele = (scale * 15L / 100L) / n
     val uniform = scale / n
-    // node frame materialized once — it rides every round's aggregation
-    val nodeIds = durable(
-      nodes.select(col(nodeCol).cast(LongType).as("node")), "nodes")
     // distinct edges materialized BEFORE the degree self-join (one
     // execution of the upstream pipeline, not one per join branch) —
     // same rationale as pageRankFixedPoint
@@ -2949,7 +2964,10 @@ object ScaleOps {
     */
   private def lpaAdjacency(edges: DataFrame, srcCol: String,
       dstCol: String,
-      store: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+      // default is a LAZY checkpoint: the nonnegative-id probe right
+      // below is a full-scan aggregate and materializes it in the same
+      // job (the durable caller passes its parquet-writing store)
+      store: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
     val und = store(edges
       .select(col(srcCol).cast(LongType).as("a"),
         col(dstCol).cast(LongType).as("b"))
@@ -3152,7 +3170,7 @@ object ScaleOps {
         back
       case None => df.localCheckpoint(true)
     }
-    val adj = durable(edges
+    val adjPlan = edges
       .select(col(srcCol).cast(LongType).as("a"),
         col(dstCol).cast(LongType).as("b"),
         col(weightCol).cast(LongType).as("w"))
@@ -3160,8 +3178,13 @@ object ScaleOps {
         col(srcCol).cast(LongType).as("b"),
         col(weightCol).cast(LongType).as("w")))
       .filter(col("a") =!= col("b"))
-      .groupBy("a", "b").agg(min(col("w")).as("w")), // parallel edges: keep min
-      "adj")
+      .groupBy("a", "b").agg(min(col("w")).as("w")) // parallel edges: keep min
+    // local mode: lazy checkpoint — the nonnegative-weight probe right
+    // below is a full-scan aggregate and materializes it in the same job
+    val adj = runDir match {
+      case Some(_) => durable(adjPlan, "adj")
+      case None => adjPlan.localCheckpoint(false)
+    }
     val minW = adj.agg(min(col("w"))).head()
     require(minW.isNullAt(0) || minW.getLong(0) >= 0,
       s"ssspWeighted requires nonnegative weights, got min ${minW.getLong(0)}")
@@ -3244,7 +3267,9 @@ object ScaleOps {
         col(srcCol).cast(LongType).as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
+      // lazy: each level's job references the adjacency exactly once, so
+      // level 1's count materializes it with no dedicated checkpoint job
+      .localCheckpoint(false)
     // per-level frames are LAZY checkpoints materialized by the count
     // probe that doubles as the emptiness check — one job per level
     // instead of the former checkpoint + isEmpty pair (guide §1.2)
